@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for large-scale training-data pipelines.
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * no UDFs, so they stay inside whole-stage codegen at 100 TB.
+  */
+object Text {
+
+  /** Whitespace token count (\S+ runs). */
+  def tokenCountWs(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single punct. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across engines (md5 is bit-identical everywhere) — the exact-dedup
+    * key for 100 TB corpora where grouping on raw text would ship huge keys
+    * through the shuffle; 16-byte digests keep shuffle rows tiny.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  private val punctClass = "[.,!?;:]"
+  private val stopwords = "the|a|an|and|of|to|in|is|was|for"
+
+  /** Punctuation ratio, stopword ratio, mean word length → quality score.
+    * Mirrors the length/punct/stopword heuristics used by public corpus
+    * cleaning pipelines (C4/Gopher rules), as pure column math.
+    */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit(punctClass)).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  def stopwordRatio(text: Column): Column =
+    regexp_count(lower(text), lit(s"\\b($stopwords)\\b")).cast(DoubleType) /
+      greatest(tokenCountWs(text), lit(1)).cast(DoubleType)
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+      greatest(tokenCountWs(text), lit(1)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * sane word lengths, penalizes punctuation soup and trivial docs.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text) >= 100, lit(1.0)).otherwise(
+      length(text).cast(DoubleType) / 100.0)
+    val sw = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 10.0, lit(1.0))
+    (lenOk * 0.4 + sw * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Language-marker scores: count of high-frequency function words per
+    * language (n-gram/stopword heuristic language ID).
+    */
+  // Word-marker heuristics only (no \p{script=...}: Java regex and RE2 spell
+  // script classes differently, and the oracle must run the same pattern).
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|is|was|with",
+    "es" -> "el|la|los|las|de|que",
+    "de" -> "der|die|das|und|ist|von",
+    "fr" -> "le|les|des|et|est|dans",
+    "zh" -> "shi|le|zai|he|wo|ni")
+
+  def langScore(text: Column, markers: String): Column =
+    regexp_count(lower(text), lit(s"\\b($markers)\\b"))
+
+  /** Argmax over marker scores with first-wins tie-break (deterministic). */
+  def langGuess(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) =>
+      l -> langScore(text, m)
+    }
+    // CASE chain: language i wins if it strictly beats earlier candidates
+    // and ties-or-beats later ones (first-max-wins, fully deterministic).
+    val cases = scores.zipWithIndex.map { case ((lang, sc), i) =>
+      val beatsAll = scores.zipWithIndex.filter(_._2 != i).map { case ((_, other), j) =>
+        if (j < i) sc > other else sc >= other
+      }.reduce(_ && _)
+      (lang, beatsAll)
+    }
+    cases.init.foldRight(lit(cases.last._1): Column) { case ((lang, cond), elseC) =>
+      when(cond, lit(lang)).otherwise(elseC)
+    }
+  }
+}

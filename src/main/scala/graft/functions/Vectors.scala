@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over ArrayType(FloatType) embedding columns, built from
+  * higher-order functions (zip_with / aggregate) so everything stays in
+  * Catalyst — no UDF serialization, no driver involvement. Accumulation is
+  * in array-index order in double precision, which is deterministic.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (cheaper than sqrt when only ranking matters). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+}

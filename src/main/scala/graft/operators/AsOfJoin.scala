@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** pandas.merge_asof re-expressed Spark-first (reference reaches it through
+  * dynamic pandas dispatch, /root/reference/pandas_etl/etl.py:541-557; SURVEY.md
+  * §2.C "Joins").
+  *
+  * Instead of a per-row correlated lookup (driver-side and quadratic) or a
+  * range join (BroadcastNestedLoopJoin — unusable at scale), we union the two
+  * sides tagged by origin, sort within each key partition by (time, side),
+  * and carry the right side's payload forward with last(_, ignoreNulls) over
+  * an unbounded-preceding running window. Cost: ONE shuffle on the key + a
+  * per-partition sort — the same price as a sort-merge join, independent of
+  * time-range density, and it scales to 100 TB because no executor ever holds
+  * more than its own key partition.
+  */
+object AsOfJoin {
+
+  private val KEY = "__asof_key"
+  private val TIME = "__asof_time"
+  private val SIDE = "__asof_side"
+  private val RTIME = "__asof_rtime"
+
+  /** Backward as-of: for each left row, the payload of the latest right row
+    * with rightOn <= leftOn within the same `by` group (pandas
+    * merge_asof(direction='backward') semantics, ties include equal times).
+    * Payload entries are (outputName, expression-over-right-columns).
+    * Optional tolerance (in epoch-microsecond difference) nulls out matches
+    * that are too old.
+    */
+  def backward(left: DataFrame, leftOn: Column, leftBy: Column,
+               right: DataFrame, rightOn: Column, rightBy: Column,
+               payload: Seq[(String, Column)],
+               toleranceUs: Option[Long] = None): DataFrame =
+    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs, forward = false)
+
+  /** Forward as-of: earliest right row with rightOn >= leftOn. */
+  def forward(left: DataFrame, leftOn: Column, leftBy: Column,
+              right: DataFrame, rightOn: Column, rightBy: Column,
+              payload: Seq[(String, Column)],
+              toleranceUs: Option[Long] = None): DataFrame =
+    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs, forward = true)
+
+  private def join(left: DataFrame, leftOn: Column, leftBy: Column,
+                   right: DataFrame, rightOn: Column, rightBy: Column,
+                   payload: Seq[(String, Column)], toleranceUs: Option[Long],
+                   forward: Boolean): DataFrame = {
+    val names = payload.map(_._1)
+    require(names.toSet.intersect(left.columns.toSet).isEmpty,
+      s"payload names collide with left columns: ${names.mkString(",")}")
+
+    // Right side: key/time/side + payload (+ matched right time for tolerance).
+    val r2 = right.select(
+      rightBy.as(KEY) +: rightOn.as(TIME) +: lit(0).as(SIDE) +:
+        rightOn.as(RTIME) +: payload.map { case (n, c) => c.as(n) }: _*)
+    // Left side: key/time/side + all left columns; payload slots typed null.
+    val l2 = left.select(
+      leftBy.as(KEY) +: leftOn.as(TIME) +: lit(1).as(SIDE) +:
+        leftOn.as(RTIME) +: left.columns.map(col): _*)
+    val payloadSchema = r2.schema.fields.drop(4)
+    val l3 = payloadSchema.foldLeft(l2)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val r3 = left.schema.fields.foldLeft(r2)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+
+    // Backward: ascending time, right rows (side 0) before left at equal time
+    // so an exactly-simultaneous right row matches. Forward: descending time.
+    val ord =
+      if (forward) Seq(col(TIME).desc, col(SIDE).asc) else Seq(col(TIME).asc, col(SIDE).asc)
+    val w = Window.partitionBy(col(KEY)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (names :+ RTIME).foldLeft(l3.unionByName(r3))((df, n) =>
+      df.withColumn(n, last(col(n), ignoreNulls = true).over(w)))
+
+    val withTol = toleranceUs match {
+      case Some(tol) =>
+        val outOfRange =
+          abs(unix_micros(col(TIME)) - unix_micros(col(RTIME))) > tol
+        names.foldLeft(carried)((df, n) =>
+          df.withColumn(n, when(outOfRange, lit(null)).otherwise(col(n))))
+      case None => carried
+    }
+    withTol.filter(col(SIDE) === 1).drop(KEY, TIME, SIDE, RTIME)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Text
+
+/** Deduplication family for training-data pipelines (north star): exact,
+  * n-gram Jaccard, SimHash, and MinHash+LSH. Each variant is chosen so the
+  * candidate-generation step is a key-equality shuffle (inverted index /
+  * band bucket), never an all-pairs comparison — the only property that
+  * survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup on a fingerprint of normalized text: group on a 16-byte md5
+    * digest (not the raw text — tiny shuffle keys), keep min(id) as the
+    * representative. Map-side partial aggregation collapses local dups
+    * before the shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .groupBy(col("__fp").as("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set of a text column (distinct, order-free). Guards
+    * short docs (sequence() would run backwards for size < n).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard, with shingle-inverted-index
+    * candidate generation: explode shingles, self-join on the shingle hash
+    * (equality shuffle), count common shingles per pair, then
+    * J = common / (|A| + |B| - common). Hashing shingles to 64-bit keeps the
+    * exploded shuffle narrow. Only pairs sharing >= 1 shingle are ever
+    * materialized.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from a (materialized) word-hash array column: per bit,
+    * majority vote of the hash bit values. IMPORTANT: pass an *attribute*
+    * (a column that is already its own projection step), not an inline
+    * expression — each of the 64 bit votes references it, and an inline
+    * split/transform would be re-evaluated 64x per row (measured 3.4s vs
+    * ~0.2s on 500 docs).
+    */
+  def simhash64FromHashes(hashes: Column): Column = {
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Convenience: simhash of a text column (two-step projection inside). */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("__w"))
+      .select(col("id"), transform(col("__w"), w => xxhash64(w)).as("__wh"))
+      .select(col("id"), simhash64FromHashes(col("__wh")).as("sig"))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4x16-bit bands,
+    * join on (band index, band value) — near-dups agree on >= 1 band whp —
+    * then verify candidates with exact Hamming distance (bit_count of xor).
+    * Candidates are deduped as bare (id_a, id_b) pairs before signatures are
+    * re-attached, keeping the distinct's shuffle narrow.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sigs = df.transform(simhashSigs(_, idCol, textCol))
+    val banded = sigs.select(col("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bval"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** MinHash from a (materialized) shingle-array column: k independent hash
+    * functions realized as xxhash64(shingle, i) — seeding by tupling avoids
+    * the (a*x+b) overflow ANSI mode rejects, and is just as uniform. As with
+    * simhash, the input must be an attribute: k aggregates reference it, and
+    * an inline shingle expression would be rebuilt k times per row (this was
+    * a measured 66s -> sub-second fix at sf0.001).
+    */
+  def minhashFromShingles(sh: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, g) => least(acc, xxhash64(g, lit(i))))
+    }: _*)
+
+  /** Per-doc minhash signatures (shingling in its own projection step). */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .select(col("id"), shingles(col("__t"), n).as("__sh"))
+      .select(col("id"), minhashFromShingles(col("__sh"), k).as("sig"))
+
+  /** MinHash LSH near-dup pairs: band the k-length signature into `bands`
+    * slices, bucket-join on (band, xxhash64(slice)) — a *scalar* join key,
+    * not an array — then estimate Jaccard as the fraction of agreeing
+    * minhash components, keeping pairs >= threshold. Candidates are deduped
+    * as bare id pairs before signatures are re-attached, so the only wide
+    * rows ever shuffled are the O(candidates) final ones.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSigs(df, idCol, textCol, n, k)
+    val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north star): media as opaque BinaryType
+  * columns with typed metadata structs. The Spark-side machinery — schema,
+  * partition-sized batch decode via mapPartitions, binaryFile ingestion —
+  * is real; the codec itself is STUBBED (this container has no image/audio
+  * libs) behind [[MediaDecoder]] with a deterministic fake implementation.
+  */
+object Multimodal {
+
+  /** Typed decode result — what a real image decoder would yield. */
+  final case class MediaMeta(
+      id: Long, n_bytes: Int, width: Int, height: Int, channels: Int,
+      format: String)
+
+  /** Codec SPI. Swap [[FakeDecoder]] for a JNI/javax.imageio-backed decoder
+    * in a real deployment; everything downstream (schema, partitioning,
+    * batch shape) is unchanged.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** STUB: deterministic fake "decode" — derives plausible metadata purely
+    * from the byte content so tests are reproducible. A real decoder would
+    * parse the container header instead.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length
+      val first = if (n > 0) bytes(0) & 0xFF else 0
+      MediaMeta(id, n, 64 + (n % 1024), 64 + (first * 4), 3, "fake/rgb8")
+    }
+  }
+
+  /** Read a directory of media files as (path, modificationTime, length,
+    * content) rows — Spark's binaryFile source; content is BinaryType.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /** Batch decode: one decoder instance per partition (mirrors the
+    * mapInPandas batch shape — amortizes codec init), executed distributed,
+    * never on the driver. Input must have (id: Long, content: Binary).
+    */
+  def decodeBatch(df: DataFrame, idCol: String, binCol: String,
+                  decoder: MediaDecoder = FakeDecoder): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decoder.decode(id, bytes) } }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]). Two paths:
+  *   - brute-force exact top-k (baseline; right answer, O(|Q|*|C|) scores)
+  *   - LSH-bucketed (random signed projections -> band join) for scale,
+  *     where only vectors sharing a hash bucket are ever scored.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: broadcast the (small) query set, score every corpus
+    * vector against every query in one codegen'd pass, keep k per query with
+    * a window rank. The corpus is never shuffled before scoring; the ranked
+    * shuffle carries only (query, corpus-id, score) triples.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component: hash of
+    * (plane, dim) mapped to [-1, 1). No RNG — reproducible across runs.
+    * Multi-arg xxhash64 (no string concat) keeps the per-element cost at
+    * one hash instruction.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double")
+      / 1000000.0) - 1.0
+
+  /** Signed-random-projection signature: bit p = sign(v . plane_p). Cosine
+    * neighbors agree on most bits (SRP-LSH / SimHash for vectors).
+    */
+  def srpSignature(vec: Column, planes: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH ANN: band the SRP signature, bucket-join queries to corpus on any
+    * agreeing band, score only candidates, top-k per query. Scales: the
+    * all-pairs cross join is replaced by an equality shuffle on band values.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          srpSignature(col(vecCol), planes).as("sig"))
+        .select(col(id), col(v),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
+        .select(col(id), col(v), col("bb.band"), col("bb.bval"))
+    val qb = banded(queries, "query_id", "qv")
+    val cb = banded(corpus, "neighbor_id", "cv")
+    val cands = qb.join(cb, Seq("band", "bval"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Core relational operator coverage (SURVEY.md §2.B/§2.C): scans,
+  * projection/filter, joins (equi/semi/anti/multi-way), aggregation,
+  * windows, sort/top-k, set ops, pivot/rollup/cube, SQL entry point.
+  *
+  * Each query is the Spark-first expression of a capability the reference
+  * reaches through pandas dispatch (/root/reference/pandas_etl/etl.py:541-557);
+  * the DuckDB oracle pins semantics. Scale notes per query in comments.
+  */
+object Core {
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: single scan, hash agg with map-side partial aggregation.
+    // At 100 TB this is scan-bound; only 3x2 groups reach the shuffle.
+    Q("q01_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Projection + filter: both must reach the parquet scan (PushedFilters /
+    // ReadSchema prune to 4 of 11 columns). No shuffle at any scale.
+    Q("q02_filter_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast(TimestampType)
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // Equi-join with an explicitly broadcast dimension (customer is always the
+    // small side; at 100 TB orders shuffles nothing — dim ships to executors).
+    Q("q03_join_broadcast",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment")),
+      Some("""
+        SELECT c_mktsegment,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // TPC-H Q5 shape: star join. region/nation/customer/supplier broadcast;
+    // the only big-big join (lineitem x orders) co-shuffles on orderkey.
+    Q("q04_star_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = broadcast(t(s, d, "customer")); val n = broadcast(t(s, d, "nation"))
+        val r = broadcast(t(s, d, "region")); val sup = broadcast(t(s, d, "supplier"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+            && col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // Semi join (pandas merge-indicator idiom): EXISTS without duplication.
+    Q("q05_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // Anti join: NOT EXISTS (filtered so the result is non-trivial).
+    Q("q06_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        ORDER BY c_custkey""")),
+
+    // Window top-k per group (pandas groupby.head/nlargest). One shuffle on
+    // the partition key; rank pruning happens before any further stage.
+    Q("q07_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders) q
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Running total (pandas cumsum). Decimal accumulator keeps the window sum
+    // exact regardless of the engine's frame-evaluation strategy.
+    Q("q08_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast(DecimalType(25, 4))).over(w)
+              .cast(DoubleType).as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // lag/lead (pandas shift) over event streams.
+    Q("q09_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events ORDER BY user_id, event_id""")),
+
+    // Top-k (pandas nlargest): Catalyst plans TakeOrderedAndProject — per
+    // partition heap + driver merge of k rows, never a full sort at scale.
+    Q("q10_topk",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // DISTINCT (pandas drop_duplicates): partial dedup before the shuffle.
+    Q("q11_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Vertical concat (pandas pd.concat axis=0) = unionByName.
+    Q("q12_union",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("src"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("src"))
+        c.unionByName(sup).orderBy(col("src"), col("id"))
+      },
+      Some("""
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_name, 'supplier' FROM supplier
+        ORDER BY src, id""")),
+
+    Q("q13_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    Q("q14_except",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") > 500.0)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      Some("""
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 500.0
+        ORDER BY nationkey""")),
+
+    // pivot_table: explicit value list keeps the plan a single-pass agg
+    // (no extra distinct-values job — essential when the fact table is huge).
+    Q("q15_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS F,
+          CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS O
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q16_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    Q("q17_cube",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // value_counts.
+    Q("q18_value_counts",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type""")),
+
+    // describe/summary-style stats, every moment computed from exact decimal
+    // sums so the result is independent of partitioning and engine.
+    Q("q19_agg_stats",
+      (s, d) => {
+        val x = col("o_totalprice")
+        val sx = dsum(x); val sxx = sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType)
+        val n = count(x)
+        t(s, d, "orders").agg(
+          n.as("n"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(x).as("min_price"),
+          max(x).as("max_price"),
+          (sx / n).as("avg_price"),
+          // (sum(x^2) - sum(x)^2/n) suffers catastrophic cancellation: a
+          // 1-ulp decimal->double cast difference between engines surfaces
+          // at ~1e-5 absolute, so pin 3 decimals (noise << 0.0005).
+          round((sxx - sx * sx / n) / (n - lit(1)), 3).as("var_price"))
+      },
+      Some("""
+        SELECT COUNT(o_totalprice) AS n,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          MIN(o_totalprice) AS min_price,
+          MAX(o_totalprice) AS max_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+          round((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(o_totalprice))
+            / (COUNT(o_totalprice) - 1), 3) AS var_price
+        FROM orders""")),
+
+    // SQL entry point: the engine exposes spark.sql over registered views
+    // (the reference's pd.read_sql analogue). Same text runs on both engines.
+    Q("q20_sql_tpchq3",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach { n =>
+          t(s, d, n).createOrReplaceTempView(n)
+        }
+        s.sql("""
+          SELECT o_orderkey,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+            CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS odate
+          FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 20""")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+          CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS odate
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 20"""))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Q._
+import graft.operators.AsOfJoin
+
+/** Scalar-function families (SURVEY.md §2.C): pandas .str/.dt accessors,
+  * JSON access, array ops, null handling, casts/renames, calendar grouping
+  * (pd.Grouper), and the merge_asof composition. All codegen'd built-ins —
+  * no UDFs in any hot path.
+  */
+object Funcs {
+
+  val all: Seq[Q] = Seq(
+
+    // .str.* family: lower/upper/substr/contains/split/length/trim.
+    Q("q21_str_funcs",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_len"),
+        upper(substring(col("text"), 1, 12)).as("prefix_u"),
+        when(col("text").contains("spark"), 1).otherwise(0).as("has_spark"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        regexp_replace(col("lang"), "e", "E").as("lang_e"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_len,
+          upper(substr(text, 1, 12)) AS prefix_u,
+          CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS has_spark,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          string_split(text, ' ')[1] AS first_tok,
+          regexp_replace(lang, 'e', 'E', 'g') AS lang_e
+        FROM documents ORDER BY doc_id""")),
+
+    // .dt.* family. Timestamps leave the query as epoch micros / DATE so the
+    // oracle compare is precision-exact (source parquet is ns, Spark is us).
+    Q("q22_date_funcs",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        // dates leave as yyyy-MM-dd strings: bit-stable across engines and
+        // across the driver's pandas normalization (date32 vs datetime64)
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          CAST(year(ts) AS INTEGER) AS y,
+          CAST(month(ts) AS INTEGER) AS m,
+          CAST(day(ts) AS INTEGER) AS dom,
+          CAST(hour(ts) AS INTEGER) AS h,
+          strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+          strftime(ts, '%Y-%m-%d') AS day,
+          epoch_us(ts) AS ts_us
+        FROM events ORDER BY event_id""")),
+
+    // pd.Grouper(key=ts, freq='W-MON') lowering: date_trunc('week') is the
+    // Monday-anchored calendar bucket (reference README.md:54-58).
+    Q("q23_grouper_weekly",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("week")),
+      Some("""
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY week""")),
+
+    // JSON string access (events.props): get_json_object stays inside
+    // codegen; no UDF, no full JSON parse of untouched keys.
+    Q("q24_json_funcs",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        ORDER BY event_id""")),
+
+    // fillna/dropna/coalesce + conditional logic.
+    Q("q25_null_handling",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(when(col("c_acctbal") < 0, lit(null).cast(DoubleType))
+          .otherwise(col("c_acctbal")), lit(0.0)).as("bal_floor"),
+        when(col("c_acctbal") < 0, 1).otherwise(0).as("was_negative"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey,
+          COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_floor,
+          CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS was_negative
+        FROM customer ORDER BY c_custkey""")),
+
+    // astype/rename (cast + alias).
+    Q("q26_cast_rename",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_name").as("part_name"),
+        col("p_size").cast(LongType).as("size_l"),
+        col("p_retailprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price2"))
+        .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey, p_name AS part_name,
+          CAST(p_size AS BIGINT) AS size_l,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price2
+        FROM part ORDER BY p_partkey""")),
+
+    // Array ops over the embedding column (ArrayType plumbing).
+    Q("q27_array_funcs",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_dim"),
+        col("label"))
+        .orderBy(col("vec_id")),
+      Some("""
+        SELECT vec_id,
+          CAST(len(embedding) AS INTEGER) AS dim,
+          CAST(embedding[1] AS DOUBLE) AS first_dim,
+          label
+        FROM embeddings ORDER BY vec_id""")),
+
+    // merge_asof (backward): for each order, the latest event of that
+    // customer at-or-before the order date. Composed as union + running
+    // last-non-null — a single shuffle on the key, no per-row subquery.
+    Q("q28_asof_join",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val events = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin.backward(
+          left = orders, leftOn = col("o_orderdate"), leftBy = col("o_custkey"),
+          right = events, rightOn = col("ts"), rightBy = col("user_id"),
+          payload = Seq("last_event_us" -> unix_micros(col("ts"))))
+          .select(col("o_orderkey"), col("o_custkey"), col("last_event_us"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+          (SELECT epoch_us(max(e.ts)) FROM events e
+            WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_us
+        FROM orders o ORDER BY o_orderkey"""))
+  )
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** North-star training-data-pipeline operators (builder prompt + SURVEY.md
+  * §2.C): dedup (exact / minhash / simhash / n-gram Jaccard), similarity
+  * search, text analysis, multimodal plumbing. Oracles where DuckDB can
+  * express the same deterministic computation; rows-only otherwise.
+  */
+object NorthStar {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup via md5 fingerprint of normalized text.
+    Q("q29_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select(col("rep_id"), col("n_copies"))
+        .orderBy(col("rep_id")),
+      Some("""
+        SELECT min(doc_id) AS rep_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY rep_id""")),
+
+    // Document fingerprinting (md5 is bit-identical across engines).
+    Q("q30_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer.
+    Q("q31_token_count",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).as("n_ws"),
+        Text.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length/punct/stopword heuristics, pure double math.
+    Q("q32_quality_score",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.meanWordLen(col("text")).as("mean_word_len"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH q AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|was|for)\b')) AS INTEGER) AS n_stop
+          FROM documents)
+        SELECT doc_id,
+          CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+          CAST(n_stop AS DOUBLE) / greatest(n_ws, 1) AS stopword_ratio,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / greatest(n_ws, 1) AS mean_word_len,
+          (CASE WHEN length(text) >= 100 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) / 100.0 END) * 0.4
+            + least((CAST(n_stop AS DOUBLE) / greatest(n_ws, 1)) * 5.0, 1.0) * 0.4
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2
+            AS quality
+        FROM q ORDER BY doc_id""")),
+
+    // Language ID: marker-word scores, first-max-wins.
+    Q("q33_lang_id",
+      (s, d) => t(s, d, "documents").select(
+        (Seq(col("doc_id")) ++
+          Text.langMarkers.map { case (l, m) =>
+            Text.langScore(col("text"), m).as(s"s_$l") } :+
+          Text.langGuess(col("text")).as("lang_guess")): _*)
+        .orderBy(col("doc_id")),
+      Some {
+        val scores = Text.langMarkers.map { case (l, m) =>
+          l -> s"CAST(len(regexp_extract_all(lower(text), '\\b($m)\\b')) AS INTEGER)"
+        }
+        val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n          ")
+        val langs = scores.map(_._1)
+        val caseArms = langs.zipWithIndex.init.map { case (l, i) =>
+          val conds = langs.zipWithIndex.filter(_._2 != i).map { case (o, j) =>
+            if (j < i) s"s_$l > s_$o" else s"s_$l >= s_$o"
+          }.mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n            ")
+        s"""
+        WITH s AS (
+          SELECT doc_id,
+          $scoreCols
+          FROM documents)
+        SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+          CASE $caseArms
+            ELSE '${langs.last}' END AS lang_guess
+        FROM s ORDER BY doc_id"""
+      }),
+
+    // Near-dup pairs by exact 3-gram Jaccard (inverted-index candidates).
+    Q("q34_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.2
+        ORDER BY id_a, id_b""")),
+
+    // MinHash-LSH near-dup pairs (banded signatures). Hash family is
+    // xxhash64-based — not expressible in DuckDB, so rows-only gate here;
+    // MinhashSpec cross-checks estimates against exact Jaccard.
+    Q("q35_dedup_minhash",
+      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // SimHash near-dup pairs (banded 64-bit signatures + Hamming verify).
+    Q("q36_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    Q("q37_cosine_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cos_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, neighbor_id, cos_r, rank FROM (
+          SELECT query_id, neighbor_id, round(cosine, 6) AS cos_r,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+          FROM p) x
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // LSH-bucketed ANN (scale path; recall checked in SimilaritySpec).
+    Q("q38_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // Multimodal plumbing: binary column + deterministic stub decode.
+    Q("q39_multimodal_meta",
+      (s, d) => {
+        val bin = t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        Multimodal.decodeBatch(bin, "doc_id", "content").toDF()
+          .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+            col("height"), col("channels"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+          CAST(64 + ascii(substr(text, 1, 1)) * 4 AS INTEGER) AS height,
+          3 AS channels
+        FROM documents ORDER BY doc_id""")),
+
+    // Sessionization: gap > 30 min starts a new session (windowed batch
+    // analogue of the streaming session_window operator).
+    Q("q40_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull
+              || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+              .otherwise(0))
+          .withColumn("session_seq", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("event_id"),
+            col("session_seq").cast(IntegerType).as("session_seq"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events)
+        SELECT user_id, event_id,
+          CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_seq
+        FROM e ORDER BY user_id, event_id""")),
+
+    // Approximate distinct (HLL++) — engine-specific sketch, rows-only.
+    Q("q41_approx_distinct",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+      None)
+  )
+}

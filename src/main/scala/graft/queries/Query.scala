@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One graded query: a Spark-side builder plus (when SQL-expressible) an
+  * equivalent DuckDB oracle. Column names/types must match between the two —
+  * the driver sorts columns by name and hashes values.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Load a driver fixture table (TESTDATA.md) — one parquet per table.
+    * events.ts is stored as parquet TIMESTAMP(NANOS), which Spark cannot
+    * represent natively: read it as nanos-since-epoch long (legacy conf) and
+    * rebuild a microsecond TimestampType column. The fixture has no sub-us
+    * content, so this is lossless and oracle-exact.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        // integer div: ns values (~1.7e18) overflow double precision, so a
+        // float division here would silently corrupt timestamps
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else acc
+    }
+  }
+
+  /** Order-independent exact sum of a double column: accumulate as decimal
+    * (exact, associative) and cast the final value to double. Matches the
+    * DuckDB pattern CAST(SUM(CAST(x AS DECIMAL(25,4))) AS DOUBLE) bit-for-bit,
+    * where a plain double sum would drift with partitioning/order.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+
+  /** dsum with more fractional digits (for products like price*(1-disc)). */
+  def dsum8(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum divided by count, in doubles. */
+  def dmean(c: Column): Column = dsum(c) / count(c)
+}

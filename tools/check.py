@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate: run each oracle SQL in
+DuckDB against the fixture parquet tables and diff against the Spark parquet
+outputs produced by graft.Verify. Mirrors the driver: sort columns by name,
+hash values. Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, duckdb, pandas as pd, numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    # sort rows for order-insensitive compare
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name in sorted(oracles):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            duck_df = norm(con.sql(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_bad += 1; continue
+        bad_cols = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+                eq = ((a.isna() & b.isna()) | (a == b)).all()   # exact, like a hash
+            else:
+                eq = a.where(~a.isna(), None).equals(b.where(~b.isna(), None))
+            if not eq:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                m = spark_df[c] != duck_df[c]
+                idx = m[m].index[:3]
+                for i in idx:
+                    print(f"    row {i}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(spark_df)} rows)")
+    print(f"\n{len(oracles) - n_bad}/{len(oracles)} oracle queries match")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
