@@ -1,0 +1,50 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.runtime.Pipeline
+
+/** CLI parity with `python -m pandas_etl` (reference __main__.py:7-39):
+  * --file PIPELINE.yaml [--imports A.yaml ...] [--var name=value ...]
+  * Hand-rolled parser (offline build: no arg-parsing deps).
+  */
+object Main {
+
+  final case class Opts(file: String = "", imports: List[String] = Nil,
+                        vars: List[String] = Nil, master: String = "local[*]")
+
+  def parseArgs(args: List[String], acc: Opts = Opts()): Opts = args match {
+    case Nil =>
+      if (acc.file.isEmpty) { usage(); sys.exit(2) } else acc
+    case ("--file" | "-f") :: v :: rest => parseArgs(rest, acc.copy(file = v))
+    case ("--imports" | "-i") :: v :: rest =>
+      parseArgs(rest, acc.copy(imports = acc.imports :+ v))
+    case ("--var" | "-v") :: v :: rest => parseArgs(rest, acc.copy(vars = acc.vars :+ v))
+    case "--master" :: v :: rest => parseArgs(rest, acc.copy(master = v))
+    case other :: _ =>
+      System.err.println(s"Unknown argument: $other"); usage(); sys.exit(2)
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.cli.Main --file PIPELINE.yaml [--imports FILE.yaml]... [--var name=value]...""")
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList)
+    val spark = SparkSession.builder()
+      .master(opts.master)
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val pipeline = new Pipeline(spark, opts.file,
+        Pipeline.parseCliVariables(opts.vars), opts.imports)
+      pipeline.run()
+      println(s"Pipeline finished: ${pipeline.graph.steps.size} steps" +
+        (if (pipeline.resumedSteps.nonEmpty)
+          s" (${pipeline.resumedSteps.size} resumed from checkpoint)" else ""))
+    } finally spark.stop()
+  }
+}

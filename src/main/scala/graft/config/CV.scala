@@ -1,0 +1,86 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+/** Error type for everything the reference raises as
+  * ValueError/FileNotFoundError/RuntimeError during pipeline compile.
+  */
+final case class PipelineError(message: String) extends RuntimeException(message)
+
+/** Config value ADT — the typed replacement for the reference's raw YAML
+  * dicts (pandas_etl/etl.py:209-222). MV preserves key order (step order is
+  * semantically significant, etl.py:384-424).
+  */
+sealed trait CV {
+  def typeName: String = this match {
+    case _: CV.SV => "str"
+    case _: CV.IV => "int"
+    case _: CV.DV => "float"
+    case _: CV.BV => "bool"
+    case CV.NullV => "none"
+    case _: CV.LV => "list"
+    case _: CV.MV => "dict"
+  }
+}
+
+object CV {
+  final case class SV(v: String) extends CV
+  final case class IV(v: Long) extends CV
+  final case class DV(v: Double) extends CV
+  final case class BV(v: Boolean) extends CV
+  case object NullV extends CV
+  final case class LV(v: List[CV]) extends CV
+  final case class MV(v: Vector[(String, CV)]) extends CV {
+    def get(k: String): Option[CV] = v.collectFirst { case (`k`, x) => x }
+    def contains(k: String): Boolean = v.exists(_._1 == k)
+    def updated(k: String, x: CV): MV =
+      if (contains(k)) MV(v.map { case (kk, vv) => if (kk == k) (kk, x) else (kk, vv) })
+      else MV(v :+ (k -> x))
+    def keys: Seq[String] = v.map(_._1)
+  }
+  object MV { val empty: MV = MV(Vector.empty) }
+
+  /** Java (snakeyaml output) → CV. */
+  def fromJava(o: Any): CV = o match {
+    case null => NullV
+    case s: String => SV(s)
+    case b: java.lang.Boolean => BV(b)
+    case i: java.lang.Integer => IV(i.longValue)
+    case l: java.lang.Long => IV(l)
+    case i: java.math.BigInteger => IV(i.longValueExact)
+    case d: java.lang.Double => DV(d)
+    case f: java.lang.Float => DV(f.doubleValue)
+    case d: java.math.BigDecimal => DV(d.doubleValue)
+    case m: java.util.Map[_, _] =>
+      MV(m.asScala.toVector.map { case (k, v) => String.valueOf(k) -> fromJava(v) })
+    case l: java.util.List[_] => LV(l.asScala.toList.map(fromJava))
+    case d: java.util.Date => SV(d.toString)
+    case other => SV(String.valueOf(other))
+  }
+
+  /** CV → plain Scala (for the expression interpreter's value domain). */
+  def toScala(cv: CV): Any = cv match {
+    case SV(s) => s
+    case IV(i) => i
+    case DV(d) => d
+    case BV(b) => b
+    case NullV => null
+    case LV(l) => l.map(toScala)
+    case MV(m) => scala.collection.immutable.ListMap(m.map { case (k, v) => k -> toScala(v) }: _*)
+  }
+}
+
+object Yaml {
+  private def loader = new org.yaml.snakeyaml.Yaml()
+
+  /** Parse a YAML document string → CV (reference from_yaml_to_dict,
+    * etl.py:209-222).
+    */
+  def parse(s: String): CV = CV.fromJava(loader.load[AnyRef](s))
+
+  def parseMap(s: String): CV.MV = parse(s) match {
+    case m: CV.MV => m
+    case CV.NullV => CV.MV.empty
+    case other => throw PipelineError(s"Expected a YAML mapping, got ${other.typeName}")
+  }
+}

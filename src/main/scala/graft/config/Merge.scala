@@ -1,0 +1,88 @@
+package graft.config
+
+import java.nio.file.{Files, Path, Paths}
+import CV._
+
+/** Deep merge + import resolution with the reference's exact observable
+  * semantics (pandas_etl/etl.py:224-336):
+  *   - dicts recurse (:254-262); imported list items PREPEND (:263-266);
+  *   - multiline strings prepend with provenance comments (:267-288);
+  *   - single-line strings and scalars are REPLACED by the imported value
+  *     (:289-292) — this is how CLI overrides win;
+  *   - imported null is skipped (:249-250); type mismatch raises (:244-252);
+  *   - keys only in the import are appended (:294-297).
+  * Divergence (documented): import cycles are detected and rejected — the
+  * reference would loop forever on them (etl.py:301-336 has no guard).
+  */
+object Merge {
+
+  private def typesCompatible(a: CV, b: CV): Boolean = (a, b) match {
+    case (_: SV, _: SV) | (_: IV, _: IV) | (_: DV, _: DV) | (_: BV, _: BV) => true
+    case (_: LV, _: LV) | (_: MV, _: MV) => true
+    case (NullV, NullV) => true
+    case _ => false
+  }
+
+  /** merge(main, imported): the imported document's values flow into main. */
+  def merge(main: MV, imported: MV, importedName: Option[String] = None): MV = {
+    var out = main
+    for ((key, mainVal) <- main.v) {
+      imported.get(key) match {
+        case None => ()
+        case Some(NullV) => () // imported None: keep main's value (etl.py:249-250)
+        case Some(impVal) if !typesCompatible(mainVal, impVal) =>
+          throw PipelineError(
+            s"Type mismatch in imported YAML file. Expected for property '$key' " +
+              s"type '${mainVal.typeName}' but got type '${impVal.typeName}'")
+        case Some(impVal) =>
+          val merged: CV = (mainVal, impVal) match {
+            case (m: MV, i: MV) => merge(m, i, importedName)
+            case (LV(m), LV(i)) => LV(i ++ m) // imported items first
+            case (SV(m), SV(i)) =>
+              if (m.count(_ == '\n') > 0) {
+                val pre = importedName.map(n => s"# Below imported from: $n\n").getOrElse("")
+                val post = importedName.map(n => s"\n# Above imported from: $n\n").getOrElse("")
+                SV(pre + i + post + m)
+              } else SV(i)
+            case (_, i) => i // scalar: imported replaces
+          }
+          out = out.updated(key, merged)
+      }
+    }
+    for ((key, impVal) <- imported.v if !out.contains(key))
+      out = out.updated(key, impVal)
+    out
+  }
+
+  /** Recursively resolve `imports:` (etl.py:301-336): each listed file is
+    * parsed, its own imports resolved first, then merged into the document.
+    */
+  def resolveImports(doc: MV, inFlight: Set[Path] = Set.empty,
+                     readFile: Path => String = p => Files.readString(p)): MV = {
+    doc.get("imports") match {
+      case None | Some(NullV) => doc
+      case Some(LV(imports)) =>
+        var acc = doc
+        for (imp <- imports) {
+          val pathStr = imp match {
+            case SV(s) => s
+            case other => throw PipelineError(s"Import entries must be strings, got ${other.typeName}")
+          }
+          val path = Paths.get(pathStr)
+          if (!Files.exists(path))
+            throw PipelineError(s"No such file: $pathStr")
+          if (!(pathStr.endsWith(".yml") || pathStr.endsWith(".yaml")))
+            throw PipelineError(s"Wrong file extension for the import: $pathStr")
+          val norm = path.toAbsolutePath.normalize
+          if (inFlight.contains(norm))
+            throw PipelineError(s"Import cycle detected at: $pathStr")
+          val imported = Yaml.parseMap(readFile(path))
+          val resolved = resolveImports(imported, inFlight + norm, readFile)
+          acc = merge(acc, resolved, Some(pathStr))
+        }
+        acc
+      case Some(other) =>
+        throw PipelineError(s"'imports' must be a list, got ${other.typeName}")
+    }
+  }
+}

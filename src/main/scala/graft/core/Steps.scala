@@ -1,0 +1,196 @@
+package graft.core
+
+import graft.config.{CV, PipelineError}
+import scala.util.matching.Regex
+
+/** One normalized pipeline step (reference _Step.__init__, etl.py:505-538):
+  * shorthand single-key dicts expand to {name, function, args}; defaults are
+  * args={}, resumeFromSaved=true, saveProgress="".
+  */
+final case class StepSpec(
+    name: String,
+    function: String,
+    description: String = "",
+    args: Any = Map.empty[String, Any],
+    saveProgress: String = "",
+    resumeFromSaved: Boolean = true,
+    dependsOn: List[String] = Nil) // engine extension: explicit ordering for
+                                   // side-effect steps (e.g. view registration)
+
+/** Step list + dependency DAG (reference _Steps.__init__, etl.py:384-502):
+  * scans name/function/args strings for `${...steps['X'].output(.m)?...}`,
+  * rewrites chained shorthand names (`pd.read_csv.groupby.max`,
+  * README.md:119-121), adds dep edges, rejects forward references
+  * (etl.py:468-473) and cycles (etl.py:426-438, via Kahn leftovers here).
+  */
+final class StepGraph private (
+    val steps: Vector[StepSpec],
+    val edges: Map[String, Set[String]]) { // dep -> dependents
+
+  val byName: Map[String, StepSpec] = steps.map(s => s.name -> s).toMap
+  /** deps of each step (reverse edges). */
+  val depsOf: Map[String, Set[String]] = {
+    val m = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    for ((dep, dependents) <- edges; d <- dependents) m(d) = m(d) + dep
+    steps.map(s => s.name -> m(s.name)).toMap
+  }
+  /** dependents count (auto-persist rule input). */
+  def outDegree(name: String): Int = edges.getOrElse(name, Set.empty).size
+
+  /** Kahn topological order; layers preserve definition order within a wave. */
+  def topoOrder: Vector[String] = {
+    val inDeg = scala.collection.mutable.Map[String, Int]()
+    steps.foreach(s => inDeg(s.name) = depsOf(s.name).size)
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val ready = scala.collection.mutable.Queue[String](
+      steps.map(_.name).filter(inDeg(_) == 0): _*)
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      order += n
+      for (d <- edges.getOrElse(n, Set.empty).toSeq.sortBy(steps.map(_.name).indexOf)) {
+        inDeg(d) -= 1
+        if (inDeg(d) == 0) ready += d
+      }
+    }
+    if (order.size != steps.size) {
+      val stuck = steps.map(_.name).filterNot(order.contains)
+      throw PipelineError(
+        s"Found cycles in dependencies of steps. Check these steps: ${stuck.mkString(", ")}")
+    }
+    order.toVector
+  }
+}
+
+object StepGraph {
+
+  // Reference regex etl.py:445-447 verbatim (Python and Java regex semantics
+  // agree for this pattern). Used for NAME REWRITING only.
+  private val depRegex: Regex =
+    """\$\{(.*)steps\[(.*?)\]\.output(\.)?(\w*?)(.*)\}""".r
+
+  // Dependency tracking uses a global non-greedy scan: the reference's greedy
+  // regex records only the LAST steps[...] ref per ${} (benign under its
+  // wave-barrier scheduler, etl.py:593-615) — our futures scheduler has no
+  // barrier, so EVERY referenced step must become an edge.
+  private val allRefs: Regex = """steps\[(.*?)\]\.output""".r
+
+  private def stripQuotes(s: String): String = {
+    var out = s.trim
+    out = out.stripPrefix("\"").stripSuffix("\"")
+    out = out.stripPrefix("'").stripSuffix("'")
+    out
+  }
+
+  /** Normalize one YAML step entry (shorthand + defaults). */
+  def normalize(cv: CV): StepSpec = cv match {
+    case m: CV.MV =>
+      val full: CV.MV =
+        if (m.v.size == 1 && !m.contains("name") && !m.contains("function")) {
+          val (stepName, sub) = m.v.head
+          CV.MV(Vector(
+            "name" -> CV.SV(stepName),
+            "function" -> CV.SV(stepName),
+            "args" -> (sub match { case CV.NullV => CV.MV.empty; case x => x })))
+        } else m
+      def str(k: String, default: => String): String = full.get(k) match {
+        case Some(CV.SV(s)) => s
+        case Some(CV.NullV) | None => default
+        case Some(other) => throw PipelineError(
+          s"Step property '$k' must be a string, got ${other.typeName}")
+      }
+      val name = str("name", throw PipelineError(s"Step missing 'name': $m"))
+      StepSpec(
+        name = name,
+        function = str("function", name),
+        description = str("description", ""),
+        args = full.get("args").map(CV.toScala).getOrElse(
+          scala.collection.immutable.ListMap.empty[String, Any]),
+        saveProgress = str("saveProgress", ""),
+        resumeFromSaved = full.get("resumeFromSaved") match {
+          case Some(CV.BV(b)) => b
+          case _ => true
+        },
+        dependsOn = full.get("dependsOn") match {
+          case Some(CV.LV(l)) => l.map {
+            case CV.SV(s) => s
+            case other => throw PipelineError(
+              s"dependsOn entries must be strings, got ${other.typeName}")
+          }
+          case Some(CV.SV(s)) => List(s)
+          case _ => Nil
+        })
+    case other =>
+      throw PipelineError("Expected step to be like a dictionary of keys:value pairs")
+  }
+
+  /** Build the graph from the YAML step list. */
+  def build(stepList: List[CV]): StepGraph = {
+    val steps = scala.collection.mutable.ArrayBuffer[StepSpec]()
+    val edges = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    val defined = scala.collection.mutable.LinkedHashSet[String]()
+
+    def checkDefined(depName: String, input: String): Unit =
+      if (!defined.contains(depName))
+        throw PipelineError(
+          s"Step name '$depName' not found. Expected it to be defined before " +
+            s"processing '$input'. Change the order of steps so that '$depName' " +
+            s"is defined first.")
+
+    // all referenced steps in a string (dependency edges)
+    def depsIn(input: String): Set[String] = {
+      val found = allRefs.findAllMatchIn(input)
+        .map(m => stripQuotes(m.group(1))).toSet
+      found.foreach(checkDefined(_, input))
+      found
+    }
+
+    // name rewriting (reference semantics: etl.py:459-491)
+    def rewrite(input: String): String = {
+      var out = input
+      for (m <- depRegex.findAllMatchIn(input)) {
+        val before = m.group(1); val inBrackets = m.group(2)
+        val dot = Option(m.group(3)).getOrElse("")
+        val fname = Option(m.group(4)).getOrElse("")
+        val after = Option(m.group(5)).getOrElse("")
+        val depName = stripQuotes(inBrackets)
+        checkDefined(depName, input)
+        val newNamePart = List(depName, fname + after).filter(_.nonEmpty)
+          .mkString(dot).trim
+        out = out.replace(
+          "${" + before + "steps[" + inBrackets + "].output" + dot + fname + after + "}",
+          newNamePart)
+      }
+      out
+    }
+
+    def scanArgs(v: Any): Set[String] = v match {
+      case s: String => depsIn(s)
+      case m: Map[_, _] => m.values.flatMap(scanArgs).toSet
+      case l: List[_] => l.flatMap(scanArgs).toSet
+      case _ => Set.empty
+    }
+
+    for (cv <- stepList) {
+      val step0 = normalize(cv)
+      // name rewriting applies to the NAME only (etl.py:394-399); the
+      // function string keeps its ${} form for runtime resolution.
+      val nameDeps = depsIn(step0.name)
+      val newName = rewrite(step0.name)
+      val fnDeps = depsIn(step0.function)
+      val argDeps = scanArgs(step0.args)
+      step0.dependsOn.foreach(checkDefined(_, step0.name))
+      val step = step0.copy(name = newName)
+      if (defined.contains(step.name))
+        throw PipelineError(s"Duplicate step name '${step.name}'")
+      defined += step.name
+      steps += step
+      for (d <- nameDeps ++ fnDeps ++ argDeps ++ step0.dependsOn)
+        edges(d) = edges(d) + step.name
+    }
+    val g = new StepGraph(steps.toVector, edges.toMap)
+    g.topoOrder // force cycle check at construction (parity with etl.py:426-438)
+    g
+  }
+}

@@ -1,0 +1,198 @@
+package graft.expr
+
+import graft.config.PipelineError
+
+/** AST for the `${...}` expression mini-language — the safe replacement for
+  * the reference's Python eval (pandas_etl/etl.py:71,77,543). Supports
+  * literals, references (var.x / conn.x / steps['x'].output), attribute and
+  * index access, calls with positional+named args, arithmetic/comparison/
+  * boolean operators, and list literals. No code execution, ever.
+  */
+sealed trait Ast
+object Ast {
+  final case class Lit(v: Any) extends Ast
+  final case class Ref(name: String) extends Ast
+  final case class Attr(target: Ast, name: String) extends Ast
+  final case class Index(target: Ast, key: Ast) extends Ast
+  final case class Call(target: Ast, pos: List[Ast], kw: List[(String, Ast)]) extends Ast
+  final case class Bin(op: String, l: Ast, r: Ast) extends Ast
+  final case class Neg(e: Ast) extends Ast
+  final case class Not(e: Ast) extends Ast
+  final case class ListLit(items: List[Ast]) extends Ast
+}
+
+final case class Token(kind: String, text: String, pos: Int)
+
+object Lexer {
+  private val opChars = "+-*/%<>=!(),[].:".toSet
+
+  def tokenize(s: String): List[Token] = {
+    val out = scala.collection.mutable.ListBuffer[Token]()
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
+        val start = i
+        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+          ((s(i) == '+' || s(i) == '-') && i > start && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+        out += Token("num", s.substring(start, i), start)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += Token("ident", s.substring(start, i), start)
+      } else if (c == '\'' || c == '"') {
+        val quote = c; val start = i; i += 1
+        val sb = new StringBuilder
+        while (i < s.length && s(i) != quote) {
+          if (s(i) == '\\' && i + 1 < s.length) {
+            sb.append(s(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            }); i += 2
+          } else { sb.append(s(i)); i += 1 }
+        }
+        if (i >= s.length) throw PipelineError(s"Unterminated string literal at $start in: $s")
+        i += 1
+        out += Token("str", sb.toString, start)
+      } else if (opChars.contains(c)) {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "//").contains(two)) {
+          out += Token("op", two, i); i += 2
+        } else { out += Token("op", c.toString, i); i += 1 }
+      } else throw PipelineError(s"Unexpected character '$c' at $i in expression: $s")
+    }
+    out.toList
+  }
+}
+
+/** Recursive-descent parser with python-ish precedence. */
+final class Parser(tokens: List[Token], src: String) {
+  import Ast._
+  private var ts = tokens
+
+  private def peek: Option[Token] = ts.headOption
+  private def next(): Token = ts match {
+    case h :: t => ts = t; h
+    case Nil => throw PipelineError(s"Unexpected end of expression: $src")
+  }
+  private def expectOp(op: String): Unit = {
+    val t = next()
+    if (t.kind != "op" || t.text != op)
+      throw PipelineError(s"Expected '$op' but got '${t.text}' in expression: $src")
+  }
+  private def at(kind: String, text: String = null): Boolean =
+    peek.exists(t => t.kind == kind && (text == null || t.text == text))
+
+  def parse(): Ast = {
+    val e = orExpr()
+    if (ts.nonEmpty) throw PipelineError(s"Trailing tokens after expression: $src")
+    e
+  }
+
+  private def orExpr(): Ast = {
+    var l = andExpr()
+    while (at("ident", "or")) { next(); l = Bin("or", l, andExpr()) }
+    l
+  }
+  private def andExpr(): Ast = {
+    var l = notExpr()
+    while (at("ident", "and")) { next(); l = Bin("and", l, notExpr()) }
+    l
+  }
+  private def notExpr(): Ast =
+    if (at("ident", "not")) { next(); Not(notExpr()) } else cmp()
+
+  private def cmp(): Ast = {
+    val l = add()
+    val ops = Set("==", "!=", "<", ">", "<=", ">=")
+    if (peek.exists(t => t.kind == "op" && ops(t.text))) {
+      val op = next().text
+      Bin(op, l, add())
+    } else l
+  }
+  private def add(): Ast = {
+    var l = mul()
+    while (peek.exists(t => t.kind == "op" && (t.text == "+" || t.text == "-"))) {
+      val op = next().text; l = Bin(op, l, mul())
+    }
+    l
+  }
+  private def mul(): Ast = {
+    var l = unary()
+    while (peek.exists(t => t.kind == "op" && Set("*", "/", "%", "//").contains(t.text))) {
+      val op = next().text; l = Bin(op, l, unary())
+    }
+    l
+  }
+  private def unary(): Ast =
+    if (at("op", "-")) { next(); Neg(unary()) } else postfix()
+
+  private def postfix(): Ast = {
+    var e = primary()
+    var done = false
+    while (!done) {
+      if (at("op", ".")) {
+        next()
+        val t = next()
+        if (t.kind != "ident") throw PipelineError(s"Expected attribute name after '.': $src")
+        e = Attr(e, t.text)
+      } else if (at("op", "[")) {
+        next(); val k = orExpr(); expectOp("]"); e = Index(e, k)
+      } else if (at("op", "(")) {
+        next()
+        val pos = scala.collection.mutable.ListBuffer[Ast]()
+        val kw = scala.collection.mutable.ListBuffer[(String, Ast)]()
+        if (!at("op", ")")) {
+          var more = true
+          while (more) {
+            // named arg: ident '=' expr (but not ident '==')
+            ts match {
+              case Token("ident", name, _) :: Token("op", "=", _) :: _ =>
+                next(); next(); kw += name -> orExpr()
+              case _ =>
+                if (kw.nonEmpty)
+                  throw PipelineError(s"Positional arg after named arg in: $src")
+                pos += orExpr()
+            }
+            if (at("op", ",")) { next() } else more = false
+          }
+        }
+        expectOp(")")
+        e = Call(e, pos.toList, kw.toList)
+      } else done = true
+    }
+    e
+  }
+
+  private def primary(): Ast = {
+    val t = next()
+    t.kind match {
+      case "num" =>
+        if (t.text.exists(c => c == '.' || c == 'e' || c == 'E')) Lit(t.text.toDouble)
+        else Lit(t.text.toLong)
+      case "str" => Lit(t.text)
+      case "ident" => t.text match {
+        case "True" | "true" => Lit(true)
+        case "False" | "false" => Lit(false)
+        case "None" | "null" => Lit(null)
+        case name => Ref(name)
+      }
+      case "op" if t.text == "(" =>
+        val e = orExpr(); expectOp(")"); e
+      case "op" if t.text == "[" =>
+        val items = scala.collection.mutable.ListBuffer[Ast]()
+        if (!at("op", "]")) {
+          items += orExpr()
+          while (at("op", ",")) { next(); items += orExpr() }
+        }
+        expectOp("]")
+        ListLit(items.toList)
+      case _ => throw PipelineError(s"Unexpected token '${t.text}' in expression: $src")
+    }
+  }
+}
+
+object Parser {
+  def parse(s: String): Ast = new Parser(Lexer.tokenize(s), s).parse()
+}

@@ -1,0 +1,213 @@
+package graft.expr
+
+import graft.config.PipelineError
+
+/** Call arguments: positional + named, mirroring the reference's
+  * dict-kwargs / list-varargs / single-arg dispatch (etl.py:552-557).
+  */
+final case class Args(pos: List[Any] = Nil, kw: List[(String, Any)] = Nil) {
+  def get(name: String, position: Int = -1): Option[Any] =
+    kw.collectFirst { case (`name`, v) => v }
+      .orElse(if (position >= 0 && pos.length > position) Some(pos(position)) else None)
+  def require(name: String, position: Int = -1): Any =
+    get(name, position).getOrElse(
+      throw PipelineError(s"Missing required argument '$name'"))
+}
+
+/** Host bindings the interpreter resolves against: the engine's runtime
+  * supplies variables, connections, step outputs, and the function/method
+  * registry (graft.ops). Evaluation itself never executes user code.
+  */
+trait ExprContext {
+  def variable(name: String): Any
+  def connection(name: String): Any
+  def stepOutput(name: String): Any
+  /** Is `name` a registry namespace root (e.g. "pd", "spark", "graft")? */
+  def isNamespace(name: String): Boolean
+  def callFunction(path: String, args: Args): Any
+  def callMethod(target: Any, name: String, args: Args): Any
+}
+
+/** Marker wrappers the interpreter produces while resolving chains. */
+final case class Namespace(path: String)
+final case class FuncRef(path: String)
+final case class BoundMethod(target: Any, name: String)
+final case class StepHandle(name: String, output: () => Any)
+
+object Interp {
+  import Ast._
+
+  def eval(ast: Ast, ctx: ExprContext): Any = ast match {
+    case Lit(v) => v
+    case Ref("var") => VarRoot
+    case Ref("conn") => ConnRoot
+    case Ref("steps") => StepsRoot
+    case Ref(name) if ctx.isNamespace(name) => Namespace(name)
+    case Ref(name) =>
+      throw PipelineError(s"Unknown name '$name' in expression (expected var.*, conn.*, " +
+        "steps[...], or a registered function namespace)")
+    case Attr(t, name) => eval(t, ctx) match {
+      case VarRoot => ctx.variable(name)
+      case ConnRoot => ctx.connection(name)
+      case Namespace(p) =>
+        val full = s"$p.$name"
+        // a namespace attr is either a deeper namespace or a function ref;
+        // decided at call time — represent as FuncRef (callable or extendable)
+        FuncRef(full)
+      case FuncRef(p) => FuncRef(s"$p.$name")
+      case sh: StepHandle if name == "output" => sh.output()
+      case sh: StepHandle =>
+        throw PipelineError(s"Only '.output' can be accessed on steps['${sh.name}']")
+      case value => resolveValueAttr(value, name, ctx)
+    }
+    case Index(t, k) => (eval(t, ctx), eval(k, ctx)) match {
+      case (StepsRoot, name: String) => StepHandle(name, () => ctx.stepOutput(name))
+      case (l: List[_], i: Long) => l(i.toInt)
+      case (m: Map[_, _], key) => m.asInstanceOf[Map[Any, Any]].getOrElse(key,
+        throw PipelineError(s"Key '$key' not found"))
+      case (s: String, i: Long) => s(i.toInt).toString
+      case (other, k) => ctx.callMethod(other, "__getitem__", Args(pos = List(k)))
+    }
+    case Call(target, pos, kw) =>
+      val args = Args(pos.map(eval(_, ctx)), kw.map { case (n, a) => n -> eval(a, ctx) })
+      eval(target, ctx) match {
+        case FuncRef(path) => ctx.callFunction(path, args)
+        case Namespace(path) => ctx.callFunction(path, args)
+        case BoundMethod(t, name) => ctx.callMethod(t, name, args)
+        case other =>
+          throw PipelineError(s"Value of type ${tn(other)} is not callable")
+      }
+    case Bin(op, l, r) => binop(op, eval(l, ctx), eval(r, ctx))
+    case Neg(e) => eval(e, ctx) match {
+      case i: Long => -i
+      case d: Double => -d
+      case other => throw PipelineError(s"Cannot negate ${tn(other)}")
+    }
+    case Not(e) => !truthy(eval(e, ctx))
+    case ListLit(items) => items.map(eval(_, ctx))
+  }
+
+  private case object VarRoot
+  private case object ConnRoot
+  private case object StepsRoot
+
+  private def resolveValueAttr(value: Any, name: String, ctx: ExprContext): Any =
+    // method reference on a runtime value (e.g. a DataFrame step output):
+    // defer binding — it may be called (steps['x'].output.groupby) or used
+    // as a step function name. The method registry resolves at call time.
+    BoundMethod(value, name)
+
+  private def tn(v: Any): String = if (v == null) "None" else v.getClass.getSimpleName
+
+  def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case i: Long => i != 0
+    case d: Double => d != 0.0
+    case s: String => s.nonEmpty
+    case l: List[_] => l.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
+    case _ => true
+  }
+
+  private def numeric2(l: Any, r: Any): Option[(Double, Double, Boolean)] = (l, r) match {
+    case (a: Long, b: Long) => Some((a.toDouble, b.toDouble, true))
+    case (a: Long, b: Double) => Some((a.toDouble, b, false))
+    case (a: Double, b: Long) => Some((a, b.toDouble, false))
+    case (a: Double, b: Double) => Some((a, b, false))
+    case _ => None
+  }
+
+  private def binop(op: String, l: Any, r: Any): Any = (op, l, r) match {
+    case ("and", _, _) => if (!truthy(l)) l else r
+    case ("or", _, _) => if (truthy(l)) l else r
+    case ("+", a: String, b) => a + stringify(b)
+    case ("+", a, b: String) => stringify(a) + b
+    case ("+", a: List[_], b: List[_]) => a ++ b
+    case ("==", _, _) => l == r
+    case ("!=", _, _) => l != r
+    case _ =>
+      numeric2(l, r) match {
+        case Some((a, b, bothInt)) => op match {
+          case "+" => if (bothInt) (a + b).toLong else a + b
+          case "-" => if (bothInt) (a - b).toLong else a - b
+          case "*" => if (bothInt) (a * b).toLong else a * b
+          case "/" => a / b // python3: true division always
+          case "//" => math.floor(a / b).toLong
+          case "%" => if (bothInt) java.lang.Math.floorMod(a.toLong, b.toLong) else a % b
+          case "<" => a < b
+          case ">" => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+          case other => throw PipelineError(s"Unknown operator '$other'")
+        }
+        case None =>
+          throw PipelineError(s"Cannot apply '$op' to ${tn(l)} and ${tn(r)}")
+      }
+  }
+
+  /** Value → splice text (reference uses Python str(), etl.py:77). */
+  def stringify(v: Any): String = v match {
+    case null => "None"
+    case true => "True"
+    case false => "False"
+    case d: Double if d.isWhole && math.abs(d) < 1e15 => s"${d.toLong}.0"
+    case s: String => s
+    case l: List[_] => l.map(repr).mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  private def repr(v: Any): String = v match {
+    case s: String => s"'$s'"
+    case other => stringify(other)
+  }
+}
+
+/** `${...}` interpolation with the reference's exact semantics
+  * (etl.py:40-96): a string that is exactly one `${expr}` evaluates to the
+  * OBJECT; embedded expressions splice str(value) and the result is
+  * re-scanned recursively; dicts/lists interpolate element-wise.
+  */
+object Interpolate {
+
+  /** Find `${`...`}` spans (to the first unquoted `}`, like the reference's
+    * non-greedy regex).
+    */
+  private def findSpans(s: String): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer[(Int, Int)]()
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == '$' && s(i + 1) == '{') {
+        val close = s.indexOf('}', i + 2)
+        if (close < 0) { i = s.length }
+        else { out += ((i, close)); i = close + 1 }
+      } else i += 1
+    }
+    out.toList
+  }
+
+  def apply(input: Any, ctx: ExprContext, depth: Int = 0): Any = {
+    if (depth > 50) throw PipelineError(s"Expression interpolation recursed too deep: $input")
+    input match {
+      case s: String =>
+        val spans = findSpans(s)
+        if (spans.isEmpty) s
+        else if (spans.size == 1 && spans.head._1 == 0 && spans.head._2 == s.length - 1) {
+          // whole-string expression: return the evaluated object itself
+          Interp.eval(Parser.parse(s.substring(2, s.length - 1)), ctx)
+        } else {
+          var out = s
+          for ((start, close) <- spans) {
+            val exprSrc = s.substring(start + 2, close)
+            val value = Interp.eval(Parser.parse(exprSrc), ctx)
+            out = out.replace("${" + exprSrc + "}", Interp.stringify(value))
+          }
+          if (findSpans(out).nonEmpty) apply(out, ctx, depth + 1) else out
+        }
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> apply(v, ctx, depth) }
+      case l: List[_] => l.map(apply(_, ctx, depth))
+      case other => other
+    }
+  }
+}

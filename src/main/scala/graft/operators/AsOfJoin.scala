@@ -56,10 +56,14 @@ object AsOfJoin {
     val r2 = right.select(
       rightBy.as(KEY) +: rightOn.as(TIME) +: lit(0).as(SIDE) +:
         rightOn.as(RTIME) +: payload.map { case (n, c) => c.as(n) }: _*)
-    // Left side: key/time/side + all left columns; payload slots typed null.
+    // Left side: key/time/side + all left columns; payload slots and the
+    // matched-right-time slot are typed nulls (RTIME MUST be null on left
+    // rows — it is carried via last(ignoreNulls) like the payload, and a
+    // non-null value here would make every left row "match" its own time).
+    val rtimeType = r2.schema.fields(3).dataType
     val l2 = left.select(
       leftBy.as(KEY) +: leftOn.as(TIME) +: lit(1).as(SIDE) +:
-        leftOn.as(RTIME) +: left.columns.map(col): _*)
+        lit(null).cast(rtimeType).as(RTIME) +: left.columns.map(col): _*)
     val payloadSchema = r2.schema.fields.drop(4)
     val l3 = payloadSchema.foldLeft(l2)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))

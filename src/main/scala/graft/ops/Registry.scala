@@ -1,0 +1,549 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.config.PipelineError
+import graft.expr.{Args, BoundMethod}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.functions.Text
+
+/** Named JDBC connection (reference _Connections, etl.py:363-381: SQLAlchemy
+  * engines become Spark JDBC configs; `postgresql+psycopg2://u:p@h/db` URL
+  * forms are translated).
+  */
+final case class JdbcConn(url: String, props: Map[String, String]) {
+  def masked: String = s"JdbcConn(${url.replaceAll("password=[^&]*", "password=***")})"
+  override def toString: String = masked
+}
+
+object JdbcConn {
+  /** Translate an SQLAlchemy-style URL to JDBC. */
+  def fromUrl(raw: String): JdbcConn = {
+    val sqlAlchemy = """(\w+)(?:\+\w+)?://(?:([^:@/]+)(?::([^@/]*))?@)?([^:/]+)(?::(\d+))?/(.+)""".r
+    raw match {
+      case s if s.startsWith("jdbc:") => JdbcConn(s, Map.empty)
+      case sqlAlchemy(scheme, user, pass, host, port, db) =>
+        val jdbcScheme = scheme match {
+          case "postgresql" | "postgres" => "postgresql"
+          case other => other
+        }
+        val p = Option(port).map(":" + _).getOrElse("")
+        JdbcConn(s"jdbc:$jdbcScheme://$host$p/$db",
+          Option(user).map("user" -> _).toMap ++ Option(pass).map("password" -> _).toMap)
+      case other => JdbcConn(other, Map.empty)
+    }
+  }
+}
+
+/** pd.Grouper(key=..., freq=...) — a value that lowers to a Spark grouping
+  * Column (reference README.md:54-58 uses freq="W-MON").
+  */
+final case class GrouperSpec(key: String, freq: String) {
+  /** Calendar-bucket expression. Weekly anchors follow pandas label-by-bin-
+    * end: W-MON labels each row with the next Monday at-or-after its date.
+    */
+  def toColumn: Column = {
+    val c = col(key)
+    val f = freq.toUpperCase
+    if (f.startsWith("W")) {
+      val anchor = f.split("-").lift(1).getOrElse("SUN")
+      next_day(date_sub(c.cast(DateType), 1), anchor.take(3)).as(key)
+    } else {
+      val unit = f match {
+        case "D" => "day"; case "H" => "hour"; case "T" | "MIN" => "minute"
+        case "S" => "second"; case "M" | "MS" => "month"; case "Q" => "quarter"
+        case "Y" | "A" | "YS" => "year"
+        case other => throw PipelineError(s"Unsupported Grouper freq: $other")
+      }
+      date_trunc(unit, c).as(key)
+    }
+  }
+}
+
+/** groupby() result: keeps the parent frame + key columns so bare aggregate
+  * methods (max/sum/...) can aggregate every non-key column like pandas.
+  */
+final case class Grouped(df: DataFrame, keyCols: Seq[Column], keyNames: Seq[String])
+
+/** The function/method registry — tier-B + tier-C operator envelope
+  * (SURVEY.md §2). Every entry is thin glue over
+  * org.apache.spark.sql.functions; the heavy lifting stays in Catalyst.
+  */
+final class Registry(spark: SparkSession) {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def asDf(v: Any, what: String): DataFrame = v match {
+    case df: DataFrame => df
+    case other => throw PipelineError(s"$what expects a DataFrame, got ${tn(other)}")
+  }
+  private def asStr(v: Any, what: String): String = v match {
+    case s: String => s
+    case other => throw PipelineError(s"$what expects a string, got ${tn(other)}")
+  }
+  private def asStrList(v: Any): List[String] = v match {
+    case s: String => List(s)
+    case l: List[_] => l.map(asStr(_, "list element"))
+    case other => throw PipelineError(s"Expected string or list of strings, got ${tn(other)}")
+  }
+  private def asInt(v: Any, what: String): Int = v match {
+    case i: Long => i.toInt
+    case i: Int => i
+    case s: String if s.trim.matches("-?\\d+") => s.trim.toInt // CLI vars are strings
+    case other => throw PipelineError(s"$what expects an int, got ${tn(other)}")
+  }
+  private def asBool(v: Any, default: Boolean): Boolean = v match {
+    case b: Boolean => b
+    case null => default
+    case other => throw PipelineError(s"Expected a bool, got ${tn(other)}")
+  }
+  private def tn(v: Any): String = if (v == null) "None" else v.getClass.getSimpleName
+
+  private val aggFns: Map[String, Column => Column] = Map(
+    "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
+    "count" -> count, "first" -> first, "last" -> last,
+    "std" -> stddev_samp, "var" -> var_samp, "median" -> median,
+    "nunique" -> ((c: Column) => countDistinct(c)))
+
+  private def sparkType(name: String): DataType = name.toLowerCase match {
+    case "int" | "int64" | "long" | "bigint" => LongType
+    case "int32" => IntegerType
+    case "float" | "float64" | "double" => DoubleType
+    case "float32" => FloatType
+    case "str" | "string" | "object" => StringType
+    case "bool" | "boolean" => BooleanType
+    case "datetime64" | "datetime" | "timestamp" => TimestampType
+    case "date" => DateType
+    case other => throw PipelineError(s"Unknown dtype '$other'")
+  }
+
+  // ------------------------------------------------------------- functions
+
+  /** Namespace roots recognized by the expression interpreter. */
+  val namespaceRoots: Set[String] = Set("pd", "spark", "graft")
+
+  def callFunction(path: String, args: Args): Any = {
+    val name = if (path.contains('.')) path else s"pd.$path"
+    functions.get(name).orElse(Registry.extension(path)) match {
+      case Some(f) => f(args)
+      case None => throw PipelineError(
+        s"Unknown function '$path'. Registered: ${functions.keys.toSeq.sorted.mkString(", ")}")
+    }
+  }
+  def isFunction(path: String): Boolean =
+    functions.contains(if (path.contains('.')) path else s"pd.$path") ||
+      Registry.extension(path).isDefined
+
+  /** Namespace test for the expression interpreter: known roots, bare
+    * registered functions, and prefixes of registered extension functions
+    * (a user registering "fn.one" makes "fn" resolvable).
+    */
+  def isNamespaceOrFunction(name: String): Boolean =
+    namespaceRoots.contains(name) || isFunction(name) ||
+      Registry.hasPrefix(name)
+
+  private def readPath(args: Args, position: Int = 0): String =
+    asStr(args.get("path", position).orElse(args.get("filepath_or_buffer", position))
+      .orElse(args.get("io", position))
+      .getOrElse(throw PipelineError("Missing path argument")), "path")
+
+  private def applyParseDates(df: DataFrame, args: Args): DataFrame =
+    args.get("parse_dates") match {
+      case None | Some(null) => df
+      case Some(l: List[_]) =>
+        l.foldLeft(df)((d, c) => d.withColumn(asStr(c, "parse_dates"),
+          col(asStr(c, "parse_dates")).cast(TimestampType)))
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].foldLeft(df) { case (d, (c, spec)) =>
+          val fmt = spec match {
+            case mm: Map[_, _] => mm.asInstanceOf[Map[String, Any]].get("format").map(_.toString)
+            case s: String => Some(s)
+            case _ => None
+          }
+          fmt match {
+            case Some(f) =>
+              // pandas strftime -> Spark datetime pattern (common subset)
+              val sparkFmt = f.replace("%Y", "yyyy").replace("%y", "yy")
+                .replace("%m", "MM").replace("%d", "dd")
+                .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+              d.withColumn(c, to_timestamp(col(c), sparkFmt))
+            case None => d.withColumn(c, col(c).cast(TimestampType))
+          }
+        }
+      case Some(other) => throw PipelineError(s"parse_dates: unsupported form ${tn(other)}")
+    }
+
+  private val functions: Map[String, Args => Any] = Map(
+    "pd.read_csv" -> { a =>
+      val sep = a.get("sep", -1).orElse(a.get("delimiter", -1)).map(asStr(_, "sep")).getOrElse(",")
+      applyParseDates(
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", sep).csv(readPath(a)), a)
+    },
+    "pd.read_table" -> { a =>
+      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse("\t")
+      applyParseDates(
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", sep).csv(readPath(a)), a)
+    },
+    "pd.read_parquet" -> { a => applyParseDates(spark.read.parquet(readPath(a)), a) },
+    "pd.read_json" -> { a =>
+      val lines = a.get("lines", -1).map(asBool(_, true)).getOrElse(true)
+      spark.read.option("multiLine", (!lines).toString).json(readPath(a))
+    },
+    "pd.read_sql" -> { a =>
+      val sql = asStr(a.require("sql", 0), "sql")
+      a.require("con", 1) match {
+        case c: JdbcConn =>
+          val r = spark.read.format("jdbc").option("url", c.url)
+          val r2 = c.props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+          applyParseDates(
+            (if (sql.trim.toLowerCase.startsWith("select")) r2.option("query", sql)
+             else r2.option("dbtable", sql)).load(), a)
+        case other => throw PipelineError(s"read_sql con must be a connection, got ${tn(other)}")
+      }
+    },
+    "pd.concat" -> { a =>
+      val objs = a.require("objs", 0) match {
+        case l: List[_] => l.map(asDf(_, "concat element"))
+        case other => throw PipelineError(s"concat expects a list, got ${tn(other)}")
+      }
+      objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+    },
+    "pd.merge" -> { a =>
+      mergeImpl(asDf(a.require("left", 0), "merge left"), a, rightPos = 1)
+    },
+    "pd.Grouper" -> { a =>
+      GrouperSpec(asStr(a.require("key", 0), "key"), asStr(a.require("freq", 1), "freq"))
+    },
+    "pd.DataFrame" -> { a =>
+      // from dict of column -> list
+      a.require("data", 0) match {
+        case m: Map[_, _] =>
+          val cols = m.asInstanceOf[Map[String, Any]].toList.map {
+            case (k, l: List[_]) => k -> l
+            case (k, v) => k -> List(v)
+          }
+          val n = cols.map(_._2.size).maxOption.getOrElse(0)
+          val rows = (0 until n).map(i =>
+            org.apache.spark.sql.Row.fromSeq(cols.map(_._2.lift(i).orNull)))
+          val schema = StructType(cols.map { case (k, l) =>
+            StructField(k, l.headOption match {
+              case Some(_: Long) => LongType
+              case Some(_: Double) => DoubleType
+              case Some(_: Boolean) => BooleanType
+              case _ => StringType
+            })
+          })
+          spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+        case other => throw PipelineError(s"DataFrame expects dict data, got ${tn(other)}")
+      }
+    },
+    "spark.sql" -> { a => spark.sql(asStr(a.require("query", 0), "query")) },
+    "spark.table" -> { a => spark.table(asStr(a.require("name", 0), "name")) },
+    "spark.read_parquet" -> { a => spark.read.parquet(readPath(a)) },
+    "graft.read_fixture" -> { a =>
+      graft.queries.Q.t(spark, asStr(a.require("dir", 0), "dir"), asStr(a.require("table", 1), "table"))
+    },
+    // ------------------------- north-star operators as pipeline functions
+    "graft.dedup_exact" -> { a =>
+      Dedup.exact(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", 1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", 2).getOrElse("text"), "text"))
+    },
+    "graft.minhash_pairs" -> { a =>
+      Dedup.minhashPairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(32),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5))
+    },
+    "graft.simhash_pairs" -> { a =>
+      Dedup.simhashPairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(8))
+    },
+    "graft.ngram_jaccard_pairs" -> { a =>
+      Dedup.ngramJaccardPairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5))
+    },
+    "graft.cosine_topk" -> { a =>
+      Similarity.bruteForceTopK(asDf(a.require("queries", 0), "queries"),
+        asDf(a.require("corpus", 1), "corpus"),
+        k = a.get("k", 2).map(asInt(_, "k")).getOrElse(10))
+    },
+    "graft.lsh_topk" -> { a =>
+      Similarity.lshTopK(asDf(a.require("queries", 0), "queries"),
+        asDf(a.require("corpus", 1), "corpus"),
+        k = a.get("k", 2).map(asInt(_, "k")).getOrElse(10))
+    },
+    "graft.asof_join" -> { a =>
+      val payload = asStrList(a.require("payload", -1))
+      AsOfJoin.backward(
+        left = asDf(a.require("left", 0), "left"),
+        leftOn = col(asStr(a.require("left_on", -1), "left_on")),
+        leftBy = col(asStr(a.require("left_by", -1), "left_by")),
+        right = asDf(a.require("right", 1), "right"),
+        rightOn = col(asStr(a.require("right_on", -1), "right_on")),
+        rightBy = col(asStr(a.require("right_by", -1), "right_by")),
+        payload = payload.map(p => p -> col(p)),
+        toleranceUs = a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong))
+    },
+    "graft.text_metrics" -> { a =>
+      val df = asDf(a.require("df", 0), "df")
+      val text = col(asStr(a.get("text", -1).getOrElse("text"), "text"))
+      df.withColumn("n_tokens", Text.tokenCountWs(text))
+        .withColumn("quality", Text.qualityScore(text))
+        .withColumn("lang_guess", Text.langGuess(text))
+        .withColumn("fingerprint", Text.fingerprint(text))
+    },
+    "graft.decode_media" -> { a =>
+      Multimodal.decodeBatch(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
+    },
+    "graft.read_binary_dir" -> { a =>
+      Multimodal.readBinaryDir(spark, asStr(a.require("dir", 0), "dir"),
+        asStr(a.get("glob", -1).getOrElse("*"), "glob"))
+    },
+    "graft.read_stream_parquet" -> { a =>
+      val path = readPath(a)
+      val schema = spark.read.parquet(path).schema
+      spark.readStream.schema(schema).parquet(path)
+    }
+  )
+
+  private def mergeImpl(left: DataFrame, a: Args, rightPos: Int): DataFrame = {
+    val right = asDf(a.require("right", rightPos), "merge right")
+    val how = a.get("how", -1).map(asStr(_, "how")).getOrElse("inner") match {
+      case "outer" => "full"
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h => h
+    }
+    (a.get("on", -1), a.get("left_on", -1), a.get("right_on", -1)) match {
+      case (Some(on), _, _) => left.join(right, asStrList(on), how)
+      case (None, Some(lo), Some(ro)) =>
+        val loCols = asStrList(lo); val roCols = asStrList(ro)
+        val cond = loCols.zip(roCols).map { case (l, r) => left(l) === right(r) }
+          .reduce(_ && _)
+        left.join(right, cond, how)
+      case _ =>
+        val common = left.columns.toSet.intersect(right.columns.toSet).toSeq.sorted
+        if (common.isEmpty) throw PipelineError("merge: no common columns and no 'on' given")
+        left.join(right, common, how)
+    }
+  }
+
+  // --------------------------------------------------------------- methods
+
+  def callMethod(target: Any, name: String, args: Args): Any = (target, name) match {
+    case (df: DataFrame, _) => dfMethod(df, name, args)
+    case (g: Grouped, _) => groupedMethod(g, name, args)
+    case (BoundMethod(t, n1), n2) => callMethod(callMethod(t, n1, Args()), n2, args)
+    case (other, n) =>
+      throw PipelineError(s"No method '$n' on value of type ${tn(other)}")
+  }
+
+  private def groupByImpl(df: DataFrame, by: Any, dropna: Boolean): Grouped = {
+    val items: List[Any] = by match {
+      case l: List[_] => l
+      case one => List(one)
+    }
+    val (cols0, names) = items.map {
+      case s: String => (col(s), s)
+      case g: GrouperSpec => (g.toColumn, g.key)
+      case other => throw PipelineError(s"groupby: unsupported key ${tn(other)}")
+    }.unzip
+    // pandas drops null group keys by default (dropna=True)
+    val base = if (dropna) df.filter(cols0.map(_.isNotNull).reduce(_ && _)) else df
+    Grouped(base, cols0, names)
+  }
+
+  private def dfMethod(df: DataFrame, name: String, a: Args): Any = name match {
+    case "groupby" =>
+      groupByImpl(df, a.require("by", 0),
+        a.get("dropna", -1).map(asBool(_, true)).getOrElse(true))
+    case "filter" | "query" =>
+      df.filter(asStr(a.require("expr", 0), "filter expr"))
+    case "assign" =>
+      a.kw.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(asStr(e, "assign expr"))) }
+    case "withColumn" =>
+      df.withColumn(asStr(a.require("name", 0), "name"), expr(asStr(a.require("expr", 1), "expr")))
+    case "select" =>
+      df.select(asStrList(a.require("columns", 0)).map(col): _*)
+    case "__getitem__" => a.require("key", 0) match {
+      case l: List[_] => df.select(l.map(asStr(_, "column")).map(col): _*)
+      case s: String => df.select(col(s))
+      case other => throw PipelineError(s"df[...]: unsupported key ${tn(other)}")
+    }
+    case "drop" =>
+      df.drop(asStrList(a.get("columns", 0).orElse(a.get("labels", -1))
+        .getOrElse(throw PipelineError("drop: missing columns"))): _*)
+    case "rename" =>
+      a.require("columns", 0) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].foldLeft(df) {
+          case (d, (from, to)) => d.withColumnRenamed(from, asStr(to, "rename target"))
+        }
+        case other => throw PipelineError(s"rename expects a dict, got ${tn(other)}")
+      }
+    case "astype" =>
+      a.require("dtype", 0) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].foldLeft(df) {
+          case (d, (c, t)) => d.withColumn(c, col(c).cast(sparkType(asStr(t, "dtype"))))
+        }
+        case other => throw PipelineError(s"astype expects a dict, got ${tn(other)}")
+      }
+    case "sort_values" =>
+      val by = asStrList(a.require("by", 0))
+      val asc: List[Boolean] = a.get("ascending", -1) match {
+        case Some(b: Boolean) => List.fill(by.size)(b)
+        case Some(l: List[_]) => l.map(asBool(_, true))
+        case _ => List.fill(by.size)(true)
+      }
+      df.orderBy(by.zip(asc).map { case (c, up) => if (up) col(c).asc else col(c).desc }: _*)
+    case "head" => df.limit(a.get("n", 0).map(asInt(_, "n")).getOrElse(5))
+    case "limit" => df.limit(asInt(a.require("n", 0), "n"))
+    case "drop_duplicates" => a.get("subset", 0) match {
+      case Some(s) => df.dropDuplicates(asStrList(s))
+      case None => df.dropDuplicates()
+    }
+    case "dropna" => a.get("subset", -1) match {
+      case Some(s) => df.na.drop(asStrList(s))
+      case None => df.na.drop()
+    }
+    case "fillna" => a.require("value", 0) match {
+      case m: Map[_, _] => df.na.fill(m.asInstanceOf[Map[String, Any]])
+      case v: Long => df.na.fill(v)
+      case v: Double => df.na.fill(v)
+      case v: String => df.na.fill(v)
+      case other => throw PipelineError(s"fillna: unsupported value ${tn(other)}")
+    }
+    case "merge" | "join" => mergeImpl(df, a, rightPos = 0)
+    case "concat" | "unionByName" =>
+      df.unionByName(asDf(a.require("other", 0), "concat"), allowMissingColumns = true)
+    case "pivot_table" =>
+      val index = asStrList(a.require("index", -1))
+      val columns = asStr(a.require("columns", -1), "columns")
+      val values = asStr(a.require("values", -1), "values")
+      val aggfunc = a.get("aggfunc", -1).map(asStr(_, "aggfunc")).getOrElse("mean")
+      val fn = aggFns.getOrElse(aggfunc, throw PipelineError(s"Unknown aggfunc '$aggfunc'"))
+      df.groupBy(index.map(col): _*).pivot(columns).agg(fn(col(values)))
+    case "count" => df.count()
+    case "cache" | "persist" => df.persist()
+    case "createOrReplaceTempView" | "create_view" =>
+      df.createOrReplaceTempView(asStr(a.require("name", 0), "name")); df
+    case "repartition" => df.repartition(asInt(a.require("n", 0), "n"))
+    case "coalesce" => df.coalesce(asInt(a.require("n", 0), "n"))
+    case "explain" => df.explain("formatted"); df
+    case "to_csv" =>
+      val path = asStr(a.require("path_or_buf", 0), "path")
+      Sinks.writeSingleCsv(df, path); path
+    case "to_parquet" =>
+      val path = asStr(a.require("path", 0), "path")
+      df.write.mode("overwrite").parquet(path); path
+    case "to_json" =>
+      val path = asStr(a.require("path_or_buf", 0), "path")
+      df.write.mode("overwrite").json(path); path
+    case "to_sql" =>
+      val table = asStr(a.require("name", 0), "name")
+      val mode = a.get("if_exists", -1).map(asStr(_, "if_exists")).getOrElse("fail") match {
+        case "replace" => "overwrite"
+        case "append" => "append"
+        case _ => "errorifexists"
+      }
+      a.require("con", 1) match {
+        case c: JdbcConn =>
+          val w = df.write.format("jdbc").option("url", c.url).option("dbtable", table).mode(mode)
+          c.props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+          table
+        case other => throw PipelineError(s"to_sql con must be a connection, got ${tn(other)}")
+      }
+    case agg if aggFns.contains(agg) =>
+      // pandas df.max() etc: aggregate every numeric column
+      val numeric = df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType])
+      df.agg(aggFns(agg)(col(numeric.head.name)).as(numeric.head.name),
+        numeric.tail.map(f => aggFns(agg)(col(f.name)).as(f.name)).toSeq: _*)
+    case other =>
+      throw PipelineError(s"Unknown DataFrame method '$other'")
+  }
+
+  private def groupedMethod(g: Grouped, name: String, a: Args): Any = name match {
+    case "agg" =>
+      val gd = g.df.groupBy(g.keyCols: _*)
+      a.require("func", 0) match {
+        case m: Map[_, _] =>
+          val aggs = m.asInstanceOf[Map[String, Any]].toList.flatMap {
+            case (c, fn: String) => List(aggFns(fn)(col(c)).as(c))
+            case (c, fns: List[_]) => fns.map(f =>
+              aggFns(asStr(f, "agg fn"))(col(c)).as(s"${c}_${f}"))
+            case (c, other) => throw PipelineError(s"agg: unsupported spec ${tn(other)}")
+          }
+          gd.agg(aggs.head, aggs.tail: _*)
+        case fn: String => aggAll(g, fn)
+        case other => throw PipelineError(s"agg: unsupported arg ${tn(other)}")
+      }
+    case fn if aggFns.contains(fn) => aggAll(g, fn)
+    case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
+    case other => throw PipelineError(s"Unknown groupby method '$other'")
+  }
+
+  /** Bare groupby().fn(): aggregate every non-key column, keep names (pandas
+    * semantics). Non-numeric columns participate for min/max/first/last/
+    * count/nunique; numeric-only for the arithmetic aggregates.
+    */
+  private def aggAll(g: Grouped, fn: String): DataFrame = {
+    val f = aggFns.getOrElse(fn, throw PipelineError(s"Unknown aggregate '$fn'"))
+    val numericOnly = Set("sum", "mean", "avg", "std", "var", "median")
+    val cols = g.df.schema.fields
+      .filterNot(fld => g.keyNames.contains(fld.name))
+      .filter(fld => !numericOnly.contains(fn) || fld.dataType.isInstanceOf[NumericType])
+    if (cols.isEmpty) throw PipelineError(s"groupby.$fn: no applicable columns")
+    g.df.groupBy(g.keyCols: _*)
+      .agg(f(col(cols.head.name)).as(cols.head.name),
+        cols.tail.map(c => f(col(c.name)).as(c.name)).toSeq: _*)
+  }
+}
+
+/** User extension point (SURVEY.md §7.5): the reference's preFlight-defined
+  * Python step functions (etl.py:178; test_etl.py:146-180) become COMPILED
+  * registered functions — implement a function, register it by name, call it
+  * from YAML. Never runtime code injection.
+  */
+object Registry {
+  private val extras = scala.collection.concurrent.TrieMap[String, Args => Any]()
+  def register(name: String, fn: Args => Any): Unit = extras(name) = fn
+  def unregister(name: String): Unit = extras.remove(name)
+  private[ops] def extension(name: String): Option[Args => Any] = extras.get(name)
+  private[ops] def hasPrefix(name: String): Boolean =
+    extras.keysIterator.exists(_.startsWith(name + "."))
+}
+
+/** Sink helpers. */
+object Sinks {
+  /** pandas-style single-file CSV (reference df.to_csv writes ONE file):
+    * write a temp dir via Spark then move the part file. Only for explicit
+    * to_csv sinks — checkpoints use parquet (SURVEY.md §7.4).
+    */
+  def writeSingleCsv(df: DataFrame, path: String): Unit = {
+    import java.nio.file._
+    val tmp = path + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val dir = Paths.get(tmp)
+    val part = Files.list(dir).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => PipelineError(s"No part file written under $tmp"))
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir
+    Files.list(dir).forEach(p => Files.deleteIfExists(p))
+    Files.deleteIfExists(dir)
+  }
+}

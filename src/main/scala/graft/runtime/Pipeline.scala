@@ -1,0 +1,223 @@
+package graft.runtime
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.{CV, Merge, PipelineError, Yaml}
+import graft.core.{StepGraph, StepSpec}
+import graft.expr.{Args, BoundMethod, ExprContext, FuncRef, Interp, Interpolate, Parser}
+import graft.ops.{JdbcConn, Registry}
+
+/** The pipeline engine — the re-implementation of the part the reference
+  * actually owns (Pipeline.__init__ + _Steps.run, pandas_etl/etl.py:109-203,
+  * 572-617), Spark-first:
+  *
+  *   - step outputs are LAZY DataFrames; Catalyst fuses whole step chains
+  *     into one optimized plan, actions fire only at sinks/checkpoints
+  *     (the single biggest win over the eager reference, SURVEY.md §4);
+  *   - the wave scheduler becomes per-step Futures gated on dependency
+  *     completion — strictly more parallel than the reference's barrier;
+  *   - a step output consumed by >1 dependent is auto-persisted (the
+  *     reference gets reuse implicitly from eager materialization);
+  *   - checkpoint/resume (saveProgress/resumeFromSaved, etl.py:596-604)
+  *     round-trips parquet (lossless) instead of CSV (lossy) — documented
+  *     divergence; .csv checkpoints are still honored for parity;
+  *   - preFlight is narrowed to SQL statements run via spark.sql (temp
+  *     views, SQL UDF registration) — never arbitrary code (SURVEY.md §7.4).
+  */
+final class Pipeline(
+    val spark: SparkSession,
+    yamlData: String,
+    cliVariables: Map[String, String] = Map.empty,
+    cliImports: List[String] = Nil) {
+
+  val registry = new Registry(spark)
+
+  // ---- 1. load + merge + imports (etl.py:124-159) -------------------------
+  private val raw: CV.MV = {
+    val text =
+      if (yamlData.linesIterator.size == 1 && Files.exists(Paths.get(yamlData)))
+        Files.readString(Paths.get(yamlData))
+      else yamlData
+    Yaml.parseMap(text)
+  }
+
+  private val withCliImports: CV.MV =
+    if (cliImports.isEmpty) raw
+    else Merge.merge(
+      if (raw.contains("imports")) raw else raw.updated("imports", CV.LV(Nil)),
+      CV.MV(Vector("imports" -> CV.LV(cliImports.map(CV.SV)))))
+
+  private val resolved: CV.MV = Merge.resolveImports(withCliImports)
+
+  val spec: CV.MV =
+    if (cliVariables.isEmpty) resolved
+    else Merge.merge(
+      if (resolved.contains("variables")) resolved
+      else resolved.updated("variables", CV.MV.empty),
+      CV.MV(Vector("variables" -> CV.MV(
+        cliVariables.toVector.map { case (k, v) => k -> CV.SV(v) }))))
+
+  // ---- 2. variables (etl.py:169-175) --------------------------------------
+  val variables: Map[String, Any] = spec.get("variables") match {
+    case Some(m: CV.MV) => m.v.map { case (k, v) => k -> CV.toScala(v) }.toMap
+    case _ => Map.empty
+  }
+
+  // ---- expression context --------------------------------------------------
+  private val outputs = TrieMap[String, Any]()
+
+  private object Ctx extends ExprContext {
+    def variable(name: String): Any = variables.getOrElse(name,
+      throw PipelineError(s"Variable 'var.$name' is not defined"))
+    def connection(name: String): Any = connections.getOrElse(name,
+      throw PipelineError(s"Connection 'conn.$name' is not defined"))
+    def stepOutput(name: String): Any = outputs.getOrElse(name,
+      throw PipelineError(s"Output of steps['$name'] is not available"))
+    def isNamespace(name: String): Boolean = registry.isNamespaceOrFunction(name)
+    def callFunction(path: String, args: Args): Any = registry.callFunction(path, args)
+    def callMethod(target: Any, name: String, args: Args): Any =
+      registry.callMethod(target, name, args)
+  }
+
+  // ---- 3. preFlight (narrowed; etl.py:178) --------------------------------
+  spec.get("preFlight") match {
+    case Some(m: CV.MV) => m.get("script") match {
+      case Some(CV.SV(script)) =>
+        script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+          spark.sql(Interpolate(stmt, Ctx).toString)
+        }
+      case _ => ()
+    }
+    case _ => ()
+  }
+
+  // ---- 4. connections (etl.py:181-189, eager like the reference) ----------
+  val connections: Map[String, JdbcConn] = spec.get("connections") match {
+    case Some(m: CV.MV) => m.v.map {
+      case (name, CV.SV(url)) =>
+        name -> JdbcConn.fromUrl(Interpolate(url, Ctx).toString)
+      case (name, mm: CV.MV) =>
+        val kw = mm.v.map { case (k, v) =>
+          k -> Interpolate(CV.toScala(v), Ctx).toString
+        }.toMap
+        val url = kw.getOrElse("url", throw PipelineError(
+          s"Connection '$name': map form requires 'url'"))
+        name -> JdbcConn(JdbcConn.fromUrl(url).url, kw - "url" ++
+          JdbcConn.fromUrl(url).props)
+      case (name, other) => throw PipelineError(
+        s"Connection '$name' must be a string or map, got ${other.typeName}")
+    }.toMap
+    case _ => Map.empty
+  }
+
+  // ---- 5. steps (etl.py:192) ----------------------------------------------
+  val graph: StepGraph = spec.get("steps") match {
+    case Some(CV.LV(items)) => StepGraph.build(items)
+    case None | Some(CV.NullV) => StepGraph.build(Nil)
+    case Some(other) => throw PipelineError(s"'steps' must be a list, got ${other.typeName}")
+  }
+
+  /** Names of steps that were skipped via checkpoint resume in the last run
+    * (observable recovery behavior, tested like test_etl.py:288-303).
+    */
+  @volatile var resumedSteps: Set[String] = Set.empty
+
+  // ---- execution -----------------------------------------------------------
+
+  private def checkpointPath(step: StepSpec): Option[String] =
+    Option(step.saveProgress).filter(_.nonEmpty)
+      .map(p => Interpolate(p, Ctx).toString)
+
+  private def readCheckpoint(path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else spark.read.parquet(path)
+
+  private def writeCheckpoint(df: DataFrame, path: String): Unit =
+    if (path.endsWith(".csv")) graft.ops.Sinks.writeSingleCsv(df, path)
+    else df.write.mode("overwrite").parquet(path)
+
+  private def execStep(step: StepSpec): Any = {
+    val ckpt = checkpointPath(step)
+    val resumed = step.resumeFromSaved && ckpt.exists(p => Files.exists(Paths.get(p)))
+    val out: Any =
+      if (resumed) {
+        resumedSteps += step.name
+        readCheckpoint(ckpt.get)
+      } else {
+        // resolve the function (etl.py:541-543): interpolation may already
+        // yield a callable (whole-string ${steps['x'].output.m}); a plain
+        // string is parsed as a safe expression instead of eval'd.
+        val fnValue = Interpolate(step.function, Ctx) match {
+          case s: String => Interp.eval(Parser.parse(s), Ctx)
+          case other => other
+        }
+        val argsValue = Interpolate(step.args, Ctx)
+        val args = argsValue match {
+          case m: Map[_, _] =>
+            Args(kw = m.asInstanceOf[Map[String, Any]].toList)
+          case l: List[_] => Args(pos = l)
+          case null => Args()
+          case single => Args(pos = List(single))
+        }
+        val result = fnValue match {
+          case FuncRef(path) => registry.callFunction(path, args)
+          case BoundMethod(t, n) => registry.callMethod(t, n, args)
+          case other => throw PipelineError(
+            s"Step '${step.name}': function did not resolve to a callable " +
+              s"(got ${if (other == null) "None" else other.getClass.getSimpleName})")
+        }
+        (result, ckpt) match {
+          case (df: DataFrame, Some(p)) if !resumed => writeCheckpoint(df, p)
+          case _ => ()
+        }
+        result
+      }
+    // auto-persist outputs consumed by more than one dependent — lazy Spark
+    // would otherwise recompute the whole lineage per dependent (SURVEY §4).
+    val persisted = out match {
+      case df: DataFrame if graph.outDegree(step.name) > 1 =>
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      case other => other
+    }
+    outputs(step.name) = persisted
+    persisted
+  }
+
+  /** Run all steps; dependency-gated futures (generalizes the reference's
+    * wave barrier, etl.py:572-617). Returns every step's output.
+    */
+  def run()(implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Any] = {
+    resumedSteps = Set.empty
+    val futures = scala.collection.mutable.Map[String, Future[Any]]()
+    for (name <- graph.topoOrder) {
+      val deps = graph.depsOf(name).toList.map(futures)
+      futures(name) = Future.sequence(deps).map(_ => execStep(graph.byName(name)))
+    }
+    Await.result(Future.sequence(futures.values.toList), Duration.Inf)
+    outputs.toMap
+  }
+
+  def output(name: String): Any = outputs.getOrElse(name,
+    throw PipelineError(s"No output for step '$name' (did the pipeline run?)"))
+}
+
+object Pipeline {
+  /** Reference parse_command_line_variables (etl.py:14-37): strict
+    * name=value pairs.
+    */
+  def parseCliVariables(vars: Seq[String]): Map[String, String] =
+    vars.map { v =>
+      val parts = v.split("=")
+      if (parts.length != 2)
+        throw PipelineError(
+          s"Invalid command line for variable '$v' Expected format as varName=varValue")
+      parts(0).trim -> parts(1).trim
+    }.toMap
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming step support (north star — the reference has no
+  * streaming; SURVEY.md §2.C "Streaming"). All built-in operators:
+  * readStream -> watermark -> windowed/sessionized aggregation ->
+  * writeStream; stateful dedup via dropDuplicatesWithinWatermark.
+  */
+object Streams {
+
+  /** Stream a DIRECTORY of events parquet part files (FileStreamSource
+    * requires a directory — new files appearing in it become micro-batches).
+    * Handles the TIMESTAMP(NANOS) ts column the same way the batch reader
+    * does: nanos long -> us timestamp.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema.fieldNames.contains("ts") &&
+        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling/sliding window counts with a watermark for late data. */
+  def windowedAgg(events: DataFrame, windowDur: String, slide: Option[String] = None,
+                  watermark: String = "1 hour"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None => window(col("ts"), windowDur)
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(w, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows keyed by user (gap-based). */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Stateful streaming dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Drive a streaming frame to a memory sink synchronously (test/dev
+    * harness): processes everything available, then stops.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke gate mirroring the driver's t1: every declared query runs on
+  * sf0.001 and returns rows; entry() is non-empty. (Value-level correctness
+  * is the driver's DuckDB oracle + tools/check.py.)
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, TestSpark.sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

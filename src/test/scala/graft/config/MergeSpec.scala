@@ -1,0 +1,133 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import CV._
+
+/** Merge semantics parity with the reference (etl.py:224-299; asserted in
+  * test_etl.py:41-113, 222-240).
+  */
+class MergeSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def m(kvs: (String, CV)*): MV = MV(kvs.toVector)
+
+  test("scalar values are replaced by the imported value (CLI override wins)") {
+    val main = m("variables" -> m("host" -> SV("localhost"), "port" -> IV(5432)))
+    val imp = m("variables" -> m("host" -> SV("db.example.com")))
+    val out = Merge.merge(main, imp)
+    assert(out.get("variables").get.asInstanceOf[MV].get("host").contains(SV("db.example.com")))
+    assert(out.get("variables").get.asInstanceOf[MV].get("port").contains(IV(5432)))
+  }
+
+  test("imported list items are PREPENDED (imported steps run first)") {
+    val main = m("steps" -> LV(List(SV("a"), SV("b"))))
+    val imp = m("steps" -> LV(List(SV("x"), SV("y"))))
+    val out = Merge.merge(main, imp)
+    assert(out.get("steps").contains(LV(List(SV("x"), SV("y"), SV("a"), SV("b")))))
+  }
+
+  test("new keys from the import are appended") {
+    val out = Merge.merge(m("a" -> IV(1)), m("b" -> IV(2)))
+    assert(out.keys == Seq("a", "b"))
+    assert(out.get("b").contains(IV(2)))
+  }
+
+  test("type mismatch raises (reference ValueError, test_etl.py:222-240)") {
+    val e = intercept[PipelineError] {
+      Merge.merge(m("variables" -> m("port" -> IV(5432))),
+        m("variables" -> m("port" -> SV("not-a-number"))))
+    }
+    assert(e.getMessage.contains("Type mismatch"))
+    assert(e.getMessage.contains("port"))
+  }
+
+  test("imported null is skipped, main value kept") {
+    val out = Merge.merge(m("x" -> IV(7)), m("x" -> NullV))
+    assert(out.get("x").contains(IV(7)))
+  }
+
+  test("multiline strings prepend with provenance comments") {
+    val main = m("preFlight" -> m("script" -> SV("line1\nline2")))
+    val imp = m("preFlight" -> m("script" -> SV("imported")))
+    val out = Merge.merge(main, imp, Some("base.yaml"))
+    val got = out.get("preFlight").get.asInstanceOf[MV].get("script").get.asInstanceOf[SV].v
+    assert(got ==
+      "# Below imported from: base.yaml\nimported\n# Above imported from: base.yaml\nline1\nline2")
+  }
+
+  test("dicts merge recursively; variables become the union (test_etl.py:91-113)") {
+    val main = m("variables" -> m("server" -> SV("s"), "database" -> SV("d")))
+    val imp = m("variables" -> m("username" -> SV("u"), "password" -> SV("p")))
+    val out = Merge.merge(main, imp).get("variables").get.asInstanceOf[MV]
+    assert(out.keys.toSet == Set("server", "database", "username", "password"))
+  }
+
+  // value type is a pure function of the key, so two generated docs are
+  // always type-compatible on shared keys (mismatches are tested separately)
+  private def scalarGenFor(key: String): Gen[CV] = (key.hashCode & 3) match {
+    case 0 => Gen.alphaNumStr.map(SV)
+    case 1 => Gen.chooseNum(-100L, 100L).map(IV)
+    case 2 => Gen.chooseNum(-10.0, 10.0).map(DV)
+    case _ => Gen.oneOf(true, false).map(BV)
+  }
+  private val mvGen: Gen[MV] = Gen.mapOf(
+    Gen.identifier.flatMap(k => scalarGenFor(k).map(k -> _)))
+    .map(mm => MV(mm.toVector))
+
+  test("property: merge with empty import is identity") {
+    check(Prop.forAll(mvGen) { mv => Merge.merge(mv, MV.empty) == mv })
+  }
+
+  test("property: merging a doc into itself is identity for scalar docs") {
+    check(Prop.forAll(mvGen) { mv => Merge.merge(mv, mv) == mv })
+  }
+
+  test("property: result keys = main keys ++ new import keys, in order") {
+    check(Prop.forAll(mvGen, mvGen) { (a, b) =>
+      val out = Merge.merge(a, b)
+      out.keys == a.keys ++ b.keys.filterNot(a.keys.contains)
+    })
+  }
+
+  test("import resolution: missing file raises") {
+    val doc = m("imports" -> LV(List(SV("/nonexistent/nope.yaml"))))
+    val e = intercept[PipelineError](Merge.resolveImports(doc))
+    assert(e.getMessage.contains("No such file"))
+  }
+
+  test("import resolution: wrong extension raises") {
+    val tmp = java.nio.file.Files.createTempFile("imp", ".json")
+    val doc = m("imports" -> LV(List(SV(tmp.toString))))
+    val e = intercept[PipelineError](Merge.resolveImports(doc))
+    assert(e.getMessage.contains("Wrong file extension"))
+  }
+
+  test("import cycle detected (reference would loop forever — fixed here)") {
+    val dir = java.nio.file.Files.createTempDirectory("cyc")
+    val a = dir.resolve("a.yaml"); val b = dir.resolve("b.yaml")
+    java.nio.file.Files.writeString(a, s"imports:\n  - $b\nx: 1\n")
+    java.nio.file.Files.writeString(b, s"imports:\n  - $a\ny: 2\n")
+    val e = intercept[PipelineError](
+      Merge.resolveImports(Yaml.parseMap(java.nio.file.Files.readString(a))))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("nested imports resolve depth-first then merge") {
+    val dir = java.nio.file.Files.createTempDirectory("nest")
+    val leaf = dir.resolve("leaf.yaml"); val mid = dir.resolve("mid.yaml")
+    java.nio.file.Files.writeString(leaf, "variables:\n  a: leaf\n  b: leaf\n")
+    java.nio.file.Files.writeString(mid, s"imports:\n  - $leaf\nvariables:\n  b: mid\n  c: mid\n")
+    val main = Yaml.parseMap(s"imports:\n  - $mid\nvariables:\n  c: main\n")
+    val out = Merge.resolveImports(main).get("variables").get.asInstanceOf[MV]
+    // the imported side always wins scalars (etl.py:289-292): leaf's b
+    // replaces mid's, then mid's merged doc replaces main's c.
+    assert(out.get("a").contains(SV("leaf")))
+    assert(out.get("b").contains(SV("leaf")))
+    assert(out.get("c").contains(SV("mid")))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{PipelineError, Yaml, CV}
+
+class StepGraphSpec extends AnyFunSuite {
+
+  private def steps(yaml: String): List[CV] =
+    Yaml.parseMap(yaml).get("steps").get.asInstanceOf[CV.LV].v
+
+  test("shorthand single-key step expands to name/function/args (etl.py:515-522)") {
+    val g = StepGraph.build(steps(
+      """steps:
+        |  - pd.read_csv:
+        |      filepath_or_buffer: /tmp/x.csv
+        |""".stripMargin))
+    val s = g.steps.head
+    assert(s.name == "pd.read_csv")
+    assert(s.function == "pd.read_csv")
+    assert(s.args.asInstanceOf[Map[String, Any]]("filepath_or_buffer") == "/tmp/x.csv")
+    assert(s.resumeFromSaved); assert(s.saveProgress == "")
+  }
+
+  test("chained shorthand names rewrite (pd.read_csv.groupby.max, README.md:119-121)") {
+    val g = StepGraph.build(steps(
+      """steps:
+        |  - pd.read_csv:
+        |      filepath_or_buffer: /tmp/x.csv
+        |  - ${steps['pd.read_csv'].output.groupby}:
+        |      by: AB
+        |  - ${steps['pd.read_csv.groupby'].output.max}:
+        |""".stripMargin))
+    assert(g.steps.map(_.name) == Vector(
+      "pd.read_csv", "pd.read_csv.groupby", "pd.read_csv.groupby.max"))
+    assert(g.depsOf("pd.read_csv.groupby") == Set("pd.read_csv"))
+    assert(g.depsOf("pd.read_csv.groupby.max") == Set("pd.read_csv.groupby"))
+  }
+
+  test("forward reference raises (etl.py:468-473)") {
+    val e = intercept[PipelineError](StepGraph.build(steps(
+      """steps:
+        |  - name: a
+        |    function: fn.one
+        |    args: "${steps['later'].output}"
+        |  - name: later
+        |    function: fn.two
+        |""".stripMargin)))
+    assert(e.getMessage.contains("'later' not found") ||
+      e.getMessage.contains("Step name 'later'"))
+  }
+
+  test("dependencies from dict and list args are tracked") {
+    val g = StepGraph.build(steps(
+      """steps:
+        |  - name: src1
+        |    function: fn.one
+        |  - name: src2
+        |    function: fn.one
+        |  - name: combine
+        |    function: fn.concat
+        |    args:
+        |      objs:
+        |        - ${steps['src1'].output}
+        |        - ${steps['src2'].output}
+        |""".stripMargin))
+    assert(g.depsOf("combine") == Set("src1", "src2"))
+    assert(g.outDegree("src1") == 1)
+  }
+
+  test("topo order respects dependencies; duplicate names rejected") {
+    val g = StepGraph.build(steps(
+      """steps:
+        |  - name: a
+        |    function: fn.one
+        |  - name: b
+        |    function: fn.two
+        |    args: "${steps['a'].output}"
+        |  - name: c
+        |    function: fn.three
+        |    args: "${steps['a'].output}"
+        |""".stripMargin))
+    val order = g.topoOrder
+    assert(order.head == "a")
+    assert(g.outDegree("a") == 2)
+    intercept[PipelineError](StepGraph.build(steps(
+      """steps:
+        |  - name: a
+        |    function: fn.one
+        |  - name: a
+        |    function: fn.two
+        |""".stripMargin)))
+  }
+}

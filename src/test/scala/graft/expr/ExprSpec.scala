@@ -1,0 +1,113 @@
+package graft.expr
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.PipelineError
+
+class ExprSpec extends AnyFunSuite {
+
+  private object Ctx extends ExprContext {
+    val vars = Map[String, Any]("host" -> "localhost", "port" -> 5432L, "rate" -> 1.5)
+    val outs = Map[String, Any]("A" -> 6L, "B" -> 4L, "tbl" -> "a-table")
+    def variable(name: String): Any = vars.getOrElse(name,
+      throw PipelineError(s"Variable 'var.$name' is not defined"))
+    def connection(name: String): Any = s"conn:$name"
+    def stepOutput(name: String): Any = outs.getOrElse(name,
+      throw PipelineError(s"steps['$name'] unavailable"))
+    def isNamespace(name: String): Boolean = Set("pd", "fn").contains(name)
+    def callFunction(path: String, args: Args): Any = path match {
+      case "fn.add" => args.pos.map(_.asInstanceOf[Long]).sum
+      case other => throw PipelineError(s"Unknown function '$other'")
+    }
+    def callMethod(target: Any, name: String, args: Args): Any =
+      s"$target.$name(${args.pos.mkString(",")})"
+  }
+
+  private def ev(s: String): Any = Interp.eval(Parser.parse(s), Ctx)
+
+  test("literals and arithmetic (python-ish semantics)") {
+    assert(ev("1 + 2 * 3") == 7L)
+    assert(ev("(1 + 2) * 3") == 9L)
+    assert(ev("7 / 2") == 3.5) // python3 true division
+    assert(ev("7 // 2") == 3L)
+    assert(ev("-5 % 3") == 1L) // python floor mod
+    assert(ev("'a' + 'b'") == "ab")
+    assert(ev("1.5 * 2") == 3.0)
+    assert(ev("True and False") == false)
+    assert(ev("not False") == true)
+    assert(ev("1 < 2") == true)
+    assert(ev("[1, 2] + [3]") == List(1L, 2L, 3L))
+  }
+
+  test("var/conn/steps references") {
+    assert(ev("var.host") == "localhost")
+    assert(ev("var.port + 1") == 5433L)
+    assert(ev("conn.mydb") == "conn:mydb")
+    assert(ev("steps['A'].output") == 6L)
+    assert(ev("steps[\"A\"].output + steps['B'].output") == 10L)
+  }
+
+  test("unknown variable raises (reference AttributeError, test_etl.py:77-88)") {
+    val e = intercept[PipelineError](ev("var.nope"))
+    assert(e.getMessage.contains("var.nope"))
+  }
+
+  test("unknown bare name raises, not evals") {
+    intercept[PipelineError](ev("__import__"))
+    intercept[PipelineError](ev("open('/etc/passwd')"))
+  }
+
+  test("function calls: positional and named args") {
+    assert(ev("fn.add(1, 2, 3)") == 6L)
+    val e = intercept[PipelineError](ev("fn.add(x=1, 2)"))
+    assert(e.getMessage.contains("Positional arg after named"))
+  }
+
+  test("method on step output resolves through the registry") {
+    assert(ev("steps['tbl'].output.upper()") == "a-table.upper()")
+  }
+
+  private def interp(v: Any): Any = Interpolate(v, Ctx)
+
+  test("whole-string ${} returns the object, not a string (etl.py:63-71)") {
+    assert(interp("${steps['A'].output}") == 6L)
+    assert(interp("${var.port}") == 5432L)
+  }
+
+  test("embedded ${} splices str(value) (etl.py:71-77)") {
+    assert(interp("host=${var.host}:${var.port}") == "host=localhost:5432")
+    assert(interp("${steps['A'].output} items") == "6 items")
+  }
+
+  test("interpolation recurses into dicts and lists (etl.py:85-93)") {
+    assert(interp(Map("a" -> "${var.port}", "b" -> List("${var.host}", "x")))
+      == Map("a" -> 5432L, "b" -> List("localhost", "x")))
+  }
+
+  test("nested interpolation re-scans (etl.py:80-81)") {
+    // value itself contains ${}: one more round resolves it
+    object C2 extends ExprContext {
+      def variable(name: String): Any =
+        if (name == "outer") "${var.inner}" else if (name == "inner") "done" else ???
+      def connection(name: String): Any = ???
+      def stepOutput(name: String): Any = ???
+      def isNamespace(name: String): Boolean = false
+      def callFunction(path: String, args: Args): Any = ???
+      def callMethod(target: Any, name: String, args: Args): Any = ???
+    }
+    assert(Interpolate("x ${var.outer} y", C2) == "x done y")
+  }
+
+  test("stringify matches python str() for the common cases") {
+    assert(Interp.stringify(true) == "True")
+    assert(Interp.stringify(null) == "None")
+    assert(Interp.stringify(3.0) == "3.0")
+    assert(Interp.stringify(List(1L, "a")) == "[1, 'a']")
+  }
+
+  test("cli variable parsing: malformed a=b=c raises (etl.py:29-33)") {
+    import graft.runtime.Pipeline
+    assert(Pipeline.parseCliVariables(Seq("a=b", " c = d ")) == Map("a" -> "b", "c" -> "d"))
+    val e = intercept[PipelineError](Pipeline.parseCliVariables(Seq("a=b=c")))
+    assert(e.getMessage.contains("Invalid command line"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, ts("2024-01-01 10:00:05"), "t1"),
+    (1L, ts("2024-01-01 10:00:30"), "t2"),
+    (2L, ts("2024-01-01 10:00:10"), "t3")
+  ).toDF("sym", "t", "trade_id")
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:00:05"), 101.0), // exactly simultaneous with t1
+    (1L, ts("2024-01-01 10:00:20"), 102.0),
+    (2L, ts("2024-01-01 10:01:00"), 200.0) // after t3
+  ).toDF("sym", "t", "px")
+
+  test("backward asof: latest right at-or-before, ties included") {
+    val out = AsOfJoin.backward(
+      trades, col("t"), col("sym"), quotes, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")))
+      .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("t1") == 101.0) // equal timestamp matches
+    assert(out("t2") == 102.0)
+    assert(out("t3") == null)  // quote is after the trade
+  }
+
+  test("forward asof: earliest right at-or-after") {
+    val out = AsOfJoin.forward(
+      trades, col("t"), col("sym"), quotes, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")))
+      .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("t1") == 101.0)
+    assert(out("t2") == null) // no quote after 10:00:30 for sym 1... except none
+    assert(out("t3") == 200.0)
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.backward(
+      trades, col("t"), col("sym"), quotes, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")), toleranceUs = Some(5 * 1000000L))
+      .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("t1") == 101.0) // 0s away
+    assert(out("t2") == null)  // 10s away > 5s tolerance
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+    (3L, "  The Quick  Brown fox jumps over the lazy dog "),    // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"),      // near dup (1 word)
+    (5L, "completely different text about spark and catalyst engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("rep_id").collect() // columns: fp, rep_id, n_copies
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L, 5L))
+    assert(out.head.getLong(2) == 3L) // 1,2,3 collapse to rep 1
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 4L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash estimate tracks exact jaccard for identical and disjoint docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = 32,
+      bands = 8, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical docs: every minhash agrees
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, others far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 4L)).forall(_ <= 16))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("brute-force topk: k neighbors per query, scores sorted, no self") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(queries, emb, k = 4).collect()
+    assert(out.length == 12)
+    val byQ = out.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))), s"query $q not sorted")
+      assert(!rows.exists(_.getLong(1) == q), "self excluded")
+    }
+  }
+
+  test("LSH ANN recall@10 >= 0.4 vs brute force (bucketed candidates only)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall $mean too low")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decodeBatch: typed metadata from binary, distributed, deterministic") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("content"))
+      .repartition(2) // exercise the per-partition batch path
+    val out = Multimodal.decodeBatch(df, "id", "content").collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).n_bytes == 11)
+    assert(out(1L).width == 64 + 11)
+    assert(out(1L).height == 64 + 'h'.toInt * 4)
+    assert(out(1L).channels == 3 && out(1L).format == "fake/rgb8")
+    assert(out(2L).n_bytes == 0 && out(2L).height == 64)
+  }
+
+  test("binaryFile source reads content as BinaryType") {
+    val dir = java.nio.file.Files.createTempDirectory("bin")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    val df = Multimodal.readBinaryDir(spark, dir.toString, "*.bin")
+    val row = df.select("length", "content").collect()(0)
+    assert(row.getLong(0) == 3L)
+    assert(row.getAs[Array[Byte]](1).sameElements(Array[Byte](1, 2, 3)))
+  }
+}
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.Text
+
+  test("token counts, fingerprint, quality on known strings") {
+    val df = Seq(
+      (1L, "hello world, it is a test!"),
+      (2L, "hello   world, it is a test!"), // extra spaces: same fingerprint
+      (3L, "one-two three4five")
+    ).toDF("id", "text")
+      .select(col("id"),
+        Text.tokenCountWs(col("text")).as("ws"),
+        Text.tokenCountBpe(col("text")).as("bpe"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.stopwordRatio(col("text")).as("swr"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) == 6)
+    assert(rows(3L).getInt(1) == 2)
+    assert(rows(3L).getInt(2) == 6) // one,-,two,three,4,five
+    assert(rows(1L).getString(3) == rows(2L).getString(3), "whitespace-normalized fp")
+    assert(rows(1L).getDouble(4) > 0.0)
+  }
+
+  test("langGuess is deterministic and favors matching markers") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los perros que")
+    ).toDF("id", "text")
+      .select(col("id"), Text.langGuess(col("text")).as("lang"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+}

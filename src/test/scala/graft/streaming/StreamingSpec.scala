@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.queries.Q
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // FileStreamSource wants a directory of part files: stage the fixture.
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  test("windowed streaming agg over events matches the batch equivalent") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    assert(stream.isStreaming)
+    Streams.runToMemory(
+      Streams.windowedAgg(stream, "1 hour"), "stream_counts", outputMode = "complete")
+    val streamed = spark.table("stream_counts")
+      .agg(sum("n")).collect()(0).getLong(0)
+    val batchTotal = Q.t(spark, TestSpark.sfDir, "events").count()
+    assert(streamed == batchTotal,
+      "complete mode emits every window, incl. the one append would hold back")
+  }
+
+  test("session windows produce per-user sessions") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    Streams.runToMemory(Streams.sessionAgg(stream, "30 minutes"), "stream_sessions",
+      outputMode = "complete")
+    val sessions = spark.table("stream_sessions")
+    assert(sessions.count() > 0)
+    val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Q.t(spark, TestSpark.sfDir, "events").count())
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    Streams.runToMemory(
+      Streams.dedupWithinWatermark(stream, Seq("user_id"), "365 days"),
+      "stream_dedup")
+    val users = spark.table("stream_dedup").count()
+    val distinctUsers = Q.t(spark, TestSpark.sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(users == distinctUsers)
+  }
+}
