@@ -1,0 +1,75 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram shingling as a custom Catalyst expression.
+  *
+  * The composed built-in form — transform(sequence(1, size(w)-n+1),
+  * i => concat_ws(" ", element_at(w,i), ...)) — runs the higher-order lambda
+  * interpreter per element: measured 13s for 260k shingles at sf0.1. This
+  * expression does one tight single-pass eval per row (split once, slide a
+  * window, emit UTF8Strings): measured ~0.4s for the same work, no shuffle,
+  * fully map-side — the per-row cost that matters when shingling 100 TB of
+  * documents. Short docs (< n words) emit one whole-text shingle so no doc
+  * silently disappears from the dedup universe.
+  *
+  * (CodegenFallback is fine here: the win was never codegen of the loop, it
+  * was escaping per-element lambda dispatch; one virtual call per ROW is
+  * noise.)
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words0 = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    // drop empty tokens (leading whitespace artifact) — matches \S+ scans
+    var m = 0
+    var i = 0
+    while (i < words0.length) { if (words0(i).nonEmpty) m += 1; i += 1 }
+    val words = if (m == words0.length) words0 else words0.filter(_.nonEmpty)
+    if (words.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(words.mkString(" "))))
+    } else {
+      val count = words.length - n + 1
+      val out = new Array[Any](count)
+      val sb = new java.lang.StringBuilder(n * 12)
+      i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  /** Column wrapper (Spark 4: Column <-> Expression bridging goes through
+    * our in-package ColumnBridge).
+    */
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}

@@ -23,16 +23,15 @@ object Dedup {
       .groupBy(col("__fp").as("fp"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set of a text column (distinct, order-free). Guards
-    * short docs (sequence() would run backwards for size < n).
+  /** Word n-gram shingles of a text column: custom single-pass Catalyst
+    * expression (graft.expressions.WordShingles) — the composed HOF form
+    * cost 13s/260k shingles in the lambda interpreter. May contain repeats;
+    * consumers that need set semantics dedup at row level (cheaper than a
+    * per-row array_distinct), and min-aggregation is repeat-insensitive.
+    * Short docs emit one whole-text shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(text, "\\s+")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
-      .otherwise(array(concat_ws(" ", w)))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles(text, n)
 
   /** Near-duplicate pairs by exact n-gram Jaccard, with shingle-inverted-index
     * candidate generation: explode shingles, self-join on the shingle hash
@@ -43,12 +42,16 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // shingles become 64-bit hashes before the self-join: the equality
+    // shuffle then moves (long, long) pairs instead of n-word strings.
+    // Collision risk at 64 bits is ~(distinct shingles)^2 / 2^64 — harmless.
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -77,11 +80,26 @@ object Dedup {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** Convenience: simhash of a text column (two-step projection inside). */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("__w"))
-      .select(col("id"), transform(col("__w"), w => xxhash64(w)).as("__wh"))
-      .select(col("id"), simhash64FromHashes(col("__wh")).as("sig"))
+  /** Per-doc simhash signatures via explode + ONE codegen'd aggregate pass:
+    * 64 conditional-sum aggregates over exploded word hashes beat 64
+    * interpreted higher-order passes per row by an order of magnitude
+    * (measured 5.2s -> sub-second at sf0.1), and the aggregation is
+    * map-side partial — the shuffle carries one 64-long row per doc.
+    */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    words.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce(_ bitwiseOR _).as("sig"))
+  }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4x16-bit bands,
     * join on (band index, band value) — near-dups agree on >= 1 band whp —
@@ -92,6 +110,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val sigs = df.transform(simhashSigs(_, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -123,12 +142,21 @@ object Dedup {
         (acc, g) => least(acc, xxhash64(g, lit(i))))
     }: _*)
 
-  /** Per-doc minhash signatures (shingling in its own projection step). */
+  /** Per-doc minhash signatures via explode + ONE codegen'd aggregate pass:
+    * k min-aggregates over exploded shingle rows (min is duplicate-
+    * insensitive, so no distinct shuffle is needed). Map-side partial
+    * aggregation means executors emit one k-long row per doc — this is the
+    * shape that survives 100 TB, unlike k interpreted array passes per row
+    * (measured 16.7s -> ~1s at sf0.1).
+    */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
-                  n: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"), shingles(col("__t"), n).as("__sh"))
-      .select(col("id"), minhashFromShingles(col("__sh"), k).as("sig"))
+                  n: Int, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val mins = (0 until k).map(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash LSH near-dup pairs: band the k-length signature into `bands`
     * slices, bucket-join on (band, xxhash64(slice)) — a *scalar* join key,
@@ -141,7 +169,12 @@ object Dedup {
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     val r = k / bands
+    // the signature frame feeds three plan subtrees (banding + both sides of
+    // the candidate re-join); without persist Spark recomputes the shingle
+    // aggregation three times. One row of k longs per doc — tiny even at
+    // billions of docs.
     val sigs = minhashSigs(df, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Generators, unpivot, and the rest of the window family (SURVEY.md §2.C:
+  * rolling/expanding, rank/ntile, time-based rolling via rangeBetween).
+  */
+object Window2 {
+
+  val all: Seq[Q] = Seq(
+
+    // explode (pandas .str.split + explode idiom): token frequencies.
+    Q("q42_explode_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50),
+      Some("""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 50""")),
+
+    // melt/unpivot (pandas melt): one output row per (key, measure).
+    Q("q43_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, value)"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // rolling(7) mean per supplier (pandas rolling): fixed row frame.
+    Q("q44_rolling",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-6, Window.currentRow)
+        t(s, d, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          (sum(col("l_quantity").cast(DecimalType(25, 4))).over(w).cast(DoubleType)
+            / count(lit(1)).over(w)).as("rolling_avg_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS rolling_avg_qty
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // time-based rolling (pandas rolling('1h') / rangeBetween): value sum
+    // over the trailing hour per user, keyed on epoch seconds.
+    Q("q45_range_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"))
+          .rangeBetween(-3599L, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("ts_s", unix_timestamp(col("ts")))
+          .select(col("user_id"), col("event_id"), col("ts_s"),
+            sum(col("value").cast(DecimalType(25, 4))).over(w)
+              .cast(DoubleType).as("hour_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, ts_s,
+          CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER (
+            PARTITION BY user_id ORDER BY ts_s
+            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s, value FROM events)
+        ORDER BY user_id, event_id""")),
+
+    // rank family (pandas rank/qcut idioms): rank, dense_rank, percent_rank,
+    // ntile over customer balances per nation.
+    Q("q46_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer").select(
+          col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).as("quartile"))
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""
+        SELECT c_nationkey, c_custkey,
+          CAST(RANK() OVER w AS INTEGER) AS rnk,
+          CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+          PERCENT_RANK() OVER w AS prnk,
+          CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, c_custkey"""))
+  )
+}

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: stage-by-stage timing for the heavy operators.
+  * Usage: sbt "runMain graft.tools.Profile [sfDir]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[$label] ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val sigs = graft.operators.Dedup.minhashSigs(docs, "doc_id", "text", 3, 32)
+    time("minhash_sigs")(println("  sigs: " + sigs.count))
+    val sh = docs.select(col("doc_id").as("id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h")).distinct()
+    time("shingles_distinct")(println("  sh rows: " + sh.count))
+    val j = sh.as("a").join(sh.as("b"),
+      col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    time("raw_pair_join")(println("  joined rows: " + j.count))
+    val mp = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 32, 8, 0.2)
+    time("minhash_pairs_total")(println("  pairs: " + mp.count))
+    val nj = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+    time("ngram_jaccard_total")(println("  njpairs: " + nj.count))
+    val sp = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 12)
+    time("simhash_pairs_total")(println("  spairs: " + sp.count))
+    spark.stop()
+  }
+}

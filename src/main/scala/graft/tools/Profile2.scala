@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-bisect of the shingle expression cost. */
+object Profile2 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[$label] ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    time("scan_only")(docs.count)
+    time("split_size")(docs.select(size(split(col("text"), "\\s+"))).agg(sum("size(split(text, \\s+, -1))")).collect)
+    val w = split(col("text"), "\\s+")
+    time("explode_words")(docs.select(explode(w)).count)
+    val seqd = sequence(lit(1), size(w) - 2)
+    time("transform_concat")(docs.select(
+      transform(seqd, i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))).as("sh")).select(explode(col("sh"))).count)
+    time("plus_distinct")(docs.select(
+      array_distinct(transform(seqd, i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))).as("sh")).select(explode(col("sh"))).count)
+    time("full_shingles")(docs.select(explode(graft.operators.Dedup.shingles(col("text"), 3))).count)
+    time("full_shingles2")(docs.select(explode(graft.operators.Dedup.shingles(col("text"), 3))).count)
+    // alternative: shingle via posexplode + self-derived ngrams (join-free)
+    val toks = docs.select(col("doc_id"), posexplode(w).as(Seq("i", "tok")))
+    time("posexplode_lead")({
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      toks.select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(byDoc), lead(col("tok"), 2).over(byDoc)).as("g"))
+        .count
+    })
+    spark.stop()
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge. Spark 4 made Column backend-
+  * agnostic (ColumnNode) and gated the classic conversions behind
+  * private[sql] ExpressionUtils; custom Expression libraries bridge from
+  * inside the org.apache.spark.sql package (the same technique used by
+  * public Spark extension projects, e.g. spark-daria / frameless forks).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
