@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers. First choice at runtime is AQE
+  * (spark.sql.adaptive.skewJoin.enabled splits oversized sort-merge
+  * partitions automatically); explicit salting is for the pathological case
+  * where a handful of keys dominate so heavily that even a split partition
+  * of one key exceeds executor memory, or when the join strategy is hash-
+  * based and AQE can't split the build side.
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) left side gets a salt in [0, factor)
+    * derived from a row-local counter; the right side is replicated `factor`
+    * times with every salt value. Join condition becomes (keys, salt) — hot
+    * keys spread over `factor` tasks. Result is row-identical to the
+    * unsalted join (salt values never affect matching, only placement).
+    * Cost: right side scales by `factor` — use for big-x-small joins where
+    * broadcast is impossible (right too large) but skew kills sort-merge.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor > 1, "salt factor must be > 1")
+    val salted = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, on :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation: partial per (keys, salt), final per keys.
+    * NB: for algebraic aggregates Spark's own map-side partial aggregation
+    * already neutralizes key skew — this helper exists for the reduce-side
+    * skew that remains when cardinality-heavy aggregates (collect_list,
+    * exact distinct) pile one key's state into one task.
+    */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[String], distinctCol: String,
+                          factor: Int): DataFrame = {
+    require(factor > 1, "salt factor must be > 1")
+    val keyCols = keys.map(col)
+    // phase 1: dedup (keys, value) within salted groups; phase 2: merge
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(distinctCol)), lit(factor.toLong)))
+    val partial = salted
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(countDistinct(col(distinctCol)).as("__part"))
+    // distinct values land in exactly one salt bucket (salt = f(value)),
+    // so the final count is the SUM of partial distinct counts
+    partial.groupBy(keyCols: _*)
+      .agg(sum(col("__part")).as(s"${distinctCol}_distinct"))
+  }
+}

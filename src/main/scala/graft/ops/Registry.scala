@@ -437,6 +437,35 @@ final class Registry(spark: SparkSession) {
       val fn = aggFns.getOrElse(aggfunc, throw PipelineError(s"Unknown aggfunc '$aggfunc'"))
       df.groupBy(index.map(col): _*).pivot(columns).agg(fn(col(values)))
     case "count" => df.count()
+    case "nunique" => df.distinct().count()
+    case "describe" | "summary" => df.summary()
+    case "value_counts" =>
+      val c = asStr(a.require("column", 0), "column")
+      df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col(c))
+    case "nlargest" =>
+      val n = asInt(a.require("n", 0), "n")
+      val by = asStrList(a.require("columns", 1))
+      df.orderBy(by.map(col(_).desc): _*).limit(n)
+    case "nsmallest" =>
+      val n = asInt(a.require("n", 0), "n")
+      val by = asStrList(a.require("columns", 1))
+      df.orderBy(by.map(col(_).asc): _*).limit(n)
+    case "explode" =>
+      val c = asStr(a.require("column", 0), "column")
+      df.withColumn(c, explode(col(c)))
+    case "melt" =>
+      val idVars = asStrList(a.require("id_vars", -1))
+      val valueVars = asStrList(a.require("value_vars", -1))
+      val stackArgs = valueVars.map(v => s"'$v', `$v`").mkString(", ")
+      df.select(idVars.map(col) :+
+        expr(s"stack(${valueVars.size}, $stackArgs) AS (variable, value)"): _*)
+    case "sample" =>
+      val frac = a.require("frac", 0).toString.toDouble
+      val seed = a.get("random_state", -1).map(asInt(_, "seed").toLong).getOrElse(42L)
+      df.sample(frac, seed)
+    case "intersect" => df.intersect(asDf(a.require("other", 0), "intersect"))
+    case "except" | "difference" => df.except(asDf(a.require("other", 0), "except"))
     case "cache" | "persist" => df.persist()
     case "createOrReplaceTempView" | "create_view" =>
       df.createOrReplaceTempView(asStr(a.require("name", 0), "name")); df
@@ -448,7 +477,12 @@ final class Registry(spark: SparkSession) {
       Sinks.writeSingleCsv(df, path); path
     case "to_parquet" =>
       val path = asStr(a.require("path", 0), "path")
-      df.write.mode("overwrite").parquet(path); path
+      val w = df.write.mode("overwrite")
+      val w2 = a.get("partition_cols", -1) match {
+        case Some(cols) => w.partitionBy(asStrList(cols): _*)
+        case None => w
+      }
+      w2.parquet(path); path
     case "to_json" =>
       val path = asStr(a.require("path_or_buf", 0), "path")
       df.write.mode("overwrite").json(path); path

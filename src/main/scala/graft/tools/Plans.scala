@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for selected queries and
+  * greps for the properties that matter at scale (pushed filters, pruned
+  * schemas, broadcast joins, TakeOrderedAndProject, codegen spans).
+  * Usage: sbt "runMain graft.tools.Plans q02_filter_project ..."
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names) {
+      println(s"\n===== $n =====")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      println(df.queryExecution.executedPlan.treeString.take(8000))
+    }
+    spark.stop()
+  }
+}

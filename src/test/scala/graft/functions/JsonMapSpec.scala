@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.TestSpark
+
+/** Coverage for the JSON-string and MapType families (SURVEY.md §2.C
+  * "map/dict cells" and "JSON strings") beyond the oracle-gated
+  * get_json_object query.
+  */
+class JsonMapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = graft.queries.Q.t(spark, TestSpark.sfDir, "events")
+
+  test("from_json with explicit schema parses props into a struct") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val parsed = events.select(col("event_id"),
+      from_json(col("props"), schema).as("p"))
+      .select(col("event_id"), col("p.k"))
+    assert(parsed.filter(col("k").isNotNull).count() == events.count())
+  }
+
+  test("json_tuple and get_json_object agree") {
+    val both = events.select(
+      get_json_object(col("props"), "$.k").as("a"),
+      json_tuple(col("props"), "k").as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("schema_of_json infers the fixture props shape") {
+    val s = events.select(schema_of_json(lit("""{"k": 42}""")).as("s")).first().getString(0)
+    assert(s.toLowerCase.contains("k"))
+  }
+
+  test("MapType: build, element_at, map_keys, map_values, explode") {
+    val m = events.limit(100).select(col("event_id"),
+      map(lit("type"), col("event_type"), lit("uid"), col("user_id").cast(StringType)).as("m"))
+    assert(m.select(element_at(col("m"), "type")).first().getString(0).nonEmpty)
+    assert(m.select(map_keys(col("m"))).first().getSeq[String](0).toSet == Set("type", "uid"))
+    val exploded = m.select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+    assert(exploded.count() == 200)
+  }
+
+  test("array higher-order functions: transform/filter/aggregate/zip_with") {
+    val arr = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0))).toDF("id", "xs")
+    val out = arr.select(col("id"),
+      transform(col("xs"), x => x * 2).as("doubled"),
+      filter(col("xs"), _ > 1.5).as("gt"),
+      aggregate(col("xs"), lit(0.0), (acc, x) => acc + x).as("total"),
+      zip_with(col("xs"), col("xs"), (a, b) => a * b).as("sq"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getSeq[Double](1) == Seq(2.0, 4.0, 6.0))
+    assert(out(1L).getSeq[Double](2) == Seq(2.0, 3.0))
+    assert(out(1L).getDouble(3) == 6.0)
+    assert(out(2L).getSeq[Double](4) == Seq(16.0, 25.0, 36.0))
+  }
+
+  test("Vectors column builders: cosine of identical vectors is 1") {
+    import graft.functions.Vectors
+    val v = Seq((1L, Seq(1.0f, 2.0f, 2.0f))).toDF("id", "e")
+    val row = v.select(
+      Vectors.dot(col("e"), col("e")).as("d"),
+      Vectors.norm(col("e")).as("n"),
+      Vectors.cosine(col("e"), col("e")).as("c"),
+      Vectors.l2sq(col("e"), col("e")).as("z")).first()
+    assert(row.getDouble(0) == 9.0)
+    assert(row.getDouble(1) == 3.0)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    assert(row.getDouble(3) == 0.0)
+  }
+}
