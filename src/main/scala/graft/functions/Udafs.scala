@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Row-level UDF/UDAF surface (SURVEY.md §2 "UDF/UDAF/UDTF"): typed
+  * Aggregators exposed through functions.udaf, and name-registration so SQL
+  * steps can call them. These are the engine's extension examples — users
+  * add their own via the same two calls.
+  */
+object Udafs {
+
+  /** Geometric mean as a typed Aggregator: buffer = (sum of logs, count).
+    * Partial-aggregates map-side like any builtin (merge is associative).
+    */
+  object GeometricMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      if (x > 0) (b._1 + math.log(x), b._2 + 1) else b
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(
+      Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Mid-range (max+min)/2 — demonstrates a non-algebraic-looking aggregate
+    * that still merges associatively.
+    */
+  object MidRange extends Aggregator[Double, (Double, Double), Double] {
+    def zero: (Double, Double) = (Double.PositiveInfinity, Double.NegativeInfinity)
+    def reduce(b: (Double, Double), x: Double): (Double, Double) =
+      (math.min(b._1, x), math.max(b._2, x))
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (math.min(a._1, b._1), math.max(a._2, b._2))
+    def finish(b: (Double, Double)): Double =
+      if (b._1 > b._2) Double.NaN else (b._1 + b._2) / 2
+    def bufferEncoder: Encoder[(Double, Double)] = Encoders.tuple(
+      Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def geometric_mean(c: Column): Column = udaf(GeometricMean).apply(c)
+  def mid_range(c: Column): Column = udaf(MidRange).apply(c)
+
+  /** Make the UDAFs and a sample scalar UDF callable from SQL steps
+    * (`SELECT graft_geomean(x) ...`). Idempotent.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("graft_geomean", udaf(GeometricMean))
+    spark.udf.register("graft_midrange", udaf(MidRange))
+    spark.udf.register("graft_clip",
+      (x: Double, lo: Double, hi: Double) => math.max(lo, math.min(hi, x)))
+  }
+}

@@ -64,22 +64,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash from a (materialized) word-hash array column: per bit,
-    * majority vote of the hash bit values. IMPORTANT: pass an *attribute*
-    * (a column that is already its own projection step), not an inline
-    * expression — each of the 64 bit votes references it, and an inline
-    * split/transform would be re-evaluated 64x per row (measured 3.4s vs
-    * ~0.2s on 500 docs).
-    */
-  def simhash64FromHashes(hashes: Column): Column = {
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
-
   /** Per-doc simhash signatures via explode + ONE codegen'd aggregate pass:
     * 64 conditional-sum aggregates over exploded word hashes beat 64
     * interpreted higher-order passes per row by an order of magnitude
@@ -128,19 +112,6 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
-
-  /** MinHash from a (materialized) shingle-array column: k independent hash
-    * functions realized as xxhash64(shingle, i) — seeding by tupling avoids
-    * the (a*x+b) overflow ANSI mode rejects, and is just as uniform. As with
-    * simhash, the input must be an attribute: k aggregates reference it, and
-    * an inline shingle expression would be rebuilt k times per row (this was
-    * a measured 66s -> sub-second fix at sf0.001).
-    */
-  def minhashFromShingles(sh: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, g) => least(acc, xxhash64(g, lit(i))))
-    }: _*)
 
   /** Per-doc minhash signatures via explode + ONE codegen'd aggregate pass:
     * k min-aggregates over exploded shingle rows (min is duplicate-

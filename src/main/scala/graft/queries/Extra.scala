@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Theta/range join and the math scalar family (SURVEY.md §2.C rows not yet
+  * gated by an oracle query).
+  */
+object Extra {
+
+  val all: Seq[Q] = Seq(
+
+    // Range (theta) join: orders banded by a tiny dim on a BETWEEN
+    // predicate. Plans as BroadcastNestedLoopJoin — correct for small band
+    // tables; at scale a banded equi-key (floor(price/width)) turns this
+    // into an equi-join, which is what the dedup/similarity ops do.
+    Q("q47_range_join",
+      (s, d) => {
+        val bands = t(s, d, "region").select(
+          col("r_regionkey").as("band"),
+          (col("r_regionkey") * 100000.0).as("lo"),
+          ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+        t(s, d, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("band"))
+      },
+      Some("""
+        SELECT band, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price
+        FROM orders JOIN (
+          SELECT r_regionkey AS band, r_regionkey * 100000.0 AS lo,
+                 (r_regionkey + 1) * 100000.0 AS hi
+          FROM region) bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band""")),
+
+    // Math scalar family: abs/floor/ceil/sqrt are IEEE-exact cross-engine;
+    // ln is rounded (libm implementations may differ in the last ulp).
+    Q("q48_math_funcs",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_v"),
+        floor(col("l_extendedprice")).as("floor_v"),
+        ceil(col("l_extendedprice")).as("ceil_v"),
+        sqrt(col("l_quantity")).as("sqrt_v"),
+        round(log(col("l_extendedprice") + 1.0), 6).as("ln_r"),
+        pow(col("l_tax"), 2).as("pow_v"),
+        (col("l_quantity") % 7.0).as("mod_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          abs(l_discount - 0.05) AS abs_v,
+          CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+          CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+          sqrt(l_quantity) AS sqrt_v,
+          round(ln(l_extendedprice + 1.0), 6) AS ln_r,
+          power(l_tax, 2) AS pow_v,
+          fmod(l_quantity, 7.0) AS mod_v
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // UDAF surface: typed Aggregators (functions.udaf) with an exact-SQL
+    // oracle (geometric mean = exp(avg(ln)), midrange = (min+max)/2).
+    Q("q49_udaf",
+      (s, d) => {
+        import graft.functions.Udafs
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(Udafs.geometric_mean(col("o_totalprice")), 2).as("geomean_r"),
+            Udafs.mid_range(col("o_totalprice")).as("midrange"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+          round(exp(avg(ln(o_totalprice))), 2) AS geomean_r,
+          (min(o_totalprice) + max(o_totalprice)) / 2 AS midrange
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}
