@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector kernels as custom Catalyst expressions. The higher-order-function
+  * compositions (zip_with + aggregate) pay per-element lambda dispatch in
+  * the interpreter — measured ~16x64 dispatches per row for SRP signatures.
+  * These evals are single tight loops over the underlying ArrayData; one
+  * virtual call per row. Accumulation is in index order in double precision,
+  * identical to the HOF forms, so oracle results are unchanged.
+  */
+private object VecUtil {
+  /** Read a float/double array element as double without boxing churn. */
+  @inline def get(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported vector element: $other")
+  }
+  def elementType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+}
+
+/** cosine(a, b) in one pass: dot, |a|, |b| accumulated together. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val eta = VecUtil.elementType(left.dataType)
+    val etb = VecUtil.elementType(right.dataType)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VecUtil.get(a, eta, i); val y = VecUtil.get(b, etb, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Signed-random-projection signature: bit p = sign(v . plane_p), planes
+  * derived from a splitmix64 hash of (plane, dim) — deterministic, no RNG,
+  * no materialized plane matrix. One pass per plane over the vector.
+  */
+case class SrpSignature(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** plane component in [-1, 1): hash(plane, dim) scaled. */
+  @inline private def component(p: Int, d: Int): Double =
+    (mix(p.toLong * 1000003L + d).toDouble / 9.223372036854776e18)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = VecUtil.elementType(child.dataType)
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += VecUtil.get(v, et, i) * component(p, i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+  override def prettyName: String = "srp_signature"
+}
+
+object VectorExprs {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def srpSignature(v: Column, planes: Int): Column =
+    ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), planes))
+}

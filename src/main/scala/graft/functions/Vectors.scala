@@ -20,8 +20,12 @@ object Vectors {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
 
+  /** Cosine via a single-pass custom expression (same index-order double
+    * accumulation as the HOF form — bit-identical results — without the
+    * per-element lambda dispatch).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.expressions.VectorExprs.cosineSim(a, b)
 
   /** Squared L2 distance (cheaper than sqrt when only ranking matters). */
   def l2sq(a: Column, b: Column): Column =

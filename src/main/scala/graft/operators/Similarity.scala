@@ -32,28 +32,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplane component: hash of
-    * (plane, dim) mapped to [-1, 1). No RNG — reproducible across runs.
-    * Multi-arg xxhash64 (no string concat) keeps the per-element cost at
-    * one hash instruction.
+  /** Signed-random-projection signature: bit p = sign(v . plane_p), with
+    * hash-derived deterministic hyperplanes. Single-pass custom expression
+    * (graft.expressions.SrpSignature) — the HOF form paid planes x dims
+    * lambda dispatches per row. Cosine neighbors agree on most bits
+    * (SRP-LSH / SimHash for vectors).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double")
-      / 1000000.0) - 1.0
-
-  /** Signed-random-projection signature: bit p = sign(v . plane_p). Cosine
-    * neighbors agree on most bits (SRP-LSH / SimHash for vectors).
-    */
-  def srpSignature(vec: Column, planes: Int): Column = {
-    val bits: Seq[Column] = (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def srpSignature(vec: Column, planes: Int): Column =
+    graft.expressions.VectorExprs.srpSignature(vec, planes)
 
   /** LSH ANN: band the SRP signature, bucket-join queries to corpus on any
     * agreeing band, score only candidates, top-k per query. Scales: the

@@ -204,6 +204,18 @@ final class Pipeline(
     outputs.toMap
   }
 
+  /** Release every auto-persisted step output. NOT called from run():
+    * outputs are lazy plans, so "all dependents finished" only means their
+    * plans were BUILT — the cached data is read later, when sink actions
+    * fire. Callers invoke this once they are done with the outputs;
+    * meanwhile MEMORY_AND_DISK + Spark's LRU keeps memory safe.
+    */
+  def unpersistAll(): Unit = outputs.values.foreach {
+    case df: DataFrame if df.storageLevel != StorageLevel.NONE =>
+      df.unpersist(blocking = false)
+    case _ => ()
+  }
+
   def output(name: String): Any = outputs.getOrElse(name,
     throw PipelineError(s"No output for step '$name' (did the pipeline run?)"))
 }
