@@ -41,6 +41,51 @@ object Similarity {
   def srpSignature(vec: Column, planes: Int): Column =
     graft.expressions.VectorExprs.srpSignature(vec, planes)
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * queries probe their `nprobe` nearest centroids, and only vectors in
+    * probed cells are scored. The classic FAISS-style scale path: corpus is
+    * partitioned once by cell (an equality shuffle), each query scores
+    * |corpus| * nprobe / ncells candidates.
+    *
+    * Uses MLlib KMeans (seeded, deterministic) for the quantizer; vectors
+    * bridge via ml.functions.array_to_vector.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              ncells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(10)
+    val model = km.fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    // broadcastable centroid table: (cell, centroid array)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // rank cells per query by centroid cosine, keep nprobe
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH ANN: band the SRP signature, bucket-join queries to corpus on any
     * agreeing band, score only candidates, top-k per query. Scales: the
     * all-pairs cross join is replaced by an equality shuffle on band values.

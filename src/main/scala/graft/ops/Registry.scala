@@ -317,6 +317,27 @@ final class Registry(spark: SparkSession) {
       val path = readPath(a)
       val schema = spark.read.parquet(path).schema
       spark.readStream.schema(schema).parquet(path)
+    },
+    "graft.ivf_topk" -> { a =>
+      Similarity.ivfTopK(asDf(a.require("queries", 0), "queries"),
+        asDf(a.require("corpus", 1), "corpus"),
+        k = a.get("k", 2).map(asInt(_, "k")).getOrElse(10),
+        ncells = a.get("ncells", -1).map(asInt(_, "ncells")).getOrElse(16),
+        nprobe = a.get("nprobe", -1).map(asInt(_, "nprobe")).getOrElse(4))
+    },
+    "graft.stream_window_agg" -> { a =>
+      graft.streaming.Streams.windowedAgg(
+        asDf(a.require("df", 0), "df"),
+        windowDur = asStr(a.get("window", -1).getOrElse("1 hour"), "window"),
+        slide = a.get("slide", -1).map(asStr(_, "slide")),
+        watermark = asStr(a.get("watermark", -1).getOrElse("1 hour"), "watermark"))
+    },
+    "graft.stream_to_memory" -> { a =>
+      val df = asDf(a.require("df", 0), "df")
+      val name = asStr(a.require("name", 1), "name")
+      val mode = a.get("mode", -1).map(asStr(_, "mode")).getOrElse("append")
+      graft.streaming.Streams.runToMemory(df, name, mode)
+      spark.table(name)
     }
   )
 
@@ -369,6 +390,11 @@ final class Registry(spark: SparkSession) {
 
   private def dfMethod(df: DataFrame, name: String, a: Args): Any = name match {
     case "groupby" =>
+      a.get("axis", -1).foreach { ax =>
+        if (ax == "columns" || ax == 1L) throw PipelineError(
+          "groupby(axis='columns') has no distributed analogue (SURVEY.md " +
+            "§7.4): unpivot with melt/stack, then groupby the 'variable' column")
+      }
       groupByImpl(df, a.require("by", 0),
         a.get("dropna", -1).map(asBool(_, true)).getOrElse(true))
     case "filter" | "query" =>
@@ -469,6 +495,9 @@ final class Registry(spark: SparkSession) {
     case "cache" | "persist" => df.persist()
     case "createOrReplaceTempView" | "create_view" =>
       df.createOrReplaceTempView(asStr(a.require("name", 0), "name")); df
+    case "with_watermark" =>
+      df.withWatermark(asStr(a.require("event_time", 0), "event_time"),
+        asStr(a.require("delay", 1), "delay"))
     case "repartition" => df.repartition(asInt(a.require("n", 0), "n"))
     case "coalesce" => df.coalesce(asInt(a.require("n", 0), "n"))
     case "explain" => df.explain("formatted"); df

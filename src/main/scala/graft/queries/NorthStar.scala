@@ -180,6 +180,17 @@ object NorthStar {
       },
       None),
 
+    // IVF ANN (k-means coarse quantizer + nprobe cells; FAISS-style).
+    Q("q50_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5,
+          ncells = 8, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Multimodal plumbing: binary column + deterministic stub decode.
     Q("q39_multimodal_meta",
       (s, d) => {

@@ -114,6 +114,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall@10 vs brute force (probed cells only)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.ivfTopK(queries, emb, k = 10, ncells = 8, nprobe = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall $mean too low")
+  }
+
   test("LSH ANN recall@10 >= 0.4 vs brute force (bucketed candidates only)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()

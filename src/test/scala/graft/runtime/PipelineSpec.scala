@@ -188,6 +188,76 @@ class PipelineSpec extends AnyFunSuite {
     src.unpersist()
   }
 
+  test("streaming step type: readStream -> windowed agg -> memory sink, from YAML") {
+    val dir = Files.createTempDirectory("yaml_stream")
+    Files.copy(java.nio.file.Paths.get(s"${TestSpark.sfDir}/nation.parquet"),
+      dir.resolve("part-0.parquet"))
+    // nation has no ts; stage events instead
+    Files.delete(dir.resolve("part-0.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    // events.ts is TIMESTAMP(NANOS): the generic parquet stream reads it as
+    // long under nanosAsLong; rebuild the timestamp in a YAML assign step
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = new Pipeline(spark,
+      s"""steps:
+         |  - name: stream
+         |    function: graft.read_stream_parquet
+         |    args: { path: $dir }
+         |  - name: with_ts
+         |    function: $${steps['stream'].output.assign}
+         |    args: { ts: "timestamp_micros(ts div 1000)" }
+         |  - name: agg
+         |    function: graft.stream_window_agg
+         |    args:
+         |      df: $${steps['with_ts'].output}
+         |      window: 1 hour
+         |  - name: sink
+         |    function: graft.stream_to_memory
+         |    args:
+         |      df: $${steps['agg'].output}
+         |      name: yaml_stream_out
+         |      mode: complete
+         |""".stripMargin)
+    p.run()
+    val total = spark.table("yaml_stream_out")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == graft.queries.Q.t(spark, TestSpark.sfDir, "events").count())
+  }
+
+  test("preFlight runs SQL statements (views usable by later steps)") {
+    val p = new Pipeline(spark,
+      """preFlight:
+        |  script: |
+        |    CREATE OR REPLACE TEMPORARY VIEW preflight_v AS SELECT 41 + 1 AS answer
+        |steps:
+        |  - name: q
+        |    function: spark.sql
+        |    args: { query: SELECT answer FROM preflight_v }
+        |""".stripMargin)
+    p.run()
+    assert(p.output("q").asInstanceOf[DataFrame].first().getInt(0) == 42)
+  }
+
+  test("connections: string and map forms, SQLAlchemy URL translation") {
+    val p = new Pipeline(spark,
+      """variables:
+        |  host: dbhost
+        |  password: sekret
+        |connections:
+        |  plain: postgresql+psycopg2://user:${var.password}@${var.host}:5432/db1
+        |  mapform:
+        |    url: postgresql://u2@${var.host}/db2
+        |    driver: org.postgresql.Driver
+        |steps: []
+        |""".stripMargin)
+    assert(p.connections("plain").url == "jdbc:postgresql://dbhost:5432/db1")
+    assert(p.connections("plain").props("password") == "sekret")
+    assert(p.connections("mapform").url == "jdbc:postgresql://dbhost/db2")
+    assert(p.connections("mapform").props("driver") == "org.postgresql.Driver")
+    assert(!p.connections("plain").toString.contains("sekret"))
+  }
+
   test("sql step via spark.sql over a registered view") {
     Registry.register("fn.readNation", _ =>
       spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet"))
