@@ -23,7 +23,7 @@ object Text {
     * through the shuffle; 16-byte digests keep shuffle rows tiny.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(graft.expressions.NormalizeWs(text))
 
   private val punctClass = "[.,!?;:]"
   private val stopwords = "the|a|an|and|of|to|in|is|was|for"
