@@ -85,22 +85,37 @@ object Dedup {
       .select(col("id"), bits.reduce(_ bitwiseOR _).as("sig"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4x16-bit bands,
-    * join on (band index, band value) — near-dups agree on >= 1 band whp —
-    * then verify candidates with exact Hamming distance (bit_count of xor).
-    * Candidates are deduped as bare (id_a, id_b) pairs before signatures are
-    * re-attached, keeping the distinct's shuffle narrow.
+  /** SimHash near-dup pairs: band the 64-bit signature into `bands` equal
+    * slices, join on (band index, band value) — hamming <= bands-1 dups
+    * agree on >= 1 band by pigeonhole — then verify candidates with exact
+    * Hamming distance (bit_count of xor). Candidates are deduped as bare
+    * (id_a, id_b) pairs before signatures are re-attached.
+    *
+    * Scale controls (the 10x stress showed band buckets saturating):
+    *  - `bands`: 4x16-bit bands saturate near N ~ 2^16 docs per shard of
+    *    similarity space; at larger N use bands=2 (32-bit buckets, recall
+    *    guarantee drops to hamming <= 1 agreeing, verified pairs unchanged);
+    *  - `maxBucket`: drop buckets holding more than this many docs — the
+    *    standard hot-bucket cap from public corpus-dedup pipelines; an
+    *    over-full bucket is almost always a degenerate shingle/signature
+    *    (boilerplate), and capping bounds the candidate join at
+    *    O(buckets * maxBucket^2).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, bands: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.transform(simhashSigs(_, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bb"))
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bval"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val capped = capBuckets(banded, Seq("band", "bval"), maxBucket)
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -136,9 +151,21 @@ object Dedup {
     * as bare id pairs before signatures are re-attached, so the only wide
     * rows ever shuffled are the O(candidates) final ones.
     */
+  /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
+    * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
+    * of corpus size). One count-aggregate over the banded rows.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    banded.join(sizes, keys)
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val r = k / bands
     // the signature frame feeds three plan subtrees (banding + both sides of
     // the candidate re-join); without persist Spark recomputes the shingle
@@ -151,7 +178,8 @@ object Dedup {
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val capped = capBuckets(banded, Seq("band", "bkey"), maxBucket)
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: replicate the documents/embeddings fixtures Nx
+  * (ids shifted so replicas are distinct docs) and time the dedup/ANN
+  * operators at 1x vs Nx. Sub-linear or ~linear growth = the candidate
+  * generation is behaving (no all-pairs blowup); super-linear growth flags
+  * an operator that would not survive 100 TB.
+  * Usage: sbt "runMain graft.tools.ScaleStress [factor]"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): Unit = {
+      val t0 = System.nanoTime; f
+      println(f"[$label] ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n1 = docs1.count()
+    // replicas get distinct ids AND perturbed text (replica index appended)
+    // so they are near-dups of the original, not exact dups — the harder case
+    val docsN = spark.range(factor).crossJoin(docs1)
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        when(col("id") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("id"))).as("text"))
+      .repartition(32).cache()
+    println(s"docs: $n1 -> ${docsN.count()}")
+
+    import graft.operators.{Dedup, Similarity}
+    time(s"exact_1x")(Dedup.exact(docs1, "doc_id", "text").count())
+    time(s"exact_${factor}x")(Dedup.exact(docsN, "doc_id", "text").count())
+    time(s"minhash_1x")(Dedup.minhashPairs(docs1, "doc_id", "text", 3, 32, 8, 0.5).count())
+    time(s"minhash_${factor}x")(Dedup.minhashPairs(docsN, "doc_id", "text", 3, 32, 8, 0.5).count())
+    time(s"simhash_1x")(Dedup.simhashPairs(docs1, "doc_id", "text", 3).count())
+    time(s"simhash_${factor}x")(Dedup.simhashPairs(docsN, "doc_id", "text", 3).count())
+
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embN = spark.range(factor).crossJoin(emb1)
+      .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"),
+        col("label"))
+      .repartition(32).cache()
+    println(s"vectors: ${emb1.count()} -> ${embN.count()}")
+    val q1 = emb1.filter(col("vec_id") < 8)
+    time(s"lsh_1x")(Similarity.lshTopK(q1, emb1, 10).count())
+    time(s"lsh_${factor}x")(Similarity.lshTopK(q1, embN, 10).count())
+    time(s"bruteforce_${factor}x")(Similarity.bruteForceTopK(q1, embN, 10).count())
+    spark.stop()
+  }
+}
