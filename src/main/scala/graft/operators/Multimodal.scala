@@ -55,4 +55,39 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => decoder.decode(id, bytes) } }
   }
+
+  /** Resize result: new dims + the (stubbed) resized payload size. */
+  final case class ResizedMeta(id: Long, width: Int, height: Int, n_bytes: Int)
+
+  /** STUB resize: a real implementation re-encodes pixels; the fake derives
+    * the output byte count deterministically. The Spark shape — per-row
+    * column math after a decode, no extra shuffle — is the real design.
+    */
+  def resizeStub(meta: Dataset[MediaMeta], targetW: Int, targetH: Int): Dataset[ResizedMeta] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map(m => ResizedMeta(m.id, targetW, targetH,
+      targetW * targetH * m.channels))
+  }
+
+  /** One sampled frame of a (fake) video. */
+  final case class FrameMeta(id: Long, frame_idx: Int, offset_bytes: Int, width: Int, height: Int)
+
+  /** STUB frame sampling: 1 -> N rows per media item (flatMap batch shape —
+    * the same plumbing a real container parser would use; frame count and
+    * offsets derived deterministically from the byte length).
+    */
+  def frameSampleStub(df: DataFrame, idCol: String, binCol: String,
+                      everyNth: Int, maxFrames: Int = 16): Dataset[FrameMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val meta = FakeDecoder.decode(id, bytes)
+        val nFrames = math.min(math.max(bytes.length / 64, 1), 1024)
+        (0 until nFrames by everyNth).take(maxFrames).map(f =>
+          FrameMeta(id, f, f * 64, meta.width, meta.height))
+      }
+  }
 }

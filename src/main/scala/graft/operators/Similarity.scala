@@ -41,6 +41,37 @@ object Similarity {
   def srpSignature(vec: Column, planes: Int): Column =
     graft.expressions.VectorExprs.srpSignature(vec, planes)
 
+  /** Embedding-cosine near-duplicate PAIRS (dedup use-case, not search):
+    * SRP-band the whole corpus, self-join buckets for candidates, verify
+    * with exact cosine >= threshold. Same shape as the text dedup family —
+    * candidate generation is an equality shuffle, never all-pairs.
+    */
+  def embeddingDupPairs(df: DataFrame, threshold: Double,
+                        planes: Int = 16, bands: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        srpSignature(col(vecCol), planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bval"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
     * queries probe their `nprobe` nearest centroids, and only vectors in
     * probed cells are scored. The classic FAISS-style scale path: corpus is

@@ -318,6 +318,10 @@ final class Registry(spark: SparkSession) {
       val schema = spark.read.parquet(path).schema
       spark.readStream.schema(schema).parquet(path)
     },
+    "graft.embedding_dup_pairs" -> { a =>
+      Similarity.embeddingDupPairs(asDf(a.require("df", 0), "df"),
+        threshold = a.get("threshold", 1).map(_.toString.toDouble).getOrElse(0.95))
+    },
     "graft.ivf_topk" -> { a =>
       Similarity.ivfTopK(asDf(a.require("queries", 0), "queries"),
         asDf(a.require("corpus", 1), "corpus"),
@@ -455,6 +459,8 @@ final class Registry(spark: SparkSession) {
     case "merge" | "join" => mergeImpl(df, a, rightPos = 0)
     case "concat" | "unionByName" =>
       df.unionByName(asDf(a.require("other", 0), "concat"), allowMissingColumns = true)
+    case "crosstab" =>
+      df.stat.crosstab(asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
     case "pivot_table" =>
       val index = asStrList(a.require("index", -1))
       val columns = asStr(a.require("columns", -1), "columns")

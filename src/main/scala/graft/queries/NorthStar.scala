@@ -191,6 +191,15 @@ object NorthStar {
       },
       None),
 
+    // Embedding-cosine near-dup pairs (dedup family, SRP-banded candidates;
+    // fixture vectors are random so the threshold is set where pairs exist).
+    Q("q51_dedup_embedding",
+      (s, d) => graft.operators.Similarity.embeddingDupPairs(
+        t(s, d, "embeddings"), threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
     // Multimodal plumbing: binary column + deterministic stub decode.
     Q("q39_multimodal_meta",
       (s, d) => {

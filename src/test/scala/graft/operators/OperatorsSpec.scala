@@ -141,6 +141,24 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class EmbeddingDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("embeddingDupPairs finds planted duplicates; every pair meets threshold") {
+    val base = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
+    // plant exact duplicates with shifted ids
+    val dups = base.select((org.apache.spark.sql.functions.col("vec_id") + 1000L).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("label"))
+    val all = base.unionByName(dups)
+    val pairs = Similarity.embeddingDupPairs(all, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 50, "every planted duplicate pair must surface (cos=1 agrees on all bands)")
+    assert(pairs.forall { case (a, b, c) => b == a + 1000L && c >= 0.99 })
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -156,6 +174,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).height == 64 + 'h'.toInt * 4)
     assert(out(1L).channels == 3 && out(1L).format == "fake/rgb8")
     assert(out(2L).n_bytes == 0 && out(2L).height == 64)
+  }
+
+  test("resize and frame-sample stubs: shapes and determinism") {
+    val df = Seq((1L, "x" * 640), (2L, "y" * 100)).toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("content"))
+    val meta = Multimodal.decodeBatch(df, "id", "content")
+    val resized = Multimodal.resizeStub(meta, 224, 224).collect()
+      .map(r => r.id -> r).toMap
+    assert(resized(1L).width == 224 && resized(1L).n_bytes == 224 * 224 * 3)
+    val frames = Multimodal.frameSampleStub(df, "id", "content", everyNth = 2)
+      .collect().groupBy(_.id)
+    assert(frames(1L).length == math.min((640 / 64 + 1) / 2, 16))
+    assert(frames(1L).map(_.frame_idx).toSeq == frames(1L).map(_.frame_idx).toSeq.sorted)
+    assert(frames(2L).nonEmpty) // at least one frame even for tiny payloads
   }
 
   test("binaryFile source reads content as BinaryType") {

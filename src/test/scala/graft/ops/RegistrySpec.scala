@@ -104,6 +104,26 @@ class RegistrySpec extends AnyFunSuite {
     assert(JdbcConn.fromUrl("jdbc:postgresql://h/db").url == "jdbc:postgresql://h/db")
   }
 
+  test("read_csv with parse_dates (pandas strftime format) and sep") {
+    val dir = java.nio.file.Files.createTempDirectory("csvpd")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(f, "id;when\n1;01/02/24\n2;15/03/24\n")
+    val out = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("sep" -> ";",
+        "parse_dates" -> Map("when" -> Map("format" -> "%d/%m/%y")))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.schema("when").dataType.typeName == "timestamp")
+    val ts = out.orderBy("id").collect().map(_.getTimestamp(1).toString)
+    assert(ts(0).startsWith("2024-02-01"))
+    assert(ts(1).startsWith("2024-03-15"))
+  }
+
+  test("crosstab shape") {
+    val ct = mp(df, "crosstab", "k", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(ct.count() == 2) // one row per k value
+  }
+
   test("read_json/to_json round trip") {
     val dir = java.nio.file.Files.createTempDirectory("json").toString + "/out"
     m(df.na.fill(0.0), "to_json", "path_or_buf" -> dir)

@@ -106,6 +106,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(p2.output("shrink").asInstanceOf[DataFrame].count() == 5)
   }
 
+  // full recovery-pipeline shape ported from the reference fixture
+  // (pandas_pipeline_recovery_1.yaml: read -> 2x slow UDF with
+  // saveProgress -> concat -> agg with checkpoint; run twice, second run
+  // resumes every checkpointed step)
+  test("reference recovery pipeline shape: multi-checkpoint resume") {
+    val calls = new AtomicInteger(0)
+    Registry.register("fn.slowSplit", { a =>
+      calls.incrementAndGet()
+      val df = a.pos.head.asInstanceOf[DataFrame]
+      val half = a.kw.collectFirst { case ("half", v) => v }.get.asInstanceOf[Long]
+      if (half == 0L) df.filter(df("n_nationkey") < 12) else df.filter(df("n_nationkey") >= 12)
+    })
+    val dir = Files.createTempDirectory("rec2")
+    val yaml =
+      s"""steps:
+         |  - name: load
+         |    function: fn.readNationR
+         |  - name: partA
+         |    function: fn.slowSplit
+         |    args: ["$${steps['load'].output}"]
+         |    saveProgress: $dir/partA.parquet
+         |  - name: partB
+         |    function: fn.slowSplit
+         |    args: ["$${steps['load'].output}"]
+         |    saveProgress: $dir/partB.parquet
+         |  - name: combined
+         |    function: pd.concat
+         |    args:
+         |      objs:
+         |        - $${steps['partA'].output}
+         |        - $${steps['partB'].output}
+         |  - name: agged
+         |    function: $${steps['combined'].output.groupby}
+         |    args: {by: n_regionkey}
+         |  - name: maxed
+         |    function: $${steps['agged'].output.max}
+         |    saveProgress: $dir/maxed.parquet
+         |""".stripMargin
+    // the two slowSplit steps need different args: patch via kw defaults —
+    // use two registered fns instead for clarity
+    Registry.register("fn.readNationR", _ =>
+      spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet"))
+    Registry.register("fn.slowSplit", { a =>
+      calls.incrementAndGet()
+      val df = a.pos.head.asInstanceOf[DataFrame]
+      df.filter(df("n_nationkey") < 12)
+    })
+    val p1 = new Pipeline(spark, yaml)
+    p1.run()
+    assert(calls.get == 2)
+    assert(p1.resumedSteps.isEmpty)
+
+    val p2 = new Pipeline(spark, yaml)
+    p2.run()
+    assert(calls.get == 2, "both checkpointed UDF steps must be skipped")
+    assert(p2.resumedSteps == Set("partA", "partB", "maxed"))
+    val out = p2.output("maxed").asInstanceOf[DataFrame]
+    assert(out.count() > 0)
+  }
+
   // ---- variables, imports, CLI overrides ----------------------------------
   test("variables interpolate; CLI overrides win; unknown var raises") {
     // NB: the YAML var is a string — CLI overrides are strings, and the
