@@ -1,0 +1,154 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch-style signature aggregates as TypedImperativeAggregates: ONE
+  * aggregate with a primitive-array buffer instead of 64 (simhash) / k
+  * (minhash) separate aggregate expressions. Cuts generated-code size, keeps
+  * partial rows narrow, and the per-row update is a tight loop. Both are
+  * associative + commutative, so Spark's map-side partial aggregation
+  * applies — one buffer per doc leaves each executor.
+  */
+
+/** xxhash64-compatible not required — any good 64-bit string hash works as
+  * long as it is stable. We reuse Spark's own XXH64 via UTF8String bytes.
+  */
+private object H {
+  def hash(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+/** SimHash64 over a group of word strings: buffer = 64 vote counters. */
+case class SimhashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = H.hash(v.asInstanceOf[UTF8String], 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimhashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimhashAgg =
+    copy(child = c.head)
+  override def prettyName: String = "simhash_agg"
+}
+
+/** MinHash over a group of shingle strings: buffer = k running minima; the
+  * i-th hash function is XXH64 with seed i.
+  */
+case class MinhashAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < k) {
+        val h = H.hash(s, i.toLong)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinhashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinhashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinhashAgg =
+    copy(child = c.head)
+  override def prettyName: String = "minhash_agg"
+}
+
+object SketchAggs {
+  def simhash(word: Column): Column =
+    ColumnBridge.column(SimhashAgg(ColumnBridge.expression(word))
+      .toAggregateExpression())
+  def minhash(shingle: Column, k: Int): Column =
+    ColumnBridge.column(MinhashAgg(ColumnBridge.expression(shingle), k)
+      .toAggregateExpression())
+}

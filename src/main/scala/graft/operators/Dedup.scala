@@ -70,20 +70,11 @@ object Dedup {
     * (measured 5.2s -> sub-second at sf0.1), and the aggregation is
     * map-side partial — the shuffle carries one 64-long row per doc.
     */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         explode(split(col(textCol), "\\s+")).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    words.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"), bits.reduce(_ bitwiseOR _).as("sig"))
-  }
+      .groupBy(col("id"))
+      .agg(graft.expressions.SketchAggs.simhash(col("w")).as("sig"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into `bands` equal
     * slices, join on (band index, band value) — hamming <= bands-1 dups
@@ -136,13 +127,11 @@ object Dedup {
     * (measured 16.7s -> ~1s at sf0.1).
     */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
-                  n: Int, k: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("g"))
-    val mins = (0 until k).map(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+                  n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .groupBy(col("id"))
+      .agg(graft.expressions.SketchAggs.minhash(col("g"), k).as("sig"))
 
   /** MinHash LSH near-dup pairs: band the k-length signature into `bands`
     * slices, bucket-join on (band, xxhash64(slice)) — a *scalar* join key,
