@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions._
+
+/** Registers graft's custom Catalyst expressions for SQL use — both through
+  * the SparkSessionExtensions injection point
+  * (--conf spark.sql.extensions=graft.GraftExtensions) and imperatively
+  * (GraftExtensions.registerAll) for sessions that already exist. SQL steps
+  * in YAML pipelines can then call word_shingles / normalize_ws /
+  * cosine_sim / srp_signature / simhash_agg / minhash_agg directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" -> { args =>
+      WordShingles(args.head, if (args.size > 1) intArg(args(1), "n") else 3)
+    },
+    "normalize_ws" -> { args => NormalizeWs(args.head) },
+    "cosine_sim" -> { args => CosineSim(args(0), args(1)) },
+    "srp_signature" -> { args =>
+      SrpSignature(args.head, if (args.size > 1) intArg(args(1), "planes") else 16)
+    },
+    "simhash_agg" -> { args => SimhashAgg(args.head).toAggregateExpression() },
+    "minhash_agg" -> { args =>
+      MinhashAgg(args.head, if (args.size > 1) intArg(args(1), "k") else 32)
+        .toAggregateExpression()
+    })
+
+  /** Imperative registration on a live session (temp functions). */
+  def registerAll(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

@@ -26,19 +26,26 @@ case class NormalizeWs(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val n = s.length
-    val sb = new java.lang.StringBuilder(n)
-    var i = 0
+    // exact regex-form semantics: trim() strips ASCII SPACES only, then
+    // every \s+ run — including runs touching the region edges (tabs etc.
+    // the trim left behind) — becomes one ' '.
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val sb = new java.lang.StringBuilder(end - start)
+    var i = start
     var pendingSpace = false
-    while (i < n) {
+    while (i < end) {
       val c = s.charAt(i)
-      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      if (isWs(c)) pendingSpace = true
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
         sb.append(c)
       }
       i += 1
     }
+    if (pendingSpace) sb.append(' ') // trailing non-space ws run -> ' '
     UTF8String.fromString(sb.toString)
   }
 

@@ -21,6 +21,7 @@ private object VecUtil {
     case DoubleType => a.getDouble(i)
     case IntegerType => a.getInt(i).toDouble
     case LongType => a.getLong(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalArgumentException(s"unsupported vector element: $other")
   }
   def elementType(dt: DataType): DataType = dt match {

@@ -37,6 +37,10 @@ final class Pipeline(
     cliImports: List[String] = Nil) {
 
   val registry = new Registry(spark)
+  // custom Catalyst expressions + UDAFs become SQL-callable in every
+  // pipeline session (word_shingles, cosine_sim, graft_geomean, ...)
+  graft.GraftExtensions.registerAll(spark)
+  graft.functions.Udafs.registerAll(spark)
 
   // ---- 1. load + merge + imports (etl.py:124-159) -------------------------
   private val raw: CV.MV = {

@@ -1,0 +1,75 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("WordShingles: n-grams, short docs, empties, repeats kept") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b"),          // shorter than n: whole text
+      (3L, ""),             // empty
+      (4L, "  x   y  z "),  // messy whitespace
+      (5L, "a b a b a")     // repeats stay (min-agg tolerates; jaccard dedups rows)
+    ).toDF("id", "t").select(col("id"), WordShingles(col("t"), 3).as("sh"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("a b"))
+    assert(out(3L) == Seq(""))
+    assert(out(4L) == Seq("x y z"))
+    assert(out(5L) == Seq("a b a", "b a b", "a b a"))
+  }
+
+  test("NormalizeWs equals the regex form on adversarial inputs") {
+    val df = Seq("  Hello   WORLD  ", "a\tb\nc", "", "ONE", " \t ", "Ünïcode  ÇASE")
+      .toDF("t")
+      .select(
+        NormalizeWs(col("t")).as("fast"),
+        regexp_replace(lower(trim(col("t"))), "\\s+", " ").as("regex"))
+    assert(df.filter(col("fast") =!= col("regex")).count() == 0)
+  }
+
+  test("CosineSim matches the HOF formula bit-for-bit on fixture vectors") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
+    val hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    def hofNorm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(c, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+      .select(col("x.embedding").as("a"), col("y.embedding").as("b"))
+      .select(
+        VectorExprs.cosineSim(col("a"), col("b")).as("fast"),
+        (hofDot / (hofNorm(col("a")) * hofNorm(col("b")))).as("hof"))
+    assert(pairs.filter(col("fast") =!= col("hof")).count() == 0)
+  }
+
+  test("SQL registration: expressions callable from spark.sql") {
+    graft.GraftExtensions.registerAll(spark)
+    Seq((1L, "the quick brown fox", "the  QUICK brown fox"))
+      .toDF("id", "a", "b").createOrReplaceTempView("expr_t")
+    val r = spark.sql("""
+      SELECT size(word_shingles(a, 2)) AS nsh,
+             normalize_ws(b) AS norm,
+             cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS cs,
+             srp_signature(array(1.0, 2.0), 8) AS sig
+      FROM expr_t""").first()
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "the quick brown fox")
+    assert(r.getDouble(2) == 1.0)
+    val agg = spark.sql(
+      "SELECT simhash_agg(w) s, minhash_agg(w, 8) m FROM (SELECT explode(word_shingles(a, 1)) w FROM expr_t)")
+      .first()
+    assert(agg.getSeq[Long](1).length == 8)
+  }
+
+  test("null inputs propagate as null") {
+    val df = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(WordShingles(col("t"), 3).as("sh"), NormalizeWs(col("t")).as("n"))
+    val r = df.first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
