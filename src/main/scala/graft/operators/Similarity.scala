@@ -88,7 +88,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(10)
+    // random init + few iterations: a coarse quantizer only needs rough
+    // cells, not converged centroids (k-means|| init costs extra passes)
+    val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
     val model = km.fit(corpusV)
     val assigned = model.transform(corpusV)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
