@@ -18,9 +18,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths so the first measured query isn't charged
-    // for session bring-up
+    // for session bring-up (incl. a decimal agg + a join: the two codegen
+    // templates the early queries hit first)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+    warm.join(warm.selectExpr("n_nationkey AS k"),
+        warm("n_nationkey") === org.apache.spark.sql.functions.col("k"))
+      .groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_nationkey")
+          .cast("decimal(25,4)")).cast("double"))
+      .collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,90 @@
+package graft.expr
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.config.PipelineError
+
+/** Property tests for the `${}` language (SURVEY.md §7.5 risk #1:
+  * interpolation corner cases).
+  */
+class ExprPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private object Ctx extends ExprContext {
+    def variable(name: String): Any = name.length.toLong // any total function
+    def connection(name: String): Any = s"conn:$name"
+    def stepOutput(name: String): Any = name
+    def isNamespace(name: String): Boolean = false
+    def callFunction(path: String, args: Args): Any = throw PipelineError("none")
+    def callMethod(target: Any, name: String, args: Args): Any = throw PipelineError("none")
+  }
+
+  test("property: strings without ${ are untouched (incl. lone $ and })") {
+    val plain = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('$', '}', ' ', '{')))
+      .map(_.mkString).suchThat(s => !s.contains("${"))
+    check(Prop.forAll(plain) { s => Interpolate(s, Ctx) == s })
+  }
+
+  test("property: whole-string var ref returns the typed object") {
+    check(Prop.forAll(Gen.identifier) { name =>
+      Interpolate(s"$${var.$name}", Ctx) == name.length.toLong
+    })
+  }
+
+  test("property: embedded refs splice str() and preserve surroundings") {
+    val text = Gen.alphaNumStr
+    check(Prop.forAll(text, Gen.identifier, text) { (pre, name, post) =>
+      Interpolate(s"$pre$${var.$name}$post", Ctx) match {
+        case s: String => s == s"$pre${name.length}$post"
+        case v => pre.isEmpty && post.isEmpty && v == name.length.toLong
+      }
+    })
+  }
+
+  test("property: parser round-trips integer arithmetic with python semantics") {
+    val num = Gen.chooseNum(-1000L, 1000L)
+    check(Prop.forAll(num, num, Gen.oneOf("+", "-", "*")) { (a, b, op) =>
+      val got = Interp.eval(Parser.parse(s"($a) $op ($b)"), Ctx)
+      val want = op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+      }
+      got == want
+    })
+  }
+
+  test("property: floor-div and floor-mod match python for non-zero divisors") {
+    val num = Gen.chooseNum(-100L, 100L)
+    val den = Gen.chooseNum(-100L, 100L).suchThat(_ != 0)
+    check(Prop.forAll(num, den) { (a, b) =>
+      Interp.eval(Parser.parse(s"($a) // ($b)"), Ctx) ==
+        math.floor(a.toDouble / b).toLong &&
+        Interp.eval(Parser.parse(s"($a) % ($b)"), Ctx) == java.lang.Math.floorMod(a, b)
+    })
+  }
+
+  test("property: interpolation over nested dict/list containers is structure-preserving") {
+    val leaf: Gen[Any] = Gen.oneOf(
+      Gen.alphaNumStr.map(identity[Any]),
+      Gen.chooseNum(-10L, 10L).map(identity[Any]),
+      Gen.identifier.map(n => s"$${var.$n}": Any))
+    val container: Gen[Any] = Gen.oneOf(
+      Gen.listOfN(3, leaf).map(identity[Any]),
+      Gen.mapOfN(3, Gen.zip(Gen.identifier, leaf)).map(identity[Any]))
+    check(Prop.forAll(container) { c =>
+      val out = Interpolate(c, Ctx)
+      (c, out) match {
+        case (l: List[_], o: List[_]) => l.size == o.size
+        case (m: Map[_, _], o: Map[_, _]) => m.keySet == o.asInstanceOf[Map[String, Any]].keySet
+        case _ => false
+      }
+    })
+  }
+
+  test("unterminated ${ leaves the string untouched (no crash)") {
+    assert(Interpolate("abc ${var.x", Ctx) == "abc ${var.x")
+  }
+}
