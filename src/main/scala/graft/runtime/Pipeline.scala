@@ -230,7 +230,9 @@ object Pipeline {
     */
   def parseCliVariables(vars: Seq[String]): Map[String, String] =
     vars.map { v =>
-      val parts = v.split("=")
+      // limit -1: java's split drops trailing empties, but python's doesn't —
+      // "a=" is a valid empty-valued assignment in the reference
+      val parts = v.split("=", -1)
       if (parts.length != 2)
         throw PipelineError(
           s"Invalid command line for variable '$v' Expected format as varName=varValue")

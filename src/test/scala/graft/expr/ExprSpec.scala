@@ -107,6 +107,7 @@ class ExprSpec extends AnyFunSuite {
   test("cli variable parsing: malformed a=b=c raises (etl.py:29-33)") {
     import graft.runtime.Pipeline
     assert(Pipeline.parseCliVariables(Seq("a=b", " c = d ")) == Map("a" -> "b", "c" -> "d"))
+    assert(Pipeline.parseCliVariables(Seq("a=")) == Map("a" -> "")) // python parity
     val e = intercept[PipelineError](Pipeline.parseCliVariables(Seq("a=b=c")))
     assert(e.getMessage.contains("Invalid command line"))
   }
