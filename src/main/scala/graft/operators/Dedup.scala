@@ -140,6 +140,44 @@ object Dedup {
     * as bare id pairs before signatures are re-attached, so the only wide
     * rows ever shuffled are the O(candidates) final ones.
     */
+  /** Near-dup CLUSTERS from a pair list: connected components over the
+    * similarity graph, so transitive chains (a~b, b~c) collapse into one
+    * cluster even when a~c was never scored. GraphX ConnectedComponents is
+    * the distributed path (iterative Pregel, converges in O(diameter)
+    * rounds; near-dup clusters are shallow). Returns (id, cluster_rep) with
+    * cluster_rep = min id in the component; ids not in any pair are their
+    * own representative only if present in `allIds`.
+    */
+  def clusters(pairs: DataFrame, allIds: Option[DataFrame] = None,
+               idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val graph = Graph.fromEdges(edges, ())
+    val cc = graph.connectedComponents().vertices // (id, min id in component)
+    val inPairs = cc.toDF("id", "cluster_rep")
+    allIds match {
+      case Some(ids) =>
+        val all = ids.select(col(ids.columns.head).cast("long").as("id"))
+        all.join(inPairs, Seq("id"), "left")
+          .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("id")))
+      case None => inPairs
+    }
+  }
+
+  /** End-to-end near-dup removal: minhash pairs -> components -> keep each
+    * cluster's min-id representative.
+    */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val cl = clusters(pairs, Some(df.select(idCol)))
+    df.join(cl.filter(col("id") === col("cluster_rep"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

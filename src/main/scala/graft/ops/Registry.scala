@@ -318,6 +318,12 @@ final class Registry(spark: SparkSession) {
       val schema = spark.read.parquet(path).schema
       spark.readStream.schema(schema).parquet(path)
     },
+    "graft.dedup_by_minhash" -> { a =>
+      Dedup.dedupByMinhash(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8))
+    },
     "graft.embedding_dup_pairs" -> { a =>
       Similarity.embeddingDupPairs(asDf(a.require("df", 0), "df"),
         threshold = a.get("threshold", 1).map(_.toString.toDouble).getOrElse(0.95))

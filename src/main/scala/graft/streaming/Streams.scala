@@ -64,4 +64,31 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream to a parquet directory with exactly-once checkpointing,
+    * processing everything currently available (batch-drain mode — the same
+    * call on a live directory keeps consuming from the checkpoint).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch sink: hand each micro-batch DataFrame + batch id to a
+    * callback (arbitrary batch-side writes: JDBC upserts, multi-sink fanout).
+    */
+  def runForeachBatch(df: DataFrame, outputMode: String = "append")(
+      fn: (DataFrame, Long) => Unit): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch(fn)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -141,6 +141,36 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("clusters: transitive chains collapse; singletons keep themselves") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val cl = Dedup.clusters(pairs, Some(all)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L) // chain a~b~c
+    assert(cl(10L) == 10L && cl(11L) == 10L)
+    assert(cl(99L) == 99L) // untouched doc represents itself
+  }
+
+  test("dedupByMinhash keeps one representative per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and once"),
+      (4L, "completely unrelated text about catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupByMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L), "exact dup must be dropped")
+    assert(kept.size <= 3)
+  }
+}
+
 class EmbeddingDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

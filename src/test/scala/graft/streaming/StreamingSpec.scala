@@ -39,6 +39,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == Q.t(spark, TestSpark.sfDir, "events").count())
   }
 
+  test("parquet sink with checkpoint drains all available data exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("ssink")
+    val stream = Streams.eventsStream(spark, streamDir)
+    Streams.runToParquet(stream, s"$out/data", s"$out/ckpt")
+    val written = spark.read.parquet(s"$out/data").count()
+    assert(written == Q.t(spark, TestSpark.sfDir, "events").count())
+    // second drain with the same checkpoint: nothing new to consume
+    Streams.runToParquet(Streams.eventsStream(spark, streamDir), s"$out/data", s"$out/ckpt")
+    assert(spark.read.parquet(s"$out/data").count() == written)
+  }
+
+  test("foreachBatch sink hands batches to the callback") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    Streams.runForeachBatch(Streams.eventsStream(spark, streamDir)) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    assert(seen.get() == Q.t(spark, TestSpark.sfDir, "events").count())
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val stream = Streams.eventsStream(spark, streamDir)
     Streams.runToMemory(
