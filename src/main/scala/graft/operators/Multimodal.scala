@@ -70,6 +70,41 @@ object Multimodal {
       targetW * targetH * m.channels))
   }
 
+  /** Feature-extraction result: an embedding per media item. */
+  final case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction: a real implementation runs a vision encoder;
+    * the fake derives a deterministic pseudo-embedding from byte content
+    * (hash-seeded), unit-normalized so it composes with the Similarity
+    * operators. Batch shape: mapPartitions, one "model" per partition.
+    */
+  def featureExtractStub(df: DataFrame, idCol: String, binCol: String,
+                         dim: Int = 64): Dataset[MediaEmbedding] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // "model init" happens once per partition in a real encoder
+        it.map { case (id, bytes) =>
+          var h = java.util.Arrays.hashCode(bytes).toLong
+          val v = new Array[Float](dim)
+          var i = 0
+          var norm = 0.0
+          while (i < dim) {
+            h = h * 6364136223846793005L + 1442695040888963407L // LCG step
+            v(i) = ((h >>> 40).toInt / 8388608.0f) - 1.0f
+            norm += v(i) * v(i)
+            i += 1
+          }
+          val inv = (1.0 / math.sqrt(math.max(norm, 1e-12))).toFloat
+          i = 0
+          while (i < dim) { v(i) *= inv; i += 1 }
+          MediaEmbedding(id, v)
+        }
+      }
+  }
+
   /** One sampled frame of a (fake) video. */
   final case class FrameMeta(id: Long, frame_idx: Int, offset_bytes: Int, width: Int, height: Int)
 

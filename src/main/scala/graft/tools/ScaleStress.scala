@@ -43,6 +43,10 @@ object ScaleStress {
     time(s"minhash_${factor}x")(Dedup.minhashPairs(docsN, "doc_id", "text", 3, 32, 8, 0.5).count())
     time(s"simhash_1x")(Dedup.simhashPairs(docs1, "doc_id", "text", 3).count())
     time(s"simhash_${factor}x")(Dedup.simhashPairs(docsN, "doc_id", "text", 3).count())
+    // 16-bit bands saturate past ~2^16 docs (birthday collisions make the
+    // candidate join quadratic); 2x32-bit bands are the large-corpus setting
+    time(s"simhash_${factor}x_bands2")(
+      Dedup.simhashPairs(docsN, "doc_id", "text", 3, bands = 2).count())
 
     val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embN = spark.range(factor).crossJoin(emb1)

@@ -220,6 +220,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(2L).nonEmpty) // at least one frame even for tiny payloads
   }
 
+  test("featureExtractStub: unit-norm embeddings, deterministic, composes with ANN") {
+    val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("content"))
+    val emb = Multimodal.featureExtractStub(df, "id", "content", dim = 16).toDF()
+      .withColumnRenamed("id", "vec_id")
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L) == rows(2L), "same bytes -> same embedding")
+    assert(rows(1L) != rows(3L))
+    val norm = math.sqrt(rows(1L).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // composes with the similarity operators
+    val dups = Similarity.embeddingDupPairs(emb, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSeq == Seq((1L, 2L)))
+  }
+
   test("binaryFile source reads content as BinaryType") {
     val dir = java.nio.file.Files.createTempDirectory("bin")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
