@@ -455,6 +455,26 @@ final class Registry(spark: SparkSession) {
       case Some(s) => df.na.drop(asStrList(s))
       case None => df.na.drop()
     }
+    case "ffill" | "bfill" =>
+      // pandas forward/backward fill, made distributed-deterministic by an
+      // explicit ordering key (pandas relies on row order, which a
+      // distributed frame does not have): last/first non-null over a window
+      val cols = asStrList(a.require("columns", -1))
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val w =
+        if (name == "ffill")
+          base.orderBy(orderBy.map(col(_).asc): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else
+          base.orderBy(orderBy.map(col(_).asc): _*)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cols.foldLeft(df)((d, c) => d.withColumn(c,
+        if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
+        else first(col(c), ignoreNulls = true).over(w)))
     case "fillna" => a.require("value", 0) match {
       case m: Map[_, _] => df.na.fill(m.asInstanceOf[Map[String, Any]])
       case v: Long => df.na.fill(v)

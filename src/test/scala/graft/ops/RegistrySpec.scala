@@ -104,6 +104,21 @@ class RegistrySpec extends AnyFunSuite {
     assert(JdbcConn.fromUrl("jdbc:postgresql://h/db").url == "jdbc:postgresql://h/db")
   }
 
+  test("ffill/bfill with explicit ordering (distributed-deterministic)") {
+    val gaps = Seq((1L, "a", Some(10.0)), (2L, "a", None), (3L, "a", None),
+      (4L, "a", Some(40.0)), (1L, "b", None), (2L, "b", Some(2.0)))
+      .toDF("seq", "grp", "v")
+    val ff = m(gaps, "ffill", "columns" -> List("v"), "order_by" -> List("seq"),
+      "partition_by" -> List("grp")).asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("grp", "seq").collect().map(r => (r.getString(1), r.getLong(0), r.get(2)))
+    assert(ff.toSeq == Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0),
+      ("a", 4L, 40.0), ("b", 1L, null), ("b", 2L, 2.0)))
+    val bf = m(gaps, "bfill", "columns" -> List("v"), "order_by" -> List("seq"),
+      "partition_by" -> List("grp")).asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("grp", "seq").collect().map(r => r.get(2))
+    assert(bf.toSeq == Seq(10.0, 40.0, 40.0, 40.0, 2.0, 2.0))
+  }
+
   test("read_csv with parse_dates (pandas strftime format) and sep") {
     val dir = java.nio.file.Files.createTempDirectory("csvpd")
     val f = dir.resolve("d.csv")
