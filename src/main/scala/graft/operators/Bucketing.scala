@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support: pre-partition fact tables by their join key so
+  * repeated big-big joins are exchange-free. `bucketBy(n, key) + sortBy`
+  * writes each bucket pre-hashed and pre-sorted; a join of two tables
+  * bucketed the same way plans as SortMergeJoin with NO shuffle on either
+  * side — the decisive layout choice when the same 100 TB fact table joins
+  * on the same key in every pipeline run.
+  */
+object Bucketing {
+
+  /** Write df as a bucketed+sorted managed table (parquet). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** True if the executed plan of `df` contains any shuffle exchange —
+    * the assertion hook for "this join is co-located". Inspects the plan
+    * string: under AQE the root is AdaptiveSparkPlanExec and the inner
+    * (initial) plan isn't reachable by tree traversal before execution.
+    */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -318,6 +318,14 @@ final class Registry(spark: SparkSession) {
       val schema = spark.read.parquet(path).schema
       spark.readStream.schema(schema).parquet(path)
     },
+    "graft.write_bucketed" -> { a =>
+      graft.operators.Bucketing.writeBucketed(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.require("table", 1), "table"),
+        asStr(a.require("key", 2), "key"),
+        buckets = a.get("buckets", -1).map(asInt(_, "buckets")).getOrElse(32))
+      asStr(a.require("table", 1), "table")
+    },
     "graft.dedup_by_minhash" -> { a =>
       Dedup.dedupByMinhash(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("co-bucketed join is exchange-free; results match the plain join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = graft.queries.Q.t(spark, TestSpark.sfDir, "lineitem")
+      val o = graft.queries.Q.t(spark, TestSpark.sfDir, "orders")
+      Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+      Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", 4)
+      val joined = Bucketing.table(spark, "li_bucketed")
+        .join(Bucketing.table(spark, "o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(!Bucketing.hasShuffle(joined.select("l_orderkey", "o_totalprice")),
+        "co-bucketed join must not shuffle either side")
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+      // a NON-bucketed version of the same join does shuffle (the contrast)
+      assert(Bucketing.hasShuffle(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "o_totalprice")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
