@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Text-analysis column builders for large-scale training-data pipelines.
+/** Text-analysis column builders for large-scale training-data pipelines
+  * (north-star extension beyond the reference's pandas envelope).
   * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
   * no UDFs, so they stay inside whole-stage codegen at 100 TB.
   */

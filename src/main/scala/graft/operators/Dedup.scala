@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Text
 
-/** Deduplication family for training-data pipelines (north star): exact,
+/** Deduplication family for training-data pipelines (north star; beyond
+  * the reference's own surface — reachable from YAML through the dynamic
+  * dispatch the reference exposes at pandas_etl/etl.py:541-557): exact,
   * n-gram Jaccard, SimHash, and MinHash+LSH. Each variant is chosen so the
   * candidate-generation step is a key-equality shuffle (inverted index /
   * band bucket), never an all-pairs comparison — the only property that
@@ -133,13 +135,6 @@ object Dedup {
       .groupBy(col("id"))
       .agg(graft.expressions.SketchAggs.minhash(col("g"), k).as("sig"))
 
-  /** MinHash LSH near-dup pairs: band the k-length signature into `bands`
-    * slices, bucket-join on (band, xxhash64(slice)) — a *scalar* join key,
-    * not an array — then estimate Jaccard as the fraction of agreeing
-    * minhash components, keeping pairs >= threshold. Candidates are deduped
-    * as bare id pairs before signatures are re-attached, so the only wide
-    * rows ever shuffled are the O(candidates) final ones.
-    */
   /** Near-dup CLUSTERS from a pair list: connected components over the
     * similarity graph, so transitive chains (a~b, b~c) collapse into one
     * cluster even when a~c was never scored. GraphX ConnectedComponents is
@@ -190,6 +185,13 @@ object Dedup {
     banded.join(sizes, keys)
   }
 
+  /** MinHash LSH near-dup pairs: band the k-length signature into `bands`
+    * slices, bucket-join on (band, xxhash64(slice)) — a *scalar* join key,
+    * not an array — then estimate Jaccard as the fraction of agreeing
+    * minhash components, keeping pairs >= threshold. Candidates are deduped
+    * as bare id pairs before signatures are re-attached, so the only wide
+    * rows ever shuffled are the O(candidates) final ones.
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing (north star): media as opaque BinaryType
+/** Multimodal-column plumbing (north star; no analog in the reference):
+  * media as opaque BinaryType
   * columns with typed metadata structs. The Spark-side machinery — schema,
   * partition-sized batch decode via mapPartitions, binaryFile ingestion —
   * is real; the codec itself is STUBBED (this container has no image/audio

@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
-/** Approximate-nearest-neighbor search over embedding columns
+/** Approximate-nearest-neighbor search over embedding columns (north-star
+  * extension; no analog in the reference — registered alongside the tier-B
+  * operators dispatched via pandas_etl/etl.py:541-557)
   * (Array[Float]). Two paths:
   *   - brute-force exact top-k (baseline; right answer, O(|Q|*|C|) scores)
   *   - LSH-bucketed (random signed projections -> band join) for scale,
