@@ -1,0 +1,158 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Distributed top-k: keep the k best (score, id) pairs per group, ordered by
+  * (score desc, id asc). TypedImperativeAggregate, so Spark runs it with
+  * map-side partial aggregation: every partition reduces its rows to one
+  * k-bounded heap, and the shuffle moves one k-length buffer per
+  * (partition, group) — the two-phase top-k shape that survives an
+  * arbitrarily large corpus, unlike `row_number().over(partitionBy(group))`,
+  * which sorts a group's entire candidate set inside one task.
+  *
+  * Result: array<struct<score double, id bigint>> sorted best-first.
+  */
+case class TopKAgg(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKAgg.Heap] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
+
+  override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKAgg.Heap, b: TopKAgg.Heap): TopKAgg.Heap = {
+    b.foreach(a.offer)
+    a
+  }
+
+  override def eval(buf: TopKAgg.Heap): Any = {
+    val sorted = buf.sortedBestFirst()
+    val rows: Array[Any] = sorted.map { case (s, i) => InternalRow(s, i): Any }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKAgg.Heap): Array[Byte] = {
+    val n = buf.size
+    val bb = ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    buf.foreach { (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Heap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKAgg.Heap(k)
+    var j = 0
+    while (j < n) { h.offer(bb.getDouble, bb.getLong); j += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreExpr = c(0), idExpr = c(1))
+  override def prettyName: String = "topk_agg"
+}
+
+object TopKAgg {
+
+  /** Bounded binary min-heap over (score, id) with "worst-first" root:
+    * entry A is worse than B iff A.score < B.score, or scores equal and
+    * A.id > B.id — so the kept set is the k best by (score desc, id asc),
+    * with deterministic tie-breaks. Primitive parallel arrays, no boxing.
+    */
+  final class Heap(k: Int) {
+    private val scores = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+
+    def size: Int = n
+
+    /** a strictly worse than b? */
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
+
+    def offer(s: Double, i: Long): Unit = {
+      if (n < k) {
+        var j = n
+        scores(j) = s; ids(j) = i; n += 1
+        // sift up
+        while (j > 0 && worse(scores(j), ids(j), scores((j - 1) / 2), ids((j - 1) / 2))) {
+          swap(j, (j - 1) / 2); j = (j - 1) / 2
+        }
+      } else if (worse(scores(0), ids(0), s, i)) {
+        scores(0) = s; ids(0) = i
+        siftDown(0)
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    private def siftDown(start: Int): Unit = {
+      var j = start
+      var done = false
+      while (!done) {
+        val l = 2 * j + 1
+        val r = 2 * j + 2
+        var m = j
+        if (l < n && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < n && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == j) done = true else { swap(j, m); j = m }
+      }
+    }
+
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var j = 0
+      while (j < n) { f(scores(j), ids(j)); j += 1 }
+    }
+
+    /** Entries best-first: (score desc, id asc). */
+    def sortedBestFirst(): Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](n)
+      var j = 0
+      while (j < n) { out(j) = (scores(j), ids(j)); j += 1 }
+      out.sortWith { case ((sa, ia), (sb, ib)) => worse(sb, ib, sa, ia) }
+    }
+  }
+
+  def topK(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKAgg(
+      ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
+}

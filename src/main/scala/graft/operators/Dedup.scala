@@ -173,6 +173,76 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Exact n-gram Jaccard for a GIVEN candidate pair list: the shingle
+    * inverted index is first restricted (semi-join) to ids that appear in a
+    * candidate pair, so the common-shingle self-join is bounded by the
+    * candidate population, not the corpus. Pairs sharing zero shingles have
+    * Jaccard 0 and drop out. Returns (id_a, id_b, jaccard).
+    */
+  def exactJaccardOf(df: DataFrame, cand: DataFrame, idCol: String,
+                     textCol: String, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(ids, Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shc.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = shc.as("a").join(shc.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(cand.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH candidates verified with EXACT n-gram Jaccard: the sketch
+    * proposes (banded equality shuffle), the inverted index disposes. Output
+    * (id_a, id_b, jaccard, est_ok) where `jaccard` is exact — so an external
+    * oracle that can compute n-gram Jaccard verifies the full result — and
+    * est_ok gates the minhash estimator itself (|est - exact| <= estTol;
+    * minhash sd at k=32 is sqrt(j(1-j)/32) ~ 0.09 worst-case).
+    */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, k: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.2, estTol: Double = 0.2,
+                           maxBucket: Int = 10000): DataFrame = {
+    val est = minhashPairs(df, idCol, textCol, n, k, bands,
+      threshold = 0.0, maxBucket = maxBucket)
+    val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
+    exact.join(est, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= estTol).as("est_ok"))
+  }
+
+  /** SimHash candidates verified with EXACT n-gram Jaccard (same
+    * propose/dispose shape as [[minhashVerifiedPairs]]). Output
+    * (id_a, id_b, jaccard, hamming_ok); hamming_ok gates that every
+    * surviving near-dup pair sits within `maxHamming` signature bits —
+    * i.e. the sketch would also have accepted it.
+    */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int, bands: Int = 8, n: Int = 3,
+                           threshold: Double = 0.2,
+                           maxBucket: Int = 10000): DataFrame = {
+    val cands = simhashPairs(df, idCol, textCol, maxHamming = 64,
+      bands = bands, maxBucket = maxBucket)
+    val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
+    exact.join(cands, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (col("hamming") <= maxHamming).as("hamming_ok"))
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

@@ -1,24 +1,39 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.TopKAgg
 import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over embedding columns (north-star
   * extension; no analog in the reference — registered alongside the tier-B
   * operators dispatched via pandas_etl/etl.py:541-557)
-  * (Array[Float]). Two paths:
+  * (Array[Float]). Paths:
   *   - brute-force exact top-k (baseline; right answer, O(|Q|*|C|) scores)
   *   - LSH-bucketed (random signed projections -> band join) for scale,
-  *     where only vectors sharing a hash bucket are ever scored.
+  *     where only vectors sharing a hash bucket are ever scored
+  *   - IVF (k-means coarse quantizer + nprobe cells), the FAISS-style path.
   */
 object Similarity {
 
+  /** Per-group top-k without a per-group global sort: map-side k-bounded
+    * heaps (graft.expressions.TopKAgg) merge through partial aggregation, so
+    * the shuffle moves one k-array per (partition, group) — never a group's
+    * full candidate set into a single task.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("cosine"), col("neighbor_id"), k).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.id").as("neighbor_id"),
+        col("__t.score").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k: broadcast the (small) query set, score every corpus
-    * vector against every query in one codegen'd pass, keep k per query with
-    * a window rank. The corpus is never shuffled before scoring; the ranked
-    * shuffle carries only (query, corpus-id, score) triples.
+    * vector against every query in one codegen'd pass, then two-phase top-k —
+    * per-partition k-heaps, merged map-side, one k-array per query in the
+    * final shuffle. The corpus is never shuffled before scoring, and no
+    * single task ever sorts |corpus| rows.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -27,11 +42,23 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Exact cosine near-dup PAIRS by brute force: every (a, b) with a < b and
+    * cosine >= threshold. O(|corpus|^2) scores — this is the labeled
+    * verification BASELINE the approximate dedup paths are graded against
+    * (and a fine choice for small corpora); the scale path is
+    * [[embeddingDupPairs]], whose candidate generation is an equality
+    * shuffle on SRP bands.
+    */
+  def exactCosinePairs(df: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", Vectors.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
   /** Signed-random-projection signature: bit p = sign(v . plane_p), with
@@ -47,11 +74,17 @@ object Similarity {
     * SRP-band the whole corpus, self-join buckets for candidates, verify
     * with exact cosine >= threshold. Same shape as the text dedup family —
     * candidate generation is an equality shuffle, never all-pairs.
+    *
+    * Recall rises with `bands` at fixed band width r = planes/bands (each
+    * band is an independent chance to collide): P(candidate) =
+    * 1 - (1 - p^r)^bands with p = 1 - theta/pi. planes=64, bands=16 holds
+    * ~0.97 expected recall at cosine 0.35 while keeping 4-bit band buckets.
     */
   def embeddingDupPairs(df: DataFrame, threshold: Double,
                         planes: Int = 16, bands: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val r = planes / bands
+    require(r >= 2, "band width r = planes/bands must be >= 2 (r=1 buckets are single bits)")
     val mask = (1L << r) - 1
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         srpSignature(col(vecCol), planes).as("sig"))
@@ -80,12 +113,17 @@ object Similarity {
     * partitioned once by cell (an equality shuffle), each query scores
     * |corpus| * nprobe / ncells candidates.
     *
+    * The quantizer fits on a bounded SAMPLE (<= `fitSampleRows`): centroid
+    * placement error from sampling a few 1e5 rows is negligible for a coarse
+    * quantizer, while fitting on the full corpus would cost maxIter full
+    * scans at 100 TB. The full corpus is then assigned to cells in ONE pass.
     * Uses MLlib KMeans (seeded, deterministic) for the quantizer; vectors
     * bridge via ml.functions.array_to_vector.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               ncells: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              fitSampleRows: Long = 200000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -94,7 +132,12 @@ object Similarity {
     // cells, not converged centroids (k-means|| init costs extra passes)
     val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-    val model = km.fit(corpusV)
+    val corpusRows = corpus.count()
+    val fitInput =
+      if (corpusRows <= fitSampleRows) corpusV
+      else corpusV.sample(withReplacement = false,
+        fitSampleRows.toDouble / corpusRows, seed = 42L)
+    val model = km.fit(fitInput)
     val assigned = model.transform(corpusV)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
     // broadcastable centroid table: (cell, centroid array)
@@ -104,52 +147,52 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // rank cells per query by centroid cosine, keep nprobe
-    val wCell = Window.partitionBy(col("query_id"))
+    // rank cells per query by centroid cosine, keep nprobe (ncells is tiny,
+    // so this per-query sort is over ncells rows, not corpus rows)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
       .orderBy(col("cell_cos").desc, col("cell"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("cell_cos", Vectors.cosine(col("qv"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    probed.join(assigned, Seq("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** LSH ANN: band the SRP signature, bucket-join queries to corpus on any
     * agreeing band, score only candidates, top-k per query. Scales: the
-    * all-pairs cross join is replaced by an equality shuffle on band values.
+    * all-pairs cross join is replaced by an equality shuffle on band values,
+    * candidate dedup runs on BARE (query_id, neighbor_id) pairs — vectors
+    * are re-attached by join only for the O(candidates) surviving rows, so
+    * no exchange ever carries a float array per banded row.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 16, bands: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val r = planes / bands
+    require(r >= 2, "band width r = planes/bands must be >= 2 (r=1 buckets are single bits)")
     val mask = (1L << r) - 1
-    def banded(df: DataFrame, id: String, v: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-          srpSignature(col(vecCol), planes).as("sig"))
-        .select(col(id), col(v),
+    def bandedIds(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), srpSignature(col(vecCol), planes).as("sig"))
+        .select(col(id),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
-        .select(col(id), col(v), col("bb.band"), col("bb.bval"))
-    val qb = banded(queries, "query_id", "qv")
-    val cb = banded(corpus, "neighbor_id", "cv")
-    val cands = qb.join(cb, Seq("band", "bval"))
+        .select(col(id), col("bb.band"), col("bb.bval"))
+    val qb = bandedIds(queries, "query_id")
+    val cb = bandedIds(corpus, "neighbor_id")
+    val cand = qb.join(cb, Seq("band", "bval"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 }

@@ -13,6 +13,34 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object NorthStar {
 
+  /** DuckDB SQL for the exact word-3-gram Jaccard pair set at `threshold`
+    * over the documents table — the shared oracle for q34 (computed exactly)
+    * and q35/q36 (sketch-proposed, exactly verified). `extraCols` appends
+    * constant gate columns (e.g. "TRUE AS est_ok") that the Spark side must
+    * also produce on every row.
+    */
+  private def exactJaccardOracle(threshold: Double, extraCols: String*): String = {
+    val extra = if (extraCols.isEmpty) "" else extraCols.mkString(",\n          ", ",\n          ", "")
+    s"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard$extra
+        FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= $threshold
+        ORDER BY id_a, id_b"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via md5 fingerprint of normalized text.
@@ -110,40 +138,28 @@ object NorthStar {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
-        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
-        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
-        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
-        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-          CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-        FROM pairs
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.2
-        ORDER BY id_a, id_b""")),
+      Some(exactJaccardOracle(0.2))),
 
-    // MinHash-LSH near-dup pairs (banded signatures). Hash family is
-    // xxhash64-based — not expressible in DuckDB, so rows-only gate here;
-    // MinhashSpec cross-checks estimates against exact Jaccard.
+    // MinHash-LSH near-dup pairs, ORACLE-GATED: the sketch proposes
+    // candidates (banded equality shuffle — the scale path), exact n-gram
+    // Jaccard disposes, so the pair set and jaccard values are the exact
+    // ones DuckDB computes; est_ok additionally gates the minhash estimator
+    // (|est - exact| <= 0.2; at j >= 0.9 the k=32 estimator sd is ~0.05).
     Q("q35_dedup_minhash",
-      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.2)
+      (s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.2, estTol = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(exactJaccardOracle(0.2, "TRUE AS est_ok"))),
 
-    // SimHash near-dup pairs (banded 64-bit signatures + Hamming verify).
+    // SimHash near-dup pairs, ORACLE-GATED the same way: simhash banding
+    // (bands=8 -> hamming <= 7 structurally guaranteed candidates; planted
+    // near-dups measure hamming <= 5) proposes, exact Jaccard disposes;
+    // hamming_ok gates that every surviving pair is within 12 bits.
     Q("q36_dedup_simhash",
-      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 12)
+      (s, d) => Dedup.simhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 12, bands = 8, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(exactJaccardOracle(0.2, "TRUE AS hamming_ok"))),
 
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",
@@ -154,51 +170,73 @@ object NorthStar {
             round(col("cosine"), 6).as("cos_r"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
-        WITH p AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
-              AS cosine
-          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-          WHERE q.vec_id < 5)
-        SELECT query_id, neighbor_id, cos_r, rank FROM (
-          SELECT query_id, neighbor_id, round(cosine, 6) AS cos_r,
-            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-          FROM p) x
-        WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(exactTopKOracle)),
 
-    // LSH-bucketed ANN (scale path; recall checked in SimilaritySpec).
+    // LSH-bucketed ANN, ORACLE-GATED against the EXACT answer: at
+    // planes=32/bands=16 the SRP banding has measured recall 1.0 on this
+    // fixture (deterministic hash planes, partition-independent), so the
+    // approximate result must EQUAL the exact top-k — same oracle as q37.
+    // Any hash-family regression breaks the hash match.
     Q("q38_ann_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 5,
+          planes = 32, bands = 16)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cos_r"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(exactTopKOracle)),
 
-    // IVF ANN (k-means coarse quantizer + nprobe cells; FAISS-style).
+    // IVF ANN (k-means coarse quantizer + nprobe cells; FAISS-style),
+    // ORACLE-GATED on per-query recall vs the exact top-k: every query must
+    // recover >= 60% of its true neighbors through probed cells only
+    // (measured 0.8-1.0 per query at ncells=8/nprobe=4 on this fixture).
     Q("q50_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5,
-          ncells = 8, nprobe = 3)
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
+        val queries = emb.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(queries, emb, k = 5, ncells = 8, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.6).as("recall_ok"))
+          .orderBy(col("query_id"))
       },
-      None),
+      Some("""
+        SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 5 ORDER BY query_id""")),
 
-    // Embedding-cosine near-dup pairs (dedup family, SRP-banded candidates;
-    // fixture vectors are random so the threshold is set where pairs exist).
+    // Embedding-cosine near-dup pairs, ORACLE-GATED: rows are the EXACT
+    // brute-force pair set (id, id, cosine — DuckDB recomputes them all);
+    // recall_ok gates that the SRP-banded scale path (planes=64/bands=16,
+    // expected recall ~0.97 at cosine 0.35) recovers >= 85% of them.
     Q("q51_dedup_embedding",
-      (s, d) => graft.operators.Similarity.embeddingDupPairs(
-        t(s, d, "embeddings"), threshold = 0.35)
-        .select(col("id_a"), col("id_b"))
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val exact = Similarity.exactCosinePairs(emb, threshold = 0.35)
+        val found = Similarity.embeddingDupPairs(emb, threshold = 0.35,
+          planes = 64, bands = 16).select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+        val recallOk = exact.join(found, Seq("id_a", "id_b"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.85).as("recall_ok"))
+        exact.select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
+          .crossJoin(broadcast(recallOk))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cosine, 6) AS cos_r, TRUE AS recall_ok
+        FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""")),
 
     // Multimodal plumbing: binary column + deterministic stub decode.
     Q("q39_multimodal_meta",
@@ -247,12 +285,41 @@ object NorthStar {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_seq
         FROM e ORDER BY user_id, event_id""")),
 
-    // Approximate distinct (HLL++) — engine-specific sketch, rows-only.
+    // Approximate distinct (HLL++), ORACLE-GATED against the exact count:
+    // both sides computed in ONE aggregation pass; the oracle verifies the
+    // exact side value-for-value and approx_ok gates the sketch within 5%
+    // relative error (HLL++ at rsd=0.01 is ~1% — wide safety margin).
     Q("q41_approx_distinct",
       (s, d) => t(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy(col("event_type")),
-      None)
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
+
+  /** DuckDB SQL for the exact cosine top-5 of queries vec_id < 5 — shared by
+    * q37 (computed brute-force) and q38 (computed via LSH buckets, which at
+    * the chosen config must return the identical exact answer).
+    */
+  private def exactTopKOracle: String = """
+        WITH p AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, neighbor_id, cos_r, rank FROM (
+          SELECT query_id, neighbor_id, round(cosine, 6) AS cos_r,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+          FROM p) x
+        WHERE rank <= 5 ORDER BY query_id, rank"""
 }
