@@ -23,6 +23,7 @@ object AsOfJoin {
   private val TIME = "__asof_time"
   private val SIDE = "__asof_side"
   private val RTIME = "__asof_rtime"
+  private val CARRY = "__asof_carry"
 
   /** Backward as-of: for each left row, the payload of the latest right row
     * with rightOn <= leftOn within the same `by` group (pandas
@@ -52,21 +53,22 @@ object AsOfJoin {
     require(names.toSet.intersect(left.columns.toSet).isEmpty,
       s"payload names collide with left columns: ${names.mkString(",")}")
 
-    // Right side: key/time/side + payload (+ matched right time for tolerance).
+    // Right side: key/time/side + ONE carry struct holding the matched right
+    // time and every payload field. Carrying a single struct (not one column
+    // per payload) guarantees all payload values come from the SAME matched
+    // right row: a right row whose payload field is legitimately NULL is
+    // still the match (struct is non-null), and its NULL is preserved —
+    // per-column last(ignoreNulls) would instead skip to a stale older row.
     val r2 = right.select(
-      rightBy.as(KEY) +: rightOn.as(TIME) +: lit(0).as(SIDE) +:
-        rightOn.as(RTIME) +: payload.map { case (n, c) => c.as(n) }: _*)
-    // Left side: key/time/side + all left columns; payload slots and the
-    // matched-right-time slot are typed nulls (RTIME MUST be null on left
-    // rows — it is carried via last(ignoreNulls) like the payload, and a
-    // non-null value here would make every left row "match" its own time).
-    val rtimeType = r2.schema.fields(3).dataType
+      rightBy.as(KEY), rightOn.as(TIME), lit(0).as(SIDE),
+      struct(rightOn.as(RTIME) +: payload.map { case (n, c) => c.as(n) }: _*).as(CARRY))
+    // Left side: key/time/side + all left columns; the carry slot is a typed
+    // null (it MUST be null on left rows — it is carried via last(ignoreNulls),
+    // and a non-null value here would make every left row "match" itself).
+    val carryType = r2.schema.fields(3).dataType
     val l2 = left.select(
       leftBy.as(KEY) +: leftOn.as(TIME) +: lit(1).as(SIDE) +:
-        lit(null).cast(rtimeType).as(RTIME) +: left.columns.map(col): _*)
-    val payloadSchema = r2.schema.fields.drop(4)
-    val l3 = payloadSchema.foldLeft(l2)((df, f) =>
-      df.withColumn(f.name, lit(null).cast(f.dataType)))
+        lit(null).cast(carryType).as(CARRY) +: left.columns.map(col): _*)
     val r3 = left.schema.fields.foldLeft(r2)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
 
@@ -77,17 +79,19 @@ object AsOfJoin {
     val w = Window.partitionBy(col(KEY)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (names :+ RTIME).foldLeft(l3.unionByName(r3))((df, n) =>
-      df.withColumn(n, last(col(n), ignoreNulls = true).over(w)))
+    val carried = l2.unionByName(r3)
+      .withColumn(CARRY, last(col(CARRY), ignoreNulls = true).over(w))
 
-    val withTol = toleranceUs match {
+    val matched = toleranceUs match {
       case Some(tol) =>
         val outOfRange =
-          abs(unix_micros(col(TIME)) - unix_micros(col(RTIME))) > tol
-        names.foldLeft(carried)((df, n) =>
-          df.withColumn(n, when(outOfRange, lit(null)).otherwise(col(n))))
+          abs(unix_micros(col(TIME)) - unix_micros(col(s"$CARRY.$RTIME"))) > tol
+        carried.withColumn(CARRY, when(outOfRange, lit(null).cast(carryType))
+          .otherwise(col(CARRY)))
       case None => carried
     }
-    withTol.filter(col(SIDE) === 1).drop(KEY, TIME, SIDE, RTIME)
+    val unpacked = names.foldLeft(matched)((df, n) =>
+      df.withColumn(n, col(s"$CARRY.$n")))
+    unpacked.filter(col(SIDE) === 1).drop(KEY, TIME, SIDE, CARRY)
   }
 }

@@ -23,6 +23,15 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 1, "salt factor must be > 1")
+    // right/full outer would emit each UNMATCHED right row once per replica
+    // (`factor` copies), breaking the row-identical contract — only join
+    // types that never emit unmatched right rows are sound under replication
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti/cross join types, not '$joinType' " +
+        "(unmatched right rows would be duplicated per salt replica)")
     val salted = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",

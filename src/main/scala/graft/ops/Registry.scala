@@ -503,7 +503,16 @@ final class Registry(spark: SparkSession) {
       val fn = aggFns.getOrElse(aggfunc, throw PipelineError(s"Unknown aggfunc '$aggfunc'"))
       df.groupBy(index.map(col): _*).pivot(columns).agg(fn(col(values)))
     case "count" => df.count()
-    case "nunique" => df.distinct().count()
+    case "nunique" =>
+      // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),
+      // not the distinct-row count. One aggregation pass (all countDistincts
+      // share the scan), unpivoted to tidy (column, n_unique) rows.
+      val aggs = df.columns.map(c => countDistinct(col(c)).as(c))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      wide.selectExpr(
+        s"stack(${df.columns.length}, " +
+          df.columns.map(c => s"'$c', `$c`").mkString(", ") +
+          ") AS (column, n_unique)")
     case "describe" | "summary" => df.summary()
     case "value_counts" =>
       val c = asStr(a.require("column", 0), "column")

@@ -20,7 +20,22 @@ object Q {
     * rebuild a microsecond TimestampType column. The fixture has no sub-us
     * content, so this is lossless and oracle-exact.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (sys.props.get("graft.cache.tables").contains("true"))
+      tableCache.getOrElseUpdate((dir, name),
+        load(spark, dir, name)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else load(spark, dir, name)
+
+  // Bench-harness opt-in (-Dgraft.cache.tables=true): the bench re-reads the
+  // same handful of fixture tables across 50+ queries; caching the base scans
+  // removes the repeated-read floor so per-query regressions stay visible.
+  // Keyed per (dir, name); assumes one SparkSession per JVM (true for all
+  // graft mains).
+  private val tableCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>

@@ -112,8 +112,11 @@ final class Pipeline(
         }.toMap
         val url = kw.getOrElse("url", throw PipelineError(
           s"Connection '$name': map form requires 'url'"))
-        name -> JdbcConn(JdbcConn.fromUrl(url).url, kw - "url" ++
-          JdbcConn.fromUrl(url).props)
+        // explicit map entries (user/password/...) take precedence over
+        // credentials embedded in the URL — mirroring create_engine, where
+        // explicit kwargs win (reference etl.py:375-378)
+        val parsed = JdbcConn.fromUrl(url)
+        name -> JdbcConn(parsed.url, parsed.props ++ (kw - "url"))
       case (name, other) => throw PipelineError(
         s"Connection '$name' must be a string or map, got ${other.typeName}")
     }.toMap
@@ -127,10 +130,31 @@ final class Pipeline(
     case Some(other) => throw PipelineError(s"'steps' must be a list, got ${other.typeName}")
   }
 
+  // concurrent: resumed/progress records are written from dependency-gated
+  // futures running in parallel — a plain var Set would lose updates
+  private val resumedSet = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val progressQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Names of steps that were skipped via checkpoint resume in the last run
     * (observable recovery behavior, tested like test_etl.py:288-303).
     */
-  @volatile var resumedSteps: Set[String] = Set.empty
+  def resumedSteps: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    resumedSet.asScala.toSet
+  }
+
+  /** Step progress lines emitted during run() — the reference surfaces the
+    * same signal through tqdm (etl.py:578-583, 617). Also printed to stderr.
+    */
+  def progressMessages: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    progressQ.asScala.toSeq
+  }
+
+  private def progress(msg: String): Unit = {
+    progressQ.add(msg)
+    Console.err.println(msg)
+  }
 
   // ---- execution -----------------------------------------------------------
 
@@ -148,11 +172,13 @@ final class Pipeline(
     else df.write.mode("overwrite").parquet(path)
 
   private def execStep(step: StepSpec): Any = {
+    val t0 = System.nanoTime()
+    progress(s"[pipeline] step '${step.name}' started")
     val ckpt = checkpointPath(step)
     val resumed = step.resumeFromSaved && ckpt.exists(p => Files.exists(Paths.get(p)))
     val out: Any =
       if (resumed) {
-        resumedSteps += step.name
+        resumedSet.add(step.name)
         readCheckpoint(ckpt.get)
       } else {
         // resolve the function (etl.py:541-543): interpolation may already
@@ -191,6 +217,8 @@ final class Pipeline(
       case other => other
     }
     outputs(step.name) = persisted
+    val secs = (System.nanoTime() - t0) / 1e9
+    progress(f"[pipeline] step '${step.name}' ${if (resumed) "resumed from checkpoint" else "finished"} in $secs%.2fs")
     persisted
   }
 
@@ -198,13 +226,16 @@ final class Pipeline(
     * wave barrier, etl.py:572-617). Returns every step's output.
     */
   def run()(implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Any] = {
-    resumedSteps = Set.empty
+    resumedSet.clear()
+    progressQ.clear()
+    progress(s"[pipeline] running ${graph.topoOrder.size} steps")
     val futures = scala.collection.mutable.Map[String, Future[Any]]()
     for (name <- graph.topoOrder) {
       val deps = graph.depsOf(name).toList.map(futures)
       futures(name) = Future.sequence(deps).map(_ => execStep(graph.byName(name)))
     }
     Await.result(Future.sequence(futures.values.toList), Duration.Inf)
+    progress(s"[pipeline] done: ${graph.topoOrder.size} steps (${resumedSet.size} resumed)")
     outputs.toMap
   }
 

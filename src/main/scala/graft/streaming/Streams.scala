@@ -17,8 +17,16 @@ object Streams {
     * does: nanos long -> us timestamp.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    // Only reach for the nanosAsLong escape hatch when the input actually
+    // contains TIMESTAMP(NANOS) (plain reads throw "Illegal Parquet type").
+    // The conf must then REMAIN set for the stream's lifetime — every
+    // micro-batch re-scans parquet under the session conf — so it cannot be
+    // save/restored here; for non-nanos inputs the session is untouched.
+    val schema = try spark.read.parquet(dir).schema catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(dir).schema
+    }
     val raw = spark.readStream.schema(schema).parquet(dir)
     if (schema.fieldNames.contains("ts") &&
         schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -52,6 +52,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("t1") == 101.0) // 0s away
     assert(out("t2") == null)  // 10s away > 5s tolerance
   }
+
+  test("matching right row with NULL payload yields NULL, not a stale older value") {
+    // pandas merge_asof returns the MATCHED row's values verbatim — a null
+    // payload on the matched row must surface as null, not skip to an older
+    // non-null row (per-column last(ignoreNulls) would do exactly that).
+    val quotesWithNull = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0)),
+      (1L, ts("2024-01-01 10:00:25"), Option.empty[Double]) // latest before t2
+    ).toDF("sym", "t", "px")
+    val out = AsOfJoin.backward(
+      trades, col("t"), col("sym"), quotesWithNull, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")))
+      .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("t1") == 100.0) // 10:00:00 row
+    assert(out("t2") == null, "matched 10:00:25 row has null px; must not fall back to 100.0")
+  }
+
+  test("multi-payload columns all come from the same matched row") {
+    val q2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("mkt-a")),
+      (1L, ts("2024-01-01 10:00:25"), Option(102.5), Option.empty[String])
+    ).toDF("sym", "t", "px", "venue")
+    val out = AsOfJoin.backward(
+      trades, col("t"), col("sym"), q2, col("t"), col("sym"),
+      payload = Seq("px" -> col("px"), "venue" -> col("venue")))
+      .select("trade_id", "px", "venue").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(out("t2") == ((102.5, null)), "both payload fields from the 10:00:25 row")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
@@ -114,7 +143,7 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN recall@10 vs brute force (probed cells only)") {
+  test("IVF ANN recall@10 >= 0.6 vs brute force (probed cells only)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -124,20 +153,64 @@ class SimilaritySpec extends AnyFunSuite {
       ivf.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean IVF recall $mean too low")
+    assert(mean >= 0.6, s"mean IVF recall $mean too low")
   }
 
-  test("LSH ANN recall@10 >= 0.4 vs brute force (bucketed candidates only)") {
+  test("LSH ANN recall@10 >= 0.8 vs brute force at the q38 config (32 planes / 16 bands)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val approx = Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8)
+    val approx = Similarity.lshTopK(queries, emb, k = 10, planes = 32, bands = 16)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = exact.map { case (q, truth) =>
       approx.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean recall $mean too low")
+    assert(mean >= 0.8, s"mean recall $mean too low for the oracle-gated config")
+  }
+
+  test("two-phase topk equals a global sort-based topk under many partitions") {
+    // TopKAgg merges per-partition heaps; the result must match an exact
+    // global (score desc, id asc) ranking regardless of partitioning.
+    val queries = emb.filter(col("vec_id") < 3)
+    val spread = emb.repartition(13)
+    val out = Similarity.bruteForceTopK(queries, spread, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val q = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val c = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, qv) <- q) {
+      val expect = c.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(7).map(_._1)
+      val got = (1 to 7).map(r => out((qid, r)))
+      assert(got == expect, s"query $qid: $got != $expect")
+    }
+  }
+}
+
+class SkewGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin rejects outer join types that would duplicate unmatched right rows") {
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((1, "x"), (2, "y")).toDF("k", "rv")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, Seq("k"), factor = 4, joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, Seq("k"), factor = 4, joinType = "full")
+    }
+    // allowed types still work and stay row-identical
+    val inner = Skew.saltedJoin(l, r, Seq("k"), factor = 4).collect()
+    assert(inner.length == 1)
   }
 }
 

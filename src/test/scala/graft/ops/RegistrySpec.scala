@@ -28,6 +28,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(0).getDouble(1) == 15.0 && out(0).getLong(2) == 2L)
   }
 
+  test("nunique: per-COLUMN distinct counts (pandas semantics), nulls excluded") {
+    // pandas: df.nunique() -> Series of per-column distinct counts,
+    // dropna=True by default (countDistinct skips nulls too)
+    val out = mp(df, "nunique").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("k" -> 2L, "i" -> 4L, "v" -> 3L))
+  }
+
   test("groupby dropna=true (pandas default) drops null keys") {
     val withNullKey = df.withColumn("k2", when(col("k") === "b", lit(null)).otherwise(col("k")))
     val g = m(withNullKey, "groupby", "by" -> "k2")

@@ -42,6 +42,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.output("sumStep") == 6L)
     assert(p.output("prodStep") == 6L)
     assert(p.output("combined") == 12L)
+    // progress reporting (reference surfaces the same via tqdm, etl.py:578-617)
+    val msgs = p.progressMessages
+    assert(msgs.head == "[pipeline] running 6 steps")
+    assert(msgs.count(_.endsWith("' started")) == 6)
+    assert(msgs.count(_.contains("' finished in")) == 6)
+    assert(msgs.last == "[pipeline] done: 6 steps (0 resumed)")
   }
 
   // ---- csv -> groupby -> max -> to_csv (test_etl.py:182-220) --------------
@@ -104,6 +110,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(counter.get == 1, "resumed run must not re-execute the step")
     assert(p2.resumedSteps == Set("load"))
     assert(p2.output("shrink").asInstanceOf[DataFrame].count() == 5)
+    assert(p2.progressMessages.exists(m =>
+      m.startsWith("[pipeline] step 'load' resumed from checkpoint")))
+    assert(p2.progressMessages.last.endsWith("(1 resumed)"))
   }
 
   // full recovery-pipeline shape ported from the reference fixture
