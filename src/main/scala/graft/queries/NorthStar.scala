@@ -300,7 +300,53 @@ object NorthStar {
         .orderBy(col("event_type")),
       Some("""
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // REAL image codec round trip, oracle-gated: render a deterministic PNG
+    // per doc (dims derived from doc_id), decode it back with the
+    // javax.imageio-backed decoder (header parse, distributed mapPartitions
+    // batches) and verify the recovered dimensions against the formula.
+    Q("q52_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.syntheticPng(
+              (8 + id % 16).toInt, (5 + id % 7).toInt, seed = id))
+          })
+          .toDF("doc_id", "content")
+        Multimodal.decodeBatch(pngs, "doc_id", "content", Multimodal.ImageIoDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(8 + doc_id % 16 AS INTEGER) AS width,
+          CAST(5 + doc_id % 7 AS INTEGER) AS height,
+          3 AS channels, 'image/png' AS format
+        FROM documents ORDER BY doc_id""")),
+
+    // pandas df.nunique() semantics through the registry dispatch surface:
+    // per-column distinct counts in one aggregation pass, tidy rows.
+    Q("q53_nunique",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(
+          t(s, d, "orders").select("o_custkey", "o_orderstatus", "o_orderpriority"),
+          "nunique", graft.expr.Args())
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("column"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'o_custkey' AS "column", COUNT(DISTINCT o_custkey) AS n_unique FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders) t
+        ORDER BY "column""""))
   )
 
   /** DuckDB SQL for the exact cosine top-5 of queries vec_id < 5 — shared by

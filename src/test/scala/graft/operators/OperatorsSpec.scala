@@ -309,6 +309,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dups.toSeq == Seq((1L, 2L)))
   }
 
+  test("ImageIoDecoder parses real PNG and JPEG headers (JDK codecs, no stubs)") {
+    val png = Multimodal.syntheticPng(37, 21, seed = 7L)
+    val m = Multimodal.ImageIoDecoder.decode(1L, png)
+    assert(m.width == 37 && m.height == 21)
+    assert(m.channels == 3)
+    assert(m.format == "image/png")
+    assert(m.n_bytes == png.length)
+    // JPEG via the same JDK ImageIO write path
+    val img = new java.awt.image.BufferedImage(
+      16, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val j = Multimodal.ImageIoDecoder.decode(2L, bos.toByteArray)
+    assert(j.width == 16 && j.height == 9)
+    assert(j.format == "image/jpeg")
+    // corrupt payload degrades gracefully instead of failing the task
+    val bad = Multimodal.ImageIoDecoder.decode(3L, Array[Byte](1, 2, 3, 4))
+    assert(bad.width == 0 && bad.format == "unknown")
+  }
+
+  test("decodeBatch with the real decoder runs distributed over partitions") {
+    val df = Seq((10L, 24, 12), (11L, 8, 30)).toDF("id", "w", "h")
+      .repartition(2)
+    val spark2 = spark
+    import spark2.implicits._
+    val pngs = df.as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, Multimodal.syntheticPng(w, h, seed = id)) })
+      .toDF("id", "content")
+    val out = Multimodal.decodeBatch(pngs, "id", "content", Multimodal.ImageIoDecoder)
+      .collect().map(m => m.id -> m).toMap
+    assert(out(10L).width == 24 && out(10L).height == 12)
+    assert(out(11L).width == 8 && out(11L).height == 30)
+    assert(out.values.forall(_.format == "image/png"))
+  }
+
   test("binaryFile source reads content as BinaryType") {
     val dir = java.nio.file.Files.createTempDirectory("bin")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
