@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north star; no analog in the reference):
-  * media as opaque BinaryType
-  * columns with typed metadata structs. The Spark-side machinery — schema,
-  * partition-sized batch decode via mapPartitions, binaryFile ingestion —
-  * is real; the codec itself is STUBBED (this container has no image/audio
-  * libs) behind [[MediaDecoder]] with a deterministic fake implementation.
+  * media as opaque BinaryType columns with typed metadata structs. The
+  * Spark-side machinery — schema, partition-sized batch decode via
+  * mapPartitions, binaryFile ingestion — is real, and so are the codecs
+  * that ship with the JDK: image metadata + resize (javax.imageio +
+  * Graphics2D: [[ImageIoDecoder]], [[resizeImages]]) and WAV/AIFF/AU audio
+  * ([[WavDecoder]]). Only the vision-embedding extractor and video frame
+  * sampler remain deterministic STUBS behind the same SPIs (no vision model
+  * or video codec ships with a bare JDK).
   */
 object Multimodal {
 
@@ -130,6 +133,103 @@ object Multimodal {
     import spark.implicits._
     meta.map(m => ResizedMeta(m.id, targetW, targetH,
       targetW * targetH * m.channels))
+  }
+
+  /** A resized image: real re-encoded payload + its recovered dimensions. */
+  final case class ResizedImage(id: Long, width: Int, height: Int,
+                                n_bytes: Int, content: Array[Byte])
+
+  /** REAL image resize via JDK Graphics2D (bilinear) + ImageIO re-encode —
+    * no external libs. mapPartitions batch shape: decode/scale/encode run
+    * per executor partition, never on the driver; rows with undecodable
+    * payloads are dropped (flatMap), mirroring how a media pipeline sheds
+    * corrupt crawl items.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   targetW: Int, targetH: Int,
+                   format: String = "png"): Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val src = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (src == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, format, bos)
+            val out = bos.toByteArray
+            Some(ResizedImage(id, targetW, targetH, out.length, out))
+          }
+        }
+      }
+  }
+
+  /** Typed audio decode result (what a WAV header parse yields). */
+  final case class AudioMeta(id: Long, n_bytes: Int, sample_rate: Int,
+                             channels: Int, n_frames: Long, format: String)
+
+  /** REAL audio metadata decode via JDK javax.sound.sampled (WAV/AIFF/AU
+    * readers ship with the JDK): header-only — frame length, sample rate and
+    * channel count come from the container header, pixel^W sample data is
+    * never decoded. Unrecognized payloads degrade to zeros/"unknown".
+    */
+  object WavDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): AudioMeta =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          AudioMeta(id, bytes.length, f.getSampleRate.toInt, f.getChannels,
+            in.getFrameLength, "audio/wav")
+        } finally in.close()
+      } catch {
+        case _: Exception => AudioMeta(id, bytes.length, 0, 0, 0L, "unknown")
+      }
+  }
+
+  /** Batch audio decode: one partition = one batch, same shape as
+    * [[decodeBatch]]. Input (id: Long, content: Binary).
+    */
+  def decodeAudioBatch(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => WavDecoder.decode(id, bytes) })
+  }
+
+  /** Deterministically synthesize a PCM16 mono/stereo WAV (LCG samples) —
+    * exercises the REAL audio encode->decode path without media fixtures.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var s = seed
+    var i = 0
+    while (i < pcm.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      pcm(i) = (s >>> 40).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Feature-extraction result: an embedding per media item. */

@@ -328,6 +328,33 @@ object NorthStar {
           3 AS channels, 'image/png' AS format
         FROM documents ORDER BY doc_id""")),
 
+    // REAL audio codec round trip, oracle-gated like q52: synthesize a PCM16
+    // WAV per doc (rate/channels/frames derived from doc_id), decode the
+    // header back with the javax.sound-backed decoder, verify vs formulas.
+    Q("q54_audio_meta",
+      (s, d) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.syntheticWav(
+              sampleRate = (8000 + (id % 4) * 4000).toInt,
+              channels = (1 + id % 2).toInt,
+              nFrames = (800 + id % 100).toInt, seed = id))
+          })
+          .toDF("doc_id", "content")
+        Multimodal.decodeAudioBatch(wavs, "doc_id", "content").toDF()
+          .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+          CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+          CAST(800 + doc_id % 100 AS BIGINT) AS n_frames,
+          'audio/wav' AS format
+        FROM documents ORDER BY doc_id""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

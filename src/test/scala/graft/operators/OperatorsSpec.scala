@@ -345,6 +345,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.values.forall(_.format == "image/png"))
   }
 
+  test("resizeImages: real Graphics2D scale + re-encode, round-trips through the decoder") {
+    val df = Seq((1L, Multimodal.syntheticPng(40, 20, seed = 3L))).toDF("id", "content")
+    val out = Multimodal.resizeImages(df, "id", "content", targetW = 10, targetH = 8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.width == 10 && r.height == 8 && r.n_bytes == r.content.length)
+    val back = Multimodal.ImageIoDecoder.decode(1L, r.content)
+    assert(back.width == 10 && back.height == 8 && back.format == "image/png")
+    // undecodable rows are shed, not failed
+    val junk = Seq((2L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    assert(Multimodal.resizeImages(junk, "id", "content", 4, 4).collect().isEmpty)
+  }
+
+  test("WavDecoder parses real WAV headers; decodeAudioBatch runs distributed") {
+    val wav = Multimodal.syntheticWav(sampleRate = 16000, channels = 2,
+      nFrames = 1234, seed = 5L)
+    val m = Multimodal.WavDecoder.decode(7L, wav)
+    assert(m.sample_rate == 16000 && m.channels == 2 && m.n_frames == 1234L)
+    assert(m.format == "audio/wav" && m.n_bytes == wav.length)
+    assert(Multimodal.WavDecoder.decode(8L, Array[Byte](0, 1)).format == "unknown")
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 8000, 1, 100), (2L, 44100, 2, 500)).toDF("id", "sr", "ch", "fr")
+      .repartition(2)
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, sr, ch, fr) =>
+        (id, Multimodal.syntheticWav(sr, ch, fr, seed = id)) })
+      .toDF("id", "content")
+    val out = Multimodal.decodeAudioBatch(df, "id", "content")
+      .collect().map(a => a.id -> a).toMap
+    assert(out(1L).sample_rate == 8000 && out(1L).channels == 1 && out(1L).n_frames == 100L)
+    assert(out(2L).sample_rate == 44100 && out(2L).channels == 2 && out(2L).n_frames == 500L)
+  }
+
   test("binaryFile source reads content as BinaryType") {
     val dir = java.nio.file.Files.createTempDirectory("bin")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
