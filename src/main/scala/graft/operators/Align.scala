@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Positional row alignment — the pandas default-RangeIndex semantics that
+  * Spark deliberately lacks. Closes the one SURVEY §2.C row previously
+  * absent by design: `pd.concat(axis=1)` (reference reaches it through the
+  * dynamic dispatch at pandas_etl/etl.py:541-557).
+  *
+  * Spark DataFrames have no intrinsic row order, so positional alignment is
+  * only meaningful when each input's current order is deterministic (e.g.
+  * freshly sorted, or read from a source with a stable order). Under that
+  * contract, `zipWithIndex` assigns global positions in ONE extra pass per
+  * input (it needs per-partition counts before numbering; no shuffle of the
+  * data itself), and frames align by an equi-join on the position — the same
+  * cost shape as a sort-merge join, scale-safe.
+  */
+object Align {
+
+  private val POS = "__align_pos"
+
+  /** pandas `pd.concat(objs, axis=1)` for default-RangeIndex frames:
+    * column-wise concat aligning rows by position. Like pandas, the join is
+    * OUTER over positions — shorter frames pad with nulls. Divergence
+    * (documented): pandas permits duplicate output column names; Spark
+    * cannot, so later duplicates get a `_i` suffix.
+    */
+  def concatColumns(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "concatColumns needs at least one frame")
+    val deduped = {
+      val seen = scala.collection.mutable.Set[String]()
+      dfs.zipWithIndex.map { case (df, i) =>
+        df.columns.foldLeft(df) { (acc, c) =>
+          if (seen.add(c)) acc
+          else {
+            val renamed = s"${c}_$i"
+            seen.add(renamed)
+            acc.withColumnRenamed(c, renamed)
+          }
+        }
+      }
+    }
+    val joined = deduped.map(withPosition(_)).reduce(
+      (l, r) => l.join(r, Seq(POS), "full_outer"))
+    joined.drop(POS)
+  }
+
+  /** Attach a 0-based global position column reflecting the frame's current
+    * row order (RDD zipWithIndex: partition-local numbering + a partition
+    * offset scan — order within and across partitions is preserved).
+    */
+  def withPosition(df: DataFrame, posCol: String = POS): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(i +: row.toSeq)
+    }
+    spark.createDataFrame(rdd,
+      StructType(StructField(posCol, LongType, nullable = false) +: schema.fields))
+  }
+}

@@ -209,7 +209,14 @@ final class Registry(spark: SparkSession) {
         case l: List[_] => l.map(asDf(_, "concat element"))
         case other => throw PipelineError(s"concat expects a list, got ${tn(other)}")
       }
-      objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+      a.get("axis", -1).map(_.toString).getOrElse("0") match {
+        case "1" | "columns" =>
+          // positional column concat (pandas default-RangeIndex semantics);
+          // inputs must carry a deterministic row order — see Align scaladoc
+          graft.operators.Align.concatColumns(objs)
+        case _ =>
+          objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+      }
     },
     "pd.merge" -> { a =>
       mergeImpl(asDf(a.require("left", 0), "merge left"), a, rightPos = 1)
@@ -356,6 +363,48 @@ final class Registry(spark: SparkSession) {
       val mode = a.get("mode", -1).map(asStr(_, "mode")).getOrElse("append")
       graft.streaming.Streams.runToMemory(df, name, mode)
       spark.table(name)
+    },
+    "graft.minhash_verified_pairs" -> { a =>
+      Dedup.minhashVerifiedPairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(32),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5))
+    },
+    "graft.simhash_verified_pairs" -> { a =>
+      Dedup.simhashVerifiedPairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(12),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.2))
+    },
+    "graft.exact_cosine_pairs" -> { a =>
+      Similarity.exactCosinePairs(asDf(a.require("df", 0), "df"),
+        threshold = a.get("threshold", 1).map(_.toString.toDouble).getOrElse(0.95))
+    },
+    "graft.dedup_clusters" -> { a =>
+      Dedup.clusters(asDf(a.require("pairs", 0), "pairs"),
+        a.get("all_ids", -1).map(asDf(_, "all_ids")))
+    },
+    "graft.decode_image" -> { a =>
+      Multimodal.decodeBatch(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin"),
+        Multimodal.ImageIoDecoder).toDF()
+    },
+    "graft.decode_audio" -> { a =>
+      Multimodal.decodeAudioBatch(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
+    },
+    "graft.resize_images" -> { a =>
+      Multimodal.resizeImages(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin"),
+        targetW = a.get("width", -1).map(asInt(_, "width")).getOrElse(224),
+        targetH = a.get("height", -1).map(asInt(_, "height")).getOrElse(224)).toDF()
     }
   )
 

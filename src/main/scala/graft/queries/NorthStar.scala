@@ -355,6 +355,26 @@ object NorthStar {
           'audio/wav' AS format
         FROM documents ORDER BY doc_id""")),
 
+    // pd.concat(axis=1): positional column concat (zipWithIndex alignment)
+    // of two deterministically-ordered projections of the same table —
+    // oracle reproduces the alignment with ROW_NUMBER over the same order.
+    Q("q55_concat_axis1",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val left = o.select(col("o_orderkey"), col("o_custkey")).orderBy(col("o_orderkey"))
+        val right = o.orderBy(col("o_orderkey"))
+          .select(col("o_totalprice"), col("o_orderstatus"))
+        graft.operators.Align.concatColumns(Seq(left, right))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH l AS (SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        r AS (SELECT o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        SELECT l.o_orderkey, l.o_custkey, r.o_totalprice, r.o_orderstatus
+        FROM l JOIN r USING (rn) ORDER BY o_orderkey""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

@@ -194,6 +194,39 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class AlignSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("concatColumns aligns by position; shorter frames pad with nulls") {
+    val a = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("name", "v")
+    val b = Seq(10.5, 20.5).toDF("w")
+    val out = Align.concatColumns(Seq(a, b))
+      .orderBy("v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.get(2)))
+    assert(out.toSeq == Seq(("x", 1, 10.5), ("y", 2, 20.5), ("z", 3, null)))
+  }
+
+  test("duplicate column names get a positional suffix (documented divergence)") {
+    val a = Seq(1).toDF("v")
+    val b = Seq(2).toDF("v")
+    val out = Align.concatColumns(Seq(a, b))
+    assert(out.columns.toSeq == Seq("v", "v_1"))
+    val r = out.collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+  }
+
+  test("registry pd.concat axis=1 dispatch") {
+    val reg = new graft.ops.Registry(spark)
+    val a = Seq((1L, "a")).toDF("id", "s")
+    val b = Seq(9.9).toDF("p")
+    val out = reg.callFunction("pd.concat", graft.expr.Args(
+        kw = List("objs" -> List(a, b), "axis" -> "1")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()(0)
+    assert(out.getLong(0) == 1L && out.getString(1) == "a" && out.getDouble(2) == 9.9)
+  }
+}
+
 class SkewGuardSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

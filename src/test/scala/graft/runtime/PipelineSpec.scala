@@ -324,7 +324,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.connections("plain").props("password") == "sekret")
     assert(p.connections("mapform").url == "jdbc:postgresql://dbhost/db2")
     assert(p.connections("mapform").props("driver") == "org.postgresql.Driver")
+    assert(p.connections("mapform").props("user") == "u2") // from URL
     assert(!p.connections("plain").toString.contains("sekret"))
+  }
+
+  test("map-form connection: explicit kwargs beat URL-embedded credentials") {
+    // mirrors create_engine, where explicit kwargs win (etl.py:375-378)
+    val p = new Pipeline(spark,
+      """connections:
+        |  c:
+        |    url: postgresql://urluser:urlpass@h/db
+        |    user: realuser
+        |    password: realpass
+        |steps: []
+        |""".stripMargin)
+    assert(p.connections("c").props("user") == "realuser")
+    assert(p.connections("c").props("password") == "realpass")
   }
 
   test("sql step via spark.sql over a registered view") {
