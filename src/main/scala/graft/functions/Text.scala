@@ -56,6 +56,35 @@ object Text {
     (lenOk * 0.4 + sw * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
   }
 
+  // PII patterns chosen for cross-engine regex portability (Java regex and
+  // RE2 both support these constructs; no lookbehind, no script classes).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction for corpus cleaning: emails and IPv4 addresses replaced
+    * by typed placeholder tokens. Pure regexp_replace chain — codegen'd, one
+    * pass per pattern, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      ipv4Re, "<IP>")
+
+  /** Count of PII hits a redaction pass would touch (audit metric). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(emailRe)) + regexp_count(text, lit(ipv4Re))
+
+  /** Within-document repetition: 1 - distinct(word n-grams)/total(word
+    * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
+    * values flag boilerplate/spam. Pure column math over the shingle array
+    * (single-pass custom expression), no shuffle.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val sh = graft.operators.Dedup.shingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast(DoubleType) /
+      greatest(size(sh), lit(1)).cast(DoubleType)
+  }
+
   /** Language-marker scores: count of high-frequency function words per
     * language (n-gram/stopword heuristic language ID).
     */

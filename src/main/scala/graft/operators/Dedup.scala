@@ -258,6 +258,27 @@ object Dedup {
         (col("hamming") <= maxHamming).as("hamming_ok"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus docs sharing >= `minCommon`
+    * distinct word n-grams with any benchmark document (the standard
+    * train/test-overlap check run before training). Shape: the benchmark's
+    * distinct shingle-hash set is tiny relative to the corpus — an equality
+    * join against it (broadcast when it fits) counts overlaps without the
+    * corpus ever self-joining. Returns (id, n_common) for flagged docs.
+    */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minCommon: Int = 1): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val benchShingles = sh(benchmark).select("h").distinct()
+    sh(corpus).join(benchShingles, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

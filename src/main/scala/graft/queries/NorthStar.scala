@@ -355,6 +355,69 @@ object NorthStar {
           'audio/wav' AS format
         FROM documents ORDER BY doc_id""")),
 
+    // PII redaction (emails / IPv4 -> typed placeholders) — corpus-cleaning
+    // staple; patterns chosen to parse identically under Java regex and RE2.
+    Q("q56_pii_redact",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        Text.redactPii(col("text")).as("redacted"),
+        Text.piiCount(col("text")).as("n_pii"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             AS INTEGER) AS n_pii
+        FROM documents ORDER BY doc_id""")),
+
+    // Benchmark decontamination: corpus docs sharing >= 5 distinct trigrams
+    // with the "benchmark" slice (doc_id < 20). The benchmark shingle set
+    // broadcasts; the corpus never self-joins.
+    Q("q57_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationFlags(
+          corpus = docs.filter(col("doc_id") >= 20),
+          benchmark = docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 3, minCommon = 5)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+        corpus AS (SELECT * FROM sh WHERE doc_id >= 20)
+        SELECT corpus.doc_id AS id, COUNT(*) AS n_common
+        FROM corpus JOIN bench ON corpus.g = bench.g
+        GROUP BY corpus.doc_id HAVING COUNT(*) >= 5
+        ORDER BY id""")),
+
+    // Within-doc repetition ratio (Gopher/C4-style boilerplate signal):
+    // 1 - distinct/total word trigrams, pure column math over the shingle
+    // expression — no shuffle, stays in whole-stage codegen.
+    Q("q58_repetition",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        Text.repetitionRatio(col("text"), n = 3).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION ALL SELECT * FROM short),
+        agg AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS dist
+                FROM sh GROUP BY doc_id)
+        SELECT doc_id,
+          1.0 - CAST(dist AS DOUBLE) / CAST(greatest(total, 1) AS DOUBLE) AS rep_ratio
+        FROM agg ORDER BY doc_id""")),
+
     // pd.concat(axis=1): positional column concat (zipWithIndex alignment)
     // of two deterministically-ordered projections of the same table —
     // oracle reproduces the alignment with ROW_NUMBER over the same order.

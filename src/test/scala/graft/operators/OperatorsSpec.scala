@@ -447,6 +447,42 @@ class TextSpec extends AnyFunSuite {
     assert(rows(1L).getDouble(4) > 0.0)
   }
 
+  test("redactPii replaces emails and IPv4s; piiCount counts them") {
+    val df = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 today"),
+      (2L, "no pii here")
+    ).toDF("id", "text")
+      .select(col("id"), Text.redactPii(col("text")).as("r"),
+        Text.piiCount(col("text")).as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("contact <EMAIL> or <IP> today", 2)))
+    assert(out(2L) == (("no pii here", 0)))
+  }
+
+  test("repetitionRatio: 0 for all-distinct trigrams, high for repeated text") {
+    val df = Seq(
+      (1L, "a b c d e"),                       // 3 trigrams, all distinct
+      (2L, "x y z x y z x y z x y z")          // heavy repetition
+    ).toDF("id", "text")
+      .select(col("id"), Text.repetitionRatio(col("text"), 3).as("rr"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) > 0.5)
+  }
+
+  test("contaminationFlags: only docs overlapping the benchmark are flagged") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the sleepy dog"), // heavy overlap
+      (2L, "completely different content about query engines and storage")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(corpus, bench, "doc_id", "text",
+      n = 3, minCommon = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out(1L) >= 3L)
+    assert(!out.contains(2L))
+  }
+
   test("langGuess is deterministic and favors matching markers") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
