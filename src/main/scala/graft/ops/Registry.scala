@@ -364,6 +364,26 @@ final class Registry(spark: SparkSession) {
       graft.streaming.Streams.runToMemory(df, name, mode)
       spark.table(name)
     },
+    "graft.stream_running_stats" -> { a =>
+      graft.streaming.Streams.runningUserStats(asDf(a.require("df", 0), "df"))
+    },
+    "graft.redact_pii" -> { a =>
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.withColumn(textCol, Text.redactPii(col(textCol)))
+    },
+    "graft.decontaminate" -> { a =>
+      // drops corpus docs overlapping the benchmark (anti-join on flags)
+      val corpus = asDf(a.require("df", 0), "df")
+      val idCol = asStr(a.get("id", -1).getOrElse("doc_id"), "id")
+      val flags = Dedup.contaminationFlags(corpus,
+        asDf(a.require("benchmark", 1), "benchmark"),
+        idCol,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        minCommon = a.get("min_common", -1).map(asInt(_, "min_common")).getOrElse(1))
+      corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    },
     "graft.minhash_verified_pairs" -> { a =>
       Dedup.minhashVerifiedPairs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

@@ -62,6 +62,37 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Per-user running state maintained across micro-batches. */
+  final case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing via flatMapGroupsWithState: a running
+    * per-user (count, sum) updated each micro-batch — the escape hatch for
+    * stream logic the built-in windowed aggregates can't express. State is
+    * partitioned by key across executors (an equality shuffle), so it scales
+    * with the key space, and every update emits the refreshed row (Update
+    * mode). Input needs (user_id: Long, value: Double).
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserState(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+      .toDF()
+  }
+
   /** Drive a streaming frame to a memory sink synchronously (test/dev
     * harness): processes everything available, then stops.
     */

@@ -58,6 +58,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.get() == Q.t(spark, TestSpark.sfDir, "events").count())
   }
 
+  test("flatMapGroupsWithState keeps per-key state across micro-batches") {
+    // two-file directory -> FileStreamSource (maxFilesPerTrigger=1 would
+    // split batches; AvailableNow already processes both, state persists
+    // within the run). Assert final state equals the batch ground truth.
+    val stream = Streams.eventsStream(spark, streamDir)
+    Streams.runToMemory(Streams.runningUserStats(stream), "stream_userstats",
+      outputMode = "update")
+    // update mode re-emits a user's row per batch; keep the last emission
+    val finalRows = spark.table("stream_userstats")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val truth = Q.t(spark, TestSpark.sfDir, "events")
+      .groupBy("user_id").count()
+    val joined = finalRows.join(truth, "user_id")
+      .filter(col("n_events") =!= col("count")).count()
+    assert(joined == 0, "running state must equal the batch per-user counts")
+    assert(finalRows.count() == truth.count())
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val stream = Streams.eventsStream(spark, streamDir)
     Streams.runToMemory(
