@@ -41,7 +41,12 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // operator-internal persists (signature/candidate frames) are scoped
+      // to their query; dropping them between queries keeps 58 queries from
+      // accumulating cached partitions and stealing each other's memory
+      spark.catalog.clearCache()
+      (name, secs, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
