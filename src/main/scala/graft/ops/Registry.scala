@@ -552,6 +552,75 @@ final class Registry(spark: SparkSession) {
       cols.foldLeft(df)((d, c) => d.withColumn(c,
         if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
         else first(col(c), ignoreNulls = true).over(w)))
+    case "shift" | "diff" | "cumsum" =>
+      // pandas order-dependent methods, distributed-deterministic via an
+      // explicit ordering key (same contract as ffill/bfill above)
+      val cols = asStrList(a.require("columns", -1))
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      val periods = a.get("periods", -1).map(asInt(_, "periods")).getOrElse(1)
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val w = base.orderBy(orderBy.map(col(_).asc): _*)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(df)((d, c) => d.withColumn(c, name match {
+        case "shift" => lag(col(c), periods).over(w)
+        case "diff" => col(c) - lag(col(c), periods).over(w)
+        case _ => sum(col(c)).over(wc)
+      }))
+    case "rank" =>
+      // pandas Series.rank over one column; methods min/dense/first/average
+      // (average = min rank + (ties-1)/2, pandas' default)
+      val c = asStr(a.require("column", 0), "column")
+      val method = a.get("method", -1).map(asStr(_, "method")).getOrElse("average")
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val w = base.orderBy(col(c).asc)
+      val rk = method match {
+        case "min" => rank().over(w).cast(DoubleType)
+        case "dense" => dense_rank().over(w).cast(DoubleType)
+        case "first" => row_number().over(w).cast(DoubleType)
+        case "average" =>
+          val ties = count(lit(1)).over(
+            if (partCols.nonEmpty) Window.partitionBy((partCols.map(col) :+ col(c)): _*)
+            else Window.partitionBy(col(c)))
+          rank().over(w).cast(DoubleType) + (ties - lit(1)).cast(DoubleType) / 2.0
+        case other => throw PipelineError(s"rank: unsupported method '$other'")
+      }
+      df.withColumn(s"${c}_rank", rk)
+    case "cut" =>
+      // pandas pd.cut with explicit bin edges, right-closed (a, b]; values
+      // outside the bins -> null, like pandas NaN
+      val c = asStr(a.require("column", 0), "column")
+      val bins = a.require("bins", 1) match {
+        case l: List[_] => l.map(_.toString.toDouble)
+        case other => throw PipelineError(s"cut: bins must be a list, got ${tn(other)}")
+      }
+      require(bins.size >= 2, "cut needs >= 2 bin edges")
+      val labels = a.get("labels", -1).map(asStrList).getOrElse(
+        bins.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toList)
+      require(labels.size == bins.size - 1, "cut: need one label per bin")
+      val v = col(c).cast(DoubleType)
+      val cases = bins.sliding(2).zip(labels.iterator).map {
+        case (Seq(lo, hi), lab) => (v > lo && v <= hi, lab)
+      }.toList
+      val binned = cases.foldRight(lit(null).cast("string")) {
+        case ((cond, lab), elseC) => when(cond, lit(lab)).otherwise(elseC)
+      }
+      df.withColumn(s"${c}_bin", binned)
+    case "clip" =>
+      val cols = asStrList(a.require("columns", -1))
+      val lower = a.get("lower", -1).map(_.toString.toDouble)
+      val upper = a.get("upper", -1).map(_.toString.toDouble)
+      cols.foldLeft(df) { (d, c) =>
+        val v0 = col(c)
+        val v1 = lower.map(lo => greatest(v0, lit(lo))).getOrElse(v0)
+        val v2 = upper.map(hi => least(v1, lit(hi))).getOrElse(v1)
+        d.withColumn(c, v2)
+      }
     case "fillna" => a.require("value", 0) match {
       case m: Map[_, _] => df.na.fill(m.asInstanceOf[Map[String, Any]])
       case v: Long => df.na.fill(v)

@@ -438,6 +438,40 @@ object NorthStar {
         SELECT l.o_orderkey, l.o_custkey, r.o_totalprice, r.o_orderstatus
         FROM l JOIN r USING (rn) ORDER BY o_orderkey""")),
 
+    // pandas pd.cut + groupby().rank() through the registry dispatch surface
+    // (explicit bins, right-closed; rank method=min == SQL RANK()). The rank
+    // window is PARTITIONED by the bin — a global value-rank would put the
+    // whole table in one window partition, which does not survive scale;
+    // the registry's rank supports both and this query gates the scale-safe
+    // form.
+    Q("q59_bin_rank",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+        val cut = reg.callMethod(li, "cut", graft.expr.Args(kw = List(
+          "column" -> "l_quantity", "bins" -> List(0, 10, 25, 50),
+          "labels" -> List("small", "mid", "large"))))
+        reg.callMethod(cut, "rank", graft.expr.Args(kw = List(
+          "column" -> "l_extendedprice", "method" -> "min",
+          "partition_by" -> List("l_quantity_bin"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+            CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 'small'
+                 WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                 WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'large'
+            END AS l_quantity_bin
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_quantity_bin,
+          CAST(RANK() OVER (PARTITION BY l_quantity_bin ORDER BY l_extendedprice)
+            AS DOUBLE) AS l_extendedprice_rank
+        FROM b ORDER BY l_orderkey, l_linenumber""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

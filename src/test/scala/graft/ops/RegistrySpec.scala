@@ -36,6 +36,47 @@ class RegistrySpec extends AnyFunSuite {
     assert(out == Map("k" -> 2L, "i" -> 4L, "v" -> 3L))
   }
 
+  test("shift/diff/cumsum with explicit ordering keys (pandas order semantics)") {
+    val tsDf = Seq((1L, 10.0), (2L, 13.0), (3L, 11.0)).toDF("t", "v")
+    val shifted = m(tsDf, "shift", "columns" -> List("v"), "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(shifted.toSeq == Seq(None, Some(10.0), Some(13.0)))
+    val diffed = m(tsDf, "diff", "columns" -> List("v"), "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(diffed.toSeq == Seq(None, Some(3.0), Some(-2.0)))
+    val summed = m(tsDf, "cumsum", "columns" -> List("v"), "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(_.getDouble(1))
+    assert(summed.toSeq == Seq(10.0, 23.0, 34.0))
+  }
+
+  test("rank: pandas method semantics incl. average ties") {
+    val r = Seq(1.0, 2.0, 2.0, 3.0).toDF("x")
+    def ranks(method: String) =
+      m(r, "rank", "column" -> "x", "method" -> method)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .orderBy("x", "x_rank").collect().map(_.getDouble(1)).toSeq
+    assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0)) // pandas default
+    assert(ranks("min") == Seq(1.0, 2.0, 2.0, 4.0))
+    assert(ranks("dense") == Seq(1.0, 2.0, 2.0, 3.0))
+    assert(ranks("first") == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("cut bins right-closed with labels; out-of-range -> null; clip bounds") {
+    val c = Seq(0.5, 1.0, 5.0, 99.0).toDF("x")
+    val binned = m(c, "cut", "column" -> "x", "bins" -> List(0, 1, 10),
+      "labels" -> List("low", "high"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("x").collect().map(r => Option(r.getString(1)))
+    assert(binned.toSeq == Seq(Some("low"), Some("low"), Some("high"), None))
+    val clipped = m(c, "clip", "columns" -> List("x"), "lower" -> 1.0, "upper" -> 10.0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("x").collect().map(_.getDouble(0))
+    assert(clipped.toSeq == Seq(1.0, 1.0, 5.0, 10.0))
+  }
+
   test("groupby dropna=true (pandas default) drops null keys") {
     val withNullKey = df.withColumn("k2", when(col("k") === "b", lit(null)).otherwise(col("k")))
     val g = m(withNullKey, "groupby", "by" -> "k2")
