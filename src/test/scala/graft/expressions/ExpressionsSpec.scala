@@ -1,5 +1,52 @@
 package graft.expressions
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property test: the TopKAgg heap — under arbitrary insert order, duplicate
+  * scores, and arbitrary merge splits — always equals a full sort by
+  * (score desc, id asc) truncated to k.
+  */
+class TopKAggPropSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val entries: Gen[List[(Double, Long)]] = Gen.listOf(for {
+    s <- Gen.chooseNum(-5.0, 5.0).map(x => math.rint(x * 4) / 4) // force ties
+    i <- Gen.chooseNum(0L, 50L)
+  } yield (s, i))
+
+  test("property: heap == sortBy(-score, id).take(k) under any order and merge split") {
+    check(Prop.forAll(entries, Gen.chooseNum(1, 12), Gen.chooseNum(0, 100)) {
+      (xs, k, splitSeed) =>
+        val expect = xs.distinct.sortBy { case (s, i) => (-s, i) }.take(k)
+        // split into two sub-heaps at an arbitrary point, then merge —
+        // exercises the map-side partial + merge path
+        val cut = if (xs.isEmpty) 0 else splitSeed % (xs.size + 1)
+        val (a, b) = xs.distinct.splitAt(cut)
+        val ha = new TopKAgg.Heap(k)
+        val hb = new TopKAgg.Heap(k)
+        a.foreach { case (s, i) => ha.offer(s, i) }
+        b.foreach { case (s, i) => hb.offer(s, i) }
+        hb.foreach((s, i) => ha.offer(s, i))
+        val got = ha.sortedBestFirst().toList
+        got == expect
+    })
+  }
+
+  test("property: serialization round trip preserves heap contents") {
+    check(Prop.forAll(entries, Gen.chooseNum(1, 8)) { (xs, k) =>
+      val h = new TopKAgg.Heap(k)
+      xs.foreach { case (s, i) => h.offer(s, i) }
+      val agg = TopKAgg(null, null, k)
+      val back = agg.deserialize(agg.serialize(h))
+      back.sortedBestFirst().toList == h.sortedBestFirst().toList
+    })
+  }
+}
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
