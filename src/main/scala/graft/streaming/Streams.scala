@@ -93,6 +93,26 @@ object Streams {
       .toDF()
   }
 
+  /** Watermarked stream-stream inner join: rows match when keys are equal
+    * AND the right event lands within [left.ts, left.ts + within]. Both
+    * sides carry watermarks so Spark can bound the join state it buffers —
+    * without the time condition + watermarks a stream-stream join would
+    * buffer both streams forever. State is partitioned by the join key (an
+    * equality shuffle), the shape that scales.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_key").as(key), col("l_ts"), col("r_ts"))
+  }
+
   /** Drive a streaming frame to a memory sink synchronously (test/dev
     * harness): processes everything available, then stops.
     */

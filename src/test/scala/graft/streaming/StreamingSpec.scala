@@ -76,6 +76,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows.count() == truth.count())
   }
 
+  test("stream-stream join matches the batch interval join") {
+    val a = Streams.eventsStream(spark, streamDir)
+    val b = Streams.eventsStream(spark, streamDir)
+    Streams.runToMemory(
+      Streams.streamStreamJoin(a, b, key = "user_id", within = "5 minutes",
+        watermark = "365 days"),
+      "stream_join")
+    val streamed = spark.table("stream_join").count()
+    val batch = Q.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("ts"))
+    val expected = batch.as("l").join(batch.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr("INTERVAL 5 minutes")).count()
+    assert(streamed == expected, s"stream $streamed != batch $expected")
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val stream = Streams.eventsStream(spark, streamDir)
     Streams.runToMemory(
