@@ -30,12 +30,12 @@ object Bench {
           .cast("decimal(25,4)")).cast("double"))
       .collect()
     // Optional fixture-table caching across the 50+ queries (see
-    // Q.tableCache). Measured at sf0.1: 52.1s cached vs 45.5s direct —
+    // Q.tableCache). Measured at sf0.1: slower than direct scans —
     // persisting full-width tables defeats parquet column pruning and
     // filter pushdown, which the per-query scans already get for free, so
     // this stays OFF by default and exists for profiling cache-sensitivity.
-    if (sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1"))
-      sys.props("graft.cache.tables") = "true"
+    val cacheTables = sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1")
+    if (cacheTables) sys.props("graft.cache.tables") = "true"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -43,9 +43,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val secs = (System.nanoTime() - t0) / 1e9
       // operator-internal persists (signature/candidate frames) are scoped
-      // to their query; dropping them between queries keeps 58 queries from
-      // accumulating cached partitions and stealing each other's memory
-      spark.catalog.clearCache()
+      // to their query; dropping them between queries keeps the suite from
+      // accumulating cached partitions and stealing each other's memory.
+      // Skipped in cache-tables mode: clearCache would silently unpersist
+      // the table cache after the first query and turn the flag into a no-op.
+      if (!cacheTables) spark.catalog.clearCache()
       (name, secs, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

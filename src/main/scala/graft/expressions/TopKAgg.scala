@@ -30,6 +30,20 @@ case class TopKAgg(
 
   require(k > 0, "k must be positive")
 
+  // fail at analysis time, not with a ClassCastException on an executor:
+  // callers cast score/id (Similarity.topKPerQuery does) — anything else
+  // is a planning error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg id must be BIGINT, got ${idExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -70,9 +70,15 @@ object Text {
       regexp_replace(text, emailRe, "<EMAIL>"),
       ipv4Re, "<IP>")
 
-  /** Count of PII hits a redaction pass would touch (audit metric). */
+  /** Count of PII hits a redaction pass would touch (audit metric): email
+    * matches on the original text, IP matches on the email-redacted text —
+    * the same order [[redactPii]] applies, so the count equals the number of
+    * placeholders actually inserted (a dotted-numeric email local part would
+    * otherwise be counted under both patterns).
+    */
   def piiCount(text: Column): Column =
-    regexp_count(text, lit(emailRe)) + regexp_count(text, lit(ipv4Re))
+    regexp_count(text, lit(emailRe)) +
+      regexp_count(regexp_replace(text, emailRe, "<EMAIL>"), lit(ipv4Re))
 
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high

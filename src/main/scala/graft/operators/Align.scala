@@ -35,8 +35,10 @@ object Align {
         df.columns.foldLeft(df) { (acc, c) =>
           if (seen.add(c)) acc
           else {
-            val renamed = s"${c}_$i"
-            seen.add(renamed)
+            // a generated suffix can itself collide with an existing column
+            // (e.g. frames [a_1] and [a]) — probe until genuinely fresh
+            val renamed = Iterator.from(i)
+              .map(j => s"${c}_$j").find(seen.add).get
             acc.withColumnRenamed(c, renamed)
           }
         }

@@ -210,21 +210,28 @@ object Dedup {
     * oracle that can compute n-gram Jaccard verifies the full result — and
     * est_ok gates the minhash estimator itself (|est - exact| <= estTol;
     * minhash sd at k=32 is sqrt(j(1-j)/32) ~ 0.09 worst-case).
+    *
+    * NB: intermediate frames persist at MEMORY_AND_DISK for the lifetime of
+    * the returned plan; long-lived sessions issuing many of these should
+    * drop them when done (`spark.catalog.clearCache()`, as the bench/verify
+    * harnesses do between queries) — they cannot be unpersisted here because
+    * the returned DataFrame is lazy and still reads them.
     */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, k: Int = 32, bands: Int = 8,
                            threshold: Double = 0.2, estTol: Double = 0.2,
                            maxBucket: Int = 10000): DataFrame = {
-    // Pre-filter candidates on the ESTIMATE at half the target threshold:
-    // a true pair at j >= threshold estimates >= threshold/2 with overwhelming
-    // margin (k=32 estimator sd <= 0.09), while the false-candidate bulk is
-    // cut before the exact-verification join. The estimate never decides
-    // membership at the boundary — exact Jaccard does.
+    // No estimate pre-filter: the banding itself is the candidate filter,
+    // and cutting on the estimate would drop true boundary pairs (at
+    // j = threshold = 0.2, k = 32, P(est < threshold/2) ~ 9% — not a safe
+    // margin). Every banded candidate is exactly verified; recall of the
+    // final pair set equals the banding recall, which the caller tunes via
+    // (k, bands) — the q35 gate documents its fixture-calibrated config.
     // Persisted: the candidate frame feeds the exact-verify subtree (ids +
     // semi-join) AND the final estimate re-join — without persist the whole
     // banding self-join recomputes per consumer.
     val est = minhashPairs(df, idCol, textCol, n, k, bands,
-      threshold = threshold / 2, maxBucket = maxBucket)
+      threshold = 0.0, maxBucket = maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(est, Seq("id_a", "id_b"))

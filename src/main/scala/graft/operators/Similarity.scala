@@ -23,7 +23,10 @@ object Similarity {
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(TopKAgg.topK(col("cosine"), col("neighbor_id"), k).as("__topk"))
+      // explicit casts: topk_agg requires (double, bigint) and rejects
+      // anything else at analysis time; int ids widen losslessly here
+      .agg(TopKAgg.topK(col("cosine").cast("double"),
+        col("neighbor_id").cast("long"), k).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__t")))
       .select(col("query_id"), col("__t.id").as("neighbor_id"),
         col("__t.score").as("cosine"),

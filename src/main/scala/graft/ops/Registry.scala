@@ -571,7 +571,10 @@ final class Registry(spark: SparkSession) {
       }))
     case "rank" =>
       // pandas Series.rank over one column; methods min/dense/first/average
-      // (average = min rank + (ties-1)/2, pandas' default)
+      // (average = min rank + (ties-1)/2, pandas' default). pandas excludes
+      // NaN from ranking (na_option='keep'): null rows rank null, and their
+      // count is subtracted so non-null ranks start at 1 (Spark orders
+      // nulls first under asc).
       val c = asStr(a.require("column", 0), "column")
       val method = a.get("method", -1).map(asStr(_, "method")).getOrElse("average")
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
@@ -579,15 +582,26 @@ final class Registry(spark: SparkSession) {
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()
       val w = base.orderBy(col(c).asc)
+      val nNulls = sum(when(col(c).isNull, 1).otherwise(0))
+        .over(base.orderBy(col(c).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      def adj(r: Column): Column =
+        when(col(c).isNull, lit(null))
+          .otherwise(r.cast(DoubleType) - nNulls.cast(DoubleType))
       val rk = method match {
-        case "min" => rank().over(w).cast(DoubleType)
-        case "dense" => dense_rank().over(w).cast(DoubleType)
-        case "first" => row_number().over(w).cast(DoubleType)
+        case "min" => adj(rank().over(w))
+        case "first" => adj(row_number().over(w))
+        case "dense" =>
+          // dense ranks shift by 1 iff a null group precedes (all nulls
+          // share one dense rank)
+          when(col(c).isNull, lit(null)).otherwise(
+            dense_rank().over(w).cast(DoubleType) -
+              when(nNulls > 0, 1.0).otherwise(0.0))
         case "average" =>
           val ties = count(lit(1)).over(
             if (partCols.nonEmpty) Window.partitionBy((partCols.map(col) :+ col(c)): _*)
             else Window.partitionBy(col(c)))
-          rank().over(w).cast(DoubleType) + (ties - lit(1)).cast(DoubleType) / 2.0
+          adj(rank().over(w)) + (ties - lit(1)).cast(DoubleType) / 2.0
         case other => throw PipelineError(s"rank: unsupported method '$other'")
       }
       df.withColumn(s"${c}_rank", rk)
@@ -619,7 +633,9 @@ final class Registry(spark: SparkSession) {
         val v0 = col(c)
         val v1 = lower.map(lo => greatest(v0, lit(lo))).getOrElse(v0)
         val v2 = upper.map(hi => least(v1, lit(hi))).getOrElse(v1)
-        d.withColumn(c, v2)
+        // pandas clip preserves NaN; greatest/least skip nulls, which would
+        // fabricate boundary values out of missing data
+        d.withColumn(c, when(v0.isNull, lit(null)).otherwise(v2))
       }
     case "fillna" => a.require("value", 0) match {
       case m: Map[_, _] => df.na.fill(m.asInstanceOf[Map[String, Any]])

@@ -295,8 +295,11 @@ object NorthStar {
         .agg(countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), rsd = 0.01).as("__approx"))
         .select(col("event_type"), col("exact_users"),
-          (abs(col("__approx") - col("exact_users")).cast("double")
-            / col("exact_users") <= 0.05).as("approx_ok"))
+          // all-null groups have exact 0: avoid 0/0 (null would fail the
+          // TRUE oracle even though the sketch is perfectly right)
+          when(col("exact_users") === 0, col("__approx") === 0)
+            .otherwise(abs(col("__approx") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy(col("event_type")),
       Some("""
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
@@ -369,7 +372,9 @@ object NorthStar {
             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             + len(regexp_extract_all(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
              AS INTEGER) AS n_pii
         FROM documents ORDER BY doc_id""")),
 

@@ -17,13 +17,15 @@ object Streams {
     * does: nanos long -> us timestamp.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // Only reach for the nanosAsLong escape hatch when the input actually
-    // contains TIMESTAMP(NANOS) (plain reads throw "Illegal Parquet type").
+    // Only reach for the nanosAsLong escape hatch when a plain read fails
+    // (TIMESTAMP(NANOS) columns throw at schema inference — possibly wrapped,
+    // so no message matching: ANY failure triggers one retry with the conf
+    // set; if the conf wasn't the problem the retry rethrows the real error).
     // The conf must then REMAIN set for the stream's lifetime — every
     // micro-batch re-scans parquet under the session conf — so it cannot be
     // save/restored here; for non-nanos inputs the session is untouched.
     val schema = try spark.read.parquet(dir).schema catch {
-      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+      case scala.util.control.NonFatal(_) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(dir).schema
     }

@@ -447,16 +447,38 @@ class TextSpec extends AnyFunSuite {
     assert(rows(1L).getDouble(4) > 0.0)
   }
 
-  test("redactPii replaces emails and IPv4s; piiCount counts them") {
+  test("redactPii replaces emails and IPv4s; piiCount counts placeholders inserted") {
     val df = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 today"),
-      (2L, "no pii here")
+      (2L, "no pii here"),
+      (3L, "edge: 1.2.3.4@example.com matched once, as one email")
     ).toDF("id", "text")
       .select(col("id"), Text.redactPii(col("text")).as("r"),
         Text.piiCount(col("text")).as("n"))
     val out = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
     assert(out(1L) == (("contact <EMAIL> or <IP> today", 2)))
     assert(out(2L) == (("no pii here", 0)))
+    // dotted-numeric local part: email pattern consumes it; count must agree
+    // with the single placeholder the redaction inserts
+    assert(out(3L) == (("edge: <EMAIL> matched once, as one email", 1)))
+  }
+
+  test("topk rejects wrong id type at analysis time; int ids widen and work") {
+    val spark2 = spark
+    import spark2.implicits._
+    val intIds = Seq((1, Array(1.0f, 0.0f)), (2, Array(0.9f, 0.1f)),
+      (3, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(intIds.filter(col("vec_id") === 1), intIds, k = 1)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+  }
+
+  test("concatColumns suffix collision probes to a fresh name") {
+    val a = Seq((1, 2)).toDF("a", "a_1")
+    val b = Seq(3).toDF("a")
+    val cols = Align.concatColumns(Seq(a, b)).columns.toSeq
+    assert(cols.distinct == cols, s"duplicate columns in $cols")
+    assert(cols.take(2) == Seq("a", "a_1") && cols(2) != "a_1")
   }
 
   test("repetitionRatio: 0 for all-distinct trigrams, high for repeated text") {

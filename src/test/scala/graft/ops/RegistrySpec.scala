@@ -64,6 +64,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(ranks("first") == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("rank and clip preserve nulls (pandas NaN semantics)") {
+    val withNull = Seq(Option(2.0), None, Option(1.0), Option(2.0)).toDF("x")
+    val ranked = m(withNull, "rank", "column" -> "x", "method" -> "min")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(ranked(Some(1.0)) == Some(1.0)) // not shifted by the null row
+    assert(ranked(Some(2.0)) == Some(2.0))
+    assert(ranked(None).isEmpty, "null values rank null, like pandas NaN")
+    val dense = m(withNull, "rank", "column" -> "x", "method" -> "dense")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(dense(Some(2.0)) == Some(2.0) && dense(None).isEmpty)
+    val clipped = m(withNull, "clip", "columns" -> List("x"), "lower" -> 1.5)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => Option(r.get(0)))
+    assert(clipped.count(_.isEmpty) == 1, "null must stay null, not become the bound")
+    assert(clipped.flatten.map(_.asInstanceOf[Double]).toSeq.sorted == Seq(1.5, 2.0, 2.0))
+  }
+
   test("cut bins right-closed with labels; out-of-range -> null; clip bounds") {
     val c = Seq(0.5, 1.0, 5.0, 99.0).toDF("x")
     val binned = m(c, "cut", "column" -> "x", "bins" -> List(0, 1, 10),
