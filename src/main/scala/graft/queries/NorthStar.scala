@@ -477,6 +477,69 @@ object NorthStar {
             AS DOUBLE) AS l_extendedprice_rank
         FROM b ORDER BY l_orderkey, l_linenumber""")),
 
+    // Exact quantiles (pandas df.quantile) per group, plus an
+    // approx_percentile cross-check gated within 5% — the approx sketch is
+    // the 100 TB path (exact percentile sorts each group's values), mirroring
+    // the q41 exact-beside-sketch pattern. Linear interpolation matches
+    // DuckDB quantile_cont; rounded to 4 decimals to absorb 1-ulp drift.
+    Q("q60_percentiles",
+      (s, d) => {
+        val x = "l_extendedprice"
+        t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(
+            round(expr(s"percentile($x, 0.25)"), 4).as("p25"),
+            round(expr(s"percentile($x, 0.5)"), 4).as("p50"),
+            round(expr(s"percentile($x, 0.75)"), 4).as("p75"),
+            (abs(expr(s"approx_percentile($x, 0.5, 10000)")
+              - expr(s"percentile($x, 0.5)"))
+              / expr(s"percentile($x, 0.5)") <= 0.05).as("approx_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+          TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Pearson correlation + sample covariance (pandas df.corr/df.cov) from
+    // EXACT decimal co-moments cast to double at the end — the only way two
+    // engines agree bit-for-bit on cancellation-prone statistics (same
+    // pattern as q19's variance); rounded where cancellation amplifies ulps.
+    Q("q61_corr",
+      (s, d) => {
+        val x = col("l_quantity").cast(DoubleType)
+        val y = col("l_extendedprice").cast(DoubleType)
+        val n = count(lit(1)).cast(DoubleType)
+        val sx = sum(x.cast(DecimalType(30, 6))).cast(DoubleType)
+        val sy = sum(y.cast(DecimalType(30, 6))).cast(DoubleType)
+        val sxy = sum((x * y).cast(DecimalType(35, 6))).cast(DoubleType)
+        val sxx = sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)
+        val syy = sum((y * y).cast(DecimalType(35, 6))).cast(DoubleType)
+        t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(
+            round((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qty_price"),
+            round((sxy - sx * sy / n) / (n - lit(1.0)), 3).as("cov_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(35,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            AS corr_qty_price,
+          round((sxy - sx * sy / n) / (n - 1.0), 3) AS cov_qty_price
+        FROM m ORDER BY l_returnflag""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",
