@@ -758,6 +758,32 @@ final class Registry(spark: SparkSession) {
       }
     case fn if aggFns.contains(fn) => aggAll(g, fn)
     case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
+    case "transform" =>
+      // pandas groupby().transform(fn): group aggregate broadcast back to
+      // every member row. A window aggregate over the group partition — one
+      // shuffle on the keys, no join back.
+      val fn = asStr(a.require("func", 0), "func")
+      val cols = asStrList(a.require("columns", 1))
+      val f = aggFns.getOrElse(fn, throw PipelineError(s"Unknown aggregate '$fn'"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(g.keyCols: _*)
+      cols.foldLeft(g.df)((d, c) =>
+        d.withColumn(s"${c}_$fn", f(col(c)).over(w)))
+    case "idxmax" | "idxmin" =>
+      // pandas groupby()[value].idxmax(): the id of each group's extreme
+      // row. Deterministic under ties: smallest id among the tied rows
+      // (pandas returns the first by row order; a distributed frame has no
+      // row order, so the id itself is the documented tiebreak). One window
+      // rank, no self-join.
+      val valueCol = asStr(a.require("column", 0), "column")
+      val idCol = asStr(a.require("id", 1), "id")
+      // nulls last both ways: pandas idxmax/idxmin skip NaN values
+      val ord = if (name == "idxmax") col(valueCol).desc_nulls_last
+        else col(valueCol).asc_nulls_last
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(g.keyCols: _*).orderBy(ord, col(idCol).asc)
+      g.df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(g.keyCols :+ col(idCol).as(s"${valueCol}_${name}"): _*)
     case other => throw PipelineError(s"Unknown groupby method '$other'")
   }
 

@@ -540,6 +540,27 @@ object NorthStar {
           round((sxy - sx * sy / n) / (n - 1.0), 3) AS cov_qty_price
         FROM m ORDER BY l_returnflag""")),
 
+    // pandas groupby().idxmax() through the registry dispatch surface:
+    // per-group id of the max-value row, min-id tiebreak, one window pass.
+    Q("q62_idxmax",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val g = reg.callMethod(t(s, d, "lineitem"), "groupby",
+          graft.expr.Args(kw = List("by" -> "l_returnflag")))
+        reg.callMethod(g, "idxmax",
+          graft.expr.Args(pos = List("l_extendedprice", "l_orderkey")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag, l_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+          FROM lineitem)
+        SELECT l_returnflag, l_orderkey AS l_extendedprice_idxmax
+        FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

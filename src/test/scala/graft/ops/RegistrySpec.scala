@@ -96,6 +96,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(clipped.toSeq == Seq(1.0, 1.0, 5.0, 10.0))
   }
 
+  test("groupby transform broadcasts the group aggregate back to member rows") {
+    val g = m(df, "groupby", "by" -> "k")
+    val out = mp(g, "transform", "mean", List("i"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(out == Set(("a", 1L, 1.5), ("a", 2L, 1.5), ("b", 3L, 3.5), ("b", 4L, 3.5)))
+  }
+
+  test("groupby idxmax/idxmin return the extreme row's id, min-id tiebreak") {
+    val g = m(df, "groupby", "by" -> "k")
+    val mx = mp(g, "idxmax", "v", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mx == Map("a" -> 2L, "b" -> 3L)) // b: null v row excluded by desc nulls-last? i=3 has 30.0
+    val mn = mp(g, "idxmin", "v", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mn("a") == 1L)
+    assert(mn("b") == 3L, "null v row (i=4) must be skipped like pandas NaN")
+  }
+
   test("groupby dropna=true (pandas default) drops null keys") {
     val withNullKey = df.withColumn("k2", when(col("k") === "b", lit(null)).otherwise(col("k")))
     val g = m(withNullKey, "groupby", "by" -> "k2")
