@@ -561,6 +561,59 @@ object NorthStar {
         SELECT l_returnflag, l_orderkey AS l_extendedprice_idxmax
         FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
 
+    // Fixed-size document chunking (training-sequence prep): each doc
+    // explodes into ceil(len/500) character chunks. Pure array HOFs
+    // (sequence -> transform -> substring) — no UDF, stays codegen'd.
+    Q("q63_chunk",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(
+                 sequence(0, greatest(cast(ceil(length(text) / 500.0) AS INT), 1) - 1),
+                 i -> substring(text, i * 500 + 1, 500))"""))
+            .as(Seq("chunk_idx", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text,
+            greatest(CAST(ceil(length(text) / 500.0) AS INTEGER), 1) AS n_chunks
+          FROM documents)
+        SELECT doc_id,
+          i AS chunk_idx,
+          substr(text, i * 500 + 1, 500) AS chunk
+        FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // Greedy token packing into ~4000-token bins, SHARDED: real packing
+    // pipelines pack per worker shard, so the running sum windows over a
+    // shard partition (never one global-order partition) — the same reason
+    // q59 ranks within bins.
+    Q("q64_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val shard = (col("doc_id") % 8).as("shard")
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), shard, Text.tokenCountWs(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("bin",
+            floor((col("cum_tokens") - col("n_tokens")) / 4000).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+          FROM documents)
+        SELECT doc_id, shard, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 4000)
+            AS INTEGER) AS bin
+        FROM t ORDER BY doc_id""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",
