@@ -64,7 +64,8 @@ final case class GrouperSpec(key: String, freq: String) {
 /** groupby() result: keeps the parent frame + key columns so bare aggregate
   * methods (max/sum/...) can aggregate every non-key column like pandas.
   */
-final case class Grouped(df: DataFrame, keyCols: Seq[Column], keyNames: Seq[String])
+final case class Grouped(df: DataFrame, keyCols: Seq[Column], keyNames: Seq[String],
+                         original: DataFrame, dropna: Boolean)
 
 /** The function/method registry — tier-B + tier-C operator envelope
   * (SURVEY.md §2). Every entry is thin glue over
@@ -470,9 +471,10 @@ final class Registry(spark: SparkSession) {
       case g: GrouperSpec => (g.toColumn, g.key)
       case other => throw PipelineError(s"groupby: unsupported key ${tn(other)}")
     }.unzip
-    // pandas drops null group keys by default (dropna=True)
+    // pandas drops null group keys by default (dropna=True); the original
+    // frame is kept for length-preserving ops (transform)
     val base = if (dropna) df.filter(cols0.map(_.isNotNull).reduce(_ && _)) else df
-    Grouped(base, cols0, names)
+    Grouped(base, cols0, names, df, dropna)
   }
 
   private def dfMethod(df: DataFrame, name: String, a: Args): Any = name match {
@@ -761,13 +763,36 @@ final class Registry(spark: SparkSession) {
     case "transform" =>
       // pandas groupby().transform(fn): group aggregate broadcast back to
       // every member row. A window aggregate over the group partition — one
-      // shuffle on the keys, no join back.
+      // shuffle on the keys, no join back. Length-preserving like pandas:
+      // computed over the ORIGINAL frame; under dropna (default) null-key
+      // rows keep their row but get a null aggregate (pandas NaN).
       val fn = asStr(a.require("func", 0), "func")
       val cols = asStrList(a.require("columns", 1))
-      val f = aggFns.getOrElse(fn, throw PipelineError(s"Unknown aggregate '$fn'"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(g.keyCols: _*)
-      cols.foldLeft(g.df)((d, c) =>
-        d.withColumn(s"${c}_$fn", f(col(c)).over(w)))
+      val orderBy = a.get("order_by", -1).map(asStrList).getOrElse(Nil)
+      import org.apache.spark.sql.expressions.Window
+      val wBase = Window.partitionBy(g.keyCols: _*)
+      val f: Column => Column = fn match {
+        case "nunique" =>
+          // countDistinct over a window is unsupported in Spark; a set-size
+          // window is the equivalent (collect_set drops nulls, like pandas)
+          c => size(collect_set(c).over(wBase)).cast("long")
+        case "first" | "last" =>
+          // order-dependent: demand explicit keys (same contract as
+          // shift/diff/cumsum — a distributed frame has no row order)
+          if (orderBy.isEmpty) throw PipelineError(
+            s"transform('$fn') requires order_by keys (row order is undefined on a distributed frame)")
+          val w = wBase.orderBy(orderBy.map(col(_).asc): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          c => (if (fn == "first") first(c) else last(c)).over(w)
+        case other =>
+          val base = aggFns.getOrElse(other, throw PipelineError(s"Unknown aggregate '$other'"))
+          c => base(c).over(wBase)
+      }
+      val nullKey = g.keyCols.map(_.isNull).reduce(_ || _)
+      cols.foldLeft(g.original)((d, c) =>
+        d.withColumn(s"${c}_$fn",
+          if (g.dropna) when(nullKey, lit(null)).otherwise(f(col(c)))
+          else f(col(c))))
     case "idxmax" | "idxmin" =>
       // pandas groupby()[value].idxmax(): the id of each group's extreme
       // row. Deterministic under ties: smallest id among the tied rows
@@ -776,12 +801,15 @@ final class Registry(spark: SparkSession) {
       // rank, no self-join.
       val valueCol = asStr(a.require("column", 0), "column")
       val idCol = asStr(a.require("id", 1), "id")
-      // nulls last both ways: pandas idxmax/idxmin skip NaN values
-      val ord = if (name == "idxmax") col(valueCol).desc_nulls_last
-        else col(valueCol).asc_nulls_last
+      // null values are filtered out entirely (pandas skips NaN; a group
+      // whose values are ALL null yields no row rather than a null-valued
+      // row's id)
+      val ord = if (name == "idxmax") col(valueCol).desc
+        else col(valueCol).asc
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(g.keyCols: _*).orderBy(ord, col(idCol).asc)
-      g.df.withColumn("__rn", row_number().over(w))
+      g.df.filter(col(valueCol).isNotNull)
+        .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(g.keyCols :+ col(idCol).as(s"${valueCol}_${name}"): _*)
     case other => throw PipelineError(s"Unknown groupby method '$other'")

@@ -579,7 +579,7 @@ object NorthStar {
             greatest(CAST(ceil(length(text) / 500.0) AS INTEGER), 1) AS n_chunks
           FROM documents)
         SELECT doc_id,
-          i AS chunk_idx,
+          CAST(i AS INTEGER) AS chunk_idx,
           substr(text, i * 500 + 1, 500) AS chunk
         FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
         ORDER BY doc_id, chunk_idx""")),

@@ -104,6 +104,44 @@ class RegistrySpec extends AnyFunSuite {
     assert(out == Set(("a", 1L, 1.5), ("a", 2L, 1.5), ("b", 3L, 3.5), ("b", 4L, 3.5)))
   }
 
+  test("transform is length-preserving: null-key rows keep their row with null agg") {
+    val withNullKey = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 9.0)).toDF("k", "x")
+    val g = m(withNullKey, "groupby", "by" -> "k")
+    val out = mp(g, "transform", "mean", List("x"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(out.length == 3, "pandas transform never changes the row count")
+    val byKey = out.map(r => Option(r.getString(0)) -> Option(r.get(2))).toMap
+    assert(byKey(Some("a")) == Some(2.0))
+    assert(byKey(None).isEmpty, "null-key row gets null agg (pandas NaN)")
+  }
+
+  test("transform nunique works (set-size window) and first/last demand order_by") {
+    val tdf = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0)).toDF("k", "i", "x")
+    val g = m(tdf, "groupby", "by" -> "k")
+    val nu = mp(g, "transform", "nunique", List("i"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getLong(3))
+    assert(nu.toSeq == Seq(2L, 2L, 2L))
+    intercept[graft.config.PipelineError] {
+      mp(g, "transform", "first", List("x"))
+    }
+    val fst = m(g.asInstanceOf[Grouped].copy(), "transform",
+      "func" -> "first", "columns" -> List("x"), "order_by" -> List("x"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getDouble(3))
+    assert(fst.toSeq == Seq(1.0, 1.0, 1.0))
+  }
+
+  test("idxmax skips groups whose value column is entirely null") {
+    val allNull = Seq(("a", 1L, Option(5.0)), ("c", 9L, Option.empty[Double]),
+      ("c", 10L, Option.empty[Double])).toDF("k", "i", "v")
+    val g = m(allNull, "groupby", "by" -> "k")
+    val out = mp(g, "idxmax", "v", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L), "all-null group must not emit a null-valued row's id")
+  }
+
   test("groupby idxmax/idxmin return the extreme row's id, min-id tiebreak") {
     val g = m(df, "groupby", "by" -> "k")
     val mx = mp(g, "idxmax", "v", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
