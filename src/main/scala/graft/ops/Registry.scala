@@ -639,6 +639,36 @@ final class Registry(spark: SparkSession) {
         // fabricate boundary values out of missing data
         d.withColumn(c, when(v0.isNull, lit(null)).otherwise(v2))
       }
+    case "interpolate" =>
+      // pandas df.interpolate(method='linear'): interior null runs take the
+      // linear value between their non-null anchors, leading nulls stay
+      // null, trailing nulls repeat the last value (pandas forward
+      // default). Distributed-deterministic via explicit ordering keys;
+      // optional partition_by keeps windows scale-safe.
+      val cols = asStrList(a.require("columns", -1))
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val ordered = base.orderBy(orderBy.map(col(_).asc): _*)
+      val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cols.foldLeft(df) { (d, c) =>
+        val v = col(c).cast(DoubleType)
+        val rn = row_number().over(ordered)
+        val anchor = when(col(c).isNotNull, rn)
+        val prevV = last(v, ignoreNulls = true).over(back)
+        val prevP = last(anchor, ignoreNulls = true).over(back)
+        val nextV = first(v, ignoreNulls = true).over(fwd)
+        val nextP = first(anchor, ignoreNulls = true).over(fwd)
+        d.withColumn(c,
+          when(col(c).isNotNull, v)
+            .when(prevV.isNull, lit(null))       // leading nulls
+            .when(nextV.isNull, prevV)           // trailing: repeat last
+            .otherwise(prevV + (nextV - prevV) *
+              (rn - prevP).cast(DoubleType) / (nextP - prevP).cast(DoubleType)))
+      }
     case "fillna" => a.require("value", 0) match {
       case m: Map[_, _] => df.na.fill(m.asInstanceOf[Map[String, Any]])
       case v: Long => df.na.fill(v)

@@ -614,6 +614,50 @@ object NorthStar {
             AS INTEGER) AS bin
         FROM t ORDER BY doc_id""")),
 
+    // pandas df.interpolate(method='linear') through the registry: nulls
+    // planted deterministically, interpolation windows PARTITIONED by order
+    // key (scale-safe), oracle replays the same anchor-window arithmetic.
+    Q("q65_interpolate",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        // orders: o_orderkey is UNIQUE (lineitem's (orderkey, linenumber) is
+        // not in this fixture), so the interpolation order is deterministic
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 3, lit(null))
+            .otherwise(col("o_totalprice").cast(DoubleType)).as("q"))
+        reg.callMethod(o, "interpolate", graft.expr.Args(kw = List(
+          "columns" -> List("q"), "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"), round(col("q"), 6).as("q"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_custkey, o_orderkey,
+            CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                 ELSE CAST(o_totalprice AS DOUBLE) END AS q
+          FROM orders),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey) AS rn FROM t),
+        w AS (SELECT o_custkey, o_orderkey, q, rn,
+            LAST_VALUE(q IGNORE NULLS) OVER pb AS pv,
+            LAST_VALUE(CASE WHEN q IS NOT NULL THEN rn END IGNORE NULLS) OVER pb AS pp,
+            FIRST_VALUE(q IGNORE NULLS) OVER pf AS nv,
+            FIRST_VALUE(CASE WHEN q IS NOT NULL THEN rn END IGNORE NULLS) OVER pf AS np
+          FROM r
+          WINDOW pb AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 pf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT o_custkey, o_orderkey,
+          round(CASE WHEN q IS NOT NULL THEN q
+               WHEN pv IS NULL THEN NULL
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (rn - pp) / (np - pp) END, 6) AS q
+        FROM w ORDER BY o_custkey, o_orderkey""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

@@ -64,6 +64,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(ranks("first") == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("interpolate: linear interior, null leading, repeated trailing (pandas)") {
+    val tsDf = Seq(
+      (1L, Option.empty[Double]),  // leading -> stays null
+      (2L, Option(1.0)),
+      (3L, Option.empty[Double]),  // interior -> 2.0
+      (4L, Option(3.0)),
+      (5L, Option.empty[Double]),  // interior (run of 2): 3.6666..., 4.3333...
+      (6L, Option.empty[Double]),
+      (7L, Option(5.0)),
+      (8L, Option.empty[Double])   // trailing -> repeats 5.0
+    ).toDF("t", "v")
+    val out = m(tsDf, "interpolate", "columns" -> List("v"), "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(out(0).isEmpty)
+    assert(out(1) == Some(1.0) && out(2) == Some(2.0) && out(3) == Some(3.0))
+    assert(out(4).map(_.asInstanceOf[Double]).exists(x => math.abs(x - 11.0 / 3) < 1e-12))
+    assert(out(5).map(_.asInstanceOf[Double]).exists(x => math.abs(x - 13.0 / 3) < 1e-12))
+    assert(out(6) == Some(5.0) && out(7) == Some(5.0))
+  }
+
   test("rank and clip preserve nulls (pandas NaN semantics)") {
     val withNull = Seq(Option(2.0), None, Option(1.0), Option(2.0)).toDF("x")
     val ranked = m(withNull, "rank", "column" -> "x", "method" -> "min")
