@@ -32,16 +32,18 @@ object Align {
     val deduped = {
       val seen = scala.collection.mutable.Set[String]()
       dfs.zipWithIndex.map { case (df, i) =>
-        df.columns.foldLeft(df) { (acc, c) =>
-          if (seen.add(c)) acc
-          else {
-            // a generated suffix can itself collide with an existing column
-            // (e.g. frames [a_1] and [a]) — probe until genuinely fresh
-            val renamed = Iterator.from(i)
-              .map(j => s"${c}_$j").find(seen.add).get
-            acc.withColumnRenamed(c, renamed)
-          }
+        // compute the full rename vector first, then rename POSITIONALLY via
+        // toDF: a generated suffix must be fresh against both previously
+        // seen names AND this frame's own columns (frames [a] + [a, a_1]
+        // would otherwise collide), and withColumnRenamed would rename every
+        // same-named column at once
+        val newNames = df.columns.map { c =>
+          if (seen.add(c)) c
+          else Iterator.from(i)
+            .map(j => s"${c}_$j")
+            .find(n => !df.columns.contains(n) && seen.add(n)).get
         }
+        df.toDF(newNames.toIndexedSeq: _*)
       }
     }
     val joined = deduped.map(withPosition(_)).reduce(

@@ -250,12 +250,15 @@ object Dedup {
                            maxHamming: Int, bands: Int = 8, n: Int = 3,
                            threshold: Double = 0.2,
                            maxBucket: Int = 10000): DataFrame = {
-    // Hamming pre-filter at maxHamming (the sketch's own acceptance bound)
-    // before the exact-verification join: near-dup pairs at j >= threshold
-    // sit far inside the bound (measured <= 5 bits at j >= 0.9 vs bound 12),
-    // while the bulk of 8-bit-band false candidates is cut early. Persisted
-    // for the same two-consumer reason as minhashVerifiedPairs.
-    val cands = simhashPairs(df, idCol, textCol, maxHamming = maxHamming,
+    // Hamming pre-filter at 2x the acceptance bound — NOT at maxHamming
+    // itself, which would make the hamming_ok gate tautological (every
+    // surviving row trivially true). With the slack band, a true near-dup
+    // pair drifting past maxHamming surfaces as hamming_ok=false (a
+    // detectable sketch regression) instead of silently vanishing; the bulk
+    // of 8-bit-band false candidates is still cut early (near-dups measure
+    // <= 5 bits vs the 24-bit pre-filter). Persisted for the same
+    // two-consumer reason as minhashVerifiedPairs.
+    val cands = simhashPairs(df, idCol, textCol, maxHamming = 2 * maxHamming,
       bands = bands, maxBucket = maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)

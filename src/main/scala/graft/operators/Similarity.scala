@@ -126,7 +126,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               ncells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              fitSampleRows: Long = 200000L): DataFrame = {
+              fitSampleRows: Long = 200000L,
+              corpusRows: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -135,11 +136,14 @@ object Similarity {
     // cells, not converged centroids (k-means|| init costs extra passes)
     val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-    val corpusRows = corpus.count()
+    // sizing the fit sample needs the corpus row count; callers that know it
+    // pass corpusRows and skip the count job (for parquet sources count() is
+    // metadata-cheap, but it is still an eager job at plan time)
+    val nRows = corpusRows.getOrElse(corpus.count())
     val fitInput =
-      if (corpusRows <= fitSampleRows) corpusV
+      if (nRows <= fitSampleRows) corpusV
       else corpusV.sample(withReplacement = false,
-        fitSampleRows.toDouble / corpusRows, seed = 42L)
+        fitSampleRows.toDouble / nRows, seed = 42L)
     val model = km.fit(fitInput)
     val assigned = model.transform(corpusV)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))

@@ -392,7 +392,7 @@ final class Registry(spark: SparkSession) {
         n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
         k = a.get("k", -1).map(asInt(_, "k")).getOrElse(32),
         bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
-        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5))
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.2))
     },
     "graft.simhash_verified_pairs" -> { a =>
       Dedup.simhashVerifiedPairs(asDf(a.require("df", 0), "df"),
@@ -580,6 +580,7 @@ final class Registry(spark: SparkSession) {
       val c = asStr(a.require("column", 0), "column")
       val method = a.get("method", -1).map(asStr(_, "method")).getOrElse("average")
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      val rankOrderBy = a.get("order_by", -1).map(asStrList).getOrElse(Nil)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()
@@ -592,7 +593,14 @@ final class Registry(spark: SparkSession) {
           .otherwise(r.cast(DoubleType) - nNulls.cast(DoubleType))
       val rk = method match {
         case "min" => adj(rank().over(w))
-        case "first" => adj(row_number().over(w))
+        case "first" =>
+          // pandas method='first' breaks ties by row order — a distributed
+          // frame needs explicit tiebreak keys (same contract as shift/
+          // transform); value ties would otherwise rank nondeterministically
+          if (rankOrderBy.isEmpty) throw PipelineError(
+            "rank(method='first') requires order_by tiebreak keys")
+          adj(row_number().over(base.orderBy(
+            col(c).asc +: rankOrderBy.map(col(_).asc): _*)))
         case "dense" =>
           // dense ranks shift by 1 iff a null group precedes (all nulls
           // share one dense rank)
@@ -695,9 +703,11 @@ final class Registry(spark: SparkSession) {
       // share the scan), unpivoted to tidy (column, n_unique) rows.
       val aggs = df.columns.map(c => countDistinct(col(c)).as(c))
       val wide = df.agg(aggs.head, aggs.tail: _*)
+      def qid(c: String) = "`" + c.replace("`", "``") + "`"   // identifier
+      def qlit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
       wide.selectExpr(
         s"stack(${df.columns.length}, " +
-          df.columns.map(c => s"'$c', `$c`").mkString(", ") +
+          df.columns.map(c => s"${qlit(c)}, ${qid(c)}").mkString(", ") +
           ") AS (column, n_unique)")
     case "describe" | "summary" => df.summary()
     case "value_counts" =>
@@ -718,7 +728,11 @@ final class Registry(spark: SparkSession) {
     case "melt" =>
       val idVars = asStrList(a.require("id_vars", -1))
       val valueVars = asStrList(a.require("value_vars", -1))
-      val stackArgs = valueVars.map(v => s"'$v', `$v`").mkString(", ")
+      // quote/escape: pivoted frames name columns from data values, which
+      // may carry quotes or backticks (same hardening as nunique)
+      val stackArgs = valueVars.map(v =>
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "', " +
+          "`" + v.replace("`", "``") + "`").mkString(", ")
       df.select(idVars.map(col) :+
         expr(s"stack(${valueVars.size}, $stackArgs) AS (variable, value)"): _*)
     case "sample" =>
@@ -813,7 +827,9 @@ final class Registry(spark: SparkSession) {
             s"transform('$fn') requires order_by keys (row order is undefined on a distributed frame)")
           val w = wBase.orderBy(orderBy.map(col(_).asc): _*)
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          c => (if (fn == "first") first(c) else last(c)).over(w)
+          // pandas GroupBy.first/last skip NA by default
+          c => (if (fn == "first") first(c, ignoreNulls = true)
+                else last(c, ignoreNulls = true)).over(w)
         case other =>
           val base = aggFns.getOrElse(other, throw PipelineError(s"Unknown aggregate '$other'"))
           c => base(c).over(wBase)

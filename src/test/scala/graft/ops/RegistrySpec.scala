@@ -61,7 +61,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0)) // pandas default
     assert(ranks("min") == Seq(1.0, 2.0, 2.0, 4.0))
     assert(ranks("dense") == Seq(1.0, 2.0, 2.0, 3.0))
-    assert(ranks("first") == Seq(1.0, 2.0, 3.0, 4.0))
+    // method='first' breaks ties by row order -> demands explicit keys
+    intercept[graft.config.PipelineError] { ranks("first") }
+    val withId = Seq((1L, 2.0), (2L, 2.0), (3L, 1.0)).toDF("id", "x")
+    val fst = m(withId, "rank", "column" -> "x", "method" -> "first",
+      "order_by" -> List("id"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fst == Map(3L -> 1.0, 1L -> 2.0, 2L -> 3.0))
   }
 
   test("interpolate: linear interior, null leading, repeated trailing (pandas)") {
@@ -138,20 +145,23 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("transform nunique works (set-size window) and first/last demand order_by") {
-    val tdf = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0)).toDF("k", "i", "x")
+    val tdf = Seq(("a", 0L, Option.empty[Double]), ("a", 1L, Option(1.0)),
+      ("a", 1L, Option(2.0)), ("a", 2L, Option(3.0))).toDF("k", "i", "x")
     val g = m(tdf, "groupby", "by" -> "k")
     val nu = mp(g, "transform", "nunique", List("i"))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .collect().map(_.getLong(3))
-    assert(nu.toSeq == Seq(2L, 2L, 2L))
+    assert(nu.toSeq == Seq(3L, 3L, 3L, 3L))
     intercept[graft.config.PipelineError] {
       mp(g, "transform", "first", List("x"))
     }
+    // ordered by i: the i=0 row has null x — pandas GroupBy.first skips NA,
+    // so every row sees 1.0, not null
     val fst = m(g.asInstanceOf[Grouped].copy(), "transform",
-      "func" -> "first", "columns" -> List("x"), "order_by" -> List("x"))
+      "func" -> "first", "columns" -> List("x"), "order_by" -> List("i", "x"))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .collect().map(_.getDouble(3))
-    assert(fst.toSeq == Seq(1.0, 1.0, 1.0))
+    assert(fst.toSeq == Seq(1.0, 1.0, 1.0, 1.0))
   }
 
   test("idxmax skips groups whose value column is entirely null") {
