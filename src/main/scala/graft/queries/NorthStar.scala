@@ -658,6 +658,22 @@ object NorthStar {
                ELSE pv + (nv - pv) * (rn - pp) / (np - pp) END, 6) AS q
         FROM w ORDER BY o_custkey, o_orderkey""")),
 
+    // Edit-distance fuzzy matching (.str family depth): levenshtein against
+    // a probe string, keeping near matches — both engines implement the
+    // same classic DP, so distances are integer-exact.
+    Q("q66_fuzzy_match",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000100")).as("edit_dist"))
+        .filter(col("edit_dist") <= 2)
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name,
+          CAST(levenshtein(c_name, 'Customer#000000100') AS INTEGER) AS edit_dist
+        FROM customer
+        WHERE levenshtein(c_name, 'Customer#000000100') <= 2
+        ORDER BY c_custkey""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",
