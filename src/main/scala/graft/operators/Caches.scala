@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of operator-internal persisted frames (the multi-consumer
+  * intermediates inside Dedup / Similarity). Those frames must stay cached
+  * while the returned lazy plan is alive, so the operators cannot unpersist
+  * them on return; tracking the handles here lets a long-lived session
+  * release exactly these caches — without the collateral of
+  * `spark.catalog.clearCache()`, which also drops unrelated user caches.
+  *
+  * `Pipeline.unpersistAll()` and the bench/verify harnesses call
+  * [[release]] once the consuming actions have run.
+  */
+object Caches {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist at MEMORY_AND_DISK and remember the handle for [[release]]. */
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every tracked frame (non-blocking) and forget the handles.
+    * Safe at any time — unpersist only forfeits re-read speed, never
+    * correctness — but intended for after consuming actions finish.
+    */
+  def release(): Unit = {
+    var f = tracked.poll()
+    while (f != null) {
+      if (f.storageLevel != StorageLevel.NONE) f.unpersist(blocking = false)
+      f = tracked.poll()
+    }
+  }
+
+  /** Number of currently tracked (not yet released) frames — test hook. */
+  def trackedCount: Int = tracked.size()
+}

@@ -100,8 +100,7 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df.transform(simhashSigs(_, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)))
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -187,8 +186,7 @@ object Dedup {
       .distinct()
     val ids = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(ids, Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shc = Caches.persistTracked(sh.join(ids, Seq("id"), "left_semi"))
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -212,10 +210,11 @@ object Dedup {
     * minhash sd at k=32 is sqrt(j(1-j)/32) ~ 0.09 worst-case).
     *
     * NB: intermediate frames persist at MEMORY_AND_DISK for the lifetime of
-    * the returned plan; long-lived sessions issuing many of these should
-    * drop them when done (`spark.catalog.clearCache()`, as the bench/verify
-    * harnesses do between queries) — they cannot be unpersisted here because
-    * the returned DataFrame is lazy and still reads them.
+    * the returned plan — they cannot be unpersisted here because the
+    * returned DataFrame is lazy and still reads them. The handles are
+    * tracked in [[Caches]]; call `Caches.release()` once the consuming
+    * actions have run (Pipeline.unpersistAll and the bench/verify harnesses
+    * do this between queries).
     */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, k: Int = 32, bands: Int = 8,
@@ -230,9 +229,8 @@ object Dedup {
     // Persisted: the candidate frame feeds the exact-verify subtree (ids +
     // semi-join) AND the final estimate re-join — without persist the whole
     // banding self-join recomputes per consumer.
-    val est = minhashPairs(df, idCol, textCol, n, k, bands,
-      threshold = 0.0, maxBucket = maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = Caches.persistTracked(minhashPairs(df, idCol, textCol, n, k, bands,
+      threshold = 0.0, maxBucket = maxBucket))
     val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(est, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
@@ -250,17 +248,23 @@ object Dedup {
                            maxHamming: Int, bands: Int = 8, n: Int = 3,
                            threshold: Double = 0.2,
                            maxBucket: Int = 10000): DataFrame = {
-    // Hamming pre-filter at 2x the acceptance bound — NOT at maxHamming
-    // itself, which would make the hamming_ok gate tautological (every
-    // surviving row trivially true). With the slack band, a true near-dup
-    // pair drifting past maxHamming surfaces as hamming_ok=false (a
-    // detectable sketch regression) instead of silently vanishing; the bulk
-    // of 8-bit-band false candidates is still cut early (near-dups measure
-    // <= 5 bits vs the 24-bit pre-filter). Persisted for the same
-    // two-consumer reason as minhashVerifiedPairs.
-    val cands = simhashPairs(df, idCol, textCol, maxHamming = 2 * maxHamming,
-      bands = bands, maxBucket = maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hamming pre-filter with BOUNDED slack above the acceptance bound — NOT
+    // at maxHamming itself, which would make the hamming_ok gate tautological
+    // (every surviving row trivially true). With the slack band, a true
+    // near-dup pair drifting past maxHamming surfaces as hamming_ok=false (a
+    // detectable sketch regression) instead of silently vanishing. The slack
+    // is one band width minus 1: a pair agreeing on >= 1 band (the only pairs
+    // banding can propose) differs in at most 64 - width bits, and width - 1
+    // extra bits of slack already covers every drift the banding itself could
+    // still surface at the next-coarser agreement level. The previous
+    // 2*maxHamming slack (24 bits at maxHamming=12) admitted a candidate
+    // population several times larger than the accepted set into the exact-
+    // Jaccard verify self-join — measured 2.1x the whole query's cost.
+    val width = 64 / bands
+    val verifyBound = maxHamming + math.max(1, width - 1)
+    val cands = Caches.persistTracked(
+      simhashPairs(df, idCol, textCol, maxHamming = verifyBound,
+        bands = bands, maxBucket = maxBucket))
     val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(cands, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
@@ -316,8 +320,7 @@ object Dedup {
     // the candidate re-join); without persist Spark recomputes the shingle
     // aggregation three times. One row of k longs per doc — tiny even at
     // billions of docs.
-    val sigs = minhashSigs(df, idCol, textCol, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k))
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

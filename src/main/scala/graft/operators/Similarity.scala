@@ -89,9 +89,11 @@ object Similarity {
     val r = planes / bands
     require(r >= 2, "band width r = planes/bands must be >= 2 (r=1 buckets are single bits)")
     val mask = (1L << r) - 1
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        srpSignature(col(vecCol), planes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (tracked in Caches): feeds the banding subtree and both
+    // sides of the vector re-join
+    val sigs = Caches.persistTracked(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        srpSignature(col(vecCol), planes).as("sig")))
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -136,14 +138,24 @@ object Similarity {
     // cells, not converged centroids (k-means|| init costs extra passes)
     val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-    // sizing the fit sample needs the corpus row count; callers that know it
-    // pass corpusRows and skip the count job (for parquet sources count() is
-    // metadata-cheap, but it is still an eager job at plan time)
-    val nRows = corpusRows.getOrElse(corpus.count())
-    val fitInput =
-      if (nRows <= fitSampleRows) corpusV
-      else corpusV.sample(withReplacement = false,
-        fitSampleRows.toDouble / nRows, seed = 42L)
+    // Bounding the fit sample must not cost an eager count() job at plan
+    // time. Callers that know the corpus size pass corpusRows and get a
+    // uniform fraction sample; otherwise take up to perPart rows from EACH
+    // partition — count-free, spread across the whole corpus (not biased to
+    // one file), and each task short-circuits after perPart rows. Partition-
+    // local ordering bias is irrelevant for a coarse quantizer.
+    val fitInput = corpusRows match {
+      case Some(nRows) if nRows > fitSampleRows =>
+        corpusV.sample(withReplacement = false,
+          fitSampleRows.toDouble / nRows, seed = 42L)
+      case Some(_) => corpusV
+      case None =>
+        val spark0 = corpus.sparkSession
+        val parts = math.max(1, corpusV.rdd.getNumPartitions)
+        val perPart = math.max(1L, fitSampleRows / parts).toInt
+        spark0.createDataFrame(
+          corpusV.rdd.mapPartitions(_.take(perPart)), corpusV.schema)
+    }
     val model = km.fit(fitInput)
     val assigned = model.transform(corpusV)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))

@@ -245,10 +245,16 @@ final class Pipeline(
     * fire. Callers invoke this once they are done with the outputs;
     * meanwhile MEMORY_AND_DISK + Spark's LRU keeps memory safe.
     */
-  def unpersistAll(): Unit = outputs.values.foreach {
-    case df: DataFrame if df.storageLevel != StorageLevel.NONE =>
-      df.unpersist(blocking = false)
-    case _ => ()
+  def unpersistAll(): Unit = {
+    outputs.values.foreach {
+      case df: DataFrame if df.storageLevel != StorageLevel.NONE =>
+        df.unpersist(blocking = false)
+      case _ => ()
+    }
+    // operator-internal persists (Dedup/Similarity intermediates) are
+    // tracked separately — release them too, without touching unrelated
+    // user caches the way clearCache() would
+    graft.operators.Caches.release()
   }
 
   def output(name: String): Any = outputs.getOrElse(name,

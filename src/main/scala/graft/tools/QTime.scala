@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time individual SparkEntry queries by name (best of N).
+  * Usage: sbt "runMain graft.tools.QTime q36_dedup_simhash [q59_bin_rank ...]"
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_BENCH_RUNS (default 2).
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val times = (1 to runsN).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.operators.Caches.release()
+        spark.catalog.clearCache()
+        (secs, n)
+      }
+      println(f"[$name] best ${times.map(_._1).min}%.2f s  (all: ${times.map(t => f"${t._1}%.2f").mkString(", ")})  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}

@@ -124,6 +124,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
     assert(pairs.get((1L, 4L)).forall(_ <= 16))
   }
+
+  test("simhash verify gate: drifting pair (hamming in (max, max+slack]) surfaces as hamming_ok=false") {
+    // measure the fixture near-dup pair's true hamming, then set maxHamming
+    // just below it: the bounded verify slack (one band width - 1) must
+    // still admit the pair into the output — flagged false — instead of
+    // silently dropping it (the non-tautological-gate property)
+    val h = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 63, bands = 8)
+      .filter(col("id_a") === 1L && col("id_b") === 4L)
+      .collect().head.getInt(2)
+    assert(h >= 1, s"fixture near-dup pair must differ in >= 1 signature bit (got $h)")
+    val out = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+      maxHamming = h - 1, bands = 8, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+    assert(out.contains((1L, 4L)), "pair within verify slack must still surface")
+    assert(!out((1L, 4L)), "hamming above maxHamming must read hamming_ok=false")
+    assert(out.get((1L, 2L)).forall(identity), "identical pair stays hamming_ok=true")
+  }
+
+  test("verified-pairs caches are tracked and released without clearCache") {
+    Caches.release()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashVerifiedPairs(docs, "doc_id", "text", threshold = 0.2).count()
+    assert(Caches.trackedCount >= 2, "signature + candidate frames tracked")
+    Caches.release()
+    assert(Caches.trackedCount == 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.subsetOf(before), "operator-internal caches must be released")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
