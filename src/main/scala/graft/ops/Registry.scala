@@ -101,6 +101,17 @@ final class Registry(spark: SparkSession) {
   }
   private def tn(v: Any): String = if (v == null) "None" else v.getClass.getSimpleName
 
+  /** Scale warning for window methods resolving to a single global window
+    * partition (empty `partition_by`): pandas parity demands offering the
+    * global form, but at cluster scale it serializes the whole table into
+    * one task's sort. Callers with an explicit partition key never see this.
+    */
+  private def warnGlobalWindow(method: String): Unit =
+    log.warn(s"$method: no partition_by given — the window is ONE global " +
+      "partition (single-task sort of the whole table). Fine for small " +
+      "frames; pass partition_by for cluster-scale data.")
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Registry])
+
   private val aggFns: Map[String, Column => Column] = Map(
     "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
     "count" -> count, "first" -> first, "last" -> last,
@@ -541,6 +552,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow(name)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()
@@ -560,6 +572,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow(name)
       val periods = a.get("periods", -1).map(asInt(_, "periods")).getOrElse(1)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
@@ -574,47 +587,98 @@ final class Registry(spark: SparkSession) {
     case "rank" =>
       // pandas Series.rank over one column; methods min/dense/first/average
       // (average = min rank + (ties-1)/2, pandas' default). pandas excludes
-      // NaN from ranking (na_option='keep'): null rows rank null, and their
-      // count is subtracted so non-null ranks start at 1 (Spark orders
-      // nulls first under asc).
+      // NaN from ranking (na_option='keep'): null rows rank null.
+      //
+      // Two physical strategies (option `strategy`, default "auto"):
+      //  - "agg" (auto for min/dense/average): per-(partition, value) counts
+      //    -> prefix sums over the DISTINCT values -> join the rank back.
+      //    No task ever sorts a whole window partition; the only window runs
+      //    over the counts table (one row per distinct value), whose rows
+      //    are tiny even when a 3-value bin column spans billions of rows.
+      //  - "window" (auto for 'first', which needs row-level tiebreaks):
+      //    RANK() over the partition — correct, but a low-cardinality
+      //    partition_by puts a whole bin in ONE task's sort; kept for
+      //    row-order methods and as the old-vs-new equivalence baseline.
       val c = asStr(a.require("column", 0), "column")
       val method = a.get("method", -1).map(asStr(_, "method")).getOrElse("average")
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       val rankOrderBy = a.get("order_by", -1).map(asStrList).getOrElse(Nil)
+      val strategy = a.get("strategy", -1).map(asStr(_, "strategy")).getOrElse("auto")
       import org.apache.spark.sql.expressions.Window
-      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
-        else Window.partitionBy()
-      val w = base.orderBy(col(c).asc)
-      val nNulls = sum(when(col(c).isNull, 1).otherwise(0))
-        .over(base.orderBy(col(c).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-      def adj(r: Column): Column =
-        when(col(c).isNull, lit(null))
-          .otherwise(r.cast(DoubleType) - nNulls.cast(DoubleType))
-      val rk = method match {
-        case "min" => adj(rank().over(w))
-        case "first" =>
-          // pandas method='first' breaks ties by row order — a distributed
-          // frame needs explicit tiebreak keys (same contract as shift/
-          // transform); value ties would otherwise rank nondeterministically
-          if (rankOrderBy.isEmpty) throw PipelineError(
-            "rank(method='first') requires order_by tiebreak keys")
-          adj(row_number().over(base.orderBy(
-            col(c).asc +: rankOrderBy.map(col(_).asc): _*)))
-        case "dense" =>
-          // dense ranks shift by 1 iff a null group precedes (all nulls
-          // share one dense rank)
-          when(col(c).isNull, lit(null)).otherwise(
-            dense_rank().over(w).cast(DoubleType) -
-              when(nNulls > 0, 1.0).otherwise(0.0))
-        case "average" =>
-          val ties = count(lit(1)).over(
-            if (partCols.nonEmpty) Window.partitionBy((partCols.map(col) :+ col(c)): _*)
-            else Window.partitionBy(col(c)))
-          adj(rank().over(w)) + (ties - lit(1)).cast(DoubleType) / 2.0
-        case other => throw PipelineError(s"rank: unsupported method '$other'")
+      val useAgg = strategy match {
+        case "agg" =>
+          if (method == "first") throw PipelineError(
+            "rank(method='first') is row-order-dependent and has no aggregation form")
+          true
+        case "window" => false
+        case "auto" => method != "first"
+        case other => throw PipelineError(s"rank: unsupported strategy '$other'")
       }
-      df.withColumn(s"${c}_rank", rk)
+      if (useAgg) {
+        // counts of each distinct (partition..., value); nulls excluded so
+        // non-null ranks start at 1 (na_option='keep') and null rows fall
+        // out of the join as rank null
+        val keyCols = partCols :+ c
+        val counts = df.filter(col(c).isNotNull)
+          .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__graft_cnt"))
+        val wc = (if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+          else Window.partitionBy()).orderBy(col(c).asc)
+        val minRank = lit(1) + coalesce(
+          sum(col("__graft_cnt")).over(
+            wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        val rk = (method match {
+          case "min" => minRank
+          case "dense" => row_number().over(wc)
+          case "average" =>
+            minRank.cast(DoubleType) +
+              (col("__graft_cnt") - lit(1)).cast(DoubleType) / 2.0
+          case other => throw PipelineError(s"rank: unsupported method '$other'")
+        }).cast(DoubleType)
+        val lookup = counts.select((keyCols.map(col) :+ rk.as("__graft_rk")): _*)
+        // equi-join on (partition..., value): null values never match, so
+        // they surface with a null rank, exactly pandas' NaN behavior. The
+        // select restores df's column order (the USING join moves keys
+        // first), matching the window path's append-a-column shape.
+        val rankName = s"${c}_rank"
+        df.join(lookup, keyCols, "left")
+          .select((df.columns.filter(_ != rankName).map(col).toSeq
+            :+ col("__graft_rk").as(rankName)): _*)
+      } else {
+        if (partCols.isEmpty) warnGlobalWindow("rank")
+        val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+          else Window.partitionBy()
+        val w = base.orderBy(col(c).asc)
+        val nNulls = sum(when(col(c).isNull, 1).otherwise(0))
+          .over(base.orderBy(col(c).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        def adj(r: Column): Column =
+          when(col(c).isNull, lit(null))
+            .otherwise(r.cast(DoubleType) - nNulls.cast(DoubleType))
+        val rk = method match {
+          case "min" => adj(rank().over(w))
+          case "first" =>
+            // pandas method='first' breaks ties by row order — a distributed
+            // frame needs explicit tiebreak keys (same contract as shift/
+            // transform); value ties would otherwise rank nondeterministically
+            if (rankOrderBy.isEmpty) throw PipelineError(
+              "rank(method='first') requires order_by tiebreak keys")
+            adj(row_number().over(base.orderBy(
+              col(c).asc +: rankOrderBy.map(col(_).asc): _*)))
+          case "dense" =>
+            // dense ranks shift by 1 iff a null group precedes (all nulls
+            // share one dense rank)
+            when(col(c).isNull, lit(null)).otherwise(
+              dense_rank().over(w).cast(DoubleType) -
+                when(nNulls > 0, 1.0).otherwise(0.0))
+          case "average" =>
+            val ties = count(lit(1)).over(
+              if (partCols.nonEmpty) Window.partitionBy((partCols.map(col) :+ col(c)): _*)
+              else Window.partitionBy(col(c)))
+            adj(rank().over(w)) + (ties - lit(1)).cast(DoubleType) / 2.0
+          case other => throw PipelineError(s"rank: unsupported method '$other'")
+        }
+        df.withColumn(s"${c}_rank", rk)
+      }
     case "cut" =>
       // pandas pd.cut with explicit bin edges, right-closed (a, b]; values
       // outside the bins -> null, like pandas NaN
@@ -656,6 +720,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow(name)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()

@@ -71,6 +71,53 @@ class RegistrySpec extends AnyFunSuite {
     assert(fst == Map(3L -> 1.0, 1L -> 2.0, 2L -> 3.0))
   }
 
+  test("rank: aggregation strategy == window strategy for every method, incl. partitions/ties/nulls") {
+    // the scale-safe agg-rank (counts -> prefix sums -> join back, the
+    // default for min/dense/average) must be value-identical to the
+    // window form on ties, nulls, and partitioned input
+    val data = Seq(
+      ("a", Option(2.0)), ("a", Option(2.0)), ("a", Option(1.0)), ("a", None),
+      ("b", Option(5.0)), ("b", Option(3.0)), ("b", Option(3.0)), ("b", Option(3.0)),
+      ("c", None), ("c", None)
+    ).toDF("g", "x")
+    for (method <- Seq("min", "dense", "average");
+         parts <- Seq(Nil, List("g"))) {
+      def run(strategy: String) =
+        m(data, "rank", "column" -> "x", "method" -> method,
+          "partition_by" -> parts, "strategy" -> strategy)
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .collect()
+          .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+          .sortBy(t => (t._1, t._2.map(_.toString).getOrElse(""), t._3.map(_.toString).getOrElse("")))
+          .toSeq
+      assert(run("agg") == run("window"),
+        s"agg vs window diverged for method=$method parts=$parts")
+    }
+    // first has no aggregation form — explicit strategy=agg must refuse
+    intercept[graft.config.PipelineError] {
+      m(data, "rank", "column" -> "x", "method" -> "first",
+        "order_by" -> List("g"), "strategy" -> "agg")
+    }
+  }
+
+  test("rank agg strategy plan has no whole-partition window over the input") {
+    // the point of agg-rank: the only Window in the plan runs over the
+    // distinct-value counts, after an aggregation — never over the raw rows
+    val data = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0)).toDF("g", "x")
+    val plan = m(data, "rank", "column" -> "x", "method" -> "min",
+      "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "agg-rank still uses a window (over counts)")
+    windows.foreach { w =>
+      val hasAggBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(hasAggBelow, "window must sit above the counts aggregation, not the raw input")
+    }
+  }
+
   test("interpolate: linear interior, null leading, repeated trailing (pandas)") {
     val tsDf = Seq(
       (1L, Option.empty[Double]),  // leading -> stays null
