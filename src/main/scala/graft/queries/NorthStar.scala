@@ -210,14 +210,20 @@ object NorthStar {
         SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""")),
 
-    // Embedding-cosine near-dup pairs, ORACLE-GATED: rows are the EXACT
-    // brute-force pair set (id, id, cosine — DuckDB recomputes them all);
-    // recall_ok gates that the SRP-banded scale path (planes=64/bands=16,
-    // expected recall ~0.97 at cosine 0.35) recovers >= 85% of them.
+    // Embedding-cosine near-dup pairs, ORACLE-GATED over a BOUNDED slice:
+    // the sketch path (embeddingDupPairs: SRP bands + exact verify,
+    // planes=64/bands=16, expected recall ~0.97 at cosine 0.35) runs over
+    // the FULL corpus — that is the operator under test, and its plan is a
+    // band-key equality shuffle, never all-pairs. The exact all-pairs join
+    // that the oracle must recompute is confined to a deterministic slice
+    // (vec_id < 500): O(500^2) work no matter how large the corpus grows,
+    // so the declared rows survive a 100x scale-up. recall_ok gates that
+    // the full-corpus sketch recovers >= 85% of the slice's exact pairs.
     Q("q51_dedup_embedding",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val exact = Similarity.exactCosinePairs(emb, threshold = 0.35)
+        val slice = emb.filter(col("vec_id") < 500)
+        val exact = Similarity.exactCosinePairs(slice, threshold = 0.35)
         val found = Similarity.embeddingDupPairs(emb, threshold = 0.35,
           planes = 64, bands = 16).select(col("id_a"), col("id_b"), lit(1).as("__hit"))
         val recallOk = exact.join(found, Seq("id_a", "id_b"), "left")
@@ -234,7 +240,8 @@ object NorthStar {
               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
               AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 500 AND b.vec_id < 500)
         SELECT id_a, id_b, round(cosine, 6) AS cos_r, TRUE AS recall_ok
         FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""")),
 
