@@ -699,6 +699,87 @@ final class Registry(spark: SparkSession) {
         case ((cond, lab), elseC) => when(cond, lit(lab)).otherwise(elseC)
       }
       df.withColumn(s"${c}_bin", binned)
+    case "qcut" =>
+      // pandas pd.qcut: quantile binning. Edges are EXACT percentiles
+      // (linear interpolation, the same definition as DuckDB quantile_cont),
+      // computed in one aggregation pass and collected — one row on the
+      // driver, the unavoidable eager step of any quantile fit (pandas is
+      // eager here too). Bins are right-closed (e_i, e_{i+1}] with the
+      // minimum included in bin 0; values null -> null bin.
+      // `q` = bin count or explicit prob list; `labels` = list | false
+      // (integer codes, pandas labels=False); duplicates = 'raise'|'drop'.
+      val c = asStr(a.require("column", 0), "column")
+      val probs: List[Double] = a.require("q", 1) match {
+        case n: Long =>
+          require(n >= 2, "qcut: q must be >= 2")
+          (0L to n).map(_.toDouble / n).toList
+        case l: List[_] =>
+          val ps = l.map(_.toString.toDouble)
+          require(ps == ps.sorted && ps.head == 0.0 && ps.last == 1.0,
+            "qcut: prob list must be ascending from 0 to 1")
+          ps
+        case other => throw PipelineError(s"qcut: q must be int or prob list, got ${tn(other)}")
+      }
+      val duplicates = a.get("duplicates", -1).map(asStr(_, "duplicates")).getOrElse("raise")
+      val edgeRow = df.agg(
+        expr(s"percentile($c, ${probs.head})"),
+        probs.tail.map(p => expr(s"percentile($c, $p)")): _*).head()
+      val allEdges = probs.indices.map(edgeRow.getDouble).toList
+      val edges = allEdges.distinct
+      if (edges.size < allEdges.size && duplicates != "drop") throw PipelineError(
+        s"qcut: bin edges are not unique ($allEdges); pass duplicates='drop'")
+      require(edges.size >= 2, "qcut: all values identical — no bins")
+      val nBins = edges.size - 1
+      val codes = a.get("labels", -1) match {
+        case Some(false) => (0 until nBins).map(i => lit(i)).toList
+        case Some(l: List[_]) =>
+          require(l.size == nBins, s"qcut: need $nBins labels, got ${l.size}")
+          l.map(x => lit(x.toString))
+        case None => edges.sliding(2).map { case List(lo, hi) =>
+          lit(s"($lo, $hi]") }.toList
+        case Some(other) => throw PipelineError(
+          s"qcut: labels must be a list or false, got ${tn(other)}")
+      }
+      val v = col(c).cast(DoubleType)
+      val binned = edges.tail.zip(codes).foldRight(lit(null).cast(
+        if (a.get("labels", -1).contains(false)) "int" else "string")) {
+        case ((hi, code), elseC) => when(v <= hi, code).otherwise(elseC)
+      }
+      // CASE chains are first-match: the fold above puts the SMALLEST edge
+      // first, so v <= e1 -> bin 0 before v <= e2 can claim it
+      df.withColumn(s"${c}_qbin", when(v.isNull, lit(null)).otherwise(binned))
+    case "ewm" =>
+      // pandas df.ewm(alpha=...).mean() (adjust=True, ignore_na=False, the
+      // defaults), as a single call. The adjusted EWM
+      //   y_t = sum_{i<=t} (1-a)^{t-i} x_i / sum_{i<=t} (1-a)^{t-i}
+      // has a common factor (1-a)^t that CANCELS in the ratio, leaving two
+      // running window sums with per-row weight (1-a)^(-rn): pure codegen'd
+      // window math, no sequential recurrence, no mapPartitions. Null x_i
+      // contribute no weight but still advance position (ignore_na=False).
+      // The weight overflows double once ONE series exceeds ~ -745/ln(1-a)
+      // rows (alpha=0.2 -> ~3300, alpha=0.5 -> ~1070); partition_by bounds
+      // series length — the same contract that keeps the window scale-safe.
+      val cols = asStrList(a.require("columns", -1))
+      val alpha = a.require("alpha", -1).toString.toDouble
+      require(alpha > 0 && alpha < 1, "ewm: alpha must be in (0, 1)")
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow("ewm")
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val w = base.orderBy(orderBy.map(col(_).asc): _*)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // row_number materialized first: window functions cannot nest inside
+      // the running-sum window aggregate
+      val withRn = df.withColumn("__graft_rn", row_number().over(w))
+      val wgt = pow(lit(1.0 - alpha), -col("__graft_rn"))
+      cols.foldLeft(withRn) { (d, c) =>
+        val x = col(c).cast(DoubleType)
+        d.withColumn(s"${c}_ewm",
+          sum(x * wgt).over(run) /
+            sum(when(x.isNotNull, wgt)).over(run))
+      }.drop("__graft_rn")
     case "clip" =>
       val cols = asStrList(a.require("columns", -1))
       val lower = a.get("lower", -1).map(_.toString.toDouble)

@@ -681,6 +681,69 @@ object NorthStar {
         WHERE levenshtein(c_name, 'Customer#000000100') <= 2
         ORDER BY c_custkey""")),
 
+    // pandas pd.qcut through the registry: quantile binning with EXACT
+    // percentile edges. The bin column is integer-valued (l_quantity, 1..50)
+    // so quartile interpolation lands on integers or exact .5 halves —
+    // bit-identical in both engines, no boundary-row rounding hazard.
+    // labels=false -> integer codes, pandas labels=False.
+    Q("q67_qcut",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(DoubleType).as("qty"))
+        reg.callMethod(li, "qcut", graft.expr.Args(kw = List(
+          "column" -> "qty", "q" -> 4L, "labels" -> false)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH e AS (SELECT
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS e1,
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS e2,
+            quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS e3,
+            max(CAST(l_quantity AS DOUBLE)) AS e4
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+          CAST(CASE WHEN l_quantity <= e1 THEN 0
+                    WHEN l_quantity <= e2 THEN 1
+                    WHEN l_quantity <= e3 THEN 2
+                    WHEN l_quantity <= e4 THEN 3 END AS INTEGER) AS qty_qbin
+        FROM lineitem, e ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas df.ewm(alpha).mean() (adjust=True) through the registry. The
+    // oracle replays the SAME cancelled-ratio formulation (two running
+    // pow-weighted sums — the (1-a)^t factor cancels), summed in the same
+    // ascending row order, so both engines accumulate identically; round(6)
+    // absorbs libm pow ulp drift. Partitioned by customer: series stay
+    // short, the contract that bounds the weight range.
+    Q("q68_ewm",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("x"))
+        reg.callMethod(o, "ewm", graft.expr.Args(kw = List(
+          "columns" -> List("x"), "alpha" -> 0.2,
+          "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("x_ewm"), 6).as("x_ewm"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderkey,
+            CAST(o_totalprice AS DOUBLE) AS x,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders)
+        SELECT o_custkey, o_orderkey,
+          round(SUM(x * pow(0.8, -rn)) OVER w / SUM(pow(0.8, -rn)) OVER w, 6) AS x_ewm
+        FROM r
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

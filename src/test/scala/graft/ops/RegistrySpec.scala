@@ -118,6 +118,60 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("qcut: quantile codes, null keep, duplicate-edge raise/drop (pandas)") {
+    val d = Seq(Option(1.0), Option(2.0), Option(3.0), Option(4.0),
+      Option(5.0), Option(6.0), Option(7.0), Option(8.0), None).toDF("x")
+    val codes = m(d, "qcut", "column" -> "x", "q" -> 4L, "labels" -> false)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    // pandas qcut(range(1,9), 4, labels=False): edges 1, 2.75, 4.5, 6.25, 8
+    assert(codes(Some(1.0)) == Some(0) && codes(Some(2.0)) == Some(0))
+    assert(codes(Some(3.0)) == Some(1) && codes(Some(4.0)) == Some(1))
+    assert(codes(Some(5.0)) == Some(2) && codes(Some(6.0)) == Some(2))
+    assert(codes(Some(7.0)) == Some(3) && codes(Some(8.0)) == Some(3))
+    assert(codes(None).isEmpty, "null values bin to null, like pandas NaN")
+    // heavy ties collapse quartile edges -> pandas raises unless
+    // duplicates='drop', which merges the duplicate edges into fewer bins
+    val ties = Seq(1.0, 1.0, 1.0, 1.0, 2.0, 3.0, 4.0).toDF("x")
+    intercept[graft.config.PipelineError] {
+      m(ties, "qcut", "column" -> "x", "q" -> 4L, "labels" -> false)
+    }
+    val dropped = m(ties, "qcut", "column" -> "x", "q" -> 4L,
+      "labels" -> false, "duplicates" -> "drop")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("x").collect().map(_.getInt(1)).toSeq
+    // unique edges [1, 2.5, 4] -> two bins (pandas duplicates='drop')
+    assert(dropped == Seq(0, 0, 0, 0, 0, 1, 1))
+  }
+
+  test("ewm: adjust=True recurrence, null positions keep their weight distance") {
+    // pandas: Series([1, 2, NaN, 4]).ewm(alpha=0.5).mean()
+    //   y0 = 1
+    //   y1 = (0.5*1 + 1*2) / (0.5 + 1)                 = 5/3
+    //   y2 = y1 (NaN contributes nothing, position advances)
+    //   y3 = (0.125*1 + 0.25*2 + 1*4) / (0.125+0.25+1) = 4.625/1.375
+    val d = Seq((1L, Option(1.0)), (2L, Option(2.0)),
+      (3L, Option.empty[Double]), (4L, Option(4.0))).toDF("t", "x")
+    val out = m(d, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 5.0 / 3) < 1e-12)
+    assert(math.abs(out(2) - 5.0 / 3) < 1e-12, "NaN row carries the prior mean")
+    assert(math.abs(out(3) - 4.625 / 1.375) < 1e-12)
+    // partitioned: each series restarts its weights
+    val p = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 100.0))
+      .toDF("g", "t", "x")
+    val pe = m(p, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getDouble(3))
+    assert(math.abs(pe(0) - 10.0) < 1e-12)
+    assert(math.abs(pe(1) - (0.5 * 10 + 20) / 1.5) < 1e-12)
+    assert(math.abs(pe(2) - 100.0) < 1e-12, "series restart per partition")
+  }
+
   test("interpolate: linear interior, null leading, repeated trailing (pandas)") {
     val tsDf = Seq(
       (1L, Option.empty[Double]),  // leading -> stays null
