@@ -27,7 +27,8 @@ object AsOfJoin {
 
   /** Backward as-of: for each left row, the payload of the latest right row
     * with rightOn <= leftOn within the same `by` group (pandas
-    * merge_asof(direction='backward') semantics, ties include equal times).
+    * merge_asof(direction='backward') semantics, ties include equal times
+    * unless allowExactMatches=false — then strictly earlier, like pandas).
     * Payload entries are (outputName, expression-over-right-columns).
     * Optional tolerance (in epoch-microsecond difference) nulls out matches
     * that are too old.
@@ -35,20 +36,41 @@ object AsOfJoin {
   def backward(left: DataFrame, leftOn: Column, leftBy: Column,
                right: DataFrame, rightOn: Column, rightBy: Column,
                payload: Seq[(String, Column)],
-               toleranceUs: Option[Long] = None): DataFrame =
-    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs, forward = false)
+               toleranceUs: Option[Long] = None,
+               allowExactMatches: Boolean = true): DataFrame =
+    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs,
+      "backward", allowExactMatches)
 
-  /** Forward as-of: earliest right row with rightOn >= leftOn. */
+  /** Forward as-of: earliest right row with rightOn >= leftOn (> if
+    * allowExactMatches=false).
+    */
   def forward(left: DataFrame, leftOn: Column, leftBy: Column,
               right: DataFrame, rightOn: Column, rightBy: Column,
               payload: Seq[(String, Column)],
-              toleranceUs: Option[Long] = None): DataFrame =
-    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs, forward = true)
+              toleranceUs: Option[Long] = None,
+              allowExactMatches: Boolean = true): DataFrame =
+    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs,
+      "forward", allowExactMatches)
+
+  /** Nearest as-of: the right row with the smallest |rightOn - leftOn|,
+    * backward winning ties (pandas direction='nearest'). Computed as the
+    * backward and forward carries over the SAME key-partitioned union —
+    * one shuffle, two in-partition sorts — then a per-row delta compare;
+    * tolerance applies to each side before the choice, so an out-of-range
+    * backward match still loses to an in-range forward one.
+    */
+  def nearest(left: DataFrame, leftOn: Column, leftBy: Column,
+              right: DataFrame, rightOn: Column, rightBy: Column,
+              payload: Seq[(String, Column)],
+              toleranceUs: Option[Long] = None,
+              allowExactMatches: Boolean = true): DataFrame =
+    join(left, leftOn, leftBy, right, rightOn, rightBy, payload, toleranceUs,
+      "nearest", allowExactMatches)
 
   private def join(left: DataFrame, leftOn: Column, leftBy: Column,
                    right: DataFrame, rightOn: Column, rightBy: Column,
                    payload: Seq[(String, Column)], toleranceUs: Option[Long],
-                   forward: Boolean): DataFrame = {
+                   direction: String, allowExactMatches: Boolean): DataFrame = {
     val names = payload.map(_._1)
     require(names.toSet.intersect(left.columns.toSet).isEmpty,
       s"payload names collide with left columns: ${names.mkString(",")}")
@@ -72,23 +94,46 @@ object AsOfJoin {
     val r3 = left.schema.fields.foldLeft(r2)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
 
-    // Backward: ascending time, right rows (side 0) before left at equal time
-    // so an exactly-simultaneous right row matches. Forward: descending time.
-    val ord =
-      if (forward) Seq(col(TIME).desc, col(SIDE).asc) else Seq(col(TIME).asc, col(SIDE).asc)
-    val w = Window.partitionBy(col(KEY)).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // At equal times, right rows (side 0) sort BEFORE left under SIDE asc, so
+    // the running last(ignoreNulls) sees the exactly-simultaneous right row;
+    // allowExactMatches=false flips the tiebreak so left rows come first and
+    // equal-time right rows are invisible to them (strict < / >, pandas).
+    val sideOrd = if (allowExactMatches) col(SIDE).asc else col(SIDE).desc
+    def carryOver(timeOrd: Column) =
+      last(col(CARRY), ignoreNulls = true).over(
+        Window.partitionBy(col(KEY)).orderBy(timeOrd, sideOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // Backward scans ascending time; forward scans DESCENDING time (its
+    // "preceding" rows are later times). Both windows share the KEY
+    // partitioning: one exchange, two in-partition sorts in the plan.
+    def tolGate(c: Column): Column = toleranceUs match {
+      case Some(tol) => when(
+        abs(unix_micros(col(TIME)) - unix_micros(c.getField(RTIME))) > tol,
+        lit(null).cast(carryType)).otherwise(c)
+      case None => c
+    }
 
-    val carried = l2.unionByName(r3)
-      .withColumn(CARRY, last(col(CARRY), ignoreNulls = true).over(w))
-
-    val matched = toleranceUs match {
-      case Some(tol) =>
-        val outOfRange =
-          abs(unix_micros(col(TIME)) - unix_micros(col(s"$CARRY.$RTIME"))) > tol
-        carried.withColumn(CARRY, when(outOfRange, lit(null).cast(carryType))
-          .otherwise(col(CARRY)))
-      case None => carried
+    val unioned = l2.unionByName(r3)
+    val matched = direction match {
+      case "backward" =>
+        unioned.withColumn(CARRY, tolGate(carryOver(col(TIME).asc)))
+      case "forward" =>
+        unioned.withColumn(CARRY, tolGate(carryOver(col(TIME).desc)))
+      case "nearest" =>
+        val B = "__asof_carry_b"
+        val both = unioned
+          .withColumn(B, tolGate(carryOver(col(TIME).asc)))
+          .withColumn(CARRY, tolGate(carryOver(col(TIME).desc)))
+        val deltaB = unix_micros(col(TIME)) - unix_micros(col(B).getField(RTIME))
+        val deltaF = unix_micros(col(CARRY).getField(RTIME)) - unix_micros(col(TIME))
+        both.withColumn(CARRY,
+          when(col(B).isNull, col(CARRY))
+            .when(col(CARRY).isNull, col(B))
+            // tie -> backward, pandas' nearest semantics
+            .when(deltaB <= deltaF, col(B))
+            .otherwise(col(CARRY)))
+          .drop(B)
+      case other => sys.error(s"unknown asof direction: $other")
     }
     val unpacked = names.foldLeft(matched)((df, n) =>
       df.withColumn(n, col(s"$CARRY.$n")))

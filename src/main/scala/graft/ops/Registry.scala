@@ -305,15 +305,22 @@ final class Registry(spark: SparkSession) {
     },
     "graft.asof_join" -> { a =>
       val payload = asStrList(a.require("payload", -1))
-      AsOfJoin.backward(
-        left = asDf(a.require("left", 0), "left"),
-        leftOn = col(asStr(a.require("left_on", -1), "left_on")),
-        leftBy = col(asStr(a.require("left_by", -1), "left_by")),
-        right = asDf(a.require("right", 1), "right"),
-        rightOn = col(asStr(a.require("right_on", -1), "right_on")),
-        rightBy = col(asStr(a.require("right_by", -1), "right_by")),
-        payload = payload.map(p => p -> col(p)),
-        toleranceUs = a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong))
+      val dir = a.get("direction", -1).map(asStr(_, "direction")).getOrElse("backward")
+      val fn = dir match {
+        case "backward" => AsOfJoin.backward _
+        case "forward" => AsOfJoin.forward _
+        case "nearest" => AsOfJoin.nearest _
+        case other => throw PipelineError(s"asof_join: unknown direction '$other'")
+      }
+      fn(asDf(a.require("left", 0), "left"),
+        col(asStr(a.require("left_on", -1), "left_on")),
+        col(asStr(a.require("left_by", -1), "left_by")),
+        asDf(a.require("right", 1), "right"),
+        col(asStr(a.require("right_on", -1), "right_on")),
+        col(asStr(a.require("right_by", -1), "right_by")),
+        payload.map(p => p -> col(p)),
+        a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong),
+        a.get("allow_exact_matches", -1).forall(asBool(_, default = true)))
     },
     "graft.text_metrics" -> { a =>
       val df = asDf(a.require("df", 0), "df")

@@ -152,6 +152,37 @@ object Funcs {
         SELECT o_orderkey, o_custkey,
           (SELECT epoch_us(max(e.ts)) FROM events e
             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_us
+        FROM orders o ORDER BY o_orderkey""")),
+
+    // merge_asof (direction='nearest', allow_exact_matches=False): the event
+    // strictly nearest in time, backward winning |delta| ties (pandas).
+    // Payload is the matched TIME itself, so duplicate-timestamp right rows
+    // cannot make the answer nondeterministic. The oracle's correlated
+    // subquery replays nearest-with-backward-tiebreak per order; the
+    // tolerance bounds the match to +/- 30 days.
+    Q("q69_asof_nearest",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val events = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin.nearest(
+          left = orders, leftOn = col("o_orderdate"), leftBy = col("o_custkey"),
+          right = events, rightOn = col("ts"), rightBy = col("user_id"),
+          payload = Seq("near_event_us" -> unix_micros(col("ts"))),
+          toleranceUs = Some(30L * 24 * 3600 * 1000000L),
+          allowExactMatches = false)
+          .select(col("o_orderkey"), col("o_custkey"), col("near_event_us"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+          (SELECT epoch_us(e.ts) FROM events e
+            WHERE e.user_id = o.o_custkey
+              AND e.ts <> o.o_orderdate
+              AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 2592000000000
+            ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC, e.ts ASC
+            LIMIT 1) AS near_event_us
         FROM orders o ORDER BY o_orderkey"""))
   )
 }

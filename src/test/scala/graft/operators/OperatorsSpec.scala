@@ -69,6 +69,56 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("t2") == null, "matched 10:00:25 row has null px; must not fall back to 100.0")
   }
 
+  test("nearest asof: smaller |delta| wins, ties go backward (pandas)") {
+    // t1 10:00:05: backward quote at 10:00:05 (d=0) wins outright
+    // t2 10:00:30: backward 10:00:20 (d=10s) vs no forward -> 102.0
+    // t3 10:00:10: no backward, forward 10:01:00 -> 200.0
+    val out = AsOfJoin.nearest(
+      trades, col("t"), col("sym"), quotes, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")))
+      .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("t1") == 101.0)
+    assert(out("t2") == 102.0)
+    assert(out("t3") == 200.0)
+    // explicit tie: quotes equidistant before/after -> backward (earlier) wins
+    val tie = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:10"), 2.0)
+    ).toDF("sym", "t", "px")
+    val mid = Seq((1L, ts("2024-01-01 10:00:05"), "m")).toDF("sym", "t", "trade_id")
+    val got = AsOfJoin.nearest(mid, col("t"), col("sym"), tie, col("t"), col("sym"),
+      payload = Seq("px" -> col("px"))).select("px").collect().head.get(0)
+    assert(got == 1.0, "equidistant tie must resolve backward")
+  }
+
+  test("allow_exact_matches=false: equal timestamps excluded in every direction") {
+    // t1 10:00:05 has an exactly-simultaneous quote (101.0) that must be
+    // invisible; strict-backward falls to 10:00:00 (100.0), strict-forward
+    // rises to 10:00:20 (102.0), nearest picks 100.0 (d=5s) over 102.0 (d=15s)
+    def run(dir: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column, Seq[(String, org.apache.spark.sql.Column)], Option[Long], Boolean) => org.apache.spark.sql.DataFrame) =
+      dir(trades, col("t"), col("sym"), quotes, col("t"), col("sym"),
+        Seq("px" -> col("px")), None, false)
+        .select("trade_id", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val bwd = run(AsOfJoin.backward)
+    assert(bwd("t1") == 100.0, "exact 10:00:05 quote must be skipped, strictly-before wins")
+    val fwd = run(AsOfJoin.forward)
+    assert(fwd("t1") == 102.0)
+    val near = run(AsOfJoin.nearest)
+    assert(near("t1") == 100.0, "nearest under strict matching: 5s backward beats 15s forward")
+  }
+
+  test("nearest tolerance: out-of-range backward loses to in-range forward") {
+    val q = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),  // 1h before: out of 10min tolerance
+      (1L, ts("2024-01-01 10:05:00"), 2.0)   // 5min after: in range
+    ).toDF("sym", "t", "px")
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("sym", "t", "trade_id")
+    val got = AsOfJoin.nearest(l, col("t"), col("sym"), q, col("t"), col("sym"),
+      payload = Seq("px" -> col("px")), toleranceUs = Some(10L * 60 * 1000000L))
+      .select("px").collect().head.get(0)
+    assert(got == 2.0, "tolerance must gate each side BEFORE the nearest choice")
+  }
+
   test("multi-payload columns all come from the same matched row") {
     val q2 = Seq(
       (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("mkt-a")),
