@@ -59,26 +59,35 @@ object Text {
   // PII patterns chosen for cross-engine regex portability (Java regex and
   // RE2 both support these constructs; no lookbehind, no script classes).
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  // IPv4: octets constrained to 0-255, anchored against adjacent
+  // letters/digits/dots so version-like runs ("1.2.3.4.5") and out-of-range
+  // fakes ("999.1.1.1") stay untouched. RE2 has no lookaround (and the
+  // oracle runs the same pattern), so the anchors are CONSUMED capture
+  // groups re-inserted by the replacement; a trailing dot is a boundary
+  // only when NOT followed by a digit (sentence-final IPs redact, dotted
+  // runs don't).
+  private val octetRe = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  private[graft] val ipv4Re =
+    s"(^|[^0-9A-Za-z_.])((?:$octetRe\\.){3}$octetRe)([^0-9A-Za-z_.]|\\.[^0-9]|\\.$$|$$)"
 
   /** PII redaction for corpus cleaning: emails and IPv4 addresses replaced
-    * by typed placeholder tokens. Pure regexp_replace chain — codegen'd, one
-    * pass per pattern, no UDF.
+    * by typed placeholder tokens. Pure regexp_replace chain — codegen'd, no
+    * UDF. The IP pass runs TWICE: its consumed trailing boundary can hide an
+    * IP that starts one character later ("1.2.3.4,5.6.7.8"), and the second
+    * pass sees the re-inserted boundary.
     */
-  def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, emailRe, "<EMAIL>"),
-      ipv4Re, "<IP>")
+  def redactPii(text: Column): Column = {
+    val ipPass: Column => Column = c => regexp_replace(c, ipv4Re, "$1<IP>$3")
+    ipPass(ipPass(regexp_replace(text, emailRe, "<EMAIL>")))
+  }
 
-  /** Count of PII hits a redaction pass would touch (audit metric): email
-    * matches on the original text, IP matches on the email-redacted text —
-    * the same order [[redactPii]] applies, so the count equals the number of
-    * placeholders actually inserted (a dotted-numeric email local part would
-    * otherwise be counted under both patterns).
+  /** Number of placeholders [[redactPii]] inserts (audit metric): counted on
+    * the redacted text, minus any literal placeholder tokens that were
+    * already in the original — exact however the passes interact.
     */
   def piiCount(text: Column): Column =
-    regexp_count(text, lit(emailRe)) +
-      regexp_count(regexp_replace(text, emailRe, "<EMAIL>"), lit(ipv4Re))
+    regexp_count(redactPii(text), lit("<EMAIL>|<IP>")) -
+      regexp_count(text, lit("<EMAIL>|<IP>"))
 
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high

@@ -695,6 +695,10 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"cut: bins must be a list, got ${tn(other)}")
       }
       require(bins.size >= 2, "cut needs >= 2 bin edges")
+      // pandas pd.cut raises ValueError on non-monotonic edges; unsorted or
+      // duplicate edges would otherwise silently yield empty/wrong bins
+      require(bins.zip(bins.tail).forall { case (lo, hi) => lo < hi },
+        "cut: bins must increase monotonically")
       val labels = a.get("labels", -1).map(asStrList).getOrElse(
         bins.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toList)
       require(labels.size == bins.size - 1, "cut: need one label per bin")

@@ -366,24 +366,45 @@ object NorthStar {
         FROM documents ORDER BY doc_id""")),
 
     // PII redaction (emails / IPv4 -> typed placeholders) — corpus-cleaning
-    // staple; patterns chosen to parse identically under Java regex and RE2.
+    // staple; patterns parse identically under Java regex and RE2. The
+    // fixture text contains NO pii, so the query SPIKES a deterministic
+    // per-doc suffix (email + redactable IPs + version-string and
+    // out-of-range decoys) — otherwise the gate is a no-op that could never
+    // catch a regex regression. Expected per doc: <EMAIL> + 2 <IP>
+    // (comma-bounded and sentence-final), decoys untouched.
     Q("q56_pii_redact",
-      (s, d) => t(s, d, "documents").select(
-        col("doc_id"),
-        Text.redactPii(col("text")).as("redacted"),
-        Text.piiCount(col("text")).as("n_pii"))
-        .orderBy(col("doc_id")),
+      (s, d) => {
+        val spiked = concat(
+          col("text"), lit(" Contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 250).cast("string"),
+          lit(", build 1.2.3.4.5, host 999.1.1.1, dns 8.8.8.8."))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.redactPii(spiked).as("redacted"),
+          Text.piiCount(spiked).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
       Some("""
-        SELECT doc_id,
-          regexp_replace(
-            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
-          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(
-                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-             AS INTEGER) AS n_pii
-        FROM documents ORDER BY doc_id""")),
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' Contact u' || doc_id || '@mail.example.com at 10.0.'
+                 || (doc_id % 256) || '.' || (doc_id % 250)
+                 || ', build 1.2.3.4.5, host 999.1.1.1, dns 8.8.8.8.' AS text
+          FROM documents),
+        red AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))([^0-9A-Za-z_.]|\.[^0-9]|\.$|$)',
+              '\1<IP>\3', 'g'),
+              '(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))([^0-9A-Za-z_.]|\.[^0-9]|\.$|$)',
+              '\1<IP>\3', 'g') AS redacted
+          FROM spiked)
+        SELECT doc_id, redacted,
+          CAST(len(regexp_extract_all(redacted, '<EMAIL>|<IP>'))
+             - len(regexp_extract_all(text, '<EMAIL>|<IP>')) AS INTEGER) AS n_pii
+        FROM red ORDER BY doc_id""")),
 
     // Benchmark decontamination: corpus docs sharing >= 5 distinct trigrams
     // with the "benchmark" slice (doc_id < 20). The benchmark shingle set

@@ -20,14 +20,24 @@ object Streams {
     // Only reach for the nanosAsLong escape hatch when a plain read fails
     // (TIMESTAMP(NANOS) columns throw at schema inference — possibly wrapped,
     // so no message matching: ANY failure triggers one retry with the conf
-    // set; if the conf wasn't the problem the retry rethrows the real error).
-    // The conf must then REMAIN set for the stream's lifetime — every
-    // micro-batch re-scans parquet under the session conf — so it cannot be
-    // save/restored here; for non-nanos inputs the session is untouched.
+    // set; if the conf wasn't the problem either, the retry rethrows the
+    // real error WITH the conf restored, so an unrelated failure (missing
+    // dir, corrupt file) leaves the session's timestamp decoding untouched.
+    // On retry SUCCESS the conf must remain set for the stream's lifetime —
+    // every micro-batch re-scans parquet under the session conf.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val schema = try spark.read.parquet(dir).schema catch {
       case scala.util.control.NonFatal(_) =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(dir).schema
+        val prior = spark.conf.getOption(nanosKey)
+        spark.conf.set(nanosKey, "true")
+        try spark.read.parquet(dir).schema catch {
+          case scala.util.control.NonFatal(e2) =>
+            prior match {
+              case Some(v) => spark.conf.set(nanosKey, v)
+              case None => spark.conf.unset(nanosKey)
+            }
+            throw e2
+        }
     }
     val raw = spark.readStream.schema(schema).parquet(dir)
     if (schema.fieldNames.contains("ts") &&

@@ -529,7 +529,10 @@ class TextSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 today"),
       (2L, "no pii here"),
-      (3L, "edge: 1.2.3.4@example.com matched once, as one email")
+      (3L, "edge: 1.2.3.4@example.com matched once, as one email"),
+      (4L, "version 1.2.3.4.5 and 999.999.999.999 are not addresses"),
+      (5L, "pair 1.2.3.4,5.6.7.8 both redact; host 8.8.8.8."),
+      (6L, "id x1.2.3.4 stays; (10.0.0.1) and 255.255.255.255 go")
     ).toDF("id", "text")
       .select(col("id"), Text.redactPii(col("text")).as("r"),
         Text.piiCount(col("text")).as("n"))
@@ -539,6 +542,13 @@ class TextSpec extends AnyFunSuite {
     // dotted-numeric local part: email pattern consumes it; count must agree
     // with the single placeholder the redaction inserts
     assert(out(3L) == (("edge: <EMAIL> matched once, as one email", 1)))
+    // version-like dotted runs and out-of-range octets are NOT addresses
+    assert(out(4L) == (("version 1.2.3.4.5 and 999.999.999.999 are not addresses", 0)))
+    // adjacent IPs split by one char: second pass catches the hidden one;
+    // sentence-final dot is a boundary (not a dotted-run continuation)
+    assert(out(5L) == (("pair <IP>,<IP> both redact; host <IP>.", 3)))
+    // letter-adjacent digits are identifiers, not IPs; brackets are boundaries
+    assert(out(6L) == (("id x1.2.3.4 stays; (<IP>) and <IP> go", 2)))
   }
 
   test("topk rejects wrong id type at analysis time; int ids widen and work") {

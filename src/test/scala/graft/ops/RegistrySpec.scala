@@ -223,6 +223,15 @@ class RegistrySpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .orderBy("x").collect().map(_.getDouble(0))
     assert(clipped.toSeq == Seq(1.0, 1.0, 5.0, 10.0))
+    // pandas raises ValueError('bins must increase monotonically')
+    val unsorted = intercept[IllegalArgumentException] {
+      m(c, "cut", "column" -> "x", "bins" -> List(0, 10, 1))
+    }
+    assert(unsorted.getMessage.contains("monotonically"))
+    val dup = intercept[IllegalArgumentException] {
+      m(c, "cut", "column" -> "x", "bins" -> List(0, 1, 1, 10))
+    }
+    assert(dup.getMessage.contains("monotonically"))
   }
 
   test("groupby transform broadcasts the group aggregate back to member rows") {

@@ -17,6 +17,16 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("eventsStream failure unrelated to nanos leaves the session conf untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    intercept[Exception] {
+      Streams.eventsStream(spark, "/nonexistent/graft-no-such-dir")
+    }
+    assert(spark.conf.getOption(key) == prior,
+      "a failed nanosAsLong retry must restore the prior conf before rethrowing")
+  }
+
   test("windowed streaming agg over events matches the batch equivalent") {
     val stream = Streams.eventsStream(spark, streamDir)
     assert(stream.isStreaming)

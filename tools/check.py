@@ -25,11 +25,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     n_bad = 0
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -69,4 +72,4 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
