@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** pandas `pivot_table` with the full common surface: multiple value
+  * columns, multiple aggfuncs, and `margins=True` ("All" row/column).
+  *
+  * Reference reach: any `df.pivot_table(...)` through the method dispatch at
+  * pandas_etl/etl.py:543 (the reference delegates the whole call to pandas).
+  *
+  * Scale shape: margins are NOT means-of-means — pandas computes every
+  * margin from the raw data. Rather than one scan per margin level, the
+  * whole lattice ((index, columns), (index), (columns), ()) is one
+  * GROUPING SETS aggregation — a single shuffle over the raw table with
+  * map-side partial aggregation — and the pivot then runs over the few
+  * pre-aggregated rows (`first` per cell, no second full-data shuffle).
+  * Without margins it is a plain groupBy().pivot().agg().
+  */
+object PivotTable {
+
+  private val aggFns: Map[String, Column => Column] = Map(
+    "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
+    "count" -> count, "first" -> first, "last" -> last,
+    "std" -> stddev_samp, "var" -> var_samp, "median" -> median,
+    "nunique" -> ((c: Column) => countDistinct(c)))
+
+  /** @param pivotValues explicit pivot labels (skips Spark's distinct-values
+    *                    job — always pass them when known at 100 TB scale);
+    *                    margins appends `marginsName` automatically.
+    */
+  def apply(df: DataFrame, index: Seq[String], columns: String,
+            values: Seq[String], aggfuncs: Seq[String],
+            margins: Boolean = false, marginsName: String = "All",
+            pivotValues: Option[Seq[String]] = None): DataFrame = {
+    require(index.nonEmpty, "pivot_table: index must be non-empty")
+    require(values.nonEmpty && aggfuncs.nonEmpty,
+      "pivot_table: values and aggfunc must be non-empty")
+    val fns = aggfuncs.map(f =>
+      f -> aggFns.getOrElse(f, sys.error(s"pivot_table: unknown aggfunc '$f'")))
+    // single value+func keeps pandas' flat naming (the pivot label alone
+    // names the output column); multi gets {pivotLabel}_{value}_{func}
+    val single = values.size == 1 && fns.size == 1
+    val pairs: Seq[(String, Column)] = for { v <- values; (fname, fn) <- fns }
+      yield (if (single) "__v" else s"${v}_$fname") -> fn(col(v))
+    val aliases = pairs.map(_._1)
+    val aggCols = pairs.map { case (n, c) => c.as(n) }
+
+    if (!margins) {
+      val g = df.groupBy(index.map(col): _*)
+      val p = pivotValues.fold(g.pivot(columns))(vs => g.pivot(columns, vs))
+      p.agg(aggCols.head, aggCols.tail: _*)
+    } else {
+      // one pass: full lattice via GROUPING SETS; grouping() indicators
+      // distinguish margin rows from genuine nulls in the data (which
+      // pandas dropna=True discards — mirrored by the filter below).
+      val gcols = index :+ columns
+      val sets: Seq[Seq[Column]] = Seq(
+        gcols.map(col), index.map(col), Seq(col(columns)), Seq.empty)
+      val flat = df.groupingSets(sets, gcols.map(col): _*)
+        .agg(aggCols.head, (aggCols.tail ++ gcols.map(c =>
+          grouping(col(c)).as(s"__g_$c"))): _*)
+        .filter(gcols.map(c =>
+          col(s"__g_$c") === 1 || col(c).isNotNull).reduce(_ && _))
+      val relabeled = flat.select(
+        (gcols.map(c => when(col(s"__g_$c") === 1, lit(marginsName))
+          .otherwise(col(c).cast("string")).as(c)) ++
+          aliases.map(col)): _*)
+      val g = relabeled.groupBy(index.map(col): _*)
+      val p = pivotValues.map(_ :+ marginsName)
+        .fold(g.pivot(columns))(vs => g.pivot(columns, vs))
+      // each (index-labels, pivot-label) key holds exactly one lattice row,
+      // so `first` is a lossless unpack, not a real aggregation
+      val reaggs = aliases.map(n => first(col(n)).as(n))
+      p.agg(reaggs.head, reaggs.tail: _*)
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.config.PipelineError
 import graft.expr.{Args, BoundMethod}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, PivotTable, Similarity}
 import graft.functions.Text
 
 /** Named JDBC connection (reference _Connections, etl.py:363-381: SQLAlchemy
@@ -847,12 +847,24 @@ final class Registry(spark: SparkSession) {
     case "crosstab" =>
       df.stat.crosstab(asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
     case "pivot_table" =>
+      // full pandas surface: values/aggfunc accept string OR list; margins
+      // adds the "All" row+column computed from raw data in ONE grouping-sets
+      // pass (see operators.PivotTable)
+      def strOrList(v: Any, what: String): List[String] = v match {
+        case l: List[_] => l.map(_.toString)
+        case s: String => List(s)
+        case other => throw PipelineError(s"pivot_table: $what must be string or list, got ${tn(other)}")
+      }
       val index = asStrList(a.require("index", -1))
       val columns = asStr(a.require("columns", -1), "columns")
-      val values = asStr(a.require("values", -1), "values")
-      val aggfunc = a.get("aggfunc", -1).map(asStr(_, "aggfunc")).getOrElse("mean")
-      val fn = aggFns.getOrElse(aggfunc, throw PipelineError(s"Unknown aggfunc '$aggfunc'"))
-      df.groupBy(index.map(col): _*).pivot(columns).agg(fn(col(values)))
+      val values = strOrList(a.require("values", -1), "values")
+      val aggfuncs = a.get("aggfunc", -1).map(strOrList(_, "aggfunc")).getOrElse(List("mean"))
+      aggfuncs.find(f => !aggFns.contains(f))
+        .foreach(f => throw PipelineError(s"Unknown aggfunc '$f'"))
+      PivotTable(df, index, columns, values, aggfuncs,
+        margins = a.get("margins", -1).exists(asBool(_, default = false)),
+        marginsName = a.get("margins_name", -1).map(asStr(_, "margins_name")).getOrElse("All"),
+        pivotValues = a.get("pivot_values", -1).map(asStrList))
     case "count" => df.count()
     case "nunique" =>
       // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),

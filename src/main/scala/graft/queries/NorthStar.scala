@@ -765,6 +765,46 @@ object NorthStar {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // pandas pivot_table(margins=True, aggfunc=['sum','count']) through the
+    // registry: the margins lattice is ONE grouping-sets pass over raw data
+    // (margins are true re-aggregates, never mean-of-means), pivot labels
+    // passed explicitly (no distinct-values job). Decimal sums accumulate
+    // exactly, cast to double only at the edge.
+    Q("q70_pivot_margins",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+        val piv = reg.callMethod(o, "pivot_table", graft.expr.Args(kw = List(
+          "index" -> List("o_orderpriority"), "columns" -> "o_orderstatus",
+          "values" -> List("o_totalprice"), "aggfunc" -> List("sum", "count"),
+          "margins" -> true, "pivot_values" -> List("F", "O", "P"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val outCols = col("o_orderpriority") +: Seq("F", "O", "P", "All").flatMap(st => Seq(
+          col(s"${st}_o_totalprice_sum").cast(DoubleType).as(s"${st}_sum"),
+          col(s"${st}_o_totalprice_count").as(s"${st}_cnt")))
+        piv.select(outCols: _*).orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT
+            CASE WHEN GROUPING(o_orderpriority)=1 THEN 'All' ELSE o_orderpriority END AS pri,
+            CASE WHEN GROUPING(o_orderstatus)=1 THEN 'All' ELSE o_orderstatus END AS st,
+            sum(o_totalprice) AS s, count(o_totalprice) AS cnt
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                  (o_orderpriority), (o_orderstatus), ()))
+        SELECT pri AS o_orderpriority,
+          CAST(max(CASE WHEN st='F' THEN s END) AS DOUBLE) AS F_sum,
+          CAST(max(CASE WHEN st='F' THEN cnt END) AS BIGINT) AS F_cnt,
+          CAST(max(CASE WHEN st='O' THEN s END) AS DOUBLE) AS O_sum,
+          CAST(max(CASE WHEN st='O' THEN cnt END) AS BIGINT) AS O_cnt,
+          CAST(max(CASE WHEN st='P' THEN s END) AS DOUBLE) AS P_sum,
+          CAST(max(CASE WHEN st='P' THEN cnt END) AS BIGINT) AS P_cnt,
+          CAST(max(CASE WHEN st='All' THEN s END) AS DOUBLE) AS All_sum,
+          CAST(max(CASE WHEN st='All' THEN cnt END) AS BIGINT) AS All_cnt
+        FROM base GROUP BY pri ORDER BY pri""")),
+
     // pandas df.nunique() semantics through the registry dispatch surface:
     // per-column distinct counts in one aggregation pass, tidy rows.
     Q("q53_nunique",

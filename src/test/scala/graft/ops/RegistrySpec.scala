@@ -234,6 +234,34 @@ class RegistrySpec extends AnyFunSuite {
     assert(dup.getMessage.contains("monotonically"))
   }
 
+  test("pivot_table margins re-aggregate raw data (never mean-of-means); multi-agg naming") {
+    val pv = Seq(
+      ("a", "red", 1.0), ("a", "red", 3.0), ("a", "blue", 10.0), ("b", "red", 5.0)
+    ).toDF("k", "c", "x")
+    val out = m(pv, "pivot_table", "index" -> List("k"), "columns" -> "c",
+      "values" -> "x", "aggfunc" -> "mean", "margins" -> true)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(r.fieldIndex("red"))), Option(r.get(r.fieldIndex("blue"))),
+         Option(r.get(r.fieldIndex("All"))))).toMap
+    assert(out("a") == ((Some(2.0), Some(10.0), Some(14.0 / 3))))
+    assert(out("b") == ((Some(5.0), None, Some(5.0))))
+    // col margin for red is mean over RAW rows (1,3,5)/3 = 3.0 — a
+    // mean-of-row-means implementation would say (2.0+5.0)/2 = 3.5
+    assert(out("All") == ((Some(3.0), Some(10.0), Some(19.0 / 4))))
+
+    val multi = m(pv, "pivot_table", "index" -> List("k"), "columns" -> "c",
+      "values" -> List("x"), "aggfunc" -> List("sum", "count"),
+      "margins" -> true, "pivot_values" -> List("red", "blue"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(multi.columns.toSet == Set("k",
+      "red_x_sum", "red_x_count", "blue_x_sum", "blue_x_count",
+      "All_x_sum", "All_x_count"))
+    val allRow = multi.filter(col("k") === "All").collect().head
+    assert(allRow.getDouble(allRow.fieldIndex("All_x_sum")) == 19.0)
+    assert(allRow.getLong(allRow.fieldIndex("All_x_count")) == 4L)
+  }
+
   test("groupby transform broadcasts the group aggregate back to member rows") {
     val g = m(df, "groupby", "by" -> "k")
     val out = mp(g, "transform", "mean", List("i"))

@@ -1,0 +1,56 @@
+package graft.runtime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** E2E over the shipped example pipelines: the YAML surface (not just the
+  * Scala API) exercises the north-star operators every test run. Uses
+  * sf0.01 by default so the suite stays fast; set GRAFT_EXAMPLES_SF to
+  * /root/testdata/sf0.1 for the full-size run the driver benches at.
+  */
+class ExamplesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir =
+    sys.env.getOrElse("GRAFT_EXAMPLES_SF", "/root/testdata/sf0.01")
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("examples/clean_corpus.yaml runs green and keeps a plausible corpus") {
+    val out = freshDir("ex_clean")
+    new Pipeline(spark, "examples/clean_corpus.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val clean = spark.read.parquet(s"$out/clean_docs.parquet")
+    assert(clean.count() > 0, "cleaning must keep some documents")
+    assert(clean.count() < nDocs, "quality/lang/dedup gates must drop some documents")
+    assert(Seq("doc_id", "quality", "lang_guess", "n_tokens")
+      .forall(clean.columns.contains), s"got ${clean.columns.mkString(",")}")
+    // dedup really ran: fingerprints unique among kept docs
+    assert(clean.select("fingerprint").distinct().count() == clean.count())
+
+    val budget = spark.read.parquet(s"$out/token_budget.parquet")
+    assert(budget.count() > 0 && budget.count() <= 4,
+      "token budget is per kept language (en/es/de/fr)")
+  }
+
+  test("examples/tpch_report.yaml runs green and writes the three reports") {
+    val out = freshDir("ex_tpch")
+    new Pipeline(spark, "examples/tpch_report.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val seg = spark.read.option("header", "true").csv(s"$out/segment_revenue.csv")
+    assert(seg.count() == 5, "five market segments")
+    assert(seg.columns.toSeq == Seq("c_mktsegment", "n_orders", "revenue"))
+
+    val weekly = spark.read.option("header", "true").csv(s"$out/weekly_revenue.csv")
+    assert(weekly.count() > 10, "years of orders -> many weekly buckets")
+
+    val cheap = spark.read.option("header", "true").csv(s"$out/cheapest_orders_per_bin.csv")
+    val perBin = cheap.groupBy("o_totalprice_bin").count().collect()
+    assert(perBin.nonEmpty && perBin.forall(_.getLong(1) >= 10),
+      "each value bin keeps its 10 cheapest orders (ties may add rows)")
+  }
+}
