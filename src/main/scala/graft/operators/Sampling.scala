@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.expressions.TopKAgg
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is hash-based, never `rand()`: a Spark `sample()` is
+  * seed-deterministic only for a FIXED partitioning, so the same row can
+  * change splits when the file layout changes — unacceptable for train/test
+  * hygiene at 100 TB, where reruns must assign every document identically.
+  * An md5 over (id, seed) is reproducible across engines, partitionings and
+  * reruns, and is pure codegen'd column math: no shuffle, no driver state.
+  *
+  * md5 (not xxhash64) because the correctness oracle must replay the exact
+  * assignment in DuckDB, and md5 is the bit-identical hash both engines
+  * share. At 100 TB the hash cost is immaterial next to the scan.
+  */
+object Sampling {
+
+  /** Uniform [0,1)-ish key as a fixed-width lowercase-hex string; ordering
+    * and prefix-thresholding on it are identical in any engine.
+    */
+  def hashKey(id: Column, seed: String): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)))
+
+  /** 8-hex-digit threshold for a cumulative fraction: compare against the
+    * first 8 hash chars (string compare == numeric compare for fixed-width
+    * lowercase hex).
+    */
+  def thresholdHex(cumFraction: Double): String = {
+    require(cumFraction >= 0 && cumFraction <= 1, s"fraction $cumFraction outside [0,1]")
+    f"${(cumFraction * 4294967296L).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Deterministic train/val/test-style split: adds `splitCol` labeled by
+    * consecutive hash bands. `weights` are (label, fraction), fractions
+    * summing to ~1 (the last band absorbs rounding).
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                seed: String, splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "hashSplit: weights must be non-empty")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"hashSplit: fractions sum to $total, not 1")
+    val key8 = substring(hashKey(col(idCol), seed), 1, 8)
+    val cums = weights.scanLeft(0.0)(_ + _._2).tail
+    // last band is the unconditional otherwise — no float edge at 1.0
+    val expr = weights.init.zip(cums.init).foldRight(lit(weights.last._1): Column) {
+      case (((label, _), cum), elseC) =>
+        when(key8 < lit(thresholdHex(cum)), lit(label)).otherwise(elseC)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic Bernoulli-style sample: keep rows whose hash lands below
+    * the fraction threshold. Same row set on every rerun and repartition.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, seed: String): DataFrame =
+    df.filter(substring(hashKey(col(idCol), seed), 1, 8) < lit(thresholdHex(fraction)))
+
+  /** Exactly k rows per stratum, chosen as the k smallest hash keys —
+    * a deterministic "random" sample with exact group sizes.
+    *
+    * Scale shape: NOT `row_number().over(partitionBy(strata))` — with few
+    * strata that sorts a whole stratum in one task. [[TopKAgg]] keeps a
+    * k-bounded heap per (task, stratum) with map-side partial aggregation,
+    * so the shuffle carries one k-length buffer per partition per stratum
+    * regardless of row count. Selection key = first 13 hash hex chars as an
+    * exact double (52 bits), ties (~2^-52) broken by id ascending; an
+    * oracle replays it as ORDER BY substr(md5,1,13), id.
+    *
+    * Returns (strata..., idCol) — join back to recover payload columns.
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], idCol: String,
+                       k: Int, seed: String): DataFrame = {
+    require(strata.nonEmpty, "stratifiedSample: strata must be non-empty")
+    val prefix = conv(substring(hashKey(col(idCol), seed), 1, 13), 16, 10)
+      .cast(DoubleType)
+    val picked = df
+      .groupBy(strata.map(col): _*)
+      .agg(TopKAgg.topK(-prefix, col(idCol).cast(LongType), k).as("__graft_top"))
+    picked
+      .select((strata.map(col) :+
+        explode(col("__graft_top.id")).as(idCol)): _*)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.config.PipelineError
 import graft.expr.{Args, BoundMethod}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, PivotTable, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, PivotTable, Sampling, Similarity}
 import graft.functions.Text
 
 /** Named JDBC connection (reference _Connections, etl.py:363-381: SQLAlchemy
@@ -321,6 +321,14 @@ final class Registry(spark: SparkSession) {
         payload.map(p => p -> col(p)),
         a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong),
         a.get("allow_exact_matches", -1).forall(asBool(_, default = true)))
+    },
+    "graft.stratified_sample" -> { a =>
+      Sampling.stratifiedSample(
+        df = asDf(a.require("df", 0), "df"),
+        strata = asStrList(a.require("strata", -1)),
+        idCol = asStr(a.require("id", -1), "id"),
+        k = asInt(a.require("k", -1), "k"),
+        seed = a.get("seed", -1).map(_.toString).getOrElse("graft"))
     },
     "graft.text_metrics" -> { a =>
       val df = asDf(a.require("df", 0), "df")
@@ -791,6 +799,67 @@ final class Registry(spark: SparkSession) {
           sum(x * wgt).over(run) /
             sum(when(x.isNotNull, wgt)).over(run))
       }.drop("__graft_rn")
+    case "pct_change" =>
+      // pandas df.pct_change(): x_t / x_{t-periods} - 1, order-dependent —
+      // same explicit-ordering contract as shift/diff. Pure lag window math.
+      val cols = asStrList(a.require("columns", -1))
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow("pct_change")
+      val periods = a.get("periods", -1).map(asInt(_, "periods")).getOrElse(1)
+      import org.apache.spark.sql.expressions.Window
+      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      val w = base.orderBy(orderBy.map(col(_).asc): _*)
+      cols.foldLeft(df)((d, c) => d.withColumn(s"${c}_pct",
+        col(c).cast(DoubleType) / lag(col(c).cast(DoubleType), periods).over(w) - 1.0))
+    case "duplicated" =>
+      // pandas df.duplicated(subset, keep='first'|'last'|False) with the
+      // explicit-ordering contract that makes "first" well-defined in a
+      // distributed frame. Appends boolean `duplicated`.
+      val subset = asStrList(a.require("subset", -1))
+      val orderBy = asStrList(a.require("order_by", -1))
+      val keep = a.get("keep", -1).map(asStr(_, "keep")).getOrElse("first")
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(subset.map(col): _*)
+      val flag = keep match {
+        case "first" => row_number().over(base.orderBy(orderBy.map(col(_).asc): _*)) > 1
+        case "last" => row_number().over(base.orderBy(orderBy.map(col(_).desc): _*)) > 1
+        case "false" | "none" =>
+          count(lit(1)).over(base.orderBy(orderBy.map(col(_).asc): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)) > 1
+        case other => throw PipelineError(s"duplicated: unsupported keep '$other'")
+      }
+      df.withColumn("duplicated", flag)
+    case "get_dummies" =>
+      // pandas pd.get_dummies over one column with EXPLICIT categories —
+      // the scale-first form (no distinct-values job); unknown values get
+      // all-zero rows like pandas with CategoricalDtype. Original column
+      // dropped, like pandas.
+      val c = asStr(a.require("column", 0), "column")
+      val cats = asStrList(a.require("categories", -1))
+      val prefix = a.get("prefix", -1).map(asStr(_, "prefix")).getOrElse(c)
+      cats.foldLeft(df)((d, cat) =>
+        d.withColumn(s"${prefix}_$cat", when(col(c) === lit(cat), 1).otherwise(0)))
+        .drop(c)
+    case "sample" =>
+      // Deterministic hash sample (NOT rand(): see operators.Sampling —
+      // rerun/repartition-stable assignment is the training-data contract)
+      val fraction = a.require("frac", -1).toString.toDouble
+      val idCol = asStr(a.require("id", -1), "id")
+      val seed = a.get("seed", -1).map(_.toString).getOrElse("graft")
+      Sampling.hashSample(df, idCol, fraction, seed)
+    case "split" =>
+      // Deterministic train/val/test split: adds a `split` label column
+      val idCol = asStr(a.require("id", -1), "id")
+      val seed = a.get("seed", -1).map(_.toString).getOrElse("graft")
+      val weights = a.require("weights", -1) match {
+        case m: Map[_, _] => m.toList.map { case (k, v) => k.toString -> v.toString.toDouble }
+        case other => throw PipelineError(s"split: weights must be a map, got ${tn(other)}")
+      }
+      // YAML maps preserve insertion order through the CV layer; sort for a
+      // stable band order regardless of source formatting
+      Sampling.hashSplit(df, idCol, weights.sortBy(_._1), seed)
     case "clip" =>
       val cols = asStrList(a.require("columns", -1))
       val lower = a.get("lower", -1).map(_.toString.toDouble)

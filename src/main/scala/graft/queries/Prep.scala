@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Round-3 data-prep family: deterministic splitting/sampling for training
+  * pipelines plus the remaining order-dependent pandas envelope (pct_change,
+  * duplicated, rolling corr, one-hot). Everything hash-based is md5-keyed so
+  * the DuckDB oracle replays the exact assignment.
+  */
+object Prep {
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic train/val/test split (0.8/0.1/0.1). The assignment is
+    // pure column math on md5(doc_id:seed) — rerun- and repartition-stable,
+    // which Spark sample(seed) is NOT. Rows: per-split doc counts + id sum
+    // (the id sum pins the exact membership, not just the sizes).
+    Q("q71_hash_split",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        reg.callMethod(docs, "split", graft.expr.Args(kw = List(
+          "id" -> "doc_id", "seed" -> "s1",
+          "weights" -> Map("test" -> 0.1, "train" -> 0.8, "val" -> 0.1))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("split"))
+      },
+      // bands sorted by label: test [0, 0.1) -> '19999999', train
+      // [0.1, 0.9) -> 'e6666666', val = rest (same order the engine uses)
+      Some("""
+        SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+          SELECT doc_id,
+            CASE WHEN substr(md5(doc_id || ':s1'), 1, 8) < '19999999' THEN 'test'
+                 WHEN substr(md5(doc_id || ':s1'), 1, 8) < 'e6666666' THEN 'train'
+                 ELSE 'val' END AS split
+          FROM documents) t
+        GROUP BY split ORDER BY split""")),
+
+    // Exact-k-per-stratum deterministic sample. The engine side is the
+    // two-phase TopKAgg heap (no whole-stratum sort in one task — the same
+    // shape as the ANN top-k); the oracle replays the selection with a
+    // row_number over the identical 13-hex-char key.
+    Q("q72_stratified_sample",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders")
+        reg.callFunction("graft.stratified_sample", graft.expr.Args(
+          pos = List(orders),
+          kw = List("strata" -> List("o_orderstatus"), "id" -> "o_orderkey",
+            "k" -> 20L, "seed" -> "s2")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderkey FROM (
+          SELECT o_orderstatus, o_orderkey,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY substr(md5(o_orderkey || ':s2'), 1, 13), o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 20 ORDER BY o_orderstatus, o_orderkey""")),
+
+    // pandas pd.get_dummies with explicit categories (no distinct job).
+    Q("q73_get_dummies",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        reg.callMethod(orders, "get_dummies", graft.expr.Args(kw = List(
+          "column" -> "o_orderstatus", "categories" -> List("F", "O", "P"),
+          "prefix" -> "st")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INTEGER) AS st_F,
+          CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS INTEGER) AS st_O,
+          CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS INTEGER) AS st_P
+        FROM orders ORDER BY o_orderkey""")),
+
+    // pandas pct_change per customer ordered by order key. x/lag(x) - 1 is
+    // a single IEEE division — bit-identical cross-engine, no rounding.
+    Q("q74_pct_change",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        reg.callMethod(orders, "pct_change", graft.expr.Args(kw = List(
+          "columns" -> List("o_totalprice"), "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice_pct"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          o_totalprice / lag(o_totalprice) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey) - 1.0 AS o_totalprice_pct
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // Rolling correlation (quantity vs extendedprice, 5-row window per
+    // order) from co-moment sums — the rolling().corr() pandas staple.
+    // round(6) absorbs summation-order ulp drift (DuckDB's segment-tree
+    // window sums associate differently than Spark's frame iteration);
+    // corr is in [-1,1] so 1e-6 granularity is far above the ~1e-15 noise.
+    // Fixture trap: (l_orderkey, l_linenumber) is NOT unique, so the order
+    // key includes qty and price — remaining ties are rows identical in
+    // (x, y), which cannot change any frame's multiset.
+    Q("q75_rolling_corr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .rowsBetween(-4, Window.currentRow)
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val n = count(lit(1)).over(w).cast(DoubleType)
+        val sx = sum(x).over(w); val sy = sum(y).over(w)
+        val sxx = sum(x * x).over(w); val syy = sum(y * y).over(w)
+        val sxy = sum(x * y).over(w)
+        val num = n * sxy - sx * sy
+        val denx = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          round(when(denx > 0 && deny > 0, num / sqrt(denx * deny)), 6)
+            .as("roll_corr"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(count(*) OVER w AS DOUBLE) AS n,
+            sum(l_quantity) OVER w AS sx,
+            sum(l_extendedprice) OVER w AS sy,
+            sum(l_quantity * l_quantity) OVER w AS sxx,
+            sum(l_extendedprice * l_extendedprice) OVER w AS syy,
+            sum(l_quantity * l_extendedprice) OVER w AS sxy
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT l_orderkey, l_linenumber,
+          round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+            END, 6) AS roll_corr
+        FROM s ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas df.duplicated(subset=['l_partkey','l_suppkey'], keep='first')
+    // under the explicit-ordering contract; the oracle replays row_number.
+    Q("q76_duplicated",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        reg.callMethod(li, "duplicated", graft.expr.Args(kw = List(
+          "subset" -> List("l_partkey", "l_suppkey"),
+          "order_by" -> List("l_orderkey", "l_linenumber"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          row_number() OVER (PARTITION BY l_partkey, l_suppkey
+            ORDER BY l_orderkey, l_linenumber) > 1 AS duplicated
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

@@ -604,3 +604,53 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L) == "es")
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("hashSplit: partition is exhaustive, approximately weighted, repartition-stable") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.hashSplit(ids, "id", w, seed = "s")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000, "every row gets exactly one label")
+    assert(counts("train") > 1500 && counts("train") < 1700, s"got $counts")
+    assert(counts("val") > 120 && counts("val") < 280)
+    // the SAME rows land in the SAME split under any physical layout
+    val a = split.filter(col("split") === "val").select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSplit(ids.repartition(7), "id", w, seed = "s")
+      .filter(col("split") === "val").select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "split assignment must not depend on partitioning")
+    // a different seed reshuffles membership
+    val c = Sampling.hashSplit(ids, "id", w, seed = "other")
+      .filter(col("split") === "val").select("id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("hashSample: prefix thresholds nest (sample(0.2) is a subset of sample(0.5))") {
+    val s20 = Sampling.hashSample(ids, "id", 0.2, "s").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.hashSample(ids, "id", 0.5, "s").collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s50), "hash thresholding must give nested samples")
+    assert(s20.size > 300 && s20.size < 500, s"got ${s20.size}")
+  }
+
+  test("stratifiedSample: exact k per stratum, equals the window-sort selection") {
+    val df = (1L to 900L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    val got = Sampling.stratifiedSample(df, Seq("g"), "id", k = 10, seed = "z")
+    val byG = got.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set("g0", "g1", "g2") && byG.values.forall(_.size == 10))
+    // oracle-shaped reference: k smallest 13-hex-char prefixes per stratum
+    import org.apache.spark.sql.expressions.Window
+    val key = substring(Sampling.hashKey(col("id"), "z"), 1, 13)
+    val ref = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g")).orderBy(key, col("id"))))
+      .filter(col("rn") <= 10).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG == ref, "heap selection must equal the window-sort selection")
+  }
+}

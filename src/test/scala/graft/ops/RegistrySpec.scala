@@ -262,6 +262,33 @@ class RegistrySpec extends AnyFunSuite {
     assert(allRow.getLong(allRow.fieldIndex("All_x_count")) == 4L)
   }
 
+  test("duplicated keep first/last/false; get_dummies unknown category -> all zeros") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    def flags(keep: String) =
+      m(d, "duplicated", "subset" -> List("k"), "order_by" -> List("id"), "keep" -> keep)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags("first") == Map(1L -> false, 2L -> true, 3L -> false))
+    assert(flags("last") == Map(1L -> true, 2L -> false, 3L -> false))
+    assert(flags("false") == Map(1L -> true, 2L -> true, 3L -> false))
+
+    val dum = m(d, "get_dummies", "column" -> "k", "categories" -> List("x", "z"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(dum.columns.toSeq == Seq("id", "k_x", "k_z"), "original column dropped")
+    val r3 = dum.filter(col("id") === 3).collect().head
+    assert(r3.getInt(1) == 0 && r3.getInt(2) == 0, "unseen category row is all zeros")
+  }
+
+  test("pct_change: first row per partition is null, values exact") {
+    val d = Seq((1L, 1L, 10.0), (1L, 2L, 15.0), (2L, 1L, 4.0)).toDF("g", "t", "x")
+    val out = m(d, "pct_change", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(out((1L, 1L)).isEmpty && out((2L, 1L)).isEmpty)
+    assert(out((1L, 2L)).contains(0.5))
+  }
+
   test("groupby transform broadcasts the group aggregate back to member rows") {
     val g = m(df, "groupby", "by" -> "k")
     val out = mp(g, "transform", "mean", List("i"))
