@@ -446,6 +446,11 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
     },
+    "graft.decode_video" -> { a =>
+      Multimodal.decodeVideoBatch(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
+    },
     "graft.resize_images" -> { a =>
       Multimodal.resizeImages(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("id"), "id"),

@@ -765,6 +765,36 @@ object NorthStar {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // REAL MP4 container metadata: synthesize a minimal ISO-BMFF file per
+    // doc (ftyp + moov(mvhd + trak(tkhd)*n)) and parse it back with the
+    // codec-free box walk — same encode->decode gate shape as q52/q54. The
+    // oracle replays the synthesis formula.
+    Q("q77_video_meta",
+      (s, d) => {
+        import s.implicits._
+        val vids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.syntheticMp4(
+              durationMs = 1000L + id % 5000,
+              nTracks = (1 + id % 3).toInt,
+              width = (320 + 16 * (id % 8)).toInt,
+              height = (240 + 16 * (id % 4)).toInt))
+          })
+          .toDF("doc_id", "content")
+        Multimodal.decodeVideoBatch(vids, "doc_id", "content").toDF()
+          .select(col("id").as("doc_id"), col("brand"), col("duration_ms"),
+            col("n_tracks"), col("width"), col("height"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, 'isom' AS brand,
+          CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms,
+          CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+          CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS width,
+          CAST(240 + 16 * (doc_id % 4) AS INTEGER) AS height,
+          'video/mp4' AS format
+        FROM documents ORDER BY doc_id""")),
+
     // pandas pivot_table(margins=True, aggfunc=['sum','count']) through the
     // registry: the margins lattice is ONE grouping-sets pass over raw data
     // (margins are true re-aggregates, never mean-of-means), pivot labels

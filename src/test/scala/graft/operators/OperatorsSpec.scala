@@ -499,6 +499,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getLong(0) == 3L)
     assert(row.getAs[Array[Byte]](1).sameElements(Array[Byte](1, 2, 3)))
   }
+
+  test("Mp4Decoder: real ISO-BMFF box walk round-trips the synthetic file") {
+    val bytes = Multimodal.syntheticMp4(durationMs = 4321L, nTracks = 2,
+      width = 640, height = 352)
+    val m = Multimodal.Mp4Decoder.decode(7L, bytes)
+    assert(m.brand == "isom" && m.format == "video/mp4")
+    assert(m.duration_ms == 4321L && m.n_tracks == 2)
+    assert(m.width == 640 && m.height == 352)
+    // corrupt/truncated/non-BMFF payloads degrade, never throw
+    val junk = Multimodal.Mp4Decoder.decode(8L, Array[Byte](1, 2, 3, 4, 5))
+    assert(junk.format == "unknown" && junk.duration_ms == 0L)
+    val truncated = Multimodal.Mp4Decoder.decode(9L, bytes.take(40))
+    assert(truncated.n_bytes == 40)
+    // 64-bit largesize and size==0 (to-EOF) boxes parse too
+    val big = {
+      val p = Multimodal.syntheticMp4(1000L, 1, 320, 240)
+      // rewrite ftyp as a largesize box: size=1, type, 64-bit size
+      val ftypLen = ((p(0) & 0xff) << 24) | ((p(1) & 0xff) << 16) |
+        ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+      val (ftyp, rest) = p.splitAt(ftypLen)
+      val large = Array[Byte](0, 0, 0, 1) ++ ftyp.slice(4, 8) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, (ftyp.length + 8).toByte) ++ ftyp.drop(8)
+      large ++ rest
+    }
+    assert(Multimodal.Mp4Decoder.decode(10L, big).duration_ms == 1000L)
+  }
 }
 
 class TextSpec extends AnyFunSuite {
