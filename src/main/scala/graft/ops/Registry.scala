@@ -804,6 +804,71 @@ final class Registry(spark: SparkSession) {
           sum(x * wgt).over(run) /
             sum(when(x.isNotNull, wgt)).over(run))
       }.drop("__graft_rn")
+    case "replace" =>
+      // pandas df.replace(to_replace=dict) scoped to the given columns;
+      // first matching key wins, unmatched values pass through. Replacement
+      // values are cast to the column's type (same-type remap, the pandas
+      // common case) so the when-chain stays codegen'd column math.
+      val cols = asStrList(a.require("columns", -1))
+      val mapping = a.require("to_replace", -1) match {
+        case m: Map[_, _] => m.toList.map { case (k, v) => k.toString -> v }
+        case other => throw PipelineError(s"replace: to_replace must be a map, got ${tn(other)}")
+      }
+      cols.foldLeft(df) { (d, c) =>
+        val t = d.schema(c).dataType
+        d.withColumn(c, mapping.foldRight(col(c)) { case ((from, to), elseC) =>
+          when(col(c) === lit(from).cast(t), lit(to).cast(t)).otherwise(elseC)
+        })
+      }
+    case "str_extract" =>
+      // pandas s.str.extract(pattern): first regex group (or `group`) into
+      // a new column; no match -> empty string in Spark's regexp_extract,
+      // normalized to null to match pandas NaN
+      val c = asStr(a.require("column", 0), "column")
+      val pattern = asStr(a.require("pattern", -1), "pattern")
+      val group = a.get("group", -1).map(asInt(_, "group")).getOrElse(1)
+      val ex = regexp_extract(col(c), pattern, group)
+      df.withColumn(s"${c}_extract", when(ex === "", lit(null)).otherwise(ex))
+    case "upsample" =>
+      // pandas df.resample(freq).last().ffill() for irregular time series:
+      // regularize onto a per-group calendar grid, carrying the last
+      // observation forward across empty bins. Scale shape: bin-level
+      // aggregation (map-side partials), a sequence()+explode date spine
+      // built from per-group bounds (never a driver loop), and ONE window
+      // pass over grid rows — grid size is bounded by (groups x bins), not
+      // by raw event count. The whole-row struct carry keeps multi-column
+      // fills consistent (all filled columns come from the same source row).
+      val on = asStr(a.require("on", -1), "on")
+      val freq = a.get("freq", -1).map(asStr(_, "freq")).getOrElse("D")
+      val unit = freq match {
+        case "D" => "day"
+        case "H" | "h" => "hour"
+        case "W" => "week"
+        case "M" => "month"
+        case other => throw PipelineError(s"upsample: unsupported freq '$other'")
+      }
+      val cols = asStrList(a.require("columns", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow("upsample")
+      import org.apache.spark.sql.expressions.Window
+      val bin = date_trunc(unit, col(on))
+      val daily = df.groupBy((partCols.map(col) :+ bin.as("__graft_bin")): _*)
+        .agg(max_by(struct(cols.map(col): _*), col(on)).as("__graft_row"))
+      val bounds = daily.groupBy(partCols.map(col): _*)
+        .agg(min(col("__graft_bin")).as("__b0"), max(col("__graft_bin")).as("__b1"))
+      val spine = bounds.select((partCols.map(col) :+
+        explode(sequence(col("__b0"), col("__b1"), expr(s"interval 1 $unit")))
+          .as("__graft_bin")): _*)
+      val joined = spine.join(daily, partCols :+ "__graft_bin", "left")
+      val w = (if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy())
+        .orderBy(col("__graft_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = joined.withColumn("__graft_row",
+        last(col("__graft_row"), ignoreNulls = true).over(w))
+      cols.foldLeft(carried)((d, c) => d.withColumn(c, col(s"__graft_row.$c")))
+        .drop("__graft_row")
+        .withColumnRenamed("__graft_bin", on)
     case "pct_change" =>
       // pandas df.pct_change(): x_t / x_{t-periods} - 1, order-dependent —
       // same explicit-ordering contract as shift/diff. Pure lag window math.

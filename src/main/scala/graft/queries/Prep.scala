@@ -148,6 +148,37 @@ object Prep {
             END, 6) AS roll_corr
         FROM s ORDER BY l_orderkey, l_linenumber""")),
 
+    // pandas resample('D').last().ffill(): regularize each user's event
+    // series onto a daily grid, carrying the last observation across empty
+    // days. Spine via per-group sequence()+explode (no driver loop); the
+    // oracle mirrors with generate_series + IGNORE NULLS last_value.
+    Q("q78_upsample_ffill",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("value"))
+        reg.callMethod(ev, "upsample", graft.expr.Args(kw = List(
+          "on" -> "ts", "freq" -> "D", "columns" -> List("value"),
+          "partition_by" -> List("user_id"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("value"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS bin, arg_max(value, ts) AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+          FROM daily GROUP BY 1),
+        spine AS (SELECT user_id,
+            unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bin FROM bounds),
+        j AS (SELECT s.user_id, s.bin, d.v
+          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.bin = d.bin)
+        SELECT user_id, strftime(bin, '%Y-%m-%d') AS day,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM j ORDER BY user_id, day""")),
+
     // pandas df.duplicated(subset=['l_partkey','l_suppkey'], keep='first')
     // under the explicit-ordering contract; the oracle replays row_number.
     Q("q76_duplicated",

@@ -279,6 +279,44 @@ class RegistrySpec extends AnyFunSuite {
     assert(r3.getInt(1) == 0 && r3.getInt(2) == 0, "unseen category row is all zeros")
   }
 
+  test("replace remaps listed values only; str_extract nulls non-matches") {
+    val d = Seq((1L, "cat", 10L), (2L, "dog", 20L), (3L, "fox", 30L)).toDF("id", "a", "n")
+    val rep = m(d, "replace", "columns" -> List("a"),
+      "to_replace" -> Map("cat" -> "feline", "dog" -> "canine"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rep == Map(1L -> "feline", 2L -> "canine", 3L -> "fox"))
+    val repN = m(d, "replace", "columns" -> List("n"), "to_replace" -> Map("10" -> 99L))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repN == Map(1L -> 99L, 2L -> 20L, 3L -> 30L), "numeric remap via cast")
+    val ex = m(d, "str_extract", "column" -> "a", "pattern" -> "([aeiou]+)")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(ex == Map(1L -> Some("a"), 2L -> Some("o"), 3L -> Some("o")))
+    val none = m(d, "str_extract", "column" -> "a", "pattern" -> "([0-9]+)")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => Option(r.getString(3)))
+    assert(none.forall(_.isEmpty), "no match -> null, not empty string")
+  }
+
+  test("upsample fills empty daily bins forward, last observation per bin wins") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    val t0b = java.sql.Timestamp.valueOf("2024-01-01 17:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2024-01-04 12:00:00")
+    val d = Seq((1L, t0, 10.0), (1L, t0b, 11.0), (1L, t3, 40.0)).toDF("g", "ts", "v")
+    val out = m(d, "upsample", "on" -> "ts", "freq" -> "D",
+      "columns" -> List("v"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect()
+      .map(r => r.getTimestamp(1).toString.take(10) -> r.getDouble(2))
+    assert(out.toSeq == Seq(
+      "2024-01-01" -> 11.0, // last-in-bin, not first
+      "2024-01-02" -> 11.0, // gap day filled forward
+      "2024-01-03" -> 11.0,
+      "2024-01-04" -> 40.0))
+  }
+
   test("pct_change: first row per partition is null, values exact") {
     val d = Seq((1L, 1L, 10.0), (1L, 2L, 15.0), (2L, 1L, 4.0)).toDF("g", "t", "x")
     val out = m(d, "pct_change", "columns" -> List("x"),
