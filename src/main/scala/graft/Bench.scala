@@ -61,10 +61,13 @@ object Bench {
       }
       (name, times)
     }
-    val qs = results.collect { case (k, ts) if ts.nonEmpty => s"\"" + k + "\":" + ts.min }
-      .mkString("{", ",", "}")
-    // a query failed if ANY of its runs failed short of N successes —
-    // a crash must never masquerade as a fast success
+    // a query failed if ANY of its runs failed short of N successes — a
+    // crash must never masquerade as a fast success, so partially-failed
+    // queries appear ONLY in `failed` (never in `queries`), keeping
+    // sum(queries) == total
+    val qs = results.collect { case (k, ts) if ts.size == runsN =>
+      s"\"" + k + "\":" + ts.min
+    }.mkString("{", ",", "}")
     val failed = results.filter(_._2.size < runsN).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._2.size == runsN).map(_._2.min).sum

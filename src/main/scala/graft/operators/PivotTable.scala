@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object PivotTable {
 
-  private val aggFns: Map[String, Column => Column] = Map(
+  /** The one canonical pandas-name -> Spark aggregate map; the Registry's
+    * agg family and pivot_table validation share it (no second copy to
+    * drift out of sync).
+    */
+  private[graft] val aggFns: Map[String, Column => Column] = Map(
     "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
     "count" -> count, "first" -> first, "last" -> last,
     "std" -> stddev_samp, "var" -> var_samp, "median" -> median,

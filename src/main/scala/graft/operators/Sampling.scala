@@ -57,9 +57,13 @@ object Sampling {
 
   /** Deterministic Bernoulli-style sample: keep rows whose hash lands below
     * the fraction threshold. Same row set on every rerun and repartition.
+    * fraction >= 1 is the identity (the clamped "ffffffff" threshold would
+    * otherwise drop ~2^-32 of rows from a "keep everything" sample).
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double, seed: String): DataFrame =
-    df.filter(substring(hashKey(col(idCol), seed), 1, 8) < lit(thresholdHex(fraction)))
+    if (fraction >= 1.0) df
+    else if (fraction <= 0.0) df.filter(lit(false))
+    else df.filter(substring(hashKey(col(idCol), seed), 1, 8) < lit(thresholdHex(fraction)))
 
   /** Exactly k rows per stratum, chosen as the k smallest hash keys —
     * a deterministic "random" sample with exact group sizes.
@@ -77,6 +81,12 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strata: Seq[String], idCol: String,
                        k: Int, seed: String): DataFrame = {
     require(strata.nonEmpty, "stratifiedSample: strata must be non-empty")
+    // TopKAgg ids are BIGINT; a blind cast would turn non-numeric ids into
+    // nulls that the heap silently skips — fail loudly at planning instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType).contains(idType),
+      s"stratifiedSample: id column '$idCol' must be integral, got $idType")
     val prefix = conv(substring(hashKey(col(idCol), seed), 1, 13), 16, 10)
       .cast(DoubleType)
     val picked = df

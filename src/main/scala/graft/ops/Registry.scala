@@ -112,11 +112,8 @@ final class Registry(spark: SparkSession) {
       "frames; pass partition_by for cluster-scale data.")
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Registry])
 
-  private val aggFns: Map[String, Column => Column] = Map(
-    "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
-    "count" -> count, "first" -> first, "last" -> last,
-    "std" -> stddev_samp, "var" -> var_samp, "median" -> median,
-    "nunique" -> ((c: Column) => countDistinct(c)))
+  // canonical definition lives beside the operator that also needs it
+  private val aggFns: Map[String, Column => Column] = PivotTable.aggFns
 
   private def sparkType(name: String): DataType = name.toLowerCase match {
     case "int" | "int64" | "long" | "bigint" => LongType
@@ -697,7 +694,13 @@ final class Registry(spark: SparkSession) {
             adj(rank().over(w)) + (ties - lit(1)).cast(DoubleType) / 2.0
           case other => throw PipelineError(s"rank: unsupported method '$other'")
         }
-        df.withColumn(s"${c}_rank", rk)
+        // pandas groupby(...).rank() gives NaN to rows whose GROUP KEY is
+        // null (dropna=True); the agg path gets this for free from its
+        // null-unsafe join — mask here so both strategies agree
+        val nullKey =
+          if (partCols.nonEmpty) partCols.map(col(_).isNull).reduce(_ || _)
+          else lit(false)
+        df.withColumn(s"${c}_rank", when(nullKey, lit(null)).otherwise(rk))
       }
     case "cut" =>
       // pandas pd.cut with explicit bin edges, right-closed (a, b]; values
@@ -745,10 +748,13 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"qcut: q must be int or prob list, got ${tn(other)}")
       }
       val duplicates = a.get("duplicates", -1).map(asStr(_, "duplicates")).getOrElse("raise")
+      // ONE percentile aggregate with an array of probs: a single
+      // value-count buffer per task serves every edge, instead of q+1
+      // independent buffering aggregates each holding the column's values
       val edgeRow = df.agg(
-        expr(s"percentile($c, ${probs.head})"),
-        probs.tail.map(p => expr(s"percentile($c, $p)")): _*).head()
-      val allEdges = probs.indices.map(edgeRow.getDouble).toList
+        expr(s"percentile($c, array(${probs.mkString(", ")}))")).head()
+      if (edgeRow.isNullAt(0)) throw PipelineError(s"qcut: column '$c' has no non-null values")
+      val allEdges = edgeRow.getSeq[Double](0).toList
       val edges = allEdges.distinct
       if (edges.size < allEdges.size && duplicates != "drop") throw PipelineError(
         s"qcut: bin edges are not unique ($allEdges); pass duplicates='drop'")
@@ -780,12 +786,14 @@ final class Registry(spark: SparkSession) {
       // running window sums with per-row weight (1-a)^(-rn): pure codegen'd
       // window math, no sequential recurrence, no mapPartitions. Null x_i
       // contribute no weight but still advance position (ignore_na=False).
-      // The weight overflows double once ONE series exceeds ~ -745/ln(1-a)
-      // rows (alpha=0.2 -> ~3300, alpha=0.5 -> ~1070); partition_by bounds
-      // series length — the same contract that keeps the window scale-safe.
+      // The weight overflows double once ONE series exceeds ~ -700/ln(1-a)
+      // rows (alpha=0.2 -> ~3100, alpha=0.5 -> ~1000); partition_by bounds
+      // series length — and the guard below makes a breach LOUD
+      // (raise_error) instead of silently emitting Inf/Inf = NaN tails.
       val cols = asStrList(a.require("columns", -1))
       val alpha = a.require("alpha", -1).toString.toDouble
       require(alpha > 0 && alpha < 1, "ewm: alpha must be in (0, 1)")
+      val rowLimit = math.floor(700.0 / -math.log1p(-alpha)).toLong
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       if (partCols.isEmpty) warnGlobalWindow("ewm")
@@ -801,8 +809,12 @@ final class Registry(spark: SparkSession) {
       cols.foldLeft(withRn) { (d, c) =>
         val x = col(c).cast(DoubleType)
         d.withColumn(s"${c}_ewm",
-          sum(x * wgt).over(run) /
-            sum(when(x.isNotNull, wgt)).over(run))
+          when(col("__graft_rn") > rowLimit, raise_error(lit(
+            s"ewm: a partition exceeds $rowLimit rows for alpha=$alpha — " +
+              "the cancelled-ratio weight overflows double; add or refine " +
+              "partition_by to bound series length")))
+            .otherwise(sum(x * wgt).over(run) /
+              sum(when(x.isNotNull, wgt)).over(run)))
       }.drop("__graft_rn")
     case "replace" =>
       // pandas df.replace(to_replace=dict) scoped to the given columns;
@@ -836,8 +848,10 @@ final class Registry(spark: SparkSession) {
       // aggregation (map-side partials), a sequence()+explode date spine
       // built from per-group bounds (never a driver loop), and ONE window
       // pass over grid rows — grid size is bounded by (groups x bins), not
-      // by raw event count. The whole-row struct carry keeps multi-column
-      // fills consistent (all filled columns come from the same source row).
+      // by raw event count. Fills are PER COLUMN (pandas .last() skips NaN
+      // per column and ffill is column-independent): a bin whose newest row
+      // holds a null must fall back to the bin's previous non-null, not
+      // mask the history with a carried null.
       val on = asStr(a.require("on", -1), "on")
       val freq = a.get("freq", -1).map(asStr(_, "freq")).getOrElse("D")
       val unit = freq match {
@@ -852,8 +866,12 @@ final class Registry(spark: SparkSession) {
       if (partCols.isEmpty) warnGlobalWindow("upsample")
       import org.apache.spark.sql.expressions.Window
       val bin = date_trunc(unit, col(on))
+      // max_by ignores rows whose ordering key is null: masking the key on
+      // null values makes it "newest NON-NULL value in bin" per column
+      val lastAggs = cols.map(c =>
+        max_by(col(c), when(col(c).isNotNull, col(on))).as(c))
       val daily = df.groupBy((partCols.map(col) :+ bin.as("__graft_bin")): _*)
-        .agg(max_by(struct(cols.map(col): _*), col(on)).as("__graft_row"))
+        .agg(lastAggs.head, lastAggs.tail: _*)
       val bounds = daily.groupBy(partCols.map(col): _*)
         .agg(min(col("__graft_bin")).as("__b0"), max(col("__graft_bin")).as("__b1"))
       val spine = bounds.select((partCols.map(col) :+
@@ -864,10 +882,8 @@ final class Registry(spark: SparkSession) {
         else Window.partitionBy())
         .orderBy(col("__graft_bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val carried = joined.withColumn("__graft_row",
-        last(col("__graft_row"), ignoreNulls = true).over(w))
-      cols.foldLeft(carried)((d, c) => d.withColumn(c, col(s"__graft_row.$c")))
-        .drop("__graft_row")
+      cols.foldLeft(joined)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
         .withColumnRenamed("__graft_bin", on)
     case "pct_change" =>
       // pandas df.pct_change(): x_t / x_{t-periods} - 1, order-dependent —
@@ -889,7 +905,14 @@ final class Registry(spark: SparkSession) {
       // distributed frame. Appends boolean `duplicated`.
       val subset = asStrList(a.require("subset", -1))
       val orderBy = asStrList(a.require("order_by", -1))
-      val keep = a.get("keep", -1).map(asStr(_, "keep")).getOrElse("first")
+      // pandas spells "mark every copy" as keep=False — accept the YAML
+      // boolean, not just the quoted string
+      val keep = a.get("keep", -1).map {
+        case b: Boolean =>
+          if (b) throw PipelineError("duplicated: keep=true is not a pandas option")
+          else "false"
+        case v => asStr(v, "keep")
+      }.getOrElse("first")
       import org.apache.spark.sql.expressions.Window
       val base = Window.partitionBy(subset.map(col): _*)
       val flag = keep match {

@@ -661,6 +661,17 @@ class SamplingSpec extends AnyFunSuite {
     val s50 = Sampling.hashSample(ids, "id", 0.5, "s").collect().map(_.getLong(0)).toSet
     assert(s20.subsetOf(s50), "hash thresholding must give nested samples")
     assert(s20.size > 300 && s20.size < 500, s"got ${s20.size}")
+    assert(Sampling.hashSample(ids, "id", 1.0, "s").count() == 2000,
+      "fraction 1.0 must be the identity, not a 1-2^-32 filter")
+    assert(Sampling.hashSample(ids, "id", 0.0, "s").count() == 0)
+  }
+
+  test("stratifiedSample rejects non-integral id columns at planning time") {
+    val d = Seq(("g", "urn:a"), ("g", "urn:b")).toDF("g", "id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(d, Seq("g"), "id", k = 1, seed = "s")
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("stratifiedSample: exact k per stratum, equals the window-sort selection") {

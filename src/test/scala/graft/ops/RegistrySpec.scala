@@ -315,6 +315,58 @@ class RegistrySpec extends AnyFunSuite {
       "2024-01-02" -> 11.0, // gap day filled forward
       "2024-01-03" -> 11.0,
       "2024-01-04" -> 40.0))
+    // a NULL newest observation must not mask earlier values: pandas
+    // .last() skips NaN per column and ffill is column-independent
+    val withNull = Seq(
+      (1L, t0, Option(10.0)), (1L, t0b, Option.empty[Double]), (1L, t3, Option(40.0))
+    ).toDF("g", "ts", "v")
+    val filled = m(withNull, "upsample", "on" -> "ts", "freq" -> "D",
+      "columns" -> List("v"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect()
+      .map(r => r.getTimestamp(1).toString.take(10) -> r.getDouble(2))
+    assert(filled.toSeq == Seq(
+      "2024-01-01" -> 10.0, // null 17:00 row falls back to 08:00's 10.0
+      "2024-01-02" -> 10.0,
+      "2024-01-03" -> 10.0,
+      "2024-01-04" -> 40.0))
+  }
+
+  test("rank: null partition key ranks null in BOTH strategies (pandas dropna)") {
+    val d = Seq((Option("a"), 1.0), (Option("a"), 2.0), (Option.empty[String], 3.0))
+      .toDF("g", "x")
+    for (strategy <- Seq("agg", "window")) {
+      val out = m(d, "rank", "column" -> "x", "method" -> "min",
+        "partition_by" -> List("g"), "strategy" -> strategy)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map(r => Option(r.get(0)).map(_.toString) -> Option(r.get(2))).toMap
+      assert(out(Some("a")).isDefined, s"$strategy: real group ranks")
+      assert(out(None).isEmpty, s"$strategy: null group key must rank null")
+    }
+  }
+
+  test("ewm raises loudly when a partition exceeds the weight-overflow bound") {
+    val big = (1L to 1100L).map(i => (1L, i, i.toDouble)).toDF("g", "t", "x")
+    val e = intercept[Exception] {
+      m(big, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+        "order_by" -> List("t"), "partition_by" -> List("g"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(e).exists(_.contains("ewm")), s"got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("duplicated accepts the YAML boolean spelling keep: false") {
+    val d = Seq((1L, "x"), (2L, "x")).toDF("id", "k")
+    val out = m(d, "duplicated", "subset" -> List("k"), "order_by" -> List("id"),
+      "keep" -> false)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+    assertThrows[Exception] {
+      m(d, "duplicated", "subset" -> List("k"), "order_by" -> List("id"), "keep" -> true)
+    }
   }
 
   test("pct_change: first row per partition is null, values exact") {
