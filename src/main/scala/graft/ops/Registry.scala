@@ -816,6 +816,43 @@ final class Registry(spark: SparkSession) {
             .otherwise(sum(x * wgt).over(run) /
               sum(when(x.isNotNull, wgt)).over(run)))
       }.drop("__graft_rn")
+    case "rolling" | "expanding" =>
+      // pandas df.rolling(window).f() / df.expanding().f() under the
+      // explicit-ordering contract. rolling honors min_periods (pandas
+      // default = window size: short head frames yield null); expanding has
+      // min_periods=1. Appends {col}_{fn} columns.
+      val cols = asStrList(a.require("columns", -1))
+      val fn = a.get("func", -1).map(asStr(_, "func")).getOrElse("mean")
+      val orderBy = asStrList(a.require("order_by", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow(name)
+      import org.apache.spark.sql.expressions.Window
+      val base = (if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()).orderBy(orderBy.map(col(_).asc): _*)
+      val (w, minPeriods) =
+        if (name == "rolling") {
+          val n = asInt(a.require("window", -1), "window")
+          require(n >= 1, "rolling: window must be >= 1")
+          (base.rowsBetween(-(n - 1L), Window.currentRow),
+            a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n))
+        } else
+          (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+            a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))
+      val f: Column => Column = fn match {
+        case "mean" => avg
+        case "sum" => sum
+        case "min" => min
+        case "max" => max
+        case "count" => count
+        case "std" => stddev_samp
+        case other => throw PipelineError(s"$name: unsupported func '$other'")
+      }
+      cols.foldLeft(df) { (d, c) =>
+        // pandas counts NON-NULL observations toward min_periods
+        val nObs = count(col(c)).over(w)
+        d.withColumn(s"${c}_$fn",
+          when(nObs >= minPeriods, f(col(c)).over(w)))
+      }
     case "replace" =>
       // pandas df.replace(to_replace=dict) scoped to the given columns;
       // first matching key wins, unmatched values pass through. Replacement
@@ -1023,10 +1060,24 @@ final class Registry(spark: SparkSession) {
       val aggfuncs = a.get("aggfunc", -1).map(strOrList(_, "aggfunc")).getOrElse(List("mean"))
       aggfuncs.find(f => !aggFns.contains(f))
         .foreach(f => throw PipelineError(s"Unknown aggfunc '$f'"))
-      PivotTable(df, index, columns, values, aggfuncs,
+      val pivoted = PivotTable(df, index, columns, values, aggfuncs,
         margins = a.get("margins", -1).exists(asBool(_, default = false)),
         marginsName = a.get("margins_name", -1).map(asStr(_, "margins_name")).getOrElse("All"),
         pivotValues = a.get("pivot_values", -1).map(asStrList))
+      // pandas fill_value: fills missing CELLS after pivoting; margins are
+      // computed from raw data and so are never affected by the fill
+      a.get("fill_value", -1) match {
+        case None => pivoted
+        case Some(v) =>
+          val cells = pivoted.columns.filterNot(index.contains)
+          v match {
+            case d: Double => pivoted.na.fill(d, cells)
+            case l: Long => pivoted.na.fill(l, cells)
+            case s: String => pivoted.na.fill(s, cells)
+            case other => throw PipelineError(
+              s"pivot_table: unsupported fill_value ${tn(other)}")
+          }
+      }
     case "count" => df.count()
     case "nunique" =>
       // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),

@@ -179,6 +179,30 @@ object Prep {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         FROM j ORDER BY user_id, day""")),
 
+    // pandas df.rolling(3).mean() through the registry method, including
+    // the min_periods=window default (short head frames yield null).
+    Q("q79_rolling_method",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        reg.callMethod(orders, "rolling", graft.expr.Args(kw = List(
+          "columns" -> List("o_totalprice"), "window" -> 3L, "func" -> "mean",
+          "order_by" -> List("o_orderkey"), "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice_mean"), 6).as("roll_mean"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          round(CASE WHEN count(o_totalprice) OVER w >= 3
+            THEN avg(o_totalprice) OVER w END, 6) AS roll_mean
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // pandas df.duplicated(subset=['l_partkey','l_suppkey'], keep='first')
     // under the explicit-ordering contract; the oracle replays row_number.
     Q("q76_duplicated",

@@ -262,6 +262,35 @@ class RegistrySpec extends AnyFunSuite {
     assert(allRow.getLong(allRow.fieldIndex("All_x_count")) == 4L)
   }
 
+  test("pivot_table fill_value fills cells, never margins") {
+    val pv = Seq(("a", "red", 1.0), ("b", "blue", 4.0)).toDF("k", "c", "x")
+    val out = m(pv, "pivot_table", "index" -> List("k"), "columns" -> "c",
+      "values" -> "x", "aggfunc" -> "sum", "margins" -> true, "fill_value" -> 0.0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("red")), r.getDouble(r.fieldIndex("blue")),
+         r.getDouble(r.fieldIndex("All")))).toMap
+    assert(out("a") == ((1.0, 0.0, 1.0)), "missing cell filled with 0")
+    assert(out("b") == ((0.0, 4.0, 4.0)))
+    assert(out("All") == ((1.0, 4.0, 5.0)), "margins come from raw data")
+  }
+
+  test("rolling/expanding methods: min_periods nulls the short head (pandas default)") {
+    val d = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 8.0))
+      .toDF("g", "t", "x")
+    val roll = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "func" -> "mean", "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(3)))
+    assert(roll.toSeq == Seq(None, None, Some(7.0 / 3), Some(14.0 / 3)),
+      "first window-1 rows null under pandas min_periods=window")
+    val expd = m(d, "expanding", "columns" -> List("x"), "func" -> "sum",
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => r.getDouble(3))
+    assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
+  }
+
   test("duplicated keep first/last/false; get_dummies unknown category -> all zeros") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     def flags(keep: String) =
