@@ -583,10 +583,13 @@ final class Registry(spark: SparkSession) {
       cols.foldLeft(df)((d, c) => d.withColumn(c,
         if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
         else first(col(c), ignoreNulls = true).over(w)))
-    case "shift" | "diff" | "cumsum" =>
+    case "shift" | "diff" | "cumsum" | "cummax" | "cummin" | "cumcount" =>
       // pandas order-dependent methods, distributed-deterministic via an
-      // explicit ordering key (same contract as ffill/bfill above)
-      val cols = asStrList(a.require("columns", -1))
+      // explicit ordering key (same contract as ffill/bfill above).
+      // cumcount = pandas groupby(...).cumcount(): 0-based position within
+      // the partition (appended as `cumcount`, it has no source column).
+      val cols =
+        if (name == "cumcount") Nil else asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       if (partCols.isEmpty) warnGlobalWindow(name)
@@ -596,9 +599,13 @@ final class Registry(spark: SparkSession) {
         else Window.partitionBy()
       val w = base.orderBy(orderBy.map(col(_).asc): _*)
       val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cols.foldLeft(df)((d, c) => d.withColumn(c, name match {
+      if (name == "cumcount")
+        df.withColumn("cumcount", row_number().over(w) - lit(1))
+      else cols.foldLeft(df)((d, c) => d.withColumn(c, name match {
         case "shift" => lag(col(c), periods).over(w)
         case "diff" => col(c) - lag(col(c), periods).over(w)
+        case "cummax" => max(col(c)).over(wc)
+        case "cummin" => min(col(c)).over(wc)
         case _ => sum(col(c)).over(wc)
       }))
     case "rank" =>
@@ -621,6 +628,9 @@ final class Registry(spark: SparkSession) {
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       val rankOrderBy = a.get("order_by", -1).map(asStrList).getOrElse(Nil)
       val strategy = a.get("strategy", -1).map(asStr(_, "strategy")).getOrElse("auto")
+      // pandas rank(pct=True): divide by non-null count — except dense,
+      // which pandas divides by the count of DISTINCT non-null values
+      val pct = a.get("pct", -1).exists(asBool(_, default = false))
       import org.apache.spark.sql.expressions.Window
       val useAgg = strategy match {
         case "agg" =>
@@ -651,7 +661,15 @@ final class Registry(spark: SparkSession) {
               (col("__graft_cnt") - lit(1)).cast(DoubleType) / 2.0
           case other => throw PipelineError(s"rank: unsupported method '$other'")
         }).cast(DoubleType)
-        val lookup = counts.select((keyCols.map(col) :+ rk.as("__graft_rk")): _*)
+        // pct divisors come from the tiny counts table, not the data
+        // (an unordered window aggregates its whole partition)
+        val wAll = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+          else Window.partitionBy()
+        val rkOut =
+          if (!pct) rk
+          else if (method == "dense") rk / count(lit(1)).over(wAll).cast(DoubleType)
+          else rk / sum(col("__graft_cnt")).over(wAll).cast(DoubleType)
+        val lookup = counts.select((keyCols.map(col) :+ rkOut.as("__graft_rk")): _*)
         // equi-join on (partition..., value): null values never match, so
         // they surface with a null rank, exactly pandas' NaN behavior. The
         // select restores df's column order (the USING join moves keys
@@ -694,13 +712,20 @@ final class Registry(spark: SparkSession) {
             adj(rank().over(w)) + (ties - lit(1)).cast(DoubleType) / 2.0
           case other => throw PipelineError(s"rank: unsupported method '$other'")
         }
+        val wAll = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+          else Window.partitionBy()
+        val rkPct =
+          if (!pct) rk
+          else if (method == "dense")
+            rk / size(collect_set(col(c)).over(wAll)).cast(DoubleType)
+          else rk / count(col(c)).over(wAll).cast(DoubleType)
         // pandas groupby(...).rank() gives NaN to rows whose GROUP KEY is
         // null (dropna=True); the agg path gets this for free from its
         // null-unsafe join — mask here so both strategies agree
         val nullKey =
           if (partCols.nonEmpty) partCols.map(col(_).isNull).reduce(_ || _)
           else lit(false)
-        df.withColumn(s"${c}_rank", when(nullKey, lit(null)).otherwise(rk))
+        df.withColumn(s"${c}_rank", when(nullKey, lit(null)).otherwise(rkPct))
       }
     case "cut" =>
       // pandas pd.cut with explicit bin edges, right-closed (a, b]; values

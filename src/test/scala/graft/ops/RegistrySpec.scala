@@ -361,6 +361,43 @@ class RegistrySpec extends AnyFunSuite {
       "2024-01-04" -> 40.0))
   }
 
+  test("cummax/cummin/cumcount under the ordering contract") {
+    val d = Seq((1L, 1L, 3.0), (1L, 2L, 1.0), (1L, 3L, 5.0), (2L, 1L, 7.0))
+      .toDF("g", "t", "x")
+    val cm = m(d, "cummax", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getDouble(2))
+    assert(cm.toSeq == Seq(3.0, 3.0, 5.0, 7.0))
+    val cn = m(d, "cummin", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getDouble(2))
+    assert(cn.toSeq == Seq(3.0, 1.0, 1.0, 7.0))
+    val cc = m(d, "cumcount", "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getInt(3))
+    assert(cc.toSeq == Seq(0, 1, 2, 0), "0-based like pandas cumcount")
+  }
+
+  test("rank pct: min divides by non-null count, dense by distinct count, both strategies") {
+    val d = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0)).toDF("g", "x")
+    for (strategy <- Seq("agg", "window")) {
+      val minPct = m(d, "rank", "column" -> "x", "method" -> "min",
+        "partition_by" -> List("g"), "pct" -> true, "strategy" -> strategy)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map(_.getDouble(2)).sorted
+      assert(minPct.toSeq == Seq(0.25, 0.5, 0.5, 1.0), s"$strategy: $minPct")
+      val densePct = m(d, "rank", "column" -> "x", "method" -> "dense",
+        "partition_by" -> List("g"), "pct" -> true, "strategy" -> strategy)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map(_.getDouble(2)).sorted
+      assert(densePct.map(v => math.round(v * 1e9) / 1e9).toSeq ==
+        Seq(1.0 / 3, 2.0 / 3, 2.0 / 3, 1.0).map(v => math.round(v * 1e9) / 1e9),
+        s"$strategy dense: ${densePct.toSeq}")
+    }
+  }
+
   test("rank: null partition key ranks null in BOTH strategies (pandas dropna)") {
     val d = Seq((Option("a"), 1.0), (Option("a"), 2.0), (Option.empty[String], 3.0))
       .toDF("g", "x")

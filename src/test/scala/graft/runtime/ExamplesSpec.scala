@@ -30,6 +30,11 @@ class ExamplesSpec extends AnyFunSuite {
       .forall(clean.columns.contains), s"got ${clean.columns.mkString(",")}")
     // dedup really ran: fingerprints unique among kept docs
     assert(clean.select("fingerprint").distinct().count() == clean.count())
+    // deterministic split assigned every kept doc a band
+    val splits = clean.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val") && splits.values.sum == clean.count())
+    assert(splits("train") > splits("val"), "train band is the 0.9 fraction")
 
     val budget = spark.read.parquet(s"$out/token_budget.parquet")
     assert(budget.count() > 0 && budget.count() <= 4,
