@@ -319,6 +319,14 @@ final class Registry(spark: SparkSession) {
         a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong),
         a.get("allow_exact_matches", -1).forall(asBool(_, default = true)))
     },
+    "graft.salted_join" -> { a =>
+      graft.operators.Skew.saltedJoin(
+        left = asDf(a.require("left", 0), "left"),
+        right = asDf(a.require("right", 1), "right"),
+        on = asStrList(a.require("on", -1)),
+        factor = asInt(a.require("factor", -1), "factor"),
+        joinType = a.get("how", -1).map(asStr(_, "how")).getOrElse("inner"))
+    },
     "graft.stratified_sample" -> { a =>
       Sampling.stratifiedSample(
         df = asDf(a.require("df", 0), "df"),
@@ -465,16 +473,38 @@ final class Registry(spark: SparkSession) {
       case "anti" => "left_anti"
       case h => h
     }
+    // pandas merge(validate=...): assert key uniqueness on the constrained
+    // side(s) before joining. Distributed check = one small aggregation per
+    // constrained side (groupBy keys, any count>1 fails fast via limit(1));
+    // eager like pandas' own check. "m:m" is a no-op.
+    def assertUnique(df: DataFrame, keys: Seq[String], side: String): Unit =
+      if (df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+        throw PipelineError(
+          s"merge: validate failed — $side join keys are not unique")
+    def validate(lKeys: Seq[String], rKeys: Seq[String]): Unit =
+      a.get("validate", -1).map(asStr(_, "validate")).foreach {
+        case "1:1" => assertUnique(left, lKeys, "left"); assertUnique(right, rKeys, "right")
+        case "1:m" => assertUnique(left, lKeys, "left")
+        case "m:1" => assertUnique(right, rKeys, "right")
+        case "m:m" => ()
+        case other => throw PipelineError(s"merge: unknown validate '$other'")
+      }
     (a.get("on", -1), a.get("left_on", -1), a.get("right_on", -1)) match {
-      case (Some(on), _, _) => left.join(right, asStrList(on), how)
+      case (Some(on), _, _) =>
+        val keys = asStrList(on)
+        validate(keys, keys)
+        left.join(right, keys, how)
       case (None, Some(lo), Some(ro)) =>
         val loCols = asStrList(lo); val roCols = asStrList(ro)
+        validate(loCols, roCols)
         val cond = loCols.zip(roCols).map { case (l, r) => left(l) === right(r) }
           .reduce(_ && _)
         left.join(right, cond, how)
       case _ =>
         val common = left.columns.toSet.intersect(right.columns.toSet).toSeq.sorted
         if (common.isEmpty) throw PipelineError("merge: no common columns and no 'on' given")
+        validate(common, common)
         left.join(right, common, how)
     }
   }

@@ -361,6 +361,34 @@ class RegistrySpec extends AnyFunSuite {
       "2024-01-04" -> 40.0))
   }
 
+  test("graft.salted_join from the YAML surface equals the plain join") {
+    val l = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
+    val r = Seq((0L, "z"), (1L, "o"), (2L, "t")).toDF("k", "name")
+    val salted = reg.callFunction("graft.salted_join", Args(
+      pos = List(l, r), kw = List("on" -> List("k"), "factor" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val plain = l.join(r, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("merge validate= raises on duplicate keys on the constrained side only") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val rDup = Seq((1L, "x"), (1L, "y")).toDF("k", "rv")
+    // m:1 demands a unique right — duplicates must fail fast
+    val e = intercept[Exception] {
+      m(l, "merge", "right" -> rDup, "on" -> List("k"), "validate" -> "m:1")
+    }
+    assert(e.getMessage.contains("validate"))
+    // 1:m allows them (left is the unique side)
+    val ok = m(l, "merge", "right" -> rDup, "on" -> List("k"), "validate" -> "1:m")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(ok.count() == 2)
+    assertThrows[Exception] {
+      m(rDup, "merge", "right" -> l, "on" -> List("k"), "validate" -> "1:1")
+    }
+  }
+
   test("cummax/cummin/cumcount under the ordering contract") {
     val d = Seq((1L, 1L, 3.0), (1L, 2L, 1.0), (1L, 3L, 5.0), (2L, 1L, 7.0))
       .toDF("g", "t", "x")
