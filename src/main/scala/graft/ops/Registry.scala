@@ -871,6 +871,51 @@ final class Registry(spark: SparkSession) {
             .otherwise(sum(x * wgt).over(run) /
               sum(when(x.isNotNull, wgt)).over(run)))
       }.drop("__graft_rn")
+    case "corr" =>
+      // pandas df.corr(): the full pairwise correlation matrix, tidy form
+      // (col_a, col_b, corr). PAIRWISE-complete like pandas: each pair uses
+      // only rows where BOTH values are non-null. All pair moments compute
+      // in ONE aggregation pass (6 co-moment aggregates per pair share the
+      // scan, map-side partials); moments accumulate as exact decimals so
+      // the result is partition-order independent, rounded to 6 places.
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
+      require(cs.size >= 2, "corr needs >= 2 numeric columns")
+      val pairIdx = for { i <- cs.indices; j <- i + 1 until cs.size } yield (cs(i), cs(j))
+      def m(ca: String, cb: String, tag: String, e: Column): Column =
+        e.as(s"__${tag}_${ca}__$cb")
+      val aggs = pairIdx.flatMap { case (ca, cb) =>
+        val bothOk = col(ca).isNotNull && col(cb).isNotNull
+        val x = when(bothOk, col(ca).cast(DoubleType))
+        val y = when(bothOk, col(cb).cast(DoubleType))
+        Seq(
+          m(ca, cb, "n", count(when(bothOk, 1)).cast(DoubleType)),
+          m(ca, cb, "sx", sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
+          m(ca, cb, "sy", sum(y.cast(DecimalType(30, 6))).cast(DoubleType)),
+          m(ca, cb, "sxy", sum((x * y).cast(DecimalType(35, 6))).cast(DoubleType)),
+          m(ca, cb, "sxx", sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)),
+          m(ca, cb, "syy", sum((y * y).cast(DecimalType(35, 6))).cast(DoubleType)))
+      }
+      val moments = df.agg(aggs.head, aggs.tail: _*)
+      def corrOf(ca: String, cb: String): Column = {
+        def g(tag: String) = col(s"__${tag}_${ca}__$cb")
+        val (n, sx, sy) = (g("n"), g("sx"), g("sy"))
+        val num = n * g("sxy") - sx * sy
+        val denx = n * g("sxx") - sx * sx
+        val deny = n * g("syy") - sy * sy
+        round(when(denx > 0 && deny > 0, num / sqrt(denx * deny)), 6)
+      }
+      // full symmetric matrix incl. the unit diagonal, exploded from the
+      // single moments row — p^2 tiny rows, never a driver loop
+      val cells = cs.flatMap(ca => cs.map { cb =>
+        val v =
+          if (ca == cb) lit(1.0)
+          else if (cs.indexOf(ca) < cs.indexOf(cb)) corrOf(ca, cb)
+          else corrOf(cb, ca)
+        struct(lit(ca).as("col_a"), lit(cb).as("col_b"), v.as("corr"))
+      })
+      moments.select(explode(array(cells: _*)).as("c"))
+        .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
     case "rolling" | "expanding" =>
       // pandas df.rolling(window).f() / df.expanding().f() under the
       // explicit-ordering contract. rolling honors min_periods (pandas

@@ -203,6 +203,49 @@ object Prep {
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // pandas df.corr(): full 3x3 matrix in tidy rows from ONE aggregation
+    // pass of exact decimal co-moments (partition-order independent).
+    Q("q80_corr_matrix",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        reg.callMethod(li, "corr", graft.expr.Args(kw = List(
+          "columns" -> List("l_quantity", "l_extendedprice", "l_discount"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sp,
+            CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sd,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(35,6))) AS DOUBLE) AS sqq,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS spp,
+            CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS sdd,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS sqp,
+            CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS sqd,
+            CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS spd
+          FROM lineitem),
+        c AS (
+          SELECT
+            round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS c_qp,
+            round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6) AS c_qd,
+            round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6) AS c_pd
+          FROM m)
+        SELECT col_a, col_b, corr FROM (
+          SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, 1.0 AS corr FROM c
+          UNION ALL SELECT 'l_quantity', 'l_extendedprice', c_qp FROM c
+          UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_quantity', c_qp FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', 1.0 FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_discount', c_pd FROM c
+          UNION ALL SELECT 'l_discount', 'l_quantity', c_qd FROM c
+          UNION ALL SELECT 'l_discount', 'l_extendedprice', c_pd FROM c
+          UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM c) t
+        ORDER BY col_a, col_b""")),
+
     // pandas df.duplicated(subset=['l_partkey','l_suppkey'], keep='first')
     // under the explicit-ordering contract; the oracle replays row_number.
     Q("q76_duplicated",

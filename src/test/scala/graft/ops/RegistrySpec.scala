@@ -361,6 +361,23 @@ class RegistrySpec extends AnyFunSuite {
       "2024-01-04" -> 40.0))
   }
 
+  test("corr matrix: pairwise-complete (each pair uses only rows where both non-null)") {
+    val d = Seq(
+      (1.0, Option(2.0), Option(9.0)),
+      (2.0, Option(4.0), Option.empty[Double]), // c null: (a,c) pair skips this row
+      (3.0, Option(6.0), Option(5.0)),
+      (4.0, Option.empty[Double], Option(3.0))  // b null: (a,b) pair skips this row
+    ).toDF("a", "b", "c")
+    val out = m(d, "corr").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 9)
+    assert(out(("a", "a")) == 1.0 && out(("b", "b")) == 1.0)
+    assert(out(("a", "b")) == 1.0, "b = 2a on complete rows -> perfect corr")
+    assert(out(("a", "b")) == out(("b", "a")), "symmetric")
+    // (a,c) on its three complete rows (1,9),(3,5),(4,3): exactly -1
+    assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
+  }
+
   test("graft.salted_join from the YAML surface equals the plain join") {
     val l = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
     val r = Seq((0L, "z"), (1L, "o"), (2L, "t")).toDF("k", "name")

@@ -41,6 +41,25 @@ class ExamplesSpec extends AnyFunSuite {
       "token budget is per kept language (en/es/de/fr)")
   }
 
+  test("examples/train_prep.yaml runs green: decontaminated, deduped, split, sampled") {
+    val out = freshDir("ex_train")
+    new Pipeline(spark, "examples/train_prep.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val corpus = spark.read.parquet(s"$out/train_corpus.parquet")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(corpus.count() > 0 && corpus.count() < nDocs)
+    assert(corpus.filter(col("doc_id") < 20).count() == 0,
+      "benchmark slice rows must never reach the training corpus")
+    val bands = corpus.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.keySet == Set("train", "holdout"))
+
+    val eval = spark.read.parquet(s"$out/eval_sample.parquet")
+    val perLang = eval.groupBy("lang_guess").count().collect().map(_.getLong(1))
+    assert(perLang.nonEmpty && perLang.forall(_ <= 5), "exact-k per language stratum")
+  }
+
   test("examples/tpch_report.yaml runs green and writes the three reports") {
     val out = freshDir("ex_tpch")
     new Pipeline(spark, "examples/tpch_report.yaml",
