@@ -477,9 +477,11 @@ final class Registry(spark: SparkSession) {
     // side(s) before joining. Distributed check = one small aggregation per
     // constrained side (groupBy keys, any count>1 fails fast via limit(1));
     // eager like pandas' own check. "m:m" is a no-op.
+    // internal alias, not count(): a join key itself named 'count' would
+    // make the filter reference ambiguous
     def assertUnique(df: DataFrame, keys: Seq[String], side: String): Unit =
-      if (df.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
+      if (df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_cnt"))
+        .filter(col("__graft_cnt") > 1).limit(1).count() > 0)
         throw PipelineError(
           s"merge: validate failed — $side join keys are not unique")
     def validate(lKeys: Seq[String], rKeys: Seq[String]): Unit =
@@ -634,8 +636,11 @@ final class Registry(spark: SparkSession) {
       else cols.foldLeft(df)((d, c) => d.withColumn(c, name match {
         case "shift" => lag(col(c), periods).over(w)
         case "diff" => col(c) - lag(col(c), periods).over(w)
-        case "cummax" => max(col(c)).over(wc)
-        case "cummin" => min(col(c)).over(wc)
+        // pandas cummax/cummin (skipna=True) keep NaN AT null positions —
+        // the running extreme must not fabricate a value out of missing
+        // data (same guard clip uses)
+        case "cummax" => when(col(c).isNull, lit(null)).otherwise(max(col(c)).over(wc))
+        case "cummin" => when(col(c).isNull, lit(null)).otherwise(min(col(c)).over(wc))
         case _ => sum(col(c)).over(wc)
       }))
     case "rank" =>
@@ -881,38 +886,53 @@ final class Registry(spark: SparkSession) {
       val cs = a.get("columns", -1).map(asStrList).getOrElse(
         df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
       require(cs.size >= 2, "corr needs >= 2 numeric columns")
-      val pairIdx = for { i <- cs.indices; j <- i + 1 until cs.size } yield (cs(i), cs(j))
-      def m(ca: String, cb: String, tag: String, e: Column): Column =
-        e.as(s"__${tag}_${ca}__$cb")
-      val aggs = pairIdx.flatMap { case (ca, cb) =>
-        val bothOk = col(ca).isNotNull && col(cb).isNotNull
-        val x = when(bothOk, col(ca).cast(DoubleType))
-        val y = when(bothOk, col(cb).cast(DoubleType))
+      // moment aliases key on column INDICES (names may contain '__')
+      def m(tag: String, i: Int, j: Int, e: Column): Column = e.as(s"__${tag}_${i}_$j")
+      val pairIdx = for { i <- cs.indices; j <- i + 1 until cs.size } yield (i, j)
+      val pairAggs = pairIdx.flatMap { case (i, j) =>
+        val bothOk = col(cs(i)).isNotNull && col(cs(j)).isNotNull
+        val x = when(bothOk, col(cs(i)).cast(DoubleType))
+        val y = when(bothOk, col(cs(j)).cast(DoubleType))
         Seq(
-          m(ca, cb, "n", count(when(bothOk, 1)).cast(DoubleType)),
-          m(ca, cb, "sx", sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
-          m(ca, cb, "sy", sum(y.cast(DecimalType(30, 6))).cast(DoubleType)),
-          m(ca, cb, "sxy", sum((x * y).cast(DecimalType(35, 6))).cast(DoubleType)),
-          m(ca, cb, "sxx", sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)),
-          m(ca, cb, "syy", sum((y * y).cast(DecimalType(35, 6))).cast(DoubleType)))
+          m("n", i, j, count(when(bothOk, 1)).cast(DoubleType)),
+          m("sx", i, j, sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
+          m("sy", i, j, sum(y.cast(DecimalType(30, 6))).cast(DoubleType)),
+          m("sxy", i, j, sum((x * y).cast(DecimalType(35, 6))).cast(DoubleType)),
+          m("sxx", i, j, sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)),
+          m("syy", i, j, sum((y * y).cast(DecimalType(35, 6))).cast(DoubleType)))
       }
+      // per-column moments drive the diagonal: pandas gives corr(c,c)=1.0
+      // only when the column's own variance is positive (NaN for all-null
+      // or constant columns), computed over the column's non-null rows
+      val diagAggs = cs.indices.flatMap { i =>
+        val x = col(cs(i)).cast(DoubleType)
+        Seq(
+          m("dn", i, i, count(col(cs(i))).cast(DoubleType)),
+          m("ds", i, i, sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
+          m("dss", i, i, sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)))
+      }
+      val aggs = pairAggs ++ diagAggs
       val moments = df.agg(aggs.head, aggs.tail: _*)
-      def corrOf(ca: String, cb: String): Column = {
-        def g(tag: String) = col(s"__${tag}_${ca}__$cb")
+      def corrOf(i: Int, j: Int): Column = {
+        def g(tag: String) = col(s"__${tag}_${i}_$j")
         val (n, sx, sy) = (g("n"), g("sx"), g("sy"))
         val num = n * g("sxy") - sx * sy
         val denx = n * g("sxx") - sx * sx
         val deny = n * g("syy") - sy * sy
         round(when(denx > 0 && deny > 0, num / sqrt(denx * deny)), 6)
       }
-      // full symmetric matrix incl. the unit diagonal, exploded from the
-      // single moments row — p^2 tiny rows, never a driver loop
-      val cells = cs.flatMap(ca => cs.map { cb =>
+      def diagOf(i: Int): Column = {
+        def g(tag: String) = col(s"__${tag}_${i}_$i")
+        when(g("dn") * g("dss") - g("ds") * g("ds") > 0, lit(1.0))
+      }
+      // full symmetric matrix, exploded from the single moments row —
+      // p^2 tiny rows, never a driver loop
+      val cells = cs.indices.flatMap(i => cs.indices.map { j =>
         val v =
-          if (ca == cb) lit(1.0)
-          else if (cs.indexOf(ca) < cs.indexOf(cb)) corrOf(ca, cb)
-          else corrOf(cb, ca)
-        struct(lit(ca).as("col_a"), lit(cb).as("col_b"), v.as("corr"))
+          if (i == j) diagOf(i)
+          else if (i < j) corrOf(i, j)
+          else corrOf(j, i)
+        struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"), v.as("corr"))
       })
       moments.select(explode(array(cells: _*)).as("c"))
         .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
@@ -933,8 +953,10 @@ final class Registry(spark: SparkSession) {
         if (name == "rolling") {
           val n = asInt(a.require("window", -1), "window")
           require(n >= 1, "rolling: window must be >= 1")
-          (base.rowsBetween(-(n - 1L), Window.currentRow),
-            a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n))
+          val mp = a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n)
+          // pandas raises ValueError; silently-all-null output hides typos
+          require(mp <= n, s"rolling: min_periods $mp must be <= window $n")
+          (base.rowsBetween(-(n - 1L), Window.currentRow), mp)
         } else
           (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
             a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))
@@ -1173,7 +1195,15 @@ final class Registry(spark: SparkSession) {
           v match {
             case d: Double => pivoted.na.fill(d, cells)
             case l: Long => pivoted.na.fill(l, cells)
-            case s: String => pivoted.na.fill(s, cells)
+            case i: Int => pivoted.na.fill(i.toLong, cells)
+            case s: String =>
+              // CLI --var substitution always yields strings: a numeric
+              // string must fill numeric cells (na.fill(String) silently
+              // skips them), same coercion asInt applies
+              s.toDoubleOption match {
+                case Some(d) => pivoted.na.fill(d, cells)
+                case None => pivoted.na.fill(s, cells)
+              }
             case other => throw PipelineError(
               s"pivot_table: unsupported fill_value ${tn(other)}")
           }

@@ -423,6 +423,29 @@ class RegistrySpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .orderBy("g", "t").collect().map(_.getInt(3))
     assert(cc.toSeq == Seq(0, 1, 2, 0), "0-based like pandas cumcount")
+    // pandas cummax (skipna=True) keeps NaN AT the null position
+    val dn = Seq((1L, 1L, Option(1.0)), (1L, 2L, Option.empty[Double]),
+      (1L, 3L, Option(3.0))).toDF("g", "t", "x")
+    val cmn = m(dn, "cummax", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(cmn.toSeq == Seq(Some(1.0), None, Some(3.0)),
+      "null positions stay null, no fabricated running extreme")
+  }
+
+  test("corr diagonal is 1.0 only for columns with positive variance") {
+    val d = Seq(
+      (1.0, 5.0, Option.empty[Double]),
+      (2.0, 5.0, Option.empty[Double]),
+      (3.0, 5.0, Option.empty[Double])
+    ).toDF("a", "const", "allnull")
+    val out = m(d, "corr").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", "a")).contains(1.0))
+    assert(out(("const", "const")).isEmpty, "constant column: NaN diagonal like pandas")
+    assert(out(("allnull", "allnull")).isEmpty, "all-null column: NaN diagonal")
+    assert(out(("a", "const")).isEmpty && out(("a", "allnull")).isEmpty)
   }
 
   test("rank pct: min divides by non-null count, dense by distinct count, both strategies") {

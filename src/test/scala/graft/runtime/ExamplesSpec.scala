@@ -51,13 +51,15 @@ class ExamplesSpec extends AnyFunSuite {
     assert(corpus.count() > 0 && corpus.count() < nDocs)
     assert(corpus.filter(col("doc_id") < 20).count() == 0,
       "benchmark slice rows must never reach the training corpus")
-    val bands = corpus.groupBy("split").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bands.keySet == Set("train", "holdout"))
+    assert(corpus.select("split").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("train"), "corpus sink carries only the train band")
 
     val eval = spark.read.parquet(s"$out/eval_sample.parquet")
     val perLang = eval.groupBy("lang_guess").count().collect().map(_.getLong(1))
     assert(perLang.nonEmpty && perLang.forall(_ <= 5), "exact-k per language stratum")
+    // the leak check the pipeline exists to demonstrate: eval ∩ train = ∅
+    assert(eval.join(corpus, Seq("doc_id"), "left_semi").count() == 0,
+      "eval docs must come only from the holdout band")
   }
 
   test("examples/tpch_report.yaml runs green and writes the three reports") {
