@@ -876,6 +876,25 @@ final class Registry(spark: SparkSession) {
             .otherwise(sum(x * wgt).over(run) /
               sum(when(x.isNotNull, wgt)).over(run)))
       }.drop("__graft_rn")
+    case "mode" =>
+      // pandas df.mode() in tidy form (column, mode): per-column most
+      // frequent non-null values, ALL ties kept like pandas. One stack ->
+      // one count aggregation; the per-column max comes from a tiny
+      // grouped aggregate broadcast-joined back — never a window over a
+      // high-cardinality value partition. Values surface as strings (one
+      // tidy frame across mixed column types).
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(df.columns.toList)
+      val stacked = df.select(explode(array(cs.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("s"))
+        .select(col("s.column"), col("s.value"))
+        .filter(col("value").isNotNull)
+      val counts = stacked.groupBy(col("column"), col("value"))
+        .agg(count(lit(1)).as("__graft_cnt"))
+      val maxes = counts.groupBy(col("column"))
+        .agg(max(col("__graft_cnt")).as("__graft_max"))
+      counts.join(broadcast(maxes), Seq("column"))
+        .filter(col("__graft_cnt") === col("__graft_max"))
+        .select(col("column"), col("value").as("mode"))
     case "corr" =>
       // pandas df.corr(): the full pairwise correlation matrix, tidy form
       // (col_a, col_b, corr). PAIRWISE-complete like pandas: each pair uses
@@ -887,32 +906,52 @@ final class Registry(spark: SparkSession) {
         df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
       require(cs.size >= 2, "corr needs >= 2 numeric columns")
       // moment aliases key on column INDICES (names may contain '__')
-      def m(tag: String, i: Int, j: Int, e: Column): Column = e.as(s"__${tag}_${i}_$j")
+      def nm(tag: String, i: Int, j: Int): String = s"__${tag}_${i}_$j"
+      def m(tag: String, i: Int, j: Int, e: Column): Column = e.as(nm(tag, i, j))
       val pairIdx = for { i <- cs.indices; j <- i + 1 until cs.size } yield (i, j)
-      val pairAggs = pairIdx.flatMap { case (i, j) =>
+      // masked per-pair terms are PRE-PROJECTED once (plain column refs in
+      // the aggregate): repeating the both-non-null CASE inside 6 aggregates
+      // per pair bloats the generated update method past codegen limits and
+      // the whole stage falls back to the interpreted path (~5x slower)
+      val proj = pairIdx.flatMap { case (i, j) =>
         val bothOk = col(cs(i)).isNotNull && col(cs(j)).isNotNull
         val x = when(bothOk, col(cs(i)).cast(DoubleType))
         val y = when(bothOk, col(cs(j)).cast(DoubleType))
         Seq(
-          m("n", i, j, count(when(bothOk, 1)).cast(DoubleType)),
-          m("sx", i, j, sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
-          m("sy", i, j, sum(y.cast(DecimalType(30, 6))).cast(DoubleType)),
-          m("sxy", i, j, sum((x * y).cast(DecimalType(35, 6))).cast(DoubleType)),
-          m("sxx", i, j, sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)),
-          m("syy", i, j, sum((y * y).cast(DecimalType(35, 6))).cast(DoubleType)))
+          m("pn", i, j, when(bothOk, 1)),
+          m("px", i, j, x.cast(DecimalType(30, 6))),
+          m("py", i, j, y.cast(DecimalType(30, 6))),
+          m("pxy", i, j, (x * y).cast(DecimalType(35, 6))),
+          m("pxx", i, j, (x * x).cast(DecimalType(35, 6))),
+          m("pyy", i, j, (y * y).cast(DecimalType(35, 6))))
+      } ++ cs.indices.flatMap { i =>
+        val x = col(cs(i)).cast(DoubleType)
+        Seq(
+          m("pdn", i, i, col(cs(i))),
+          m("pds", i, i, x.cast(DecimalType(30, 6))),
+          m("pdss", i, i, (x * x).cast(DecimalType(35, 6))))
+      }
+      val projected = df.select(proj: _*)
+      val pairAggs = pairIdx.flatMap { case (i, j) =>
+        Seq(
+          m("n", i, j, count(col(nm("pn", i, j))).cast(DoubleType)),
+          m("sx", i, j, sum(col(nm("px", i, j))).cast(DoubleType)),
+          m("sy", i, j, sum(col(nm("py", i, j))).cast(DoubleType)),
+          m("sxy", i, j, sum(col(nm("pxy", i, j))).cast(DoubleType)),
+          m("sxx", i, j, sum(col(nm("pxx", i, j))).cast(DoubleType)),
+          m("syy", i, j, sum(col(nm("pyy", i, j))).cast(DoubleType)))
       }
       // per-column moments drive the diagonal: pandas gives corr(c,c)=1.0
       // only when the column's own variance is positive (NaN for all-null
       // or constant columns), computed over the column's non-null rows
       val diagAggs = cs.indices.flatMap { i =>
-        val x = col(cs(i)).cast(DoubleType)
         Seq(
-          m("dn", i, i, count(col(cs(i))).cast(DoubleType)),
-          m("ds", i, i, sum(x.cast(DecimalType(30, 6))).cast(DoubleType)),
-          m("dss", i, i, sum((x * x).cast(DecimalType(35, 6))).cast(DoubleType)))
+          m("dn", i, i, count(col(nm("pdn", i, i))).cast(DoubleType)),
+          m("ds", i, i, sum(col(nm("pds", i, i))).cast(DoubleType)),
+          m("dss", i, i, sum(col(nm("pdss", i, i))).cast(DoubleType)))
       }
       val aggs = pairAggs ++ diagAggs
-      val moments = df.agg(aggs.head, aggs.tail: _*)
+      val moments = projected.agg(aggs.head, aggs.tail: _*)
       def corrOf(i: Int, j: Int): Column = {
         def g(tag: String) = col(s"__${tag}_${i}_$j")
         val (n, sx, sy) = (g("n"), g("sx"), g("sy"))
@@ -1316,6 +1355,16 @@ final class Registry(spark: SparkSession) {
       }
     case fn if aggFns.contains(fn) => aggAll(g, fn)
     case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
+    case "head" =>
+      // pandas groupby().head(n) under the explicit-ordering contract
+      // (pandas uses row order; a distributed frame needs named keys)
+      val n = a.get("n", 0).map(asInt(_, "n")).getOrElse(5)
+      val orderBy = asStrList(a.require("order_by", -1))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(g.keyCols: _*)
+        .orderBy(orderBy.map(col(_).asc): _*)
+      g.df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= n).drop("__graft_rn")
     case "transform" =>
       // pandas groupby().transform(fn): group aggregate broadcast back to
       // every member row. A window aggregate over the group partition — one

@@ -246,6 +246,49 @@ object Prep {
           UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM c) t
         ORDER BY col_a, col_b""")),
 
+    // pandas groupby().head(3) per customer under the ordering contract.
+    Q("q81_group_head",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val g = reg.callMethod(
+          t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          "groupby", graft.expr.Args(kw = List("by" -> "o_custkey")))
+        reg.callMethod(g, "head", graft.expr.Args(kw = List(
+          "n" -> 3L, "order_by" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")),
+
+    // pandas df.mode() tidy: most frequent value per column, ties kept.
+    Q("q82_mode",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")),
+          "mode", graft.expr.Args())
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("column"), col("mode"))
+      },
+      Some("""
+        WITH stacked AS (
+          SELECT 'l_returnflag' AS "column", l_returnflag AS value FROM lineitem
+          UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+          UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem),
+        counts AS (
+          SELECT "column", value, count(*) AS cnt FROM stacked
+          WHERE value IS NOT NULL GROUP BY 1, 2),
+        maxes AS (SELECT "column", max(cnt) AS mx FROM counts GROUP BY 1)
+        SELECT c."column", c.value AS mode
+        FROM counts c JOIN maxes m ON c."column" = m."column" AND c.cnt = m.mx
+        ORDER BY c."column", mode""")),
+
     // pandas df.duplicated(subset=['l_partkey','l_suppkey'], keep='first')
     // under the explicit-ordering contract; the oracle replays row_number.
     Q("q76_duplicated",

@@ -434,6 +434,31 @@ class RegistrySpec extends AnyFunSuite {
       "null positions stay null, no fabricated running extreme")
   }
 
+  test("groupby head(n) keeps the first n per group by the order keys") {
+    val d = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (2L, 9L, "z"))
+      .toDF("g", "t", "v")
+    val g = m(d, "groupby", "by" -> "g")
+    val out = m(g, "head", "n" -> 2L, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getString(2))
+    assert(out.toSeq == Seq("a", "b", "z"))
+  }
+
+  test("mode keeps ALL tied modes, skips nulls, scopes to given columns") {
+    val d = Seq(
+      (Option("x"), Option(1L)), (Option("x"), Option(2L)),
+      (Option("y"), Option(2L)), (Option("y"), Option.empty[Long]),
+      (Option.empty[String], Option(1L))
+    ).toDF("a", "b")
+    val out = m(d, "mode").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    // a: x(2) ties y(2) -> both kept; b: 1(2) ties 2(2) -> both kept
+    assert(out == Set("a" -> "x", "a" -> "y", "b" -> "1", "b" -> "2"))
+    val scoped = m(d, "mode", "columns" -> List("a"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(scoped.forall(_.getString(0) == "a"))
+  }
+
   test("corr diagonal is 1.0 only for columns with positive variance") {
     val d = Seq(
       (1.0, 5.0, Option.empty[Double]),
