@@ -1262,9 +1262,22 @@ final class Registry(spark: SparkSession) {
           ") AS (column, n_unique)")
     case "describe" | "summary" => df.summary()
     case "value_counts" =>
+      // pandas value_counts: dropna=True by default; normalize=True yields
+      // a `proportion` column (share of the counted rows). The proportion
+      // divides on the tiny grouped output (distinct values), not the data.
       val c = asStr(a.require("column", 0), "column")
-      df.groupBy(col(c)).agg(count(lit(1)).as("count"))
-        .orderBy(col("count").desc, col(c))
+      val dropna = a.get("dropna", -1).forall(asBool(_, default = true))
+      val normalize = a.get("normalize", -1).exists(asBool(_, default = false))
+      val base = if (dropna) df.filter(col(c).isNotNull) else df
+      val counts = base.groupBy(col(c)).agg(count(lit(1)).as("count"))
+      if (normalize) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        counts
+          .withColumn("proportion",
+            col("count").cast(DoubleType) / sum(col("count")).over(w))
+          .drop("count")
+          .orderBy(col("proportion").desc, col(c))
+      } else counts.orderBy(col("count").desc, col(c))
     case "nlargest" =>
       val n = asInt(a.require("n", 0), "n")
       val by = asStrList(a.require("columns", 1))

@@ -434,6 +434,22 @@ class RegistrySpec extends AnyFunSuite {
       "null positions stay null, no fabricated running extreme")
   }
 
+  test("value_counts: dropna default, normalize yields proportions of counted rows") {
+    val d = Seq(Option("x"), Option("x"), Option("y"), Option.empty[String]).toDF("v")
+    val plain = m(d, "value_counts", "column" -> "v")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == Map("x" -> 2L, "y" -> 1L), "null dropped like pandas")
+    val withNull = m(d, "value_counts", "column" -> "v", "dropna" -> false)
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+    assert(withNull == 3)
+    val norm = m(d, "value_counts", "column" -> "v", "normalize" -> true)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(norm == Map("x" -> 2.0 / 3, "y" -> 1.0 / 3),
+      "proportions over counted (non-null) rows")
+  }
+
   test("groupby head(n) keeps the first n per group by the order keys") {
     val d = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (2L, 9L, "z"))
       .toDF("g", "t", "v")
