@@ -884,8 +884,14 @@ final class Registry(spark: SparkSession) {
       // high-cardinality value partition. Values surface as strings (one
       // tidy frame across mixed column types).
       val cs = a.get("columns", -1).map(asStrList).getOrElse(df.columns.toList)
+      // NaN masks to null BEFORE the string cast: pandas mode drops NaN,
+      // and a countable "NaN" string would otherwise win the frequency race
+      def cleaned(c: String): Column = df.schema(c).dataType match {
+        case DoubleType | FloatType => when(!isnan(col(c)), col(c)).cast("string")
+        case _ => col(c).cast("string")
+      }
       val stacked = df.select(explode(array(cs.map(c =>
-        struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("s"))
+        struct(lit(c).as("column"), cleaned(c).as("value"))): _*)).as("s"))
         .select(col("s.column"), col("s.value"))
         .filter(col("value").isNotNull)
       val counts = stacked.groupBy(col("column"), col("value"))
@@ -1268,14 +1274,22 @@ final class Registry(spark: SparkSession) {
       val c = asStr(a.require("column", 0), "column")
       val dropna = a.get("dropna", -1).forall(asBool(_, default = true))
       val normalize = a.get("normalize", -1).exists(asBool(_, default = false))
-      val base = if (dropna) df.filter(col(c).isNotNull) else df
+      // pandas dropna also drops floating-point NaN, not just SQL null
+      val missing = df.schema(c).dataType match {
+        case DoubleType | FloatType => col(c).isNull || isnan(col(c))
+        case _ => col(c).isNull
+      }
+      val base = if (dropna) df.filter(!missing) else df
       val counts = base.groupBy(col(c)).agg(count(lit(1)).as("count"))
       if (normalize) {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-        counts
+        // total via a broadcast cross join of the 1-row sum — NOT an
+        // empty-partitionBy window, which would serialize every distinct
+        // value into one task
+        val total = counts.agg(sum(col("count")).as("__graft_total"))
+        counts.crossJoin(broadcast(total))
           .withColumn("proportion",
-            col("count").cast(DoubleType) / sum(col("count")).over(w))
-          .drop("count")
+            col("count").cast(DoubleType) / col("__graft_total"))
+          .drop("count", "__graft_total")
           .orderBy(col("proportion").desc, col(c))
       } else counts.orderBy(col("count").desc, col(c))
     case "nlargest" =>
@@ -1370,14 +1384,20 @@ final class Registry(spark: SparkSession) {
     case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
     case "head" =>
       // pandas groupby().head(n) under the explicit-ordering contract
-      // (pandas uses row order; a distributed frame needs named keys)
+      // (pandas uses row order; a distributed frame needs named keys).
+      // Negative n is pandas' "all but the last |n| per group".
       val n = a.get("n", 0).map(asInt(_, "n")).getOrElse(5)
       val orderBy = asStrList(a.require("order_by", -1))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(g.keyCols: _*)
         .orderBy(orderBy.map(col(_).asc): _*)
-      g.df.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") <= n).drop("__graft_rn")
+      val withRn = g.df.withColumn("__graft_rn", row_number().over(w))
+      (if (n >= 0) withRn.filter(col("__graft_rn") <= n)
+      else withRn
+        .withColumn("__graft_cnt",
+          count(lit(1)).over(Window.partitionBy(g.keyCols: _*)))
+        .filter(col("__graft_rn") <= col("__graft_cnt") + n)
+        .drop("__graft_cnt")).drop("__graft_rn")
     case "transform" =>
       // pandas groupby().transform(fn): group aggregate broadcast back to
       // every member row. A window aggregate over the group partition — one

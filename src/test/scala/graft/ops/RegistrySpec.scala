@@ -458,6 +458,23 @@ class RegistrySpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .orderBy("g", "t").collect().map(_.getString(2))
     assert(out.toSeq == Seq("a", "b", "z"))
+    // pandas head(-1): all but the LAST row per group
+    val neg = m(g, "head", "n" -> -1L, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getString(2))
+    assert(neg.toSeq == Seq("a", "b"), "group 2's only row is its last -> dropped")
+  }
+
+  test("mode and value_counts drop floating-point NaN like pandas") {
+    val d = Seq(Double.NaN, Double.NaN, Double.NaN, 1.0, 1.0, 2.0).toDF("x")
+    val modes = m(d, "mode").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getString(1)).toSet
+    assert(modes == Set("1.0"), s"NaN (the most frequent raw value) must not win: $modes")
+    val vc = m(d, "value_counts", "column" -> "x", "normalize" -> true)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(vc == Map(1.0 -> 2.0 / 3, 2.0 -> 1.0 / 3),
+      "NaN rows excluded from counts AND the normalize denominator")
   }
 
   test("mode keeps ALL tied modes, skips nulls, scopes to given columns") {
