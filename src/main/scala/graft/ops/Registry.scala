@@ -353,9 +353,9 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("glob", -1).getOrElse("*"), "glob"))
     },
     "graft.read_stream_parquet" -> { a =>
-      val path = readPath(a)
-      val schema = spark.read.parquet(path).schema
-      spark.readStream.schema(schema).parquet(path)
+      // delegates to eventsStream: same schema-inference path plus the
+      // TIMESTAMP(NANOS) handling the fixture's events.parquet needs
+      graft.streaming.Streams.eventsStream(spark, readPath(a))
     },
     "graft.write_bucketed" -> { a =>
       graft.operators.Bucketing.writeBucketed(

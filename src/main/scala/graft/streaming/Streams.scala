@@ -39,7 +39,15 @@ object Streams {
             throw e2
         }
     }
-    val raw = spark.readStream.schema(schema).parquet(dir)
+    // FileStreamSource requires a DIRECTORY basePath; a concrete file path
+    // streams its parent with a glob filter pinned to that one file
+    val p = java.nio.file.Paths.get(dir)
+    val raw =
+      if (java.nio.file.Files.isRegularFile(p))
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", p.getFileName.toString)
+          .parquet(p.getParent.toString)
+      else spark.readStream.schema(schema).parquet(dir)
     if (schema.fieldNames.contains("ts") &&
         schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -62,6 +62,20 @@ class ExamplesSpec extends AnyFunSuite {
       "eval docs must come only from the holdout band")
   }
 
+  test("examples/stream_metrics.yaml drains the event stream and matches batch totals") {
+    val out = freshDir("ex_stream")
+    new Pipeline(spark, "examples/stream_metrics.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val totals = spark.read.option("header", "true").csv(s"$out/event_totals.csv")
+    assert(totals.columns.toSeq == Seq("event_type", "n", "sum_value"))
+    // the streamed windowed counts must reconcile with a plain batch count
+    val streamedN = totals.agg(org.apache.spark.sql.functions.sum(col("n").cast("long")))
+      .collect().head.getLong(0)
+    val batchN = graft.queries.Q.t(spark, sfDir, "events").count()
+    assert(streamedN == batchN, s"stream drained $streamedN of $batchN events")
+  }
+
   test("examples/tpch_report.yaml runs green and writes the three reports") {
     val out = freshDir("ex_tpch")
     new Pipeline(spark, "examples/tpch_report.yaml",
