@@ -65,6 +65,18 @@ object Sampling {
     else if (fraction <= 0.0) df.filter(lit(false))
     else df.filter(substring(hashKey(col(idCol), seed), 1, 8) < lit(thresholdHex(fraction)))
 
+  /** Exactly n rows from the whole frame, chosen as the n smallest hash
+    * keys — deterministic and layout-stable like [[hashSample]], with an
+    * exact size like pandas `df.sample(n=...)`. Same two-phase TopKAgg
+    * shape as the stratified form (one global group): the shuffle carries
+    * one n-length buffer per partition, never the data.
+    */
+  def sampleN(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame = {
+    val ids = stratifiedSample(df.withColumn("__graft_one", lit(1)),
+      Seq("__graft_one"), idCol, n, seed).select(idCol)
+    df.join(ids, Seq(idCol), "left_semi")
+  }
+
   /** Exactly k rows per stratum, chosen as the k smallest hash keys —
     * a deterministic "random" sample with exact group sizes.
     *

@@ -876,6 +876,20 @@ final class Registry(spark: SparkSession) {
             .otherwise(sum(x * wgt).over(run) /
               sum(when(x.isNotNull, wgt)).over(run)))
       }.drop("__graft_rn")
+    case "where" | "mask" =>
+      // pandas df.where(cond, other) / df.mask(cond, other) scoped to the
+      // given columns: `where` keeps values where cond holds (else other,
+      // default null); `mask` is the complement. cond is a SQL expression.
+      val cond = expr(asStr(a.require("cond", 0), "cond"))
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(df.columns.toList)
+      val keep = if (name == "where") cond else !cond
+      cs.foldLeft(df) { (d, c) =>
+        val other = a.get("other", -1) match {
+          case Some(v) => lit(v).cast(d.schema(c).dataType)
+          case None => lit(null).cast(d.schema(c).dataType)
+        }
+        d.withColumn(c, when(keep, col(c)).otherwise(other))
+      }
     case "mode" =>
       // pandas df.mode() in tidy form (column, mode): per-column most
       // frequent non-null values, ALL ties kept like pandas. One stack ->
@@ -1141,11 +1155,16 @@ final class Registry(spark: SparkSession) {
         .drop(c)
     case "sample" =>
       // Deterministic hash sample (NOT rand(): see operators.Sampling —
-      // rerun/repartition-stable assignment is the training-data contract)
-      val fraction = a.require("frac", -1).toString.toDouble
+      // rerun/repartition-stable assignment is the training-data contract).
+      // frac -> Bernoulli-style by threshold; n -> exactly n rows (pandas
+      // df.sample(n=...)) via the two-phase smallest-hash heap.
       val idCol = asStr(a.require("id", -1), "id")
       val seed = a.get("seed", -1).map(_.toString).getOrElse("graft")
-      Sampling.hashSample(df, idCol, fraction, seed)
+      (a.get("frac", -1), a.get("n", -1)) match {
+        case (Some(f), None) => Sampling.hashSample(df, idCol, f.toString.toDouble, seed)
+        case (None, Some(n)) => Sampling.sampleN(df, idCol, asInt(n, "n"), seed)
+        case _ => throw PipelineError("sample: pass exactly one of frac | n")
+      }
     case "split" =>
       // Deterministic train/val/test split: adds a `split` label column
       val idCol = asStr(a.require("id", -1), "id")

@@ -434,6 +434,35 @@ class RegistrySpec extends AnyFunSuite {
       "null positions stay null, no fabricated running extreme")
   }
 
+  test("where/mask keep or null values by a SQL condition, scoped to columns") {
+    val d = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "s")
+    val w = m(d, "where", "cond" -> "x > 15", "columns" -> List("x"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(w == Map(1L -> None, 2L -> Some(20.0)), "where keeps rows meeting cond")
+    val mk = m(d, "mask", "cond" -> "x > 15", "columns" -> List("x"), "other" -> 0.0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mk == Map(1L -> 10.0, 2L -> 0.0), "mask replaces rows meeting cond")
+    // untouched column survives either way
+    assert(m(d, "where", "cond" -> "x > 15", "columns" -> List("x"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("s").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("sample(n=) returns exactly n rows, deterministic across layouts") {
+    val d = (1L to 500L).toDF("id")
+    val s1 = m(d, "sample", "id" -> "id", "n" -> 50L, "seed" -> "z")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 50)
+    val s2 = m(d.repartition(7), "sample", "id" -> "id", "n" -> 50L, "seed" -> "z")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same rows under any physical layout")
+    assertThrows[Exception] { m(d, "sample", "id" -> "id") }
+  }
+
   test("value_counts: dropna default, normalize yields proportions of counted rows") {
     val d = Seq(Option("x"), Option("x"), Option("y"), Option.empty[String]).toDF("v")
     val plain = m(d, "value_counts", "column" -> "v")
