@@ -319,6 +319,28 @@ final class Registry(spark: SparkSession) {
         a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong),
         a.get("allow_exact_matches", -1).forall(asBool(_, default = true)))
     },
+    "graft.json_normalize" -> { a =>
+      // pandas pd.json_normalize: flatten a JSON-string column into dotted
+      // (sep-joined) scalar columns. Schema inference is ONE eager pass
+      // over the strings (spark.read.json — pandas is eager here too);
+      // the flattening itself is pure nested-field projection, codegen'd.
+      // Arrays stay as array columns (pandas keeps them as objects unless
+      // record_path is given).
+      val df = asDf(a.require("df", 0), "df")
+      val c = asStr(a.require("column", -1), "column")
+      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse(".")
+      import spark.implicits.newStringEncoder
+      val schema = spark.read.json(df.select(col(c)).na.drop().as[String]).schema
+      val parsed = df.withColumn("__graft_json", from_json(col(c), schema))
+      def flatten(prefix: String, path: Column, t: DataType): Seq[Column] = t match {
+        case st: StructType => st.fields.toSeq.flatMap(f =>
+          flatten(if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}",
+            path.getField(f.name), f.dataType))
+        case _ => Seq(path.as(prefix))
+      }
+      val flat = flatten("", col("__graft_json"), schema)
+      parsed.select((df.columns.filter(_ != c).map(col).toSeq ++ flat): _*)
+    },
     "graft.salted_join" -> { a =>
       graft.operators.Skew.saltedJoin(
         left = asDf(a.require("left", 0), "left"),

@@ -179,6 +179,32 @@ object Prep {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         FROM j ORDER BY user_id, day""")),
 
+    // pandas pd.json_normalize over a SPIKED nested JSON column (the
+    // fixture's props is flat {"k": int} — too shallow to exercise
+    // flattening), built deterministically from order fields. The oracle
+    // recomputes the flattened values straight from the source columns.
+    Q("q83_json_normalize",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val spiked = t(s, d, "orders")
+          .select(col("o_orderkey"), to_json(struct(
+            struct(col("o_custkey").as("id"),
+              col("o_orderpriority").as("priority")).as("customer"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_totalprice").as("total")).as("order"))).as("payload"))
+        reg.callFunction("graft.json_normalize", graft.expr.Args(
+          pos = List(spiked), kw = List("column" -> "payload", "sep" -> "_")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          o_custkey AS customer_id,
+          o_orderpriority AS customer_priority,
+          o_orderstatus AS order_status,
+          CAST(o_totalprice AS DOUBLE) AS order_total
+        FROM orders ORDER BY o_orderkey""")),
+
     // pandas df.rolling(3).mean() through the registry method, including
     // the min_periods=window default (short head frames yield null).
     Q("q79_rolling_method",

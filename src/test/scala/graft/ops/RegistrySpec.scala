@@ -434,6 +434,23 @@ class RegistrySpec extends AnyFunSuite {
       "null positions stay null, no fabricated running extreme")
   }
 
+  test("json_normalize flattens nested objects with sep, nulls absent fields") {
+    val d = Seq(
+      (1L, """{"a": {"b": {"c": 7}, "d": "x"}, "e": 1.5}"""),
+      (2L, """{"a": {"d": "y"}}"""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "js")
+    val out = reg.callFunction("graft.json_normalize", Args(
+      pos = List(d), kw = List("column" -> "js")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.columns.toSeq == Seq("id", "a.b.c", "a.d", "e"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L) == ((Some(7L), Some("x"), Some(1.5))))
+    assert(rows(2L) == ((None, Some("y"), None)), "absent nested fields null out")
+    assert(rows(3L) == ((None, None, None)), "null JSON rows survive as all-null")
+  }
+
   test("where/mask keep or null values by a SQL condition, scoped to columns") {
     val d = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "s")
     val w = m(d, "where", "cond" -> "x > 15", "columns" -> List("x"))

@@ -265,21 +265,17 @@ class PipelineSpec extends AnyFunSuite {
     Files.delete(dir.resolve("part-0.parquet"))
     Files.copy(java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
       dir.resolve("part-0.parquet"))
-    // events.ts is TIMESTAMP(NANOS): the generic parquet stream reads it as
-    // long under nanosAsLong; rebuild the timestamp in a YAML assign step
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is TIMESTAMP(NANOS): read_stream_parquet (via eventsStream)
+    // handles the nanos conf + timestamp rebuild itself — no assign step
     val p = new Pipeline(spark,
       s"""steps:
          |  - name: stream
          |    function: graft.read_stream_parquet
          |    args: { path: $dir }
-         |  - name: with_ts
-         |    function: $${steps['stream'].output.assign}
-         |    args: { ts: "timestamp_micros(ts div 1000)" }
          |  - name: agg
          |    function: graft.stream_window_agg
          |    args:
-         |      df: $${steps['with_ts'].output}
+         |      df: $${steps['stream'].output}
          |      window: 1 hour
          |  - name: sink
          |    function: graft.stream_to_memory
