@@ -70,6 +70,11 @@ object Sampling {
     * exact size like pandas `df.sample(n=...)`. Same two-phase TopKAgg
     * shape as the stratified form (one global group): the shuffle carries
     * one n-length buffer per partition, never the data.
+    *
+    * Contract: `idCol` must be an integral UNIQUE row id (same contract as
+    * [[stratifiedSample]]) — duplicate ids would both waste heap slots and
+    * multiply through the semi join, so "exactly n" holds only for unique
+    * ids. The fraction-based [[hashSample]] has no such restriction.
     */
   def sampleN(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame = {
     val ids = stratifiedSample(df.withColumn("__graft_one", lit(1)),

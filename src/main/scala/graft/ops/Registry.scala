@@ -331,15 +331,28 @@ final class Registry(spark: SparkSession) {
       val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse(".")
       import spark.implicits.newStringEncoder
       val schema = spark.read.json(df.select(col(c)).na.drop().as[String]).schema
+      // PERMISSIVE inference smuggles malformed rows into a corrupt-record
+      // field; surface them as an error like pandas would, not a column
+      val corrupt = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+      if (schema.fieldNames.contains(corrupt)) throw PipelineError(
+        s"json_normalize: column '$c' contains malformed JSON rows")
       val parsed = df.withColumn("__graft_json", from_json(col(c), schema))
-      def flatten(prefix: String, path: Column, t: DataType): Seq[Column] = t match {
-        case st: StructType => st.fields.toSeq.flatMap(f =>
-          flatten(if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}",
-            path.getField(f.name), f.dataType))
-        case _ => Seq(path.as(prefix))
-      }
+      def flatten(prefix: String, path: Column, t: DataType): Seq[(String, Column)] =
+        t match {
+          case st: StructType => st.fields.toSeq.flatMap(f =>
+            flatten(if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}",
+              path.getField(f.name), f.dataType))
+          case _ => Seq(prefix -> path)
+        }
       val flat = flatten("", col("__graft_json"), schema)
-      parsed.select((df.columns.filter(_ != c).map(col).toSeq ++ flat): _*)
+      val kept = df.columns.filter(_ != c)
+      // merging back into the source frame (pandas returns a separate one)
+      // must not produce ambiguous duplicate names
+      val clash = kept.toSet.intersect(flat.map(_._1).toSet)
+      if (clash.nonEmpty) throw PipelineError(
+        s"json_normalize: flattened fields collide with existing columns: ${clash.mkString(", ")}")
+      parsed.select((kept.map(col).toSeq ++ flat.map { case (n, e) => e.as(n) }): _*)
     },
     "graft.salted_join" -> { a =>
       graft.operators.Skew.saltedJoin(
@@ -904,14 +917,18 @@ final class Registry(spark: SparkSession) {
       // default null); `mask` is the complement. cond is a SQL expression.
       val cond = expr(asStr(a.require("cond", 0), "cond"))
       val cs = a.get("columns", -1).map(asStrList).getOrElse(df.columns.toList)
-      val keep = if (name == "where") cond else !cond
-      cs.foldLeft(df) { (d, c) =>
+      // materialize the condition ONCE against the ORIGINAL values: folding
+      // withColumn-per-column would re-resolve cond against already-replaced
+      // columns, so later columns would be judged by the replacement value
+      val keepCol = if (name == "where") cond else !cond
+      val withKeep = df.withColumn("__graft_keep", keepCol)
+      cs.foldLeft(withKeep) { (d, c) =>
         val other = a.get("other", -1) match {
-          case Some(v) => lit(v).cast(d.schema(c).dataType)
-          case None => lit(null).cast(d.schema(c).dataType)
+          case Some(v) => lit(v).cast(df.schema(c).dataType)
+          case None => lit(null).cast(df.schema(c).dataType)
         }
-        d.withColumn(c, when(keep, col(c)).otherwise(other))
-      }
+        d.withColumn(c, when(col("__graft_keep"), col(c)).otherwise(other))
+      }.drop("__graft_keep")
     case "mode" =>
       // pandas df.mode() in tidy form (column, mode): per-column most
       // frequent non-null values, ALL ties kept like pandas. One stack ->

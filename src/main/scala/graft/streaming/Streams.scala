@@ -16,6 +16,36 @@ object Streams {
     * Handles the TIMESTAMP(NANOS) ts column the same way the batch reader
     * does: nanos long -> us timestamp.
     */
+  /** Does the parquet source's `field` carry a TIMESTAMP(NANOS) logical
+    * type? Read straight from a file footer — the one unambiguous signal
+    * (schema inference can't tell: under nanosAsLong a nanos column reads
+    * as a plain long, indistinguishable from genuine epoch-millis data).
+    */
+  private[graft] def isNanosTimestamp(spark: SparkSession, path: String,
+                                      field: String): Boolean =
+    scala.util.Try {
+      import org.apache.hadoop.fs.{FileSystem, Path}
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .getOrElse(p)
+        else p
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val schema = footer.getFileMetaData.getSchema
+      schema.containsField(field) && {
+        schema.getType(Seq(field): _*).getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      }
+    }.getOrElse(false)
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // Only reach for the nanosAsLong escape hatch when a plain read fails
     // (TIMESTAMP(NANOS) columns throw at schema inference — possibly wrapped,
@@ -48,8 +78,12 @@ object Streams {
           .option("pathGlobFilter", p.getFileName.toString)
           .parquet(p.getParent.toString)
       else spark.readStream.schema(schema).parquet(dir)
+    // rebuild ts ONLY when the parquet footer says it really is
+    // TIMESTAMP(NANOS) — a user's genuine epoch-millis/micros long column
+    // named ts must stream through untouched
     if (schema.fieldNames.contains("ts") &&
-        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        schema("ts").dataType == org.apache.spark.sql.types.LongType &&
+        isNanosTimestamp(spark, dir, "ts"))
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }

@@ -465,6 +465,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(m(d, "where", "cond" -> "x > 15", "columns" -> List("x"))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .select("s").collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // cond must be judged against the ORIGINAL values: masking x to 0 first
+    // must not let y escape (pandas masks the whole row set consistently)
+    val multi = Seq((20.0, 5.0), (10.0, 7.0)).toDF("x", "y")
+    val both = m(multi, "mask", "cond" -> "x > 15", "other" -> 0.0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(both == Set((0.0, 0.0), (10.0, 7.0)),
+      "y must be masked by the original x, not the already-masked one")
+  }
+
+  test("json_normalize rejects malformed JSON and column collisions loudly") {
+    val bad = Seq((1L, """{"a": 1}"""), (2L, """{"a": """)).toDF("id", "js")
+    val e1 = intercept[Exception] {
+      reg.callFunction("graft.json_normalize", Args(pos = List(bad), kw = List("column" -> "js")))
+    }
+    assert(e1.getMessage.contains("malformed"))
+    val clash = Seq((1L, """{"id": 9}""")).toDF("id", "js")
+    val e2 = intercept[Exception] {
+      reg.callFunction("graft.json_normalize", Args(pos = List(clash), kw = List("column" -> "js")))
+    }
+    assert(e2.getMessage.contains("collide"))
   }
 
   test("sample(n=) returns exactly n rows, deterministic across layouts") {

@@ -17,6 +17,20 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("a genuine epoch-long ts column streams through UNTOUCHED (footer check)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plain_ts")
+    // a user's legitimate epoch-millis long named 'ts' — NOT nanos
+    Seq((1L, 1700000000000L), (2L, 1700000060000L)).toDF("id", "ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = Streams.eventsStream(spark, dir.toString)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      "only footer-confirmed TIMESTAMP(NANOS) columns get rebuilt")
+    // and the fixture's events.parquet IS footer-confirmed nanos
+    assert(Streams.isNanosTimestamp(spark, s"${graft.TestSpark.sfDir}/events.parquet", "ts"))
+    assert(!Streams.isNanosTimestamp(spark, dir.toString, "ts"))
+  }
+
   test("eventsStream failure unrelated to nanos leaves the session conf untouched") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
