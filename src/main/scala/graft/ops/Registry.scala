@@ -527,17 +527,42 @@ final class Registry(spark: SparkSession) {
         case "m:m" => ()
         case other => throw PipelineError(s"merge: unknown validate '$other'")
       }
+    // pandas suffixes ('_x', '_y' by default): overlapping NON-KEY column
+    // names are disambiguated before the join — Spark would otherwise emit
+    // duplicate names that fail on the next column reference. semi/anti
+    // keep only left columns, so no suffixing there.
+    val (sx, sy) = a.get("suffixes", -1).map(asStrList) match {
+      case Some(List(l, r)) => (l, r)
+      case None => ("_x", "_y")
+      case Some(other) => throw PipelineError(s"merge: suffixes must be a 2-list, got $other")
+    }
+    val suffixing = !Set("left_semi", "left_anti").contains(how)
+    def suffixed(joinKeys: Set[String]): (DataFrame, DataFrame, Map[String, String], Map[String, String]) = {
+      val overlap = left.columns.toSet.intersect(right.columns.toSet) -- joinKeys
+      if (overlap.isEmpty || !suffixing) (left, right, Map.empty, Map.empty)
+      else {
+        val lm = overlap.map(c => c -> s"$c$sx").toMap
+        val rm = overlap.map(c => c -> s"$c$sy").toMap
+        (lm.foldLeft(left) { case (d, (o, n)) => d.withColumnRenamed(o, n) },
+          rm.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }, lm, rm)
+      }
+    }
     (a.get("on", -1), a.get("left_on", -1), a.get("right_on", -1)) match {
       case (Some(on), _, _) =>
         val keys = asStrList(on)
         validate(keys, keys)
-        left.join(right, keys, how)
+        val (l2, r2, _, _) = suffixed(keys.toSet)
+        l2.join(r2, keys, how)
       case (None, Some(lo), Some(ro)) =>
         val loCols = asStrList(lo); val roCols = asStrList(ro)
         validate(loCols, roCols)
-        val cond = loCols.zip(roCols).map { case (l, r) => left(l) === right(r) }
-          .reduce(_ && _)
-        left.join(right, cond, how)
+        // key names are not merged in this form, so same-named keys
+        // overlap too (pandas suffixes them as well)
+        val (l2, r2, lm, rm) = suffixed(Set.empty)
+        val cond = loCols.zip(roCols).map { case (l, r) =>
+          l2(lm.getOrElse(l, l)) === r2(rm.getOrElse(r, r))
+        }.reduce(_ && _)
+        l2.join(r2, cond, how)
       case _ =>
         val common = left.columns.toSet.intersect(right.columns.toSet).toSeq.sorted
         if (common.isEmpty) throw PipelineError("merge: no common columns and no 'on' given")

@@ -389,6 +389,31 @@ class RegistrySpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("merge suffixes overlapping non-key columns like pandas (_x/_y)") {
+    val l = Seq((1L, "L1", 10.0)).toDF("k", "name", "v")
+    val r = Seq((1L, "R1", 20.0)).toDF("k", "name", "w")
+    val out = m(l, "merge", "right" -> r, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.columns.toSeq == Seq("k", "name_x", "v", "name_y", "w"))
+    val row = out.collect().head
+    assert(row.getString(1) == "L1" && row.getString(3) == "R1")
+    // custom suffixes; key column never suffixed
+    val cust = m(l, "merge", "right" -> r, "on" -> List("k"),
+      "suffixes" -> List("_left", "_right"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(cust.columns.contains("name_left") && cust.columns.contains("name_right"))
+    // left_on/right_on with the SAME key name: keys are not merged, so
+    // they overlap and get suffixed too (pandas behavior)
+    val lr = m(l, "merge", "right" -> r, "left_on" -> List("k"), "right_on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(lr.columns.count(_.startsWith("k")) == 2, s"got ${lr.columns.toSeq}")
+    assert(lr.count() == 1)
+    // semi join output has only left columns: no suffixing surprise
+    val semi = m(l, "merge", "right" -> r, "on" -> List("k"), "how" -> "semi")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(semi.columns.toSeq == Seq("k", "name", "v"))
+  }
+
   test("merge validate= raises on duplicate keys on the constrained side only") {
     val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
     val rDup = Seq((1L, "x"), (1L, "y")).toDF("k", "rv")
