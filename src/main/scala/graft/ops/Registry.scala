@@ -646,10 +646,27 @@ final class Registry(spark: SparkSession) {
       df.orderBy(by.zip(asc).map { case (c, up) => if (up) col(c).asc else col(c).desc }: _*)
     case "head" => df.limit(a.get("n", 0).map(asInt(_, "n")).getOrElse(5))
     case "limit" => df.limit(asInt(a.require("n", 0), "n"))
-    case "drop_duplicates" => a.get("subset", 0) match {
-      case Some(s) => df.dropDuplicates(asStrList(s))
-      case None => df.dropDuplicates()
-    }
+    case "drop_duplicates" =>
+      // pandas keep='first'/'last' is row-order-dependent: with order_by
+      // keys the kept row is well-defined (row_number window); without
+      // them Spark's dropDuplicates keeps an ARBITRARY row per key —
+      // fine when duplicates are exact copies, nondeterministic otherwise.
+      val subset = a.get("subset", 0).map(asStrList)
+      a.get("order_by", -1).map(asStrList) match {
+        case Some(ob) =>
+          val keys = subset.getOrElse(df.columns.toList)
+          val keep = a.get("keep", -1).map(asStr(_, "keep")).getOrElse("first")
+          val ord = keep match {
+            case "first" => ob.map(col(_).asc)
+            case "last" => ob.map(col(_).desc)
+            case other => throw PipelineError(s"drop_duplicates: unsupported keep '$other'")
+          }
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+          df.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        case None => subset.fold(df.dropDuplicates())(df.dropDuplicates(_))
+      }
     case "dropna" => a.get("subset", -1) match {
       case Some(s) => df.na.drop(asStrList(s))
       case None => df.na.drop()

@@ -389,6 +389,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("drop_duplicates keep first/last is deterministic under order_by") {
+    val d = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).toDF("k", "t", "v")
+    def kept(keep: String) =
+      m(d, "drop_duplicates", "subset" -> List("k"),
+        "order_by" -> List("t"), "keep" -> keep)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept("first") == Map(1L -> "a", 2L -> "c"))
+    assert(kept("last") == Map(1L -> "b", 2L -> "c"))
+  }
+
   test("merge suffixes overlapping non-key columns like pandas (_x/_y)") {
     val l = Seq((1L, "L1", 10.0)).toDF("k", "name", "v")
     val r = Seq((1L, "R1", 20.0)).toDF("k", "name", "w")
