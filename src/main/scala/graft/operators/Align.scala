@@ -27,18 +27,36 @@ object Align {
     * (documented): pandas permits duplicate output column names; Spark
     * cannot, so later duplicates get a `_i` suffix.
     */
-  def concatColumns(dfs: Seq[DataFrame]): DataFrame = {
+  def concatColumns(dfs: Seq[DataFrame]): DataFrame =
+    concatColumns(dfs, orderBy = Nil)
+
+  /** As [[concatColumns]], but when `orderBy` names columns present in every
+    * frame, positions come from `row_number()` over that explicit order —
+    * staying entirely inside Catalyst (codegen, column pruning, AQE), where
+    * the RDD zipWithIndex path exits it. Both forms globally order each
+    * frame once; the window form is the one the optimizer can see through.
+    * Use the no-key form only for frames whose order is genuinely
+    * positional (no expressible key).
+    */
+  def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String]): DataFrame = {
     require(dfs.nonEmpty, "concatColumns needs at least one frame")
+    orderBy.foreach(c => require(dfs.forall(_.columns.contains(c)),
+      s"concat axis=1: order key '$c' must exist in every frame"))
+    // positions attach FIRST (the order key must still resolve under its
+    // original name); the dedup rename then runs over positioned frames and
+    // never touches the shared POS join key
+    val positioned = dfs.map(withPosition(_, POS, orderBy))
     val deduped = {
       val seen = scala.collection.mutable.Set[String]()
-      dfs.zipWithIndex.map { case (df, i) =>
+      positioned.zipWithIndex.map { case (df, i) =>
         // compute the full rename vector first, then rename POSITIONALLY via
         // toDF: a generated suffix must be fresh against both previously
         // seen names AND this frame's own columns (frames [a] + [a, a_1]
         // would otherwise collide), and withColumnRenamed would rename every
         // same-named column at once
         val newNames = df.columns.map { c =>
-          if (seen.add(c)) c
+          if (c == POS) c
+          else if (seen.add(c)) c
           else Iterator.from(i)
             .map(j => s"${c}_$j")
             .find(n => !df.columns.contains(n) && seen.add(n)).get
@@ -46,22 +64,29 @@ object Align {
         df.toDF(newNames.toIndexedSeq: _*)
       }
     }
-    val joined = deduped.map(withPosition(_)).reduce(
-      (l, r) => l.join(r, Seq(POS), "full_outer"))
+    val joined = deduped.reduce((l, r) => l.join(r, Seq(POS), "full_outer"))
     joined.drop(POS)
   }
 
-  /** Attach a 0-based global position column reflecting the frame's current
-    * row order (RDD zipWithIndex: partition-local numbering + a partition
-    * offset scan — order within and across partitions is preserved).
+  /** Attach a 0-based global position column. With `orderBy` keys:
+    * `row_number()` over the explicit order — pure Catalyst, pruning and
+    * codegen preserved. Without: RDD zipWithIndex reflecting the frame's
+    * current row order (partition-local numbering + a partition offset
+    * scan), the honest fallback when no key expresses the order.
     */
-  def withPosition(df: DataFrame, posCol: String = POS): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(i +: row.toSeq)
+  def withPosition(df: DataFrame, posCol: String = POS,
+                   orderBy: Seq[String] = Nil): DataFrame =
+    if (orderBy.nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(posCol,
+        row_number().over(Window.orderBy(orderBy.map(col(_).asc): _*)).cast(LongType) - 1L)
+    } else {
+      val spark = df.sparkSession
+      val schema = df.schema
+      val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq(i +: row.toSeq)
+      }
+      spark.createDataFrame(rdd,
+        StructType(StructField(posCol, LongType, nullable = false) +: schema.fields))
     }
-    spark.createDataFrame(rdd,
-      StructType(StructField(posCol, LongType, nullable = false) +: schema.fields))
-  }
 }

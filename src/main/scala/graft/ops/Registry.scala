@@ -221,8 +221,11 @@ final class Registry(spark: SparkSession) {
       a.get("axis", -1).map(_.toString).getOrElse("0") match {
         case "1" | "columns" =>
           // positional column concat (pandas default-RangeIndex semantics);
-          // inputs must carry a deterministic row order — see Align scaladoc
-          graft.operators.Align.concatColumns(objs)
+          // with order_by keys the positions stay inside Catalyst (window
+          // row_number); without, inputs must carry a deterministic row
+          // order — see Align scaladoc
+          graft.operators.Align.concatColumns(objs,
+            a.get("order_by", -1).map(asStrList).getOrElse(Nil))
         case _ =>
           objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
       }

@@ -276,6 +276,24 @@ class AlignSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("concatColumns with an order key equals the positional form, inside Catalyst") {
+    val a = Seq((2L, "b"), (1L, "a"), (3L, "c")).toDF("t", "u").orderBy("t")
+    val b = Seq((1L, 10.0), (3L, 30.0), (2L, 20.0)).toDF("t", "w").orderBy("t")
+    val keyed = Align.concatColumns(Seq(a.select("u", "t"), b.select("w", "t")),
+      orderBy = Seq("t"))
+    // both frames sorted by t -> keyed positions equal positional alignment
+    val rows = keyed.orderBy("t").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+    // the window path must not exit Catalyst: no RDD scan nodes in the plan
+    assert(!keyed.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "order-keyed positions must stay in Catalyst (no zipWithIndex round trip)")
+    val e = intercept[IllegalArgumentException] {
+      Align.concatColumns(Seq(a, b.drop("t")), orderBy = Seq("t"))
+    }
+    assert(e.getMessage.contains("order key"))
+  }
+
   test("concatColumns aligns by position; shorter frames pad with nulls") {
     val a = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("name", "v")
     val b = Seq(10.5, 20.5).toDF("w")
