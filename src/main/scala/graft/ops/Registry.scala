@@ -185,10 +185,37 @@ final class Registry(spark: SparkSession) {
 
   private val functions: Map[String, Args => Any] = Map(
     "pd.read_csv" -> { a =>
+      // pandas flags ETL configs actually use: usecols (column pruning —
+      // reaches the scan), dtype (per-column casts over inference), nrows,
+      // header=false + names (headerless files)
       val sep = a.get("sep", -1).orElse(a.get("delimiter", -1)).map(asStr(_, "sep")).getOrElse(",")
-      applyParseDates(
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .option("sep", sep).csv(readPath(a)), a)
+      val hasHeader = a.get("header", -1).forall(asBool(_, default = true))
+      val raw = spark.read.option("header", hasHeader.toString)
+        .option("inferSchema", "true").option("sep", sep).csv(readPath(a))
+      val named = a.get("names", -1).map(asStrList) match {
+        case Some(names) =>
+          require(names.size == raw.columns.length,
+            s"read_csv: ${names.size} names for ${raw.columns.length} columns")
+          raw.toDF(names: _*)
+        case None => raw
+      }
+      val pruned = a.get("usecols", -1).map(asStrList) match {
+        case Some(cols) => named.select(cols.map(col): _*)
+        case None => named
+      }
+      val typed = a.get("dtype", -1) match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].foldLeft(pruned) { case (d, (c, t)) =>
+            d.withColumn(c, col(c).cast(sparkType(t.toString)))
+          }
+        case Some(other) => throw PipelineError(s"read_csv: dtype must be a map, got ${tn(other)}")
+        case None => pruned
+      }
+      val limited = a.get("nrows", -1).map(asInt(_, "nrows")) match {
+        case Some(n) => typed.limit(n)
+        case None => typed
+      }
+      applyParseDates(limited, a)
     },
     "pd.read_table" -> { a =>
       val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse("\t")

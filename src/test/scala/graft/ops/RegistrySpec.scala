@@ -840,6 +840,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(ts(1).startsWith("2024-03-15"))
   }
 
+  test("read_csv usecols/dtype/nrows/header=false+names") {
+    val dir = java.nio.file.Files.createTempDirectory("csvx")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(f, "a,b,c\n1,x,9.5\n2,y,8.5\n3,z,7.5\n")
+    val out = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("usecols" -> List("a", "c"), "dtype" -> Map("a" -> "str"),
+        "nrows" -> 2L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.columns.toSeq == Seq("a", "c"))
+    assert(out.schema("a").dataType.typeName == "string", "dtype overrides inference")
+    assert(out.count() == 2, "nrows caps the frame")
+
+    val g = dir.resolve("noheader.csv")
+    java.nio.file.Files.writeString(g, "1,x\n2,y\n")
+    val named = reg.callFunction("pd.read_csv", Args(
+      pos = List(g.toString),
+      kw = List("header" -> false, "names" -> List("id", "tag"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(named.columns.toSeq == Seq("id", "tag") && named.count() == 2)
+  }
+
   test("crosstab shape") {
     val ct = mp(df, "crosstab", "k", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(ct.count() == 2) // one row per k value
