@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
 object Align {
 
   private val POS = "__align_pos"
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(Align.getClass)
 
   /** pandas `pd.concat(objs, axis=1)` for default-RangeIndex frames:
     * column-wise concat aligning rows by position. Like pandas, the join is
@@ -33,10 +34,15 @@ object Align {
   /** As [[concatColumns]], but when `orderBy` names columns present in every
     * frame, positions come from `row_number()` over that explicit order —
     * staying entirely inside Catalyst (codegen, column pruning, AQE), where
-    * the RDD zipWithIndex path exits it. Both forms globally order each
-    * frame once; the window form is the one the optimizer can see through.
-    * Use the no-key form only for frames whose order is genuinely
-    * positional (no expressible key).
+    * the RDD zipWithIndex path exits it.
+    *
+    * Contract: the `orderBy` keys must be UNIQUE within every frame — with
+    * duplicate keys each frame breaks ties independently, silently pairing
+    * tied rows differently run-to-run. Trade-off: the global window sorts
+    * each frame in ONE task (fine for the small/medium frames positional
+    * concat is for), where zipWithIndex numbers partitions locally; prefer
+    * the keyless form for cluster-scale frames, this one for optimizer
+    * visibility.
     */
   def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String]): DataFrame = {
     require(dfs.nonEmpty, "concatColumns needs at least one frame")
@@ -77,6 +83,9 @@ object Align {
   def withPosition(df: DataFrame, posCol: String = POS,
                    orderBy: Seq[String] = Nil): DataFrame =
     if (orderBy.nonEmpty) {
+      log.warn("withPosition(orderBy): global single-partition window sort " +
+        "of the whole frame — fine for small/medium frames; use the " +
+        "keyless (zipWithIndex) form for cluster-scale inputs")
       import org.apache.spark.sql.expressions.Window
       df.withColumn(posCol,
         row_number().over(Window.orderBy(orderBy.map(col(_).asc): _*)).cast(LongType) - 1L)

@@ -183,46 +183,66 @@ final class Registry(spark: SparkSession) {
       case Some(other) => throw PipelineError(s"parse_dates: unsupported form ${tn(other)}")
     }
 
+  /** pandas read_csv/read_table with the flags ETL configs actually use.
+    * Semantics match pandas where Spark lets us: `names` implies
+    * header=None (pandas rule); header accepts false/None (no header
+    * row) and true/0 (first row is the header); dtype overrides are
+    * applied AT PARSE TIME via an explicit schema — a post-inference cast
+    * would corrupt exactly the values dtype=str exists for ('007' -> 7 ->
+    * "7"); dtype keys for absent columns are ignored like pandas; usecols
+    * preserves FILE order (pandas ignores usecols element order).
+    */
+  private def readCsvImpl(a: Args, defaultSep: String): DataFrame = {
+    val sep = a.get("sep", -1).orElse(a.get("delimiter", -1))
+      .map(asStr(_, "sep")).getOrElse(defaultSep)
+    val names = a.get("names", -1).map(asStrList)
+    val hasHeader = a.get("header", -1) match {
+      case Some(null) | Some(None) => false // pandas header=None
+      case Some(b: Boolean) => b
+      case Some(0L) | Some(0) => true // pandas header=0: first row is header
+      case Some(other) => throw PipelineError(s"read_csv: unsupported header ${tn(other)}")
+      case None => names.isEmpty // bare `names` implies headerless, like pandas
+    }
+    val path = readPath(a)
+    def reader = spark.read.option("header", hasHeader.toString).option("sep", sep)
+    // one inference pass fixes the base schema; names + dtype rewrite it
+    // BEFORE the data read, so overridden columns parse at their final type
+    val inferred = reader.option("inferSchema", "true").csv(path).schema
+    val renamed = names match {
+      case Some(ns) =>
+        require(ns.size == inferred.fields.length,
+          s"read_csv: ${ns.size} names for ${inferred.fields.length} columns")
+        inferred.fields.zip(ns).map { case (f, n) => f.copy(name = n) }
+      case None => inferred.fields
+    }
+    val dtypeMap: Map[String, String] = a.get("dtype", -1) match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+      case Some(other) => throw PipelineError(s"read_csv: dtype must be a map, got ${tn(other)}")
+      case None => Map.empty
+    }
+    val schema = StructType(renamed.map(f =>
+      dtypeMap.get(f.name).map(t => f.copy(dataType = sparkType(t))).getOrElse(f)))
+    val raw = reader.schema(schema).csv(path)
+    val pruned = a.get("usecols", -1).map(asStrList) match {
+      case Some(cols) =>
+        val want = cols.toSet
+        val missing = want -- raw.columns.toSet
+        if (missing.nonEmpty) throw PipelineError(
+          s"read_csv: usecols not in file: ${missing.mkString(", ")}")
+        raw.select(raw.columns.filter(want).map(col).toIndexedSeq: _*)
+      case None => raw
+    }
+    val limited = a.get("nrows", -1).map(asInt(_, "nrows")) match {
+      case Some(n) => pruned.limit(n)
+      case None => pruned
+    }
+    applyParseDates(limited, a)
+  }
+
   private val functions: Map[String, Args => Any] = Map(
-    "pd.read_csv" -> { a =>
-      // pandas flags ETL configs actually use: usecols (column pruning —
-      // reaches the scan), dtype (per-column casts over inference), nrows,
-      // header=false + names (headerless files)
-      val sep = a.get("sep", -1).orElse(a.get("delimiter", -1)).map(asStr(_, "sep")).getOrElse(",")
-      val hasHeader = a.get("header", -1).forall(asBool(_, default = true))
-      val raw = spark.read.option("header", hasHeader.toString)
-        .option("inferSchema", "true").option("sep", sep).csv(readPath(a))
-      val named = a.get("names", -1).map(asStrList) match {
-        case Some(names) =>
-          require(names.size == raw.columns.length,
-            s"read_csv: ${names.size} names for ${raw.columns.length} columns")
-          raw.toDF(names: _*)
-        case None => raw
-      }
-      val pruned = a.get("usecols", -1).map(asStrList) match {
-        case Some(cols) => named.select(cols.map(col): _*)
-        case None => named
-      }
-      val typed = a.get("dtype", -1) match {
-        case Some(m: Map[_, _]) =>
-          m.asInstanceOf[Map[String, Any]].foldLeft(pruned) { case (d, (c, t)) =>
-            d.withColumn(c, col(c).cast(sparkType(t.toString)))
-          }
-        case Some(other) => throw PipelineError(s"read_csv: dtype must be a map, got ${tn(other)}")
-        case None => pruned
-      }
-      val limited = a.get("nrows", -1).map(asInt(_, "nrows")) match {
-        case Some(n) => typed.limit(n)
-        case None => typed
-      }
-      applyParseDates(limited, a)
-    },
-    "pd.read_table" -> { a =>
-      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse("\t")
-      applyParseDates(
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .option("sep", sep).csv(readPath(a)), a)
-    },
+    "pd.read_csv" -> { a => readCsvImpl(a, defaultSep = ",") },
+    // pandas read_table IS read_csv with sep='\t' — one implementation
+    "pd.read_table" -> { a => readCsvImpl(a, defaultSep = "\t") },
     "pd.read_parquet" -> { a => applyParseDates(spark.read.parquet(readPath(a)), a) },
     "pd.read_json" -> { a =>
       val lines = a.get("lines", -1).map(asBool(_, true)).getOrElse(true)
@@ -573,6 +593,13 @@ final class Registry(spark: SparkSession) {
       else {
         val lm = overlap.map(c => c -> s"$c$sx").toMap
         val rm = overlap.map(c => c -> s"$c$sy").toMap
+        // a suffixed name colliding with an existing column would emit
+        // duplicate names that fail far downstream; pandas raises
+        // MergeError here — so do we
+        val clash = lm.values.toSet.intersect(left.columns.toSet -- overlap) ++
+          rm.values.toSet.intersect(right.columns.toSet -- overlap)
+        if (clash.nonEmpty) throw PipelineError(
+          s"merge: suffixing would duplicate columns: ${clash.mkString(", ")}")
         (lm.foldLeft(left) { case (d, (o, n)) => d.withColumnRenamed(o, n) },
           rm.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }, lm, rm)
       }
@@ -695,7 +722,13 @@ final class Registry(spark: SparkSession) {
           val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
           df.withColumn("__graft_rn", row_number().over(w))
             .filter(col("__graft_rn") === 1).drop("__graft_rn")
-        case None => subset.fold(df.dropDuplicates())(df.dropDuplicates(_))
+        case None =>
+          // an explicit keep request is meaningless without order keys —
+          // honoring it arbitrarily would be silently wrong vs pandas
+          if (a.get("keep", -1).isDefined) throw PipelineError(
+            "drop_duplicates: keep= requires order_by keys (row order is " +
+              "undefined in a distributed frame)")
+          subset.fold(df.dropDuplicates())(df.dropDuplicates(_))
       }
     case "dropna" => a.get("subset", -1) match {
       case Some(s) => df.na.drop(asStrList(s))

@@ -840,26 +840,53 @@ class RegistrySpec extends AnyFunSuite {
     assert(ts(1).startsWith("2024-03-15"))
   }
 
-  test("read_csv usecols/dtype/nrows/header=false+names") {
+  test("read_csv usecols/dtype/nrows/names follow pandas semantics") {
     val dir = java.nio.file.Files.createTempDirectory("csvx")
     val f = dir.resolve("d.csv")
-    java.nio.file.Files.writeString(f, "a,b,c\n1,x,9.5\n2,y,8.5\n3,z,7.5\n")
+    java.nio.file.Files.writeString(f, "a,b,c\n007,x,9.5\n042,y,8.5\n3,z,7.5\n")
+    // usecols ORDER is ignored (file order wins, like pandas); dtype=str
+    // parses at the source — zero-padded codes survive verbatim
     val out = reg.callFunction("pd.read_csv", Args(
       pos = List(f.toString),
-      kw = List("usecols" -> List("a", "c"), "dtype" -> Map("a" -> "str"),
+      kw = List("usecols" -> List("c", "a"), "dtype" -> Map("a" -> "str"),
         "nrows" -> 2L)))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
-    assert(out.columns.toSeq == Seq("a", "c"))
-    assert(out.schema("a").dataType.typeName == "string", "dtype overrides inference")
+    assert(out.columns.toSeq == Seq("a", "c"), "file order, not usecols order")
+    assert(out.schema("a").dataType.typeName == "string")
+    assert(out.select("a").collect().map(_.getString(0)).toSet == Set("007", "042"),
+      "dtype=str must preserve raw text, not round-trip through inference")
     assert(out.count() == 2, "nrows caps the frame")
+    // dtype keys for columns outside usecols are ignored like pandas
+    val ignored = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("usecols" -> List("a"), "dtype" -> Map("b" -> "str"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(ignored.columns.toSeq == Seq("a"))
 
+    // bare `names` implies header=None (pandas): no data row is eaten
     val g = dir.resolve("noheader.csv")
     java.nio.file.Files.writeString(g, "1,x\n2,y\n")
     val named = reg.callFunction("pd.read_csv", Args(
-      pos = List(g.toString),
-      kw = List("header" -> false, "names" -> List("id", "tag"))))
+      pos = List(g.toString), kw = List("names" -> List("id", "tag"))))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(named.columns.toSeq == Seq("id", "tag") && named.count() == 2)
+    // header=0 is pandas' explicit "first row is the header"
+    val h0 = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString), kw = List("header" -> 0L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(h0.columns.toSeq == Seq("a", "b", "c") && h0.count() == 3)
+  }
+
+  test("drop_duplicates rejects keep= without order_by; merge suffix clashes are loud") {
+    val d = Seq((1L, "x"), (2L, "x")).toDF("id", "k")
+    val e = intercept[Exception] {
+      m(d, "drop_duplicates", "subset" -> List("k"), "keep" -> "last")
+    }
+    assert(e.getMessage.contains("order_by"))
+    val l = Seq((1L, "a", "b")).toDF("k", "name", "name_x")
+    val r = Seq((1L, "c")).toDF("k", "name")
+    val e2 = intercept[Exception] { m(l, "merge", "right" -> r, "on" -> List("k")) }
+    assert(e2.getMessage.contains("duplicate"), s"got: ${e2.getMessage}")
   }
 
   test("crosstab shape") {
