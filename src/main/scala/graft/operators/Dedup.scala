@@ -35,24 +35,42 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.expressions.WordShingles(text, n)
 
-  /** Near-duplicate pairs by exact n-gram Jaccard, with shingle-inverted-index
-    * candidate generation: explode shingles, self-join on the shingle hash
-    * (equality shuffle), count common shingles per pair, then
-    * J = common / (|A| + |B| - common). Hashing shingles to 64-bit keeps the
-    * exploded shuffle narrow. Only pairs sharing >= 1 shingle are ever
-    * materialized.
+  /** Distinct shingle inverted index (id, h): explode word n-gram shingles
+    * and hash them to 64 bits BEFORE anything shuffles — the index then
+    * moves (long, long) rows instead of n-word strings. Collision risk at
+    * 64 bits is ~(distinct shingles)^2 / 2^64 — harmless. This is the ONE
+    * shingling pass shared by candidate generation, minhash signatures, and
+    * exact-Jaccard verification (callers persist it when consumed by more
+    * than one subtree).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    // shingles become 64-bit hashes before the self-join: the equality
-    // shuffle then moves (long, long) pairs instead of n-word strings.
-    // Collision risk at 64 bits is ~(distinct shingles)^2 / 2^64 — harmless.
-    val sh = df.select(col(idCol).as("id"),
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
       .distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+
+  /** Near-duplicate pairs by exact n-gram Jaccard over the capped shingle
+    * vocabulary, with shingle-inverted-index candidate generation: build the
+    * (id, h) index, DROP hot shingles (document frequency > `maxDf` — the
+    * same hot-bucket cap every other candidate-generation path has: a
+    * boilerplate n-gram shared by d docs contributes O(d^2) candidate rows,
+    * quadratic at corpus scale while carrying ~zero dedup signal), self-join
+    * on the shingle hash (equality shuffle), count common shingles per pair,
+    * then J = common / (|A| + |B| - common). The cap applies to numerator
+    * AND denominator — Jaccard over the df<=maxDf vocabulary — so the
+    * result stays exactly mirrorable by an external oracle. Only pairs
+    * sharing >= 1 surviving shingle are ever materialized.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDf: Int = 10000): DataFrame = {
+    // the index feeds the df-cap count, both self-join sides, and sizes —
+    // four subtrees that would each recompute the shingle explode unpersisted
+    val sh = Caches.persistTracked(shingleIndex(df, idCol, textCol, n))
+    // (id, h) is distinct, so count-per-h IS document frequency
+    val capped = Caches.persistTracked(capBuckets(sh, Seq("h"), maxDf))
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
