@@ -86,8 +86,13 @@ case class SimhashAgg(
   override def prettyName: String = "simhash_agg"
 }
 
-/** MinHash over a group of shingle strings: buffer = k running minima; the
-  * i-th hash function is XXH64 with seed i.
+/** MinHash over a group of shingles: buffer = k running minima; the i-th
+  * hash function is XXH64 with seed i. Accepts a STRING child (hash the
+  * UTF-8 bytes) or a LONG child (hash the 64-bit value) — the long form
+  * lets signatures be computed straight off the shared pre-hashed shingle
+  * index (Dedup.shingleIndex) instead of re-shingling; min-aggregation is
+  * duplicate-insensitive, so the distinct index yields identical signatures
+  * to the raw shingle stream.
   */
 case class MinhashAgg(
     child: Expression,
@@ -100,18 +105,30 @@ case class MinhashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  private lazy val longInput: Boolean = child.dataType == LongType
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      var i = 0
-      while (i < k) {
-        val h = H.hash(s, i.toLong)
-        if (h < buf(i)) buf(i) = h
-        i += 1
+      if (longInput) {
+        val l = v.asInstanceOf[Long]
+        var i = 0
+        while (i < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, i.toLong)
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      } else {
+        val s = v.asInstanceOf[UTF8String]
+        var i = 0
+        while (i < k) {
+          val h = H.hash(s, i.toLong)
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
       }
     }
     buf

@@ -35,19 +35,28 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.expressions.WordShingles(text, n)
 
-  /** Distinct shingle inverted index (id, h): explode word n-gram shingles
-    * and hash them to 64 bits BEFORE anything shuffles — the index then
-    * moves (long, long) rows instead of n-word strings. Collision risk at
-    * 64 bits is ~(distinct shingles)^2 / 2^64 — harmless. This is the ONE
-    * shingling pass shared by candidate generation, minhash signatures, and
-    * exact-Jaccard verification (callers persist it when consumed by more
-    * than one subtree).
+  /** Exploded + 64-bit-hashed shingles (id, h), repeats preserved: the one
+    * shingling pass everything else derives from. Hashing BEFORE anything
+    * shuffles means downstream frames move (long, long) rows instead of
+    * n-word strings. Collision risk at 64 bits is ~(distinct shingles)^2 /
+    * 2^64 — harmless.
     */
-  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
-      .distinct()
+
+  /** Distinct shingle inverted index (id, h). This is the ONE shingling pass
+    * shared by candidate generation, minhash signatures ([[minhashSigsOf]] —
+    * min-aggregation is duplicate-insensitive, so signatures off the
+    * distinct index equal signatures off the raw stream), and exact-Jaccard
+    * verification ([[exactJaccardOf]] takes a pre-built index). Callers
+    * persist it when consumed by more than one subtree, as
+    * [[minhashVerifiedPairs]] does.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    hashedShingles(df, idCol, textCol, n).distinct()
 
   /** Near-duplicate pairs by exact n-gram Jaccard over the capped shingle
     * vocabulary, with shingle-inverted-index candidate generation: build the
@@ -58,17 +67,28 @@ object Dedup {
     * on the shingle hash (equality shuffle), count common shingles per pair,
     * then J = common / (|A| + |B| - common). The cap applies to numerator
     * AND denominator — Jaccard over the df<=maxDf vocabulary — so the
-    * result stays exactly mirrorable by an external oracle. Only pairs
-    * sharing >= 1 surviving shingle are ever materialized.
+    * result stays exactly mirrorable by an external oracle (the q84 oracle
+    * mirrors it with a QUALIFY over the shingle CTE; q34's oracle omits it
+    * because its maxDf never binds at fixture scale).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDf: Int = 10000): DataFrame = {
-    // the index feeds the df-cap count, both self-join sides, and sizes —
-    // four subtrees that would each recompute the shingle explode unpersisted
-    val sh = Caches.persistTracked(shingleIndex(df, idCol, textCol, n))
-    // (id, h) is distinct, so count-per-h IS document frequency
-    val capped = Caches.persistTracked(capBuckets(sh, Seq("h"), maxDf))
+    // Df-cap as ONE window pass: (id, h) is distinct, so count() over
+    // (partition by h) IS document frequency — no groupBy + join-back, and
+    // the window leaves the frame hash-partitioned by h, so the candidate
+    // self-join below needs no further exchange on its biggest input. A
+    // pathological hot shingle makes one window partition large, but its
+    // rows are 16-byte (id, h) pairs and the sort is external/spill-safe —
+    // and those are exactly the rows the filter then drops.
+    // `capped` is the only persist: it feeds three subtrees (sizes + both
+    // self-join sides).
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = Caches.persistTracked(
+      sh.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf)
+        .drop("__df"))
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -138,19 +158,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Per-doc minhash signatures via explode + ONE codegen'd aggregate pass:
-    * k min-aggregates over exploded shingle rows (min is duplicate-
-    * insensitive, so no distinct shuffle is needed). Map-side partial
-    * aggregation means executors emit one k-long row per doc — this is the
-    * shape that survives 100 TB, unlike k interpreted array passes per row
-    * (measured 16.7s -> ~1s at sf0.1).
+  /** Per-doc minhash signatures via explode + ONE aggregate pass: k
+    * min-aggregates over exploded hashed-shingle rows (min is duplicate-
+    * insensitive, so no distinct shuffle is needed — and for the same reason
+    * [[minhashSigsOf]] over the DISTINCT index yields identical signatures).
+    * The i-th hash function is XXH64(h, seed=i) over the 64-bit shingle
+    * hash. Map-side partial aggregation means executors emit one k-long row
+    * per doc — the shape that survives 100 TB, unlike k interpreted array
+    * passes per row (measured 16.7s -> ~1s at sf0.1).
     */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
                   n: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("g"))
-      .groupBy(col("id"))
-      .agg(graft.expressions.SketchAggs.minhash(col("g"), k).as("sig"))
+    minhashSigsOf(hashedShingles(df, idCol, textCol, n), k)
+
+  /** Minhash signatures from an (id, h) shingle frame — raw
+    * ([[hashedShingles]]) or distinct ([[shingleIndex]]); identical output
+    * either way because min ignores repeats. Lets [[minhashVerifiedPairs]]
+    * compute propose-side signatures off the same persisted index the
+    * exact-Jaccard verify reads, so the corpus is shingled once.
+    */
+  def minhashSigsOf(shingled: DataFrame, k: Int): DataFrame =
+    shingled.groupBy(col("id"))
+      .agg(graft.expressions.SketchAggs.minhash(col("h"), k).as("sig"))
 
   /** Near-dup CLUSTERS from a pair list: connected components over the
     * similarity graph, so transitive chains (a~b, b~c) collapse into one
@@ -197,11 +226,11 @@ object Dedup {
     * Jaccard 0 and drop out. Returns (id_a, id_b, jaccard).
     */
   def exactJaccardOf(df: DataFrame, cand: DataFrame, idCol: String,
-                     textCol: String, n: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("h"))
-      .distinct()
+                     textCol: String, n: Int,
+                     index: Option[DataFrame] = None): DataFrame = {
+    // `index`: a pre-built (ideally persisted) shingleIndex — the
+    // propose/verify sharing hook. Absent, build it here (once).
+    val sh = index.getOrElse(shingleIndex(df, idCol, textCol, n))
     val ids = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val shc = Caches.persistTracked(sh.join(ids, Seq("id"), "left_semi"))
@@ -244,12 +273,19 @@ object Dedup {
     // margin). Every banded candidate is exactly verified; recall of the
     // final pair set equals the banding recall, which the caller tunes via
     // (k, bands) — the q35 gate documents its fixture-calibrated config.
-    // Persisted: the candidate frame feeds the exact-verify subtree (ids +
-    // semi-join) AND the final estimate re-join — without persist the whole
-    // banding self-join recomputes per consumer.
-    val est = Caches.persistTracked(minhashPairs(df, idCol, textCol, n, k, bands,
+    //
+    // ONE shingling pass for the whole query: the persisted index feeds the
+    // propose-side signatures (minhashSigsOf) AND the exact-Jaccard verify
+    // (exactJaccardOf reads it instead of re-shingling the corpus).
+    // Persisted `est`: the candidate frame feeds the exact-verify subtree
+    // (ids + semi-join) AND the final estimate re-join — without persist
+    // the whole banding self-join recomputes per consumer.
+    val idx = Caches.persistTracked(shingleIndex(df, idCol, textCol, n))
+    val sigs = Caches.persistTracked(minhashSigsOf(idx, k))
+    val est = Caches.persistTracked(minhashPairsOf(sigs, k, bands,
       threshold = 0.0, maxBucket = maxBucket))
-    val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
+    val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n,
+      index = Some(idx))
     exact.join(est, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -333,12 +369,21 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val r = k / bands
     // the signature frame feeds three plan subtrees (banding + both sides of
     // the candidate re-join); without persist Spark recomputes the shingle
     // aggregation three times. One row of k longs per doc — tiny even at
     // billions of docs.
     val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k))
+    minhashPairsOf(sigs, k, bands, threshold, maxBucket)
+  }
+
+  /** LSH banding + estimate over a PRE-PERSISTED (id, sig) signature frame —
+    * the core of [[minhashPairs]], split out so [[minhashVerifiedPairs]] can
+    * feed it signatures computed off the shared shingle index.
+    */
+  private def minhashPairsOf(sigs: DataFrame, k: Int, bands: Int,
+                             threshold: Double, maxBucket: Int): DataFrame = {
+    val r = k / bands
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

@@ -338,7 +338,8 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
-        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5))
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5),
+        maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
     },
     "graft.cosine_topk" -> { a =>
       Similarity.bruteForceTopK(asDf(a.require("queries", 0), "queries"),

@@ -14,19 +14,26 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object NorthStar {
 
   /** DuckDB SQL for the exact word-3-gram Jaccard pair set at `threshold`
-    * over the documents table — the shared oracle for q34 (computed exactly)
-    * and q35/q36 (sketch-proposed, exactly verified). `extraCols` appends
-    * constant gate columns (e.g. "TRUE AS est_ok") that the Spark side must
-    * also produce on every row.
+    * over the documents table — the shared oracle for q34 (computed exactly),
+    * q35/q36 (sketch-proposed, exactly verified) and q84 (df-capped
+    * vocabulary). `maxDf` mirrors Dedup.ngramJaccardPairs' hot-shingle cap:
+    * the sh CTE keeps only shingles whose document frequency is <= maxDf, so
+    * the capped Jaccard (numerator AND denominator over the surviving
+    * vocabulary) is oracle-exact. `extraCols` appends constant gate columns
+    * (e.g. "TRUE AS est_ok") that the Spark side must also produce on every
+    * row.
     */
-  private def exactJaccardOracle(threshold: Double, extraCols: String*): String = {
+  private def exactJaccardOracle(threshold: Double, maxDf: Option[Int],
+                                 extraCols: String*): String = {
     val extra = if (extraCols.isEmpty) "" else extraCols.mkString(",\n          ", ",\n          ", "")
+    val cap = maxDf.map(m =>
+      s" QUALIFY COUNT(*) OVER (PARTITION BY g) <= $m").getOrElse("")
     s"""
         WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
         sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
         short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
-        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sh AS (SELECT * FROM (SELECT * FROM sh0 UNION SELECT * FROM short)$cap),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -138,7 +145,19 @@ object NorthStar {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      Some(exactJaccardOracle(0.2))),
+      Some(exactJaccardOracle(0.2, None))),
+
+    // Df-capped n-gram Jaccard where the cap BINDS at fixture scale: the
+    // documents fixture's hottest 3-gram has df=7 at sf0.01 (25 at sf0.1),
+    // so maxDf=5 drops real shingles in every gated run, and the oracle's
+    // QUALIFY df-filter must agree shingle-for-shingle for the hash to
+    // match — 13 of the 25 sf0.01 pairs have a DIFFERENT jaccard than the
+    // uncapped q34 value, so an engine that ignored the cap fails this row.
+    Q("q84_ngram_jaccard_capped",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(exactJaccardOracle(0.5, Some(5)))),
 
     // MinHash-LSH near-dup pairs, ORACLE-GATED: the sketch proposes
     // candidates (banded equality shuffle — the scale path), exact n-gram
@@ -149,7 +168,7 @@ object NorthStar {
       (s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, k = 32, bands = 8, threshold = 0.2, estTol = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      Some(exactJaccardOracle(0.2, "TRUE AS est_ok"))),
+      Some(exactJaccardOracle(0.2, None, "TRUE AS est_ok"))),
 
     // SimHash near-dup pairs, ORACLE-GATED the same way: simhash banding
     // (bands=8 -> hamming <= 7 structurally guaranteed candidates; planted
@@ -159,7 +178,7 @@ object NorthStar {
       (s, d) => Dedup.simhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 12, bands = 8, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
-      Some(exactJaccardOracle(0.2, "TRUE AS hamming_ok"))),
+      Some(exactJaccardOracle(0.2, None, "TRUE AS hamming_ok"))),
 
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",

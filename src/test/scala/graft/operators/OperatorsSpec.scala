@@ -160,6 +160,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("ngram jaccard maxDf cap: hot boilerplate shingle generates zero candidates, rare-shingle pairs survive") {
+    import spark.implicits._
+    // 8 docs whose ONLY cross-doc shingle is the boilerplate trigram
+    // "all rights reserved" (df=8), plus one true near-dup pair (101, 102)
+    // sharing rare shingles. With maxDf=5 the boilerplate shingle must be
+    // dropped BEFORE candidate generation: no pair among docs 1-8 may
+    // surface, while (101, 102) still must.
+    val boiler = (1L to 8L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c all rights reserved"))
+    val nearDup = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "the quick brown fox jumps over the lazy dog today"))
+    val corpus = (boiler ++ nearDup).toDF("doc_id", "text")
+    // sanity: UNCAPPED, the boilerplate shingle does create candidates
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a <= 8L && b <= 8L },
+      "without the cap the boilerplate shingle must generate pairs")
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.01, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 8L && b <= 8L },
+      s"df=8 > maxDf=5 shingle must generate ZERO candidates, got $capped")
+    assert(capped.contains((101L, 102L)),
+      "pairs sharing rare (df <= maxDf) shingles must still surface")
+  }
+
+  test("minhash signatures off the distinct index equal signatures off the raw shingle stream") {
+    // min-aggregation is duplicate-insensitive: sigs from shingleIndex
+    // (distinct) must be bit-identical to minhashSigs (repeats preserved) —
+    // the property minhashVerifiedPairs' shared-index design rests on.
+    val fromRaw = Dedup.minhashSigs(docs, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fromIdx = Dedup.minhashSigsOf(
+        Dedup.shingleIndex(docs, "doc_id", "text", n = 3), k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fromRaw == fromIdx)
+  }
+
   test("minhash estimate tracks exact jaccard for identical and disjoint docs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = 32,
       bands = 8, threshold = 0.2)
