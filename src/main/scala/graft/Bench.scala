@@ -41,8 +41,19 @@ object Bench {
     // round-over-round deltas read as regressions. The min of N runs is the
     // stable signal for a deterministic workload.
     val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsN).flatMap { _ =>
+    // queries whose first run exceeds this get one extra run: instability
+    // (persist churn, GC) concentrates in the expensive queries, and a
+    // min-of-2 can't distinguish "one noisy run" from "bimodal runtime" —
+    // three samples in the per-run array can
+    val extraRunAbove = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_ABOVE", "1.0").toDouble
+    // comma-separated name prefixes to bench a subset while iterating
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q34,q35,q36); absent = all queries
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filter.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -59,14 +70,18 @@ object Bench {
         if (!cacheTables) spark.catalog.clearCache()
         if (ok) Some(secs) else None
       }
-      (name, times)
+      val base = (1 to runsN).flatMap(_ => once())
+      if (base.size < runsN) (name, base, true)
+      else if (base.head > extraRunAbove) {
+        val extra = once()
+        (name, base ++ extra.toSeq, extra.isEmpty)
+      } else (name, base, false)
     }
-    // a query failed if ANY of its runs failed short of N successes — a
-    // crash must never masquerade as a fast success, so partially-failed
-    // queries appear ONLY in `failed` (never in `queries`), keeping
-    // sum(queries) == total
-    val ok = results.filter(_._2.size == runsN)
-    val failed = results.filter(_._2.size < runsN).map(r => "\"" + r._1 + "\"")
+    // a query failed if ANY of its runs failed — a crash must never
+    // masquerade as a fast success, so partially-failed queries appear ONLY
+    // in `failed` (never in `queries`), keeping sum(queries) == total
+    val ok = results.collect { case (n, ts, false) => (n, ts) }
+    val failed = results.collect { case (n, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
     // Full-precision per-query record goes to a FILE: the driver keeps only
@@ -78,7 +93,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")).getAbsoluteFile
     val fullQs = ok.map { case (k, ts) => s"\"$k\":${ts.min}" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
+    // ALL run times per query, not just the min: a query that is bimodal
+    // across identical-code runs (persist churn, ambient load) is visible in
+    // the artifact itself instead of only by diffing two rounds' records.
+    val fullRuns = ok.map { case (k, ts) => s"\"$k\":${ts.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"runs":$fullRuns,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(benchFile.toPath, fullJson + "\n")
     val shortQs = ok.map { case (k, ts) =>
       // Locale.ROOT: a comma decimal separator would corrupt the JSON

@@ -16,9 +16,17 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist at MEMORY_AND_DISK and remember the handle for [[release]]. */
-  private[graft] def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+  /** Persist at `level` (default MEMORY_AND_DISK) and remember the handle
+    * for [[release]]. Frames feeding wide self-joins prefer DISK_ONLY: under
+    * memory pressure a MEMORY_AND_DISK block competes with shuffle/execution
+    * memory and its eviction churn can cascade recomputes through every
+    * consumer (observed as an 8.6x same-code runtime swing on the simhash
+    * query), while a DISK_ONLY block is written once and never contended.
+    */
+  private[graft] def persistTracked(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
     tracked.add(p)
     p
   }

@@ -47,13 +47,16 @@ object Dedup {
         explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
 
-  /** Distinct shingle inverted index (id, h). This is the ONE shingling pass
-    * shared by candidate generation, minhash signatures ([[minhashSigsOf]] —
-    * min-aggregation is duplicate-insensitive, so signatures off the
-    * distinct index equal signatures off the raw stream), and exact-Jaccard
-    * verification ([[exactJaccardOf]] takes a pre-built index). Callers
-    * persist it when consumed by more than one subtree, as
-    * [[minhashVerifiedPairs]] does.
+  /** Distinct shingle inverted index (id, h), used where set semantics are
+    * required (Jaccard counts, candidate generation). Signatures do NOT need
+    * it: min-aggregation is duplicate-insensitive, so [[minhashSigsOf]] over
+    * the raw [[hashedShingles]] stream equals signatures off this index
+    * (proven by the signature-equivalence spec) — and the raw stream costs
+    * zero shuffle of shingle data (map-side partial min-agg emits one k-long
+    * row per doc), where this index costs a full (id, h) exchange. Build the
+    * index only for subtrees that genuinely need distinctness, and restrict
+    * it to the population of interest BEFORE the distinct shuffle when
+    * possible ([[exactJaccardOf]] does).
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     hashedShingles(df, idCol, textCol, n).distinct()
@@ -173,9 +176,9 @@ object Dedup {
 
   /** Minhash signatures from an (id, h) shingle frame — raw
     * ([[hashedShingles]]) or distinct ([[shingleIndex]]); identical output
-    * either way because min ignores repeats. Lets [[minhashVerifiedPairs]]
-    * compute propose-side signatures off the same persisted index the
-    * exact-Jaccard verify reads, so the corpus is shingled once.
+    * either way because min ignores repeats (the signature-equivalence spec
+    * pins this). Production callers feed the raw stream: it aggregates
+    * map-side with zero shingle shuffle, which beats any index reuse.
     */
   def minhashSigsOf(shingled: DataFrame, k: Int): DataFrame =
     shingled.groupBy(col("id"))
@@ -228,12 +231,19 @@ object Dedup {
   def exactJaccardOf(df: DataFrame, cand: DataFrame, idCol: String,
                      textCol: String, n: Int,
                      index: Option[DataFrame] = None): DataFrame = {
-    // `index`: a pre-built (ideally persisted) shingleIndex — the
-    // propose/verify sharing hook. Absent, build it here (once).
-    val sh = index.getOrElse(shingleIndex(df, idCol, textCol, n))
+    // `index`: a pre-built (ideally persisted) shingleIndex, if the caller
+    // already paid for one. Absent, the restriction is applied to the RAW
+    // shingle stream BEFORE the distinct: semi-join on id commutes with
+    // distinct on (id, h), so the distinct shuffle then scales with the
+    // candidate population, not the corpus — at 100 TB the candidates are
+    // orders of magnitude smaller than the corpus index.
     val ids = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val shc = Caches.persistTracked(sh.join(ids, Seq("id"), "left_semi"))
+    val shc = Caches.persistTracked(index match {
+      case Some(idx) => idx.join(ids, Seq("id"), "left_semi")
+      case None => hashedShingles(df, idCol, textCol, n)
+        .join(ids, Seq("id"), "left_semi").distinct()
+    })
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -274,18 +284,23 @@ object Dedup {
     // final pair set equals the banding recall, which the caller tunes via
     // (k, bands) — the q35 gate documents its fixture-calibrated config.
     //
-    // ONE shingling pass for the whole query: the persisted index feeds the
-    // propose-side signatures (minhashSigsOf) AND the exact-Jaccard verify
-    // (exactJaccardOf reads it instead of re-shingling the corpus).
+    // Propose-side signatures come off the RAW shingle stream: explode ->
+    // map-side partial min-agg -> one k-long row per doc shuffled, ZERO
+    // shuffle of shingle data (min ignores repeats, so the result equals
+    // signatures off a distinct index — signature-equivalence spec). A
+    // shared distinct index here was measured 1.9x slower: it put two full
+    // (id, h) exchanges on the propose path to save one re-shingle, and
+    // shuffle bytes scale with the corpus while re-shingling is cheap CPU.
+    // The verify subtree builds its own index restricted to candidate ids
+    // BEFORE the distinct (see exactJaccardOf), so no corpus-wide index
+    // exchange exists anywhere in this plan.
     // Persisted `est`: the candidate frame feeds the exact-verify subtree
     // (ids + semi-join) AND the final estimate re-join — without persist
     // the whole banding self-join recomputes per consumer.
-    val idx = Caches.persistTracked(shingleIndex(df, idCol, textCol, n))
-    val sigs = Caches.persistTracked(minhashSigsOf(idx, k))
+    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k))
     val est = Caches.persistTracked(minhashPairsOf(sigs, k, bands,
       threshold = 0.0, maxBucket = maxBucket))
-    val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n,
-      index = Some(idx))
+    val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(est, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -316,9 +331,17 @@ object Dedup {
     // Jaccard verify self-join — measured 2.1x the whole query's cost.
     val width = 64 / bands
     val verifyBound = maxHamming + math.max(1, width - 1)
+    // DISK_ONLY for the candidate frame: it feeds three subtrees (id
+    // restriction, semi-join, final hamming re-join) so it must persist, but
+    // at MEMORY_AND_DISK its blocks compete with the verify self-join's
+    // execution memory and eviction churn cascaded recomputes through the
+    // whole banding join (measured as a 2.4s <-> 20.6s same-code swing).
+    // Candidates are a narrow (id_a, id_b, hamming) frame — writing it to
+    // disk once is cheap and immune to memory pressure.
     val cands = Caches.persistTracked(
       simhashPairs(df, idCol, textCol, maxHamming = verifyBound,
-        bands = bands, maxBucket = maxBucket))
+        bands = bands, maxBucket = maxBucket),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(cands, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
