@@ -36,13 +36,17 @@ object Align {
     * staying entirely inside Catalyst (codegen, column pruning, AQE), where
     * the RDD zipWithIndex path exits it.
     *
-    * Contract: the `orderBy` keys must be UNIQUE within every frame — with
-    * duplicate keys each frame breaks ties independently, silently pairing
-    * tied rows differently run-to-run. Trade-off: the global window sorts
-    * each frame in ONE task (fine for the small/medium frames positional
-    * concat is for), where zipWithIndex numbers partitions locally; prefer
-    * the keyless form for cluster-scale frames, this one for optimizer
-    * visibility.
+    * Contract (ENFORCED): the `orderBy` keys must be UNIQUE within every
+    * frame — with duplicate keys each frame breaks ties independently,
+    * silently pairing tied rows differently run-to-run. A per-key window
+    * count guards the contract inside the plan (`raise_error` on the first
+    * duplicate key), so a violation fails the job loudly at execution
+    * instead of corrupting alignment; no extra driver-side action, and the
+    * check distributes (partitionBy the keys). Trade-off: the global window
+    * sorts each frame in ONE task (fine for the small/medium frames
+    * positional concat is for), where zipWithIndex numbers partitions
+    * locally; prefer the keyless form for cluster-scale frames, this one
+    * for optimizer visibility.
     */
   def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String]): DataFrame = {
     require(dfs.nonEmpty, "concatColumns needs at least one frame")
@@ -87,8 +91,19 @@ object Align {
         "of the whole frame — fine for small/medium frames; use the " +
         "keyless (zipWithIndex) form for cluster-scale inputs")
       import org.apache.spark.sql.expressions.Window
+      // uniqueness guard: duplicate order keys would let each frame break
+      // ties independently (non-deterministic pairing), so the position
+      // expression raises on the first duplicate it sees — checked per
+      // partition-by-key window task, lazily, with no extra action
+      val keyCount = count(lit(1)).over(Window.partitionBy(orderBy.map(col): _*))
+      val pos = row_number().over(Window.orderBy(orderBy.map(col(_).asc): _*)).cast(LongType) - 1L
       df.withColumn(posCol,
-        row_number().over(Window.orderBy(orderBy.map(col(_).asc): _*)).cast(LongType) - 1L)
+        when(keyCount > 1, raise_error(concat(
+          lit(s"concat axis=1: duplicate order key (${orderBy.mkString(", ")}) = ("),
+          concat_ws(", ", orderBy.map(c => col(c).cast(StringType)): _*),
+          lit(") — positional pairing of tied rows would be " +
+            "non-deterministic; make the key unique or use the keyless " +
+            "(zipWithIndex) form")))).otherwise(pos))
     } else {
       val spark = df.sparkSession
       val schema = df.schema

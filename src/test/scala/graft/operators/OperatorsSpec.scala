@@ -334,6 +334,23 @@ class AlignSpec extends AnyFunSuite {
     assert(e.getMessage.contains("order key"))
   }
 
+  test("concatColumns ordered path fails fast on duplicate order keys") {
+    val a = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("t", "u") // t=1 duplicated
+    val b = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("t", "w")
+    val out = Align.concatColumns(Seq(a.select("u", "t"), b.select("w", "t")),
+      orderBy = Seq("t"))
+    val e = intercept[Exception] { out.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate order key")),
+      s"expected the duplicate-key raise_error, got: $e")
+    // unique keys in every frame still work
+    val ok = Align.concatColumns(
+      Seq(Seq((1L, "a"), (2L, "c")).toDF("t", "u"), b.select("w", "t")),
+      orderBy = Seq("t"))
+    assert(ok.count() == 3) // outer over positions: b's t=3 row pads a
+  }
+
   test("concatColumns aligns by position; shorter frames pad with nulls") {
     val a = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("name", "v")
     val b = Seq(10.5, 20.5).toDF("w")
