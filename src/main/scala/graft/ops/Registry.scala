@@ -190,7 +190,16 @@ final class Registry(spark: SparkSession) {
     * applied AT PARSE TIME via an explicit schema — a post-inference cast
     * would corrupt exactly the values dtype=str exists for ('007' -> 7 ->
     * "7"); dtype keys for absent columns are ignored like pandas; usecols
-    * preserves FILE order (pandas ignores usecols element order).
+    * preserves FILE order (pandas ignores usecols element order);
+    * `skiprows` drops the first N physical lines BEFORE header handling
+    * (Spark csv has no skip option, so the reader is fed the tail of the
+    * line stream — zipWithIndex numbers partitions locally plus one
+    * offset pass, keeps file order, shuffles nothing); `na_values` adds
+    * null sentinels (one token rides the parser's nullValue; several fall
+    * back to string-parse + mask + cast, a documented divergence: type
+    * inference then only sees the first token nulled, so pin affected
+    * columns with dtype); `compression` validates intent — Spark selects
+    * the decode codec from the file extension.
     */
   private def readCsvImpl(a: Args, defaultSep: String): DataFrame = {
     val sep = a.get("sep", -1).orElse(a.get("delimiter", -1))
@@ -204,10 +213,43 @@ final class Registry(spark: SparkSession) {
       case None => names.isEmpty // bare `names` implies headerless, like pandas
     }
     val path = readPath(a)
-    def reader = spark.read.option("header", hasHeader.toString).option("sep", sep)
+    a.get("compression", -1).map(asStr(_, "compression")).foreach {
+      case "infer" => () // pandas default: codec from extension (Spark's only mode)
+      case "gzip" =>
+        if (!path.endsWith(".gz") && !path.endsWith(".gzip")) throw PipelineError(
+          "read_csv: compression='gzip' needs a .gz path — Spark selects the " +
+            "decode codec from the file extension")
+      case other => throw PipelineError(
+        s"read_csv: unsupported compression '$other' (infer/gzip)")
+    }
+    val skiprows = a.get("skiprows", -1).map(asInt(_, "skiprows")).getOrElse(0)
+    val naValues: List[String] = a.get("na_values", -1) match {
+      case Some(s: String) => List(s)
+      case Some(l: List[_]) => l.map(_.toString)
+      case Some(other) => throw PipelineError(
+        s"read_csv: na_values must be string or list, got ${tn(other)}")
+      case None => Nil
+    }
+    // skiprows feeds the reader a line Dataset instead of the path; both
+    // the inference and the data pass read the same source
+    val src: Either[String, org.apache.spark.sql.Dataset[String]] =
+      if (skiprows == 0) Left(path)
+      else {
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= skiprows).map(_._1)
+        Right(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+      }
+    def read(r: org.apache.spark.sql.DataFrameReader): DataFrame = src match {
+      case Left(p) => r.csv(p)
+      case Right(ds) => r.csv(ds)
+    }
+    def reader = {
+      val base = spark.read.option("header", hasHeader.toString).option("sep", sep)
+      if (naValues.nonEmpty) base.option("nullValue", naValues.head) else base
+    }
     // one inference pass fixes the base schema; names + dtype rewrite it
     // BEFORE the data read, so overridden columns parse at their final type
-    val inferred = reader.option("inferSchema", "true").csv(path).schema
+    val inferred = read(reader.option("inferSchema", "true")).schema
     val renamed = names match {
       case Some(ns) =>
         require(ns.size == inferred.fields.length,
@@ -222,7 +264,19 @@ final class Registry(spark: SparkSession) {
     }
     val schema = StructType(renamed.map(f =>
       dtypeMap.get(f.name).map(t => f.copy(dataType = sparkType(t))).getOrElse(f)))
-    val raw = reader.schema(schema).csv(path)
+    val raw =
+      if (naValues.size <= 1) read(reader.schema(schema))
+      else {
+        // several sentinels: parse every column as string, mask ALL the
+        // tokens to null, cast to the final schema (dtype=str columns skip
+        // the cast entirely, so their values survive verbatim)
+        val allStr = StructType(schema.fields.map(f => f.copy(dataType = StringType)))
+        schema.fields.foldLeft(read(reader.schema(allStr))) { (d, f) =>
+          val masked = when(col(f.name).isin(naValues: _*), lit(null))
+            .otherwise(col(f.name))
+          d.withColumn(f.name, masked.cast(f.dataType))
+        }
+      }
     val pruned = a.get("usecols", -1).map(asStrList) match {
       case Some(cols) =>
         val want = cols.toSet
@@ -980,21 +1034,51 @@ final class Registry(spark: SparkSession) {
       // first, so v <= e1 -> bin 0 before v <= e2 can claim it
       df.withColumn(s"${c}_qbin", when(v.isNull, lit(null)).otherwise(binned))
     case "ewm" =>
-      // pandas df.ewm(alpha=...).mean() (adjust=True, ignore_na=False, the
-      // defaults), as a single call. The adjusted EWM
-      //   y_t = sum_{i<=t} (1-a)^{t-i} x_i / sum_{i<=t} (1-a)^{t-i}
-      // has a common factor (1-a)^t that CANCELS in the ratio, leaving two
-      // running window sums with per-row weight (1-a)^(-rn): pure codegen'd
+      // pandas df.ewm(alpha=..., adjust=..., min_periods=...).mean()/.var()/
+      // .std() (ignore_na=False, bias=False — the defaults), as one call.
+      //
+      // adjust=True mean: y_t = sum (1-a)^{t-i} x_i / sum (1-a)^{t-i} has a
+      // common factor (1-a)^t that CANCELS in the ratio, leaving two running
+      // window sums with per-row weight u = (1-a)^(-rn): pure codegen'd
       // window math, no sequential recurrence, no mapPartitions. Null x_i
       // contribute no weight but still advance position (ignore_na=False).
-      // The weight overflows double once ONE series exceeds ~ -700/ln(1-a)
-      // rows (alpha=0.2 -> ~3100, alpha=0.5 -> ~1000); partition_by bounds
-      // series length — and the guard below makes a breach LOUD
-      // (raise_error) instead of silently emitting Inf/Inf = NaN tails.
+      //
+      // adjust=False mean is pandas' RECURSIVE form (aggregations.pyx ewma):
+      // at each valid observation after a gap of g nulls,
+      //   y = (w*y_prev + a*x) / (w + a),  w = (1-a)^{g+1},
+      // a renormalizing scan, not a weighted average over absolute-position
+      // weights (those agree only while no interior null intervenes). But
+      // each step is AFFINE in y_prev: y = A*y_prev + B with A = w/(w+a),
+      // B = a*x/(w+a), so the scan unrolls to
+      //   y_t = P_t * (x_first + sum_{j<=t} B_j / P_j),  P_t = prod A_i,
+      // and prefix products become exp(running sum of ln A): still nothing
+      // but window sums. Non-valid rows advance no sum, so the expression
+      // self-carries the last valid y (and is null before the first valid).
+      //
+      // var/std (bias=False) use the weighted second moment with the same
+      // weights: var = (sw*swxx - swx^2)/(sw^2 - sww), null when the
+      // denominator is 0 (fewer than two valid observations — pandas NaN).
+      // For adjust=False the documented absolute-position weights apply
+      // (first valid obs weight carries no alpha factor); with interior
+      // nulls pandas' var scan renormalizes like the mean and can drift
+      // from the documented weights — we implement the documented weights
+      // (divergence noted; gap-free series agree exactly).
+      //
+      // Numeric range: every path's exponent magnitude is bounded by
+      // rn*|ln(1-a)| (mean) or 2*rn*|ln(1-a)| (var/std squares the
+      // weights), so ONE series longer than ~700 (resp. ~350) / -ln(1-a)
+      // rows overflows double. partition_by bounds series length — and the
+      // guard below makes a breach LOUD (raise_error) instead of silently
+      // emitting Inf/Inf = NaN tails.
       val cols = asStrList(a.require("columns", -1))
       val alpha = a.require("alpha", -1).toString.toDouble
       require(alpha > 0 && alpha < 1, "ewm: alpha must be in (0, 1)")
-      val rowLimit = math.floor(700.0 / -math.log1p(-alpha)).toLong
+      val adjust = a.get("adjust", -1).map(asBool(_, true)).getOrElse(true)
+      val fn = a.get("func", -1).map(asStr(_, "func")).getOrElse("mean")
+      require(Set("mean", "var", "std")(fn), s"ewm: unsupported func '$fn' (mean/var/std)")
+      val minPeriods = a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(0)
+      val budget = if (fn == "mean") 700.0 else 350.0
+      val rowLimit = math.floor(budget / -math.log1p(-alpha)).toLong
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       if (partCols.isEmpty) warnGlobalWindow("ewm")
@@ -1003,20 +1087,66 @@ final class Registry(spark: SparkSession) {
         else Window.partitionBy()
       val w = base.orderBy(orderBy.map(col(_).asc): _*)
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevFrame = w.rowsBetween(Window.unboundedPreceding, -1)
       // row_number materialized first: window functions cannot nest inside
-      // the running-sum window aggregate
+      // the running-sum window aggregates
       val withRn = df.withColumn("__graft_rn", row_number().over(w))
-      val wgt = pow(lit(1.0 - alpha), -col("__graft_rn"))
-      cols.foldLeft(withRn) { (d, c) =>
+      val rn = col("__graft_rn")
+      val out = cols.foldLeft(withRn) { (d, c) =>
         val x = col(c).cast(DoubleType)
-        d.withColumn(s"${c}_ewm",
-          when(col("__graft_rn") > rowLimit, raise_error(lit(
-            s"ewm: a partition exceeds $rowLimit rows for alpha=$alpha — " +
-              "the cancelled-ratio weight overflows double; add or refine " +
-              "partition_by to bound series length")))
-            .otherwise(sum(x * wgt).over(run) /
-              sum(when(x.isNotNull, wgt)).over(run)))
-      }.drop("__graft_rn")
+        val valid = x.isNotNull
+        val nValid = count(x).over(run)
+        val result: (DataFrame, Column) = (fn, adjust) match {
+          case ("mean", true) =>
+            val wgt = pow(lit(1.0 - alpha), -rn)
+            (d, sum(x * wgt).over(run) / sum(when(valid, wgt)).over(run))
+          case ("mean", false) =>
+            // affine-scan unroll; three stages because window aggregates
+            // cannot nest: prev-valid rn -> running sum of ln A -> final
+            val prn = s"__graft_prn_$c"
+            val sla = s"__graft_sla_$c"
+            val d1 = d.withColumn(prn,
+              last(when(valid, rn), ignoreNulls = true).over(prevFrame))
+            val wk = pow(lit(1.0 - alpha), rn - col(prn))
+            val lnA = org.apache.spark.sql.functions.log(wk / (wk + alpha))
+            val d2 = d1.withColumn(sla,
+              coalesce(sum(when(valid && col(prn).isNotNull, lnA)).over(run), lit(0.0)))
+            val x0 = first(when(valid, x), ignoreNulls = true).over(run)
+            val term = when(valid && col(prn).isNotNull,
+              (x * alpha / (wk + alpha)) * exp(-col(sla)))
+            val y = exp(col(sla)) * (x0 + coalesce(sum(term).over(run), lit(0.0)))
+            (d2.withColumn(s"__graft_y_$c", y), col(s"__graft_y_$c"))
+          case (_, adj) => // var | std, both adjust modes
+            val uBase = pow(lit(1.0 - alpha), -rn)
+            val u =
+              if (adj) uBase
+              else {
+                // documented adjust=False weights: a*(1-a)^{t-i} everywhere
+                // except the FIRST valid observation, whose weight carries
+                // no alpha factor ((1-a)^t analogue of the recursion seed)
+                val firstVRn = min(when(valid, rn)).over(run)
+                uBase * when(rn === firstVRn, lit(1.0)).otherwise(lit(alpha))
+              }
+            val sw = sum(when(valid, u)).over(run)
+            val swx = sum(when(valid, x * u)).over(run)
+            val swxx = sum(when(valid, x * x * u)).over(run)
+            val sww = sum(when(valid, u * u)).over(run)
+            val den = sw * sw - sww
+            val variance = when(den > 0, (sw * swxx - swx * swx) / den)
+            (d, if (fn == "std") sqrt(variance) else variance)
+        }
+        val (frame, yExpr) = result
+        val gated = if (minPeriods > 1) when(nValid >= minPeriods, yExpr) else yExpr
+        val suffix = if (fn == "mean") "_ewm" else s"_ewm_$fn"
+        frame.withColumn(s"$c$suffix",
+          when(rn > rowLimit, raise_error(lit(
+            s"ewm: a partition exceeds $rowLimit rows for alpha=$alpha " +
+              s"(func=$fn) — the cancelled-ratio weight overflows double; " +
+              "add or refine partition_by to bound series length")))
+            .otherwise(gated))
+          .drop(s"__graft_prn_$c", s"__graft_sla_$c", s"__graft_y_$c")
+      }
+      out.drop("__graft_rn")
     case "where" | "mask" =>
       // pandas df.where(cond, other) / df.mask(cond, other) scoped to the
       // given columns: `where` keeps values where cond holds (else other,
@@ -1060,16 +1190,18 @@ final class Registry(spark: SparkSession) {
       counts.join(broadcast(maxes), Seq("column"))
         .filter(col("__graft_cnt") === col("__graft_max"))
         .select(col("column"), col("value").as("mode"))
-    case "corr" =>
-      // pandas df.corr(): the full pairwise correlation matrix, tidy form
-      // (col_a, col_b, corr). PAIRWISE-complete like pandas: each pair uses
-      // only rows where BOTH values are non-null. All pair moments compute
-      // in ONE aggregation pass (6 co-moment aggregates per pair share the
-      // scan, map-side partials); moments accumulate as exact decimals so
-      // the result is partition-order independent, rounded to 6 places.
+    case "corr" | "cov" =>
+      // pandas df.corr() / df.cov(): the full pairwise matrix, tidy form
+      // (col_a, col_b, corr|cov). PAIRWISE-complete like pandas: each pair
+      // uses only rows where BOTH values are non-null. All pair moments
+      // compute in ONE aggregation pass (6 co-moment aggregates per pair
+      // share the scan, map-side partials); moments accumulate as exact
+      // decimals so the result is partition-order independent, rounded to 6
+      // places. cov is the sample covariance (ddof=1, pandas default); its
+      // diagonal is each column's variance over its own non-null rows.
       val cs = a.get("columns", -1).map(asStrList).getOrElse(
         df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
-      require(cs.size >= 2, "corr needs >= 2 numeric columns")
+      require(cs.size >= 2, s"$name needs >= 2 numeric columns")
       // moment aliases key on column INDICES (names may contain '__')
       def nm(tag: String, i: Int, j: Int): String = s"__${tag}_${i}_$j"
       def m(tag: String, i: Int, j: Int, e: Column): Column = e.as(nm(tag, i, j))
@@ -1125,21 +1257,35 @@ final class Registry(spark: SparkSession) {
         val deny = n * g("syy") - sy * sy
         round(when(denx > 0 && deny > 0, num / sqrt(denx * deny)), 6)
       }
-      def diagOf(i: Int): Column = {
+      def corrDiagOf(i: Int): Column = {
         def g(tag: String) = col(s"__${tag}_${i}_$i")
         when(g("dn") * g("dss") - g("ds") * g("ds") > 0, lit(1.0))
       }
+      // sample covariance from the same moments:
+      // (n*sxy - sx*sy) / (n*(n-1)), null when n < 2 like pandas
+      def covOf(i: Int, j: Int): Column = {
+        def g(tag: String) = col(s"__${tag}_${i}_$j")
+        val n = g("n")
+        round(when(n > 1, (n * g("sxy") - g("sx") * g("sy")) / (n * (n - 1))), 6)
+      }
+      def covDiagOf(i: Int): Column = {
+        def g(tag: String) = col(s"__${tag}_${i}_$i")
+        val n = g("dn")
+        round(when(n > 1, (n * g("dss") - g("ds") * g("ds")) / (n * (n - 1))), 6)
+      }
+      val (cellOf, diagOf): ((Int, Int) => Column, Int => Column) =
+        if (name == "corr") (corrOf, corrDiagOf) else (covOf, covDiagOf)
       // full symmetric matrix, exploded from the single moments row —
       // p^2 tiny rows, never a driver loop
       val cells = cs.indices.flatMap(i => cs.indices.map { j =>
         val v =
           if (i == j) diagOf(i)
-          else if (i < j) corrOf(i, j)
-          else corrOf(j, i)
-        struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"), v.as("corr"))
+          else if (i < j) cellOf(i, j)
+          else cellOf(j, i)
+        struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"), v.as(name))
       })
       moments.select(explode(array(cells: _*)).as("c"))
-        .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
+        .select(col("c.col_a"), col("c.col_b"), col(s"c.$name"))
     case "rolling" | "expanding" =>
       // pandas df.rolling(window).f() / df.expanding().f() under the
       // explicit-ordering contract. rolling honors min_periods (pandas
@@ -1417,6 +1563,28 @@ final class Registry(spark: SparkSession) {
               s"pivot_table: unsupported fill_value ${tn(other)}")
           }
       }
+    case "unstack" =>
+      // pandas long->wide reshape WITHOUT aggregation: the no-agg sibling of
+      // pivot_table, i.e. df.set_index(index + [column]).unstack() — every
+      // (index, column) cell must hold exactly ONE row; pandas raises
+      // "Index contains duplicate entries, cannot reshape" otherwise. The
+      // duplicate check rides INSIDE the pivot aggregate (per-cell count),
+      // so a violation raises distributed, at execution, lazily — no extra
+      // pass, no silent first-wins. Pass `pivot_values` at scale to skip
+      // Spark's eager distinct-values job on the key column.
+      val index = asStrList(a.require("index", -1))
+      val key = asStr(a.require("column", -1), "column")
+      val valueCol = asStr(a.require("value", -1), "value")
+      val grouped = df.groupBy(index.map(col): _*)
+      val pivoted = a.get("pivot_values", -1).map(asStrList) match {
+        case Some(vs) => grouped.pivot(key, vs)
+        case None => grouped.pivot(key)
+      }
+      pivoted.agg(
+        when(count(lit(1)) === 1, first(col(valueCol)))
+          .otherwise(raise_error(lit(
+            "unstack: index contains duplicate entries, cannot reshape — " +
+              s"more than one row per (${(index :+ key).mkString(", ")}) cell"))))
     case "count" => df.count()
     case "nunique" =>
       // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),

@@ -333,6 +333,152 @@ object Prep {
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           row_number() OVER (PARTITION BY l_partkey, l_suppkey
             ORDER BY l_orderkey, l_linenumber) > 1 AS duplicated
-        FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas df.ewm(alpha, adjust=False).mean() — the RECURSIVE default
+    // idiom (y = (1-a)y_prev + a*x), unrolled to window sums via prefix
+    // products (exp of a running log sum; see Registry "ewm"). The oracle
+    // replays the closed form for gap-free series: the first observation
+    // keeps weight (1-a)^(t-1), later ones a*(1-a)^(t-i) — weights sum to 1
+    // so no denominator. round(6) absorbs exp/ln-vs-pow libm ulp drift.
+    Q("q85_ewm_recursive",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("x"))
+        reg.callMethod(o, "ewm", graft.expr.Args(kw = List(
+          "columns" -> List("x"), "alpha" -> 0.2, "adjust" -> false,
+          "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("x_ewm"), 6).as("x_ewm"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderkey,
+            CAST(o_totalprice AS DOUBLE) AS x,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders)
+        SELECT o_custkey, o_orderkey,
+          round(pow(0.8, rn) * SUM(
+            (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END) * x * pow(0.8, -rn)) OVER w,
+            6) AS x_ewm
+        FROM r
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // pandas df.ewm(alpha).std() (adjust=True, bias=False): debiased
+    // weighted second moment from four running sums of the SAME cancelled
+    // weights as q68's mean. One observation -> zero denominator -> null
+    // (pandas NaN). std (not var) keeps the reported magnitude ~1e4 so
+    // round(6) sits far above the cancellation noise of the moment algebra.
+    Q("q86_ewm_std",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("x"))
+        reg.callMethod(o, "ewm", graft.expr.Args(kw = List(
+          "columns" -> List("x"), "alpha" -> 0.2, "func" -> "std",
+          "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("x_ewm_std"), 6).as("x_ewm_std"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderkey,
+            CAST(o_totalprice AS DOUBLE) AS x,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders),
+        m AS (SELECT o_custkey, o_orderkey,
+            SUM(pow(0.8, -rn)) OVER w AS sw,
+            SUM(x * pow(0.8, -rn)) OVER w AS swx,
+            SUM(x * x * pow(0.8, -rn)) OVER w AS swxx,
+            SUM(pow(0.8, -rn) * pow(0.8, -rn)) OVER w AS sww
+          FROM r
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT o_custkey, o_orderkey,
+          round(CASE WHEN sw * sw - sww > 0
+            THEN sqrt((sw * swxx - swx * swx) / (sw * sw - sww)) END, 6) AS x_ewm_std
+        FROM m ORDER BY o_custkey, o_orderkey""")),
+
+    // pandas df.cov(): full sample-covariance matrix (ddof=1) in tidy rows
+    // from the SAME one-pass exact-decimal co-moments as q80's corr —
+    // variance diagonal, symmetric off-diagonals.
+    Q("q87_cov_matrix",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        reg.callMethod(li, "cov", graft.expr.Args(kw = List(
+          "columns" -> List("l_quantity", "l_extendedprice", "l_discount"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sp,
+            CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sd,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(35,6))) AS DOUBLE) AS sqq,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS spp,
+            CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS sdd,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS sqp,
+            CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS sqd,
+            CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(35,6))) AS DOUBLE) AS spd
+          FROM lineitem),
+        c AS (
+          SELECT
+            round((n*sqq - sq*sq) / (n*(n-1)), 6) AS v_q,
+            round((n*spp - sp*sp) / (n*(n-1)), 6) AS v_p,
+            round((n*sdd - sd*sd) / (n*(n-1)), 6) AS v_d,
+            round((n*sqp - sq*sp) / (n*(n-1)), 6) AS c_qp,
+            round((n*sqd - sq*sd) / (n*(n-1)), 6) AS c_qd,
+            round((n*spd - sp*sd) / (n*(n-1)), 6) AS c_pd
+          FROM m)
+        SELECT col_a, col_b, cov FROM (
+          SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, v_q AS cov FROM c
+          UNION ALL SELECT 'l_quantity', 'l_extendedprice', c_qp FROM c
+          UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_quantity', c_qp FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', v_p FROM c
+          UNION ALL SELECT 'l_extendedprice', 'l_discount', c_pd FROM c
+          UNION ALL SELECT 'l_discount', 'l_quantity', c_qd FROM c
+          UNION ALL SELECT 'l_discount', 'l_extendedprice', c_pd FROM c
+          UNION ALL SELECT 'l_discount', 'l_discount', v_d FROM c) t
+        ORDER BY col_a, col_b""")),
+
+    // pandas unstack(): NO-AGG long->wide reshape (duplicate cells raise;
+    // the fixture is unique-per-cell by construction). Explicit
+    // pivot_values skip Spark's eager distinct-values job. Decimal-exact
+    // qty sums make the cell values engine-independent.
+    Q("q88_unstack",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val long = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("qty"))
+        reg.callMethod(long, "unstack", graft.expr.Args(kw = List(
+          "index" -> List("l_returnflag"), "column" -> "l_linestatus",
+          "value" -> "qty", "pivot_values" -> List("F", "O"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH lng AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag,
+          MAX(CASE WHEN l_linestatus = 'F' THEN qty END) AS "F",
+          MAX(CASE WHEN l_linestatus = 'O' THEN qty END) AS "O"
+        FROM lng GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

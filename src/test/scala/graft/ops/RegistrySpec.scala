@@ -172,6 +172,75 @@ class RegistrySpec extends AnyFunSuite {
     assert(math.abs(pe(2) - 100.0) < 1e-12, "series restart per partition")
   }
 
+  test("ewm adjust=False: pandas recursive scan incl. interior-null renormalization") {
+    // pandas: Series([1, 2, NaN, 4]).ewm(alpha=0.5, adjust=False).mean()
+    // (aggregations.pyx scan):
+    //   y0 = 1
+    //   y1 = 0.5*1 + 0.5*2 = 1.5                (w + a = 1, no renorm)
+    //   y2 = 1.5                                 (null carries, weight decays)
+    //   y3 = (0.25*1.5 + 0.5*4)/(0.25 + 0.5)     (renormalized after the gap)
+    val d = Seq((1L, Option(1.0)), (2L, Option(2.0)),
+      (3L, Option.empty[Double]), (4L, Option(4.0))).toDF("t", "x")
+    val out = m(d, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "adjust" -> false, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 1.5) < 1e-12)
+    assert(math.abs(out(2) - 1.5) < 1e-12, "null row carries the prior mean")
+    assert(math.abs(out(3) - 2.375 / 0.75) < 1e-9, "post-gap step renormalizes")
+    // leading nulls: no value until the first observation seeds the scan
+    val lead = Seq((1L, Option.empty[Double]), (2L, Option(2.0)), (3L, Option(3.0)))
+      .toDF("t", "x")
+    val lo = m(lead, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "adjust" -> false, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(lo(0).isEmpty)
+    assert(lo(1).contains(2.0))
+    assert(math.abs(lo(2).get - 2.5) < 1e-12)
+  }
+
+  test("ewm var/std: debiased weighted second moment, <2 observations -> null") {
+    // pandas: Series([1, 2, NaN, 4]).ewm(alpha=0.5).var()  (adjust=True,
+    // bias=False) -> [NaN, 0.5, 0.5, 2.1562.../0.8125]
+    val d = Seq((1L, Option(1.0)), (2L, Option(2.0)),
+      (3L, Option.empty[Double]), (4L, Option(4.0))).toDF("t", "x")
+    val v = m(d, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "func" -> "var", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(v(0).isEmpty, "one observation has no sample variance")
+    assert(math.abs(v(1).get - 0.5) < 1e-12)
+    assert(math.abs(v(2).get - 0.5) < 1e-12, "null row carries (weights rescale)")
+    assert(math.abs(v(3).get - 2.15625 / 0.8125) < 1e-9)
+    val s = m(d, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "func" -> "std", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(math.abs(s(3).get - math.sqrt(2.15625 / 0.8125)) < 1e-9)
+    // adjust=False var on a gap-free series: documented recursive weights
+    // (first obs carries no alpha factor): [NaN, 0.5, 1.1]
+    val g = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
+    val gv = m(g, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "func" -> "var", "adjust" -> false, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(gv(0).isEmpty)
+    assert(math.abs(gv(1).get - 0.5) < 1e-12)
+    assert(math.abs(gv(2).get - 1.1) < 1e-9)
+  }
+
+  test("ewm min_periods: results null until enough observations") {
+    val d = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
+    val out = m(d, "ewm", "columns" -> List("x"), "alpha" -> 0.5,
+      "min_periods" -> 3L, "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(math.abs(out(2).get - 4.25 / 1.75) < 1e-12)
+  }
+
   test("interpolate: linear interior, null leading, repeated trailing (pandas)") {
     val tsDf = Seq(
       (1L, Option.empty[Double]),  // leading -> stays null
@@ -376,6 +445,51 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(("a", "b")) == out(("b", "a")), "symmetric")
     // (a,c) on its three complete rows (1,9),(3,5),(4,3): exactly -1
     assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
+  }
+
+  test("unstack: no-agg long->wide; duplicate cells raise like pandas") {
+    val long = Seq(("r1", "F", 1.5), ("r1", "O", 2.5), ("r2", "F", 3.5))
+      .toDF("k", "st", "v")
+    val out = m(long, "unstack",
+      "index" -> List("k"), "column" -> "st", "value" -> "v")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.columns.toSeq == Seq("k", "F", "O"))
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      ("r1", Some(1.5), Some(2.5)),
+      ("r2", Some(3.5), None))) // absent cell pads with null, like pandas NaN
+    // a duplicated (k, st) cell cannot reshape — loud, at execution
+    val dup = long.union(Seq(("r1", "F", 9.9)).toDF("k", "st", "v"))
+    val bad = m(dup, "unstack",
+      "index" -> List("k"), "column" -> "st", "value" -> "v")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("cannot reshape")), s"got: $e")
+  }
+
+  test("cov matrix: sample covariance, pairwise-complete, variance diagonal") {
+    val d = Seq(
+      (1.0, Option(2.0), Option(9.0)),
+      (2.0, Option(4.0), Option.empty[Double]), // c null: (a,c) pair skips this row
+      (3.0, Option(6.0), Option(5.0)),
+      (4.0, Option.empty[Double], Option(3.0))  // b null: (a,b) pair skips this row
+    ).toDF("a", "b", "c")
+    val out = m(d, "cov").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 9)
+    // (a,b) on complete rows (1,2),(2,4),(3,6): b = 2a -> cov = 2*var(a|3rows) = 2
+    assert(out(("a", "b")) == 2.0)
+    assert(out(("a", "b")) == out(("b", "a")), "symmetric")
+    // (a,c) on complete rows (1,9),(3,5),(4,3): -42/9 rounded to 6 places
+    assert(out(("a", "c")) == -4.666667, s"got ${out(("a", "c"))}")
+    // (b,c) has two complete rows (2,9),(6,5): ddof=1 -> -8
+    assert(out(("b", "c")) == -8.0)
+    // diagonal = each column's own variance over its non-null rows
+    assert(out(("a", "a")) == 1.666667)
+    assert(out(("b", "b")) == 4.0)
   }
 
   test("graft.salted_join from the YAML surface equals the plain join") {
@@ -875,6 +989,69 @@ class RegistrySpec extends AnyFunSuite {
       pos = List(f.toString), kw = List("header" -> 0L)))
       .asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(h0.columns.toSeq == Seq("a", "b", "c") && h0.count() == 3)
+  }
+
+  test("read_csv skiprows drops preamble lines before the header") {
+    val dir = java.nio.file.Files.createTempDirectory("csvskip")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(f,
+      "# generated by tool v1\n# do not edit\na,b\n1,x\n2,y\n")
+    val out = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString), kw = List("skiprows" -> 2L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.orderBy("a").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "x"), (2, "y")))
+  }
+
+  test("read_csv na_values: sentinel tokens null out; dtype=str keeps '007' verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("csvna")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(f,
+      "code,v\n007,1.5\nNA,2.5\n042,-\n")
+    // single token: rides the parser's nullValue, parse-time schema intact
+    val one = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("na_values" -> "NA", "dtype" -> Map("code" -> "str"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // v infers as STRING here ('-' is not a sentinel in the single-token
+    // run), so the sort is lexicographic: '-' < '1.5' < '2.5'
+    val oneRows = one.orderBy("v").collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)))).toSeq
+    assert(oneRows.map(_._1) == Seq(Some("042"), Some("007"), None),
+      "dtype=str preserves zero-padded codes; NA nulls out")
+    // several tokens: mask-then-cast path; '007' must STILL survive
+    val many = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("na_values" -> List("NA", "-"),
+        "dtype" -> Map("code" -> "str", "v" -> "double"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(many.schema("v").dataType.typeName == "double")
+    val rows = many.orderBy("code").collect() // Spark asc: nulls first
+      .map(r => (Option(r.getString(0)), Option(r.get(1)))).toSeq
+    assert(rows == Seq(
+      (None, Some(2.5)),          // 'NA' code masked
+      (Some("007"), Some(1.5)),
+      (Some("042"), None)))       // '-' masked then cast
+  }
+
+  test("read_csv compression='gzip' reads a .gz file (codec by extension)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvgz")
+    val f = dir.resolve("d.csv.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    gz.write("a,b\n1,x\n2,y\n".getBytes("UTF-8")); gz.close()
+    val out = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString), kw = List("compression" -> "gzip")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.count() == 2 && out.columns.toSeq == Seq("a", "b"))
+    // intent mismatch is loud, not a garbage parse
+    val e = intercept[Exception] {
+      reg.callFunction("pd.read_csv", Args(
+        pos = List(dir.resolve("missing.csv").toString),
+        kw = List("compression" -> "gzip")))
+    }
+    assert(e.getMessage.contains("gzip"))
   }
 
   test("drop_duplicates rejects keep= without order_by; merge suffix clashes are loud") {
