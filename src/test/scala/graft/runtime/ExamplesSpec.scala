@@ -76,6 +76,38 @@ class ExamplesSpec extends AnyFunSuite {
     assert(streamedN == batchN, s"stream drained $streamedN of $batchN events")
   }
 
+  test("examples/media_catalog.yaml decodes a binary dir and writes the catalog") {
+    import graft.operators.Multimodal
+    val binDir = freshDir("ex_media_in")
+    // 30 real PNGs (16..74 px wide: 8 fall under the min_w=32 gate) plus
+    // one corrupt payload that must decode as 'unknown' and be filtered,
+    // never crash the stage
+    (0 until 30).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(binDir, f"img_$i%03d.png"),
+        Multimodal.syntheticPng(width = 16 + 2 * i, height = 24, seed = i))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(binDir, "img_999.png"),
+      "definitely not a png".getBytes("UTF-8"))
+    val out = freshDir("ex_media_out")
+    new Pipeline(spark, "examples/media_catalog.yaml",
+      Map("bin_dir" -> binDir, "out_dir" -> out)).run()
+
+    val catalog = spark.read.parquet(s"$out/image_catalog.parquet")
+    assert(catalog.count() == 22, // widths 32..74 pass; corrupt + small drop
+      s"got ${catalog.count()} rows")
+    assert(Seq("id", "width", "height", "channels", "format")
+      .forall(catalog.columns.contains), s"got ${catalog.columns.mkString(",")}")
+    assert(catalog.filter(col("format") =!= "image/png").count() == 0)
+    assert(catalog.filter(col("width") < 32).count() == 0)
+    // ids came from the filenames, not row order
+    assert(catalog.agg(min(col("id"))).collect().head.getLong(0) == 8L)
+
+    val stats = spark.read.parquet(s"$out/format_stats.parquet")
+    assert(stats.count() == 1, "one surviving format: image/png")
+  }
+
   test("examples/tpch_report.yaml runs green and writes the three reports") {
     val out = freshDir("ex_tpch")
     new Pipeline(spark, "examples/tpch_report.yaml",
