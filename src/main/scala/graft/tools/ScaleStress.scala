@@ -1,63 +1,132 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-linearity probe: replicate the documents/embeddings fixtures Nx
-  * (ids shifted so replicas are distinct docs) and time the dedup/ANN
-  * operators at 1x vs Nx. Sub-linear or ~linear growth = the candidate
-  * generation is behaving (no all-pairs blowup); super-linear growth flags
-  * an operator that would not survive 100 TB.
-  * Usage: sbt "runMain graft.tools.ScaleStress [factor]"
+/** Scale-growth curves for the dedup/ANN operator family (the q34-q36 /
+  * q50-q51 / q84 configs): replicate the sf0.1 documents/embeddings
+  * fixtures Nx and measure wall time, output pairs, and the candidate
+  * population at each factor.
+  *
+  * Replicas are textually DISTINCT (every word carries a per-replica
+  * suffix, so shingle sets don't collide across replicas) — the corpus
+  * grows while the dup-rate stays constant, which is what a bigger crawl
+  * looks like. Growth should then be ~linear in the factor for every
+  * operator; super-linear wall-time growth flags a candidate-generation
+  * path that would not survive 100 TB. (The old mode where replicas were
+  * near-dups of the original measured verify-side load instead — it grew
+  * the PROBLEM quadratically, not the corpus.)
+  *
+  * The candidate metric for the shingle-join family is
+  * sum over shingles of C(df, 2) — the exact row count the equality
+  * self-join produces — computed from the public distinct index, with and
+  * without the q84 df-cap, so the cap's quadratic-risk reduction is a
+  * number, not a claim.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleStress [factors]"
+  *        (factors comma-separated, default 1,2,4)
+  * Output: one `[curve] op=.. factor=.. rows=.. out=.. secs=..` line per
+  * cell, ready to paste into COVERAGE.md.
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val factors = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[T](label: String)(f: => T): Unit = {
-      val t0 = System.nanoTime; f
-      println(f"[$label] ${(System.nanoTime - t0) / 1e9}%.2f s")
-    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val n1 = docs1.count()
-    // replicas get distinct ids AND perturbed text (replica index appended)
-    // so they are near-dups of the original, not exact dups — the harder case
-    val docsN = spark.range(factor).crossJoin(docs1)
-      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
-        when(col("id") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("id"))).as("text"))
-      .repartition(32).cache()
-    println(s"docs: $n1 -> ${docsN.count()}")
-
     import graft.operators.{Dedup, Similarity}
-    time(s"exact_1x")(Dedup.exact(docs1, "doc_id", "text").count())
-    time(s"exact_${factor}x")(Dedup.exact(docsN, "doc_id", "text").count())
-    time(s"minhash_1x")(Dedup.minhashPairs(docs1, "doc_id", "text", 3, 32, 8, 0.5).count())
-    time(s"minhash_${factor}x")(Dedup.minhashPairs(docsN, "doc_id", "text", 3, 32, 8, 0.5).count())
-    time(s"simhash_1x")(Dedup.simhashPairs(docs1, "doc_id", "text", 3).count())
-    time(s"simhash_${factor}x")(Dedup.simhashPairs(docsN, "doc_id", "text", 3).count())
-    // 16-bit bands saturate past ~2^16 docs (birthday collisions make the
-    // candidate join quadratic); 2x32-bit bands are the large-corpus setting
-    time(s"simhash_${factor}x_bands2")(
-      Dedup.simhashPairs(docsN, "doc_id", "text", 3, bands = 2).count())
 
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
     val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val embN = spark.range(factor).crossJoin(emb1)
-      .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"),
-        col("label"))
-      .repartition(32).cache()
-    println(s"vectors: ${emb1.count()} -> ${embN.count()}")
-    val q1 = emb1.filter(col("vec_id") < 8)
-    time(s"lsh_1x")(Similarity.lshTopK(q1, emb1, 10).count())
-    time(s"lsh_${factor}x")(Similarity.lshTopK(q1, embN, 10).count())
-    time(s"bruteforce_${factor}x")(Similarity.bruteForceTopK(q1, embN, 10).count())
+
+    def docsAt(f: Int): DataFrame =
+      if (f == 1) docs1
+      else spark.range(f).crossJoin(docs1).select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        // suffix EVERY word with the replica index: replica shingle sets
+        // are disjoint from the original's, so each replica block carries
+        // the same internal dup structure and blocks never cross-match
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1x', CAST(id AS STRING)))")
+          .as("text"))
+    def embAt(f: Int): DataFrame =
+      if (f == 1) emb1
+      else spark.range(f).crossJoin(emb1).select(
+        (col("vec_id") + col("id") * 10000000L).as("vec_id"),
+        col("embedding"), col("label"))
+
+    def cell(op: String, f: Int, rows: Long)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[curve] op=$op factor=$f rows=$rows out=$out secs=$secs%.2f")
+      graft.operators.Caches.release()
+      spark.catalog.clearCache()
+    }
+
+    // untimed warmup on a small slice: the first execution of each operator
+    // pays JIT + codegen compilation that would otherwise pollute the
+    // first factor's cell (measured: 2.5x inflation on the 1x row)
+    locally {
+      val w = docs1.limit(500).persist(); w.count()
+      val we = emb1.limit(500).persist(); we.count()
+      val wq = emb1.filter(col("vec_id") < 8)
+      Dedup.ngramJaccardPairs(w, "doc_id", "text", n = 3, threshold = 0.2).count()
+      Dedup.ngramJaccardPairs(w, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 5).count()
+      Dedup.minhashVerifiedPairs(w, "doc_id", "text", n = 3, k = 32, bands = 8,
+        threshold = 0.2).count()
+      Dedup.simhashVerifiedPairs(w, "doc_id", "text", maxHamming = 12, bands = 8,
+        threshold = 0.2).count()
+      graft.operators.Similarity.ivfTopK(wq, we, 10, ncells = 16, nprobe = 4).count()
+      graft.operators.Similarity.embeddingDupPairs(we, threshold = 0.95).count()
+      w.unpersist(); we.unpersist()
+      graft.operators.Caches.release()
+      spark.catalog.clearCache()
+    }
+
+    for (f <- factors) {
+      val d = docsAt(f).repartition(32).persist()
+      val nd = d.count()
+      // exact self-join candidate rows: sum C(df, 2) over the distinct
+      // shingle vocabulary, uncapped vs the q84 cap
+      val dfCounts = Dedup.shingleIndex(d, "doc_id", "text", 3)
+        .groupBy("h").count().persist()
+      val candAll = dfCounts.agg(sum(expr("count * (count - 1) / 2")))
+        .first().getDouble(0).toLong
+      val candCapped = dfCounts.filter(col("count") <= 5)
+        .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0).toLong
+      println(s"[curve] op=shingle_join_candidates factor=$f rows=$nd " +
+        s"uncapped=$candAll capped_df5=$candCapped")
+      dfCounts.unpersist()
+
+      cell("q34_ngram_jaccard", f, nd)(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.2).count())
+      cell("q84_ngram_capped", f, nd)(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5,
+          maxDf = 5).count())
+      cell("q35_minhash_verified", f, nd)(
+        Dedup.minhashVerifiedPairs(d, "doc_id", "text", n = 3, k = 32,
+          bands = 8, threshold = 0.2).count())
+      cell("q36_simhash_verified", f, nd)(
+        Dedup.simhashVerifiedPairs(d, "doc_id", "text", maxHamming = 12,
+          bands = 8, threshold = 0.2).count())
+      d.unpersist()
+
+      val e = embAt(f).repartition(32).persist()
+      val ne = e.count()
+      val q8 = emb1.filter(col("vec_id") < 8)
+      cell("q50_ivf_topk", f, ne)(
+        Similarity.ivfTopK(q8, e, 10, ncells = 16, nprobe = 4).count())
+      cell("q51_embedding_dups", f, ne)(
+        Similarity.embeddingDupPairs(e, threshold = 0.95).count())
+      e.unpersist()
+    }
     spark.stop()
   }
 }
