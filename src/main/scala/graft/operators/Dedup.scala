@@ -370,6 +370,41 @@ object Dedup {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Paragraph-level EXACT dedup (the Dolma/RefinedWeb-style pass that
+    * strips boilerplate paragraphs repeated across a crawl): split each
+    * doc on `sep`, keep only the globally FIRST occurrence of every
+    * distinct paragraph (smallest (id, position) — deterministic, not
+    * partition-order), reassemble survivors in document order. Docs whose
+    * every paragraph was seen earlier disappear — exact-dup documents
+    * degenerate to this, so whole-doc dedup falls out for free.
+    *
+    * Scale shape: explode (no shuffle) -> first-occurrence via ONE
+    * min-aggregate on a 64-bit paragraph hash (map-side partials; the
+    * shuffle carries (hash, id, pos), never paragraph text) -> equality
+    * join back on the hash -> groupBy id with an array_sort reassembly
+    * (deterministic regardless of partition order). Collision risk at 64
+    * bits is ~(distinct paragraphs)^2 / 2^64 and a collision would fail
+    * the oracle gate loudly, not silently.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col("id"), col("pos"), col("para"), xxhash64(col("para")).as("h"))
+    val firsts = paras.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    paras.join(firsts, Seq("h"))
+      .filter(struct(col("id"), col("pos")) === col("first"))
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")),
+        sep).as("text"))
+      .select(col("id").as(idCol), col("text").as(textCol))
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

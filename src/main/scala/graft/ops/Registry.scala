@@ -395,6 +395,12 @@ final class Registry(spark: SparkSession) {
         threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5),
         maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
     },
+    "graft.dedup_paragraphs" -> { a =>
+      Dedup.dedupParagraphs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        sep = asStr(a.get("sep", -1).getOrElse("\n\n"), "sep"))
+    },
     "graft.cosine_topk" -> { a =>
       Similarity.bruteForceTopK(asDf(a.require("queries", 0), "queries"),
         asDf(a.require("corpus", 1), "corpus"),
@@ -642,6 +648,32 @@ final class Registry(spark: SparkSession) {
       case Some(other) => throw PipelineError(s"merge: suffixes must be a 2-list, got $other")
     }
     val suffixing = !Set("left_semi", "left_anti").contains(how)
+    // pandas merge(indicator=True|'name'): a provenance column with
+    // 'left_only'/'right_only'/'both'. Presence markers ride each side
+    // through the join (constant columns — free under codegen), so the
+    // category is pure column math, no extra pass.
+    val indicatorCol: Option[String] = a.get("indicator", -1) match {
+      case None | Some(false) => None
+      case Some(true) => Some("_merge")
+      case Some(s: String) => Some(s)
+      case Some(other) => throw PipelineError(
+        s"merge: indicator must be bool or string, got ${tn(other)}")
+    }
+    if (indicatorCol.isDefined && !suffixing) throw PipelineError(
+      "merge: indicator is meaningless for semi/anti joins (no right columns survive)")
+    def finish(l: DataFrame, r: DataFrame,
+               doJoin: (DataFrame, DataFrame) => DataFrame): DataFrame =
+      indicatorCol match {
+        case None => doJoin(l, r)
+        case Some(name) =>
+          doJoin(l.withColumn("__graft_ml", lit(true)),
+                 r.withColumn("__graft_mr", lit(true)))
+            .withColumn(name,
+              when(col("__graft_ml").isNotNull && col("__graft_mr").isNotNull, "both")
+                .when(col("__graft_ml").isNotNull, "left_only")
+                .otherwise("right_only"))
+            .drop("__graft_ml", "__graft_mr")
+      }
     def suffixed(joinKeys: Set[String]): (DataFrame, DataFrame, Map[String, String], Map[String, String]) = {
       val overlap = left.columns.toSet.intersect(right.columns.toSet) -- joinKeys
       if (overlap.isEmpty || !suffixing) (left, right, Map.empty, Map.empty)
@@ -664,22 +696,24 @@ final class Registry(spark: SparkSession) {
         val keys = asStrList(on)
         validate(keys, keys)
         val (l2, r2, _, _) = suffixed(keys.toSet)
-        l2.join(r2, keys, how)
+        finish(l2, r2, (lf, rf) => lf.join(rf, keys, how))
       case (None, Some(lo), Some(ro)) =>
         val loCols = asStrList(lo); val roCols = asStrList(ro)
         validate(loCols, roCols)
         // key names are not merged in this form, so same-named keys
         // overlap too (pandas suffixes them as well)
         val (l2, r2, lm, rm) = suffixed(Set.empty)
-        val cond = loCols.zip(roCols).map { case (l, r) =>
-          l2(lm.getOrElse(l, l)) === r2(rm.getOrElse(r, r))
-        }.reduce(_ && _)
-        l2.join(r2, cond, how)
+        finish(l2, r2, (lf, rf) => {
+          val cond = loCols.zip(roCols).map { case (l, r) =>
+            lf(lm.getOrElse(l, l)) === rf(rm.getOrElse(r, r))
+          }.reduce(_ && _)
+          lf.join(rf, cond, how)
+        })
       case _ =>
         val common = left.columns.toSet.intersect(right.columns.toSet).toSeq.sorted
         if (common.isEmpty) throw PipelineError("merge: no common columns and no 'on' given")
         validate(common, common)
-        left.join(right, common, how)
+        finish(left, right, (lf, rf) => lf.join(rf, common, how))
     }
   }
 
@@ -1563,6 +1597,21 @@ final class Registry(spark: SparkSession) {
               s"pivot_table: unsupported fill_value ${tn(other)}")
           }
       }
+    case "combine_first" =>
+      // pandas df.combine_first(other) under the explicit-key contract
+      // (`on` names the alignment keys; pandas aligns on its index): full
+      // outer join, self's values win, other's fill the holes, and rows
+      // present only in other appear. Divergence (documented): SQL null is
+      // the hole marker — float NaN is a value here, not missing.
+      val other = asDf(a.require("other", 0), "other")
+      val keys = asStrList(a.require("on", -1))
+      keys.foreach(k => if (!df.columns.contains(k) || !other.columns.contains(k))
+        throw PipelineError(s"combine_first: key '$k' must exist in both frames"))
+      val overlap = (df.columns.toSet.intersect(other.columns.toSet) -- keys).toSeq.sorted
+      val rRen = overlap.foldLeft(other)((d, c) => d.withColumnRenamed(c, s"__cf_$c"))
+      val joined = df.join(rRen, keys, "full_outer")
+      overlap.foldLeft(joined)((d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"__cf_$c"))).drop(s"__cf_$c"))
     case "unstack" =>
       // pandas long->wide reshape WITHOUT aggregation: the no-agg sibling of
       // pivot_table, i.e. df.set_index(index + [column]).unstack() — every

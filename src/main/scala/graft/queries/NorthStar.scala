@@ -180,6 +180,46 @@ object NorthStar {
         .orderBy(col("id_a"), col("id_b")),
       Some(exactJaccardOracle(0.2, None, "TRUE AS hamming_ok"))),
 
+    // Paragraph-level exact dedup (the Dolma/RefinedWeb boilerplate pass):
+    // docs get a deterministic paragraph structure (10-word chunks joined
+    // with blank lines — both engines build it identically), then only the
+    // globally FIRST occurrence of each distinct paragraph survives and
+    // docs reassemble in position order. The fixture's planted exact-dup
+    // documents vanish entirely (all their paragraphs were seen earlier),
+    // so whole-doc dedup is gated here too.
+    Q("q89_dedup_paragraphs",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        val paraText = array_join(
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
+          "\n\n")
+        val structured = t(s, d, "documents")
+          .select(col("doc_id"), paraText.as("text"))
+        Dedup.dedupParagraphs(structured, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                   FROM documents),
+        chunks AS (
+          SELECT doc_id,
+            unnest(generate_series(0,
+              CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS pos, words
+          FROM w),
+        paras AS (
+          SELECT doc_id, pos,
+            array_to_string(words[(pos*10+1):(pos*10+10)], ' ') AS para
+          FROM chunks),
+        kept AS (
+          SELECT doc_id, pos, para FROM paras
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY para
+            ORDER BY doc_id, pos) = 1)
+        SELECT doc_id,
+          string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",
       (s, d) => {

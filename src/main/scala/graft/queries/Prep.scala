@@ -479,6 +479,66 @@ object Prep {
         SELECT l_returnflag,
           MAX(CASE WHEN l_linestatus = 'F' THEN qty END) AS "F",
           MAX(CASE WHEN l_linestatus = 'O' THEN qty END) AS "O"
-        FROM lng GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lng GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // pandas merge(indicator=True): outer join with the '_merge'
+    // provenance column. Customers below 750 vs per-customer order counts:
+    // customers without orders -> left_only, order keys >= 750 ->
+    // right_only, the rest -> both — all three categories bind.
+    Q("q90_merge_indicator",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val l = t(s, d, "customer").filter(col("c_custkey") < 750)
+          .select(col("c_custkey").as("custkey"), col("c_name"))
+        val r = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("o_custkey").as("custkey"), col("n_orders"))
+        reg.callFunction("pd.merge", graft.expr.Args(kw = List(
+          "left" -> l, "right" -> r, "on" -> List("custkey"),
+          "how" -> "outer", "indicator" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        WITH l AS (SELECT c_custkey AS custkey, c_name FROM customer
+                   WHERE c_custkey < 750),
+        r AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+              FROM orders GROUP BY 1)
+        SELECT COALESCE(l.custkey, r.custkey) AS custkey, c_name, n_orders,
+          CASE WHEN l.custkey IS NOT NULL AND r.custkey IS NOT NULL THEN 'both'
+               WHEN l.custkey IS NOT NULL THEN 'left_only'
+               ELSE 'right_only' END AS _merge
+        FROM l FULL JOIN r ON l.custkey = r.custkey
+        ORDER BY custkey""")),
+
+    // pandas df.combine_first(other) under the explicit-key contract:
+    // self's values win, other's fill the holes, other-only rows appear.
+    // The base frame masks prices under 150k and drops every third order;
+    // the fallback restores both.
+    Q("q91_combine_first",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_totalprice") >= 150000, col("o_totalprice")).as("price"),
+            col("o_orderpriority"))
+        val fallback = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        reg.callMethod(base, "combine_first", graft.expr.Args(
+          pos = List(fallback), kw = List("on" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH b AS (SELECT o_orderkey,
+            CASE WHEN o_totalprice >= 150000 THEN o_totalprice END AS price,
+            o_orderpriority
+          FROM orders WHERE o_orderkey % 3 <> 0),
+        f AS (SELECT o_orderkey, o_totalprice AS price FROM orders)
+        SELECT COALESCE(b.o_orderkey, f.o_orderkey) AS o_orderkey,
+          COALESCE(b.price, f.price) AS price, o_orderpriority
+        FROM b FULL JOIN f ON b.o_orderkey = f.o_orderkey
+        ORDER BY o_orderkey"""))
   )
 }

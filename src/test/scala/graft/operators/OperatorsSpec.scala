@@ -152,6 +152,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 3L) // 1,2,3 collapse to rep 1
   }
 
+  test("paragraph dedup keeps the globally first occurrence, reassembles in order") {
+    val pdocs = Seq(
+      (1L, "alpha beta\n\nshared boilerplate line\n\ngamma delta"),
+      (2L, "shared boilerplate line\n\nunique second paragraph"),
+      (3L, "shared boilerplate line"), // ALL paragraphs seen before -> doc vanishes
+      (4L, "alpha beta\n\nepsilon zeta") // 'alpha beta' seen in doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(pdocs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(
+      1L -> "alpha beta\n\nshared boilerplate line\n\ngamma delta",
+      2L -> "unique second paragraph",
+      4L -> "epsilon zeta"))
+    // within-doc duplicate paragraphs also collapse to the first position
+    val self = Seq((7L, "same para\n\nother para\n\nsame para")).toDF("doc_id", "text")
+    val s7 = Dedup.dedupParagraphs(self, "doc_id", "text").collect()(0).getString(1)
+    assert(s7 == "same para\n\nother para")
+  }
+
   test("ngram jaccard finds the near-dup pair and not the unrelated one") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

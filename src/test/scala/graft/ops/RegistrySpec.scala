@@ -447,6 +447,48 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
   }
 
+  test("merge indicator: provenance column, custom name, semi/anti rejected") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((2L, 9.0), (3L, 8.0)).toDF("k", "rv")
+    val out = reg.callFunction("pd.merge", Args(kw = List(
+      "left" -> l, "right" -> r, "on" -> List("k"),
+      "how" -> "outer", "indicator" -> true)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toSeq
+    assert(out == Seq(1L -> "left_only", 2L -> "both", 3L -> "right_only"))
+    // indicator='name' picks the column name, like pandas
+    val named = reg.callFunction("pd.merge", Args(kw = List(
+      "left" -> l, "right" -> r, "on" -> List("k"),
+      "how" -> "left", "indicator" -> "origin")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(named.columns.contains("origin"))
+    val e = intercept[Exception] {
+      reg.callFunction("pd.merge", Args(kw = List(
+        "left" -> l, "right" -> r, "on" -> List("k"),
+        "how" -> "semi", "indicator" -> true)))
+    }
+    assert(e.getMessage.contains("indicator"))
+  }
+
+  test("combine_first: self wins, other fills holes and adds missing rows") {
+    val self = Seq((1L, Option(10.0), "x"), (2L, Option.empty[Double], "y"))
+      .toDF("k", "v", "tag")
+    val other = Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val out = m(self, "combine_first", "other" -> other, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (1L, Some(10.0), Some("x")),   // self value wins
+      (2L, Some(20.0), Some("y")),   // hole filled from other
+      (3L, Some(30.0), None)))       // other-only row appears
+    val e = intercept[Exception] {
+      m(self, "combine_first", "other" -> other, "on" -> List("missing"))
+    }
+    assert(e.getMessage.contains("combine_first"))
+  }
+
   test("unstack: no-agg long->wide; duplicate cells raise like pandas") {
     val long = Seq(("r1", "F", 1.5), ("r1", "O", 2.5), ("r2", "F", 3.5))
       .toDF("k", "st", "v")
