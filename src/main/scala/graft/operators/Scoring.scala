@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics document scoring (north star; the CCNet-style quality
+  * signal used to rank crawl text before training): fit a unigram language
+  * model on the corpus itself, then score each document by its mean
+  * negative log-probability. Low scores = text made of common words
+  * (fluent but possibly boilerplate); high scores = rare-token soup (OCR
+  * noise, code, gibberish) — both tails get filtered in practice.
+  */
+object Scoring {
+
+  /** Per-document mean negative log-probability under the corpus' own
+    * unigram distribution. Returns (id, n_tokens, avg_neg_logprob),
+    * rounded to 6 places (ln ulp differs across libm implementations).
+    *
+    * Scale shape: ONE aggregation fits the vocabulary (map-side partials;
+    * the shuffle carries (word, count)), the scalar token total rides a
+    * broadcast cross join (never an empty-partition window), and scoring
+    * is an equality join tokens->vocab (broadcast when the vocabulary
+    * fits, shuffled hash otherwise — AQE decides) followed by a groupBy
+    * id. No all-pairs anything, no driver-side loops.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    toks.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-org.apache.spark.sql.functions.log(col("c") / col("t"))), 6)
+          .as("avg_neg_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_neg_logprob"))
+  }
+}

@@ -395,6 +395,11 @@ final class Registry(spark: SparkSession) {
         threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.5),
         maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
     },
+    "graft.unigram_logprob" -> { a =>
+      graft.operators.Scoring.unigramLogProb(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.dedup_paragraphs" -> { a =>
       Dedup.dedupParagraphs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

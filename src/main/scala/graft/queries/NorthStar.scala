@@ -220,6 +220,24 @@ object NorthStar {
           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
         FROM kept GROUP BY doc_id ORDER BY doc_id""")),
 
+    // CCNet-style unigram log-prob quality scoring: the corpus fits its
+    // own unigram LM (one vocabulary aggregation), every doc scores as the
+    // mean -ln p(w) of its tokens via an equality join. round(6) absorbs
+    // ln/avg libm ulp drift between engines.
+    Q("q92_unigram_logprob",
+      (s, d) => graft.operators.Scoring
+        .unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents),
+        vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT SUM(c) AS t FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          round(AVG(-ln(c / t)), 6) AS avg_neg_logprob
+        FROM toks JOIN vocab USING (w), tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",
       (s, d) => {

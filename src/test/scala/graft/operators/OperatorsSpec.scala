@@ -172,6 +172,24 @@ class DedupSpec extends AnyFunSuite {
     assert(s7 == "same para\n\nother para")
   }
 
+  test("unigram log-prob: common-word docs score lower than rare-word docs") {
+    // corpus: 'common' appears 6x, each rare word once -> 10 tokens total
+    val sdocs = Seq(
+      (1L, "common common common"),
+      (2L, "common common common"),
+      (3L, "rare1 rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Scoring.unigramLogProb(sdocs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(3L, 3L, 4L))
+    val pCommon = 6.0 / 10
+    val pRare = 1.0 / 10
+    assert(math.abs(out(0)._3 - -math.log(pCommon)) < 1e-6)
+    assert(math.abs(out(2)._3 - -math.log(pRare)) < 1e-6)
+    assert(out(0)._3 < out(2)._3, "common text is more probable under the corpus LM")
+  }
+
   test("ngram jaccard finds the near-dup pair and not the unrelated one") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
