@@ -1768,6 +1768,41 @@ final class Registry(spark: SparkSession) {
       }
     case fn if aggFns.contains(fn) => aggAll(g, fn)
     case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
+    case "quantile" =>
+      // pandas groupby().quantile(q, interpolation='linear'): EXACT
+      // per-group quantiles. Spark's `percentile` aggregate is the exact
+      // sort-based one with linear interpolation — the same definition as
+      // pandas' default and DuckDB's quantile_cont, so no approx drift.
+      val q = a.get("q", 0).map(_.toString.toDouble).getOrElse(0.5)
+      require(q >= 0 && q <= 1, "quantile: q must be in [0, 1]")
+      val keySet = g.keyNames.toSet
+      val cols = a.get("columns", -1).map(asStrList).getOrElse(
+        g.df.schema.fields.filter(f => !keySet.contains(f.name) &&
+          f.dataType.isInstanceOf[NumericType]).map(_.name).toList)
+      require(cols.nonEmpty, "quantile: no numeric columns to aggregate")
+      def qid(c: String) = "`" + c.replace("`", "``") + "`"
+      val aggs = cols.map(c =>
+        expr(s"percentile(${qid(c)}, CAST($q AS DOUBLE))").as(c))
+      g.df.groupBy(g.keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    case "filter" =>
+      // pandas groupby().filter(pred): keep the ROWS of every group whose
+      // group-level AGGREGATE predicate holds (e.g. "count(*) >= 5",
+      // "sum(v) > 100"). One tiny aggregate of the qualifying keys + a
+      // semi join back — the data shuffles once on the keys, and the
+      // original columns survive untouched (length-preserving per group,
+      // like pandas).
+      val cond = asStr(a.require("cond", 0), "cond")
+      // keys materialize under temp names first so DERIVED group keys
+      // (e.g. a Grouper's calendar bucket) join back correctly too
+      val tmpNames = g.keyCols.indices.map(i => s"__graft_k$i")
+      val withKeys = g.keyCols.zip(tmpNames).foldLeft(g.df) {
+        case (d, (c, n)) => d.withColumn(n, c)
+      }
+      val qualifying = withKeys.groupBy(tmpNames.map(col): _*)
+        .agg(expr(cond).as("__graft_keep"))
+        .filter(col("__graft_keep"))
+        .select(tmpNames.map(col): _*)
+      withKeys.join(qualifying, tmpNames, "left_semi").drop(tmpNames: _*)
     case "head" =>
       // pandas groupby().head(n) under the explicit-ordering contract
       // (pandas uses row order; a distributed frame needs named keys).

@@ -539,6 +539,54 @@ object Prep {
         SELECT COALESCE(b.o_orderkey, f.o_orderkey) AS o_orderkey,
           COALESCE(b.price, f.price) AS price, o_orderpriority
         FROM b FULL JOIN f ON b.o_orderkey = f.o_orderkey
+        ORDER BY o_orderkey""")),
+
+    // pandas groupby().quantile(0.25): EXACT per-group quantiles — Spark's
+    // `percentile` aggregate (sort-based, linear interpolation) is the
+    // same definition as pandas' default and DuckDB's quantile_cont.
+    // round(6) absorbs interpolation-formula ulp differences.
+    Q("q93_group_quantile",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+        val g = reg.callMethod(li, "groupby", graft.expr.Args(kw = List(
+          "by" -> List("l_returnflag", "l_linestatus"))))
+        reg.callMethod(g, "quantile", graft.expr.Args(kw = List("q" -> 0.25)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_quantity"), 6).as("q_quantity"),
+            round(col("l_extendedprice"), 6).as("q_price"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q_quantity,
+          round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS q_price
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pandas groupby().filter(pred): rows of groups whose aggregate
+    // predicate holds. Decimal-exact sum keeps the cutoff engine-
+    // independent; the qualifying-keys frame is tiny and semi-joins back.
+    Q("q94_group_filter",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val g = reg.callMethod(o, "groupby", graft.expr.Args(kw = List(
+          "by" -> "o_custkey")))
+        reg.callMethod(g, "filter", graft.expr.Args(pos = List(
+          "count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(25,4))) > 1500000")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          HAVING COUNT(*) >= 12
+             AND SUM(CAST(o_totalprice AS DECIMAL(25,4))) > 1500000)
         ORDER BY o_orderkey"""))
   )
 }

@@ -447,6 +447,35 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
   }
 
+  test("groupby quantile: exact per-group linear interpolation, like pandas") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0)).toDF("k", "v")
+    val g = m(d, "groupby", "by" -> "k")
+    val med = reg.callMethod(g, "quantile", Args(kw = List("q" -> 0.5)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(med.toSeq == Seq("a" -> 2.5, "b" -> 5.0))
+    // q=0.25 over [1,2,3,10]: index 0.75 -> 1 + 0.75*(2-1) = 1.75
+    val q1 = reg.callMethod(g, "quantile", Args(kw = List("q" -> 0.25)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(_.getDouble(1))
+    assert(math.abs(q1(0) - 1.75) < 1e-12)
+  }
+
+  test("groupby filter keeps rows of qualifying groups only") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0)).toDF("k", "v")
+    val g = m(d, "groupby", "by" -> "k")
+    val bySize = reg.callMethod(g, "filter", Args(pos = List("count(*) >= 3")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(bySize.map(_._1).forall(_ == "a") && bySize.length == 3,
+      "all of group a survives with original rows; b drops")
+    val bySum = reg.callMethod(g, "filter", Args(pos = List("sum(v) > 50")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getString(0))
+    assert(bySum.toSeq == Seq("b"))
+  }
+
   test("merge indicator: provenance column, custom name, semi/anti rejected") {
     val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
     val r = Seq((2L, 9.0), (3L, 8.0)).toDF("k", "rv")
