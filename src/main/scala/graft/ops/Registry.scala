@@ -360,6 +360,22 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"DataFrame expects dict data, got ${tn(other)}")
       }
     },
+    "pd.date_range" -> { a =>
+      // calendar spine generator (pandas date_range): inclusive endpoints,
+      // stride from `start` — anchored frequencies (W-MON etc.) belong to
+      // Grouper; this is the plain D/H/min spine pipelines join against
+      val start = asStr(a.require("start", 0), "start")
+      val end = asStr(a.require("end", 1), "end")
+      val step = a.get("freq", 2).map(asStr(_, "freq")).getOrElse("D") match {
+        case "D" => "interval 1 day"
+        case "H" | "h" => "interval 1 hour"
+        case "T" | "min" => "interval 1 minute"
+        case other => throw PipelineError(
+          s"date_range: unsupported freq '$other' (D/H/min; anchored weeks -> pd.Grouper)")
+      }
+      spark.range(1).select(explode(sequence(
+        to_timestamp(lit(start)), to_timestamp(lit(end)), expr(step))).as("ts"))
+    },
     "spark.sql" -> { a => spark.sql(asStr(a.require("query", 0), "query")) },
     "spark.table" -> { a => spark.table(asStr(a.require("name", 0), "name")) },
     "spark.read_parquet" -> { a => spark.read.parquet(readPath(a)) },

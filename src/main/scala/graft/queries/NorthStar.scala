@@ -238,6 +238,28 @@ object NorthStar {
         FROM toks JOIN vocab USING (w), tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Corpus top-k n-grams by occurrence (the boilerplate/contamination
+    // census run before choosing df-caps): one count aggregation over the
+    // custom single-pass WordShingles expression, then a deterministic
+    // top-20 (count desc, gram asc) that Catalyst plans as
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    Q("q95_top_ngrams",
+      (s, d) => t(s, d, "documents")
+        .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(20),
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                      FROM documents),
+        idx AS (SELECT doc_id, w,
+            unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        g0 AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        allg AS (SELECT g FROM g0 UNION ALL SELECT g FROM short)
+        SELECT g, COUNT(*) AS n FROM allg
+        GROUP BY g ORDER BY n DESC, g LIMIT 20""")),
+
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",
       (s, d) => {

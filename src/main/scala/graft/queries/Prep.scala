@@ -587,6 +587,22 @@ object Prep {
           SELECT o_custkey FROM orders GROUP BY o_custkey
           HAVING COUNT(*) >= 12
              AND SUM(CAST(o_totalprice AS DECIMAL(25,4))) > 1500000)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // pandas pd.date_range: the calendar spine pipelines join against
+    // (inclusive endpoints, stride from start). Both engines generate the
+    // same timestamp sequence.
+    Q("q96_date_range",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("pd.date_range", graft.expr.Args(
+          pos = List("1995-01-01", "1995-03-01"), kw = List("freq" -> "D")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("ts"))
+      },
+      Some("""
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+          TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS ts
+        ORDER BY ts"""))
   )
 }

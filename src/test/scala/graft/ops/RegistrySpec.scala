@@ -447,6 +447,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
   }
 
+  test("date_range: inclusive endpoints, D/H strides, anchored freq rejected") {
+    val days = reg.callFunction("pd.date_range", Args(
+      pos = List("2024-01-01", "2024-01-10"), kw = List("freq" -> "D")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect().map(_.getTimestamp(0).toString)
+    assert(days.length == 10)
+    assert(days.head.startsWith("2024-01-01") && days.last.startsWith("2024-01-10"))
+    val hours = reg.callFunction("pd.date_range", Args(
+      pos = List("2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+      kw = List("freq" -> "H")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+    assert(hours == 7)
+    val e = intercept[Exception] {
+      reg.callFunction("pd.date_range", Args(
+        pos = List("2024-01-01", "2024-02-01"), kw = List("freq" -> "W-MON")))
+    }
+    assert(e.getMessage.contains("date_range"))
+  }
+
   test("groupby quantile: exact per-group linear interpolation, like pandas") {
     val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
       ("b", 5.0)).toDF("k", "v")
