@@ -1,9 +1,72 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Per-run environment snapshot taken right after a query's runs complete.
+    * In local mode, shuffle files are only reclaimed when the owning RDD is
+    * garbage-collected (ContextCleaner), so cross-query accumulation shows up
+    * here as a monotonically growing shuffle_mb — recording it per run turns
+    * "the driver box was degraded" from a narrative into an auditable field.
+    */
+  private final case class RunEnv(load1: Double, heapMb: Long, shuffleMb: Long) {
+    def json(t: Double): String =
+      s"""{"t":$t,"load1":$load1,"heap_mb":$heapMb,"shuffle_mb":$shuffleMb}"""
+  }
+
+  private def dirSizeBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles).map(_.iterator.map(dirSizeBytes).sum).getOrElse(0L)
+    else f.length
+
+  /** Size of Spark's local scratch (blockmgr-* shuffle dirs + spark-* temp)
+    * under java.io.tmpdir — the DiskBlockManager's localDirs are private to
+    * Spark, but in local mode they always live under the tmpdir with these
+    * prefixes. */
+  private def shuffleDirMB(): Long = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+      .iterator
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
+      .map(dirSizeBytes).sum / (1024L * 1024L)
+  }
+
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def heapUsedMB(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory - rt.freeMemory) / (1024L * 1024L)
+  }
+
+  private def snapEnv(): RunEnv = RunEnv(load1(), heapUsedMB(), shuffleDirMB())
+
+  private def jsonEscape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+
+  /** One-time machine record per sweep: core count, memory headroom at start,
+    * and the JVM flags the harness launched with — so a builder-vs-driver
+    * wall-time gap is attributable on sight rather than by reconstruction. */
+  private def machineBlock(): String = {
+    val cpus = Runtime.getRuntime.availableProcessors
+    val (memTotal, memAvail) =
+      try {
+        val lines = scala.io.Source.fromFile("/proc/meminfo").getLines().toSeq
+        def kb(k: String) = lines.find(_.startsWith(k))
+          .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+        (kb("MemTotal:"), kb("MemAvailable:"))
+      } catch { case _: Throwable => (-1L, -1L) }
+    val flags = jsonEscape(
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.mkString(" "))
+    s"""{"cpus":$cpus,"mem_total_mb":$memTotal,"mem_available_mb":$memAvail,"load1_start":${load1()},"jvm_flags":"$flags"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val machine = machineBlock()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,6 +77,12 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // In local mode shuffle files survive until their RDD is GC'd; across
+      // ~100 queries x 3 runs that accumulates tens of GB of dead shuffle
+      // spill and degrades the page cache exactly where the heavy dedup
+      // queries need it. Periodic driver GC lets the ContextCleaner reclaim
+      // them continuously instead of never.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,7 +122,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
-      def once(): Option[Double] = {
+      def once(): Option[(Double, RunEnv)] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -68,11 +137,16 @@ object Bench {
         // tracked operator caches are always droppable.
         graft.operators.Caches.release()
         if (!cacheTables) spark.catalog.clearCache()
-        if (ok) Some(secs) else None
+        // Force a full GC so the ContextCleaner reclaims the shuffle files of
+        // the RDDs this run just dropped — without it the next query inherits
+        // this one's shuffle spill on disk (the r6 driver bench escalated
+        // monotonically within single-query sweeps for exactly this reason).
+        System.gc()
+        if (ok) Some((secs, snapEnv())) else None
       }
       val base = (1 to runsN).flatMap(_ => once())
       if (base.size < runsN) (name, base, true)
-      else if (base.head > extraRunAbove) {
+      else if (base.head._1 > extraRunAbove) {
         val extra = once()
         (name, base ++ extra.toSeq, extra.isEmpty)
       } else (name, base, false)
@@ -83,7 +157,7 @@ object Bench {
     val ok = results.collect { case (n, ts, false) => (n, ts) }
     val failed = results.collect { case (n, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val total = ok.map(_._2.min).sum
+    val total = ok.map(_._2.map(_._1).min).sum
     // Full-precision per-query record goes to a FILE: the driver keeps only
     // a 2000-char stdout tail, and 83 full query names alone are ~2.3 KB —
     // rounds 1-4 lost q01-q19 to exactly that truncation. The stdout JSON
@@ -91,19 +165,25 @@ object Bench {
     // prefixes and pointing at the file for the full names.
     val benchFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")).getAbsoluteFile
-    val fullQs = ok.map { case (k, ts) => s"\"$k\":${ts.min}" }
+    val fullQs = ok.map { case (k, ts) => s"\"$k\":${ts.map(_._1).min}" }
       .mkString("{", ",", "}")
     // ALL run times per query, not just the min: a query that is bimodal
     // across identical-code runs (persist churn, ambient load) is visible in
     // the artifact itself instead of only by diffing two rounds' records.
-    val fullRuns = ok.map { case (k, ts) => s"\"$k\":${ts.mkString("[", ",", "]")}" }
+    val fullRuns = ok.map { case (k, ts) =>
+      s"\"$k\":${ts.map(_._1).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"runs":$fullRuns,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
+    // per-run environment rows: wall time + 1-min loadavg + JVM heap used +
+    // Spark local-dir (shuffle) size, sampled at the end of each run
+    val fullEnv = ok.map { case (k, ts) =>
+      s"\"$k\":${ts.map { case (t, e) => e.json(t) }.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"runs":$fullRuns,"runs_env":$fullEnv,"machine":$machine,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(benchFile.toPath, fullJson + "\n")
     val shortQs = ok.map { case (k, ts) =>
       // Locale.ROOT: a comma decimal separator would corrupt the JSON
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        "%.3f".formatLocal(java.util.Locale.ROOT, ts.min)
+        "%.3f".formatLocal(java.util.Locale.ROOT, ts.map(_._1).min)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir","file":"$benchFile"}""")
     spark.stop()
