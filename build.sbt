@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap floor: without -Xms, G1 uncommits memory after the forced
+  // GCs the bench/cleaner issue and re-faults the pages back on the next
+  // heavy query (kernel-time churn). G1 never shrinks below -Xms, so this
+  // removes the uncommit/refault cycle without AlwaysPreTouch's multi-second
+  // startup page-fault storm (measured: pre-touch made first-run times worse).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default GC threads scale with the 32 host cpus; a bench JVM using 8-32
+  // worker threads doesn't need 23 more for GC ping-pong
+  "-XX:ParallelGCThreads=8",
 )

@@ -8,9 +8,10 @@ object Bench {
     * here as a monotonically growing shuffle_mb — recording it per run turns
     * "the driver box was degraded" from a narrative into an auditable field.
     */
-  private final case class RunEnv(load1: Double, heapMb: Long, shuffleMb: Long) {
+  private final case class RunEnv(load1: Double, heapMb: Long, shuffleMb: Long,
+                                  threads: Int) {
     def json(t: Double): String =
-      s"""{"t":$t,"load1":$load1,"heap_mb":$heapMb,"shuffle_mb":$shuffleMb}"""
+      s"""{"t":$t,"load1":$load1,"heap_mb":$heapMb,"shuffle_mb":$shuffleMb,"threads":$threads}"""
   }
 
   private def dirSizeBytes(f: java.io.File): Long =
@@ -40,7 +41,8 @@ object Bench {
     (rt.totalMemory - rt.freeMemory) / (1024L * 1024L)
   }
 
-  private def snapEnv(): RunEnv = RunEnv(load1(), heapUsedMB(), shuffleDirMB())
+  private def snapEnv(): RunEnv = RunEnv(load1(), heapUsedMB(), shuffleDirMB(),
+    java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount)
 
   private def jsonEscape(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
@@ -83,6 +85,19 @@ object Bench {
       // queries need it. Periodic driver GC lets the ContextCleaner reclaim
       // them continuously instead of never.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // The broadcast-exchange pool's 128-thread default is sized for a busy
+      // multi-tenant driver; across ~100 queries the cached pool swells and
+      // (with the block-manager async pools) pushed this JVM past 500
+      // threads — safepoints and futex wakes over that census made identical
+      // runs bimodal by 5-8x. 16 concurrent broadcast builds is ample here.
+      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
+      // let AQE coalesce shuffle partitions INSIDE cached plans: the dedup
+      // operators persist small intermediate frames (signatures, candidate
+      // pairs), and without this flag every read of a cached subtree keeps
+      // the full shuffle-partition fan-out — at local[32] that is 32
+      // near-empty tasks per stage across ~30 stages, pure scheduler
+      // overhead (q36 measured 3x slower at 32 threads than 8 due to it)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

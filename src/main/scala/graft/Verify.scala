@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // match Bench: keep the thread census flat and let AQE coalesce
+      // cached-plan shuffles (see Bench.scala for the measured rationale)
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +35,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop operator-internal persists between queries (see Bench)
+      graft.operators.Caches.release()
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

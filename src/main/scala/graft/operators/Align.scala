@@ -32,9 +32,9 @@ object Align {
     concatColumns(dfs, orderBy = Nil)
 
   /** As [[concatColumns]], but when `orderBy` names columns present in every
-    * frame, positions come from `row_number()` over that explicit order —
-    * staying entirely inside Catalyst (codegen, column pruning, AQE), where
-    * the RDD zipWithIndex path exits it.
+    * frame, positions come from the explicit key order — staying entirely
+    * inside Catalyst (codegen, column pruning, AQE), where the RDD
+    * zipWithIndex path exits it.
     *
     * Contract (ENFORCED): the `orderBy` keys must be UNIQUE within every
     * frame — with duplicate keys each frame breaks ties independently,
@@ -42,11 +42,15 @@ object Align {
     * count guards the contract inside the plan (`raise_error` on the first
     * duplicate key), so a violation fails the job loudly at execution
     * instead of corrupting alignment; no extra driver-side action, and the
-    * check distributes (partitionBy the keys). Trade-off: the global window
-    * sorts each frame in ONE task (fine for the small/medium frames
-    * positional concat is for), where zipWithIndex numbers partitions
-    * locally; prefer the keyless form for cluster-scale frames, this one
-    * for optimizer visibility.
+    * check distributes (partitionBy the keys).
+    *
+    * Scale shape: positions come from a DISTRIBUTED range sort —
+    * `repartitionByRange(keys)` + partition-local sort + the zipWithIndex
+    * offset scheme (partition-local index + per-partition count prefix sums)
+    * expressed in DataFrame operators, so no task ever sorts the whole
+    * frame. The only global window runs over the per-partition COUNTS — one
+    * row per shuffle partition, bounded by spark.sql.shuffle.partitions,
+    * never by the data.
     */
   def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String]): DataFrame = {
     require(dfs.nonEmpty, "concatColumns needs at least one frame")
@@ -78,32 +82,58 @@ object Align {
     joined.drop(POS)
   }
 
-  /** Attach a 0-based global position column. With `orderBy` keys:
-    * `row_number()` over the explicit order — pure Catalyst, pruning and
-    * codegen preserved. Without: RDD zipWithIndex reflecting the frame's
-    * current row order (partition-local numbering + a partition offset
-    * scan), the honest fallback when no key expresses the order.
+  /** Attach a 0-based global position column. With `orderBy` keys: a
+    * DISTRIBUTED range sort — `repartitionByRange` + partition-local sort,
+    * positions = partition-local index (from `monotonically_increasing_id`'s
+    * partition encoding) + a prefix-sum of per-partition counts — pure
+    * Catalyst, pruning and codegen preserved, no whole-frame single-task
+    * sort. Without keys: RDD zipWithIndex reflecting the frame's current
+    * row order, the honest fallback when no key expresses the order.
     */
   def withPosition(df: DataFrame, posCol: String = POS,
                    orderBy: Seq[String] = Nil): DataFrame =
     if (orderBy.nonEmpty) {
-      log.warn("withPosition(orderBy): global single-partition window sort " +
-        "of the whole frame — fine for small/medium frames; use the " +
-        "keyless (zipWithIndex) form for cluster-scale inputs")
       import org.apache.spark.sql.expressions.Window
+      val keys = orderBy.map(col(_).asc)
       // uniqueness guard: duplicate order keys would let each frame break
       // ties independently (non-deterministic pairing), so the position
       // expression raises on the first duplicate it sees — checked per
-      // partition-by-key window task, lazily, with no extra action
+      // partition-by-key window task, lazily, with no extra action. Computed
+      // BEFORE the range exchange; the flag rides along as a column.
       val keyCount = count(lit(1)).over(Window.partitionBy(orderBy.map(col): _*))
-      val pos = row_number().over(Window.orderBy(orderBy.map(col(_).asc): _*)).cast(LongType) - 1L
-      df.withColumn(posCol,
-        when(keyCount > 1, raise_error(concat(
-          lit(s"concat axis=1: duplicate order key (${orderBy.mkString(", ")}) = ("),
-          concat_ws(", ", orderBy.map(c => col(c).cast(StringType)): _*),
-          lit(") — positional pairing of tied rows would be " +
-            "non-deterministic; make the key unique or use the keyless " +
-            "(zipWithIndex) form")))).otherwise(pos))
+      // range-partition by the keys (equal keys land in ONE partition, so
+      // the sort order is globally total across partitions), sort locally,
+      // and read the partition-local index off monotonically_increasing_id's
+      // bit layout: (partition id << 33) | local row index. Both derived
+      // columns are deterministic given the sorted layout, so the two plan
+      // consumers below (counts + main) agree via the reused exchange.
+      val ranged = df
+        .withColumn("__align_kc", keyCount)
+        .repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .withColumn("__align_mid", monotonically_increasing_id())
+        .withColumn("__align_pid", shiftrightunsigned(col("__align_mid"), 33))
+        .withColumn("__align_loc", col("__align_mid").bitwiseAND(lit((1L << 33) - 1)))
+        .drop("__align_mid")
+      // per-partition counts -> exclusive prefix sums = partition offsets.
+      // The global window here runs over ONE ROW PER SHUFFLE PARTITION
+      // (<= spark.sql.shuffle.partitions), never over the data.
+      val offsets = ranged.groupBy(col("__align_pid"))
+        .agg(count(lit(1)).as("__align_cnt"))
+        .withColumn("__align_off", coalesce(
+          sum(col("__align_cnt")).over(Window.orderBy(col("__align_pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__align_pid"), col("__align_off"))
+      ranged.join(broadcast(offsets), Seq("__align_pid"))
+        .withColumn(posCol,
+          when(col("__align_kc") > 1, raise_error(concat(
+            lit(s"concat axis=1: duplicate order key (${orderBy.mkString(", ")}) = ("),
+            concat_ws(", ", orderBy.map(c => col(c).cast(StringType)): _*),
+            lit(") — positional pairing of tied rows would be " +
+              "non-deterministic; make the key unique or use the keyless " +
+              "(zipWithIndex) form"))))
+            .otherwise(col("__align_off") + col("__align_loc")))
+        .drop("__align_kc", "__align_pid", "__align_loc", "__align_off")
     } else {
       val spark = df.sparkSession
       val schema = df.schema

@@ -25,20 +25,38 @@ object Caches {
     */
   private[graft] def persistTracked(
       df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      eager: Boolean = false): DataFrame = {
     val p = df.persist(level)
     tracked.add(p)
+    // Eager materialization for frames that fan out into CONCURRENT consumer
+    // subtrees (AQE submits independent query stages in parallel): a lazily
+    // persisted frame whose first readers race each other gets its upstream
+    // DAG recomputed once per racing subtree — observed as a bimodal 5-8x
+    // task-CPU inflation on the simhash query (and the driver-side
+    // "Block rdd_N already exists" warnings are its signature). One count()
+    // pays the compute exactly once, before any consumer can race.
+    // `graft.lazy.caches=true` restores lazy behavior (probe/A-B hook).
+    if (eager && !sys.props.get("graft.lazy.caches").contains("true")) p.count()
     p
   }
 
-  /** Unpersist every tracked frame (non-blocking) and forget the handles.
+  /** Unpersist every tracked frame (BLOCKING) and forget the handles.
     * Safe at any time — unpersist only forfeits re-read speed, never
     * correctness — but intended for after consuming actions finish.
+    *
+    * Blocking on purpose: non-blocking unpersist dispatches every block
+    * removal through the block-manager's async ask/storage pools, and a
+    * release() burst after each query swelled those cached pools to their
+    * 100-thread caps (observed: a 540-thread bench JVM whose safepoint +
+    * futex wake storms made identical dedup runs bimodal by 5-8x). The
+    * synchronous removal of a handful of small frames is milliseconds and
+    * keeps the session's thread census flat.
     */
   def release(): Unit = {
     var f = tracked.poll()
     while (f != null) {
-      if (f.storageLevel != StorageLevel.NONE) f.unpersist(blocking = false)
+      if (f.storageLevel != StorageLevel.NONE) f.unpersist(blocking = true)
       f = tracked.poll()
     }
   }

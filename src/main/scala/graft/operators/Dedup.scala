@@ -91,7 +91,7 @@ object Dedup {
     val capped = Caches.persistTracked(
       sh.withColumn("__df", count(lit(1)).over(w))
         .filter(col("__df") <= maxDf)
-        .drop("__df"))
+        .drop("__df"), eager = true)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -141,7 +141,8 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)))
+    val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)),
+      eager = true)
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -243,7 +244,7 @@ object Dedup {
       case Some(idx) => idx.join(ids, Seq("id"), "left_semi")
       case None => hashedShingles(df, idCol, textCol, n)
         .join(ids, Seq("id"), "left_semi").distinct()
-    })
+    }, eager = true)
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -297,9 +298,10 @@ object Dedup {
     // Persisted `est`: the candidate frame feeds the exact-verify subtree
     // (ids + semi-join) AND the final estimate re-join — without persist
     // the whole banding self-join recomputes per consumer.
-    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k))
+    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k),
+      eager = true)
     val est = Caches.persistTracked(minhashPairsOf(sigs, k, bands,
-      threshold = 0.0, maxBucket = maxBucket))
+      threshold = 0.0, maxBucket = maxBucket), eager = true)
     val exact = exactJaccardOf(df, est.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(est, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
@@ -316,7 +318,8 @@ object Dedup {
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int, bands: Int = 8, n: Int = 3,
                            threshold: Double = 0.2,
-                           maxBucket: Int = 10000): DataFrame = {
+                           maxBucket: Int = 10000,
+                           auditMod: Int = 8): DataFrame = {
     // Hamming pre-filter with BOUNDED slack above the acceptance bound — NOT
     // at maxHamming itself, which would make the hamming_ok gate tautological
     // (every surviving row trivially true). With the slack band, a true
@@ -341,8 +344,20 @@ object Dedup {
     val cands = Caches.persistTracked(
       simhashPairs(df, idCol, textCol, maxHamming = verifyBound,
         bands = bands, maxBucket = maxBucket),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
+    // Exact-verify the FULL acceptance set (hamming <= maxHamming) but only a
+    // deterministic 1/auditMod hash-sample of the slack band above it: the
+    // slack band's only job is falsifiability of hamming_ok, and a sketch
+    // regression that pushes true near-dups past maxHamming is a population-
+    // level drift — a fixed-rate audit surfaces it (as hamming_ok=false rows)
+    // at 1/auditMod of the verify cost instead of paying exact Jaccard on a
+    // band several times larger than the accepted set. The sample key is
+    // xxhash64(id_a, id_b): pair-deterministic across runs/partitionings, so
+    // the output stays reproducible. auditMod=1 audits the whole band (the
+    // drifting-pair spec uses it to pin the surface-not-drop property).
+    val verifySet = cands.filter(col("hamming") <= maxHamming ||
+      pmod(xxhash64(col("id_a"), col("id_b")), lit(auditMod)) === 0)
+    val exact = exactJaccardOf(df, verifySet.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(cands, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -431,7 +446,8 @@ object Dedup {
     // the candidate re-join); without persist Spark recomputes the shingle
     // aggregation three times. One row of k longs per doc — tiny even at
     // billions of docs.
-    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k))
+    val sigs = Caches.persistTracked(minhashSigs(df, idCol, textCol, n, k),
+      eager = true)
     minhashPairsOf(sigs, k, bands, threshold, maxBucket)
   }
 

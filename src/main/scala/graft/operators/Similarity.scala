@@ -93,7 +93,7 @@ object Similarity {
     // sides of the vector re-join
     val sigs = Caches.persistTracked(
       df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        srpSignature(col(vecCol), planes).as("sig")))
+        srpSignature(col(vecCol), planes).as("sig")), eager = true)
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.config.PipelineError
@@ -243,10 +244,13 @@ final class Registry(spark: SparkSession) {
       case Left(p) => r.csv(p)
       case Right(ds) => r.csv(ds)
     }
-    def reader = {
-      val base = spark.read.option("header", hasHeader.toString).option("sep", sep)
-      if (naValues.nonEmpty) base.option("nullValue", naValues.head) else base
-    }
+    // NB: nullValue stays at Spark's default (empty string). pandas
+    // keep_default_na=True (its default) ADDS na_values to the built-in NA
+    // set — overriding nullValue with the user token would silently turn
+    // empty string-typed fields into "" instead of null. All user tokens go
+    // through the mask path below instead.
+    def reader =
+      spark.read.option("header", hasHeader.toString).option("sep", sep)
     // one inference pass fixes the base schema; names + dtype rewrite it
     // BEFORE the data read, so overridden columns parse at their final type
     val inferred = read(reader.option("inferSchema", "true")).schema
@@ -265,14 +269,18 @@ final class Registry(spark: SparkSession) {
     val schema = StructType(renamed.map(f =>
       dtypeMap.get(f.name).map(t => f.copy(dataType = sparkType(t))).getOrElse(f)))
     val raw =
-      if (naValues.size <= 1) read(reader.schema(schema))
+      if (naValues.isEmpty) read(reader.schema(schema))
       else {
-        // several sentinels: parse every column as string, mask ALL the
-        // tokens to null, cast to the final schema (dtype=str columns skip
-        // the cast entirely, so their values survive verbatim)
+        // user sentinels EXTEND the default NA set (pandas keep_default_na):
+        // parse every column as string, mask the tokens to null, cast to the
+        // final schema (dtype=str columns skip the cast entirely, so their
+        // values survive verbatim). "" joins the token list so a QUOTED
+        // empty field (which bypasses the reader's nullValue) still reads as
+        // null, matching pandas.
+        val tokens = (naValues :+ "").distinct
         val allStr = StructType(schema.fields.map(f => f.copy(dataType = StringType)))
         schema.fields.foldLeft(read(reader.schema(allStr))) { (d, f) =>
-          val masked = when(col(f.name).isin(naValues: _*), lit(null))
+          val masked = when(col(f.name).isin(tokens: _*), lit(null))
             .otherwise(col(f.name))
           d.withColumn(f.name, masked.cast(f.dataType))
         }
@@ -373,8 +381,49 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(
           s"date_range: unsupported freq '$other' (D/H/min; anchored weeks -> pd.Grouper)")
       }
-      spark.range(1).select(explode(sequence(
-        to_timestamp(lit(start)), to_timestamp(lit(end)), expr(step))).as("ts"))
+      // pandas returns an EMPTY DatetimeIndex when end < start; Spark's
+      // sequence() instead throws (step sign must match direction), so
+      // guard the ordering and emit an empty spine with the same schema
+      spark.range(1).select(explode(when(
+        to_timestamp(lit(start)) <= to_timestamp(lit(end)),
+        sequence(to_timestamp(lit(start)), to_timestamp(lit(end)), expr(step)))
+        .otherwise(array().cast("array<timestamp>"))).as("ts"))
+    },
+    "pd.wide_to_long" -> { a =>
+      // pandas pd.wide_to_long(df, stubnames, i, j, sep, suffix): columns
+      // named <stub><sep><suffix> unpivot into one row per (i, suffix) with
+      // a column per stub; stubs missing a suffix pad with null. Lowering:
+      // one struct per suffix -> explode — a generator, no shuffle, and the
+      // suffix set comes from the SCHEMA (driver-side, tiny), never a data
+      // scan.
+      val df = asDf(a.require("df", 0), "df")
+      val stubs = asStrList(a.require("stubnames", 1))
+      val i = asStrList(a.require("i", 2))
+      val j = asStr(a.require("j", 3), "j")
+      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse("")
+      val suffixRe = a.get("suffix", -1).map(asStr(_, "suffix")).getOrElse("\\d+")
+      val pat = ("^(" + stubs.map(java.util.regex.Pattern.quote).mkString("|") + ")" +
+        java.util.regex.Pattern.quote(sep) + "(" + suffixRe + ")$").r
+      // stub -> (suffix -> source column)
+      val matched: Map[String, Map[String, String]] = df.columns.toList
+        .flatMap(c => pat.findFirstMatchIn(c).map(m => (m.group(1), m.group(2), c)))
+        .groupBy(_._1).map { case (st, ms) => st -> ms.map(t => t._2 -> t._3).toMap }
+      if (matched.isEmpty) throw PipelineError(
+        s"wide_to_long: no columns match stubnames ${stubs.mkString(", ")}")
+      val suffixes = matched.values.flatMap(_.keys).toList.distinct.sorted
+      def stubType(st: String) =
+        matched.get(st).flatMap(_.values.headOption).map(df.schema(_).dataType)
+          .getOrElse(StringType)
+      val rows = suffixes.map { s =>
+        struct((lit(s).as(j) +: stubs.map { st =>
+          matched.get(st).flatMap(_.get(s)) match {
+            case Some(c) => col(c).as(st)
+            case None => lit(null).cast(stubType(st)).as(st)
+          }
+        }): _*)
+      }
+      df.select(i.map(col) :+ explode(array(rows: _*)).as("__w2l"): _*)
+        .select(i.map(col) ++ (j +: stubs).map(c => col(s"__w2l.`$c`")): _*)
     },
     "spark.sql" -> { a => spark.sql(asStr(a.require("query", 0), "query")) },
     "spark.table" -> { a => spark.table(asStr(a.require("name", 0), "name")) },
@@ -682,6 +731,13 @@ final class Registry(spark: SparkSession) {
     }
     if (indicatorCol.isDefined && !suffixing) throw PipelineError(
       "merge: indicator is meaningless for semi/anti joins (no right columns survive)")
+    // pandas raises ValueError when the indicator name already exists in
+    // either input — withColumn would silently OVERWRITE the user's column
+    indicatorCol.foreach { name =>
+      if (left.columns.contains(name) || right.columns.contains(name))
+        throw PipelineError(
+          s"merge: cannot use name of an existing column for indicator column ('$name')")
+    }
     def finish(l: DataFrame, r: DataFrame,
                doJoin: (DataFrame, DataFrame) => DataFrame): DataFrame =
       indicatorCol match {
@@ -772,6 +828,17 @@ final class Registry(spark: SparkSession) {
             "§7.4): unpivot with melt/stack, then groupby the 'variable' column")
       }
       groupByImpl(df, a.require("by", 0),
+        a.get("dropna", -1).map(asBool(_, true)).getOrElse(true))
+    case "resample" =>
+      // pandas df.resample(freq, on=ts) downsample surface: sugar for
+      // groupby(pd.Grouper(key=on, freq=freq)) — one Grouped result, so the
+      // whole agg family (agg/sum/max/quantile/...) applies unchanged.
+      // Freq parsing is GrouperSpec's (shared with pd.Grouper, incl. W-MON
+      // anchored weeks). Upsampling (fill onto a finer grid) stays the
+      // dedicated `upsample` method.
+      val freq = asStr(a.require("freq", 0), "freq")
+      val key = asStr(a.require("on", 1), "on")
+      groupByImpl(df, GrouperSpec(key, freq),
         a.get("dropna", -1).map(asBool(_, true)).getOrElse(true))
     case "filter" | "query" =>
       df.filter(asStr(a.require("expr", 0), "filter expr"))
@@ -1365,20 +1432,33 @@ final class Registry(spark: SparkSession) {
         } else
           (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
             a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))
-      val f: Column => Column = fn match {
-        case "mean" => avg
-        case "sum" => sum
-        case "min" => min
-        case "max" => max
-        case "count" => count
-        case "std" => stddev_samp
-        case other => throw PipelineError(s"$name: unsupported func '$other'")
-      }
+      // pandas rolling().apply(fn): func='apply' + fn=<registered name>
+      // resolves a named window-frame function from the compiled SPI
+      // (Registry.registerRollingFn) — never runtime code injection, same
+      // contract as step UDFs. The SPI signature is (column, frame) =>
+      // result because not every exact statistic is expressible as a plain
+      // framed aggregate (Spark's `median` rejects window frames; the
+      // built-in uses array_sort(collect_list) over the frame instead).
+      val (fnLabel, f): (String, (Column, org.apache.spark.sql.expressions.WindowSpec) => Column) =
+        fn match {
+          case "mean" => ("mean", (c, wf) => avg(c).over(wf))
+          case "sum" => ("sum", (c, wf) => sum(c).over(wf))
+          case "min" => ("min", (c, wf) => min(c).over(wf))
+          case "max" => ("max", (c, wf) => max(c).over(wf))
+          case "count" => ("count", (c, wf) => count(c).over(wf))
+          case "std" => ("std", (c, wf) => stddev_samp(c).over(wf))
+          case "apply" =>
+            val fname = asStr(a.require("fn", -1), "fn")
+            (fname, Registry.rollingFn(fname).getOrElse(throw PipelineError(
+              s"$name.apply: no registered rolling fn '$fname' " +
+                "(Registry.registerRollingFn)")))
+          case other => throw PipelineError(s"$name: unsupported func '$other'")
+        }
       cols.foldLeft(df) { (d, c) =>
         // pandas counts NON-NULL observations toward min_periods
         val nObs = count(col(c)).over(w)
-        d.withColumn(s"${c}_$fn",
-          when(nObs >= minPeriods, f(col(c)).over(w)))
+        d.withColumn(s"${c}_$fnLabel",
+          when(nObs >= minPeriods, f(col(c), w)))
       }
     case "replace" =>
       // pandas df.replace(to_replace=dict) scoped to the given columns;
@@ -1655,6 +1735,26 @@ final class Registry(spark: SparkSession) {
           .otherwise(raise_error(lit(
             "unstack: index contains duplicate entries, cannot reshape — " +
               s"more than one row per (${(index :+ key).mkString(", ")}) cell"))))
+    case "stack" =>
+      // pandas wide->long: the inverse of unstack. Every non-index column
+      // becomes a (column, value) row pair; dropna=True (the pandas
+      // default) drops null cells — exactly what makes
+      // `stack(unstack(df)) == df` on unique-index frames, since unstack
+      // pads missing cells with null. Pure generator expression (Spark's
+      // stack), no shuffle.
+      val index = asStrList(a.require("index", -1))
+      val varName = a.get("var_name", -1).map(asStr(_, "var_name")).getOrElse("column")
+      val valName = a.get("value_name", -1).map(asStr(_, "value_name")).getOrElse("value")
+      val dropna = a.get("dropna", -1).forall(asBool(_, default = true))
+      val valueVars = df.columns.filterNot(index.contains).toList
+      if (valueVars.isEmpty) throw PipelineError(
+        "stack: no non-index columns to stack")
+      def qid(c: String) = "`" + c.replace("`", "``") + "`"
+      def qlit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val stackArgs = valueVars.map(v => s"${qlit(v)}, ${qid(v)}").mkString(", ")
+      val long = df.select(index.map(col) :+
+        expr(s"stack(${valueVars.size}, $stackArgs) AS (${qid(varName)}, ${qid(valName)})"): _*)
+      if (dropna) long.filter(col(valName).isNotNull) else long
     case "count" => df.count()
     case "nunique" =>
       // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),
@@ -1921,6 +2021,29 @@ object Registry {
   private[ops] def extension(name: String): Option[Args => Any] = extras.get(name)
   private[ops] def hasPrefix(name: String): Boolean =
     extras.keysIterator.exists(_.startsWith(name + "."))
+
+  /** SPI for rolling/expanding `.apply(fn)`: a NAMED window-frame function
+    * `(column, frame) => result` — compiled and registered, mirroring
+    * [[register]] for step functions. `median` ships built in: exact, via
+    * `array_sort(collect_list)` over the frame (Spark's `median` aggregate
+    * rejects window frames), matching pandas' default interpolation and
+    * DuckDB `quantile_cont(0.5)` — (a+b)/2 at even counts.
+    */
+  private val rollingFns =
+    scala.collection.concurrent.TrieMap[String, (Column, WindowSpec) => Column](
+      "median" -> { (c: Column, w: WindowSpec) =>
+        val arr = array_sort(collect_list(c).over(w))
+        val n = size(arr)
+        // integer indices via shift (element_at demands INT; `/` is double)
+        when(n % 2 === 1, element_at(arr, shiftright(n + 1, 1)))
+          .otherwise(
+            (element_at(arr, shiftright(n, 1)) +
+              element_at(arr, shiftright(n, 1) + 1)) / 2)
+      })
+  def registerRollingFn(name: String, fn: (Column, WindowSpec) => Column): Unit =
+    rollingFns(name) = fn
+  private[ops] def rollingFn(name: String): Option[(Column, WindowSpec) => Column] =
+    rollingFns.get(name)
 }
 
 /** Sink helpers. */

@@ -189,7 +189,10 @@ object NorthStar {
     // so whole-doc dedup is gated here too.
     Q("q89_dedup_paragraphs",
       (s, d) => {
-        val words = split(col("text"), " ")
+        // tokenize exactly like the oracle's regexp_extract_all('\S+'):
+        // \s+ split plus empty-token filter, so consecutive/leading
+        // whitespace in a fixture can never skew the word arrays
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
         val nChunks = ceil(size(words) / lit(10.0)).cast("int")
         val paraText = array_join(
           transform(sequence(lit(0), nChunks - 1),

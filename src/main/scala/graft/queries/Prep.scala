@@ -603,6 +603,117 @@ object Prep {
       Some("""
         SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
           TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS ts
-        ORDER BY ts"""))
+        ORDER BY ts""")),
+
+    // pandas df.resample('W-MON', on=ts).agg(...): the downsample surface —
+    // sugar over groupby(pd.Grouper), so freq parsing and the W-MON
+    // bin-end labeling are exactly q23's. Decimal-exact sum for parity.
+    Q("q97_resample_weekly",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(col("o_orderdate").as("od"),
+          col("o_totalprice").cast(DecimalType(25, 4)).as("price"))
+        val g = reg.callMethod(o, "resample", graft.expr.Args(
+          pos = List("W-MON"), kw = List("on" -> "od")))
+        reg.callMethod(g, "agg", graft.expr.Args(
+          pos = List(Map("price" -> List("sum", "count")))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(date_format(col("od"), "yyyy-MM-dd").as("week"),
+            col("price_sum").cast(DoubleType).as("sum_price"),
+            col("price_count").as("n"))
+          .orderBy(col("week"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('week', o_orderdate - INTERVAL 1 DAY)
+            + INTERVAL 7 DAY, '%Y-%m-%d') AS week,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+          COUNT(o_totalprice) AS n
+        FROM orders GROUP BY 1 ORDER BY week""")),
+
+    // pandas stack: inverse of unstack. The gate runs the ROUND TRIP —
+    // q88's unstack output stacked back — and the oracle is the original
+    // long frame, so stack must both undo the widening and drop the
+    // null-padded cells (pandas dropna=True) exactly.
+    Q("q98_stack_roundtrip",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val long = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("qty"))
+        val wide = reg.callMethod(long, "unstack", graft.expr.Args(kw = List(
+          "index" -> List("l_returnflag"), "column" -> "l_linestatus",
+          "value" -> "qty", "pivot_values" -> List("F", "O"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(wide, "stack", graft.expr.Args(kw = List(
+          "index" -> List("l_returnflag"),
+          "var_name" -> "l_linestatus", "value_name" -> "qty")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pandas pd.wide_to_long: stub-prefixed year columns back to tidy rows.
+    // The wide frame (per-priority sales by year) is built identically in
+    // both engines; missing cells stay null (pandas keeps NaN rows).
+    Q("q99_wide_to_long",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+        val wide = o.groupBy(col("o_orderpriority")).agg(
+          dsum(when(year(col("o_orderdate")) === 1995, col("o_totalprice")))
+            .as("sales1995"),
+          dsum(when(year(col("o_orderdate")) === 1996, col("o_totalprice")))
+            .as("sales1996"))
+        reg.callFunction("pd.wide_to_long", graft.expr.Args(
+          pos = List(wide, List("sales"), List("o_orderpriority"), "year")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderpriority"),
+            col("year").cast(IntegerType).as("year"), col("sales"))
+          .orderBy(col("o_orderpriority"), col("year"))
+      },
+      Some("""
+        WITH w AS (SELECT o_orderpriority,
+            CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+              THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS sales1995,
+            CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS sales1996
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, 1995 AS year, sales1995 AS sales FROM w
+        UNION ALL
+        SELECT o_orderpriority, 1996 AS year, sales1996 AS sales FROM w
+        ORDER BY o_orderpriority, year""")),
+
+    // pandas rolling(7).apply(median) via the compiled rolling-fn SPI:
+    // Spark's `median` window aggregate is the exact sort-based one, the
+    // same definition as DuckDB's quantile_cont(0.5) — pandas default
+    // min_periods=window nulls the short head frames. round(6) absorbs
+    // interpolation ulp.
+    Q("q100_rolling_apply_median",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        reg.callMethod(o, "rolling", graft.expr.Args(kw = List(
+          "window" -> 7L, "columns" -> List("o_totalprice"),
+          "func" -> "apply", "fn" -> "median",
+          "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_orderpriority"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice_median"), 6).as("roll_median"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+          CASE WHEN COUNT(o_totalprice) OVER w >= 7
+            THEN round(quantile_cont(o_totalprice, 0.5) OVER w, 6) END
+            AS roll_median
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""))
   )
 }

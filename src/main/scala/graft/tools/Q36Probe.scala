@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Dev harness for the q36 within-JVM runtime bimodality: runs the simhash
+  * verified-pairs query N times in one session, recording per-run stage
+  * durations (listener) and the AQE-final join choices, so a slow run's
+  * excess time is attributable to a specific stage instead of a narrative.
+  * Usage: sbt "runMain graft.tools.Q36Probe [runs] [sfDir]"
+  */
+object Q36Probe {
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.map(_.toInt).getOrElse(6)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("probe.periodicGC", "1min"))
+      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    final case class St(id: Int, name: String, wallMs: Long, runMs: Long,
+                        cpuMs: Long, gcMs: Long, spillMB: Long,
+                        shReadMB: Long, shWriteMB: Long, tasks: Int)
+    val stages = mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        val m = si.taskMetrics
+        stages.synchronized {
+          stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(40), dur,
+            m.executorRunTime, m.executorCpuTime / 1000000, m.jvmGCTime,
+            (m.memoryBytesSpilled + m.diskBytesSpilled) / (1 << 20),
+            m.shuffleReadMetrics.totalBytesRead / (1 << 20),
+            m.shuffleWriteMetrics.bytesWritten / (1 << 20), si.numTasks)
+        }
+      }
+    })
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (1 to runs).foreach { i =>
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val df = graft.operators.Dedup.simhashVerifiedPairs(
+        docs, "doc_id", "text", maxHamming = 12, bands = 8, threshold = 0.2)
+      val n = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.operators.Caches.release()
+      spark.catalog.clearCache()
+      System.gc()
+      val snap = stages.synchronized(stages.toVector)
+      val top = snap.sortBy(-_.wallMs).take(8)
+      val sumWall = snap.map(_.wallMs).sum / 1e3
+      val sumRun = snap.map(_.runMs).sum / 1e3
+      val sumCpu = snap.map(_.cpuMs).sum / 1e3
+      val sumGc = snap.map(_.gcMs).sum / 1e3
+      val nThreads = java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
+      println(f"RUN $i: $secs%.2f s  rows=$n  stages=${snap.size}  threads=$nThreads  sumWall=$sumWall%.1f sumTaskRun=$sumRun%.1f sumCpu=$sumCpu%.1f sumGc=$sumGc%.1f")
+      top.foreach { s =>
+        println(f"   stage ${s.id}%4d wall=${s.wallMs / 1e3}%7.2fs run=${s.runMs / 1e3}%7.2fs cpu=${s.cpuMs / 1e3}%7.2fs gc=${s.gcMs / 1e3}%5.2fs spill=${s.spillMB}%dM shR=${s.shReadMB}%dM shW=${s.shWriteMB}%dM t=${s.tasks}%d ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -263,11 +263,34 @@ class DedupSpec extends AnyFunSuite {
       .collect().head.getInt(2)
     assert(h >= 1, s"fixture near-dup pair must differ in >= 1 signature bit (got $h)")
     val out = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
-      maxHamming = h - 1, bands = 8, threshold = 0.2)
+      maxHamming = h - 1, bands = 8, threshold = 0.2, auditMod = 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
     assert(out.contains((1L, 4L)), "pair within verify slack must still surface")
     assert(!out((1L, 4L)), "hamming above maxHamming must read hamming_ok=false")
     assert(out.get((1L, 2L)).forall(identity), "identical pair stays hamming_ok=true")
+  }
+
+  test("simhash slack audit is a deterministic pair-hash sample") {
+    // same drifting-pair setup as above, but at the default audit rate: the
+    // slack pair surfaces iff its xxhash64(id_a, id_b) falls in the sample —
+    // computed independently here, so the test pins BOTH outcomes (appears
+    // flagged-false when sampled, absent when not) without depending on
+    // which way the fixture's hash happens to land
+    val h = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 63, bands = 8)
+      .filter(col("id_a") === 1L && col("id_b") === 4L)
+      .collect().head.getInt(2)
+    val sampled = spark.range(1)
+      .select((pmod(xxhash64(lit(1L), lit(4L)), lit(8)) === 0).as("s"))
+      .collect().head.getBoolean(0)
+    val out = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+      maxHamming = h - 1, bands = 8, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+    assert(out.contains((1L, 4L)) == sampled,
+      s"slack pair present iff hash-sampled (sampled=$sampled)")
+    if (sampled) assert(!out((1L, 4L)))
+    // the acceptance core is never sampled away
+    assert(out.get((1L, 2L)).forall(identity), "core pair always verified")
+    assert(out.contains((1L, 2L)), "hamming<=max pair must always surface")
   }
 
   test("verified-pairs caches are tracked and released without clearCache") {
@@ -366,6 +389,11 @@ class AlignSpec extends AnyFunSuite {
     // the window path must not exit Catalyst: no RDD scan nodes in the plan
     assert(!keyed.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
       "order-keyed positions must stay in Catalyst (no zipWithIndex round trip)")
+    // and the ordering must be DISTRIBUTED: a range exchange (not a global
+    // single-partition window sort of the frame) assigns positions
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"ordered concat must range-partition by the key, plan was:\n$plan")
     val e = intercept[IllegalArgumentException] {
       Align.concatColumns(Seq(a, b.drop("t")), orderBy = Seq("t"))
     }

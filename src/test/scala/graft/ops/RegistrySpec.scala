@@ -360,6 +360,82 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("rolling apply(median) resolves from the rolling-fn SPI") {
+    val d = Seq((1L, 1.0), (2L, 100.0), (3L, 2.0), (4L, 3.0)).toDF("t", "x")
+    val out = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "func" -> "apply", "fn" -> "median", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    // median of [1,100,2] = 2; [100,2,3] = 3; head frames null
+    assert(out.toSeq == Seq(None, None, Some(2.0), Some(3.0)))
+    // unknown fn fails loudly with the SPI hint
+    val e = intercept[Exception] {
+      m(d, "rolling", "columns" -> List("x"), "window" -> 2L,
+        "func" -> "apply", "fn" -> "nope", "order_by" -> List("t"))
+    }
+    assert(e.getMessage.contains("registerRollingFn"))
+    // user-registered fn resolves (compiled SPI, like step functions)
+    Registry.registerRollingFn("span", (c, w) =>
+      org.apache.spark.sql.functions.max(c).over(w) -
+        org.apache.spark.sql.functions.min(c).over(w))
+    try {
+      val sp = m(d, "rolling", "columns" -> List("x"), "window" -> 2L,
+        "func" -> "apply", "fn" -> "span", "order_by" -> List("t"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .orderBy("t").collect().map(r => Option(r.get(2)))
+      assert(sp.toSeq == Seq(None, Some(99.0), Some(98.0), Some(1.0)))
+    } finally ()
+  }
+
+  test("resample is groupby(Grouper): weekly downsample agg") {
+    val d = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-09", 4.0))
+      .toDF("day", "x").withColumn("day", col("day").cast("date"))
+    val g = reg.callMethod(d, "resample", Args(
+      pos = List("W-MON"), kw = List("on" -> "day")))
+    val out = mp(g, "agg", Map("x" -> "sum"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
+    // W-MON labels by bin END: Mon 2024-01-01 -> itself; Tue 01-02 and
+    // Tue 01-09 -> the following Mondays
+    assert(out == Seq(("2024-01-01", 1.0), ("2024-01-08", 2.0),
+      ("2024-01-15", 4.0)))
+  }
+
+  test("stack inverts unstack on unique-index frames (dropna drops padding)") {
+    val long = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("k", "c", "v") // (b, y) missing -> unstack pads null
+    val wide = m(long, "unstack", "index" -> List("k"), "column" -> "c",
+      "value" -> "v").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val back = m(wide, "stack", "index" -> List("k"),
+      "var_name" -> "c", "value_name" -> "v")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(back == Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)),
+      "unstack . stack must be the identity (null padding dropped)")
+    // dropna=false keeps the padded cell
+    val keep = m(wide, "stack", "index" -> List("k"), "dropna" -> false)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(keep.count() == 4)
+  }
+
+  test("wide_to_long unpivots stub-suffixed columns; missing suffix pads null") {
+    val wide = Seq((1L, 10.0, 20.0, 5.0), (2L, 30.0, 40.0, 6.0))
+      .toDF("id", "rev2000", "rev2001", "cost2000") // cost2001 absent
+    val out = reg.callFunction("pd.wide_to_long", Args(
+      pos = List(wide, List("rev", "cost"), List("id"), "yr")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("id", "yr").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3))))
+      .toSeq
+    assert(out == Seq(
+      (1L, "2000", Some(10.0), Some(5.0)),
+      (1L, "2001", Some(20.0), None),
+      (2L, "2000", Some(30.0), Some(6.0)),
+      (2L, "2001", Some(40.0), None)))
+  }
+
   test("duplicated keep first/last/false; get_dummies unknown category -> all zeros") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     def flags(keep: String) =
@@ -464,6 +540,11 @@ class RegistrySpec extends AnyFunSuite {
         pos = List("2024-01-01", "2024-02-01"), kw = List("freq" -> "W-MON")))
     }
     assert(e.getMessage.contains("date_range"))
+    // pandas: end < start yields an EMPTY DatetimeIndex, not an error
+    val empty = reg.callFunction("pd.date_range", Args(
+      pos = List("2024-01-10", "2024-01-01"), kw = List("freq" -> "D")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(empty.columns.toSeq == Seq("ts") && empty.count() == 0)
   }
 
   test("groupby quantile: exact per-group linear interpolation, like pandas") {
@@ -517,6 +598,14 @@ class RegistrySpec extends AnyFunSuite {
         "how" -> "semi", "indicator" -> true)))
     }
     assert(e.getMessage.contains("indicator"))
+    // pandas ValueError: indicator name colliding with an existing column —
+    // never silently overwrite user data
+    val collide = intercept[Exception] {
+      reg.callFunction("pd.merge", Args(kw = List(
+        "left" -> l, "right" -> r, "on" -> List("k"),
+        "how" -> "outer", "indicator" -> "rv")))
+    }
+    assert(collide.getMessage.contains("existing column"))
   }
 
   test("combine_first: self wins, other fills holes and adds missing rows") {
@@ -1123,6 +1212,27 @@ class RegistrySpec extends AnyFunSuite {
       (None, Some(2.5)),          // 'NA' code masked
       (Some("007"), Some(1.5)),
       (Some("042"), None)))       // '-' masked then cast
+  }
+
+  test("read_csv na_values EXTENDS the default NA set: empty fields stay null") {
+    // pandas keep_default_na=True (default): user sentinels ADD to the
+    // built-in set, so an empty string-typed field must remain NaN/null —
+    // overriding the reader's nullValue with the user token would lose it
+    val dir = java.nio.file.Files.createTempDirectory("csvnaempty")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(f,
+      "name,v\nalice,1\n,2\n\"\",3\nNA,4\n")
+    val out = reg.callFunction("pd.read_csv", Args(
+      pos = List(f.toString),
+      kw = List("na_values" -> "NA", "dtype" -> Map("name" -> "str"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val rows = out.orderBy("v").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1))).toSeq
+    assert(rows == Seq(
+      (Some("alice"), 1),
+      (None, 2),   // unquoted empty: default NA, must survive na_values=
+      (None, 3),   // quoted empty: pandas treats as NaN too
+      (None, 4)))  // the user sentinel
   }
 
   test("read_csv compression='gzip' reads a .gz file (codec by extension)") {
