@@ -100,6 +100,56 @@ object Text {
       greatest(size(sh), lit(1)).cast(DoubleType)
   }
 
+  /** RefinedWeb/Dolma-style LINE-level structural cleaning: drop lines that
+    * are too short, digit-dominated, bullet fragments, or ellipsis-truncated
+    * teasers, and rejoin the survivors. Array HOFs only — codegen'd,
+    * zero shuffle: the per-document pass a 100 TB cleanse must be.
+    * Thresholds use multiply-compare (digits <= frac * len), exact in IEEE
+    * for the shipped fractions, so an external oracle reproduces the same
+    * keep set bit-for-bit.
+    */
+  def cleanLines(text: Column, minChars: Int = 10,
+                 maxDigitFrac: Double = 0.5): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      val digits = length(regexp_replace(t, "[^0-9]", "")).cast(DoubleType)
+      length(t) >= minChars &&
+        digits <= lit(maxDigitFrac) * length(t).cast(DoubleType) &&
+        !t.rlike("^[-*\\u2022]\\s") &&
+        !t.rlike("(\\.\\.\\.|\\u2026)$")
+    })
+    array_join(kept, "\n")
+  }
+
+  /** Gopher-style document quality GATES (public Gopher-paper bounds):
+    * word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio (#/ellipsis) <= 0.1, <= 90% of lines bullet-led, <= 30% of lines
+    * ellipsis-terminated. Returns a struct of per-gate booleans + `keep`
+    * (their conjunction) — hard gates, not a score, exactly how public
+    * corpus pipelines stage them before model-based filtering.
+    */
+  def gopherGates(text: Column): Column = {
+    val words = tokenCountWs(text).cast(DoubleType)
+    val mwl = meanWordLen(text)
+    val symRatio = regexp_count(text, lit("[#\\u2026]")).cast(DoubleType) /
+      greatest(words, lit(1.0))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^[-*\\u2022]"))).cast(DoubleType) / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast(DoubleType) / nLines
+    val wordsOk = words >= 50 && words <= 100000
+    val mwlOk = mwl >= 3.0 && mwl <= 10.0
+    val symOk = symRatio <= 0.1
+    val bulletOk = bulletFrac <= 0.9
+    val ellipsisOk = ellipsisFrac <= 0.3
+    struct(
+      wordsOk.as("words_ok"), mwlOk.as("mwl_ok"), symOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"), ellipsisOk.as("ellipsis_ok"),
+      (wordsOk && mwlOk && symOk && bulletOk && ellipsisOk).as("keep"))
+  }
+
   /** Language-marker scores: count of high-frequency function words per
     * language (n-gram/stopword heuristic language ID).
     */

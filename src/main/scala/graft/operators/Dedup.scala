@@ -143,23 +143,27 @@ object Dedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)),
       eager = true)
-    val banded = sigs.select(col("id"),
+    // the banded rows CARRY the full signature (+8 bytes/row) so the hamming
+    // cut evaluates INSIDE the banding join: at the q36 config the 8-bit
+    // band space holds ~2^11 buckets, and the raw bucket join emits ~N^2-ish
+    // rows as buckets saturate (measured 6.7M pair rows on the 5k-doc
+    // fixture) — filtering them down to the accepted population before the
+    // distinct means the shuffle only ever carries accepted pairs, not the
+    // raw bucket blow-up. bit_count(xor) per joined row is codegen'd scalar
+    // math, orders of magnitude cheaper than exchanging the row.
+    val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bval"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bval"))
     val capped = capBuckets(banded, Seq("band", "bval"), maxBucket)
-    val cand = capped.as("a").join(capped.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          && col("a.id") < col("b.id")
+          && bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Per-doc minhash signatures via explode + ONE aggregate pass: k

@@ -263,6 +263,110 @@ object NorthStar {
         SELECT g, COUNT(*) AS n FROM allg
         GROUP BY g ORDER BY n DESC, g LIMIT 20""")),
 
+    // RefinedWeb/Dolma-style LINE-level cleanse: docs get a deterministic
+    // line structure (8-word chunks) with four injected noise lines —
+    // a bullet fragment, a digit-dominated line, a too-short line, an
+    // ellipsis teaser — and the cleanse must drop exactly the offending
+    // lines in both engines (multiply-compare thresholds keep the digit
+    // gate IEEE-exact).
+    Q("q101_line_cleanse",
+      (s, d) => {
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+        val chunked = array_join(
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")),
+          "\n")
+        val noisy = concat_ws("\n", lit("• special offer"),
+          lit("123 4567 89"), lit("ok"), lit("Read more..."), chunked)
+        t(s, d, "documents")
+          .select(col("doc_id"), Text.cleanLines(noisy).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                   FROM documents),
+        c AS (SELECT doc_id,
+            list_transform(
+              generate_series(0, CAST(ceil(len(words) / 8.0) AS INT) - 1),
+              i -> array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS chunks
+          FROM w),
+        n AS (SELECT doc_id,
+            '• special offer' || chr(10) || '123 4567 89' || chr(10) ||
+            'ok' || chr(10) || 'Read more...' || chr(10) ||
+            array_to_string(chunks, chr(10)) AS t
+          FROM c)
+        SELECT doc_id,
+          array_to_string(list_filter(string_split(t, chr(10)), l ->
+            length(trim(l)) >= 10
+            AND length(regexp_replace(trim(l), '[^0-9]', '', 'g'))
+                <= 0.5 * length(trim(l))
+            AND NOT regexp_matches(trim(l), '^[-*•]\s')
+            AND NOT regexp_matches(trim(l), '(\.\.\.|…)$')),
+          chr(10)) AS text
+        FROM n ORDER BY doc_id""")),
+
+    // Gopher-paper document quality gates as hard booleans. The corpus rows
+    // exercise the typical path; four synthetic rows (built from identical
+    // literals in both engines) pin each gate's FAILING branch: all-bullet
+    // doc, two-letter-word doc, symbol-soup doc, ellipsis-teaser doc.
+    Q("q102_gopher_gates",
+      (s, d) => {
+        val synth = s.range(1).select(explode(array(
+          struct(lit(9000001L).as("doc_id"),
+            lit("• a\n• b\n• c").as("text")),
+          struct(lit(9000002L).as("doc_id"),
+            concat(repeat(lit("ab "), 59), lit("ab")).as("text")),
+          struct(lit(9000003L).as("doc_id"),
+            concat(repeat(lit("# "), 59), lit("#")).as("text")),
+          struct(lit(9000004L).as("doc_id"),
+            lit("alpha beta...\ngamma delta...").as("text")))).as("r"))
+          .select(col("r.doc_id"), col("r.text"))
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val g = Text.gopherGates(col("text"))
+        base.unionByName(synth)
+          .select(col("doc_id"), g.getField("words_ok").as("words_ok"),
+            g.getField("mwl_ok").as("mwl_ok"),
+            g.getField("symbol_ok").as("symbol_ok"),
+            g.getField("bullet_ok").as("bullet_ok"),
+            g.getField("ellipsis_ok").as("ellipsis_ok"),
+            g.getField("keep").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES
+            (9000001, '• a' || chr(10) || '• b' || chr(10) || '• c'),
+            (9000002, repeat('ab ', 59) || 'ab'),
+            (9000003, repeat('# ', 59) || '#'),
+            (9000004, 'alpha beta...' || chr(10) || 'gamma delta...'))
+            v(doc_id, text)),
+        sig AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS words,
+            CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+              / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mwl,
+            CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+              / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)
+              AS sym_ratio,
+            CAST(len(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+              / greatest(len(string_split(text, chr(10))), 1) AS bullet_frac,
+            CAST(len(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+              / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_frac
+          FROM docs)
+        SELECT doc_id,
+          words >= 50 AND words <= 100000 AS words_ok,
+          mwl >= 3.0 AND mwl <= 10.0 AS mwl_ok,
+          sym_ratio <= 0.1 AS symbol_ok,
+          bullet_frac <= 0.9 AS bullet_ok,
+          ellipsis_frac <= 0.3 AS ellipsis_ok,
+          (words >= 50 AND words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AS keep
+        FROM sig ORDER BY doc_id""")),
+
     // Brute-force cosine top-k (exact ANN baseline).
     Q("q37_cosine_topk",
       (s, d) => {

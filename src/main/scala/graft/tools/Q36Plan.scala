@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: AQE-final plan + join-strategy comparison for the simhash
+  * verified-pairs query at ScaleStress replica factors — chasing the
+  * non-monotone q36 cell (4x slower than 8x). Prints the join nodes of the
+  * executed plan per factor.
+  * Usage: sbt "runMain graft.tools.Q36Plan 4,8"
+  */
+object Q36Plan {
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(4, 8))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    def docsAt(f: Int): DataFrame =
+      if (f == 1) docs1
+      else spark.range(f).crossJoin(docs1).select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1x', CAST(id AS STRING)))")
+          .as("text"))
+    for (f <- factors) {
+      val d = docsAt(f).repartition(32).persist(); d.count()
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.simhashVerifiedPairs(
+        d, "doc_id", "text", maxHamming = 12, bands = 8, threshold = 0.2)
+      val n = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"FACTOR $f: $secs%.1f s out=$n")
+      val plan = out.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Exchange") || l.contains("Sort ") ||
+          l.contains("Aggregate")).take(40)
+        .foreach(l => println("   " + l.trim.take(160)))
+      graft.operators.Caches.release()
+      spark.catalog.clearCache()
+      d.unpersist(true)
+      System.gc()
+    }
+    spark.stop()
+  }
+}

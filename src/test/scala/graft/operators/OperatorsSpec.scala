@@ -692,6 +692,41 @@ class TextSpec extends AnyFunSuite {
     assert(rows(1L).getDouble(4) > 0.0)
   }
 
+  test("cleanLines drops bullet/digit/short/ellipsis lines, keeps prose") {
+    val txt = Seq(
+      "this is a perfectly fine prose line",
+      "• bullet fragment here",   // bullet-led -> dropped
+      "123 4567 890 55",          // digit-dominated -> dropped
+      "short",                    // < minChars -> dropped
+      "click to read more...",    // ellipsis teaser -> dropped
+      "another decent line of text survives").mkString("\n")
+    val out = Seq((1L, txt)).toDF("id", "text")
+      .select(Text.cleanLines(col("text")).as("c")).collect().head.getString(0)
+    assert(out == "this is a perfectly fine prose line\nanother decent line of text survives")
+  }
+
+  test("gopherGates: each gate fails on its pathological doc, passes on prose") {
+    val prose = ("the quick brown fox jumps over the lazy dog and keeps " * 6).trim
+    val docs = Seq(
+      (1L, prose),                               // 60 words, mwl ~4 -> keep
+      (2L, "• a\n• b\n• c"),                     // bullets + too few words
+      (3L, ("ab " * 59).trim + " ab"),           // mwl 2 -> mwl_ok false
+      (4L, ("# " * 59).trim + " #"),             // symbol soup
+      (5L, "alpha beta...\ngamma delta...")      // every line ellipsis-ends
+    ).toDF("id", "text")
+      .select(col("id"), Text.gopherGates(col("text")).as("g"))
+      .select(col("id"), col("g.words_ok"), col("g.mwl_ok"), col("g.symbol_ok"),
+        col("g.bullet_ok"), col("g.ellipsis_ok"), col("g.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(docs(1L) == ((true, true, true, true, true, true)), s"prose: ${docs(1L)}")
+    assert(!docs(2L)._1 && !docs(2L)._4 && !docs(2L)._6, "bullets doc fails")
+    assert(docs(3L)._1 && !docs(3L)._2 && !docs(3L)._6, "two-letter doc fails mwl only on that gate")
+    assert(!docs(4L)._3 && !docs(4L)._6, "symbol soup fails symbol gate")
+    assert(!docs(5L)._5 && !docs(5L)._6, "ellipsis doc fails ellipsis gate")
+  }
+
   test("redactPii replaces emails and IPv4s; piiCount counts placeholders inserted") {
     val df = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 today"),
