@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default GC threads scale with the 32 host cpus; a bench JVM using 8-32
   // worker threads doesn't need 23 more for GC ping-pong
   "-XX:ParallelGCThreads=8",
+  // ~100 oracle queries x several codegen'd stages each: the default 240 MB
+  // code cache is tight once forced GCs stop unloading generated classes
+  // every run (see Bench.once) — a full cache disables the JIT outright
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -9,9 +9,9 @@ object Bench {
     * "the driver box was degraded" from a narrative into an auditable field.
     */
   private final case class RunEnv(load1: Double, heapMb: Long, shuffleMb: Long,
-                                  threads: Int) {
+                                  threads: Int, codeCacheMb: Long, jitMs: Long) {
     def json(t: Double): String =
-      s"""{"t":$t,"load1":$load1,"heap_mb":$heapMb,"shuffle_mb":$shuffleMb,"threads":$threads}"""
+      s"""{"t":$t,"load1":$load1,"heap_mb":$heapMb,"shuffle_mb":$shuffleMb,"threads":$threads,"code_cache_mb":$codeCacheMb,"jit_ms":$jitMs}"""
   }
 
   private def dirSizeBytes(f: java.io.File): Long =
@@ -41,8 +41,54 @@ object Bench {
     (rt.totalMemory - rt.freeMemory) / (1024L * 1024L)
   }
 
+  /** Occupancy of the JIT code heaps. Every whole-stage-codegen query adds
+    * generated nmethods; across a ~100-query sweep the default 240 MB
+    * ReservedCodeCacheSize can fill, at which point HotSpot DISABLES further
+    * compilation and hot aggregate loops (decimal co-moments especially) run
+    * interpreted at 10-20x cost — an invisible cliff unless recorded here. */
+  private def codeCacheUsedMB(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / (1024L * 1024L)
+  }
+
   private def snapEnv(): RunEnv = RunEnv(load1(), heapUsedMB(), shuffleDirMB(),
-    java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount)
+    java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount,
+    codeCacheUsedMB(),
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(-1L))
+
+  /** One-shot in-run diagnostics: when a query run exceeds the threshold, a
+    * daemon watchdog prints every live non-idle thread's top stack frames to
+    * stderr — the 20x outlier runs the bench occasionally records strike
+    * whichever query is executing during some transient JVM/harness
+    * condition, and only a stack snapshot taken INSIDE the slow run can name
+    * it (post-hoc environment rows proved it is not load, heap, shuffle
+    * accumulation, or code-cache exhaustion). */
+  private def watchdog(name: String, thresholdMs: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        Thread.sleep(thresholdMs)
+        import scala.jdk.CollectionConverters._
+        System.err.println(s"[bench-watchdog] $name still running after ${thresholdMs}ms; thread snapshot:")
+        val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+          .map(g => s"${g.getName}=${g.getCollectionCount}/${g.getCollectionTime}ms").mkString(" ")
+        System.err.println(s"[bench-watchdog] gc: $gcs")
+        Thread.getAllStackTraces.asScala.toSeq
+          .filter { case (th, st) => st.nonEmpty && th.getState == Thread.State.RUNNABLE }
+          .sortBy(_._1.getName)
+          .foreach { case (th, st) =>
+            System.err.println(s"[bench-watchdog]   ${th.getName} (${th.getState})")
+            st.take(6).foreach(f => System.err.println(s"[bench-watchdog]     at $f"))
+          }
+      } catch { case _: InterruptedException => () }
+    }, s"bench-watchdog-$name")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   private def jsonEscape(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
@@ -138,11 +184,14 @@ object Bench {
       filter.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
       def once(): Option[(Double, RunEnv)] = {
+        val wd = watchdog(name, sys.env.getOrElse(
+          "SPARK_GRAFT_WATCHDOG_MS", "15000").toLong)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val secs = (System.nanoTime() - t0) / 1e9
+        wd.interrupt()
         // operator-internal persists (signature/candidate frames) are scoped
         // to their query; dropping them between runs keeps the suite from
         // accumulating cached partitions and stealing each other's memory —
@@ -152,11 +201,20 @@ object Bench {
         // tracked operator caches are always droppable.
         graft.operators.Caches.release()
         if (!cacheTables) spark.catalog.clearCache()
-        // Force a full GC so the ContextCleaner reclaims the shuffle files of
-        // the RDDs this run just dropped — without it the next query inherits
-        // this one's shuffle spill on disk (the r6 driver bench escalated
-        // monotonically within single-query sweeps for exactly this reason).
-        System.gc()
+        // Reclaim shuffle files ONLY when they have actually accumulated
+        // (ContextCleaner needs a full GC to collect the owning RDDs). The
+        // r7 unconditional per-run System.gc() was a cure worse than the
+        // r6 disease: ~300 forced full GCs per sweep cleared the weakly-
+        // referenced generated-code classes, and the resulting Janino+JIT
+        // recompilation storm (374s cumulative JIT time) intermittently left
+        // the heaviest codegen'd loops running INTERPRETED — the watchdog
+        // caught q80's decimal co-moment aggregate at 15-20x cost exactly
+        // when the thread census showed a post-GC pool collapse. Tying the
+        // GC to measured shuffle-dir growth keeps the r6 fix (no unbounded
+        // spill accumulation) without paying the class-unloading tax on
+        // every light query.
+        if (shuffleDirMB() > sys.env.getOrElse(
+            "SPARK_GRAFT_GC_SHUFFLE_MB", "2048").toLong) System.gc()
         if (ok) Some((secs, snapEnv())) else None
       }
       val base = (1 to runsN).flatMap(_ => once())

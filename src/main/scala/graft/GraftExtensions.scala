@@ -34,11 +34,13 @@ object GraftExtensions {
       WordShingles(args.head, if (args.size > 1) intArg(args(1), "n") else 3)
     },
     "normalize_ws" -> { args => NormalizeWs(args.head) },
+    "strip_accents" -> { args => StripAccents(args.head) },
     "cosine_sim" -> { args => CosineSim(args(0), args(1)) },
     "srp_signature" -> { args =>
       SrpSignature(args.head, if (args.size > 1) intArg(args(1), "planes") else 16)
     },
     "simhash_agg" -> { args => SimhashAgg(args.head).toAggregateExpression() },
+    "simhash_doc" -> { args => SimhashDoc(args.head) },
     "minhash_agg" -> { args =>
       MinhashAgg(args.head, if (args.size > 1) intArg(args(1), "k") else 32)
         .toAggregateExpression()

@@ -58,3 +58,49 @@ object NormalizeWs {
   def apply(text: Column): Column =
     ColumnBridge.column(NormalizeWs(ColumnBridge.expression(text)))
 }
+
+/** Accent folding: canonical decomposition (Unicode NFD) then drop every
+  * combining mark (general category Mn). 'café' -> 'cafe', 'Ångström' ->
+  * 'Angstrom'; standalone letters like 'ø' (not a base+mark sequence) are
+  * preserved — the same table-free semantics DuckDB's strip_accents
+  * implements, so oracle-gated normalization pipelines agree byte-for-byte.
+  * The ASCII fast path skips the (allocating) normalizer entirely — on web
+  * corpora the overwhelming majority of rows never pay it.
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    // pure-ASCII bytes can hold no decomposable char: return input as-is
+    var ascii = true
+    var i = 0
+    val n = u.numBytes()
+    while (ascii && i < n) { if (u.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) u
+    else {
+      val s = u.toString
+      val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < d.length) {
+        val c = d.charAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+  override def prettyName: String = "strip_accents"
+}
+
+object StripAccents {
+  def apply(text: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
+}

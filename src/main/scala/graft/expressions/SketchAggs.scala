@@ -28,6 +28,76 @@ private object H {
       .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 }
 
+/** Whole-document SimHash64 as ONE scalar pass: tokenize the UTF8String
+  * byte stream in place (no explode, no per-word row, no aggregation
+  * machinery), XXH64 each token's bytes directly, accumulate the 64 vote
+  * counters locally, emit the signature long. Produces bit-identical
+  * signatures to `explode(split(text, "\\s+"))` + [[SimhashAgg]] (the
+  * equivalence spec pins it, including Java split's leading-empty-token
+  * quirk), but turns the signature phase from a 10M-row explode +
+  * ObjectHashAggregate shuffle into an embarrassingly parallel projection —
+  * the shape a per-document sketch should have at 100 TB.
+  *
+  * Byte-wise scanning is exact: Java regex \s matches the six ASCII
+  * whitespace chars, whose byte values never occur inside UTF-8 multibyte
+  * sequences.
+  */
+case class SimhashDoc(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || (b >= 0x09 && b <= 0x0d) // \t \n \x0B \f \r
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val votes = new Array[Int](64)
+    @inline def vote(h: Long): Unit = {
+      var j = 0
+      while (j < 64) {
+        votes(j) += ((((h >>> j) & 1L).toInt) << 1) - 1
+        j += 1
+      }
+    }
+    import org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes
+    if (len == 0) {
+      // split("") == [""]: one empty token
+      vote(hashUnsafeBytes(base, off, 0, 42L))
+    } else {
+      var i = 0
+      // Spark's split(str, "\\s+") is Pattern.split with limit=-1: a match
+      // touching EITHER end of the string contributes an empty token (unlike
+      // Java String.split's limit=0, which drops trailing empties)
+      if (isWs(s.getByte(0))) {
+        vote(hashUnsafeBytes(base, off, 0, 42L))
+        while (i < len && isWs(s.getByte(i))) i += 1
+      }
+      while (i < len) {
+        val start = i
+        while (i < len && !isWs(s.getByte(i))) i += 1
+        vote(hashUnsafeBytes(base, off + start, i - start, 42L))
+        while (i < len && isWs(s.getByte(i))) i += 1
+      }
+      if (isWs(s.getByte(len - 1))) // trailing whitespace -> one "" token
+        vote(hashUnsafeBytes(base, off, 0, 42L))
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashDoc =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_doc"
+}
+
 /** SimHash64 over a group of word strings: buffer = 64 vote counters. */
 case class SimhashAgg(
     child: Expression,
@@ -165,6 +235,8 @@ object SketchAggs {
   def simhash(word: Column): Column =
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(word))
       .toAggregateExpression())
+  def simhashDoc(text: Column): Column =
+    ColumnBridge.column(SimhashDoc(ColumnBridge.expression(text)))
   def minhash(shingle: Column, k: Int): Column =
     ColumnBridge.column(MinhashAgg(ColumnBridge.expression(shingle), k)
       .toAggregateExpression())

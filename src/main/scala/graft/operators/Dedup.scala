@@ -107,13 +107,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-doc simhash signatures via explode + ONE codegen'd aggregate pass:
-    * 64 conditional-sum aggregates over exploded word hashes beat 64
-    * interpreted higher-order passes per row by an order of magnitude
-    * (measured 5.2s -> sub-second at sf0.1), and the aggregation is
-    * map-side partial — the shuffle carries one 64-long row per doc.
+  /** Per-doc simhash signatures as ONE scalar projection
+    * ([[graft.expressions.SimhashDoc]]): tokenize + hash + vote inside a
+    * single expression pass over the text bytes — no explode, no aggregate,
+    * no shuffle at all (the previous explode + agg shape pushed ~10M
+    * intermediate word rows through ObjectHashAggregate per sf0.1 run). A
+    * per-document sketch is embarrassingly parallel; the plan should say so.
+    * Null-text docs are absent from the output, matching the explode path
+    * (explode of a null array emits no row); the equivalence spec pins
+    * signature identity against the agg path, which stays available as
+    * [[simhashSigsAgg]].
     */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.expressions.SketchAggs.simhashDoc(col(textCol)).as("sig"))
+
+  /** The explode + aggregate signature path (64 vote counters in ONE
+    * TypedImperativeAggregate buffer, map-side partial): kept as the
+    * reference implementation the [[simhashSigs]] equivalence spec checks
+    * against, and for callers whose input is already an exploded word
+    * stream.
+    */
+  def simhashSigsAgg(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(split(col(textCol), "\\s+")).as("w"))
       .groupBy(col("id"))

@@ -37,4 +37,38 @@ object Scoring {
           .as("avg_neg_logprob"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_neg_logprob"))
   }
+
+  /** Per-document top-k terms by smoothed TF-IDF (the classic keyword /
+    * salience extraction pass): tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf), score = tf * idf rounded
+    * to 6 places BEFORE the top-k ordering — both engines of an
+    * oracle-checked run must rank on identical values, and ln's last ulp is
+    * libm-dependent. Returns (id, term, score), k rows per doc, ordered by
+    * (score desc, term asc) within each doc.
+    *
+    * Scale shape: tf is ONE map-side-partial aggregation on (id, term); df
+    * derives from tf (already distinct per doc) with a second small
+    * aggregation; the scalar doc count rides a broadcast cross join; top-k
+    * is a per-doc window over tf-sized frames (vocab-bounded per doc, never
+    * corpus-wide). No all-pairs joins, no driver collects.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        (org.apache.spark.sql.functions.log(
+          (col("nd") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1)), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("id").as(idCol), col("w").as("term"), col("score"))
+  }
 }

@@ -241,6 +241,59 @@ object NorthStar {
         FROM toks JOIN vocab USING (w), tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Per-doc top-k terms by smoothed TF-IDF (keyword extraction). Scores
+    // are rounded to 6 places BEFORE the per-doc ranking so both engines
+    // rank on identical values (ln ulp is libm-dependent); ties at the k
+    // boundary break on the term itself.
+    Q("q103_tfidf_topk",
+      (s, d) => graft.operators.Scoring
+        .tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("score").desc, col("term")),
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        nd AS (SELECT COUNT(*) AS nd FROM documents),
+        scored AS (SELECT doc_id, w,
+            round(tf * (ln((nd + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS score
+          FROM tf JOIN dfq USING (w), nd),
+        ranked AS (SELECT doc_id, w, score,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w ASC) AS rn
+          FROM scored)
+        SELECT doc_id, w AS term, score FROM ranked WHERE rn <= 5
+        ORDER BY doc_id, score DESC, term""")),
+
+    // Accent folding + lowercasing (the Unicode-normalization cleanse pass).
+    // The corpus text is ASCII, so four synthetic rows (identical literals
+    // in both engines) make the fold binding: base+mark sequences fold,
+    // standalone non-ASCII letters (ø, 你) survive.
+    Q("q104_strip_accents",
+      (s, d) => {
+        val synth = s.range(1).select(explode(array(
+          struct(lit(9000001L).as("doc_id"), lit("Café RÉSUMÉ naïve").as("text")),
+          struct(lit(9000002L).as("doc_id"), lit("Ångström façade ü ñ").as("text")),
+          struct(lit(9000003L).as("doc_id"), lit("ø 你好 plain ascii").as("text")),
+          struct(lit(9000004L).as("doc_id"), lit("".concat("")).as("text")))).as("r"))
+          .select(col("r.doc_id"), col("r.text"))
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(synth)
+          .select(col("doc_id"),
+            lower(graft.expressions.StripAccents(col("text"))).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES
+            (9000001, 'Café RÉSUMÉ naïve'),
+            (9000002, 'Ångström façade ü ñ'),
+            (9000003, 'ø 你好 plain ascii'),
+            (9000004, '')) v(doc_id, text))
+        SELECT doc_id, lower(strip_accents(text)) AS text
+        FROM docs ORDER BY doc_id""")),
+
     // Corpus top-k n-grams by occurrence (the boilerplate/contamination
     // census run before choosing df-caps): one count aggregation over the
     // custom single-pass WordShingles expression, then a deterministic

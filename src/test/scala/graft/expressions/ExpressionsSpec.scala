@@ -80,6 +80,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("regex")).count() == 0)
   }
 
+  test("StripAccents folds base+mark sequences, keeps standalone letters") {
+    val df = Seq(
+      (1L, "Café RÉSUMÉ naïve"),
+      (2L, "Ångström façade ü ñ"),
+      (3L, "ø 你好 plain ascii"),   // ø and CJK are not base+mark: preserved
+      (4L, ""), (5L, "no accents at all")
+    ).toDF("id", "t").select(col("id"), StripAccents(col("t")).as("s"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Cafe RESUME naive")
+    assert(out(2L) == "Angstrom facade u n")
+    assert(out(3L) == "ø 你好 plain ascii")
+    assert(out(4L) == "")
+    assert(out(5L) == "no accents at all")
+  }
+
   test("CosineSim matches the HOF formula bit-for-bit on fixture vectors") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val hofDot = aggregate(zip_with(col("a"), col("b"),

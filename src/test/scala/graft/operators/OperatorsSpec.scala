@@ -190,6 +190,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0)._3 < out(2)._3, "common text is more probable under the corpus LM")
   }
 
+  test("tfidf top terms: doc-specific rare words outrank corpus-wide words") {
+    // 'filler' appears in every doc (df=3 -> idf exactly 1.0 under
+    // smoothing: ln(4/4)+1); each doc's unique word has df=1 -> idf
+    // ln(2)+1 ~ 1.693 and must outrank filler at equal tf; k bounds output
+    val sdocs = Seq(
+      (1L, "filler apple"),
+      (2L, "filler banana banana"),
+      (3L, "filler cherry")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Scoring.tfidfTopTerms(sdocs, "doc_id", "text", k = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getDouble(2))).toSeq).toMap
+    assert(out(1L).map(_._1) == Seq("apple", "filler"))
+    assert(out(2L).head._1 == "banana")
+    assert(out(3L).map(_._1) == Seq("cherry", "filler"))
+    assert(out.values.forall(_.size <= 2))
+    // smoothed idf: tf * (ln((N+1)/(df+1)) + 1), N=3
+    val expApple = 1.0 * (math.log(4.0 / 2.0) + 1)
+    assert(math.abs(out(1L).head._2 - (math.rint(expApple * 1e6) / 1e6)) < 1e-9)
+  }
+
   test("ngram jaccard finds the near-dup pair and not the unrelated one") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -244,6 +265,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((1L, 2L)) == 1.0) // identical docs: every minhash agrees
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash scalar expression matches explode+agg signatures bit-for-bit") {
+    // the one-pass SimhashDoc projection must reproduce the agg path exactly,
+    // including Java split("\\s+")'s edge cases: leading whitespace (empty
+    // first token), trailing whitespace (no token), consecutive whitespace,
+    // tabs/newlines, empty string, and multibyte UTF-8 words
+    val tricky = Seq(
+      (100L, "  leads with spaces"), (101L, "trails with spaces   "),
+      (102L, "double  space\tand\ttabs\nand newlines"), (103L, ""),
+      (104L, "café naïve 你好 résumé"),
+      (105L, " \t\n "), (106L, "single")
+    ).toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(tricky)
+    val scalar = Dedup.simhashSigs(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashSigsAgg(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar == agg)
   }
 
   test("simhash: identical docs at hamming 0, near dups close, others far") {
