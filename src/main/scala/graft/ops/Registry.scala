@@ -1326,51 +1326,52 @@ final class Registry(spark: SparkSession) {
       require(cs.size >= 2, s"$name needs >= 2 numeric columns")
       // moment aliases key on column INDICES (names may contain '__')
       def nm(tag: String, i: Int, j: Int): String = s"__${tag}_${i}_$j"
-      def m(tag: String, i: Int, j: Int, e: Column): Column = e.as(nm(tag, i, j))
       val pairIdx = for { i <- cs.indices; j <- i + 1 until cs.size } yield (i, j)
-      // masked per-pair terms are PRE-PROJECTED once (plain column refs in
-      // the aggregate): repeating the both-non-null CASE inside 6 aggregates
-      // per pair bloats the generated update method past codegen limits and
-      // the whole stage falls back to the interpreted path (~5x slower)
+      // ONE CoMomentsAgg per pair (+ one per diagonal column) replaces the
+      // previous 6 DecimalType(35,6) sums per pair: >18-digit decimals are
+      // BigDecimal-backed, so that shape allocated ~20 objects per input
+      // row inside the aggregate update — the bench watchdog caught it as a
+      // single-task allocation storm whenever the scan collapses to one
+      // partition and the JIT hasn't caught up. The typed aggregate does
+      // the same exact, partition-order-independent math in an 11-long
+      // primitive buffer (scaled-int128 sums), and the masked pair inputs
+      // are pre-projected so the generated update stays tiny.
       val proj = pairIdx.flatMap { case (i, j) =>
         val bothOk = col(cs(i)).isNotNull && col(cs(j)).isNotNull
-        val x = when(bothOk, col(cs(i)).cast(DoubleType))
-        val y = when(bothOk, col(cs(j)).cast(DoubleType))
         Seq(
-          m("pn", i, j, when(bothOk, 1)),
-          m("px", i, j, x.cast(DecimalType(30, 6))),
-          m("py", i, j, y.cast(DecimalType(30, 6))),
-          m("pxy", i, j, (x * y).cast(DecimalType(35, 6))),
-          m("pxx", i, j, (x * x).cast(DecimalType(35, 6))),
-          m("pyy", i, j, (y * y).cast(DecimalType(35, 6))))
-      } ++ cs.indices.flatMap { i =>
-        val x = col(cs(i)).cast(DoubleType)
-        Seq(
-          m("pdn", i, i, col(cs(i))),
-          m("pds", i, i, x.cast(DecimalType(30, 6))),
-          m("pdss", i, i, (x * x).cast(DecimalType(35, 6))))
+          when(bothOk, col(cs(i)).cast(DoubleType)).as(nm("px", i, j)),
+          when(bothOk, col(cs(j)).cast(DoubleType)).as(nm("py", i, j)))
+      } ++ cs.indices.map { i =>
+        col(cs(i)).cast(DoubleType).as(nm("pd", i, i))
       }
       val projected = df.select(proj: _*)
-      val pairAggs = pairIdx.flatMap { case (i, j) =>
-        Seq(
-          m("n", i, j, count(col(nm("pn", i, j))).cast(DoubleType)),
-          m("sx", i, j, sum(col(nm("px", i, j))).cast(DoubleType)),
-          m("sy", i, j, sum(col(nm("py", i, j))).cast(DoubleType)),
-          m("sxy", i, j, sum(col(nm("pxy", i, j))).cast(DoubleType)),
-          m("sxx", i, j, sum(col(nm("pxx", i, j))).cast(DoubleType)),
-          m("syy", i, j, sum(col(nm("pyy", i, j))).cast(DoubleType)))
+      val aggs = pairIdx.map { case (i, j) =>
+        graft.expressions.CoMoments(
+          col(nm("px", i, j)), col(nm("py", i, j))).as(nm("cm", i, j))
+      } ++ cs.indices.map { i =>
+        // per-column moments drive the diagonal: pandas gives corr(c,c)=1.0
+        // only when the column's own variance is positive (NaN for all-null
+        // or constant columns), computed over the column's non-null rows
+        graft.expressions.CoMoments(
+          col(nm("pd", i, i)), col(nm("pd", i, i))).as(nm("cmd", i, i))
       }
-      // per-column moments drive the diagonal: pandas gives corr(c,c)=1.0
-      // only when the column's own variance is positive (NaN for all-null
-      // or constant columns), computed over the column's non-null rows
-      val diagAggs = cs.indices.flatMap { i =>
-        Seq(
-          m("dn", i, i, count(col(nm("pdn", i, i))).cast(DoubleType)),
-          m("ds", i, i, sum(col(nm("pds", i, i))).cast(DoubleType)),
-          m("dss", i, i, sum(col(nm("pdss", i, i))).cast(DoubleType)))
+      // flatten each struct back to the historical __tag_i_j names the
+      // corr/cov cell formulas below read
+      val flat = pairIdx.flatMap { case (i, j) =>
+        val s = col(nm("cm", i, j))
+        Seq(s.getField("n").as(nm("n", i, j)),
+          s.getField("sx").as(nm("sx", i, j)),
+          s.getField("sy").as(nm("sy", i, j)),
+          s.getField("sxy").as(nm("sxy", i, j)),
+          s.getField("sxx").as(nm("sxx", i, j)),
+          s.getField("syy").as(nm("syy", i, j)))
+      } ++ cs.indices.flatMap { i =>
+        val s = col(nm("cmd", i, i))
+        Seq(s.getField("n").as(nm("dn", i, i)),
+          s.getField("sx").as(nm("ds", i, i)),
+          s.getField("sxx").as(nm("dss", i, i)))
       }
-      val aggs = pairAggs ++ diagAggs
-      val moments = projected.agg(aggs.head, aggs.tail: _*)
+      val moments = projected.agg(aggs.head, aggs.tail: _*).select(flat: _*)
       def corrOf(i: Int, j: Int): Column = {
         def g(tag: String) = col(s"__${tag}_${i}_$j")
         val (n, sx, sy) = (g("n"), g("sx"), g("sy"))

@@ -80,6 +80,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("regex")).count() == 0)
   }
 
+  test("CoMoments equals BigDecimal-exact reference sums; skips null/NaN rows") {
+    val rows = Seq[(java.lang.Double, java.lang.Double)](
+      (1.25, 2.5), (3.125, -4.75), (1e9, 1e9), (-0.000001, 0.000001),
+      (null, 7.0), (7.0, null), (Double.NaN, 1.0), (2.0, 2.0))
+    val out = rows.toDF("x", "y")
+      .agg(CoMoments(col("x"), col("y")).as("m"))
+      .select("m.n", "m.sx", "m.sy", "m.sxy", "m.sxx", "m.syy").first()
+    val ok = rows.filter { case (a, b) =>
+      a != null && b != null && !a.isNaN && !b.isNaN }
+    def bd(v: Double) = new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val sx = ok.map(r => bd(r._1)).reduce(_.add(_))
+    val sxy = ok.map(r => bd(r._1).multiply(bd(r._2))).reduce(_.add(_))
+    assert(out.getDouble(0) == ok.size.toDouble)
+    assert(out.getDouble(1) == sx.doubleValue())
+    assert(out.getDouble(3) == sxy.doubleValue())
+    // huge values exceed the documented 1e12 fast-path bound -> loud error
+    val err = intercept[Exception] {
+      Seq((1e13, 1.0)).toDF("x", "y")
+        .agg(CoMoments(col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.contains("bound") ||
+      Option(err.getCause).exists(_.getMessage.contains("bound")))
+  }
+
   test("StripAccents folds base+mark sequences, keeps standalone letters") {
     val df = Seq(
       (1L, "Café RÉSUMÉ naïve"),
