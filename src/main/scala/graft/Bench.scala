@@ -67,6 +67,17 @@ object Bench {
     * condition, and only a stack snapshot taken INSIDE the slow run can name
     * it (post-hoc environment rows proved it is not load, heap, shuffle
     * accumulation, or code-cache exhaustion). */
+  /** stageId -> first line of the stage name, so a watchdog snapshot can say
+    * WHICH operator a hot "stage 816" belongs to. */
+  private val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private def installStageListener(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageNames.put(s.stageInfo.stageId,
+          s.stageInfo.name.takeWhile(_ != '\n').take(100))
+    })
+
   private def watchdog(name: String, thresholdMs: Long): Thread = {
     val t = new Thread(() => {
       try {
@@ -76,11 +87,21 @@ object Bench {
         val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
           .map(g => s"${g.getName}=${g.getCollectionCount}/${g.getCollectionTime}ms").mkString(" ")
         System.err.println(s"[bench-watchdog] gc: $gcs")
-        Thread.getAllStackTraces.asScala.toSeq
-          .filter { case (th, st) => st.nonEmpty && th.getState == Thread.State.RUNNABLE }
+        val all = Thread.getAllStackTraces.asScala.toSeq
+        // name histogram over ALL threads (trailing counters stripped): the
+        // census composition identifies which pool grew to hundreds
+        all.groupBy { case (th, _) =>
+          th.getName.replaceAll("[-0-9.]+$", "").replaceAll("for task .*$", "")
+        }.toSeq.sortBy(-_._2.size).take(12).foreach { case (prefix, ts) =>
+          System.err.println(s"[bench-watchdog]   pool ${ts.size} x $prefix")
+        }
+        all.filter { case (th, st) => st.nonEmpty && th.getState == Thread.State.RUNNABLE }
           .sortBy(_._1.getName)
           .foreach { case (th, st) =>
-            System.err.println(s"[bench-watchdog]   ${th.getName} (${th.getState})")
+            val stage = "stage ([0-9]+)".r.findFirstMatchIn(th.getName)
+              .flatMap(m => Option(stageNames.get(m.group(1).toInt)))
+              .map(n => s" [$n]").getOrElse("")
+            System.err.println(s"[bench-watchdog]   ${th.getName} (${th.getState})$stage")
             st.take(6).foreach(f => System.err.println(s"[bench-watchdog]     at $f"))
           }
       } catch { case _: InterruptedException => () }
@@ -147,6 +168,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installStageListener(spark)
     // warm the JVM/codegen paths so the first measured query isn't charged
     // for session bring-up (incl. a decimal agg + a join: the two codegen
     // templates the early queries hit first)

@@ -107,6 +107,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CROSS-corpus exact n-gram Jaccard pairs (id_new, id_ref, jaccard):
+    * every (new, reference) pair over the df<=maxDf shingle vocabulary with
+    * J >= threshold. The incremental-dedup primitive (Dolma-style "dedup
+    * this crawl against the existing corpus"): candidate generation is the
+    * shingle inverted index joined ACROSS the two frames — an equality
+    * shuffle on the 64-bit shingle hash, bounded by the hot-shingle cap on
+    * each side independently, never a cross product. The reference side at
+    * 100 TB is the big one; nothing here materializes it beyond its capped
+    * (id, h) index, and the maxDf cap applies to numerator and denominator
+    * (Jaccard over the capped vocabulary) so an external oracle mirrors the
+    * result exactly.
+    */
+  def crossJaccardPairs(newDf: DataFrame, refDf: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDf: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    def cappedIx(df: DataFrame) = Caches.persistTracked(
+      shingleIndex(df, idCol, textCol, n)
+        .withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf)
+        .drop("__df"), eager = true)
+    val a = cappedIx(newDf)
+    val b = cappedIx(refDf)
+    val sizesA = a.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val sizesB = b.groupBy("id").agg(count(lit(1)).as("n_b"))
+    a.as("a").join(b.as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_ref"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizesA.withColumnRenamed("id", "id_new"), "id_new")
+      .join(sizesB.withColumnRenamed("id", "id_ref"), "id_ref")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"), col("jaccard"))
+  }
+
+  /** Incremental dedup: rows of `newDf` that are NOT a near-dup (exact
+    * n-gram Jaccard >= threshold over the capped vocabulary) of any
+    * reference document — the pass a growing corpus runs on every new
+    * crawl batch. Anti-join on the flagged id set; the reference corpus is
+    * only ever touched through its capped shingle index.
+    */
+  def dedupAgainstReference(newDf: DataFrame, refDf: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.8,
+                            maxDf: Int = 10000): DataFrame = {
+    val flagged = crossJaccardPairs(newDf, refDf, idCol, textCol, n, threshold, maxDf)
+      .select(col("id_new").as(idCol)).distinct()
+    newDf.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc simhash signatures as ONE scalar projection
     * ([[graft.expressions.SimhashDoc]]): tokenize + hash + vote inside a
     * single expression pass over the text bytes — no explode, no aggregate,

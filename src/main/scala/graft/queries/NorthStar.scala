@@ -159,6 +159,42 @@ object NorthStar {
         .orderBy(col("id_a"), col("id_b")),
       Some(exactJaccardOracle(0.5, Some(5)))),
 
+    // Incremental dedup (the "new crawl vs existing corpus" pass): exact
+    // cross-corpus n-gram Jaccard pairs with the corpus split by doc_id
+    // parity — odd ids are the incoming batch, even ids the reference. The
+    // candidate join is the shingle inverted index ACROSS the two frames
+    // (equality shuffle on the shingle hash, per-side hot-shingle caps),
+    // never a cross product; the reference corpus appears only as its
+    // capped (id, hash) index.
+    Q("q105_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossJaccardPairs(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, threshold = 0.2)
+          .orderBy(col("id_new"), col("id_ref"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_new, b.doc_id AS id_ref, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.g = b.g
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY 1, 2)
+        SELECT id_new, id_ref,
+          CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_new
+          JOIN sizes sb ON sb.doc_id = id_ref
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.2
+        ORDER BY id_new, id_ref""")),
+
     // MinHash-LSH near-dup pairs, ORACLE-GATED: the sketch proposes
     // candidates (banded equality shuffle — the scale path), exact n-gram
     // Jaccard disposes, so the pair set and jaccard values are the exact

@@ -267,6 +267,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("incremental dedup drops new docs matching the reference, keeps novel ones") {
+    val ref = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely different reference material about spark plans")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 2
+      (3L, "entirely novel content that matches nothing at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardPairs(neu, ref, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val kept = Dedup.dedupAgainstReference(neu, ref, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("simhash scalar expression matches explode+agg signatures bit-for-bit") {
     // the one-pass SimhashDoc projection must reproduce the agg path exactly,
     // including Java split("\\s+")'s edge cases: leading whitespace (empty
