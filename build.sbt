@@ -40,4 +40,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code cache is tight once forced GCs stop unloading generated classes
   // every run (see Bench.once) — a full cache disables the JIT outright
   "-XX:ReservedCodeCacheSize=512m",
+  // Full GCs are REQUIRED here (the ContextCleaner reclaims broadcast /
+  // shuffle state only when their driver handles get collected; without
+  // them the heap climbed monotonically to 7 GB across a sweep and the
+  // dedup aggregates stalled under the storage squeeze) — but by default a
+  // full GC also unloads dead generated-code classes, and the resulting
+  // Janino+JIT recompilation storm left hot loops interpreted at 15-20x.
+  // Keeping classes resident trades bounded metaspace growth (~100-200 MB
+  // over a full sweep; the codegen cache caps LIVE classes at 100) for
+  // stable compiled code across the ~300 forced GCs of a bench run.
+  "-XX:-ClassUnloading",
 )

@@ -95,14 +95,28 @@ object Bench {
         }.toSeq.sortBy(-_._2.size).take(12).foreach { case (prefix, ts) =>
           System.err.println(s"[bench-watchdog]   pool ${ts.size} x $prefix")
         }
-        all.filter { case (th, st) => st.nonEmpty && th.getState == Thread.State.RUNNABLE }
-          .sortBy(_._1.getName)
+        // RUNNABLE threads (the work), plus up to 12 WAITING threads whose
+        // stacks go through Spark's await/execution machinery — a stalled
+        // run with an idle task pool is a DRIVER-side wait, and the thread
+        // it stalls on is by definition not RUNNABLE
+        val runnable = all.filter { case (th, st) =>
+          st.nonEmpty && th.getState == Thread.State.RUNNABLE }
+        val waiting = all.filter { case (th, st) =>
+          th.getState != Thread.State.RUNNABLE && st.exists { f =>
+            val c = f.getClassName
+            (c.contains("spark") && (f.getMethodName.contains("await") ||
+              c.contains("QueryStage") || c.contains("Exchange") ||
+              c.contains("ThreadUtils") || c.contains("ContextCleaner"))) ||
+              c.contains("graft.Bench")
+          }
+        }.take(12)
+        (runnable ++ waiting).sortBy(_._1.getName)
           .foreach { case (th, st) =>
             val stage = "stage ([0-9]+)".r.findFirstMatchIn(th.getName)
               .flatMap(m => Option(stageNames.get(m.group(1).toInt)))
               .map(n => s" [$n]").getOrElse("")
             System.err.println(s"[bench-watchdog]   ${th.getName} (${th.getState})$stage")
-            st.take(6).foreach(f => System.err.println(s"[bench-watchdog]     at $f"))
+            st.take(10).foreach(f => System.err.println(s"[bench-watchdog]     at $f"))
           }
       } catch { case _: InterruptedException => () }
     }, s"bench-watchdog-$name")
@@ -152,12 +166,15 @@ object Bench {
       // queries need it. Periodic driver GC lets the ContextCleaner reclaim
       // them continuously instead of never.
       .config("spark.cleaner.periodicGC.interval", "1min")
-      // The broadcast-exchange pool's 128-thread default is sized for a busy
-      // multi-tenant driver; across ~100 queries the cached pool swells and
-      // (with the block-manager async pools) pushed this JVM past 500
-      // threads — safepoints and futex wakes over that census made identical
-      // runs bimodal by 5-8x. 16 concurrent broadcast builds is ample here.
-      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
+      // Broadcast-build concurrency: Spark's default (128) unless overridden.
+      // An r7 experiment capped this at 16 to shrink the thread census, and
+      // the watchdog then caught multi-second DRIVER-SIDE stalls with the
+      // task pool fully idle — broadcast futures block a pool thread while
+      // awaiting child stages, so a tight cap starves the pool into
+      // timeout-paced progress on the 30-stage dedup plans. The census was
+      // the cheap problem; the starvation was the expensive one.
+      .config("spark.sql.broadcastExchangeMaxThreadThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST_THREADS", "128"))
       // let AQE coalesce shuffle partitions INSIDE cached plans: the dedup
       // operators persist small intermediate frames (signatures, candidate
       // pairs), and without this flag every read of a cached subtree keeps
@@ -223,20 +240,22 @@ object Bench {
         // tracked operator caches are always droppable.
         graft.operators.Caches.release()
         if (!cacheTables) spark.catalog.clearCache()
-        // Reclaim shuffle files ONLY when they have actually accumulated
-        // (ContextCleaner needs a full GC to collect the owning RDDs). The
-        // r7 unconditional per-run System.gc() was a cure worse than the
-        // r6 disease: ~300 forced full GCs per sweep cleared the weakly-
-        // referenced generated-code classes, and the resulting Janino+JIT
-        // recompilation storm (374s cumulative JIT time) intermittently left
-        // the heaviest codegen'd loops running INTERPRETED — the watchdog
-        // caught q80's decimal co-moment aggregate at 15-20x cost exactly
-        // when the thread census showed a post-GC pool collapse. Tying the
-        // GC to measured shuffle-dir growth keeps the r6 fix (no unbounded
-        // spill accumulation) without paying the class-unloading tax on
-        // every light query.
+        // Force a full GC when EITHER accumulation dimension trips: on-disk
+        // shuffle files (their reclamation needs the owning RDDs collected)
+        // or heap occupancy (broadcast handles and AQE metadata from past
+        // runs are old-gen residents; without full GCs the heap climbed
+        // monotonically to 7 GB across a 16-run sweep, the ContextCleaner's
+        // weak refs never enqueued, and the storage squeeze stalled the
+        // dedup hash aggregates progressively — the r6 driver pathology,
+        // reproduced and measured). The r7 lesson on the other side: an
+        // UNCONDITIONAL per-run GC caused a Janino+JIT recompilation storm
+        // by unloading generated classes — that tax is now gone at the
+        // source (-XX:-ClassUnloading in build.sbt), so the GCs these
+        // thresholds admit are cheap pauses, not compilation churn.
         if (shuffleDirMB() > sys.env.getOrElse(
-            "SPARK_GRAFT_GC_SHUFFLE_MB", "2048").toLong) System.gc()
+              "SPARK_GRAFT_GC_SHUFFLE_MB", "2048").toLong ||
+            heapUsedMB() > sys.env.getOrElse(
+              "SPARK_GRAFT_GC_HEAP_MB", "3500").toLong) System.gc()
         if (ok) Some((secs, snapEnv())) else None
       }
       val base = (1 to runsN).flatMap(_ => once())

@@ -392,7 +392,7 @@ object Dedup {
                            maxHamming: Int, bands: Int = 8, n: Int = 3,
                            threshold: Double = 0.2,
                            maxBucket: Int = 10000,
-                           auditMod: Int = 8): DataFrame = {
+                           auditMod: Int = 256): DataFrame = {
     // Hamming pre-filter with BOUNDED slack above the acceptance bound — NOT
     // at maxHamming itself, which would make the hamming_ok gate tautological
     // (every surviving row trivially true). With the slack band, a true
@@ -419,7 +419,13 @@ object Dedup {
         bands = bands, maxBucket = maxBucket),
       org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
     // Exact-verify the FULL acceptance set (hamming <= maxHamming) but only a
-    // deterministic 1/auditMod hash-sample of the slack band above it: the
+    // deterministic 1/auditMod hash-sample of the slack band above it. The
+    // default 256 is a FIXED-BUDGET audit: the slack band sits in the bulk
+    // of the pairwise hamming distribution (measured 3.3M pairs at sf0.1
+    // against a 951k accept band when maxHamming is loose), so a generous
+    // sample rate makes the audit cost more than the whole query while a
+    // population-level sketch drift still lands hundreds of pairs in a
+    // 1/256 sample. The
     // slack band's only job is falsifiability of hamming_ok, and a sketch
     // regression that pushes true near-dups past maxHamming is a population-
     // level drift — a fixed-rate audit surfaces it (as hamming_ok=false rows)

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: the hamming-distance population of the q36 banding join at
+  * sf0.1 — how many candidate pairs the accept band (<= maxHamming) and the
+  * slack band (maxHamming, verifyBound] admit into the distinct + verify
+  * phases. The fixture vocabulary is ~40 words, so signatures cluster and
+  * the slack band can be orders of magnitude larger than the accept band —
+  * this prints the actual counts instead of a guess.
+  * Usage: sbt "runMain graft.tools.Q36Hamming [sfDir]"
+  */
+object Q36Hamming {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.operators.Dedup.simhashPairs(
+      docs, "doc_id", "text", maxHamming = 19, bands = 8)
+    val byBand = pairs
+      .withColumn("band", when(col("hamming") <= 12, lit("accept<=12"))
+        .otherwise(lit("slack13-19")))
+      .groupBy("band").count().orderBy("band")
+    byBand.show(false)
+    // full histogram
+    pairs.groupBy("hamming").count().orderBy("hamming").show(30, false)
+    graft.operators.Caches.release()
+    spark.stop()
+  }
+}

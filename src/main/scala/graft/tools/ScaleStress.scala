@@ -37,9 +37,10 @@ object ScaleStress {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // match Bench's session hygiene (see Bench.scala): reclaim shuffle
-      // files, keep the thread census flat, coalesce cached-plan shuffles
+      // files, coalesce cached-plan shuffles. No broadcast-pool cap — a
+      // 16-thread cap starved AQE's blocking broadcast futures into
+      // driver-side stalls (r7 watchdog evidence).
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .config("spark.sql.broadcastExchangeMaxThreadThreshold", "16")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -339,7 +339,7 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("id_a") === 1L && col("id_b") === 4L)
       .collect().head.getInt(2)
     val sampled = spark.range(1)
-      .select((pmod(xxhash64(lit(1L), lit(4L)), lit(8)) === 0).as("s"))
+      .select((pmod(xxhash64(lit(1L), lit(4L)), lit(256)) === 0).as("s"))
       .collect().head.getBoolean(0)
     val out = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
       maxHamming = h - 1, bands = 8, threshold = 0.2)
