@@ -206,32 +206,41 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, bands: Int = 4,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000): DataFrame =
+    simhashPairsFiltered(df, idCol, textCol,
+      (hamming, _, _) => hamming <= maxHamming, bands, maxBucket)
+
+  /** The banding join with an arbitrary per-pair keep predicate evaluated
+    * INSIDE the join, BEFORE the pair distinct. The banded rows CARRY the
+    * full signature (+8 bytes/row), so `keep(hamming, id_a, id_b)` is
+    * codegen'd scalar math per probe pair — and only the kept population
+    * ever reaches the distinct's shuffle. This placement is the difference
+    * between deduping ~10^5 rows and ~10^7: on the saturated 8-bit band
+    * space the raw bucket join emits ~12.5M probe pairs at sf0.1, and the
+    * verified-pairs caller's accept-or-audit predicate keeps ~1% of them.
+    */
+  private[graft] def simhashPairsFiltered(
+      df: DataFrame, idCol: String, textCol: String,
+      keep: (Column, Column, Column) => Column,
+      bands: Int, maxBucket: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)),
       eager = true)
-    // the banded rows CARRY the full signature (+8 bytes/row) so the hamming
-    // cut evaluates INSIDE the banding join: at the q36 config the 8-bit
-    // band space holds ~2^11 buckets, and the raw bucket join emits ~N^2-ish
-    // rows as buckets saturate (measured 6.7M pair rows on the 5k-doc
-    // fixture) — filtering them down to the accepted population before the
-    // distinct means the shuffle only ever carries accepted pairs, not the
-    // raw bucket blow-up. bit_count(xor) per joined row is codegen'd scalar
-    // math, orders of magnitude cheaper than exchanging the row.
     val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bval"))
     val capped = capBuckets(banded, Seq("band", "bval"), maxBucket)
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id")
-          && bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+          && keep(hamming, col("a.id"), col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        hamming.as("hamming"))
       .distinct()
   }
 
@@ -414,29 +423,34 @@ object Dedup {
     // whole banding join (measured as a 2.4s <-> 20.6s same-code swing).
     // Candidates are a narrow (id_a, id_b, hamming) frame — writing it to
     // disk once is cheap and immune to memory pressure.
-    val cands = Caches.persistTracked(
-      simhashPairs(df, idCol, textCol, maxHamming = verifyBound,
-        bands = bands, maxBucket = maxBucket),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
-    // Exact-verify the FULL acceptance set (hamming <= maxHamming) but only a
-    // deterministic 1/auditMod hash-sample of the slack band above it. The
+    // Exact-verify the FULL acceptance set (hamming <= maxHamming) but only
+    // a deterministic 1/auditMod hash-sample of the slack band above it. The
     // default 256 is a FIXED-BUDGET audit: the slack band sits in the bulk
     // of the pairwise hamming distribution (measured 3.3M pairs at sf0.1
-    // against a 951k accept band when maxHamming is loose), so a generous
-    // sample rate makes the audit cost more than the whole query while a
-    // population-level sketch drift still lands hundreds of pairs in a
-    // 1/256 sample. The
-    // slack band's only job is falsifiability of hamming_ok, and a sketch
-    // regression that pushes true near-dups past maxHamming is a population-
-    // level drift — a fixed-rate audit surfaces it (as hamming_ok=false rows)
-    // at 1/auditMod of the verify cost instead of paying exact Jaccard on a
-    // band several times larger than the accepted set. The sample key is
-    // xxhash64(id_a, id_b): pair-deterministic across runs/partitionings, so
-    // the output stays reproducible. auditMod=1 audits the whole band (the
-    // drifting-pair spec uses it to pin the surface-not-drop property).
-    val verifySet = cands.filter(col("hamming") <= maxHamming ||
-      pmod(xxhash64(col("id_a"), col("id_b")), lit(auditMod)) === 0)
-    val exact = exactJaccardOf(df, verifySet.select("id_a", "id_b"), idCol, textCol, n)
+    // against a 91k accept band), so a generous sample rate makes the audit
+    // cost more than the whole query while a population-level sketch drift
+    // still lands hundreds of pairs in a 1/256 sample. The slack band's only
+    // job is falsifiability of hamming_ok — a regression that pushes true
+    // near-dups past maxHamming surfaces as hamming_ok=false rows at
+    // 1/auditMod of the verify cost. The sample key is xxhash64(id_a, id_b):
+    // pair-deterministic across runs/partitionings, so the output stays
+    // reproducible; auditMod=1 audits the whole band (the drifting-pair spec
+    // uses it to pin the surface-not-drop property).
+    //
+    // The accept-or-audit predicate evaluates INSIDE the banding join
+    // (simhashPairsFiltered), so the pair-distinct shuffle receives only the
+    // kept population (~100k rows at sf0.1) instead of everything under
+    // verifyBound (~6M with band multiplicity) — the filter commutes with
+    // the distinct because it reads only (hamming, id_a, id_b), which is
+    // identical across a pair's duplicate band rows.
+    val cands = Caches.persistTracked(
+      simhashPairsFiltered(df, idCol, textCol,
+        (hamming, idA, idB) => hamming <= verifyBound &&
+          (hamming <= maxHamming ||
+            pmod(xxhash64(idA, idB), lit(auditMod)) === 0),
+        bands = bands, maxBucket = maxBucket),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
+    val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
     exact.join(cands, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),

@@ -207,19 +207,21 @@ object NorthStar {
       Some(exactJaccardOracle(0.2, None, "TRUE AS est_ok"))),
 
     // SimHash near-dup pairs, ORACLE-GATED the same way: simhash banding
-    // (bands=8 -> hamming <= 7 structurally guaranteed candidates; planted
-    // near-dups measure hamming <= 5) proposes, exact Jaccard disposes;
-    // hamming_ok gates that every surviving pair is within maxHamming bits.
-    // maxHamming=8: the fixture corpus draws from a ~40-word vocabulary, so
-    // signatures CLUSTER — a measured hamming histogram at sf0.1 puts 951k
-    // of 12.5M possible pairs within 12 bits (the sketch filters nothing at
-    // that setting) but only 90k within 8, still 1.6x above the deepest
-    // true near-dup (5). Tight hamming is the knob that keeps banded
-    // candidate generation meaningful on low-entropy corpora; the exact
-    // verify + oracle prove recall is untouched.
+    // proposes, exact Jaccard disposes; hamming_ok gates that every
+    // surviving pair is within maxHamming bits. maxHamming=12 is the
+    // MEASURED calibration (Q36TruePairs): true near-dup pairs reach
+    // hamming 5 at sf0.01 but exactly 12 at sf0.1 — an r7 experiment with
+    // maxHamming=8 silently dropped 10 of sf0.1's 256 true pairs while the
+    // sf0.01 gate stayed green, the textbook reason sketch bounds need
+    // measurement at every operating scale. The cost side (Q36Hamming):
+    // this ~40-word-vocabulary corpus clusters signatures, so <=12 admits
+    // 951k of 12.5M possible pairs into exact verification — that verify
+    // IS the honest price of full recall here, and the accept-or-audit
+    // predicate inside the banding join keeps everything above it out of
+    // every shuffle.
     Q("q36_dedup_simhash",
       (s, d) => Dedup.simhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 8, bands = 8, threshold = 0.2)
+        maxHamming = 12, bands = 8, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
       Some(exactJaccardOracle(0.2, None, "TRUE AS hamming_ok"))),
 

@@ -34,7 +34,7 @@ object Q36Plan {
       val d = docsAt(f).repartition(32).persist(); d.count()
       val t0 = System.nanoTime()
       val out = graft.operators.Dedup.simhashVerifiedPairs(
-        d, "doc_id", "text", maxHamming = 8, bands = 8, threshold = 0.2)
+        d, "doc_id", "text", maxHamming = 12, bands = 8, threshold = 0.2)
       val n = out.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"FACTOR $f: $secs%.1f s out=$n")

@@ -48,7 +48,7 @@ object Q36Probe {
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       val df = graft.operators.Dedup.simhashVerifiedPairs(
-        docs, "doc_id", "text", maxHamming = 8, bands = 8, threshold = 0.2)
+        docs, "doc_id", "text", maxHamming = 12, bands = 8, threshold = 0.2)
       val n = df.count()
       val secs = (System.nanoTime() - t0) / 1e9
       graft.operators.Caches.release()

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: hamming-distance histogram of the TRUE near-dup pairs
+  * (exact n-gram Jaccard >= threshold) — the distribution that calibrates
+  * q36's maxHamming. A bound below the max of this histogram silently
+  * drops real pairs at that scale; a bound far above it admits the
+  * clustered-signature bulk (see Q36Hamming).
+  * Usage: sbt "runMain graft.tools.Q36TruePairs [sfDir] [threshold]"
+  */
+object Q36TruePairs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.drop(1).headOption.map(_.toDouble).getOrElse(0.2)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val truePairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = threshold)
+    val sigs = graft.operators.Dedup.simhashSigs(docs, "doc_id", "text")
+    truePairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .groupBy("hamming").count().orderBy("hamming")
+      .show(65, false)
+    graft.operators.Caches.release()
+    spark.stop()
+  }
+}
