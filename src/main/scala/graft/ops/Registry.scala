@@ -1654,10 +1654,98 @@ final class Registry(spark: SparkSession) {
       case other => throw PipelineError(s"fillna: unsupported value ${tn(other)}")
     }
     case "merge" | "join" => mergeImpl(df, a, rightPos = 0)
+    case "merge_ordered" =>
+      // pandas pd.merge_ordered(left, right, on, fill_method, left_by):
+      // ordered FULL OUTER merge on the key, then optional forward-fill of
+      // the value columns in key order. left_by partitions the fill (and
+      // the ordering) per group — without it the fill is one ordered pass,
+      // which is the small-frame calendar/as-of shape this method exists
+      // for in pandas (large ordered joins belong to merge_asof).
+      val right = asDf(a.require("right", 0), "merge_ordered right")
+      val on = asStrList(a.require("on", -1))
+      val by = a.get("left_by", -1).map(asStrList).getOrElse(Nil)
+      val merged = df.join(right, on ++ by, "full")
+      a.get("fill_method", -1).map(asStr(_, "fill_method")) match {
+        case None => merged
+        case Some("ffill") =>
+          val w0 = by match {
+            case Nil => org.apache.spark.sql.expressions.Window.partitionBy()
+            case bs => org.apache.spark.sql.expressions.Window.partitionBy(bs.map(col): _*)
+          }
+          val w = w0.orderBy(on.map(col): _*)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val fillCols = merged.columns.filterNot(c => on.contains(c) || by.contains(c))
+          fillCols.foldLeft(merged)((d, c) =>
+            d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+        case Some(other) =>
+          throw PipelineError(s"merge_ordered: unsupported fill_method '$other' (ffill)")
+      }
+    case "compare" =>
+      // pandas df.compare(other) under this engine's explicit-key alignment
+      // (positional index has no distributed meaning — same contract as
+      // combine_first): align on `on` keys, emit one tidy row per differing
+      // cell (keys..., column, self, other). Values surface as strings so
+      // one frame carries mixed column types (like mode); null != value
+      // counts as a difference, null == null does not.
+      val other = asDf(a.require("other", 0), "compare other")
+      val on = asStrList(a.require("on", -1))
+      val common = df.columns.filterNot(on.contains)
+        .filter(other.columns.contains).toSeq
+      require(common.nonEmpty, "compare: no common non-key columns")
+      val l = df.select((on ++ common).map(col): _*)
+      val r = other.select((on ++ common).map(c =>
+        if (on.contains(c)) col(c) else col(c).as(s"__graft_r_$c")): _*)
+      val joined = l.join(r, on, "inner")
+      val cells = common.map { c =>
+        val sv = col(c).cast("string")
+        val ov = col(s"__graft_r_$c").cast("string")
+        struct(lit(c).as("column"), sv.as("self"), ov.as("other"),
+          (sv.isNotNull =!= ov.isNotNull || sv =!= ov).as("__diff"))
+      }
+      joined.select(on.map(col) :+ explode(array(cells: _*)).as("__c"): _*)
+        .filter(col("__c.__diff"))
+        .select(on.map(col) ++ Seq(col("__c.column").as("column"),
+          col("__c.self").as("self"), col("__c.other").as("other")): _*)
     case "concat" | "unionByName" =>
       df.unionByName(asDf(a.require("other", 0), "concat"), allowMissingColumns = true)
     case "crosstab" =>
-      df.stat.crosstab(asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
+      val ct = df.stat.crosstab(
+        asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
+      // pandas crosstab(normalize=): 'index' divides each row by its row
+      // sum, 'columns' by the column total, 'all'/true by the grand total.
+      // The pivoted frame is small by construction (distinct(col1) rows),
+      // so the column/grand totals ride an empty-frame window over it.
+      a.get("normalize", -1) match {
+        case None | Some(false) => ct
+        case Some(normRaw) =>
+          val norm = normRaw match {
+            case true => "all"
+            case s: String => s
+            case other => throw PipelineError(
+              s"crosstab: normalize must be bool or 'index'/'columns'/'all', got ${tn(other)}")
+          }
+          val key = ct.columns.head
+          val cells = ct.columns.tail
+          val rowSum = cells.map(c => col(c).cast(DoubleType)).reduce(_ + _)
+          val all = org.apache.spark.sql.expressions.Window.partitionBy()
+          norm match {
+            case "index" =>
+              cells.foldLeft(ct.withColumn("__graft_rs", rowSum))((d, c) =>
+                d.withColumn(c, col(c).cast(DoubleType) / col("__graft_rs")))
+                .drop("__graft_rs")
+            case "columns" =>
+              cells.foldLeft(ct)((d, c) =>
+                d.withColumn(c, col(c).cast(DoubleType) /
+                  sum(col(c).cast(DoubleType)).over(all)))
+            case "all" =>
+              cells.foldLeft(ct.withColumn("__graft_gt",
+                  sum(rowSum).over(all)))((d, c) =>
+                d.withColumn(c, col(c).cast(DoubleType) / col("__graft_gt")))
+                .drop("__graft_gt")
+            case other => throw PipelineError(
+              s"crosstab: unknown normalize '$other' (index/columns/all)")
+          }
+      }
     case "pivot_table" =>
       // full pandas surface: values/aggfunc accept string OR list; margins
       // adds the "All" row+column computed from raw data in ONE grouping-sets

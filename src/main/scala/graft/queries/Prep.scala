@@ -541,6 +541,111 @@ object Prep {
         FROM b FULL JOIN f ON b.o_orderkey = f.o_orderkey
         ORDER BY o_orderkey""")),
 
+    // pandas pd.merge_ordered(left, right, on, fill_method='ffill'): the
+    // ordered full-outer calendar merge — daily order revenue against daily
+    // shipped quantity over one year; dates present on only one side get
+    // the other side's last observation carried forward.
+    Q("q106_merge_ordered",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        def year(c: org.apache.spark.sql.Column) =
+          c >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+            c < lit("1997-01-01 00:00:00").cast(TimestampType)
+        val left = t(s, d, "orders").filter(year(col("o_orderdate")))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("rev"))
+        val right = t(s, d, "lineitem").filter(year(col("l_shipdate")))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("l_quantity").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("qty"))
+        reg.callMethod(left, "merge_ordered", graft.expr.Args(
+          pos = List(right),
+          kw = List("on" -> List("day"), "fill_method" -> "ffill")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH l AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS day,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS rev
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1),
+        r AS (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR(10)) AS day,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1),
+        m AS (SELECT COALESCE(l.day, r.day) AS day, rev, qty
+          FROM l FULL JOIN r ON l.day = r.day)
+        SELECT day,
+          last_value(rev IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev,
+          last_value(qty IGNORE NULLS) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty
+        FROM m ORDER BY day""")),
+
+    // pandas df.compare(other) under explicit-key alignment: one tidy row
+    // per differing cell. Perturbations are injected on known key strides
+    // so both engines derive the identical difference set.
+    Q("q107_compare",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders")
+        val self = base.select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 11 === 0, lit("X-PERTURBED"))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        val other = base.select(col("o_orderkey"),
+          col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+        reg.callMethod(self, "compare", graft.expr.Args(
+          pos = List(other), kw = List("on" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"), col("column"))
+      },
+      Some("""
+        WITH a AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                 ELSE o_totalprice END AS price,
+            CASE WHEN o_orderkey % 11 = 0 THEN 'X-PERTURBED'
+                 ELSE o_orderpriority END AS prio
+          FROM orders),
+        b AS (SELECT o_orderkey, o_totalprice AS price,
+            o_orderpriority AS prio FROM orders),
+        diffs AS (
+          SELECT a.o_orderkey, 'price' AS "column",
+            CAST(a.price AS VARCHAR) AS self, CAST(b.price AS VARCHAR) AS other
+          FROM a JOIN b USING (o_orderkey) WHERE a.price <> b.price
+          UNION ALL
+          SELECT a.o_orderkey, 'prio', a.prio, b.prio
+          FROM a JOIN b USING (o_orderkey) WHERE a.prio <> b.prio)
+        SELECT * FROM diffs ORDER BY o_orderkey, "column" """)),
+
+    // pandas crosstab(normalize='index'): contingency table as row
+    // fractions. TPC-H l_linestatus takes exactly {F, O}, so the oracle
+    // mirrors the pivoted columns explicitly.
+    Q("q108_crosstab_norm",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
+          "crosstab", graft.expr.Args(
+            pos = List("l_returnflag", "l_linestatus"),
+            kw = List("normalize" -> "index")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag_l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag AS l_returnflag_l_linestatus,
+          CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS "F",
+          CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS "O"
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // pandas groupby().quantile(0.25): EXACT per-group quantiles — Spark's
     // `percentile` aggregate (sort-based, linear interpolation) is the
     // same definition as pandas' default and DuckDB's quantile_cont.

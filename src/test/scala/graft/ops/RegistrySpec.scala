@@ -626,6 +626,55 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("combine_first"))
   }
 
+  test("merge_ordered: ordered full-outer merge, ffill carries last observation") {
+    val left = Seq(("d1", 10.0), ("d3", 30.0)).toDF("day", "rev")
+    val right = Seq(("d2", 2.0), ("d3", 3.0), ("d4", 4.0)).toDF("day", "qty")
+    val out = m(left, "merge_ordered", "right" -> right,
+      "on" -> List("day"), "fill_method" -> "ffill")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      ("d1", Some(10.0), None),        // nothing to carry yet
+      ("d2", Some(10.0), Some(2.0)),   // rev carried forward
+      ("d3", Some(30.0), Some(3.0)),
+      ("d4", Some(30.0), Some(4.0)))) // rev carried past left's last day
+    // without fill_method the holes stay null
+    val raw = m(left, "merge_ordered", "right" -> right, "on" -> List("day"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("day").collect().map(r => Option(r.get(1))).toSeq
+    assert(raw == Seq(Some(10.0), None, Some(30.0), None))
+  }
+
+  test("compare: one tidy row per differing cell; null vs value differs, null vs null does not") {
+    val self = Seq((1L, Option(10.0), Option("a")), (2L, Option(20.0), Option.empty[String]),
+      (3L, Option.empty[Double], Option("c"))).toDF("k", "v", "s")
+    val other = Seq((1L, Option(10.0), Option("a")), (2L, Option(21.0), Option.empty[String]),
+      (3L, Option(3.0), Option("c"))).toDF("k", "v", "s")
+    val out = m(self, "compare", "other" -> other, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k", "column").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (2L, "v", Some("20.0"), Some("21.0")),  // value diff
+      (3L, "v", None, Some("3.0"))))           // null vs value
+    // row 1 identical, row 2 's' null==null, row 3 's' equal -> absent
+  }
+
+  test("crosstab normalize: index/columns/all row-column fractions") {
+    val d = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"))
+      .toDF("r", "c")
+    def ct(norm: Any) = m(d, "crosstab", "col1" -> "r", "col2" -> "c",
+      "normalize" -> norm).asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("r_c").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // counts: a -> (x=2, y=1), b -> (x=0, y=1)
+    assert(ct("index") == Seq(("a", 2.0 / 3, 1.0 / 3), ("b", 0.0, 1.0)))
+    assert(ct("columns") == Seq(("a", 1.0, 0.5), ("b", 0.0, 0.5)))
+    assert(ct("all") == Seq(("a", 0.5, 0.25), ("b", 0.0, 0.25)))
+  }
+
   test("unstack: no-agg long->wide; duplicate cells raise like pandas") {
     val long = Seq(("r1", "F", 1.5), ("r1", "O", 2.5), ("r2", "F", 3.5))
       .toDF("k", "st", "v")
