@@ -620,6 +620,42 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.redactPii(col(textCol)))
     },
+    "graft.dedup_against" -> { a =>
+      // incremental dedup: drop new-batch docs that are near-dups (exact
+      // n-gram Jaccard over the capped vocabulary) of any reference doc
+      Dedup.dedupAgainstReference(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("reference", 1), "reference"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8),
+        maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
+    },
+    "graft.clean_lines" -> { a =>
+      // RefinedWeb/Dolma line-level structural cleanse of the text column
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.withColumn(textCol, graft.functions.Text.cleanLines(col(textCol),
+        minChars = a.get("min_chars", -1).map(asInt(_, "min_chars")).getOrElse(10),
+        maxDigitFrac = a.get("max_digit_frac", -1).map(_.toString.toDouble).getOrElse(0.5)))
+    },
+    "graft.gopher_gates" -> { a =>
+      // Gopher quality gates; keep_only=true (default) filters to passing
+      // docs, otherwise the per-gate booleans are appended for inspection
+      val df = asDf(a.require("df", 0), "df")
+      val g = graft.functions.Text.gopherGates(
+        col(asStr(a.get("text", -1).getOrElse("text"), "text")))
+      if (a.get("keep_only", -1).forall(asBool(_, default = true)))
+        df.filter(g.getField("keep"))
+      else df.withColumn("gates", g)
+    },
+    "graft.tfidf_top_terms" -> { a =>
+      graft.operators.Scoring.tfidfTopTerms(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(5))
+    },
     "graft.decontaminate" -> { a =>
       // drops corpus docs overlapping the benchmark (anti-join on flags)
       val corpus = asDf(a.require("df", 0), "df")

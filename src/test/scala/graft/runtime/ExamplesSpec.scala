@@ -41,6 +41,27 @@ class ExamplesSpec extends AnyFunSuite {
       "token budget is per kept language (en/es/de/fr)")
   }
 
+  test("examples/incremental_dedup.yaml: batch deduped against reference, keywords per survivor") {
+    val out = freshDir("ex_incr")
+    new Pipeline(spark, "examples/incremental_dedup.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 1)
+    val novel = spark.read.parquet(s"$out/novel_docs.parquet")
+    assert(novel.count() > 0, "dedup must keep some novel docs")
+    assert(novel.count() < batch.count(),
+      "cross-parity near-dups exist in the fixture, so some batch docs must drop")
+    assert(novel.select("doc_id").collect().forall(_.getLong(0) % 2 == 1),
+      "only batch (odd-id) docs can survive")
+
+    val kw = spark.read.parquet(s"$out/keywords.parquet")
+    assert(kw.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3),
+      "top-3 terms per doc")
+    // keywords cover exactly the surviving docs
+    assert(kw.select("doc_id").distinct().count() == novel.count())
+  }
+
   test("examples/train_prep.yaml runs green: decontaminated, deduped, split, sampled") {
     val out = freshDir("ex_train")
     new Pipeline(spark, "examples/train_prep.yaml",
