@@ -89,6 +89,31 @@ object Text {
     regexp_count(redactPii(text), lit("<EMAIL>|<IP>")) -
       regexp_count(text, lit("<EMAIL>|<IP>"))
 
+  // NANP phone numbers with explicit separators: "(234) 555-0199",
+  // "234-555-0199", "234.555.0199", optional "+1-"/"1 " prefix. Area code
+  // and exchange both start [2-9] (numbering-plan rule), so version strings,
+  // ZIP runs and "123-456-7890" style decoys stay untouched. Like ipv4Re the
+  // boundaries are CONSUMED capture groups (RE2 has no lookaround) that the
+  // replacement re-inserts; the pass runs twice so adjacent numbers that
+  // share a boundary char both redact.
+  private[graft] val phoneRe =
+    "(^|[^0-9A-Za-z])((?:\\+?1[-. ])?(?:\\([2-9][0-9]{2}\\)[-. ]?|" +
+      "[2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)"
+
+  /** [[redactPii]] plus NANP phone redaction (email/IP passes first: a
+    * dotted phone can never parse as an in-range IPv4, and <PLACEHOLDER>
+    * tokens contain no digits, so the passes commute with the phone pass).
+    */
+  def redactPiiExtended(text: Column): Column = {
+    val phonePass: Column => Column = c => regexp_replace(c, phoneRe, "$1<PHONE>$3")
+    phonePass(phonePass(redactPii(text)))
+  }
+
+  /** Placeholder-insertion count for [[redactPiiExtended]] (audit metric). */
+  def piiCountExtended(text: Column): Column =
+    regexp_count(redactPiiExtended(text), lit("<EMAIL>|<IP>|<PHONE>")) -
+      regexp_count(text, lit("<EMAIL>|<IP>|<PHONE>"))
+
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
     * values flag boilerplate/spam. Pure column math over the shingle array

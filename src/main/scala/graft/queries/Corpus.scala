@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Text
+import Q._
+
+/** Round-7 continuation: corpus-analysis / web-pipeline operators beyond the
+  * dedup+quality families — extended PII, within-doc repetition removal, URL
+  * canonicalization, duplicated-span detection, semantic dedup survivors,
+  * Zipf statistics. Every query is oracle-gated; spikes are deterministic and
+  * built from identical literals in both engines so the gates stay binding.
+  */
+object Corpus {
+
+  val all: Seq[Q] = Seq(
+
+    // Extended PII redaction: NANP phone numbers join the email/IPv4 passes.
+    // The fixture text has no phones, so the query SPIKES three per doc
+    // (parenthesized, dotted, +1-prefixed — one varying with doc_id) plus
+    // decoys that MUST stay untouched (area/exchange starting 0/1, a version
+    // string). Expected n_pii = 3 per doc; any regex regression flips the
+    // hash.
+    Q("q109_pii_phone",
+      (s, d) => {
+        val area = (col("doc_id") % 700 + 200).cast("string")
+        val last4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        val spiked = concat(
+          col("text"), lit(" Call ("), area, lit(") 555-"), last4,
+          lit(" or 777.234."), last4, lit(", fax +1-888-555-0100."),
+          lit(" Decoys: 123-456-7890 and 555-019-2234 and v2.10.5."))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.redactPiiExtended(spiked).as("redacted"),
+          Text.piiCountExtended(spiked).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' Call (' || (doc_id % 700 + 200) || ') 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' or 777.234.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ', fax +1-888-555-0100.'
+                 || ' Decoys: 123-456-7890 and 555-019-2234 and v2.10.5.' AS text
+          FROM documents),
+        red AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))([^0-9A-Za-z_.]|\.[^0-9]|\.$|$)',
+              '\1<IP>\3', 'g'),
+              '(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))([^0-9A-Za-z_.]|\.[^0-9]|\.$|$)',
+              '\1<IP>\3', 'g'),
+              '(^|[^0-9A-Za-z])((?:\+?1[-. ])?(?:\([2-9][0-9]{2}\)[-. ]?|[2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)',
+              '\1<PHONE>\3', 'g'),
+              '(^|[^0-9A-Za-z])((?:\+?1[-. ])?(?:\([2-9][0-9]{2}\)[-. ]?|[2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)',
+              '\1<PHONE>\3', 'g') AS redacted
+          FROM spiked)
+        SELECT doc_id, redacted,
+          CAST(len(regexp_extract_all(redacted, '<EMAIL>|<IP>|<PHONE>'))
+             - len(regexp_extract_all(text, '<EMAIL>|<IP>|<PHONE>')) AS INTEGER) AS n_pii
+        FROM red ORDER BY doc_id""")),
+
+    // Within-document duplicate-line collapse (Dolma/RefinedWeb repetition
+    // removal): keep the FIRST occurrence of each exact line, preserve
+    // order. Pure per-row array math — an embarrassingly parallel projection
+    // with zero shuffle, which is the only shape that survives 100 TB (the
+    // per-doc array_position scan is O(lines^2) in the worst case but lines
+    // are bounded and the work never leaves the row). The fixture text is
+    // single-line, so the query rebuilds each doc as 8-word lines and SPIKES
+    // duplicates (the first line again + a repeated boilerplate pair) that
+    // the collapse must drop.
+    Q("q110_collapse_dup_lines",
+      (s, d) => {
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+        val lines = concat(chunks, array(
+          lit("subscribe to our newsletter"),
+          lit("subscribe to our newsletter"),
+          element_at(chunks, 1)))
+        val kept = filter(lines, (l, i) => array_position(lines, l) === i + 1)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          array_join(kept, "\n").as("text"),
+          (size(lines) - size(kept)).as("n_dropped"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                   FROM documents),
+        c AS (SELECT doc_id,
+            list_transform(
+              generate_series(0, CAST(ceil(len(words) / 8.0) AS INT) - 1),
+              i -> array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS chunks
+          FROM w),
+        l AS (SELECT doc_id,
+            list_concat(chunks, ['subscribe to our newsletter',
+                                 'subscribe to our newsletter',
+                                 chunks[1]]) AS lines
+          FROM c),
+        k AS (SELECT doc_id, lines,
+            list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+          FROM l)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+          CAST(len(lines) - len(kept) AS INTEGER) AS n_dropped
+        FROM k ORDER BY doc_id"""))
+  )
+}

@@ -812,6 +812,27 @@ class TextSpec extends AnyFunSuite {
     assert(out(6L) == (("id x1.2.3.4 stays; (<IP>) and <IP> go", 2)))
   }
 
+  test("redactPiiExtended adds NANP phones; decoys and prior passes intact") {
+    val df = Seq(
+      (1L, "call (234) 555-0199 or 234-555-0199 or 234.555.0199 now"),
+      (2L, "intl +1-888-555-0100, bare 1 345 555 0123."),
+      // area/exchange starting 0/1 violate the numbering plan; no separators
+      // is ambiguous with ids — all must stay
+      (3L, "decoys 123-456-7890, 555-019-2234, 2345550199, v2.10.5"),
+      (4L, "adjacent 234-555-0100,345-555-0200 both redact"),
+      (5L, "mixed bob@x.example.com at 10.0.0.1 or (456) 789-0123")
+    ).toDF("id", "text")
+      .select(col("id"), Text.redactPiiExtended(col("text")).as("r"),
+        Text.piiCountExtended(col("text")).as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("call <PHONE> or <PHONE> or <PHONE> now", 3)))
+    assert(out(2L) == (("intl <PHONE>, bare <PHONE>.", 2)))
+    assert(out(3L) == (("decoys 123-456-7890, 555-019-2234, 2345550199, v2.10.5", 0)))
+    // shared boundary comma: the second pass catches the hidden number
+    assert(out(4L) == (("adjacent <PHONE>,<PHONE> both redact", 2)))
+    assert(out(5L) == (("mixed <EMAIL> at <IP> or <PHONE>", 3)))
+  }
+
   test("topk rejects wrong id type at analysis time; int ids widen and work") {
     val spark2 = spark
     import spark2.implicits._
