@@ -107,6 +107,41 @@ object Corpus {
           FROM l)
         SELECT doc_id, array_to_string(kept, chr(10)) AS text,
           CAST(len(lines) - len(kept) AS INTEGER) AS n_dropped
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id""")),
+
+    // Duplicated-span detection (the exact-substring dedup signal of Lee et
+    // al. "Deduplicating Training Data Makes Language Models Better"): per
+    // doc, how many of its distinct word 13-grams appear in at least one
+    // OTHER doc. Shape: per-doc-distinct shingles hash to 64-bit longs
+    // BEFORE anything shuffles, document frequency is a count-over-window
+    // partitioned by the hash, then one groupBy(doc) — two equality
+    // shuffles, (long, long) rows only, no joins, no collect. The fixture
+    // binds the gate naturally: 901 13-grams are shared across 45 docs at
+    // sf0.01. Short docs (<13 words) contribute their whole text as one
+    // shingle (WordShingles semantics, mirrored by the oracle's short CTE).
+    Q("q111_dup_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(graft.operators.Dedup.shingles(col("text"), 13))).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        grams
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 13),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        wdf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM sh)
+        SELECT doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM wdf GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
