@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus pipelines: the dedup key for crawl
+  * data is almost never the raw URL — casing, tracking params, fragments,
+  * default ports and trailing slashes all vary across recrawls of the same
+  * page. Pure column math over `parse_url` + array HOFs — codegen-friendly
+  * projections, zero shuffle, so canonicalization is free at 100 TB scan
+  * time. (Reference scope: the pandas layer reaches these as registered
+  * columns fns; the reference itself ships no URL ops — north-star
+  * extension.)
+  */
+object Urls {
+
+  // Common click/campaign trackers (utm_* family, Facebook/Google/Microsoft
+  // click ids, bare ref). Anchored at the param start: `ref=` strips,
+  // `href=` survives.
+  private val trackingRe = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+  private def host(url: Column): Column =
+    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  private def keptParams(url: Column): Column =
+    array_sort(filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => length(p) > 0 && !p.rlike(trackingRe)))
+
+  /** Canonical form: lowercased scheme + host, `www.` and default-port
+    * stripped (parse_url HOST never carries the port), fragment dropped,
+    * trailing path slash removed, tracking params stripped and the
+    * remaining query params SORTED (param order is not semantic; sorting
+    * makes the canonical form a stable dedup key).
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val path = regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/$", "")
+    val qs = array_join(keptParams(url), "&")
+    concat(scheme, lit("://"), host(url), path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** Naive registered domain: last two host labels (no public-suffix list in
+    * a bare JDK; documented approximation — "co.uk"-style suffixes need a
+    * PSL feed, which would arrive as a broadcast lookup table).
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(host(url), "[^.]+\\.[^.]+$", 0)
+
+  /** Number of tracking params the canonicalization strips (audit metric). */
+  def trackingParamCount(url: Column): Column =
+    size(filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => p.rlike(trackingRe)))
+}

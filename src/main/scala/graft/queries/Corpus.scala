@@ -142,6 +142,69 @@ object Corpus {
         wdf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM sh)
         SELECT doc_id, COUNT(*) AS n_spans,
           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-        FROM wdf GROUP BY doc_id ORDER BY doc_id"""))
+        FROM wdf GROUP BY doc_id ORDER BY doc_id""")),
+
+    // URL canonicalization (crawl-dedup key): the fixture has no URL column,
+    // so the query builds one deterministically per doc from identical
+    // literals in both engines — mixed-case scheme/host, www. prefix, :443
+    // port, trailing slash, tracking params out of order, fragment — and the
+    // canonical form must normalize ALL of them (lowercase scheme+host, no
+    // www/port/fragment/trailing slash, tracking params stripped, survivors
+    // sorted). Spark side is parse_url + array HOFs (zero shuffle); the
+    // oracle re-parses with regexes, so a parse_url semantics drift fails
+    // the gate.
+    Q("q112_url_canonicalize",
+      (s, d) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+          lit("://WWW."), col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Articles/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=c"), (col("doc_id") % 7).cast("string"),
+          lit("&b=2&a=1#Sec"), (col("doc_id") % 3).cast("string"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          graft.functions.Urls.canonicalize(url).as("canon_url"),
+          graft.functions.Urls.registeredDomain(url).as("domain"),
+          graft.functions.Urls.trackingParamCount(url).as("n_tracking"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+            || '://WWW.' || source || '.Example.COM'
+            || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+            || '/Articles/' || doc_id
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || '?utm_source=feed&id=' || doc_id
+            || '&utm_campaign=c' || (doc_id % 7)
+            || '&b=2&a=1#Sec' || (doc_id % 3) AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                           '^www\.', '') AS host,
+            regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1),
+                           '/$', '') AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        k AS (
+          SELECT doc_id, scheme, host, path,
+            list_sort(list_filter(string_split(q, '&'), x -> len(x) > 0
+              AND NOT regexp_matches(x, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)='))) AS kept,
+            len(list_filter(string_split(q, '&'),
+              x -> regexp_matches(x, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)='))) AS n_tracking
+          FROM p)
+        SELECT doc_id,
+          scheme || '://' || host || path ||
+            (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                  ELSE '' END) AS canon_url,
+          regexp_extract(host, '[^.]+\.[^.]+$', 0) AS domain,
+          CAST(n_tracking AS INTEGER) AS n_tracking
+        FROM k ORDER BY doc_id"""))
   )
 }
