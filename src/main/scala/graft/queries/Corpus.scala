@@ -205,6 +205,50 @@ object Corpus {
                   ELSE '' END) AS canon_url,
           regexp_extract(host, '[^.]+\.[^.]+$', 0) AS domain,
           CAST(n_tracking AS INTEGER) AS n_tracking
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id""")),
+
+    // Semantic dedup survivors (SemDeDup-style, deterministic variant): drop
+    // any embedding with a SMALLER-id neighbor at cosine >= t — the min-id
+    // representative over direct pairs, which unlike greedy/cluster
+    // assignment is order- and partitioning-independent, so both engines
+    // can replay it exactly. Same scale discipline as q51: the exact
+    // all-pairs survivor set is confined to a deterministic slice (O(500^2)
+    // forever); the full-corpus path is the banded SRP-LSH candidate join,
+    // and recall_ok gates that sketch-dominated covers >= 85% of the
+    // exact-dominated set — a false "survivor" under LSH is exactly a
+    // missed candidate pair, so this is the honest metric to gate.
+    Q("q113_semantic_dedup",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val slice = emb.filter(col("vec_id") < 500)
+        val exact = graft.operators.Similarity.exactCosinePairs(slice, threshold = 0.35)
+        val exactDom = exact.select(col("id_b").as("vec_id")).distinct()
+        val sketchDom = graft.operators.Similarity
+          .embeddingDupPairs(emb, threshold = 0.35, planes = 64, bands = 16)
+          .filter(col("id_a") < 500 && col("id_b") < 500)
+          .select(col("id_b").as("vec_id")).distinct()
+          .withColumn("__hit", lit(1))
+        val recallOk = exactDom.join(sketchDom, Seq("vec_id"), "left")
+          .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /
+            greatest(count(lit(1)), lit(1)) >= 0.85).as("recall_ok"))
+        slice.select(col("vec_id"), col("label"))
+          .join(exactDom, Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(recallOk))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 500 AND b.vec_id < 500),
+        dom AS (SELECT DISTINCT id_b AS vec_id FROM p WHERE cosine >= 0.35)
+        SELECT e.vec_id, e.label, TRUE AS recall_ok
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (SELECT vec_id FROM dom)
+        ORDER BY e.vec_id"""))
   )
 }
