@@ -249,6 +249,68 @@ object Corpus {
         SELECT e.vec_id, e.label, TRUE AS recall_ok
         FROM embeddings e
         WHERE e.vec_id < 500 AND e.vec_id NOT IN (SELECT vec_id FROM dom)
-        ORDER BY e.vec_id"""))
+        ORDER BY e.vec_id""")),
+
+    // Corpus token statistics + Zipf slope: vocabulary size, total tokens,
+    // hapax-legomena fraction, and the log-log least-squares slope over the
+    // TOP-1000 tokens (fitting the head is standard practice AND the
+    // scale-safe shape: top-k is a distributed TakeOrderedAndProject heap —
+    // no global sort over a 100M-term vocabulary; the full-vocab stats are
+    // plain aggregates). Cross-engine float discipline: log values round to
+    // 6dp BEFORE accumulating, the four regression sums accumulate as exact
+    // DECIMAL(30,15) (partition-order independent), and only the final
+    // slope division runs in doubles (identical IEEE inputs -> identical
+    // result), rounded to 4dp.
+    Q("q114_zipf_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 15))
+        val toks = t(s, d, "documents")
+          .select(explode(filter(split(lower(col("text")), "\\s+"),
+            w => length(w) > 0)).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val top = freq.orderBy(col("cnt").desc, col("tok")).limit(1000)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+          .select(round(log10(col("rank")), 6).as("x"),
+            round(log10(col("cnt")), 6).as("y"))
+        val slope = top.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("y"))).as("sxy"),
+          sum(dec(col("x") * col("x"))).as("sxx"))
+          .select(round(
+            (col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")),
+            4).as("zipf_slope"))
+        freq.agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("total_tokens"),
+          round(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("hapax_frac"))
+          .crossJoin(broadcast(slope))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+                FROM freq ORDER BY cnt DESC, tok LIMIT 1000),
+        xy AS (SELECT round(log10(rank), 6) AS x, round(log10(cnt), 6) AS y FROM top),
+        s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x*y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(x*x AS DECIMAL(30,15))) AS DOUBLE) AS sxx
+              FROM xy),
+        st AS (SELECT COUNT(*) AS vocab_size, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                round(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS hapax_frac
+               FROM freq)
+        SELECT st.vocab_size, st.total_tokens, st.hapax_frac,
+          round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope
+        FROM st, s"""))
   )
 }
