@@ -146,6 +146,25 @@ object Text {
     array_join(kept, "\n")
   }
 
+  /** Within-document duplicate-line collapse (Dolma/RefinedWeb repetition
+    * removal): keep the FIRST occurrence of each exact line, preserving
+    * order. Pure per-row array math — zero shuffle; the array_position scan
+    * is O(lines^2) worst case but never leaves the row, so it parallelizes
+    * perfectly at 100 TB.
+    */
+  def collapseDupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
+  }
+
+  /** Lines dropped by [[collapseDupLines]] (audit metric). */
+  def dupLineCount(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(lines) -
+      size(filter(lines, (l, i) => array_position(lines, l) === i + 1))
+  }
+
   /** Gopher-style document quality GATES (public Gopher-paper bounds):
     * word count in [50, 100k], mean word length in [3, 10], symbol-to-word
     * ratio (#/ellipsis) <= 0.1, <= 90% of lines bullet-led, <= 30% of lines

@@ -513,6 +513,27 @@ object Dedup {
       .select(col("id").as(idCol), col("text").as(textCol))
   }
 
+  /** Duplicated-span detection (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — the exact-substring dedup signal): per
+    * doc, how many of its distinct word n-grams appear in at least one OTHER
+    * doc. Per-doc-distinct shingles hash to 64-bit longs BEFORE anything
+    * shuffles; document frequency is a count-over-window partitioned by the
+    * hash; then one groupBy(doc). Two equality shuffles of (long, long)
+    * rows, no joins, no collect.
+    */
+  def dupSpanCounts(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup"))
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

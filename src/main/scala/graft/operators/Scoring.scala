@@ -71,4 +71,44 @@ object Scoring {
       .filter(col("rn") <= k)
       .select(col("id").as(idCol), col("w").as("term"), col("score"))
   }
+
+  /** Corpus token statistics + Zipf slope: vocabulary size, total tokens,
+    * hapax fraction, and the log-log least-squares slope over the `topK`
+    * most frequent tokens. Fitting the head is standard practice AND the
+    * scale-safe shape: top-k lowers to TakeOrderedAndProject (distributed
+    * heaps, no global sort over a 100M-term vocabulary); the full-vocab
+    * stats are plain aggregates. Float discipline: logs round to 6dp before
+    * accumulating, the regression sums accumulate as exact DECIMAL(30,15)
+    * (partition-order independent), only the final division runs in doubles.
+    */
+  def zipfStats(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 15))
+    val toks = df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(round(log10(col("rank")), 6).as("x"),
+        round(log10(col("cnt")), 6).as("y"))
+    val slope = top.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+      .select(round(
+        (col("n") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")),
+        4).as("zipf_slope"))
+    freq.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("cnt")).as("total_tokens"),
+      round(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("hapax_frac"))
+      .crossJoin(broadcast(slope))
+  }
 }

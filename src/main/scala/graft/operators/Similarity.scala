@@ -112,6 +112,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic dedup survivors (SemDeDup-style, deterministic variant): drop
+    * any vector with a SMALLER-id neighbor at cosine >= threshold — the
+    * min-id representative over direct pairs, which unlike greedy or
+    * cluster-order assignment is partitioning-independent and replayable.
+    * Candidate pairs come from [[embeddingDupPairs]] (banded SRP-LSH, an
+    * equality shuffle — never all-pairs), so at 100 TB the cost is the
+    * candidate join plus one anti-join on bare ids.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double,
+                    planes: Int = 64, bands: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dominated = embeddingDupPairs(df, threshold, planes, bands, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
     * queries probe their `nprobe` nearest centroids, and only vectors in
     * probed cells are scored. The classic FAISS-style scale path: corpus is

@@ -618,7 +618,12 @@ final class Registry(spark: SparkSession) {
     "graft.redact_pii" -> { a =>
       val df = asDf(a.require("df", 0), "df")
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
-      df.withColumn(textCol, Text.redactPii(col(textCol)))
+      // phones=true adds the NANP phone pass to the email/IPv4 passes
+      val redact =
+        if (a.get("phones", -1).exists(asBool(_, default = false)))
+          Text.redactPiiExtended(col(textCol))
+        else Text.redactPii(col(textCol))
+      df.withColumn(textCol, redact)
     },
     "graft.dedup_against" -> { a =>
       // incremental dedup: drop new-batch docs that are near-dups (exact
@@ -655,6 +660,46 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         k = a.get("k", -1).map(asInt(_, "k")).getOrElse(5))
+    },
+    "graft.collapse_dup_lines" -> { a =>
+      // within-doc duplicate-line removal (Dolma-style); keeps first
+      // occurrence, preserves order; zero shuffle
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.withColumn(textCol, Text.collapseDupLines(col(textCol)))
+    },
+    "graft.dup_spans" -> { a =>
+      // per-doc count of word n-grams shared with >= 1 other doc (exact
+      // substring dedup signal)
+      graft.operators.Dedup.dupSpanCounts(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
+    },
+    "graft.canonicalize_urls" -> { a =>
+      // canonical dedup key + registered domain + stripped-tracker audit
+      // count from a URL column (columnar, zero shuffle)
+      val df = asDf(a.require("df", 0), "df")
+      val urlCol = asStr(a.get("url", -1).getOrElse("url"), "url")
+      df.withColumn("canon_url", graft.functions.Urls.canonicalize(col(urlCol)))
+        .withColumn("domain", graft.functions.Urls.registeredDomain(col(urlCol)))
+        .withColumn("n_tracking", graft.functions.Urls.trackingParamCount(col(urlCol)))
+    },
+    "graft.semantic_dedup" -> { a =>
+      // SemDeDup-style survivors: drop vectors dominated by a smaller-id
+      // LSH-candidate neighbor at cosine >= threshold
+      graft.operators.Similarity.semanticDedup(asDf(a.require("df", 0), "df"),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.9),
+        planes = a.get("planes", -1).map(asInt(_, "planes")).getOrElse(64),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(16),
+        idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"))
+    },
+    "graft.zipf_stats" -> { a =>
+      // corpus vocabulary stats + head-of-distribution Zipf slope
+      graft.operators.Scoring.zipfStats(asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        topK = a.get("top_k", -1).map(asInt(_, "top_k")).getOrElse(1000))
     },
     "graft.decontaminate" -> { a =>
       // drops corpus docs overlapping the benchmark (anti-join on flags)

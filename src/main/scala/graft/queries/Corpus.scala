@@ -78,15 +78,14 @@ object Corpus {
         val nChunks = ceil(size(words) / lit(8.0)).cast("int")
         val chunks = transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-        val lines = concat(chunks, array(
+        val spiked = array_join(concat(chunks, array(
           lit("subscribe to our newsletter"),
           lit("subscribe to our newsletter"),
-          element_at(chunks, 1)))
-        val kept = filter(lines, (l, i) => array_position(lines, l) === i + 1)
+          element_at(chunks, 1))), "\n")
         t(s, d, "documents").select(
           col("doc_id"),
-          array_join(kept, "\n").as("text"),
-          (size(lines) - size(kept)).as("n_dropped"))
+          Text.collapseDupLines(spiked).as("text"),
+          Text.dupLineCount(spiked).as("n_dropped"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -120,19 +119,9 @@ object Corpus {
     // sf0.01. Short docs (<13 words) contribute their whole text as one
     // shingle (WordShingles semantics, mirrored by the oracle's short CTE).
     Q("q111_dup_spans",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val grams = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(graft.operators.Dedup.shingles(col("text"), 13))).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("h"))
-        grams
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.operators.Dedup
+        .dupSpanCounts(t(s, d, "documents"), "doc_id", "text", n = 13)
+        .orderBy(col("doc_id")),
       Some("""
         WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
         idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS i FROM toks),
@@ -262,36 +251,8 @@ object Corpus {
     // slope division runs in doubles (identical IEEE inputs -> identical
     // result), rounded to 4dp.
     Q("q114_zipf_stats",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 15))
-        val toks = t(s, d, "documents")
-          .select(explode(filter(split(lower(col("text")), "\\s+"),
-            w => length(w) > 0)).as("tok"))
-        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val top = freq.orderBy(col("cnt").desc, col("tok")).limit(1000)
-          .withColumn("rank",
-            row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-          .select(round(log10(col("rank")), 6).as("x"),
-            round(log10(col("cnt")), 6).as("y"))
-        val slope = top.agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
-          sum(dec(col("x") * col("y"))).as("sxy"),
-          sum(dec(col("x") * col("x"))).as("sxx"))
-          .select(round(
-            (col("n") * col("sxy").cast("double")
-              - col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n") * col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double")),
-            4).as("zipf_slope"))
-        freq.agg(
-          count(lit(1)).as("vocab_size"),
-          sum(col("cnt")).as("total_tokens"),
-          round(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
-            / count(lit(1)), 6).as("hapax_frac"))
-          .crossJoin(broadcast(slope))
-      },
+      (s, d) => graft.operators.Scoring
+        .zipfStats(t(s, d, "documents"), "text", topK = 1000),
       Some("""
         WITH toks AS (
           SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
