@@ -102,6 +102,12 @@ final class Registry(spark: SparkSession) {
   }
   private def tn(v: Any): String = if (v == null) "None" else v.getClass.getSimpleName
 
+  /** pandas strftime directive -> Spark datetime pattern (common subset). */
+  private def pandasFmt(f: String): String =
+    f.replace("%Y", "yyyy").replace("%y", "yy")
+      .replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+
   /** Scale warning for window methods resolving to a single global window
     * partition (empty `partition_by`): pandas parity demands offering the
     * global form, but at cluster scale it serializes the whole table into
@@ -172,12 +178,7 @@ final class Registry(spark: SparkSession) {
             case _ => None
           }
           fmt match {
-            case Some(f) =>
-              // pandas strftime -> Spark datetime pattern (common subset)
-              val sparkFmt = f.replace("%Y", "yyyy").replace("%y", "yy")
-                .replace("%m", "MM").replace("%d", "dd")
-                .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-              d.withColumn(c, to_timestamp(col(c), sparkFmt))
+            case Some(f) => d.withColumn(c, to_timestamp(col(c), pandasFmt(f)))
             case None => d.withColumn(c, col(c).cast(TimestampType))
           }
         }
@@ -366,6 +367,28 @@ final class Registry(spark: SparkSession) {
           })
           spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
         case other => throw PipelineError(s"DataFrame expects dict data, got ${tn(other)}")
+      }
+    },
+    "pd.to_datetime" -> { a =>
+      // pandas pd.to_datetime over a frame column: format= (strftime
+      // directives), errors='raise' (default; unparseable non-null input
+      // raises like pandas) or 'coerce' (NaT -> null). Pure column math.
+      val df = asDf(a.require("df", 0), "df")
+      val c = asStr(a.require("column", 1), "column")
+      // try_* forms: parse failure -> null in OUR hands (ANSI mode would
+      // otherwise throw Spark's error before the errors= policy applies)
+      val parsed = a.get("format", -1).map(f => asStr(f, "format")) match {
+        case Some(f) => try_to_timestamp(col(c), lit(pandasFmt(f)))
+        case None => col(c).try_cast(TimestampType)
+      }
+      a.get("errors", -1).map(asStr(_, "errors")).getOrElse("raise") match {
+        case "coerce" => df.withColumn(c, parsed)
+        case "raise" => df.withColumn(c,
+          when(col(c).isNotNull && parsed.isNull,
+            raise_error(concat(lit(s"to_datetime: unparseable value in '$c': "),
+              col(c).cast(StringType)))).otherwise(parsed))
+        case other => throw PipelineError(
+          s"to_datetime: errors must be 'raise' or 'coerce', got '$other'")
       }
     },
     "pd.date_range" -> { a =>
@@ -1650,6 +1673,25 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"duplicated: unsupported keep '$other'")
       }
       df.withColumn("duplicated", flag)
+    case "factorize" =>
+      // pandas pd.factorize(values, sort=True): integer codes by SORTED
+      // unique order — the only deterministic variant on distributed data
+      // (encounter order depends on partitioning), so sort=False raises.
+      // Null -> -1 like pandas NaN. The rank window runs over the DISTINCT
+      // values only (vocabulary-sized, never the full frame); codes join
+      // back by value (broadcast when small — AQE decides).
+      val c = asStr(a.require("column", 0), "column")
+      if (!a.get("sort", -1).forall(asBool(_, default = true)))
+        throw PipelineError("factorize: only sort=True is supported " +
+          "(encounter order is partitioning-dependent on a cluster)")
+      val uniq = {
+        import org.apache.spark.sql.expressions.Window
+        df.select(col(c)).where(col(c).isNotNull).distinct()
+          .withColumn(s"${c}_code",
+            (dense_rank().over(Window.orderBy(col(c))) - 1).cast(LongType))
+      }
+      df.join(uniq, Seq(c), "left")
+        .withColumn(s"${c}_code", coalesce(col(s"${c}_code"), lit(-1L)))
     case "get_dummies" =>
       // pandas pd.get_dummies over one column with EXPLICIT categories —
       // the scale-first form (no distinct-values job); unknown values get

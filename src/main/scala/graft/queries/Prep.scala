@@ -819,6 +819,60 @@ object Prep {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // pandas pd.factorize(sort=True): integer codes by sorted unique order
+    // (the deterministic variant — encounter order is partitioning-
+    // dependent, so the engine rejects sort=False). Nulls code as -1; the
+    // query nulls-out one language to pin that branch. The rank window runs
+    // over the 4 distinct values only, never the frame.
+    Q("q115_factorize",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "documents").select(col("doc_id"),
+          when(col("lang") === "zh", lit(null)).otherwise(col("lang")).as("lang2"))
+        reg.callMethod(base, "factorize", graft.expr.Args(kw = List(
+          "column" -> "lang2", "sort" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id,
+            CASE WHEN lang = 'zh' THEN NULL ELSE lang END AS lang2
+          FROM documents),
+        u AS (SELECT DISTINCT lang2 FROM base WHERE lang2 IS NOT NULL),
+        r AS (SELECT lang2,
+            CAST(dense_rank() OVER (ORDER BY lang2) - 1 AS BIGINT) AS lang2_code
+          FROM u)
+        SELECT b.lang2, b.doc_id, CAST(coalesce(r.lang2_code, -1) AS BIGINT) AS lang2_code
+        FROM base b LEFT JOIN r USING(lang2) ORDER BY b.doc_id""")),
+
+    // pandas pd.to_datetime(format=, errors=): strftime-directive parsing
+    // with the raise/coerce policy under OUR control (try_to_timestamp, so
+    // ANSI mode can't preempt the policy). One clean column (raise path,
+    // all parse) and one with injected garbage (coerce path -> null).
+    Q("q116_to_datetime",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("ds"),
+          when(col("o_orderkey") % 100 === 0, lit("oops"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy/MM/dd")).as("maybe"))
+        val p1 = reg.callFunction("pd.to_datetime", graft.expr.Args(
+          pos = List(base, "ds"), kw = List("format" -> "%Y/%m/%d")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callFunction("pd.to_datetime", graft.expr.Args(
+          pos = List(p1, "maybe"),
+          kw = List("format" -> "%Y/%m/%d", "errors" -> "coerce")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS ds,
+          CASE WHEN o_orderkey % 100 = 0 THEN NULL
+               ELSE strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')
+          END AS maybe
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -1315,6 +1315,38 @@ class RegistrySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate"), s"got: ${e2.getMessage}")
   }
 
+  test("factorize: sorted codes, null -> -1, sort=False raises") {
+    val d = Seq((1L, "b"), (2L, "a"), (3L, null), (4L, "b")).toDF("id", "v")
+    val out = m(d, "factorize", "column" -> "v")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("id").collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(1L, 0L, -1L, 1L)) // a=0, b=1 (sorted), null=-1
+    val e = intercept[graft.config.PipelineError] {
+      m(d, "factorize", "column" -> "v", "sort" -> false)
+    }
+    assert(e.getMessage.contains("sort=True"))
+  }
+
+  test("pd.to_datetime: format parse; errors=coerce nulls, errors=raise raises") {
+    val d = Seq((1L, "2024/01/31"), (2L, "oops")).toDF("id", "s")
+    val ok = reg.callFunction("pd.to_datetime", Args(
+      pos = List(d.filter(col("id") === 1), "s"),
+      kw = List("format" -> "%Y/%m/%d")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(ok(0).getTimestamp(1).toString.startsWith("2024-01-31"))
+    val coerced = reg.callFunction("pd.to_datetime", Args(
+      pos = List(d, "s"),
+      kw = List("format" -> "%Y/%m/%d", "errors" -> "coerce")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("id").collect()
+    assert(coerced(0).getTimestamp(1) != null && coerced(1).isNullAt(1))
+    val e = intercept[Exception] {
+      reg.callFunction("pd.to_datetime", Args(
+        pos = List(d, "s"), kw = List("format" -> "%Y/%m/%d")))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    assert(e.getMessage.contains("unparseable") || e.getCause != null)
+  }
+
   test("crosstab shape") {
     val ct = mp(df, "crosstab", "k", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(ct.count() == 2) // one row per k value
