@@ -534,6 +534,51 @@ object Dedup {
       .select(col("id").as(idCol), col("n_spans"), col("n_dup"))
   }
 
+  /** Duplicated-span REMOVAL (the action [[dupSpanCounts]] is the signal
+    * for): delete every word covered by an n-gram that appears in at least
+    * one OTHER document, keeping the remaining words in order. Lee et al.'s
+    * exact-substring dedup, expressed as four equality shuffles over bare
+    * (long, int) rows: positional grams hash before shuffling, document
+    * frequency is per-doc-distinct + count-over-window, covered positions
+    * come from one semi join + sequence explode, and the rebuild is a
+    * groupBy(doc) of (pos, word) structs — arrays never exceed one
+    * document's length, so nothing here is corpus-sized in memory. Docs
+    * shorter than n words contribute no grams and keep all words (no
+    * whole-text-shingle fallback: removal semantics must never delete a doc
+    * for being short).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordsOf = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val base = df.select(col(idCol).as("id"), wordsOf.as("w"))
+    val grams = base.filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val shared = grams.select(col("id"), col("h")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") >= 2).select(col("h")).distinct()
+    val covered = grams.join(shared, "h")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("w")).as(Seq("p", "word")))
+      .join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("word")))),
+        x => x.getField("word")), " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+    base.select(col("id"), size(col("w")).as("__total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

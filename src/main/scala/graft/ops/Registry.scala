@@ -699,6 +699,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
     },
+    "graft.remove_dup_spans" -> { a =>
+      // Lee-et-al exact-substring dedup: delete words covered by an n-gram
+      // shared with another doc
+      graft.operators.Dedup.removeDupSpans(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
+    },
     "graft.canonicalize_urls" -> { a =>
       // canonical dedup key + registered domain + stripped-tracker audit
       // count from a URL column (columnar, zero shuffle)

@@ -272,6 +272,42 @@ object Corpus {
                FROM freq)
         SELECT st.vocab_size, st.total_tokens, st.hapax_frac,
           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope
-        FROM st, s"""))
+        FROM st, s""")),
+
+    // Duplicated-span REMOVAL — the action q111 is the signal for (Lee et
+    // al. exact-substring dedup): every word covered by a 13-gram shared
+    // with another doc is deleted, survivors keep their order. Exact-dup
+    // docs in the fixture are fully covered and collapse to empty text;
+    // docs under 13 words keep everything (no grams). The oracle recomputes
+    // coverage from raw grams + string_agg ordered rebuild, so the two
+    // engines agree only if the shared-gram set, the coverage windows, AND
+    // the reassembly order all match.
+    Q("q117_remove_dup_spans",
+      (s, d) => graft.operators.Dedup
+        .removeDupSpans(t(s, d, "documents"), "doc_id", "text", n = 13)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+12], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+          WHERE len(w) >= 13),
+        dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+        shared AS (SELECT g FROM dfq WHERE df >= 2),
+        covered AS (
+          SELECT DISTINCT grams.doc_id, c.p
+          FROM grams JOIN shared USING(g),
+               unnest(generate_series(grams.pos, grams.pos + 12)) AS c(p)),
+        kept AS (
+          SELECT t.doc_id, pi.i AS p, t.w[pi.i] AS word
+          FROM toks t, unnest(generate_series(1, len(t.w))) AS pi(i)
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = t.doc_id AND c.p = pi.i)),
+        reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.clean, '') AS text,
+          CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id"""))
   )
 }

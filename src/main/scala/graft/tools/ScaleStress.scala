@@ -99,8 +99,10 @@ object ScaleStress {
         threshold = 0.2).count()
       Dedup.simhashVerifiedPairs(w, "doc_id", "text", maxHamming = 12, bands = 8,
         threshold = 0.2).count()
+      Dedup.dupSpanCounts(w, "doc_id", "text", n = 13).count()
       graft.operators.Similarity.ivfTopK(wq, we, 10, ncells = 16, nprobe = 4).count()
       graft.operators.Similarity.embeddingDupPairs(we, threshold = 0.95).count()
+      graft.operators.Similarity.semanticDedup(we, threshold = 0.35).count()
       w.unpersist(); we.unpersist()
       graft.operators.Caches.release()
       spark.catalog.clearCache()
@@ -153,6 +155,11 @@ object ScaleStress {
       cell("q36_simhash_verified", f, nd)(
         Dedup.simhashVerifiedPairs(d, "doc_id", "text", maxHamming = 12,
           bands = 8, threshold = 0.2).count())
+      // replica shingle sets are disjoint, so shared-span structure (and
+      // the dup count) replicates exactly; runtime should track the linear
+      // (long,long) shuffle volume
+      cell("q111_dup_spans", f, nd)(
+        Dedup.dupSpanCounts(d, "doc_id", "text", n = 13).count())
       d.unpersist()
 
       val e = embAt(f).repartition(32).persist()
@@ -162,6 +169,12 @@ object ScaleStress {
         Similarity.ivfTopK(q8, e, 10, ncells = 16, nprobe = 4).count())
       cell("q51_embedding_dups", f, ne)(
         Similarity.embeddingDupPairs(e, threshold = 0.95).count())
+      // NB replicas are EXACT vector copies: cross-block matches are the
+      // point here (dup structure densifies as the corpus grows), so the
+      // survivor count stays ~constant while candidates grow; watch secs
+      // against the candidate metric, not rows
+      cell("q113_semantic_dedup", f, ne)(
+        Similarity.semanticDedup(e, threshold = 0.35).count())
       e.unpersist()
       }
     }

@@ -172,6 +172,69 @@ class DedupSpec extends AnyFunSuite {
     assert(s7 == "same para\n\nother para")
   }
 
+  test("dupSpanCounts: shared n-gram spans counted per doc, unique docs zero") {
+    val sdocs = Seq(
+      // docs 1 and 2 share the 5-word prefix -> two shared 4-grams each;
+      // their tails differ
+      (1L, "one two three four five alpha beta"),
+      (2L, "one two three four five gamma delta"),
+      (3L, "totally unrelated words without any overlap here"),
+      (4L, "short doc") // < n words -> whole text is the single span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCounts(sdocs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: spans = 4 (7 words - 4 + 1); shared with doc2: "one two three
+    // four" and "two three four five" = 2
+    assert(out(0) == ((1L, 4L, 2L)))
+    assert(out(1) == ((2L, 4L, 2L)))
+    assert(out(2) == ((3L, 4L, 0L)))
+    assert(out(3) == ((4L, 1L, 0L)))
+  }
+
+  test("removeDupSpans deletes covered words, keeps order, spares short docs") {
+    val sdocs = Seq(
+      // 1 and 2 share the 4-gram "one two three four" -> positions 0-3 of
+      // both docs are covered; tails survive
+      (1L, "one two three four alpha beta"),
+      (2L, "one two three four gamma"),
+      (3L, "unique words that never repeat anywhere else at all"),
+      (4L, "tiny"), // < n words: no grams, keeps everything
+      (5L, "one two three four alpha beta") // exact dup of 1 -> fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(sdocs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc1 vs doc5: ALL their grams are shared (exact dup) -> both empty;
+    // doc2 shares only the prefix gram with them -> keeps "gamma"
+    assert(out(0) == ((1L, "", 6L)))
+    assert(out(1) == ((2L, "gamma", 4L)))
+    assert(out(2) == ((3L, "unique words that never repeat anywhere else at all", 0L)))
+    assert(out(3) == ((4L, "tiny", 0L)))
+    assert(out(4) == ((5L, "", 6L)))
+  }
+
+  test("urls: canonicalize handles no-query, all-tracking, and href decoy") {
+    val u = Seq(
+      (1L, "https://www.Site.COM/a/b/"),
+      (2L, "http://site.com/x?utm_source=a&utm_medium=b"),
+      (3L, "https://site.com/x?href=keep&ref=drop&z=1&a=2"),
+      (4L, "https://sub.dom.site.co/x")
+    ).toDF("id", "url")
+      .select(col("id"),
+        graft.functions.Urls.canonicalize(col("url")).as("c"),
+        graft.functions.Urls.registeredDomain(col("url")).as("d"),
+        graft.functions.Urls.trackingParamCount(col("url")).as("n"))
+    val out = u.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("https://site.com/a/b", "site.com", 0)))
+    assert(out(2L) == (("http://site.com/x", "site.com", 2)))
+    // href= is NOT a tracker (anchored match); ref= is; survivors sorted
+    assert(out(3L) == (("https://site.com/x?a=2&href=keep&z=1", "site.com", 1)))
+    // naive registered domain = last two labels (documented approximation)
+    assert(out(4L) == (("https://sub.dom.site.co/x", "site.co", 0)))
+  }
+
   test("unigram log-prob: common-word docs score lower than rare-word docs") {
     // corpus: 'common' appears 6x, each rare word once -> 10 tokens total
     val sdocs = Seq(
@@ -570,6 +633,24 @@ class EmbeddingDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.length == 50, "every planted duplicate pair must surface (cos=1 agrees on all bands)")
     assert(pairs.forall { case (a, b, c) => b == a + 1000L && c >= 0.99 })
+  }
+
+  test("semanticDedup keeps the min-id copy of each planted duplicate") {
+    val base = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
+    val dups = base.select((org.apache.spark.sql.functions.col("vec_id") + 1000L).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("label"))
+    val all = base.unionByName(dups)
+    val survivors = Similarity.semanticDedup(all, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact copies agree on every band, so each high-id replica is dominated
+    // by its low-id original; originals may still dominate EACH OTHER if two
+    // base vectors are near-identical, so assert the replica side exactly
+    // and the original side as a superset-of-minimums
+    assert(survivors.forall(_ < 1000L), "every replica (id+1000) must drop")
+    val baseIds = base.collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(baseIds))
+    assert(survivors.contains(baseIds.min), "the smallest id can never be dominated")
   }
 }
 
