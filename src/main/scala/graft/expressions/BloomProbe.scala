@@ -1,0 +1,56 @@
+package graft.expressions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe of a LongType column against a BROADCAST Bloom filter —
+  * the probe half of Spark's own runtime-filter design (a bounded sketch is
+  * built once by a distributed aggregate, shipped to every executor via
+  * torrent broadcast, and applied map-side so non-members never reach a
+  * shuffle). Spark keeps its `BloomFilterMightContain` internal, so custom
+  * pipelines need their own: this one carries the `Broadcast` handle (NOT
+  * the serialized bits — the plan stays small and distribution stays
+  * torrent), resolves it once per generated class instance, and probes with
+  * a codegen'd `mightContainLong` call inside whole-stage codegen.
+  *
+  * Guarantee used by callers: a Bloom filter has NO false negatives, so a
+  * probe-pass set is a superset of the true member set — exact verification
+  * can be restricted to probe survivors without losing recall.
+  */
+case class BloomProbeLong(child: Expression, bloomB: Broadcast[BloomFilter])
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_probe"
+
+  @transient private lazy val bf: BloomFilter = bloomB.value
+
+  override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("graftBloomB", bloomB,
+      classOf[Broadcast[_]].getName)
+    // resolve the broadcast ONCE per generated-class instance (per task),
+    // not per row: mightContainLong then runs against a plain field
+    val bfName = ctx.addMutableState(bfClass, "graftBloom",
+      v => s"$v = ($bfClass) $ref.value();")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $bfName.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomProbeLong {
+  def apply(c: Column, bloomB: Broadcast[BloomFilter]): Column =
+    ColumnBridge.column(BloomProbeLong(ColumnBridge.expression(c), bloomB))
+}

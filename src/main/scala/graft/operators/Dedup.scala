@@ -478,6 +478,71 @@ object Dedup {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** [[contaminationFlags]] via a BENCH-SIDE BLOOM FILTER — the shape that
+    * survives when the benchmark suite is too big to broadcast as an exact
+    * set and the corpus is 100 TB. Spark's own runtime-filter design,
+    * spelled out:
+    *
+    *   1. BUILD: the benchmark's distinct shingle hashes fold into ONE
+    *      bounded Bloom sketch by a distributed aggregate
+    *      (`DataFrameStatFunctions.bloomFilter` = treeAggregate of bit
+    *      vectors); the driver holds only the sketch, never the set. Like a
+    *      broadcast-join build side this is inherently a two-phase contract
+    *      — the sketch must exist before the probe stage compiles, so
+    *      construction runs two bounded actions (count for sizing + the
+    *      sketch fold), both over the SMALL side only.
+    *   2. PROBE: every corpus shingle is tested MAP-SIDE inside whole-stage
+    *      codegen ([[graft.expressions.BloomProbeLong]] carries the torrent
+    *      Broadcast handle); non-members never enter a shuffle. The only
+    *      corpus-sized exchange left is the per-doc count of probe
+    *      survivors — at realistic contamination rates a ~1000x cut versus
+    *      shuffling every corpus shingle into the exact join.
+    *   3. VERIFY: Bloom filters have NO false negatives, so probe survivors
+    *      are a superset of true overlaps — the exact shingle join (same
+    *      semantics as [[contaminationFlags]]) runs restricted to candidate
+    *      docs only. Output rows are therefore EXACTLY the exact path's
+    *      rows; the sketch only ever cuts work, never recall.
+    *
+    * `fp_ok` audits step 2's selectivity promise in-plan: docs that survive
+    * the bloom count gate but fail exact verification must stay within
+    * `falseCandFrac` of the corpus (at fpp=0.1% a false candidate needs
+    * `minCommon` independent false positives in one doc — vanishingly
+    * rare; a broken sketch or hash mismatch blows the bound loudly).
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, minCommon: Int = 1,
+                              fpp: Double = 0.001,
+                              falseCandFrac: Double = 0.01): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    // persisted: feeds both the sketch fold (an action) and the exact
+    // verify join — without it the bench shingling recomputes per consumer
+    val benchSh = Caches.persistTracked(sh(benchmark).select("h").distinct())
+    val expected = math.max(benchSh.count(), 1L)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(
+      benchSh.stat.bloomFilter("h", expected, fpp))
+    val corpusSh = sh(corpus)
+    // map-side cut; shared by the candidate count AND the exact verify
+    // (bloom has no false negatives, so filtering first loses nothing)
+    val hits = corpusSh.filter(graft.expressions.BloomProbeLong(col("h"), bloomB))
+    val cand = hits.groupBy("id").agg(count(lit(1)).as("n_bloom"))
+      .filter(col("n_bloom") >= minCommon)
+    val exact = hits.join(broadcast(cand.select("id")), Seq("id"), "left_semi")
+      .join(benchSh, Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val audit = cand.join(exact, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("__n_false"))
+      .crossJoin(corpus.agg(countDistinct(col(idCol)).as("__n_docs")))
+      .select((col("__n_false") <=
+        greatest(lit(2L), ceil(col("__n_docs") * falseCandFrac).cast(LongType)))
+        .as("fp_ok"))
+    exact.crossJoin(broadcast(audit))
+  }
+
   /** Paragraph-level EXACT dedup (the Dolma/RefinedWeb-style pass that
     * strips boilerplate paragraphs repeated across a crawl): split each
     * doc on `sep`, keep only the globally FIRST occurrence of every

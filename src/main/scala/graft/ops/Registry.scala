@@ -744,6 +744,21 @@ final class Registry(spark: SparkSession) {
         minCommon = a.get("min_common", -1).map(asInt(_, "min_common")).getOrElse(1))
       corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     },
+    "graft.decontaminate_bloom" -> { a =>
+      // as graft.decontaminate, but the benchmark set is a bounded Bloom
+      // sketch probed map-side — the shape for benchmark suites too large
+      // to broadcast exactly (exact verify on candidates keeps recall)
+      val corpus = asDf(a.require("df", 0), "df")
+      val idCol = asStr(a.get("id", -1).getOrElse("doc_id"), "id")
+      val flags = Dedup.contaminationFlagsBloom(corpus,
+        asDf(a.require("benchmark", 1), "benchmark"),
+        idCol,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        minCommon = a.get("min_common", -1).map(asInt(_, "min_common")).getOrElse(1),
+        fpp = a.get("fpp", -1).map(_.toString.toDouble).getOrElse(0.001))
+      corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    },
     "graft.minhash_verified_pairs" -> { a =>
       Dedup.minhashVerifiedPairs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

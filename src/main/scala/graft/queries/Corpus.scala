@@ -308,6 +308,37 @@ object Corpus {
                 FROM kept GROUP BY doc_id)
         SELECT t.doc_id, coalesce(r.clean, '') AS text,
           CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
-        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id"""))
+        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id""")),
+
+    // Bloom-filter decontamination — the 100 TB shape of q57: the benchmark
+    // shingle set folds into ONE bounded sketch (distributed aggregate),
+    // corpus shingles are probed MAP-SIDE inside codegen, and only probe
+    // survivors reach a shuffle; exact verification runs on candidate docs
+    // only. Bloom filters have no false negatives, so the output rows are
+    // EXACTLY the exact path's rows — the oracle recomputes them with a
+    // plain join, making missed recall (a broken sketch/hash mismatch) a
+    // row-count failure, not a silent quality drop. fp_ok audits the
+    // false-candidate rate in-plan (TRUE in the oracle).
+    Q("q118_decontaminate_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Dedup.contaminationFlagsBloom(
+          corpus = docs.filter(col("doc_id") >= 25),
+          benchmark = docs.filter(col("doc_id") < 25),
+          "doc_id", "text", n = 3, minCommon = 3, fpp = 0.001)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25),
+        corpus AS (SELECT * FROM sh WHERE doc_id >= 25)
+        SELECT corpus.doc_id AS id, COUNT(*) AS n_common, TRUE AS fp_ok
+        FROM corpus JOIN bench ON corpus.g = bench.g
+        GROUP BY corpus.doc_id HAVING COUNT(*) >= 3
+        ORDER BY id"""))
   )
 }

@@ -956,6 +956,30 @@ class TextSpec extends AnyFunSuite {
     assert(!out.contains(2L))
   }
 
+  test("contaminationFlagsBloom: identical rows to the exact path, fp audit green") {
+    // larger fixture than the exact-path test so the bloom actually probes
+    // a few thousand shingles: 40 bench docs, 400 corpus docs, every 7th
+    // corpus doc contaminated by splicing in a bench doc's text
+    val bench = (0L until 40L).map(i =>
+      (i, s"bench document $i alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = (100L until 500L).map { i =>
+      val base = s"corpus doc $i " + (1 to 12).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      val txt = if (i % 7 == 0) base + s" bench document ${i % 40} alpha beta gamma delta epsilon"
+                else base
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contaminationFlags(corpus, bench, "doc_id", "text",
+      n = 3, minCommon = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.contaminationFlagsBloom(corpus, bench, "doc_id", "text",
+      n = 3, minCommon = 3, fpp = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(exact.nonEmpty) // the fixture must exercise the operator
+    assert(bloom.map(t => t._1 -> t._2).toMap == exact) // no FN, exact counts
+    assert(bloom.forall(_._3)) // false-candidate audit within bound
+  }
+
   test("langGuess is deterministic and favors matching markers") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
