@@ -82,6 +82,61 @@ object Sampling {
     df.join(ids, Seq(idCol), "left_semi")
   }
 
+  /** Source-mixture selection under a TOKEN budget — the "data mixing" step
+    * of a training-data pipeline: for each source with weight w, keep docs
+    * in deterministic hash order until that source's budget
+    * `floor(w * totalTokens)` is exhausted (the doc that crosses the
+    * boundary is kept — greedy-prefix semantics, so every budget is met,
+    * never undershot). Weights are budget FRACTIONS, not normalized shares
+    * (callers wanting shares pass them normalized); sources absent from
+    * `weights` contribute nothing.
+    *
+    * Scale shape: the running token total is a per-source prefix sum, and a
+    * naive `sum().over(partitionBy(source))` sorts an entire source in ONE
+    * task — sources are few and huge at 100 TB. Instead, the same
+    * distributed two-level scheme as Align.withPosition: rows bucket by
+    * their hash key's first byte (256 ranges whose lexicographic order
+    * equals the key order), per-(source,bucket) token sums prefix-sum over
+    * a TINY aggregate frame (<= 256 rows per source, broadcast back), and
+    * the per-row running sum windows over (source, bucket) — parallelism
+    * `sources x 256`, no task ever holds a whole source.
+    *
+    * Hash order (md5, not rand/xxhash) keeps selection reproducible across
+    * engines, reruns and repartitions, and lets the oracle replay the exact
+    * pick with one window — see q119.
+    */
+  def mixtureByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String, weights: Map[String, Double],
+                           totalTokens: Long, seed: String): DataFrame = {
+    require(weights.nonEmpty, "mixtureByTokenBudget: weights must be non-empty")
+    require(weights.values.forall(_ > 0.0),
+      "mixtureByTokenBudget: weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = hashKey(col(idCol), seed)
+    val toks = size(org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), t => length(t) > 0))
+    val base = df.select(col(idCol), col(sourceCol).as("source"),
+        toks.cast(LongType).as("n_tokens"), key.as("__k"))
+      .withColumn("__budget",
+        floor(element_at(typedLit(weights), col("source")) * totalTokens)
+          .cast(LongType))
+      .filter(col("__budget").isNotNull)
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("source"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.partitionBy(col("source")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("__b"), col("__off"))
+    val wloc = Window.partitionBy(col("source"), col("__b"))
+      .orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "__b"))
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(wloc))
+      .filter(col("cum_tokens") - col("n_tokens") < col("__budget"))
+      .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Exactly k rows per stratum, chosen as the k smallest hash keys —
     * a deterministic "random" sample with exact group sizes.
     *

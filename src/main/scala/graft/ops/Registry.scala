@@ -759,6 +759,22 @@ final class Registry(spark: SparkSession) {
         fpp = a.get("fpp", -1).map(_.toString.toDouble).getOrElse(0.001))
       corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     },
+    "graft.mixture_sample" -> { a =>
+      // per-source token-budget mixture selection (training-data mixing);
+      // weights = {source: fraction-of-budget}
+      val weights = a.require("weights", 2) match {
+        case m: Map[_, _] => m.map { case (k, v) => k.toString -> v.toString.toDouble }
+        case other => throw PipelineError(s"mixture_sample: weights must be a dict, got ${tn(other)}")
+      }
+      graft.operators.Sampling.mixtureByTokenBudget(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        weights,
+        totalTokens = a.require("total_tokens", 1).toString.toLong,
+        seed = asStr(a.get("seed", -1).getOrElse("mix"), "seed"))
+    },
     "graft.minhash_verified_pairs" -> { a =>
       Dedup.minhashVerifiedPairs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

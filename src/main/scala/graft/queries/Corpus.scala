@@ -339,6 +339,37 @@ object Corpus {
         SELECT corpus.doc_id AS id, COUNT(*) AS n_common, TRUE AS fp_ok
         FROM corpus JOIN bench ON corpus.g = bench.g
         GROUP BY corpus.doc_id HAVING COUNT(*) >= 3
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // Token-budget mixture sampling — the data-MIXING step of a training
+    // pipeline: per-source token budgets (floor(weight x total)), docs
+    // taken in deterministic md5 order until each budget fills (the
+    // crossing doc is kept). Weights are exact binary fractions so both
+    // engines' float x long arithmetic agrees bit-for-bit. The Spark side
+    // runs the distributed two-level prefix sum (256 hash buckets per
+    // source); the oracle replays it with one naive per-source window —
+    // the gate proves the distributed decomposition equals the sequential
+    // semantics.
+    Q("q119_mixture_sample",
+      (s, d) => graft.operators.Sampling.mixtureByTokenBudget(
+        t(s, d, "documents"), "doc_id", "text", "source",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+        totalTokens = 2000L, seed = "s119")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR) || ':s119') AS k
+          FROM documents),
+        w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.125)) AS t(source, wt)),
+        cum AS (
+          SELECT tok.*, CAST(floor(w.wt * 2000) AS BIGINT) AS budget,
+            CAST(SUM(n_tokens) OVER (PARTITION BY tok.source ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM tok JOIN w ON tok.source = w.source)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens - n_tokens < budget
+        ORDER BY doc_id"""))
   )
 }

@@ -1017,6 +1017,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("mixtureByTokenBudget: distributed prefix sum == sequential greedy, layout-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 600L).map { i =>
+      val src = s"s${i % 3}"
+      (i, src, (1 to (i % 17 + 3).toInt).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.25)
+    val out = Sampling.mixtureByTokenBudget(docs, "doc_id", "text", "source",
+      weights, totalTokens = 2000L, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: the naive one-window-per-source greedy
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        Sampling.hashKey(col("doc_id"), "t").as("k"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("source").orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .filter { case (_, src, n, cum) =>
+        weights.get(src).exists(w => cum - n < math.floor(w * 2000L).toLong) }
+    assert(out.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
+    assert(out.nonEmpty && out.exists(_._2 == "s0") && out.exists(_._2 == "s1"))
+    assert(!out.exists(_._2 == "s2"), "unlisted sources contribute nothing")
+    // each source's selection is a binding prefix: total-at-last-doc crosses
+    // the budget only via the final kept doc
+    for ((src, w) <- weights) {
+      val rows = out.filter(_._2 == src).sortBy(_._4)
+      val budget = math.floor(w * 2000L).toLong
+      assert(rows.last._4 >= budget, s"$src budget must be met")
+      assert(rows.last._4 - rows.last._3 < budget, s"$src last doc must start inside budget")
+    }
+    // physical layout must not change the selection
+    val re = Sampling.mixtureByTokenBudget(docs.repartition(13), "doc_id",
+      "text", "source", weights, totalTokens = 2000L, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("hashSample: prefix thresholds nest (sample(0.2) is a subset of sample(0.5))") {
     val s20 = Sampling.hashSample(ids, "id", 0.2, "s").collect().map(_.getLong(0)).toSet
     val s50 = Sampling.hashSample(ids, "id", 0.5, "s").collect().map(_.getLong(0)).toSet
