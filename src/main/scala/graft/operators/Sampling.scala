@@ -137,6 +137,40 @@ object Sampling {
       .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic WEIGHTED sample without replacement, exactly n rows:
+    * Efraimidis-Spirakis A-Res — rank rows by key u^(1/w) (equivalently
+    * ln(u)/w, monotone) and keep the n best, which selects each row with
+    * probability proportional to its weight. `u` derives from the md5 hash
+    * key (same cross-engine determinism contract as the rest of this file:
+    * identical membership on any engine, rerun, or partitioning), so this
+    * is "weighted reservoir sampling" with a reproducible reservoir.
+    *
+    * Scale shape: same as [[stratifiedSample]] — ONE bounded TopKAgg heap
+    * per task partially aggregated map-side; the shuffle carries n-length
+    * buffers, never rows. The ranking key rounds to 12 decimals before the
+    * heap so float last-ulp differences between engines cannot reorder an
+    * oracle replay (ties break by id in both).
+    *
+    * Rows with weight <= 0 or null are excluded (pandas `sample(weights=)`
+    * semantics: zero weight means never selected).
+    */
+  def weightedSampleN(df: DataFrame, idCol: String, weightCol: String,
+                      n: Int, seed: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType).contains(idType),
+      s"weightedSampleN: id column '$idCol' must be integral, got $idType")
+    // u in (0,1): 52 hash bits + 0.5, exact in a double
+    val u = (conv(substring(hashKey(col(idCol), seed), 1, 13), 16, 10)
+      .cast(DoubleType) + 0.5) / 4503599627370496.0
+    val score = round(log(u) / col(weightCol).cast(DoubleType), 12)
+    val picked = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy()
+      .agg(TopKAgg.topK(score, col(idCol).cast(LongType), n).as("__graft_top"))
+      .select(explode(col("__graft_top.id")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Exactly k rows per stratum, chosen as the k smallest hash keys —
     * a deterministic "random" sample with exact group sizes.
     *

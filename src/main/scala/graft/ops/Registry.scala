@@ -775,6 +775,16 @@ final class Registry(spark: SparkSession) {
         totalTokens = a.require("total_tokens", 1).toString.toLong,
         seed = asStr(a.get("seed", -1).getOrElse("mix"), "seed"))
     },
+    "graft.weighted_sample" -> { a =>
+      // exactly-n weighted sample without replacement (deterministic
+      // Efraimidis-Spirakis reservoir; weight <= 0 never selected)
+      graft.operators.Sampling.weightedSampleN(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.require("weight", 2), "weight"),
+        n = asInt(a.require("n", 1), "n"),
+        seed = asStr(a.get("seed", -1).getOrElse("ws"), "seed"))
+    },
     "graft.minhash_verified_pairs" -> { a =>
       Dedup.minhashVerifiedPairs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),

@@ -370,6 +370,26 @@ object Corpus {
           FROM tok JOIN w ON tok.source = w.source)
         SELECT doc_id, source, n_tokens, cum_tokens
         FROM cum WHERE cum_tokens - n_tokens < budget
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Deterministic weighted sample (exactly n, without replacement):
+    // Efraimidis-Spirakis keys ln(u)/w with md5-derived u, kept by the
+    // bounded TopKAgg heap (shuffle carries 50-slot buffers, never rows).
+    // The oracle replays the exact ranking with ORDER BY + LIMIT — the
+    // round-to-12 on the key is what makes a C-libm ln() and a JVM
+    // Math.log() agree on the ordering, and membership is the gate.
+    Q("q120_weighted_sample",
+      (s, d) => graft.operators.Sampling.weightedSampleN(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50, seed = "s120")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+            round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s120'), 1, 13))::BIGINT + 0.5)
+                     / 4503599627370496.0) / n_chars, 12) AS score
+          FROM documents WHERE n_chars > 0),
+        top AS (SELECT doc_id, n_chars FROM s ORDER BY score DESC, doc_id LIMIT 50)
+        SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
   )
 }

@@ -1056,6 +1056,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("weightedSampleN: heap selection == explicit ranking, exact n, layout-stable") {
+    val docs = (1L to 800L).map(i => (i, (i % 97 + 1).toDouble)).toDF("id", "w")
+    val out = Sampling.weightedSampleN(docs, "id", "w", n = 40, seed = "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.size == 40)
+    // reference: materialize every Efraimidis-Spirakis key and rank by sort
+    val ranked = docs.select(col("id"),
+        round(log((conv(substring(Sampling.hashKey(col("id"), "t"), 1, 13), 16, 10)
+          .cast("double") + 0.5) / 4503599627370496.0) / col("w"), 12).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(40).collect().map(_.getLong(0)).toSet
+    assert(out == ranked, "bounded heap must equal full-sort ranking")
+    // physical layout must not change membership
+    val re = Sampling.weightedSampleN(docs.repartition(11), "id", "w", n = 40, seed = "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == out)
+    // weights bias selection: the sampled mean weight must exceed the
+    // population mean (weights 1..97 uniform; proportional selection pulls
+    // the sample toward heavy rows)
+    val popMean = docs.agg(avg("w")).head.getDouble(0)
+    val sampMean = docs.filter(col("id").isin(out.toSeq: _*)).agg(avg("w")).head.getDouble(0)
+    assert(sampMean > popMean, s"sample mean $sampMean should exceed population mean $popMean")
+    // zero/negative weights are never selected
+    val withZero = docs.withColumn("w", when(col("id") <= 400, lit(0.0)).otherwise(col("w")))
+    val z = Sampling.weightedSampleN(withZero, "id", "w", n = 40, seed = "t")
+      .select("id").collect().map(_.getLong(0))
+    assert(z.forall(_ > 400))
+  }
+
   test("hashSample: prefix thresholds nest (sample(0.2) is a subset of sample(0.5))") {
     val s20 = Sampling.hashSample(ids, "id", 0.2, "s").collect().map(_.getLong(0)).toSet
     val s50 = Sampling.hashSample(ids, "id", 0.5, "s").collect().map(_.getLong(0)).toSet
