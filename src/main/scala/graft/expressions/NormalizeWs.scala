@@ -104,3 +104,48 @@ object StripAccents {
   def apply(text: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
 }
+
+/** Unicode normalization (pandas `Series.str.normalize(form)`; the mojibake
+  * half of web-corpus cleaning — decomposed sequences from OCR/crawls fold
+  * to canonical composed form so equal-looking strings hash equal). Forms
+  * NFC/NFD/NFKC/NFKD via java.text.Normalizer; the ASCII fast path skips
+  * the allocating normalizer — ASCII is closed under every form, and on web
+  * corpora the overwhelming majority of rows never pay it. NFC agrees with
+  * DuckDB's nfc_normalize (both implement UAX #15), which the oracle gate
+  * exercises on spiked combining sequences.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  private val normForm = form.toUpperCase match {
+    case "NFC" => java.text.Normalizer.Form.NFC
+    case "NFD" => java.text.Normalizer.Form.NFD
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(
+      s"unicode_normalize: unknown form '$other' (NFC/NFD/NFKC/NFKD)")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    var ascii = true
+    var i = 0
+    val n = u.numBytes()
+    while (ascii && i < n) { if (u.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(u.toString, normForm))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_normalize"
+}
+
+object UnicodeNormalize {
+  def apply(text: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+}

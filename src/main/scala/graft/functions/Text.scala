@@ -158,6 +158,26 @@ object Text {
       filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
   }
 
+  /** HTML boilerplate removal for crawled corpora: script/style blocks go
+    * first (dotall, lazy — RE2 and java.util.regex agree on both), then
+    * every remaining tag, then the six entities that dominate web text,
+    * then whitespace collapse. `&amp;` decodes LAST so pre-escaped
+    * sequences like `&amp;lt;` yield the literal `&lt;` instead of
+    * double-decoding to `<` — the standard entity-order pitfall. Pure
+    * regexp/replace built-ins: codegen'd, zero shuffle, and an oracle can
+    * replay the identical chain.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Lines dropped by [[collapseDupLines]] (audit metric). */
   def dupLineCount(text: Column): Column = {
     val lines = split(text, "\n")

@@ -775,6 +775,13 @@ final class Registry(spark: SparkSession) {
         totalTokens = a.require("total_tokens", 1).toString.toLong,
         seed = asStr(a.get("seed", -1).getOrElse("mix"), "seed"))
     },
+    "graft.strip_html" -> { a =>
+      // HTML boilerplate removal (tags, script/style blocks, common
+      // entities, whitespace collapse) — crawled-corpus cleaning stage
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.withColumn(textCol, Text.stripHtml(col(textCol)))
+    },
     "graft.weighted_sample" -> { a =>
       // exactly-n weighted sample without replacement (deterministic
       // Efraimidis-Spirakis reservoir; weight <= 0 never selected)
@@ -1630,6 +1637,11 @@ final class Registry(spark: SparkSession) {
           when(col(c) === lit(from).cast(t), lit(to).cast(t)).otherwise(elseC)
         })
       }
+    case "str_normalize" =>
+      // pandas s.str.normalize(form): Unicode normalization in place
+      val c = asStr(a.require("column", 0), "column")
+      val form = a.get("form", -1).map(asStr(_, "form")).getOrElse("NFC")
+      df.withColumn(c, graft.expressions.UnicodeNormalize(col(c), form))
     case "str_extract" =>
       // pandas s.str.extract(pattern): first regex group (or `group`) into
       // a new column; no match -> empty string in Spark's regexp_extract,

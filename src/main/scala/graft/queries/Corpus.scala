@@ -390,6 +390,73 @@ object Corpus {
                      / 4503599627370496.0) / n_chars, 12) AS score
           FROM documents WHERE n_chars > 0),
         top AS (SELECT doc_id, n_chars FROM s ORDER BY score DESC, doc_id LIMIT 50)
-        SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
+        SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
+
+    // Unicode NFC normalization (pandas str.normalize; the mojibake half of
+    // crawl cleaning — decomposed sequences fold to composed form so
+    // equal-looking strings hash equal). The fixture is ASCII, so the query
+    // SPIKES decomposed sequences ('e'+U+0301, 'A'+U+030A) that NFC must
+    // compose; n_folded counts the code points removed (2 per doc). Both
+    // engines implement UAX #15 (java.text.Normalizer vs DuckDB ICU), so
+    // text and count must agree byte-for-byte.
+    Q("q121_unicode_normalize",
+      (s, d) => {
+        val spiked = concat(col("text"),
+          lit(" Cafe\u0301 A\u030As &amp; plain"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          graft.expressions.UnicodeNormalize(spiked, "NFC").as("text_nfc"),
+          (length(spiked) -
+            length(graft.expressions.UnicodeNormalize(spiked, "NFC")))
+            .as("n_folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' Cafe' || chr(769) || ' A' || chr(778) || 's &amp; plain' AS t
+          FROM documents)
+        SELECT doc_id, nfc_normalize(t) AS text_nfc,
+          CAST(length(t) - length(nfc_normalize(t)) AS INTEGER) AS n_folded
+        FROM spiked ORDER BY doc_id""")),
+
+    // HTML boilerplate strip: the fixture is plain text, so the query wraps
+    // each doc in a deterministic HTML shell (attributes, a style block, a
+    // script block containing a '<', pre-escaped entities) and the operator
+    // must recover exactly `trim(text) & <tail>` modulo whitespace
+    // collapse. The oracle replays the identical regex/entity chain in
+    // RE2 — the gate binds tag removal, dotall block removal, entity ORDER
+    // (&amp; last), and whitespace collapse at once.
+    Q("q122_strip_html",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>p { color: red }</style></head>\n"),
+          lit("<body class=\"x\"><p id='a'>"), col("text"),
+          lit("</p>\n<script type=\"text/javascript\">var a = 1 < 2; s = \"</p>\";</script>"),
+          lit("<br/>&amp;lt;kept&gt; &quot;q&#39;s&quot;</body></html>"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.stripHtml(html).as("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH html AS (
+          SELECT doc_id,
+            '<html><head><style>p { color: red }</style></head>' || chr(10) ||
+            '<body class="x"><p id=''a''>' || text ||
+            '</p>' || chr(10) || '<script type="text/javascript">var a = 1 < 2; s = "</p>";</script>' ||
+            '<br/>&amp;lt;kept&gt; &quot;q&#39;s&quot;</body></html>' AS t
+          FROM documents),
+        steps AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(t, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '<[^>]+>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS d
+          FROM html)
+        SELECT doc_id, trim(regexp_replace(d, '\s+', ' ', 'g')) AS text_clean
+        FROM steps ORDER BY doc_id"""))
   )
 }

@@ -120,6 +120,53 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out(5L) == "no accents at all")
   }
 
+  test("UnicodeNormalize: NFC composes, NFD decomposes, NFKC folds compat, ASCII is identity") {
+    val df = Seq(
+      (1L, "Cafe\u0301"),        // decomposed e + combining acute
+      (2L, "caf\u00e9"),          // already composed
+      (3L, "\ufb01le \u2460"),    // fi-ligature + circled one (compat chars)
+      (4L, "plain ascii only")
+    ).toDF("id", "t")
+    def norm(form: String) = df.select(col("id"),
+        UnicodeNormalize(col("t"), form).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nfc = norm("NFC")
+    assert(nfc(1L) == "Caf\u00e9")
+    assert(nfc(2L) == "caf\u00e9")
+    assert(nfc(3L) == "\ufb01le \u2460", "NFC must NOT fold compatibility chars")
+    assert(nfc(4L) == "plain ascii only")
+    val nfd = norm("NFD")
+    assert(nfd(2L) == "cafe\u0301")
+    val nfkc = norm("NFKC")
+    assert(nfkc(3L) == "file 1", "NFKC folds ligature and circled digit")
+    // idempotence: normalize twice == normalize once
+    val twice = df.select(col("id"),
+      UnicodeNormalize(UnicodeNormalize(col("t"), "NFC"), "NFC").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == nfc)
+    intercept[IllegalArgumentException] { UnicodeNormalize(col("t"), "NFX") }
+  }
+
+  test("stripHtml: blocks, tags, entity order, whitespace collapse") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) { x(); }</script>keep"),
+      (3L, "<style type=\"text/css\">p > a { }</style>body"),
+      (4L, "&amp;lt;literal&gt; &quot;q&#39;s&quot; a&nbsp;b"),
+      (5L, "no   markup\n\nhere"),
+      (6L, "<div class='x'\ndata-y=\"z\">multi\nline tag</div>")
+    ).toDF("id", "t").select(col("id"), Text.stripHtml(col("t")).as("s"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "keep", "script body (with a bare <) must vanish whole")
+    assert(out(3L) == "body")
+    // &amp; decodes LAST: pre-escaped &amp;lt; yields the literal &lt;
+    assert(out(4L) == "&lt;literal> \"q's\" a b")
+    assert(out(5L) == "no markup here")
+    assert(out(6L) == "multi line tag")
+  }
+
   test("CosineSim matches the HOF formula bit-for-bit on fixture vectors") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val hofDot = aggregate(zip_with(col("a"), col("b"),
