@@ -16,6 +16,34 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Per-label centroid components of an embedding column, tidy form
+    * (label, pos, mean, n) — the "class prototype" primitive behind
+    * nearest-class-mean labeling, SemDeDup cluster centers, and IVF
+    * coarse-quantizer seeding.
+    *
+    * Scale shape: posexplode is row-local (no shuffle); the per-(label,
+    * dim) averages combine MAP-SIDE, so the only exchange carries
+    * labels x dim rows per input partition — independent of corpus size.
+    * No collect, no driver math.
+    */
+  def labelCentroidsTidy(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mean"), count(lit(1)).as("n"))
+
+  /** [[labelCentroidsTidy]] reassembled to (label, n_vectors, centroid):
+    * one more tiny aggregation (labels x dim rows), array order fixed by
+    * sorting (pos, mean) structs — deterministic under any partitioning.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    labelCentroidsTidy(df, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+
   /** Per-group top-k without a per-group global sort: map-side k-bounded
     * heaps (graft.expressions.TopKAgg) merge through partial aggregation, so
     * the shuffle moves one k-array per (partition, group) — never a group's

@@ -782,6 +782,16 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.label_centroids" -> { a =>
+      // per-label mean embedding (class prototypes); tidy=true for the
+      // (label, pos, mean, n) form
+      val df = asDf(a.require("df", 0), "df")
+      val labelCol = asStr(a.get("label", -1).getOrElse("label"), "label")
+      val vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec")
+      if (a.get("tidy", -1).exists(asBool(_, default = false)))
+        graft.operators.Similarity.labelCentroidsTidy(df, labelCol, vecCol)
+      else graft.operators.Similarity.labelCentroids(df, labelCol, vecCol)
+    },
     "graft.weighted_sample" -> { a =>
       // exactly-n weighted sample without replacement (deterministic
       // Efraimidis-Spirakis reservoir; weight <= 0 never selected)
@@ -1589,7 +1599,12 @@ final class Registry(spark: SparkSession) {
           val mp = a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n)
           // pandas raises ValueError; silently-all-null output hides typos
           require(mp <= n, s"rolling: min_periods $mp must be <= window $n")
-          (base.rowsBetween(-(n - 1L), Window.currentRow), mp)
+          // pandas center=True: result labeled at the window center — the
+          // trailing frame shifts forward by (n-1)/2 (even windows take the
+          // extra element on the LEFT, matching pandas' fixed-window shift)
+          val shift = if (a.get("center", -1).exists(asBool(_, default = false)))
+            (n - 1L) / 2 else 0L
+          (base.rowsBetween(-(n - 1L) + shift, shift), mp)
         } else
           (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
             a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))

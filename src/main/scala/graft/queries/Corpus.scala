@@ -392,6 +392,25 @@ object Corpus {
         top AS (SELECT doc_id, n_chars FROM s ORDER BY score DESC, doc_id LIMIT 50)
         SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
 
+    // Per-label embedding centroids, tidy (label, pos, mean, n): posexplode
+    // is row-local, the (label, dim) averages combine map-side, so the only
+    // shuffle carries labels x dim rows per partition — corpus-size-
+    // independent. Rounded to 6dp: float values are exact in double, but
+    // distributed summation ORDER differs between engines (~1e-15 wiggle).
+    Q("q124_label_centroids",
+      (s, d) => graft.operators.Similarity
+        .labelCentroidsTidy(t(s, d, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"),
+          round(col("mean"), 6).as("mean"), col("n"))
+        .orderBy(col("label"), col("pos")),
+      Some("""
+        WITH e AS (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+        SELECT label, pos, round(avg(v), 6) AS mean, COUNT(*) AS n
+        FROM e GROUP BY label, pos ORDER BY label, pos""")),
+
     // Unicode NFC normalization (pandas str.normalize; the mojibake half of
     // crawl cleaning — decomposed sequences fold to composed form so
     // equal-looking strings hash equal). The fixture is ASCII, so the query

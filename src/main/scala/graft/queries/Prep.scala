@@ -873,6 +873,34 @@ object Prep {
           CASE WHEN o_orderkey % 100 = 0 THEN NULL
                ELSE strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')
           END AS maybe
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // pandas rolling(center=True): the result labels the WINDOW CENTER —
+    // the trailing frame shifts forward by (n-1)/2, so even windows take
+    // the extra element on the left (pandas' fixed-window shift). Window 4
+    // exercises exactly that asymmetry: [i-2, i+1]; min_periods=2 exposes
+    // both the head (1 obs -> null) and the tail (2 obs -> value) edges.
+    Q("q123_rolling_center",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        reg.callMethod(orders, "rolling", graft.expr.Args(kw = List(
+          "columns" -> List("o_totalprice"), "window" -> 4L, "func" -> "mean",
+          "center" -> true, "min_periods" -> 2L,
+          "order_by" -> List("o_orderkey"), "partition_by" -> List("o_custkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice_mean"), 6).as("roll_mean"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          round(CASE WHEN count(o_totalprice) OVER w >= 2
+            THEN avg(o_totalprice) OVER w END, 6) AS roll_mean
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -46,7 +46,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    import graft.operators.{Dedup, Similarity}
+    import graft.operators.{Dedup, Sampling, Similarity}
 
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
@@ -103,6 +103,14 @@ object ScaleStress {
       graft.operators.Similarity.ivfTopK(wq, we, 10, ncells = 16, nprobe = 4).count()
       graft.operators.Similarity.embeddingDupPairs(we, threshold = 0.95).count()
       graft.operators.Similarity.semanticDedup(we, threshold = 0.35).count()
+      Dedup.contaminationFlagsBloom(w.filter(col("doc_id") >= 25),
+        w.filter(col("doc_id") < 25), "doc_id", "text", n = 3, minCommon = 3).count()
+      Sampling.mixtureByTokenBudget(
+        w.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))),
+        "doc_id", "text", "source", Map("src0" -> 0.5), 500L, "warm").count()
+      Sampling.weightedSampleN(
+        w.select(col("doc_id"), length(col("text")).as("wt")),
+        "doc_id", "wt", n = 20, seed = "warm").count()
       w.unpersist(); we.unpersist()
       graft.operators.Caches.release()
       spark.catalog.clearCache()
@@ -160,6 +168,31 @@ object ScaleStress {
       // (long,long) shuffle volume
       cell("q111_dup_spans", f, nd)(
         Dedup.dupSpanCounts(d, "doc_id", "text", n = 13).count())
+      // bench = the replica-0 slice OF THE SAME frame (suffixing is uniform
+      // within a block, so the block-0 overlap structure is preserved at
+      // every factor): flagged docs stay constant while the corpus grows —
+      // runtime should track the LINEAR map-side probe + constant verify,
+      // not the corpus shingle join
+      cell("q118_bloom_decontam", f, nd)(
+        Dedup.contaminationFlagsBloom(
+          d.filter(col("doc_id") >= 25),
+          d.filter(col("doc_id") < 25), "doc_id", "text",
+          n = 3, minCommon = 3).count())
+      // fixed budget over a growing corpus: selection constant, cost =
+      // tokenize + bucketed prefix sum over listed sources (linear)
+      cell("q119_mixture_sample", f, nd)(
+        Sampling.mixtureByTokenBudget(
+          d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))),
+          "doc_id", "text", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+          totalTokens = 2000L, seed = "stress").count())
+      // n fixed: heap aggregation is one linear pass, shuffle carries
+      // 50-slot buffers regardless of corpus size
+      cell("q120_weighted_sample", f, nd)(
+        Sampling.weightedSampleN(
+          d.select(col("doc_id"), length(col("text")).as("w")),
+          "doc_id", "w", n = 50, seed = "stress").count())
       d.unpersist()
 
       val e = embAt(f).repartition(32).persist()

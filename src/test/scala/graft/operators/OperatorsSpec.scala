@@ -1056,6 +1056,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("labelCentroids: array form == tidy form, order-deterministic, exact means") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Seq(3.0f, 2.0f, 1.0f)),
+      (3L, 1, Seq(10.0f, 0.0f, -10.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val tidy = Similarity.labelCentroidsTidy(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(tidy((0, 0)) == ((2.0, 2L)) && tidy((0, 1)) == ((2.0, 2L)) && tidy((0, 2)) == ((2.0, 2L)))
+    assert(tidy((1, 0)) == ((10.0, 1L)) && tidy((1, 2)) == ((-10.0, 1L)))
+    val arr = Similarity.labelCentroids(df.repartition(5), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(arr(0) == ((2L, Seq(2.0, 2.0, 2.0))))
+    assert(arr(1) == ((1L, Seq(10.0, 0.0, -10.0))), "array order must follow pos, not partition order")
+  }
+
   test("weightedSampleN: heap selection == explicit ranking, exact n, layout-stable") {
     val docs = (1L to 800L).map(i => (i, (i % 97 + 1).toDouble)).toDF("id", "w")
     val out = Sampling.weightedSampleN(docs, "id", "w", n = 40, seed = "t")

@@ -360,6 +360,26 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("rolling center=True labels the window center; even windows take extra on the left") {
+    val d = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0), (4L, 8.0), (5L, 16.0))
+      .toDF("t", "x")
+    // window=3 center: frame [i-1, i+1]; min_periods=2 -> both edges valued
+    val c3 = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "func" -> "sum", "center" -> true, "min_periods" -> 2L,
+      "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(c3.toSeq == Seq(Some(3.0), Some(7.0), Some(14.0), Some(28.0), Some(24.0)))
+    // window=4 center: frame [i-2, i+1] — the pandas even-window asymmetry
+    val c4 = m(d, "rolling", "columns" -> List("x"), "window" -> 4L,
+      "func" -> "sum", "center" -> true, "min_periods" -> 2L,
+      "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    // t=1: [1,2]=3; t=2: [1,2,4]=7; t=3: [1,2,4,8]=15; t=4: [2,4,8,16]=30; t=5: [4,8,16]=28
+    assert(c4.toSeq == Seq(Some(3.0), Some(7.0), Some(15.0), Some(30.0), Some(28.0)))
+  }
+
   test("rolling apply(median) resolves from the rolling-fn SPI") {
     val d = Seq((1L, 1.0), (2L, 100.0), (3L, 2.0), (4L, 3.0)).toDF("t", "x")
     val out = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
