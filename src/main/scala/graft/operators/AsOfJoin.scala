@@ -103,12 +103,23 @@ object AsOfJoin {
       last(col(CARRY), ignoreNulls = true).over(
         Window.partitionBy(col(KEY)).orderBy(timeOrd, sideOrd)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // pandas merge_asof accepts any ordered numeric `on=` as well as
+    // timestamps; the only type-sensitive math here is the delta for
+    // tolerance/nearest — epoch micros for timestamps, the raw value for
+    // numerics (tolerance is then in key units).
+    val timeIsTs = l2.schema(TIME).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def asDelta(c: Column): Column =
+      if (timeIsTs) unix_micros(c) else c.cast("double")
     // Backward scans ascending time; forward scans DESCENDING time (its
     // "preceding" rows are later times). Both windows share the KEY
     // partitioning: one exchange, two in-partition sorts in the plan.
     def tolGate(c: Column): Column = toleranceUs match {
       case Some(tol) => when(
-        abs(unix_micros(col(TIME)) - unix_micros(c.getField(RTIME))) > tol,
+        abs(asDelta(col(TIME)) - asDelta(c.getField(RTIME))) > tol,
         lit(null).cast(carryType)).otherwise(c)
       case None => c
     }
@@ -124,8 +135,8 @@ object AsOfJoin {
         val both = unioned
           .withColumn(B, tolGate(carryOver(col(TIME).asc)))
           .withColumn(CARRY, tolGate(carryOver(col(TIME).desc)))
-        val deltaB = unix_micros(col(TIME)) - unix_micros(col(B).getField(RTIME))
-        val deltaF = unix_micros(col(CARRY).getField(RTIME)) - unix_micros(col(TIME))
+        val deltaB = asDelta(col(TIME)) - asDelta(col(B).getField(RTIME))
+        val deltaF = asDelta(col(CARRY).getField(RTIME)) - asDelta(col(TIME))
         both.withColumn(CARRY,
           when(col(B).isNull, col(CARRY))
             .when(col(CARRY).isNull, col(B))

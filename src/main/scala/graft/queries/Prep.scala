@@ -901,6 +901,40 @@ object Prep {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
           ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // pandas merge_asof on a NUMERIC on= key (no timestamps anywhere):
+    // each order matches the largest reference price at-or-below its own
+    // within its group. Same union+carry plan as the timestamp q28/q69 —
+    // the operator is key-type-generic; only tolerance/nearest math
+    // switches between epoch-micros and raw key units. Right keys dedup to
+    // (grp, price) -> min orderkey first so ties can't make the carry
+    // partition-order-dependent. Oracle: DuckDB's native ASOF JOIN.
+    Q("q125_asof_numeric",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 10).as("grp"), col("o_totalprice"))
+        val left = o.filter(col("o_orderkey") % 7 =!= 0)
+        val right = o.filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("grp"), col("o_totalprice"))
+          .agg(min(col("o_orderkey")).as("ref_key"))
+        graft.operators.AsOfJoin.backward(
+          left, col("o_totalprice"), col("grp"),
+          right, col("o_totalprice"), col("grp"),
+          payload = Seq("ref_key" -> col("ref_key"),
+            "ref_price" -> col("o_totalprice")))
+          .select(col("o_orderkey"), col("grp"), col("o_totalprice"),
+            col("ref_key"), col("ref_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey % 10 AS grp, o_totalprice FROM orders),
+        l AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        r AS (SELECT grp, o_totalprice AS ref_price, min(o_orderkey) AS ref_key
+              FROM o WHERE o_orderkey % 7 = 0 GROUP BY grp, o_totalprice)
+        SELECT l.o_orderkey, l.grp, l.o_totalprice, r.ref_key, r.ref_price
+        FROM l ASOF LEFT JOIN r
+          ON l.grp = r.grp AND l.o_totalprice >= r.ref_price
+        ORDER BY l.o_orderkey"""))
   )
 }

@@ -119,6 +119,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == 2.0, "tolerance must gate each side BEFORE the nearest choice")
   }
 
+  test("numeric on= keys: backward/nearest/tolerance in raw key units") {
+    val l = Seq((1L, 1L, 10.0), (1L, 2L, 25.0), (1L, 3L, 99.0))
+      .toDF("sym", "lid", "k")
+    val r = Seq((1L, 9.0, "a"), (1L, 24.0, "b"), (1L, 30.0, "c"))
+      .toDF("sym", "k", "tag")
+    val back = AsOfJoin.backward(l, col("k"), col("sym"), r, col("k"), col("sym"),
+      payload = Seq("tag" -> col("tag")))
+      .collect().map(row => row.getLong(1) -> row.getString(3)).toMap
+    assert(back == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // tolerance is in KEY units for numeric keys: 99 - 30 = 69 > 10 -> null
+    val tol = AsOfJoin.backward(l, col("k"), col("sym"), r, col("k"), col("sym"),
+      payload = Seq("tag" -> col("tag")), toleranceUs = Some(10L))
+      .collect().map(row => row.getLong(1) -> Option(row.getString(3))).toMap
+    assert(tol == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+    // nearest: 25 is 1 from 24 and 5 from 30 -> "b"; 10 is 1 from 9 -> "a"
+    val near = AsOfJoin.nearest(l, col("k"), col("sym"), r, col("k"), col("sym"),
+      payload = Seq("tag" -> col("tag")))
+      .collect().map(row => row.getLong(1) -> row.getString(3)).toMap
+    assert(near == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("multi-payload columns all come from the same matched row") {
     val q2 = Seq(
       (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("mkt-a")),
