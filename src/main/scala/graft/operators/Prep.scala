@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-preparation transforms for training pipelines (north-star
+  * extensions; reachable from the reference's YAML surface through the
+  * dynamic dispatch at pandas_etl/etl.py:541-557): group-wise quantile
+  * clipping (winsorization) and z-score standardization.
+  *
+  * Scale shape, both ops: ONE aggregation to a groups-sized stats frame
+  * (map-side partials), broadcast back, then pure column math — no window
+  * over the data, no per-group sort, no driver collect. The stats frame is
+  * bounded by the group count, never the row count.
+  */
+object Prep {
+
+  private def joinStats(df: DataFrame, stats: DataFrame, by: Seq[String]) =
+    if (by.isEmpty) df.crossJoin(broadcast(stats))
+    else df.join(broadcast(stats), by)
+
+  /** Winsorization: clip `valueCols` to their group's [lo, hi] EXACT
+    * quantiles (linear interpolation — pandas/DuckDB quantile_cont
+    * definition). Empty `by` = global clipping. Output columns keep their
+    * names (values become double).
+    */
+  def winsorize(df: DataFrame, valueCols: Seq[String], by: Seq[String] = Nil,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(valueCols.nonEmpty, "winsorize: valueCols must be non-empty")
+    require(lo >= 0 && lo < hi && hi <= 1,
+      s"winsorize: need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val aggs = valueCols.flatMap(c => Seq(
+      expr(s"percentile(`$c`, $lo)").as(s"__lo_$c"),
+      expr(s"percentile(`$c`, $hi)").as(s"__hi_$c")))
+    val bounds = df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val clipped = valueCols.foldLeft(joinStats(df, bounds, by))((d, c) =>
+      d.withColumn(c,
+        least(greatest(col(c).cast("double"), col(s"__lo_$c")), col(s"__hi_$c"))))
+    clipped.drop(valueCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+  }
+
+  /** Z-score standardization: (x - mean) / std per group, pandas `ddof`
+    * semantics (1 = sample std, the pandas default; 0 = population).
+    * Zero-variance groups yield NULL (pandas emits NaN/inf; the engine's
+    * NaN-maps-to-null convention applies). Empty `by` = global.
+    */
+  def zscore(df: DataFrame, valueCols: Seq[String], by: Seq[String] = Nil,
+             ddof: Int = 1): DataFrame = {
+    require(valueCols.nonEmpty, "zscore: valueCols must be non-empty")
+    require(ddof == 0 || ddof == 1, s"zscore: ddof must be 0 or 1, got $ddof")
+    val aggs = valueCols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(avg(v).as(s"__mu_$c"),
+        (if (ddof == 0) stddev_pop(v) else stddev_samp(v)).as(s"__sd_$c"))
+    }
+    val stats = df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val scored = valueCols.foldLeft(joinStats(df, stats, by))((d, c) =>
+      d.withColumn(c,
+        when(col(s"__sd_$c") === 0.0, lit(null).cast("double"))
+          .otherwise((col(c).cast("double") - col(s"__mu_$c")) / col(s"__sd_$c"))))
+    scored.drop(valueCols.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
+  }
+}

@@ -782,6 +782,21 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.winsorize" -> { a =>
+      // group-wise quantile clipping (exact percentiles, broadcast stats)
+      graft.operators.Prep.winsorize(asDf(a.require("df", 0), "df"),
+        asStrList(a.require("columns", 1)),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        lo = a.get("lo", -1).map(_.toString.toDouble).getOrElse(0.05),
+        hi = a.get("hi", -1).map(_.toString.toDouble).getOrElse(0.95))
+    },
+    "graft.zscore" -> { a =>
+      // group-wise standardization (pandas ddof=1 default)
+      graft.operators.Prep.zscore(asDf(a.require("df", 0), "df"),
+        asStrList(a.require("columns", 1)),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        ddof = a.get("ddof", -1).map(asInt(_, "ddof")).getOrElse(1))
+    },
     "graft.label_centroids" -> { a =>
       // per-label mean embedding (class prototypes); tidy=true for the
       // (label, pos, mean, n) form

@@ -935,6 +935,53 @@ object Prep {
         SELECT l.o_orderkey, l.grp, l.o_totalprice, r.ref_key, r.ref_price
         FROM l ASOF LEFT JOIN r
           ON l.grp = r.grp AND l.o_totalprice >= r.ref_price
-        ORDER BY l.o_orderkey"""))
+        ORDER BY l.o_orderkey""")),
+
+    // Group-wise winsorization: clip to the group's exact [5%, 95%]
+    // quantiles — ONE aggregation to a groups-sized bounds frame broadcast
+    // back, no window over the data. round(6) absorbs interpolation ulps
+    // (a value within 1e-10 of its bound clips to the same 6dp either way).
+    Q("q126_winsorize",
+      (s, d) => graft.operators.Prep.winsorize(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        valueCols = Seq("l_extendedprice"), by = Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 6).as("w_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+            quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+            quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber,
+          round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi), 6) AS w_price
+        FROM lineitem JOIN b USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // Group-wise z-score (pandas groupby().transform(zscore), ddof=1): the
+    // mean/std frame is groups-sized and broadcasts; values standardize in
+    // pure column math. Values are O(1) so round(6) absorbs double
+    // summation-order ulps in both engines.
+    Q("q127_zscore",
+      (s, d) => graft.operators.Prep.zscore(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        valueCols = Seq("o_totalprice"), by = Seq("o_orderstatus"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 6).as("z_price"))
+        .orderBy(col("o_orderkey")),
+      Some("""
+        WITH st AS (
+          SELECT o_orderstatus,
+            avg(CAST(o_totalprice AS DOUBLE)) AS mu,
+            stddev_samp(CAST(o_totalprice AS DOUBLE)) AS sd
+          FROM orders GROUP BY 1)
+        SELECT o_orderkey, o_orderstatus,
+          round(CASE WHEN sd = 0 THEN NULL
+                ELSE (CAST(o_totalprice AS DOUBLE) - mu) / sd END, 6) AS z_price
+        FROM orders JOIN st USING (o_orderstatus)
+        ORDER BY o_orderkey"""))
   )
 }

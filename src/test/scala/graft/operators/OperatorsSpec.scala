@@ -1077,6 +1077,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ).toDF("g", "x")
+    // lo=0, hi=0.5 -> clip above the group median: a's median 3.0, b's 5.0
+    val w = Prep.winsorize(df, Seq("x"), Seq("g"), lo = 0.0, hi = 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(w.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(1.0, 2.0, 3.0, 3.0, 3.0))
+    assert(w.filter(_._1 == "b").map(_._2).toSeq == Seq(5.0, 5.0, 5.0))
+    val z = Prep.zscore(df, Seq("x"), Seq("g"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    val za = z.filter(_._1 == "a").flatMap(_._2)
+    assert(math.abs(za.sum) < 1e-12, "group mean of z-scores must be 0")
+    val sd = math.sqrt(za.map(v => v * v).sum / (za.length - 1))
+    assert(math.abs(sd - 1.0) < 1e-12, "sample std of z-scores must be 1")
+    assert(z.filter(_._1 == "b").forall(_._2.isEmpty), "zero variance -> null")
+    // global (by = Nil) path works
+    assert(Prep.zscore(df, Seq("x")).count() == 8)
+  }
+
   test("labelCentroids: array form == tidy form, order-deterministic, exact means") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
