@@ -72,6 +72,41 @@ object Scoring {
       .select(col("id").as(idCol), col("w").as("term"), col("score"))
   }
 
+  /** Okapi BM25 ranking of documents against a fixed query-term set — the
+    * standard lexical retrieval scorer (and the first-stage retriever in
+    * most RAG/data-curation stacks). idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (the +1 form, always positive); tf saturates with k1 and length-
+    * normalizes with b against avgdl.
+    *
+    * Scale shape: tokenization explodes row-locally; tf is a (doc, term)
+    * aggregate RESTRICTED to the query terms before anything shuffles (the
+    * isin filter is a literal set, codegen'd), df/N/avgdl are tiny
+    * aggregates broadcast back. Nothing joins corpus-to-corpus, and the
+    * per-doc length frame joins on the doc key — sort-merge at worst.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: terms must be non-empty")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", org.apache.spark.sql.functions.log(
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("bm25"))
+  }
+
   /** Corpus token statistics + Zipf slope: vocabulary size, total tokens,
     * hapax fraction, and the log-log least-squares slope over the `topK`
     * most frequent tokens. Fitting the head is standard practice AND the

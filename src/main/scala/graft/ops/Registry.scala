@@ -782,6 +782,15 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.bm25" -> { a =>
+      // Okapi BM25 document scores for a fixed query-term list
+      graft.operators.Scoring.bm25(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        terms = asStrList(a.require("terms", 1)),
+        k1 = a.get("k1", -1).map(_.toString.toDouble).getOrElse(1.2),
+        b = a.get("b", -1).map(_.toString.toDouble).getOrElse(0.75))
+    },
     "graft.winsorize" -> { a =>
       // group-wise quantile clipping (exact percentiles, broadcast stats)
       graft.operators.Prep.winsorize(asDf(a.require("df", 0), "df"),

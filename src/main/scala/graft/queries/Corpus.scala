@@ -411,6 +411,34 @@ object Corpus {
         SELECT label, pos, round(avg(v), 6) AS mean, COUNT(*) AS n
         FROM e GROUP BY label, pos ORDER BY label, pos""")),
 
+    // Okapi BM25 over a fixed query-term set (k1=1.2, b=0.75; the +1 idf
+    // form): tf restricted to query terms BEFORE any shuffle, df/N/avgdl
+    // broadcast scalars, zero corpus self-joins. The oracle recomputes the
+    // whole formula; round(6) absorbs ln/divide ulps (scores are O(1)).
+    Q("q128_bm25",
+      (s, d) => graft.operators.Scoring.bm25(
+        t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("vector", "hash", "batch"))
+        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        sc AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+               WHERE w IN ('vector', 'hash', 'batch') GROUP BY 1, 2),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+            ln((sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl)) AS c
+          FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), sc)
+        SELECT doc_id, round(sum(c), 6) AS bm25
+        FROM contrib GROUP BY doc_id ORDER BY doc_id""")),
+
     // Unicode NFC normalization (pandas str.normalize; the mojibake half of
     // crawl cleaning — decomposed sequences fold to composed form so
     // equal-looking strings hash equal). The fixture is ASCII, so the query

@@ -1077,6 +1077,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("bm25: exact formula on a hand-checked fixture; absent terms score nothing") {
+    val df = Seq(
+      (1L, "a a b"),   // tf(a)=2, dl=3
+      (2L, "a b b b"), // tf(a)=1, dl=4
+      (3L, "c c c")    // no query terms
+    ).toDF("doc_id", "text")
+    val out = Scoring.bm25(df, "doc_id", "text", terms = Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L), "docs without query terms are absent")
+    val (k1, b) = (1.2, 0.75)
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1) // df(a)=2, N=3
+    val avgdl = (3 + 4 + 3) / 3.0
+    def score(tf: Int, dl: Int) =
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(math.abs(out(1L) - score(2, 3)) < 1e-12)
+    assert(math.abs(out(2L) - score(1, 4)) < 1e-12)
+    assert(out(1L) > out(2L), "more occurrences in a shorter doc must rank higher")
+  }
+
   test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
