@@ -638,6 +638,15 @@ final class Registry(spark: SparkSession) {
     "graft.stream_running_stats" -> { a =>
       graft.streaming.Streams.runningUserStats(asDf(a.require("df", 0), "df"))
     },
+    "graft.stream_dedup_reference" -> { a =>
+      // streaming incremental exact dedup vs a reference corpus (bloom
+      // probe; stateless per-row, any output mode)
+      graft.streaming.Streams.dedupAgainstReference(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("reference", 1), "reference"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        fpp = a.get("fpp", -1).map(_.toString.toDouble).getOrElse(0.001))
+    },
     "graft.redact_pii" -> { a =>
       val df = asDf(a.require("df", 0), "df")
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")

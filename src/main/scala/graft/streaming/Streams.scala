@@ -116,6 +116,30 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming incremental EXACT dedup against a reference corpus — the
+    * micro-batch face of the batch incremental-dedup path (q105): drop
+    * stream rows whose normalized-text fingerprint already exists in the
+    * reference. The reference folds into ONE bounded Bloom sketch before
+    * the stream starts (a batch action over the SMALL side, same two-phase
+    * contract as a broadcast join build), and each streamed row pays one
+    * codegen'd probe ([[graft.expressions.BloomProbeLong]]) — stateless
+    * per-row, so it composes with any output mode and never grows state.
+    *
+    * Bloom guarantees: NO false negatives ⇒ no reference duplicate
+    * survives; false positives (new docs wrongly dropped) are bounded by
+    * `fpp` — the knob trades a tiny recall loss on novel docs for a
+    * reference set of ANY size held in executor memory as bits.
+    */
+  def dedupAgainstReference(stream: DataFrame, reference: DataFrame,
+                            textCol: String, fpp: Double = 0.001): DataFrame = {
+    val fpHash = xxhash64(graft.functions.Text.fingerprint(col(textCol)))
+    val refHashes = reference.select(fpHash.as("h")).distinct()
+    val expected = math.max(refHashes.count(), 1L)
+    val bloomB = reference.sparkSession.sparkContext.broadcast(
+      refHashes.stat.bloomFilter("h", expected, fpp))
+    stream.filter(!graft.expressions.BloomProbeLong(fpHash, bloomB))
+  }
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

@@ -117,6 +117,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected, s"stream $streamed != batch $expected")
   }
 
+  test("streaming corpus cleaning + bloom dedup-against-reference matches batch; spiked dups dropped") {
+    import graft.functions.Text
+    val batch = Q.t(spark, TestSpark.sfDir, "documents")
+    val reference = batch.filter(col("doc_id") < 250)
+    // stage the corpus as a stream dir, plus a second file SPIKING exact
+    // copies of 5 reference docs under new ids — the probe must drop them
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    batch.filter(col("doc_id") >= 250).write.parquet(dir.toString + "/a")
+    batch.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .write.mode("append").parquet(dir.toString + "/a")
+    val files = new java.io.File(dir.toString + "/a")
+    val schema = batch.schema
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      Streams.dedupAgainstReference(df, reference, "text")
+        .withColumn("text", Text.stripHtml(col("text")))
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .select("doc_id", "text", "quality")
+    val stream = spark.readStream.schema(schema).parquet(files.toString)
+    assert(stream.isStreaming)
+    Streams.runToMemory(xform(stream), "clean_docs_stream")
+    val streamed = spark.table("clean_docs_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batched = xform(spark.read.schema(schema).parquet(files.toString))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batched, "stream and batch must clean identically")
+    assert(!streamed.exists(_._1 >= 100000L), "spiked reference copies must be dropped")
+    assert(streamed.nonEmpty && streamed.forall(_._1 >= 250))
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val stream = Streams.eventsStream(spark, streamDir)
     Streams.runToMemory(
