@@ -1685,6 +1685,31 @@ final class Registry(spark: SparkSession) {
           when(col(c) === lit(from).cast(t), lit(to).cast(t)).otherwise(elseC)
         })
       }
+    case "transpose" | "T" =>
+      // pandas df.T for an index column: original columns become rows,
+      // index values become columns. Like pandas, mixed dtypes flatten to
+      // strings (df.T is object-typed unless homogeneous). SMALL-FRAME op
+      // by nature (the output schema is one column per input ROW — pandas
+      // is identical); the dynamic pivot pays one eager distinct over the
+      // index, bounded by the same contract.
+      val idx = asStr(a.require("index", 0), "index")
+      require(df.columns.contains(idx), s"transpose: no column '$idx'")
+      val valueCols = df.columns.filterNot(_ == idx)
+      require(valueCols.nonEmpty, "transpose: need at least one value column")
+      // posexplode keeps the original column order as output ROW order
+      // (pandas row order = original column order), via a sortable pos
+      val pairs = array(valueCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("pos"), lit(c).as("column"),
+          col(c).cast("string").as("value"))
+      }: _*)
+      df.select(col(idx).cast("string").as("__t_idx"), explode(pairs).as("p"))
+        .select(col("__t_idx"), col("p.pos").as("__t_pos"),
+          col("p.column").as("column"), col("p.value").as("value"))
+        .groupBy(col("__t_pos"), col("column"))
+        .pivot("__t_idx")
+        .agg(first(col("value")))
+        .orderBy(col("__t_pos"))
+        .drop("__t_pos")
     case "str_normalize" =>
       // pandas s.str.normalize(form): Unicode normalization in place
       val c = asStr(a.require("column", 0), "column")

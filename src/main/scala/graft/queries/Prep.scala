@@ -982,6 +982,38 @@ object Prep {
           round(CASE WHEN sd = 0 THEN NULL
                 ELSE (CAST(o_totalprice AS DOUBLE) - mu) / sd END, 6) AS z_price
         FROM orders JOIN st USING (o_orderstatus)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // pandas df.T on a small aggregate: columns become rows (original
+    // column order preserved as row order), index values become columns,
+    // values flatten to strings (pandas' object dtype on mixed frames).
+    // The oracle rebuilds the transpose with one UNION ALL per original
+    // column + conditional aggregation — structure, order, and string
+    // rendering must all match.
+    Q("q129_transpose",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val summary = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("l_quantity").cast("decimal(25,4)")).cast("string").as("sum_qty"))
+        reg.callMethod(summary, "transpose",
+          graft.expr.Args(kw = List("index" -> "l_returnflag")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("column"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS VARCHAR) AS sum_qty
+          FROM lineitem GROUP BY 1),
+        long AS (
+          SELECT l_returnflag, 'n' AS "column", CAST(n AS VARCHAR) AS value FROM s
+          UNION ALL
+          SELECT l_returnflag, 'sum_qty', sum_qty FROM s)
+        SELECT "column",
+          max(CASE WHEN l_returnflag = 'A' THEN value END) AS "A",
+          max(CASE WHEN l_returnflag = 'N' THEN value END) AS "N",
+          max(CASE WHEN l_returnflag = 'R' THEN value END) AS "R"
+        FROM long GROUP BY "column" ORDER BY "column""""))
   )
 }

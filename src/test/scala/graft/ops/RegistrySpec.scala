@@ -360,6 +360,23 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("transpose: columns become rows in original order, index values become columns") {
+    val d = Seq(("a", 1L, 1.5), ("b", 2L, 2.5)).toDF("k", "n", "x")
+    val t = m(d, "transpose", "index" -> "k")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(t.columns.toSeq == Seq("column", "a", "b"))
+    val rows = t.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("n", "1", "2"), ("x", "1.5", "2.5")),
+      "row order must follow the original column order")
+    // transpose is an involution on string frames (modulo the index name)
+    val back = m(t.withColumnRenamed("column", "k"), "transpose", "index" -> "k")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(back.columns.toSeq == Seq("column", "n", "x"))
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("a", "1", "1.5"), ("b", "2", "2.5")),
+      "transpose . transpose recovers the original frame (stringified)")
+  }
+
   test("rolling center=True labels the window center; even windows take extra on the left") {
     val d = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0), (4L, 8.0), (5L, 16.0))
       .toDF("t", "x")
