@@ -41,6 +41,30 @@ class ExamplesSpec extends AnyFunSuite {
       "token budget is per kept language (en/es/de/fr)")
   }
 
+  test("examples/retrieval_prep.yaml: bloom decontam -> mixture -> bm25 z-scores -> weighted eval") {
+    val out = freshDir("ex_retr")
+    new Pipeline(spark, "examples/retrieval_prep.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val selected = spark.read.parquet(s"$out/selected.parquet")
+    assert(selected.count() > 0, "mixture must select docs")
+    assert(selected.select("source").distinct().count() <= 3,
+      "only weighted sources can be selected")
+    assert(selected.select("doc_id").collect().forall(_.getLong(0) >= 20),
+      "benchmark docs can never survive decontamination")
+
+    val scores = spark.read.parquet(s"$out/scores.parquet")
+    assert(scores.count() > 0 && scores.columns.contains("bm25"))
+    val mu = scores.agg(avg("bm25")).head.getDouble(0)
+    assert(math.abs(mu) < 1e-9, s"z-scored bm25 must have ~zero mean, got $mu")
+
+    val eval = spark.read.parquet(s"$out/eval_sample.parquet")
+    assert(eval.count() == 10, "weighted sample is exactly n")
+    val selIds = selected.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eval.select("doc_id").collect().map(_.getLong(0)).forall(selIds),
+      "the eval slice samples from the mixture selection only")
+  }
+
   test("examples/incremental_dedup.yaml: batch deduped against reference, keywords per survivor") {
     val out = freshDir("ex_incr")
     new Pipeline(spark, "examples/incremental_dedup.yaml",
