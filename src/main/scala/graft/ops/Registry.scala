@@ -1685,6 +1685,33 @@ final class Registry(spark: SparkSession) {
           when(col(c) === lit(from).cast(t), lit(to).cast(t)).otherwise(elseC)
         })
       }
+    case "update" =>
+      // pandas df.update(other): overlay other's NON-NULL values onto self
+      // for overlapping columns, aligned on `on` keys; self's row set and
+      // non-overlapping columns are untouched. pandas raises on a
+      // duplicated other-index; here each overlay value carries an in-plan
+      // per-key-count guard, so a duplicate key that actually matches
+      // raises at execution (distributed, no extra action) instead of
+      // silently multiplying rows.
+      val other = asDf(a.require("other", 0), "other")
+      val on = asStrList(a.require("on", -1))
+      require(on.nonEmpty, "update: need on= key columns")
+      on.foreach(k => require(df.columns.contains(k) && other.columns.contains(k),
+        s"update: key '$k' must exist in both frames"))
+      val overlap = other.columns.filterNot(on.contains).filter(df.columns.contains)
+      if (overlap.isEmpty)
+        throw PipelineError("update: frames share no non-key columns")
+      val kc = count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(on.map(col): _*))
+      val renamed = other.select(on.map(col) ++ overlap.map(c =>
+        when(kc > 1, raise_error(concat(
+          lit(s"update: duplicate key in other frame — ("),
+          concat_ws(", ", on.map(col(_).cast(StringType)): _*), lit(")"))))
+          .otherwise(col(c)).as(s"__u_$c")): _*)
+      val joined = df.join(renamed, on, "left")
+      overlap.foldLeft(joined)((d, c) =>
+        d.withColumn(c, coalesce(col(s"__u_$c"), col(c))))
+        .drop(overlap.map(c => s"__u_$c"): _*)
     case "transpose" | "T" =>
       // pandas df.T for an index column: original columns become rows,
       // index values become columns. Like pandas, mixed dtypes flatten to

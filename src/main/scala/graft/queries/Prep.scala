@@ -1014,6 +1014,38 @@ object Prep {
           max(CASE WHEN l_returnflag = 'A' THEN value END) AS "A",
           max(CASE WHEN l_returnflag = 'N' THEN value END) AS "N",
           max(CASE WHEN l_returnflag = 'R' THEN value END) AS "R"
-        FROM long GROUP BY "column" ORDER BY "column""""))
+        FROM long GROUP BY "column" ORDER BY "column"""")),
+
+    // pandas df.update(other): non-null values of a corrections frame
+    // overlay the base frame on the key; null corrections leave the
+    // original in place (the pandas semantics the naive left-join-and-
+    // replace gets wrong). Corrections: every 10th order re-priced, every
+    // 20th carries a NULL price (must NOT overwrite), status always set.
+    Q("q130_update",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val corrections = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            lit("X").as("o_orderstatus"),
+            when(col("o_orderkey") % 20 === 0, lit(null))
+              .otherwise(round(col("o_totalprice"), 0)).as("o_totalprice"))
+        reg.callMethod(o, "update", graft.expr.Args(
+          pos = List(corrections), kw = List("on" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT o_orderkey, 'X' AS st,
+            CASE WHEN o_orderkey % 20 = 0 THEN NULL
+                 ELSE round(o_totalprice, 0) END AS tp
+          FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o.o_orderkey,
+          coalesce(c.st, o.o_orderstatus) AS o_orderstatus,
+          coalesce(c.tp, o.o_totalprice) AS o_totalprice
+        FROM orders o LEFT JOIN c USING (o_orderkey)
+        ORDER BY o.o_orderkey"""))
   )
 }

@@ -360,6 +360,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("update: non-null overlay, nulls keep original, duplicate matched key raises") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val corr = Seq((1L, "A", Some(11.0)), (2L, "B", None))
+      .toDF("k", "s", "v")
+    val out = m(base, "update", "other" -> corr, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "A", 11.0), (2L, "B", 20.0), (3L, "c", 30.0)),
+      "null correction must NOT overwrite; unmatched rows untouched")
+    // duplicate matched key in other -> loud in-plan failure
+    val dup = Seq((1L, "X", 1.0), (1L, "Y", 2.0)).toDF("k", "s", "v")
+    val e = intercept[Exception] {
+      m(base, "update", "other" -> dup, "on" -> List("k"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate key")))
+  }
+
   test("transpose: columns become rows in original order, index values become columns") {
     val d = Seq(("a", 1L, 1.5), ("b", 2L, 2.5)).toDF("k", "n", "x")
     val t = m(d, "transpose", "index" -> "k")
