@@ -2273,6 +2273,23 @@ final class Registry(spark: SparkSession) {
       val aggs = cols.map(c =>
         expr(s"percentile(${qid(c)}, CAST($q AS DOUBLE))").as(c))
       g.df.groupBy(g.keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    case "ohlc" =>
+      // pandas groupby().ohlc() under the explicit-ordering contract:
+      // open = value at the smallest order-key tuple, close = at the
+      // largest, high/low = plain max/min — ONE aggregation pass (struct
+      // min/max with map-side partials; deterministic because the caller
+      // names a UNIQUE order-key tuple, the contract pandas meets with
+      // row order). No window, no per-group sort.
+      val valueCol = asStr(a.require("column", 0), "column")
+      val orderBy = asStrList(a.require("order_by", -1))
+      require(orderBy.nonEmpty, "ohlc: need order_by key columns")
+      val ord = struct((orderBy.map(col) :+ col(valueCol)): _*)
+      g.df.groupBy(g.keyCols: _*).agg(
+        min(ord).getField(valueCol).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(ord).getField(valueCol).as("close"),
+        count(lit(1)).as("n"))
     case "filter" =>
       // pandas groupby().filter(pred): keep the ROWS of every group whose
       // group-level AGGREGATE predicate holds (e.g. "count(*) >= 5",

@@ -1046,6 +1046,46 @@ object Prep {
           coalesce(c.st, o.o_orderstatus) AS o_orderstatus,
           coalesce(c.tp, o.o_totalprice) AS o_totalprice
         FROM orders o LEFT JOIN c USING (o_orderkey)
-        ORDER BY o.o_orderkey"""))
+        ORDER BY o.o_orderkey""")),
+
+    // pandas resample('D').ohlc() / groupby().ohlc(): per-(user, day)
+    // open/high/low/close of event values in ONE aggregation pass —
+    // open/close via struct min/max over the unique (ts, event_id) order
+    // tuple, no window, no per-group sort. The oracle recomputes with
+    // first_value/last_value windows, so the aggregate and window
+    // formulations must agree exactly.
+    Q("q131_ohlc",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("day", to_date(col("ts")))
+        val g = reg.callMethod(e, "groupby", graft.expr.Args(kw = List(
+          "by" -> List("user_id", "day"))))
+        reg.callMethod(g, "ohlc", graft.expr.Args(kw = List(
+          "column" -> "value", "order_by" -> List("ts", "event_id"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+            round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+            col("n"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+          FROM events),
+        w AS (
+          SELECT user_id, day, value,
+            first_value(value) OVER win AS open,
+            last_value(value) OVER win AS close
+          FROM e
+          WINDOW win AS (PARTITION BY user_id, day ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+          round(any_value(open), 6) AS open, round(max(value), 6) AS high,
+          round(min(value), 6) AS low, round(any_value(close), 6) AS close,
+          COUNT(*) AS n
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

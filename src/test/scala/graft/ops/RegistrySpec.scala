@@ -360,6 +360,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("ohlc: open/close follow the order keys, not row or value order") {
+    // rows deliberately shuffled: order key t says open=5.0 (t=1), close=2.0 (t=4)
+    val d = Seq(("g", 3L, 9.0), ("g", 1L, 5.0), ("g", 4L, 2.0), ("g", 2L, 1.0),
+      ("h", 1L, 7.0)).toDF("k", "t", "v")
+    val g = reg.callMethod(d, "groupby", Args(kw = List("by" -> List("k"))))
+    val out = reg.callMethod(g, "ohlc", Args(kw = List(
+      "column" -> "v", "order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("g", 5.0, 9.0, 1.0, 2.0, 4L), ("h", 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("update: non-null overlay, nulls keep original, duplicate matched key raises") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "v")
