@@ -1864,6 +1864,20 @@ final class Registry(spark: SparkSession) {
       cats.foldLeft(df)((d, cat) =>
         d.withColumn(s"${prefix}_$cat", when(col(c) === lit(cat), 1).otherwise(0)))
         .drop(c)
+    case "str_get_dummies" =>
+      // pandas s.str.get_dummies(sep): multi-label one-hot from a
+      // delimited string column. EXPLICIT categories like get_dummies
+      // (the scale-first form — no distinct-values job); membership is
+      // exact-element array_contains over the split (a substring match
+      // would confuse 'src1' with 'src10'), codegen'd, zero shuffle.
+      // Bare label column names and original column dropped, like pandas.
+      val c = asStr(a.require("column", 0), "column")
+      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse("|")
+      val cats = asStrList(a.require("categories", -1))
+      val parts = split(col(c), java.util.regex.Pattern.quote(sep))
+      cats.foldLeft(df)((d, cat) =>
+        d.withColumn(cat, when(array_contains(parts, cat), 1).otherwise(0)))
+        .drop(c)
     case "sample" =>
       // Deterministic hash sample (NOT rand(): see operators.Sampling —
       // rerun/repartition-stable assignment is the training-data contract).

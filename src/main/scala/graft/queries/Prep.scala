@@ -1086,6 +1086,31 @@ object Prep {
           round(any_value(open), 6) AS open, round(max(value), 6) AS high,
           round(min(value), 6) AS low, round(any_value(close), 6) AS close,
           COUNT(*) AS n
-        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pandas str.get_dummies(sep='|'): multi-label one-hot. The tag string
+    // is built from the fixture so 'src1' and 'src10' BOTH appear as
+    // categories — exact-element membership must keep them apart (a
+    // substring implementation would light src1 for every src10 doc).
+    Q("q132_str_get_dummies",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val tagged = t(s, d, "documents").select(col("doc_id"),
+          concat(col("source"), lit("|"),
+            when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+            .as("tags"))
+        reg.callMethod(tagged, "str_get_dummies", graft.expr.Args(kw = List(
+          "column" -> "tags",
+          "categories" -> List("src1", "src10", "even", "odd"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS src1,
+          CASE WHEN source = 'src10' THEN 1 ELSE 0 END AS src10,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS even,
+          CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS odd
+        FROM documents ORDER BY doc_id"""))
   )
 }
