@@ -72,6 +72,38 @@ object Scoring {
       .select(col("id").as(idCol), col("w").as("term"), col("score"))
   }
 
+  /** Bigram conditional log-probability scoring — the KenLM-shaped step up
+    * from [[unigramLogProb]] (perplexity-style quality filtering): per doc,
+    * the mean of ln P(w2 | w1) under an add-k-smoothed bigram model fitted
+    * on the corpus itself. Low scores flag incoherent/boilerplate text that
+    * unigram frequencies cannot see (every word common, transitions wrong).
+    *
+    * Scale shape: bigrams come off the single-pass WordShingles expression
+    * (row-local); the model is two count aggregates (bigram, unigram) with
+    * map-side partials; scoring joins each doc bigram to its two counts by
+    * key equality and one broadcast scalar (V). No self-joins, no windows,
+    * no driver math.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    k: Double = 0.5): DataFrame = {
+    val bg = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").contains(" ")) // docs under 2 words contribute nothing
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val uni = df.select(explode(split(lower(col(textCol)), "\\s+")).as("u"))
+      .filter(length(col("u")) > 0)
+      .groupBy(col("u")).agg(count(lit(1)).as("cw"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    bg.join(cbg, Seq("bg"))
+      .join(uni.withColumnRenamed("u", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", org.apache.spark.sql.functions.log(
+        (col("cbg") + k) / (col("cw") + lit(k) * col("v"))))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** Okapi BM25 ranking of documents against a fixed query-term set — the
     * standard lexical retrieval scorer (and the first-stage retriever in
     * most RAG/data-curation stacks). idf = ln((N - df + 0.5)/(df + 0.5) + 1)

@@ -791,6 +791,14 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.bigram_logprob" -> { a =>
+      // add-k-smoothed bigram transition log-prob per doc (perplexity-
+      // style quality filter; model fitted on the corpus itself)
+      graft.operators.Scoring.bigramLogProb(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        k = a.get("k", -1).map(_.toString.toDouble).getOrElse(0.5))
+    },
     "graft.bm25" -> { a =>
       // Okapi BM25 document scores for a fixed query-term list
       graft.operators.Scoring.bm25(asDf(a.require("df", 0), "df"),

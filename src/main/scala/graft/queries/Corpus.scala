@@ -439,6 +439,34 @@ object Corpus {
         SELECT doc_id, round(sum(c), 6) AS bm25
         FROM contrib GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram conditional log-prob (add-0.5 smoothing, model fitted on the
+    // corpus itself): the perplexity-style filter unigram frequencies
+    // can't replicate. The oracle rebuilds the full model — bigram counts,
+    // unigram counts, vocabulary size — and must agree on every doc's mean
+    // transition log-prob to 6dp.
+    Q("q133_bigram_logprob",
+      (s, d) => graft.operators.Scoring.bigramLogProb(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          round(col("bigram_lp"), 6).as("bigram_lp"), col("n_bigrams"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        bg AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+          FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2),
+        cbg AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
+        uni AS (SELECT unnest(w) AS u FROM toks),
+        cw AS (SELECT u, COUNT(*) AS cw FROM uni GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM cw)
+        SELECT bg.doc_id,
+          round(avg(ln((cbg.cbg + 0.5) / (cw.cw + 0.5 * v.v))), 6) AS bigram_lp,
+          COUNT(*) AS n_bigrams
+        FROM bg JOIN cbg USING (bg) JOIN cw ON bg.w1 = cw.u, v
+        GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
+
     // Unicode NFC normalization (pandas str.normalize; the mojibake half of
     // crawl cleaning — decomposed sequences fold to composed form so
     // equal-looking strings hash equal). The fixture is ASCII, so the query

@@ -1096,6 +1096,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(1L) > out(2L), "more occurrences in a shorter doc must rank higher")
   }
 
+  test("bigramLogProb: repeated transitions score higher than novel ones; short docs absent") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // transitions all repeated corpus-wide
+      (2L, "a b c d e f"),   // mostly novel transitions
+      (3L, "solo")           // no bigrams
+    ).toDF("doc_id", "text")
+    val out = Scoring.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(3L), "sub-bigram docs contribute nothing")
+    assert(out(1L)._2 == 5L && out(2L)._2 == 5L)
+    assert(out(1L)._1 > out(2L)._1,
+      "the repeated-transition doc must score higher under the corpus model")
+    // hand-check: P(b|a) = (c('a b') + 0.5) / (c('a') + 0.5 * V)
+    // c('a b') = 4 (3 in doc1 + 1 in doc2), c('a') = 4, V = 7 (incl. 'solo')
+    val pba = math.log((4 + 0.5) / (4 + 0.5 * 7))
+    // doc1 = avg of [ln P(b|a) x3, ln P(a|b) x2]; c('b a') = 2, c('b') = 4
+    val pab = math.log((2 + 0.5) / (4 + 0.5 * 7))
+    assert(math.abs(out(1L)._1 - (3 * pba + 2 * pab) / 5) < 1e-9)
+  }
+
   test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
