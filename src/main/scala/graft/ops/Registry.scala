@@ -1937,9 +1937,29 @@ final class Registry(spark: SparkSession) {
       val ordered = base.orderBy(orderBy.map(col(_).asc): _*)
       val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // pandas method=: 'linear' weights by ROW POSITION (RangeIndex);
+      // 'time'/'values'/'index' weight by the first order key's VALUE
+      // (epoch micros for timestamps) — irregular gaps then interpolate
+      // proportionally to actual distance, not sample count
+      val method = a.get("method", -1).map(asStr(_, "method")).getOrElse("linear")
+      val posOf: Column => Column = method match {
+        case "linear" => rn => rn
+        case "time" | "values" | "index" =>
+          val k = col(orderBy.head)
+          val kv = df.schema(orderBy.head).dataType match {
+            case _: TimestampType => unix_micros(k).cast(DoubleType)
+            case _: org.apache.spark.sql.types.TimestampNTZType =>
+              unix_micros(k).cast(DoubleType)
+            case _: DateType => datediff(k, lit("1970-01-01")).cast(DoubleType)
+            case _ => k.cast(DoubleType)
+          }
+          _ => kv
+        case other => throw PipelineError(
+          s"interpolate: unsupported method '$other' (linear/time/values/index)")
+      }
       cols.foldLeft(df) { (d, c) =>
         val v = col(c).cast(DoubleType)
-        val rn = row_number().over(ordered)
+        val rn = posOf(row_number().over(ordered).cast(DoubleType))
         val anchor = when(col(c).isNotNull, rn)
         val prevV = last(v, ignoreNulls = true).over(back)
         val prevP = last(anchor, ignoreNulls = true).over(back)

@@ -1111,6 +1111,55 @@ object Prep {
           CASE WHEN source = 'src10' THEN 1 ELSE 0 END AS src10,
           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS even,
           CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS odd
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // pandas interpolate(method='time'): anchors weight by ACTUAL timestamp
+    // distance, not sample count — on the events table's irregular
+    // inter-arrival gaps the time-weighted value differs from positional
+    // 'linear' on almost every interpolated row, so the gate binds the
+    // method, not just the anchor plumbing. Every 3rd event's value is
+    // nulled; per-user windows keep the op scale-safe.
+    Q("q134_interpolate_time",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value"))
+              .as("value"))
+        reg.callMethod(e, "interpolate", graft.expr.Args(kw = List(
+          "columns" -> List("value"), "method" -> "time",
+          "order_by" -> List("ts", "event_id"),
+          "partition_by" -> List("user_id"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 6).as("value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS pos,
+            CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events),
+        w AS (
+          SELECT user_id, event_id, pos, v,
+            last_value(v IGNORE NULLS) OVER back AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+              OVER back AS pp,
+            first_value(v IGNORE NULLS) OVER fwd AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+              OVER fwd AS np
+          FROM e
+          WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id,
+          round(CASE
+            WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN NULL
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
+          END, 6) AS value
+        FROM w ORDER BY user_id, event_id"""))
   )
 }

@@ -360,6 +360,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("interpolate method='time' weights by key distance, 'linear' by position") {
+    val d = Seq((0L, Some(0.0)), (1L, None), (10L, Some(10.0)))
+      .toDF("t", "v")
+    def run(method: String) =
+      m(d, "interpolate", "columns" -> List("v"), "method" -> method,
+        "order_by" -> List("t"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .orderBy("t").collect().map(_.getDouble(1))
+    assert(run("values").toSeq == Seq(0.0, 1.0, 10.0),
+      "time/values: the gap 0->1 is 1/10 of the anchor span")
+    assert(run("linear").toSeq == Seq(0.0, 5.0, 10.0),
+      "linear: positional midpoint regardless of key distance")
+  }
+
   test("ohlc: open/close follow the order keys, not row or value order") {
     // rows deliberately shuffled: order key t says open=5.0 (t=1), close=2.0 (t=4)
     val d = Seq(("g", 3L, 9.0), ("g", 1L, 5.0), ("g", 4L, 2.0), ("g", 2L, 1.0),
