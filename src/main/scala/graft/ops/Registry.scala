@@ -1303,17 +1303,35 @@ final class Registry(spark: SparkSession) {
       // duplicate edges would otherwise silently yield empty/wrong bins
       require(bins.zip(bins.tail).forall { case (lo, hi) => lo < hi },
         "cut: bins must increase monotonically")
+      // pandas right=: True (default) -> (a, b]; False -> [a, b).
+      // include_lowest= closes the FIRST bin's left edge under right=True
+      // ([a0, b0]) — pandas ignores it under right=False, where the left
+      // edge is already closed.
+      val rightClosed = a.get("right", -1).forall(asBool(_, default = true))
+      val includeLowest = a.get("include_lowest", -1)
+        .exists(asBool(_, default = false))
       val labels = a.get("labels", -1).map(asStrList).getOrElse(
-        bins.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toList)
+        bins.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+          if (!rightClosed) s"[$lo, $hi)"
+          else if (i == 0 && includeLowest) s"[$lo, $hi]"
+          else s"($lo, $hi]"
+        }.toList)
       require(labels.size == bins.size - 1, "cut: need one label per bin")
       val v = col(c).cast(DoubleType)
-      val cases = bins.sliding(2).zip(labels.iterator).map {
-        case (Seq(lo, hi), lab) => (v > lo && v <= hi, lab)
+      val cases = bins.sliding(2).zipWithIndex.zip(labels.iterator).map {
+        case ((Seq(lo, hi), i), lab) =>
+          val cond =
+            if (rightClosed)
+              (if (i == 0 && includeLowest) v >= lo else v > lo) && v <= hi
+            else v >= lo && v < hi
+          (cond, lab)
       }.toList
       val binned = cases.foldRight(lit(null).cast("string")) {
         case ((cond, lab), elseC) => when(cond, lit(lab)).otherwise(elseC)
       }
-      df.withColumn(s"${c}_bin", binned)
+      val outCol = a.get("bin_col", -1).map(asStr(_, "bin_col"))
+        .getOrElse(s"${c}_bin")
+      df.withColumn(outCol, binned)
     case "qcut" =>
       // pandas pd.qcut: quantile binning. Edges are EXACT percentiles
       // (linear interpolation, the same definition as DuckDB quantile_cont),

@@ -1160,6 +1160,44 @@ object Prep {
             WHEN nv IS NULL THEN pv
             ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
           END, 6) AS value
-        FROM w ORDER BY user_id, event_id"""))
+        FROM w ORDER BY user_id, event_id""")),
+
+    // pandas pd.cut(right=False, include_lowest=): boundary semantics that
+    // BIND on integer-valued l_quantity (1..50, so every edge value
+    // exists). Left-closed bins put qty=10 in [10,20) where the default
+    // puts it in (1,10]; include_lowest keeps qty=1 under right=True.
+    Q("q135_cut_bounds",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val leftClosed = reg.callMethod(li, "cut", graft.expr.Args(kw = List(
+          "column" -> "l_quantity", "bins" -> List(1L, 10L, 20L, 30L, 40L, 51L),
+          "right" -> false, "bin_col" -> "bin_left")))
+        reg.callMethod(leftClosed, "cut", graft.expr.Args(kw = List(
+          "column" -> "l_quantity", "bins" -> List(1L, 10L, 20L, 30L, 40L, 51L),
+          "include_lowest" -> true, "bin_col" -> "bin_right")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("bin_left"), col("bin_right"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CASE
+            WHEN l_quantity >= 1 AND l_quantity < 10 THEN '[1.0, 10.0)'
+            WHEN l_quantity >= 10 AND l_quantity < 20 THEN '[10.0, 20.0)'
+            WHEN l_quantity >= 20 AND l_quantity < 30 THEN '[20.0, 30.0)'
+            WHEN l_quantity >= 30 AND l_quantity < 40 THEN '[30.0, 40.0)'
+            WHEN l_quantity >= 40 AND l_quantity < 51 THEN '[40.0, 51.0)'
+          END AS bin_left,
+          CASE
+            WHEN l_quantity >= 1 AND l_quantity <= 10 THEN '[1.0, 10.0]'
+            WHEN l_quantity > 10 AND l_quantity <= 20 THEN '(10.0, 20.0]'
+            WHEN l_quantity > 20 AND l_quantity <= 30 THEN '(20.0, 30.0]'
+            WHEN l_quantity > 30 AND l_quantity <= 40 THEN '(30.0, 40.0]'
+            WHEN l_quantity > 40 AND l_quantity <= 51 THEN '(40.0, 51.0]'
+          END AS bin_right
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
   )
 }
