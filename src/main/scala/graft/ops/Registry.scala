@@ -391,6 +391,30 @@ final class Registry(spark: SparkSession) {
           s"to_datetime: errors must be 'raise' or 'coerce', got '$other'")
       }
     },
+    "pd.to_numeric" -> { a =>
+      // pandas pd.to_numeric: errors='raise' (default — non-null
+      // unparseable input raises) or 'coerce' (-> null); downcast= maps to
+      // the target Spark type. try_cast keeps parse failure OURS so the
+      // errors= policy, not ANSI mode, decides.
+      val df = asDf(a.require("df", 0), "df")
+      val c = asStr(a.require("column", 1), "column")
+      val target = a.get("downcast", -1).map(asStr(_, "downcast")) match {
+        case Some("integer") | Some("signed") | Some("unsigned") => LongType
+        case Some("float") | None => DoubleType
+        case Some(other) => throw PipelineError(
+          s"to_numeric: unsupported downcast '$other'")
+      }
+      val parsed = col(c).try_cast(target)
+      a.get("errors", -1).map(asStr(_, "errors")).getOrElse("raise") match {
+        case "coerce" => df.withColumn(c, parsed)
+        case "raise" => df.withColumn(c,
+          when(col(c).isNotNull && parsed.isNull,
+            raise_error(concat(lit(s"to_numeric: unparseable value in '$c': "),
+              col(c).cast(StringType)))).otherwise(parsed))
+        case other => throw PipelineError(
+          s"to_numeric: errors must be 'raise' or 'coerce', got '$other'")
+      }
+    },
     "pd.date_range" -> { a =>
       // calendar spine generator (pandas date_range): inclusive endpoints,
       // stride from `start` — anchored frequencies (W-MON etc.) belong to

@@ -1198,6 +1198,35 @@ object Prep {
             WHEN l_quantity > 30 AND l_quantity <= 40 THEN '(30.0, 40.0]'
             WHEN l_quantity > 40 AND l_quantity <= 51 THEN '(40.0, 51.0]'
           END AS bin_right
-        FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas pd.to_numeric(errors=): numeric sibling of q116. A clean
+    // rendered column parses under the raise path; a second column with
+    // injected garbage exercises coerce -> null. downcast='integer' pins
+    // the integral target type.
+    Q("q136_to_numeric",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(StringType).as("price_str"),
+          when(col("o_orderkey") % 100 === 0, lit("n/a"))
+            .otherwise(col("o_custkey").cast(StringType)).as("cust_str"))
+        val p1 = reg.callFunction("pd.to_numeric", graft.expr.Args(
+          pos = List(base, "price_str"), kw = Nil))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callFunction("pd.to_numeric", graft.expr.Args(
+          pos = List(p1, "cust_str"),
+          kw = List("errors" -> "coerce", "downcast" -> "integer")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderkey"), round(col("price_str"), 2).as("price_num"),
+            col("cust_str").as("cust_num"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 2) AS price_num,
+          CASE WHEN o_orderkey % 100 = 0 THEN NULL
+               ELSE CAST(o_custkey AS BIGINT) END AS cust_num
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
