@@ -39,6 +39,35 @@ object Prep {
     clipped.drop(valueCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-prep shape
+    * (window `size` tokens, step `stride`; consecutive chunks share
+    * `size - stride` tokens so no boundary context is lost). Starts are
+    * 0, stride, 2*stride, ...; the count is chosen so every token is
+    * covered exactly once past the last full window (a doc of <= size
+    * tokens is one chunk). Pure per-row array math inside codegen — an
+    * embarrassingly parallel projection, zero shuffle.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunkTokens: size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"chunkTokens: need 1 <= stride <= size, got stride=$stride size=$size")
+    val words = org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nTok = org.apache.spark.sql.functions.size(words)
+    val nChunks = (greatest(
+      ceil((nTok - size).cast("double") / stride), lit(0.0)).cast("int") + 1)
+    df.select(col(idCol), words.as("__w"), nChunks.as("__n"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("__n") - 1),
+          i => array_join(slice(col("__w"), i * stride + 1, lit(size)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            split(col("chunk"), " "), w => length(w) > 0)))
+  }
+
   /** Z-score standardization: (x - mean) / std per group, pandas `ddof`
     * semantics (1 = sample std, the pandas default; 0 = population).
     * Zero-variance groups yield NULL (pandas emits NaN/inf; the engine's

@@ -815,6 +815,15 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.chunk_tokens" -> { a =>
+      // overlapping token-window chunking (RAG embedding prep)
+      graft.operators.Prep.chunkTokens(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        size = asInt(a.require("size", 1), "size"),
+        stride = a.get("stride", -1).map(asInt(_, "stride"))
+          .getOrElse(asInt(a.require("size", 1), "size")))
+    },
     "graft.bigram_logprob" -> { a =>
       // add-k-smoothed bigram transition log-prob per doc (perplexity-
       // style quality filter; model fitted on the corpus itself)

@@ -467,6 +467,28 @@ object Corpus {
         FROM bg JOIN cbg USING (bg) JOIN cw ON bg.w1 = cw.u, v
         GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
 
+    // Overlapping token-window chunking (RAG embedding prep): size=30,
+    // stride=20 on ~50-word docs yields 2-3 chunks per doc with 10 shared
+    // tokens between neighbors — overlap, tail handling, and the chunk
+    // count formula all bind. Both engines slice the same '\S+' token
+    // array with clamped windows.
+    Q("q137_chunk_overlap",
+      (s, d) => graft.operators.Prep.chunkTokens(
+        t(s, d, "documents"), "doc_id", "text", size = 30, stride = 20)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        n AS (
+          SELECT doc_id, w,
+            greatest(CAST(ceil((len(w) - 30) / 20.0) AS INTEGER), 0) + 1 AS nc
+          FROM toks)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+          array_to_string(w[(i*20+1):(i*20+30)], ' ') AS chunk,
+          CAST(len(w[(i*20+1):(i*20+30)]) AS INTEGER) AS n_tokens
+        FROM n, unnest(generate_series(0, nc - 1)) AS t(i)
+        ORDER BY doc_id, chunk_idx""")),
+
     // Unicode NFC normalization (pandas str.normalize; the mojibake half of
     // crawl cleaning — decomposed sequences fold to composed form so
     // equal-looking strings hash equal). The fixture is ASCII, so the query

@@ -1077,6 +1077,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("chunkTokens: overlap, coverage, tail and short-doc handling") {
+    val doc = (1 to 25).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Prep.chunkTokens(df, "doc_id", "text", size = 10, stride = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 25 tokens, size 10, stride 7: ceil((25-10)/7)+1 = 4 chunks
+    assert(d1.length == 4)
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 == 10)
+    // consecutive chunks share size - stride = 3 tokens
+    val c0 = d1(0)._3.split(" ").toSeq
+    val c1 = d1(1)._3.split(" ").toSeq
+    assert(c0.takeRight(3) == c1.take(3), "neighbors must overlap by size-stride")
+    // the tail chunk is short but reaches the last token
+    assert(d1.last._3.endsWith("t25") && d1.last._4 == 25 - 3 * 7)
+    // every token covered
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 25).map(i => s"t$i").toSet)
+    // short doc: exactly one chunk, whole text
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, "a b c", 3)))
+  }
+
   test("bm25: exact formula on a hand-checked fixture; absent terms score nothing") {
     val df = Seq(
       (1L, "a a b"),   // tf(a)=2, dl=3
