@@ -68,6 +68,56 @@ object Prep {
             split(col("chunk"), " "), w => length(w) > 0)))
   }
 
+  /** Pretraining-style context-window PACKING: concatenate every document
+    * (plus one trailing EOS token each) in a deterministic md5 order and
+    * cut the stream into exact `size`-token windows — documents SPLIT
+    * across window boundaries, the GPT-pretraining packing that greedy
+    * whole-doc binning (q64) deliberately avoids. Returns one row per
+    * (window, document) span: `window_id`, the doc, and the in-doc token
+    * range [start_tok, end_tok] landing in that window (end index
+    * `n_tokens` denotes the EOS slot).
+    *
+    * Scale shape: global token offsets come from the same two-level
+    * distributed prefix sum as mixtureByTokenBudget (256 hash-prefix
+    * buckets; the only per-source-free global window runs over the tiny
+    * per-bucket aggregate) — no task ever prefix-sums the whole corpus.
+    * Span explosion is per-row `sequence(firstW, lastW)` — bounded by a
+    * doc's own window count.
+    */
+  def packWindows(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, seed: String): DataFrame = {
+    require(size >= 2, s"packWindows: window size must be >= 2, got $size")
+    import org.apache.spark.sql.expressions.Window
+    val key = Sampling.hashKey(col(idCol), seed)
+    val toks = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        split(col(textCol), "\\s+"), t => length(t) > 0))
+    val base = df.select(col(idCol), (toks + 1).cast("long").as("__n"),
+        key.as("__k"))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wloc = Window.partitionBy(col("__b"))
+      .orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__end", col("__off") + sum(col("__n")).over(wloc))
+      .withColumn("__start", col("__end") - col("__n")) // exclusive prefix
+      .withColumn("window_id", explode(sequence(
+        floor(col("__start") / size).cast("long"),
+        floor((col("__end") - 1) / size).cast("long"))))
+      .select(col("window_id"), col(idCol),
+        greatest(col("window_id") * size - col("__start"), lit(0L))
+          .cast("int").as("start_tok"),
+        (least((col("window_id") + 1) * size, col("__end"))
+          - col("__start") - 1).cast("int").as("end_tok"),
+        (col("__n") - 1).cast("int").as("n_tokens"))
+  }
+
   /** Z-score standardization: (x - mean) / std per group, pandas `ddof`
     * semantics (1 = sample std, the pandas default; 0 = population).
     * Zero-variance groups yield NULL (pandas emits NaN/inf; the engine's

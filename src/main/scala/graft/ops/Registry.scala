@@ -815,6 +815,15 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.pack_windows" -> { a =>
+      // pretraining packing: docs (+EOS) concatenated in deterministic
+      // order, cut into exact size-token windows (docs split at borders)
+      graft.operators.Prep.packWindows(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        size = asInt(a.require("size", 1), "size"),
+        seed = asStr(a.get("seed", -1).getOrElse("pack"), "seed"))
+    },
     "graft.chunk_tokens" -> { a =>
       // overlapping token-window chunking (RAG embedding prep)
       graft.operators.Prep.chunkTokens(asDf(a.require("df", 0), "df"),

@@ -489,6 +489,35 @@ object Corpus {
         FROM n, unnest(generate_series(0, nc - 1)) AS t(i)
         ORDER BY doc_id, chunk_idx""")),
 
+    // Pretraining context-window packing: docs (+EOS) concatenate in md5
+    // order and cut into exact 128-token windows, docs splitting across
+    // boundaries. The Spark side computes global token offsets with the
+    // distributed two-level prefix sum; the oracle replays ONE naive
+    // global running sum — the gate proves the decomposition equals the
+    // sequential packing on every (window, doc) span.
+    Q("q138_pack_windows",
+      (s, d) => graft.operators.Prep.packWindows(
+        t(s, d, "documents"), "doc_id", "text", size = 128, seed = "p138")
+        .orderBy(col("window_id"), col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\S+')) + 1 AS BIGINT) AS n,
+            md5(CAST(doc_id AS VARCHAR) || ':p138') AS k
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n,
+            CAST(SUM(n) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+          FROM toks),
+        spans AS (SELECT doc_id, n, e - n AS s, e FROM cum)
+        SELECT CAST(w AS BIGINT) AS window_id, doc_id,
+          CAST(greatest(w * 128 - s, 0) AS INTEGER) AS start_tok,
+          CAST(least((w + 1) * 128, e) - s - 1 AS INTEGER) AS end_tok,
+          CAST(n - 1 AS INTEGER) AS n_tokens
+        FROM spans, unnest(generate_series(s // 128, (e - 1) // 128)) AS t(w)
+        ORDER BY window_id, doc_id""")),
+
     // Unicode NFC normalization (pandas str.normalize; the mojibake half of
     // crawl cleaning — decomposed sequences fold to composed form so
     // equal-looking strings hash equal). The fixture is ASCII, so the query

@@ -1099,6 +1099,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(d2.toSeq == Seq((2L, 0, "a b c", 3)))
   }
 
+  test("packWindows: windows carry exactly size tokens, docs tile without gaps, layout-stable") {
+    val docs = (1L to 100L).map(i =>
+      (i, (1 to (i % 23 + 2).toInt).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val size = 32
+    val out = Prep.packWindows(docs, "doc_id", "text", size, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // every window except the last holds exactly `size` tokens
+    val perWindow = out.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3 + 1).sum).toMap
+    val lastW = perWindow.keys.max
+    assert(perWindow.filterKeys(_ != lastW).values.forall(_ == size),
+      s"full windows must carry exactly $size tokens")
+    assert(perWindow(lastW) <= size)
+    // each doc's spans tile [0, n_tokens] (incl. the EOS slot) without gaps
+    for ((doc, spans) <- out.groupBy(_._2)) {
+      val sorted = spans.sortBy(_._1)
+      assert(sorted.head._3 == 0, s"doc $doc must start at token 0")
+      assert(sorted.last._4 == sorted.head._5, s"doc $doc must end at its EOS slot")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._4 + 1, s"doc $doc spans must be contiguous")
+          assert(b._1 == a._1 + 1, s"doc $doc windows must be consecutive")
+        case _ => ()
+      }
+    }
+    // physical layout must not change the packing
+    val re = Prep.packWindows(docs.repartition(9), "doc_id", "text", size, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(re.sortBy(s => (s._1, s._2)).toSeq == out.sortBy(s => (s._1, s._2)).toSeq)
+  }
+
   test("bm25: exact formula on a hand-checked fixture; absent terms score nothing") {
     val df = Seq(
       (1L, "a a b"),   // tf(a)=2, dl=3
