@@ -111,6 +111,8 @@ object ScaleStress {
       Sampling.weightedSampleN(
         w.select(col("doc_id"), length(col("text")).as("wt")),
         "doc_id", "wt", n = 20, seed = "warm").count()
+      graft.operators.Prep.packWindows(w, "doc_id", "text",
+        size = 128, seed = "warm").count()
       w.unpersist(); we.unpersist()
       graft.operators.Caches.release()
       spark.catalog.clearCache()
@@ -193,6 +195,11 @@ object ScaleStress {
         Sampling.weightedSampleN(
           d.select(col("doc_id"), length(col("text")).as("w")),
           "doc_id", "w", n = 50, seed = "stress").count())
+      // spans grow linearly with tokens (same windows-per-token density);
+      // the only non-data window runs over the 256-row bucket aggregate
+      cell("q138_pack_windows", f, nd)(
+        graft.operators.Prep.packWindows(d, "doc_id", "text",
+          size = 128, seed = "stress").count())
       d.unpersist()
 
       val e = embAt(f).repartition(32).persist()
