@@ -2269,14 +2269,31 @@ final class Registry(spark: SparkSession) {
           .drop("count", "__graft_total")
           .orderBy(col("proportion").desc, col(c))
       } else counts.orderBy(col("count").desc, col(c))
-    case "nlargest" =>
+    case "nlargest" | "nsmallest" =>
       val n = asInt(a.require("n", 0), "n")
       val by = asStrList(a.require("columns", 1))
-      df.orderBy(by.map(col(_).desc): _*).limit(n)
-    case "nsmallest" =>
-      val n = asInt(a.require("n", 0), "n")
-      val by = asStrList(a.require("columns", 1))
-      df.orderBy(by.map(col(_).asc): _*).limit(n)
+      val desc = name == "nlargest"
+      val ord = by.map(c => if (desc) col(c).desc else col(c).asc)
+      a.get("keep", -1).map(asStr(_, "keep")).getOrElse("first") match {
+        case "first" => df.orderBy(ord: _*).limit(n)
+        case "all" =>
+          // pandas keep='all': extend through ties at the boundary. NOT a
+          // global rank window (single-task sort): the boundary key comes
+          // from the top-n itself (TakeOrderedAndProject = distributed
+          // heaps) reduced to ONE struct, broadcast back as a filter —
+          // lexicographic struct comparison matches the sort order.
+          val key = struct(by.map(col): _*)
+          val bound = df.orderBy(ord: _*).limit(n)
+            .agg((if (desc) min(key) else max(key)).as("__k"))
+          df.crossJoin(broadcast(bound))
+            .filter(if (desc) key >= col("__k") else key <= col("__k"))
+            .drop("__k")
+        case "last" => throw PipelineError(
+          s"$name: keep='last' is row-order-dependent (pandas keeps the " +
+            "latest-positioned ties) — no deterministic distributed " +
+            "equivalent; use keep='all' or 'first'")
+        case other => throw PipelineError(s"$name: unknown keep='$other'")
+      }
     case "explode" =>
       val c = asStr(a.require("column", 0), "column")
       df.withColumn(c, explode(col(c)))

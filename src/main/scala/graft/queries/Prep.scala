@@ -1227,6 +1227,29 @@ object Prep {
           round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 2) AS price_num,
           CASE WHEN o_orderkey % 100 = 0 THEN NULL
                ELSE CAST(o_custkey AS BIGINT) END AS cust_num
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // pandas nlargest(keep='all'): ties at the boundary extend the result —
+    // on integer-valued l_quantity the top value alone covers ~2% of the
+    // table, so a plain top-10 LIMIT (what keep='first' does) returns 10
+    // rows where keep='all' must return every tied row. The boundary key
+    // comes from distributed top-n heaps, never a global rank window.
+    Q("q139_nlargest_all",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        reg.callMethod(li, "nlargest", graft.expr.Args(kw = List(
+          "n" -> 10L, "columns" -> List("l_quantity"), "keep" -> "all")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH bound AS (
+          SELECT min(l_quantity) AS k FROM (
+            SELECT l_quantity FROM lineitem ORDER BY l_quantity DESC LIMIT 10))
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem, bound WHERE l_quantity >= bound.k
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }
