@@ -2257,6 +2257,34 @@ final class Registry(spark: SparkSession) {
         case _ => col(c).isNull
       }
       val base = if (dropna) df.filter(!missing) else df
+      // pandas bins=n: histogram mode — n equal-width bins over [min, max],
+      // all bins emitted (empty ones -> 0), left edge of the first bin
+      // closed. The min/max fit is one bounded action (2 scalars on the
+      // driver — the same unavoidable eager step as qcut's percentile fit).
+      a.get("bins", -1).map(asInt(_, "bins")) match {
+        case Some(nBins) =>
+          require(nBins >= 1, "value_counts: bins must be >= 1")
+          val row = base.agg(min(col(c).cast(DoubleType)),
+            max(col(c).cast(DoubleType))).head()
+          require(!row.isNullAt(0), "value_counts bins=: no non-null values")
+          val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+          val width = if (hi > lo) (hi - lo) / nBins else 1.0
+          val v = col(c).cast(DoubleType)
+          val idx = least(greatest(floor((v - lo) / width), lit(0.0)),
+            lit((nBins - 1).toDouble)).cast("int")
+          val binned = base.groupBy(idx.as("__bin"))
+            .agg(count(lit(1)).as("count"))
+          // dense bin spine so empty bins appear with count 0, like pandas
+          val spine = df.sparkSession.range(nBins.toLong)
+            .select(col("id").cast("int").as("__bin"))
+          return spine.join(binned, Seq("__bin"), "left")
+            .select(col("__bin").as("bin_idx"),
+              (lit(lo) + col("__bin") * width).as("bin_lo"),
+              (lit(lo) + (col("__bin") + 1) * width).as("bin_hi"),
+              coalesce(col("count"), lit(0L)).as("count"))
+            .orderBy(col("bin_idx"))
+        case None => ()
+      }
       val counts = base.groupBy(col(c)).agg(count(lit(1)).as("count"))
       if (normalize) {
         // total via a broadcast cross join of the 1-row sum — NOT an

@@ -1250,6 +1250,39 @@ object Prep {
             SELECT l_quantity FROM lineitem ORDER BY l_quantity DESC LIMIT 10))
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem, bound WHERE l_quantity >= bound.k
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas value_counts(bins=10): equal-width histogram with ALL bins
+    // emitted (empty -> 0), max values clamped into the last bin. Both
+    // engines derive edges from the same min/max, so bin boundaries,
+    // clamping, and the dense spine must agree.
+    Q("q140_value_counts_bins",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(col("o_totalprice"))
+        reg.callMethod(o, "value_counts", graft.expr.Args(kw = List(
+          "column" -> "o_totalprice", "bins" -> 10L)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("bin_idx"), round(col("bin_lo"), 4).as("bin_lo"),
+            round(col("bin_hi"), 4).as("bin_hi"), col("count"))
+          .orderBy(col("bin_idx"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+                 max(CAST(o_totalprice AS DOUBLE)) AS hi
+          FROM orders),
+        binned AS (
+          SELECT CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - mm.lo)
+                   / ((mm.hi - mm.lo) / 10)), 0), 9) AS INTEGER) AS bin_idx,
+                 COUNT(*) AS cnt
+          FROM orders, mm GROUP BY 1),
+        spine AS (SELECT unnest(generate_series(0, 9)) AS bin_idx)
+        SELECT CAST(spine.bin_idx AS INTEGER) AS bin_idx,
+          round(mm.lo + spine.bin_idx * (mm.hi - mm.lo) / 10, 4) AS bin_lo,
+          round(mm.lo + (spine.bin_idx + 1) * (mm.hi - mm.lo) / 10, 4) AS bin_hi,
+          coalesce(binned.cnt, 0) AS count
+        FROM spine LEFT JOIN binned USING (bin_idx), mm
+        ORDER BY bin_idx"""))
   )
 }
