@@ -2323,8 +2323,10 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"$name: unknown keep='$other'")
       }
     case "explode" =>
+      // pandas df.explode KEEPS rows whose list is empty/null (one NaN
+      // row) — explode_outer, not explode, which would silently drop them
       val c = asStr(a.require("column", 0), "column")
-      df.withColumn(c, explode(col(c)))
+      df.withColumn(c, explode_outer(col(c)))
     case "melt" =>
       val idVars = asStrList(a.require("id_vars", -1))
       val valueVars = asStrList(a.require("value_vars", -1))

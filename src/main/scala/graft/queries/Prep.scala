@@ -1283,6 +1283,35 @@ object Prep {
           round(mm.lo + (spine.bin_idx + 1) * (mm.hi - mm.lo) / 10, 4) AS bin_hi,
           coalesce(binned.cnt, 0) AS count
         FROM spine LEFT JOIN binned USING (bin_idx), mm
-        ORDER BY bin_idx"""))
+        ORDER BY bin_idx""")),
+
+    // pandas df.explode KEEPS empty/null-list rows (one NaN row each) —
+    // explode_outer semantics, which a plain explode silently violates by
+    // dropping the row. Every 10th doc gets an empty array and every
+    // (10k+5)th a null, so the gate counts exactly those survivors.
+    Q("q141_explode_keep_empty",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val base = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .when(col("doc_id") % 10 === 5, lit(null).cast("array<string>"))
+            .otherwise(slice(words, 1, 3)).as("tok"))
+        reg.callMethod(base, "explode",
+          graft.expr.Args(kw = List("column" -> "tok")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"), col("tok"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN []::VARCHAR[]
+                 WHEN doc_id % 10 = 5 THEN NULL
+                 ELSE regexp_extract_all(text, '\S+')[1:3] END AS tok
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(tok) AS tok FROM base)
+        SELECT b.doc_id, ex.tok
+        FROM base b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        ORDER BY b.doc_id, ex.tok"""))
   )
 }
