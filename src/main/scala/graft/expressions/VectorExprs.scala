@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -97,9 +97,71 @@ case class SrpSignature(child: Expression, planes: Int)
   override def prettyName: String = "srp_signature"
 }
 
+/** Product-quantization encode: split the vector into `m` contiguous
+  * subvectors of width dsub, emit per subspace the index of the nearest
+  * codebook centroid (squared L2, first-min tie -> deterministic). The
+  * codebooks ride inside the expression as a tiny literal (m x ksub x dsub
+  * doubles — ~8 KB at the defaults), so encoding is one narrow map pass:
+  * the corpus is never shuffled, and the output is m small ints per row —
+  * the ~32x compression that makes 100 TB ANN shuffles affordable.
+  * Codebooks are kept as Seq (structural equality => Catalyst semanticEquals
+  * and plan canonicalization work); eval reads a flattened array.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  private val m = codebooks.length
+  require(m >= 1, "PqEncode needs at least one subspace codebook")
+  private val ksub = codebooks.head.length
+  private val dsub = codebooks.head.head.length
+  require(ksub >= 1 && dsub >= 1 &&
+    codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+    s"ragged codebooks: expected $m x $ksub x $dsub")
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * ksub * dsub)
+    var o = 0
+    codebooks.foreach(_.foreach(_.foreach { v => a(o) = v; o += 1 }))
+    a
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = VecUtil.elementType(child.dataType)
+    require(v.numElements() >= m * dsub,
+      s"vector of ${v.numElements()} dims too short for $m x $dsub PQ layout")
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dist = 0.0; var i = 0
+        while (i < dsub) {
+          val x = VecUtil.get(v, et, j * dsub + i) - flat(base + i)
+          dist += x * x; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def srpSignature(v: Column, planes: Int): Column =
     ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), planes))
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Text
+import graft.operators.Similarity
 import Q._
 
 /** Round-7 continuation: corpus-analysis / web-pipeline operators beyond the
@@ -410,6 +411,30 @@ object Corpus {
           FROM embeddings)
         SELECT label, pos, round(avg(v), 6) AS mean, COUNT(*) AS n
         FROM e GROUP BY label, pos ORDER BY label, pos""")),
+
+    // Product-quantization ANN (FAISS PQ/ADC shape), ORACLE-GATED on
+    // per-query recall vs the exact top-k, the q50 pattern: corpus encoded
+    // to m=8 codes in one map pass (no shuffle), per-query ADC lookup
+    // tables broadcast, top-40 ADC candidates exact-reranked to top-5.
+    // Measured recall 0.8-1.0 per query at m=8/ksub=64 on this fixture;
+    // gate at >= 0.6. Seeded KMeans + deterministic sample keep it stable.
+    Q("q142_ann_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val pq = Similarity.pqTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        bf.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.6).as("recall_ok"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 5 ORDER BY query_id""")),
 
     // Okapi BM25 over a fixed query-term set (k1=1.2, b=0.75; the +1 idf
     // form): tf restricted to query terms BEFORE any shuffle, df/N/avgdl

@@ -491,6 +491,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean too low for the oracle-gated config")
   }
 
+  test("PQ codebooks/encode: m codes per row, each in [0, ksub); equal vectors equal codes") {
+    val cbs = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)), "codebook shape m x ksub x dsub")
+    val codes = emb.limit(50)
+      .select(col("vec_id"),
+        graft.expressions.VectorExprs.pqEncode(col("embedding"), cbs).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // re-encoding the same vector must be bit-identical (pure function of
+    // plan-embedded literals — no RNG, no partitioning dependence)
+    val again = emb.limit(50).repartition(7)
+      .select(col("vec_id"),
+        graft.expressions.VectorExprs.pqEncode(col("embedding"), cbs).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again)
+  }
+
+  test("PQ ANN recall@10 >= 0.6 vs brute force (ADC candidates + exact rerank)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = Similarity.pqTopK(queries, emb, k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      pq.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean PQ recall $mean too low")
+  }
+
   test("two-phase topk equals a global sort-based topk under many partitions") {
     // TopKAgg merges per-partition heaps; the result must match an exact
     // global (score desc, id asc) ranking regardless of partitioning.
