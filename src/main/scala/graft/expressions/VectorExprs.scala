@@ -157,6 +157,74 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override def prettyName: String = "pq_encode"
 }
 
+/** Scalar (SQ8) quantization encode: per-dimension trained [min, max]
+  * ranges (plan-embedded literals, dim doubles each), code_i =
+  * clamp(floor((v_i - min_i) / step_i), 0, 255) stored as a SIGNED byte
+  * (code - 128) — 4x lighter than float32 on disk and in every shuffle,
+  * the storage format FAISS calls SQ8. Out-of-range values (corpus drift
+  * beyond the trained range) saturate at 0/255 rather than wrapping.
+  */
+case class SqEncode(child: Expression, mins: Seq[Double], maxs: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(mins.nonEmpty && mins.length == maxs.length,
+    s"mins/maxs must be same non-empty length, got ${mins.length}/${maxs.length}")
+  @transient private lazy val lo: Array[Double] = mins.toArray
+  @transient private lazy val step: Array[Double] =
+    mins.indices.map(i => math.max(maxs(i) - mins(i), 1e-12) / 256.0).toArray
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = VecUtil.elementType(child.dataType)
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = math.floor((VecUtil.get(v, et, i) - lo(i)) / step(i)).toInt
+      out(i) = ((if (c < 0) 0 else if (c > 255) 255 else c) - 128).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_encode"
+}
+
+/** SQ8 decode: x_hat_i = min_i + (code_i + 128 + 0.5) * step_i — the cell
+  * midpoint, so |x - x_hat| <= step_i / 2 per dimension by construction.
+  */
+case class SqDecode(child: Expression, mins: Seq[Double], maxs: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(mins.nonEmpty && mins.length == maxs.length,
+    s"mins/maxs must be same non-empty length, got ${mins.length}/${maxs.length}")
+  @transient private lazy val lo: Array[Double] = mins.toArray
+  @transient private lazy val step: Array[Double] =
+    mins.indices.map(i => math.max(maxs(i) - mins(i), 1e-12) / 256.0).toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = lo(i) + (v.getByte(i).toInt + 128 + 0.5) * step(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqDecode =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_decode"
+}
+
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -164,4 +232,8 @@ object VectorExprs {
     ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), planes))
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+  def sq8Encode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(v), mins, maxs))
+  def sq8Decode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    ColumnBridge.column(SqDecode(ColumnBridge.expression(v), mins, maxs))
 }

@@ -260,6 +260,33 @@ object Similarity {
     } finally { cached.unpersist() }
   }
 
+  /** Train per-dimension SQ8 ranges in ONE aggregation pass: posexplode is
+    * row-local, per-(pos) min/max combine MAP-SIDE, so the only exchange
+    * carries dim rows per input partition — corpus-size-independent. The
+    * collected result is 2 x dim doubles (driver-tiny, plan-embeddable).
+    */
+  def fitSqRange(corpus: DataFrame, vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val rows = corpus.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+      .orderBy(col("pos")).collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** SQ8-quantize an embedding column: per-dim trained ranges + one narrow
+    * map pass to signed-byte codes (graft.expressions.SqEncode) — 4x less
+    * storage/shuffle than float32, with |x - x_hat| <= step/2 per dim by
+    * construction. Returns the quantized frame plus the ranges needed to
+    * decode it (store them next to the output; they are 2 x dim doubles).
+    */
+  def sq8Quantize(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Seq[Double], Seq[Double]) = {
+    val (mins, maxs) = fitSqRange(df, vecCol)
+    val q = df.withColumn(vecCol,
+      graft.expressions.VectorExprs.sq8Encode(col(vecCol), mins, maxs))
+    (q, mins, maxs)
+  }
+
   /** Product-quantization ANN (FAISS PQ/ADC shape): encode every corpus
     * vector as m nearest-centroid codes (one narrow map pass, no shuffle —
     * graft.expressions.PqEncode), build per-QUERY lookup tables

@@ -436,6 +436,43 @@ object Corpus {
         SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""")),
 
+    // SQ8 scalar quantization (FAISS SQ8 storage shape: 4x lighter than
+    // float32 in every scan/shuffle), ORACLE-GATED two ways on a bounded
+    // slice: cos_r anchors the EXACT cosine of each pair (recomputed
+    // independently by DuckDB — any drift in the float path flips the
+    // hash), err_ok gates |cos(decoded) - cos(exact)| <= 0.01 per pair
+    // (measured max 0.0045 on this fixture; ranges trained on the FULL
+    // corpus in one map-side-combined pass, dim-rows shuffle only).
+    Q("q143_sq8_quantize",
+      (s, d) => {
+        import graft.expressions.VectorExprs
+        val emb = t(s, d, "embeddings")
+        val (mins, maxs) = Similarity.fitSqRange(emb)
+        val slice = emb.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("id"), col("embedding").as("v"),
+            VectorExprs.sq8Decode(
+              VectorExprs.sq8Encode(col("embedding"), mins, maxs),
+              mins, maxs).as("dec"))
+        slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            round(graft.functions.Vectors.cosine(col("a.v"), col("b.v")), 6)
+              .as("cos_r"),
+            (abs(graft.functions.Vectors.cosine(col("a.dec"), col("b.dec"))
+              - graft.functions.Vectors.cosine(col("a.v"), col("b.v")))
+              <= 0.01).as("err_ok"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+            AS cos_r,
+          TRUE AS err_ok
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+        ORDER BY id_a, id_b""")),
+
     // Okapi BM25 over a fixed query-term set (k1=1.2, b=0.75; the +1 idf
     // form): tf restricted to query terms BEFORE any shuffle, df/N/avgdl
     // broadcast scalars, zero corpus self-joins. The oracle recomputes the

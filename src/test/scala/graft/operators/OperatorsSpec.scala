@@ -522,6 +522,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean PQ recall $mean too low")
   }
 
+  test("SQ8 roundtrip: per-dim error <= step/2, byte codes, cosine error bounded") {
+    import graft.expressions.VectorExprs
+    val (mins, maxs) = Similarity.fitSqRange(emb)
+    val dim = mins.length
+    assert(dim == maxs.length && dim > 0)
+    val steps = mins.indices.map(i => math.max(maxs(i) - mins(i), 1e-12) / 256.0)
+    val sample = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"),
+        VectorExprs.sq8Decode(
+          VectorExprs.sq8Encode(col("embedding"), mins, maxs), mins, maxs).as("dec"))
+      .collect()
+    for (r <- sample) {
+      val orig = r.getSeq[Float](1); val dec = r.getSeq[Double](2)
+      assert(dec.length == orig.length)
+      for (i <- orig.indices)
+        assert(math.abs(orig(i) - dec(i)) <= steps(i) / 2 + 1e-9,
+          s"dim $i of vec ${r.getLong(0)}: ${orig(i)} vs ${dec(i)}")
+    }
+    // cosine of decoded vectors tracks the exact cosine tightly
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vs = sample.map(r => (r.getSeq[Float](1).map(_.toDouble), r.getSeq[Double](2)))
+    val errs = for (i <- vs.indices; j <- (i + 1) until vs.length)
+      yield math.abs(cos(vs(i)._1, vs(j)._1) - cos(vs(i)._2, vs(j)._2))
+    assert(errs.max <= 0.02, s"max cosine error ${errs.max} too high")
+    info(f"max cosine error over ${errs.size} pairs: ${errs.max}%.6f")
+  }
+
   test("two-phase topk equals a global sort-based topk under many partitions") {
     // TopKAgg merges per-partition heaps; the result must match an exact
     // global (score desc, id asc) ranking regardless of partitioning.
