@@ -1,0 +1,62 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, ImplicitCastInputTypes, IsNull, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product aggregate (Spark ships none): the multiplicative twin of `sum`,
+  * needed for pandas `cumprod` (Registry) and compounding factors generally.
+  *
+  * A DeclarativeAggregate — three pure expressions, so it whole-stage-
+  * codegens, supports map-side partials (multiplication is associative and
+  * commutative), and runs incrementally inside a running window frame
+  * (UNBOUNDED PRECEDING..CURRENT ROW), where WindowExec folds rows in frame
+  * order — the same left-to-right fold pandas performs, so sequences whose
+  * products are exactly representable (powers of two, zeros, small ints)
+  * match pandas bit-for-bit.
+  *
+  * Null semantics match pandas skipna=True at the AGGREGATE level: null
+  * inputs are skipped (the running product carries through); an all-null
+  * input yields null (not 1), distinguishing "empty product" from "no data"
+  * the way Spark's sum does. Callers that need pandas' null-AT-null-position
+  * cumprod mask the output (Registry does).
+  */
+case class ProductAgg(child: Expression)
+  extends DeclarativeAggregate with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def prettyName: String = "product_agg"
+
+  private lazy val prod = AttributeReference("prod", DoubleType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(prod)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), prod,
+      If(IsNull(prod), child, Multiply(prod, child))))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    If(IsNull(prod.right), prod.left,
+      If(IsNull(prod.left), prod.right, Multiply(prod.left, prod.right))))
+
+  override lazy val evaluateExpression: Expression = prod
+
+  override protected def withNewChildInternal(newChild: Expression): ProductAgg =
+    copy(child = newChild)
+}
+
+object ProductAgg {
+  /** Column-level product over doubles (cast upstream if needed). */
+  def product(c: Column): Column =
+    ColumnBridge.column(
+      ProductAgg(ColumnBridge.expression(c)).toAggregateExpression())
+}

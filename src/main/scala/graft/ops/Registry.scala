@@ -1185,7 +1185,7 @@ final class Registry(spark: SparkSession) {
       cols.foldLeft(df)((d, c) => d.withColumn(c,
         if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
         else first(col(c), ignoreNulls = true).over(w)))
-    case "shift" | "diff" | "cumsum" | "cummax" | "cummin" | "cumcount" =>
+    case "shift" | "diff" | "cumsum" | "cumprod" | "cummax" | "cummin" | "cumcount" =>
       // pandas order-dependent methods, distributed-deterministic via an
       // explicit ordering key (same contract as ffill/bfill above).
       // cumcount = pandas groupby(...).cumcount(): 0-based position within
@@ -1211,6 +1211,13 @@ final class Registry(spark: SparkSession) {
         // data (same guard clip uses)
         case "cummax" => when(col(c).isNull, lit(null)).otherwise(max(col(c)).over(wc))
         case "cummin" => when(col(c).isNull, lit(null)).otherwise(min(col(c)).over(wc))
+        // pandas cumprod: running product, nulls skipped but kept AT their
+        // positions (the cummax guard). ProductAgg is a DeclarativeAggregate,
+        // so the running frame folds it incrementally in frame order — the
+        // same left-to-right fold pandas performs.
+        case "cumprod" => when(col(c).isNull, lit(null))
+          .otherwise(graft.expressions.ProductAgg
+            .product(col(c).cast("double")).over(wc))
         case _ => sum(col(c)).over(wc)
       }))
     case "rank" =>

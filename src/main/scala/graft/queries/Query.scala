@@ -20,6 +20,16 @@ object Q {
     * rebuild a microsecond TimestampType column. The fixture has no sub-us
     * content, so this is lossless and oracle-exact.
     */
+  /** The fixture's ts column has shipped in two physical forms across driver
+    * generations: TIMESTAMP(NANOS) (unrepresentable in Spark — read as a
+    * nanos long under the legacy conf and rebuilt), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark 4 reads as
+    * TIMESTAMP_NTZ. Every downstream consumer (watermarks, unix_micros,
+    * window ranges) wants plain TIMESTAMP; with the session pinned to UTC
+    * the NTZ->LTZ cast is a lossless reinterpretation of the same micros,
+    * and it matches what DuckDB sees (naive micros). Both rebuilds live
+    * here so queries never see the fixture's physical encoding.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (sys.props.get("graft.cache.tables").contains("true"))
       tableCache.getOrElseUpdate((dir, name),
@@ -43,6 +53,8 @@ object Q {
         // integer div: ns values (~1.7e18) overflow double precision, so a
         // float division here would silently corrupt timestamps
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       else acc
     }
   }

@@ -85,6 +85,13 @@ object Streams {
         schema("ts").dataType == org.apache.spark.sql.types.LongType &&
         isNanosTimestamp(spark, dir, "ts"))
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ,
+    // which watermarks reject; with the session pinned to UTC the cast is
+    // a lossless reinterpretation of the same micros (same rebuild Q.t does)
+    else if (schema.fieldNames.contains("ts") &&
+        schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
 
