@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, ImplicitCastInputTypes, IsNull, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, IsNull, Literal, Multiply}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -25,12 +25,14 @@ import org.apache.spark.sql.types._
   * cumprod mask the output (Registry does).
   */
 case class ProductAgg(child: Expression)
-  extends DeclarativeAggregate with ImplicitCastInputTypes
+  extends DeclarativeAggregate
   with UnaryLike[Expression] {
 
+  // No ImplicitCastInputTypes / inputTypes: AbstractDataType is
+  // private[sql] in Spark 4, and callers (Registry, ProductAgg.product)
+  // cast the child to double before constructing the aggregate.
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def prettyName: String = "product_agg"
 
   private lazy val prod = AttributeReference("prod", DoubleType)()

@@ -15,14 +15,11 @@ final case class Q(
 
 object Q {
   /** Load a driver fixture table (TESTDATA.md) — one parquet per table.
-    * events.ts is stored as parquet TIMESTAMP(NANOS), which Spark cannot
-    * represent natively: read it as nanos-since-epoch long (legacy conf) and
-    * rebuild a microsecond TimestampType column. The fixture has no sub-us
-    * content, so this is lossless and oracle-exact.
-    */
-  /** The fixture's ts column has shipped in two physical forms across driver
+    *
+    * The fixture's ts column has shipped in two physical forms across driver
     * generations: TIMESTAMP(NANOS) (unrepresentable in Spark — read as a
-    * nanos long under the legacy conf and rebuilt), and
+    * nanos-since-epoch long under the legacy conf and rebuilt as microsecond
+    * TimestampType; the fixture has no sub-us content, so lossless), and
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark 4 reads as
     * TIMESTAMP_NTZ. Every downstream consumer (watermarks, unix_micros,
     * window ranges) wants plain TIMESTAMP; with the session pinned to UTC

@@ -899,6 +899,26 @@ class RegistrySpec extends AnyFunSuite {
       "null positions stay null, no fabricated running extreme")
   }
 
+  test("cumprod: running product, nulls skipped but kept at null positions") {
+    val d = Seq((1L, 1L, 2.0), (1L, 2L, 3.0), (1L, 3L, 0.5), (2L, 1L, 4.0))
+      .toDF("g", "t", "x")
+    val cp = m(d, "cumprod", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g", "t").collect().map(_.getDouble(2))
+    assert(cp.toSeq == Seq(2.0, 6.0, 3.0, 4.0))
+    // pandas cumprod(skipna=True): null positions stay null, the running
+    // product carries through them (2, null, 2*3=6)
+    val dn = Seq((1L, 1L, Option(2.0)), (1L, 2L, Option.empty[Double]),
+      (1L, 3L, Option(3.0))).toDF("g", "t", "x")
+    val cpn = m(dn, "cumprod", "columns" -> List("x"),
+      "order_by" -> List("t"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(cpn.toSeq == Seq(Some(2.0), None, Some(6.0)),
+      "null skipped in the running product, kept at its position")
+  }
+
   test("json_normalize flattens nested objects with sep, nulls absent fields") {
     val d = Seq(
       (1L, """{"a": {"b": {"c": 7}, "d": "x"}, "e": 1.5}"""),

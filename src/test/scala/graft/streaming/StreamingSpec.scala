@@ -26,9 +26,15 @@ class StreamingSpec extends AnyFunSuite {
     val stream = Streams.eventsStream(spark, dir.toString)
     assert(stream.schema("ts").dataType == org.apache.spark.sql.types.LongType,
       "only footer-confirmed TIMESTAMP(NANOS) columns get rebuilt")
-    // and the fixture's events.parquet IS footer-confirmed nanos
-    assert(Streams.isNanosTimestamp(spark, s"${graft.TestSpark.sfDir}/events.parquet", "ts"))
     assert(!Streams.isNanosTimestamp(spark, dir.toString, "ts"))
+    // The fixture's ts has shipped as TIMESTAMP(NANOS) or as
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) across driver generations
+    // (Query.scala doc): either way eventsStream must surface a plain
+    // watermarkable TimestampType, never a raw long or NTZ.
+    val fixture = Streams.eventsStream(spark, streamDir)
+    assert(fixture.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "fixture ts rebuilds to TimestampType whichever physical form shipped")
   }
 
   test("eventsStream failure unrelated to nanos leaves the session conf untouched") {
