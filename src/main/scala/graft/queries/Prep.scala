@@ -1312,6 +1312,47 @@ object Prep {
         ex AS (SELECT doc_id, unnest(tok) AS tok FROM base)
         SELECT b.doc_id, ex.tok
         FROM base b LEFT JOIN ex ON b.doc_id = ex.doc_id
-        ORDER BY b.doc_id, ex.tok"""))
+        ORDER BY b.doc_id, ex.tok""")),
+
+    // pandas groupby().cumprod(): running product per order in line order
+    // (compounding-factor idiom). ProductAgg is a DeclarativeAggregate, so
+    // WindowExec folds it incrementally in frame order — pandas' own
+    // left-to-right fold. l_quantity is an integer 1..50 and orders have
+    // <=7 lines, so every product is < 2^53 and bit-exact in a double;
+    // DuckDB's product() window is the same fold, so no rounding fudge.
+    // Nulls (spiked on every 7th line) stay null AT their position while
+    // the running product carries through — pandas skipna=True. The fixture's
+    // (l_orderkey, l_linenumber) is NOT unique, and a ROWS running frame over
+    // tied sort keys is nondeterministic, so the query first collapses to one
+    // row per key (count per line — small ints, products stay < 2^53 exact).
+    Q("q144_cumprod",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_linenumber") === 7, lit(null))
+              .otherwise(col("c").cast(DoubleType)).as("qty"))
+        reg.callMethod(li, "cumprod", graft.expr.Args(kw = List(
+          "columns" -> List("qty"),
+          "order_by" -> List("l_linenumber"),
+          "partition_by" -> List("l_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH per_line AS (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_linenumber = 7 THEN NULL
+                 ELSE CAST(COUNT(*) AS DOUBLE) END AS qty
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN qty IS NULL THEN NULL ELSE
+            product(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          END AS qty
+        FROM per_line
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }
