@@ -178,4 +178,45 @@ object Scoring {
         / count(lit(1)), 6).as("hapax_frac"))
       .crossJoin(broadcast(slope))
   }
+
+  /** DSIR-style importance log-weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit unigram
+    * distributions on a TARGET slice (the domain you want more of) and on
+    * the RAW corpus, then weight every document by
+    * `sum_w c_w(doc) * (ln p_target(w) - ln p_raw(w))` — documents whose
+    * word mix resembles the target get high weights; resampling by these
+    * weights tilts a 100 TB crawl toward the target domain without a
+    * model in the loop. Add-one smoothing over the raw vocabulary (the
+    * target is a subset of the corpus, so raw vocab covers every token);
+    * rounded to 6 places (ln ulp is libm-dependent).
+    *
+    * Scale shape: token stream is ONE explode; target and raw vocabularies
+    * are two map-side-partial aggregations over it (the target one on a
+    * filtered slice — no second scan of the text, Spark reuses the
+    * exchange); the vocab-level left join keys on the word, the scalar
+    * totals ride broadcast cross joins, and per-doc scoring is an equality
+    * join tokens->ratio followed by a groupBy id. No all-pairs joins, no
+    * driver collects; the shuffle carries (word, count) pairs, never text.
+    */
+  def dsirLogWeight(df: DataFrame, idCol: String, textCol: String,
+                    isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    val ratio = vocab.crossJoin(broadcast(totals)).select(col("w"),
+      (org.apache.spark.sql.functions.log((col("ct") + 1d) / (col("tt") + col("v"))) -
+       org.apache.spark.sql.functions.log((col("cr") + 1d) / (col("tr") + col("v"))))
+        .as("lr"))
+    toks.join(ratio, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")), 6).as("dsir_log_weight"))
+      .select(col("id").as(idCol), col("n_tokens"), col("dsir_log_weight"))
+  }
 }

@@ -1687,6 +1687,49 @@ final class Registry(spark: SparkSession) {
       })
       moments.select(explode(array(cells: _*)).as("c"))
         .select(col("c.col_a"), col("c.col_b"), col(s"c.$name"))
+    case "corrwith" =>
+      // pandas df.corrwith(other): Pearson corr between same-named columns
+      // of two frames, rows aligned pairwise. pandas aligns on the index;
+      // the distributed contract makes the alignment key explicit (`on`),
+      // same as merge. Pairwise-complete per column (only rows where BOTH
+      // sides are non-null), exact decimal co-moments (CoMoments — one
+      // aggregation pass shared by every column, map-side partials), null
+      // when either side is constant, round(6). Tidy output (column, corr):
+      // p tiny rows exploded from the single moments row, never a loop.
+      val right = asDf(a.require("right", -1), "corrwith right")
+      val on = asStrList(a.require("on", -1))
+      val cs = a.get("columns", -1).map(asStrList).getOrElse {
+        val rn = right.schema.fieldNames.toSet
+        df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType] &&
+          rn.contains(f.name) && !on.contains(f.name)).map(_.name).toList
+      }
+      require(cs.nonEmpty, "corrwith: no shared numeric columns")
+      val lsel = df.select((on.map(col) ++
+        cs.map(c => col(c).cast(DoubleType).as(s"__gl_$c"))): _*)
+      val rsel = right.select((on.map(col) ++
+        cs.map(c => col(c).cast(DoubleType).as(s"__gr_$c"))): _*)
+      val joined = lsel.join(rsel, on)
+      val proj = cs.zipWithIndex.flatMap { case (c, i) =>
+        val bothOk = col(s"__gl_$c").isNotNull && col(s"__gr_$c").isNotNull
+        Seq(when(bothOk, col(s"__gl_$c")).as(s"__px_$i"),
+          when(bothOk, col(s"__gr_$c")).as(s"__py_$i"))
+      }
+      val projected = joined.select(proj: _*)
+      val aggs = cs.indices.map(i => graft.expressions.CoMoments(
+        col(s"__px_$i"), col(s"__py_$i")).as(s"__cm_$i"))
+      val moments = projected.agg(aggs.head, aggs.tail: _*)
+      val cells = cs.zipWithIndex.map { case (c, i) =>
+        val s = col(s"__cm_$i")
+        val (n, sx, sy) = (s.getField("n"), s.getField("sx"), s.getField("sy"))
+        val num = n * s.getField("sxy") - sx * sy
+        val denx = n * s.getField("sxx") - sx * sx
+        val deny = n * s.getField("syy") - sy * sy
+        struct(lit(c).as("column"),
+          round(when(denx > 0 && deny > 0, num / sqrt(denx * deny)), 6)
+            .as("corr"))
+      }
+      moments.select(explode(array(cells: _*)).as("c"))
+        .select(col("c.column"), col("c.corr"))
     case "rolling" | "expanding" =>
       // pandas df.rolling(window).f() / df.expanding().f() under the
       // explicit-ordering contract. rolling honors min_periods (pandas

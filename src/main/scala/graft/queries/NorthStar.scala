@@ -286,6 +286,32 @@ object NorthStar {
         FROM toks JOIN vocab USING (w), tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // DSIR importance log-weights (Xie et al. 2023): tilt the corpus toward
+    // the English slice — every doc scored by how much its word mix looks
+    // like lang='en' text vs the raw corpus. Add-one smoothing over the raw
+    // vocabulary; round(6) absorbs ln ulp.
+    Q("q145_dsir_weight",
+      (s, d) => graft.operators.Scoring
+        .dsirLogWeight(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                        unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents),
+        vocab AS (SELECT w, COUNT(*) AS cr,
+                    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                  FROM toks GROUP BY w),
+        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM vocab),
+        ratio AS (SELECT w,
+                    ln((ct + 1) / CAST(tt + v AS DOUBLE))
+                      - ln((cr + 1) / CAST(tr + v AS DOUBLE)) AS lr
+                  FROM vocab, tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          round(SUM(lr), 6) AS dsir_log_weight
+        FROM toks JOIN ratio USING (w)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Per-doc top-k terms by smoothed TF-IDF (keyword extraction). Scores
     // are rounded to 6 places BEFORE the per-doc ranking so both engines
     // rank on identical values (ln ulp is libm-dependent); ties at the k

@@ -1353,6 +1353,55 @@ object Prep {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           END AS qty
         FROM per_line
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas df.corrwith(other): per-column Pearson corr between two frames
+    // with matching column names, aligned on an explicit key (pandas aligns
+    // on the index). Inputs here carry <=4 decimal places and stay small, so
+    // the scale-6 quantization both engines apply is exact and the compare
+    // is bit-for-bit at round(6).
+    Q("q146_corrwith",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+        val left = li.groupBy(col("l_orderkey")).agg(
+          sum(col("l_quantity").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("qty"),
+          sum(col("l_extendedprice").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("price"))
+        val right = li.groupBy(col("l_orderkey")).agg(
+          max(col("l_quantity")).cast(DoubleType).as("qty"),
+          min(col("l_extendedprice")).cast(DoubleType).as("price"))
+        reg.callMethod(left, "corrwith", graft.expr.Args(kw = List(
+          "right" -> right, "on" -> List("l_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("column"))
+      },
+      Some("""
+        WITH l AS (SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS price
+          FROM lineitem GROUP BY 1),
+        r AS (SELECT l_orderkey,
+            CAST(MAX(l_quantity) AS DOUBLE) AS qty,
+            CAST(MIN(l_extendedprice) AS DOUBLE) AS price
+          FROM lineitem GROUP BY 1),
+        j AS (SELECT l.qty AS lq, r.qty AS rq, l.price AS lp, r.price AS rp
+              FROM l JOIN r USING (l_orderkey)),
+        pairs AS (
+          SELECT 'qty' AS "column", lq AS x, rq AS y FROM j
+          UNION ALL
+          SELECT 'price', lp, rp FROM j),
+        m AS (SELECT "column", CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM pairs GROUP BY 1)
+        SELECT "column",
+          round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+        FROM m ORDER BY "column""""))
   )
 }

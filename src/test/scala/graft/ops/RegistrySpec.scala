@@ -610,6 +610,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(out(("a", "c")) == -1.0, s"got ${out(("a", "c"))}")
   }
 
+  test("corrwith: same-named columns, key-aligned, pairwise-complete, constant -> null") {
+    val l = Seq((1L, Option(1.0), 5.0), (2L, Option(2.0), 5.0),
+      (3L, Option(3.0), 5.0), (4L, Option.empty[Double], 5.0))
+      .toDF("k", "x", "y")
+    val r = Seq((1L, 2.0, 1.0), (2L, 4.0, 2.0), (3L, 6.0, 9.0), (4L, 8.0, 4.0))
+      .toDF("k", "x", "y")
+    val out = m(l, "corrwith", "right" -> r, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(row => row.getString(0) -> Option(row.get(1))).toMap
+    assert(out.size == 2, "one row per shared non-key numeric column")
+    // x: rows 1-3 complete (row 4 left-null skipped), r.x = 2*l.x -> 1.0
+    assert(out("x").contains(1.0))
+    // y: left side constant -> zero variance -> null like pandas NaN
+    assert(out("y").isEmpty)
+    // no shared numeric columns (keys excluded) must fail loudly
+    val e = intercept[Exception] {
+      m(l.select(col("k")), "corrwith", "right" -> r, "on" -> List("k"))
+    }
+    assert(e.getMessage.contains("corrwith"))
+  }
+
   test("date_range: inclusive endpoints, D/H strides, anchored freq rejected") {
     val days = reg.callFunction("pd.date_range", Args(
       pos = List("2024-01-01", "2024-01-10"), kw = List("freq" -> "D")))
