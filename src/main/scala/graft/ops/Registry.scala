@@ -1913,6 +1913,73 @@ final class Registry(spark: SparkSession) {
       cols.foldLeft(joined)((d, c) =>
         d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
         .withColumnRenamed("__graft_bin", on)
+    case "asfreq" =>
+      // pandas df.asfreq(freq[, method='ffill']) under the explicit-
+      // ordering contract: snap each group onto a calendar grid anchored at
+      // its own first observation. method=None is the pandas snapshot
+      // semantic — a grid point carries a value only when a row sits
+      // EXACTLY on it; method='ffill' fills each grid point from the last
+      // original row at-or-before it (reindex fill: the ROW's value carries
+      // even when that value is null, so the fill wraps values in a struct
+      // instead of ignoreNulls-ing them away). pandas raises on a duplicate
+      // index ("cannot reindex on an axis with duplicate labels"); the
+      // guard here is in-plan raise_error, same shape as Align's.
+      // Scale shape: spine = sequence() from per-group bounds (groups x
+      // bins rows, never a driver loop); method=None is an equality join;
+      // ffill is ONE window pass over grid+original rows per group.
+      val on = asStr(a.require("on", -1), "on")
+      val freq = a.get("freq", -1).map(asStr(_, "freq")).getOrElse("D")
+      val unit = freq match {
+        case "D" => "day"
+        case "H" | "h" => "hour"
+        case other => throw PipelineError(s"asfreq: unsupported freq '$other'")
+      }
+      val cols = asStrList(a.require("columns", -1))
+      val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
+      if (partCols.isEmpty) warnGlobalWindow("asfreq")
+      val method = a.get("method", -1).map(asStr(_, "method"))
+      import org.apache.spark.sql.expressions.Window
+      val keyCols = partCols :+ on
+      val wd = Window.partitionBy(keyCols.map(col): _*)
+      val guarded = {
+        val d0 = df.withColumn("__graft_dup", count(lit(1)).over(wd))
+        cols.foldLeft(d0)((d, c) => d.withColumn(c,
+          when(col("__graft_dup") > 1, raise_error(concat(
+            lit(s"asfreq: duplicate timestamps for key (${keyCols.mkString(", ")}) = ("),
+            concat_ws(", ", keyCols.map(k => col(k).cast(StringType)): _*),
+            lit(") — pandas cannot reindex on an axis with duplicate labels"))))
+            .otherwise(col(c)))).drop("__graft_dup")
+      }
+      val bounds = guarded.groupBy(partCols.map(col): _*)
+        .agg(min(col(on)).as("__b0"), max(col(on)).as("__b1"))
+      val spine = bounds.select((partCols.map(col) :+
+        explode(sequence(col("__b0"), col("__b1"), expr(s"interval 1 $unit")))
+          .as(on)): _*)
+      method match {
+        case None =>
+          spine.join(guarded.select((keyCols ++ cols).map(col): _*),
+            keyCols, "left")
+        case Some("ffill") =>
+          val orig = guarded.select((keyCols.map(col) :+
+            lit(0).as("__graft_grid")) ++ cols.map(col): _*)
+          val grid = spine.select((keyCols.map(col) :+
+            lit(1).as("__graft_grid")) ++ cols.map(c =>
+              lit(null).cast(guarded.schema(c).dataType).as(c)): _*)
+          val unioned = orig.unionByName(grid)
+          // originals sort before the grid row at the same instant, so an
+          // on-grid observation feeds its own grid point
+          val w = (if (partCols.nonEmpty)
+              Window.partitionBy(partCols.map(col): _*)
+            else Window.partitionBy())
+            .orderBy(col(on).asc, col("__graft_grid").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          cols.foldLeft(unioned)((d, c) => d.withColumn(c,
+              last(when(col("__graft_grid") === 0, struct(col(c).as("v"))),
+                ignoreNulls = true).over(w).getField("v")))
+            .filter(col("__graft_grid") === 1).drop("__graft_grid")
+        case Some(other) =>
+          throw PipelineError(s"asfreq: unsupported method '$other'")
+      }
     case "pct_change" =>
       // pandas df.pct_change(): x_t / x_{t-periods} - 1, order-dependent —
       // same explicit-ordering contract as shift/diff. Pure lag window math.

@@ -1402,6 +1402,55 @@ object Prep {
         SELECT "column",
           round((n * sxy - sx * sy)
             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
-        FROM m ORDER BY "column""""))
+        FROM m ORDER BY "column"""")),
+
+    // pandas df.asfreq('D') / df.asfreq('D', method='ffill') per group:
+    // snap per-priority daily revenue onto each priority's own calendar
+    // span. Gap days carry null in the snapshot column and the last
+    // observation in the ffill column — both modes from the same registry
+    // op, joined on the grid so every row pins both semantics at once.
+    Q("q147_asfreq",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val daily = t(s, d, "orders")
+          .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("total"))
+        def freq(method: Option[String], alias: String) = {
+          val kw = List("on" -> "day", "freq" -> "D",
+            "columns" -> List("total"), "partition_by" -> List("prio")) ++
+            method.map("method" -> _)
+          reg.callMethod(daily, "asfreq", graft.expr.Args(kw = kw))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+            .withColumnRenamed("total", alias)
+        }
+        freq(None, "total_exact").join(freq(Some("ffill"), "total_ffill"),
+            Seq("prio", "day"))
+          .select(col("prio"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("total_exact"), 4).as("total_exact"),
+            round(col("total_ffill"), 4).as("total_ffill"))
+          .orderBy(col("prio"), col("day"))
+      },
+      Some("""
+        WITH g AS (SELECT o_orderpriority AS prio, o_orderdate AS d2,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+          FROM orders
+          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+          GROUP BY 1, 2),
+        b AS (SELECT prio, MIN(d2) AS d0, MAX(d2) AS d1 FROM g GROUP BY 1),
+        spine AS (SELECT prio,
+            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b),
+        j AS (SELECT s.prio, s.d, g.total
+              FROM spine s LEFT JOIN g ON g.prio = s.prio AND g.d2 = s.d)
+        SELECT prio, strftime(d, '%Y-%m-%d') AS day,
+          round(total, 4) AS total_exact,
+          round(last_value(total IGNORE NULLS) OVER (
+            PARTITION BY prio ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS total_ffill
+        FROM j ORDER BY prio, day"""))
   )
 }

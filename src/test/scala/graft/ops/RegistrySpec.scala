@@ -631,6 +631,48 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("corrwith"))
   }
 
+  test("asfreq: snapshot vs reindex-ffill (off-grid rows feed the fill, null VALUES carry)") {
+    // grid anchors at the group's first observation (day1 00:00); the
+    // 12:00 row is OFF-grid: invisible to the snapshot, but it IS the
+    // last row at-or-before day2's grid point, so reindex-ffill takes its
+    // a (=9) and its b — which is null, and pandas carries that null
+    // rather than reaching back to day1's b=5
+    val d = Seq(
+      ("g", "2024-01-01 00:00:00", Option(1.0), Option(5.0)),
+      ("g", "2024-01-01 12:00:00", Option(9.0), Option.empty[Double]),
+      ("g", "2024-01-03 00:00:00", Option(3.0), Option(7.0)))
+      .toDF("g", "s", "a", "b")
+      .select(col("g"), to_timestamp(col("s")).as("ts"), col("a"), col("b"))
+    val snap = m(d, "asfreq", "on" -> "ts", "freq" -> "D",
+      "columns" -> List("a", "b"), "partition_by" -> List("g"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect()
+    assert(snap.length == 3, "day1..day3 at the day1 00:00 anchor")
+    assert(Option(snap(0).get(2)).contains(1.0))
+    assert(Option(snap(1).get(2)).isEmpty, "day2 has no row exactly on-grid")
+    assert(Option(snap(2).get(2)).contains(3.0))
+    val fill = m(d, "asfreq", "on" -> "ts", "freq" -> "D",
+      "columns" -> List("a", "b"), "partition_by" -> List("g"),
+      "method" -> "ffill")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect()
+    assert(Option(fill(1).get(2)).contains(9.0),
+      "day2 fills from the off-grid 12:00 row, not day1's grid row")
+    assert(Option(fill(1).get(3)).isEmpty,
+      "reindex ffill carries the 12:00 row's NULL b — it must not reach " +
+        "back to day1's b=5")
+    assert(Option(fill(2).get(2)).contains(3.0), "on-grid rows keep their own value")
+    // duplicate (group, ts) labels: pandas raises; the guard is in-plan
+    val dup = d.unionByName(d.limit(1))
+    val e2 = intercept[Exception] {
+      m(dup, "asfreq", "on" -> "ts", "freq" -> "D",
+        "columns" -> List("a"), "partition_by" -> List("g"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    assert(e2.getMessage.contains("duplicate") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("duplicate"))
+  }
+
   test("date_range: inclusive endpoints, D/H strides, anchored freq rejected") {
     val days = reg.callFunction("pd.date_range", Args(
       pos = List("2024-01-01", "2024-01-10"), kw = List("freq" -> "D")))
