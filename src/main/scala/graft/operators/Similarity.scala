@@ -248,7 +248,13 @@ object Similarity {
     val dsub = dim / m
     val cached = sample.cache()
     try {
-      (0 until m).map { j =>
+      // the m subspace fits are independent Spark jobs over the SAME cached
+      // sample — submit them concurrently (scheduler interleaves stages on
+      // idle cores) instead of serializing m x 8 tiny KMeans iterations;
+      // results keep subspace order. Each fit is seeded, so concurrency
+      // does not touch determinism.
+      import scala.collection.parallel.CollectionConverters._
+      (0 until m).par.map { j =>
         val sub = cached.select(
           array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("features"))
         // random init + few iterations: PQ codebooks need rough Voronoi
@@ -256,7 +262,7 @@ object Similarity {
         val km = new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(8)
           .setInitMode("random")
         km.fit(sub).clusterCenters.toSeq.map(c => c.toArray.toSeq)
-      }
+      }.seq
     } finally { cached.unpersist() }
   }
 
