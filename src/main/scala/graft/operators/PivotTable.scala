@@ -27,7 +27,44 @@ object PivotTable {
     "max" -> max, "min" -> min, "sum" -> sum, "mean" -> avg, "avg" -> avg,
     "count" -> count, "first" -> first, "last" -> last,
     "std" -> stddev_samp, "var" -> var_samp, "median" -> median,
+    "skew" -> skewAgg, "kurt" -> kurtAgg, "kurtosis" -> kurtAgg,
     "nunique" -> ((c: Column) => countDistinct(c)))
+
+  // pandas Series.skew()/kurt(): bias-corrected sample skewness and EXCESS
+  // kurtosis (adjusted Fisher-Pearson — scipy.stats.skew/kurtosis with
+  // bias=False; DuckDB's skewness()/kurtosis() use the same formulas).
+  // Raw power sums accumulate as exact decimals (partition-order
+  // independent; |x| bounded by the decimal width like q61's corr), the
+  // closing scalar math is plain IEEE doubles with sqrt only (no pow —
+  // libm pow differs in the last ulp across engines), so an oracle that
+  // writes the same expression shape reproduces the result bit-for-bit.
+  // null when n < 3 (skew) / n < 4 (kurt) or zero variance, like pandas.
+  private def moments(c0: Column) = {
+    val x = c0.cast(org.apache.spark.sql.types.DoubleType)
+    val dec = (e: Column) => e.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val n = count(x).cast(org.apache.spark.sql.types.DoubleType)
+    val s1 = sum(dec(x)).cast(org.apache.spark.sql.types.DoubleType)
+    val s2 = sum(dec(x * x)).cast(org.apache.spark.sql.types.DoubleType)
+    val s3 = sum(dec(x * x * x)).cast(org.apache.spark.sql.types.DoubleType)
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    (x, dec, n, s1, s2, s3, mean, m2, m3)
+  }
+  private[graft] def skewAgg(c0: Column): Column = {
+    val (_, _, n, _, _, _, _, m2, m3) = moments(c0)
+    when(n >= 3 && m2 > 0,
+      round(sqrt(n * (n - 1)) / (n - 2) * m3 / sqrt(m2 * m2 * m2), 6))
+  }
+  private[graft] def kurtAgg(c0: Column): Column = {
+    val (x, dec, n, _, s2, s3, mean, m2, _) = moments(c0)
+    val s4 = sum(dec(x * x * x * x)).cast(org.apache.spark.sql.types.DoubleType)
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    when(n >= 4 && m2 > 0,
+      round(((n + 1) * g2 + lit(6.0)) * (n - 1) / ((n - 2) * (n - 3)), 6))
+  }
 
   /** @param pivotValues explicit pivot labels (skips Spark's distinct-values
     *                    job — always pass them when known at 100 TB scale);

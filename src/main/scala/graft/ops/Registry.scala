@@ -2654,7 +2654,8 @@ final class Registry(spark: SparkSession) {
     */
   private def aggAll(g: Grouped, fn: String): DataFrame = {
     val f = aggFns.getOrElse(fn, throw PipelineError(s"Unknown aggregate '$fn'"))
-    val numericOnly = Set("sum", "mean", "avg", "std", "var", "median")
+    val numericOnly =
+      Set("sum", "mean", "avg", "std", "var", "median", "skew", "kurt", "kurtosis")
     val cols = g.df.schema.fields
       .filterNot(fld => g.keyNames.contains(fld.name))
       .filter(fld => !numericOnly.contains(fn) || fld.dataType.isInstanceOf[NumericType])

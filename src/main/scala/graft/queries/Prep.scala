@@ -1451,6 +1451,58 @@ object Prep {
           round(last_value(total IGNORE NULLS) OVER (
             PARTITION BY prio ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS total_ffill
-        FROM j ORDER BY prio, day"""))
+        FROM j ORDER BY prio, day""")),
+
+    // pandas groupby().skew() / .kurt(): bias-corrected sample skewness and
+    // excess kurtosis (adjusted Fisher-Pearson). Power sums accumulate as
+    // exact decimals in BOTH engines and the closing scalar math mirrors the
+    // Spark expression shape operation-for-operation (sqrt only, no libm
+    // pow), so the compare is bit-for-bit at round(6).
+    Q("q148_skew_kurt",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast(DoubleType).as("qty"),
+          col("l_extendedprice").cast(DoubleType).as("price"))
+        val g = reg.callMethod(li, "groupby", graft.expr.Args(kw = List(
+          "by" -> List("l_returnflag"))))
+        reg.callMethod(g, "agg", graft.expr.Args(pos = List(Map(
+          "qty" -> List("skew", "kurt"), "price" -> List("skew", "kurt")))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS q1,
+            CAST(SUM(CAST(q*q AS DECIMAL(38,6))) AS DOUBLE) AS q2,
+            CAST(SUM(CAST(q*q*q AS DECIMAL(38,6))) AS DOUBLE) AS q3,
+            CAST(SUM(CAST(q*q*q*q AS DECIMAL(38,6))) AS DOUBLE) AS q4,
+            CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS p1,
+            CAST(SUM(CAST(p*p AS DECIMAL(38,6))) AS DOUBLE) AS p2,
+            CAST(SUM(CAST(p*p*p AS DECIMAL(38,6))) AS DOUBLE) AS p3,
+            CAST(SUM(CAST(p*p*p*p AS DECIMAL(38,6))) AS DOUBLE) AS p4
+          FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                  CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem)
+          GROUP BY 1)
+        SELECT l_returnflag,
+          round(sqrt(n*(n-1))/(n-2)
+            * (q3/n - 3.0*(q1/n)*(q2/n) + 2.0*(q1/n)*(q1/n)*(q1/n))
+            / sqrt((q2/n - (q1/n)*(q1/n))*(q2/n - (q1/n)*(q1/n))
+                   *(q2/n - (q1/n)*(q1/n))), 6) AS qty_skew,
+          round(((n+1) * ((q4/n - 4.0*(q1/n)*(q3/n) + 6.0*(q1/n)*(q1/n)*(q2/n)
+                           - 3.0*(q1/n)*(q1/n)*(q1/n)*(q1/n))
+                          / ((q2/n - (q1/n)*(q1/n))*(q2/n - (q1/n)*(q1/n))) - 3.0)
+                 + 6.0) * (n-1) / ((n-2)*(n-3)), 6) AS qty_kurt,
+          round(sqrt(n*(n-1))/(n-2)
+            * (p3/n - 3.0*(p1/n)*(p2/n) + 2.0*(p1/n)*(p1/n)*(p1/n))
+            / sqrt((p2/n - (p1/n)*(p1/n))*(p2/n - (p1/n)*(p1/n))
+                   *(p2/n - (p1/n)*(p1/n))), 6) AS price_skew,
+          round(((n+1) * ((p4/n - 4.0*(p1/n)*(p3/n) + 6.0*(p1/n)*(p1/n)*(p2/n)
+                           - 3.0*(p1/n)*(p1/n)*(p1/n)*(p1/n))
+                          / ((p2/n - (p1/n)*(p1/n))*(p2/n - (p1/n)*(p1/n))) - 3.0)
+                 + 6.0) * (n-1) / ((n-2)*(n-3)), 6) AS price_kurt
+        FROM m ORDER BY l_returnflag"""))
   )
 }

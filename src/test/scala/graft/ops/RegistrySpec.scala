@@ -673,6 +673,30 @@ class RegistrySpec extends AnyFunSuite {
       e2.getCause != null && e2.getCause.getMessage.contains("duplicate"))
   }
 
+  test("groupby skew/kurt match pandas bias-corrected values; small-n and zero-variance null") {
+    // pandas: Series([1,2,4,8,16,3]).skew() = 1.6002620111364843,
+    //         .kurt() = 2.3356704251651816
+    val d = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 3.0).map(("g", _)).toDF("g", "x")
+    val g = reg.callMethod(d, "groupby", Args(kw = List("by" -> List("g"))))
+    val out = reg.callMethod(g, "agg", Args(
+      pos = List(Map("x" -> List("skew", "kurt")))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()(0)
+    assert(out.getDouble(1) == 1.600262, s"skew ${out.getDouble(1)}")
+    assert(out.getDouble(2) == 2.33567, s"kurt ${out.getDouble(2)}")
+    // n=3: skew defined, kurt needs n>=4 -> null; constant column -> null
+    val small = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 5.0), ("b", 5.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val g2 = reg.callMethod(small, "groupby", Args(kw = List("by" -> List("g"))))
+    val rows = reg.callMethod(g2, "agg", Args(
+      pos = List(Map("x" -> List("skew", "kurt")))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("g").collect()
+    assert(Option(rows(0).get(1)).isDefined && Option(rows(0).get(2)).isEmpty,
+      "n=3: skew defined, kurt null like pandas")
+    assert(Option(rows(1).get(1)).isEmpty && Option(rows(1).get(2)).isEmpty,
+      "zero variance: both null like pandas NaN")
+  }
+
   test("date_range: inclusive endpoints, D/H strides, anchored freq rejected") {
     val days = reg.callFunction("pd.date_range", Args(
       pos = List("2024-01-01", "2024-01-10"), kw = List("freq" -> "D")))
