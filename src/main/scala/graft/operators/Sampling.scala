@@ -137,6 +137,46 @@ object Sampling {
       .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Temperature-weighted mixture PLAN (the data-recipe step public LLM
+    * pipelines run before sampling — LLaMA/GPT-style source reweighting):
+    * per-source token totals T_s become sampling weights
+    * `w_s = T_s^alpha / sum_t T_t^alpha`; alpha < 1 flattens the mixture
+    * toward small high-value sources, alpha = 1 is natural proportions.
+    * Given a total token budget, each source also gets its target token
+    * count and `epochs` — the repeat factor (> 1 means the source is seen
+    * more than once per pass, the standard over-sampling signal). Feed the
+    * resulting weights to [[mixtureByTokenBudget]] to materialize the draw.
+    *
+    * alpha is restricted to {0.5, 1.0}: those exponents compute via sqrt /
+    * identity, which IEEE-round identically on every engine — a libm pow
+    * would make the weights oracle-hostile for no modeling gain.
+    *
+    * Scale shape: one map-side-partial aggregation to (source, T_s) — the
+    * shuffle carries one row per source — then scalar math over the tiny
+    * per-source frame with the grand total from a broadcast cross join.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, alpha: Double,
+                         totalTokens: Long): DataFrame = {
+    require(alpha == 0.5 || alpha == 1.0,
+      "temperatureMixture: alpha must be 0.5 or 1.0 (sqrt/identity only)")
+    val toks = size(org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), t => length(t) > 0))
+    val perSource = df.select(col(sourceCol).as("source"),
+        toks.cast(LongType).as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens"))
+    val powT = (t: Column) =>
+      if (alpha == 0.5) sqrt(t.cast(DoubleType)) else t.cast(DoubleType)
+    val tot = perSource.agg(sum(powT(col("tokens"))).as("__z"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("weight", round(powT(col("tokens")) / col("__z"), 6))
+      .withColumn("target_tokens", round(col("weight") * totalTokens, 2))
+      .withColumn("epochs",
+        round(col("weight") * totalTokens / col("tokens"), 6))
+      .drop("__z")
+  }
+
   /** Deterministic WEIGHTED sample without replacement, exactly n rows:
     * Efraimidis-Spirakis A-Res — rank rows by key u^(1/w) (equivalently
     * ln(u)/w, monotone) and keep the n best, which selects each row with

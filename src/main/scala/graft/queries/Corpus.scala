@@ -373,6 +373,29 @@ object Corpus {
         FROM cum WHERE cum_tokens - n_tokens < budget
         ORDER BY doc_id""")),
 
+    // Temperature-weighted mixture plan (alpha=0.5): per-source sampling
+    // weights T^0.5 / sum(T^0.5), target token counts under a 100k budget,
+    // and epoch/repeat factors. sqrt-only math, so both engines produce the
+    // same doubles; weight rounds to 6 BEFORE target/epochs derive from it.
+    Q("q149_mixture_plan",
+      (s, d) => graft.operators.Sampling.temperatureMixture(
+        t(s, d, "documents"), "doc_id", "text", "source",
+        alpha = 0.5, totalTokens = 100000L)
+        .orderBy(col("source")),
+      Some("""
+        WITH per_source AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        z AS (SELECT SUM(sqrt(CAST(tokens AS DOUBLE))) AS z FROM per_source),
+        w AS (SELECT source, n_docs, tokens,
+                round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight
+              FROM per_source, z)
+        SELECT source, n_docs, tokens, weight,
+          round(weight * 100000, 2) AS target_tokens,
+          round(weight * 100000 / tokens, 6) AS epochs
+        FROM w ORDER BY source""")),
+
     // Deterministic weighted sample (exactly n, without replacement):
     // Efraimidis-Spirakis keys ln(u)/w with md5-derived u, kept by the
     // bounded TopKAgg heap (shuffle carries 50-slot buffers, never rows).
