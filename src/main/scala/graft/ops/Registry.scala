@@ -2365,14 +2365,35 @@ final class Registry(spark: SparkSession) {
       // pandas value_counts: dropna=True by default; normalize=True yields
       // a `proportion` column (share of the counted rows). The proportion
       // divides on the tiny grouped output (distinct values), not the data.
-      val c = asStr(a.require("column", 0), "column")
+      val csAll = asStrList(a.require("column", 0))
       val dropna = a.get("dropna", -1).forall(asBool(_, default = true))
       val normalize = a.get("normalize", -1).exists(asBool(_, default = false))
-      // pandas dropna also drops floating-point NaN, not just SQL null
-      val missing = df.schema(c).dataType match {
+      def missingIn(c: String): Column = df.schema(c).dataType match {
         case DoubleType | FloatType => col(c).isNull || isnan(col(c))
         case _ => col(c).isNull
       }
+      if (csAll.size > 1) {
+        // pandas df.value_counts(subset): combination counts. dropna drops
+        // rows with ANY null/NaN in the subset; bins is single-column-only
+        // in pandas too.
+        require(a.get("bins", -1).isEmpty,
+          "value_counts: bins needs a single column")
+        val base = if (dropna) df.filter(!csAll.map(missingIn).reduce(_ || _))
+          else df
+        val counts = base.groupBy(csAll.map(col): _*)
+          .agg(count(lit(1)).as("count"))
+        return if (normalize) {
+          val total = counts.agg(sum(col("count")).as("__graft_total"))
+          counts.crossJoin(broadcast(total))
+            .withColumn("proportion",
+              col("count").cast(DoubleType) / col("__graft_total"))
+            .drop("count", "__graft_total")
+            .orderBy(col("proportion").desc +: csAll.map(col): _*)
+        } else counts.orderBy(col("count").desc +: csAll.map(col): _*)
+      }
+      val c = csAll.head
+      // pandas dropna also drops floating-point NaN, not just SQL null
+      val missing = missingIn(c)
       val base = if (dropna) df.filter(!missing) else df
       // pandas bins=n: histogram mode — n equal-width bins over [min, max],
       // all bins emitted (empty ones -> 0), left edge of the first bin
@@ -2441,9 +2462,26 @@ final class Registry(spark: SparkSession) {
       }
     case "explode" =>
       // pandas df.explode KEEPS rows whose list is empty/null (one NaN
-      // row) — explode_outer, not explode, which would silently drop them
-      val c = asStr(a.require("column", 0), "column")
-      df.withColumn(c, explode_outer(col(c)))
+      // row) — explode_outer, not explode, which would silently drop them.
+      // Multi-column form (pandas 1.3+ df.explode([a, b])) pairs elements
+      // POSITIONALLY; pandas raises "columns must have matching element
+      // counts" on a row whose lists disagree — the guard here is in-plan
+      // raise_error (null/empty both count 0, either yields one null row).
+      val cs = asStrList(a.require("column", 0))
+      if (cs.size == 1) df.withColumn(cs.head, explode_outer(col(cs.head)))
+      else {
+        val n0 = cs.map(c => greatest(size(col(c)), lit(0)))
+        val z = arrays_zip(cs.map(col): _*)
+        val checked = when(n0.tail.map(_ === n0.head).reduce(_ && _), z)
+          .otherwise(raise_error(concat(
+            lit("explode: columns must have matching element counts ("),
+            concat_ws(", ", cs.map(c => size(col(c)).cast(StringType)): _*),
+            lit(")"))))
+        df.withColumn("__graft_z", explode_outer(checked))
+          .select(df.columns.map(c =>
+            if (cs.contains(c)) col("__graft_z").getField(c).as(c)
+            else col(c)).toSeq: _*)
+      }
     case "melt" =>
       val idVars = asStrList(a.require("id_vars", -1))
       val valueVars = asStrList(a.require("value_vars", -1))

@@ -1503,6 +1503,60 @@ object Prep {
                            - 3.0*(p1/n)*(p1/n)*(p1/n)*(p1/n))
                           / ((p2/n - (p1/n)*(p1/n))*(p2/n - (p1/n)*(p1/n))) - 3.0)
                  + 6.0) * (n-1) / ((n-2)*(n-3)), 6) AS price_kurt
-        FROM m ORDER BY l_returnflag"""))
+        FROM m ORDER BY l_returnflag""")),
+
+    // pandas df.explode(['tok','ln']) (1.3+ multi-column form): elements
+    // pair POSITIONALLY, empty/null lists keep one null row, and the
+    // matching-element-count contract is enforced in-plan. Same spike
+    // pattern as q141; DuckDB's zipped multi-unnest is the oracle.
+    Q("q150_explode_multi",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val base = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .when(col("doc_id") % 10 === 5, lit(null).cast("array<string>"))
+            .otherwise(slice(words, 1, 3)).as("tok"))
+          .withColumn("ln", transform(col("tok"), w => length(w).cast("long")))
+        reg.callMethod(base, "explode",
+          graft.expr.Args(kw = List("column" -> List("tok", "ln"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"), col("tok"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN []::VARCHAR[]
+                 WHEN doc_id % 10 = 5 THEN NULL
+                 ELSE regexp_extract_all(text, '\S+')[1:3] END AS tok
+          FROM documents),
+        b2 AS (SELECT doc_id, tok,
+                 list_transform(tok, t -> length(t)) AS ln FROM base),
+        ex AS (SELECT doc_id, unnest(tok) AS tok, unnest(ln) AS ln FROM b2)
+        SELECT b.doc_id, ex.tok, ex.ln
+        FROM b2 b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        ORDER BY b.doc_id, ex.tok""")),
+
+    // pandas df.value_counts(subset, normalize=True): combination counts
+    // over multiple columns as proportions of the counted rows, sorted
+    // most-common first.
+    Q("q151_value_counts_combo",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+        reg.callMethod(li, "value_counts", graft.expr.Args(
+          pos = List(List("l_returnflag", "l_linestatus")),
+          kw = List("normalize" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("proportion").desc, col("l_returnflag"),
+            col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM lineitem) AS proportion
+        FROM lineitem GROUP BY 1, 2
+        ORDER BY proportion DESC, l_returnflag, l_linestatus"""))
   )
 }

@@ -697,6 +697,29 @@ class RegistrySpec extends AnyFunSuite {
       "zero variance: both null like pandas NaN")
   }
 
+  test("multi-column explode pairs positionally; mismatched counts raise in-plan") {
+    val d = Seq(
+      (1L, Seq("a", "b"), Seq(10L, 20L)),
+      (2L, Seq.empty[String], Seq.empty[Long]),
+      (3L, null.asInstanceOf[Seq[String]], null.asInstanceOf[Seq[Long]]))
+      .toDF("id", "x", "y")
+    val out = m(d, "explode", "column" -> List("x", "y"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("id", "x").collect()
+    assert(out.length == 4, "two paired rows + one null row each for empty/null")
+    assert(out(0).getString(1) == "a" && out(0).getLong(2) == 10L)
+    assert(out(1).getString(1) == "b" && out(1).getLong(2) == 20L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    val bad = Seq((1L, Seq("a", "b"), Seq(10L))).toDF("id", "x", "y")
+    val e = intercept[Exception] {
+      m(bad, "explode", "column" -> List("x", "y"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("matching element counts"))
+  }
+
   test("date_range: inclusive endpoints, D/H strides, anchored freq rejected") {
     val days = reg.callFunction("pd.date_range", Args(
       pos = List("2024-01-01", "2024-01-10"), kw = List("freq" -> "D")))
