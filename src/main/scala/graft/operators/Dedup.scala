@@ -107,6 +107,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: C(A in B) = |A n B| / |A| — the ONE-SIDED
+    * overlap public corpus pipelines (RefinedWeb-style) use beside Jaccard,
+    * because a short document pasted inside a long one scores near-zero
+    * Jaccard (the union is huge) but containment ~1 from the short side.
+    * Keeps pairs where max(C(a in b), C(b in a)) >= threshold, returning
+    * both directions so the caller can tell subset from superset.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — df-capped shingle
+    * vocabulary (hot boilerplate n-grams contribute O(d^2) candidates and
+    * ~zero signal), equality self-join on the 64-bit hash, one persist
+    * feeding sizes + both join sides. The cap applies to numerator and
+    * denominators alike, so an external oracle mirrors the result exactly.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Int = 10000): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = Caches.persistTracked(
+      sh.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf)
+        .drop("__df"), eager = true)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("contain_a_in_b",
+        round(col("common").cast(DoubleType) / col("n_a").cast(DoubleType), 6))
+      .withColumn("contain_b_in_a",
+        round(col("common").cast(DoubleType) / col("n_b").cast(DoubleType), 6))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("contain_a_in_b"), col("contain_b_in_a"))
+  }
+
   /** CROSS-corpus exact n-gram Jaccard pairs (id_new, id_ref, jaccard):
     * every (new, reference) pair over the df<=maxDf shingle vocabulary with
     * J >= threshold. The incremental-dedup primitive (Dolma-style "dedup

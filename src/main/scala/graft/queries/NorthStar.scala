@@ -147,6 +147,52 @@ object NorthStar {
         .orderBy(col("id_a"), col("id_b")),
       Some(exactJaccardOracle(0.2, None))),
 
+    // Containment near-dup pairs (one-sided overlap |AnB|/|A|): the corpus
+    // is spiked with 12-word snippet docs cut from every 25th document —
+    // subset-duplicates whose Jaccard vs their source is tiny (union is the
+    // whole source) but whose containment is ~1, which is exactly the case
+    // this operator exists to catch. Both directions emitted so subset and
+    // superset are distinguishable; threshold filters on the rounded values
+    // in both engines.
+    Q("q152_containment",
+      (s, d) => {
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val snippets = t(s, d, "documents").filter(col("doc_id") % 25 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(words, 1, 12), " ").as("text"))
+        val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(snippets)
+        Dedup.containmentPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+            array_to_string(regexp_extract_all(text, '\S+')[1:12], ' ') AS text
+          FROM documents WHERE doc_id % 25 = 3),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(common AS DOUBLE) / sa.n_sh, 6) AS contain_a_in_b,
+          round(CAST(common AS DOUBLE) / sb.n_sh, 6) AS contain_b_in_a
+        FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(round(CAST(common AS DOUBLE) / sa.n_sh, 6),
+                       round(CAST(common AS DOUBLE) / sb.n_sh, 6)) >= 0.8
+        ORDER BY id_a, id_b""")),
+
     // Df-capped n-gram Jaccard where the cap BINDS at fixture scale: the
     // documents fixture's hottest 3-gram has df=7 at sf0.01 (25 at sf0.1),
     // so maxDf=5 drops real shingles in every gated run, and the oracle's
