@@ -2535,6 +2535,35 @@ final class Registry(spark: SparkSession) {
           table
         case other => throw PipelineError(s"to_sql con must be a connection, got ${tn(other)}")
       }
+    case agg @ ("mean" | "sum" | "max" | "min" | "std")
+        if a.get("axis", -1).exists(v =>
+          v.toString == "1" || v.toString == "columns") =>
+      // pandas df.mean(axis=1) etc: ROW-wise aggregation across columns,
+      // skipna=True — nulls/NaN drop per row; all-missing rows yield null
+      // (sum yields 0.0, pandas' min_count=0 default). Pure codegen'd array
+      // HOF math per row, no shuffle, no UDF. Appends a column named after
+      // the aggregate (pandas returns an anonymous Series).
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        df.schema.fields.filter(_.dataType.isInstanceOf[NumericType])
+          .map(_.name).toList)
+      require(cs.nonEmpty, s"$agg(axis=1): no numeric columns")
+      val arr = org.apache.spark.sql.functions.filter(
+        array(cs.map(c => col(c).cast(DoubleType)): _*),
+        v => v.isNotNull && !isnan(v))
+      val nz = size(arr)
+      val s = aggregate(arr, lit(0.0), (acc, v) => acc + v)
+      val out = agg match {
+        case "sum" => s
+        case "mean" => when(nz > 0, s / nz)
+        case "max" => array_max(arr)
+        case "min" => array_min(arr)
+        case "std" =>
+          val mu = s / nz
+          val ss = aggregate(arr, lit(0.0),
+            (acc, v) => acc + (v - mu) * (v - mu))
+          when(nz > 1, sqrt(ss / (nz - 1)))
+      }
+      df.withColumn(agg, out)
     case agg if aggFns.contains(agg) =>
       // pandas df.max() etc: aggregate every numeric column
       val numeric = df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType])

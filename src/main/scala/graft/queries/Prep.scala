@@ -1557,6 +1557,47 @@ object Prep {
           CAST(COUNT(*) AS DOUBLE)
             / (SELECT COUNT(*) FROM lineitem) AS proportion
         FROM lineitem GROUP BY 1, 2
-        ORDER BY proportion DESC, l_returnflag, l_linestatus"""))
+        ORDER BY proportion DESC, l_returnflag, l_linestatus""")),
+
+    // pandas df.mean/sum/max(axis=1): ROW-wise aggregation, skipna per row
+    // (l_discount is spiked null on line 3 to pin it). Row math is a left
+    // fold over the same literal array in both engines, so sums agree
+    // bit-for-bit; round(6) belts the division.
+    Q("q153_rowwise_agg",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val cs = List("qty", "disc", "tax")
+        val li = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("qty"),
+          when(col("l_linenumber") === 3, lit(null))
+            .otherwise(col("l_discount").cast(DoubleType)).as("disc"),
+          col("l_tax").cast(DoubleType).as("tax"))
+        val kw = List("axis" -> 1L, "columns" -> cs)
+        val step1 = reg.callMethod(li, "mean", graft.expr.Args(kw = kw))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val step2 = reg.callMethod(step1, "sum", graft.expr.Args(kw = kw))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(step2, "max", graft.expr.Args(kw = kw))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(round(min(col("mean")), 6).as("rmean"),
+            round(min(col("sum")), 6).as("rsum"),
+            round(min(col("max")), 6).as("rmax"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH b AS (SELECT l_orderkey, l_linenumber,
+            list_filter([CAST(l_quantity AS DOUBLE),
+                         CASE WHEN l_linenumber = 3 THEN NULL
+                              ELSE CAST(l_discount AS DOUBLE) END,
+                         CAST(l_tax AS DOUBLE)], x -> x IS NOT NULL) AS v
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          round(MIN(CASE WHEN len(v) > 0 THEN list_sum(v) / len(v) END), 6) AS rmean,
+          round(MIN(COALESCE(list_sum(v), 0.0)), 6) AS rsum,
+          round(MIN(list_max(v)), 6) AS rmax
+        FROM b GROUP BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }
