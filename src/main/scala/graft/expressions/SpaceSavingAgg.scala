@@ -1,0 +1,171 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** SpaceSaving frequent-items sketch (Metwally et al. 2005) over 64-bit
+  * item hashes: k bounded counters; a miss on a full summary evicts the
+  * minimum counter and inherits its count as the new item's error bound.
+  * Per-partition summaries merge by union + counter sum, truncated back to
+  * the k largest — the mergeable-summaries shape, so Spark runs it with
+  * map-side partial aggregation and the shuffle moves one k-length buffer
+  * per partition, never a row per item. Single pass, O(k) memory: the
+  * heavy-hitters shape that survives 100 TB where an exact global
+  * (item, count) aggregation would shuffle the whole token stream.
+  *
+  * Guarantees (union-sum-truncate across P partials over N total rows):
+  * a local summary never underestimates its partition's frequency, an
+  * absent item's partition mass is at most N_p/k, so for every item
+  * `est in [f - N/k, f + N/k]` — and any item with f > 2N/k survives the
+  * final truncation. Callers therefore use the sketch to PROPOSE a
+  * candidate set and verify with EXACT counts of the candidates only
+  * (Sketch.heavyHitters), keeping the result deterministic and
+  * oracle-checkable: the sketch bounds are a per-row gate, not the output.
+  *
+  * Result: array<struct<h bigint, est bigint, err bigint>>, est-descending
+  * (ties by h) for deterministic output.
+  */
+case class SpaceSavingAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingAgg.Summary] {
+
+  require(k > 0, "space_saving: k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"space_saving item hash must be BIGINT, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("est", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): SpaceSavingAgg.Summary =
+    new SpaceSavingAgg.Summary(k)
+
+  override def update(buf: SpaceSavingAgg.Summary, input: InternalRow): SpaceSavingAgg.Summary = {
+    val v = child.eval(input)
+    if (v != null) buf.offer(v.asInstanceOf[Long], 1L, 0L)
+    buf
+  }
+
+  override def merge(a: SpaceSavingAgg.Summary, b: SpaceSavingAgg.Summary): SpaceSavingAgg.Summary = {
+    b.foreach((h, est, err) => a.offer(h, est, err))
+    a
+  }
+
+  override def eval(buf: SpaceSavingAgg.Summary): Any = {
+    val entries = buf.sortedEstDesc()
+    val rows: Array[Any] = entries.map { case (h, est, err) =>
+      InternalRow(h, est, err): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: SpaceSavingAgg.Summary): Array[Byte] = {
+    val n = buf.size
+    val bb = ByteBuffer.allocate(4 + n * 24)
+    bb.putInt(n)
+    buf.foreach { (h, est, err) => bb.putLong(h); bb.putLong(est); bb.putLong(err) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingAgg.Summary = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new SpaceSavingAgg.Summary(k)
+    var j = 0
+    while (j < n) { s.offer(bb.getLong, bb.getLong, bb.getLong); j += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SpaceSavingAgg =
+    copy(child = c(0))
+  override def prettyName: String = "space_saving"
+}
+
+object SpaceSavingAgg {
+
+  def sketch(itemHash: Column, k: Int): Column =
+    ColumnBridge.column(
+      SpaceSavingAgg(ColumnBridge.expression(itemHash), k).toAggregateExpression())
+
+  /** Bounded counter summary: HashMap index over parallel primitive arrays.
+    * `offer(h, w, e)` folds weight w (and carried error e) into h's counter,
+    * evicting the current minimum when full — the evicted count becomes the
+    * newcomer's error bound, the defining SpaceSaving move. Eviction scans
+    * O(k) for the min; k is small (64-1024) and the scan touches two
+    * primitive arrays, so the update loop stays allocation-free.
+    */
+  final class Summary(k: Int) {
+    private val hs = new Array[Long](k)
+    private val est = new Array[Long](k)
+    private val err = new Array[Long](k)
+    private var n = 0
+    private val index = new java.util.HashMap[Long, Integer](k * 2)
+
+    def size: Int = n
+
+    def offer(h: Long, w: Long, e: Long): Unit = {
+      val at = index.get(h)
+      if (at != null) {
+        est(at) += w
+        err(at) += e
+      } else if (n < k) {
+        hs(n) = h; est(n) = w; err(n) = e
+        index.put(h, n)
+        n += 1
+      } else {
+        // evict the min-est counter (ties: larger hash evicted first, for
+        // deterministic single-threaded behavior); its count is the upper
+        // bound on how many of the newcomer's occurrences were missed
+        var m = 0
+        var j = 1
+        while (j < n) {
+          if (est(j) < est(m) || (est(j) == est(m) && hs(j) > hs(m))) m = j
+          j += 1
+        }
+        val inherited = est(m)
+        index.remove(hs(m))
+        hs(m) = h
+        err(m) = inherited + e
+        est(m) = inherited + w
+        index.put(h, m)
+      }
+    }
+
+    def foreach(f: (Long, Long, Long) => Unit): Unit = {
+      var j = 0
+      while (j < n) { f(hs(j), est(j), err(j)); j += 1 }
+    }
+
+    def sortedEstDesc(): Array[(Long, Long, Long)] = {
+      val out = new Array[(Long, Long, Long)](n)
+      var j = 0
+      while (j < n) { out(j) = (hs(j), est(j), err(j)); j += 1 }
+      out.sortBy { case (h, e, _) => (-e, h) }
+    }
+  }
+}

@@ -219,4 +219,43 @@ object Scoring {
         round(sum(col("lr")), 6).as("dsir_log_weight"))
       .select(col("id").as(idCol), col("n_tokens"), col("dsir_log_weight"))
   }
+
+  /** Heavy-hitter words by sketch-proposes / exact-disposes: ONE pass of the
+    * token stream folds into a bounded SpaceSaving summary (k counters,
+    * map-side partials, the shuffle moves one k-length buffer per
+    * partition), the summary's candidates broadcast back over the stream,
+    * and only candidate tokens reach the exact count's shuffle. At 100 TB
+    * the exact global word count is the thing you cannot afford — this
+    * shape touches the full stream twice map-side and shuffles O(k)
+    * candidates' worth of counts.
+    *
+    * Output: (w, cnt, ss_ok) for words with exact cnt > minFrac * N —
+    * deterministic because cnt is EXACT; the sketch only proposes. Any item
+    * with f > 2N/k provably survives the summary (union-sum-truncate bound,
+    * see [[graft.expressions.SpaceSavingAgg]]), so callers must keep
+    * `minFrac > 2/k`; ss_ok additionally gates the sketch estimate within
+    * its +-N/k band per surviving row, falsifiably.
+    */
+  def heavyHitterWords(df: DataFrame, textCol: String, k: Int = 256,
+                       minFrac: Double = 0.02): DataFrame = {
+    require(minFrac > 2.0 / k,
+      s"heavyHitterWords: minFrac $minFrac must exceed 2/k = ${2.0 / k} " +
+        "or the sketch cannot guarantee the candidate set is complete")
+    val hashed = df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), xxhash64(col("w")).as("h"))
+    val summary = hashed.agg(
+      count(lit(1)).as("n"),
+      graft.expressions.SpaceSavingAgg.sketch(col("h"), k).as("sk"))
+    val cand = summary.select(col("n"), explode(col("sk")).as("e"))
+      .select(col("n"), col("e.h").as("h"),
+        col("e.est").as("est"), col("e.err").as("err"))
+    hashed.join(broadcast(cand), Seq("h"))
+      .groupBy(col("w"), col("n"), col("est"), col("err"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") * minFrac)
+      .select(col("w"), col("cnt"),
+        (col("est") >= col("cnt") - col("n").cast("double") / k &&
+          col("est") <= col("cnt") + col("n").cast("double") / k).as("ss_ok"))
+  }
 }

@@ -358,6 +358,26 @@ object NorthStar {
         FROM toks JOIN ratio USING (w)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Heavy-hitter words via a bounded SpaceSaving sketch (single pass,
+    // k=256 counters) that PROPOSES candidates, with EXACT counts of the
+    // candidates only deciding the output — so the result is deterministic
+    // and the oracle is a plain GROUP BY + HAVING. A sketch that dropped a
+    // frequent word would make Spark miss a row the oracle has (hash
+    // mismatch); ss_ok additionally gates every estimate within +-N/k.
+    Q("q154_heavy_hitters",
+      (s, d) => graft.operators.Scoring
+        .heavyHitterWords(t(s, d, "documents"), "text", k = 256,
+          minFrac = 0.02)
+        .orderBy(col("cnt").desc, col("w")),
+      Some("""
+        WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                      FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM toks),
+        c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+        SELECT w, cnt, TRUE AS ss_ok FROM c, n
+        WHERE cnt > n * 0.02
+        ORDER BY cnt DESC, w""")),
+
     // Per-doc top-k terms by smoothed TF-IDF (keyword extraction). Scores
     // are rounded to 6 places BEFORE the per-doc ranking so both engines
     // rank on identical values (ln ulp is libm-dependent); ties at the k

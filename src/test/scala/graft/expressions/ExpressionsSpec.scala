@@ -51,6 +51,62 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
+/** Property test: SpaceSaving summary invariants under arbitrary streams and
+  * merge splits — est never underestimates the stream the summary actually
+  * saw, est - err never overestimates, and any item with frequency > 2N/k
+  * survives a union-sum-truncate merge.
+  */
+class SpaceSavingPropSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // skewed streams: small hash domain so some items repeat a lot
+  private val streams: Gen[List[Long]] =
+    Gen.listOf(Gen.frequency(5 -> Gen.chooseNum(0L, 3L), 2 -> Gen.chooseNum(0L, 30L)))
+
+  test("property: est bounds and heavy-item survival under any order and merge split") {
+    check(Prop.forAll(streams, Gen.chooseNum(2, 8), Gen.chooseNum(0, 100)) {
+      (xs, k, splitSeed) =>
+        val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else splitSeed % (xs.size + 1))
+        val a = new SpaceSavingAgg.Summary(k)
+        val b = new SpaceSavingAgg.Summary(k)
+        l.foreach(h => a.offer(h, 1L, 0L))
+        r.foreach(h => b.offer(h, 1L, 0L))
+        b.foreach((h, est, err) => a.offer(h, est, err))
+        val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = xs.size.toLong
+        var ok = true
+        val seen = scala.collection.mutable.Set[Long]()
+        a.foreach { (h, est, err) =>
+          seen += h
+          val f = truth.getOrElse(h, 0L)
+          // one-sided per-summary bounds survive the merge: est >= f - (lost
+          // absent mass), est - err <= f; and est can only overestimate by
+          // inherited eviction counts, which err records exactly
+          if (est - err > f) ok = false
+          if (est < f - n / k) ok = false
+        }
+        // completeness: f > 2N/k must be present after merge
+        truth.foreach { case (h, f) =>
+          if (f > 2.0 * n / k && !seen.contains(h)) ok = false
+        }
+        ok
+    })
+  }
+
+  test("serialization round trip preserves entries") {
+    val s = new SpaceSavingAgg.Summary(4)
+    Seq(1L, 1L, 2L, 3L, 3L, 3L, 4L, 5L).foreach(h => s.offer(h, 1L, 0L))
+    val agg = SpaceSavingAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 4)
+    val back = agg.deserialize(agg.serialize(s))
+    assert(back.sortedEstDesc().toSeq == s.sortedEstDesc().toSeq)
+  }
+}
+
 class ExpressionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
