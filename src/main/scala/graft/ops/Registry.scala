@@ -573,14 +573,55 @@ final class Registry(spark: SparkSession) {
               path.getField(f.name), f.dataType))
           case _ => Seq(prefix -> path)
         }
-      val flat = flatten("", col("__graft_json"), schema)
       val kept = df.columns.filter(_ != c)
-      // merging back into the source frame (pandas returns a separate one)
-      // must not produce ambiguous duplicate names
-      val clash = kept.toSet.intersect(flat.map(_._1).toSet)
-      if (clash.nonEmpty) throw PipelineError(
-        s"json_normalize: flattened fields collide with existing columns: ${clash.mkString(", ")}")
-      parsed.select((kept.map(col).toSeq ++ flat.map { case (n, e) => e.as(n) }): _*)
+      def noClash(names: Seq[String]): Unit = {
+        // merging back into the source frame (pandas returns a separate
+        // one) must not produce ambiguous duplicate names
+        val clash = kept.toSet.intersect(names.toSet)
+        if (clash.nonEmpty) throw PipelineError(
+          s"json_normalize: flattened fields collide with existing columns: ${clash.mkString(", ")}")
+      }
+      a.get("record_path", -1).map(asStrList) match {
+        case Some(rp) =>
+          // pandas record_path: explode the named array of records to rows
+          // (one per record; entries with EMPTY lists contribute no rows,
+          // matching pandas), flatten each record's fields under their own
+          // keys, and carry `meta` columns named by their dotted path.
+          val (arrType, _) = rp.foldLeft((schema: DataType, "")) {
+            case ((t, path), f) => t match {
+              case st: StructType if st.fieldNames.contains(f) =>
+                (st(f).dataType, if (path.isEmpty) f else s"$path.$f")
+              case _ => throw PipelineError(
+                s"json_normalize: record_path ${rp.mkString(".")} not found")
+            }
+          }
+          val elemType = arrType match {
+            case ArrayType(et, _) => et
+            case other => throw PipelineError(
+              s"json_normalize: record_path ${rp.mkString(".")} is ${other.simpleString}, not an array")
+          }
+          val arr = rp.foldLeft(col("__graft_json"))((e, f) => e.getField(f))
+          val meta = a.get("meta", -1).map(asStrList).getOrElse(Nil)
+          val metaCols = meta.map { m =>
+            m -> m.split('.').foldLeft(col("__graft_json"))((e, f) => e.getField(f))
+          }
+          val recCols = elemType match {
+            case st: StructType =>
+              st.fields.toSeq.map(f => f.name -> col("__graft_rec").getField(f.name))
+            // pandas names a scalar record column 0
+            case _ => Seq("0" -> col("__graft_rec"))
+          }
+          noClash(metaCols.map(_._1) ++ recCols.map(_._1))
+          parsed.withColumn("__graft_rec", explode(arr))
+            .select((kept.map(col).toSeq ++
+              metaCols.map { case (n, e) => e.as(n) } ++
+              recCols.map { case (n, e) => e.as(n) }): _*)
+        case None =>
+          val flat = flatten("", col("__graft_json"), schema)
+          noClash(flat.map(_._1))
+          parsed.select((kept.map(col).toSeq ++
+            flat.map { case (n, e) => e.as(n) }): _*)
+      }
     },
     "graft.salted_join" -> { a =>
       graft.operators.Skew.saltedJoin(
@@ -1869,6 +1910,17 @@ final class Registry(spark: SparkSession) {
       val group = a.get("group", -1).map(asInt(_, "group")).getOrElse(1)
       val ex = regexp_extract(col(c), pattern, group)
       df.withColumn(s"${c}_extract", when(ex === "", lit(null)).otherwise(ex))
+    case "str_extractall" =>
+      // pandas s.str.extractall(pattern): ALL matches to rows, with the
+      // 0-based match index (pandas' 'match' MultiIndex level as a plain
+      // column). Rows with no matches drop out entirely, like pandas.
+      // regexp_extract_all + posexplode — codegen'd, no UDF.
+      val c = asStr(a.require("column", 0), "column")
+      val pattern = asStr(a.require("pattern", -1), "pattern")
+      val group = a.get("group", -1).map(asInt(_, "group")).getOrElse(1)
+      df.select(col("*"),
+        posexplode(regexp_extract_all(col(c), lit(pattern), lit(group)))
+          .as(Seq("match", s"${c}_match")))
     case "upsample" =>
       // pandas df.resample(freq).last().ffill() for irregular time series:
       // regularize onto a per-group calendar grid, carrying the last

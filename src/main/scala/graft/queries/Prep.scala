@@ -1598,6 +1598,64 @@ object Prep {
           round(MIN(COALESCE(list_sum(v), 0.0)), 6) AS rsum,
           round(MIN(list_max(v)), 6) AS rmax
         FROM b GROUP BY l_orderkey, l_linenumber
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas str.extractall: every match becomes a row with its 0-based
+    // match index; docs with no matches vanish (no null-padding row).
+    // DuckDB's zipped multi-unnest replays the ordinality.
+    Q("q155_str_extractall",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        reg.callMethod(base, "str_extractall", graft.expr.Args(
+          pos = List("text"), kw = List("pattern" -> "([a-z]{6,})")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("doc_id"), col("match"), col("text_match"))
+          .orderBy(col("doc_id"), col("match"))
+      },
+      Some("""
+        WITH m AS (SELECT doc_id,
+            regexp_extract_all(text, '([a-z]{6,})', 1) AS l
+          FROM documents)
+        SELECT doc_id,
+          unnest(generate_series(0, len(l) - 1)) AS match,
+          unnest(l) AS text_match
+        FROM m WHERE len(l) > 0
+        ORDER BY doc_id, match""")),
+
+    // pandas pd.json_normalize(record_path=, meta=): explode an array of
+    // records to rows (empty lists contribute none), record fields under
+    // their own keys, meta columns named by their dotted path. The JSON is
+    // built in-plan with to_json; the oracle computes the expected frame
+    // straight from the raw table, so the gate covers build+infer+explode.
+    Q("q156_json_record_path",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val items = transform(
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .otherwise(slice(words, 1, 3)),
+          w => struct(w.as("w"), length(w).cast("long").as("n")))
+        val base = t(s, d, "documents").select(col("doc_id"),
+          to_json(struct(struct(col("lang")).as("meta"), items.as("items")))
+            .as("js"))
+        reg.callFunction("graft.json_normalize", graft.expr.Args(
+          pos = List(base), kw = List("column" -> "js",
+            "record_path" -> List("items"), "meta" -> List("meta.lang"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("doc_id"), col("`meta.lang`").as("lang"),
+            col("w"), col("n"))
+          .orderBy(col("doc_id"), col("w"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang,
+            CASE WHEN doc_id % 10 = 0 THEN []::VARCHAR[]
+                 ELSE regexp_extract_all(text, '\S+')[1:3] END AS tok
+          FROM documents)
+        SELECT doc_id, lang, unnest(tok) AS w,
+          unnest(list_transform(tok, t -> length(t))) AS n
+        FROM base WHERE len(tok) > 0
+        ORDER BY doc_id, w"""))
   )
 }

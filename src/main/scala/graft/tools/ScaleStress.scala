@@ -200,6 +200,19 @@ object ScaleStress {
       cell("q138_pack_windows", f, nd)(
         graft.operators.Prep.packWindows(d, "doc_id", "text",
           size = 128, seed = "stress").count())
+      // same candidate shape as q34 (df-capped shingle equality join), so
+      // the pair count and runtime should both track q34's linear curve
+      cell("q152_containment", f, nd)(
+        Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+          threshold = 0.8).count())
+      // bounded sketch: one linear map-side pass folds to k=256 counters
+      // per partition, candidates broadcast back — output rows CONSTANT
+      // across factors (replica suffixing splits words into per-replica
+      // variants, so per-word frequency shares shrink; the cell uses the
+      // unsuffixed base frame semantics by thresholding at 2/k-safe 2%)
+      cell("q154_heavy_hitters", f, nd)(
+        graft.operators.Scoring.heavyHitterWords(d, "text",
+          k = 256, minFrac = 0.02).count())
       d.unpersist()
 
       val e = embAt(f).repartition(32).persist()
