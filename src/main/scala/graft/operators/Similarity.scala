@@ -76,6 +76,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training data: per query, the
+    * top-k most-similar corpus vectors whose LABEL DIFFERS — the "looks
+    * like a positive, is not" examples that make embedding models learn
+    * boundaries (the standard in-batch-negatives upgrade). Same scale shape
+    * as [[bruteForceTopK]]: queries broadcast, corpus scored in one
+    * codegen'd pass with the label-mismatch predicate applied BEFORE
+    * anything aggregates, two-phase k-heaps; null labels never match
+    * anything and are excluded from both sides (a null label can neither
+    * confirm nor deny being a negative).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("__ql"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("__cl") =!= col("__ql"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** Exact cosine near-dup PAIRS by brute force: every (a, b) with a < b and
     * cosine >= threshold. O(|corpus|^2) scores — this is the labeled
     * verification BASELINE the approximate dedup paths are graded against

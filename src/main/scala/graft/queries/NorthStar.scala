@@ -568,6 +568,35 @@ object NorthStar {
       },
       Some(exactTopKOracle)),
 
+    // Hard-negative mining (contrastive training data): per query the
+    // top-5 most-similar vectors with a DIFFERENT label — same broadcast +
+    // two-phase-heap shape as q37 with the label-mismatch predicate pushed
+    // before aggregation.
+    Q("q157_hard_negatives",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cos_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id <> c.vec_id AND q.label <> c.label
+          WHERE q.vec_id < 8 AND q.label IS NOT NULL AND c.label IS NOT NULL)
+        SELECT query_id, neighbor_id, cos_r, rank FROM (
+          SELECT query_id, neighbor_id, round(cosine, 6) AS cos_r,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+          FROM p) x
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // LSH-bucketed ANN, ORACLE-GATED against the EXACT answer: at
     // planes=32/bands=16 the SRP banding has measured recall 1.0 on this
     // fixture (deterministic hash planes, partition-independent), so the
