@@ -51,13 +51,22 @@ final case class GrouperSpec(key: String, freq: String) {
       val anchor = f.split("-").lift(1).getOrElse("SUN")
       next_day(date_sub(c.cast(DateType), 1), anchor.take(3)).as(key)
     } else {
+      // pandas end-anchored aliases (M/Q/Y/A) LABEL each bin by its last
+      // day; start-anchored (MS/QS/YS) by its first. Same bins either way —
+      // only the label differs — so end labels are start-trunc + period - 1.
       val unit = f match {
         case "D" => "day"; case "H" => "hour"; case "T" | "MIN" => "minute"
-        case "S" => "second"; case "M" | "MS" => "month"; case "Q" => "quarter"
+        case "S" => "second"; case "M" | "MS" => "month"; case "Q" | "QS" => "quarter"
         case "Y" | "A" | "YS" => "year"
         case other => throw PipelineError(s"Unsupported Grouper freq: $other")
       }
-      date_trunc(unit, c).as(key)
+      val start = date_trunc(unit, c)
+      (f match {
+        case "M" => last_day(start)
+        case "Q" => date_sub(add_months(start.cast(DateType), 3), 1)
+        case "Y" | "A" => date_sub(add_months(start.cast(DateType), 12), 1)
+        case _ => start
+      }).as(key)
     }
   }
 }

@@ -1656,6 +1656,31 @@ object Prep {
         SELECT doc_id, lang, unnest(tok) AS w,
           unnest(list_transform(tok, t -> length(t))) AS n
         FROM base WHERE len(tok) > 0
-        ORDER BY doc_id, w"""))
+        ORDER BY doc_id, w""")),
+
+    // pandas df.resample('M').agg(...): month bins LABELED BY BIN END —
+    // pandas' end-anchored 'M' alias, distinct from 'MS' (month start).
+    // The label math is last_day(start-trunc) in both engines.
+    Q("q158_resample_monthly",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders").select(col("o_orderdate").as("od"),
+          col("o_totalprice").cast(DecimalType(25, 4)).as("price"))
+        val g = reg.callMethod(o, "resample", graft.expr.Args(
+          pos = List("M"), kw = List("on" -> "od")))
+        reg.callMethod(g, "agg", graft.expr.Args(
+          pos = List(Map("price" -> List("sum", "count")))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(date_format(col("od"), "yyyy-MM-dd").as("month_end"),
+            col("price_sum").cast(DoubleType).as("sum_price"),
+            col("price_count").as("n"))
+          .orderBy(col("month_end"))
+      },
+      Some("""
+        SELECT strftime(last_day(CAST(date_trunc('month', o_orderdate) AS DATE)),
+            '%Y-%m-%d') AS month_end,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+          COUNT(o_totalprice) AS n
+        FROM orders GROUP BY 1 ORDER BY month_end"""))
   )
 }
