@@ -865,6 +865,54 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.dsir_weight" -> { a =>
+      // DSIR importance log-weights: tilt the corpus toward the rows where
+      // `target` (a filter expression over the frame) holds
+      val df = asDf(a.require("df", 0), "df")
+      graft.operators.Scoring.dsirLogWeight(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        expr(asStr(a.require("target", 1), "target")))
+    },
+    "graft.temperature_mixture" -> { a =>
+      // data-recipe planning: per-source weights T^alpha / sum(T^alpha),
+      // target tokens + epoch factors under a budget
+      graft.operators.Sampling.temperatureMixture(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        alpha = a.get("alpha", -1).map(_.toString.toDouble).getOrElse(0.5),
+        totalTokens = a.require("total_tokens", 1).toString.toLong)
+    },
+    "graft.heavy_hitters" -> { a =>
+      // frequent words by bounded sketch + exact verify of candidates
+      graft.operators.Scoring.heavyHitterWords(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(256),
+        minFrac = a.get("min_frac", -1).map(_.toString.toDouble).getOrElse(0.02))
+    },
+    "graft.containment_pairs" -> { a =>
+      // one-sided overlap near-dup pairs (subset-duplicate detection)
+      graft.operators.Dedup.containmentPairs(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        threshold = a.require("threshold", 1).toString.toDouble,
+        maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
+    },
+    "graft.hard_negatives" -> { a =>
+      // contrastive hard negatives: top-k similar with a different label
+      graft.operators.Similarity.hardNegatives(
+        asDf(a.require("queries", 0), "queries"),
+        asDf(a.require("corpus", 1), "corpus"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(5),
+        idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"),
+        labelCol = asStr(a.get("label", -1).getOrElse("label"), "label"))
+    },
     "graft.pack_windows" -> { a =>
       // pretraining packing: docs (+EOS) concatenated in deterministic
       // order, cut into exact size-token windows (docs split at borders)

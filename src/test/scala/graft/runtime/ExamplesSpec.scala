@@ -41,6 +41,30 @@ class ExamplesSpec extends AnyFunSuite {
       "token budget is per kept language (en/es/de/fr)")
   }
 
+  test("examples/data_recipe.yaml writes the four planning reports") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = freshDir("ex_recipe")
+    new Pipeline(spark, "examples/data_recipe.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+    val plan = spark.read.parquet(s"$out/mixture_plan")
+    assert(plan.count() > 0)
+    assert(Seq("source", "n_docs", "tokens", "weight", "target_tokens",
+      "epochs").forall(plan.columns.contains), plan.columns.mkString(","))
+    val wsum = plan.agg(sum("weight")).collect()(0).getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    val dsir = spark.read.parquet(s"$out/dsir_weights")
+    assert(dsir.count() ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count(),
+      "every doc gets a DSIR weight")
+    val hot = spark.read.parquet(s"$out/hot_words")
+    assert(hot.count() > 0 && hot.columns.contains("ss_ok"))
+    assert(hot.filter(!col("ss_ok")).count() == 0,
+      "sketch estimates inside their +-N/k band")
+    val cont = spark.read.parquet(s"$out/containment_pairs")
+    assert(Seq("id_a", "id_b", "contain_a_in_b", "contain_b_in_a")
+      .forall(cont.columns.contains))
+  }
+
   test("examples/retrieval_prep.yaml: bloom decontam -> mixture -> bm25 z-scores -> weighted eval") {
     val out = freshDir("ex_retr")
     new Pipeline(spark, "examples/retrieval_prep.yaml",
