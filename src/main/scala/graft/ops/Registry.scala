@@ -1835,25 +1835,51 @@ final class Registry(spark: SparkSession) {
       // min_periods=1. Appends {col}_{fn} columns.
       val cols = asStrList(a.require("columns", -1))
       val fn = a.get("func", -1).map(asStr(_, "func")).getOrElse("mean")
-      val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
       if (partCols.isEmpty) warnGlobalWindow(name)
       import org.apache.spark.sql.expressions.Window
-      val base = (if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
-        else Window.partitionBy()).orderBy(orderBy.map(col(_).asc): _*)
+      val part = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
+        else Window.partitionBy()
+      def base = part.orderBy(
+        asStrList(a.require("order_by", -1)).map(col(_).asc): _*)
+      val timeWin = "^([0-9]+)\\s*([A-Za-z]+)$".r
       val (w, minPeriods) =
-        if (name == "rolling") {
-          val n = asInt(a.require("window", -1), "window")
-          require(n >= 1, "rolling: window must be >= 1")
-          val mp = a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n)
-          // pandas raises ValueError; silently-all-null output hides typos
-          require(mp <= n, s"rolling: min_periods $mp must be <= window $n")
-          // pandas center=True: result labeled at the window center — the
-          // trailing frame shifts forward by (n-1)/2 (even windows take the
-          // extra element on the LEFT, matching pandas' fixed-window shift)
-          val shift = if (a.get("center", -1).exists(asBool(_, default = false)))
-            (n - 1L) / 2 else 0L
-          (base.rowsBetween(-(n - 1L) + shift, shift), mp)
+        if (name == "rolling") a.require("window", -1) match {
+          case s: String if s.trim.exists(_.isLetter) =>
+            // pandas TIME-BASED rolling: window='7D'/'24H'/'30T'/'15S' over
+            // the timestamp `on` column; frame = (t - window, t] (pandas
+            // closed='right' default — the left edge is OPEN, hence the
+            // micros-1), min_periods defaults to 1. RANGE frame over epoch
+            // micros: the plan sorts within partitions only, no row-count
+            // frames, ties at the same instant all share one frame.
+            val (qty, unit) = s.trim match {
+              case timeWin(q, u) => (q.toLong, u.toUpperCase)
+              case _ => throw PipelineError(s"rolling: bad time window '$s'")
+            }
+            val micros = unit match {
+              case "D" => qty * 86400000000L
+              case "H" => qty * 3600000000L
+              case "T" | "MIN" => qty * 60000000L
+              case "S" => qty * 1000000L
+              case other =>
+                throw PipelineError(s"rolling: unsupported time unit '$other'")
+            }
+            require(micros >= 1, "rolling: time window must be positive")
+            val on = asStr(a.require("on", -1), "on")
+            (part.orderBy(unix_micros(col(on))).rangeBetween(-(micros - 1), 0),
+              a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))
+          case rawN =>
+            val n = asInt(rawN, "window")
+            require(n >= 1, "rolling: window must be >= 1")
+            val mp = a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(n)
+            // pandas raises ValueError; silently-all-null output hides typos
+            require(mp <= n, s"rolling: min_periods $mp must be <= window $n")
+            // pandas center=True: result labeled at the window center — the
+            // trailing frame shifts forward by (n-1)/2 (even windows take the
+            // extra element on the LEFT, matching pandas' fixed-window shift)
+            val shift = if (a.get("center", -1).exists(asBool(_, default = false)))
+              (n - 1L) / 2 else 0L
+            (base.rowsBetween(-(n - 1L) + shift, shift), mp)
         } else
           (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
             a.get("min_periods", -1).map(asInt(_, "min_periods")).getOrElse(1))

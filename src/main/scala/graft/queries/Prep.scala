@@ -1681,6 +1681,38 @@ object Prep {
             '%Y-%m-%d') AS month_end,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
           COUNT(o_totalprice) AS n
-        FROM orders GROUP BY 1 ORDER BY month_end"""))
+        FROM orders GROUP BY 1 ORDER BY month_end""")),
+
+    // pandas TIME-BASED rolling: df.rolling('24H', on=ts) per user — frame
+    // (t-24h, t], pandas' closed='right' (the left edge is OPEN; both
+    // engines encode it as a 24h-minus-1-microsecond RANGE frame over epoch
+    // micros). min_periods defaults to 1 for offset windows.
+    Q("q159_rolling_time",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val kw = (fn: String) => List("window" -> "24H", "on" -> "ts",
+          "columns" -> List("value"), "func" -> fn,
+          "partition_by" -> List("user_id"))
+        val r1 = reg.callMethod(e, "rolling", graft.expr.Args(kw = kw("sum")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(r1, "rolling", graft.expr.Args(kw = kw("count")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), col("event_id"),
+            round(col("value_sum"), 6).as("roll_sum"),
+            col("value_count").as("roll_n"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, value,
+            epoch_us(ts) AS us FROM events)
+        SELECT user_id, event_id,
+          round(SUM(value) OVER w, 6) AS roll_sum,
+          COUNT(value) OVER w AS roll_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 }
