@@ -1828,6 +1828,40 @@ final class Registry(spark: SparkSession) {
       }
       moments.select(explode(array(cells: _*)).as("c"))
         .select(col("c.column"), col("c.corr"))
+    case "add" | "sub" | "mul" | "div" =>
+      // pandas df.add/sub/mul/div(other, fill_value=): element-wise frame
+      // arithmetic with ALIGNMENT — rows align on explicit keys (pandas
+      // aligns on the index), same-named numeric columns combine. A cell
+      // missing on ONE side uses fill_value when given (else null); a cell
+      // missing on BOTH sides is null even with fill_value — pandas' rule.
+      // Shape: one full-outer equality join on the keys, then pure column
+      // math; no window, no shuffle beyond the join.
+      val other = asDf(a.require("other", 0), "other")
+      val on = asStrList(a.require("on", -1))
+      val fill = a.get("fill_value", -1).map(_.toString.toDouble)
+      val cs = a.get("columns", -1).map(asStrList).getOrElse {
+        val rn = other.schema.fieldNames.toSet
+        df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType] &&
+          rn.contains(f.name) && !on.contains(f.name)).map(_.name).toList
+      }
+      require(cs.nonEmpty, s"$name: no shared numeric columns to combine")
+      val lsel = df.select((on.map(col) ++
+        cs.map(c => col(c).cast(DoubleType).as(s"__al_$c"))): _*)
+      val rsel = other.select((on.map(col) ++
+        cs.map(c => col(c).cast(DoubleType).as(s"__ar_$c"))): _*)
+      val joined = lsel.join(rsel, on, "full_outer")
+      val op: (Column, Column) => Column = name match {
+        case "add" => _ + _
+        case "sub" => _ - _
+        case "mul" => _ * _
+        case _ => _ / _
+      }
+      joined.select((on.map(col) ++ cs.map { c =>
+        val (l, r) = (col(s"__al_$c"), col(s"__ar_$c"))
+        val lf = fill.map(f => coalesce(l, lit(f))).getOrElse(l)
+        val rf = fill.map(f => coalesce(r, lit(f))).getOrElse(r)
+        when(l.isNull && r.isNull, lit(null)).otherwise(op(lf, rf)).as(c)
+      }): _*)
     case "rolling" | "expanding" =>
       // pandas df.rolling(window).f() / df.expanding().f() under the
       // explicit-ordering contract. rolling honors min_periods (pandas

@@ -1713,6 +1713,53 @@ object Prep {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY us
           RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // pandas frame arithmetic with alignment: 1995-vs-1996 monthly revenue
+    // per priority — df.sub(other, fill_value=0) for the delta (a month
+    // present in only one year counts as 0 on the missing side) and
+    // df.div(other) for the ratio (missing either side -> null, pandas'
+    // no-fill rule). Decimal-exact monthly sums, so sub is bit-exact and
+    // div rounds at 6.
+    Q("q161_frame_arith",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        def year(y: Int) = t(s, d, "orders")
+          .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === y)
+          .groupBy(col("o_orderpriority").as("prio"),
+            org.apache.spark.sql.functions.month(col("o_orderdate")).as("m"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("rev"))
+        val (a95, a96) = (year(1995), year(1996))
+        val delta = reg.callMethod(a95, "sub", graft.expr.Args(
+          pos = List(a96), kw = List("on" -> List("prio", "m"),
+            "fill_value" -> 0.0)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .withColumnRenamed("rev", "delta")
+        val ratio = reg.callMethod(a95, "div", graft.expr.Args(
+          pos = List(a96), kw = List("on" -> List("prio", "m"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .withColumnRenamed("rev", "ratio")
+        delta.join(ratio, Seq("prio", "m"))
+          .select(col("prio"), col("m"), round(col("delta"), 4).as("delta"),
+            round(col("ratio"), 6).as("ratio"))
+          .orderBy(col("prio"), col("m"))
+      },
+      Some("""
+        WITH y95 AS (SELECT o_orderpriority AS prio,
+            CAST(month(o_orderdate) AS INTEGER) AS m,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS rev
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+        y96 AS (SELECT o_orderpriority AS prio,
+            CAST(month(o_orderdate) AS INTEGER) AS m,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS rev
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2)
+        SELECT COALESCE(y95.prio, y96.prio) AS prio,
+          COALESCE(y95.m, y96.m) AS m,
+          round(COALESCE(y95.rev, 0) - COALESCE(y96.rev, 0), 4) AS delta,
+          round(y95.rev / y96.rev, 6) AS ratio
+        FROM y95 FULL OUTER JOIN y96
+          ON y95.prio = y96.prio AND y95.m = y96.m
+        ORDER BY prio, m"""))
   )
 }

@@ -697,6 +697,26 @@ class RegistrySpec extends AnyFunSuite {
       "zero variance: both null like pandas NaN")
   }
 
+  test("frame arithmetic add/div: fill_value on one-sided cells, both-missing stays null") {
+    val l = Seq((1L, Option(10.0)), (2L, Option(20.0)),
+      (3L, Option.empty[Double])).toDF("k", "x")
+    val r = Seq((2L, 5.0), (3L, 7.0), (4L, 9.0)).toDF("k", "x")
+    val added = m(l, "add", "other" -> r, "on" -> List("k"),
+      "fill_value" -> 0.0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(added(1L).contains(10.0), "left-only cell fills right with 0")
+    assert(added(2L).contains(25.0))
+    assert(added(3L).contains(7.0), "left null cell fills with 0, right present")
+    assert(added(4L).contains(9.0), "right-only row appears (full outer)")
+    // no fill: one-sided cells are null, like pandas without fill_value
+    val div = m(l, "div", "other" -> r, "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(div(1L).isEmpty && div(4L).isEmpty)
+    assert(div(2L).contains(4.0))
+  }
+
   test("multi-column explode pairs positionally; mismatched counts raise in-plan") {
     val d = Seq(
       (1L, Seq("a", "b"), Seq(10L, 20L)),
