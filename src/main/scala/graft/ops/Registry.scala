@@ -1828,6 +1828,37 @@ final class Registry(spark: SparkSession) {
       }
       moments.select(explode(array(cells: _*)).as("c"))
         .select(col("c.column"), col("c.corr"))
+    case "reindex" =>
+      // pandas df.reindex(index, method=): conform the frame to a NEW set
+      // of key labels. Distributed contract: the labels arrive as a keys
+      // FRAME (by-group + on columns), pandas' index-as-data. method=None
+      // takes values only at exactly matching labels (left equality join);
+      // ffill/bfill/nearest fill each new label from the nearest original
+      // row at-or-before / at-or-after / closest — merge_asof mechanics
+      // (the same union+carry operator), so off-label originals feed the
+      // fill exactly like pandas' reindex.
+      val keys = asDf(a.require("keys", 0), "keys")
+      val on = asStr(a.require("on", -1), "on")
+      val by = a.get("by", -1).map(asStrList).getOrElse(Nil)
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        df.columns.filterNot(c => c == on || by.contains(c)).toList)
+      require(cs.nonEmpty, "reindex: no value columns")
+      val keySel = keys.select((by :+ on).map(col): _*)
+      a.get("method", -1).map(asStr(_, "method")) match {
+        case None =>
+          keySel.join(df.select(((by :+ on) ++ cs).map(col): _*),
+            by :+ on, "left")
+        case Some(m) =>
+          val fn = m match {
+            case "ffill" | "pad" => graft.operators.AsOfJoin.backward _
+            case "bfill" | "backfill" => graft.operators.AsOfJoin.forward _
+            case "nearest" => graft.operators.AsOfJoin.nearest _
+            case other => throw PipelineError(s"reindex: unknown method '$other'")
+          }
+          val byCol = if (by.isEmpty) lit(0) else struct(by.map(col): _*)
+          fn(keySel, col(on), byCol, df, col(on), byCol,
+            cs.map(c => c -> col(c)), None, true)
+      }
     case "add" | "sub" | "mul" | "div" =>
       // pandas df.add/sub/mul/div(other, fill_value=): element-wise frame
       // arithmetic with ALIGNMENT — rows align on explicit keys (pandas

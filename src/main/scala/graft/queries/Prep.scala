@@ -1760,6 +1760,60 @@ object Prep {
           round(y95.rev / y96.rev, 6) AS ratio
         FROM y95 FULL OUTER JOIN y96
           ON y95.prio = y96.prio AND y95.m = y96.m
-        ORDER BY prio, m"""))
+        ORDER BY prio, m""")),
+
+    // pandas df.reindex(index, method=): conform per-priority daily revenue
+    // onto a NEW every-3rd-day label grid. Snapshot column takes values
+    // only at exactly matching labels; ffill fills each label from the
+    // last original day at-or-before it (merge_asof mechanics, so labels
+    // before a group's first observation stay null).
+    Q("q162_reindex",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val daily = t(s, d, "orders")
+          .filter(col("o_orderdate").between("1995-01-01", "1995-06-30"))
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(25, 4)))
+            .cast(DoubleType).as("rev"))
+        val grid = daily.select(col("prio")).distinct()
+          .select(col("prio"), explode(sequence(
+            to_date(lit("1995-01-01")), to_date(lit("1995-06-30")),
+            expr("interval 3 days"))).as("day"))
+        def re(method: Option[String], alias: String) = {
+          val kw = List("on" -> "day", "by" -> List("prio"),
+            "columns" -> List("rev")) ++ method.map("method" -> _)
+          reg.callMethod(daily, "reindex",
+            graft.expr.Args(pos = List(grid), kw = kw))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+            .withColumnRenamed("rev", alias)
+        }
+        re(None, "rev_exact").join(re(Some("ffill"), "rev_ffill"),
+            Seq("prio", "day"))
+          .select(col("prio"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("rev_exact"), 4).as("rev_exact"),
+            round(col("rev_ffill"), 4).as("rev_ffill"))
+          .orderBy(col("prio"), col("day"))
+      },
+      Some("""
+        WITH g AS (SELECT o_orderpriority AS prio, o_orderdate AS d2,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS rev
+          FROM orders
+          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+          GROUP BY 1, 2),
+        prios AS (SELECT DISTINCT prio FROM g),
+        grid AS (SELECT prio,
+            CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+              TIMESTAMP '1995-06-30', INTERVAL 3 DAY)) AS DATE) AS day
+          FROM prios),
+        exact AS (SELECT grid.prio, grid.day, g.rev
+          FROM grid LEFT JOIN g ON g.prio = grid.prio AND g.d2 = grid.day),
+        filled AS (SELECT grid.prio, grid.day, g.rev
+          FROM grid ASOF LEFT JOIN g
+            ON grid.prio = g.prio AND g.d2 <= grid.day)
+        SELECT e.prio, strftime(e.day, '%Y-%m-%d') AS day,
+          round(e.rev, 4) AS rev_exact, round(f.rev, 4) AS rev_ffill
+        FROM exact e JOIN filled f ON e.prio = f.prio AND e.day = f.day
+        ORDER BY e.prio, day"""))
   )
 }
