@@ -712,6 +712,14 @@ final class Registry(spark: SparkSession) {
     "graft.stream_running_stats" -> { a =>
       graft.streaming.Streams.runningUserStats(asDf(a.require("df", 0), "df"))
     },
+    "graft.stream_enrich" -> { a =>
+      // stream-static dimension enrichment (broadcast static side)
+      graft.streaming.Streams.enrichWithStatic(
+        asDf(a.require("stream", 0), "stream"),
+        asDf(a.require("static", 1), "static"),
+        asStrList(a.require("on", -1)),
+        a.get("how", -1).map(asStr(_, "how")).getOrElse("inner"))
+    },
     "graft.stream_dedup_reference" -> { a =>
       // streaming incremental exact dedup vs a reference corpus (bloom
       // probe; stateless per-row, any output mode)

@@ -198,6 +198,20 @@ object Streams {
       .select(col("l_key").as(key), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment join — the standard dimension-lookup shape:
+    * every micro-batch joins against the static frame (broadcast: dim
+    * tables are the small side by construction, and Spark re-resolves the
+    * static plan per batch, so a slowly-refreshed dim just works). Only
+    * inner/left are meaningful with a streaming left side; Spark rejects
+    * the rest at analysis anyway, this surfaces it as a config error.
+    */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame,
+                       on: Seq[String], joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"enrichWithStatic: joinType must be inner/left, got '$joinType'")
+    stream.join(org.apache.spark.sql.functions.broadcast(static), on, joinType)
+  }
+
   /** Drive a streaming frame to a memory sink synchronously (test/dev
     * harness): processes everything available, then stops.
     */

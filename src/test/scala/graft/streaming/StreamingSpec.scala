@@ -47,6 +47,29 @@ class StreamingSpec extends AnyFunSuite {
       "a failed nanosAsLong retry must restore the prior conf before rethrowing")
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    val stream = Streams.eventsStream(spark, streamDir)
+    // static dim: per-user tag derived from the same fixture
+    val dim = Q.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    Streams.runToMemory(
+      Streams.enrichWithStatic(stream, dim, Seq("user_id"), "left")
+        .groupBy("tier").count(),
+      "enriched_counts", outputMode = "complete")
+    val streamed = spark.table("enriched_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Q.t(spark, TestSpark.sfDir, "events")
+      .join(dim, Seq("user_id"), "left")
+      .groupBy("tier").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assertThrows[IllegalArgumentException] {
+      Streams.enrichWithStatic(stream, dim, Seq("user_id"), "full_outer")
+    }
+  }
+
   test("windowed streaming agg over events matches the batch equivalent") {
     val stream = Streams.eventsStream(spark, streamDir)
     assert(stream.isStreaming)
