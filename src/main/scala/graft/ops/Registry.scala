@@ -1705,8 +1705,12 @@ final class Registry(spark: SparkSession) {
       // decimals so the result is partition-order independent, rounded to 6
       // places. cov is the sample covariance (ddof=1, pandas default); its
       // diagonal is each column's variance over its own non-null rows.
+      // optional by= -> pandas groupby().corr()/cov(): the SAME one-pass
+      // aggregation keyed on the group columns — p^2 tiny rows per group
+      val by = a.get("by", -1).map(asStrList).getOrElse(Nil)
       val cs = a.get("columns", -1).map(asStrList).getOrElse(
-        df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
+        df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType] &&
+          !by.contains(f.name)).map(_.name).toList)
       require(cs.size >= 2, s"$name needs >= 2 numeric columns")
       // moment aliases key on column INDICES (names may contain '__')
       def nm(tag: String, i: Int, j: Int): String = s"__${tag}_${i}_$j"
@@ -1728,7 +1732,7 @@ final class Registry(spark: SparkSession) {
       } ++ cs.indices.map { i =>
         col(cs(i)).cast(DoubleType).as(nm("pd", i, i))
       }
-      val projected = df.select(proj: _*)
+      val projected = df.select((by.map(col) ++ proj): _*)
       val aggs = pairIdx.map { case (i, j) =>
         graft.expressions.CoMoments(
           col(nm("px", i, j)), col(nm("py", i, j))).as(nm("cm", i, j))
@@ -1755,7 +1759,10 @@ final class Registry(spark: SparkSession) {
           s.getField("sx").as(nm("ds", i, i)),
           s.getField("sxx").as(nm("dss", i, i)))
       }
-      val moments = projected.agg(aggs.head, aggs.tail: _*).select(flat: _*)
+      val moments =
+        (if (by.isEmpty) projected.agg(aggs.head, aggs.tail: _*)
+         else projected.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*))
+          .select((by.map(col) ++ flat): _*)
       def corrOf(i: Int, j: Int): Column = {
         def g(tag: String) = col(s"__${tag}_${i}_$j")
         val (n, sx, sy) = (g("n"), g("sx"), g("sy"))
@@ -1791,8 +1798,9 @@ final class Registry(spark: SparkSession) {
           else cellOf(j, i)
         struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"), v.as(name))
       })
-      moments.select(explode(array(cells: _*)).as("c"))
-        .select(col("c.col_a"), col("c.col_b"), col(s"c.$name"))
+      moments.select((by.map(col) :+ explode(array(cells: _*)).as("c")): _*)
+        .select((by.map(col) ++
+          Seq(col("c.col_a"), col("c.col_b"), col(s"c.$name"))): _*)
     case "corrwith" =>
       // pandas df.corrwith(other): Pearson corr between same-named columns
       // of two frames, rows aligned pairwise. pandas aligns on the index;

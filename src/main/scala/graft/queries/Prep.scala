@@ -272,6 +272,41 @@ object Prep {
           UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM c) t
         ORDER BY col_a, col_b""")),
 
+    // pandas groupby().corr(): the SAME one-pass co-moment aggregation as
+    // q80, keyed on the group column — per-group tidy matrices, p^2 tiny
+    // rows per group, never a per-group scan.
+    Q("q163_groupby_corr",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        reg.callMethod(li, "corr", graft.expr.Args(kw = List(
+          "by" -> List("l_returnflag"),
+          "columns" -> List("l_quantity", "l_extendedprice"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"), col("col_a"), col("col_b"))
+      },
+      Some("""
+        WITH m AS (SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sp,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(35,6))) AS DOUBLE) AS sqq,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS spp,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(35,6))) AS DOUBLE) AS sqp
+          FROM lineitem GROUP BY 1),
+        c AS (SELECT l_returnflag,
+            round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS cr
+          FROM m)
+        SELECT l_returnflag, col_a, col_b, corr FROM (
+          SELECT l_returnflag, 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+            1.0 AS corr FROM c
+          UNION ALL SELECT l_returnflag, 'l_quantity', 'l_extendedprice', cr FROM c
+          UNION ALL SELECT l_returnflag, 'l_extendedprice', 'l_quantity', cr FROM c
+          UNION ALL SELECT l_returnflag, 'l_extendedprice', 'l_extendedprice',
+            1.0 FROM c) t
+        ORDER BY l_returnflag, col_a, col_b""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
