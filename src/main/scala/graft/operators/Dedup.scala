@@ -344,6 +344,31 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Near-dup removal keeping each cluster's BEST row by a score column
+    * (quality, length, recency — whatever the pipeline ranks by) instead of
+    * the arbitrary min-id: what production corpus dedup actually wants,
+    * since the cluster representative is the one copy that survives
+    * training. Ties break on id ascending for determinism. Shape: clusters
+    * as in [[dedupByMinhash]]; the per-cluster argmax is ONE max_by
+    * aggregate over (cluster_rep, score, id) rows — map-side partials, no
+    * window over member lists, no per-cluster sort.
+    */
+  def dedupByMinhashKeepBest(df: DataFrame, idCol: String, textCol: String,
+                             scoreCol: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val cl = clusters(pairs, Some(df.select(idCol)))
+    // (id, cluster) joined to scores; argmax per cluster via max_by over a
+    // struct ordered (score, -id): struct comparison is lexicographic, so
+    // ties on score pick the SMALLEST id deterministically
+    val scored = df.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("__s"))
+      .join(cl, Seq("id"))
+    val best = scored.groupBy(col("cluster_rep"))
+      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep_id"))
+    df.join(best.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard for a GIVEN candidate pair list: the shingle
     * inverted index is first restricted (semi-join) to ids that appear in a
     * candidate pair, so the common-shingle self-join is bounded by the

@@ -2521,6 +2521,17 @@ final class Registry(spark: SparkSession) {
       val joined = df.join(rRen, keys, "full_outer")
       overlap.foldLeft(joined)((d, c) =>
         d.withColumn(c, coalesce(col(c), col(s"__cf_$c"))).drop(s"__cf_$c"))
+    case "pivot" =>
+      // pandas df.pivot(index=, columns=, values=): strict no-agg reshape —
+      // sugar over unstack with pandas' argument names (duplicate cells
+      // raise identically).
+      dfMethod(df, "unstack", Args(
+        pos = Nil,
+        kw = List(
+          "index" -> a.require("index", -1),
+          "column" -> a.require("columns", -1),
+          "value" -> a.require("values", -1)) ++
+          a.get("pivot_values", -1).map("pivot_values" -> _).toList))
     case "unstack" =>
       // pandas long->wide reshape WITHOUT aggregation: the no-agg sibling of
       // pivot_table, i.e. df.set_index(index + [column]).unstack() — every

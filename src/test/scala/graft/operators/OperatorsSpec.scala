@@ -699,6 +699,21 @@ class ClusterSpec extends AnyFunSuite {
     assert(!kept.contains(2L), "exact dup must be dropped")
     assert(kept.size <= 3)
   }
+
+  test("dedupByMinhashKeepBest keeps the highest-score cluster member, ties to min id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", 0.2),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", 0.9),
+      (3L, "the quick brown fox jumps over the lazy dog again and once", 0.9),
+      (4L, "completely unrelated text about catalyst optimizer internals here", 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupByMinhashKeepBest(docs, "doc_id", "text",
+      "quality", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,3 cluster (chain through the exact dup); best score 0.9 is shared
+    // by 2 and 3 -> tie breaks to the SMALLER id 2, never min-id 1
+    assert(kept == Set(2L, 4L), s"got $kept")
+  }
 }
 
 class EmbeddingDedupSpec extends AnyFunSuite {

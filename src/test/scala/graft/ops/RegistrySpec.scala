@@ -697,6 +697,25 @@ class RegistrySpec extends AnyFunSuite {
       "zero variance: both null like pandas NaN")
   }
 
+  test("pivot: pandas argument names over the unstack core; duplicate cells raise") {
+    val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("i", "c", "v")
+    val wide = m(d, "pivot", "index" -> List("i"), "columns" -> "c",
+      "values" -> "v", "pivot_values" -> List("x", "y"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("i").collect()
+    assert(wide(0).getDouble(1) == 1.0 && wide(0).getDouble(2) == 2.0)
+    assert(wide(1).getDouble(1) == 3.0 && wide(1).isNullAt(2))
+    val dup = d.unionByName(d.limit(1))
+    val e = intercept[Exception] {
+      m(dup, "pivot", "index" -> List("i"), "columns" -> "c",
+        "values" -> "v", "pivot_values" -> List("x", "y"))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("duplicate"))
+  }
+
   test("frame arithmetic add/div: fill_value on one-sided cells, both-missing stays null") {
     val l = Seq((1L, Option(10.0)), (2L, Option(20.0)),
       (3L, Option.empty[Double])).toDF("k", "x")
