@@ -272,6 +272,30 @@ object Prep {
           UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM c) t
         ORDER BY col_a, col_b""")),
 
+    // pandas df.pivot(index=, columns=, values=): the strict no-agg
+    // reshape under its own name — sugar over the unstack core, gated on a
+    // DIFFERENT measure than q88 so both rows stay independent.
+    Q("q160_pivot",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val long = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+        reg.callMethod(long, "pivot", graft.expr.Args(kw = List(
+          "index" -> List("l_returnflag"), "columns" -> "l_linestatus",
+          "values" -> "n", "pivot_values" -> List("F", "O"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH lng AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag,
+          MAX(CASE WHEN l_linestatus = 'F' THEN n END) AS "F",
+          MAX(CASE WHEN l_linestatus = 'O' THEN n END) AS "O"
+        FROM lng GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // pandas groupby().corr(): the SAME one-pass co-moment aggregation as
     // q80, keyed on the group column — per-group tidy matrices, p^2 tiny
     // rows per group, never a per-group scan.
