@@ -720,6 +720,16 @@ final class Registry(spark: SparkSession) {
         asStrList(a.require("on", -1)),
         a.get("how", -1).map(asStr(_, "how")).getOrElse("inner"))
     },
+    "graft.stream_simhash_pairs" -> { a =>
+      // streaming incremental near-dup candidates (stateful banding)
+      graft.streaming.Streams.streamingSimhashPairs(
+        asDf(a.require("stream", 0), "stream"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(12),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
+        maxBucket = a.get("max_bucket", -1).map(asInt(_, "max_bucket")).getOrElse(10000))
+    },
     "graft.stream_dedup_reference" -> { a =>
       // streaming incremental exact dedup vs a reference corpus (bloom
       // probe; stateless per-row, any output mode)

@@ -150,6 +150,69 @@ object Streams {
   /** Per-user running state maintained across micro-batches. */
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class SimhashBucket(ids: Seq[Long], sigs: Seq[Long])
+  final case class SimPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** STREAMING near-dup candidate detection — the incremental twin of
+    * [[graft.operators.Dedup.simhashPairs]]: per-row scalar SimHash
+    * signatures (SimhashDoc, zero-shuffle) band into (band, bval) buckets;
+    * a stateful flatMap keyed on the bucket keeps up to `maxBucket`
+    * (id, sig) members and emits (id_a, id_b, hamming) the moment a new
+    * doc lands within `maxHamming` of an existing member. Same banding
+    * recall as the batch operator (>= 1 agreeing band), same hot-bucket
+    * cap bounding state. A pair can surface from several agreeing bands —
+    * consumers dedup downstream, exactly like the batch distinct.
+    */
+  def streamingSimhashPairs(stream: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int, bands: Int = 8,
+                            maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sig = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SimhashDoc(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol))))
+    val banded = stream.select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+              .as("bval"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+    banded.groupByKey { case (band, bval, _, _) => (band, bval) }
+      .flatMapGroupsWithState[SimhashBucket, SimPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[SimhashBucket]) =>
+          val prev = state.getOption.getOrElse(SimhashBucket(Nil, Nil))
+          var ids = prev.ids.toList
+          var sigs = prev.sigs.toList
+          val out = scala.collection.mutable.ArrayBuffer[SimPair]()
+          rows.foreach { case (_, _, id, s) =>
+            var i = ids
+            var g = sigs
+            while (i.nonEmpty) {
+              val (oid, osig) = (i.head, g.head)
+              if (oid != id) {
+                val h = java.lang.Long.bitCount(s ^ osig)
+                if (h <= maxHamming)
+                  out += (if (oid < id) SimPair(oid, id, h)
+                          else SimPair(id, oid, h))
+              }
+              i = i.tail; g = g.tail
+            }
+            if (ids.size < maxBucket) { ids = id :: ids; sigs = s :: sigs }
+          }
+          state.update(SimhashBucket(ids, sigs))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Arbitrary stateful processing via flatMapGroupsWithState: a running
     * per-user (count, sum) updated each micro-batch — the escape hatch for
     * stream logic the built-in windowed aggregates can't express. State is

@@ -70,6 +70,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming simhash near-dup pairs match the batch banding operator") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    Streams.runToMemory(
+      Streams.streamingSimhashPairs(stream, "doc_id", "text",
+        maxHamming = 12, bands = 8),
+      "stream_sim_pairs")
+    val streamed = spark.table("stream_sim_pairs")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.simhashPairs(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"),
+      "doc_id", "text", maxHamming = 12, bands = 8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs != batch ${batch.size}")
+    assert(streamed.nonEmpty, "fixture must contain near-dups")
+  }
+
   test("windowed streaming agg over events matches the batch equivalent") {
     val stream = Streams.eventsStream(spark, streamDir)
     assert(stream.isStreaming)
