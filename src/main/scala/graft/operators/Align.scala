@@ -31,6 +31,10 @@ object Align {
   def concatColumns(dfs: Seq[DataFrame]): DataFrame =
     concatColumns(dfs, orderBy = Nil)
 
+  /** pandas join='inner': keep only positions present in EVERY frame (the
+    * shortest frame's row count) instead of outer null-padding.
+    */
+
   /** As [[concatColumns]], but when `orderBy` names columns present in every
     * frame, positions come from the explicit key order — staying entirely
     * inside Catalyst (codegen, column pruning, AQE), where the RDD
@@ -52,7 +56,10 @@ object Align {
     * row per shuffle partition, bounded by spark.sql.shuffle.partitions,
     * never by the data.
     */
-  def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String]): DataFrame = {
+  def concatColumns(dfs: Seq[DataFrame], orderBy: Seq[String],
+                    join: String = "outer"): DataFrame = {
+    require(Seq("outer", "inner").contains(join),
+      s"concat axis=1: join must be outer/inner, got '$join'")
     require(dfs.nonEmpty, "concatColumns needs at least one frame")
     orderBy.foreach(c => require(dfs.forall(_.columns.contains(c)),
       s"concat axis=1: order key '$c' must exist in every frame"))
@@ -78,7 +85,8 @@ object Align {
         df.toDF(newNames.toIndexedSeq: _*)
       }
     }
-    val joined = deduped.reduce((l, r) => l.join(r, Seq(POS), "full_outer"))
+    val joinType = if (join == "inner") "inner" else "full_outer"
+    val joined = deduped.reduce((l, r) => l.join(r, Seq(POS), joinType))
     joined.drop(POS)
   }
 

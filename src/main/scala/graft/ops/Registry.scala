@@ -344,7 +344,8 @@ final class Registry(spark: SparkSession) {
           // row_number); without, inputs must carry a deterministic row
           // order — see Align scaladoc
           graft.operators.Align.concatColumns(objs,
-            a.get("order_by", -1).map(asStrList).getOrElse(Nil))
+            a.get("order_by", -1).map(asStrList).getOrElse(Nil),
+            a.get("join", -1).map(asStr(_, "join")).getOrElse("outer"))
         case _ =>
           objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
       }

@@ -631,6 +631,19 @@ class AlignSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("x", 1, 10.5), ("y", 2, 20.5), ("z", 3, null)))
   }
 
+  test("concatColumns join='inner' keeps only positions present in every frame") {
+    val a = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("name", "v")
+    val b = Seq(10.5, 20.5).toDF("w")
+    val out = Align.concatColumns(Seq(a, b), orderBy = Nil, join = "inner")
+      .orderBy("v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("x", 1, 10.5), ("y", 2, 20.5)),
+      "the unmatched third position must drop, not null-pad")
+    assertThrows[IllegalArgumentException] {
+      Align.concatColumns(Seq(a, b), Nil, join = "right")
+    }
+  }
+
   test("duplicate column names get a positional suffix (documented divergence)") {
     val a = Seq(1).toDF("v")
     val b = Seq(2).toDF("v")
