@@ -428,15 +428,38 @@ final class Registry(spark: SparkSession) {
     "pd.date_range" -> { a =>
       // calendar spine generator (pandas date_range): inclusive endpoints,
       // stride from `start` — anchored frequencies (W-MON etc.) belong to
-      // Grouper; this is the plain D/H/min spine pipelines join against
+      // Grouper; this is the plain D/H/min spine pipelines join against.
+      // pandas' periods= form (start + count, no end) computes the
+      // inclusive end as start + (periods-1) strides.
       val start = asStr(a.require("start", 0), "start")
-      val end = asStr(a.require("end", 1), "end")
-      val step = a.get("freq", 2).map(asStr(_, "freq")).getOrElse("D") match {
-        case "D" => "interval 1 day"
-        case "H" | "h" => "interval 1 hour"
-        case "T" | "min" => "interval 1 minute"
+      val freqName = a.get("freq", 2).map(asStr(_, "freq")).getOrElse("D")
+      val (unit, step) = freqName match {
+        case "D" => ("day", "interval 1 day")
+        case "H" | "h" => ("hour", "interval 1 hour")
+        case "T" | "min" => ("minute", "interval 1 minute")
         case other => throw PipelineError(
           s"date_range: unsupported freq '$other' (D/H/min; anchored weeks -> pd.Grouper)")
+      }
+      val end = (a.get("end", 1), a.get("periods", -1)) match {
+        case (Some(e), None) => asStr(e, "end")
+        case (None, Some(p)) =>
+          val n = asInt(p, "periods")
+          require(n >= 1, "date_range: periods must be >= 1")
+          // computed driver-side from literals: tiny and plan-embeddable
+          java.time.LocalDateTime.parse(
+            (if (start.contains(" ") || start.contains("T")) start
+             else s"${start}T00:00:00").replace(' ', 'T'))
+            .plus((n - 1).toLong, unit match {
+              case "day" => java.time.temporal.ChronoUnit.DAYS
+              case "hour" => java.time.temporal.ChronoUnit.HOURS
+              case _ => java.time.temporal.ChronoUnit.MINUTES
+            })
+            .toString.replace('T', ' ')
+        case (Some(_), Some(_)) => throw PipelineError(
+          "date_range: pass end OR periods, not both (pandas needs exactly " +
+            "two of start/end/periods; start is required here)")
+        case (None, None) => throw PipelineError(
+          "date_range: need end= or periods=")
       }
       // pandas returns an EMPTY DatetimeIndex when end < start; Spark's
       // sequence() instead throws (step sign must match direction), so

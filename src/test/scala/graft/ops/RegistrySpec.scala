@@ -697,6 +697,25 @@ class RegistrySpec extends AnyFunSuite {
       "zero variance: both null like pandas NaN")
   }
 
+  test("date_range periods=: start + count, inclusive; end XOR periods enforced") {
+    val days = reg.callFunction("pd.date_range", Args(
+      pos = List("2024-01-01"), kw = List("periods" -> 5L, "freq" -> "D")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect().map(_.getTimestamp(0).toString)
+    assert(days.length == 5)
+    assert(days.head.startsWith("2024-01-01") && days.last.startsWith("2024-01-05"))
+    val hours = reg.callFunction("pd.date_range", Args(
+      pos = List("2024-01-01 06:00:00"), kw = List("periods" -> 3L, "freq" -> "H")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("ts").collect().map(_.getTimestamp(0).toString)
+    assert(hours.length == 3 && hours.last.startsWith("2024-01-01 08:00"))
+    val e = intercept[Exception] {
+      reg.callFunction("pd.date_range", Args(
+        pos = List("2024-01-01", "2024-01-10"), kw = List("periods" -> 5L)))
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("pivot: pandas argument names over the unstack core; duplicate cells raise") {
     val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
       .toDF("i", "c", "v")
