@@ -205,6 +205,15 @@ object ScaleStress {
       cell("q152_containment", f, nd)(
         Dedup.containmentPairs(d, "doc_id", "text", n = 3,
           threshold = 0.8).count())
+      // pairs -> GraphX connected components: replica blocks never
+      // cross-match, so component count grows exactly linearly and
+      // diameter stays constant — Pregel rounds should NOT grow with the
+      // factor, only the linear vertex/edge volume
+      cell("q164_clusters", f, nd)(
+        Dedup.clusters(
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.2)
+            .select(col("id_a"), col("id_b")),
+          Some(d.select(col("doc_id")))).count())
       // bounded sketch: one linear map-side pass folds to k=256 counters
       // per partition, candidates broadcast back — output rows CONSTANT
       // across factors (replica suffixing splits words into per-replica
