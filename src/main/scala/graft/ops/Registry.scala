@@ -2850,7 +2850,50 @@ final class Registry(spark: SparkSession) {
         case other => throw PipelineError(s"agg: unsupported arg ${tn(other)}")
       }
     case fn if aggFns.contains(fn) => aggAll(g, fn)
-    case "size" => g.df.groupBy(g.keyCols: _*).count().withColumnRenamed("count", "size")
+    case "describe" =>
+      // pandas groupby().describe(): count/mean/std/min/quartiles/max per
+      // numeric column per group, flat {col}_{stat} naming (pandas'
+      // MultiIndex flattened). Mean/std from exact decimal sums (the q19
+      // contract — partition-order independent, oracle-mirrorable),
+      // quartiles from Spark's EXACT percentile (linear interpolation =
+      // pandas default = DuckDB quantile_cont). One aggregation pass.
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        g.df.schema.fields.filterNot(f => g.keyNames.contains(f.name))
+          .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
+      require(cs.nonEmpty, "describe: no numeric columns")
+      val aggs = cs.flatMap { c =>
+        val x = col(c).cast(DoubleType)
+        val dec = (e: Column) => e.cast(DecimalType(38, 6))
+        val n = count(x).cast(DoubleType)
+        val sx = sum(dec(x)).cast(DoubleType)
+        val sxx = sum(dec(x * x)).cast(DoubleType)
+        Seq(
+          count(x).as(s"${c}_count"),
+          round(sx / n, 6).as(s"${c}_mean"),
+          round(sqrt(when(n > 1, (n * sxx - sx * sx) / (n * (n - 1)))), 6)
+            .as(s"${c}_std"),
+          min(x).as(s"${c}_min"),
+          round(expr(s"percentile(`$c`, 0.25)"), 6).as(s"${c}_p25"),
+          round(expr(s"percentile(`$c`, 0.5)"), 6).as(s"${c}_p50"),
+          round(expr(s"percentile(`$c`, 0.75)"), 6).as(s"${c}_p75"),
+          max(x).as(s"${c}_max"))
+      }
+      g.df.groupBy(g.keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    case "str_cat" =>
+      // pandas groupby()[col].apply(' '.join) / str.cat: reassemble group
+      // members into one string in an EXPLICIT deterministic order (the
+      // distributed ordering contract) — the chunk->document reassembly
+      // idiom. collect_list carries (order, value) structs, sorts
+      // array-locally per group, then joins: no window, one aggregation.
+      val c = asStr(a.require("column", 0), "column")
+      val sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse(" ")
+      val orderBy = asStrList(a.require("order_by", -1))
+      val pairs = collect_list(struct(
+        (orderBy.map(col) :+ col(c).as("__v")): _*))
+      g.df.groupBy(g.keyCols: _*)
+        .agg(array_join(
+          transform(array_sort(pairs), e => e.getField("__v")), sep)
+          .as(s"${c}_cat"))
     case "quantile" =>
       // pandas groupby().quantile(q, interpolation='linear'): EXACT
       // per-group quantiles. Spark's `percentile` aggregate is the exact

@@ -331,6 +331,65 @@ object Prep {
             1.0 FROM c) t
         ORDER BY l_returnflag, col_a, col_b""")),
 
+    // pandas groupby().describe(): count/mean/std/min/quartiles/max per
+    // group from one aggregation pass — mean/std from exact decimal sums,
+    // quartiles from the exact percentile (= DuckDB quantile_cont).
+    Q("q165_groupby_describe",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast(DoubleType).as("qty"))
+        val g = reg.callMethod(li, "groupby", graft.expr.Args(kw = List(
+          "by" -> List("l_returnflag"))))
+        reg.callMethod(g, "describe", graft.expr.Args(kw = List(
+          "columns" -> List("qty"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH m AS (SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(q*q AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            MIN(q) AS mn, MAX(q) AS mx,
+            round(quantile_cont(q, 0.25), 6) AS p25,
+            round(quantile_cont(q, 0.5), 6) AS p50,
+            round(quantile_cont(q, 0.75), 6) AS p75
+          FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+                FROM lineitem)
+          GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS qty_count,
+          round(sx / n, 6) AS qty_mean,
+          round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS qty_std,
+          mn AS qty_min, p25 AS qty_p25, p50 AS qty_p50, p75 AS qty_p75,
+          mx AS qty_max
+        FROM m ORDER BY l_returnflag""")),
+
+    // pandas groupby str.cat / ' '.join: chunk->document reassembly in an
+    // explicit deterministic order. The gate chunks every document into
+    // 10-word pieces and concatenates them back — any ordering slip breaks
+    // the word-for-word equality with the normalized original.
+    Q("q166_group_str_cat",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        val chunks = t(s, d, "documents").select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 10 + 1, lit(10)), " "))))
+          .toDF("doc_id", "chunk_idx", "chunk")
+        val g = reg.callMethod(chunks, "groupby", graft.expr.Args(kw = List(
+          "by" -> List("doc_id"))))
+        reg.callMethod(g, "str_cat", graft.expr.Args(
+          pos = List("chunk"), kw = List("order_by" -> List("chunk_idx"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          array_to_string(regexp_extract_all(text, '\S+'), ' ') AS chunk_cat
+        FROM documents ORDER BY doc_id""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
