@@ -2294,8 +2294,13 @@ final class Registry(spark: SparkSession) {
       // all-zero rows like pandas with CategoricalDtype. Original column
       // dropped, like pandas.
       val c = asStr(a.require("column", 0), "column")
-      val cats = asStrList(a.require("categories", -1))
+      val cats0 = asStrList(a.require("categories", -1))
       val prefix = a.get("prefix", -1).map(asStr(_, "prefix")).getOrElse(c)
+      // pandas drop_first=True: drop the first category's column (the
+      // reference level for regression designs); with explicit categories
+      // "first" is the list's head, deterministic by construction
+      val cats = if (a.get("drop_first", -1).exists(asBool(_, default = false)))
+        cats0.drop(1) else cats0
       cats.foldLeft(df)((d, cat) =>
         d.withColumn(s"${prefix}_$cat", when(col(c) === lit(cat), 1).otherwise(0)))
         .drop(c)

@@ -538,6 +538,12 @@ class RegistrySpec extends AnyFunSuite {
     assert(dum.columns.toSeq == Seq("id", "k_x", "k_z"), "original column dropped")
     val r3 = dum.filter(col("id") === 3).collect().head
     assert(r3.getInt(1) == 0 && r3.getInt(2) == 0, "unseen category row is all zeros")
+    // drop_first=True: the first listed category is the reference level
+    val df1 = m(d, "get_dummies", "column" -> "k",
+      "categories" -> List("x", "y", "z"), "drop_first" -> true)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(df1.columns.toSeq == Seq("id", "k_y", "k_z"),
+      "first category's column dropped")
   }
 
   test("replace remaps listed values only; str_extract nulls non-matches") {
