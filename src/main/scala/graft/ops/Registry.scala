@@ -2750,7 +2750,10 @@ final class Registry(spark: SparkSession) {
       }
     case "melt" =>
       val idVars = asStrList(a.require("id_vars", -1))
-      val valueVars = asStrList(a.require("value_vars", -1))
+      // pandas default: every non-id column melts
+      val valueVars = a.get("value_vars", -1).map(asStrList).getOrElse(
+        df.columns.filterNot(idVars.contains).toList)
+      require(valueVars.nonEmpty, "melt: no value_vars to melt")
       // quote/escape: pivoted frames name columns from data values, which
       // may carry quotes or backticks (same hardening as nunique)
       val stackArgs = valueVars.map(v =>
