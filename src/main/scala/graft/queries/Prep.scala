@@ -390,6 +390,87 @@ object Prep {
           array_to_string(regexp_extract_all(text, '\S+'), ' ') AS chunk_cat
         FROM documents ORDER BY doc_id""")),
 
+    // pandas ffill/bfill under the explicit-ordering contract, oracle-gated
+    // (previously spec-only): per-user event values with every 7th spiked
+    // null — forward fill carries the last observation, backward fill the
+    // next, leading/trailing gaps stay null on their respective sides.
+    Q("q167_ffill_bfill",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val v = when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value"))
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), v.as("vf"), v.as("vb"))
+        val kw = (c: String) => List("columns" -> List(c),
+          "order_by" -> List("event_id"), "partition_by" -> List("user_id"))
+        val f = reg.callMethod(base, "ffill", graft.expr.Args(kw = kw("vf")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(f, "bfill", graft.expr.Args(kw = kw("vb")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), col("event_id"),
+            round(col("vf"), 6).as("vf"), round(col("vb"), 6).as("vb"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+          FROM events)
+        SELECT user_id, event_id,
+          round(last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS vf,
+          round(first_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS vb
+        FROM e ORDER BY user_id, event_id""")),
+
+    // pandas df.where / df.mask, oracle-gated (previously spec-only): the
+    // condition materializes ONCE against the original values, so where and
+    // its complement mask partition every row between them exactly.
+    Q("q168_where_mask",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("w"),
+          col("l_quantity").cast(DoubleType).as("m"))
+        val r1 = reg.callMethod(base, "where", graft.expr.Args(
+          pos = List("w > 25"), kw = List("columns" -> List("w"),
+            "other" -> 0.0)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(r1, "mask", graft.expr.Args(
+          pos = List("m > 25"), kw = List("columns" -> List("m"),
+            "other" -> 0.0)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("w"), col("m"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN CAST(l_quantity AS DOUBLE) > 25
+               THEN CAST(l_quantity AS DOUBLE) ELSE 0.0 END AS w,
+          CASE WHEN CAST(l_quantity AS DOUBLE) > 25
+               THEN 0.0 ELSE CAST(l_quantity AS DOUBLE) END AS m
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, w, m""")),
+
+    // pandas str.extract, oracle-gated (previously spec-only): first
+    // capture group, no-match rows null (pandas NaN, not empty string).
+    Q("q169_str_extract",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "str_extract", graft.expr.Args(pos = List("text"),
+            kw = List("pattern" -> "([a-z]{6,})")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("doc_id"), col("text_extract"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          NULLIF(regexp_extract(text, '([a-z]{6,})', 1), '') AS text_extract
+        FROM documents ORDER BY doc_id""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
