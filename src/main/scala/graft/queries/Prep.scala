@@ -471,6 +471,38 @@ object Prep {
           NULLIF(regexp_extract(text, '([a-z]{6,})', 1), '') AS text_extract
         FROM documents ORDER BY doc_id""")),
 
+    // pandas shift/diff/cumsum under the ordering contract, oracle-gated
+    // (previously spec-only): lag, first-difference, and the running sum
+    // per user in event order; group heads null for shift/diff.
+    Q("q170_shift_diff_cumsum",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("value").as("v_sh"), col("value").as("v_df"),
+          col("value").as("v_cs"))
+        val kw = (c: String) => List("columns" -> List(c),
+          "order_by" -> List("event_id"), "partition_by" -> List("user_id"))
+        val r1 = reg.callMethod(base, "shift", graft.expr.Args(kw = kw("v_sh")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val r2 = reg.callMethod(r1, "diff", graft.expr.Args(kw = kw("v_df")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(r2, "cumsum", graft.expr.Args(kw = kw("v_cs")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), col("event_id"),
+            round(col("v_sh"), 6).as("v_sh"), round(col("v_df"), 6).as("v_df"),
+            round(col("v_cs"), 6).as("v_cs"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          round(lag(value) OVER w, 6) AS v_sh,
+          round(value - lag(value) OVER w, 6) AS v_df,
+          round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_cs
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ORDER BY user_id, event_id""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
