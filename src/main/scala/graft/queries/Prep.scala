@@ -503,6 +503,30 @@ object Prep {
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         ORDER BY user_id, event_id""")),
 
+    // pandas df.replace(dict), oracle-gated (previously spec-only): listed
+    // values remap, everything else passes through untouched.
+    Q("q171_replace",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus")),
+          "replace", graft.expr.Args(kw = List(
+            "columns" -> List("l_returnflag"),
+            "to_replace" -> Map("A" -> "ACCEPTED", "R" -> "RETURNED"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CASE l_returnflag WHEN 'A' THEN 'ACCEPTED'
+                            WHEN 'R' THEN 'RETURNED'
+                            ELSE l_returnflag END AS l_returnflag,
+          l_linestatus
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
