@@ -527,6 +527,43 @@ object Prep {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""")),
 
+    // CSV sink + source round trip, oracle-gated: a deterministic orders
+    // slice writes through the single-file CSV sink and reads back through
+    // pd.read_csv (parse_dates + dtype-at-parse); the oracle reads the
+    // same slice straight from parquet, so any formatting or parsing loss
+    // in either direction breaks the hash. Prices travel as DECIMAL(15,2)
+    // text (no scientific notation) and compare as double.
+    Q("q172_csv_roundtrip",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val slice = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(15, 2)).as("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q172_roundtrip.csv").getAbsolutePath
+        graft.ops.Sinks.writeSingleCsv(slice, path)
+        reg.callFunction("pd.read_csv", graft.expr.Args(
+          pos = List(path), kw = List(
+            "parse_dates" -> List("o_orderdate"),
+            "dtype" -> Map("o_totalprice" -> "float"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast(DoubleType).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+          o_orderpriority,
+          CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
