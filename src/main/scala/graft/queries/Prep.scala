@@ -564,6 +564,37 @@ object Prep {
         FROM orders WHERE o_orderkey % 100 = 0
         ORDER BY o_orderkey""")),
 
+    // JSON-lines sink + source round trip, same contract as q172: write a
+    // deterministic slice with to_json, read it back with pd.read_json
+    // (lines=True), compare against parquet truth. Dates travel as
+    // yyyy-MM-dd strings (JSON has no date type), prices as DECIMAL text.
+    Q("q173_json_roundtrip",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val slice = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 === 50)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(15, 2)).as("o_totalprice"))
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q173_roundtrip_json").getAbsolutePath
+        reg.callMethod(slice, "to_json",
+          graft.expr.Args(pos = List(path)))
+        reg.callFunction("pd.read_json", graft.expr.Args(pos = List(path)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderkey"), col("day"), col("o_orderpriority"),
+            col("o_totalprice").cast(DoubleType).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+          o_orderpriority,
+          CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 100 = 50
+        ORDER BY o_orderkey""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
