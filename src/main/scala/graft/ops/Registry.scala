@@ -1270,7 +1270,21 @@ final class Registry(spark: SparkSession) {
         case Some(l: List[_]) => l.map(asBool(_, true))
         case _ => List.fill(by.size)(true)
       }
-      df.orderBy(by.zip(asc).map { case (c, up) => if (up) col(c).asc else col(c).desc }: _*)
+      // pandas na_position='last' is the DEFAULT in both directions —
+      // Spark's bare asc/desc would put nulls first on ascending sorts
+      val naLast = a.get("na_position", -1)
+        .map(asStr(_, "na_position")).getOrElse("last") match {
+        case "last" => true
+        case "first" => false
+        case other => throw PipelineError(
+          s"sort_values: na_position must be first/last, got '$other'")
+      }
+      df.orderBy(by.zip(asc).map { case (c, up) => (up, naLast) match {
+        case (true, true) => col(c).asc_nulls_last
+        case (true, false) => col(c).asc_nulls_first
+        case (false, true) => col(c).desc_nulls_last
+        case (false, false) => col(c).desc_nulls_first
+      } }: _*)
     case "head" => df.limit(a.get("n", 0).map(asInt(_, "n")).getOrElse(5))
     case "limit" => df.limit(asInt(a.require("n", 0), "n"))
     case "drop_duplicates" =>

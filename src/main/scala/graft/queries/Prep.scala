@@ -595,6 +595,30 @@ object Prep {
         FROM orders WHERE o_orderkey % 100 = 50
         ORDER BY o_orderkey""")),
 
+    // pandas sort_values NaN placement: na_position='last' by default in
+    // BOTH directions (Spark's bare ascending sort would lead with nulls).
+    // Spiked nulls + a descending primary key with ascending tiebreaks pin
+    // the row ORDER the driver hashes.
+    Q("q174_sort_na_position",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 500 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_linenumber") === 2, lit(null))
+              .otherwise(col("l_quantity").cast(DoubleType)).as("qty"))
+        reg.callMethod(base, "sort_values", graft.expr.Args(
+          pos = List(List("qty", "l_orderkey", "l_linenumber")),
+          kw = List("ascending" -> List(false, true, true))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_linenumber = 2 THEN NULL
+               ELSE CAST(l_quantity AS DOUBLE) END AS qty
+        FROM lineitem WHERE l_orderkey % 500 = 0
+        ORDER BY qty DESC NULLS LAST, l_orderkey, l_linenumber""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {
