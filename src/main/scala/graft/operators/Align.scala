@@ -31,14 +31,14 @@ object Align {
   def concatColumns(dfs: Seq[DataFrame]): DataFrame =
     concatColumns(dfs, orderBy = Nil)
 
-  /** pandas join='inner': keep only positions present in EVERY frame (the
-    * shortest frame's row count) instead of outer null-padding.
-    */
-
   /** As [[concatColumns]], but when `orderBy` names columns present in every
     * frame, positions come from the explicit key order — staying entirely
     * inside Catalyst (codegen, column pruning, AQE), where the RDD
     * zipWithIndex path exits it.
+    *
+    * @param join "outer" (default) pads shorter frames with nulls; "inner"
+    *             (pandas join='inner') keeps only positions present in EVERY
+    *             frame — the shortest frame's row count.
     *
     * Contract (ENFORCED): the `orderBy` keys must be UNIQUE within every
     * frame — with duplicate keys each frame breaks ties independently,

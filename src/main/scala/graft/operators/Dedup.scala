@@ -358,14 +358,16 @@ object Dedup {
                              threshold: Double = 0.8): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
     val cl = clusters(pairs, Some(df.select(idCol)))
-    // (id, cluster) joined to scores; argmax per cluster via max_by over a
-    // struct ordered (score, -id): struct comparison is lexicographic, so
-    // ties on score pick the SMALLEST id deterministically
+    // (id, cluster) joined to scores; argmax per cluster via min_by over a
+    // struct ordered (-score, id): struct comparison is lexicographic, so
+    // the minimum has the LARGEST score and, among ties, the SMALLEST id —
+    // deterministic for ANY orderable id type (string ids included), since
+    // only the score is negated.
     val scored = df.select(col(idCol).as("id"),
         col(scoreCol).cast("double").as("__s"))
       .join(cl, Seq("id"))
     val best = scored.groupBy(col("cluster_rep"))
-      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep_id"))
+      .agg(min_by(col("id"), struct(-col("__s"), col("id"))).as("keep_id"))
     df.join(best.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
   }
 

@@ -374,8 +374,12 @@ object Prep {
         val reg = new graft.ops.Registry(s)
         val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
         val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        // nChunks=0 (empty/whitespace-only doc) would make sequence(0, -1)
+        // infer step -1 and yield [0, -1] — two spurious empty chunks.
+        val idxs = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))
         val chunks = t(s, d, "documents").select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), nChunks - 1),
+          posexplode(transform(idxs,
             i => array_join(slice(words, i * 10 + 1, lit(10)), " "))))
           .toDF("doc_id", "chunk_idx", "chunk")
         val g = reg.callMethod(chunks, "groupby", graft.expr.Args(kw = List(
@@ -542,12 +546,16 @@ object Prep {
             col("o_orderpriority"),
             col("o_totalprice").cast(DecimalType(15, 2)).as("o_totalprice"))
           .orderBy(col("o_orderkey"))
+        // Per-run suffix (Spark app id) so concurrent bench/test runs on one
+        // host don't collide; delete first so a stale file from a failed
+        // write can't satisfy the read-back and mask a sink regression.
         val path = new java.io.File(
           System.getProperty("java.io.tmpdir"),
-          "graft_q172_roundtrip.csv").getAbsolutePath
-        graft.ops.Sinks.writeSingleCsv(slice, path)
+          s"graft_q172_roundtrip_${s.sparkContext.applicationId}.csv")
+        path.delete()
+        graft.ops.Sinks.writeSingleCsv(slice, path.getAbsolutePath)
         reg.callFunction("pd.read_csv", graft.expr.Args(
-          pos = List(path), kw = List(
+          pos = List(path.getAbsolutePath), kw = List(
             "parse_dates" -> List("o_orderdate"),
             "dtype" -> Map("o_totalprice" -> "float"))))
           .asInstanceOf[org.apache.spark.sql.DataFrame]
@@ -577,12 +585,15 @@ object Prep {
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
             col("o_orderpriority"),
             col("o_totalprice").cast(DecimalType(15, 2)).as("o_totalprice"))
+        // Same per-run-suffix + delete-first contract as q172.
         val path = new java.io.File(
           System.getProperty("java.io.tmpdir"),
-          "graft_q173_roundtrip_json").getAbsolutePath
+          s"graft_q173_roundtrip_json_${s.sparkContext.applicationId}")
+        path.delete()
+        val p = path.getAbsolutePath
         reg.callMethod(slice, "to_json",
-          graft.expr.Args(pos = List(path)))
-        reg.callFunction("pd.read_json", graft.expr.Args(pos = List(path)))
+          graft.expr.Args(pos = List(p)))
+        reg.callFunction("pd.read_json", graft.expr.Args(pos = List(p)))
           .asInstanceOf[org.apache.spark.sql.DataFrame]
           .select(col("o_orderkey"), col("day"), col("o_orderpriority"),
             col("o_totalprice").cast(DoubleType).as("price"))

@@ -191,6 +191,10 @@ object Streams {
           val prev = state.getOption.getOrElse(SimhashBucket(Nil, Nil))
           var ids = prev.ids.toList
           var sigs = prev.sigs.toList
+          // Member count tracked alongside the lists: List.size is O(m), so
+          // calling it per incoming row would make a hot bucket's micro-batch
+          // O(m^2) traversals at maxBucket=10000.
+          var nMembers = ids.size
           val out = scala.collection.mutable.ArrayBuffer[SimPair]()
           rows.foreach { case (_, _, id, s) =>
             var i = ids
@@ -205,7 +209,9 @@ object Streams {
               }
               i = i.tail; g = g.tail
             }
-            if (ids.size < maxBucket) { ids = id :: ids; sigs = s :: sigs }
+            if (nMembers < maxBucket) {
+              ids = id :: ids; sigs = s :: sigs; nMembers += 1
+            }
           }
           state.update(SimhashBucket(ids, sigs))
           out.iterator
