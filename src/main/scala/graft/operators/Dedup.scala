@@ -15,6 +15,46 @@ import graft.functions.Text
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
+
+  /** Sentinel for `bands` meaning "size the banding from the corpus count"
+    * — see [[autoBands]]. The default for [[simhashPairs]] and
+    * [[simhashVerifiedPairs]], so the operator self-sizes unless the caller
+    * pins a config.
+    */
+  final val AutoBands = 0
+
+  /** Bands for a 64-bit simhash signature sized from the corpus row count:
+    * the MOST bands (= best banding recall: pairs within `bands - 1`
+    * hamming bits agree on >= 1 band by pigeonhole) whose bucket space
+    * `bands * 2^(64/bands)` still covers the corpus, so expected bucket
+    * occupancy stays O(1) and the band self-join stays O(N) instead of
+    * saturating into O(N^2 / buckets):
+    *
+    *  - bands=8 ->  8 * 2^8  =      2,048 buckets (N <= ~2k)
+    *  - bands=4 ->  4 * 2^16 =    262,144 buckets (N <= ~262k)
+    *  - bands=2 ->  2 * 2^32 = ~8.6 billion buckets (N <= ~8.6e9)
+    *
+    * Past ~8.6e9 docs per similarity shard a 64-bit signature is exhausted
+    * whatever the banding (logged as a warning); the right lever there is a
+    * wider signature, not fewer bands — bands=1 would only propose
+    * IDENTICAL signatures (recall floor hamming=0), so the ladder stops at
+    * 2. Coarser rungs trade the pigeonhole recall floor down (bands=2
+    * guarantees only hamming <= 1 agreement); callers verifying candidates
+    * exactly ([[simhashVerifiedPairs]]) keep exact precision at every rung,
+    * and the DedupSpec recall gate pins rung-for-rung pair parity on the
+    * fixture corpus.
+    */
+  def autoBands(count: Long): Int =
+    if (count <= (8L << 8)) 8
+    else if (count <= (4L << 16)) 4
+    else {
+      if (count > (2L << 32))
+        log.warn(s"simhash auto-banding: corpus=$count exceeds the 64-bit " +
+          "signature's 2*2^32 bucket space at bands=2 — use a wider signature")
+      2
+    }
+
   /** Exact dedup on a fingerprint of normalized text: group on a 16-byte md5
     * digest (not the raw text — tiny shuffle keys), keep min(id) as the
     * representative. Map-side partial aggregation collapses local dups
@@ -234,9 +274,10 @@ object Dedup {
     * (id_a, id_b) pairs before signatures are re-attached.
     *
     * Scale controls (the 10x stress showed band buckets saturating):
-    *  - `bands`: 4x16-bit bands saturate near N ~ 2^16 docs per shard of
-    *    similarity space; at larger N use bands=2 (32-bit buckets, recall
-    *    guarantee drops to hamming <= 1 agreeing, verified pairs unchanged);
+    *  - `bands`: defaults to [[AutoBands]] — sized from the corpus count by
+    *    [[autoBands]] so the bucket space tracks N (the fixed-space
+    *    saturation knee the 10x stress measured is exactly what this
+    *    removes). Pin an explicit value to override;
     *  - `maxBucket`: drop buckets holding more than this many docs — the
     *    standard hot-bucket cap from public corpus-dedup pipelines; an
     *    over-full bucket is almost always a degenerate shingle/signature
@@ -244,10 +285,10 @@ object Dedup {
     *    O(buckets * maxBucket^2).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, bands: Int = 4,
+                   maxHamming: Int, bands: Int = AutoBands,
                    maxBucket: Int = 10000): DataFrame =
     simhashPairsFiltered(df, idCol, textCol,
-      (hamming, _, _) => hamming <= maxHamming, bands, maxBucket)
+      _ => (hamming, _, _) => hamming <= maxHamming, bands, maxBucket)
 
   /** The banding join with an arbitrary per-pair keep predicate evaluated
     * INSIDE the join, BEFORE the pair distinct. The banded rows CARRY the
@@ -257,18 +298,32 @@ object Dedup {
     * between deduping ~10^5 rows and ~10^7: on the saturated 8-bit band
     * space the raw bucket join emits ~12.5M probe pairs at sf0.1, and the
     * verified-pairs caller's accept-or-audit predicate keeps ~1% of them.
+    *
+    * `keep` is curried by the RESOLVED band width (64/bands): under
+    * [[AutoBands]] the band count isn't known until the signature frame is
+    * counted, and the verified-pairs caller's audit slack is width-derived.
+    * The count runs on the already-persisted narrow (id, sig) frame — one
+    * bounded action, the same eager-persist action the plan pays anyway.
     */
   private[graft] def simhashPairsFiltered(
       df: DataFrame, idCol: String, textCol: String,
-      keep: (Column, Column, Column) => Column,
+      keep: Int => (Column, Column, Column) => Column,
       bands: Int, maxBucket: Int): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
+    require(bands == AutoBands || 64 % bands == 0,
+      "bands must divide 64 (or AutoBands)")
     val sigs = Caches.persistTracked(df.transform(simhashSigs(_, idCol, textCol)),
       eager = true)
+    val nBands = if (bands == AutoBands) {
+      val n = sigs.count()
+      val b = autoBands(n)
+      log.info(s"simhash auto-banding: corpus=$n docs -> bands=$b " +
+        s"(bucket space ${b.toLong << (64 / b)})")
+      b
+    } else bands
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = sigs.select(col("id"), col("sig"),
-        explode(array((0 until bands).map(b =>
+        explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bval"))
@@ -277,7 +332,7 @@ object Dedup {
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.id") < col("b.id")
-          && keep(hamming, col("a.id"), col("b.id")))
+          && keep(width)(hamming, col("a.id"), col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming.as("hamming"))
       .distinct()
@@ -464,7 +519,7 @@ object Dedup {
     * i.e. the sketch would also have accepted it.
     */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int, bands: Int = 8, n: Int = 3,
+                           maxHamming: Int, bands: Int = AutoBands, n: Int = 3,
                            threshold: Double = 0.2,
                            maxBucket: Int = 10000,
                            auditMod: Int = 256): DataFrame = {
@@ -480,8 +535,9 @@ object Dedup {
     // 2*maxHamming slack (24 bits at maxHamming=12) admitted a candidate
     // population several times larger than the accepted set into the exact-
     // Jaccard verify self-join — measured 2.1x the whole query's cost.
-    val width = 64 / bands
-    val verifyBound = maxHamming + math.max(1, width - 1)
+    // Under AutoBands the width isn't known until the signature frame is
+    // counted, so the slack derives from the width simhashPairsFiltered
+    // resolves and curries into the keep predicate.
     // DISK_ONLY for the candidate frame: it feeds three subtrees (id
     // restriction, semi-join, final hamming re-join) so it must persist, but
     // at MEMORY_AND_DISK its blocks compete with the verify self-join's
@@ -511,9 +567,12 @@ object Dedup {
     // identical across a pair's duplicate band rows.
     val cands = Caches.persistTracked(
       simhashPairsFiltered(df, idCol, textCol,
-        (hamming, idA, idB) => hamming <= verifyBound &&
-          (hamming <= maxHamming ||
-            pmod(xxhash64(idA, idB), lit(auditMod)) === 0),
+        width => {
+          val verifyBound = maxHamming + math.max(1, width - 1)
+          (hamming, idA, idB) => hamming <= verifyBound &&
+            (hamming <= maxHamming ||
+              pmod(xxhash64(idA, idB), lit(auditMod)) === 0)
+        },
         bands = bands, maxBucket = maxBucket),
       org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
     val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)

@@ -104,6 +104,16 @@ final class Registry(spark: SparkSession) {
     case s: String if s.trim.matches("-?\\d+") => s.trim.toInt // CLI vars are strings
     case other => throw PipelineError(s"$what expects an int, got ${tn(other)}")
   }
+  /** `bands=` for the simhash family: an int pins the banding; "auto" (the
+    * default when absent) sizes it from the corpus count (Dedup.autoBands).
+    */
+  private def asSimhashBands(a: graft.expr.Args): Int =
+    a.get("bands", -1) match {
+      case None => graft.operators.Dedup.AutoBands
+      case Some(s: String) if s.trim.equalsIgnoreCase("auto") =>
+        graft.operators.Dedup.AutoBands
+      case Some(v) => asInt(v, "bands")
+    }
   private def asBool(v: Any, default: Boolean): Boolean = v match {
     case b: Boolean => b
     case null => default
@@ -530,7 +540,8 @@ final class Registry(spark: SparkSession) {
       Dedup.simhashPairs(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
-        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(8))
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(8),
+        bands = asSimhashBands(a))
     },
     "graft.ngram_jaccard_pairs" -> { a =>
       Dedup.ngramJaccardPairs(asDf(a.require("df", 0), "df"),
@@ -1039,6 +1050,7 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming")).getOrElse(12),
+        bands = asSimhashBands(a),
         threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.2))
     },
     "graft.exact_cosine_pairs" -> { a =>

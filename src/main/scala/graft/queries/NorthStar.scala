@@ -307,9 +307,13 @@ object NorthStar {
     // IS the honest price of full recall here, and the accept-or-audit
     // predicate inside the banding join keeps everything above it out of
     // every shuffle.
+    // bands self-size from the corpus count (Dedup.autoBands): 500 docs at
+    // sf0.01 -> bands=8, 5000 at sf0.1 -> bands=4 (2^16-bucket space), so
+    // the band join's bucket occupancy stays O(1) as the corpus grows
+    // instead of saturating a fixed 2^11 space quadratically.
     Q("q36_dedup_simhash",
       (s, d) => Dedup.simhashVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 12, bands = 8, threshold = 0.2)
+        maxHamming = 12, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
       Some(exactJaccardOracle(0.2, None, "TRUE AS hamming_ok"))),
 

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall gate for the simhash auto-banding ladder: at a given SF dir, run
+  * simhashVerifiedPairs at each banding rung (8 / 4 / 2 / auto) with the q36
+  * config and diff the verified pair sets — the coarser rungs' exact-verified
+  * output must match the bands=8 reference for the rung to be a safe
+  * auto choice at that corpus size. Prints one line per rung.
+  *
+  * Usage: sbt "runMain graft.tools.BandRecall [sfDir]"
+  */
+object BandRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").persist()
+    val n = docs.count()
+    def pairs(bands: Int): Set[(Long, Long)] = {
+      val out = graft.operators.Dedup.simhashVerifiedPairs(
+        docs, "doc_id", "text", maxHamming = 12, bands = bands,
+        threshold = 0.2)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Caches.release()
+      out
+    }
+    val ref = pairs(8)
+    println(s"[recall] corpus=$n bands=8 pairs=${ref.size} (reference)")
+    for (b <- Seq(4, 2, graft.operators.Dedup.AutoBands)) {
+      val p = pairs(b)
+      val missed = ref -- p
+      val extra = p -- ref
+      val label = if (b == 0) s"auto(${graft.operators.Dedup.autoBands(n)})"
+                  else b.toString
+      println(s"[recall] corpus=$n bands=$label pairs=${p.size} " +
+        s"missed_vs_8=${missed.size} extra_vs_8=${extra.size}" +
+        (if (missed.nonEmpty) s" missed=${missed.take(5)}" else ""))
+    }
+    spark.stop()
+  }
+}

@@ -133,20 +133,28 @@ object ScaleStress {
         s"uncapped=$candAll capped_df5=$candCapped")
       dfCounts.unpersist()
 
-      // simhash banding candidate rows at the q36 config (bands=8 -> 8-bit
-      // band values, 256 buckets/band): sum over (band, bval) buckets of
-      // C(n, 2). The bucket SPACE is fixed, so this grows ~N^2/2^11 — the
-      // saturation knee of narrow bands, measured; the operator's scale
-      // lever is fewer/wider bands (bands=4 -> 65k buckets) at the
-      // documented recall trade, or a wider signature.
+      // simhash banding candidate rows: sum over (band, bval) buckets of
+      // C(n, 2), at the FIXED bands=8 config (8-bit band values, 2^11
+      // bucket space — grows ~N^2/2^11, the saturation knee measured in r8)
+      // AND at the bands the auto rule (Dedup.autoBands) picks for this
+      // corpus count — the self-sizing that keeps bucket occupancy O(1) as
+      // N grows, at the documented tail-recall trade (see BandRecall).
       locally {
-        val sigs = Dedup.simhashSigs(d, "doc_id", "text")
-        val cand = sigs.select(explode(array((0 until 8).map(b =>
-            shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L)) * 8 + b): _*))
-            .as("bucket"))
-          .groupBy("bucket").count()
-          .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0).toLong
-        println(s"[curve] op=simhash_band_candidates factor=$f rows=$nd pairs=$cand")
+        val sigs = Dedup.simhashSigs(d, "doc_id", "text").persist()
+        def cand(bands: Int): Long = {
+          val w = 64 / bands
+          val mask = if (w == 64) -1L else (1L << w) - 1
+          sigs.select(explode(array((0 until bands).map(b =>
+              struct(lit(b).as("band"),
+                shiftrightunsigned(col("sig"), b * w).bitwiseAND(lit(mask))
+                  .as("bval"))): _*)).as("bb"))
+            .groupBy("bb").count()
+            .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0).toLong
+        }
+        val auto = Dedup.autoBands(nd)
+        println(s"[curve] op=simhash_band_candidates factor=$f rows=$nd " +
+          s"pairs_bands8=${cand(8)} auto_bands=$auto pairs_auto=${cand(auto)}")
+        sigs.unpersist()
       }
       // SPARK_GRAFT_METRICS_ONLY=1: candidate-count metrics without the
       // timed cells (the counts are exact and run-independent)
@@ -162,9 +170,11 @@ object ScaleStress {
       cell("q35_minhash_verified", f, nd)(
         Dedup.minhashVerifiedPairs(d, "doc_id", "text", n = 3, k = 32,
           bands = 8, threshold = 0.2).count())
+      // bands self-size (autoBands): 5k docs -> 4, 40k (8x) -> 4 — the
+      // candidate metric above records the fixed-8 vs auto bucket work
       cell("q36_simhash_verified", f, nd)(
         Dedup.simhashVerifiedPairs(d, "doc_id", "text", maxHamming = 12,
-          bands = 8, threshold = 0.2).count())
+          threshold = 0.2).count())
       // replica shingle sets are disjoint, so shared-span structure (and
       // the dup count) replicates exactly; runtime should track the linear
       // (long,long) shuffle volume

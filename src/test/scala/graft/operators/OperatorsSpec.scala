@@ -446,6 +446,51 @@ class DedupSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert(after.subsetOf(before), "operator-internal caches must be released")
   }
+
+  test("autoBands ladder: bucket space covers the corpus count at every rung") {
+    // rung thresholds are the bucket spaces themselves: bands * 2^(64/bands)
+    assert(Dedup.autoBands(1L) == 8)
+    assert(Dedup.autoBands(2048L) == 8)        // 8 * 2^8
+    assert(Dedup.autoBands(2049L) == 4)
+    assert(Dedup.autoBands(262144L) == 4)      // 4 * 2^16
+    assert(Dedup.autoBands(262145L) == 2)
+    assert(Dedup.autoBands(5000L) == 4)        // the sf0.1 corpus
+    assert(Dedup.autoBands(10000000000L) == 2) // past 2*2^32: warns, stays 2
+  }
+
+  test("banding rungs nest: coarser bands propose subsets, floor pairs always found") {
+    // band boundaries nest (a 16-bit band is two adjacent 8-bit bands, a
+    // 32-bit band two adjacent 16-bit ones), so a collision at a coarser
+    // rung implies one at every finer rung: verified pairs must form a
+    // subset chain bands=2 <= bands=4 <= bands=8. The hamming-0 exact dups
+    // (pigeonhole floor at every rung) must appear in all of them.
+    val fix = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def at(b: Int): Set[(Long, Long)] = {
+      val out = Dedup.simhashVerifiedPairs(fix, "doc_id", "text",
+        maxHamming = 12, bands = b, threshold = 0.2)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.release(); out
+    }
+    val p8 = at(8); val p4 = at(4); val p2 = at(2)
+    assert(p4.subsetOf(p8), s"bands=4 proposed ${(p4 -- p8).size} pairs bands=8 missed")
+    assert(p2.subsetOf(p4), s"bands=2 proposed ${(p2 -- p4).size} pairs bands=4 missed")
+    // hamming-0 dups collide on EVERY band at every rung
+    val zeros = Dedup.simhashSigs(fix, "doc_id", "text")
+      .as("a").join(Dedup.simhashSigs(fix, "doc_id", "text").as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeros.nonEmpty, "fixture must contain identical-signature dups")
+    for (p <- Seq(p8, p4, p2))
+      assert(zeros.filter { case (x, y) =>
+        p8.contains((x, y)) }.subsetOf(p),
+        "hamming-0 verified dups must survive every rung")
+    // the auto rung equals the explicit rung autoBands picks for this corpus
+    val n = fix.count()
+    assert(at(Dedup.AutoBands) == at(Dedup.autoBands(n)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
