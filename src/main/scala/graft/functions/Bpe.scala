@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-trained byte-pair-encoding tokenization (Sennrich, Haddow & Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units" — the
+  * public BPE algorithm every modern LLM tokenizer descends from), so the
+  * token-denominated operators (tokenCount, packWindows, mixtureByTokenBudget)
+  * can budget in learned subword tokens instead of whitespace words.
+  *
+  * Two halves, each shaped for 100 TB:
+  *
+  *  - LEARNING runs as one distributed word-count aggregate (map-side
+  *    partials; the shuffle carries (word, count), never text) capped to the
+  *    top `maxVocab` words, then the classic merge loop on the driver over
+  *    that bounded dictionary — the standard construction: BPE merge
+  *    learning is a function of the word-count table, not the corpus, and a
+  *    64k-word cap covers the frequency mass of any natural-language crawl.
+  *    The one eager action is the capped vocab collect (bounded by
+  *    construction, like the SQ8 range fit).
+  *
+  *  - APPLICATION stays entirely in-plan as native codegen'd column
+  *    functions: a word is spaced into symbols (`"hello"` -> `"h e l l o"`)
+  *    and each merge is one literal `replace(sym, "a b", "ab")` in rank
+  *    order. Left-to-right non-overlapping replace is EXACTLY the classic
+  *    merge-application semantics, and — decisive for the oracle — behaves
+  *    identically in Spark and DuckDB, so the correctness gate replays the
+  *    same merge table verbatim in SQL ([[duckdbTokenCountSql]]).
+  *
+  * Divergence from the paper (documented): no end-of-word marker symbol —
+  * merges never span word boundaries anyway (words are tokenized
+  * independently), and omitting it keeps the SQL replay a pure
+  * replace-chain. Ties in pair frequency break to the lexicographically
+  * smallest pair, making the learned table deterministic for a given corpus.
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from a text column: distributed word
+    * count -> top `maxVocab` by (count desc, word asc) -> driver merge loop.
+    * Returns the ordered merge table.
+    */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  maxVocab: Int = 65536): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val vocab = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    learnFromCounts(vocab, numMerges)
+  }
+
+  /** The merge loop over a word-count dictionary (driver-side, bounded by
+    * the caller's vocab cap). Deterministic: highest pair count wins, ties
+    * to the lexicographically smallest (first, second) pair. Stops early
+    * when no adjacent pair remains (fully merged vocabulary).
+    */
+  def learnFromCounts(wordCounts: Seq[(String, Long)],
+                      numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toArray, c)
+    }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.reduce { (x, y) =>
+          val cmp = java.lang.Long.compare(x._2, y._2)
+          if (cmp > 0) x
+          else if (cmp < 0) y
+          else {
+            val ab = Ordering[(String, String)].compare(x._1, y._1)
+            if (ab <= 0) x else y
+          }
+        }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergePair(syms, best), c) }
+      }
+    }
+    merges.toList
+  }
+
+  /** One left-to-right non-overlapping merge pass over a symbol sequence —
+    * the same semantics as `replace("a b" -> "ab")` on the spaced form.
+    */
+  private def mergePair(syms: Array[String],
+                        m: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == m._1 && syms(j + 1) == m._2) {
+        out += (m._1 + m._2); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Spaced-symbol form of a word: every character separated by a single
+    * space ("hello" -> "h e l l o"). Native regexp_replace — codegen'd.
+    */
+  def spaced(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Apply a merge table in rank order to one word: fold each merge as a
+    * literal replace on the spaced form. All native functions; the merge
+    * table travels as plan literals (it IS the broadcast — tiny and
+    * embedded in the generated code).
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced(word)) { case (c, (a, b)) =>
+      call_function("replace", c, lit(a + " " + b), lit(a + b))
+    }
+
+  /** BPE tokens of one word as an array column. */
+  def wordTokens(word: Column, merges: Seq[(String, String)]): Column =
+    split(applyMerges(word, merges), " ")
+
+  /** Whole-text BPE token count: whitespace words, each encoded with the
+    * merge table, token counts summed via the array-fold HOFs. The
+    * `tokenizer=` hook for packWindows / mixtureByTokenBudget.
+    */
+  def tokenCount(merges: Seq[(String, String)])(text: Column): Column =
+    coalesce(
+      aggregate(
+        transform(filter(split(text, "\\s+"), w => length(w) > 0),
+          w => size(wordTokens(w, merges)).cast(LongType)),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L)) // null text counts 0, matching the oracle's COALESCE
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** The DuckDB replay of the same merge table: identical spaced-form +
+    * replace-chain, as a SQL scalar over `textExpr`. Empty/whitespace-only
+    * docs count 0 (COALESCE over list_sum's NULL-on-empty).
+    */
+  def duckdbTokenCountSql(textExpr: String,
+                          merges: Seq[(String, String)]): String = {
+    val spacedW = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    val chain = merges.foldLeft(spacedW) { case (e, (a, b)) =>
+      s"replace($e, '${sq(a)} ${sq(b)}', '${sq(a + b)}')"
+    }
+    s"COALESCE(list_sum(list_transform(regexp_extract_all($textExpr, '\\S+'), " +
+      s"w -> len(string_split($chain, ' ')))), 0)"
+  }
+}

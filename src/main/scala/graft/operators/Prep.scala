@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-preparation transforms for training pipelines (north-star
@@ -77,6 +77,11 @@ object Prep {
     * range [start_tok, end_tok] landing in that window (end index
     * `n_tokens` denotes the EOS slot).
     *
+    * "Token" means whatever `tokenizer` counts — whitespace words by
+    * default; pass `graft.functions.Bpe.tokenCount(merges)` to budget in
+    * learned subword tokens (see q176's BPE-budgeted mixture for the
+    * oracle-gated use of the same hook).
+    *
     * Scale shape: global token offsets come from the same two-level
     * distributed prefix sum as mixtureByTokenBudget (256 hash-prefix
     * buckets; the only per-source-free global window runs over the tiny
@@ -85,14 +90,13 @@ object Prep {
     * doc's own window count.
     */
   def packWindows(df: DataFrame, idCol: String, textCol: String,
-                  size: Int, seed: String): DataFrame = {
+                  size: Int, seed: String,
+                  tokenizer: Column => Column = Sampling.wsTokenCount): DataFrame = {
     require(size >= 2, s"packWindows: window size must be >= 2, got $size")
     import org.apache.spark.sql.expressions.Window
     val key = Sampling.hashKey(col(idCol), seed)
-    val toks = org.apache.spark.sql.functions.size(
-      org.apache.spark.sql.functions.filter(
-        split(col(textCol), "\\s+"), t => length(t) > 0))
-    val base = df.select(col(idCol), (toks + 1).cast("long").as("__n"),
+    val base = df.select(col(idCol),
+        (tokenizer(col(textCol)) + 1).cast("long").as("__n"),
         key.as("__k"))
       .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
     val offsets = base.groupBy(col("__b"))

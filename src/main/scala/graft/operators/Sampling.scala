@@ -27,6 +27,15 @@ object Sampling {
   def hashKey(id: Column, seed: String): Column =
     md5(concat(id.cast("string"), lit(":" + seed)))
 
+  /** Default token counter for the token-denominated operators: whitespace
+    * words. Callers budgeting in LLM subword tokens pass
+    * `graft.functions.Bpe.tokenCount(merges)` instead (the `tokenizer=`
+    * hook on [[mixtureByTokenBudget]] / [[graft.operators.Prep.packWindows]]).
+    */
+  def wsTokenCount(text: Column): Column =
+    size(org.apache.spark.sql.functions.filter(
+      split(text, "\\s+"), t => length(t) > 0)).cast(LongType)
+
   /** 8-hex-digit threshold for a cumulative fraction: compare against the
     * first 8 hash chars (string compare == numeric compare for fixed-width
     * lowercase hex).
@@ -107,16 +116,15 @@ object Sampling {
     */
   def mixtureByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                            sourceCol: String, weights: Map[String, Double],
-                           totalTokens: Long, seed: String): DataFrame = {
+                           totalTokens: Long, seed: String,
+                           tokenizer: Column => Column = wsTokenCount): DataFrame = {
     require(weights.nonEmpty, "mixtureByTokenBudget: weights must be non-empty")
     require(weights.values.forall(_ > 0.0),
       "mixtureByTokenBudget: weights must be positive")
     import org.apache.spark.sql.expressions.Window
     val key = hashKey(col(idCol), seed)
-    val toks = size(org.apache.spark.sql.functions.filter(
-      split(col(textCol), "\\s+"), t => length(t) > 0))
     val base = df.select(col(idCol), col(sourceCol).as("source"),
-        toks.cast(LongType).as("n_tokens"), key.as("__k"))
+        tokenizer(col(textCol)).cast(LongType).as("n_tokens"), key.as("__k"))
       .withColumn("__budget",
         floor(element_at(typedLit(weights), col("source")) * totalTokens)
           .cast(LongType))

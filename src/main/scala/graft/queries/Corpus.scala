@@ -373,6 +373,36 @@ object Corpus {
         FROM cum WHERE cum_tokens - n_tokens < budget
         ORDER BY doc_id""")),
 
+    // The tokenizer= hook, oracle-gated: same mixture machinery as q119 but
+    // budgets counted in LEARNED BPE SUBWORD TOKENS (frozen table
+    // NorthStar.BpeMerges — a pretrained tokenizer, the realistic shape: you
+    // train it once, then budget every corpus with it). The oracle swaps
+    // q119's whitespace count for the identical replace-chain; everything
+    // else (md5 order, budget floor, crossing-doc keep) is unchanged, so the
+    // gate isolates exactly the tokenizer substitution.
+    Q("q176_mixture_bpe_budget",
+      (s, d) => graft.operators.Sampling.mixtureByTokenBudget(
+        t(s, d, "documents"), "doc_id", "text", "source",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+        totalTokens = 6000L, seed = "s176",
+        tokenizer = graft.functions.Bpe.tokenCount(NorthStar.BpeMerges))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source,
+            CAST(${graft.functions.Bpe.duckdbTokenCountSql("text", NorthStar.BpeMerges)} AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR) || ':s176') AS k
+          FROM documents),
+        w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.125)) AS t(source, wt)),
+        cum AS (
+          SELECT tok.*, CAST(floor(w.wt * 6000) AS BIGINT) AS budget,
+            CAST(SUM(n_tokens) OVER (PARTITION BY tok.source ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM tok JOIN w ON tok.source = w.source)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens - n_tokens < budget
+        ORDER BY doc_id""")),
+
     // Temperature-weighted mixture plan (alpha=0.5): per-source sampling
     // weights T^0.5 / sum(T^0.5), target token counts under a 100k budget,
     // and epoch/repeat factors. sqrt-only math, so both engines produce the

@@ -48,6 +48,24 @@ object NorthStar {
         ORDER BY id_a, id_b"""
   }
 
+  /** Frozen BPE merge table: the deterministic output of
+    * `Bpe.learnMerges(documents, "text", 40)` on the sf0.01 fixture
+    * (provenance run: `graft.tools.BpeShow`). Embedded as a literal so the
+    * q175/q176 oracles can replay the exact replace-chain in DuckDB; q175's
+    * Spark side RE-LEARNS the table from the corpus in-plan, so the gate
+    * also proves the distributed learning is reproducible.
+    */
+  private[queries] val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"))
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via md5 fingerprint of normalized text.
@@ -81,6 +99,28 @@ object NorthStar {
         SELECT doc_id,
           CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    // Corpus-trained BPE tokenization (Sennrich 2016): the Spark side
+    // RE-LEARNS the 40-merge table from the corpus (distributed word-count
+    // aggregate -> bounded driver merge loop), then counts subword tokens
+    // per doc fully in-plan (spaced-form + literal replace-chain, all
+    // codegen'd). The oracle replays the FROZEN table [[BpeMerges]] as the
+    // identical replace-chain in DuckDB — so a hash match proves both the
+    // learning (re-learned == frozen) and the application.
+    Q("q175_bpe_token_count",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.functions.Bpe.learnMerges(docs, "text", numMerges = 40)
+        docs.select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(merges)(col("text")).as("n_tokens"),
+          Text.tokenCountWs(col("text")).cast(LongType).as("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+          CAST(${graft.functions.Bpe.duckdbTokenCountSql("text", BpeMerges)} AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
         FROM documents ORDER BY doc_id""")),
 
     // Quality scoring: length/punct/stopword heuristics, pure double math.

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Print the deterministic BPE merge table learned from a corpus at the
+  * q175 config, plus a sample encoding — the provenance run for the merge
+  * table embedded in q175's oracle SQL.
+  *
+  * Usage: sbt "runMain graft.tools.BpeShow [sfDir] [numMerges]"
+  */
+object BpeShow {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nm = args.lift(1).map(_.toInt).getOrElse(40)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.functions.Bpe.learnMerges(docs, "text", nm)
+    println(s"[bpe] merges=${merges.size}")
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      println(s"""[bpe] $i: ("$a", "$b"),""")
+    }
+    val enc = docs.limit(3).select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(merges)(col("text")).as("n_tokens"),
+      graft.functions.Text.tokenCountWs(col("text")).as("n_words"))
+    enc.collect().foreach(r => println(s"[bpe] doc=${r.get(0)} " +
+      s"tokens=${r.get(1)} words=${r.get(2)}"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Corpus-trained BPE (Sennrich 2016): merge learning on the paper's own
+  * running example, in-plan application, null/empty semantics, and the
+  * tokenizer= hook into the token-budgeted operators.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // The paper's example vocabulary: low x5, lower x2, newest x6, widest x3.
+  private val paperVocab = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("learnFromCounts reproduces the textbook merge sequence") {
+    val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
+    // (e,s)=9 ties (s,t)=9 -> lexicographic smallest; then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7; then (lo,w)=7.
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("learnFromCounts stops early when the vocab is fully merged") {
+    val merges = Bpe.learnFromCounts(Seq(("ab", 3L)), numMerges = 10)
+    assert(merges === Seq(("a", "b")))
+  }
+
+  test("in-plan application: lowest -> [low, est]") {
+    val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
+    val toks = Seq("lowest").toDF("w")
+      .select(Bpe.wordTokens(col("w"), merges).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("low", "est"))
+  }
+
+  test("tokenCount sums per-word subword counts; null/empty count 0") {
+    val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
+    val df = Seq(
+      (0L, "low lower newest"), // 1 + 3 (low,e,r) + 4 (n,e,w,est)
+      (1L, "   "),
+      (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(col("id"), Bpe.tokenCount(merges)(col("text")).as("n"))
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out === Array((0L, 8L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("learnMerges is a distributed word count + the same merge loop") {
+    val corpus = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    assert(Bpe.learnMerges(df, "text", numMerges = 4) ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("tokenizer= hook: packWindows budgets in BPE tokens") {
+    val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
+    val docs = Seq(
+      (1L, "low lower"),        // 4 bpe tokens + 1 EOS = 5
+      (2L, "newest widest"),    // 8 bpe tokens + 1 EOS = 9
+      (3L, "lowest")            // 2 bpe tokens + 1 EOS = 3
+    ).toDF("doc_id", "text")
+    val packed = graft.operators.Prep.packWindows(
+      docs, "doc_id", "text", size = 4, seed = "t",
+      tokenizer = Bpe.tokenCount(merges))
+    val rows = packed.collect()
+    // Every doc's spans cover exactly its (n_bpe + EOS) tokens.
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).map { case (id, rs) =>
+      id -> rs.map(r => r.getAs[Int]("end_tok") - r.getAs[Int]("start_tok") + 1).sum
+    }
+    assert(perDoc === Map(1L -> 5, 2L -> 9, 3L -> 3))
+    // Total stream = 17 tokens -> windows 0..4 all present.
+    assert(rows.map(_.getAs[Long]("window_id")).distinct.sorted.toSeq ===
+      (0L to 4L))
+    // n_tokens column reports the BPE count (EOS excluded).
+    val n = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(n === Map(1L -> 4, 2L -> 8, 3L -> 2))
+  }
+}
