@@ -136,6 +136,28 @@ final class Registry(spark: SparkSession) {
     log.warn(s"$method: no partition_by given — the window is ONE global " +
       "partition (single-task sort of the whole table). Fine for small " +
       "frames; pass partition_by for cluster-scale data.")
+
+  /** Hard guard for the inherently-sequential ungrouped window methods
+    * (ewm, rolling, shift, ... — the distributable ones route through
+    * [[graft.operators.GlobalWindows]] instead): warn, then REFUSE above
+    * `spark.graft.globalWindow.maxRows` (default 10M; 0 disables) so a
+    * 100 TB frame can't silently serialize into one task's sort. The probe
+    * is a limit(threshold+1).count() — bounded work regardless of frame
+    * size, and only paid on the ungrouped path.
+    */
+  private def guardGlobalWindow(df: DataFrame, method: String): Unit = {
+    warnGlobalWindow(method)
+    val max = df.sparkSession.conf
+      .get("spark.graft.globalWindow.maxRows", "10000000").toLong
+    if (max > 0) {
+      val probe = math.min(max + 1, Int.MaxValue.toLong).toInt
+      if (df.limit(probe).count() > max) throw PipelineError(
+        s"$method: no partition_by and the frame exceeds " +
+          s"spark.graft.globalWindow.maxRows=$max rows — a global window " +
+          "would single-task sort the whole table. Pass partition_by, or " +
+          "raise the threshold if the frame is genuinely one-task-sized.")
+    }
+  }
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Registry])
 
   // canonical definition lives beside the operator that also needs it
@@ -1337,20 +1359,25 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow(name)
-      import org.apache.spark.sql.expressions.Window
-      val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
-        else Window.partitionBy()
-      val w =
-        if (name == "ffill")
-          base.orderBy(orderBy.map(col(_).asc): _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        else
-          base.orderBy(orderBy.map(col(_).asc): _*)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      cols.foldLeft(df)((d, c) => d.withColumn(c,
-        if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
-        else first(col(c), ignoreNulls = true).over(w)))
+      if (partCols.isEmpty)
+        // distributed two-level path: range exchange + boundary-value carry
+        // (no single-task global sort — see GlobalWindows)
+        graft.operators.GlobalWindows.fill(df, orderBy, cols,
+          forward = name == "ffill")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val base = Window.partitionBy(partCols.map(col): _*)
+        val w =
+          if (name == "ffill")
+            base.orderBy(orderBy.map(col(_).asc): _*)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          else
+            base.orderBy(orderBy.map(col(_).asc): _*)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        cols.foldLeft(df)((d, c) => d.withColumn(c,
+          if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
+          else first(col(c), ignoreNulls = true).over(w)))
+      }
     case "shift" | "diff" | "cumsum" | "cumprod" | "cummax" | "cummin" | "cumcount" =>
       // pandas order-dependent methods, distributed-deterministic via an
       // explicit ordering key (same contract as ffill/bfill above).
@@ -1360,7 +1387,14 @@ final class Registry(spark: SparkSession) {
         if (name == "cumcount") Nil else asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow(name)
+      // ungrouped cum* distribute via the two-level range-exchange shape
+      // (GlobalWindows); shift/diff need cross-boundary neighbor rows and
+      // stay single-task behind the row-count guard
+      if (partCols.isEmpty && name == "cumcount")
+        return graft.operators.GlobalWindows.cumcount(df, orderBy)
+      if (partCols.isEmpty && Set("cumsum", "cumprod", "cummax", "cummin")(name))
+        return graft.operators.GlobalWindows.running(df, orderBy, cols, name)
+      if (partCols.isEmpty) guardGlobalWindow(df, name)
       val periods = a.get("periods", -1).map(asInt(_, "periods")).getOrElse(1)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
@@ -1457,7 +1491,7 @@ final class Registry(spark: SparkSession) {
           .select((df.columns.filter(_ != rankName).map(col).toSeq
             :+ col("__graft_rk").as(rankName)): _*)
       } else {
-        if (partCols.isEmpty) warnGlobalWindow("rank")
+        if (partCols.isEmpty) guardGlobalWindow(df, "rank")
         val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
           else Window.partitionBy()
         val w = base.orderBy(col(c).asc)
@@ -1647,7 +1681,7 @@ final class Registry(spark: SparkSession) {
       val rowLimit = math.floor(budget / -math.log1p(-alpha)).toLong
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow("ewm")
+      if (partCols.isEmpty) guardGlobalWindow(df, "ewm")
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()
@@ -1977,7 +2011,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val fn = a.get("func", -1).map(asStr(_, "func")).getOrElse("mean")
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow(name)
+      if (partCols.isEmpty) guardGlobalWindow(df, name)
       import org.apache.spark.sql.expressions.Window
       val part = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()
@@ -2262,7 +2296,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow("pct_change")
+      if (partCols.isEmpty) guardGlobalWindow(df, "pct_change")
       val periods = a.get("periods", -1).map(asInt(_, "periods")).getOrElse(1)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
@@ -2388,7 +2422,7 @@ final class Registry(spark: SparkSession) {
       val cols = asStrList(a.require("columns", -1))
       val orderBy = asStrList(a.require("order_by", -1))
       val partCols = a.get("partition_by", -1).map(asStrList).getOrElse(Nil)
-      if (partCols.isEmpty) warnGlobalWindow(name)
+      if (partCols.isEmpty) guardGlobalWindow(df, name)
       import org.apache.spark.sql.expressions.Window
       val base = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
         else Window.partitionBy()

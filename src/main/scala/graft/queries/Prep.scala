@@ -630,6 +630,48 @@ object Prep {
         FROM lineitem WHERE l_orderkey % 500 = 0
         ORDER BY qty DESC NULLS LAST, l_orderkey, l_linenumber""")),
 
+    // UNGROUPED (global) cumsum/cumcount/ffill under the distributed
+    // two-level range-exchange path (GlobalWindows): no partition_by, so
+    // the old plan would single-task sort all 10k events — the new plan
+    // range-partitions and carries per-partition offsets. Integer values
+    // keep the two-level sum exact (float re-association would be
+    // oracle-hostile); the oracle replays the sequential global window.
+    Q("q177_global_cumsum",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "events")
+          .filter(col("event_id") % 10 === 3)
+          .select(col("event_id"),
+            when(col("event_id") % 7 === 0, lit(null))
+              .otherwise(floor(col("value") * 100).cast(LongType)).as("v"),
+            when(col("event_id") % 7 === 0, lit(null))
+              .otherwise(floor(col("value") * 100).cast(LongType)).as("vf"))
+        val kw = (c: String) => List("columns" -> List(c),
+          "order_by" -> List("event_id"))
+        val r1 = reg.callMethod(base, "cumsum", graft.expr.Args(kw = kw("v")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val r2 = reg.callMethod(r1, "ffill", graft.expr.Args(kw = kw("vf")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(r2, "cumcount", graft.expr.Args(kw = List(
+          "order_by" -> List("event_id"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("event_id"), col("v"), col("vf"),
+            col("cumcount").cast(LongType).as("pos"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE CAST(floor(value * 100) AS BIGINT) END AS v0
+          FROM events WHERE event_id % 10 = 3)
+        SELECT event_id,
+          CAST(SUM(v0) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v,
+          LAST_VALUE(v0 IGNORE NULLS) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+          CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS pos
+        FROM e ORDER BY event_id""")),
+
     // pandas groupby().head(3) per customer under the ordering contract.
     Q("q81_group_head",
       (s, d) => {

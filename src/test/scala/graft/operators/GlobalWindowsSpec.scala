@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.plans.logical
+import graft.TestSpark
+import graft.config.PipelineError
+
+/** Distributed ungrouped windows (GlobalWindows) vs the sequential
+  * single-task reference, the no-single-task-window plan shape, and the
+  * row-count guard on the inherently-sequential methods.
+  */
+class GlobalWindowsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1..400 shuffled across 7 partitions, every 5th value null.
+  private def fixture = {
+    val rows = scala.util.Random.shuffle((1 to 400).toList).map { i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong),
+        if (i % 5 == 0) None else Some(i.toDouble / 3.0))
+    }
+    rows.toDF("k", "vl", "vd").repartition(7)
+  }
+
+  private val seqW = Window.orderBy(col("k").asc)
+  private val seqRun = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  test("cumsum (long, exact) matches the sequential reference") {
+    val got = GlobalWindows.running(fixture, Seq("k"), Seq("vl"), "cumsum")
+      .select("k", "vl").orderBy("k").as[(Long, Option[Long])].collect()
+    val want = fixture.select(col("k"), sum(col("vl")).over(seqRun).as("vl"))
+      .orderBy("k").as[(Long, Option[Long])].collect()
+    assert(got === want)
+  }
+
+  test("cummax / cummin keep null positions and match the reference") {
+    for ((op, ref) <- Seq(
+        ("cummax", () => when(col("vl").isNull, lit(null))
+          .otherwise(max(col("vl")).over(seqRun))),
+        ("cummin", () => when(col("vl").isNull, lit(null))
+          .otherwise(min(col("vl")).over(seqRun))))) {
+      val got = GlobalWindows.running(fixture, Seq("k"), Seq("vl"), op)
+        .select("k", "vl").orderBy("k").as[(Long, Option[Long])].collect()
+      val want = fixture.select(col("k"), ref().cast("long").as("vl"))
+        .orderBy("k").as[(Long, Option[Long])].collect()
+      assert(got === want, op)
+    }
+  }
+
+  test("cumprod matches the reference within float tolerance") {
+    // values near 1.0 so a 400-term product stays finite
+    val df = fixture.withColumn("vp",
+      when(col("vd").isNull, lit(null)).otherwise(lit(1.0) + col("vd") / 1e4))
+    val got = GlobalWindows.running(df, Seq("k"), Seq("vp"), "cumprod")
+      .select("k", "vp").orderBy("k").as[(Long, Option[Double])].collect()
+    val want = df.select(col("k"),
+        when(col("vp").isNull, lit(null)).otherwise(
+          graft.expressions.ProductAgg.product(col("vp").cast("double"))
+            .over(seqRun)).as("vp"))
+      .orderBy("k").as[(Long, Option[Double])].collect()
+    got.zip(want).foreach { case ((k1, g), (k2, w)) =>
+      assert(k1 === k2)
+      (g, w) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1e-9 * math.abs(b))
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
+  test("cumcount equals 0-based position in key order") {
+    val got = GlobalWindows.cumcount(fixture, Seq("k"))
+      .select("k", "cumcount").orderBy("k").as[(Long, Int)].collect()
+    assert(got === (1 to 400).map(i => (i.toLong, i - 1)).toArray)
+  }
+
+  test("ffill / bfill carry across range-partition boundaries") {
+    val f = GlobalWindows.fill(fixture, Seq("k"), Seq("vl"), forward = true)
+      .select("k", "vl").orderBy("k").as[(Long, Option[Long])].collect()
+    val fw = fixture.select(col("k"),
+        last(col("vl"), ignoreNulls = true).over(seqRun).as("vl"))
+      .orderBy("k").as[(Long, Option[Long])].collect()
+    assert(f === fw)
+    val b = GlobalWindows.fill(fixture, Seq("k"), Seq("vl"), forward = false)
+      .select("k", "vl").orderBy("k").as[(Long, Option[Long])].collect()
+    val bw = fixture.select(col("k"),
+        first(col("vl"), ignoreNulls = true).over(
+          seqW.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("vl"))
+      .orderBy("k").as[(Long, Option[Long])].collect()
+    assert(b === bw)
+  }
+
+  test("plan shape: every ungrouped Window runs over an aggregate, not data") {
+    for (df <- Seq(
+        GlobalWindows.running(fixture, Seq("k"), Seq("vl", "vd"), "cumsum"),
+        GlobalWindows.cumcount(fixture, Seq("k")),
+        GlobalWindows.fill(fixture, Seq("k"), Seq("vl"), forward = true))) {
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(global.nonEmpty) // the prefix-combine window exists...
+      global.foreach { w =>   // ...and only ever sees the per-partition aggregate
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined,
+          s"global window over non-aggregated input:\n$w")
+      }
+    }
+  }
+
+  test("Registry routes ungrouped cumsum/ffill through the distributed path") {
+    val reg = new graft.ops.Registry(spark)
+    val out = reg.callMethod(fixture, "cumsum", graft.expr.Args(kw = List(
+        "columns" -> List("vl"), "order_by" -> List("k"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val global = out.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }
+    global.foreach(w => assert(
+      w.child.collectFirst { case a: logical.Aggregate => a }.isDefined))
+    val want = fixture.select(col("k"), sum(col("vl")).over(seqRun).as("vl"))
+      .orderBy("k").as[(Long, Option[Long])].collect()
+    assert(out.select("k", "vl").orderBy("k")
+      .as[(Long, Option[Long])].collect() === want)
+  }
+
+  test("guard: ungrouped shift above the row threshold raises") {
+    val reg = new graft.ops.Registry(spark)
+    spark.conf.set("spark.graft.globalWindow.maxRows", "100")
+    try {
+      val e = intercept[PipelineError] {
+        reg.callMethod(fixture, "shift", graft.expr.Args(kw = List(
+          "columns" -> List("vl"), "order_by" -> List("k"))))
+      }
+      assert(e.getMessage.contains("maxRows"))
+      // under the threshold it still runs
+      val small = fixture.limit(50)
+      val ok = reg.callMethod(small, "shift", graft.expr.Args(kw = List(
+          "columns" -> List("vl"), "order_by" -> List("k"))))
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+      assert(ok.count() === 50)
+    } finally spark.conf.unset("spark.graft.globalWindow.maxRows")
+  }
+}
