@@ -121,7 +121,6 @@ object Sampling {
     require(weights.nonEmpty, "mixtureByTokenBudget: weights must be non-empty")
     require(weights.values.forall(_ > 0.0),
       "mixtureByTokenBudget: weights must be positive")
-    import org.apache.spark.sql.expressions.Window
     val key = hashKey(col(idCol), seed)
     val base = df.select(col(idCol), col(sourceCol).as("source"),
         tokenizer(col(textCol)).cast(LongType).as("n_tokens"), key.as("__k"))
@@ -129,20 +128,91 @@ object Sampling {
         floor(element_at(typedLit(weights), col("source")) * totalTokens)
           .cast(LongType))
       .filter(col("__budget").isNotNull)
+    takeByBudget(base, idCol, "source")
+  }
+
+  /** The shared token-budget engine behind [[mixtureByTokenBudget]] and
+    * [[clusterBalancedSample]]: `base` carries (idCol, srcCol, n_tokens,
+    * __k, __budget); rows are taken per `srcCol` group in __k order until
+    * each group's __budget fills (the crossing row kept). The running total
+    * is the distributed two-level prefix sum described on
+    * mixtureByTokenBudget — per-(group, hash-prefix-bucket) sums prefix-sum
+    * over a tiny aggregate frame; no task ever holds a whole group.
+    */
+  private def takeByBudget(base0: DataFrame, idCol: String,
+                           srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0
       .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
-    val offsets = base.groupBy(col("source"), col("__b"))
+    val offsets = base.groupBy(col(srcCol), col("__b"))
       .agg(sum(col("n_tokens")).as("__bt"))
       .withColumn("__off", coalesce(sum(col("__bt")).over(
-        Window.partitionBy(col("source")).orderBy(col("__b"))
+        Window.partitionBy(col(srcCol)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("__b"), col("__off"))
-    val wloc = Window.partitionBy(col("source"), col("__b"))
+      .select(col(srcCol), col("__b"), col("__off"))
+    val wloc = Window.partitionBy(col(srcCol), col("__b"))
       .orderBy(col("__k"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), Seq("source", "__b"))
+    base.join(broadcast(offsets), Seq(srcCol, "__b"))
       .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(wloc))
       .filter(col("cum_tokens") - col("n_tokens") < col("__budget"))
-      .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Cluster-balanced sampling — the topic-balancing data-mixing idiom
+    * beside source-level [[mixtureByTokenBudget]]: assign every document to
+    * its nearest centroid (a fitted coarse quantizer — see
+    * [[clusterBalancedSampleFit]] for the in-pipeline KMeans fit), then take
+    * docs per cluster in deterministic md5 order until each cluster's token
+    * budget fills. Balances the mixture across TOPICS instead of named
+    * sources, capping any one dominant cluster at `tokensPerCluster`.
+    *
+    * Assignment is argmin squared-L2, computed as `|c|^2 - 2<v,c>` with
+    * `|c|^2` precomputed per centroid: one dot product per (row, centroid),
+    * centroids travel as plan literals (broadcast by construction), and the
+    * identical expression replays in DuckDB via list_dot_product (the q37
+    * parity), which is what makes the selection oracle-exact. Ties break to
+    * the lower cluster index on both engines (first index at the min).
+    *
+    * Scale shape: assignment is one map pass (no shuffle); the only
+    * shuffles are the budget engine's (cluster, bucket) aggregations.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, textCol: String,
+                            vecCol: String, centroids: Seq[Seq[Double]],
+                            tokensPerCluster: Long, seed: String,
+                            tokenizer: Column => Column = wsTokenCount): DataFrame = {
+    require(centroids.nonEmpty, "clusterBalancedSample: centroids required")
+    require(centroids.map(_.size).distinct.size == 1,
+      "clusterBalancedSample: centroid dimensions differ")
+    val scores = array(centroids.map { c =>
+      val normSq = c.map(x => x * x).sum
+      lit(normSq) - lit(2.0) * graft.functions.Vectors.dot(col(vecCol), typedLit(c))
+    }: _*)
+    val base = df.select(col(idCol),
+        (array_position(scores, array_min(scores)) - 1).cast("int").as("cluster"),
+        tokenizer(col(textCol)).cast(LongType).as("n_tokens"),
+        hashKey(col(idCol), seed).as("__k"))
+      .withColumn("__budget", lit(tokensPerCluster))
+    takeByBudget(base, idCol, "cluster")
+  }
+
+  /** [[clusterBalancedSample]] with the quantizer fitted in-pipeline: a
+    * seeded MLlib KMeans over a bounded corpus sample (the ivfTopK fit,
+    * shared via Similarity.fitQuantizerCenters), then the deterministic
+    * frozen-centroid path above. The fit is the only non-replayable step
+    * (MLlib centroid sums re-associate per partitioning), which is why the
+    * oracle-gated query freezes its output instead of re-fitting.
+    */
+  def clusterBalancedSampleFit(df: DataFrame, idCol: String, textCol: String,
+                               vecCol: String, nClusters: Int,
+                               tokensPerCluster: Long, seed: String,
+                               fitSampleRows: Long = 100000L,
+                               corpusRows: Option[Long] = None,
+                               tokenizer: Column => Column = wsTokenCount): DataFrame = {
+    val cents = Similarity.fitQuantizerCenters(
+      df, vecCol, nClusters, fitSampleRows, corpusRows)
+    clusterBalancedSample(df, idCol, textCol, vecCol, cents,
+      tokensPerCluster, seed, tokenizer)
   }
 
   /** Temperature-weighted mixture PLAN (the data-recipe step public LLM

@@ -195,38 +195,61 @@ object Similarity {
     * Uses MLlib KMeans (seeded, deterministic) for the quantizer; vectors
     * bridge via ml.functions.array_to_vector.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              ncells: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              fitSampleRows: Long = 200000L,
-              corpusRows: Option[Long] = None): DataFrame = {
+  /** Seeded coarse-quantizer fit shared by [[ivfTopK]] and
+    * [[Sampling.clusterBalancedSampleFit]]: random init + few iterations (a
+    * coarse quantizer only needs rough cells, not converged centroids;
+    * k-means|| init costs extra passes). Bounding the fit sample must not
+    * cost an eager count() job at plan time: callers that know the corpus
+    * size pass corpusRows and get a uniform fraction sample; otherwise take
+    * up to perPart rows from EACH partition — count-free, spread across the
+    * whole corpus (not biased to one file), each task short-circuiting
+    * after perPart rows. Partition-local ordering bias is irrelevant for a
+    * coarse quantizer.
+    */
+  private[graft] def fitKMeansModel(corpusV: DataFrame, ncells: Int,
+      fitSampleRows: Long, corpusRows: Option[Long])
+      : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // random init + few iterations: a coarse quantizer only needs rough
-    // cells, not converged centroids (k-means|| init costs extra passes)
     val km = new KMeans().setK(ncells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-    // Bounding the fit sample must not cost an eager count() job at plan
-    // time. Callers that know the corpus size pass corpusRows and get a
-    // uniform fraction sample; otherwise take up to perPart rows from EACH
-    // partition — count-free, spread across the whole corpus (not biased to
-    // one file), and each task short-circuits after perPart rows. Partition-
-    // local ordering bias is irrelevant for a coarse quantizer.
     val fitInput = corpusRows match {
       case Some(nRows) if nRows > fitSampleRows =>
         corpusV.sample(withReplacement = false,
           fitSampleRows.toDouble / nRows, seed = 42L)
       case Some(_) => corpusV
       case None =>
-        val spark0 = corpus.sparkSession
+        val spark0 = corpusV.sparkSession
         val parts = math.max(1, corpusV.rdd.getNumPartitions)
         val perPart = math.max(1L, fitSampleRows / parts).toInt
         spark0.createDataFrame(
           corpusV.rdd.mapPartitions(_.take(perPart)), corpusV.schema)
     }
-    val model = km.fit(fitInput)
+    km.fit(fitInput)
+  }
+
+  /** Fitted coarse-quantizer centroids as plain double vectors — the
+    * freeze-able form ([[Sampling.clusterBalancedSample]] takes these as
+    * plan literals so the assignment replays exactly in any engine).
+    */
+  def fitQuantizerCenters(corpus: DataFrame, vecCol: String, ncells: Int,
+                          fitSampleRows: Long = 200000L,
+                          corpusRows: Option[Long] = None): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    fitKMeansModel(v, ncells, fitSampleRows, corpusRows)
+      .clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              ncells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              fitSampleRows: Long = 200000L,
+              corpusRows: Option[Long] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = fitKMeansModel(corpusV, ncells, fitSampleRows, corpusRows)
     val assigned = model.transform(corpusV)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
     // broadcastable centroid table: (cell, centroid array)

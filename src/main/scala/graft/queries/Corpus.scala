@@ -14,7 +14,74 @@ import Q._
   */
 object Corpus {
 
+  /** Frozen coarse-quantizer centroids for q178: the output of
+    * `Similarity.fitQuantizerCenters(embeddings, "embedding", 4)` on the
+    * sf0.01 fixture, rounded to 4 decimals (provenance run:
+    * `graft.tools.ClusterShow`; cluster sizes 123/130/126/121). Frozen
+    * because the KMeans FIT is the one non-replayable step (MLlib centroid
+    * sums re-associate per partitioning); assignment against frozen
+    * literals is exact on both engines.
+    */
+  private val Cents178: Seq[Seq[Double]] = Seq(
+    Seq(0.018, 0.037, -0.0122, 0.0215, -0.0429, 0.0031, -0.0411, -0.0157, -0.0033, -0.0286, -0.0119, 0.0203, 0.0249, -0.0255, 0.007, 0.0114, -0.0168, -0.004, 0.014, -0.0286, 4.0E-4, 0.0297, -0.0034, 0.0257, 0.0235, 0.0525, 0.0224, -0.028, 0.0324, 0.0111, -0.0022, 0.0325, -0.0212, -0.0011, -0.0271, 0.0128, -0.0224, -0.005, -0.0373, -0.0502, 0.0303, -0.0251, -0.0182, -0.0061, -0.0322, 0.0376, 0.0119, 0.0256, -0.0127, -0.0478, 0.0088, -0.0163, -0.0383, -0.0174, -0.0451, 0.0221, 0.025, 0.035, -0.0181, 0.0129, -0.0074, -0.0296, -0.021, 0.0114),
+    Seq(-0.0367, -0.0081, -0.031, -0.0243, 0.0487, 0.0304, -0.0257, 0.0373, -0.0231, 0.0459, 0.012, 0.0331, -0.0025, 0.0032, 0.0206, 0.0131, 0.007, 0.0072, 0.0075, 0.0094, 0.0183, -0.0559, -0.0045, -0.0113, 0.0118, 0.0314, -0.028, 0.0358, -0.0402, 0.0333, -0.0049, 0.0038, 0.0584, -0.0289, -8.0E-4, -0.0088, 0.0014, 0.0428, 0.0166, 0.0103, -0.0031, -0.0013, 0.015, 0.0139, -0.0112, -0.012, 0.025, -0.0482, 0.0321, -0.0087, 0.0248, -0.0025, 0.007, 0.0053, -0.0202, -0.0335, 0.0281, -0.0054, -0.0069, 0.039, 0.0196, 0.0223, 0.0134, -0.0109),
+    Seq(0.0095, 0.0015, 0.0387, -0.0016, -0.0061, -0.035, 0.0176, 0.0295, 0.0034, -0.0222, 0.0169, -0.0572, -0.0192, -0.0221, -0.0344, -0.0351, 0.0187, 0.0315, 0.0061, 0.0464, -0.0164, 0.0155, 0.0106, -0.0578, -0.0134, -0.0534, 0.0098, 0.0433, -0.0032, 0.0453, -0.0033, -0.0361, 0.0084, 0.0222, 0.0136, 0.0061, 0.0036, -0.0137, -0.014, 0.0302, -0.0172, -0.0338, 0.01, 0.0105, -0.0321, 0.0035, -0.0364, 0.0104, -0.0394, 0.0271, 0.015, 0.0383, 0.0068, -0.0116, 0.0733, -0.0048, 0.0134, -0.0115, -0.0105, -0.0289, -0.0014, 0.0051, -0.0032, -0.0405),
+    Seq(0.0201, -0.0488, 0.0217, -0.0139, 0.0383, 0.0322, -0.0238, -0.0164, 0.0145, 1.0E-4, 0.0083, 0.0166, -0.0136, 0.0534, 0.0053, 0.0347, 0.004, -0.0122, -0.0303, -0.0236, -0.0188, 0.0233, 0.0143, 0.0124, -0.0302, 0.0208, -0.0092, -0.0107, 0.0087, -0.0915, 0.0337, -0.0237, -0.0152, -0.0183, 0.0354, -0.0049, -0.0044, -0.033, 0.0303, 0.004, -0.0168, 0.0128, -0.0067, -0.0217, 0.03, -0.013, -0.0038, 0.0389, 0.0036, -0.0123, -0.0123, -0.0262, 0.0561, 0.0077, 0.0112, 0.0037, -0.0494, -0.0279, 0.0165, -0.0608, -0.0132, 0.0215, 0.0055, -0.0128))
+
+  /** The per-centroid assignment scores (|c|^2 - 2<v,c>) as a DuckDB list
+    * expression over embedding column `e.embedding` — the exact replay of
+    * Sampling.clusterBalancedSample's in-plan expression (|c|^2 computed
+    * ONCE in Scala and interpolated into both plans; dot products via
+    * list_dot_product, the q37-established index-order parity).
+    */
+  private def clusterScoresSql(cents: Seq[Seq[Double]]): String =
+    cents.map { c =>
+      val n2 = c.map(x => x * x).sum
+      s"($n2 - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), ${c.mkString("[", ", ", "]")}))"
+    }.mkString("[\n            ", ",\n            ", "]")
+
   val all: Seq[Q] = Seq(
+
+    // Cluster-balanced sampling — the topic-balancing data-mixing idiom:
+    // nearest-frozen-centroid assignment (one map pass, centroids as plan
+    // literals), then per-cluster token budgets through the same two-level
+    // prefix-sum engine as q119. The oracle replays assignment AND
+    // selection exactly; ties in the argmin break to the lower index on
+    // both engines (first index at the min).
+    Q("q178_cluster_balanced",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        graft.operators.Sampling.clusterBalancedSample(
+          docs.join(emb, "doc_id"), "doc_id", "text", "embedding",
+          Cents178, tokensPerCluster = 2500L, seed = "s178")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT d.doc_id, d.text,
+            ${clusterScoresSql(Cents178)} AS s
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        asg AS (
+          SELECT doc_id, text,
+            CAST(list_position(s, list_min(s)) - 1 AS INTEGER) AS cluster
+          FROM sc),
+        tok AS (
+          SELECT doc_id, cluster,
+            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR) || ':s178') AS k
+          FROM asg),
+        cum AS (
+          SELECT tok.*, CAST(SUM(n_tokens) OVER (PARTITION BY cluster
+              ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+          FROM tok)
+        SELECT doc_id, cluster, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens - n_tokens < 2500
+        ORDER BY doc_id""")),
+
 
     // Extended PII redaction: NANP phone numbers join the email/IPv4 passes.
     // The fixture text has no phones, so the query SPIKES three per doc

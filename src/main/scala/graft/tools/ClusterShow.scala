@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the fitted coarse-quantizer centroids for the q178 config (4
+  * clusters over the sf0.01 embeddings, rounded to 4 decimals) — the
+  * provenance run for the frozen centroid table embedded in q178 and its
+  * oracle. Rounding is safe: BOTH engines assign against the same rounded
+  * literals, so parity is unaffected; 4 decimals just keeps the SQL small.
+  *
+  * Usage: sbt "runMain graft.tools.ClusterShow [sfDir] [nClusters]"
+  */
+object ClusterShow {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val k = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .fitQuantizerCenters(emb, "embedding", k)
+      .map(_.map(x => math.rint(x * 1e4) / 1e4))
+    println(s"[cents] k=${cents.size} dim=${cents.head.size}")
+    cents.zipWithIndex.foreach { case (c, i) =>
+      println(s"[cents] Seq(${c.mkString(", ")}),")
+    }
+    // quick balance check at the frozen centroids
+    import org.apache.spark.sql.functions._
+    val scores = array(cents.map { c =>
+      val n2 = c.map(x => x * x).sum
+      lit(n2) - lit(2.0) * graft.functions.Vectors.dot(col("embedding"), typedLit(c))
+    }: _*)
+    emb.select((array_position(scores, array_min(scores)) - 1).as("cluster"))
+      .groupBy("cluster").count().orderBy("cluster").collect()
+      .foreach(r => println(s"[cents] cluster=${r.get(0)} n=${r.get(1)}"))
+    spark.stop()
+  }
+}

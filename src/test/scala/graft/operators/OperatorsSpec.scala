@@ -1403,4 +1403,56 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byG == ref, "heap selection must equal the window-sort selection")
   }
+
+  test("clusterBalancedSample: frozen centroids, budgets bind per cluster") {
+    // 3 well-separated 4-d clusters; docs of 10 tokens each
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val docs = (1L to 300L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(4)(0.0f); base(c) = 1.0f
+      base(3) = (i % 7).toFloat / 100f // jitter, never flips the argmin
+      (i, (1 to 10).map(j => s"w$j").mkString(" "), base.toSeq)
+    }.toDF("doc_id", "text", "embedding")
+    val out = Sampling.clusterBalancedSample(docs, "doc_id", "text",
+      "embedding", cents, tokensPerCluster = 100L, seed = "cb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // assignment is by construction id % 3
+    out.foreach { case (id, cl, _, _) => assert(cl === (id % 3).toInt) }
+    // 100-token budget at 10 tokens/doc: exactly 10 docs per cluster
+    val perCluster = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCluster === Map(0 -> 10, 1 -> 10, 2 -> 10))
+    // selection is layout-stable
+    val again = Sampling.clusterBalancedSample(docs.repartition(7), "doc_id",
+      "text", "embedding", cents, tokensPerCluster = 100L, seed = "cb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_._1).toSet)
+  }
+
+  test("clusterBalancedSampleFit: fit plumbing — cells form, budgets bind, deterministic") {
+    // The coarse quantizer (random init, 5 iters) guarantees a space
+    // PARTITION, not true-cluster recovery — assignment exactness is the
+    // frozen-centroid test's job. Here: the fitted cells cover the corpus,
+    // every cell's token budget binds, and the seeded fit is repeatable.
+    val docs = (1L to 300L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(4)(0.0f); base(c) = 1.0f
+      base(3) = (i % 100).toFloat / 1000f
+      (i, (1 to 10).map(j => s"w$j").mkString(" "), base.toSeq)
+    }.toDF("doc_id", "text", "embedding")
+    val out = Sampling.clusterBalancedSampleFit(docs, "doc_id", "text",
+      "embedding", nClusters = 3, tokensPerCluster = 100L, seed = "cb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCl = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCl.keySet.subsetOf(Set(0, 1, 2)) && byCl.nonEmpty)
+    // 100-token budget at 10 tokens/doc: at most 10 docs per fitted cell
+    byCl.values.foreach(n => assert(n <= 10, s"budget exceeded: $byCl"))
+    // crossing-doc rule: each selected row's exclusive prefix < budget
+    out.foreach { case (_, _, n, cum) => assert(cum - n < 100L) }
+    // the seeded fit + selection is repeatable
+    val again = Sampling.clusterBalancedSampleFit(docs, "doc_id", "text",
+      "embedding", nClusters = 3, tokensPerCluster = 100L, seed = "cb")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(again === out.map(t => (t._1, t._2)).sortBy(_._1))
+  }
 }
