@@ -2073,6 +2073,24 @@ final class Registry(spark: SparkSession) {
           case "max" => ("max", (c, wf) => max(c).over(wf))
           case "count" => ("count", (c, wf) => count(c).over(wf))
           case "std" => ("std", (c, wf) => stddev_samp(c).over(wf))
+          case "quantile" =>
+            // pandas rolling(...).quantile(q, interpolation='linear'): the
+            // exact order statistic with linear interpolation at h=(n-1)q —
+            // the arbitrary-q generalization of the built-in median frame
+            // (and equal to it at q=0.5), matching DuckDB quantile_cont(q).
+            // Nulls drop out via collect_list, like pandas skipna.
+            val q = a.require("q", -1).toString.toDouble
+            require(q >= 0.0 && q <= 1.0,
+              s"$name: quantile q must be in [0, 1], got $q")
+            ("quantile", (c, wf) => {
+              val arr = array_sort(collect_list(c).over(wf))
+              val n = size(arr)
+              val h = (n - 1).cast(DoubleType) * lit(q)
+              val lo = floor(h).cast(IntegerType)
+              val vlo = element_at(arr, lo + 1).cast(DoubleType)
+              val vhi = element_at(arr, least(lo + 2, n)).cast(DoubleType)
+              vlo + (vhi - vlo) * (h - lo.cast(DoubleType))
+            })
           case "apply" =>
             val fname = asStr(a.require("fn", -1), "fn")
             (fname, Registry.rollingFn(fname).getOrElse(throw PipelineError(

@@ -1221,6 +1221,36 @@ object Prep {
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey""")),
 
+    // pandas rolling(...).quantile(q): arbitrary-q exact order statistic
+    // with linear interpolation at h=(n-1)q — the generalization of q100's
+    // median frame. min_periods=4 < window=10 pins the partial-head branch
+    // (heads with 4..9 obs produce values; 1..3 null). round(6) absorbs
+    // engine-side interpolation ulps.
+    Q("q179_rolling_quantile",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        reg.callMethod(o, "rolling", graft.expr.Args(kw = List(
+          "window" -> 10L, "min_periods" -> 4L, "q" -> 0.25,
+          "columns" -> List("o_totalprice"), "func" -> "quantile",
+          "order_by" -> List("o_orderkey"),
+          "partition_by" -> List("o_orderpriority"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice_quantile"), 6).as("roll_q25"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+          CASE WHEN COUNT(o_totalprice) OVER w >= 4
+            THEN round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) OVER w, 6) END
+            AS roll_q25
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""")),
+
     // pandas pd.factorize(sort=True): integer codes by sorted unique order
     // (the deterministic variant — encounter order is partitioning-
     // dependent, so the engine rejects sort=False). Nulls code as -1; the

@@ -360,6 +360,41 @@ class RegistrySpec extends AnyFunSuite {
     assert(expd.toSeq == Seq(1.0, 3.0, 7.0, 15.0))
   }
 
+  test("rolling quantile: linear interpolation, min_periods, q=0.5 == median") {
+    val d = Seq((1L, 4.0), (2L, 1.0), (3L, 3.0), (4L, 2.0)).toDF("t", "x")
+    // window=3, min_periods=2, q=0.25: h=(n-1)*q over the sorted frame
+    val out = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "min_periods" -> 2L, "q" -> 0.25, "func" -> "quantile",
+      "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    // t=1: 1 obs -> null; t=2: [1,4] h=.25 -> 1.75; t=3: [1,3,4] h=.5 -> 2;
+    // t=4: [1,2,3] h=.5 -> 1.5
+    assert(out.toSeq == Seq(None, Some(1.75), Some(2.0), Some(1.5)))
+    // q=0.5 equals the built-in exact median frame
+    val q5 = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "q" -> 0.5, "func" -> "quantile", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    val med = m(d, "rolling", "columns" -> List("x"), "window" -> 3L,
+      "func" -> "apply", "fn" -> "median", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(q5.toSeq == med.toSeq)
+    // q=0 / q=1 are the frame min / max; bad q raises
+    val q0 = m(d, "rolling", "columns" -> List("x"), "window" -> 2L,
+      "min_periods" -> 1L, "q" -> 0.0, "func" -> "quantile",
+      "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => r.getDouble(2))
+    assert(q0.toSeq == Seq(4.0, 1.0, 1.0, 2.0))
+    val e = intercept[Exception] {
+      m(d, "rolling", "columns" -> List("x"), "window" -> 2L, "q" -> 1.5,
+        "func" -> "quantile", "order_by" -> List("t"))
+    }
+    assert(e.getMessage.contains("[0, 1]"))
+  }
+
   test("interpolate method='time' weights by key distance, 'linear' by position") {
     val d = Seq((0L, Some(0.0)), (1L, None), (10L, Some(10.0)))
       .toDF("t", "v")
