@@ -221,6 +221,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(_.exists(n.startsWith)) }
+    // --- relational canary: three fixed, untouched-since-r1 queries timed
+    // once right after warmup and once after the sweep, plus the SAME
+    // queries' min times read back from the previous BENCH_full.json — so
+    // "ambient slowdown vs code regression" is a recorded field (r8's 1.59x
+    // common-surface drift took a manual cross-artifact analysis to
+    // attribute; the ratio of untouched queries is the attribution).
+    val canaryNames = Seq("q01_pricing_summary", "q03_join_broadcast", "q10_topk")
+    val benchFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")).getAbsoluteFile
+    val prevCanary: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(benchFile.toPath))
+        canaryNames.flatMap { n =>
+          ("\"" + n + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
+            .map(m => n -> m.group(1).toDouble)
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+    def runCanary(): Seq[(String, Double)] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val canaryStart = runCanary()
     val results = selected.map { case (name, fn) =>
       def once(): Option[(Double, RunEnv)] = {
         val wd = watchdog(name, sys.env.getOrElse(
@@ -277,8 +302,20 @@ object Bench {
     // rounds 1-4 lost q01-q19 to exactly that truncation. The stdout JSON
     // line stays parseable inside the tail by using the (unique) qNN name
     // prefixes and pointing at the file for the full names.
-    val benchFile = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")).getAbsoluteFile
+    val canaryEnd = runCanary()
+    def canaryObj(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def geomeanRatio(num: Seq[(String, Double)],
+                     den: Map[String, Double]): Double = {
+      val rs = num.flatMap { case (k, v) =>
+        den.get(k).filter(_ > 0).map(v / _) }
+      if (rs.isEmpty) -1.0
+      else math.exp(rs.map(math.log).sum / rs.size)
+    }
+    val canaryJson = s"""{"start":${canaryObj(canaryStart)},"end":${
+      canaryObj(canaryEnd)},"prev":${canaryObj(prevCanary.toSeq.sortBy(_._1))
+      },"ratio_start_vs_prev":${geomeanRatio(canaryStart, prevCanary)
+      },"drift_end_vs_start":${geomeanRatio(canaryEnd, canaryStart.toMap)}}"""
     val fullQs = ok.map { case (k, ts) => s"\"$k\":${ts.map(_._1).min}" }
       .mkString("{", ",", "}")
     // ALL run times per query, not just the min: a query that is bimodal
@@ -292,7 +329,7 @@ object Bench {
     val fullEnv = ok.map { case (k, ts) =>
       s"\"$k\":${ts.map { case (t, e) => e.json(t) }.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"runs":$fullRuns,"runs_env":$fullEnv,"machine":$machine,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"runs":$fullRuns,"runs_env":$fullEnv,"canary":$canaryJson,"machine":$machine,"failed":$failed,"runs_per_query":$runsN,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(benchFile.toPath, fullJson + "\n")
     val shortQs = ok.map { case (k, ts) =>
       // Locale.ROOT: a comma decimal separator would corrupt the JSON

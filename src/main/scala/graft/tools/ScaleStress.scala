@@ -103,6 +103,9 @@ object ScaleStress {
       graft.operators.Similarity.ivfTopK(wq, we, 10, ncells = 16, nprobe = 4).count()
       graft.operators.Similarity.embeddingDupPairs(we, threshold = 0.95).count()
       graft.operators.Similarity.semanticDedup(we, threshold = 0.35).count()
+      graft.operators.Similarity.pqTopK(wq, we, k = 5).count()
+      graft.operators.Similarity.sq8Quantize(we)._1.count()
+      graft.operators.Similarity.hardNegatives(wq, we, k = 5).count()
       Dedup.contaminationFlagsBloom(w.filter(col("doc_id") >= 25),
         w.filter(col("doc_id") < 25), "doc_id", "text", n = 3, minCommon = 3).count()
       Sampling.mixtureByTokenBudget(
@@ -247,6 +250,19 @@ object ScaleStress {
       // against the candidate metric, not rows
       cell("q113_semantic_dedup", f, ne)(
         Similarity.semanticDedup(e, threshold = 0.35).count())
+      // PQ: the codebook fit is bounded (fitSampleRows) and encode+ADC is
+      // one map pass over codes — runtime should grow ~linearly with the
+      // corpus while the rerank stays k x rerankFactor rows per query
+      cell("q142_pq_topk", f, ne)(
+        Similarity.pqTopK(q8, e, k = 5).count())
+      // SQ8: 2xdim range fit (bounded) + one quantize map pass — pure
+      // linear scan shape
+      cell("q143_sq8_quantize", f, ne)(
+        Similarity.sq8Quantize(e)._1.count())
+      // hard negatives: queries broadcast, corpus scanned once, two-phase
+      // k-heaps — linear in corpus size at fixed query count
+      cell("q157_hard_negatives", f, ne)(
+        Similarity.hardNegatives(q8, e, k = 5).count())
       e.unpersist()
       }
     }
