@@ -310,7 +310,13 @@ object Similarity {
         // cells, not converged centroids (matches the IVF quantizer choice)
         val km = new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(8)
           .setInitMode("random")
-        km.fit(sub).clusterCenters.toSeq.map(c => c.toArray.toSeq)
+        val centers = km.fit(sub).clusterCenters.toSeq.map(c => c.toArray.toSeq)
+        // duplicate-heavy corpora (exact-dup vectors are normal in a crawl)
+        // can leave < ksub distinct centers — MLlib drops empty clusters.
+        // Pad by repeating the last center: the codebook stays rectangular
+        // and a duplicated center ties at equal distance (argmin takes the
+        // first index), so encode/ADC semantics are unchanged.
+        centers ++ Seq.fill(ksub - centers.size)(centers.last)
       }.seq
     } finally { cached.unpersist() }
   }

@@ -98,6 +98,27 @@ final class Registry(spark: SparkSession) {
     case l: List[_] => l.map(asStr(_, "list element"))
     case other => throw PipelineError(s"Expected string or list of strings, got ${tn(other)}")
   }
+
+  /** Collect a (rank, first, second) merge-table frame (graft.bpe_train's
+    * output) back to the ordered driver-side form. Bounded by construction:
+    * merge tables are <= a few thousand rows (numMerges), like the SQ8
+    * range fit — never corpus-sized.
+    */
+  private def collectMerges(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.select(col("rank").cast("int"), col("first"), col("second"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The shared `merges=` option on token-denominated YAML functions:
+    * absent -> whitespace token counter; present (a bpe_train output) ->
+    * learned-subword counter applied in-plan.
+    */
+  private def bpeTokenizer(a: Args): Column => Column =
+    a.get("merges", -1) match {
+      case Some(m) =>
+        graft.functions.Bpe.tokenCount(collectMerges(asDf(m, "merges")))
+      case None => graft.operators.Sampling.wsTokenCount
+    }
   private def asInt(v: Any, what: String): Int = v match {
     case i: Long => i.toInt
     case i: Int => i
@@ -931,7 +952,52 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         weights,
         totalTokens = a.require("total_tokens", 1).toString.toLong,
-        seed = asStr(a.get("seed", -1).getOrElse("mix"), "seed"))
+        seed = asStr(a.get("seed", -1).getOrElse("mix"), "seed"),
+        tokenizer = bpeTokenizer(a))
+    },
+    "graft.bpe_train" -> { a =>
+      // learn a BPE merge table from the corpus (Sennrich 2016):
+      // distributed word-count aggregate -> bounded driver merge loop.
+      // Returns (rank, first, second) — a tiny checkpointable frame, the
+      // train-once / reuse-everywhere tokenizer asset every
+      // token-denominated step can take via its `merges` argument.
+      val df = asDf(a.require("df", 0), "df")
+      val merges = graft.functions.Bpe.learnMerges(df,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        numMerges = asInt(a.require("num_merges", 1), "num_merges"),
+        maxVocab = a.get("max_vocab", -1).map(asInt(_, "max_vocab"))
+          .getOrElse(65536))
+      val sp = df.sparkSession
+      import sp.implicits._
+      merges.zipWithIndex
+        .map { case ((x, y), i) => (i, x, y) }.toDF("rank", "first", "second")
+    },
+    "graft.bpe_token_count" -> { a =>
+      // append a learned-subword token count column using a trained merge
+      // table (graft.bpe_train's output, or any (rank, first, second)
+      // frame); application is fully in-plan (literal replace chain)
+      val df = asDf(a.require("df", 0), "df")
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("n_tokens"), "out"),
+        graft.functions.Bpe.tokenCount(merges)(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
+    },
+    "graft.cluster_balanced_sample" -> { a =>
+      // topic-balancing mixture: in-pipeline coarse-quantizer fit (seeded
+      // KMeans over a bounded sample), nearest-centroid assignment, then
+      // per-cluster token budgets through the shared prefix-sum engine
+      graft.operators.Sampling.clusterBalancedSampleFit(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("vec", -1).getOrElse("embedding"), "vec"),
+        nClusters = asInt(a.require("n_clusters", 1), "n_clusters"),
+        tokensPerCluster = a.require("tokens_per_cluster", 2).toString.toLong,
+        seed = asStr(a.get("seed", -1).getOrElse("cb"), "seed"),
+        fitSampleRows = a.get("fit_sample_rows", -1)
+          .map(_.toString.toLong).getOrElse(100000L),
+        tokenizer = bpeTokenizer(a))
     },
     "graft.strip_html" -> { a =>
       // HTML boilerplate removal (tags, script/style blocks, common
@@ -990,12 +1056,14 @@ final class Registry(spark: SparkSession) {
     },
     "graft.pack_windows" -> { a =>
       // pretraining packing: docs (+EOS) concatenated in deterministic
-      // order, cut into exact size-token windows (docs split at borders)
+      // order, cut into exact size-token windows (docs split at borders);
+      // pass merges=<bpe_train output> to budget in learned subword tokens
       graft.operators.Prep.packWindows(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         size = asInt(a.require("size", 1), "size"),
-        seed = asStr(a.get("seed", -1).getOrElse("pack"), "seed"))
+        seed = asStr(a.get("seed", -1).getOrElse("pack"), "seed"),
+        tokenizer = bpeTokenizer(a))
     },
     "graft.chunk_tokens" -> { a =>
       // overlapping token-window chunking (RAG embedding prep)

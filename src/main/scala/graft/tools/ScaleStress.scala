@@ -72,7 +72,12 @@ object ScaleStress {
     // made the r6 curves unreadable. NB: no clearCache here — it would also
     // drop the persisted factor fixture mid-factor; the operator-internal
     // persists are tracked and released explicitly.
+    // comma-separated op-name prefixes to run a subset of cells
+    // (e.g. SPARK_GRAFT_STRESS_FILTER=q142,q143,q157); absent = all
+    val cellFilter = sys.env.get("SPARK_GRAFT_STRESS_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def cell(op: String, f: Int, rows: Long)(body: => Long): Unit = {
+      if (!cellFilter.forall(_.exists(op.startsWith))) return
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val out = body
@@ -126,15 +131,17 @@ object ScaleStress {
       val nd = d.count()
       // exact self-join candidate rows: sum C(df, 2) over the distinct
       // shingle vocabulary, uncapped vs the q84 cap
-      val dfCounts = Dedup.shingleIndex(d, "doc_id", "text", 3)
-        .groupBy("h").count().persist()
-      val candAll = dfCounts.agg(sum(expr("count * (count - 1) / 2")))
-        .first().getDouble(0).toLong
-      val candCapped = dfCounts.filter(col("count") <= 5)
-        .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0).toLong
-      println(s"[curve] op=shingle_join_candidates factor=$f rows=$nd " +
-        s"uncapped=$candAll capped_df5=$candCapped")
-      dfCounts.unpersist()
+      if (cellFilter.forall(_.exists("shingle_join_candidates".startsWith))) {
+        val dfCounts = Dedup.shingleIndex(d, "doc_id", "text", 3)
+          .groupBy("h").count().persist()
+        val candAll = dfCounts.agg(sum(expr("count * (count - 1) / 2")))
+          .first().getDouble(0).toLong
+        val candCapped = dfCounts.filter(col("count") <= 5)
+          .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0).toLong
+        println(s"[curve] op=shingle_join_candidates factor=$f rows=$nd " +
+          s"uncapped=$candAll capped_df5=$candCapped")
+        dfCounts.unpersist()
+      }
 
       // simhash banding candidate rows: sum over (band, bval) buckets of
       // C(n, 2), at the FIXED bands=8 config (8-bit band values, 2^11
@@ -142,7 +149,7 @@ object ScaleStress {
       // AND at the bands the auto rule (Dedup.autoBands) picks for this
       // corpus count — the self-sizing that keeps bucket occupancy O(1) as
       // N grows, at the documented tail-recall trade (see BandRecall).
-      locally {
+      if (cellFilter.forall(_.exists("simhash_band_candidates".startsWith))) {
         val sigs = Dedup.simhashSigs(d, "doc_id", "text").persist()
         def cand(bands: Int): Long = {
           val w = 64 / bands

@@ -57,6 +57,33 @@ class BpeSpec extends AnyFunSuite {
       Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
+  test("YAML surface: bpe_train -> bpe_token_count / merges= option") {
+    val reg = new graft.ops.Registry(spark)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, corpus), (2L, "lowest")).toDF("doc_id", "text")
+    val mergesDf = reg.callFunction("graft.bpe_train", graft.expr.Args(
+      pos = List(df), kw = List("num_merges" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(mergesDf.orderBy("rank").collect().map(r =>
+      (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val counted = reg.callFunction("graft.bpe_token_count", graft.expr.Args(
+      pos = List(df, mergesDf)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("doc_id").select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect()
+    // doc 2 "lowest" -> [low, est] = 2 tokens
+    assert(counted(1) === ((2L, 2L)))
+    // merges= flows into pack_windows (BPE budgeting through YAML)
+    val packed = reg.callFunction("graft.pack_windows", graft.expr.Args(
+      pos = List(df), kw = List("size" -> 4L, "merges" -> mergesDf)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val span2 = packed.filter(col("doc_id") === 2)
+      .agg(sum(col("end_tok") - col("start_tok") + 1)).head().getLong(0)
+    assert(span2 === 3L) // 2 bpe tokens + EOS
+  }
+
   test("tokenizer= hook: packWindows budgets in BPE tokens") {
     val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
     val docs = Seq(

@@ -63,6 +63,17 @@ class ExamplesSpec extends AnyFunSuite {
     val cont = spark.read.parquet(s"$out/containment_pairs")
     assert(Seq("id_a", "id_b", "contain_a_in_b", "contain_b_in_a")
       .forall(cont.columns.contains))
+    // BPE ledger: every doc counted, subword tokens >= whitespace words
+    val toks = spark.read.parquet(s"$out/token_counts")
+    assert(toks.count() == dsir.count(), "every doc gets a token count")
+    assert(toks.filter(col("n_tokens") <= 0).count() == 0)
+    // cluster-balanced sample: per-cluster BPE-token budget binds
+    val bal = spark.read.parquet(s"$out/balanced_sample")
+    assert(Seq("doc_id", "cluster", "n_tokens", "cum_tokens")
+      .forall(bal.columns.contains), bal.columns.mkString(","))
+    assert(bal.count() > 0)
+    val over = bal.filter(col("cum_tokens") - col("n_tokens") >= 2500)
+    assert(over.count() == 0, "crossing-doc rule: exclusive prefix < budget")
   }
 
   test("examples/retrieval_prep.yaml: bloom decontam -> mixture -> bm25 z-scores -> weighted eval") {
