@@ -79,9 +79,13 @@ object GlobalWindows {
         d.withColumn(s"__gw_o_$c", aggOf(col(s"__gw_t_$c")).over(wPrev)))
       .select(col(PID) +: cols.map(c => col(s"__gw_o_$c")): _*)
     val joined = r.join(broadcast(offs), Seq(PID))
-    val out = cols.foldLeft(joined) { (d, c) =>
+    val out = cols.foldLeft(joined) { (d0, c) =>
       val o = col(s"__gw_o_$c")
-      val local = aggOf(col(c)).over(wLocRun)
+      // materialize the local running aggregate once: referencing the
+      // window expression from several branches below would give Catalyst
+      // one window AGGREGATE per reference (window aggregates are not CSE'd)
+      val d = d0.withColumn("__gw_local", aggOf(col(c)).over(wLocRun))
+      val local = col("__gw_local")
       val combined = op match {
         // null-carry: a row whose partition has no non-null value yet must
         // still see the preceding partitions' total (and vice versa)
@@ -102,7 +106,7 @@ object GlobalWindows {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("__gw_probe"))
         .schema.head.dataType
-      d.withColumn(c, combined.cast(resultType))
+      d.withColumn(c, combined.cast(resultType)).drop("__gw_local")
     }
     out.select(df.columns.map(col).toSeq: _*)
   }

@@ -188,8 +188,13 @@ object Sampling {
       val normSq = c.map(x => x * x).sum
       lit(normSq) - lit(2.0) * graft.functions.Vectors.dot(col(vecCol), typedLit(c))
     }: _*)
+    // bind the scores array once via a single-element transform lambda so
+    // the per-centroid dot products are evaluated one time even where
+    // codegen subexpression elimination is unavailable
+    val cluster = element_at(
+      transform(array(scores), s => array_position(s, array_min(s)) - 1), 1)
     val base = df.select(col(idCol),
-        (array_position(scores, array_min(scores)) - 1).cast("int").as("cluster"),
+        cluster.cast("int").as("cluster"),
         tokenizer(col(textCol)).cast(LongType).as("n_tokens"),
         hashKey(col(idCol), seed).as("__k"))
       .withColumn("__budget", lit(tokensPerCluster))

@@ -2150,15 +2150,15 @@ final class Registry(spark: SparkSession) {
             val q = a.require("q", -1).toString.toDouble
             require(q >= 0.0 && q <= 1.0,
               s"$name: quantile q must be in [0, 1], got $q")
-            ("quantile", (c, wf) => {
-              val arr = array_sort(collect_list(c).over(wf))
-              val n = size(arr)
-              val h = (n - 1).cast(DoubleType) * lit(q)
-              val lo = floor(h).cast(IntegerType)
-              val vlo = element_at(arr, lo + 1).cast(DoubleType)
-              val vhi = element_at(arr, least(lo + 2, n)).cast(DoubleType)
-              vlo + (vhi - vlo) * (h - lo.cast(DoubleType))
-            })
+            ("quantile", (c, wf) =>
+              Registry.letArr(array_sort(collect_list(c).over(wf)), arr => {
+                val n = size(arr)
+                val h = (n - 1).cast(DoubleType) * lit(q)
+                val lo = floor(h).cast(IntegerType)
+                val vlo = element_at(arr, lo + 1).cast(DoubleType)
+                val vhi = element_at(arr, least(lo + 2, n)).cast(DoubleType)
+                vlo + (vhi - vlo) * (h - lo.cast(DoubleType))
+              }))
           case "apply" =>
             val fname = asStr(a.require("fn", -1), "fn")
             (fname, Registry.rollingFn(fname).getOrElse(throw PipelineError(
@@ -3211,16 +3211,27 @@ object Registry {
     * rejects window frames), matching pandas' default interpolation and
     * DuckDB `quantile_cont(0.5)` — (a+b)/2 at even counts.
     */
+  /** Evaluate `arr` ONCE and feed it to `f`: binds the array as a lambda
+    * variable via a single-element transform. Without this every reference
+    * to a window-collected frame becomes its OWN collect_list window
+    * aggregate — the first rolling-quantile plan carried TEN identical
+    * collect_list buffers per row (Catalyst CSE does not merge window
+    * aggregates).
+    */
+  private[ops] def letArr(arr: Column, f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   private val rollingFns =
     scala.collection.concurrent.TrieMap[String, (Column, WindowSpec) => Column](
       "median" -> { (c: Column, w: WindowSpec) =>
-        val arr = array_sort(collect_list(c).over(w))
-        val n = size(arr)
-        // integer indices via shift (element_at demands INT; `/` is double)
-        when(n % 2 === 1, element_at(arr, shiftright(n + 1, 1)))
-          .otherwise(
-            (element_at(arr, shiftright(n, 1)) +
-              element_at(arr, shiftright(n, 1) + 1)) / 2)
+        letArr(array_sort(collect_list(c).over(w)), arr => {
+          val n = size(arr)
+          // integer indices via shift (element_at demands INT; `/` is double)
+          when(n % 2 === 1, element_at(arr, shiftright(n + 1, 1)))
+            .otherwise(
+              (element_at(arr, shiftright(n, 1)) +
+                element_at(arr, shiftright(n, 1) + 1)) / 2)
+        })
       })
   def registerRollingFn(name: String, fn: (Column, WindowSpec) => Column): Unit =
     rollingFns(name) = fn

@@ -41,7 +41,7 @@ class ExamplesSpec extends AnyFunSuite {
       "token budget is per kept language (en/es/de/fr)")
   }
 
-  test("examples/data_recipe.yaml writes the four planning reports") {
+  test("examples/data_recipe.yaml writes the planning reports incl. BPE ledger + balanced sample") {
     import org.apache.spark.sql.functions.{col, sum}
     val out = freshDir("ex_recipe")
     new Pipeline(spark, "examples/data_recipe.yaml",
