@@ -312,8 +312,13 @@ object Bench {
       if (rs.isEmpty) -1.0
       else math.exp(rs.map(math.log).sum / rs.size)
     }
+    // the cross-round attribution ratio uses the END canary: the start
+    // canary runs nearly cold (one warmup query before it) while `prev`
+    // holds the previous sweep's warm min-of-runs — an end-vs-prev compare
+    // is warm-vs-warm, so it reads ambient/code drift, not JIT warmup
     val canaryJson = s"""{"start":${canaryObj(canaryStart)},"end":${
       canaryObj(canaryEnd)},"prev":${canaryObj(prevCanary.toSeq.sortBy(_._1))
+      },"ratio_end_vs_prev":${geomeanRatio(canaryEnd, prevCanary)
       },"ratio_start_vs_prev":${geomeanRatio(canaryStart, prevCanary)
       },"drift_end_vs_start":${geomeanRatio(canaryEnd, canaryStart.toMap)}}"""
     val fullQs = ok.map { case (k, ts) => s"\"$k\":${ts.map(_._1).min}" }

@@ -393,6 +393,13 @@ class RegistrySpec extends AnyFunSuite {
         "func" -> "quantile", "order_by" -> List("t"))
     }
     assert(e.getMessage.contains("[0, 1]"))
+    // expanding shares the path: growing frames, min_periods=1 default
+    val exp = m(d, "expanding", "columns" -> List("x"), "q" -> 0.5,
+      "func" -> "quantile", "order_by" -> List("t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => r.getDouble(2))
+    // medians of [4], [1,4], [1,3,4], [1,2,3,4]
+    assert(exp.toSeq == Seq(4.0, 2.5, 3.0, 2.5))
   }
 
   test("interpolate method='time' weights by key distance, 'linear' by position") {

@@ -94,6 +94,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must contain near-dups")
   }
 
+  test("BPE token budgeting composes with streams: per-lang totals match batch") {
+    // the tokenizer is pure codegen'd column math (plan-literal merge
+    // table), so it drops into a streaming aggregation unchanged — the
+    // token-ledger half of the mixture pipeline runs on a live feed
+    val dir = java.nio.file.Files.createTempDirectory("docs_bpe_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batchDocs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val merges = graft.functions.Bpe.learnMerges(batchDocs, "text", 20)
+    val nTok = graft.functions.Bpe.tokenCount(merges)(col("text"))
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+    Streams.runToMemory(
+      stream.groupBy("lang").agg(sum(nTok).as("tokens")),
+      "stream_bpe_tokens", outputMode = "complete")
+    val streamed = spark.table("stream_bpe_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = batchDocs.groupBy("lang").agg(sum(nTok).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.values.sum > 0)
+  }
+
   test("windowed streaming agg over events matches the batch equivalent") {
     val stream = Streams.eventsStream(spark, streamDir)
     assert(stream.isStreaming)
