@@ -1358,6 +1358,28 @@ final class Registry(spark: SparkSession) {
         }
         case other => throw PipelineError(s"rename expects a dict, got ${tn(other)}")
       }
+    case "add_prefix" | "add_suffix" =>
+      // pandas df.add_prefix/add_suffix: decorate every column name
+      val s = asStr(a.require(if (name == "add_prefix") "prefix" else "suffix", 0),
+        name)
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c,
+        if (name == "add_prefix") s + c else c + s))
+    case "round" =>
+      // pandas df.round(decimals): round numeric float columns (int and
+      // non-numeric pass through, like pandas); a dict scopes per column
+      a.require("decimals", 0) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].foldLeft(df) {
+          case (d, (c, dec)) =>
+            d.withColumn(c, round(col(c), asInt(dec, "decimals")))
+        }
+        case n =>
+          val dec = asInt(n, "decimals")
+          df.schema.fields.foldLeft(df)((d, f) => f.dataType match {
+            case DoubleType | FloatType =>
+              d.withColumn(f.name, round(col(f.name), dec))
+            case _ => d
+          })
+      }
     case "astype" =>
       a.require("dtype", 0) match {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].foldLeft(df) {
@@ -3116,6 +3138,58 @@ final class Registry(spark: SparkSession) {
           count(lit(1)).over(Window.partitionBy(g.keyCols: _*)))
         .filter(col("__graft_rn") <= col("__graft_cnt") + n)
         .drop("__graft_cnt")).drop("__graft_rn")
+    case "tail" =>
+      // pandas groupby().tail(n): the LAST n rows per group in key order —
+      // head's mirror (row_number over the reversed order). Negative n is
+      // "all but the first |n|".
+      val n = a.get("n", 0).map(asInt(_, "n")).getOrElse(5)
+      val orderBy = asStrList(a.require("order_by", -1))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(g.keyCols: _*)
+        .orderBy(orderBy.map(col(_).desc): _*)
+      val withRn = g.df.withColumn("__graft_rn", row_number().over(w))
+      (if (n >= 0) withRn.filter(col("__graft_rn") <= n)
+      else withRn
+        .withColumn("__graft_cnt",
+          count(lit(1)).over(Window.partitionBy(g.keyCols: _*)))
+        .filter(col("__graft_rn") <= col("__graft_cnt") + n)
+        .drop("__graft_cnt")).drop("__graft_rn")
+    case "size" =>
+      // pandas groupby().size(): row count per group INCLUDING rows whose
+      // value columns are null (count() families count non-null per column)
+      g.df.groupBy(g.keyCols: _*).agg(count(lit(1)).as("size"))
+    case "nth" =>
+      // pandas groupby().nth(n) under the explicit-ordering contract: the
+      // n-th row (0-based) of each group; negative n counts from the end
+      // (nth(-1) = last). Groups shorter than |n|+1 contribute no row —
+      // pandas' drop semantics.
+      val n = asInt(a.require("n", 0), "n")
+      val orderBy = asStrList(a.require("order_by", -1))
+      import org.apache.spark.sql.expressions.Window
+      val ord =
+        if (n >= 0) orderBy.map(col(_).asc) else orderBy.map(col(_).desc)
+      val pick = if (n >= 0) n + 1 else -n
+      val w = Window.partitionBy(g.keyCols: _*).orderBy(ord: _*)
+      g.df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === pick).drop("__graft_rn")
+    case "ngroup" =>
+      // pandas groupby(sort=True).ngroup(): group number by SORTED key
+      // order, appended as `ngroup` — length-preserving, so it runs over
+      // the ORIGINAL frame; null-key rows get pandas' dropna=True marker
+      // -1. (First-appearance numbering is partitioning-dependent and
+      // rejected, like factorize sort=False.) The numbering window runs
+      // over one row per DISTINCT key — never the data — and
+      // broadcast-joins back.
+      import org.apache.spark.sql.expressions.Window
+      val keys = g.keyNames.toList
+      val lookup = g.original.select(keys.map(col): _*).distinct()
+        .na.drop(keys)
+        .withColumn("ngroup",
+          (row_number().over(
+            Window.orderBy(keys.map(col(_).asc): _*)) - 1).cast(LongType))
+      g.original.join(broadcast(lookup), keys, "left")
+        .withColumn("ngroup", coalesce(col("ngroup"), lit(-1L)))
+        .select((g.original.columns.map(col) :+ col("ngroup")).toSeq: _*)
     case "transform" =>
       // pandas groupby().transform(fn): group aggregate broadcast back to
       // every member row. A window aggregate over the group partition — one

@@ -691,6 +691,115 @@ object Prep {
           FROM orders) t
         WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")),
 
+    // pandas groupby().ngroup() + nth() under the ordering contract:
+    // sorted-key group numbers (appended), then the 2nd row (0-based) and
+    // the last row (nth(-1)) of each priority group. A spiked-null key row
+    // pins the dropna branch (ngroup null, like pandas).
+    Q("q180_group_ngroup_nth",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(
+            when(col("o_orderkey") % 1000 === 0, lit(null))
+              .otherwise(col("o_orderpriority")).as("prio"),
+            col("o_orderkey"), col("o_totalprice"))
+        val g = reg.callMethod(base, "groupby",
+          graft.expr.Args(kw = List("by" -> "prio")))
+        val ng = reg.callMethod(g, "ngroup", graft.expr.Args())
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val g2 = reg.callMethod(ng, "groupby",
+          graft.expr.Args(kw = List("by" -> "prio")))
+        val second = reg.callMethod(g2, "nth", graft.expr.Args(
+          pos = List(1L), kw = List("order_by" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("prio"), col("ngroup"), col("o_orderkey"),
+            lit("nth1").as("which"))
+        val last = reg.callMethod(g2, "nth", graft.expr.Args(
+          pos = List(-1L), kw = List("order_by" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("prio"), col("ngroup"), col("o_orderkey"),
+            lit("last").as("which"))
+        second.unionByName(last).orderBy(col("which"), col("prio"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                      ELSE o_orderpriority END AS prio,
+            o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 50 = 0),
+        ng AS (SELECT prio,
+            CAST(dense_rank() OVER (ORDER BY prio) - 1 AS BIGINT) AS ngroup
+          FROM (SELECT DISTINCT prio FROM base WHERE prio IS NOT NULL)),
+        ranked AS (
+          SELECT b.prio, ng.ngroup, b.o_orderkey,
+            row_number() OVER (PARTITION BY b.prio ORDER BY b.o_orderkey) AS rn,
+            COUNT(*) OVER (PARTITION BY b.prio) AS cnt
+          FROM base b LEFT JOIN ng ON b.prio = ng.prio
+          WHERE b.prio IS NOT NULL)
+        SELECT prio, ngroup, o_orderkey, 'nth1' AS which
+          FROM ranked WHERE rn = 2
+        UNION ALL
+        SELECT prio, ngroup, o_orderkey, 'last' AS which
+          FROM ranked WHERE rn = cnt
+        ORDER BY which, prio""")),
+
+    // pandas groupby().tail(2): last n per group in key order (head's
+    // mirror), negative-n branch spec-gated.
+    Q("q181_group_tail",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val g = reg.callMethod(
+          t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          "groupby", graft.expr.Args(kw = List("by" -> "o_custkey")))
+        reg.callMethod(g, "tail", graft.expr.Args(kw = List(
+          "n" -> 2L, "order_by" -> List("o_orderkey"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+          FROM orders) t
+        WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""")),
+
+    // pandas df.round(dict) + add_prefix + groupby().size() chained through
+    // the method dispatcher; size counts rows per group (vs count's
+    // non-null-per-column), prefix renames every column.
+    Q("q182_round_prefix_size",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") / 7).as("frac"))
+        val rounded = reg.callMethod(base, "round", graft.expr.Args(
+          pos = List(Map("frac" -> 4L))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val pref = reg.callMethod(rounded, "add_prefix", graft.expr.Args(
+          pos = List("x_"))).asInstanceOf[org.apache.spark.sql.DataFrame]
+        val g = reg.callMethod(pref, "groupby", graft.expr.Args(
+          kw = List("by" -> "x_o_orderpriority")))
+        val sz = reg.callMethod(g, "size", graft.expr.Args())
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        pref.join(sz, "x_o_orderpriority")
+          .select(col("x_o_orderkey"), col("x_o_orderpriority"),
+            col("x_frac"), col("size"))
+          .orderBy(col("x_o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS x_o_orderkey,
+            o_orderpriority AS x_o_orderpriority,
+            round(o_totalprice / 7, 4) AS x_frac
+          FROM orders WHERE o_orderkey % 200 = 0),
+        sz AS (SELECT x_o_orderpriority, COUNT(*) AS "size"
+               FROM base GROUP BY 1)
+        SELECT b.x_o_orderkey, b.x_o_orderpriority, b.x_frac, sz."size"
+        FROM base b JOIN sz USING (x_o_orderpriority)
+        ORDER BY x_o_orderkey""")),
+
     // pandas df.mode() tidy: most frequent value per column, ties kept.
     Q("q82_mode",
       (s, d) => {

@@ -402,6 +402,47 @@ class RegistrySpec extends AnyFunSuite {
     assert(exp.toSeq == Seq(4.0, 2.5, 3.0, 2.5))
   }
 
+  test("groupby ngroup/nth/tail: sorted numbering, -1 null marker, end-relative picks") {
+    val d = Seq(("b", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0),
+      (null.asInstanceOf[String], 4L, 40.0), ("a", 5L, 50.0), ("b", 6L, 60.0))
+      .toDF("k", "t", "v")
+    val g = new Registry(spark).callMethod(d, "groupby",
+      Args(kw = List("by" -> "k")))
+    val reg = new Registry(spark)
+    // ngroup: length-preserving, sorted keys a=0 b=1, null row -> -1
+    val ng = reg.callMethod(g, "ngroup", Args())
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => r.getLong(3))
+    assert(ng.toSeq == Seq(1L, 0L, 1L, -1L, 0L, 1L))
+    // nth(1): second row per group in t order (null group dropped)
+    val n1 = reg.callMethod(g, "nth", Args(pos = List(1L),
+        kw = List("order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(n1.toSeq == Seq(("a", 5L), ("b", 3L)))
+    // nth(-1): last row per group; groups shorter than |n| drop
+    val nl = reg.callMethod(g, "nth", Args(pos = List(-1L),
+        kw = List("order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(nl.toSeq == Seq(("a", 5L), ("b", 6L)))
+    assert(reg.callMethod(g, "nth", Args(pos = List(2L),
+        kw = List("order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() === 1) // only b has 3 rows
+    // tail(1) mirrors head; tail(-1) = all but the first
+    val tl = reg.callMethod(g, "tail", Args(kw = List(
+        "n" -> 1L, "order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tl.toSeq == Seq(("a", 5L), ("b", 6L)))
+    val tm = reg.callMethod(g, "tail", Args(kw = List(
+        "n" -> -1L, "order_by" -> List("t"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("t").collect().map(r => r.getLong(1))
+    // pandas tail(-n) = all but the FIRST n per group
+    assert(tm.toSeq == Seq(3L, 5L, 6L))
+  }
+
   test("interpolate method='time' weights by key distance, 'linear' by position") {
     val d = Seq((0L, Some(0.0)), (1L, None), (10L, Some(10.0)))
       .toDF("t", "v")
