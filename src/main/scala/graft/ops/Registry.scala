@@ -440,9 +440,25 @@ final class Registry(spark: SparkSession) {
       val c = asStr(a.require("column", 1), "column")
       // try_* forms: parse failure -> null in OUR hands (ANSI mode would
       // otherwise throw Spark's error before the errors= policy applies)
-      val parsed = a.get("format", -1).map(f => asStr(f, "format")) match {
-        case Some(f) => try_to_timestamp(col(c), lit(pandasFmt(f)))
-        case None => col(c).try_cast(TimestampType)
+      // unit=: pandas epoch-number parsing ('s'/'ms'/'us' since 1970) —
+      // mutually exclusive with format=, like pandas
+      val unit = a.get("unit", -1).map(asStr(_, "unit"))
+      if (unit.isDefined && a.get("format", -1).isDefined)
+        throw PipelineError("to_datetime: cannot pass both format= and unit=")
+      val parsed = unit match {
+        case Some(u) =>
+          val n = col(c).try_cast(LongType)
+          u match {
+            case "s" => timestamp_seconds(n)
+            case "ms" => timestamp_millis(n)
+            case "us" => timestamp_micros(n)
+            case other => throw PipelineError(
+              s"to_datetime: unsupported unit '$other' (s/ms/us)")
+          }
+        case None => a.get("format", -1).map(f => asStr(f, "format")) match {
+          case Some(f) => try_to_timestamp(col(c), lit(pandasFmt(f)))
+          case None => col(c).try_cast(TimestampType)
+        }
       }
       a.get("errors", -1).map(asStr(_, "errors")).getOrElse("raise") match {
         case "coerce" => df.withColumn(c, parsed)

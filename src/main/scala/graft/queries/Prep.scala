@@ -800,6 +800,38 @@ object Prep {
         FROM base b JOIN sz USING (x_o_orderpriority)
         ORDER BY x_o_orderkey""")),
 
+    // pandas pd.to_datetime(unit='s'/'ms'/'us'): epoch-number parsing —
+    // three units derived from the same instant, emitted as epoch micros
+    // (the engine's timestamp-exit convention).
+    Q("q183_to_datetime_unit",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "events")
+          .filter(col("event_id") % 25 === 0)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("sec", expr("us div 1000000"))
+          .withColumn("ms", expr("us div 1000"))
+        def parse(c: String, u: String) =
+          reg.callFunction("pd.to_datetime", graft.expr.Args(
+            pos = List(base.select(col("event_id"), col(c))),
+            kw = List("column" -> c, "unit" -> u)))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+            .select(col("event_id"), unix_micros(col(c)).as(s"ts_$u"))
+        parse("sec", "s")
+          .join(parse("ms", "ms"), "event_id")
+          .join(parse("us", "us"), "event_id")
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us
+          FROM events WHERE event_id % 25 = 0),
+        b AS (SELECT event_id, us, us // 1000000 AS sec, us // 1000 AS ms FROM e)
+        SELECT event_id,
+          CAST(sec * 1000000 AS BIGINT) AS ts_s,
+          CAST(epoch_us(epoch_ms(ms)) AS BIGINT) AS ts_ms,
+          CAST(epoch_us(make_timestamp(us)) AS BIGINT) AS ts_us
+        FROM b ORDER BY event_id""")),
+
     // pandas df.mode() tidy: most frequent value per column, ties kept.
     Q("q82_mode",
       (s, d) => {

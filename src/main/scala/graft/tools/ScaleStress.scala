@@ -242,6 +242,35 @@ object ScaleStress {
       cell("q154_heavy_hitters", f, nd)(
         graft.operators.Scoring.heavyHitterWords(d, "text",
           k = 256, minFrac = 0.02).count())
+      // BPE learn + apply over the growing corpus: the word-count fit
+      // shuffle carries (word, count) — the replica suffixing grows the
+      // vocab linearly, the worst case for the capped fit — and the
+      // replace-chain application is a linear map pass
+      cell("q175_bpe_learn_count", f, nd)({
+        val merges = graft.functions.Bpe.learnMerges(d, "text", 40)
+        d.filter(graft.functions.Bpe.tokenCount(merges)(col("text")) > 0)
+          .count()
+      })
+      // BPE-budgeted mixture (the q176 shape): table learned once per
+      // factor, the timed body is tokenize + bucketed prefix sum
+      locally {
+        val merges = graft.functions.Bpe.learnMerges(d, "text", 40)
+        cell("q176_mixture_bpe", f, nd)(
+          Sampling.mixtureByTokenBudget(
+            d.withColumn("source",
+              concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))),
+            "doc_id", "text", "source",
+            Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+            totalTokens = 2000L, seed = "stress",
+            tokenizer = graft.functions.Bpe.tokenCount(merges)).count())
+      }
+      // distributed UNGROUPED cumsum (q177 shape): the two-level range
+      // exchange must stay linear — the old single-task global window
+      // would serialize the whole corpus here
+      cell("q177_global_cumsum", f, nd)(
+        graft.operators.GlobalWindows.running(
+          d.withColumn("n", length(col("text")).cast("long")),
+          Seq("doc_id"), Seq("n"), "cumsum").count())
       d.unpersist()
 
       val e = embAt(f).repartition(32).persist()
@@ -270,6 +299,15 @@ object ScaleStress {
       // k-heaps — linear in corpus size at fixed query count
       cell("q157_hard_negatives", f, ne)(
         Similarity.hardNegatives(q8, e, k = 5).count())
+      // cluster-balanced sampling incl. the in-pipeline quantizer fit
+      // (bounded sample) — assignment is one map pass, budgets ride the
+      // 256-bucket prefix sum; synthetic per-label text supplies tokens
+      cell("q178_cluster_balanced", f, ne)(
+        Sampling.clusterBalancedSampleFit(
+          e.withColumn("text", concat_ws(" ",
+            array_repeat(concat(lit("w"), col("label")), 20))),
+          "vec_id", "text", "embedding", nClusters = 4,
+          tokensPerCluster = 5000L, seed = "stress").count())
       e.unpersist()
       }
     }
