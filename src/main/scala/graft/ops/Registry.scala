@@ -2485,9 +2485,30 @@ final class Registry(spark: SparkSession) {
       // "first" is the list's head, deterministic by construction
       val cats = if (a.get("drop_first", -1).exists(asBool(_, default = false)))
         cats0.drop(1) else cats0
-      cats.foldLeft(df)((d, cat) =>
+      val base = cats.foldLeft(df)((d, cat) =>
         d.withColumn(s"${prefix}_$cat", when(col(c) === lit(cat), 1).otherwise(0)))
-        .drop(c)
+      // pandas dummy_na=True: an extra indicator column for null values
+      // (pandas names it NaN; 'nan' here — a stable ASCII column name)
+      (if (a.get("dummy_na", -1).exists(asBool(_, default = false)))
+         base.withColumn(s"${prefix}_nan", when(col(c).isNull, 1).otherwise(0))
+       else base).drop(c)
+    case "str_split" =>
+      // pandas s.str.split(pat, n=, expand=True): parts into columns
+      // {c}_0..{c}_n (missing parts null, extra text folds into the last
+      // column like pandas' maxsplit). expand demands an explicit n — a
+      // distributed frame cannot infer the max part count without an extra
+      // job. expand absent/false replaces the column with the parts array.
+      val c = asStr(a.require("column", 0), "column")
+      val pat = a.get("pat", -1).map(asStr(_, "pat")).getOrElse("\\s+")
+      val n = a.get("n", -1).map(asInt(_, "n")).getOrElse(-1)
+      val parts = if (n >= 0) split(col(c), pat, n + 1) else split(col(c), pat)
+      if (a.get("expand", -1).exists(asBool(_, default = false))) {
+        if (n < 0) throw PipelineError(
+          "str_split: expand=True requires n= (max split count)")
+        // get() is index-safe (null out of bounds) where ANSI element_at raises
+        (0 to n).foldLeft(df)((d, i) =>
+          d.withColumn(s"${c}_$i", get(parts, lit(i)))).drop(c)
+      } else df.withColumn(c, parts)
     case "str_get_dummies" =>
       // pandas s.str.get_dummies(sep): multi-label one-hot from a
       // delimited string column. EXPLICIT categories like get_dummies

@@ -832,6 +832,42 @@ object Prep {
           CAST(epoch_us(make_timestamp(us)) AS BIGINT) AS ts_us
         FROM b ORDER BY event_id""")),
 
+    // pandas s.str.split(pat, n, expand=True) + get_dummies(dummy_na=):
+    // priority codes split into (rank, word) columns; language one-hot
+    // with a spiked-null indicator column.
+    Q("q184_split_dummy_na",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            when(col("o_orderkey") % 500 === 0, lit(null))
+              .otherwise(col("o_orderstatus")).as("status"))
+        val splitDf = reg.callMethod(base, "str_split", graft.expr.Args(
+          pos = List("prio"), kw = List("pat" -> "-", "n" -> 1L,
+            "expand" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(splitDf, "get_dummies", graft.expr.Args(
+          pos = List("status"), kw = List(
+            "categories" -> List("O", "F", "P"), "dummy_na" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority AS prio,
+            CASE WHEN o_orderkey % 500 = 0 THEN NULL
+                 ELSE o_orderstatus END AS status
+          FROM orders WHERE o_orderkey % 100 = 0)
+        SELECT o_orderkey,
+          string_split(prio, '-')[1] AS prio_0,
+          string_split(prio, '-')[2] AS prio_1,
+          CASE WHEN status = 'O' THEN 1 ELSE 0 END AS status_O,
+          CASE WHEN status = 'F' THEN 1 ELSE 0 END AS status_F,
+          CASE WHEN status = 'P' THEN 1 ELSE 0 END AS status_P,
+          CASE WHEN status IS NULL THEN 1 ELSE 0 END AS status_nan
+        FROM base ORDER BY o_orderkey""")),
+
     // pandas df.mode() tidy: most frequent value per column, ties kept.
     Q("q82_mode",
       (s, d) => {
