@@ -39,6 +39,7 @@ object GraftExtensions {
     "srp_signature" -> { args =>
       SrpSignature(args.head, if (args.size > 1) intArg(args(1), "planes") else 16)
     },
+    "deflate_ratio" -> { args => DeflateRatio(args.head) },
     "simhash_agg" -> { args => SimhashAgg(args.head).toAggregateExpression() },
     "simhash_doc" -> { args => SimhashDoc(args.head) },
     "minhash_agg" -> { args =>

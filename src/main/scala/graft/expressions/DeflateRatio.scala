@@ -1,0 +1,63 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio quality signal: deflate(level 6) output bytes over
+  * input bytes for a text column. A standard web-pipeline heuristic
+  * (CCNet/RefinedWeb lineage): highly repetitive boilerplate compresses far
+  * below ~0.4, random/encrypted junk stays near (or above) 1.0, natural
+  * prose sits between — one bounded-memory pass per row, no dictionary
+  * state shared across rows, so the expression is embarrassingly parallel
+  * and codegen'd (the generated code calls the static helper below; the
+  * Deflater is per-call, no thread-local state to leak across rows).
+  *
+  * No oracle: DuckDB exposes no SQL deflate, so this operator is spec-gated
+  * (deterministic within a JVM — same zlib, same level — which is what the
+  * spec asserts; cross-JDK byte counts may differ by a few bytes, which is
+  * why no cross-engine gate is claimed).
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.DeflateRatio.ratio($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatio {
+  /** deflate(level 6, zlib wrapper) size / raw size; empty input -> 1.0. */
+  def ratio(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
+}

@@ -125,6 +125,15 @@ object Text {
       greatest(size(sh), lit(1)).cast(DoubleType)
   }
 
+  /** Compression-ratio quality signal (deflate level 6 bytes / raw bytes):
+    * the CCNet/RefinedWeb-lineage boilerplate-vs-junk heuristic — low for
+    * repetitive boilerplate, ~1+ for random bytes, in between for prose.
+    * Single-pass custom codegen'd expression; spec-gated (no SQL deflate
+    * exists to replay it — see the expression's scaladoc).
+    */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.DeflateRatio(text)
+
   /** RefinedWeb/Dolma-style LINE-level structural cleaning: drop lines that
     * are too short, digit-dominated, bullet fragments, or ellipsis-truncated
     * teasers, and rejoin the survivors. Array HOFs only — codegen'd,

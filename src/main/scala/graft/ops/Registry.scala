@@ -863,6 +863,15 @@ final class Registry(spark: SparkSession) {
         minChars = a.get("min_chars", -1).map(asInt(_, "min_chars")).getOrElse(10),
         maxDigitFrac = a.get("max_digit_frac", -1).map(_.toString.toDouble).getOrElse(0.5)))
     },
+    "graft.compression_ratio" -> { a =>
+      // deflate-ratio quality signal (low = repetitive boilerplate);
+      // appended as `compress_ratio`
+      val df = asDf(a.require("df", 0), "df")
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("compress_ratio"), "out"),
+        graft.functions.Text.compressionRatio(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
+    },
     "graft.gopher_gates" -> { a =>
       // Gopher quality gates; keep_only=true (default) filters to passing
       // docs, otherwise the per-gate booleans are appended for inspection

@@ -262,4 +262,29 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = df.first()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("DeflateRatio: repetitive << prose < random; empty=1, null=null, SQL name") {
+    val rng = new scala.util.Random(7)
+    val random = Array.fill(2000)((rng.nextInt(94) + 33).toChar).mkString
+    val boiler = "click here to subscribe now " * 80
+    val prose = ("the quick brown fox jumps over a lazy dog while " +
+      "seventeen analysts disagreed about quarterly projections ") * 20
+    val df = Seq((1L, boiler), (2L, prose), (3L, random), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(col("id"), DeflateRatio(col("t")).as("r"))
+    val out = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).get < 0.1, s"boilerplate ${out(1L)}")
+    assert(out(2L).get > out(1L).get && out(2L).get < out(3L).get)
+    assert(out(3L).get > 0.8, s"random ${out(3L)}")
+    assert(out(4L).contains(1.0) && out(5L).isEmpty)
+    // deterministic within the JVM (spec gate in lieu of a SQL oracle)
+    assert(df.collect().map(_.toString).toSeq ===
+      df.collect().map(_.toString).toSeq)
+    // SQL-injected name works (GraftExtensions)
+    graft.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      s"SELECT deflate_ratio('${boiler.take(100)}')").head().getDouble(0)
+    assert(viaSql > 0 && viaSql < 1)
+  }
 }
