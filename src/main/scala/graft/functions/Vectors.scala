@@ -27,6 +27,26 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExprs.cosineSim(a, b)
 
+  /** L2-normalize to a unit vector (double elements); zero-norm and null
+    * inputs yield null. The norm binds ONCE via a single-element transform
+    * lambda — referencing norm(v) inside the per-element lambda would
+    * re-run the whole aggregation per element.
+    */
+  def l2normalize(v: Column): Column =
+    element_at(
+      transform(array(norm(v)), nrm =>
+        when(nrm > 0.0, transform(v, x => x.cast(DoubleType) / nrm))),
+      1)
+
+  /** Matryoshka-style truncation: keep the first k dims and re-normalize —
+    * the MRL serving idiom (train full, serve cheap prefixes). Pure
+    * column math, composes with every ANN operator.
+    */
+  def truncateNormalize(v: Column, k: Int): Column = {
+    require(k >= 1, s"truncateNormalize: k must be >= 1, got $k")
+    l2normalize(slice(v, 1, k))
+  }
+
   /** Squared L2 distance (cheaper than sqrt when only ranking matters). */
   def l2sq(a: Column, b: Column): Column =
     aggregate(

@@ -3083,6 +3083,17 @@ final class Registry(spark: SparkSession) {
         g.df.schema.fields.filterNot(f => g.keyNames.contains(f.name))
           .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toList)
       require(cs.nonEmpty, "describe: no numeric columns")
+      // pandas describe(percentiles=): custom exact-percentile list (the
+      // default reproduces pandas' quartiles); names p10 / p12_5 / ...
+      val pcts = a.get("percentiles", -1).map {
+        case l: List[_] => l.map(_.toString.toDouble)
+        case other => throw PipelineError(
+          s"describe: percentiles must be a list, got ${tn(other)}")
+      }.getOrElse(List(0.25, 0.5, 0.75))
+      require(pcts.forall(p => p >= 0 && p <= 1),
+        "describe: percentiles must be in [0, 1]")
+      def pName(p: Double): String = "p" + BigDecimal(p * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
       val aggs = cs.flatMap { c =>
         val x = col(c).cast(DoubleType)
         val dec = (e: Column) => e.cast(DecimalType(38, 6))
@@ -3094,11 +3105,11 @@ final class Registry(spark: SparkSession) {
           round(sx / n, 6).as(s"${c}_mean"),
           round(sqrt(when(n > 1, (n * sxx - sx * sx) / (n * (n - 1)))), 6)
             .as(s"${c}_std"),
-          min(x).as(s"${c}_min"),
-          round(expr(s"percentile(`$c`, 0.25)"), 6).as(s"${c}_p25"),
-          round(expr(s"percentile(`$c`, 0.5)"), 6).as(s"${c}_p50"),
-          round(expr(s"percentile(`$c`, 0.75)"), 6).as(s"${c}_p75"),
-          max(x).as(s"${c}_max"))
+          min(x).as(s"${c}_min")) ++
+        pcts.map(p =>
+          round(expr(s"percentile(`$c`, CAST($p AS DOUBLE))"), 6)
+            .as(s"${c}_${pName(p)}")) ++
+        Seq(max(x).as(s"${c}_max"))
       }
       g.df.groupBy(g.keyCols: _*).agg(aggs.head, aggs.tail: _*)
     case "str_cat" =>

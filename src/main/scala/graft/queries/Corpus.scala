@@ -470,6 +470,69 @@ object Corpus {
         FROM cum WHERE cum_tokens - n_tokens < budget
         ORDER BY doc_id""")),
 
+    // pandas groupby().describe(percentiles=[.1,.9]): custom exact-
+    // percentile list on the one-pass describe (default quartiles gated by
+    // q165, unregressed).
+    Q("q185_describe_percentiles",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val g = reg.callMethod(
+          t(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+          "groupby", graft.expr.Args(kw = List("by" -> "o_orderpriority")))
+        reg.callMethod(g, "describe", graft.expr.Args(kw = List(
+          "columns" -> List("o_totalprice"),
+          "percentiles" -> List(0.1, 0.9))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+          COUNT(o_totalprice) AS o_totalprice_count,
+          round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(o_totalprice), 6) AS o_totalprice_mean,
+          round(sqrt((COUNT(o_totalprice) * CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE))
+            / (COUNT(o_totalprice) * (COUNT(o_totalprice) - 1.0))), 6) AS o_totalprice_std,
+          MIN(o_totalprice) AS o_totalprice_min,
+          round(quantile_cont(o_totalprice, 0.1), 6) AS o_totalprice_p10,
+          round(quantile_cont(o_totalprice, 0.9), 6) AS o_totalprice_p90,
+          MAX(o_totalprice) AS o_totalprice_max
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // Embedding L2-normalization + Matryoshka truncate-and-renormalize
+    // (MRL serving idiom: train full, serve cheap prefixes) — unit norms
+    // asserted in-row, leading components replayed element-for-element.
+    Q("q186_embed_normalize",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+        val full = graft.functions.Vectors.l2normalize(col("embedding"))
+        val trunc = graft.functions.Vectors.truncateNormalize(col("embedding"), 16)
+        emb.select(col("vec_id"),
+          round(element_at(full, 1), 6).as("n0"),
+          round(element_at(full, 2), 6).as("n1"),
+          round(graft.functions.Vectors.norm(full), 6).as("unit"),
+          round(element_at(trunc, 1), 6).as("t0"),
+          round(graft.functions.Vectors.norm(trunc), 6).as("t_unit"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 10 = 0),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+            v[1:16] AS t FROM e),
+        m AS (SELECT vec_id, v, nrm, t,
+            sqrt(list_dot_product(t, t)) AS tnrm FROM n)
+        SELECT vec_id,
+          round(v[1] / nrm, 6) AS n0,
+          round(v[2] / nrm, 6) AS n1,
+          round(sqrt(list_dot_product(list_transform(v, x -> x / nrm),
+            list_transform(v, x -> x / nrm))), 6) AS unit,
+          round(t[1] / tnrm, 6) AS t0,
+          round(sqrt(list_dot_product(list_transform(t, x -> x / tnrm),
+            list_transform(t, x -> x / tnrm))), 6) AS t_unit
+        FROM m ORDER BY vec_id""")),
+
     // Temperature-weighted mixture plan (alpha=0.5): per-source sampling
     // weights T^0.5 / sum(T^0.5), target token counts under a 100k budget,
     // and epoch/repeat factors. sqrt-only math, so both engines produce the
