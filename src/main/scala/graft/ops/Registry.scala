@@ -2508,9 +2508,16 @@ final class Registry(spark: SparkSession) {
       // distributed frame cannot infer the max part count without an extra
       // job. expand absent/false replaces the column with the parts array.
       val c = asStr(a.require("column", 0), "column")
-      val pat = a.get("pat", -1).map(asStr(_, "pat")).getOrElse("\\s+")
+      val patOpt = a.get("pat", -1).map(asStr(_, "pat"))
+      val pat = patOpt.getOrElse("\\s+")
       val n = a.get("n", -1).map(asInt(_, "n")).getOrElse(-1)
-      val parts = if (n >= 0) split(col(c), pat, n + 1) else split(col(c), pat)
+      val raw = if (n >= 0) split(col(c), pat, n + 1) else split(col(c), pat)
+      // pandas str.split() with no pat drops empty parts (leading/trailing
+      // whitespace); an explicit pat keeps them, also like pandas
+      val parts =
+        if (patOpt.isEmpty)
+          org.apache.spark.sql.functions.filter(raw, p => length(p) > 0)
+        else raw
       if (a.get("expand", -1).exists(asBool(_, default = false))) {
         if (n < 0) throw PipelineError(
           "str_split: expand=True requires n= (max split count)")

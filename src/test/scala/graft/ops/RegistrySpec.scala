@@ -443,6 +443,29 @@ class RegistrySpec extends AnyFunSuite {
     assert(tm.toSeq == Seq(3L, 5L, 6L))
   }
 
+  test("str_split: default pat drops empties, explicit keeps, expand pads nulls") {
+    val d = Seq((1L, "  a  b "), (2L, "x-y-z"), (3L, "solo")).toDF("id", "s")
+    val reg = new Registry(spark)
+    // default whitespace split: empty parts dropped (pandas str.split())
+    val ws = reg.callMethod(d, "str_split", Args(pos = List("s")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(ws(0).toSeq == Seq("a", "b") && ws(2).toSeq == Seq("solo"))
+    // explicit pat + expand: maxsplit folds the tail, short rows pad null
+    val ex = reg.callMethod(d, "str_split", Args(pos = List("s"),
+        kw = List("pat" -> "-", "n" -> 1L, "expand" -> true)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), Option(r.getString(2))))
+    assert(ex(1) == (("x", Some("y-z"))))
+    assert(ex(2) == (("solo", None)))
+    val e = intercept[Exception] {
+      reg.callMethod(d, "str_split", Args(pos = List("s"),
+        kw = List("expand" -> true)))
+    }
+    assert(e.getMessage.contains("requires n="))
+  }
+
   test("interpolate method='time' weights by key distance, 'linear' by position") {
     val d = Seq((0L, Some(0.0)), (1L, None), (10L, Some(10.0)))
       .toDF("t", "v")
