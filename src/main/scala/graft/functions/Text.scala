@@ -125,6 +125,31 @@ object Text {
       greatest(size(sh), lit(1)).cast(DoubleType)
   }
 
+  /** Per-document lexical-diversity signals, fully in-row (array HOFs, no
+    * shuffle): word-distribution Shannon entropy in nats over the doc's own
+    * word frequencies. Low entropy = repetitive/templated text (the keyword
+    * stuffing the repetition ratio can miss when the repeats are spread
+    * out). The words array binds once via the single-element transform
+    * lambda; the per-distinct-word count is a row-local O(n · types) scan —
+    * bounded by the document, never the corpus. Empty/whitespace-only docs
+    * yield null.
+    */
+  def wordEntropy(text: Column): Column = {
+    val ws0 = org.apache.spark.sql.functions.filter(
+      split(text, "\\s+"), w => length(w) > 0)
+    element_at(transform(array(ws0), ws => {
+      val n = size(ws).cast(DoubleType)
+      val ent = aggregate(
+        transform(array_distinct(ws), w => {
+          val p = size(org.apache.spark.sql.functions.filter(
+            ws, x => x === w)).cast(DoubleType) / n
+          -p * log(p)
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(size(ws) > 0, ent)
+    }), 1)
+  }
+
   /** Compression-ratio quality signal (deflate level 6 bytes / raw bytes):
     * the CCNet/RefinedWeb-lineage boilerplate-vs-junk heuristic — low for
     * repetitive boilerplate, ~1+ for random bytes, in between for prose.

@@ -258,4 +258,42 @@ object Scoring {
         (col("est") >= col("cnt") - col("n").cast("double") / k &&
           col("est") <= col("cnt") + col("n").cast("double") / k).as("ss_ok"))
   }
+
+  /** Per-source word-distribution divergence from the whole corpus — the
+    * data-mixing diagnostic beside [[Sampling.temperatureMixture]]: KL(p_s
+    * || p_corpus) in nats and the bounded, symmetric Jensen-Shannon
+    * divergence (0 = identical distribution, ln 2 = disjoint vocabularies).
+    * A source with high divergence shifts the mixture; one near zero is
+    * redundant with the rest of the pool.
+    *
+    * Scale shape: two aggregations whose shuffles carry (source, word,
+    * count) / (word, count) — never text — then a vocab x sources frame
+    * (bounded by the vocabulary, corpus-size-independent) for the JS terms
+    * over the union vocabulary (a word absent from the source still
+    * contributes its corpus half). Values round to 6 (ln ulps differ
+    * across libm implementations — the q92 contract).
+    */
+  def sourceDivergence(df: DataFrame, sourceCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val wTot = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = wTot.agg(sum(col("c_w")).as("n"))
+    // union-vocab grid: every (source, word) cell, absent cells p = 0
+    val grid = sTot.crossJoin(wTot.crossJoin(broadcast(tot)))
+      .join(sw, Seq("source", "w"), "left")
+    val p = coalesce(col("c_sw"), lit(0L)).cast("double") / col("n_s")
+    val q = col("c_w").cast("double") / col("n")
+    val m = (p + q) / 2.0
+    val klTerm = when(p > 0, p * log(p / q)).otherwise(0.0)
+    val jsTerm =
+      when(p > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
+        lit(0.5) * q * log(q / m)
+    grid.groupBy(col("source"))
+      .agg(round(sum(klTerm), 6).as("kl"), round(sum(jsTerm), 6).as("js"))
+  }
 }

@@ -863,6 +863,21 @@ final class Registry(spark: SparkSession) {
         minChars = a.get("min_chars", -1).map(asInt(_, "min_chars")).getOrElse(10),
         maxDigitFrac = a.get("max_digit_frac", -1).map(_.toString.toDouble).getOrElse(0.5)))
     },
+    "graft.word_entropy" -> { a =>
+      // per-doc word-distribution Shannon entropy (in-row lexical
+      // diversity); appended as `entropy`
+      val df = asDf(a.require("df", 0), "df")
+      df.withColumn(asStr(a.get("out", -1).getOrElse("entropy"), "out"),
+        graft.functions.Text.wordEntropy(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
+    },
+    "graft.source_divergence" -> { a =>
+      // per-source KL/JS divergence from the corpus word distribution
+      graft.operators.Scoring.sourceDivergence(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.compression_ratio" -> { a =>
       // deflate-ratio quality signal (low = repetitive boilerplate);
       // appended as `compress_ratio`

@@ -533,6 +533,61 @@ object Corpus {
             list_transform(t, x -> x / tnrm))), 6) AS t_unit
         FROM m ORDER BY vec_id""")),
 
+    // Per-doc lexical diversity: word-distribution Shannon entropy (in-row,
+    // zero shuffle) + type-token ratio; low entropy flags templated text
+    // that spread-out repeats hide from the repetition ratio.
+    Q("q187_word_entropy",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).cast(LongType).as("n_words"),
+        size(array_distinct(org.apache.spark.sql.functions.filter(
+          split(col("text"), "\\s+"), w => length(w) > 0))).cast(LongType)
+          .as("n_types"),
+        round(Text.wordEntropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+          FROM documents),
+        c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY 1)
+        SELECT n.doc_id, n.n AS n_words, n.n_types,
+          round(SUM(-(c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+        FROM n JOIN c ON n.doc_id = c.doc_id
+        GROUP BY n.doc_id, n.n, n.n_types
+        ORDER BY n.doc_id""")),
+
+    // Per-source KL / Jensen-Shannon divergence from the corpus word
+    // distribution — the data-mixing diagnostic: which sources actually
+    // shift the mixture. Union-vocabulary JS (absent words contribute the
+    // corpus half), shuffles carry (source, word, count) only.
+    Q("q188_source_divergence",
+      (s, d) => graft.operators.Scoring.sourceDivergence(
+        t(s, d, "documents"), "source", "text")
+        .orderBy(col("source")),
+      Some("""
+        WITH toks AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+          FROM documents),
+        sw AS (SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY 1),
+        wt AS (SELECT w, COUNT(*) AS c_w FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(c_w) AS n FROM wt),
+        grid AS (
+          SELECT st.source, wt.w, st.n_s, wt.c_w, tot.n, sw.c_sw
+          FROM st CROSS JOIN wt CROSS JOIN tot
+          LEFT JOIN sw ON sw.source = st.source AND sw.w = wt.w),
+        terms AS (
+          SELECT source,
+            COALESCE(c_sw, 0) / CAST(n_s AS DOUBLE) AS p,
+            c_w / CAST(n AS DOUBLE) AS q
+          FROM grid)
+        SELECT source,
+          round(SUM(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6) AS kl,
+          round(SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                         ELSE 0 END
+                    + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+        FROM terms GROUP BY source ORDER BY source""")),
+
     // Temperature-weighted mixture plan (alpha=0.5): per-source sampling
     // weights T^0.5 / sum(T^0.5), target token counts under a 100k budget,
     // and epoch/repeat factors. sqrt-only math, so both engines produce the

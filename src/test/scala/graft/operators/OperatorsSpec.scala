@@ -969,6 +969,39 @@ class TextSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.functions.Text
 
+  test("wordEntropy: uniform=ln(k), constant=0, empty/null=null") {
+    val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"),
+      (4L, "   "), (5L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(col("id"), Text.wordEntropy(col("t")).as("h"))
+    val out = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - math.log(4)) < 1e-12)
+    assert(out(2L).get === 0.0)
+    assert(math.abs(out(3L).get - math.log(2)) < 1e-12)
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
+  test("sourceDivergence: identical sources diverge 0; disjoint vocab JS=ln 2") {
+    import graft.operators.Scoring
+    val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("source", "text")
+    val d1 = Scoring.sourceDivergence(same, "source", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    d1.foreach { case (_, kl, js) => assert(kl === 0.0 && js === 0.0) }
+    // disjoint vocabularies, equal sizes: p_s is half-concentrated; the
+    // JS of each source vs the pooled corpus is ln(2)/2 (corpus m mixes)
+    val disj = Seq(("s1", "a a"), ("s2", "b b")).toDF("source", "text")
+    val d2 = Scoring.sourceDivergence(disj, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // KL(p || corpus): p=(1,0), q=(.5,.5) -> 1*ln(1/.5) = ln 2
+    assert(math.abs(d2("s1")._1 - math.log(2)) < 1e-6)
+    // JS(p, q) for p=(1,0), q=(.5,.5): 0.5*ln(4/3) + 0.25*ln(... ) known
+    // value 0.5*1*ln(1/0.75) + 0.5*(0.5*ln(0.5/0.75) + 0.5*ln(0.5/0.25))
+    val expJs = 0.5 * math.log(1 / 0.75) +
+      0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))
+    assert(math.abs(d2("s1")._2 - expJs) < 1e-6, s"${d2("s1")._2} vs $expJs")
+    assert(d2("s1") == d2("s2"))
+  }
+
   test("token counts, fingerprint, quality on known strings") {
     val df = Seq(
       (1L, "hello world, it is a test!"),
