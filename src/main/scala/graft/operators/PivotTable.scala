@@ -28,7 +28,43 @@ object PivotTable {
     "count" -> count, "first" -> first, "last" -> last,
     "std" -> stddev_samp, "var" -> var_samp, "median" -> median,
     "skew" -> skewAgg, "kurt" -> kurtAgg, "kurtosis" -> kurtAgg,
+    "sem" -> semAgg,
+    "prod" -> prodAgg, "product" -> prodAgg,
+    "any" -> anyAgg, "all" -> allAgg,
     "nunique" -> ((c: Column) => countDistinct(c)))
+
+  /** pandas Series.sem(): standard error of the mean, std(ddof=1)/sqrt(n).
+    * Same exact-decimal power sums as skew/kurt (partition-order
+    * independent), closing scalar math is plain doubles with sqrt only;
+    * round(6) absorbs the last ulp. null when n < 2, like pandas.
+    */
+  private[graft] def semAgg(c0: Column): Column = {
+    val x = c0.cast(org.apache.spark.sql.types.DoubleType)
+    val dec = (e: Column) => e.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val n = count(x).cast(org.apache.spark.sql.types.DoubleType)
+    val s1 = sum(dec(x)).cast(org.apache.spark.sql.types.DoubleType)
+    val s2 = sum(dec(x * x)).cast(org.apache.spark.sql.types.DoubleType)
+    when(n >= 2, round(sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / sqrt(n), 6))
+  }
+
+  /** pandas Series.prod(): multiplicative aggregate via the codegen'd
+    * DeclarativeAggregate (map-side partials). Double multiplication is not
+    * exactly associative, so cross-engine parity holds to ~1 ulp per row —
+    * callers that hash-compare round the result (the q189 gate uses
+    * round(6) on near-1 factors).
+    */
+  private[graft] def prodAgg(c: Column): Column =
+    graft.expressions.ProductAgg.product(
+      c.cast(org.apache.spark.sql.types.DoubleType))
+
+  /** pandas Series.any()/all() over a boolean column: bool_or / bool_and.
+    * max/min on booleans (false < true) — codegen'd, map-side combinable,
+    * null-skipping like pandas skipna=True.
+    */
+  private[graft] def anyAgg(c: Column): Column =
+    max(c.cast(org.apache.spark.sql.types.BooleanType))
+  private[graft] def allAgg(c: Column): Column =
+    min(c.cast(org.apache.spark.sql.types.BooleanType))
 
   // pandas Series.skew()/kurt(): bias-corrected sample skewness and EXCESS
   // kurtosis (adjusted Fisher-Pearson — scipy.stats.skew/kurtosis with

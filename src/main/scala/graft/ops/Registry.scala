@@ -470,6 +470,49 @@ final class Registry(spark: SparkSession) {
           s"to_datetime: errors must be 'raise' or 'coerce', got '$other'")
       }
     },
+    "pd.to_timedelta" -> { a =>
+      // pandas pd.to_timedelta over a frame column -> timedelta64[us],
+      // represented as BIGINT microseconds (the repo's timedelta
+      // convention, same as .dt diff arithmetic). Two input shapes, like
+      // pandas: a numeric column with unit= ('D'/'h'/'m'/'s'/'ms'/'us'),
+      // or duration STRINGS '[N days ]HH:MM:SS[.ffffff]'. Pure column
+      // math — regexp_extract + integer arithmetic, fully codegen'd.
+      val df = asDf(a.require("df", 0), "df")
+      val c = asStr(a.require("column", 1), "column")
+      val parsed: Column = a.get("unit", -1).map(asStr(_, "unit")) match {
+        case Some(u) =>
+          val perUnit: Long = u match {
+            case "D" | "days" | "day" => 86400000000L
+            case "h" | "hours" | "hour" => 3600000000L
+            case "m" | "min" | "minutes" => 60000000L
+            case "s" | "seconds" | "sec" => 1000000L
+            case "ms" | "milliseconds" => 1000L
+            case "us" | "microseconds" => 1L
+            case other => throw PipelineError(
+              s"to_timedelta: unsupported unit '$other' (D/h/m/s/ms/us)")
+          }
+          round(col(c).try_cast(DoubleType) * perUnit).cast(LongType)
+        case None =>
+          val pat = "^(?:(\\d+) days?,? )?(\\d{1,3}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,6}))?$"
+          val g = (i: Int) => regexp_extract(col(c).cast(StringType), pat, i)
+          val whole = when(g(2) =!= "",
+            (coalesce(g(1).try_cast(LongType), lit(0L)) * 86400L +
+              g(2).try_cast(LongType) * 3600L +
+              g(3).try_cast(LongType) * 60L +
+              g(4).try_cast(LongType)) * 1000000L +
+              coalesce(rpad(g(5), 6, "0").try_cast(LongType), lit(0L)))
+          whole
+      }
+      a.get("errors", -1).map(asStr(_, "errors")).getOrElse("raise") match {
+        case "coerce" => df.withColumn(c, parsed)
+        case "raise" => df.withColumn(c,
+          when(col(c).isNotNull && parsed.isNull,
+            raise_error(concat(lit(s"to_timedelta: unparseable value in '$c': "),
+              col(c).cast(StringType)))).otherwise(parsed))
+        case other => throw PipelineError(
+          s"to_timedelta: errors must be 'raise' or 'coerce', got '$other'")
+      }
+    },
     "pd.to_numeric" -> { a =>
       // pandas pd.to_numeric: errors='raise' (default — non-null
       // unparseable input raises) or 'coerce' (-> null); downcast= maps to
@@ -1451,6 +1494,45 @@ final class Registry(spark: SparkSession) {
       } }: _*)
     case "head" => df.limit(a.get("n", 0).map(asInt(_, "n")).getOrElse(5))
     case "limit" => df.limit(asInt(a.require("n", 0), "n"))
+    case "between_time" | "at_time" =>
+      // pandas df.between_time(start, end, inclusive=)/at_time(t): time-of-
+      // day filter. pandas reads the DatetimeIndex; a distributed frame has
+      // no index, so on= names the timestamp column (same contract as
+      // resample/truncate here). Lexicographic compare on the 'HH:mm:ss'
+      // rendering — the same total order as time-of-day — keeps the whole
+      // thing one codegen'd filter that pushes no shuffle.
+      val on = asStr(a.require("on", -1), "on")
+      val tod = date_format(col(on), "HH:mm:ss")
+      if (name == "at_time") df.filter(tod === asStr(a.require("time", 0), "time"))
+      else {
+        val startT = asStr(a.require("start", 0), "start")
+        val endT = asStr(a.require("end", 1), "end")
+        val (lo, hi) = a.get("inclusive", -1).map(asStr(_, "inclusive"))
+          .getOrElse("both") match {
+          case "both" => (tod >= startT, tod <= endT)
+          case "left" => (tod >= startT, tod < endT)
+          case "right" => (tod > startT, tod <= endT)
+          case "neither" => (tod > startT, tod < endT)
+          case other => throw PipelineError(
+            s"between_time: inclusive must be both/left/right/neither, got '$other'")
+        }
+        // pandas wraps past midnight when start > end (e.g. 23:00-01:00)
+        df.filter(if (startT <= endT) lo && hi else lo || hi)
+      }
+    case "truncate" =>
+      // pandas df.truncate(before, after): keep rows whose (sorted-index)
+      // key lies in [before, after]; on= names the key column. Values ride
+      // Spark's implicit string->column-type coercion (a '2024-01-05'
+      // string against a timestamp column compares as a timestamp), so the
+      // filter stays a pushable range predicate.
+      val on = asStr(a.require("on", -1), "on")
+      val before = a.get("before", 0).filter(_ != null)
+      val after = a.get("after", 1).filter(_ != null)
+      if (before.isEmpty && after.isEmpty)
+        throw PipelineError("truncate: need before= and/or after=")
+      val conds = before.map(b => col(on) >= lit(b)).toList :::
+        after.map(x => col(on) <= lit(x)).toList
+      df.filter(conds.reduce(_ && _))
     case "drop_duplicates" =>
       // pandas keep='first'/'last' is row-order-dependent: with order_by
       // keys the kept row is well-defined (row_number window); without

@@ -79,6 +79,115 @@ object Extra {
           round(exp(avg(ln(o_totalprice))), 2) AS geomean_r,
           (min(o_totalprice) + max(o_totalprice)) / 2 AS midrange
         FROM orders WHERE o_totalprice > 0
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // pandas agg-family stragglers through the registry's one canonical
+    // map: sem (std-error of the mean), prod (compounding factor — the
+    // classic 1+rate fold), any/all boolean reductions. Small per-order
+    // groups keep prod's double fold inside round(6) parity.
+    Q("q189_agg_extras",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), col("l_quantity"),
+            (lit(1.0) + col("l_discount").cast(DoubleType)).as("factor"),
+            (col("l_discount") > 0.05).as("disc_hi"),
+            (col("l_tax") > 0.0).as("tax_pos"))
+        val g = reg.callMethod(base, "groupby",
+          graft.expr.Args(kw = List("by" -> "l_orderkey")))
+        reg.callMethod(g, "agg", graft.expr.Args(pos = List(Map(
+          "l_quantity" -> "sem", "factor" -> "prod",
+          "disc_hi" -> "any", "tax_pos" -> "all"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_quantity").as("sem_qty"),
+            round(col("factor"), 6).as("prod_factor"),
+            col("disc_hi").as("any_hi"), col("tax_pos").as("all_tax"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""
+        SELECT l_orderkey,
+          CASE WHEN COUNT(l_quantity) >= 2 THEN
+            round(sqrt((COUNT(l_quantity) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE))
+              / (COUNT(l_quantity) * (COUNT(l_quantity) - 1.0)))
+              / sqrt(COUNT(l_quantity)), 6)
+          END AS sem_qty,
+          round(product(1.0 + CAST(l_discount AS DOUBLE)), 6) AS prod_factor,
+          bool_or(l_discount > 0.05) AS any_hi,
+          bool_and(l_tax > 0.0) AS all_tax
+        FROM lineitem WHERE l_orderkey % 5 = 0
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // pandas time-of-day + index-range filters: truncate(before, after) and
+    // between_time, including the past-midnight wrap (23:30-00:45). All
+    // pushable codegen'd predicates — zero shuffle before the final sort.
+    Q("q190_time_filters",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        def m(dfa: org.apache.spark.sql.DataFrame, nm: String,
+              kw: List[(String, Any)]) =
+          reg.callMethod(dfa, nm, graft.expr.Args(kw = kw))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val trunc = m(t(s, d, "events"), "truncate", List(
+          "before" -> "2024-01-05", "after" -> "2024-02-10 23:59:59",
+          "on" -> "ts"))
+        val day = m(trunc, "between_time", List(
+          "start" -> "09:15:00", "end" -> "17:45:00", "on" -> "ts"))
+          .withColumn("win", lit("day"))
+        val night = m(trunc, "between_time", List(
+          "start" -> "23:30:00", "end" -> "00:45:00", "on" -> "ts"))
+          .withColumn("win", lit("night"))
+        day.unionByName(night)
+          .select(col("event_id"), col("win"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"), col("win"))
+      },
+      Some("""
+        WITH tr AS (SELECT event_id, ts FROM events
+          WHERE ts >= TIMESTAMP '2024-01-05'
+            AND ts <= TIMESTAMP '2024-02-10 23:59:59'),
+        tod AS (SELECT event_id, ts, strftime(ts, '%H:%M:%S') AS t FROM tr)
+        SELECT event_id, 'day' AS win, epoch_us(ts) AS ts_us FROM tod
+          WHERE t >= '09:15:00' AND t <= '17:45:00'
+        UNION ALL
+        SELECT event_id, 'night' AS win, epoch_us(ts) AS ts_us FROM tod
+          WHERE t >= '23:30:00' OR t <= '00:45:00'
+        ORDER BY event_id, win""")),
+
+    // pd.to_timedelta, both input shapes: '[N days ]HH:MM:SS.ffffff'
+    // strings (regexp parse) and numeric-with-unit. Output is the repo's
+    // timedelta convention — BIGINT microseconds — so the oracle replays
+    // via DuckDB's INTERVAL parser, an independent implementation.
+    Q("q191_to_timedelta",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "events")
+          .filter(col("event_id") % 9 === 0)
+          .select(col("event_id"), col("value"),
+            concat(
+              (col("user_id") % 3).cast(StringType), lit(" days "),
+              lpad((col("user_id") % 24).cast(StringType), 2, "0"), lit(":05:"),
+              lpad((col("user_id") % 60).cast(StringType), 2, "0"),
+              lit(".25")).as("dur"))
+        val p1 = reg.callFunction("pd.to_timedelta", graft.expr.Args(
+          pos = List(base), kw = List("column" -> "dur")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val p2 = reg.callFunction("pd.to_timedelta", graft.expr.Args(
+          pos = List(p1), kw = List("column" -> "value", "unit" -> "s")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        p2.select(col("event_id"), col("dur").as("dur_us"),
+            col("value").as("val_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH b AS (SELECT event_id, value,
+            CAST(user_id % 3 AS VARCHAR) || ' days ' ||
+            lpad(CAST(user_id % 24 AS VARCHAR), 2, '0') || ':05:' ||
+            lpad(CAST(user_id % 60 AS VARCHAR), 2, '0') || '.25' AS dur
+          FROM events WHERE event_id % 9 = 0)
+        SELECT event_id,
+          CAST(round(epoch(CAST(dur AS INTERVAL)) * 1000000) AS BIGINT) AS dur_us,
+          CAST(round(value * 1000000) AS BIGINT) AS val_us
+        FROM b ORDER BY event_id"""))
   )
 }

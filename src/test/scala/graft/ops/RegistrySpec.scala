@@ -1755,6 +1755,67 @@ class RegistrySpec extends AnyFunSuite {
     assert(sub.toSet == Set("k=a", "k=b"))
     assert(spark.read.parquet(dir).count() == 4)
   }
+
+  test("agg family: sem/prod/any/all semantics incl. nulls and n<2") {
+    val d = Seq(
+      ("a", Some(2.0), Some(true)), ("a", Some(4.0), Some(false)),
+      ("a", None, None), ("b", Some(5.0), Some(true)))
+      .toDF("k", "v", "b")
+    val g = m(d, "groupby", "by" -> "k")
+    val out = mp(g, "agg", Map("v" -> List("sem", "prod"), "b" -> List("any", "all")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("k").collect()
+    // a: sem = std([2,4])/sqrt(2) = sqrt(2)/sqrt(2) = 1; prod = 8; any=T all=F
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(0).getDouble(2) == 8.0)
+    assert(out(0).getBoolean(3) && !out(0).getBoolean(4))
+    // b: single row -> sem null (n<2); prod = the value; any=all=true
+    assert(out(1).isNullAt(1))
+    assert(out(1).getDouble(2) == 5.0)
+    assert(out(1).getBoolean(3) && out(1).getBoolean(4))
+  }
+
+  test("between_time wraps past midnight; at_time exact; truncate range") {
+    val d = Seq(
+      (1L, "2024-01-01 09:30:00"), (2L, "2024-01-01 23:45:00"),
+      (3L, "2024-01-02 00:30:00"), (4L, "2024-01-02 12:00:00"),
+      (5L, "2024-03-01 09:30:00"))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val day = m(d, "between_time", "start" -> "09:00:00", "end" -> "10:00:00",
+      "on" -> "ts").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(day.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    val night = m(d, "between_time", "start" -> "23:00:00", "end" -> "01:00:00",
+      "on" -> "ts").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(night.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val at = mp(m(d, "at_time", "time" -> "12:00:00", "on" -> "ts")
+      .asInstanceOf[org.apache.spark.sql.DataFrame], "select", List("id"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(at.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val tr = m(d, "truncate", "before" -> "2024-01-02", "after" -> "2024-02-01",
+      "on" -> "ts").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(tr.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("pd.to_timedelta: string and numeric-unit parse; errors= policy") {
+    val d = Seq(("1 days 02:03:04.5", 1.5), ("00:00:30", 2.0), ("bogus", -3.0))
+      .toDF("s", "n")
+    val coerced = reg.callFunction("pd.to_timedelta", Args(
+      pos = List(d), kw = List("column" -> "s", "errors" -> "coerce")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("n").collect()
+    // rows ordered by n: -3.0 (bogus), 1.5, 2.0
+    assert(coerced(0).isNullAt(0))
+    assert(coerced(1).getLong(0) == ((86400L + 2 * 3600 + 3 * 60 + 4) * 1000000L + 500000L))
+    assert(coerced(2).getLong(0) == 30000000L)
+    val nUnit = reg.callFunction("pd.to_timedelta", Args(
+      pos = List(d.select("n")), kw = List("column" -> "n", "unit" -> "ms")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("n").collect()
+    assert(nUnit(0).getLong(0) == -3000L && nUnit(1).getLong(0) == 1500L &&
+      nUnit(2).getLong(0) == 2000L)
+    intercept[Exception] {
+      reg.callFunction("pd.to_timedelta", Args(
+        pos = List(d), kw = List("column" -> "s"))) // errors=raise default
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
