@@ -18,6 +18,21 @@ object Text {
   def tokenCountBpe(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Sentence segmentation: runs of non-terminator characters plus their
+    * trailing `.!?` terminators, trimmed, empties dropped. The pattern is
+    * deliberately RE2-safe (no lookbehind, which RE2-based engines lack) so
+    * an external oracle reproduces the split character-for-character.
+    * Heuristic by design — abbreviation-aware splitting needs a language
+    * model; this is the budget segmenter corpus pipelines use for
+    * per-sentence dedup, packing and quality stats. Pure array HOFs, stays
+    * in codegen, zero shuffle.
+    */
+  def sentences(text: Column): Column =
+    org.apache.spark.sql.functions.filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 is bit-identical everywhere) — the exact-dedup
     * key for 100 TB corpora where grouping on raw text would ship huge keys

@@ -603,6 +603,38 @@ object Dedup {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Per-doc n-gram NOVELTY vs a reference corpus: the score-valued sibling
+    * of [[contaminationFlags]] — novelty = 1 - |grams(doc) n grams(ref)| /
+    * |grams(doc)| over distinct word n-grams. Where decontamination asks
+    * "does this doc overlap the benchmark at all", novelty asks "how much of
+    * this doc is text the model has already seen" — the freshness signal
+    * data-mixing weighs when an incremental crawl lands next to an existing
+    * training set.
+    *
+    * Scale shape: both sides hash shingles to 64-bit BEFORE anything
+    * shuffles, so every exchange carries (long, long) rows; the reference
+    * set is distinct hashes only (no ids, no text) and the intersection is
+    * a plain equality join — each distinct doc gram matches at most one
+    * reference row, so join output is bounded by the corpus gram count.
+    * Per-doc totals come from the same distinct index (one shuffle, reused
+    * by both aggregates). No caps needed: nothing here is quadratic.
+    */
+  def ngramNovelty(df: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val docSh = shingleIndex(df, idCol, textCol, n)
+    val refSh = ref.select(explode(shingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+    val seen = docSh.join(refSh, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    docSh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(lit(1.0) -
+          coalesce(col("n_seen"), lit(0L)) / col("n_grams").cast("double"),
+          6).as("novelty"))
+  }
+
   /** [[contaminationFlags]] via a BENCH-SIDE BLOOM FILTER — the shape that
     * survives when the benchmark suite is too big to broadcast as an exact
     * set and the corpus is 100 TB. Spark's own runtime-filter design,

@@ -39,6 +39,26 @@ object Prep {
     clipped.drop(valueCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** Per-group QUANTILE GATE: keep rows whose `scoreCol` is at or above
+    * their group's q-quantile — the "top-p by quality per source" selection
+    * data-mixing runs after scoring (nucleus filtering at the corpus
+    * level). Exact interpolated percentile per group (same definition as
+    * winsorize/groupby-quantile), computed in one aggregate over the few
+    * group keys and BROADCAST back — so the gate is a map-side filter, no
+    * second shuffle of the data. The cut is rounded to 6 decimals before
+    * comparing so the kept set is identical across engines whose
+    * interpolation differs in the last ulp.
+    */
+  def groupQuantileGate(df: DataFrame, groupCol: String, scoreCol: String,
+                        q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"groupQuantileGate: q must be in [0,1], got $q")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(`$scoreCol`, $q)"), 6).as("__cut"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(scoreCol).cast("double") >= col("__cut"))
+      .drop("__cut")
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep shape
     * (window `size` tokens, step `stride`; consecutive chunks share
     * `size - stride` tokens so no boundary context is lost). Starts are

@@ -1006,6 +1006,15 @@ final class Registry(spark: SparkSession) {
         minCommon = a.get("min_common", -1).map(asInt(_, "min_common")).getOrElse(1))
       corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     },
+    "graft.ngram_novelty" -> { a =>
+      // per-doc novelty score vs a reference corpus (1 - seen-gram fraction)
+      Dedup.ngramNovelty(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("reference", 1), "reference"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3))
+    },
     "graft.decontaminate_bloom" -> { a =>
       // as graft.decontaminate, but the benchmark set is a bounded Bloom
       // sketch probed map-side — the shape for benchmark suites too large
@@ -1156,6 +1165,26 @@ final class Registry(spark: SparkSession) {
         size = asInt(a.require("size", 1), "size"),
         stride = a.get("stride", -1).map(asInt(_, "stride"))
           .getOrElse(asInt(a.require("size", 1), "size")))
+    },
+    "graft.explode_sentences" -> { a =>
+      // heuristic sentence segmentation -> one row per (doc, sentence)
+      // with position + word count; the granularity per-sentence dedup,
+      // packing and quality filters run at
+      val df = asDf(a.require("df", 0), "df")
+      val idCol = asStr(a.get("id", -1).getOrElse("doc_id"), "id")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.select(col(idCol),
+          posexplode(graft.functions.Text.sentences(col(textCol)))
+            .as(Seq("sent_idx", "sentence")))
+        .withColumn("n_words",
+          graft.functions.Text.tokenCountWs(col("sentence")).cast(LongType))
+    },
+    "graft.quantile_gate" -> { a =>
+      // keep rows at or above their group's q-quantile of a score column
+      graft.operators.Prep.groupQuantileGate(asDf(a.require("df", 0), "df"),
+        asStr(a.require("by", 1), "by"),
+        asStr(a.require("score", 2), "score"),
+        a.require("q", 3).toString.toDouble)
     },
     "graft.bigram_logprob" -> { a =>
       // add-k-smoothed bigram transition log-prob per doc (perplexity-
@@ -2878,6 +2907,41 @@ final class Registry(spark: SparkSession) {
       val joined = df.join(rRen, keys, "full_outer")
       overlap.foldLeft(joined)((d, c) =>
         d.withColumn(c, coalesce(col(c), col(s"__cf_$c"))).drop(s"__cf_$c"))
+    case "combine" =>
+      // pandas df.combine(other, func, fill_value=): element-wise combine of
+      // aligned cells over the UNION of rows (full outer on the explicit
+      // keys — same contract as combine_first). func is 'max'/'min'/'sum'.
+      // pandas NaN-propagates when one side is missing unless fill_value
+      // patches the hole first; SQL null is the hole marker here
+      // (combine_first's documented divergence applies).
+      val other = asDf(a.require("other", 0), "other")
+      val fnName = asStr(a.require("func", 1), "func")
+      val keys = asStrList(a.require("on", -1))
+      keys.foreach(k => if (!df.columns.contains(k) || !other.columns.contains(k))
+        throw PipelineError(s"combine: key '$k' must exist in both frames"))
+      val fill = a.get("fill_value", -1).filter(_ != null)
+      val combFn: (Column, Column) => Column = fnName match {
+        // greatest/least skip nulls in Spark; pandas propagates — guard
+        case "max" => (l, r) => when(l.isNull || r.isNull, lit(null))
+          .otherwise(greatest(l, r))
+        case "min" => (l, r) => when(l.isNull || r.isNull, lit(null))
+          .otherwise(least(l, r))
+        case "sum" => (l, r) => l + r
+        case otherFn => throw PipelineError(
+          s"combine: func must be 'max'/'min'/'sum', got '$otherFn'")
+      }
+      val overlapC = (df.columns.toSet.intersect(other.columns.toSet) -- keys)
+        .toSeq.sorted
+      val rRenC = overlapC.foldLeft(other)((d, c) =>
+        d.withColumnRenamed(c, s"__cb_$c"))
+      val joinedC = df.join(rRenC, keys, "full_outer")
+      overlapC.foldLeft(joinedC) { (d, c) =>
+        val (l, r) = fill match {
+          case Some(v) => (coalesce(col(c), lit(v)), coalesce(col(s"__cb_$c"), lit(v)))
+          case None => (col(c), col(s"__cb_$c"))
+        }
+        d.withColumn(c, combFn(l, r)).drop(s"__cb_$c")
+      }
     case "pivot" =>
       // pandas df.pivot(index=, columns=, values=): strict no-agg reshape —
       // sugar over unstack with pandas' argument names (duplicate cells

@@ -883,6 +883,110 @@ object Corpus {
               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS d
           FROM html)
         SELECT doc_id, trim(regexp_replace(d, '\s+', ' ', 'g')) AS text_clean
-        FROM steps ORDER BY doc_id"""))
+        FROM steps ORDER BY doc_id""")),
+
+    // Per-doc n-gram novelty vs a reference corpus — the score-valued
+    // sibling of decontamination: how much of each doc is text the model
+    // has already seen. Both sides hash shingles to 64-bit before any
+    // shuffle; the oracle replays the same distinct-trigram sets on strings
+    // (hash equality == string equality modulo 64-bit collisions).
+    Q("q192_ngram_novelty",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Dedup.ngramNovelty(
+          docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") % 4 === 0).select(col("text")),
+          "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 4 <> 0 AND doc_id % 3 = 0),
+        refc AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
+        idx AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        rtoks AS (SELECT regexp_extract_all(text, '\S+') AS w FROM refc),
+        ridx AS (SELECT w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM rtoks),
+        rsh0 AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM ridx),
+        rshort AS (SELECT DISTINCT array_to_string(w, ' ') AS g
+          FROM rtoks WHERE len(w) < 3),
+        rsh AS (SELECT * FROM rsh0 UNION SELECT * FROM rshort),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM sh GROUP BY 1),
+        sn AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+          FROM sh JOIN rsh ON sh.g = rsh.g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+          CAST(COALESCE(sn.n_seen, 0) AS BIGINT) AS n_seen,
+          round(1.0 - COALESCE(sn.n_seen, 0) / CAST(tot.n_grams AS DOUBLE), 6)
+            AS novelty
+        FROM tot LEFT JOIN sn ON tot.doc_id = sn.doc_id
+        ORDER BY tot.doc_id""")),
+
+    // Heuristic sentence segmentation exploded to (doc, idx, sentence,
+    // n_words) rows — the granularity per-sentence dedup/packing runs at.
+    // The RE2-safe pattern (no lookbehind) is the whole parity story: both
+    // engines extract '[^.!?]+[.!?]*' runs, trim, drop empties.
+    Q("q194_sentences",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        // the fixture text carries no punctuation — spike a terminator
+        // after every 5th word (identical regex transform in the oracle)
+        // so the gate actually exercises multi-sentence splits
+        val spiked = t(s, d, "documents").filter(col("doc_id") % 5 === 2)
+          .withColumn("text",
+            regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1. "))
+        reg.callFunction("graft.explode_sentences", graft.expr.Args(
+          pos = List(spiked)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"), col("sent_idx"))
+      },
+      Some("""
+        WITH sp AS (SELECT doc_id,
+            regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS text
+          FROM documents WHERE doc_id % 5 = 2),
+        s AS (SELECT doc_id,
+            list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+              x -> len(x) > 0) AS ss
+          FROM sp),
+        i AS (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
+          FROM s)
+        SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, ss[i] AS sentence,
+          CAST(len(regexp_extract_all(ss[i], '\S+')) AS BIGINT) AS n_words
+        FROM i ORDER BY doc_id, sent_idx""")),
+
+    // Per-source quality-quantile gate ("top-p per source"): keep docs at
+    // or above their source's p75 of n_chars. The cut computes once per
+    // source and broadcasts back — a map-side filter at corpus scale; the
+    // round(6) on the cut (both engines) pins the kept set across
+    // last-ulp interpolation differences.
+    Q("q195_quantile_gate",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.quantile_gate", graft.expr.Args(
+          pos = List(
+            t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "n_chars", 0.75)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH cuts AS (SELECT source,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS cut
+          FROM documents GROUP BY source)
+        SELECT doc_id, source, n_chars
+        FROM documents JOIN cuts USING (source)
+        WHERE CAST(n_chars AS DOUBLE) >= cut
+        ORDER BY doc_id"""))
   )
 }

@@ -188,6 +188,41 @@ object Extra {
         SELECT event_id,
           CAST(round(epoch(CAST(dur AS INTERVAL)) * 1000000) AS BIGINT) AS dur_us,
           CAST(round(value * 1000000) AS BIGINT) AS val_us
-        FROM b ORDER BY event_id"""))
+        FROM b ORDER BY event_id""")),
+
+    // pandas df.combine(other, func='max', fill_value=0): element-wise
+    // combine over the union of keys — one side's rows fill with 0 before
+    // the max, both overlap columns (double + long) combined in one pass.
+    Q("q193_combine",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val orders = t(s, d, "orders")
+        val l = orders.filter(col("o_orderkey") % 6 === 1)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast(DoubleType).as("price"),
+            col("o_custkey").as("cust"))
+        val r = orders
+          .filter(col("o_orderkey") % 6 === 1 || col("o_orderkey") % 6 === 4)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice").cast(DoubleType) * 0.9).as("price"),
+            (col("o_custkey") + 10).as("cust"))
+        reg.callMethod(l, "combine", graft.expr.Args(
+          pos = List(r, "max"),
+          kw = List("on" -> List("k"), "fill_value" -> 0)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("k"), round(col("price"), 6).as("price"), col("cust"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH l AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+            o_custkey AS cust FROM orders WHERE o_orderkey % 6 = 1),
+        r AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 0.9 AS price,
+            o_custkey + 10 AS cust FROM orders
+          WHERE o_orderkey % 6 IN (1, 4))
+        SELECT COALESCE(l.k, r.k) AS k,
+          round(greatest(COALESCE(l.price, 0), COALESCE(r.price, 0)), 6) AS price,
+          CAST(greatest(COALESCE(l.cust, 0), COALESCE(r.cust, 0)) AS BIGINT) AS cust
+        FROM l FULL OUTER JOIN r ON l.k = r.k
+        ORDER BY k"""))
   )
 }

@@ -969,6 +969,30 @@ class TextSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.functions.Text
 
+  test("sentences: terminators bind left, trailing fragment kept, empties dropped") {
+    val df = Seq(
+      (1L, "One two. Three four! Five?"),
+      (2L, "No terminator at all"),
+      (3L, "Multi!!  Spaced.   "),
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), Text.sentences(col("t")).as("s"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("One two.", "Three four!", "Five?"))
+    assert(out(2L) == Seq("No terminator at all"))
+    assert(out(3L) == Seq("Multi!!", "Spaced."))
+    assert(out(4L) == Seq.empty)
+  }
+
+  test("groupQuantileGate keeps exactly the at-or-above-cut rows per group") {
+    import graft.operators.Prep
+    val df = (1 to 20).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
+    val out = Prep.groupQuantileGate(df, "g", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // g0: evens 2..20, median 11 -> keep 12..20; g1: odds 1..19, median 10 -> keep 11..19
+    assert(out == ((12 to 20 by 2).map(v => ("g0", v.toDouble)) ++
+      (11 to 19 by 2).map(v => ("g1", v.toDouble))).toSet)
+  }
+
   test("wordEntropy: uniform=ln(k), constant=0, empty/null=null") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"),
       (4L, "   "), (5L, null.asInstanceOf[String])).toDF("id", "t")
@@ -1143,6 +1167,22 @@ class TextSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.contains(1L) && out(1L) >= 3L)
     assert(!out.contains(2L))
+  }
+
+  test("ngramNovelty: hand-computed seen-gram fractions, unseen doc scores 1") {
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // doc 1: trigrams {a b c, b c d, c d e, d e f} — 3 of 4 in ref -> 0.25
+    // doc 2: fully unseen -> 1.0; doc 3: short doc (2 words) -> whole-text
+    // shingle "a b" is not a ref TRIgram -> 1.0
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z w v"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 3L, 0.25)))
+    assert(out(2L) == ((3L, 0L, 1.0)))
+    assert(out(3L) == ((1L, 0L, 1.0)))
   }
 
   test("contaminationFlagsBloom: identical rows to the exact path, fp audit green") {

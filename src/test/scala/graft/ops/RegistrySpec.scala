@@ -1756,6 +1756,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("combine: func applies over union of keys; null-propagates without fill_value") {
+    val l = Seq((1L, Some(10.0)), (2L, None)).map { case (k, v) =>
+      (k, v.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }.toDF("k", "v")
+    val r = Seq((2L, 5.0), (3L, 7.0)).toDF("k", "v")
+    // no fill: k=1 right-missing -> null; k=2 left-null -> null; k=3 left-missing -> null
+    val bare = m(l, "combine", "other" -> r, "func" -> "max", "on" -> List("k"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("k").collect()
+    assert(bare.forall(_.isNullAt(1)))
+    // fill_value=0: max(10,0)=10, max(0,5)=5, max(0,7)=7
+    val filled = m(l, "combine", "other" -> r, "func" -> "max", "on" -> List("k"),
+      "fill_value" -> 0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("k").collect()
+    assert(filled.map(_.getDouble(1)).toSeq == Seq(10.0, 5.0, 7.0))
+    val summed = m(l, "combine", "other" -> r, "func" -> "sum", "on" -> List("k"),
+      "fill_value" -> 0)
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("k").collect()
+    assert(summed.map(_.getDouble(1)).toSeq == Seq(10.0, 5.0, 7.0))
+  }
+
   test("agg family: sem/prod/any/all semantics incl. nulls and n<2") {
     val d = Seq(
       ("a", Some(2.0), Some(true)), ("a", Some(4.0), Some(false)),
