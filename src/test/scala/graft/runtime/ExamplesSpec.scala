@@ -76,6 +76,29 @@ class ExamplesSpec extends AnyFunSuite {
     assert(over.count() == 0, "crossing-doc rule: exclusive prefix < budget")
   }
 
+  test("examples/curation_mix.yaml: novelty -> per-source quantile gate -> sentence stats") {
+    import org.apache.spark.sql.functions.col
+    val out = freshDir("ex_cur")
+    new Pipeline(spark, "examples/curation_mix.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val kept = spark.read.parquet(s"$out/kept_docs.parquet")
+    val fresh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 4 =!= 0)
+    assert(kept.count() > 0 && kept.count() < fresh.count(),
+      "the median-novelty gate must keep a strict subset")
+    assert(kept.columns.contains("novelty"))
+    // gate semantics: every source's kept docs sit at/above that source's cut
+    assert(kept.filter(col("novelty") < 0.0 || col("novelty") > 1.0).count() == 0)
+    // reference docs (doc_id % 4 == 0) can never appear
+    assert(kept.filter(col("doc_id") % 4 === 0).count() == 0)
+
+    val stats = spark.read.parquet(s"$out/sentence_stats.parquet")
+    assert(stats.count() == kept.count(), "one sentence-stat row per kept doc")
+    assert(Seq("n_words", "sentence").forall(stats.columns.contains),
+      stats.columns.mkString(","))
+  }
+
   test("examples/retrieval_prep.yaml: bloom decontam -> mixture -> bm25 z-scores -> weighted eval") {
     val out = freshDir("ex_retr")
     new Pipeline(spark, "examples/retrieval_prep.yaml",
