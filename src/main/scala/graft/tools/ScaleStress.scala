@@ -225,6 +225,14 @@ object ScaleStress {
       cell("q152_containment", f, nd)(
         Dedup.containmentPairs(d, "doc_id", "text", n = 3,
           threshold = 0.8).count())
+      // reference fixed at the replica-0 slice while the corpus grows:
+      // the equality join output is bounded by corpus gram count, so the
+      // curve should be linear in rows like q34, with NO quadratic tail
+      // (each distinct doc gram matches at most one distinct ref gram)
+      cell("q192_ngram_novelty", f, nd)(
+        Dedup.ngramNovelty(
+          d.filter(col("doc_id") >= 25),
+          d.filter(col("doc_id") < 25), "doc_id", "text", n = 3).count())
       // pairs -> GraphX connected components: replica blocks never
       // cross-match, so component count grows exactly linearly and
       // diameter stays constant — Pregel rounds should NOT grow with the
