@@ -3454,21 +3454,36 @@ final class Registry(spark: SparkSession) {
       // pandas groupby()[value].idxmax(): the id of each group's extreme
       // row. Deterministic under ties: smallest id among the tied rows
       // (pandas returns the first by row order; a distributed frame has no
-      // row order, so the id itself is the documented tiebreak). One window
-      // rank, no self-join.
+      // row order, so the id itself is the documented tiebreak).
+      //
+      // Scale shape: numeric values go through ONE hash aggregate —
+      // min(struct(-value, id)) for idxmax (smallest negated value = the
+      // max; ties fall to the smallest id) — which map-side-combines and
+      // never sorts a group. The previous window-rank form sorted every
+      // group's full row set in a single task: with few groups that is a
+      // whole-fact-table sort. Non-numeric values (dates, strings — no
+      // negation) keep the window path.
       val valueCol = asStr(a.require("column", 0), "column")
       val idCol = asStr(a.require("id", 1), "id")
       // null values are filtered out entirely (pandas skips NaN; a group
       // whose values are ALL null yields no row rather than a null-valued
       // row's id)
-      val ord = if (name == "idxmax") col(valueCol).desc
-        else col(valueCol).asc
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(g.keyCols: _*).orderBy(ord, col(idCol).asc)
-      g.df.filter(col(valueCol).isNotNull)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(g.keyCols :+ col(idCol).as(s"${valueCol}_${name}"): _*)
+      val nn = g.df.filter(col(valueCol).isNotNull)
+      g.df.schema(valueCol).dataType match {
+        case _: NumericType =>
+          val v = if (name == "idxmax") -col(valueCol) else col(valueCol)
+          nn.groupBy(g.keyCols: _*)
+            .agg(min(struct(v.as("v"), col(idCol).as("i")))
+              .getField("i").as(s"${valueCol}_${name}"))
+        case _ =>
+          val ord = if (name == "idxmax") col(valueCol).desc
+            else col(valueCol).asc
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(g.keyCols: _*).orderBy(ord, col(idCol).asc)
+          nn.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(g.keyCols :+ col(idCol).as(s"${valueCol}_${name}"): _*)
+      }
     case other => throw PipelineError(s"Unknown groupby method '$other'")
   }
 
