@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan audit over the ENTIRE query surface: the scale properties
+  * the VERDICTs grade — no cartesian products anywhere, and no
+  * single-partition window (`Window.partitionBy()`) outside an explicit
+  * whitelist of frames that are small BY CONSTRUCTION (a pivoted grid, a
+  * bounded head, a per-group aggregate of a few keys). A new query that
+  * accidentally plans a whole-corpus single-task sort fails here before it
+  * ever reaches a bench.
+  *
+  * AQE is disabled in the audit session so `executedPlan` is the full
+  * pre-adaptive physical tree (AQE hides subtrees behind exchange stages).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** Queries allowed a partition-less WindowExec, each with the reason the
+    * windowed frame is small by construction (NOT the raw data).
+    */
+  private val globalWindowSmallFrame: Map[String, String] = Map(
+    "q106_merge_ordered" -> ("ordered fill over the merged key set — the " +
+      "calendar/as-of contract (large ordered joins belong to merge_asof; " +
+      "Registry merge_ordered scaladoc)"),
+    "q114_zipf_stats" -> "rank window over the bounded top-K vocabulary head (K<=1000 rows)",
+    "q115_factorize" -> "code assignment over the distinct-label frame (vocabulary-sized)",
+    "q138_pack_windows" -> ("two-level packing: the global window runs over " +
+      "the 256-row bucket aggregate, never the token stream (Prep.packWindows)"),
+    "q177_global_cumsum" -> ("two-level range exchange: the global windows " +
+      "run over the per-bucket aggregate frame, not the data " +
+      "(GlobalWindows.running — this query EXISTS to prove the data path " +
+      "is distributed)"),
+    "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame")
+
+  // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
+  // file round-trips) are still audited — the actions run at sf0.001.
+  test("no CartesianProductExec; global windows only over small-by-construction frames") {
+    val violations = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan: SparkPlan =
+        try fn(spark, TestSpark.sfDir).queryExecution.executedPlan
+        catch { case e: Throwable =>
+          violations += s"$name: failed to plan: ${e.getMessage.take(120)}"
+          null
+        }
+      if (plan != null) {
+        val cartesian = plan.collect { case c: CartesianProductExec => c }
+        if (cartesian.nonEmpty)
+          violations += s"$name: CartesianProductExec in plan"
+        val globals = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (globals.nonEmpty && !globalWindowSmallFrame.contains(name))
+          violations += s"$name: ${globals.size} single-partition WindowExec " +
+            "(whitelist it with a small-frame justification or fix the plan)"
+      }
+    }
+    assert(violations.isEmpty, "\n" + violations.mkString("\n"))
+  }
+}
