@@ -259,6 +259,35 @@ object Scoring {
           col("est") <= col("cnt") + col("n").cast("double") / k).as("ss_ok"))
   }
 
+  /** Per-doc OUT-OF-VOCABULARY rate against the corpus top-`k` word
+    * vocabulary — the closed-vocab quality signal: a doc whose tokens
+    * mostly fall outside the corpus head is noise, another language, or
+    * byte soup, and a tokenizer trained on this corpus will shred it into
+    * high-fertility fragments.
+    *
+    * Scale shape: word counts shuffle as (word, count); the top-k selection
+    * is a TakeOrdered (distributed heaps — no global sort) with a
+    * deterministic (count desc, word) tiebreak; the k-row vocabulary then
+    * BROADCASTS and the per-doc membership probe is a map-side hash join —
+    * the corpus token stream shuffles once, on doc id, carrying two ints.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              k: Int = 256): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(k)
+      .select(col("w"), lit(1).as("__in"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as(idCol),
+        col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Per-source word-distribution divergence from the whole corpus — the
     * data-mixing diagnostic beside [[Sampling.temperatureMixture]]: KL(p_s
     * || p_corpus) in nats and the bounded, symmetric Jensen-Shannon

@@ -921,6 +921,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.oov_rate" -> { a =>
+      // per-doc out-of-vocabulary rate vs the corpus top-k word vocabulary
+      graft.operators.Scoring.oovRate(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(256))
+    },
     "graft.compression_ratio" -> { a =>
       // deflate-ratio quality signal (low = repetitive boilerplate);
       // appended as `compress_ratio`

@@ -987,6 +987,59 @@ object Corpus {
         SELECT doc_id, source, n_chars
         FROM documents JOIN cuts USING (source)
         WHERE CAST(n_chars AS DOUBLE) >= cut
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Tokenizer fertility per language: BPE-ish pre-token count over
+    // whitespace word count — the "how many fragments per word" diagnostic
+    // that decides whether a language needs its own vocab budget. Integer
+    // sums (exact in both engines), one division at the end.
+    Q("q196_tokenizer_fertility",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          Text.tokenCountBpe(col("text")).cast(LongType).as("bpe"),
+          Text.tokenCountWs(col("text")).cast(LongType).as("ws"))
+        .filter(col("ws") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe")).as("sum_bpe"),
+          sum(col("ws")).as("sum_ws"),
+          round(sum(col("bpe")).cast(DoubleType) /
+            sum(col("ws")).cast(DoubleType), 6).as("fertility"))
+        .orderBy(col("lang")),
+      Some("""
+        WITH t AS (SELECT lang,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(bpe) AS BIGINT) AS sum_bpe,
+          CAST(SUM(ws) AS BIGINT) AS sum_ws,
+          round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+            AS fertility
+        FROM t WHERE ws > 0 GROUP BY lang ORDER BY lang""")),
+
+    // Per-doc out-of-vocabulary rate vs the corpus top-256 word head:
+    // TakeOrdered top-k with a deterministic (count desc, word) tiebreak,
+    // broadcast vocab, map-side membership probe. Integer counts + one
+    // rounded division — exact across engines.
+    Q("q197_oov_rate",
+      (s, d) => graft.operators.Scoring.oovRate(
+        t(s, d, "documents").filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", k = 256)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH wd AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+          FROM documents WHERE doc_id % 3 = 1),
+        vocab AS (SELECT w FROM (
+          SELECT w, COUNT(*) AS c FROM wd GROUP BY w
+          ORDER BY c DESC, w LIMIT 256)),
+        probe AS (SELECT wd.doc_id, wd.w,
+            CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+          FROM wd LEFT JOIN vocab ON wd.w = vocab.w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(oov) AS BIGINT) AS n_oov,
+          round(SUM(oov) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        FROM probe GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

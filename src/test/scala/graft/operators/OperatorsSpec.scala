@@ -983,6 +983,18 @@ class TextSpec extends AnyFunSuite {
     assert(out(4L) == Seq.empty)
   }
 
+  test("oovRate: top-k vocab with deterministic tiebreak, exact oov fractions") {
+    import graft.operators.Scoring
+    // corpus counts: a=4, b=3, c=2, d=1, e=1 -> k=3 vocab {a, b, c}
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b c d"), (3L, "a b e")).toDF("doc_id", "text")
+    val out = Scoring.oovRate(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0L, 0.0)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+  }
+
   test("groupQuantileGate keeps exactly the at-or-above-cut rows per group") {
     import graft.operators.Prep
     val df = (1 to 20).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
