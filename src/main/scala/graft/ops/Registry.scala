@@ -400,7 +400,21 @@ final class Registry(spark: SparkSession) {
             a.get("order_by", -1).map(asStrList).getOrElse(Nil),
             a.get("join", -1).map(asStr(_, "join")).getOrElse("outer"))
         case _ =>
-          objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+          // pandas keys=: label each input frame's rows (pandas builds a
+          // hierarchical index; the flat equivalent is a label column,
+          // named by names=[..] or 'key')
+          a.get("keys", -1).map(asStrList) match {
+            case Some(ks) =>
+              if (ks.length != objs.length) throw PipelineError(
+                s"concat: keys has ${ks.length} entries for ${objs.length} objs")
+              val kName = a.get("names", -1).map(asStrList)
+                .map(_.head).getOrElse("key")
+              objs.zip(ks).map { case (d, k) =>
+                d.withColumn(kName, lit(k)) }
+                .reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+            case None =>
+              objs.reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+          }
       }
     },
     "pd.merge" -> { a =>
@@ -1456,7 +1470,24 @@ final class Registry(spark: SparkSession) {
       groupByImpl(df, GrouperSpec(key, freq),
         a.get("dropna", -1).map(asBool(_, true)).getOrElse(true))
     case "filter" | "query" =>
-      df.filter(asStr(a.require("expr", 0), "filter expr"))
+      // pandas has TWO filters: df.query(expr) filters ROWS; df.filter
+      // (items=/like=/regex=, axis=1) selects COLUMNS by name. Dispatch on
+      // the kwargs present, like pandas' signatures. items preserves the
+      // requested order (pandas does); like/regex preserve frame order.
+      val items = a.get("items", -1).map(asStrList)
+      val like = a.get("like", -1).map(asStr(_, "like"))
+      val regex = a.get("regex", -1).map(asStr(_, "regex"))
+      if (items.isDefined || like.isDefined || regex.isDefined) {
+        val have = df.columns.toSet
+        val cols: Seq[String] = items.map(_.filter(have.contains))
+          .orElse(like.map(l => df.columns.toSeq.filter(_.contains(l))))
+          .orElse(regex.map { rx =>
+            val p = rx.r; df.columns.toSeq.filter(c => p.findFirstIn(c).isDefined)
+          }).get
+        if (cols.isEmpty) throw PipelineError(
+          "filter: no columns match (items/like/regex)")
+        df.select(cols.map(col): _*)
+      } else df.filter(asStr(a.require("expr", 0), "filter expr"))
     case "assign" =>
       a.kw.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(asStr(e, "assign expr"))) }
     case "withColumn" =>

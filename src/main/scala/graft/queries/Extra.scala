@@ -223,6 +223,31 @@ object Extra {
           round(greatest(COALESCE(l.price, 0), COALESCE(r.price, 0)), 6) AS price,
           CAST(greatest(COALESCE(l.cust, 0), COALESCE(r.cust, 0)) AS BIGINT) AS cust
         FROM l FULL OUTER JOIN r ON l.k = r.k
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // pd.concat(keys=, names=) — per-frame provenance label (pandas'
+    // hierarchical index, flattened to a column) — then pandas' OTHER
+    // filter: df.filter(items=) column selection.
+    Q("q198_concat_keys",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val hi = t(s, d, "orders").filter(col("o_totalprice") > 200000.0)
+        val lo = t(s, d, "orders").filter(col("o_totalprice") < 1000.0)
+        val cat = reg.callFunction("pd.concat", graft.expr.Args(
+          pos = List(List(hi, lo)),
+          kw = List("keys" -> List("high", "low"), "names" -> List("band"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(cat, "filter", graft.expr.Args(kw = List(
+          "items" -> List("o_orderkey", "band", "o_totalprice"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, 'high' AS band, o_totalprice FROM orders
+          WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT o_orderkey, 'low' AS band, o_totalprice FROM orders
+          WHERE o_totalprice < 1000
+        ORDER BY o_orderkey"""))
   )
 }

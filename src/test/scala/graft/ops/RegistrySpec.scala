@@ -1756,6 +1756,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("filter column-selection variants: items order, like substring, regex; query still rows") {
+    val d = Seq((1, 2.0, "x")).toDF("id", "price_usd", "name")
+    def cols(kw: (String, Any)*): Seq[String] =
+      m(d, "filter", kw: _*).asInstanceOf[org.apache.spark.sql.DataFrame].columns.toSeq
+    assert(cols("items" -> List("name", "id")) == Seq("name", "id"))
+    assert(cols("like" -> "price") == Seq("price_usd"))
+    assert(cols("regex" -> "^(id|name)$") == Seq("id", "name"))
+    intercept[Exception] { cols("like" -> "absent") }
+    val rows = m(d, "filter", "expr" -> "id > 5")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+    assert(rows == 0)
+  }
+
   test("combine: func applies over union of keys; null-propagates without fill_value") {
     val l = Seq((1L, Some(10.0)), (2L, None)).map { case (k, v) =>
       (k, v.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }.toDF("k", "v")
