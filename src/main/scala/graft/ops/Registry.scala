@@ -1951,7 +1951,19 @@ final class Registry(spark: SparkSession) {
       // guard below makes a breach LOUD (raise_error) instead of silently
       // emitting Inf/Inf = NaN tails.
       val cols = asStrList(a.require("columns", -1))
-      val alpha = a.require("alpha", -1).toString.toDouble
+      // pandas accepts exactly one decay parameterization; all reduce to
+      // alpha (span: 2/(span+1); com: 1/(1+com); halflife: 1-2^(-1/hl))
+      val alpha = {
+        val given = List(
+          a.get("alpha", -1).map(_.toString.toDouble),
+          a.get("span", -1).map(v => 2.0 / (v.toString.toDouble + 1.0)),
+          a.get("com", -1).map(v => 1.0 / (1.0 + v.toString.toDouble)),
+          a.get("halflife", -1).map(v =>
+            1.0 - math.exp(-math.log(2.0) / v.toString.toDouble))).flatten
+        if (given.size != 1) throw PipelineError(
+          "ewm: pass exactly one of alpha/span/com/halflife")
+        given.head
+      }
       require(alpha > 0 && alpha < 1, "ewm: alpha must be in (0, 1)")
       val adjust = a.get("adjust", -1).map(asBool(_, true)).getOrElse(true)
       val fn = a.get("func", -1).map(asStr(_, "func")).getOrElse("mean")

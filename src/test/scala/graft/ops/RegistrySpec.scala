@@ -1756,6 +1756,22 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("ewm decay parameterizations: span/com/halflife reduce to the alpha path") {
+    val d = Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("t", "v")
+    def ewm(kw: (String, Any)*): Seq[Double] =
+      m(d, "ewm", (Seq[(String, Any)]("columns" -> List("v"),
+        "order_by" -> List("t")) ++ kw): _*)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .orderBy("t").collect().map(_.getDouble(1)).toSeq
+    // span=3 -> alpha = 2/(3+1) = 0.5; com=1 -> alpha = 0.5
+    assert(ewm("span" -> 3) == ewm("alpha" -> 0.5))
+    assert(ewm("com" -> 1) == ewm("alpha" -> 0.5))
+    // halflife=1 -> alpha = 1 - exp(-ln2) = 0.5
+    assert(ewm("halflife" -> 1) == ewm("alpha" -> 0.5))
+    intercept[Exception] { ewm("alpha" -> 0.5, "span" -> 3) }
+    intercept[Exception] { ewm() }
+  }
+
   test("filter column-selection variants: items order, like substring, regex; query still rows") {
     val d = Seq((1, 2.0, "x")).toDF("id", "price_usd", "name")
     def cols(kw: (String, Any)*): Seq[String] =
