@@ -559,22 +559,38 @@ final class Registry(spark: SparkSession) {
       // inclusive end as start + (periods-1) strides.
       val start = asStr(a.require("start", 0), "start")
       val freqName = a.get("freq", 2).map(asStr(_, "freq")).getOrElse("D")
+      // B = business days: the daily spine filtered to Mon-Fri (pandas
+      // bdate_range / freq='B'; holiday calendars would arrive as a
+      // broadcast lookup, like the PSL note in Urls)
+      val bday = freqName == "B"
       val (unit, step) = freqName match {
-        case "D" => ("day", "interval 1 day")
+        case "D" | "B" => ("day", "interval 1 day")
         case "H" | "h" => ("hour", "interval 1 hour")
         case "T" | "min" => ("minute", "interval 1 minute")
         case other => throw PipelineError(
-          s"date_range: unsupported freq '$other' (D/H/min; anchored weeks -> pd.Grouper)")
+          s"date_range: unsupported freq '$other' (D/H/min/B; anchored weeks -> pd.Grouper)")
       }
+      def parseDt(v: String) = java.time.LocalDateTime.parse(
+        (if (v.contains(" ") || v.contains("T")) v
+         else s"${v}T00:00:00").replace(' ', 'T'))
       val end = (a.get("end", 1), a.get("periods", -1)) match {
         case (Some(e), None) => asStr(e, "end")
         case (None, Some(p)) =>
           val n = asInt(p, "periods")
           require(n >= 1, "date_range: periods must be >= 1")
           // computed driver-side from literals: tiny and plan-embeddable
-          java.time.LocalDateTime.parse(
-            (if (start.contains(" ") || start.contains("T")) start
-             else s"${start}T00:00:00").replace(' ', 'T'))
+          if (bday) {
+            // pandas B + periods: count n BUSINESS days, starting at the
+            // first business day at/after start
+            def isBiz(d: java.time.LocalDateTime) = d.getDayOfWeek.getValue <= 5
+            var cur = parseDt(start)
+            while (!isBiz(cur)) cur = cur.plusDays(1)
+            var left = n - 1
+            while (left > 0) {
+              cur = cur.plusDays(1); if (isBiz(cur)) left -= 1
+            }
+            cur.toString.replace('T', ' ')
+          } else parseDt(start)
             .plus((n - 1).toLong, unit match {
               case "day" => java.time.temporal.ChronoUnit.DAYS
               case "hour" => java.time.temporal.ChronoUnit.HOURS
@@ -590,10 +606,12 @@ final class Registry(spark: SparkSession) {
       // pandas returns an EMPTY DatetimeIndex when end < start; Spark's
       // sequence() instead throws (step sign must match direction), so
       // guard the ordering and emit an empty spine with the same schema
-      spark.range(1).select(explode(when(
+      val spine = spark.range(1).select(explode(when(
         to_timestamp(lit(start)) <= to_timestamp(lit(end)),
         sequence(to_timestamp(lit(start)), to_timestamp(lit(end)), expr(step)))
         .otherwise(array().cast("array<timestamp>"))).as("ts"))
+      // Spark dayofweek: 1=Sun..7=Sat; business = Mon(2)..Fri(6)
+      if (bday) spine.filter(dayofweek(col("ts")).between(2, 6)) else spine
     },
     "pd.wide_to_long" -> { a =>
       // pandas pd.wide_to_long(df, stubnames, i, j, sep, suffix): columns
@@ -1490,6 +1508,18 @@ final class Registry(spark: SparkSession) {
       } else df.filter(asStr(a.require("expr", 0), "filter expr"))
     case "assign" =>
       a.kw.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(asStr(e, "assign expr"))) }
+    case "eval" =>
+      // pandas df.eval("target = expr"): the assignment form adds/replaces
+      // the column; a bare expression returns the computed column alone
+      // (pandas returns a Series). Expression dialect is Spark SQL, the
+      // same one filter/assign take — documented divergence from pandas'
+      // python-ish eval syntax.
+      val src = asStr(a.require("expr", 0), "eval expr")
+      val assignRe = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
+      src match {
+        case assignRe(target, rhs) => df.withColumn(target, expr(rhs))
+        case _ => df.select(expr(src).as("eval"))
+      }
     case "withColumn" =>
       df.withColumn(asStr(a.require("name", 0), "name"), expr(asStr(a.require("expr", 1), "expr")))
     case "select" =>

@@ -248,6 +248,36 @@ object Extra {
         UNION ALL
         SELECT o_orderkey, 'low' AS band, o_totalprice FROM orders
           WHERE o_totalprice < 1000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // pd.date_range(freq='B'): business-day spine, both forms — end= (the
+    // daily sequence filtered to Mon-Fri) and periods= (n BUSINESS days
+    // counted from the first business day at/after a weekend start).
+    Q("q199_bdate_range",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        def rng(kw: List[(String, Any)]) =
+          reg.callFunction("pd.date_range", graft.expr.Args(kw = kw))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+        val byEnd = rng(List("start" -> "2024-01-01", "end" -> "2024-03-31",
+          "freq" -> "B")).withColumn("form", lit("end"))
+        // 2024-01-06 is a Saturday: the range must start Monday 01-08
+        val byPeriods = rng(List("start" -> "2024-01-06", "periods" -> 10,
+          "freq" -> "B")).withColumn("form", lit("periods"))
+        byEnd.unionByName(byPeriods)
+          .select(col("form"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("form"), col("ts_us"))
+      },
+      Some("""
+        WITH de AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+            TIMESTAMP '2024-03-31', INTERVAL 1 DAY)) AS ts),
+        dp AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-06',
+            TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS ts)
+        SELECT 'end' AS form, epoch_us(ts) AS ts_us FROM de
+          WHERE isodow(ts) <= 5
+        UNION ALL
+        SELECT 'periods' AS form, epoch_us(ts) AS ts_us FROM (
+          SELECT ts FROM dp WHERE isodow(ts) <= 5 ORDER BY ts LIMIT 10)
+        ORDER BY form, ts_us"""))
   )
 }

@@ -1756,6 +1756,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("eval: assignment form adds the column, == stays a comparison, bare expr -> single column") {
+    val d = Seq((1, 2.0), (2, 4.0)).toDF("id", "v")
+    val assigned = mp(d, "eval", "doubled = v * 2")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("id").collect()
+    assert(assigned.map(_.getDouble(2)).toSeq == Seq(4.0, 8.0))
+    val bare = mp(d, "eval", "id == 2")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(bare.columns.toSeq == Seq("eval"))
+    assert(bare.collect().count(_.getBoolean(0)) == 1)
+  }
+
   test("ewm decay parameterizations: span/com/halflife reduce to the alpha path") {
     val d = Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("t", "v")
     def ewm(kw: (String, Any)*): Seq[Double] =
