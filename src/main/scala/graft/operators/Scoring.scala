@@ -104,6 +104,42 @@ object Scoring {
       .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Top-k word COLLOCATIONS by pointwise mutual information — the
+    * corpus-linguistics pass that surfaces multiword units ("new york",
+    * "machine learning") a tokenizer or stopword list should know about.
+    * PMI = ln(c_xy * N / (c_x * c_y)) with the simple N = total-token
+    * estimator, gated by a minimum pair count (PMI without a count floor
+    * promotes hapax noise).
+    *
+    * Scale shape: bigram and unigram counts shuffle as (string, count)
+    * rows; the min-count filter cuts the pair table BEFORE the two unigram
+    * joins; N is a one-row broadcast; the final top-k is a TakeOrdered
+    * (distributed heaps) on the ROUNDED pmi with a lexicographic tiebreak,
+    * so the cut is deterministic across engines and partitionings.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5, k: Int = 50): DataFrame = {
+    val bg = df.select(
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val uni = df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n_tokens"))
+    cbg.join(uni.select(col("w").as("w1"), col("cw").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        col("c_xy").cast("double") * col("n_tokens") /
+          (col("c_x") * col("c_y")).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("bg")).limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi"))
+  }
+
   /** Okapi BM25 ranking of documents against a fixed query-term set — the
     * standard lexical retrieval scorer (and the first-stage retriever in
     * most RAG/data-curation stacks). idf = ln((N - df + 0.5)/(df + 0.5) + 1)

@@ -953,6 +953,15 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.collocations" -> { a =>
+      // top-k word collocations by PMI over the corpus
+      graft.operators.Scoring.collocations(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        minCount = a.get("min_count", -1).map(asInt(_, "min_count"))
+          .map(_.toLong).getOrElse(5L),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(50))
+    },
     "graft.oov_rate" -> { a =>
       // per-doc out-of-vocabulary rate vs the corpus top-k word vocabulary
       graft.operators.Scoring.oovRate(

@@ -1040,6 +1040,37 @@ object Corpus {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           CAST(SUM(oov) AS BIGINT) AS n_oov,
           round(SUM(oov) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
-        FROM probe GROUP BY doc_id ORDER BY doc_id"""))
+        FROM probe GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Top-k collocations by PMI (min-count floored) — multiword-unit
+    // discovery for tokenizer/stopword curation. Integer counts feed one
+    // double division + ln, rounded to 6 before the deterministic
+    // (pmi desc, bigram) top-k cut, so both engines keep the same 40 rows.
+    Q("q200_collocations",
+      (s, d) => graft.operators.Scoring.collocations(
+        t(s, d, "documents"), "text", minCount = 5, k = 40)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")),
+      Some("""
+        WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w,
+            unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks),
+        bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM idx),
+        cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+          FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        uni AS (SELECT unnest(w) AS u FROM toks),
+        cw AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tokens FROM cw)
+        SELECT w1, w2, c_xy, pmi FROM (
+          SELECT w1, w2, c_xy,
+            round(ln(CAST(c_xy AS DOUBLE) * n_tokens /
+              CAST(cx.c * cy.c AS DOUBLE)), 6) AS pmi
+          FROM cbg
+          JOIN cw cx ON cbg.w1 = cx.u
+          JOIN cw cy ON cbg.w2 = cy.u
+          CROSS JOIN n
+          ORDER BY pmi DESC, w1 || ' ' || w2 LIMIT 40)
+        ORDER BY pmi DESC, w1, w2"""))
   )
 }
