@@ -1862,9 +1862,28 @@ final class Registry(spark: SparkSession) {
       // pandas pd.cut with explicit bin edges, right-closed (a, b]; values
       // outside the bins -> null, like pandas NaN
       val c = asStr(a.require("column", 0), "column")
-      val bins = a.require("bins", 1) match {
+      val bins = (a.require("bins", 1) match {
+        case i: Int => i.toLong; case other => other
+      }) match {
         case l: List[_] => l.map(_.toString.toDouble)
-        case other => throw PipelineError(s"cut: bins must be a list, got ${tn(other)}")
+        case n: Long =>
+          // pandas bins=int: n equal-width bins over [min, max], with the
+          // first edge nudged down by 0.1% of the range so the minimum
+          // lands inside bin 0 (pandas' exact rule under right=True). The
+          // min/max fit is ONE bounded eager aggregate — the qcut
+          // precedent; the edges are then plan literals.
+          require(n >= 1, "cut: bins must be >= 1")
+          val row = df.agg(
+            min(col(c).cast(DoubleType)), max(col(c).cast(DoubleType))).head()
+          if (row.isNullAt(0)) throw PipelineError(
+            s"cut: column '$c' has no non-null values")
+          val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+          require(mx > mn, s"cut: column '$c' is constant ($mn); explicit bins required")
+          val adj = (mx - mn) * 0.001
+          (0L to n).map(i => mn + i * (mx - mn) / n).toList
+            .updated(0, mn - adj)
+        case other => throw PipelineError(
+          s"cut: bins must be a list or int, got ${tn(other)}")
       }
       require(bins.size >= 2, "cut needs >= 2 bin edges")
       // pandas pd.cut raises ValueError on non-monotonic edges; unsorted or
@@ -2904,8 +2923,24 @@ final class Registry(spark: SparkSession) {
     case "concat" | "unionByName" =>
       df.unionByName(asDf(a.require("other", 0), "concat"), allowMissingColumns = true)
     case "crosstab" =>
-      val ct = df.stat.crosstab(
-        asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
+      // pandas crosstab(values=, aggfunc=): aggregated cells instead of
+      // counts — sugar over the pivot_table path (same single-shuffle
+      // plan); both kwargs or neither, like pandas.
+      val ct = (a.get("values", -1), a.get("aggfunc", -1)) match {
+        case (Some(v), Some(f)) =>
+          val c1 = asStr(a.require("col1", 0), "col1")
+          dfMethod(df, "pivot_table", Args(kw = List(
+            "index" -> List(c1),
+            "columns" -> asStr(a.require("col2", 1), "col2"),
+            "values" -> asStr(v, "values"),
+            "aggfunc" -> asStr(f, "aggfunc"))))
+            .asInstanceOf[DataFrame]
+        case (None, None) =>
+          df.stat.crosstab(
+            asStr(a.require("col1", 0), "col1"), asStr(a.require("col2", 1), "col2"))
+        case _ => throw PipelineError(
+          "crosstab: values= and aggfunc= must be passed together")
+      }
       // pandas crosstab(normalize=): 'index' divides each row by its row
       // sum, 'columns' by the column total, 'all'/true by the grand total.
       // The pivoted frame is small by construction (distinct(col1) rows),

@@ -278,6 +278,56 @@ object Extra {
         UNION ALL
         SELECT 'periods' AS form, epoch_us(ts) AS ts_us FROM (
           SELECT ts FROM dp WHERE isodow(ts) <= 5 ORDER BY ts LIMIT 10)
-        ORDER BY form, ts_us"""))
+        ORDER BY form, ts_us""")),
+
+    // pandas crosstab(values=, aggfunc=): aggregated cells (sum of integer
+    // -valued quantities -> exact doubles) through the pivot_table plan.
+    Q("q201_crosstab_agg",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(t(s, d, "lineitem"), "crosstab", graft.expr.Args(
+          pos = List("l_returnflag", "l_linestatus"),
+          kw = List("values" -> "l_quantity", "aggfunc" -> "sum")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+          SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+          SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // pd.cut(bins=int): equal-width bins over [min, max] with pandas' 0.1%
+    // left-edge nudge; the min/max fit is one bounded eager aggregate and
+    // the oracle recomputes the identical edge doubles from the same
+    // min/max (same arithmetic shape, so bit-equal boundaries).
+    Q("q202_cut_int_bins",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callMethod(t(s, d, "orders"), "cut", graft.expr.Args(
+          pos = List("o_totalprice", 8L),
+          kw = List("labels" -> (0 until 8).map(_.toString).toList)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy(col("o_totalprice_bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_totalprice_bin"))
+      },
+      Some("""
+        WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+            max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders),
+        b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, mn, mx,
+            (mx - mn) * 0.001 AS adj FROM orders CROSS JOIN mm),
+        lab AS (SELECT CASE
+            WHEN v > mn - adj AND v <= mn + 1 * (mx - mn) / 8 THEN '0'
+            WHEN v <= mn + 2 * (mx - mn) / 8 THEN '1'
+            WHEN v <= mn + 3 * (mx - mn) / 8 THEN '2'
+            WHEN v <= mn + 4 * (mx - mn) / 8 THEN '3'
+            WHEN v <= mn + 5 * (mx - mn) / 8 THEN '4'
+            WHEN v <= mn + 6 * (mx - mn) / 8 THEN '5'
+            WHEN v <= mn + 7 * (mx - mn) / 8 THEN '6'
+            WHEN v <= mn + 8 * (mx - mn) / 8 THEN '7'
+          END AS bin FROM b)
+        SELECT bin AS o_totalprice_bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab GROUP BY bin ORDER BY bin"""))
   )
 }
