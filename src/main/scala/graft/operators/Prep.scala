@@ -39,6 +39,41 @@ object Prep {
     clipped.drop(valueCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** PACKING-EFFICIENCY report: for each candidate sequence length, how
+    * much of the padded token budget is real text when every doc is chunked
+    * independently to that length (windows = ceil(n/size) per doc, waste =
+    * padded - tokens). The planner table a training run reads BEFORE
+    * picking its context length / packing strategy — a low fill ratio at
+    * 8k says "pack multiple docs per window", a high one says chunking
+    * alone is fine.
+    *
+    * Scale shape: one token-count projection (codegen'd regexp_count, no
+    * explode), then ONE aggregate per candidate size over (count, ceil) —
+    * integer sums, map-side combinable; the output is |sizes| rows.
+    */
+  def packingEfficiency(df: DataFrame, textCol: String,
+                        sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "packingEfficiency: sizes must be non-empty positive lengths")
+    val n = graft.functions.Text.tokenCountWs(col(textCol)).cast("long")
+    val base = df.select(n.as("n")).filter(col("n") > 0)
+    val aggs = sizes.flatMap { s =>
+      val w = ceil(col("n").cast("double") / s).cast("long")
+      Seq(sum(col("n")).as(s"__t_$s"), sum(w).as(s"__w_$s"),
+        count(lit(1)).as(s"__d_$s"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val perSize = sizes.map { s =>
+      struct(lit(s).as("seq_len"), col(s"__d_$s").as("n_docs"),
+        col(s"__t_$s").as("n_tokens"), col(s"__w_$s").as("n_windows"),
+        (col(s"__w_$s") * s).as("padded_tokens"),
+        round(col(s"__t_$s").cast("double") / (col(s"__w_$s") * s), 6)
+          .as("fill_ratio"))
+    }
+    row.select(explode(array(perSize: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("seq_len"))
+  }
+
   /** Per-group QUANTILE GATE: keep rows whose `scoreCol` is at or above
     * their group's q-quantile — the "top-p by quality per source" selection
     * data-mixing runs after scoring (nucleus filtering at the corpus

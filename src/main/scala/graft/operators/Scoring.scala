@@ -104,6 +104,37 @@ object Scoring {
       .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Pairwise SOURCE vocabulary overlap — Jaccard over each source's
+    * distinct word set. The redundancy matrix data-mixing reads next to
+    * [[sourceDivergence]]: two sources with near-identical vocabularies
+    * are interchangeable in the mix; a low-overlap source brings words the
+    * pool lacks.
+    *
+    * Scale shape: the (source, word) index is distinct BEFORE the word
+    * self-join, and every word contributes at most C(|sources|, 2) pair
+    * rows — bounded by the (tiny) source count, never quadratic in corpus
+    * size. Per-source vocabulary sizes join back from one small aggregate.
+    */
+  def sourceVocabOverlap(df: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame = {
+    val sv = df.select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val pairs = sv.as("a").join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("nv").as("nv_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nv_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        col("nv_a"), col("nv_b"),
+        round(col("common").cast("double") /
+          (col("nv_a") + col("nv_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Top-k word COLLOCATIONS by pointwise mutual information — the
     * corpus-linguistics pass that surfaces multiword units ("new york",
     * "machine learning") a tokenizer or stopword list should know about.

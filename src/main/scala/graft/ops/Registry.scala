@@ -953,6 +953,24 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.packing_efficiency" -> { a =>
+      // fill-ratio planner table over candidate sequence lengths
+      graft.operators.Prep.packingEfficiency(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        (a.require("sizes", 1) match {
+          case l: List[_] => l.map(asInt(_, "sizes element"))
+          case other => throw PipelineError(
+            s"packing_efficiency: sizes must be a list, got ${tn(other)}")
+        }))
+    },
+    "graft.source_vocab_overlap" -> { a =>
+      // pairwise source vocabulary Jaccard (mix-redundancy matrix)
+      graft.operators.Scoring.sourceVocabOverlap(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.collocations" -> { a =>
       // top-k word collocations by PMI over the corpus
       graft.operators.Scoring.collocations(

@@ -1071,6 +1071,54 @@ object Corpus {
           JOIN cw cy ON cbg.w2 = cy.u
           CROSS JOIN n
           ORDER BY pmi DESC, w1 || ' ' || w2 LIMIT 40)
-        ORDER BY pmi DESC, w1, w2"""))
+        ORDER BY pmi DESC, w1, w2""")),
+
+    // Packing-efficiency planner table: fill ratio of the padded token
+    // budget per candidate context length (ceil-chunked per doc). Pure
+    // integer sums — exact in both engines — one rounded division at end.
+    Q("q203_packing_efficiency",
+      (s, d) => graft.operators.Prep.packingEfficiency(
+        t(s, d, "documents"), "text", Seq(32, 64, 128, 512)),
+      Some("""
+        WITH n AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+            AS n FROM documents),
+        nn AS (SELECT n FROM n WHERE n > 0),
+        sz AS (SELECT unnest([32, 64, 128, 512]) AS seq_len)
+        SELECT CAST(seq_len AS INT) AS seq_len,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(ceil(CAST(n AS DOUBLE) / seq_len) AS BIGINT)) AS BIGINT)
+            AS n_windows,
+          CAST(SUM(CAST(ceil(CAST(n AS DOUBLE) / seq_len) AS BIGINT)) * seq_len
+            AS BIGINT) AS padded_tokens,
+          round(CAST(SUM(n) AS DOUBLE) /
+            (SUM(CAST(ceil(CAST(n AS DOUBLE) / seq_len) AS BIGINT)) * seq_len),
+            6) AS fill_ratio
+        FROM nn CROSS JOIN sz GROUP BY seq_len ORDER BY seq_len""")),
+
+    // Pairwise source vocabulary Jaccard — the mix-redundancy matrix beside
+    // q188's divergence: distinct (source, word) index, word self-join
+    // bounded by C(|sources|, 2) pairs per word, integer counts throughout.
+    Q("q204_source_vocab_overlap",
+      (s, d) => graft.operators.Scoring.sourceVocabOverlap(
+        t(s, d, "documents"), "source", "text")
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""
+        WITH sv AS (SELECT DISTINCT source,
+            unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          FROM documents),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+          FROM sv GROUP BY source),
+        pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(COUNT(*) AS BIGINT) AS common
+          FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, common, sa.nv AS nv_a, sb.nv AS nv_b,
+          round(CAST(common AS DOUBLE) / CAST(sa.nv + sb.nv - common AS DOUBLE),
+            6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON pairs.src_a = sa.source
+        JOIN sizes sb ON pairs.src_b = sb.source
+        ORDER BY src_a, src_b"""))
   )
 }
