@@ -18,6 +18,21 @@ object Text {
   def tokenCountBpe(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Count of characters in a Unicode SCRIPT (Latin/Cyrillic/Han/Arabic/
+    * Greek/...). Java spells scripts `\p{IsXxx}`, RE2 engines `\p{Xxx}` —
+    * same Unicode script property, verified equal on mixed fixtures — so an
+    * external oracle replays the count exactly. Script composition is the
+    * cheap language/mojibake signal: a "en" doc that is 40% Cyrillic is
+    * mislabeled or double-encoded.
+    */
+  def scriptCount(text: Column, script: String): Column =
+    regexp_count(text, lit(s"\\p{Is$script}"))
+
+  /** Count of Unicode letter characters (`\p{L}`) — the denominator for
+    * script-composition ratios (spaces/digits/punctuation excluded).
+    */
+  def letterCount(text: Column): Column = regexp_count(text, lit("\\p{L}"))
+
   /** Sentence segmentation: runs of non-terminator characters plus their
     * trailing `.!?` terminators, trimmed, empties dropped. The pattern is
     * deliberately RE2-safe (no lookbehind, which RE2-based engines lack) so

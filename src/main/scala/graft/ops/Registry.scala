@@ -953,6 +953,45 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.script_ratios" -> { a =>
+      // per-doc Unicode script composition over letter chars: one ratio
+      // column per requested script + the letter count. Pure codegen'd
+      // regexp_count projections, zero shuffle.
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      val scripts = a.get("scripts", -1).map(asStrList)
+        .getOrElse(List("Latin", "Cyrillic", "Han"))
+      val letters = graft.functions.Text.letterCount(col(textCol))
+      scripts.foldLeft(df.withColumn("n_letters", letters.cast(LongType))) {
+        (d, s) => d.withColumn(s"${s.toLowerCase}_ratio",
+          round(graft.functions.Text.scriptCount(col(textCol), s)
+            .cast(DoubleType) / col("n_letters"), 6))
+      }
+    },
+    "graft.pair_ngram_overlap" -> { a =>
+      // in-row n-gram set overlap between two text columns (precision/
+      // recall/F1 on distinct word n-grams) — the eval-data similarity
+      // scorer; zero shuffle, per-row array HOFs only
+      val df = asDf(a.require("df", 0), "df")
+      val ca = asStr(a.require("a", 1), "a")
+      val cb = asStr(a.require("b", 2), "b")
+      val n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3)
+      val ga = array_distinct(graft.operators.Dedup.shingles(col(ca), n))
+      val gb = array_distinct(graft.operators.Dedup.shingles(col(cb), n))
+      val common = size(array_intersect(ga, gb))
+      df.withColumn("n_a", size(ga).cast(LongType))
+        .withColumn("n_b", size(gb).cast(LongType))
+        .withColumn("common", common.cast(LongType))
+        .withColumn("precision",
+          round(col("common") / col("n_b").cast(DoubleType), 6))
+        .withColumn("recall",
+          round(col("common") / col("n_a").cast(DoubleType), 6))
+        .withColumn("f1", round(
+          when(col("common") > 0,
+            lit(2.0) * col("common") /
+              (col("n_a") + col("n_b")).cast(DoubleType))
+            .otherwise(lit(0.0)), 6))
+    },
     "graft.packing_efficiency" -> { a =>
       // fill-ratio planner table over candidate sequence lengths
       graft.operators.Prep.packingEfficiency(
@@ -1551,6 +1590,33 @@ final class Registry(spark: SparkSession) {
       df.withColumn(asStr(a.require("name", 0), "name"), expr(asStr(a.require("expr", 1), "expr")))
     case "select" =>
       df.select(asStrList(a.require("columns", 0)).map(col): _*)
+    case "select_dtypes" =>
+      // pandas df.select_dtypes(include=/exclude=): columns by type family.
+      // Families: 'number' (integral + floating + decimal), 'integer',
+      // 'float', 'string'/'object', 'bool', 'datetime'. Keeps frame column
+      // order, like pandas.
+      def family(dt: DataType): Set[String] = dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Set("number", "integer")
+        case FloatType | DoubleType => Set("number", "float")
+        case _: DecimalType => Set("number", "float")
+        case StringType => Set("string", "object")
+        case BooleanType => Set("bool")
+        case TimestampType | DateType | TimestampNTZType => Set("datetime")
+        case _ => Set.empty
+      }
+      val include = a.get("include", 0).map(asStrList).getOrElse(Nil)
+      val exclude = a.get("exclude", -1).map(asStrList).getOrElse(Nil)
+      if (include.isEmpty && exclude.isEmpty) throw PipelineError(
+        "select_dtypes: need include= and/or exclude=")
+      val kept = df.schema.fields.filter { f =>
+        val fam = family(f.dataType)
+        (include.isEmpty || include.exists(fam.contains)) &&
+          !exclude.exists(fam.contains)
+      }.map(f => col(f.name))
+      if (kept.isEmpty) throw PipelineError(
+        "select_dtypes: no columns match the requested dtypes")
+      df.select(kept.toSeq: _*)
     case "__getitem__" => a.require("key", 0) match {
       case l: List[_] => df.select(l.map(asStr(_, "column")).map(col): _*)
       case s: String => df.select(col(s))

@@ -1119,6 +1119,96 @@ object Corpus {
         FROM pairs
         JOIN sizes sa ON pairs.src_a = sa.source
         JOIN sizes sb ON pairs.src_b = sb.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // Unicode script composition (mislabeled-language / mojibake signal).
+    // The fixture is pure ASCII, so the gate spikes deterministic Cyrillic
+    // and Han characters via the same regexp_replace in both engines; the
+    // Java \p{IsXxx} and RE2 \p{Xxx} script classes were verified equal.
+    Q("q206_script_ratios",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val spiked = t(s, d, "documents").filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(col("text"), "a", "я"), "e", "中")
+              .as("text"))
+        reg.callFunction("graft.script_ratios", graft.expr.Args(
+          pos = List(spiked)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .filter(col("n_letters") > 0)
+          .select(col("doc_id"), col("n_letters"), col("latin_ratio"),
+            col("cyrillic_ratio"), col("han_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH sp AS (SELECT doc_id,
+            regexp_replace(regexp_replace(text, 'a', 'я', 'g'), 'e', '中', 'g')
+              AS t
+          FROM documents WHERE doc_id % 6 = 0),
+        c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '\p{L}')) AS BIGINT) AS n_letters,
+            len(regexp_extract_all(t, '\p{Latin}')) AS lat,
+            len(regexp_extract_all(t, '\p{Cyrillic}')) AS cyr,
+            len(regexp_extract_all(t, '\p{Han}')) AS han
+          FROM sp)
+        SELECT doc_id, n_letters,
+          round(lat / CAST(n_letters AS DOUBLE), 6) AS latin_ratio,
+          round(cyr / CAST(n_letters AS DOUBLE), 6) AS cyrillic_ratio,
+          round(han / CAST(n_letters AS DOUBLE), 6) AS han_ratio
+        FROM c WHERE n_letters > 0 ORDER BY doc_id""")),
+
+    // In-row n-gram overlap between paired texts (precision/recall/F1 over
+    // distinct trigram sets) — the eval-similarity scorer; the pair here is
+    // each doc vs its own 30-word head, so recall measures how much of the
+    // doc the head covers. Zero shuffle: per-row array HOFs only.
+    Q("q207_pair_ngram_overlap",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val words = org.apache.spark.sql.functions.filter(
+          split(col("text"), "\\s+"), w => length(w) > 0)
+        val base = t(s, d, "documents").filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), col("text"),
+            array_join(slice(words, 1, 30), " ").as("snippet"))
+        reg.callFunction("graft.pair_ngram_overlap", graft.expr.Args(
+          pos = List(base, "text", "snippet")))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("doc_id"), col("n_a"), col("n_b"), col("common"),
+            col("precision"), col("recall"), col("f1"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, text,
+            array_to_string(regexp_extract_all(text, '\S+')[1:30], ' ')
+              AS snippet
+          FROM documents WHERE doc_id % 7 = 1),
+        ta AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM base),
+        ia AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM ta),
+        sa0 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ia),
+        sha AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM ta WHERE len(w) < 3),
+        sa AS (SELECT * FROM sa0 UNION SELECT * FROM sha),
+        tb AS (SELECT doc_id, regexp_extract_all(snippet, '\S+') AS w FROM base),
+        ib AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM tb),
+        sb0 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ib),
+        shb AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM tb WHERE len(w) < 3),
+        sb AS (SELECT * FROM sb0 UNION SELECT * FROM shb),
+        na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM sa GROUP BY 1),
+        nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM sb GROUP BY 1),
+        cm AS (SELECT sa.doc_id, CAST(COUNT(*) AS BIGINT) AS common
+          FROM sa JOIN sb ON sa.doc_id = sb.doc_id AND sa.g = sb.g GROUP BY 1)
+        SELECT na.doc_id, n_a, n_b,
+          CAST(COALESCE(common, 0) AS BIGINT) AS common,
+          round(COALESCE(common, 0) / CAST(n_b AS DOUBLE), 6) AS precision,
+          round(COALESCE(common, 0) / CAST(n_a AS DOUBLE), 6) AS recall,
+          round(CASE WHEN COALESCE(common, 0) > 0
+            THEN 2.0 * common / CAST(n_a + n_b AS DOUBLE) ELSE 0.0 END, 6) AS f1
+        FROM na JOIN nb ON na.doc_id = nb.doc_id
+        LEFT JOIN cm ON na.doc_id = cm.doc_id
+        ORDER BY na.doc_id"""))
   )
 }

@@ -1756,6 +1756,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("select_dtypes: include/exclude families, frame order kept, empty match raises") {
+    val d = Seq((1L, 2.5, "x", true)).toDF("n", "f", "s", "b")
+      .withColumn("ts", current_timestamp())
+    def sel(kw: (String, Any)*): Seq[String] =
+      m(d, "select_dtypes", kw: _*)
+        .asInstanceOf[org.apache.spark.sql.DataFrame].columns.toSeq
+    assert(sel("include" -> List("number")) == Seq("n", "f"))
+    assert(sel("include" -> List("integer")) == Seq("n"))
+    assert(sel("include" -> List("string", "bool")) == Seq("s", "b"))
+    assert(sel("include" -> List("datetime")) == Seq("ts"))
+    assert(sel("exclude" -> List("number", "datetime")) == Seq("s", "b"))
+    intercept[Exception] { sel("include" -> List("number"), "exclude" -> List("number")) }
+  }
+
   test("eval: assignment form adds the column, == stays a comparison, bare expr -> single column") {
     val d = Seq((1, 2.0), (2, 4.0)).toDF("id", "v")
     val assigned = mp(d, "eval", "doubled = v * 2")
