@@ -1121,6 +1121,26 @@ object Corpus {
         JOIN sizes sb ON pairs.src_b = sb.source
         ORDER BY src_a, src_b""")),
 
+    // Curriculum phasing: ntile(4) quality buckets per source (highest
+    // n_chars first, doc_id tiebreak) — the "easy->hard" phase label a
+    // curriculum dataloader consumes. One hash-partitioned window per
+    // source; ntile's equal-bucket rule is identical across engines.
+    Q("q205_curriculum_ntile",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            ntile(4).over(w).as("phase"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source, n_chars,
+          CAST(ntile(4) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS INT) AS phase
+        FROM documents ORDER BY doc_id""")),
+
     // Unicode script composition (mislabeled-language / mojibake signal).
     // The fixture is pure ASCII, so the gate spikes deterministic Cyrillic
     // and Han characters via the same regexp_replace in both engines; the
