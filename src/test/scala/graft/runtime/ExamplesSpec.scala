@@ -76,6 +76,36 @@ class ExamplesSpec extends AnyFunSuite {
     assert(over.count() == 0, "crossing-doc rule: exclusive prefix < budget")
   }
 
+  test("examples/corpus_health.yaml writes the five diagnostic reports") {
+    import org.apache.spark.sql.functions.col
+    val out = freshDir("ex_health")
+    new Pipeline(spark, "examples/corpus_health.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    val coll = spark.read.parquet(s"$out/collocations.parquet")
+    assert(coll.count() > 0 && coll.count() <= 30)
+    assert(Seq("w1", "w2", "c_xy", "pmi").forall(coll.columns.contains))
+
+    val oov = spark.read.parquet(s"$out/oov.parquet")
+    assert(oov.count() == nDocs, "every doc gets an OOV rate")
+    assert(oov.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+
+    // fixture is pure ASCII -> nothing should be script-suspect
+    assert(spark.read.parquet(s"$out/suspect_scripts.parquet").count() == 0)
+
+    val ov = spark.read.parquet(s"$out/source_overlap.parquet")
+    assert(ov.count() > 0)
+    assert(ov.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+
+    val pack = spark.read.parquet(s"$out/packing_plan.parquet")
+    assert(pack.count() == 4)
+    // fill ratio can only drop as the window grows past doc lengths
+    val byLen = pack.orderBy(col("seq_len")).collect()
+      .map(r => r.getAs[Double]("fill_ratio"))
+    assert(byLen.zip(byLen.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
   test("examples/curation_mix.yaml: novelty -> per-source quantile gate -> sentence stats") {
     import org.apache.spark.sql.functions.col
     val out = freshDir("ex_cur")
