@@ -603,6 +603,40 @@ object Dedup {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** [[ngramNovelty]] with the reference set as a BLOOM SKETCH — the shape
+    * when the reference corpus is itself 100 TB and its distinct gram set
+    * is too big to shuffle against every batch. Same three-phase contract
+    * as [[contaminationFlagsBloom]]: build the sketch over the reference's
+    * distinct hashes; probe every corpus gram MAP-SIDE (no false negatives,
+    * so probe failures are EXACTLY the unseen grams and never reach a
+    * shuffle); the probe survivors — reference-seen plus the fpp sliver of
+    * false positives — go to the exact join for disposal. Output rows are
+    * bit-identical to the exact path's; the sketch only cuts the join
+    * input (at 10% seen-fraction, ~10x less shuffle traffic).
+    */
+  def ngramNoveltyBloom(df: DataFrame, ref: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3,
+                        fpp: Double = 0.001): DataFrame = {
+    val docSh = Caches.persistTracked(shingleIndex(df, idCol, textCol, n))
+    val refSh = Caches.persistTracked(
+      ref.select(explode(shingles(col(textCol), n)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct())
+    val expected = math.max(refSh.count(), 1L)
+    val bloomB = df.sparkSession.sparkContext.broadcast(
+      refSh.stat.bloomFilter("h", expected, fpp))
+    val candidates = docSh.filter(
+      graft.expressions.BloomProbeLong(col("h"), bloomB))
+    val seen = candidates.join(refSh, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    docSh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(lit(1.0) -
+          coalesce(col("n_seen"), lit(0L)) / col("n_grams").cast("double"),
+          6).as("novelty"))
+  }
+
   /** Per-doc n-gram NOVELTY vs a reference corpus: the score-valued sibling
     * of [[contaminationFlags]] — novelty = 1 - |grams(doc) n grams(ref)| /
     * |grams(doc)| over distinct word n-grams. Where decontamination asks

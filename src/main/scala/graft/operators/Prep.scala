@@ -85,10 +85,18 @@ object Prep {
     * interpolation differs in the last ulp.
     */
   def groupQuantileGate(df: DataFrame, groupCol: String, scoreCol: String,
-                        q: Double): DataFrame = {
+                        q: Double, exact: Boolean = true): DataFrame = {
     require(q >= 0 && q <= 1, s"groupQuantileGate: q must be in [0,1], got $q")
+    // exact percentile buffers each group's values (the pandas/DuckDB
+    // definition — what the oracle gates). At 100 TB-per-group scale pass
+    // exact=false: approx_percentile is a bounded-memory mergeable sketch
+    // (KLL-style), cut accuracy ~1/accuracy quantile rank — the gate moves
+    // by at most that sliver, the plan shape is identical.
+    val pct =
+      if (exact) expr(s"percentile(`$scoreCol`, $q)")
+      else expr(s"approx_percentile(`$scoreCol`, $q, 10000)")
     val cuts = df.groupBy(col(groupCol))
-      .agg(round(expr(s"percentile(`$scoreCol`, $q)"), 6).as("__cut"))
+      .agg(round(pct.cast("double"), 6).as("__cut"))
     df.join(broadcast(cuts), groupCol)
       .filter(col(scoreCol).cast("double") >= col("__cut"))
       .drop("__cut")

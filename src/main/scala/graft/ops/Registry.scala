@@ -1113,13 +1113,17 @@ final class Registry(spark: SparkSession) {
       corpus.join(flags.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     },
     "graft.ngram_novelty" -> { a =>
-      // per-doc novelty score vs a reference corpus (1 - seen-gram fraction)
-      Dedup.ngramNovelty(
-        asDf(a.require("df", 0), "df"),
+      // per-doc novelty score vs a reference corpus (1 - seen-gram
+      // fraction); bloom=true probes a reference-side sketch map-side
+      // before the exact join (identical rows, ~seen-fraction shuffle)
+      val args = (asDf(a.require("df", 0), "df"),
         asDf(a.require("reference", 1), "reference"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
-        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3))
+        a.get("n", -1).map(asInt(_, "n")).getOrElse(3))
+      if (a.get("bloom", -1).exists(asBool(_, default = false)))
+        Dedup.ngramNoveltyBloom(args._1, args._2, args._3, args._4, args._5)
+      else Dedup.ngramNovelty(args._1, args._2, args._3, args._4, args._5)
     },
     "graft.decontaminate_bloom" -> { a =>
       // as graft.decontaminate, but the benchmark set is a bounded Bloom
@@ -1286,11 +1290,13 @@ final class Registry(spark: SparkSession) {
           graft.functions.Text.tokenCountWs(col("sentence")).cast(LongType))
     },
     "graft.quantile_gate" -> { a =>
-      // keep rows at or above their group's q-quantile of a score column
+      // keep rows at or above their group's q-quantile of a score column;
+      // exact=false swaps in the bounded-memory approx_percentile sketch
       graft.operators.Prep.groupQuantileGate(asDf(a.require("df", 0), "df"),
         asStr(a.require("by", 1), "by"),
         asStr(a.require("score", 2), "score"),
-        a.require("q", 3).toString.toDouble)
+        a.require("q", 3).toString.toDouble,
+        exact = a.get("exact", -1).forall(asBool(_, default = true)))
     },
     "graft.bigram_logprob" -> { a =>
       // add-k-smoothed bigram transition log-prob per doc (perplexity-

@@ -935,6 +935,55 @@ object Corpus {
     // n_words) rows — the granularity per-sentence dedup/packing runs at.
     // The RE2-safe pattern (no lookbehind) is the whole parity story: both
     // engines extract '[^.!?]+[.!?]*' runs, trim, drop empties.
+    // Same semantics through the BLOOM-probed path (q208 == q192's
+    // oracle): the sketch filters reference-unseen grams map-side, the
+    // exact join disposes the fpp sliver — rows must match DuckDB's exact
+    // set algebra bit-for-bit, proving the sketch never changes results.
+    Q("q208_ngram_novelty_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Dedup.ngramNoveltyBloom(
+          docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") % 4 === 0).select(col("text")),
+          "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 4 <> 0 AND doc_id % 3 = 0),
+        refc AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
+        idx AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        rtoks AS (SELECT regexp_extract_all(text, '\S+') AS w FROM refc),
+        ridx AS (SELECT w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM rtoks),
+        rsh0 AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM ridx),
+        rshort AS (SELECT DISTINCT array_to_string(w, ' ') AS g
+          FROM rtoks WHERE len(w) < 3),
+        rsh AS (SELECT * FROM rsh0 UNION SELECT * FROM rshort),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM sh GROUP BY 1),
+        sn AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+          FROM sh JOIN rsh ON sh.g = rsh.g GROUP BY 1)
+        SELECT tot.doc_id, tot.n_grams,
+          CAST(COALESCE(sn.n_seen, 0) AS BIGINT) AS n_seen,
+          round(1.0 - COALESCE(sn.n_seen, 0) / CAST(tot.n_grams AS DOUBLE), 6)
+            AS novelty
+        FROM tot LEFT JOIN sn ON tot.doc_id = sn.doc_id
+        ORDER BY tot.doc_id""")),
+
+    // Heuristic sentence segmentation exploded to (doc, idx, sentence,
+    // n_words) rows — the granularity per-sentence dedup/packing runs at.
+    // The RE2-safe pattern (no lookbehind) is the whole parity story: both
+    // engines extract '[^.!?]+[.!?]*' runs, trim, drop empties.
     Q("q194_sentences",
       (s, d) => {
         val reg = new graft.ops.Registry(s)

@@ -1005,6 +1005,31 @@ class TextSpec extends AnyFunSuite {
       (11 to 19 by 2).map(v => ("g1", v.toDouble))).toSet)
   }
 
+  test("ngramNoveltyBloom rows equal the exact path's") {
+    import graft.operators.Dedup
+    val ref = (0L until 30L).map(i =>
+      (i, s"ref doc $i shares alpha beta gamma delta tokens " +
+        (1 to 8).map(j => s"r${(i * 13 + j) % 41}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = (100L until 160L).map { i =>
+      val base = s"corpus doc $i " + (1 to 10).map(j => s"c${(i * 7 + j) % 53}").mkString(" ")
+      (i, if (i % 4 == 0) base + " shares alpha beta gamma delta tokens" else base)
+    }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Dedup.ngramNoveltyBloom(corpus, ref, "doc_id", "text", n = 3))
+      == rows(Dedup.ngramNovelty(corpus, ref, "doc_id", "text", n = 3)))
+  }
+
+  test("groupQuantileGate exact=false tracks the exact cut within sketch tolerance") {
+    import graft.operators.Prep
+    val df = (1 to 2000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = Prep.groupQuantileGate(df, "g", "v", 0.9).count()
+    val approx = Prep.groupQuantileGate(df, "g", "v", 0.9, exact = false).count()
+    assert(math.abs(exact - approx) <= 5,
+      s"approx gate kept $approx rows vs exact $exact")
+  }
+
   test("wordEntropy: uniform=ln(k), constant=0, empty/null=null") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"),
       (4L, "   "), (5L, null.asInstanceOf[String])).toDF("id", "t")
