@@ -102,6 +102,36 @@ object Prep {
       .drop("__cut")
   }
 
+  /** Per-group QCUT: quantile-bucket labels (1..q, 1 = highest values)
+    * per group — pandas groupby qcut, the curriculum-phasing shape. Unlike
+    * an ntile window (which sorts each group's full row set in ONE task —
+    * the single-task trap at corpus scale), this computes the q-1 interior
+    * percentile cuts per group in one aggregate, broadcasts the tiny cuts
+    * frame back, and labels map-side: phase = 1 + count(cuts above value).
+    * Buckets are equal-by-VALUE-mass, not exactly equal-by-count (ties sit
+    * together) — the documented divergence from ntile.
+    */
+  def groupQcut(df: DataFrame, groupCol: String, valueCol: String,
+                q: Int, outCol: String = "phase"): DataFrame = {
+    require(q >= 2, s"groupQcut: q must be >= 2, got $q")
+    val probs = (1 until q).map(_.toDouble / q)
+    // ONE percentile aggregate with the full prob array (a single
+    // value-count buffer serves every cut — the qcut precedent), items
+    // projected after the agg so nothing re-buffers per cut
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile(`$valueCol`, array(${probs.mkString(", ")}))")
+        .as("__cs"))
+      .select(col(groupCol) +: (0 until q - 1).map(i =>
+        round(element_at(col("__cs"), i + 1).cast("double"), 6)
+          .as(s"__c$i")): _*)
+    val labeled = df.join(broadcast(cuts), groupCol)
+    val phase = (0 until q - 1).map(i =>
+      when(col(valueCol).cast("double") < col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    labeled.withColumn(outCol, phase)
+      .drop((0 until q - 1).map(i => s"__c$i"): _*)
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep shape
     * (window `size` tokens, step `stride`; consecutive chunks share
     * `size - stride` tokens so no boundary context is lost). Starts are

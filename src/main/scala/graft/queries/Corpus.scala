@@ -1170,25 +1170,31 @@ object Corpus {
         JOIN sizes sb ON pairs.src_b = sb.source
         ORDER BY src_a, src_b""")),
 
-    // Curriculum phasing: ntile(4) quality buckets per source (highest
-    // n_chars first, doc_id tiebreak) — the "easy->hard" phase label a
-    // curriculum dataloader consumes. One hash-partitioned window per
-    // source; ntile's equal-bucket rule is identical across engines.
-    Q("q205_curriculum_ntile",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            ntile(4).over(w).as("phase"))
-          .orderBy(col("doc_id"))
-      },
+    // Curriculum phasing: per-source quality QUARTILE labels (phase 1 =
+    // highest n_chars) — the "easy->hard" label a curriculum dataloader
+    // consumes. Deliberately NOT an ntile window (that sorts each source's
+    // full row set in one task): the three interior cuts per source come
+    // from one percentile aggregate, broadcast back, and the label is a
+    // map-side comparison count — no window, no per-source sort.
+    Q("q205_curriculum_phase",
+      (s, d) => graft.operators.Prep.groupQcut(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", q = 4)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("phase"))
+        .orderBy(col("doc_id")),
       Some("""
+        WITH cuts AS (SELECT source,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS c0,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS c1,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS c2
+          FROM documents GROUP BY source)
         SELECT doc_id, source, n_chars,
-          CAST(ntile(4) OVER (PARTITION BY source
-            ORDER BY n_chars DESC, doc_id) AS INT) AS phase
-        FROM documents ORDER BY doc_id""")),
+          CAST(1 + (CASE WHEN CAST(n_chars AS DOUBLE) < c0 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) < c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) < c2 THEN 1 ELSE 0 END)
+            AS INT) AS phase
+        FROM documents JOIN cuts USING (source)
+        ORDER BY doc_id""")),
 
     // Unicode script composition (mislabeled-language / mojibake signal).
     // The fixture is pure ASCII, so the gate spikes deterministic Cyrillic
