@@ -1289,6 +1289,14 @@ final class Registry(spark: SparkSession) {
         .withColumn("n_words",
           graft.functions.Text.tokenCountWs(col("sentence")).cast(LongType))
     },
+    "graft.group_qcut" -> { a =>
+      // per-group quantile-bucket labels (pandas groupby qcut; 1 = top)
+      graft.operators.Prep.groupQcut(asDf(a.require("df", 0), "df"),
+        asStr(a.require("by", 1), "by"),
+        asStr(a.require("column", 2), "column"),
+        q = asInt(a.require("q", 3), "q"),
+        outCol = a.get("out", -1).map(asStr(_, "out")).getOrElse("phase"))
+    },
     "graft.quantile_gate" -> { a =>
       // keep rows at or above their group's q-quantile of a score column;
       // exact=false swaps in the bounded-memory approx_percentile sketch

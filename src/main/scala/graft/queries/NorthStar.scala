@@ -334,6 +334,48 @@ object NorthStar {
         SELECT id, MIN(lbl) AS cluster_rep FROM reach
         GROUP BY id ORDER BY id""")),
 
+    // Dedup-cluster SIZE HISTOGRAM — the "how bad is duplication" report a
+    // curation run reads first: same verified-pair + connected-component
+    // machinery as q164, reduced to (cluster size -> cluster count).
+    Q("q209_cluster_size_hist",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.2, estTol = 0.2)
+        Dedup.clusters(pairs.select(col("id_a"), col("id_b")),
+            Some(docs.select(col("doc_id"))))
+          .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          JOIN sizes sa ON sa.doc_id = a.doc_id
+          JOIN sizes sb ON sb.doc_id = b.doc_id
+          GROUP BY 1, 2
+          HAVING CAST(COUNT(*) AS DOUBLE)
+            / (MIN(sa.n_sh) + MIN(sb.n_sh) - COUNT(*)) >= 0.2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.lbl FROM reach JOIN edges e ON e.a = reach.id),
+        reps AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+        cs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS sz FROM reps GROUP BY rep)
+        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM cs GROUP BY sz ORDER BY sz""")),
+
     // SimHash near-dup pairs, ORACLE-GATED the same way: simhash banding
     // proposes, exact Jaccard disposes; hamming_ok gates that every
     // surviving pair is within maxHamming bits. maxHamming=12 is the
