@@ -857,6 +857,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dups.toSeq == Seq((1L, 2L)))
   }
 
+  test("ImageIoDecoder parses GIF and BMP headers (the other two JDK codecs)") {
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val g = Multimodal.ImageIoDecoder.decode(1L, enc("gif", 23, 11))
+    assert(g.width == 23 && g.height == 11 && g.format == "image/gif")
+    val b = Multimodal.ImageIoDecoder.decode(2L, enc("bmp", 13, 29))
+    assert(b.width == 13 && b.height == 29 && b.format == "image/bmp")
+    // corrupt bytes degrade to unknown, never throw
+    val junk = Multimodal.ImageIoDecoder.decode(3L, Array.fill(64)(0x5a.toByte))
+    assert(junk.format == "unknown" && junk.width == 0)
+  }
+
   test("ImageIoDecoder parses real PNG and JPEG headers (JDK codecs, no stubs)") {
     val png = Multimodal.syntheticPng(37, 21, seed = 7L)
     val m = Multimodal.ImageIoDecoder.decode(1L, png)
