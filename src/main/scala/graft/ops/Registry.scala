@@ -3438,6 +3438,31 @@ final class Registry(spark: SparkSession) {
           when(nz > 1, sqrt(ss / (nz - 1)))
       }
       df.withColumn(agg, out)
+    case agg @ ("idxmax" | "idxmin")
+        if a.get("axis", -1).exists(v =>
+          v.toString == "1" || v.toString == "columns") =>
+      // pandas df.idxmax(axis=1): the COLUMN NAME holding each row's
+      // extreme value, skipna=True; ties break to the earlier column
+      // (pandas' column order), all-missing rows yield null. One
+      // array_sort over (value, position) structs per row — codegen'd,
+      // no shuffle.
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        df.schema.fields.filter(_.dataType.isInstanceOf[NumericType])
+          .map(_.name).toList)
+      require(cs.nonEmpty, s"$agg(axis=1): no numeric columns")
+      val entries = org.apache.spark.sql.functions.filter(
+        array(cs.zipWithIndex.map { case (c, i) =>
+          struct(col(c).cast(DoubleType).as("v"), lit(i).as("i")) }: _*),
+        e => e.getField("v").isNotNull && !isnan(e.getField("v")))
+      val best =
+        if (agg == "idxmax") array_max(transform(entries,
+          e => struct(e.getField("v").as("v"), (-e.getField("i")).as("ni"))))
+        else array_min(transform(entries,
+          e => struct(e.getField("v").as("v"), e.getField("i").as("ni"))))
+      val idx = when(size(entries) > 0,
+        if (agg == "idxmax") -best.getField("ni") else best.getField("ni"))
+      val names = array(cs.map(lit): _*)
+      df.withColumn(agg, element_at(names, idx.cast(IntegerType) + 1))
     case agg if aggFns.contains(agg) =>
       // pandas df.max() etc: aggregate every numeric column
       val numeric = df.schema.fields.filter(f => f.dataType.isInstanceOf[NumericType])

@@ -1196,6 +1196,49 @@ object Corpus {
         FROM documents JOIN cuts USING (source)
         ORDER BY doc_id""")),
 
+    // Label-vs-content language audit: per-source rate of docs whose
+    // declared lang column disagrees with the marker-word guess (q33's
+    // gated heuristic) — the mislabeling report a multilingual curation run
+    // reads before trusting source metadata.
+    Q("q211_lang_mismatch",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), col("lang"),
+          Text.langGuess(col("text")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") =!= col("g"), 1L).otherwise(0L)).as("n_mismatch"),
+          round(sum(when(col("lang") =!= col("g"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("mismatch_rate"))
+        .orderBy(col("source")),
+      Some {
+        val scores = Text.langMarkers.map { case (l, m) =>
+          l -> s"CAST(len(regexp_extract_all(lower(text), '\\b($m)\\b')) AS INTEGER)"
+        }
+        val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n          ")
+        val langs = scores.map(_._1)
+        val caseArms = langs.zipWithIndex.init.map { case (l, i) =>
+          val conds = langs.zipWithIndex.filter(_._2 != i).map { case (o, j) =>
+            if (j < i) s"s_$l > s_$o" else s"s_$l >= s_$o"
+          }.mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n            ")
+        s"""
+        WITH s AS (
+          SELECT source, lang,
+          $scoreCols
+          FROM documents),
+        g AS (SELECT source, lang,
+          CASE $caseArms
+            ELSE '${langs.last}' END AS g
+          FROM s)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN lang <> g THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mismatch,
+          round(SUM(CASE WHEN lang <> g THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS mismatch_rate
+        FROM g GROUP BY source ORDER BY source"""
+      }),
+
     // Unicode script composition (mislabeled-language / mojibake signal).
     // The fixture is pure ASCII, so the gate spikes deterministic Cyrillic
     // and Han characters via the same regexp_replace in both engines; the

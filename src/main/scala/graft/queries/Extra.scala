@@ -328,6 +328,42 @@ object Extra {
             WHEN v <= mn + 8 * (mx - mn) / 8 THEN '7'
           END AS bin FROM b)
         SELECT bin AS o_totalprice_bin, CAST(COUNT(*) AS BIGINT) AS n
-        FROM lab GROUP BY bin ORDER BY bin"""))
+        FROM lab GROUP BY bin ORDER BY bin""")),
+
+    // pandas df.idxmax(axis=1)/idxmin(axis=1): the column NAME of each
+    // row's extreme, ties to the earlier column — one in-row (value, pos)
+    // struct array, no shuffle. Oracle replicates the tie rule as a
+    // >=-chain CASE.
+    Q("q210_row_argmax",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(DoubleType).as("qa"),
+            (col("l_discount").cast(DoubleType) * 300).as("qb"),
+            (col("l_tax").cast(DoubleType) * 400).as("qc"))
+        val mx = reg.callMethod(base, "idxmax", graft.expr.Args(kw = List(
+          "axis" -> 1L, "columns" -> List("qa", "qb", "qc"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(mx, "idxmin", graft.expr.Args(kw = List(
+          "axis" -> 1L, "columns" -> List("qa", "qb", "qc"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("idxmax"), col("idxmin"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH b AS (SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS DOUBLE) AS qa,
+            CAST(l_discount AS DOUBLE) * 300 AS qb,
+            CAST(l_tax AS DOUBLE) * 400 AS qc
+          FROM lineitem WHERE l_orderkey % 11 = 0)
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN qa >= qb AND qa >= qc THEN 'qa'
+               WHEN qb >= qc THEN 'qb' ELSE 'qc' END AS idxmax,
+          CASE WHEN qa <= qb AND qa <= qc THEN 'qa'
+               WHEN qb <= qc THEN 'qb' ELSE 'qc' END AS idxmin
+        FROM b ORDER BY l_orderkey, l_linenumber"""))
   )
 }
