@@ -44,6 +44,39 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("centroid"))
 
+  /** Embedding OUTLIER detection: distance of every vector to the corpus
+    * mean vector, flagged at/above the p-quantile cut — the "broken
+    * embedding" sweep (zeroed rows, wrong-model vectors, NaN-adjacent
+    * garbage all land far from the mean). Returns (id, dist, is_outlier).
+    *
+    * Scale shape: the centroid is one (pos, mean) aggregate (dim rows,
+    * corpus-size-independent) reassembled to a single broadcast array; the
+    * distance is an in-row index-order fold (deterministic across engines);
+    * the cut is one percentile aggregate over the rounded distances,
+    * broadcast back — no shuffle ever carries a vector.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        p: Double = 0.99): DataFrame = {
+    val cent = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("__c"))
+    val dist = df.crossJoin(broadcast(cent))
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), col("__c"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)), 6))
+      .drop("__c")
+    val cut = dist.agg(
+      round(expr(s"percentile(dist, $p)").cast("double"), 6).as("__cut"))
+    dist.crossJoin(broadcast(cut))
+      .select(col(idCol), col("dist"),
+        (col("dist") >= col("__cut")).as("is_outlier"))
+  }
+
   /** Per-group top-k without a per-group global sort: map-side k-bounded
     * heaps (graft.expressions.TopKAgg) merge through partial aggregation, so
     * the shuffle moves one k-array per (partition, group) — never a group's

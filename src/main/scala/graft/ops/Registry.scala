@@ -953,6 +953,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.embedding_outliers" -> { a =>
+      // distance-to-centroid outlier flags over an embedding column
+      graft.operators.Similarity.embeddingOutliers(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        asStr(a.get("vec", -1).getOrElse("embedding"), "vec"),
+        p = a.get("p", -1).map(_.toString.toDouble).getOrElse(0.99))
+    },
     "graft.script_ratios" -> { a =>
       // per-doc Unicode script composition over letter chars: one ratio
       // column per requested script + the letter count. Pure codegen'd
@@ -3218,7 +3226,8 @@ final class Registry(spark: SparkSession) {
       val long = df.select(index.map(col) :+
         expr(s"stack(${valueVars.size}, $stackArgs) AS (${qid(varName)}, ${qid(valName)})"): _*)
       if (dropna) long.filter(col(valName).isNotNull) else long
-    case "count" => df.count()
+    case "count" if !a.get("axis", -1).exists(v =>
+        v.toString == "1" || v.toString == "columns") => df.count()
     case "nunique" =>
       // pandas DataFrame.nunique(): per-COLUMN distinct counts (a Series),
       // not the distinct-row count. One aggregation pass (all countDistincts
@@ -3409,7 +3418,7 @@ final class Registry(spark: SparkSession) {
           table
         case other => throw PipelineError(s"to_sql con must be a connection, got ${tn(other)}")
       }
-    case agg @ ("mean" | "sum" | "max" | "min" | "std")
+    case agg @ ("mean" | "sum" | "max" | "min" | "std" | "count" | "median")
         if a.get("axis", -1).exists(v =>
           v.toString == "1" || v.toString == "columns") =>
       // pandas df.mean(axis=1) etc: ROW-wise aggregation across columns,
@@ -3436,6 +3445,16 @@ final class Registry(spark: SparkSession) {
           val ss = aggregate(arr, lit(0.0),
             (acc, v) => acc + (v - mu) * (v - mu))
           when(nz > 1, sqrt(ss / (nz - 1)))
+        case "count" => nz.cast(LongType)
+        case "median" =>
+          // exact order statistic with linear interpolation at h=(n-1)/2 —
+          // the same definition as the rolling/groupby quantile paths
+          val sorted = array_sort(arr)
+          val lo = ((nz - 1) / 2).cast(IntegerType)
+          val vlo = element_at(sorted, lo + 1)
+          val vhi = element_at(sorted, least(lo + 2, nz))
+          val frac = (nz - 1).cast(DoubleType) / 2.0 - lo.cast(DoubleType)
+          when(nz > 0, vlo + (vhi - vlo) * frac)
       }
       df.withColumn(agg, out)
     case agg @ ("idxmax" | "idxmin")

@@ -1196,6 +1196,71 @@ object Corpus {
         FROM documents JOIN cuts USING (source)
         ORDER BY doc_id""")),
 
+    // Row-wise count/median across columns (pandas axis=1 family, the two
+    // stats q146's mean/sum/max/min/std pass left ungated): in-row array
+    // sort + exact interpolated median, codegen'd, zero shuffle.
+    Q("q212_rowwise_count_median",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(DoubleType).as("qa"),
+            when(col("l_linenumber") % 2 === 0,
+              col("l_discount").cast(DoubleType) * 100).as("qb"),
+            col("l_tax").cast(DoubleType) * 100 as "qc")
+        val cnt = reg.callMethod(base, "count", graft.expr.Args(kw = List(
+          "axis" -> 1L, "columns" -> List("qa", "qb", "qc"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+        reg.callMethod(cnt, "median", graft.expr.Args(kw = List(
+          "axis" -> 1L, "columns" -> List("qa", "qb", "qc"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_linenumber"), col("count"),
+            round(col("median"), 6).as("median"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH b AS (SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS DOUBLE) AS qa,
+            CASE WHEN l_linenumber % 2 = 0
+              THEN CAST(l_discount AS DOUBLE) * 100 END AS qb,
+            CAST(l_tax AS DOUBLE) * 100 AS qc
+          FROM lineitem WHERE l_orderkey % 13 = 0),
+        arr AS (SELECT l_orderkey, l_linenumber,
+            list_sort(list_filter([qa, qb, qc], x -> x IS NOT NULL)) AS xs
+          FROM b)
+        SELECT l_orderkey, l_linenumber,
+          CAST(len(xs) AS BIGINT) AS count,
+          round(CASE WHEN len(xs) % 2 = 1 THEN xs[(len(xs) + 1) // 2]
+            ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0 END, 6)
+            AS median
+        FROM arr ORDER BY l_orderkey, l_linenumber""")),
+
+    // Embedding outlier sweep: distance to the corpus mean vector, flagged
+    // at/above the p95 cut. Centroid = dim-bounded aggregate broadcast as
+    // one array; distance = in-row index-order fold (bit-equal across
+    // engines); cut = one percentile over the rounded distances.
+    Q("q213_embedding_outliers",
+      (s, d) => graft.operators.Similarity.embeddingOutliers(
+        t(s, d, "embeddings"), "vec_id", "embedding", p = 0.95)
+        .orderBy(col("vec_id")),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        dims AS (SELECT pos, round(avg(v[pos]), 6) AS m
+          FROM e, (SELECT unnest(generate_series(1,
+            (SELECT len(v) FROM e LIMIT 1))) AS pos)
+          GROUP BY pos),
+        c AS (SELECT list(m ORDER BY pos) AS c FROM dims),
+        d AS (SELECT vec_id,
+            round(sqrt(list_dot_product(
+              [v[i] - c[i] FOR i IN generate_series(1, len(v))],
+              [v[i] - c[i] FOR i IN generate_series(1, len(v))])), 6) AS dist
+          FROM e CROSS JOIN c),
+        cut AS (SELECT round(quantile_cont(dist, 0.95), 6) AS q FROM d)
+        SELECT vec_id, dist, dist >= q AS is_outlier
+        FROM d CROSS JOIN cut ORDER BY vec_id""")),
+
     // Label-vs-content language audit: per-source rate of docs whose
     // declared lang column disagrees with the marker-word guess (q33's
     // gated heuristic) — the mislabeling report a multilingual curation run
