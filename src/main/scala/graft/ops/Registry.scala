@@ -1424,6 +1424,24 @@ final class Registry(spark: SparkSession) {
       case "anti" => "left_anti"
       case h => h
     }
+    if (how == "cross") {
+      // pandas merge(how='cross'): the cartesian product — no keys allowed,
+      // like pandas. Deliberately explicit (crossJoin, never an implicit
+      // join-condition dropout); anything corpus-sized on both sides is the
+      // caller's bug, and the plan audit flags CartesianProductExec in any
+      // gated query.
+      if (a.get("on", -1).isDefined || a.get("left_on", -1).isDefined)
+        throw PipelineError("merge: how='cross' takes no join keys")
+      val overlap = left.columns.toSet.intersect(right.columns.toSet)
+      val (sl, sr) = (a.get("suffixes", -1).map(asStrList)
+        .getOrElse(List("_x", "_y")) match {
+        case List(x, y) => (x, y)
+        case other => throw PipelineError(s"merge: suffixes must be a pair, got $other")
+      })
+      val lRen = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + sl))
+      val rRen = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + sr))
+      return lRen.crossJoin(rRen)
+    }
     // pandas merge(validate=...): assert key uniqueness on the constrained
     // side(s) before joining. Distributed check = one small aggregation per
     // constrained side (groupBy keys, any count>1 fails fast via limit(1));
@@ -3395,7 +3413,14 @@ final class Registry(spark: SparkSession) {
       Sinks.writeSingleCsv(df, path); path
     case "to_parquet" =>
       val path = asStr(a.require("path", 0), "path")
-      val w = df.write.mode("overwrite")
+      // sort_by=: sort rows WITHIN each task before writing (per-file
+      // clustering for downstream min/max row-group pruning — the physical
+      // layout lever; no global sort, no extra shuffle)
+      val src = a.get("sort_by", -1).map(asStrList) match {
+        case Some(sb) => df.sortWithinPartitions(sb.map(col): _*)
+        case None => df
+      }
+      val w = src.write.mode("overwrite")
       val w2 = a.get("partition_cols", -1) match {
         case Some(cols) => w.partitionBy(asStrList(cols): _*)
         case None => w

@@ -1756,6 +1756,34 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("merge how='cross': cartesian with suffixed overlaps; keys rejected") {
+    val l = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val r = Seq((10, "x"), (20, "y"), (30, "z")).toDF("id2", "v")
+    val out = m(l, "merge", "right" -> r, "how" -> "cross")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.count() == 6)
+    assert(out.columns.toSeq == Seq("id", "v_x", "id2", "v_y"))
+    intercept[Exception] {
+      m(l, "merge", "right" -> r, "how" -> "cross", "on" -> List("id"))
+    }
+  }
+
+  test("to_parquet sort_by clusters rows within each output file") {
+    val dir = java.nio.file.Files.createTempDirectory("pqs").toString + "/out"
+    val d = spark.range(1000).toDF("id")
+      .withColumn("k", pmod(col("id") * 2654435761L, lit(1000)))
+      .repartition(2)
+    m(d, "to_parquet", "path" -> dir, "sort_by" -> List("k"))
+    // every parquet file must hold k in non-decreasing order
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.zip(ks.tail).forall { case (x, y) => x <= y }, s"unsorted file $f")
+    }
+  }
+
   test("select_dtypes: include/exclude families, frame order kept, empty match raises") {
     val d = Seq((1L, 2.5, "x", true)).toDF("n", "f", "s", "b")
       .withColumn("ts", current_timestamp())
