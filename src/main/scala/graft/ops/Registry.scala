@@ -899,6 +899,18 @@ final class Registry(spark: SparkSession) {
         bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
         maxBucket = a.get("max_bucket", -1).map(asInt(_, "max_bucket")).getOrElse(10000))
     },
+    "graft.stream_novelty_reference" -> { a =>
+      // streaming per-doc n-gram novelty vs a static reference (bloom
+      // probe in-row; stateless, no shuffle; novelty is a lower bound
+      // within fpp per gram)
+      graft.streaming.Streams.noveltyAgainstReference(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("reference", 1), "reference"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        fpp = a.get("fpp", -1).map(_.toString.toDouble).getOrElse(0.001))
+    },
     "graft.stream_dedup_reference" -> { a =>
       // streaming incremental exact dedup vs a reference corpus (bloom
       // probe; stateless per-row, any output mode)

@@ -147,6 +147,34 @@ object Streams {
     stream.filter(!graft.expressions.BloomProbeLong(fpHash, bloomB))
   }
 
+  /** STREAMING n-gram novelty vs a static reference corpus — the score-
+    * valued twin of [[dedupAgainstReference]] and the incremental shape of
+    * `Dedup.ngramNovelty`: the reference's distinct trigram hashes fold
+    * into one bloom sketch at plan time; each incoming doc scores MAP-SIDE
+    * (shingle, hash, probe — all in-row), so the stream never joins or
+    * shuffles. Bloom false positives make `novelty` a LOWER bound within
+    * fpp per gram (no false negatives: genuinely-novel grams always
+    * count); use the batch operator for the exact-disposal variant.
+    */
+  def noveltyAgainstReference(stream: DataFrame, reference: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, fpp: Double = 0.001): DataFrame = {
+    val refSh = reference.select(
+        explode(graft.operators.Dedup.shingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+    val expected = math.max(refSh.count(), 1L)
+    val bloomB = reference.sparkSession.sparkContext.broadcast(
+      refSh.stat.bloomFilter("h", expected, fpp))
+    val grams = array_distinct(
+      graft.operators.Dedup.shingles(col(textCol), n))
+    val seen = size(org.apache.spark.sql.functions.filter(grams, g =>
+      graft.expressions.BloomProbeLong(xxhash64(g), bloomB)))
+    stream.select(col(idCol), col(textCol),
+      size(grams).cast("long").as("n_grams"),
+      seen.cast("long").as("n_seen"),
+      round(lit(1.0) - seen / size(grams).cast("double"), 6).as("novelty"))
+  }
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

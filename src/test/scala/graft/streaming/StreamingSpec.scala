@@ -223,6 +223,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.forall(_._1 >= 250))
   }
 
+  test("streaming novelty-vs-reference matches batch; reference copies score ~0") {
+    val batch = Q.t(spark, TestSpark.sfDir, "documents")
+    val reference = batch.filter(col("doc_id") < 250)
+    val dir = java.nio.file.Files.createTempDirectory("novelty_stream")
+    batch.filter(col("doc_id") >= 250).write.parquet(dir.toString + "/a")
+    // spike exact copies of 3 reference docs under new ids: every trigram
+    // is reference-seen, so novelty must be 0.0 for them
+    batch.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .write.mode("append").parquet(dir.toString + "/a")
+    val schema = batch.schema
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      Streams.noveltyAgainstReference(df, reference, "doc_id", "text")
+        .select("doc_id", "n_grams", "n_seen", "novelty")
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString + "/a")
+    Streams.runToMemory(xform(stream), "novelty_stream")
+    val streamed = spark.table("novelty_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batched = xform(spark.read.schema(schema).parquet(dir.toString + "/a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batched, "stream and batch must score identically")
+    val spiked = streamed.filter(_._1 >= 100000L)
+    assert(spiked.size == 3 && spiked.forall(_._4 == 0.0),
+      "exact reference copies must score novelty 0")
+    assert(streamed.exists(_._4 > 0.5), "fresh docs must score novel")
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val stream = Streams.eventsStream(spark, streamDir)
     Streams.runToMemory(
