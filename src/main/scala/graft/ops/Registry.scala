@@ -3405,10 +3405,6 @@ final class Registry(spark: SparkSession) {
           "`" + v.replace("`", "``") + "`").mkString(", ")
       df.select(idVars.map(col) :+
         expr(s"stack(${valueVars.size}, $stackArgs) AS (variable, value)"): _*)
-    case "sample" =>
-      val frac = a.require("frac", 0).toString.toDouble
-      val seed = a.get("random_state", -1).map(asInt(_, "seed").toLong).getOrElse(42L)
-      df.sample(frac, seed)
     case "intersect" => df.intersect(asDf(a.require("other", 0), "intersect"))
     case "except" | "difference" => df.except(asDf(a.require("other", 0), "except"))
     case "cache" | "persist" => df.persist()
