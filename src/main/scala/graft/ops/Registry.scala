@@ -3417,8 +3417,13 @@ final class Registry(spark: SparkSession) {
     case "coalesce" => df.coalesce(asInt(a.require("n", 0), "n"))
     case "explain" => df.explain("formatted"); df
     case "to_csv" =>
+      // pandas to_csv flag depth: sep=, header=, compression='gzip'
       val path = asStr(a.require("path_or_buf", 0), "path")
-      Sinks.writeSingleCsv(df, path); path
+      Sinks.writeSingleCsv(df, path,
+        sep = a.get("sep", -1).map(asStr(_, "sep")).getOrElse(","),
+        header = a.get("header", -1).forall(asBool(_, default = true)),
+        compression = a.get("compression", -1).map(asStr(_, "compression")))
+      path
     case "to_parquet" =>
       val path = asStr(a.require("path", 0), "path")
       // sort_by=: sort rows WITHIN each task before writing (per-file
@@ -3859,10 +3864,18 @@ object Sinks {
     * write a temp dir via Spark then move the part file. Only for explicit
     * to_csv sinks — checkpoints use parquet (SURVEY.md §7.4).
     */
-  def writeSingleCsv(df: DataFrame, path: String): Unit = {
+  def writeSingleCsv(df: DataFrame, path: String, sep: String = ",",
+                     header: Boolean = true,
+                     compression: Option[String] = None): Unit = {
     import java.nio.file._
     val tmp = path + ".__tmp__"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val w = df.coalesce(1).write.mode("overwrite")
+      .option("header", header.toString).option("sep", sep)
+    compression.foreach {
+      case "gzip" | "bzip2" | "lz4" | "deflate" => ()
+      case other => throw PipelineError(s"to_csv: unsupported compression '$other'")
+    }
+    compression.fold(w)(c => w.option("compression", c)).csv(tmp)
     val dir = Paths.get(tmp)
     val part = Files.list(dir).filter(p => p.getFileName.toString.startsWith("part-"))
       .findFirst().orElseThrow(() => PipelineError(s"No part file written under $tmp"))

@@ -1768,6 +1768,23 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("to_csv sep/header/compression round-trips through read_csv") {
+    val dir = java.nio.file.Files.createTempDirectory("csvflags").toString
+    val d = Seq((1L, "a,b", 2.5), (2L, "c\td", -1.0)).toDF("id", "s", "v")
+    m(d, "to_csv", "path_or_buf" -> s"$dir/t.tsv.gz", "sep" -> "\t",
+      "compression" -> "gzip")
+    val back = reg.callFunction("pd.read_csv", Args(kw = List(
+      "filepath_or_buffer" -> s"$dir/t.tsv.gz", "sep" -> "\t",
+      "compression" -> "gzip")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "a,b" && back(1).getDouble(2) == -1.0)
+    // header=False: first line is data, not names
+    m(d.select("id"), "to_csv", "path_or_buf" -> s"$dir/nh.csv", "header" -> false)
+    val lines = scala.io.Source.fromFile(s"$dir/nh.csv").getLines().toList
+    assert(lines.head == "1" || lines.head == "2", s"unexpected head ${lines.head}")
+  }
+
   test("to_parquet sort_by clusters rows within each output file") {
     val dir = java.nio.file.Files.createTempDirectory("pqs").toString + "/out"
     val d = spark.range(1000).toDF("id")
