@@ -1454,6 +1454,12 @@ final class Registry(spark: SparkSession) {
       val rRen = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + sr))
       return lRen.crossJoin(rRen)
     }
+    // broadcast= (engine extension, not pandas): force the named side to
+    // broadcast — the YAML author's scale lever when the optimizer's size
+    // estimate misses (e.g. a small frame behind a selective filter).
+    val bcast = a.get("broadcast", -1).map(asStr(_, "broadcast"))
+    bcast.foreach(b => if (b != "left" && b != "right") throw PipelineError(
+      s"merge: broadcast must be 'left' or 'right', got '$b'"))
     // pandas merge(validate=...): assert key uniqueness on the constrained
     // side(s) before joining. Distributed check = one small aggregation per
     // constrained side (groupBy keys, any count>1 fails fast via limit(1));
@@ -1503,8 +1509,10 @@ final class Registry(spark: SparkSession) {
         throw PipelineError(
           s"merge: cannot use name of an existing column for indicator column ('$name')")
     }
-    def finish(l: DataFrame, r: DataFrame,
-               doJoin: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    def finish(l0: DataFrame, r0: DataFrame,
+               doJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      val l = if (bcast.contains("left")) broadcast(l0) else l0
+      val r = if (bcast.contains("right")) broadcast(r0) else r0
       indicatorCol match {
         case None => doJoin(l, r)
         case Some(name) =>
@@ -1516,6 +1524,7 @@ final class Registry(spark: SparkSession) {
                 .otherwise("right_only"))
             .drop("__graft_ml", "__graft_mr")
       }
+    }
     def suffixed(joinKeys: Set[String]): (DataFrame, DataFrame, Map[String, String], Map[String, String]) = {
       val overlap = left.columns.toSet.intersect(right.columns.toSet) -- joinKeys
       if (overlap.isEmpty || !suffixing) (left, right, Map.empty, Map.empty)

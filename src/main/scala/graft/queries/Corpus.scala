@@ -1261,6 +1261,39 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // MRL truncation-fidelity report: cosine of each full embedding vs its
+    // truncate-and-renormalize prefixes (dim 16 / 32) — the number that
+    // decides which Matryoshka serving prefix is safe. Prefix cosine =
+    // dot over the shared dims (index-order fold both engines).
+    Q("q214_mrl_fidelity",
+      (s, d) => {
+        import graft.functions.Vectors
+        val emb = t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
+        def fid(k: Int) = {
+          val full = Vectors.l2normalize(col("embedding"))
+          val tk = Vectors.truncateNormalize(col("embedding"), k)
+          round(aggregate(zip_with(slice(full, 1, k), tk,
+            (x, y) => x * y), lit(0.0), (acc, v) => acc + v), 6)
+        }
+        emb.select(col("vec_id"), fid(16).as("cos16"), fid(32).as("cos32"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+            sqrt(list_dot_product(v[1:16], v[1:16])) AS n16,
+            sqrt(list_dot_product(v[1:32], v[1:32])) AS n32
+          FROM e)
+        SELECT vec_id,
+          round(list_dot_product(
+            list_transform(v[1:16], x -> x / nrm),
+            list_transform(v[1:16], x -> x / n16)), 6) AS cos16,
+          round(list_dot_product(
+            list_transform(v[1:32], x -> x / nrm),
+            list_transform(v[1:32], x -> x / n32)), 6) AS cos32
+        FROM n ORDER BY vec_id""")),
+
     // Label-vs-content language audit: per-source rate of docs whose
     // declared lang column disagrees with the marker-word guess (q33's
     // gated heuristic) — the mislabeling report a multilingual curation run

@@ -1756,6 +1756,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("merge broadcast= hint forces a BroadcastHashJoin on the named side") {
+    val big = spark.range(10000).toDF("id").withColumn("v", col("id") * 2)
+    val small = spark.range(50).toDF("id").withColumn("w", col("id") + 1)
+    val joined = m(big, "merge", "right" -> small, "on" -> List("id"),
+      "broadcast" -> "right").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n${plan.take(800)}")
+    assert(joined.count() == 50)
+    intercept[Exception] {
+      m(big, "merge", "right" -> small, "on" -> List("id"), "broadcast" -> "both")
+    }
+  }
+
   test("merge how='cross': cartesian with suffixed overlaps; keys rejected") {
     val l = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val r = Seq((10, "x"), (20, "y"), (30, "z")).toDF("id2", "v")
