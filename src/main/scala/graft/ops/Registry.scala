@@ -368,7 +368,15 @@ final class Registry(spark: SparkSession) {
     "pd.read_csv" -> { a => readCsvImpl(a, defaultSep = ",") },
     // pandas read_table IS read_csv with sep='\t' — one implementation
     "pd.read_table" -> { a => readCsvImpl(a, defaultSep = "\t") },
-    "pd.read_parquet" -> { a => applyParseDates(spark.read.parquet(readPath(a)), a) },
+    "pd.read_parquet" -> { a =>
+      // columns=: projection pushed into the scan (ReadSchema prunes at
+      // the parquet footer — the free 100 TB win pandas users expect)
+      val base = applyParseDates(spark.read.parquet(readPath(a)), a)
+      a.get("columns", -1).map(asStrList) match {
+        case Some(cs) => base.select(cs.map(col): _*)
+        case None => base
+      }
+    },
     "pd.read_json" -> { a =>
       val lines = a.get("lines", -1).map(asBool(_, true)).getOrElse(true)
       spark.read.option("multiLine", (!lines).toString).json(readPath(a))
@@ -2025,8 +2033,12 @@ final class Registry(spark: SparkSession) {
           val (mn, mx) = (row.getDouble(0), row.getDouble(1))
           require(mx > mn, s"cut: column '$c' is constant ($mn); explicit bins required")
           val adj = (mx - mn) * 0.001
+          // first edge nudged below min (pandas), LAST edge pinned to the
+          // exact max: mn + (mx-mn) can land 1 ulp below mx, which would
+          // drop the maximum row into the null bin
           (0L to n).map(i => mn + i * (mx - mn) / n).toList
             .updated(0, mn - adj)
+            .updated(n.toInt, mx)
         case other => throw PipelineError(
           s"cut: bins must be a list or int, got ${tn(other)}")
       }

@@ -325,7 +325,7 @@ object Extra {
             WHEN v <= mn + 5 * (mx - mn) / 8 THEN '4'
             WHEN v <= mn + 6 * (mx - mn) / 8 THEN '5'
             WHEN v <= mn + 7 * (mx - mn) / 8 THEN '6'
-            WHEN v <= mn + 8 * (mx - mn) / 8 THEN '7'
+            WHEN v <= mx THEN '7'
           END AS bin FROM b)
         SELECT bin AS o_totalprice_bin, CAST(COUNT(*) AS BIGINT) AS n
         FROM lab GROUP BY bin ORDER BY bin""")),
