@@ -1659,6 +1659,12 @@ final class Registry(spark: SparkSession) {
       df.withColumn(asStr(a.require("name", 0), "name"), expr(asStr(a.require("expr", 1), "expr")))
     case "select" =>
       df.select(asStrList(a.require("columns", 0)).map(col): _*)
+    case "dtypes" | "info" =>
+      // pandas df.dtypes as a small frame (column, dtype) — pipeline
+      // introspection; driver-side schema only, no job
+      val rows = df.schema.fields.map(f =>
+        (f.name, f.dataType.simpleString, f.nullable)).toSeq
+      spark.createDataFrame(rows).toDF("column", "dtype", "nullable")
     case "select_dtypes" =>
       // pandas df.select_dtypes(include=/exclude=): columns by type family.
       // Families: 'number' (integral + floating + decimal), 'integer',

@@ -1815,6 +1815,12 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("dtypes: (column, dtype, nullable) frame from the schema, no job") {
+    val out = m(df, "dtypes").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(out == List(("k", "string"), ("i", "bigint"), ("v", "double")))
+  }
+
   test("select_dtypes: include/exclude families, frame order kept, empty match raises") {
     val d = Seq((1L, 2.5, "x", true)).toDF("n", "f", "s", "b")
       .withColumn("ts", current_timestamp())
