@@ -104,6 +104,45 @@ object Scoring {
       .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Vocabulary COVERAGE curve: the share of all corpus tokens covered by
+    * the top-k word head, per candidate k — the "how head-heavy is this
+    * corpus" planner stat that sizes closed vocabularies and decides
+    * whether subword tokenization is worth its fertility cost.
+    *
+    * Scale shape: word counts shuffle as (word, count); the head is one
+    * TakeOrdered of max(ks) rows with a deterministic (count desc, word)
+    * tiebreak; per-k mass comes from ONE window over that bounded head
+    * (never the vocabulary), totals from one scalar aggregate broadcast
+    * back. Output is |ks| rows.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      "vocabCoverage: ks must be non-empty positive")
+    val kmax = ks.max
+    val counts = df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    val head = counts.orderBy(col("c").desc, col("w")).limit(kmax)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))))
+    val perK = ks.sorted.map(k =>
+      sum(when(col("rn") <= k, col("c"))).as(s"__m_$k"))
+    val masses = head.agg(perK.head, perK.tail: _*)
+    masses.crossJoin(totals)
+      .select(explode(array(ks.sorted.map(k => struct(
+        lit(k).as("k"),
+        coalesce(col(s"__m_$k"), lit(0L)).as("covered"),
+        col("total"), col("vocab"),
+        round(coalesce(col(s"__m_$k"), lit(0L)).cast("double") /
+          col("total"), 6).as("coverage"))): _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("k"))
+  }
+
   /** Pairwise SOURCE vocabulary overlap — Jaccard over each source's
     * distinct word set. The redundancy matrix data-mixing reads next to
     * [[sourceDivergence]]: two sources with near-identical vocabularies

@@ -1038,6 +1038,17 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.vocab_coverage" -> { a =>
+      // top-k token-mass coverage curve (closed-vocab sizing stat)
+      graft.operators.Scoring.vocabCoverage(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        (a.require("ks", 1) match {
+          case l: List[_] => l.map(asInt(_, "ks element"))
+          case other => throw PipelineError(
+            s"vocab_coverage: ks must be a list, got ${tn(other)}")
+        }))
+    },
     "graft.collocations" -> { a =>
       // top-k word collocations by PMI over the corpus
       graft.operators.Scoring.collocations(
@@ -1856,6 +1867,29 @@ final class Registry(spark: SparkSession) {
           if (name == "ffill") last(col(c), ignoreNulls = true).over(w)
           else first(col(c), ignoreNulls = true).over(w)))
       }
+    case "cumsum" if a.get("axis", -1).exists(v =>
+        v.toString == "1" || v.toString == "columns") =>
+      // pandas df.cumsum(axis=1): running total ACROSS columns, left to
+      // right, null-passthrough per cell (pandas keeps NaN cells NaN and
+      // carries the running sum past them). Pure column math, no window.
+      val cs = a.get("columns", -1).map(asStrList).getOrElse(
+        df.schema.fields.filter(_.dataType.isInstanceOf[NumericType])
+          .map(_.name).toList)
+      require(cs.nonEmpty, "cumsum(axis=1): no numeric columns")
+      // all cell expressions reference the ORIGINAL columns and apply in
+      // ONE select (sequential withColumn would make later cells read the
+      // already-replaced running totals)
+      var running: Column = lit(0.0)
+      val cells = cs.map { c =>
+        val v = col(c).cast(DoubleType)
+        // the CELL stays null where the input is null; the running sum
+        // carries past the hole (pandas skipna behavior)
+        val cell = when(v.isNotNull, running + v)
+        running = running + coalesce(v, lit(0.0))
+        c -> cell
+      }.toMap
+      df.select(df.columns.toSeq.map(cn =>
+        cells.get(cn).map(_.as(cn)).getOrElse(col(cn))): _*)
     case "shift" | "diff" | "cumsum" | "cumprod" | "cummax" | "cummin" | "cumcount" =>
       // pandas order-dependent methods, distributed-deterministic via an
       // explicit ordering key (same contract as ffill/bfill above).

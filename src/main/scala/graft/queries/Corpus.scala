@@ -1261,6 +1261,66 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Vocabulary coverage curve: token mass of the top-k word head per
+    // candidate k — the closed-vocab sizing stat. One TakeOrdered head +
+    // one window over those (bounded) rows; integer masses, one rounded
+    // division.
+    Q("q215_vocab_coverage",
+      (s, d) => graft.operators.Scoring.vocabCoverage(
+        t(s, d, "documents"), "text", Seq(10, 100, 1000)),
+      Some("""
+        WITH wd AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+          FROM documents),
+        c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wd GROUP BY w),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+          CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+        h AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
+          FROM (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 1000)),
+        ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        SELECT CAST(k AS INT) AS k,
+          CAST(COALESCE(SUM(CASE WHEN rn <= k THEN c END), 0) AS BIGINT)
+            AS covered,
+          CAST(MIN(t.total) AS BIGINT) AS total,
+          CAST(MIN(t.vocab) AS BIGINT) AS vocab,
+          round(COALESCE(SUM(CASE WHEN rn <= k THEN c END), 0)
+            / CAST(MIN(t.total) AS DOUBLE), 6) AS coverage
+        FROM ks CROSS JOIN h CROSS JOIN t
+        GROUP BY k ORDER BY k""")),
+
+    // Row-wise cumsum across columns (pandas axis=1): cells stay null at
+    // null inputs, the running total carries past them — one select over
+    // original columns, no window, no shuffle.
+    Q("q216_rowwise_cumsum",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val base = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 17 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(DoubleType).as("qa"),
+            when(col("l_linenumber") % 3 === 0,
+              col("l_discount").cast(DoubleType) * 100).as("qb"),
+            col("l_tax").cast(DoubleType) * 100 as "qc")
+        reg.callMethod(base, "cumsum", graft.expr.Args(kw = List(
+          "axis" -> 1L, "columns" -> List("qa", "qb", "qc"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("qa"), 6).as("qa"), round(col("qb"), 6).as("qb"),
+            round(col("qc"), 6).as("qc"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH b AS (SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS DOUBLE) AS qa,
+            CASE WHEN l_linenumber % 3 = 0
+              THEN CAST(l_discount AS DOUBLE) * 100 END AS qb,
+            CAST(l_tax AS DOUBLE) * 100 AS qc
+          FROM lineitem WHERE l_orderkey % 17 = 0)
+        SELECT l_orderkey, l_linenumber,
+          round(qa, 6) AS qa,
+          round(qa + qb, 6) AS qb,
+          round(qa + COALESCE(qb, 0) + qc, 6) AS qc
+        FROM b ORDER BY l_orderkey, l_linenumber""")),
+
     // MRL truncation-fidelity report: cosine of each full embedding vs its
     // truncate-and-renormalize prefixes (dim 16 / 32) — the number that
     // decides which Matryoshka serving prefix is safe. Prefix cosine =

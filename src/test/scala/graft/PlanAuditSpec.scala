@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "run over the per-bucket aggregate frame, not the data " +
       "(GlobalWindows.running — this query EXISTS to prove the data path " +
       "is distributed)"),
-    "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame")
+    "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame",
+    "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
+      "head (TakeOrdered first; the window never sees the vocabulary)"))
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.
