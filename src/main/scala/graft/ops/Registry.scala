@@ -2980,7 +2980,12 @@ final class Registry(spark: SparkSession) {
       val seed = a.get("seed", -1).map(_.toString).getOrElse("graft")
       (a.get("frac", -1), a.get("n", -1)) match {
         case (Some(f), None) => Sampling.hashSample(df, idCol, f.toString.toDouble, seed)
-        case (None, Some(n)) => Sampling.sampleN(df, idCol, asInt(n, "n"), seed)
+        case (None, Some(n)) => a.get("weights", -1).map(asStr(_, "weights")) match {
+          // pandas df.sample(n, weights=col): probability proportional to
+          // the weight column — the deterministic Efraimidis-Spirakis path
+          case Some(w) => Sampling.weightedSampleN(df, idCol, w, asInt(n, "n"), seed)
+          case None => Sampling.sampleN(df, idCol, asInt(n, "n"), seed)
+        }
         case _ => throw PipelineError("sample: pass exactly one of frac | n")
       }
     case "split" =>

@@ -1815,6 +1815,22 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("sample(n, weights=) routes through the deterministic weighted sampler") {
+    val d = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 0.001))
+      .toDF("id", "w")
+    val out = m(d, "sample", "n" -> 10, "weights" -> "w", "id" -> "id",
+      "seed" -> "s1").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.size == 10)
+    // the 10 heavy rows dominate: expect most picks from them
+    assert(out.count(_ <= 10L) >= 8, s"heavy rows underrepresented: $out")
+    // deterministic: same seed -> same set
+    val again = m(d, "sample", "n" -> 10, "weights" -> "w", "id" -> "id",
+      "seed" -> "s1").asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
+
   test("dtypes: (column, dtype, nullable) frame from the schema, no job") {
     val out = m(df, "dtypes").asInstanceOf[org.apache.spark.sql.DataFrame]
       .collect().map(r => (r.getString(0), r.getString(1))).toList
