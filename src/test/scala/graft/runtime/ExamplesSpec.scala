@@ -104,6 +104,18 @@ class ExamplesSpec extends AnyFunSuite {
     val byLen = pack.orderBy(col("seq_len")).collect()
       .map(r => r.getAs[Double]("fill_ratio"))
     assert(byLen.zip(byLen.tail).forall { case (a, b) => b <= a + 1e-9 })
+
+    // coverage is monotone in k and bounded by 1
+    val cov = spark.read.parquet(s"$out/vocab_coverage.parquet")
+      .orderBy(col("k")).collect().map(_.getAs[Double]("coverage"))
+    assert(cov.length == 3 && cov.zip(cov.tail).forall { case (a, b) => b >= a })
+    assert(cov.forall(c => c > 0 && c <= 1.0))
+
+    // p99 outlier sweep flags ~1% of vectors
+    val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val flagged = spark.read.parquet(s"$out/embedding_outliers.parquet").count()
+    assert(flagged >= 1 && flagged <= math.max(2L, nVec / 50),
+      s"flagged $flagged of $nVec")
   }
 
   test("examples/curation_mix.yaml: novelty -> per-source quantile gate -> sentence stats") {
