@@ -104,6 +104,43 @@ object Scoring {
       .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Per-doc BOILERPLATE ratio: the fraction of a doc's sentences that are
+    * boilerplate for its source — a sentence counts as boilerplate when it
+    * appears in at least `minFrac` of the source's documents (nav menus,
+    * footers, cookie banners repeat across a site; real prose doesn't).
+    * The CCNet-style signal that precedes boilerplate REMOVAL.
+    *
+    * Scale shape: sentences hash to 64-bit before any shuffle; document
+    * frequency is one (source, hash) aggregate over the distinct per-doc
+    * index; the boilerplate set joins back by equality. Per-source doc
+    * counts are a tiny aggregate. Nothing is quadratic; no shuffle carries
+    * sentence text.
+    */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String,
+                       minFrac: Double = 0.05): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1,
+      s"boilerplateRatio: minFrac must be in (0,1], got $minFrac")
+    val sent = df.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        explode(graft.functions.Text.sentences(col(textCol))).as("s"))
+      .select(col("id"), col("source"), xxhash64(col("s")).as("h"))
+    val perDoc = sent.distinct()
+    val nDocs = df.groupBy(col(sourceCol).as("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val bp = perDoc.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("docfreq"))
+      .join(broadcast(nDocs), "source")
+      .filter(col("docfreq") >= col("n_docs") * minFrac)
+      .select(col("source"), col("h"), lit(1).as("__bp"))
+    sent.join(bp, Seq("source", "h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("id").as(idCol), col("n_sents"), col("n_boiler"),
+        round(col("n_boiler") / col("n_sents").cast("double"), 6)
+          .as("boiler_ratio"))
+  }
+
   /** Vocabulary COVERAGE curve: the share of all corpus tokens covered by
     * the top-k word head, per candidate k — the "how head-heavy is this
     * corpus" planner stat that sizes closed vocabularies and decides

@@ -1038,6 +1038,16 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.boilerplate_ratio" -> { a =>
+      // per-doc fraction of sentences that repeat across >= min_frac of
+      // the source's docs (nav/footer/banner signal)
+      graft.operators.Scoring.boilerplateRatio(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        minFrac = a.get("min_frac", -1).map(_.toString.toDouble).getOrElse(0.05))
+    },
     "graft.vocab_coverage" -> { a =>
       // top-k token-mass coverage curve (closed-vocab sizing stat)
       graft.operators.Scoring.vocabCoverage(

@@ -1261,6 +1261,49 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Per-doc boilerplate-sentence ratio (nav/footer signal): sentences
+    // repeating across >= 5% of a source's docs count as boilerplate. The
+    // gate spikes a per-source footer onto every 2nd doc (plus terminator
+    // spiking) — footer docs must score it, organic repeats mirror exactly.
+    Q("q217_boilerplate",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val spiked = t(s, d, "documents")
+          .withColumn("text", concat(
+            regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1. "),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(". Footer for "), col("source"), lit(" site.")))
+              .otherwise(lit(""))))
+        reg.callFunction("graft.boilerplate_ratio", graft.expr.Args(
+          pos = List(spiked), kw = List("min_frac" -> 0.05)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH sp AS (SELECT doc_id, source,
+            regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g') ||
+            CASE WHEN doc_id % 2 = 0
+              THEN '. Footer for ' || source || ' site.' ELSE '' END AS text
+          FROM documents),
+        s AS (SELECT doc_id, source,
+            unnest(list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+              x -> len(x) > 0)) AS g
+          FROM sp),
+        pd AS (SELECT DISTINCT doc_id, source, g FROM s),
+        nd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM sp GROUP BY source),
+        bdf AS (SELECT source, g, COUNT(*) AS docfreq FROM pd GROUP BY 1, 2),
+        bp AS (SELECT bdf.source, g FROM bdf JOIN nd ON bdf.source = nd.source
+          WHERE docfreq >= n_docs * 0.05)
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+          CAST(SUM(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          round(SUM(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_ratio
+        FROM s LEFT JOIN bp ON s.source = bp.source AND s.g = bp.g
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // Vocabulary coverage curve: token mass of the top-k word head per
     // candidate k — the closed-vocab sizing stat. One TakeOrdered head +
     // one window over those (bounded) rows; integer masses, one rounded
