@@ -233,6 +233,21 @@ object ScaleStress {
         Dedup.ngramNovelty(
           d.filter(col("doc_id") >= 25),
           d.filter(col("doc_id") < 25), "doc_id", "text", n = 3).count())
+      // (word, count) shuffles + a broadcast top-k: linear in tokens
+      cell("q197_oov_rate", f, nd)(
+        graft.operators.Scoring.oovRate(d, "doc_id", "text", k = 256).count())
+      // bigram + unigram count shuffles, min-count floor before the joins;
+      // replication suffixes words, so the vocabulary (and the floored
+      // pair table) grows linearly — runtime should track it
+      cell("q200_collocations", f, nd)(
+        graft.operators.Scoring.collocations(d, "text",
+          minCount = 5, k = 40).count())
+      // hashed sentences shuffle as (source, long); docfreq one aggregate
+      cell("q217_boilerplate", f, nd)(
+        graft.operators.Scoring.boilerplateRatio(
+          d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))),
+          "doc_id", "text", "source", minFrac = 0.05).count())
       // pairs -> GraphX connected components: replica blocks never
       // cross-match, so component count grows exactly linearly and
       // diameter stays constant — Pregel rounds should NOT grow with the
