@@ -723,12 +723,21 @@ final class Registry(spark: SparkSession) {
         case "nearest" => AsOfJoin.nearest _
         case other => throw PipelineError(s"asof_join: unknown direction '$other'")
       }
+      // by= accepts a single name or a LIST (pandas merge_asof(by=[..]));
+      // multi-key grouping rides one struct column — same partitioning
+      def byCol(v: Any, what: String): Column = v match {
+        case s: String => col(s)
+        case l: List[_] if l.size == 1 => col(asStr(l.head, what))
+        case l: List[_] => struct(l.map(x => col(asStr(x, what))): _*)
+        case other => throw PipelineError(
+          s"asof_join: $what must be a column name or list, got ${tn(other)}")
+      }
       fn(asDf(a.require("left", 0), "left"),
         col(asStr(a.require("left_on", -1), "left_on")),
-        col(asStr(a.require("left_by", -1), "left_by")),
+        byCol(a.require("left_by", -1), "left_by"),
         asDf(a.require("right", 1), "right"),
         col(asStr(a.require("right_on", -1), "right_on")),
-        col(asStr(a.require("right_by", -1), "right_by")),
+        byCol(a.require("right_by", -1), "right_by"),
         payload.map(p => p -> col(p)),
         a.get("tolerance_us", -1).map(v => asInt(v, "tolerance_us").toLong),
         a.get("allow_exact_matches", -1).forall(asBool(_, default = true)))

@@ -364,6 +364,41 @@ object Extra {
                WHEN qb >= qc THEN 'qb' ELSE 'qc' END AS idxmax,
           CASE WHEN qa <= qb AND qa <= qc THEN 'qa'
                WHEN qb <= qc THEN 'qb' ELSE 'qc' END AS idxmin
-        FROM b ORDER BY l_orderkey, l_linenumber"""))
+        FROM b ORDER BY l_orderkey, l_linenumber""")),
+
+    // merge_asof(by=[user, event_type]) — MULTI-key by, through the YAML
+    // surface (list rides one struct column, same single-shuffle plan):
+    // for each high-value event, the latest at-or-before low-value event
+    // of the same user AND type.
+    Q("q218_asof_multiby",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val ev = t(s, d, "events")
+        val hi = ev.filter(col("value") > 15.0)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        val lo = ev.filter(col("value") <= 15.0)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            unix_micros(col("ts")).as("prev_us"))
+        reg.callFunction("graft.asof_join", graft.expr.Args(
+          pos = List(hi, lo),
+          kw = List("left_on" -> "ts", "right_on" -> "ts",
+            "left_by" -> List("user_id", "event_type"),
+            "right_by" -> List("user_id", "event_type"),
+            "payload" -> List("prev_us"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("prev_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH hi AS (SELECT event_id, user_id, event_type, ts FROM events
+          WHERE value > 15.0),
+        lo AS (SELECT user_id, event_type, ts FROM events WHERE value <= 15.0)
+        SELECT event_id, epoch_us(hi.ts) AS ts_us,
+          (SELECT epoch_us(max(lo.ts)) FROM lo
+            WHERE lo.user_id = hi.user_id
+              AND lo.event_type = hi.event_type
+              AND lo.ts <= hi.ts) AS prev_us
+        FROM hi ORDER BY event_id"""))
   )
 }
