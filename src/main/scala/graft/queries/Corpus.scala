@@ -1261,6 +1261,69 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Cross-source near-dup pairs — the syndication/mirror detector: the
+    // q34 verified-pair machinery restricted to pairs whose docs carry
+    // DIFFERENT source labels (within-source dups are dedup's problem;
+    // cross-source dups are a licensing/provenance problem).
+    Q("q219_cross_source_dups",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.2)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .filter(col("src_a") =!= col("src_b"))
+          .select(col("id_a"), col("id_b"), col("src_a"), col("src_b"),
+            col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, da.source AS src_a, db.source AS src_b,
+          CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          JOIN documents da ON da.doc_id = id_a
+          JOIN documents db ON db.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.2
+          AND da.source <> db.source
+        ORDER BY id_a, id_b""")),
+
+    // .dt accessor bundle: dayofyear / ISO week / quarter / month-start and
+    // -end flags / days-in-month — one codegen'd projection, gated against
+    // DuckDB's independent date kernels.
+    Q("q220_dt_features",
+      (s, d) => t(s, d, "events").filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          dayofyear(col("ts")).as("doy"),
+          weekofyear(col("ts")).as("woy"),
+          quarter(col("ts")).as("qtr"),
+          (dayofmonth(col("ts")) === 1).as("is_month_start"),
+          (col("ts").cast(DateType) === last_day(col("ts"))).as("is_month_end"),
+          dayofmonth(last_day(col("ts"))).as("days_in_month"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          CAST(dayofyear(ts) AS INT) AS doy,
+          CAST(week(ts) AS INT) AS woy,
+          CAST(quarter(ts) AS INT) AS qtr,
+          day(ts) = 1 AS is_month_start,
+          CAST(ts AS DATE) = last_day(ts) AS is_month_end,
+          CAST(day(last_day(ts)) AS INT) AS days_in_month
+        FROM events WHERE event_id % 20 = 0 ORDER BY event_id""")),
+
     // Per-doc boilerplate-sentence ratio (nav/footer signal): sentences
     // repeating across >= 5% of a source's docs count as boilerplate. The
     // gate spikes a per-source footer onto every 2nd doc (plus terminator
