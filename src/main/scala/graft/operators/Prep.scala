@@ -102,6 +102,26 @@ object Prep {
       .drop("__cut")
   }
 
+  /** Batch SESSIONIZATION by inactivity gap — the batch twin of the
+    * streaming session window: events partition by user, order by time,
+    * and a new session starts wherever the gap to the previous event
+    * exceeds `gapMinutes`. session_idx = running count of session starts
+    * (1-based). One hash-partitioned window per user — users are many, so
+    * no partition holds more than one user's events.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"sessionize: gapMinutes must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60000000L
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSess = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev > gapUs, 1L).otherwise(0L)
+    df.withColumn("session_idx", sum(newSess).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
   /** Per-group QCUT: quantile-bucket labels (1..q, 1 = highest values)
     * per group — pandas groupby qcut, the curriculum-phasing shape. Unlike
     * an ntile window (which sorts each group's full row set in ONE task —

@@ -1047,6 +1047,16 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.sessionize" -> { a =>
+      // assign per-user session indices by inactivity gap (batch twin of
+      // the streaming session window)
+      graft.operators.Prep.sessionize(asDf(a.require("df", 0), "df"),
+        asStr(a.get("user", -1).getOrElse("user_id"), "user"),
+        asStr(a.get("ts", -1).getOrElse("ts"), "ts"),
+        asStr(a.get("id", -1).getOrElse("event_id"), "id"),
+        gapMinutes = a.get("gap_minutes", -1).map(asInt(_, "gap_minutes"))
+          .getOrElse(30))
+    },
     "graft.boilerplate_ratio" -> { a =>
       // per-doc fraction of sentences that repeat across >= min_frac of
       // the source's docs (nav/footer/banner signal)

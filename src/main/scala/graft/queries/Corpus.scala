@@ -1261,6 +1261,40 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Batch sessionization by 30-min inactivity gap + per-session rollup:
+    // per-user ordered window assigns session indices; the rollup is a
+    // plain (user, session) aggregate. The batch twin of the streaming
+    // session window (StreamingSpec gates that one).
+    Q("q221_sessionize",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.sessionize", graft.expr.Args(
+          pos = List(t(s, d, "events")), kw = List("gap_minutes" -> 30)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("dur_us"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""
+        WITH s AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        si AS (SELECT user_id, ts,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM s)
+        SELECT user_id, session_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        FROM si GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
     // Cross-source near-dup pairs — the syndication/mirror detector: the
     // q34 verified-pair machinery restricted to pairs whose docs carry
     // DIFFERENT source labels (within-source dups are dedup's problem;
