@@ -102,6 +102,28 @@ object Prep {
       .drop("__cut")
   }
 
+  /** Event FUNNEL: per user, the first time of each stage reached IN ORDER
+    * (stage i counts only at/after the user's stage-i-1 time) — the
+    * conversion table product analytics reads. One tiny aggregate + join
+    * per stage (stages are few); each pass shuffles (user, carried times)
+    * rows only. A user missing stage i has null from i onward.
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val users = df.select(col(userCol).as("user")).distinct()
+    stages.zipWithIndex.foldLeft(users) { case (acc, (stage, i)) =>
+      val evs = df.filter(col(typeCol) === stage)
+        .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("__ts"))
+      val joined = acc.join(evs, Seq("user"), "left")
+      val qualifies = if (i == 0) col("__ts").isNotNull
+        else col("__ts") >= col(s"t${i - 1}")
+      val keys = col("user") +: (0 until i).map(j => col(s"t$j"))
+      joined.groupBy(keys: _*)
+        .agg(min(when(qualifies, col("__ts"))).as(s"t$i"))
+    }.withColumnRenamed("user", userCol)
+  }
+
   /** Batch SESSIONIZATION by inactivity gap — the batch twin of the
     * streaming session window: events partition by user, order by time,
     * and a new session starts wherever the gap to the previous event

@@ -1047,6 +1047,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.funnel" -> { a =>
+      // per-user ordered-stage first-reach times (conversion funnel)
+      graft.operators.Prep.funnel(asDf(a.require("df", 0), "df"),
+        asStr(a.get("user", -1).getOrElse("user_id"), "user"),
+        asStr(a.get("type", -1).getOrElse("event_type"), "type"),
+        asStr(a.get("ts", -1).getOrElse("ts"), "ts"),
+        asStrList(a.require("stages", 1)))
+    },
     "graft.sessionize" -> { a =>
       // assign per-user session indices by inactivity gap (batch twin of
       // the streaming session window)

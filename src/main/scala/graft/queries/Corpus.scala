@@ -1261,6 +1261,42 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Conversion funnel signup -> click -> purchase: per-user first-reach
+    // times in strict order (each stage counts only at/after the previous
+    // stage's time), conversion flag and end-to-end lag.
+    Q("q222_funnel",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.funnel", graft.expr.Args(
+          pos = List(t(s, d, "events"),
+            List("signup", "click", "purchase"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("user_id"), col("t0"), col("t1"), col("t2"),
+            col("t2").isNotNull.as("converted"),
+            (col("t2") - col("t0")).as("lag_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+          FROM events e JOIN s0 ON e.user_id = s0.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) >= t0 GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t1 GROUP BY 1)
+        SELECT u.user_id,
+          CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+          CAST(t2 AS BIGINT) AS t2,
+          t2 IS NOT NULL AS converted,
+          CAST(t2 - t0 AS BIGINT) AS lag_us
+        FROM u
+        LEFT JOIN s0 ON u.user_id = s0.user_id
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        ORDER BY u.user_id""")),
+
     // Batch sessionization by 30-min inactivity gap + per-session rollup:
     // per-user ordered window assigns session indices; the rollup is a
     // plain (user, session) aggregate. The batch twin of the streaming
