@@ -102,6 +102,30 @@ object Prep {
       .drop("__cut")
   }
 
+  /** RETENTION cohort matrix: users cohorted by their first-activity week
+    * (Monday-truncated), each later week's retention = distinct active
+    * cohort members / cohort size. Shuffles carry (user, week) pairs and
+    * the per-cohort aggregates; nothing is quadratic.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val weeks = df.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    val cohorts = weeks.groupBy(col("user")).agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohorts, "user")
+      .withColumn("week_n",
+        (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_n"))
+      .agg(countDistinct(col("user")).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort").cast("string").as("cohort"), col("week_n"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
   /** Event FUNNEL: per user, the first time of each stage reached IN ORDER
     * (stage i counts only at/after the user's stage-i-1 time) — the
     * conversion table product analytics reads. One tiny aggregate + join

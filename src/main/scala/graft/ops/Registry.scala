@@ -1047,6 +1047,12 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.retention" -> { a =>
+      // weekly retention cohort matrix (first-activity-week cohorts)
+      graft.operators.Prep.retentionCohorts(asDf(a.require("df", 0), "df"),
+        asStr(a.get("user", -1).getOrElse("user_id"), "user"),
+        asStr(a.get("ts", -1).getOrElse("ts"), "ts"))
+    },
     "graft.funnel" -> { a =>
       // per-user ordered-stage first-reach times (conversion funnel)
       graft.operators.Prep.funnel(asDf(a.require("df", 0), "df"),

@@ -1261,6 +1261,33 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Weekly retention cohorts: users cohorted by first-activity week,
+    // retention = distinct active members / cohort size per later week.
+    Q("q223_retention",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.retention", graft.expr.Args(
+          pos = List(t(s, d, "events"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("cohort"), col("week_n"))
+      },
+      Some("""
+        WITH weeks AS (SELECT DISTINCT user_id AS u,
+            CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        cohorts AS (SELECT u, min(wk) AS cohort FROM weeks GROUP BY u),
+        sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM cohorts GROUP BY cohort),
+        act AS (SELECT c.cohort,
+            CAST((wk - c.cohort) / 7 AS INT) AS week_n,
+            CAST(COUNT(DISTINCT weeks.u) AS BIGINT) AS n_active
+          FROM weeks JOIN cohorts c ON weeks.u = c.u
+          GROUP BY 1, 2)
+        SELECT CAST(act.cohort AS VARCHAR) AS cohort, week_n, n_active,
+          cohort_size,
+          round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+        FROM act JOIN sizes ON act.cohort = sizes.cohort
+        ORDER BY cohort, week_n""")),
+
     // Conversion funnel signup -> click -> purchase: per-user first-reach
     // times in strict order (each stage counts only at/after the previous
     // stage's time), conversion flag and end-to-end lag.
