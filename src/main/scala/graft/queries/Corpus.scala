@@ -1261,6 +1261,50 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Per-benchmark-item contamination report — the flip side of q57's
+    // decontamination: for each benchmark doc, how many corpus docs share
+    // >= 3 distinct trigrams with it, and the worst overlap. The
+    // "which test items leak most" table an eval owner reads. Hashed
+    // shingle equality join; at 100 TB the same df-cap the q34 family
+    // applies would bound hot grams.
+    Q("q224_contamination_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bsh = graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", 3)
+          .withColumnRenamed("id", "bid")
+        val csh = graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
+          .withColumnRenamed("id", "cid")
+        bsh.join(csh, "h")
+          .groupBy(col("bid"), col("cid"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 3)
+          .groupBy(col("bid"))
+          .agg(count(lit(1)).as("n_corpus_docs"),
+            max(col("n_common")).as("max_common"))
+          .orderBy(col("bid"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+          FROM documents),
+        idx AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        pairs AS (
+          SELECT b.doc_id AS bid, c.doc_id AS cid,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh b JOIN sh c ON b.g = c.g
+          WHERE b.doc_id < 50 AND c.doc_id >= 50
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_corpus_docs,
+          CAST(MAX(n_common) AS BIGINT) AS max_common
+        FROM pairs GROUP BY bid ORDER BY bid""")),
+
     // Weekly retention cohorts: users cohorted by first-activity week,
     // retention = distinct active members / cohort size per later week.
     Q("q223_retention",
