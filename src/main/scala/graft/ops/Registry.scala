@@ -3643,8 +3643,18 @@ final class Registry(spark: SparkSession) {
       val gd = g.df.groupBy(g.keyCols: _*)
       a.require("func", 0) match {
         case m: Map[_, _] =>
+          val cols = g.df.columns.toSet
           val aggs = m.asInstanceOf[Map[String, Any]].toList.flatMap {
             case (c, fn: String) => List(aggFns(fn)(col(c)).as(c))
+            // pandas NAMED aggregation: out_name=(column, fn) — a 2-list
+            // whose head is a frame column and tail an agg name. Takes
+            // precedence over the multi-func form (a column literally
+            // named like an agg fn would be ambiguous; pandas' tuple
+            // syntax has the same shape, so the resolution matches).
+            case (out, spec: List[_])
+                if spec.size == 2 && cols.contains(spec.head.toString) &&
+                  aggFns.contains(spec(1).toString) =>
+              List(aggFns(spec(1).toString)(col(spec.head.toString)).as(out))
             case (c, fns: List[_]) => fns.map(f =>
               aggFns(asStr(f, "agg fn"))(col(c)).as(s"${c}_${f}"))
             case (c, other) => throw PipelineError(s"agg: unsupported spec ${tn(other)}")

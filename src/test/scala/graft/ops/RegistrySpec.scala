@@ -1815,6 +1815,18 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("groupby agg named-aggregation form: out_name=(column, fn)") {
+    val g = m(df, "groupby", "by" -> "k")
+    val out = mp(g, "agg", Map(
+      "avg_v" -> List("v", "mean"), "top_i" -> List("i", "max"),
+      "v" -> "sum"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("k")
+    assert(out.columns.toSet == Set("k", "avg_v", "top_i", "v"))
+    val r = out.collect()(0)
+    assert(r.getAs[Double]("avg_v") == 15.0 && r.getAs[Long]("top_i") == 2L &&
+      r.getAs[Double]("v") == 30.0)
+  }
+
   test("sample(n, weights=) routes through the deterministic weighted sampler") {
     val d = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 0.001))
       .toDF("id", "w")
