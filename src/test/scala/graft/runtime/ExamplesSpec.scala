@@ -76,6 +76,34 @@ class ExamplesSpec extends AnyFunSuite {
     assert(over.count() == 0, "crossing-doc rule: exclusive prefix < budget")
   }
 
+  test("examples/product_analytics.yaml: sessions, funnel, retention tables") {
+    import org.apache.spark.sql.functions.col
+    val out = freshDir("ex_pa")
+    new Pipeline(spark, "examples/product_analytics.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val sess = spark.read.parquet(s"$out/sessions.parquet")
+    assert(sess.count() > 0)
+    assert(Seq("user_id", "session_idx", "n_events", "avg_value")
+      .forall(sess.columns.contains), sess.columns.mkString(","))
+    assert(sess.filter(col("n_events") <= 0).count() == 0)
+
+    val fun = spark.read.parquet(s"$out/funnel.parquet")
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(fun.count() == nUsers, "one funnel row per user")
+    // strict ordering: whenever later stages are reached, times ascend
+    assert(fun.filter(col("t1") < col("t0") || col("t2") < col("t1"))
+      .count() == 0)
+
+    val ret = spark.read.parquet(s"$out/retention.parquet")
+    assert(ret.count() > 0)
+    assert(ret.filter(col("retention") <= 0 || col("retention") > 1).count() == 0)
+    // week 0 retention is 1.0 by construction (the cohort week itself)
+    assert(ret.filter(col("week_n") === 0 && col("retention") =!= 1.0)
+      .count() == 0)
+  }
+
   test("examples/corpus_health.yaml writes the five diagnostic reports") {
     import org.apache.spark.sql.functions.col
     val out = freshDir("ex_health")
