@@ -312,8 +312,15 @@ final class Registry(spark: SparkSession) {
     // set — overriding nullValue with the user token would silently turn
     // empty string-typed fields into "" instead of null. All user tokens go
     // through the mask path below instead.
-    def reader =
-      spark.read.option("header", hasHeader.toString).option("sep", sep)
+    // encoding= (pandas default utf-8; latin-1 etc. map straight to the
+    // Spark reader's charset) and quotechar= ride through as options
+    val encoding = a.get("encoding", -1).map(asStr(_, "encoding"))
+    val quote = a.get("quotechar", -1).map(asStr(_, "quotechar"))
+    def reader = {
+      val base = spark.read.option("header", hasHeader.toString).option("sep", sep)
+      val withEnc = encoding.fold(base)(e => base.option("encoding", e))
+      quote.fold(withEnc)(q => withEnc.option("quote", q))
+    }
     // one inference pass fixes the base schema; names + dtype rewrite it
     // BEFORE the data read, so overridden columns parse at their final type
     val inferred = read(reader.option("inferSchema", "true")).schema

@@ -1782,6 +1782,25 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("read_csv encoding= and quotechar= ride through to the reader") {
+    val dir = java.nio.file.Files.createTempDirectory("enc").toString
+    // latin-1 bytes: 'café' with é = 0xE9
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/l1.csv"),
+      ("name,v\n" + "café,1\n").getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+    val back = reg.callFunction("pd.read_csv", Args(kw = List(
+      "filepath_or_buffer" -> s"$dir/l1.csv", "encoding" -> "ISO-8859-1")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(back(0).getString(0) == "café")
+    // quotechar: values wrapped in | keep embedded commas
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/q.csv"),
+      "a,b\n|x,y|,2\n".getBytes("UTF-8"))
+    val q = reg.callFunction("pd.read_csv", Args(kw = List(
+      "filepath_or_buffer" -> s"$dir/q.csv", "quotechar" -> "|")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(q(0).getString(0) == "x,y")
+  }
+
   test("to_csv sep/header/compression round-trips through read_csv") {
     val dir = java.nio.file.Files.createTempDirectory("csvflags").toString
     val d = Seq((1L, "a,b", 2.5), (2L, "c\td", -1.0)).toDF("id", "s", "v")
