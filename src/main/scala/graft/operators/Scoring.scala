@@ -141,6 +141,56 @@ object Scoring {
           .as("boiler_ratio"))
   }
 
+  /** Population Stability Index per source — the industry drift metric:
+    * bin a value by the CORPUS deciles, then per source
+    * PSI = sum over bins of (p_src - p_corpus) * ln(p_src / p_corpus),
+    * shares clamped at 1e-6 (the standard zero-bin smoothing). PSI < 0.1
+    * reads "stable", > 0.25 "shifted" — the number a data-mix monitor
+    * alerts on when a source's length/quality distribution drifts.
+    *
+    * Scale shape: one global percentile aggregate (bins-1 cuts, rounded,
+    * broadcast), bin assignment is a map-side comparison count, then one
+    * (source, bin) count aggregate — shuffles carry a few ints per row.
+    */
+  def psiBySource(df: DataFrame, valueCol: String, sourceCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiBySource: bins must be >= 2, got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts = df.agg(
+      expr(s"percentile(`$valueCol`, array(${probs.mkString(", ")}))")
+        .as("__cs"))
+      .select((0 until bins - 1).map(i =>
+        round(element_at(col("__cs"), i + 1).cast("double"), 6)
+          .as(s"__c$i")): _*)
+    val v = col(valueCol).cast("double")
+    val binIdx = (0 until bins - 1).map(i =>
+      when(v > col(s"__c$i"), 1).otherwise(0)).reduce(_ + _)
+    val binned = df.crossJoin(broadcast(cuts))
+      .select(col(sourceCol).as("source"), binIdx.as("bin"))
+    val srcCounts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val srcTotals = srcCounts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_src"))
+    val corpusShares = srcCounts.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n_bin"))
+      .crossJoin(broadcast(
+        srcCounts.agg(sum(col("n")).as("n_all"))))
+      .select(col("bin"),
+        (col("n_bin").cast("double") / col("n_all")).as("q"))
+    // the source x bin grid must be DENSE: a source missing a bin still
+    // contributes (eps - q) * ln(eps / q)
+    val grid = srcTotals.select(col("source"), col("n_src"))
+      .crossJoin(corpusShares)
+    grid.join(srcCounts, Seq("source", "bin"), "left")
+      .select(col("source"),
+        greatest(coalesce(col("n"), lit(0L)).cast("double") / col("n_src"),
+          lit(1e-6)).as("p"),
+        greatest(col("q"), lit(1e-6)).as("q"))
+      .groupBy(col("source"))
+      .agg(round(sum((col("p") - col("q")) *
+        log(col("p") / col("q"))), 6).as("psi"))
+  }
+
   /** Vocabulary COVERAGE curve: the share of all corpus tokens covered by
     * the top-k word head, per candidate k — the "how head-heavy is this
     * corpus" planner stat that sizes closed vocabularies and decides

@@ -1088,6 +1088,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         minFrac = a.get("min_frac", -1).map(_.toString.toDouble).getOrElse(0.05))
     },
+    "graft.psi_by_source" -> { a =>
+      // population-stability-index drift per source over corpus-decile bins
+      graft.operators.Scoring.psiBySource(asDf(a.require("df", 0), "df"),
+        asStr(a.require("value", 1), "value"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        bins = a.get("bins", -1).map(asInt(_, "bins")).getOrElse(10))
+    },
     "graft.vocab_coverage" -> { a =>
       // top-k token-mass coverage curve (closed-vocab sizing stat)
       graft.operators.Scoring.vocabCoverage(

@@ -1261,6 +1261,59 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Population Stability Index per source over corpus-decile bins of
+    // n_chars — the drift metric a data-mix monitor alerts on. Cuts
+    // round to 6 before binning, shares clamp at 1e-6 (standard zero-bin
+    // smoothing), ln + round(6) parity per the q92 contract.
+    Q("q225_psi_drift",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.psi_by_source", graft.expr.Args(
+          pos = List(
+            t(s, d, "documents").select(col("source"), col("n_chars")),
+            "n_chars"),
+          kw = List("bins" -> 10)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH cuts AS (SELECT
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.1), 6) AS c0,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.2), 6) AS c1,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.3), 6) AS c2,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.4), 6) AS c3,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS c4,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.6), 6) AS c5,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.7), 6) AS c6,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.8), 6) AS c7,
+            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS c8
+          FROM documents),
+        b AS (SELECT source,
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c0 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c1 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c2 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c3 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c4 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c5 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c6 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c7 THEN 1 ELSE 0 END) +
+            (CASE WHEN CAST(n_chars AS DOUBLE) > c8 THEN 1 ELSE 0 END) AS bin
+          FROM documents CROSS JOIN cuts),
+        sc AS (SELECT source, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        st AS (SELECT source, SUM(n) AS n_src FROM sc GROUP BY 1),
+        cs AS (SELECT bin, SUM(n) AS n_bin FROM sc GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n_all FROM sc),
+        grid AS (SELECT st.source, st.n_src, cs.bin,
+            cs.n_bin / CAST(tot.n_all AS DOUBLE) AS q
+          FROM st CROSS JOIN cs CROSS JOIN tot),
+        j AS (SELECT grid.source,
+            greatest(COALESCE(sc.n, 0) / CAST(grid.n_src AS DOUBLE), 1e-6) AS p,
+            greatest(grid.q, 1e-6) AS q
+          FROM grid LEFT JOIN sc
+            ON grid.source = sc.source AND grid.bin = sc.bin)
+        SELECT source, round(SUM((p - q) * ln(p / q)), 6) AS psi
+        FROM j GROUP BY source ORDER BY source""")),
+
     // Per-benchmark-item contamination report — the flip side of q57's
     // decontamination: for each benchmark doc, how many corpus docs share
     // >= 3 distinct trigrams with it, and the worst overlap. The
