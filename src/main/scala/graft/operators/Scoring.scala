@@ -141,6 +141,34 @@ object Scoring {
           .as("boiler_ratio"))
   }
 
+  /** Bigram conditional ENTROPY RATE per source: H(w2 | w1) =
+    * -sum p(w1,w2) ln p(w2|w1) in nats — how predictable each source's
+    * text is one word ahead. Low rate = templated/boilerplate-heavy
+    * (complements [[sourceDivergence]]: a source can match the corpus
+    * distribution yet still be internally repetitive).
+    *
+    * Scale shape: bigram and unigram counts shuffle as (source, string,
+    * count); the entropy sum folds integer counts through one aggregate.
+    */
+  def entropyRateBySource(df: DataFrame, sourceCol: String,
+                          textCol: String): DataFrame = {
+    val bg = df.select(col(sourceCol).as("source"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("b"))
+      .filter(col("b").contains(" "))
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+    val cbg = bg.groupBy(col("source"), col("w1"), col("b"))
+      .agg(count(lit(1)).as("c_b"))
+    val cw1 = cbg.groupBy(col("source"), col("w1"))
+      .agg(sum(col("c_b")).as("c_w1"))
+    val totals = cw1.groupBy(col("source")).agg(sum(col("c_w1")).as("n"))
+    cbg.join(cw1, Seq("source", "w1"))
+      .join(broadcast(totals), "source")
+      .groupBy(col("source"))
+      .agg(round(-sum((col("c_b").cast("double") / col("n")) *
+        log(col("c_b").cast("double") / col("c_w1"))), 6).as("entropy_rate"),
+        max(col("n")).as("n_bigrams"))
+  }
+
   /** Population Stability Index per source — the industry drift metric:
     * bin a value by the CORPUS deciles, then per source
     * PSI = sum over bins of (p_src - p_corpus) * ln(p_src / p_corpus),

@@ -1088,6 +1088,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("source", -1).getOrElse("source"), "source"),
         minFrac = a.get("min_frac", -1).map(_.toString.toDouble).getOrElse(0.05))
     },
+    "graft.entropy_rate" -> { a =>
+      // bigram conditional entropy rate per source (predictability signal)
+      graft.operators.Scoring.entropyRateBySource(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("source", -1).getOrElse("source"), "source"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.psi_by_source" -> { a =>
       // population-stability-index drift per source over corpus-decile bins
       graft.operators.Scoring.psiBySource(asDf(a.require("df", 0), "df"),

@@ -1261,6 +1261,38 @@ object Corpus {
         SELECT vec_id, dist, dist >= q AS is_outlier
         FROM d CROSS JOIN cut ORDER BY vec_id""")),
 
+    // Bigram conditional entropy rate per source — how predictable each
+    // source's text is one word ahead; low rate flags templated text even
+    // when the unigram distribution looks normal (complements q188).
+    Q("q226_entropy_rate",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        reg.callFunction("graft.entropy_rate", graft.expr.Args(
+          pos = List(t(s, d, "documents"))))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (SELECT source, regexp_extract_all(lower(text), '\S+') AS w
+          FROM documents),
+        idx AS (SELECT source, w,
+          unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM toks),
+        bg AS (SELECT source, w[i] AS w1, w[i] || ' ' || w[i+1] AS b FROM idx),
+        cbg AS (SELECT source, w1, b, CAST(COUNT(*) AS BIGINT) AS c_b
+          FROM bg GROUP BY 1, 2, 3),
+        cw1 AS (SELECT source, w1, CAST(SUM(c_b) AS BIGINT) AS c_w1
+          FROM cbg GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(SUM(c_w1) AS BIGINT) AS n
+          FROM cw1 GROUP BY 1)
+        SELECT cbg.source,
+          round(-SUM((c_b / CAST(n AS DOUBLE)) *
+            ln(c_b / CAST(c_w1 AS DOUBLE))), 6) AS entropy_rate,
+          CAST(MIN(n) AS BIGINT) AS n_bigrams
+        FROM cbg
+        JOIN cw1 ON cbg.source = cw1.source AND cbg.w1 = cw1.w1
+        JOIN tot ON cbg.source = tot.source
+        GROUP BY cbg.source ORDER BY cbg.source""")),
+
     // Population Stability Index per source over corpus-decile bins of
     // n_chars — the drift metric a data-mix monitor alerts on. Cuts
     // round to 6 before binning, shares clamp at 1e-6 (standard zero-bin
