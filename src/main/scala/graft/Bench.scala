@@ -233,8 +233,16 @@ object Bench {
     val prevCanary: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(benchFile.toPath))
+        // scope the scan to the top-level "queries" object — the canary
+        // object later in the file repeats the same query-name keys, and a
+        // whole-file findFirstMatchIn only works while "queries" happens to
+        // come first
+        val qStart = txt.indexOf("\"queries\":{")
+        val qBody =
+          if (qStart < 0) ""
+          else txt.substring(qStart, txt.indexOf('}', qStart) max qStart)
         canaryNames.flatMap { n =>
-          ("\"" + n + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
+          ("\"" + n + "\":([0-9.eE+-]+)").r.findFirstMatchIn(qBody)
             .map(m => n -> m.group(1).toDouble)
         }.toMap
       } catch { case _: Throwable => Map.empty }

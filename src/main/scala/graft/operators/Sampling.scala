@@ -198,7 +198,10 @@ object Sampling {
         tokenizer(col(textCol)).cast(LongType).as("n_tokens"),
         hashKey(col(idCol), seed).as("__k"))
       .withColumn("__budget", lit(tokensPerCluster))
-    takeByBudget(base, idCol, "cluster")
+    // null/wrong-dimension embeddings assign to cluster NULL — drop them
+    // here rather than let them ride takeByBudget as a phantom cluster
+    // with its own full token budget
+    takeByBudget(base.filter(col("cluster").isNotNull), idCol, "cluster")
   }
 
   /** [[clusterBalancedSample]] with the quantizer fitted in-pipeline: a

@@ -476,14 +476,18 @@ final class Registry(spark: SparkSession) {
         throw PipelineError("to_datetime: cannot pass both format= and unit=")
       val parsed = unit match {
         case Some(u) =>
-          val n = col(c).try_cast(LongType)
-          u match {
-            case "s" => timestamp_seconds(n)
-            case "ms" => timestamp_millis(n)
-            case "us" => timestamp_micros(n)
+          // pandas keeps sub-unit precision (1.5 with unit='s' →
+          // 1_500_000 us), so parse via double and scale to micros
+          // rather than a truncating/null-ing long cast
+          val n = col(c).try_cast(DoubleType)
+          val perUnit = u match {
+            case "s" => 1000000L
+            case "ms" => 1000L
+            case "us" => 1L
             case other => throw PipelineError(
               s"to_datetime: unsupported unit '$other' (s/ms/us)")
           }
+          timestamp_micros(round(n * lit(perUnit)).cast(LongType))
         case None => a.get("format", -1).map(f => asStr(f, "format")) match {
           case Some(f) => try_to_timestamp(col(c), lit(pandasFmt(f)))
           case None => col(c).try_cast(TimestampType)
@@ -1844,10 +1848,26 @@ final class Registry(spark: SparkSession) {
       // thing one codegen'd filter that pushes no shuffle.
       val on = asStr(a.require("on", -1), "on")
       val tod = date_format(col(on), "HH:mm:ss")
-      if (name == "at_time") df.filter(tod === asStr(a.require("time", 0), "time"))
+      // normalize user times to the same 'HH:mm:ss' shape the compare
+      // renders — a pandas-style '9:15' would otherwise compare
+      // lexicographically against '09:15:00' and silently flip the
+      // wrap branch / select wrong rows
+      val timeShapeRe = """(\d{1,2}):(\d{2})(?::(\d{2}))?""".r
+      def normTime(s: String, what: String): String = s match {
+        case timeShapeRe(h, m, sec) =>
+          val hh = h.toInt; val mm = m.toInt
+          val ss = Option(sec).map(_.toInt).getOrElse(0)
+          if (hh > 23 || mm > 59 || ss > 59) throw PipelineError(
+            s"$name: $what '$s' out of range (expected HH:mm[:ss])")
+          f"$hh%02d:$mm%02d:$ss%02d"
+        case _ => throw PipelineError(
+          s"$name: $what '$s' is not a time (expected HH:mm[:ss])")
+      }
+      if (name == "at_time")
+        df.filter(tod === normTime(asStr(a.require("time", 0), "time"), "time"))
       else {
-        val startT = asStr(a.require("start", 0), "start")
-        val endT = asStr(a.require("end", 1), "end")
+        val startT = normTime(asStr(a.require("start", 0), "start"), "start")
+        val endT = normTime(asStr(a.require("end", 1), "end"), "end")
         val (lo, hi) = a.get("inclusive", -1).map(asStr(_, "inclusive"))
           .getOrElse("both") match {
           case "both" => (tod >= startT, tod <= endT)
@@ -3005,7 +3025,17 @@ final class Registry(spark: SparkSession) {
       // job. expand absent/false replaces the column with the parts array.
       val c = asStr(a.require("column", 0), "column")
       val patOpt = a.get("pat", -1).map(asStr(_, "pat"))
-      val pat = patOpt.getOrElse("\\s+")
+      // pandas regex= tri-state: True → regex, False → literal, absent →
+      // length-1 pat is literal ('.', '+', '|' split where written, not
+      // everywhere), longer pats are regex. Spark split() is always-regex,
+      // so literal mode quotes the pattern.
+      val asRegex = a.get("regex", -1).map(asBool(_, default = true))
+        .getOrElse(patOpt.forall(_.length != 1))
+      val pat = patOpt match {
+        case None                 => "\\s+"
+        case Some(p) if asRegex   => p
+        case Some(p)              => java.util.regex.Pattern.quote(p)
+      }
       val n = a.get("n", -1).map(asInt(_, "n")).getOrElse(-1)
       val raw = if (n >= 0) split(col(c), pat, n + 1) else split(col(c), pat)
       // pandas str.split() with no pat drops empty parts (leading/trailing

@@ -1554,6 +1554,15 @@ class SamplingSpec extends AnyFunSuite {
       "text", "embedding", cents, tokensPerCluster = 100L, seed = "cb")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === out.map(_._1).toSet)
+    // null embeddings get cluster NULL and must be DROPPED, not sampled
+    // as a phantom cluster with its own full token budget
+    val withNulls = docs.union(Seq(
+      (900L, "x " * 10, null.asInstanceOf[Seq[Float]]))
+      .toDF("doc_id", "text", "embedding"))
+    val safe = Sampling.clusterBalancedSample(withNulls, "doc_id", "text",
+      "embedding", cents, tokensPerCluster = 100L, seed = "cb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!safe.contains(900L) && safe === out.map(_._1).toSet)
   }
 
   test("clusterBalancedSampleFit: fit plumbing — cells form, budgets bind, deterministic") {

@@ -464,6 +464,19 @@ class RegistrySpec extends AnyFunSuite {
         kw = List("expand" -> true)))
     }
     assert(e.getMessage.contains("requires n="))
+    // pandas regex=None: a length-1 pat is LITERAL — '.' splits on dots,
+    // not on every character; regex=true restores regex semantics
+    val dots = Seq((1L, "a.b.c")).toDF("id", "s")
+    val lt = reg.callMethod(dots, "str_split", Args(pos = List("s"),
+        kw = List("pat" -> ".")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().head.getSeq[String](1)
+    assert(lt.toSeq == Seq("a", "b", "c"))
+    val rx = reg.callMethod(dots, "str_split", Args(pos = List("s"),
+        kw = List("pat" -> ".", "regex" -> true)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().head.getSeq[String](1)
+    assert(rx.forall(_.isEmpty))
   }
 
   test("interpolate method='time' weights by key distance, 'linear' by position") {
@@ -1734,6 +1747,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("unparseable") || e.getCause != null)
   }
 
+  test("pd.to_datetime unit=: fractional epochs keep sub-unit precision") {
+    val d = Seq((1L, "1.5"), (2L, "1700000000")).toDF("id", "s")
+    val out = reg.callFunction("pd.to_datetime", Args(
+      pos = List(d, "s"), kw = List("unit" -> "s")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].orderBy("id").collect()
+    // pandas: 1.5 s -> 1970-01-01 00:00:01.500000
+    assert(out(0).getTimestamp(1).getTime == 1500L)
+    assert(out(1).getTimestamp(1).getTime == 1700000000000L)
+  }
+
   test("crosstab shape") {
     val ct = mp(df, "crosstab", "k", "i").asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(ct.count() == 2) // one row per k value
@@ -1978,6 +2001,18 @@ class RegistrySpec extends AnyFunSuite {
     val tr = m(d, "truncate", "before" -> "2024-01-02", "after" -> "2024-02-01",
       "on" -> "ts").asInstanceOf[org.apache.spark.sql.DataFrame]
     assert(tr.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // pandas-style unpadded '9:15' normalizes to '09:15:00' instead of
+    // lexicographically flipping the wrap branch
+    val unpadded = m(d, "between_time", "start" -> "9:00", "end" -> "10:00",
+      "on" -> "ts").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(unpadded.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 5L))
+    // a non-time string errors instead of silently selecting wrong rows
+    val bad = intercept[Exception] {
+      m(d, "at_time", "time" -> "noon", "on" -> "ts")
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    }
+    assert(bad.getMessage.contains("not a time"))
   }
 
   test("pd.to_timedelta: string and numeric-unit parse; errors= policy") {
