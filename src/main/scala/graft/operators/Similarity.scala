@@ -432,6 +432,123 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ composed ANN — the FAISS IVFPQ shape, the plan that actually
+    * survives 100 TB (IVF alone still stores/scans full float vectors in
+    * probed cells; PQ alone still ADC-scans the WHOLE corpus per query):
+    *
+    *   1. coarse quantizer: seeded KMeans over a bounded sample → ncells
+    *      centroids; every corpus vector assigned to its cell (one
+    *      model.transform map pass, no shuffle).
+    *   2. RESIDUAL encode: r = v − centroid(cell), PQ-encoded to m codes
+    *      via codebooks fitted on a bounded residual sample. Residuals
+    *      (not raw vectors) are what FAISS encodes — cell centers carry
+    *      the coarse location, so the codebooks spend their ksub levels
+    *      on the fine structure, which is what restores recall at small m.
+    *   3. probe: per query, rank cells by centroid cosine and keep nprobe
+    *      (a window over |Q|·ncells rows, query-partitioned).
+    *   4. ADC inside probed cells only: approx ⟨q,v⟩ = ⟨q,c_cell⟩ +
+    *      Σ_j lut[j][code_j] with lut[j][k] = ⟨q_subvec_j, codebook_jk⟩
+    *      built once per query from the plan-literal codebooks. The
+    *      probed set (|Q|·nprobe rows) BROADCASTS onto the code table, so
+    *      the corpus is never shuffled and non-probed cells are filtered
+    *      by the join itself — the scan is |corpus|·nprobe/ncells
+    *      candidates in expectation, carrying m ints per row.
+    *   5. exact rerank of the top k·rerankFactor ADC survivors with true
+    *      cosine (vectors re-attached by join for O(|Q|·k·rerankFactor)
+    *      rows only).
+    *
+    * Fit cost is bounded by fitSampleRows regardless of corpus size; both
+    * fits are seeded (stable across runs at a fixed partitioning).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                ncells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 64, rerankFactor: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                fitSampleRows: Long = 100000L,
+                corpusRows: Option[Long] = None): DataFrame = {
+    val (codes, cents, codebooks) = ivfPqIndex(
+      corpus, ncells, m, ksub, idCol, vecCol, fitSampleRows, corpusRows)
+    val probed = ivfPqProbe(queries, cents, codebooks, nprobe, idCol, vecCol)
+    val candidates = topKPerQuery(
+      ivfPqAdcScan(codes, probed), k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = candidates
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ index build (steps 1–2 of [[ivfPqTopK]]), exposed so tests and
+    * ScaleStress can measure the candidate set directly: returns the code
+    * table (neighbor_id, cell, codes), the centroid table (cell, centroid)
+    * and the residual codebooks.
+    */
+  private[graft] def ivfPqIndex(corpus: DataFrame, ncells: Int, m: Int,
+      ksub: Int, idCol: String, vecCol: String, fitSampleRows: Long,
+      corpusRows: Option[Long])
+      : (DataFrame, DataFrame, Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = fitKMeansModel(corpusV, ncells, fitSampleRows, corpusRows)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val assigned = model.transform(corpusV)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      .join(broadcast(cents), "cell")
+      .withColumn("resid",
+        zip_with(col("cv").cast("array<double>"), col("centroid"),
+          (x, y) => x - y))
+    val codebooks = fitPqCodebooks(
+      assigned.select(col("resid").as(vecCol)), m, ksub, vecCol, fitSampleRows)
+    val codes = assigned.select(col("neighbor_id"), col("cell"),
+      graft.expressions.VectorExprs.pqEncode(col("resid"), codebooks).as("codes"))
+    (codes, cents, codebooks)
+  }
+
+  /** Probe set (steps 3–4's query side): per query, the nprobe best cells
+    * by centroid cosine, each row carrying the per-query ADC lookup table
+    * and the ⟨q, centroid⟩ offset the residual ADC adds back.
+    */
+  private[graft] def ivfPqProbe(queries: DataFrame, cents: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks)
+    val lut = transform(cbLit, (cbj, j) => transform(cbj, cent =>
+      aggregate(
+        zip_with(slice(col("qv"), j * dsub + 1, lit(dsub)), cent,
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_cos", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"),
+        Vectors.dot(col("qv"), col("centroid")).as("qdotc"),
+        lut.as("lut"))
+  }
+
+  /** ADC candidate scan (step 4): broadcast the probed set onto the code
+    * table — the cell-equality join IS the cell filter, so only rows in
+    * probed cells are ever scored, and the corpus never shuffles.
+    */
+  private[graft] def ivfPqAdcScan(codes: DataFrame, probed: DataFrame): DataFrame =
+    codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        col("qdotc") + aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+
   /** LSH ANN: band the SRP signature, bucket-join queries to corpus on any
     * agreeing band, score only candidates, top-k per query. Scales: the
     * all-pairs cross join is replaced by an equality shuffle on band values,

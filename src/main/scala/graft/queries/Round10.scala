@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import Q._
+
+/** Round-10 queries: IVF-PQ composed ANN, the trained quality classifier,
+  * mojibake repair, variable-length exact-substring dedup. Every query is
+  * oracle-gated; recall gates follow the q50/q142 pattern (the oracle pins
+  * the boolean outcome, the measured margin lives in the spec/COVERAGE).
+  */
+object Round10 {
+
+  def all: Seq[Q] = Seq(
+
+    // IVF-PQ composed ANN (the FAISS IVFPQ shape — the plan that holds at
+    // 100 TB: IVF's nprobe/ncells scan fraction AND PQ's m-ints-per-row
+    // candidate payload at once). ORACLE-GATED on per-query recall vs the
+    // exact top-k, the q142 pattern: coarse cells from a seeded KMeans,
+    // residuals PQ-encoded in one map pass, probed set broadcast onto the
+    // code table (the join IS the cell filter — corpus never shuffles),
+    // ADC top-40 exact-reranked to top-5. Measured recall 0.8-1.0 per
+    // query at ncells=8/nprobe=4/m=8/ksub=64 on this fixture; gate >= 0.6.
+    Q("q227_ann_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ann = Similarity.ivfPqTopK(queries, emb, k = 5,
+            ncells = 8, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        bf.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.6).as("recall_ok"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 5 ORDER BY query_id"""))
+  )
+}

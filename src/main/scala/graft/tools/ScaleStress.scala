@@ -109,6 +109,7 @@ object ScaleStress {
       graft.operators.Similarity.embeddingDupPairs(we, threshold = 0.95).count()
       graft.operators.Similarity.semanticDedup(we, threshold = 0.35).count()
       graft.operators.Similarity.pqTopK(wq, we, k = 5).count()
+      graft.operators.Similarity.ivfPqTopK(wq, we, k = 5, ncells = 8, nprobe = 4).count()
       graft.operators.Similarity.sq8Quantize(we)._1.count()
       graft.operators.Similarity.hardNegatives(wq, we, k = 5).count()
       Dedup.contaminationFlagsBloom(w.filter(col("doc_id") >= 25),
@@ -314,6 +315,25 @@ object ScaleStress {
       // corpus while the rerank stays k x rerankFactor rows per query
       cell("q142_pq_topk", f, ne)(
         Similarity.pqTopK(q8, e, k = 5).count())
+      // IVF-PQ composed: end-to-end top-k, plus the candidate-count
+      // contract made visible — out= is the ADC-scanned candidate count at
+      // nprobe=4 vs nprobe=1 of ncells=16, which should track the
+      // nprobe/ncells scan fraction (~4x apart) at EVERY factor while
+      // end-to-end secs stays linear in corpus size
+      cell("q227_ivfpq_topk", f, ne)(
+        Similarity.ivfPqTopK(q8, e, k = 5, ncells = 16, nprobe = 4).count())
+      locally {
+        val (codes, cents, cbs) = Similarity.ivfPqIndex(
+          e, ncells = 16, m = 8, ksub = 64, "vec_id", "embedding",
+          100000L, None)
+        val cc = codes.persist(); cc.count()
+        def cands(np: Int): Long = Similarity.ivfPqAdcScan(
+          cc, Similarity.ivfPqProbe(q8, cents, cbs, np, "vec_id", "embedding"))
+          .count()
+        cell("q227_ivfpq_cand_np4", f, ne)(cands(4))
+        cell("q227_ivfpq_cand_np1", f, ne)(cands(1))
+        cc.unpersist()
+      }
       // SQ8: 2xdim range fit (bounded) + one quantize map pass — pure
       // linear scan shape
       cell("q143_sq8_quantize", f, ne)(

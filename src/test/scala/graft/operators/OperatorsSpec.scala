@@ -567,6 +567,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean PQ recall $mean too low")
   }
 
+  test("IVF-PQ ANN recall@10 >= 0.6 vs brute force; candidate scan limited to probed cells") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, k = 10, ncells = 8, nprobe = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivfpq.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF-PQ recall $mean too low")
+    info(f"mean IVF-PQ recall@10: $mean%.3f")
+    // the ADC scan must touch only probed cells: candidate count per query
+    // is bounded by the probed cells' population, and shrinking nprobe
+    // shrinks it (the nprobe/ncells scan-fraction contract)
+    val (codes, cents, cbs) = Similarity.ivfPqIndex(
+      emb, ncells = 8, m = 8, ksub = 64, "vec_id", "embedding", 100000L, None)
+    val cellPop = codes.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def candCount(np: Int): Long = Similarity.ivfPqAdcScan(
+      codes, Similarity.ivfPqProbe(queries, cents, cbs, np, "vec_id", "embedding"))
+      .count()
+    val c4 = candCount(4); val c1 = candCount(1)
+    val total = cellPop.values.sum * 10 // 10 queries x full corpus
+    assert(c4 < total, s"nprobe=4 scanned $c4 of $total — cell filter not applied")
+    assert(c1 < c4, s"nprobe=1 ($c1) must scan fewer candidates than nprobe=4 ($c4)")
+  }
+
   test("SQ8 roundtrip: per-dim error <= step/2, byte codes, cosine error bounded") {
     import graft.expressions.VectorExprs
     val (mins, maxs) = Similarity.fitSqRange(emb)
