@@ -98,6 +98,77 @@ case class SimhashDoc(child: Expression)
   override def prettyName: String = "simhash_doc"
 }
 
+/** Whole-document SimHash128 — two independent 64-bit words per document,
+  * same single-pass byte-stream tokenization as [[SimhashDoc]]. Word 0 uses
+  * token hash seed 42 (BIT-IDENTICAL to the 64-bit signature — the 64-bit
+  * sig is a projection of this one, which the spec pins), word 1 seed 43.
+  * A wider signature is the correct lever once a corpus shard outgrows the
+  * 64-bit banding ladder (~262k docs at bands=4): with 128 bits, bands=4
+  * buckets span 4·2^32 ≈ 1.7e10 — the pigeonhole recall floor
+  * (hamming <= bands-1 always proposed) survives to ~10^10 docs instead of
+  * degrading to the bands=2 floor at 262k.
+  */
+case class SimhashDoc128(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || (b >= 0x09 && b <= 0x0d)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val votes = new Array[Int](128)
+    import org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes
+    @inline def vote(tokOff: Long, tokLen: Int): Unit = {
+      var w = 0
+      while (w < 2) {
+        val h = hashUnsafeBytes(base, tokOff, tokLen, 42L + w)
+        var j = 0
+        while (j < 64) {
+          votes(w * 64 + j) += ((((h >>> j) & 1L).toInt) << 1) - 1
+          j += 1
+        }
+        w += 1
+      }
+    }
+    if (len == 0) vote(off, 0)
+    else {
+      var i = 0
+      if (isWs(s.getByte(0))) {
+        vote(off, 0)
+        while (i < len && isWs(s.getByte(i))) i += 1
+      }
+      while (i < len) {
+        val start = i
+        while (i < len && !isWs(s.getByte(i))) i += 1
+        vote(off + start, i - start)
+        while (i < len && isWs(s.getByte(i))) i += 1
+      }
+      if (isWs(s.getByte(len - 1))) vote(off, 0)
+    }
+    val words = new Array[Long](2)
+    var w = 0
+    while (w < 2) {
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(w * 64 + j) > 0) sig |= (1L << j); j += 1 }
+      words(w) = sig
+      w += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashDoc128 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_doc128"
+}
+
 /** SimHash64 over a group of word strings: buffer = 64 vote counters. */
 case class SimhashAgg(
     child: Expression,
@@ -237,6 +308,8 @@ object SketchAggs {
       .toAggregateExpression())
   def simhashDoc(text: Column): Column =
     ColumnBridge.column(SimhashDoc(ColumnBridge.expression(text)))
+  def simhashDoc128(text: Column): Column =
+    ColumnBridge.column(SimhashDoc128(ColumnBridge.expression(text)))
   def minhash(shingle: Column, k: Int): Column =
     ColumnBridge.column(MinhashAgg(ColumnBridge.expression(shingle), k)
       .toAggregateExpression())

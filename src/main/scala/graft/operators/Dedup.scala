@@ -55,6 +55,25 @@ object Dedup {
       2
     }
 
+  /** [[autoBands]] for the 128-bit signature ([[simhashPairs128]]): same
+    * most-bands-whose-bucket-space-covers-N rule over bands * 2^(128/bands):
+    *
+    *  - bands=16 -> 16 * 2^8  =      4,096 buckets (N <= ~4k)
+    *  - bands=8  ->  8 * 2^16 =    524,288 buckets (N <= ~524k)
+    *  - bands=4  ->  4 * 2^32 =   ~1.7e10  buckets (N <= ~1.7e10)
+    *  - bands=2  ->  2 * 2^64           (practically unbounded)
+    *
+    * The point of the wider signature: at 262k–1.7e10 docs the 64-bit
+    * ladder is already down to bands=2 (pigeonhole floor hamming <= 1),
+    * while 128 bits still affords bands=4 (floor hamming <= 3) — the tail
+    * recall the BandRecall table measures back.
+    */
+  def autoBands128(count: Long): Int =
+    if (count <= (16L << 8)) 16
+    else if (count <= (8L << 16)) 8
+    else if (count <= (4L << 32)) 4
+    else 2
+
   /** Exact dedup on a fingerprint of normalized text: group on a 16-byte md5
     * digest (not the raw text — tiny shuffle keys), keep min(id) as the
     * representative. Map-side partial aggregation collapses local dups
@@ -567,6 +586,100 @@ object Dedup {
     // identical across a pair's duplicate band rows.
     val cands = Caches.persistTracked(
       simhashPairsFiltered(df, idCol, textCol,
+        width => {
+          val verifyBound = maxHamming + math.max(1, width - 1)
+          (hamming, idA, idB) => hamming <= verifyBound &&
+            (hamming <= maxHamming ||
+              pmod(xxhash64(idA, idB), lit(auditMod)) === 0)
+        },
+        bands = bands, maxBucket = maxBucket),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
+    val exact = exactJaccardOf(df, cands.select("id_a", "id_b"), idCol, textCol, n)
+    exact.join(cands, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (col("hamming") <= maxHamming).as("hamming_ok"))
+  }
+
+  /** Per-doc 128-bit simhash signatures (two 64-bit words; word 0 ==
+    * the 64-bit [[simhashSigs]] signature by construction — seed 42, same
+    * tokenizer — word 1 an independent seed-43 hash). Same embarrassingly
+    * parallel single-projection shape as [[simhashSigs]].
+    */
+  def simhashSigs128(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.expressions.SketchAggs.simhashDoc128(col(textCol)).as("sig"))
+
+  /** SimHash near-dup pairs over the 128-bit signature — [[simhashPairs]]
+    * for corpus shards past the 64-bit banding ladder (>262k docs where
+    * 64-bit auto-banding is already down to bands=2): bands of 128/bands
+    * bits never straddle the two words (every rung's width divides 64), so
+    * each band value is one shift-and-mask off its word; hamming is the sum
+    * of the two words' xor popcounts. `bands` defaults to [[autoBands128]].
+    */
+  def simhashPairs128(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int, bands: Int = AutoBands,
+                      maxBucket: Int = 10000): DataFrame =
+    simhashPairsFiltered128(df, idCol, textCol,
+      _ => (hamming, _, _) => hamming <= maxHamming, bands, maxBucket)
+
+  /** [[simhashPairsFiltered]] over the 128-bit signature. Kept separate
+    * from the 64-bit path on purpose: the scalar-long signature there is
+    * the cheaper shuffle row for every corpus the 64-bit ladder still
+    * covers, and q36's plan must not change shape under it.
+    */
+  private[graft] def simhashPairsFiltered128(
+      df: DataFrame, idCol: String, textCol: String,
+      keep: Int => (Column, Column, Column) => Column,
+      bands: Int, maxBucket: Int): DataFrame = {
+    require(bands == AutoBands || (128 % bands == 0 && (128 / bands) <= 64),
+      "bands must divide 128 with band width <= 64 (or AutoBands)")
+    val sigs = Caches.persistTracked(
+      df.transform(simhashSigs128(_, idCol, textCol)), eager = true)
+    val nBands = if (bands == AutoBands) {
+      val n = sigs.count()
+      val b = autoBands128(n)
+      log.info(s"simhash128 auto-banding: corpus=$n docs -> bands=$b")
+      b
+    } else bands
+    val width = 128 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until nBands).map { b =>
+          val word = (b * width) / 64
+          val shift = (b * width) % 64
+          struct(lit(b).as("band"),
+            shiftright(element_at(col("sig"), word + 1), shift)
+              .bitwiseAND(lit(mask)).as("bval"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bval"))
+    val capped = capBuckets(banded, Seq("band", "bval"), maxBucket)
+    val hamming =
+      bit_count(element_at(col("a.sig"), 1).bitwiseXOR(element_at(col("b.sig"), 1))) +
+      bit_count(element_at(col("a.sig"), 2).bitwiseXOR(element_at(col("b.sig"), 2)))
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id")
+          && keep(width)(hamming, col("a.id"), col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+  }
+
+  /** [[simhashVerifiedPairs]] over the 128-bit signature: same
+    * propose / accept-or-audit / exact-Jaccard-verify shape, with the
+    * audit slack derived from the 128-bit band width. Note maxHamming is
+    * in 128-bit signature bits (roughly 2x the 64-bit scale for the same
+    * similarity level).
+    */
+  def simhashVerifiedPairs128(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int, bands: Int = AutoBands,
+                              n: Int = 3, threshold: Double = 0.2,
+                              maxBucket: Int = 10000,
+                              auditMod: Int = 256): DataFrame = {
+    val cands = Caches.persistTracked(
+      simhashPairsFiltered128(df, idCol, textCol,
         width => {
           val verifyBound = maxHamming + math.max(1, width - 1)
           (hamming, idA, idB) => hamming <= verifyBound &&

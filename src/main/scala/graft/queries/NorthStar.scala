@@ -23,8 +23,8 @@ object NorthStar {
     * (e.g. "TRUE AS est_ok") that the Spark side must also produce on every
     * row.
     */
-  private def exactJaccardOracle(threshold: Double, maxDf: Option[Int],
-                                 extraCols: String*): String = {
+  private[queries] def exactJaccardOracle(threshold: Double, maxDf: Option[Int],
+                                          extraCols: String*): String = {
     val extra = if (extraCols.isEmpty) "" else extraCols.mkString(",\n          ", ",\n          ", "")
     val cap = maxDf.map(m =>
       s" QUALIFY COUNT(*) OVER (PARTITION BY g) <= $m").getOrElse("")

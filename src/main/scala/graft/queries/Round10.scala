@@ -38,6 +38,22 @@ object Round10 {
       },
       Some("""
         SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
-        FROM embeddings WHERE vec_id < 5 ORDER BY query_id"""))
+        FROM embeddings WHERE vec_id < 5 ORDER BY query_id""")),
+
+    // 128-bit SimHash near-dup pairs, ORACLE-GATED like q36: banding over
+    // the two-word signature proposes, exact Jaccard disposes, and the
+    // verified set must EQUAL the exact pair set (full recall at this
+    // fixture's rung — autoBands128(500)=16, pigeonhole floor hamming<=15
+    // covers the corpus's true pairs). maxHamming=24 is the q36 bound
+    // scaled to the doubled signature width. The wider signature's purpose
+    // is the >262k-docs regime where the 64-bit ladder drops to bands=2
+    // (measured 52.7% tail recall at sf0.1) while 128-bit holds bands=8
+    // (97.3%) — the BandRecall table in COVERAGE.md.
+    Q("q228_dedup_simhash128",
+      (s, d) => graft.operators.Dedup.simhashVerifiedPairs128(
+        t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 24, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(NorthStar.exactJaccardOracle(0.2, None, "TRUE AS hamming_ok")))
   )
 }

@@ -30,18 +30,38 @@ object BandRecall {
       graft.operators.Caches.release()
       out
     }
+    // 128-bit variant at q36-equivalent config: maxHamming doubles with the
+    // signature width (24/128 ~ 12/64); same exact-Jaccard verify, so the
+    // pair sets are comparable true-near-dup sets
+    def pairs128(bands: Int): Set[(Long, Long)] = {
+      val out = graft.operators.Dedup.simhashVerifiedPairs128(
+        docs, "doc_id", "text", maxHamming = 24, bands = bands,
+        threshold = 0.2)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Caches.release()
+      out
+    }
     val ref = pairs(8)
     println(s"[recall] corpus=$n bands=8 pairs=${ref.size} (reference)")
-    for (b <- Seq(4, 2, graft.operators.Dedup.AutoBands)) {
-      val p = pairs(b)
+    def report(tag: String, p: Set[(Long, Long)]): Unit = {
       val missed = ref -- p
       val extra = p -- ref
-      val label = if (b == 0) s"auto(${graft.operators.Dedup.autoBands(n)})"
-                  else b.toString
-      println(s"[recall] corpus=$n bands=$label pairs=${p.size} " +
-        s"missed_vs_8=${missed.size} extra_vs_8=${extra.size}" +
+      println(s"[recall] corpus=$n $tag pairs=${p.size} " +
+        s"missed_vs_8=${missed.size} extra_vs_8=${extra.size} " +
+        f"tail_recall=${(ref.size - missed.size).toDouble / ref.size}%.3f" +
         (if (missed.nonEmpty) s" missed=${missed.take(5)}" else ""))
     }
+    for (b <- Seq(4, 2, graft.operators.Dedup.AutoBands)) {
+      val label = if (b == 0) s"auto(${graft.operators.Dedup.autoBands(n)})"
+                  else b.toString
+      report(s"bands=$label", pairs(b))
+    }
+    // the scale story: past 262k docs the 64-bit ladder is at bands=2 (the
+    // rung measured above); the 128-bit signature still affords bands=8 up
+    // to 524k and bands=4 to 1.7e10 — these rows measure the tail recall
+    // those rungs restore on the same corpus
+    for (b <- Seq(16, 8, 4)) report(s"sig128 bands=$b", pairs128(b))
     spark.stop()
   }
 }

@@ -491,6 +491,46 @@ class DedupSpec extends AnyFunSuite {
     val n = fix.count()
     assert(at(Dedup.AutoBands) == at(Dedup.autoBands(n)))
   }
+
+  test("autoBands128 ladder: bands=4+ survives past the 64-bit 262k knee") {
+    assert(Dedup.autoBands128(1L) == 16)
+    assert(Dedup.autoBands128(4096L) == 16)        // 16 * 2^8
+    assert(Dedup.autoBands128(4097L) == 8)
+    assert(Dedup.autoBands128(524288L) == 8)       // 8 * 2^16
+    assert(Dedup.autoBands128(524289L) == 4)
+    // the knee the wider signature exists for: where the 64-bit ladder is
+    // already at bands=2 (hamming<=1 floor), 128-bit still gives 8 or 4
+    assert(Dedup.autoBands(320000L) == 2 && Dedup.autoBands128(320000L) == 8)
+    assert(Dedup.autoBands128(17179869184L) == 4)  // 4 * 2^32
+    assert(Dedup.autoBands128(17179869185L) == 2)
+  }
+
+  test("sig128 word 0 is bit-identical to the 64-bit signature; rungs nest") {
+    val fix = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val joined = Dedup.simhashSigs(fix, "doc_id", "text").as("s64")
+      .join(Dedup.simhashSigs128(fix, "doc_id", "text").as("s128"),
+        col("s64.id") === col("s128.id"))
+      .select(col("s64.sig").as("a"), element_at(col("s128.sig"), 1).as("b"))
+    assert(joined.filter(col("a") =!= col("b")).count() == 0,
+      "word 0 of the 128-bit signature must equal the 64-bit signature")
+    // 128-bit band boundaries nest (an mm-bit band is two adjacent
+    // (mm/2)-bit bands), so verified pairs form the same subset chain
+    def at128(b: Int): Set[(Long, Long)] = {
+      val out = Dedup.simhashVerifiedPairs128(fix, "doc_id", "text",
+        maxHamming = 24, bands = b, threshold = 0.2)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.release(); out
+    }
+    val p16 = at128(16); val p8 = at128(8); val p4 = at128(4)
+    assert(p8.subsetOf(p16), s"bands=8 proposed ${(p8 -- p16).size} pairs bands=16 missed")
+    assert(p4.subsetOf(p8), s"bands=4 proposed ${(p4 -- p8).size} pairs bands=8 missed")
+    assert(p16.nonEmpty, "fixture must produce 128-bit verified pairs")
+    // auto rung = the explicit rung autoBands128 picks for this corpus
+    val n = fix.count()
+    assert(at128(Dedup.AutoBands) == at128(Dedup.autoBands128(n)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
