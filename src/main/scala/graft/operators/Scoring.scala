@@ -441,6 +441,70 @@ object Scoring {
       .select(col("id").as(idCol), col("n_tokens"), col("dsir_log_weight"))
   }
 
+  /** Hashed-TF feature bucket for a token: md5-derived (the repo's
+    * cross-engine reproducibility hash — xxhash64 differs between engines),
+    * top 8 hex chars as an unsigned 32-bit value mod numFeatures. DuckDB
+    * replays it as `('0x' || substr(md5(w), 1, 8))::BIGINT % F`.
+    */
+  def tfBucket(w: org.apache.spark.sql.Column, numFeatures: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(numFeatures.toLong))
+
+  /** Score documents with a TRAINED (frozen-weight) logistic-regression
+    * quality classifier over hashed-TF features — the distilled-classifier
+    * shape public pipelines run at scale (fastText/DCLM-style: a cheap
+    * linear model, trained once, applied to every document). The hashed-TF
+    * count vector never materializes: its dot product with the weight
+    * vector distributes over token occurrences,
+    * `logit = b + sum_tokens w[bucket(tok)]`, so scoring is ONE codegen'd
+    * map pass with plan-literal weights — zero shuffle, zero fit jobs,
+    * embarrassingly parallel at any corpus size, and exactly replayable in
+    * DuckDB (md5 buckets + list_extract sum + sigmoid).
+    *
+    * Returns (id, n_tokens, logit, prob) with logit/prob rounded to 6
+    * (exp/divide ulps are libm-dependent).
+    */
+  def hashedTfScore(df: DataFrame, idCol: String, textCol: String,
+                    weights: Seq[Double], intercept: Double): DataFrame = {
+    val nF = weights.size
+    val wLit = typedLit(weights)
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val logit = lit(intercept) + aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(wLit, (tfBucket(t, nF) + 1).cast("int")))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        round(logit, 6).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("prob"))
+  }
+
+  /** Fit the quality classifier: MLlib LogisticRegression over explicit
+    * hashed-TF count vectors (built with the same md5 buckets scoring
+    * uses — NOT mllib's HashingTF, whose murmur3 buckets no other engine
+    * can replay). Returns (weights, intercept) in the frozen-literal form
+    * [[hashedTfScore]] consumes (the Cents178 pattern: the FIT is the one
+    * partitioning-sensitive step, so production queries freeze its output
+    * as plan literals and a re-learning gate pins reproducibility).
+    *
+    * The count-vector build is O(numFeatures * tokens) per row (HOF scan
+    * per bucket) — fine for the BOUNDED fit slice this is meant for;
+    * never call it on an unbounded corpus (bound with limit/sample first,
+    * like fitQuantizerCenters).
+    */
+  def fitHashedTfLR(df: DataFrame, textCol: String,
+                    label: org.apache.spark.sql.Column, numFeatures: Int,
+                    maxIter: Int = 100, regParam: Double = 0.01): (Seq[Double], Double) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val fv = transform(sequence(lit(0), lit(numFeatures - 1)),
+      i => size(filter(toks, t => tfBucket(t, numFeatures) === i.cast("long")))
+        .cast("double"))
+    val train = df.select(label.cast("double").as("label"),
+      array_to_vector(fv).as("features"))
+    val m = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-8)
+      .fit(train)
+    (m.coefficients.toArray.toSeq, m.intercept)
+  }
+
   /** Heavy-hitter words by sketch-proposes / exact-disposes: ONE pass of the
     * token stream folds into a bounded SpaceSaving summary (k counters,
     * map-side partials, the shuffle moves one k-length buffer per

@@ -55,5 +55,76 @@ object Round10 {
         maxHamming = 24, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
       Some(NorthStar.exactJaccardOracle(0.2, None, "TRUE AS hamming_ok")))
+  ) ++ quality
+
+  /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,
+    * "text", more-'slow'-than-'fast', 64)` on the sf0.01 fixture, rounded
+    * to 4 decimals (provenance run: `graft.tools.QualityFit`; train
+    * accuracy 0.996 at the rounded weights; the planted lexical signal's
+    * buckets carry the mass: w[39]('slow')=+1.89, w[27]('fast')=-1.82).
+    * Frozen because the LR fit is the one partitioning-sensitive step
+    * (treeAggregate re-associates float sums); scoring against frozen
+    * literals is exact on both engines, and q230 gates that re-learning
+    * in-plan reproduces this table.
+    */
+  private val QWeights: Seq[Double] = Seq(
+    -0.0696, 0.0645, 0.0, 0.0, 0.0, -0.0513, 0.0, 0.0, 0.0, 0.0, 0.0703,
+    0.0, 0.0582, -0.0131, -1.0863, 0.0, 0.0, 0.0, 0.0, -0.0128, 0.0, 0.0,
+    -0.0672, -0.0034, 0.0, 0.1037, 0.0, -1.8209, 0.0, 0.0, -0.0358,
+    -0.0329, 0.0862, 0.0, 0.0, 0.0, 0.0478, 0.0, 0.0, 1.8941, 0.0, 0.0178,
+    0.0, 0.0, 0.0, -0.034, 0.0, 0.0, 0.1301, -0.0022, 0.0, 0.0, 0.0, 0.0,
+    0.0, -0.0108, -0.0259, -0.0953, -0.0244, 0.0, 0.0, 0.0277, 0.0, 0.0)
+  private val QIntercept: Double = -1.247
+
+  private def quality: Seq[Q] = Seq(
+
+    // Trained quality classifier applied in-plan (the fastText/DCLM
+    // distilled-classifier shape): logit = b + sum_tokens w[md5bucket(tok)]
+    // — the hashed-TF dot product distributed over token occurrences, ONE
+    // codegen'd map pass with plan-literal weights, zero shuffle at any
+    // corpus size. ORACLE-EXACT: DuckDB rebuilds the same md5 buckets,
+    // joins the literal weight list, and replays logit/prob; pred compares
+    // the UNROUNDED logit to 0 in both engines. round(6) absorbs
+    // sum-order/exp ulps.
+    Q("q229_quality_classifier",
+      (s, d) => graft.operators.Scoring.hashedTfScore(
+          t(s, d, "documents"), "doc_id", "text", QWeights, QIntercept)
+        .withColumn("pred", col("logit") > 0)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+                      FROM documents),
+        wt AS (SELECT i - 1 AS b, wv
+               FROM (SELECT unnest([${QWeights.mkString(", ")}]) AS wv,
+                            generate_subscripts([${QWeights.mkString(", ")}], 1) AS i)),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 $QIntercept + SUM(wv) AS raw
+               FROM toks JOIN wt
+                 ON (('0x' || substr(md5(w), 1, 8))::BIGINT % 64) = b
+               GROUP BY doc_id)
+        SELECT doc_id, n_tokens, round(raw, 6) AS logit,
+          round(1.0 / (1.0 + exp(-raw)), 6) AS prob,
+          raw > 0 AS pred
+        FROM sc ORDER BY doc_id""")),
+
+    // Re-learning gate (the q175 pattern): fit the classifier IN-PLAN on
+    // the same corpus/label and assert the weights land on the frozen
+    // table (max |delta| <= 0.01 — the frozen literals are 4dp-rounded, so
+    // a faithful refit sits within 5e-5 + optimizer noise). Proves the
+    // distributed fit is reproducible, not just that the frozen literals
+    // score correctly.
+    Q("q230_quality_relearn",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+        val label = size(filter(toks, t => t === "slow")) >
+          size(filter(toks, t => t === "fast"))
+        val (w, b) = graft.operators.Scoring.fitHashedTfLR(docs, "text", label, 64)
+        val maxDiff = w.zip(QWeights).map { case (x, y) => math.abs(x - y) }.max
+          .max(math.abs(b - QIntercept))
+        Seq((QWeights.size, maxDiff <= 0.01)).toDF("n_weights", "learn_ok")
+      },
+      Some("SELECT 64 AS n_weights, TRUE AS learn_ok"))
   )
 }

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Provenance run for the frozen quality-classifier weights embedded in
+  * q229: fit `Scoring.fitHashedTfLR` on the sf0.01 documents against the
+  * planted lexical label (more 'slow' than 'fast' tokens), print the
+  * weights rounded to 4 decimals as a Scala literal, and report train
+  * accuracy at the ROUNDED weights (both engines score against the same
+  * rounded literals, so this is the accuracy the gate sees).
+  *
+  * Usage: sbt "runMain graft.tools.QualityFit [sfDir] [numFeatures]"
+  */
+object QualityFit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nF = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val label = size(filter(toks, t => t === "slow")) >
+      size(filter(toks, t => t === "fast"))
+    val (w, b) = graft.operators.Scoring.fitHashedTfLR(docs, "text", label, nF)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    println(s"[qfit] numFeatures=$nF intercept=${r4(b)}")
+    println(s"[qfit] Seq(${w.map(r4).mkString(", ")})")
+    val scored = graft.operators.Scoring.hashedTfScore(
+        docs, "doc_id", "text", w.map(r4), r4(b))
+      .join(docs.select(col("doc_id"), label.as("label")), "doc_id")
+    val acc = scored.agg(
+      avg(when((col("prob") >= 0.5) === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    println(f"[qfit] train accuracy at rounded weights: $acc%.4f")
+    spark.stop()
+  }
+}

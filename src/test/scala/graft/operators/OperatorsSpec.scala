@@ -1068,6 +1068,37 @@ class TextSpec extends AnyFunSuite {
     assert(out(4L) == Seq.empty)
   }
 
+  test("trained quality classifier: fit recovers the planted signal, scoring is layout-stable") {
+    import graft.operators.Scoring
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val label = size(filter(toks, t => t === "slow")) >
+      size(filter(toks, t => t === "fast"))
+    val (w, b) = Scoring.fitHashedTfLR(docs, "text", label, numFeatures = 64)
+    assert(w.size == 64)
+    // the planted signal's buckets must carry the two largest weights with
+    // the right signs: md5('slow') % 64 = 39 (positive), md5('fast') = 27
+    // (negative)
+    val byMag = w.zipWithIndex.sortBy { case (x, _) => -math.abs(x) }.take(2)
+      .map(_._2).toSet
+    assert(byMag == Set(39, 27), s"top-|w| buckets $byMag != planted {39, 27}")
+    assert(w(39) > 0 && w(27) < 0)
+    // in-plan scoring separates: accuracy >= 0.98 on the training corpus
+    val scored = Scoring.hashedTfScore(docs, "doc_id", "text", w, b)
+      .join(docs.select(col("doc_id"), label.as("label")), "doc_id")
+    val acc = scored.agg(
+      avg(when((col("logit") > 0) === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc >= 0.98, s"classifier accuracy $acc below gate")
+    // frozen-literal scoring is a pure function of the plan: layout-invariant
+    val a1 = Scoring.hashedTfScore(docs, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val a2 = Scoring.hashedTfScore(docs.repartition(7), "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(a1 == a2)
+  }
+
   test("oovRate: top-k vocab with deterministic tiebreak, exact oov fractions") {
     import graft.operators.Scoring
     // corpus counts: a=4, b=3, c=2, d=1, e=1 -> k=3 vocab {a, b, c}
