@@ -193,7 +193,8 @@ object Streams {
     */
   def streamingSimhashPairs(stream: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, bands: Int = 8,
-                            maxBucket: Int = 10000): DataFrame = {
+                            maxBucket: Int = 10000,
+                            stateTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
@@ -212,9 +213,19 @@ object Streams {
       .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
         col("id"), col("sig"))
       .as[(Int, Long, Long, Long)]
+    // stateTtl: unbounded keyed state is the thing that kills a long-running
+    // stream — a bucket idle past the TTL is evicted (its members can no
+    // longer pair with FUTURE arrivals; already-emitted pairs are untouched).
+    // On an infinite crawl feed this bounds state to the buckets touched
+    // within one TTL window instead of every bucket ever seen.
+    val timeout = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     banded.groupByKey { case (band, bval, _, _) => (band, bval) }
       .flatMapGroupsWithState[SimhashBucket, SimPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
+        case (_, _, state: GroupState[SimhashBucket]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (_, rows, state: GroupState[SimhashBucket]) =>
           val prev = state.getOption.getOrElse(SimhashBucket(Nil, Nil))
           var ids = prev.ids.toList
@@ -242,6 +253,7 @@ object Streams {
             }
           }
           state.update(SimhashBucket(ids, sigs))
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
       }
       .toDF()
@@ -254,15 +266,24 @@ object Streams {
     * with the key space, and every update emits the refreshed row (Update
     * mode). Input needs (user_id: Long, value: Double).
     */
-  def runningUserStats(events: DataFrame): DataFrame = {
+  def runningUserStats(events: DataFrame,
+                       stateTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    // stateTtl: evict a user idle past the TTL (their running totals
+    // restart from zero on return) — the state-boundedness lever for a
+    // feed with unbounded key cardinality
+    val timeout = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.selectExpr("user_id", "value")
       .as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserState](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
+        case (_, _, state: GroupState[UserState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(user, 0L, 0.0))
           var n = prev.n_events
@@ -270,6 +291,7 @@ object Streams {
           rows.foreach { case (_, v) => n += 1; tot += v }
           val next = UserState(user, n, tot)
           state.update(next)
+          stateTtl.foreach(state.setTimeoutDuration)
           Iterator.single(next)
       }
       .toDF()

@@ -176,6 +176,131 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows.count() == truth.count())
   }
 
+  // TTL tests use checkpointed AvailableNow runs (drain, stop, restart from
+  // the checkpoint) instead of a continuously-running query, and disable
+  // no-data micro-batches: with ProcessingTimeTimeout,
+  // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is true whenever the
+  // batch timestamp advances, so no-data batches self-perpetuate — a
+  // continuous query spins state-store churn forever and an AvailableNow
+  // query never terminates. With no-data batches off, timeouts are
+  // processed in data batches; each push below is the data batch that
+  // fires the prior keys' expiry. Timeout timestamps live in the
+  // checkpointed state, so expiry crosses restarts — exactly the
+  // production drain-periodically shape.
+  private def withNoDataBatchesDisabled[T](body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("state TTL evicts idle keys; live keys keep accumulating") {
+    withNoDataBatchesDisabled {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttl_stream").toString
+    val ckpt = s"$dir/ckpt"
+    def push(rows: (Long, Double)*): Unit =
+      rows.toSeq.toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/u")
+    push(1L -> 1.0)
+    def drain(): Seq[(Long, Long, Double)] = {
+      // foreachBatch sink: the memory sink refuses checkpoint recovery,
+      // and recovery is the point here (timeout timestamps live in state)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, value DOUBLE"))
+        .parquet(s"$dir/u")
+      val q = Streams.runningUserStats(stream, stateTtl = Some("1 second"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toArray(Array.empty[(Long, Long, Double)]).toSeq
+    }
+    val r1 = drain() // user 1 -> n=1, timeout armed
+    assert(r1.toSet == Set((1L, 1L, 1.0)))
+    Thread.sleep(2500) // let user 1's TTL expire
+    push(2L -> 5.0)
+    val r2 = drain() // fires user 1's timeout (evicted, no emission)
+    assert(r2.toSet == Set((2L, 1L, 5.0)), s"run 2 got $r2")
+    push(1L -> 2.0, 2L -> 6.0)
+    val r3 = drain() // user 1 restarts from zero, user 2 accumulates
+    assert(r3.toSet == Set((1L, 1L, 2.0), (2L, 2L, 11.0)), s"run 3 got $r3")
+    }
+  }
+
+  test("simhash bucket TTL: members evicted after idle, pairing resumes fresh") {
+    withNoDataBatchesDisabled {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttl_sim").toString
+    val ckpt = s"$dir/ckpt"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    def drain(): Set[(Long, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .parquet(s"$dir/docs")
+      val q = Streams.streamingSimhashPairs(stream, "doc_id", "text",
+          maxHamming = 3, bands = 8, stateTtl = Some("1 second"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id_a", "id_b").collect().foreach(r =>
+            got.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toArray(Array.empty[(Long, Long)]).toSet
+    }
+    push(10L -> "alpha beta gamma delta")
+    assert(drain().isEmpty)
+    Thread.sleep(2500)
+    // GroupState timeouts fire only for keys WITHOUT data in a batch — a
+    // dup of doc 10 would land in doc 10's own buckets and resurrect them.
+    // So first drive a batch with an unrelated doc to fire doc 10's
+    // expiry. The unrelated text is picked (deterministically) so its 8
+    // band buckets are DISJOINT from doc 10's — a shared bucket would
+    // receive data and legitimately skip the timeout.
+    def buckets(text: String): Set[(Int, Long)] = {
+      val sig = graft.operators.Dedup
+        .simhashSigs(Seq((1L, text)).toDF("id", "t"), "id", "t")
+        .head().getLong(1)
+      (0 until 8).map(b => b -> ((sig >>> (b * 8)) & 0xffL)).toSet
+    }
+    val b10 = buckets("alpha beta gamma delta")
+    val unrelated = Seq(
+      "omega psi chi phi upsilon tau",
+      "one two three four five six seven",
+      "quick brown fox jumps over lazy dog",
+      "lorem ipsum dolor sit amet consectetur")
+      .find(t => buckets(t).intersect(b10).isEmpty)
+      .getOrElse(fail("no candidate text with band buckets disjoint from doc 10"))
+    push(90L -> unrelated)
+    assert(drain().isEmpty)
+    // ...then doc 11, an exact dup of doc 10: its buckets were evicted,
+    // so no pair surfaces
+    push(11L -> "alpha beta gamma delta")
+    assert(drain().isEmpty, "pair across an expired bucket must NOT surface")
+    // doc 12 arrives within TTL of doc 11 -> pair (11, 12) emits
+    push(12L -> "alpha beta gamma delta")
+    assert(drain() == Set((11L, 12L)))
+    }
+  }
+
   test("stream-stream join matches the batch interval join") {
     val a = Streams.eventsStream(spark, streamDir)
     val b = Streams.eventsStream(spark, streamDir)
