@@ -149,3 +149,102 @@ object UnicodeNormalize {
   def apply(text: Column, form: String): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
 }
+
+/** Mojibake (CP1252-in-UTF8 double-encoding) repair — the other half of
+  * crawl-text cleaning beside [[UnicodeNormalize]]: text that was UTF-8
+  * encoded, misdecoded as Windows-1252, and re-encoded shows as 'CafÃ©',
+  * 'â€œquotesâ€?', 'â‚¬'. Repair is the exact byte round-trip (the core of
+  * ftfy's fixer): re-encode the string to CP1252 and strictly re-decode as
+  * UTF-8; the repaired form is adopted ONLY if both conversions are exact
+  * (any unmappable char or invalid UTF-8 byte run leaves the input
+  * untouched, so legitimately-accented text — whose é encodes to a lone
+  * 0xE9, invalid UTF-8 — can never be corrupted). Handles every 2-byte
+  * (Latin-1) and 3-byte (curly quotes/dashes/ellipsis/euro) sequence in
+  * one rule, including CP1252's five undefined bytes, which Java maps to
+  * the C1 controls their mojibake produces. Single pass, ASCII fast path
+  * (repair is the identity on ASCII, which dominates web corpora).
+  *
+  * One round only: doubly-double-encoded text repairs one level per
+  * application (chain twice when paranoid; the spec pins one-level
+  * idempotence — repairing already-clean text is the identity).
+  */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    var ascii = true
+    var i = 0
+    val n = u.numBytes()
+    while (ascii && i < n) { if (u.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) u
+    else {
+      val s = u.toString
+      // encode back to windows-1252 bytes by the WHATWG mapping (NOT the
+      // JDK Cp1252 charset: it refuses the five undefined bytes
+      // 0x81/0x8D/0x8F/0x90/0x9D, but real-world misdecoders pass them
+      // through as C1 controls, so sequences like the curly close quote
+      // E2 80 9D are only repairable with the passthrough mapping)
+      val bytes = new Array[Byte](s.length)
+      var ok = true
+      var j = 0
+      while (ok && j < s.length) {
+        val c = s.charAt(j)
+        if (c < 0x80 || (c >= 0xA0 && c <= 0xFF)) bytes(j) = c.toByte
+        else {
+          val b = FixMojibake.encode80to9F.getOrElse(c, 0)
+          if (b != 0) bytes(j) = b.toByte else ok = false
+        }
+        j += 1
+      }
+      if (!ok) u
+      else try {
+        import java.nio.charset.{CodingErrorAction, StandardCharsets}
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => u
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+  override def prettyName: String = "fix_mojibake"
+}
+
+object FixMojibake {
+  def apply(text: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(text)))
+
+  /** WHATWG windows-1252: code points for bytes 0x80-0x9F in order (the
+    * five C1 entries are the undefined bytes' passthroughs).
+    */
+  private[expressions] val codepoints80to9F: Array[Int] = Array(
+    0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+    0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178)
+
+  private[expressions] val encode80to9F: Map[Char, Int] =
+    codepoints80to9F.zipWithIndex
+      .map { case (cp, i) => cp.toChar -> (0x80 + i) }.toMap
+
+  /** Decode bytes as WHATWG windows-1252 (test helper — mirrors what a
+    * real-world misdecoder produces, undefined bytes passed through).
+    */
+  def cp1252Decode(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val v = b & 0xff
+      if (v < 0x80 || v >= 0xA0) sb.append(v.toChar)
+      else sb.append(codepoints80to9F(v - 0x80).toChar)
+    }
+    sb.toString
+  }
+}

@@ -242,6 +242,22 @@ object Text {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Mojibake repair ([[graft.expressions.FixMojibake]]): undo CP1252-in-
+    * UTF8 double-encoding by the exact byte round-trip, adopted only when
+    * both conversions are exact. One codegen-fallback scalar pass with an
+    * ASCII fast path; no shuffle.
+    */
+  def fixMojibake(text: Column): Column =
+    graft.expressions.FixMojibake(text)
+
+  /** Strip C0 control characters (and DEL) except tab/newline/CR — the
+    * crawl-cleaning companion to [[fixMojibake]] (NUL/bell/escape bytes
+    * from binary-contaminated crawls break downstream tokenizers). Plain
+    * regexp_replace, RE2-replayable: DuckDB runs the identical class.
+    */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Lines dropped by [[collapseDupLines]] (audit metric). */
   def dupLineCount(text: Column): Column = {
     val lines = split(text, "\n")

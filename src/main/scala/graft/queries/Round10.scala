@@ -55,7 +55,49 @@ object Round10 {
         maxHamming = 24, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b")),
       Some(NorthStar.exactJaccardOracle(0.2, None, "TRUE AS hamming_ok")))
-  ) ++ quality
+  ) ++ quality ++ cleaning
+
+  private def cleaning: Seq[Q] = Seq(
+
+    // Mojibake (CP1252-in-UTF8 double-encoding) repair + control-char
+    // strip — the crawl-cleaning staple beside q121's NFC fold. The
+    // fixture is ASCII, so the query SPIKES a deterministic mojibake tail
+    // covering both shapes (2-byte Latin-1: 'CafÃ©', 'naÃ¯ve'; 3-byte
+    // punctuation: curly quotes incl. the CP1252-undefined 0x9D byte,
+    // euro, em dash) plus C0 control bytes. Spark repairs by the exact
+    // byte round-trip (FixMojibake) then strips controls; the oracle
+    // states the expected repaired literal — byte-for-byte binding via
+    // the hash gate.
+    Q("q231_fix_mojibake",
+      (s, d) => {
+        import graft.functions.Text
+        // The spike, byte-exact via escapes (ASCII-only source: it holds
+        // the INVISIBLE U+009D -- CP1252's undefined 0x9D -- inside the
+        // curly close quote, plus C0 control bytes BEL and ESC). Decoded
+        // it reads " Caf<e'> <"q"> na<i">ve <euro>5 <emdash>dash BELxESCy"
+        // with every <..> being the CP1252 misdecoding of UTF-8 bytes.
+        val spike = lit(" Caf\u00c3\u00a9 \u00e2\u20ac\u0153q\u00e2\u20ac\u009d" +
+          " na\u00c3\u00afve \u00e2\u201a\u00ac5 \u00e2\u20ac\u201ddash" +
+          " \u0007x\u001by")
+        val spiked = concat(col("text"), spike)
+        val repaired = Text.fixMojibake(spiked)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.stripControlChars(repaired).as("text_clean"),
+          // chars recovered by the repair: 2-byte mojibake pairs fold to
+          // one char (+1 each: e-acute, i-diaeresis), 3-byte triples to
+          // one (+2 each: both curly quotes, euro, em dash) -- 10 per doc
+          (length(spiked) - length(repaired)).as("n_fixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          text || ' Caf' || chr(233) || ' ' || chr(8220) || 'q' || chr(8221)
+               || ' na' || chr(239) || 've ' || chr(8364) || '5 '
+               || chr(8212) || 'dash xy' AS text_clean,
+          10 AS n_fixed
+        FROM documents ORDER BY doc_id"""))
+  )
 
   /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,
     * "text", more-'slow'-than-'fast', 64)` on the sf0.01 fixture, rounded

@@ -1068,6 +1068,35 @@ class TextSpec extends AnyFunSuite {
     assert(out(4L) == Seq.empty)
   }
 
+  test("fixMojibake: every CP1252-representable char round-trips; clean text untouched") {
+    import graft.functions.Text
+    def moji(s: String): String =
+      graft.expressions.FixMojibake.cp1252Decode(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def repair(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(Text.fixMojibake(col("t"))).head().getString(0)
+    // property: for every char the CP1252 misdecoding can represent,
+    // repair(mojibake(c)) == c — covers all 2-byte Latin-1 and the 3-byte
+    // punctuation (curly quotes, dashes, ellipsis, euro, dagger, permille)
+    val chars = ((0xA1 to 0xFF).map(_.toChar) ++
+      "‘’“”–—…€†‡‰ŠŒŽ").mkString
+    for (c <- chars) {
+      val dirty = s"ascii head ${moji(c.toString)} tail"
+      assert(repair(dirty) == s"ascii head $c tail", s"char U+${c.toInt.toHexString}")
+    }
+    // already-clean accented text: é encodes to a lone 0xE9, invalid
+    // UTF-8 — the strict round-trip refuses, input survives untouched
+    val clean = "Café “fine” — naïve €5"
+    assert(repair(clean) == clean)
+    // idempotence: repairing repaired text is the identity
+    val once = repair(moji(clean))
+    assert(once == clean && repair(once) == clean)
+    // control-char strip keeps tab/newline/CR, drops the rest
+    val ctrl = Seq(Tuple1("a\u0000b\u0007c\td\ne\rf\u001bg\u007fh"))
+      .toDF("t").select(Text.stripControlChars(col("t"))).head().getString(0)
+    assert(ctrl == "abc\td\ne\rfgh")
+  }
+
   test("trained quality classifier: fit recovers the planted signal, scoring is layout-stable") {
     import graft.operators.Scoring
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
