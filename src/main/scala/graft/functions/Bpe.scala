@@ -58,9 +58,92 @@ object Bpe {
     * the caller's vocab cap). Deterministic: highest pair count wins, ties
     * to the lexicographically smallest (first, second) pair. Stops early
     * when no adjacent pair remains (fully merged vocabulary).
+    *
+    * Incremental (heap + delta-update) form of the classic trainer: the
+    * naive loop re-counts EVERY adjacent pair each iteration —
+    * O(numMerges x total symbols), a driver stall once numMerges grows
+    * past a few hundred over a 64k vocab. Here pair counts are built once;
+    * each merge touches only the words that CONTAIN the merged pair
+    * (tracked in an inverted index), subtracting their old pairs and
+    * adding their re-merged ones, and a lazy-deletion max-heap yields the
+    * next best pair: entries are (pair, count-at-push); a popped entry
+    * whose count no longer matches the live map is stale and skipped. The
+    * heap order (count desc, pair asc) reproduces the naive argmax
+    * EXACTLY, tie-break included — [[learnFromCountsNaive]] stays as the
+    * reference implementation and BpeSpec pins table identity.
     */
   def learnFromCounts(wordCounts: Seq[(String, Long)],
                       numMerges: Int): Seq[(String, String)] = {
+    type Pair = (String, String)
+    val words: Array[Array[String]] =
+      wordCounts.map(_._1.map(_.toString).toArray).toArray
+    val wcount: Array[Long] = wordCounts.map(_._2).toArray
+    val pairCounts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.Set[Int]]
+    def forPairs(syms: Array[String])(f: Pair => Unit): Unit = {
+      var j = 0
+      while (j < syms.length - 1) { f((syms(j), syms(j + 1))); j += 1 }
+    }
+    val touched = scala.collection.mutable.Set.empty[Pair]
+    def add(wi: Int): Unit = forPairs(words(wi)) { p =>
+      pairCounts(p) = pairCounts.getOrElse(p, 0L) + wcount(wi)
+      where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      touched += p
+    }
+    def remove(wi: Int): Unit = forPairs(words(wi)) { p =>
+      val left = pairCounts.getOrElse(p, 0L) - wcount(wi)
+      if (left <= 0L) pairCounts.remove(p) else pairCounts(p) = left
+      touched += p
+    }
+    words.indices.foreach(add)
+    // max-heap by (count desc, pair asc) — the naive reduce's exact order
+    val heap = new java.util.PriorityQueue[(Pair, Long)](
+      math.max(1, pairCounts.size),
+      new java.util.Comparator[(Pair, Long)] {
+        override def compare(x: (Pair, Long), y: (Pair, Long)): Int = {
+          val c = java.lang.Long.compare(y._2, x._2)
+          if (c != 0) c else Ordering[Pair].compare(x._1, y._1)
+        }
+      })
+    def flushTouched(): Unit = {
+      touched.foreach(p => pairCounts.get(p).foreach(c => heap.add((p, c))))
+      touched.clear()
+    }
+    flushTouched()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    while (merges.length < numMerges && !heap.isEmpty) {
+      val (p, c) = heap.poll()
+      if (pairCounts.get(p).contains(c)) { // live entry (not stale)
+        merges += p
+        // re-merge only the words that contain p; the index may hold
+        // stale members (words re-merged since insertion) — the adjacency
+        // check below makes those harmless
+        val members = where.remove(p).map(_.toArray.sorted).getOrElse(Array.empty)
+        for (wi <- members) {
+          val syms = words(wi)
+          var has = false
+          forPairs(syms)(q => has ||= (q == p))
+          if (has) {
+            remove(wi)
+            words(wi) = mergePair(syms, p)
+            add(wi)
+          }
+        }
+        pairCounts.remove(p)
+        touched -= p
+        flushTouched()
+      }
+    }
+    merges.toList
+  }
+
+  /** The O(numMerges x symbols) re-count-everything loop — kept as the
+    * reference implementation the incremental [[learnFromCounts]] is
+    * gated against (BpeSpec identity test).
+    */
+  private[graft] def learnFromCountsNaive(wordCounts: Seq[(String, Long)],
+                                          numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.map(_.toString).toArray, c)
     }.toArray

@@ -28,6 +28,30 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Seq(("a", "b")))
   }
 
+  test("incremental trainer == naive trainer, table-identical, at 10x the merges") {
+    // a deterministic synthetic vocabulary big enough that the naive
+    // re-count-everything loop's cost is visible: 3,000 words over a
+    // 12-letter alphabet with Zipf-ish counts (seeded — stable table)
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijkl"
+    val vocab = (1 to 3000).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      val w = (1 to len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+      (w, (10000 / i + 1).toLong)
+    }.distinct
+    val t0 = System.nanoTime()
+    val fast = Bpe.learnFromCounts(vocab, numMerges = 400)
+    val tFast = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val slow = Bpe.learnFromCountsNaive(vocab, numMerges = 400)
+    val tSlow = (System.nanoTime() - t1) / 1e9
+    assert(fast === slow, "incremental trainer must reproduce the naive table exactly")
+    assert(fast.length == 400)
+    info(f"400 merges over ${vocab.size} words: incremental $tFast%.2fs vs naive $tSlow%.2fs")
+    // the paper example too (the gate the textbook test pins)
+    assert(Bpe.learnFromCounts(paperVocab, 4) === Bpe.learnFromCountsNaive(paperVocab, 4))
+  }
+
   test("in-plan application: lowest -> [low, est]") {
     val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
     val toks = Seq("lowest").toDF("w")
