@@ -948,6 +948,59 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Maximal duplicated-span EXTRACTION — the span table Lee et al.'s
+    * exact-substring dedup actually reports (ranges, not just counts;
+    * [[removeDupSpans]] is the removal action, [[dupSpanCounts]] the
+    * per-doc signal): per doc, every maximal contiguous run of word
+    * positions covered by a cross-document duplicated n-gram becomes one
+    * (start_word, n_words, span) row.
+    *
+    * Why no widening search is needed for exact boundaries: a duplicated
+    * substring of length L >= n covers its L positions with its L-n+1
+    * duplicated n-grams, and every duplicated n-gram IS a duplicated
+    * substring of length n — so the union of covered positions equals the
+    * union of all duplicated substrings of length >= n exactly, and the
+    * contiguous runs of that union are the maximal reportable spans,
+    * variable-length by construction (the fixed n is the minimum match
+    * length, Lee et al.'s threshold parameter, not a span size).
+    *
+    * Scale shape: same bare (long, int) exchanges as [[removeDupSpans]]
+    * (positional gram hashes, window df, coverage explode), plus one
+    * islands step — `pos - row_number` over a PER-DOCUMENT window (frames
+    * bounded by doc length, never corpus-global) groups consecutive
+    * positions into runs; span text is rebuilt by slicing the word array,
+    * so nothing corpus-sized ever sits in one task.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordsOf = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val base = df.select(col(idCol).as("id"), wordsOf.as("w"))
+    val grams = base.filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val shared = grams.select(col("id"), col("h")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") >= 2).select(col("h")).distinct()
+    val covered = grams.join(shared, "h")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .distinct()
+    val wDoc = Window.partitionBy("id").orderBy("p")
+    val runs = covered
+      .withColumn("grp", col("p") - row_number().over(wDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("p")).as("start_word"),
+        count(lit(1)).cast("long").as("n_words"))
+    runs.join(base, "id")
+      .select(col("id").as(idCol),
+        col("start_word").cast("int").as("start_word"),
+        col("n_words"),
+        array_join(slice(col("w"), col("start_word") + 1,
+          col("n_words").cast("int")), " ").as("span"))
+  }
+
   /** Drop LSH buckets holding more than `maxBucket` members (hot-bucket cap;
     * bounds the candidate self-join at O(buckets * maxBucket^2) regardless
     * of corpus size). One count-aggregate over the banded rows.

@@ -96,7 +96,57 @@ object Round10 {
                || ' na' || chr(239) || 've ' || chr(8364) || '5 '
                || chr(8212) || 'dash xy' AS text_clean,
           10 AS n_fixed
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Variable-length exact-substring dedup spans (Lee et al.'s actual
+    // contract: maximal duplicated RANGES, not fixed-gram counts). The
+    // query PLANTS a 20-word block shared by every doc_id % 50 cohort
+    // (identical literals in both engines) appended to each doc, then
+    // extracts maximal covered runs at n=13: a duplicated substring of
+    // length L >= n covers its positions with its L-n+1 duplicated
+    // n-grams, so run boundaries ARE the true duplicate boundaries —
+    // the planted block surfaces as exactly one 20-word span per doc
+    // (merged wider only where the fixture's own duplicate structure
+    // abuts it, which the oracle replays identically: grams -> cross-doc
+    // df -> coverage -> islands (pos - row_number) -> slice rebuild).
+    Q("q232_dup_span_ranges",
+      (s, d) => {
+        val block = array_join(transform(sequence(lit(1), lit(20)),
+          j => concat(lit("pb"), (col("doc_id") % 50).cast("string"),
+            lit("w"), j.cast("string"))), " ")
+        val spiked = t(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), lit(" "), block).as("text"))
+        graft.operators.Dedup.dupSpans(spiked, "doc_id", "text", n = 13)
+          .orderBy(col("doc_id"), col("start_word"))
+      },
+      Some("""
+        WITH spiked AS (
+          SELECT doc_id, text || ' ' || array_to_string(
+            list_transform(generate_series(1, 20),
+              j -> 'pb' || (doc_id % 50) || 'w' || j), ' ') AS text
+          FROM documents),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM spiked),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+12], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+          WHERE len(w) >= 13),
+        shared AS (SELECT g FROM grams GROUP BY g
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+        covered AS (
+          SELECT DISTINCT grams.doc_id, c.p
+          FROM grams JOIN shared USING (g),
+               unnest(generate_series(grams.pos, grams.pos + 12)) AS c(p)),
+        runs AS (
+          SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM covered),
+        agg AS (SELECT doc_id, grp, min(p) AS sp,
+                       CAST(COUNT(*) AS BIGINT) AS n_words
+                FROM runs GROUP BY 1, 2)
+        SELECT a.doc_id, CAST(sp - 1 AS INTEGER) AS start_word, n_words,
+          array_to_string(list_slice(t.w, sp, sp + n_words - 1), ' ') AS span
+        FROM agg a JOIN toks t USING (doc_id)
+        ORDER BY doc_id, start_word"""))
   )
 
   /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,

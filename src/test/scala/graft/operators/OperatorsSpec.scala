@@ -492,6 +492,42 @@ class DedupSpec extends AnyFunSuite {
     assert(at(Dedup.AutoBands) == at(Dedup.autoBands(n)))
   }
 
+  test("dupSpans: planted long duplicates surface at exact boundaries; short ones don't") {
+    import spark.implicits._
+    def ws(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val block20 = ws("blk", 20)   // planted 20-word duplicate
+    val block12 = ws("srt", 12)   // 12 < n=13: must NOT be reported
+    val blockB = ws("two", 15)    // second independent 15-word duplicate
+    val docs = Seq(
+      (1L, s"${ws("ua", 3)} $block20 ${ws("ub", 2)} $blockB"),
+      (2L, s"${ws("va", 2)} $block20 ${ws("vb", 14)}"),
+      (3L, s"${ws("wa", 5)} $blockB ${ws("wc", 4)} $block12"),
+      (4L, s"$block12 ${ws("xa", 16)}"),
+      (5L, ws("solo", 30))).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(s => (s._1, s._2))
+    // doc 1: block20 at word 3 (len 20), blockB at word 25 (len 15)
+    // doc 2: block20 at word 2; doc 3: blockB at word 5; docs 4/5: nothing
+    assert(spans.toSeq == Seq(
+      (1L, 3, 20L, block20), (1L, 25, 15L, blockB),
+      (2L, 2, 20L, block20), (3L, 5, 15L, blockB)),
+      s"got ${spans.toSeq}")
+    // layout-invariant
+    val again = Dedup.dupSpans(docs.repartition(7), "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(s => (s._1, s._2))
+    assert(again.toSeq == spans.toSeq)
+    // removal and extraction agree: removeDupSpans deletes exactly the
+    // union of the reported spans' positions
+    val removed = Dedup.removeDupSpans(docs, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val spanWords = spans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L))
+      assert(removed(id) == spanWords.getOrElse(id, 0L),
+        s"doc $id: removed ${removed(id)} != span words ${spanWords.getOrElse(id, 0L)}")
+  }
+
   test("autoBands128 ladder: bands=4+ survives past the 64-bit 262k knee") {
     assert(Dedup.autoBands128(1L) == 16)
     assert(Dedup.autoBands128(4096L) == 16)        // 16 * 2^8
