@@ -258,6 +258,56 @@ object Dedup {
     newDf.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** The reference corpus' capped shingle index in its SAVEABLE form —
+    * (id, h) distinct rows with hot shingles (df > maxDf) already dropped,
+    * exactly the frame [[crossJaccardPairs]] builds for its reference side.
+    * Write it to parquet once per accepted-corpus generation and feed it to
+    * [[dedupAgainstIndex]] on every subsequent batch: the reference text is
+    * never re-shingled, which at a growing 100 TB accepted corpus is the
+    * difference between an O(batch) incremental pass and re-sketching
+    * everything ever accepted per batch.
+    */
+  def refShingleIndex(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, maxDf: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    shingleIndex(df, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+  }
+
+  /** [[dedupAgainstReference]] against a PREBUILT reference index
+    * ([[refShingleIndex]], typically parquet-loaded): identical output by
+    * construction — the reference side skips straight to the hash join.
+    * Only the new batch is shingled/capped; the equivalence spec pins
+    * result identity against the re-sketching path.
+    */
+  def dedupAgainstIndex(newDf: DataFrame, refIndex: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val a = Caches.persistTracked(
+      shingleIndex(newDf, idCol, textCol, n)
+        .withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf)
+        .drop("__df"), eager = true)
+    val b = refIndex.select(col("id"), col("h"))
+    val sizesA = a.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val sizesB = b.groupBy("id").agg(count(lit(1)).as("n_b"))
+    val flagged = a.as("a").join(b.as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_ref"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizesA.withColumnRenamed("id", "id_new"), "id_new")
+      .join(sizesB.withColumnRenamed("id", "id_ref"), "id_ref")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    newDf.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc simhash signatures as ONE scalar projection
     * ([[graft.expressions.SimhashDoc]]): tokenize + hash + vote inside a
     * single expression pass over the text bytes — no explode, no aggregate,

@@ -970,6 +970,29 @@ final class Registry(spark: SparkSession) {
         threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8),
         maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
     },
+    "graft.shingle_index" -> { a =>
+      // the reference corpus' capped (id, h) shingle index — a tiny
+      // checkpointable frame (saveProgress it): later batches dedup
+      // against the SAVED index and never re-shingle the accepted corpus
+      Dedup.refShingleIndex(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
+    },
+    "graft.dedup_against_index" -> { a =>
+      // incremental dedup against a PREBUILT reference shingle index
+      // (graft.shingle_index output, usually resumed from checkpoint)
+      Dedup.dedupAgainstIndex(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("index", 1), "index"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(3),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8),
+        maxDf = a.get("max_df", -1).map(asInt(_, "max_df")).getOrElse(10000))
+    },
     "graft.clean_lines" -> { a =>
       // RefinedWeb/Dolma line-level structural cleanse of the text column
       val df = asDf(a.require("df", 0), "df")

@@ -370,6 +370,30 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("dedup against a saved index == dedup against the re-sketched reference") {
+    // the incremental-index path (reference shingled ONCE, index saved,
+    // later batches join it) must reproduce the re-sketching path exactly —
+    // including the parquet round-trip the pipeline checkpoint performs
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ref_ix").toString
+    Dedup.refShingleIndex(ref, "doc_id", "text", n = 3)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.dedupAgainstIndex(batch, spark.read.parquet(dir),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    val viaRef = Dedup.dedupAgainstReference(batch, ref,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    assert(viaIndex == viaRef, s"index path ${viaIndex.size} docs != reference path ${viaRef.size}")
+    assert(viaIndex.nonEmpty && viaIndex.size < batch.count(),
+      "fixture cross-parity near-dups must drop some batch docs")
+  }
+
   test("simhash scalar expression matches explode+agg signatures bit-for-bit") {
     // the one-pass SimhashDoc projection must reproduce the agg path exactly,
     // including Java split("\\s+")'s edge cases: leading whitespace (empty

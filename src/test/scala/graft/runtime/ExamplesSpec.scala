@@ -193,10 +193,12 @@ class ExamplesSpec extends AnyFunSuite {
       "the eval slice samples from the mixture selection only")
   }
 
-  test("examples/incremental_dedup.yaml: batch deduped against reference, keywords per survivor") {
+  test("examples/incremental_dedup.yaml: two-run E2E — run 2 resumes the saved index, no re-sketch") {
     val out = freshDir("ex_incr")
-    new Pipeline(spark, "examples/incremental_dedup.yaml",
-      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+    val p1 = new Pipeline(spark, "examples/incremental_dedup.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p1.run()
+    assert(p1.resumedSteps.isEmpty, "run 1 builds everything fresh")
 
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 2 === 1)
@@ -212,6 +214,22 @@ class ExamplesSpec extends AnyFunSuite {
       "top-3 terms per doc")
     // keywords cover exactly the surviving docs
     assert(kw.select("doc_id").distinct().count() == novel.count())
+    // token counts ride the saved merge table for exactly the survivors
+    val toks = spark.read.parquet(s"$out/novel_tokens.parquet")
+    assert(toks.count() == novel.count() && toks.columns.contains("n_tokens"))
+    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // ---- run 2: the index and merge table must RESUME from parquet (the
+    // reference corpus is never re-shingled, the tokenizer never
+    // re-trained), while the per-batch steps recompute and agree ----
+    val p2 = new Pipeline(spark, "examples/incremental_dedup.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p2.run()
+    assert(p2.resumedSteps == Set("ref_index", "bpe_merges"),
+      s"run 2 must skip exactly the sketch/train steps, resumed=${p2.resumedSteps}")
+    val novel2 = spark.read.parquet(s"$out/novel_docs.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel2 == novelIds, "resumed-index dedup must equal run 1's result")
   }
 
   test("examples/train_prep.yaml runs green: decontaminated, deduped, split, sampled") {
