@@ -1338,6 +1338,58 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.fix_mojibake" -> { a =>
+      // CP1252-in-UTF8 double-encoding repair + optional control-char
+      // strip (strip_controls=true default) — the crawl-cleaning stage
+      // beside strip_html / normalize passes
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      val repaired = Text.fixMojibake(col(textCol))
+      df.withColumn(textCol,
+        if (a.get("strip_controls", -1).forall(asBool(_, default = true)))
+          Text.stripControlChars(repaired)
+        else repaired)
+    },
+    "graft.dup_spans" -> { a =>
+      // maximal duplicated-range extraction (Lee et al. span table):
+      // (id, start_word, n_words, span) rows at min-match length n
+      Dedup.dupSpans(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
+    },
+    "graft.quality_fit" -> { a =>
+      // fit the hashed-TF LR quality classifier against a label
+      // expression; returns a (pos, weight) frame with the intercept at
+      // pos = -1 — tiny and checkpointable (saveProgress it), the
+      // train-once / score-everywhere asset graft.quality_score consumes
+      val df = asDf(a.require("df", 0), "df")
+      val (w, b) = graft.operators.Scoring.fitHashedTfLR(df,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        expr(asStr(a.require("label", 1), "label")),
+        numFeatures = a.get("num_features", -1).map(asInt(_, "num_features"))
+          .getOrElse(64))
+      val sp = df.sparkSession
+      import sp.implicits._
+      ((-1, b) +: w.zipWithIndex.map { case (x, i) => (i, x) })
+        .toDF("pos", "weight")
+    },
+    "graft.quality_score" -> { a =>
+      // score every doc with a trained weights frame (graft.quality_fit's
+      // output, usually resumed from checkpoint): one codegen'd map pass,
+      // plan-literal weights, zero shuffle
+      val df = asDf(a.require("df", 0), "df")
+      val rows = asDf(a.require("weights", 1), "weights")
+        .select(col("pos").cast("int"), col("weight").cast("double"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val intercept = rows.getOrElse(-1,
+        throw PipelineError("quality_score: weights frame lacks the pos=-1 intercept row"))
+      val weights = (0 until rows.keys.max + 1).map(i => rows.getOrElse(i, 0.0))
+      graft.operators.Scoring.hashedTfScore(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        weights, intercept)
+    },
     "graft.dsir_weight" -> { a =>
       // DSIR importance log-weights: tilt the corpus toward the rows where
       // `target` (a filter expression over the frame) holds

@@ -1111,6 +1111,41 @@ class RegistrySpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("graft.quality_fit -> quality_score round-trips through the weights frame") {
+    // plant a perfectly learnable signal and drive the two-step YAML
+    // surface: fit emits the checkpointable (pos, weight) frame (intercept
+    // at pos=-1), score consumes it and separates the classes
+    val docs = (1L to 120L).map { i =>
+      val tail = if (i % 2 == 0) "good clean prose" else "spam spam spam junk"
+      (i, s"common words here $tail")
+    }.toDF("doc_id", "text")
+    val weights = reg.callFunction("graft.quality_fit", Args(
+      pos = List(docs), kw = List("label" -> "doc_id % 2 = 0")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(weights.filter(col("pos") === -1).count() == 1, "intercept row present")
+    assert(weights.count() == 65) // 64 weights + intercept
+    val scored = reg.callFunction("graft.quality_score", Args(
+      pos = List(docs, weights)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 120L).forall(i => (scored(i) > 0) == (i % 2 == 0)),
+      "scored logits must separate the planted classes")
+  }
+
+  test("graft.fix_mojibake and graft.dup_spans from the YAML surface") {
+    val dirty = Seq((1L, "CafÃ© ok\u0007")).toDF("doc_id", "text")
+    val fixed = reg.callFunction("graft.fix_mojibake", Args(pos = List(dirty)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].head().getString(1)
+    assert(fixed == "Café ok")
+    val block = (1 to 15).map(i => s"b$i").mkString(" ")
+    val dup = Seq((1L, s"u1 u2 $block"), (2L, s"v1 $block v2"))
+      .toDF("doc_id", "text")
+    val spans = reg.callFunction("graft.dup_spans", Args(pos = List(dup)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 2, 15L), (2L, 1, 15L)), s"got $spans")
+  }
+
   test("drop_duplicates keep first/last is deterministic under order_by") {
     val d = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).toDF("k", "t", "v")
     def kept(keep: String) =
