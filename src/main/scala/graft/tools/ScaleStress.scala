@@ -186,11 +186,23 @@ object ScaleStress {
       cell("q36_simhash_verified", f, nd)(
         Dedup.simhashVerifiedPairs(d, "doc_id", "text", maxHamming = 12,
           threshold = 0.2).count())
+      // 128-bit simhash under ITS auto ladder: the corpus sizes where the
+      // 64-bit rung above degrades to bands=2 keep bands=8 here — runtime
+      // should stay comparable to the 64-bit cell while the recall table
+      // (BandRecall) shows the tail restored
+      cell("q228_simhash128_verified", f, nd)(
+        Dedup.simhashVerifiedPairs128(d, "doc_id", "text", maxHamming = 24,
+          threshold = 0.2).count())
       // replica shingle sets are disjoint, so shared-span structure (and
       // the dup count) replicates exactly; runtime should track the linear
       // (long,long) shuffle volume
       cell("q111_dup_spans", f, nd)(
         Dedup.dupSpanCounts(d, "doc_id", "text", n = 13).count())
+      // maximal-range extraction adds one per-doc-window islands pass over
+      // the covered positions — same linear shuffle volume as q111, span
+      // count replicating with the corpus
+      cell("q232_dup_span_ranges", f, nd)(
+        Dedup.dupSpans(d, "doc_id", "text", n = 13).count())
       // bench = the replica-0 slice OF THE SAME frame (suffixing is uniform
       // within a block, so the block-0 overlap structure is preserved at
       // every factor): flagged docs stay constant while the corpus grows —
