@@ -537,6 +537,63 @@ object Similarity {
         lut.as("lut"))
   }
 
+  /** Persist an IVF-PQ index to `dir` (the FAISS write_index shape): the
+    * code table (one row of m ints per corpus vector — ~32x lighter than
+    * the float vectors), the centroid table, and the residual codebooks,
+    * each as parquet. Build once per corpus generation; every later query
+    * batch runs [[ivfPqTopKIndexed]] against the saved index — no KMeans
+    * refit, no re-encode, which at 100 TB is the difference between an
+    * O(queries) serving pass and re-sketching the corpus per batch (the
+    * embedding twin of [[Dedup.refShingleIndex]]).
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, dir: String,
+                      ncells: Int = 16, m: Int = 8, ksub: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      fitSampleRows: Long = 100000L,
+                      corpusRows: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (codes, cents, codebooks) = ivfPqIndex(
+      corpus, ncells, m, ksub, idCol, vecCol, fitSampleRows, corpusRows)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Query a SAVED IVF-PQ index ([[ivfPqWriteIndex]]): probe + ADC over
+    * the parquet code table, exact rerank joining the corpus vectors back
+    * by id (the index stores codes only, like FAISS IVFPQ — rerank reads
+    * the source table for the O(|Q|·k·rerankFactor) survivors). Results
+    * equal the in-memory [[ivfPqTopK]] built with the same parameters in
+    * the same session (spec-pinned).
+    */
+  def ivfPqTopKIndexed(queries: DataFrame, corpus: DataFrame, dir: String,
+                       k: Int, nprobe: Int = 4, rerankFactor: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebooks: Seq[Seq[Seq[Double]]] = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+    val probed = ivfPqProbe(queries, cents, codebooks, nprobe, idCol, vecCol)
+    val candidates = topKPerQuery(
+      ivfPqAdcScan(codes, probed), k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = candidates
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** ADC candidate scan (step 4): broadcast the probed set onto the code
     * table — the cell-equality join IS the cell filter, so only rows in
     * probed cells are ever scored, and the corpus never shuffles.

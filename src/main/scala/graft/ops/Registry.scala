@@ -1358,6 +1358,34 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
     },
+    "graft.ann_index_write" -> { a =>
+      // build + persist the IVF-PQ index (codes/centroids/codebooks
+      // parquet) — the embedding twin of graft.shingle_index; returns the
+      // code table for inspection
+      val df = asDf(a.require("df", 0), "df")
+      val dir = asStr(a.require("dir", 1), "dir")
+      graft.operators.Similarity.ivfPqWriteIndex(df, dir,
+        ncells = a.get("ncells", -1).map(asInt(_, "ncells")).getOrElse(16),
+        m = a.get("m", -1).map(asInt(_, "m")).getOrElse(8),
+        ksub = a.get("ksub", -1).map(asInt(_, "ksub")).getOrElse(64),
+        idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"))
+      df.sparkSession.read.parquet(s"$dir/codes")
+    },
+    "graft.ann_topk_indexed" -> { a =>
+      // top-k ANN against a SAVED IVF-PQ index (no refit, no re-encode);
+      // corpus supplies the vectors for the exact rerank
+      graft.operators.Similarity.ivfPqTopKIndexed(
+        asDf(a.require("queries", 0), "queries"),
+        asDf(a.require("corpus", 1), "corpus"),
+        asStr(a.require("dir", 2), "dir"),
+        k = asInt(a.require("k", 3), "k"),
+        nprobe = a.get("nprobe", -1).map(asInt(_, "nprobe")).getOrElse(4),
+        rerankFactor = a.get("rerank_factor", -1)
+          .map(asInt(_, "rerank_factor")).getOrElse(8),
+        idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"))
+    },
     "graft.quality_fit" -> { a =>
       // fit the hashed-TF LR quality classifier against a label
       // expression; returns a (pos, weight) frame with the intercept at

@@ -695,6 +695,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c1 < c4, s"nprobe=1 ($c1) must scan fewer candidates than nprobe=4 ($c4)")
   }
 
+  test("IVF-PQ index save/load: saved-index queries equal the in-memory path") {
+    val queries = emb.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_ix").toString
+    Similarity.ivfPqWriteIndex(emb, dir, ncells = 8, m = 8, ksub = 64)
+    val fromIndex = Similarity.ivfPqTopKIndexed(queries, emb, dir,
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // the in-memory path refits the same seeded models over the same
+    // partitioning, so results must be identical rank-for-rank
+    val inMem = Similarity.ivfPqTopK(queries, emb, k = 5,
+        ncells = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(fromIndex == inMem,
+      s"saved-index results diverge: ${fromIndex.toSet.diff(inMem.toSet).take(5)}")
+    assert(fromIndex.nonEmpty)
+    // the saved code table is the compressed form: m ints per vector
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == emb.count())
+    assert(codes.select(size(col("codes"))).distinct().head().getInt(0) == 8)
+  }
+
   test("SQ8 roundtrip: per-dim error <= step/2, byte codes, cosine error bounded") {
     import graft.expressions.VectorExprs
     val (mins, maxs) = Similarity.fitSqRange(emb)

@@ -191,6 +191,16 @@ class ExamplesSpec extends AnyFunSuite {
     val selIds = selected.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(eval.select("doc_id").collect().map(_.getLong(0)).forall(selIds),
       "the eval slice samples from the mixture selection only")
+
+    // dense half: the persisted IVF-PQ index exists (codes = m ints per
+    // vector) and the indexed query returns k ranked neighbors per query
+    val codes = spark.read.parquet(s"$out/ann_index/codes")
+    val nEmb = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(codes.count() == nEmb)
+    val nn = spark.read.parquet(s"$out/neighbors.parquet")
+    assert(nn.groupBy("query_id").count().collect().forall(_.getLong(1) == 5),
+      "k=5 neighbors per query")
+    assert(nn.select("query_id").distinct().count() == 5)
   }
 
   test("examples/incremental_dedup.yaml: two-run E2E — run 2 resumes the saved index, no re-sketch") {
