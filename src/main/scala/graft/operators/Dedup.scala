@@ -982,6 +982,50 @@ object Dedup {
     val covered = grams.join(shared, "h")
       .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
       .distinct()
+    rebuildWithout(base, covered, idCol, textCol)
+  }
+
+  /** [[removeDupSpans]] with KEEP-ONE-COPY semantics — the variant
+    * production pipelines actually run (removing every occurrence destroys
+    * the content entirely; deduplication wants exactly one survivor): per
+    * duplicated n-gram, the doc with the MINIMUM id among those containing
+    * it is the keeper — its positions stay; every other doc's covered
+    * positions are deleted. Exact-duplicate documents therefore keep one
+    * intact copy (min id) while the rest collapse, where
+    * [[removeDupSpans]] deletes all of them.
+    *
+    * Same scale shape as [[removeDupSpans]] (bare (long, int) exchanges);
+    * the keeper is one extra min() in the gram-frequency aggregate, and
+    * the tie-break is total (ids are unique), so the output is
+    * deterministic under any partitioning.
+    */
+  def removeDupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 13): DataFrame = {
+    val wordsOf = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val base = df.select(col(idCol).as("id"), wordsOf.as("w"))
+    val grams = base.filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val shared = grams.select(col("id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"), min(col("id")).as("keeper"))
+      .filter(col("__df") >= 2)
+      .select(col("h"), col("keeper"))
+    val covered = grams.join(shared, "h")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .distinct()
+    rebuildWithout(base, covered, idCol, textCol)
+  }
+
+  /** Rebuild docs dropping the covered positions — the shared tail of the
+    * span-removal variants: anti-join word positions against the covered
+    * set, reassemble in order, report the per-doc removal count.
+    */
+  private def rebuildWithout(base: DataFrame, covered: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
     val kept = base
       .select(col("id"), posexplode(col("w")).as(Seq("p", "word")))
       .join(covered, Seq("id", "p"), "left_anti")

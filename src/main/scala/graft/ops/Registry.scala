@@ -1199,11 +1199,19 @@ final class Registry(spark: SparkSession) {
     },
     "graft.remove_dup_spans" -> { a =>
       // Lee-et-al exact-substring dedup: delete words covered by an n-gram
-      // shared with another doc
-      graft.operators.Dedup.removeDupSpans(asDf(a.require("df", 0), "df"),
+      // shared with another doc. keep='none' (default) removes every
+      // occurrence; keep='first' leaves the min-id holder's copy intact —
+      // the one-surviving-copy production variant
+      val call = a.get("keep", -1).map(asStr(_, "keep")).getOrElse("none") match {
+        case "none" => graft.operators.Dedup.removeDupSpans _
+        case "first" => graft.operators.Dedup.removeDupSpansKeepFirst _
+        case other => throw PipelineError(
+          s"remove_dup_spans: keep must be none/first, got '$other'")
+      }
+      call(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
-        n = a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
+        a.get("n", -1).map(asInt(_, "n")).getOrElse(13))
     },
     "graft.canonicalize_urls" -> { a =>
       // canonical dedup key + registered domain + stripped-tracker audit

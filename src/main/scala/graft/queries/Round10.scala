@@ -146,7 +146,45 @@ object Round10 {
         SELECT a.doc_id, CAST(sp - 1 AS INTEGER) AS start_word, n_words,
           array_to_string(list_slice(t.w, sp, sp + n_words - 1), ' ') AS span
         FROM agg a JOIN toks t USING (doc_id)
-        ORDER BY doc_id, start_word"""))
+        ORDER BY doc_id, start_word""")),
+
+    // Span removal with KEEP-ONE-COPY semantics (the production variant —
+    // q117 deletes every occurrence, destroying the content entirely;
+    // dedup wants exactly one survivor): per duplicated 13-gram, the
+    // min-doc_id holder keeps its positions, everyone else's are deleted.
+    // The fixture's exact-dup docs therefore survive ONCE (the min-id
+    // copy stays intact while the rest collapse) — the oracle replays
+    // keeper selection, coverage and rebuild, so the gate binds the
+    // keeper rule, the windows, and the reassembly order at once.
+    Q("q233_remove_dup_spans_keep_first",
+      (s, d) => graft.operators.Dedup
+        .removeDupSpansKeepFirst(t(s, d, "documents"), "doc_id", "text", n = 13)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+12], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+          WHERE len(w) >= 13),
+        shared AS (
+          SELECT g, MIN(doc_id) AS keeper FROM grams
+          GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        covered AS (
+          SELECT DISTINCT grams.doc_id, c.p
+          FROM grams JOIN shared USING (g),
+               unnest(generate_series(grams.pos, grams.pos + 12)) AS c(p)
+          WHERE grams.doc_id <> shared.keeper),
+        kept AS (
+          SELECT t.doc_id, pi.i AS p, t.w[pi.i] AS word
+          FROM toks t, unnest(generate_series(1, len(t.w))) AS pi(i)
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = t.doc_id AND c.p = pi.i)),
+        reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.clean, '') AS text,
+          CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id"""))
   )
 
   /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,

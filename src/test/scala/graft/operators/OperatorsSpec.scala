@@ -552,6 +552,31 @@ class DedupSpec extends AnyFunSuite {
         s"doc $id: removed ${removed(id)} != span words ${spanWords.getOrElse(id, 0L)}")
   }
 
+  test("removeDupSpansKeepFirst: one copy survives intact, later copies collapse") {
+    import spark.implicits._
+    val block = (1 to 15).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (3L, block),                    // exact dup, NOT the keeper (id 1 is)
+      (1L, block),                    // keeper: min id among holders
+      (2L, s"u1 u2 $block u3"),       // partial holder, loses the block only
+      (9L, "all unique words here never repeated anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpansKeepFirst(docs, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ((block, 0L)), "keeper copy survives intact")
+    assert(out(3L) == (("", 15L)), "non-keeper exact dup collapses")
+    assert(out(2L) == (("u1 u2 u3", 15L)), "partial holder loses exactly the block")
+    assert(out(9L)._2 == 0L, "unique doc untouched")
+    // contrast: remove-all deletes the keeper's copy too
+    val all = Dedup.removeDupSpans(docs, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all(1L) == 15L, "remove-all deletes every copy including the keeper's")
+    // layout-invariant keeper selection
+    val again = Dedup.removeDupSpansKeepFirst(docs.repartition(5), "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("autoBands128 ladder: bands=4+ survives past the 64-bit 262k knee") {
     assert(Dedup.autoBands128(1L) == 16)
     assert(Dedup.autoBands128(4096L) == 16)        // 16 * 2^8
