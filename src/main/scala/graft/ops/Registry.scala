@@ -1421,6 +1421,8 @@ final class Registry(spark: SparkSession) {
       val intercept = rows.getOrElse(-1,
         throw PipelineError("quality_score: weights frame lacks the pos=-1 intercept row"))
       val weights = (0 until rows.keys.max + 1).map(i => rows.getOrElse(i, 0.0))
+      if (weights.isEmpty) throw PipelineError(
+        "quality_score: weights frame holds only the intercept (no pos >= 0 rows)")
       graft.operators.Scoring.hashedTfScore(df,
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),

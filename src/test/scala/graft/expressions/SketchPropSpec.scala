@@ -1,0 +1,78 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the round-10 scalar expressions, driven through
+  * direct eval (the expressions are pure functions of their input, so no
+  * SparkSession is needed — the plan-level behavior is covered by the
+  * oracle gates and DedupSpec/TextSpec).
+  */
+class SketchPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // strings with the whitespace edge cases SimhashDoc tokenization has to
+  // get right: leading/trailing/consecutive whitespace, tabs/newlines,
+  // multibyte UTF-8 words, empties
+  private val wsChars = Gen.oneOf(' ', '\t', '\n', '\u000b', '\f', '\r')
+  private val word = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.oneOf("héllo", "你好", "naïve", "ø", "𝒳y"))
+  private val text: Gen[String] = Gen.listOf(Gen.oneOf(word, wsChars.map(_.toString)))
+    .map(_.mkString)
+
+  private def eval64(s: String): Long =
+    SimhashDoc(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[Long]
+
+  private def eval128(s: String): (Long, Long) = {
+    val arr = SimhashDoc128(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (arr.getLong(0), arr.getLong(1))
+  }
+
+  test("property: SimhashDoc128 word 0 equals SimhashDoc on arbitrary text") {
+    check(Prop.forAll(text) { s => eval128(s)._1 == eval64(s) })
+  }
+
+  test("property: SimhashDoc128 words are independent (word 1 differs from word 0 somewhere)") {
+    // not per-string (a short string's two hashes can collide bitwise in
+    // principle) — but across a batch of random multi-word strings the two
+    // words must not be systematically identical
+    val g = Gen.listOfN(20, text.suchThat(_.exists(!_.isWhitespace)))
+    check(Prop.forAll(g) { ss => ss.exists(s => { val (a, b) = eval128(s); a != b }) })
+  }
+
+  private def repair(s: String): String =
+    FixMojibake(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[UTF8String].toString
+
+  test("property: mojibake round-trip repairs arbitrary CP1252-representable text") {
+    // any text over CP1252-representable chars: corrupt it the way a real
+    // misdecoder does, repair must restore the original exactly
+    val cpChar = Gen.oneOf(
+      Gen.choose(32, 126).map(_.toChar),
+      Gen.choose(0xA1, 0xFF).map(_.toChar),
+      Gen.oneOf('€', '‘', '’', '“', '”', '–', '—', '…', '†', 'Š', 'œ', 'Ÿ'))
+    val cpText = Gen.nonEmptyListOf(cpChar).map(_.mkString)
+    check(Prop.forAll(cpText) { s =>
+      val dirty = FixMojibake.cp1252Decode(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      repair(dirty) == s
+    })
+  }
+
+  test("property: repair is the identity on ASCII and idempotent in general") {
+    val ascii = Gen.listOf(Gen.choose(32, 126).map(_.toChar)).map(_.mkString)
+    check(Prop.forAll(ascii) { s => repair(s) == s })
+    check(Prop.forAll(text) { s => { val once = repair(s); repair(once) == once } })
+  }
+}
