@@ -441,6 +441,104 @@ object Scoring {
       .select(col("id").as(idCol), col("n_tokens"), col("dsir_log_weight"))
   }
 
+  /** Gopher repetition signals (Rae et al. 2021, appendix A — the
+    * within-document repetition filters every public pipeline applies
+    * before training; the cross-document twin is the dedup family):
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac`: line occurrences past the
+    *    first appearance of that line, as a fraction of lines / of line
+    *    characters;
+    *  - `top{n}gram_char_frac` (n in `topNs`): characters of the single
+    *    most frequent word n-gram (count x its word chars) over total word
+    *    chars — boilerplate phrases repeated through a page;
+    *  - `dup{n}gram_char_frac` (n in `dupNs`): characters of word
+    *    positions covered by ANY within-doc duplicated n-gram (union —
+    *    overlapping duplicates counted once) over total word chars.
+    *
+    * Ties for the top gram break to the lexicographically LARGEST gram at
+    * the max count (max(struct(count, gram)) — one hash aggregate, no
+    * window), mirrored exactly by the oracle. All fractions round(6).
+    *
+    * Scale shape: one exploded pass per requested n plus one line pass,
+    * every aggregate a per-(doc, key) groupBy that combines map-side; gram
+    * rows shuffle, text never does, and nothing corpus-sized sits in one
+    * task. Docs shorter than n words contribute no n-grams (fraction 0).
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val wordsOf = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val base = Caches.persistTracked(df.select(col(idCol).as("id"),
+      wordsOf.as("w"), split(col(textCol), "\n").as("lines")), eager = true)
+    val totals = base.select(col("id"),
+      aggregate(transform(col("w"), x => length(x).cast("long")),
+        lit(0L), (a, b) => a + b).as("wchars"))
+
+    val lineStats = base.select(col("id"), explode(col("lines")).as("line"))
+      .groupBy(col("id"), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c") - 1).as("dup_lines"),
+        sum(col("c")).as("n_lines"),
+        sum((col("c") - 1) * length(col("line"))).as("dup_line_chars"),
+        sum(col("c") * length(col("line"))).as("line_chars"))
+
+    def gramRows(n: Int) = base.filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => struct(
+          array_join(slice(col("w"), i + 1, lit(n)), " ").as("g"),
+          aggregate(transform(slice(col("w"), i + 1, lit(n)),
+            x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+            .as("gchars")))).as(Seq("pos", "gg")))
+      .select(col("id"), col("pos"), col("gg.g").as("g"),
+        col("gg.gchars").as("gchars"))
+
+    def topFrac(n: Int): DataFrame = gramRows(n)
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"), first(col("gchars")).as("gchars"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("c"), col("g"), col("gchars"))).as("__top"))
+      .select(col("id"),
+        (col("__top.c") * col("__top.gchars")).as(s"top${n}chars"))
+
+    def dupFrac(n: Int): DataFrame = {
+      val rows = gramRows(n)
+      val dups = rows.groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("id"), col("g"))
+      val covered = rows.join(dups, Seq("id", "g"))
+        .select(col("id"),
+          explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+        .distinct()
+      base.select(col("id"), posexplode(col("w")).as(Seq("p", "word")))
+        .join(covered, Seq("id", "p"))
+        .groupBy(col("id"))
+        .agg(sum(length(col("word")).cast("long")).as(s"dup${n}chars"))
+    }
+
+    val out0 = totals.join(lineStats, Seq("id"), "left")
+      .select(col("id"), col("wchars"),
+        round(coalesce(col("dup_lines"), lit(0L)).cast("double") /
+          greatest(col("n_lines"), lit(1L)), 6).as("dup_line_frac"),
+        round(coalesce(col("dup_line_chars"), lit(0L)).cast("double") /
+          greatest(col("line_chars"), lit(1L)), 6).as("dup_line_char_frac"))
+    val withTop = topNs.foldLeft(out0) { (acc, n) =>
+      acc.join(topFrac(n), Seq("id"), "left")
+        .withColumn(s"top${n}gram_char_frac",
+          round(coalesce(col(s"top${n}chars"), lit(0L)).cast("double") /
+            greatest(col("wchars"), lit(1L)), 6))
+        .drop(s"top${n}chars")
+    }
+    val withDup = dupNs.foldLeft(withTop) { (acc, n) =>
+      acc.join(dupFrac(n), Seq("id"), "left")
+        .withColumn(s"dup${n}gram_char_frac",
+          round(coalesce(col(s"dup${n}chars"), lit(0L)).cast("double") /
+            greatest(col("wchars"), lit(1L)), 6))
+        .drop(s"dup${n}chars")
+    }
+    withDup.drop("wchars").withColumnRenamed("id", idCol)
+  }
+
   /** Hashed-TF feature bucket for a token: md5-derived (the repo's
     * cross-engine reproducibility hash — xxhash64 differs between engines),
     * top 8 hex chars as an unsigned 32-bit value mod numFeatures. DuckDB

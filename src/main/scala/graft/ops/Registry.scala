@@ -125,6 +125,10 @@ final class Registry(spark: SparkSession) {
     case s: String if s.trim.matches("-?\\d+") => s.trim.toInt // CLI vars are strings
     case other => throw PipelineError(s"$what expects an int, got ${tn(other)}")
   }
+  private def intList(v: Any, what: String): List[Int] = v match {
+    case l: List[_] => l.map(asInt(_, s"$what element"))
+    case other => List(asInt(other, what))
+  }
   /** `bands=` for the simhash family: an int pins the banding; "auto" (the
     * default when absent) sizes it from the corpus count (Dedup.autoBands).
     */
@@ -1345,6 +1349,18 @@ final class Registry(spark: SparkSession) {
       val df = asDf(a.require("df", 0), "df")
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
+    },
+    "graft.gopher_repetition" -> { a =>
+      // within-doc repetition signals (Gopher appendix A): dup-line
+      // fractions, top-n-gram char fraction, duplicated-n-gram coverage
+      graft.operators.Scoring.gopherRepetition(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        topNs = a.get("top_ns", -1).map(intList(_, "top_ns"))
+          .getOrElse(Seq(2, 3, 4)),
+        dupNs = a.get("dup_ns", -1).map(intList(_, "dup_ns"))
+          .getOrElse(Seq(5, 10)))
     },
     "graft.fix_mojibake" -> { a =>
       // CP1252-in-UTF8 double-encoding repair + optional control-char

@@ -184,7 +184,81 @@ object Round10 {
                 FROM kept GROUP BY doc_id)
         SELECT t.doc_id, coalesce(r.clean, '') AS text,
           CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
-        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id"""))
+        FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY t.doc_id""")),
+
+    // Gopher repetition signals (Rae et al. 2021 appendix A — the
+    // within-doc repetition filters run before training). The fixture has
+    // no line structure, so the query builds the q89 deterministic one
+    // (10-word chunks joined by newline) in both engines; word-level
+    // metrics are line-insensitive (\n is whitespace to the tokenizer).
+    // The 31-word fixture vocabulary makes within-doc 5-gram duplication
+    // naturally nonzero, so the dup-coverage path is exercised for real.
+    // Top-gram ties break to the lexicographically largest gram at the
+    // max count in BOTH engines (max(struct) <-> row_number c DESC g DESC).
+    Q("q234_gopher_repetition",
+      (s, d) => {
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        val structured = array_join(
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
+          "\n")
+        graft.operators.Scoring.gopherRepetition(
+          t(s, d, "documents").select(col("doc_id"), structured.as("text")),
+          "doc_id", "text", topNs = Seq(2), dupNs = Seq(5))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        chunked AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1),
+              i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS lines
+          FROM w0),
+        tot AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS wchars
+                FROM w0),
+        lc AS (SELECT doc_id, line, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest(lines) AS line FROM chunked)
+               GROUP BY 1, 2),
+        ls AS (SELECT doc_id,
+                 CAST(SUM(c - 1) AS DOUBLE) AS dup_lines,
+                 CAST(SUM(c) AS DOUBLE) AS n_lines,
+                 CAST(SUM((c - 1) * length(line)) AS DOUBLE) AS dup_line_chars,
+                 CAST(SUM(c * length(line)) AS DOUBLE) AS line_chars
+               FROM lc GROUP BY 1),
+        g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+                 length(w[i]) + length(w[i+1]) AS gchars
+               FROM w0, unnest(generate_series(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 2),
+        g2c AS (SELECT doc_id, g, COUNT(*) AS c, MIN(gchars) AS gchars
+                FROM g2 GROUP BY 1, 2),
+        top2 AS (SELECT doc_id, CAST(c * gchars AS DOUBLE) AS topchars
+                 FROM (SELECT doc_id, c, gchars,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, g DESC) AS rn
+                       FROM g2c) WHERE rn = 1),
+        g5 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+               FROM w0, unnest(generate_series(1, len(w) - 4)) AS t(i)
+               WHERE len(w) >= 5),
+        d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT g5.doc_id, c.p
+                FROM g5 JOIN d5 USING (doc_id, g),
+                     unnest(generate_series(g5.pos, g5.pos + 4)) AS c(p)),
+        dch AS (SELECT cov.doc_id,
+                  CAST(SUM(length(w0.w[cov.p])) AS DOUBLE) AS dupchars
+                FROM cov JOIN w0 ON w0.doc_id = cov.doc_id GROUP BY 1)
+        SELECT w0.doc_id,
+          round(COALESCE(ls.dup_lines, 0) / greatest(ls.n_lines, 1), 6) AS dup_line_frac,
+          round(COALESCE(ls.dup_line_chars, 0) / greatest(ls.line_chars, 1), 6) AS dup_line_char_frac,
+          round(COALESCE(top2.topchars, 0) / greatest(tot.wchars, 1), 6) AS top2gram_char_frac,
+          round(COALESCE(dch.dupchars, 0) / greatest(tot.wchars, 1), 6) AS dup5gram_char_frac
+        FROM w0
+          JOIN tot USING (doc_id)
+          LEFT JOIN ls USING (doc_id)
+          LEFT JOIN top2 USING (doc_id)
+          LEFT JOIN dch USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,

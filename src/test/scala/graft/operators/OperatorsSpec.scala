@@ -1234,6 +1234,46 @@ class TextSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("gopherRepetition: hand-computed line/top-gram/dup-gram fractions") {
+    import graft.operators.Scoring
+    val docs = Seq(
+      (1L, "aa bb aa bb x\nsecond line\naa bb aa bb x"),
+      (2L, "all words unique here nothing repeats at any position")
+    ).toDF("doc_id", "text")
+    val out = Scoring.gopherRepetition(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: lines [A, B, A] -> dup_line_frac 1/3; dup chars = len(A)=13
+    //   over 13+11+13=37 -> 0.351351
+    // words: aa bb aa bb x aa bb aa bb x second line? NO — words split on
+    // \s+ crosses lines: [aa,bb,aa,bb,x,second,line,aa,bb,aa,bb,x]
+    // wchars = 2*8 + 1*2 + 6 + 4 = 28
+    // 2-grams: "aa bb" x4 (pos 0,2,7,9), "bb aa" x2, "bb x" x2, "x second",
+    //   "second line", "line aa", "x aa"? positions: [aa,bb,aa,bb,x,second,
+    //   line,aa,bb,aa,bb,x] -> pairs: (0)aa bb (1)bb aa (2)aa bb (3)bb x
+    //   (4)x second (5)second line (6)line aa (7)aa bb (8)bb aa (9)aa bb
+    //   (10)bb x -> top = "aa bb" c=4, gchars=4 -> 16/28 = 0.571429
+    // dup 2-grams: {aa bb, bb aa, bb x} cover pos 0..4 and 6..11 (line aa
+    //   unique at 6? "line aa" c=1; covered: from aa bb(0,2,7,9):0-3,7-10;
+    //   bb aa(1,8):1-2,8-9; bb x(3,10):3-4,10-11 -> union 0-4,7-11 =
+    //   10 positions; words: aa,bb,aa,bb,x (2+2+2+2+1=9) + aa,bb,aa,bb,x
+    //   (9) = 18 chars -> 18/28 = 0.642857
+    val d1 = out(1L)
+    assert(math.abs(d1._1 - 1.0 / 3) < 1e-6, s"dup_line_frac ${d1._1}")
+    assert(math.abs(d1._2 - 13.0 / 37) < 1e-6, s"dup_line_char_frac ${d1._2}")
+    assert(math.abs(d1._3 - 16.0 / 28) < 1e-6, s"top2gram_char_frac ${d1._3}")
+    assert(math.abs(d1._4 - 18.0 / 28) < 1e-6, s"dup2gram_char_frac ${d1._4}")
+    // doc 2: no repetition -> line/dup fractions zero, but the TOP-gram
+    // fraction is nonzero by definition (the most common 2-gram has c=1;
+    // ties at c=1 break to the lexicographically largest gram,
+    // "words unique": gchars=11 over wchars=45)
+    val d2 = out(2L)
+    assert(d2._1 == 0.0 && d2._2 == 0.0 && d2._4 == 0.0)
+    assert(math.abs(d2._3 - 11.0 / 45) < 1e-6, s"top2gram_char_frac ${d2._3}")
+    Caches.release()
+  }
+
   test("oovRate: top-k vocab with deterministic tiebreak, exact oov fractions") {
     import graft.operators.Scoring
     // corpus counts: a=4, b=3, c=2, d=1, e=1 -> k=3 vocab {a, b, c}
