@@ -220,6 +220,45 @@ object Bpe {
         lit(0L), (acc, x) => acc + x),
       lit(0L)) // null text counts 0, matching the oracle's COALESCE
 
+  /** Deterministic id vocabulary for token-ID emission: alphabet symbols
+    * (sorted single characters) first, then merge OUTPUTS in rank order —
+    * first occurrence wins when two merge paths produce the same string.
+    * Every token a word can decompose to is either an alphabet char or a
+    * merge output, so ids are total over the training corpus; unseen
+    * characters at apply time map to -1 (unk).
+    */
+  def vocabOf(alphabet: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    alphabet.sorted.foreach(out += _)
+    merges.foreach { case (a, b) => out += (a + b) }
+    out.toSeq
+  }
+
+  /** Corpus alphabet: distinct characters of the whitespace-tokenized
+    * words — ONE distributed distinct over exploded chars (tiny result,
+    * bounded by the script's character inventory). The freeze-able half of
+    * the vocabulary (the other half is the merge table).
+    */
+  def corpusAlphabet(df: DataFrame, textCol: String): Seq[String] =
+    df.select(explode(split(regexp_replace(col(textCol), "\\s+", ""), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** Whole-text BPE token IDS in document order — what a training pipeline
+    * actually ships: words tokenized independently through the merge
+    * replace-chain, each subword mapped through the plan-literal id
+    * vocabulary (unknown -> -1). Pure column functions + a literal map:
+    * one codegen'd-expression map pass, zero shuffle, and the oracle
+    * replays the identical chain + a CASE lookup.
+    */
+  def tokenIds(merges: Seq[(String, String)], vocab: Seq[String])(text: Column): Column = {
+    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
+    flatten(transform(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      w => transform(wordTokens(w, merges),
+        t => coalesce(element_at(idMap, t), lit(-1)))))
+  }
+
   private def sq(s: String): String = s.replace("'", "''")
 
   /** The DuckDB replay of the same merge table: identical spaced-form +

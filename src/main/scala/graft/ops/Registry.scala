@@ -1327,6 +1327,21 @@ final class Registry(spark: SparkSession) {
         graft.functions.Bpe.tokenCount(merges)(
           col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
     },
+    "graft.bpe_token_ids" -> { a =>
+      // append the token-ID array (what a training pipeline ships):
+      // vocabulary = alphabet (given as a string, or derived from this
+      // corpus in one bounded distinct) + the merge table's outputs
+      val df = asDf(a.require("df", 0), "df")
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      val alphabet = a.get("alphabet", -1)
+        .map(asStr(_, "alphabet").map(_.toString).toSeq)
+        .getOrElse(graft.functions.Bpe.corpusAlphabet(df, textCol))
+      val vocab = graft.functions.Bpe.vocabOf(alphabet, merges)
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("token_ids"), "out"),
+        graft.functions.Bpe.tokenIds(merges, vocab)(col(textCol)))
+    },
     "graft.cluster_balanced_sample" -> { a =>
       // topic-balancing mixture: in-pipeline coarse-quantizer fit (seeded
       // KMeans over a bounded sample), nearest-centroid assignment, then

@@ -258,8 +258,61 @@ object Round10 {
           LEFT JOIN ls USING (doc_id)
           LEFT JOIN top2 USING (doc_id)
           LEFT JOIN dch USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // BPE token-ID emission — the artifact a training pipeline actually
+    // ships (text -> ids). Vocabulary = frozen corpus alphabet (24 chars,
+    // re-derived in-plan and gated like q175's merge re-learn) + the
+    // frozen merge table's outputs in rank order; each word runs the
+    // replace-chain, subwords map through the plan-literal id vocabulary.
+    // The oracle replays chain + CASE lookup and flattens in word order,
+    // so ids are gated position-for-position on a 40-doc slice (bounding
+    // the csv payload).
+    Q("q235_bpe_token_ids", (s, d) => {
+      import graft.functions.Bpe
+      val docs = t(s, d, "documents")
+      val alphaOk = Bpe.corpusAlphabet(docs, "text") == Q235Alphabet
+      val ids = Bpe.tokenIds(NorthStar.BpeMerges, Q235Vocab)(col("text"))
+      docs.filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          size(ids).cast("long").as("n_tokens"),
+          array_join(transform(ids, i => i.cast("string")), ",").as("ids_csv"),
+          lit(alphaOk).as("alpha_ok"))
+        .orderBy(col("doc_id"))
+    }, Some(q235Oracle))
   )
+
+  /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct
+    * word characters; re-derived in-plan by the query's alpha_ok gate).
+    */
+  private val Q235Alphabet: Seq[String] =
+    "abcdefghijklmnopqrstuvwy".map(_.toString)
+
+  private val Q235Vocab: Seq[String] =
+    graft.functions.Bpe.vocabOf(Q235Alphabet, NorthStar.BpeMerges)
+
+  private def q235Oracle: String = {
+    val spacedW = "trim(regexp_replace(w, '(.)', '" + "\\1 ', 'g'))"
+    val chain = NorthStar.BpeMerges.foldLeft(spacedW) { case (e, (a, b)) =>
+      s"replace($e, '$a $b', '${a + b}')"
+    }
+    val cases = Q235Vocab.zipWithIndex
+      .map { case (tok, i) => s"WHEN '$tok' THEN $i" }.mkString(" ")
+    s"""
+        WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS wl
+                      FROM documents WHERE doc_id < 40),
+        words AS (SELECT doc_id, i AS wpos, wl[i] AS w
+                  FROM base, unnest(generate_series(1, len(wl))) AS t(i)),
+        wid AS (SELECT doc_id, wpos,
+                  list_transform(string_split($chain, ' '),
+                    t -> CASE t $cases ELSE -1 END) AS ids
+                FROM words),
+        agg AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+                FROM wid GROUP BY doc_id)
+        SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+          array_to_string(ids, ',') AS ids_csv, TRUE AS alpha_ok
+        FROM agg ORDER BY doc_id"""
+  }
 
   /** Frozen quality-classifier weights: `Scoring.fitHashedTfLR(documents,
     * "text", more-'slow'-than-'fast', 64)` on the sf0.01 fixture, rounded

@@ -52,6 +52,25 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnFromCounts(paperVocab, 4) === Bpe.learnFromCountsNaive(paperVocab, 4))
   }
 
+  test("tokenIds: vocab order, document order, unknown chars -> -1") {
+    // paper merges: es, est, lo, low; alphabet {d,e,i,l,n,o,r,s,t,w}
+    val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
+    val alphabet = "deilnorstw".map(_.toString)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // alphabet first (sorted), then merge outputs in rank order
+    assert(vocab == alphabet ++ Seq("es", "est", "lo", "low"))
+    val ids = Seq(Tuple1("lowest low zz"))
+      .toDF("t")
+      .select(Bpe.tokenIds(merges, vocab)(col("t")).as("ids"))
+      .head().getSeq[Int](0)
+    // lowest -> [low, est] -> [13, 11]; low -> [13]; zz -> unknown chars
+    // stay unmerged singles -> [-1, -1]
+    assert(ids == Seq(13, 11, 13, -1, -1), s"got $ids")
+    // duplicate merge OUTPUT folds to the first id (LinkedHashSet)
+    val v2 = Bpe.vocabOf(Seq("a", "b", "c"), Seq(("a", "bc"), ("ab", "c")))
+    assert(v2 == Seq("a", "b", "c", "abc"))
+  }
+
   test("in-plan application: lowest -> [low, est]") {
     val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
     val toks = Seq("lowest").toDF("w")
