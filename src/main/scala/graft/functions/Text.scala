@@ -210,6 +210,37 @@ object Text {
     array_join(kept, "\n")
   }
 
+  /** C4 line rules (Raffel et al. 2020 §2.2): keep only lines that end in
+    * a terminal punctuation mark, carry at least `minWords` words, and do
+    * not mention the word 'javascript' (C4's line-level drop for cookie/JS
+    * notices); rejoin survivors. Array HOFs only — codegen'd, zero
+    * shuffle, RE2-replayable.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 5): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"\\u201d]$") &&
+        size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords &&
+        !lower(t).rlike("\\bjavascript\\b")
+    })
+    array_join(kept, "\n")
+  }
+
+  /** C4 page gates: curly brace and 'lorem ipsum' are PAGE-level removals
+    * in C4 (checked on the raw text, before the line filter can hide
+    * them); `lines_ok` requires at least `minLines` surviving lines after
+    * [[c4LineFilter]] (C4's three-sentence floor). Struct of per-gate
+    * booleans + their conjunction `keep`, the [[gopherGates]] shape.
+    */
+  def c4PageGates(raw: Column, cleaned: Column, minLines: Int = 3): Column = {
+    val braceOk = !raw.contains("{")
+    val loremOk = !lower(raw).contains("lorem ipsum")
+    val linesOk = size(filter(split(cleaned, "\n"), l => length(l) > 0)) >= minLines
+    struct(braceOk.as("brace_ok"), loremOk.as("lorem_ok"),
+      linesOk.as("lines_ok"),
+      (braceOk && loremOk && linesOk).as("keep"))
+  }
+
   /** Within-document duplicate-line collapse (Dolma/RefinedWeb repetition
     * removal): keep the FIRST occurrence of each exact line, preserving
     * order. Pure per-row array math — zero shuffle; the array_position scan

@@ -1365,6 +1365,23 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.stripHtml(col(textCol)))
     },
+    "graft.c4_clean" -> { a =>
+      // C4 line rules (terminal punct + min words + no-javascript) applied
+      // to the text column, plus the page-gate struct columns (brace and
+      // lorem-ipsum on the RAW text, surviving-line floor on the cleaned)
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      val minWords = a.get("min_words", -1).map(asInt(_, "min_words")).getOrElse(5)
+      val minLines = a.get("min_lines", -1).map(asInt(_, "min_lines")).getOrElse(3)
+      val cleaned = Text.c4LineFilter(col(textCol), minWords)
+      df.withColumn("__c4", Text.c4PageGates(col(textCol), cleaned, minLines))
+        .withColumn(textCol, cleaned)
+        .withColumn("c4_keep", col("__c4.keep"))
+        .withColumn("c4_brace_ok", col("__c4.brace_ok"))
+        .withColumn("c4_lorem_ok", col("__c4.lorem_ok"))
+        .withColumn("c4_lines_ok", col("__c4.lines_ok"))
+        .drop("__c4")
+    },
     "graft.gopher_repetition" -> { a =>
       // within-doc repetition signals (Gopher appendix A): dup-line
       // fractions, top-n-gram char fraction, duplicated-n-gram coverage

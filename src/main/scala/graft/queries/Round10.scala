@@ -279,7 +279,72 @@ object Round10 {
           array_join(transform(ids, i => i.cast("string")), ",").as("ids_csv"),
           lit(alphaOk).as("alpha_ok"))
         .orderBy(col("doc_id"))
-    }, Some(q235Oracle))
+    }, Some(q235Oracle)),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) with deterministically
+    // spiked structure: 10-word chunk lines where every EVEN chunk gets a
+    // terminal '.', plus per-doc marker lines — a '{' code line (page
+    // gate), a lorem-ipsum sentence (page gate; it passes the LINE rules,
+    // which is the point), a javascript notice (line-level drop). Both
+    // engines build the identical page, so the gate binds the line rule
+    // (punct + minWords + js), the raw-text page gates, and the 3-line
+    // floor at once.
+    Q("q236_c4_clean", (s, d) => {
+      import graft.functions.Text
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+      val chunkLines = transform(sequence(lit(0), nChunks - 1),
+        i => concat(array_join(slice(words, i * 10 + 1, lit(10)), " "),
+          when(i % 2 === 0, lit(".")).otherwise(lit(""))))
+      val raw = concat(array_join(chunkLines, "\n"),
+        when(col("doc_id") % 7 === 0, lit("\ncode block { x = 1 }")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nthis page uses lorem ipsum filler words today.")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nplease enable JavaScript to view this page.")).otherwise(lit("")))
+      val base = t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+        .withColumn("text_clean", Text.c4LineFilter(col("raw"), minWords = 5))
+      base.select(col("doc_id"), col("text_clean"),
+          Text.c4PageGates(col("raw"), col("text_clean")).as("g"))
+        .select(col("doc_id"), col("text_clean"),
+          col("g.brace_ok"), col("g.lorem_ok"), col("g.lines_ok"), col("g.keep"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        built AS (
+          SELECT doc_id,
+            array_to_string(
+              list_transform(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1),
+                i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')
+                     || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END),
+              chr(10))
+            || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'code block { x = 1 }' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'this page uses lorem ipsum filler words today.' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'please enable JavaScript to view this page.' ELSE '' END
+            AS raw
+          FROM w0),
+        cleaned AS (
+          SELECT doc_id, raw,
+            array_to_string(
+              list_filter(string_split(raw, chr(10)), l ->
+                regexp_matches(trim(l), '[.!?"' || chr(8221) || ']$')
+                AND len(list_filter(regexp_extract_all(trim(l), '\S+'),
+                        x -> length(x) > 0)) >= 5
+                AND NOT regexp_matches(lower(trim(l)), '\bjavascript\b')),
+              chr(10)) AS text_clean
+          FROM built)
+        SELECT doc_id, text_clean,
+          NOT contains(raw, '{') AS brace_ok,
+          NOT contains(lower(raw), 'lorem ipsum') AS lorem_ok,
+          len(list_filter(string_split(text_clean, chr(10)),
+              l -> length(l) > 0)) >= 3 AS lines_ok,
+          (NOT contains(raw, '{')) AND (NOT contains(lower(raw), 'lorem ipsum'))
+            AND len(list_filter(string_split(text_clean, chr(10)),
+                l -> length(l) > 0)) >= 3 AS keep
+        FROM cleaned ORDER BY doc_id"""))
   )
 
   /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct

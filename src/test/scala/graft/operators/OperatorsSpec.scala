@@ -1234,6 +1234,33 @@ class TextSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("c4LineFilter/PageGates: line rules and page gates on known pages") {
+    import graft.functions.Text
+    val page = Seq(Tuple1(
+      "A good long sentence with enough words here.\n" + // kept
+        "short line.\n" +                                 // < 5 words
+        "no terminal punctuation on this line at all\n" + // no punct
+        "Please enable JavaScript to see this content.\n" + // js line
+        "Another proper sentence that also survives fine!\n" +
+        "And a third full sentence to clear the floor."))
+      .toDF("t")
+      .select(Text.c4LineFilter(col("t")).as("clean"), col("t"))
+    val clean = page.head().getString(0)
+    assert(clean.split("\n").length == 3, s"kept:\n$clean")
+    assert(!clean.toLowerCase.contains("javascript"))
+    val gates = page.select(Text.c4PageGates(col("t"), col("clean")))
+      .head().getStruct(0)
+    assert(gates.getBoolean(0) && gates.getBoolean(1) && gates.getBoolean(2)
+      && gates.getBoolean(3))
+    // brace/lorem gate on RAW text even when the offending line is dropped
+    val bad = Seq(Tuple1("var x = { a: 1 }\nA real sentence with enough words here."))
+      .toDF("t")
+      .select(col("t"), Text.c4LineFilter(col("t")).as("clean"))
+    val g2 = bad.select(Text.c4PageGates(col("t"), col("clean"))).head().getStruct(0)
+    assert(!g2.getBoolean(0) && !g2.getBoolean(3),
+      "brace page gate must read the raw text")
+  }
+
   test("gopherRepetition: hand-computed line/top-gram/dup-gram fractions") {
     import graft.operators.Scoring
     val docs = Seq(
