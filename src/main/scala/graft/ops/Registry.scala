@@ -880,10 +880,16 @@ final class Registry(spark: SparkSession) {
       asStr(a.require("table", 1), "table")
     },
     "graft.dedup_by_minhash" -> { a =>
-      Dedup.dedupByMinhash(asDf(a.require("df", 0), "df"),
-        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
-        asStr(a.get("text", -1).getOrElse("text"), "text"),
-        threshold = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8))
+      // score=: keep each cluster's best row by that column (the FineWeb
+      // keep-best contract) instead of the min-id representative
+      val df = asDf(a.require("df", 0), "df")
+      val id = asStr(a.get("id", -1).getOrElse("doc_id"), "id")
+      val text = asStr(a.get("text", -1).getOrElse("text"), "text")
+      val thr = a.get("threshold", -1).map(_.toString.toDouble).getOrElse(0.8)
+      a.get("score", -1).map(asStr(_, "score")) match {
+        case Some(s) => Dedup.dedupByMinhashKeepBest(df, id, text, s, thr)
+        case None => Dedup.dedupByMinhash(df, id, text, thr)
+      }
     },
     "graft.embedding_dup_pairs" -> { a =>
       Similarity.embeddingDupPairs(asDf(a.require("df", 0), "df"),
