@@ -39,6 +39,19 @@ class ExamplesSpec extends AnyFunSuite {
     val budget = spark.read.parquet(s"$out/token_budget.parquet")
     assert(budget.count() > 0 && budget.count() <= 4,
       "token budget is per kept language (en/es/de/fr)")
+
+    // the repetition audit covers the raw corpus, one row per doc, with
+    // the 31-word fixture vocabulary guaranteeing nonzero 5-gram coverage
+    // somewhere
+    val rep = spark.read.parquet(s"$out/repetition_report.parquet")
+    assert(rep.count() == nDocs)
+    assert(Seq("dup_line_frac", "top2gram_char_frac", "dup5gram_char_frac")
+      .forall(rep.columns.contains), s"got ${rep.columns.mkString(",")}")
+    // every doc has a most-frequent 2-gram, so the top fraction is
+    // strictly positive; the dup-5-gram column is present and bounded
+    assert(rep.filter(col("top2gram_char_frac") <= 0).count() == 0)
+    assert(rep.filter(col("dup5gram_char_frac") < 0
+      || col("dup5gram_char_frac") > 1).count() == 0)
   }
 
   test("examples/data_recipe.yaml writes the planning reports incl. BPE ledger + balanced sample") {
