@@ -481,12 +481,22 @@ object Dedup {
                              scoreCol: String,
                              threshold: Double = 0.8): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
-    val cl = clusters(pairs, Some(df.select(idCol)))
-    // (id, cluster) joined to scores; argmax per cluster via min_by over a
-    // struct ordered (-score, id): struct comparison is lexicographic, so
-    // the minimum has the LARGEST score and, among ties, the SMALLEST id —
-    // deterministic for ANY orderable id type (string ids included), since
-    // only the score is negated.
+    keepBestByCluster(df, clusters(pairs, Some(df.select(idCol))),
+      idCol, scoreCol)
+  }
+
+  /** Per-cluster best-row selection over a (id, cluster_rep) assignment
+    * ([[clusters]] output) — the composable half of
+    * [[dedupByMinhashKeepBest]], so any pair source (sketch, verified,
+    * semantic) feeds the same keep-best contract. Argmax per cluster via
+    * min_by over a struct ordered (-score, id): struct comparison is
+    * lexicographic, so the minimum has the LARGEST score and, among ties,
+    * the SMALLEST id — deterministic for ANY orderable id type (string ids
+    * included), since only the score is negated. One map-side-combining
+    * hash aggregate; no window over member lists, no per-cluster sort.
+    */
+  def keepBestByCluster(df: DataFrame, cl: DataFrame,
+                        idCol: String, scoreCol: String): DataFrame = {
     val scored = df.select(col(idCol).as("id"),
         col(scoreCol).cast("double").as("__s"))
       .join(cl, Seq("id"))

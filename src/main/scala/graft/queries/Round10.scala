@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import Q._
 
 /** Round-10 queries: IVF-PQ composed ANN, the trained quality classifier,
@@ -344,7 +344,57 @@ object Round10 {
           (NOT contains(raw, '{')) AND (NOT contains(lower(raw), 'lorem ipsum'))
             AND len(list_filter(string_split(text_clean, chr(10)),
                 l -> length(l) > 0)) >= 3 AS keep
-        FROM cleaned ORDER BY doc_id"""))
+        FROM cleaned ORDER BY doc_id""")),
+
+    // Keep-best near-dup dedup, ORACLE-GATED end to end (the FineWeb
+    // contract: the cluster representative is the HIGHEST-QUALITY copy,
+    // here longest-by-n_chars with min-id tie-break, not the arbitrary
+    // min id): exact-verified minhash pairs (the q164 pair set, which the
+    // oracle recomputes exactly) -> connected components (recursive CTE
+    // replay) -> per-cluster argmax. Gates the pair set, the components
+    // AND the keep-best selection rule in one hash.
+    Q("q237_dedup_keep_best", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.2, estTol = 0.2)
+      val cl = Dedup.clusters(pairs.select(col("id_a"), col("id_b")),
+        Some(docs.select(col("doc_id"))))
+      Dedup.keepBestByCluster(docs, cl, "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+        short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3),
+        sh AS (SELECT * FROM sh0 UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          JOIN sizes sa ON sa.doc_id = a.doc_id
+          JOIN sizes sb ON sb.doc_id = b.doc_id
+          GROUP BY 1, 2
+          HAVING CAST(COUNT(*) AS DOUBLE)
+            / (MIN(sa.n_sh) + MIN(sb.n_sh) - COUNT(*)) >= 0.2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.lbl FROM reach JOIN edges e ON e.a = reach.id),
+        reps AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+        best AS (
+          SELECT doc_id FROM (
+            SELECT r.rep, d.doc_id,
+              row_number() OVER (PARTITION BY r.rep
+                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+            FROM reps r JOIN documents d ON d.doc_id = r.id)
+          WHERE rn = 1)
+        SELECT d.doc_id, d.n_chars
+        FROM best b JOIN documents d USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct
