@@ -248,6 +248,33 @@ object Prep {
     * Span explosion is per-row `sequence(firstW, lastW)` — bounded by a
     * doc's own window count.
     */
+  /** Deterministic shard assignment for writing training data: every row
+    * gets a shard (md5-bucket of the id — stable under any partitioning or
+    * rerun, unlike monotonically_increasing_id / zipWithIndex) and its
+    * position within the shard (rank by the md5 key, total order via the
+    * id tiebreak). Downstream writers partition by `shard` so each output
+    * file is reproducible byte-for-byte; `pos` gives the in-shard read
+    * order a dataloader resumes from.
+    *
+    * Scale shape: the shard key is one codegen'd projection; positions are
+    * a row_number over a PER-SHARD window — frames bounded at ~N/nShards
+    * rows, the window partitioning IS the write partitioning, and nothing
+    * needs a global sort.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+                  seed: String): DataFrame = {
+    require(nShards >= 1, "shardAssign: nShards must be >= 1")
+    val k = Sampling.hashKey(col(idCol), seed)
+    val shard = pmod(conv(substring(k, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", k)
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__k")
+  }
+
   def packWindows(df: DataFrame, idCol: String, textCol: String,
                   size: Int, seed: String,
                   tokenizer: Column => Column = Sampling.wsTokenCount): DataFrame = {

@@ -1530,6 +1530,15 @@ final class Registry(spark: SparkSession) {
         vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"),
         labelCol = asStr(a.get("label", -1).getOrElse("label"), "label"))
     },
+    "graft.shard_assign" -> { a =>
+      // deterministic shard + in-shard position for reproducible training
+      // shards (partition the sink by the shard column)
+      graft.operators.Prep.shardAssign(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        nShards = asInt(a.require("n_shards", 1), "n_shards"),
+        seed = asStr(a.get("seed", -1).getOrElse("shard"), "seed"))
+    },
     "graft.pack_windows" -> { a =>
       // pretraining packing: docs (+EOS) concatenated in deterministic
       // order, cut into exact size-token windows (docs split at borders);

@@ -394,7 +394,28 @@ object Round10 {
           WHERE rn = 1)
         SELECT d.doc_id, d.n_chars
         FROM best b JOIN documents d USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Deterministic shard plan for writing training data: md5-bucket shard
+    // + rank-within-shard position (stable under any partitioning/rerun —
+    // the reproducible-output contract monotonically_increasing_id can't
+    // give). The oracle replays the md5 bucket and the per-shard window.
+    Q("q238_shard_plan",
+      (s, d) => graft.operators.Prep.shardAssign(
+          t(s, d, "documents").select(col("doc_id")), "doc_id",
+          nShards = 8, seed = "s238")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH k AS (SELECT doc_id,
+            md5(CAST(doc_id AS VARCHAR) || ':s238') AS kk
+          FROM documents),
+        sh AS (SELECT doc_id, kk,
+            CAST(('0x' || substr(kk, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+          FROM k)
+        SELECT doc_id, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) - 1
+            AS BIGINT) AS pos
+        FROM sh ORDER BY doc_id"""))
   )
 
   /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct
