@@ -432,6 +432,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space twin of the
+    * n-gram contamination flags (paraphrased test items share no n-grams
+    * but sit next to the original in embedding space): per corpus vector,
+    * the max cosine against any benchmark vector, flagged at `threshold`.
+    * Benchmark sets are tiny relative to the corpus, so the benchmark side
+    * BROADCASTS and the corpus is scored in one codegen'd scan — no
+    * corpus shuffle, the same shape as [[bruteForceTopK]] with k=1.
+    * Returns (id, max_cos rounded 6, contaminated).
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val bench = benchmark.select(col(vecCol).as("bv"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(bench))
+      .withColumn("__cos", Vectors.cosine(col("cv"), col("bv")))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("__m"))
+      .select(col("id").as(idCol), round(col("__m"), 6).as("max_cos"),
+        (col("__m") >= threshold).as("contaminated"))
+  }
+
   /** IVF-PQ composed ANN — the FAISS IVFPQ shape, the plan that actually
     * survives 100 TB (IVF alone still stores/scans full float vectors in
     * probed cells; PQ alone still ADC-scans the WHOLE corpus per query):

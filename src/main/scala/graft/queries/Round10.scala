@@ -415,7 +415,37 @@ object Round10 {
         SELECT doc_id, shard,
           CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) - 1
             AS BIGINT) AS pos
-        FROM sh ORDER BY doc_id"""))
+        FROM sh ORDER BY doc_id""")),
+
+    // Semantic benchmark decontamination — the embedding-space twin of the
+    // n-gram contamination flags (q57/q118): per corpus vector the max
+    // cosine against any benchmark vector (vec_id < 100 stands in for the
+    // held-out set), flagged at 0.35 (above the fixture's inter-cluster
+    // cosine floor so both outcomes occur). Benchmark broadcasts; the
+    // corpus is scored in one scan. Oracle recomputes every pairwise
+    // cosine via list_dot_product (the q37/q143 parity) — round(6) after
+    // the max absorbs float-sum ordering ulps.
+    Q("q239_semantic_contamination",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Similarity.semanticContamination(
+          emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+          threshold = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id >= 100),
+        b AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100),
+        scored AS (
+          SELECT c.vec_id,
+            MAX(list_dot_product(c.v, b.v)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(b.v, b.v)))) AS m
+          FROM c, b GROUP BY c.vec_id)
+        SELECT vec_id, round(m, 6) AS max_cos, m >= 0.35 AS contaminated
+        FROM scored ORDER BY vec_id"""))
   )
 
   /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct
