@@ -203,6 +203,20 @@ object ScaleStress {
       // count replicating with the corpus
       cell("q232_dup_span_ranges", f, nd)(
         Dedup.dupSpans(d, "doc_id", "text", n = 13).count())
+      // keep-first removal: one extra min() in the gram aggregate over the
+      // remove-all shape — runtime should track q117's. NB: out= is the
+      // count of docs that LOST words (a bare count() would let Catalyst
+      // eliminate the provably-unique left join and measure nothing)
+      cell("q233_keep_first", f, nd)(
+        Dedup.removeDupSpansKeepFirst(d, "doc_id", "text", n = 13)
+          .filter(col("n_removed") > 0).count())
+      // within-doc repetition signals: per-(doc, gram) aggregates combine
+      // map-side; replica docs repeat the same per-doc work — linear.
+      // out= docs with nonzero top-2-gram mass (forces the join subtrees)
+      cell("q234_gopher_repetition", f, nd)(
+        graft.operators.Scoring.gopherRepetition(
+          d, "doc_id", "text", topNs = Seq(2), dupNs = Seq(5))
+          .filter(col("top2gram_char_frac") > 0).count())
       // bench = the replica-0 slice OF THE SAME frame (suffixing is uniform
       // within a block, so the block-0 overlap structure is preserved at
       // every factor): flagged docs stay constant while the corpus grows —
