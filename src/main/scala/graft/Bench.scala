@@ -246,10 +246,21 @@ object Bench {
             .map(m => n -> m.group(1).toDouble)
         }.toMap
       } catch { case _: Throwable => Map.empty }
+    // Materialize EVERY output row of the query's own plan (RDD count —
+    // no Catalyst on top). A DataFrame .count() puts an Aggregate above
+    // the query, and the optimizer then prunes every column the count
+    // doesn't need: map-only queries (mojibake repair, normalization)
+    // collapsed to a bare scan-count, and rebuild-shaped queries lost
+    // their provably-unique left joins entirely (q117 "ran" in 0.16s
+    // while its actual span removal takes ~2s). The verify path always
+    // materialized full rows (parquet write), so correctness was never
+    // affected — only the bench's honesty.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     def runCanary(): Seq[(String, Double)] = canaryNames.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        materialize(fn(spark, sfDir))
         n -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -259,7 +270,7 @@ object Bench {
         val wd = watchdog(name, sys.env.getOrElse(
           "SPARK_GRAFT_WATCHDOG_MS", "15000").toLong)
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val secs = (System.nanoTime() - t0) / 1e9
