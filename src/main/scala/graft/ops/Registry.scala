@@ -2232,8 +2232,50 @@ final class Registry(spark: SparkSession) {
         val keyCols = partCols :+ c
         val counts = df.filter(col(c).isNotNull)
           .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__graft_cnt"))
-        val wc = (if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
-          else Window.partitionBy()).orderBy(col(c).asc)
+        val lookup = if (partCols.isEmpty) {
+          // UNGROUPED rank: the counts table has one row per DISTINCT
+          // value — "tiny" for binned/categorical columns, but DATA-SIZED
+          // for a continuous column (every l_extendedprice is distinct),
+          // where a partition-less window over it is a one-task sort of
+          // the whole column (surfaced by the honest bench: 3.4s at
+          // sf0.1). Route the prefix sums through the two-level
+          // GlobalWindows machinery instead: range exchange + per-range
+          // totals + a window over the <= shuffle-partitions aggregate —
+          // identical values share one counts row, so no tie can straddle
+          // a range boundary.
+          import graft.operators.GlobalWindows
+          // persist: repartitionByRange SAMPLES its child (one extra
+          // computation of the counts aggregate) before the real exchange,
+          // and the pct totals scan it a third time
+          val countsP = graft.operators.Caches.persistTracked(counts, eager = true)
+          val cum = GlobalWindows.running(
+            countsP.withColumn("__graft_cum", col("__graft_cnt")),
+            orderBy = Seq(c), cols = Seq("__graft_cum"), op = "cumsum")
+          val withPos =
+            if (method == "dense")
+              GlobalWindows.cumcount(cum, Seq(c), "__graft_pos")
+            else cum
+          val minRank = lit(1) + col("__graft_cum") - col("__graft_cnt")
+          val rk = (method match {
+            case "min" => minRank
+            case "dense" => col("__graft_pos") + 1
+            case "average" =>
+              minRank.cast(DoubleType) +
+                (col("__graft_cnt") - lit(1)).cast(DoubleType) / 2.0
+            case other => throw PipelineError(s"rank: unsupported method '$other'")
+          }).cast(DoubleType)
+          // pct divisors as broadcast scalars (a full-frame unordered
+          // window would also be a one-task aggregate)
+          val totals = countsP.agg(sum(col("__graft_cnt")).as("__graft_tot"),
+            count(lit(1)).as("__graft_nd"))
+          val rkOut =
+            if (!pct) rk
+            else if (method == "dense") rk / col("__graft_nd").cast(DoubleType)
+            else rk / col("__graft_tot").cast(DoubleType)
+          withPos.crossJoin(broadcast(totals))
+            .select(col(c), rkOut.as("__graft_rk"))
+        } else {
+        val wc = Window.partitionBy(partCols.map(col): _*).orderBy(col(c).asc)
         val minRank = lit(1) + coalesce(
           sum(col("__graft_cnt")).over(
             wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -2247,13 +2289,13 @@ final class Registry(spark: SparkSession) {
         }).cast(DoubleType)
         // pct divisors come from the tiny counts table, not the data
         // (an unordered window aggregates its whole partition)
-        val wAll = if (partCols.nonEmpty) Window.partitionBy(partCols.map(col): _*)
-          else Window.partitionBy()
+        val wAll = Window.partitionBy(partCols.map(col): _*)
         val rkOut =
           if (!pct) rk
           else if (method == "dense") rk / count(lit(1)).over(wAll).cast(DoubleType)
           else rk / sum(col("__graft_cnt")).over(wAll).cast(DoubleType)
-        val lookup = counts.select((keyCols.map(col) :+ rkOut.as("__graft_rk")): _*)
+        counts.select((keyCols.map(col) :+ rkOut.as("__graft_rk")): _*)
+        }
         // equi-join on (partition..., value): null values never match, so
         // they surface with a null rank, exactly pandas' NaN behavior. The
         // select restores df's column order (the USING join moves keys
