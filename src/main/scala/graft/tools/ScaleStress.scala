@@ -362,8 +362,11 @@ object ScaleStress {
       }
       // SQ8: 2xdim range fit (bounded) + one quantize map pass — pure
       // linear scan shape
+      // toRdd.count materializes the encoded rows — a bare count() on a
+      // projection lets Catalyst prune the encode entirely (the q110
+      // honest-bench lesson), which is why this cell used to read flat
       cell("q143_sq8_quantize", f, ne)(
-        Similarity.sq8Quantize(e)._1.count())
+        Similarity.sq8Quantize(e)._1.queryExecution.toRdd.count())
       // hard negatives: queries broadcast, corpus scanned once, two-phase
       // k-heaps — linear in corpus size at fixed query count
       cell("q157_hard_negatives", f, ne)(
