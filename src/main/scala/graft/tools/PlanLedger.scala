@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Write the physical-plan shape ledger for the whole query surface:
+  * per query, the count of shuffle exchanges, broadcast exchanges, sorts
+  * and windows in the AQE-off executed plan. The committed
+  * `PLAN_LEDGER.json` is the shape every future change is ratcheted
+  * against (PlanAuditSpec fails any query whose SHUFFLE count grows
+  * past the ledger — the one number that silently turns a linear plan
+  * into a bottleneck at 100 TB). Regenerate deliberately with:
+  *
+  *   sbt "runMain graft.tools.PlanLedger"      # writes PLAN_LEDGER.json
+  */
+object PlanLedger {
+
+  final case class Shape(shuffles: Int, broadcasts: Int, sorts: Int,
+                         windows: Int)
+
+  def shapeOf(plan: SparkPlan): Shape = {
+    var sh = 0; var br = 0; var so = 0; var wi = 0
+    plan.foreach { n =>
+      val name = n.getClass.getSimpleName
+      if (name.startsWith("ShuffleExchange")) sh += 1
+      else if (name.startsWith("BroadcastExchange")) br += 1
+      else if (name == "SortExec") so += 1
+      else if (name == "WindowExec" || name == "WindowGroupLimitExec") wi += 1
+    }
+    Shape(sh, br, so, wi)
+  }
+
+  /** Plan every SparkEntry query with AQE off at the given fixture dir. */
+  def ledger(spark: SparkSession, dir: String): Seq[(String, Shape)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try Some(name -> shapeOf(fn(spark, dir).queryExecution.executedPlan))
+      catch { case _: Throwable => None }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLAN_LEDGER.json")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = ledger(spark, dir)
+    val json = rows.map { case (n, s) =>
+      s"""  "$n": {"shuffles": ${s.shuffles}, "broadcasts": ${s.broadcasts}, "sorts": ${s.sorts}, "windows": ${s.windows}}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[ledger] wrote ${rows.size} query shapes to $out")
+    spark.stop()
+  }
+}

@@ -66,4 +66,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(violations.isEmpty, "\n" + violations.mkString("\n"))
   }
+
+  test("shuffle-count ratchet: no query shuffles more than its PLAN_LEDGER entry") {
+    // PLAN_LEDGER.json (tools/PlanLedger, committed) records each query's
+    // AQE-off plan shape; a change that grows a query's SHUFFLE count is
+    // the one silent regression that turns a linear plan into a 100 TB
+    // bottleneck, so it fails here until the ledger is regenerated
+    // DELIBERATELY (sbt "runMain graft.tools.PlanLedger"). Fewer shuffles
+    // than recorded is always fine (regenerate to ratchet down).
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLAN_LEDGER.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val entry = """"(q[^"]+)":\s*\{"shuffles":\s*(\d+)""".r
+    val ledger = entry.findAllMatchIn(src)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    assert(ledger.nonEmpty, "PLAN_LEDGER.json missing or empty")
+    val violations = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      ledger.get(name) match {
+        case None =>
+          violations += s"$name: not in PLAN_LEDGER.json — regenerate the ledger"
+        case Some(budget) =>
+          val got =
+            try graft.tools.PlanLedger.shapeOf(
+              fn(spark, TestSpark.sfDir).queryExecution.executedPlan).shuffles
+            catch { case _: Throwable => -1 } // planning failures caught above
+          if (got > budget)
+            violations += s"$name: $got shuffles > ledger $budget " +
+              "(fix the plan, or regenerate PLAN_LEDGER.json deliberately)"
+      }
+    }
+    assert(violations.isEmpty, "\n" + violations.mkString("\n"))
+  }
 }
