@@ -445,7 +445,39 @@ object Round10 {
                  * sqrt(list_dot_product(b.v, b.v)))) AS m
           FROM c, b GROUP BY c.vec_id)
         SELECT vec_id, round(m, 6) AS max_cos, m >= 0.35 AS contaminated
-        FROM scored ORDER BY vec_id"""))
+        FROM scored ORDER BY vec_id""")),
+
+    // Ungrouped pandas rank(method='average', pct=True) — the path that
+    // now rides the DISTRIBUTED two-level prefix machinery (r10 rank
+    // rework) with broadcast-scalar pct divisors: l_quantity is heavily
+    // tied (integerish 1..50), so the average-of-min-and-max tie rule and
+    // the non-null divisor are both binding. Oracle replays via window
+    // rank + per-value tie counts; round(9) absorbs nothing (values are
+    // exact dyadic rationals) but keeps the convention.
+    Q("q240_rank_pct",
+      (s, d) => {
+        val reg = new graft.ops.Registry(s)
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        reg.callMethod(li, "rank", graft.expr.Args(kw = List(
+          "column" -> "l_quantity", "method" -> "average", "pct" -> true)))
+          .asInstanceOf[org.apache.spark.sql.DataFrame]
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity_rank"), 9).as("rank_pct"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity
+                    FROM lineitem WHERE l_orderkey % 10 = 0),
+        r AS (SELECT l_orderkey, l_linenumber,
+                rank() OVER (ORDER BY l_quantity) AS mn,
+                COUNT(*) OVER (PARTITION BY l_quantity) AS ties,
+                COUNT(l_quantity) OVER () AS n
+              FROM li)
+        SELECT l_orderkey, l_linenumber,
+          round((mn + (ties - 1) / 2.0) / n, 9) AS rank_pct
+        FROM r ORDER BY l_orderkey, l_linenumber"""))
   )
 
   /** Frozen corpus alphabet for q235 (the sf0.01 fixture's 24 distinct

@@ -38,6 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "run over the per-bucket aggregate frame, not the data " +
       "(GlobalWindows.running — this query EXISTS to prove the data path " +
       "is distributed)"),
+    "q240_rank_pct" -> ("distributed ungrouped rank: the one global window " +
+      "is GlobalWindows.running's prefix combine over the per-range-" +
+      "partition aggregate (<= spark.sql.shuffle.partitions rows), never " +
+      "the distinct-value frame (r10 rank rework)"),
     "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame",
     "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
       "head (TakeOrdered first; the window never sees the vocabulary)"))
