@@ -73,11 +73,21 @@ object Bpe {
     * reference implementation and BpeSpec pins table identity.
     */
   def learnFromCounts(wordCounts: Seq[(String, Long)],
-                      numMerges: Int): Seq[(String, String)] = {
+                      numMerges: Int): Seq[(String, String)] =
+    learnFromSymCounts(
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) },
+      numMerges)
+
+  /** Symbol-level trainer shared by the char-level ([[learnFromCounts]])
+    * and byte-level ([[learnMergesBytes]]) entry points: the initial
+    * decomposition of a word into symbols is the ONLY difference between
+    * the two BPE variants' learning phase.
+    */
+  def learnFromSymCounts(symCounts: Seq[(Array[String], Long)],
+                         numMerges: Int): Seq[(String, String)] = {
     type Pair = (String, String)
-    val words: Array[Array[String]] =
-      wordCounts.map(_._1.map(_.toString).toArray).toArray
-    val wcount: Array[Long] = wordCounts.map(_._2).toArray
+    val words: Array[Array[String]] = symCounts.map(_._1).toArray
+    val wcount: Array[Long] = symCounts.map(_._2).toArray
     val pairCounts = scala.collection.mutable.HashMap.empty[Pair, Long]
     val where = scala.collection.mutable.HashMap
       .empty[Pair, scala.collection.mutable.Set[Int]]
@@ -273,5 +283,142 @@ object Bpe {
     }
     s"COALESCE(list_sum(list_transform(regexp_extract_all($textExpr, '\\S+'), " +
       s"w -> len(string_split($chain, ' ')))), 0)"
+  }
+
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL BPE (GPT-2 / SentencePiece byte-fallback shape): the
+  // alphabet is the full 256-byte set, so EVERY input byte sequence
+  // tokenizes — no unknown ids, ever. Words decompose to the uppercase
+  // two-hex-digit symbols of their UTF-8 bytes ("thé" -> "74 68 C3
+  // A9"); both Spark's hex(string) and DuckDB's hex(varchar) produce
+  // exactly this form, so the oracle replay stays a pure replace-chain.
+  //
+  // One deliberate difference from the char-level chain: the spaced form
+  // is PADDED (" 74 68 C3 A9 ") and every merge replaces the
+  // space-ANCHORED pattern " a b " -> " ab ". The anchoring makes each
+  // match provably symbol-aligned (spaces exist only at symbol
+  // boundaries, so a match's first symbol starts at a boundary and its
+  // second ends at one), which yields the no-unknown guarantee by
+  // induction: every symbol the chain can produce is either a raw byte
+  // or the output of some merge, i.e. always in [[vocabOfBytes]]. The
+  // char-level unanchored replace can conjure out-of-vocab symbols by
+  // matching across symbol boundaries once merges overlap (" AB74 68CD "
+  // contains "74 68"); at byte level that would break the never--1
+  // contract, so the anchored form is load-bearing. Cost: two
+  // IMMEDIATELY ADJACENT occurrences of the same pair share the
+  // boundary space, and sequential replace consumes it, so the second
+  // occurrence defers (its symbols stay as-is — still in-vocab, just
+  // less compact). Classic BPE would merge both; the oracle replays the
+  // identical anchored chain, so the gate binds the shipped semantics.
+  // ------------------------------------------------------------------
+
+  /** The full byte alphabet: 256 two-hex-digit uppercase symbols, already
+    * in sorted order ("00".."FF"). With this as the vocabulary base, ids
+    * are total over ANY input — the byte-fallback property.
+    */
+  val ByteAlphabet: Seq[String] = (0 until 256).map(i => f"$i%02X")
+
+  /** UTF-8 byte symbols of a word, driver-side ("thé" -> [74,68,C3,A9]). */
+  private[graft] def hexSyms(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
+
+  /** Padded spaced-byte form of a word column: " 74 68 C3 A9 " — hex of
+    * the UTF-8 bytes, one symbol per byte, spaces at every symbol
+    * boundary INCLUDING both ends (the anchoring the byte merges rely
+    * on). Native hex + regexp_replace — codegen'd.
+    */
+  def spacedBytes(word: Column): Column =
+    concat(lit(" "), regexp_replace(hex(word), "(..)", "$1 "))
+
+  /** Learn byte-level merges: the same distributed word-count aggregate as
+    * [[learnMerges]], with words decomposed to UTF-8 byte symbols instead
+    * of characters before the driver merge loop.
+    */
+  def learnMergesBytes(df: DataFrame, textCol: String, numMerges: Int,
+                       maxVocab: Int = 65536): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val vocab = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    learnFromSymCounts(vocab.map { case (w, c) => (hexSyms(w), c) }, numMerges)
+  }
+
+  /** Apply a byte-merge table in rank order: each merge is one literal
+    * space-anchored replace on the padded spaced-byte form. All native
+    * functions, plan-literal table, identical semantics in DuckDB.
+    */
+  def applyMergesBytes(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spacedBytes(word)) { case (c, (a, b)) =>
+      call_function("replace", c, lit(" " + a + " " + b + " "),
+        lit(" " + a + b + " "))
+    }
+
+  /** Byte-BPE tokens of one word as an array of hex-symbol strings. */
+  def wordTokensBytes(word: Column, merges: Seq[(String, String)]): Column =
+    split(trim(applyMergesBytes(word, merges)), " ")
+
+  /** Total id vocabulary for byte-level BPE: all 256 byte symbols, then
+    * merge outputs in rank order (first occurrence wins) — [[vocabOf]]
+    * over [[ByteAlphabet]]. Every chain output is in here (see the
+    * anchoring note above), so lookups never miss.
+    */
+  def vocabOfBytes(merges: Seq[(String, String)]): Seq[String] =
+    vocabOf(ByteAlphabet, merges)
+
+  /** Whole-text byte-BPE token IDS in document order — the byte-fallback
+    * twin of [[tokenIds]]: NEVER emits -1 (the coalesce arm is
+    * unreachable by construction and asserted dead in BpeSpec; it exists
+    * so the column type stays non-null without an exception path).
+    */
+  def tokenIdsBytes(merges: Seq[(String, String)],
+                    vocab: Seq[String])(text: Column): Column = {
+    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
+    flatten(transform(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      w => transform(wordTokensBytes(w, merges),
+        t => coalesce(element_at(idMap, t), lit(-1)))))
+  }
+
+  /** Driver-side mirror of the [[applyMergesBytes]] chain (java
+    * String.replace is the same sequential non-overlapping replace-all as
+    * Spark's `replace`) — the ScalaCheck round-trip property runs on this
+    * at full speed, and a Spark spec pins mirror == column on a diverse
+    * sample.
+    */
+  def encodeBytesRef(word: String,
+                     merges: Seq[(String, String)]): Seq[String] = {
+    var s = hexSyms(word).mkString(" ", " ", " ")
+    merges.foreach { case (a, b) =>
+      s = s.replace(" " + a + " " + b + " ", " " + a + b + " ")
+    }
+    s.trim.split(" ").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Inverse of [[encodeBytesRef]]: concatenate the hex symbols and decode
+    * UTF-8 — byte-exact for any input because merging only ever deletes
+    * boundary spaces, never reorders or rewrites hex digits.
+    */
+  def decodeBytesRef(tokens: Seq[String]): String = {
+    val hexStr = tokens.mkString
+    val bytes = hexStr.grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The DuckDB replay of the byte chain over a word expression `w`:
+    * padded hex spaced form + anchored replace-chain, yielding the
+    * hex-symbol list. Compose with a CASE id lookup for token ids.
+    */
+  def duckdbWordTokensBytesSql(merges: Seq[(String, String)]): String = {
+    val spacedW = "' ' || regexp_replace(hex(w), '(..)', '\\1 ', 'g')"
+    val chain = merges.foldLeft(spacedW) { case (e, (a, b)) =>
+      s"replace($e, ' $a $b ', ' ${a + b} ')"
+    }
+    s"string_split(trim($chain), ' ')"
   }
 }

@@ -1348,6 +1348,34 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("out", -1).getOrElse("token_ids"), "out"),
         graft.functions.Bpe.tokenIds(merges, vocab)(col(textCol)))
     },
+    "graft.bpe_byte_train" -> { a =>
+      // byte-level BPE (GPT-2 byte-fallback shape): same distributed
+      // word-count fit, words decomposed to UTF-8 byte symbols — the
+      // trained table plus the fixed 256-byte alphabet tokenizes ANY
+      // input with no unknown ids
+      val df = asDf(a.require("df", 0), "df")
+      val merges = graft.functions.Bpe.learnMergesBytes(df,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        numMerges = asInt(a.require("num_merges", 1), "num_merges"),
+        maxVocab = a.get("max_vocab", -1).map(asInt(_, "max_vocab"))
+          .getOrElse(65536))
+      val sp = df.sparkSession
+      import sp.implicits._
+      merges.zipWithIndex
+        .map { case ((x, y), i) => (i, x, y) }.toDF("rank", "first", "second")
+    },
+    "graft.bpe_byte_ids" -> { a =>
+      // byte-fallback token-ID emission: vocabulary = all 256 byte
+      // symbols + merge outputs, so the id array is total over any text
+      // (never -1) — the production tokenizer contract
+      val df = asDf(a.require("df", 0), "df")
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      val vocab = graft.functions.Bpe.vocabOfBytes(merges)
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("token_ids"), "out"),
+        graft.functions.Bpe.tokenIdsBytes(merges, vocab)(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
+    },
     "graft.cluster_balanced_sample" -> { a =>
       // topic-balancing mixture: in-pipeline coarse-quantizer fit (seeded
       // KMeans over a bounded sample), nearest-centroid assignment, then

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-11 queries: byte-fallback BPE token ids (the shipped-tokenizer
+  * contract: NO unknown ids on any input), interpolated trigram LM
+  * perplexity, Luhn-validated PAN + SSN redaction. Every query is
+  * oracle-gated.
+  */
+object Round11 {
+
+  /** Frozen byte-level BPE merge table: `Bpe.learnMergesBytes(documents,
+    * "text", 40)` on the sf0.01 fixture (provenance run:
+    * `graft.tools.ByteBpeFit`). Symbols are uppercase hex UTF-8 bytes —
+    * on this ASCII corpus the table is the byte twin of
+    * [[NorthStar.BpeMerges]] ("65","72") == ("e","r"). Frozen for the
+    * same reason as the char table (the fit is the one eager step);
+    * q241's relearn_ok gate re-learns in-plan and pins equality.
+    */
+  private[queries] val ByteMerges: Seq[(String, String)] = Seq(
+    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"), ("73", "74"),
+    ("6D", "6572"), ("61", "74"), ("6C", "75"), ("61", "72"), ("70", "6172"),
+    ("6A", "6F"), ("6A6F", "696E"), ("61", "73"), ("6173", "68"), ("68", "617368"),
+    ("72", "6F77"), ("6174", "63"), ("617463", "68"), ("62", "61746368"), ("61", "6E"),
+    ("63", "616E"), ("73", "63616E"), ("63", "6F"), ("63", "75"), ("636F", "6C75"),
+    ("636F6C75", "6D"), ("636F6C756D", "6E"), ("6375", "7374"), ("63757374", "6F"),
+    ("637573746F", "6D6572"), ("66", "69"), ("6669", "6C"), ("66696C", "74"),
+    ("66696C74", "6572"), ("61", "6C"), ("616C", "6C"), ("6D", "616C6C"),
+    ("73", "6D616C6C"), ("67", "65"), ("6C", "6F77"))
+
+  private val ByteVocab: Seq[String] =
+    graft.functions.Bpe.vocabOfBytes(ByteMerges)
+
+  def all: Seq[Q] = Seq(
+
+    // Byte-fallback BPE token ids — the contract a SHIPPED tokenizer must
+    // honor (GPT-2/SentencePiece byte fallback): any byte sequence
+    // tokenizes, no unknown ids, ever. The fixture is ASCII, so the query
+    // SPIKES a multibyte tail (2-byte Latin-1, 3-byte CJK + euro, 4-byte
+    // astral emoji, the CP1252-undefined U+009D) that the merge table has
+    // never seen — those bytes must fall back to raw byte ids, not -1.
+    // Ids are gated position-for-position on a 40-doc slice (the q235
+    // pattern); no_unk pins the fallback property, relearn_ok pins that
+    // re-learning the byte table in-plan reproduces the frozen literals.
+    Q("q241_bpe_byte_ids", (s, d) => {
+      import graft.functions.Bpe
+      val docs = t(s, d, "documents")
+      val relearnOk = Bpe.learnMergesBytes(docs, "text", 40) == ByteMerges
+      val spike = lit(" caf\u00E9 \u4F60\u597D \uD83D\uDE00" +
+        " \u20AC5 na\u00EFve \u009Dbyte")
+      val ids = Bpe.tokenIdsBytes(ByteMerges, ByteVocab)(
+        concat(col("text"), spike))
+      docs.filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          size(ids).cast("long").as("n_tokens"),
+          array_join(transform(ids, i => i.cast("string")), ",").as("ids_csv"),
+          (!array_contains(ids, -1)).as("no_unk"),
+          lit(relearnOk).as("relearn_ok"))
+        .orderBy(col("doc_id"))
+    }, Some(q241Oracle))
+  )
+
+  private def q241Oracle: String = {
+    val chainToks = graft.functions.Bpe.duckdbWordTokensBytesSql(ByteMerges)
+    val cases = ByteVocab.zipWithIndex
+      .map { case (tok, i) => s"WHEN '$tok' THEN $i" }.mkString(" ")
+    s"""
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' caf' || chr(233) || ' ' || chr(20320) || chr(22909)
+                 || ' ' || chr(128512) || ' ' || chr(8364) || '5 na'
+                 || chr(239) || 've ' || chr(157) || 'byte' AS text
+          FROM documents WHERE doc_id < 40),
+        base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS wl
+                 FROM spiked),
+        words AS (SELECT doc_id, i AS wpos, wl[i] AS w
+                  FROM base, unnest(generate_series(1, len(wl))) AS t(i)),
+        wid AS (SELECT doc_id, wpos,
+                  list_transform($chainToks,
+                    t -> CASE t $cases ELSE -1 END) AS ids
+                FROM words),
+        agg AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+                FROM wid GROUP BY doc_id)
+        SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+          array_to_string(ids, ',') AS ids_csv,
+          NOT list_contains(ids, -1) AS no_unk, TRUE AS relearn_ok
+        FROM agg ORDER BY doc_id"""
+  }
+}

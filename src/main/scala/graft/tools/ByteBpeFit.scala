@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Provenance run for the frozen BYTE-level BPE merge table embedded in
+  * the q241 oracle: learn `numMerges` byte merges on the sf0.01 documents
+  * corpus (the q175 config, byte alphabet) and print them as a Scala
+  * literal. Ids are total by construction (alphabet = all 256 bytes), so
+  * unlike q235 there is no alphabet to freeze.
+  *
+  * Usage: sbt "runMain graft.tools.ByteBpeFit [sfDir] [numMerges]"
+  */
+object ByteBpeFit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nm = args.lift(1).map(_.toInt).getOrElse(40)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.functions.Bpe.learnMergesBytes(docs, "text", nm)
+    println(s"[bbpe] merges=${merges.size}")
+    println(merges.grouped(5).map(g =>
+      "    " + g.map { case (a, b) => s"""("$a", "$b")""" }.mkString(", "))
+      .mkString(",\n"))
+    spark.stop()
+  }
+}

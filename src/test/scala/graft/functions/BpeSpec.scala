@@ -127,6 +127,65 @@ class BpeSpec extends AnyFunSuite {
     assert(span2 === 3L) // 2 bpe tokens + EOS
   }
 
+  test("byte-level BPE: totality + round-trip for arbitrary strings (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // valid code points only (unpaired surrogates don't survive UTF-8 and
+    // can't appear in real column data): ASCII-heavy with Latin-1/BMP/astral
+    val cp = Gen.frequency(
+      8 -> Gen.choose(32, 126),
+      3 -> Gen.choose(0xA0, 0x2FFF),
+      1 -> Gen.choose(0x10000, 0x10FFF))
+    val word = Gen.nonEmptyListOf(cp)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    val corpus = Gen.nonEmptyListOf(Gen.zip(word, Gen.choose(1L, 50L)))
+    // merges learned on one random corpus, applied to DIFFERENT random
+    // words: every token must be in-vocab (no -1 possible) and the hex
+    // concatenation must decode back byte-exactly
+    val p = Prop.forAll(corpus, Gen.listOf(word)) { (wc, others) =>
+      val merges = Bpe.learnFromSymCounts(
+        wc.map { case (w, c) => (Bpe.hexSyms(w), c) }, numMerges = 30)
+      val vocab = Bpe.vocabOfBytes(merges).toSet
+      (wc.map(_._1) ++ others).forall { w =>
+        val toks = Bpe.encodeBytesRef(w, merges)
+        toks.forall(vocab.contains) && Bpe.decodeBytesRef(toks) == w
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("byte-level BPE: column chain == driver mirror; ids never -1") {
+    val trainWords = Seq(("the", 50L), ("then", 20L), ("than", 10L),
+      ("aaaa", 8L), ("ababab", 6L), ("caf\u00E9", 5L), ("na\u00EFve", 4L))
+    val merges = Bpe.learnFromSymCounts(
+      trainWords.map { case (w, c) => (Bpe.hexSyms(w), c) }, numMerges = 20)
+    val vocab = Bpe.vocabOfBytes(merges)
+    val idOf = vocab.zipWithIndex.toMap
+    // adversarial shapes: adjacent same-pair runs (the anchored-replace
+    // deferral path), multibyte Latin-1, CJK, an astral emoji, mojibake
+    // bytes the training corpus never saw, and the empty string
+    val samples = Seq(
+      "the then than", "aaaa ab ababab aab", "caf\u00E9 na\u00EFve",
+      "\u00E9\u00E9\u00E9", "\u4F60\u597D world", "x \uD83D\uDE00 y",
+      "Caf\u00C3\u00A9 mojibake \u20AC5", "")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Bpe.tokenIdsBytes(merges, vocab)(col("text")).as("ids"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val want = s.split("\\s+").toSeq.filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeBytesRef(w, merges).map(idOf))
+      assert(got(i) == want, s"sample $i: ${got(i)} vs $want")
+      assert(!got(i).contains(-1), s"sample $i emitted an unknown id")
+    }
+    // decode of the column output round-trips (whitespace-normalized:
+    // words tokenize independently)
+    val decoded = got(4).map(vocab(_)) // "\u4F60\u597D world"
+    assert(Bpe.decodeBytesRef(decoded.toSeq) == "\u4F60\u597Dworld")
+  }
+
   test("tokenizer= hook: packWindows budgets in BPE tokens") {
     val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
     val docs = Seq(
