@@ -20,7 +20,9 @@ object Round10 {
     // residuals PQ-encoded in one map pass, probed set broadcast onto the
     // code table (the join IS the cell filter — corpus never shuffles),
     // ADC top-40 exact-reranked to top-5. Measured recall 0.8-1.0 per
-    // query at ncells=8/nprobe=4/m=8/ksub=64 on this fixture; gate >= 0.6.
+    // query at ncells=8/nprobe=4/m=8/ksub=64 on this fixture; the gate
+    // sits at the measured floor (>= 0.8, r11 — was 0.6) so a residual-
+    // encode or probe regression fails CORRECTNESS, not just a collapse.
     Q("q227_ann_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -33,7 +35,7 @@ object Round10 {
         bf.join(ann, Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
-            >= 0.6).as("recall_ok"))
+            >= 0.8).as("recall_ok"))
           .orderBy(col("query_id"))
       },
       Some("""

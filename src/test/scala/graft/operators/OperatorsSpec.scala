@@ -718,6 +718,29 @@ class SimilaritySpec extends AnyFunSuite {
     val total = cellPop.values.sum * 10 // 10 queries x full corpus
     assert(c4 < total, s"nprobe=4 scanned $c4 of $total — cell filter not applied")
     assert(c1 < c4, s"nprobe=1 ($c1) must scan fewer candidates than nprobe=4 ($c4)")
+    // PIN the candidate set exactly: the ADC join must scan precisely the
+    // probed cells' populations (minus query==neighbor self rows), so a
+    // probe regression that widens the scan fails here, not just when
+    // recall finally collapses. Also gate the coarse scan-fraction
+    // contract: candidates <= (nprobe/ncells) * N * |Q| * (1 + eps), eps
+    // covering KMeans cell-size skew on this fixture.
+    val n = cellPop.values.sum
+    val probedCells = Similarity.ivfPqProbe(
+        queries, cents, cbs, 4, "vec_id", "embedding")
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val selfHits = codes.select(col("neighbor_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = probedCells.map { case (q, c) =>
+      cellPop(c) - (if (selfHits.contains((q, c))) 1L else 0L)
+    }.sum
+    assert(c4 == expected,
+      s"ADC candidate count $c4 != probed-cell population $expected — " +
+        "the cell-equality join is no longer the cell filter")
+    val bound = (4.0 / 8.0) * n * 10 * 1.5
+    assert(c4 <= bound,
+      f"candidate fraction ${c4.toDouble / (n * 10)}%.3f exceeds " +
+        f"(nprobe/ncells)*(1+eps) = ${bound / (n * 10)}%.3f")
   }
 
   test("IVF-PQ index save/load: saved-index queries equal the in-memory path") {
