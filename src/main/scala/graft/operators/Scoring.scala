@@ -104,6 +104,71 @@ object Scoring {
       .agg(avg(col("lp")).as("bigram_lp"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated trigram language-model perplexity — the CCNet/KenLM
+    * production filter idiom one step up from [[bigramLogProb]]: per
+    * document, perplexity under a Jelinek-Mercer-interpolated trigram
+    * model fitted on the corpus itself,
+    *
+    *   P(w3 | w1 w2) = l3*c3(w1w2w3)/c2(w1w2) + l2*c2(w2w3)/c1(w2)
+    *                 + l1*c1(w3)/N
+    *
+    * with fixed interpolation weights l3+l2+l1 = 1 (the backoff mass
+    * guarantees P > 0 for any trigram whose unigram was seen; fitting on
+    * the corpus itself makes even c3 > 0, so interpolation here shapes
+    * the score rather than rescuing zeros — exactly the smoothing role it
+    * plays in CCNet's 5-gram filter). Output per doc: mean ln P over its
+    * trigram positions (`trigram_lp`), `ppl` = exp(-mean), `n_trigrams`.
+    * Docs under 3 words contribute no rows.
+    *
+    * Scale shape: trigrams/bigrams come off the single-pass WordShingles
+    * expression (row-local); the model is three count aggregates with
+    * map-side partials; scoring joins each doc trigram to its five count
+    * rows by key equality (c3, the two context bigrams, the two unigrams)
+    * plus one broadcast scalar (N). No self-joins, no windows, no driver
+    * math — the count tables ARE the model, so the "re-learn gate" is
+    * inherent: the oracle rebuilds them from scratch and must agree on
+    * every doc (integer counts are partitioning-insensitive, which is why
+    * nothing needs freezing, unlike the LR weights in q229/q230).
+    */
+  def trigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                        l3: Double = 0.7, l2: Double = 0.2,
+                        l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1, got $l3 + $l2 + $l1")
+    val tg0 = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 3)).as("tg"))
+      .withColumn("ws", split(col("tg"), " "))
+      .filter(size(col("ws")) === 3) // sub-3-word docs contribute nothing
+    val tg = tg0.select(col("id"), col("tg"),
+      concat_ws(" ", element_at(col("ws"), 1), element_at(col("ws"), 2)).as("b12"),
+      concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 3)).as("b23"),
+      element_at(col("ws"), 2).as("w2"),
+      element_at(col("ws"), 3).as("w3"))
+    val ctg = tg.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val bg = df.select(
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(split(lower(col(textCol)), "\\s+")).as("u"))
+      .filter(length(col("u")) > 0)
+      .groupBy(col("u")).agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum(col("c1")).as("n"))
+    tg.join(ctg, Seq("tg"))
+      .join(bg.select(col("bg").as("b12"), col("c2").as("c12")), Seq("b12"))
+      .join(bg.select(col("bg").as("b23"), col("c2").as("c23")), Seq("b23"))
+      .join(uni.select(col("u").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .join(uni.select(col("u").as("w3"), col("c1").as("cw3")), Seq("w3"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("lp", org.apache.spark.sql.functions.log(
+        lit(l3) * col("c3") / col("c12") +
+          lit(l2) * col("c23") / col("cw2") +
+          lit(l1) * col("cw3") / col("n")))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("trigram_lp"), count(lit(1)).as("n_trigrams"))
+      .select(col("id"), col("trigram_lp"),
+        exp(-col("trigram_lp")).as("ppl"), col("n_trigrams"))
+  }
+
   /** Per-doc BOILERPLATE ratio: the fraction of a doc's sentences that are
     * boilerplate for its source — a sentence counts as boilerplate when it
     * appears in at least `minFrac` of the source's documents (nav menus,

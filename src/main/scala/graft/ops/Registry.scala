@@ -1617,6 +1617,16 @@ final class Registry(spark: SparkSession) {
         a.require("q", 3).toString.toDouble,
         exact = a.get("exact", -1).forall(asBool(_, default = true)))
     },
+    "graft.trigram_perplexity" -> { a =>
+      // interpolated trigram LM perplexity per doc (CCNet/KenLM filter
+      // idiom): Jelinek-Mercer weights l3/l2/l1 must sum to 1
+      graft.operators.Scoring.trigramPerplexity(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        l3 = a.get("l3", -1).map(_.toString.toDouble).getOrElse(0.7),
+        l2 = a.get("l2", -1).map(_.toString.toDouble).getOrElse(0.2),
+        l1 = a.get("l1", -1).map(_.toString.toDouble).getOrElse(0.1))
+    },
     "graft.bigram_logprob" -> { a =>
       // add-k-smoothed bigram transition log-prob per doc (perplexity-
       // style quality filter; model fitted on the corpus itself)

@@ -58,7 +58,52 @@ object Round11 {
           (!array_contains(ids, -1)).as("no_unk"),
           lit(relearnOk).as("relearn_ok"))
         .orderBy(col("doc_id"))
-    }, Some(q241Oracle))
+    }, Some(q241Oracle)),
+
+    // Interpolated trigram LM perplexity (the CCNet/KenLM filter idiom —
+    // VERDICT-r10 Missing #2): Jelinek-Mercer interpolation of trigram /
+    // bigram / unigram ML estimates at fixed weights 0.7/0.2/0.1, fitted
+    // on the corpus itself, per-doc mean ln P and perplexity. The oracle
+    // REBUILDS the whole model from scratch (trigram, bigram, unigram
+    // count tables, token total) and replays the interpolation exactly —
+    // the re-learn gate is therefore inherent (integer counts are
+    // partitioning-insensitive). round(6) absorbs ln/avg ulps; ppl is
+    // exp of the unrounded mean in both engines.
+    Q("q242_trigram_perplexity",
+      (s, d) => graft.operators.Scoring.trigramPerplexity(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          round(col("trigram_lp"), 6).as("trigram_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_trigrams"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        tg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+               FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+               WHERE len(w) >= 3),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        bg AS (SELECT w[i] AS b1, w[i+1] AS b2
+               FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 2),
+        c2 AS (SELECT b1, b2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        uni AS (SELECT unnest(w) AS u FROM toks),
+        c1 AS (SELECT u, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM uni),
+        sc AS (
+          SELECT tg.doc_id,
+            ln(0.7 * c3.c3 / c12.c2 + 0.2 * c23.c2 / cw2.c1
+               + 0.1 * cw3.c1 / n.n) AS lp
+          FROM tg
+          JOIN c3 USING (w1, w2, w3)
+          JOIN c2 c12 ON c12.b1 = tg.w1 AND c12.b2 = tg.w2
+          JOIN c2 c23 ON c23.b1 = tg.w2 AND c23.b2 = tg.w3
+          JOIN c1 cw2 ON cw2.u = tg.w2
+          JOIN c1 cw3 ON cw3.u = tg.w3, n)
+        SELECT doc_id, round(avg(lp), 6) AS trigram_lp,
+          round(exp(-avg(lp)), 6) AS ppl,
+          COUNT(*) AS n_trigrams
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   private def q241Oracle: String = {
