@@ -144,6 +144,96 @@ object Text {
     regexp_count(redactPiiExtended(text), lit("<EMAIL>|<IP>|<PHONE>")) -
       regexp_count(text, lit("<EMAIL>|<IP>|<PHONE>"))
 
+  // ------------------------------------------------------------------
+  // CHECKSUM-VALIDATED financial PII: payment-card numbers (PANs) and
+  // SSNs. Shape-only card regexes drown in false positives (order ids,
+  // tracking numbers); the production filter validates the Luhn
+  // checksum before redacting, which kills ~90% of random digit-run
+  // decoys. Everything below stays a pure column-function chain
+  // (regexp passes + a bounded HOF fold over the few candidates per
+  // doc) — no UDF, no shuffle, replayable verbatim in DuckDB.
+  // ------------------------------------------------------------------
+
+  // PAN candidate: a plain 13-19 digit run, or the standard groupings
+  // with a CONSISTENT separator — 4-4-4-{1,4} (Visa/MC/Discover 13-16)
+  // and 4-6-5 (Amex), each enumerated for space and dash (RE2 has no
+  // backreference to pin the separator). Enumerating groupings instead
+  // of allowing any digit/sep soup is load-bearing: with free-form
+  // separators, two space-adjacent SSN-shaped decoys ("000-12-3456
+  // 666-12-3456") merge into an 18-digit candidate that happens to pass
+  // Luhn (caught by TextSpec). Digit-run bounded on both sides via
+  // consumed-boundary groups, the ipv4Re idiom.
+  // Dash excluded from both boundary classes (the ssnRe rule) so a
+  // grouped slice of a longer dashed run never matches.
+  private[graft] val panCandRe =
+    "(^|[^0-9A-Za-z-])([0-9]{13,19}|" +
+      "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|" +
+      "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{1,4}|" +
+      "[0-9]{4}-[0-9]{6}-[0-9]{5}|" +
+      "[0-9]{4} [0-9]{6} [0-9]{5})([^0-9-]|$)"
+
+  // SSN: AAA-GG-SSSS with the numbering rules baked into alternations
+  // (no lookahead in RE2): area not 000/666/9xx, group not 00, serial
+  // not 0000. Dash excluded from the boundary classes so a 3-2-4 slice
+  // of a longer dashed run never matches.
+  private[graft] val ssnRe =
+    "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|6[0-5][0-9]|" +
+      "66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|[1-9][0-9])-" +
+      "(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))([^0-9-]|$)"
+
+  /** Luhn checksum over the digits of a candidate (separators ignored):
+    * every second digit from the right doubles with a 9-wrap, and the
+    * total must be divisible by 10. Pure array math over the extracted
+    * digit list — identical structure in the DuckDB oracle replay.
+    */
+  def luhnOk(cand: Column): Column = {
+    val ds = regexp_extract_all(cand, lit("[0-9]"), lit(0))
+    val n = size(ds)
+    val s = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val v = element_at(ds, n - i + 1).cast("int")
+        when(i % 2 === 0,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    s % 10 === 0
+  }
+
+  // One PAN pass: extract boundary-delimited candidates, keep only the
+  // Luhn-valid ones, fold each through a boundary-anchored replace (the
+  // candidate is digits/space/dash only, so it is regex-safe verbatim).
+  // Embedded occurrences of the same digits inside longer runs stay
+  // untouched (the digit boundaries don't match there). Runs twice in
+  // [[redactPiiFinancial]]: extraction consumes the shared boundary
+  // between adjacent PANs, and the second pass sees it re-inserted.
+  private def ccPass(c: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(c, lit(panCandRe), lit(2)), luhnOk(_)),
+      c,
+      (acc, cand) => regexp_replace(acc,
+        concat(lit("(^|[^0-9A-Za-z-])"), cand, lit("([^0-9-]|$)")),
+        lit("$1<CC>$2")))
+
+  /** [[redactPiiExtended]] plus Luhn-validated PAN and rule-validated SSN
+    * redaction — the decoy-proof financial tier: checksum-failing digit
+    * runs and invalid SSN shapes (area 000/666/9xx, group 00, serial
+    * 0000) are KEPT, valid ones become <CC>/<SSN>. Email/IP/phone pass
+    * first (their placeholders contain no digits, so passes commute);
+    * phones are at most 11 digits and PAN candidates need 13, so the
+    * families never overlap.
+    */
+  def redactPiiFinancial(text: Column): Column = {
+    val ssnPass: Column => Column =
+      c => regexp_replace(c, ssnRe, "$1<SSN>$3")
+    ssnPass(ssnPass(ccPass(ccPass(redactPiiExtended(text)))))
+  }
+
+  /** Placeholder-insertion count for [[redactPiiFinancial]] (audit). */
+  def piiCountFinancial(text: Column): Column =
+    regexp_count(redactPiiFinancial(text),
+      lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>")) -
+      regexp_count(text, lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>"))
+
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
     * values flag boilerplate/spam. Pure column math over the shingle array

@@ -961,9 +961,13 @@ final class Registry(spark: SparkSession) {
     "graft.redact_pii" -> { a =>
       val df = asDf(a.require("df", 0), "df")
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
-      // phones=true adds the NANP phone pass to the email/IPv4 passes
+      // phones=true adds the NANP phone pass to the email/IPv4 passes;
+      // financial=true adds Luhn-validated PANs + rule-validated SSNs
+      // on top of the full extended chain
       val redact =
-        if (a.get("phones", -1).exists(asBool(_, default = false)))
+        if (a.get("financial", -1).exists(asBool(_, default = false)))
+          Text.redactPiiFinancial(col(textCol))
+        else if (a.get("phones", -1).exists(asBool(_, default = false)))
           Text.redactPiiExtended(col(textCol))
         else Text.redactPii(col(textCol))
       df.withColumn(textCol, redact)

@@ -104,7 +104,101 @@ object Round11 {
           round(exp(-avg(lp)), 6) AS ppl,
           COUNT(*) AS n_trigrams
         FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+  ) ++ pii
+
+  private def pii: Seq[Q] = Seq(
+
+    // Luhn-validated PAN + rule-validated SSN redaction (VERDICT-r10
+    // Missing #4 — the decisive false-positive killer shape-only card
+    // regexes lack). The query SPIKES three VALID PANs (plain Visa,
+    // dashed Mastercard, space-grouped 15-digit Amex), one doc-varying
+    // valid SSN, and a decoy battery that MUST survive verbatim: a
+    // checksum-failing 16-digit run, a Luhn-invalid dashed run, SSNs
+    // with area 000/666/9xx, group 00, serial 0000. Expected n_pii = 4
+    // per doc (3 <CC> + 1 <SSN>); the oracle replays the full financial
+    // chain — email/IP/phone passes, candidate extraction, the Luhn
+    // fold (list_reduce), both SSN passes — so any validator or
+    // boundary regression flips the hash.
+    Q("q243_pii_financial",
+      (s, d) => {
+        import graft.functions.Text
+        val serial = lpad(((col("doc_id") % 9998) + 1).cast("string"), 4, "0")
+        val spiked = concat(col("text"),
+          lit(" Pay 4111111111111111 or 5500-0000-0000-0004 or" +
+            " 3782 822463 10005 now. SSN 219-09-"), serial,
+          lit(". Decoys: 4111111111111112, then 1234-5678-9012-3456;" +
+            " also 000-12-3456 and 666-12-3456 and 123-00-4567 and" +
+            " 987-65-4320 and 219-09-0000 end."))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.redactPiiFinancial(spiked).as("redacted"),
+          Text.piiCountFinancial(spiked).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q243Oracle))
   )
+
+  /** One DuckDB PAN pass over text expression `e`: extract the
+    * boundary-delimited 13-19-digit candidates, keep the Luhn-valid
+    * ones (list_filter), fold each through the boundary-anchored
+    * replace (list_reduce seeded with the text via list_prepend) —
+    * structurally identical to Text.ccPass.
+    */
+  private def ccPassSql(e: String): String = {
+    val d = "regexp_extract_all(c, '[0-9]')"
+    val digit = "CAST(" + d + "[len(" + d + ")-i+1] AS INT)"
+    val luhn = "list_sum(list_transform(generate_series(1, len(" + d + ")), " +
+      "i -> CASE WHEN i % 2 = 0 THEN CASE WHEN " + digit + "*2 > 9 THEN " +
+      digit + "*2-9 ELSE " + digit + "*2 END ELSE " + digit + " END)) % 10 = 0"
+    val cand = "[0-9]{13,19}|[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|" +
+      "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{1,4}|[0-9]{4}-[0-9]{6}-[0-9]{5}|" +
+      "[0-9]{4} [0-9]{6} [0-9]{5}"
+    "list_reduce(list_prepend(" + e + ", list_filter(regexp_extract_all(" +
+      e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9-]|$)', 2), " +
+      "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
+      "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
+  }
+
+  private def q243Oracle: String = {
+    val ipRe = "(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|" +
+      "[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))" +
+      "([^0-9A-Za-z_.]|\\.[^0-9]|\\.$|$)"
+    val phoneRe = "(^|[^0-9A-Za-z])((?:\\+?1[-. ])?(?:\\([2-9][0-9]{2}\\)" +
+      "[-. ]?|[2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)"
+    val ssnRe = "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|" +
+      "6[0-5][0-9]|66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|" +
+      "[1-9][0-9])-(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))" +
+      "([^0-9-]|$)"
+    val base = "regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'" + ipRe + "', '\\1<IP>\\3', 'g'), " +
+      "'" + ipRe + "', '\\1<IP>\\3', 'g'), " +
+      "'" + phoneRe + "', '\\1<PHONE>\\3', 'g'), " +
+      "'" + phoneRe + "', '\\1<PHONE>\\3', 'g')"
+    val ssn2 = "regexp_replace(regexp_replace(text, " +
+      "'" + ssnRe + "', '\\1<SSN>\\3', 'g'), " +
+      "'" + ssnRe + "', '\\1<SSN>\\3', 'g')"
+    """
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' Pay 4111111111111111 or 5500-0000-0000-0004 or'
+                 || ' 3782 822463 10005 now. SSN 219-09-'
+                 || lpad(CAST(doc_id % 9998 + 1 AS VARCHAR), 4, '0')
+                 || '. Decoys: 4111111111111112, then 1234-5678-9012-3456;'
+                 || ' also 000-12-3456 and 666-12-3456 and 123-00-4567 and'
+                 || ' 987-65-4320 and 219-09-0000 end.' AS text
+          FROM documents),
+        base AS (SELECT doc_id, """ + base + """ AS text FROM spiked),
+        cc1 AS (SELECT doc_id, """ + ccPassSql("text") + """ AS text FROM base),
+        cc2 AS (SELECT doc_id, """ + ccPassSql("text") + """ AS text FROM cc1),
+        fin AS (SELECT doc_id, """ + ssn2 + """ AS redacted FROM cc2)
+        SELECT f.doc_id, f.redacted,
+          CAST(len(regexp_extract_all(f.redacted, '<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>'))
+             - len(regexp_extract_all(s.text, '<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>'))
+            AS INTEGER) AS n_pii
+        FROM fin f JOIN spiked s USING (doc_id) ORDER BY doc_id"""
+  }
 
   private def q241Oracle: String = {
     val chainToks = graft.functions.Bpe.duckdbWordTokensBytesSql(ByteMerges)

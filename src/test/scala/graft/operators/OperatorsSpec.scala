@@ -1505,6 +1505,31 @@ class TextSpec extends AnyFunSuite {
     assert(out(5L) == (("mixed <EMAIL> at <IP> or <PHONE>", 3)))
   }
 
+  test("redactPiiFinancial: Luhn-valid PANs and valid SSNs redact; checksum/rule decoys survive") {
+    val df = Seq(
+      // the three classic test PANs: plain, dashed, space-grouped Amex
+      (1L, "pay 4111111111111111 or 5500-0000-0000-0004 or 3782 822463 10005 ok"),
+      // checksum failures stay — the decisive false-positive killer
+      (2L, "order 4111111111111112 ref 1234-5678-9012-3456 done"),
+      // digit-run boundaries: a valid PAN embedded in a longer run stays
+      (3L, "id 94111111111111111 and 4111111111111111 tail"),
+      (4L, "ssn 219-09-9999 ok; bad 000-12-3456 666-12-3456 987-65-4320 123-00-4567 219-09-0000"),
+      // adjacent valid PANs sharing one boundary char: both redact (2 passes)
+      (5L, "both 4111111111111111,5500000000000004 redact"),
+      // financial tier keeps the extended chain
+      (6L, "a@b.example.com 10.0.0.1 (234) 555-0199")
+    ).toDF("id", "text")
+      .select(col("id"), Text.redactPiiFinancial(col("text")).as("r"),
+        Text.piiCountFinancial(col("text")).as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("pay <CC> or <CC> or <CC> ok", 3)))
+    assert(out(2L) == (("order 4111111111111112 ref 1234-5678-9012-3456 done", 0)))
+    assert(out(3L) == (("id 94111111111111111 and <CC> tail", 1)))
+    assert(out(4L) == (("ssn <SSN> ok; bad 000-12-3456 666-12-3456 987-65-4320 123-00-4567 219-09-0000", 1)))
+    assert(out(5L) == (("both <CC>,<CC> redact", 2)))
+    assert(out(6L) == (("<EMAIL> <IP> <PHONE>", 3)))
+  }
+
   test("topk rejects wrong id type at analysis time; int ids widen and work") {
     val spark2 = spark
     import spark2.implicits._
