@@ -1491,6 +1491,15 @@ final class Registry(spark: SparkSession) {
         expr(asStr(a.require("label", 1), "label")),
         numFeatures = a.get("num_features", -1).map(asInt(_, "num_features"))
           .getOrElse(64))
+      // a single-class label degenerates to a +/-inf intercept and
+      // all-zero weights — a silently useless asset; fail loudly (the
+      // usual cause: a label expression that never matches, e.g. an
+      // unescaped regex in a SQL string literal)
+      if (!java.lang.Double.isFinite(b) ||
+          w.exists(x => !java.lang.Double.isFinite(x)))
+        throw PipelineError("quality_fit: non-finite weights — the label " +
+          "expression is single-class on this frame; check it matches " +
+          "any rows (and escapes regex backslashes for the SQL parser)")
       val sp = df.sparkSession
       import sp.implicits._
       ((-1, b) +: w.zipWithIndex.map { case (x, i) => (i, x) })

@@ -255,6 +255,36 @@ class ExamplesSpec extends AnyFunSuite {
     assert(novel2 == novelIds, "resumed-index dedup must equal run 1's result")
   }
 
+  test("examples/quality_lifecycle.yaml: two-run E2E — run 2 resumes the weights, no LBFGS refit") {
+    val out = freshDir("ex_qlc")
+    val p1 = new Pipeline(spark, "examples/quality_lifecycle.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p1.run()
+    assert(p1.resumedSteps.isEmpty, "run 1 fits fresh")
+
+    val w1 = spark.read.parquet(s"$out/quality_weights.parquet")
+    assert(w1.count() == 65, "64 weights + the pos=-1 intercept row")
+    assert(w1.filter(col("pos") === -1).count() == 1)
+
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kept = spark.read.parquet(s"$out/quality_kept.parquet")
+    assert(kept.count() > 0 && kept.count() < nDocs,
+      "the prob > 0.5 gate must keep some docs and drop some")
+    assert(Seq("doc_id", "logit", "prob").forall(kept.columns.contains))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // ---- run 2: the fit step must RESUME from parquet (no LBFGS job),
+    // while scoring + the threshold gate recompute and agree ----
+    val p2 = new Pipeline(spark, "examples/quality_lifecycle.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p2.run()
+    assert(p2.resumedSteps == Set("weights"),
+      s"run 2 must skip exactly the fit step, resumed=${p2.resumedSteps}")
+    val kept2 = spark.read.parquet(s"$out/quality_kept.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == keptIds, "resumed-weights scoring must equal run 1's gate")
+  }
+
   test("examples/train_prep.yaml runs green: decontaminated, deduped, split, sampled") {
     val out = freshDir("ex_train")
     new Pipeline(spark, "examples/train_prep.yaml",
