@@ -190,6 +190,11 @@ object Streams {
     * recall as the batch operator (>= 1 agreeing band), same hot-bucket
     * cap bounding state. A pair can surface from several agreeing bands —
     * consumers dedup downstream, exactly like the batch distinct.
+    *
+    * `stateTtl` uses ProcessingTimeTimeout — see the WARNING on
+    * [[runningUserStats]] before running this continuously or under
+    * AvailableNow: no-data micro-batches self-perpetuate unless
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false`.
     */
   def streamingSimhashPairs(stream: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, bands: Int = 8,
@@ -265,6 +270,21 @@ object Streams {
     * partitioned by key across executors (an equality shuffle), so it scales
     * with the key space, and every update emits the refreshed row (Update
     * mode). Input needs (user_id: Long, value: Double).
+    *
+    * ==WARNING: `stateTtl` trigger semantics==
+    * `stateTtl` (here and in [[streamingSimhashPairs]]) uses
+    * `ProcessingTimeTimeout`, which makes Spark's
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` ALWAYS true once
+    * any timeout is armed: a continuously-running query spins no-data
+    * micro-batches forever (state-store churn at the trigger rate), and
+    * even `Trigger.AvailableNow` NEVER terminates unless
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false`. Run it in
+    * the drain-periodically shape (checkpointed AvailableNow with no-data
+    * batches disabled — StreamingSpec's TTL cases are the template), or
+    * use [[runningUserStatsEventTtl]], whose event-time timeouts are
+    * watermark-driven: no self-perpetuating batches, AvailableNow
+    * terminates naturally. Also note a key that RECEIVES data in a batch
+    * never times out in that batch, whatever its armed timeout says.
     */
   def runningUserStats(events: DataFrame,
                        stateTtl: Option[String] = None): DataFrame = {
@@ -292,6 +312,54 @@ object Streams {
           val next = UserState(user, n, tot)
           state.update(next)
           stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.single(next)
+      }
+      .toDF()
+  }
+
+  /** EVENT-TIME TTL variant of [[runningUserStats]]: state for a user
+    * evicts when the WATERMARK passes their last event time + `ttlMillis`
+    * (EventTimeTimeout), instead of a wall-clock idle timer. This is the
+    * variant to reach for on a continuously-running query: event-time
+    * timeouts are watermark-driven, so there are no self-perpetuating
+    * no-data batches (`shouldRunAnotherBatch` only fires while the
+    * watermark still advances) and `Trigger.AvailableNow` terminates with
+    * the default `noDataMicroBatches` setting — none of the
+    * ProcessingTimeTimeout caveats documented on [[runningUserStats]].
+    * It is also deterministic under replay: eviction depends on the DATA
+    * (watermark), not on how fast the cluster happened to process it.
+    * Input needs (user_id: Long, value: Double, `tsCol`: Timestamp);
+    * `watermarkDelay` is the out-of-orderness bound (a Spark interval
+    * string, e.g. "10 seconds").
+    */
+  def runningUserStatsEventTtl(events: DataFrame, tsCol: String = "ts",
+                               watermarkDelay: String = "0 seconds",
+                               ttlMillis: Long = 60000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermarkDelay)
+      .selectExpr("user_id", "value", s"$tsCol AS __ts")
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[UserState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+              state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          var maxTs = Long.MinValue
+          rows.foreach { case (_, v, ts) =>
+            n += 1; tot += v; maxTs = math.max(maxTs, ts.getTime)
+          }
+          val next = UserState(user, n, tot)
+          state.update(next)
+          // fires once the watermark (not the clock) passes this point
+          state.setTimeoutTimestamp(maxTs + ttlMillis)
           Iterator.single(next)
       }
       .toDF()

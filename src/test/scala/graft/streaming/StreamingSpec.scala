@@ -301,6 +301,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time TTL: watermark-driven eviction, AvailableNow terminates with no-data batches ON") {
+    // the ProcessingTimeTimeout caveats don't apply here: no
+    // withNoDataBatchesDisabled, no Thread.sleep — eviction follows the
+    // DATA's event time, and each AvailableNow drain must terminate on
+    // its own (a hang would trip awaitTermination's timeout below)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttl_evt").toString
+    val ckpt = s"$dir/ckpt"
+    def push(rows: (Long, Double, String)*): Unit =
+      rows.toSeq.map { case (u, v, ts) =>
+        (u, v, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("user_id", "value", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/u")
+    def drain(): Set[(Long, Long, Double)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, value DOUBLE, ts TIMESTAMP"))
+        .parquet(s"$dir/u")
+      val q = Streams.runningUserStatsEventTtl(stream, ttlMillis = 60000L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must terminate under event-time timeouts " +
+          "with noDataMicroBatches at its default")
+      got.toArray(Array.empty[(Long, Long, Double)]).toSet
+    }
+    push((1L, 1.0, "2026-01-01 10:00:00"))
+    assert(drain() == Set((1L, 1L, 1.0))) // user 1's timeout arms at 10:01
+    // watermark jumps to 10:02 — past user 1's timeout...
+    push((2L, 5.0, "2026-01-01 10:02:00"))
+    assert(drain() == Set((2L, 1L, 5.0)))
+    // ...so by this batch user 1 is evicted (timeouts fire when the
+    // EVICTION watermark — last batch's — passes them; user 2, refreshed
+    // at 10:02, stays live)
+    push((2L, 5.5, "2026-01-01 10:02:10"))
+    assert(drain() == Set((2L, 2L, 10.5)))
+    // user 1 restarts from zero; user 2's state was retained throughout
+    push((1L, 2.0, "2026-01-01 10:02:20"), (2L, 6.0, "2026-01-01 10:02:30"))
+    assert(drain() == Set((1L, 1L, 2.0), (2L, 3L, 16.5)))
+  }
+
   test("stream-stream join matches the batch interval join") {
     val a = Streams.eventsStream(spark, streamDir)
     val b = Streams.eventsStream(spark, streamDir)
