@@ -25,13 +25,20 @@ object Prep {
     * names (values become double).
     */
   def winsorize(df: DataFrame, valueCols: Seq[String], by: Seq[String] = Nil,
-                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+                lo: Double = 0.05, hi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
     require(valueCols.nonEmpty, "winsorize: valueCols must be non-empty")
     require(lo >= 0 && lo < hi && hi <= 1,
       s"winsorize: need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    // exact percentile buffers every group value in the agg buffer — the
+    // skewed-group memory hotspot at scale; exact=false swaps in the
+    // bounded-memory approx_percentile sketch (clip bounds move by at
+    // most the sketch's rank error)
+    def pct(c: String, p: Double) =
+      if (exact) expr(s"percentile(`$c`, $p)")
+      else expr(s"approx_percentile(`$c`, CAST($p AS DOUBLE), 10000)").cast("double")
     val aggs = valueCols.flatMap(c => Seq(
-      expr(s"percentile(`$c`, $lo)").as(s"__lo_$c"),
-      expr(s"percentile(`$c`, $hi)").as(s"__hi_$c")))
+      pct(c, lo).as(s"__lo_$c"), pct(c, hi).as(s"__hi_$c")))
     val bounds = df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val clipped = valueCols.foldLeft(joinStats(df, bounds, by))((d, c) =>
       d.withColumn(c,

@@ -1663,7 +1663,8 @@ final class Registry(spark: SparkSession) {
         asStrList(a.require("columns", 1)),
         a.get("by", -1).map(asStrList).getOrElse(Nil),
         lo = a.get("lo", -1).map(_.toString.toDouble).getOrElse(0.05),
-        hi = a.get("hi", -1).map(_.toString.toDouble).getOrElse(0.95))
+        hi = a.get("hi", -1).map(_.toString.toDouble).getOrElse(0.95),
+        exact = a.get("exact", -1).forall(asBool(_, default = true)))
     },
     "graft.zscore" -> { a =>
       // group-wise standardization (pandas ddof=1 default)
@@ -4044,8 +4045,18 @@ final class Registry(spark: SparkSession) {
       // per-group quantiles. Spark's `percentile` aggregate is the exact
       // sort-based one with linear interpolation — the same definition as
       // pandas' default and DuckDB's quantile_cont, so no approx drift.
+      // MEMORY CONTRACT: exact percentile buffers EVERY value of a group
+      // in its aggregation buffer (an OpenHashMap of counts per distinct
+      // value), so executor memory bounds the LARGEST group's distinct
+      // values — the classic hotspot on a skewed key at 100x scale. Pass
+      // exact=false to swap in approx_percentile (bounded-memory
+      // mergeable KLL-style sketch, rank error ~1/accuracy, accuracy=
+      // kwarg, default 10000): same plan shape, group size no longer a
+      // memory term.
       val q = a.get("q", 0).map(_.toString.toDouble).getOrElse(0.5)
       require(q >= 0 && q <= 1, "quantile: q must be in [0, 1]")
+      val exact = a.get("exact", -1).forall(asBool(_, default = true))
+      val acc = a.get("accuracy", -1).map(asInt(_, "accuracy")).getOrElse(10000)
       val keySet = g.keyNames.toSet
       val cols = a.get("columns", -1).map(asStrList).getOrElse(
         g.df.schema.fields.filter(f => !keySet.contains(f.name) &&
@@ -4053,7 +4064,9 @@ final class Registry(spark: SparkSession) {
       require(cols.nonEmpty, "quantile: no numeric columns to aggregate")
       def qid(c: String) = "`" + c.replace("`", "``") + "`"
       val aggs = cols.map(c =>
-        expr(s"percentile(${qid(c)}, CAST($q AS DOUBLE))").as(c))
+        (if (exact) expr(s"percentile(${qid(c)}, CAST($q AS DOUBLE))")
+         else expr(s"approx_percentile(${qid(c)}, CAST($q AS DOUBLE), $acc)")
+           .cast("double")).as(c))
       g.df.groupBy(g.keyCols: _*).agg(aggs.head, aggs.tail: _*)
     case "ohlc" =>
       // pandas groupby().ohlc() under the explicit-ordering contract:

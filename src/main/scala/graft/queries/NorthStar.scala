@@ -1063,6 +1063,13 @@ object NorthStar {
     // the 100 TB path (exact percentile sorts each group's values), mirroring
     // the q41 exact-beside-sketch pattern. Linear interpolation matches
     // DuckDB quantile_cont; rounded to 4 decimals to absorb 1-ulp drift.
+    // MEMORY CONTRACT: Spark's exact `percentile` holds a counts-map of a
+    // group's DISTINCT values in its aggregation buffer, so the largest
+    // group's distinct-value count x ~32 bytes must fit one executor's
+    // task memory — on a skewed key at 100x this is the classic OOM; the
+    // oracle requires exactness here, but every YAML quantile surface
+    // (groupby().quantile, graft.winsorize, graft.quantile_gate) takes
+    // exact=false to swap in the bounded-memory approx_percentile sketch.
     Q("q60_percentiles",
       (s, d) => {
         val x = "l_extendedprice"

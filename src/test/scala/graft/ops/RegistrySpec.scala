@@ -942,6 +942,30 @@ class RegistrySpec extends AnyFunSuite {
     assert(math.abs(q1(0) - 1.75) < 1e-12)
   }
 
+  test("groupby quantile exact=false: bounded-memory approx sketch, near the exact value") {
+    // the 100 TB fallthrough (the q60 memory contract): approx_percentile
+    // replaces the buffer-every-value exact aggregate; on a small group
+    // the sketch is exact at the observed values, so the medians agree
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0)).toDF("k", "v")
+    val g = m(d, "groupby", "by" -> "k")
+    val approx = reg.callMethod(g, "quantile",
+        Args(kw = List("q" -> 0.5, "exact" -> false)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getDouble(1))
+    // approx_percentile returns an OBSERVED value (no interpolation):
+    // group a's median lands on 2.0 or 3.0, never outside
+    assert(approx(0)._1 == "a" && (approx(0)._2 == 2.0 || approx(0)._2 == 3.0))
+    assert(approx(1) == ("b" -> 5.0))
+    // winsorize exact=false: same clip semantics, sketch-backed bounds
+    val w = new Registry(spark).callFunction("graft.winsorize",
+      Args(pos = List(d, List("v")),
+        kw = List("lo" -> 0.0, "hi" -> 0.5, "exact" -> false)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val clipped = w.orderBy("k", "v").collect().map(_.getDouble(1))
+    assert(clipped.max <= 3.0, s"hi=0.5 approx clip must cap at an observed value <= 3, got ${clipped.toSeq}")
+  }
+
   test("groupby filter keeps rows of qualifying groups only") {
     val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0)).toDF("k", "v")
     val g = m(d, "groupby", "by" -> "k")
