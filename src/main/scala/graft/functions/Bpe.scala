@@ -410,6 +410,60 @@ object Bpe {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  // ------------------------------------------------------------------
+  // LOSSLESS whole-text byte tokenization: the per-word ids above follow
+  // the reference pretokenizer (split on \s+), which DISCARDS the
+  // whitespace bytes — ids cannot reproduce the document. A shipped
+  // tokenizer also needs the inverse direction (decode ids back to text
+  // for inspection, eval-set reconstruction, contamination audits), so
+  // this variant feeds the ENTIRE string through the anchored chain:
+  // space/tab/newline bytes (20/09/0A) are symbols like any other, the
+  // merge table simply never merges across them unless it learned to.
+  // Consequence: ids -> text is byte-exact for ANY input (see
+  // [[detokenizeBytes]]), the GPT-2 property that per-word ids lack.
+  // ------------------------------------------------------------------
+
+  /** Whole-text byte tokens: padded spaced-byte form of the full string,
+    * anchored merge chain, split. Nothing is discarded — invertible.
+    */
+  def textTokensBytes(text: Column, merges: Seq[(String, String)]): Column =
+    filter(split(trim(applyMergesBytes(text, merges)), " "),
+      t => length(t) > 0)
+
+  /** Lossless byte-BPE token IDS of the whole text (whitespace included).
+    * Same never--1 guarantee as [[tokenIdsBytes]], same unreachable
+    * coalesce arm for a non-null column type.
+    */
+  def tokenIdsBytesLossless(merges: Seq[(String, String)],
+                            vocab: Seq[String])(text: Column): Column = {
+    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
+    transform(textTokensBytes(text, merges),
+      t => coalesce(element_at(idMap, t), lit(-1)))
+  }
+
+  /** Decode lossless ids back to text: look each id up in the vocab,
+    * concatenate the hex symbols, un-hex to bytes, UTF-8 decode.
+    * Byte-exact inverse of [[tokenIdsBytesLossless]] because merging
+    * only ever deletes boundary spaces — the hex digit stream is the
+    * input's byte stream verbatim. All native functions, codegen'd.
+    */
+  def detokenizeBytes(vocab: Seq[String])(ids: Column): Column = {
+    val vocabLit = typedLit(vocab)
+    decode(unhex(array_join(
+      transform(ids, i => get(vocabLit, i)), "")), "UTF-8")
+  }
+
+  /** DuckDB replay of [[textTokensBytes]] over a text expression. */
+  def duckdbTextTokensBytesSql(merges: Seq[(String, String)],
+                               textExpr: String): String = {
+    val spaced =
+      s"' ' || regexp_replace(hex($textExpr), '(..)', '\\1 ', 'g')"
+    val chain = merges.foldLeft(spaced) { case (e, (a, b)) =>
+      s"replace($e, ' $a $b ', ' ${a + b} ')"
+    }
+    s"list_filter(string_split(trim($chain), ' '), t -> len(t) > 0)"
+  }
+
   /** The DuckDB replay of the byte chain over a word expression `w`:
     * padded hex spaced form + anchored replace-chain, yielding the
     * hex-symbol list. Compose with a CASE id lookup for token ids.

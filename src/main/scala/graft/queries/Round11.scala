@@ -103,8 +103,52 @@ object Round11 {
         SELECT doc_id, round(avg(lp), 6) AS trigram_lp,
           round(exp(-avg(lp)), 6) AS ppl,
           COUNT(*) AS n_trigrams
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Lossless BPE round-trip — the decode direction a shipped tokenizer
+    // must also own (eval-set reconstruction, contamination audits). The
+    // per-word ids of q235/q241 follow the reference pretokenizer and
+    // discard whitespace; here the WHOLE string goes through the anchored
+    // byte chain (space/tab/newline bytes are symbols like any other), so
+    // detokenize(tokenize(text)) is byte-exact for ANY input. The spike
+    // makes that claim load-bearing: leading \n\t, a double space, a
+    // trailing space, 2/3/4-byte UTF-8 and the CP1252-undefined U+009D.
+    // The oracle emits the ORIGINAL spiked text as `decoded` — the
+    // round-trip property IS the hash gate — and replays the chain for
+    // n_tokens so the tokenization itself stays pinned too.
+    Q("q244_bpe_detokenize", (s, d) => {
+      import graft.functions.Bpe
+      val spike = lit("\n\tpre  caf\u00E9 \u4F60\u597D \uD83D\uDE00" +
+        " \u20AC5 \u009D end ")
+      val docs = t(s, d, "documents")
+      val ids = Bpe.tokenIdsBytesLossless(ByteMerges, ByteVocab)(
+        concat(col("text"), spike))
+      docs
+        .select(col("doc_id"), concat(col("text"), spike).as("t2"),
+          ids.as("ids"))
+        .select(col("doc_id"), col("t2"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          Bpe.detokenizeBytes(ByteVocab)(col("ids")).as("decoded"))
+        .select(col("doc_id"), col("n_tokens"), col("decoded"),
+          (col("decoded") === col("t2")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }, Some(q244Oracle))
   ) ++ pii
+
+  private def q244Oracle: String = {
+    val toks = graft.functions.Bpe.duckdbTextTokensBytesSql(ByteMerges, "t2")
+    """
+        WITH spiked AS (
+          SELECT doc_id,
+            text || chr(10) || chr(9) || 'pre  caf' || chr(233) || ' '
+                 || chr(20320) || chr(22909) || ' ' || chr(128512) || ' '
+                 || chr(8364) || '5 ' || chr(157) || ' end ' AS t2
+          FROM documents),
+        toks AS (SELECT doc_id, t2, """ + toks + """ AS tk FROM spiked)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          t2 AS decoded, TRUE AS roundtrip_ok
+        FROM toks ORDER BY doc_id"""
+  }
 
   private def pii: Seq[Q] = Seq(
 

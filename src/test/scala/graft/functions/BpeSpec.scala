@@ -186,6 +186,37 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.decodeBytesRef(decoded.toSeq) == "\u4F60\u597Dworld")
   }
 
+  test("lossless byte BPE: in-plan detokenize round-trips byte-exactly") {
+    val trainWords = Seq(("the", 50L), ("then", 20L), ("aaaa", 8L),
+      ("café", 5L))
+    val merges = Bpe.learnFromSymCounts(
+      trainWords.map { case (w, c) => (Bpe.hexSyms(w), c) }, numMerges = 15)
+    val vocab = Bpe.vocabOfBytes(merges)
+    // whitespace is load-bearing here: leading/trailing/doubled spaces,
+    // tabs, newlines, plus multibyte and C1-control content — the
+    // lossless path must reproduce all of it, unlike the per-word ids
+    val samples = Seq(
+      "the then", "  leading and  doubled ", "tab\there\nnewline\r\n",
+      "cafééé", "你好 😀 ", "",
+      " ", "\n\t")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val out = df.select(col("id"), col("text"),
+        Bpe.tokenIdsBytesLossless(merges, vocab)(col("text")).as("ids"))
+      .select(col("id"), col("text"), col("ids"),
+        Bpe.detokenizeBytes(vocab)(col("ids")).as("decoded"))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val (text, ids, decoded) =
+        (r.getString(1), r.getSeq[Int](2), r.getString(3))
+      assert(!ids.contains(-1), s"id ${r.getLong(0)}: unknown id")
+      assert(decoded == text,
+        s"id ${r.getLong(0)}: round-trip mismatch '$decoded' vs '$text'")
+    }
+    // empty string tokenizes to zero ids, not [""]-artifacts
+    assert(out(5).getSeq[Int](2).isEmpty)
+  }
+
   test("tokenizer= hook: packWindows budgets in BPE tokens") {
     val merges = Bpe.learnFromCounts(paperVocab, numMerges = 4)
     val docs = Seq(
