@@ -169,6 +169,60 @@ object Scoring {
         exp(-col("trigram_lp")).as("ppl"), col("n_trigrams"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity — the smoothing KenLM
+    * actually ships (vs the Jelinek-Mercer mix of
+    * [[trigramPerplexity]]): absolute discounting plus a CONTINUATION
+    * back-off, the piece JM lacks. Per bigram,
+    *
+    *   P_KN(w2 | w1) = (c(w1 w2) - D) / c(w1 .)
+    *                 + (D * N1+(w1 .) / c(w1 .)) * N1+(. w2) / N1+(. .)
+    *
+    * where c(w1 .) is the HISTORY count (bigram tokens starting w1 — not
+    * the unigram count: doc-final tokens have no successor, and using the
+    * history count is what keeps each P_KN(.|w1) a proper distribution),
+    * N1+(w1 .) the distinct continuations of w1, N1+(. w2) the distinct
+    * left contexts of w2 (a word seen often but only ever after one
+    * history — "Francisco" — gets a LOW continuation probability; raw
+    * frequency cannot express that), and N1+(. .) the distinct bigram
+    * types. Fitted on the corpus itself, every doc bigram has c >= 1, so
+    * with 0 < D < 1 the discounted term stays positive — the back-off
+    * shapes the score exactly as in the 5-gram production filter. Output
+    * per doc: mean ln P (`kn_lp`), `ppl` = exp(-mean), `n_bigrams`; docs
+    * under 2 words contribute no rows.
+    *
+    * Scale shape, same as [[trigramPerplexity]]: one row-local shingle
+    * pass; the model is ONE bigram count aggregate plus two tiny
+    * re-aggregates of it (history stats by w1, continuation counts by
+    * w2) and one broadcast scalar; scoring joins each doc bigram to its
+    * three stat rows by key. No self-joins, no windows, no driver math;
+    * the re-learn gate is inherent (integer counts).
+    */
+  def knBigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                         d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0, 1), got $d")
+    val bg = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").contains(" ")) // sub-2-word docs contribute nothing
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val hist = cbg.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("n1f"))
+    val cont = cbg.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = cbg.agg(count(lit(1)).as("tt"))
+    bg.join(cbg, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", org.apache.spark.sql.functions.log(
+        (col("cbg") - d) / col("cw1") +
+          lit(d) * col("n1f") / col("cw1") * (col("n1b") / col("tt"))))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("kn_lp"), count(lit(1)).as("n_bigrams"))
+      .select(col("id"), col("kn_lp"), exp(-col("kn_lp")).as("ppl"),
+        col("n_bigrams"))
+  }
+
   /** Per-doc BOILERPLATE ratio: the fraction of a doc's sentences that are
     * boilerplate for its source — a sentence counts as boilerplate when it
     * appears in at least `minFrac` of the source's documents (nav menus,

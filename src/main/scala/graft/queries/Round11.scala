@@ -132,7 +132,46 @@ object Round11 {
         .select(col("doc_id"), col("n_tokens"), col("decoded"),
           (col("decoded") === col("t2")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
-    }, Some(q244Oracle))
+    }, Some(q244Oracle)),
+
+    // Interpolated Kneser-Ney bigram perplexity — the smoothing KenLM
+    // actually ships: absolute discount D=0.75 plus CONTINUATION back-off
+    // (distinct-left-context mass, the "Francisco" correction raw
+    // frequency cannot express). The oracle rebuilds the entire model —
+    // bigram counts, history stats, continuation counts, type total —
+    // and replays the formula term-for-term in the same association
+    // order, so the re-learn gate is inherent (integer counts are
+    // partitioning-insensitive); round(6) absorbs ln/avg ulps.
+    Q("q245_kn_perplexity",
+      (s, d) => graft.operators.Scoring.knBigramPerplexity(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          round(col("kn_lp"), 6).as("kn_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_bigrams"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        bgl AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+        cbg AS (SELECT w1, w2, COUNT(*) AS cbg FROM bgl GROUP BY 1, 2),
+        hist AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1,
+                   COUNT(*) AS n1f FROM cbg GROUP BY 1),
+        cont AS (SELECT w2, COUNT(*) AS n1b FROM cbg GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS tt FROM cbg),
+        sc AS (
+          SELECT bgl.doc_id,
+            ln((cbg.cbg - 0.75) / hist.cw1
+               + 0.75 * hist.n1f / hist.cw1 * (cont.n1b / tot.tt)) AS lp
+          FROM bgl
+          JOIN cbg USING (w1, w2)
+          JOIN hist USING (w1)
+          JOIN cont USING (w2), tot)
+        SELECT doc_id, round(avg(lp), 6) AS kn_lp,
+          round(exp(-avg(lp)), 6) AS ppl,
+          COUNT(*) AS n_bigrams
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   ) ++ pii
 
   private def q244Oracle: String = {

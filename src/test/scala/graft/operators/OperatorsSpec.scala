@@ -1779,6 +1779,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._1 - (3 * pba + 2 * pab) / 5) < 1e-9)
   }
 
+  test("knBigramPerplexity: P_KN(.|w1) normalizes to 1; continuation beats raw frequency") {
+    val df = Seq(
+      (1L, "a b a c a b"),     // history 'a': continuations b (x2), c (x1)
+      (2L, "x b y b z b"),     // 'b' is frequent but follows many histories
+      (3L, "san francisco san francisco san francisco"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Scoring.knBigramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(!out.contains(4L), "sub-bigram docs contribute nothing")
+    assert(out.values.forall(v => v._2 > 0), "perplexity positive")
+    // the defining KN property: for any history, the discounted observed
+    // mass plus the back-off mass over the FULL continuation vocabulary
+    // sums to exactly 1 — rebuild the model by hand and check history 'a'
+    val toks = Seq("a b a c a b", "x b y b z b",
+      "san francisco san francisco san francisco").map(_.split(" ").toSeq)
+    val bigrams = toks.flatMap(w => w.zip(w.tail))
+    val cbg = bigrams.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val d = 0.75
+    val cw1 = bigrams.count(_._1 == "a").toDouble
+    val n1f = cbg.keys.count(_._1 == "a").toDouble
+    val types = cbg.size.toDouble
+    val contOf = cbg.keys.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val vocabW2 = cbg.keys.map(_._2).toSet
+    val total = vocabW2.toSeq.map { w2 =>
+      val disc = math.max(cbg.getOrElse(("a", w2), 0.0) - d, 0.0) / cw1
+      disc + d * n1f / cw1 * (contOf(w2) / types)
+    }.sum
+    assert(math.abs(total - 1.0) < 1e-12,
+      s"P_KN(.|'a') must be a proper distribution, got $total")
+    // 'francisco' is as frequent as 'b' (3 each) but has ONE left context
+    // vs b's four: its continuation probability must be lower
+    assert(contOf("francisco") < contOf("b"))
+    // and the repeated-pair doc must be less perplexing than the novel one
+    assert(out(3L)._2 < out(2L)._2)
+  }
+
   test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
