@@ -40,12 +40,30 @@ object Urls {
       when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
   }
 
-  /** Naive registered domain: last two host labels (no public-suffix list in
-    * a bare JDK; documented approximation — "co.uk"-style suffixes need a
-    * PSL feed, which would arrive as a broadcast lookup table).
+  /** Public suffixes with a mandatory second level — an embedded slice of
+    * the PSL covering the common ccTLD shapes (`example.co.uk` must yield
+    * `example.co.uk`, not `co.uk`). A full PSL would ship the same way:
+    * plan-literal alternation for the head, broadcast lookup for the
+    * long tail.
     */
-  def registeredDomain(url: Column): Column =
-    regexp_extract(host(url), "[^.]+\\.[^.]+$", 0)
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.mx", "co.in", "co.nz",
+    "com.cn", "com.sg", "co.za", "com.tr", "com.ar")
+
+  /** Registered domain: one label + public suffix, with the embedded
+    * two-level suffixes tried first, then the generic `sld.tld` tail;
+    * suffix-less hosts (`localhost`) pass through unchanged.
+    */
+  def registeredDomain(url: Column): Column = {
+    val h = host(url)
+    val two = TwoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    val r3 = regexp_extract(h, s"([^.]+\\.(?:$two))$$", 1)
+    val r2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(length(r3) > 0, r3).when(length(r2) > 0, r2).otherwise(h)
+  }
 
   /** Number of tracking params the canonicalization strips (audit metric). */
   def trackingParamCount(url: Column): Column =

@@ -171,8 +171,94 @@ object Round11 {
         SELECT doc_id, round(avg(lp), 6) AS kn_lp,
           round(exp(-avg(lp)), 6) AS ppl,
           COUNT(*) AS n_bigrams
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+// Per-DOMAIN rollup on the canonical URL — the per-site-cap /
+    // blocklist grain of crawl curation (q112 gates the per-doc
+    // canonicalization; this gates the aggregation built on top plus the
+    // PSL-aware registered domain). The spike rotates five URL shapes:
+    // a two-level public suffix (co.uk — the registered domain must be
+    // example.co.uk, NOT co.uk), www + bare-host twins that must MERGE
+    // into one domain (www.example.com / blog.example.com), a com.au
+    // host, and a mixed-case .io host. n_urls counts distinct canonical
+    // forms per domain, so canonicalization drift surfaces as a count
+    // change even at this grain; the oracle replays the canonical chain
+    // with regexes and the same PSL slice.
+    Q("q246_domain_rollup", (s, d) => {
+      import graft.functions.Urls
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://Shop.Example.CO.UK/p/"), id,
+            lit("?utm_source=x")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://WWW.Example.COM/a/"), id, lit("/")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://blog.example.com/a/"), id))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://sub.domain.com.au/page?id="), id,
+            lit("&utm_campaign=z")))
+        .otherwise(concat(lit("HTTPS://API.Service.IO/v1/"), id))
+      t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(Urls.canonicalize(col("url")).as("canon"),
+          Urls.registeredDomain(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_urls"))
+        .orderBy(col("domain"))
+    }, Some(q246Oracle))
   ) ++ pii
+
+  private def q246Oracle: String = {
+    val track = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+    val two = graft.functions.Urls.TwoLevelSuffixes
+      .map(_.replace(".", "\\.")).mkString("|")
+    """
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://Shop.Example.CO.UK/p/' || doc_id
+                          || '?utm_source=x'
+              WHEN 1 THEN 'http://WWW.Example.COM/a/' || doc_id || '/'
+              WHEN 2 THEN 'https://blog.example.com/a/' || doc_id
+              WHEN 3 THEN 'http://sub.domain.com.au/page?id=' || doc_id
+                          || '&utm_campaign=z'
+              ELSE 'HTTPS://API.Service.IO/v1/' || doc_id
+            END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                           '^www\.', '') AS host,
+            regexp_replace(
+              regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1),
+              '/$', '') AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        k AS (
+          SELECT doc_id, scheme, host, path,
+            list_sort(list_filter(string_split(q, '&'), x -> len(x) > 0
+              AND NOT regexp_matches(x, '""" + track + """'))) AS kept
+          FROM p),
+        c AS (
+          SELECT
+            scheme || '://' || host || path
+              || CASE WHEN len(kept) > 0
+                 THEN '?' || list_aggr(kept, 'string_agg', '&')
+                 ELSE '' END AS canon,
+            CASE WHEN regexp_extract(host,
+                   '([^.]+\.(?:""" + two + """))$', 1) <> ''
+                   THEN regexp_extract(host,
+                     '([^.]+\.(?:""" + two + """))$', 1)
+                 WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+                   THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                 ELSE host END AS domain
+          FROM k)
+        SELECT domain, COUNT(*) AS n_docs,
+          COUNT(DISTINCT canon) AS n_urls
+        FROM c GROUP BY domain ORDER BY domain"""
+  }
 
   private def q244Oracle: String = {
     val toks = graft.functions.Bpe.duckdbTextTokensBytesSql(ByteMerges, "t2")

@@ -240,7 +240,10 @@ class DedupSpec extends AnyFunSuite {
       (1L, "https://www.Site.COM/a/b/"),
       (2L, "http://site.com/x?utm_source=a&utm_medium=b"),
       (3L, "https://site.com/x?href=keep&ref=drop&z=1&a=2"),
-      (4L, "https://sub.dom.site.co/x")
+      (4L, "https://sub.dom.site.co/x"),
+      (5L, "https://Shop.Example.CO.UK/p"),
+      (6L, "http://deep.sub.domain.com.au/q"),
+      (7L, "http://localhost/x")
     ).toDF("id", "url")
       .select(col("id"),
         graft.functions.Urls.canonicalize(col("url")).as("c"),
@@ -252,8 +255,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == (("http://site.com/x", "site.com", 2)))
     // href= is NOT a tracker (anchored match); ref= is; survivors sorted
     assert(out(3L) == (("https://site.com/x?a=2&href=keep&z=1", "site.com", 1)))
-    // naive registered domain = last two labels (documented approximation)
+    // generic suffix -> last two labels ('.co' alone is not in the
+    // two-level PSL slice: 'site.co' is itself a registrable domain)
     assert(out(4L) == (("https://sub.dom.site.co/x", "site.co", 0)))
+    // two-level public suffix: label + suffix, NOT the suffix itself
+    assert(out(5L)._2 == "example.co.uk")
+    assert(out(6L)._2 == "domain.com.au")
+    // suffix-less host passes through
+    assert(out(7L)._2 == "localhost")
   }
 
   test("unigram log-prob: common-word docs score lower than rare-word docs") {
