@@ -233,9 +233,13 @@ object Sampling {
     * more than once per pass, the standard over-sampling signal). Feed the
     * resulting weights to [[mixtureByTokenBudget]] to materialize the draw.
     *
-    * alpha is restricted to {0.5, 1.0}: those exponents compute via sqrt /
-    * identity, which IEEE-round identically on every engine — a libm pow
-    * would make the weights oracle-hostile for no modeling gain.
+    * alpha is restricted to DYADIC rationals k/64 in (0, 1] (0.5, 0.25,
+    * 0.75, 0.3125 ~ the XLM-R 0.3, ...): those exponents compute as a
+    * product of repeated square roots ([[sqrtChainPow]]), and IEEE-754
+    * sqrt and multiply are CORRECTLY rounded on every engine — the chain
+    * is bit-identical in Spark and DuckDB, where a libm pow (JVM
+    * Math.pow is only 1-ulp-accurate, not correctly rounded) would make
+    * the weights oracle-hostile for no modeling gain.
     *
     * Scale shape: one map-side-partial aggregation to (source, T_s) — the
     * shuffle carries one row per source — then scalar math over the tiny
@@ -244,16 +248,14 @@ object Sampling {
   def temperatureMixture(df: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, alpha: Double,
                          totalTokens: Long): DataFrame = {
-    require(alpha == 0.5 || alpha == 1.0,
-      "temperatureMixture: alpha must be 0.5 or 1.0 (sqrt/identity only)")
+    requireDyadic(alpha)
     val toks = size(org.apache.spark.sql.functions.filter(
       split(col(textCol), "\\s+"), t => length(t) > 0))
     val perSource = df.select(col(sourceCol).as("source"),
         toks.cast(LongType).as("__t"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens"))
-    val powT = (t: Column) =>
-      if (alpha == 0.5) sqrt(t.cast(DoubleType)) else t.cast(DoubleType)
+    val powT = (t: Column) => sqrtChainPow(t.cast(DoubleType), alpha)
     val tot = perSource.agg(sum(powT(col("tokens"))).as("__z"))
     perSource.crossJoin(broadcast(tot))
       .withColumn("weight", round(powT(col("tokens")) / col("__z"), 6))
@@ -261,6 +263,41 @@ object Sampling {
       .withColumn("epochs",
         round(col("weight") * totalTokens / col("tokens"), 6))
       .drop("__z")
+  }
+
+  private def requireDyadic(alpha: Double): Unit = {
+    val k = alpha * 64
+    require(k >= 1 && k <= 64 && k == k.floor,
+      s"alpha must be a dyadic rational k/64 in (0, 1], got $alpha — " +
+        "dyadic exponents compute via an exact sqrt chain (correctly " +
+        "rounded on every engine); arbitrary exponents would need libm " +
+        "pow, which is not")
+  }
+
+  /** t^alpha for dyadic alpha = k/64 as a product of repeated square
+    * roots: bit j of k contributes sqrt^(6-j)(t) = t^(2^(j-6)). Every
+    * step (sqrt, multiply) is correctly rounded under IEEE-754, so any
+    * engine replaying the same chain produces the same doubles — the
+    * determinism contract [[temperatureMixture]] is built on.
+    * Factors multiply largest-exponent-first, left-associated; the SQL
+    * twin [[sqrtChainPowSql]] derives from the same bit decomposition.
+    */
+  private def sqrtChainPow(t: Column, alpha: Double): Column = {
+    val k = (alpha * 64).toInt
+    (6 to 0 by -1).filter(j => (k & (1 << j)) != 0)
+      .map(j => (0 until (6 - j)).foldLeft(t)((c, _) => sqrt(c)))
+      .reduce(_ * _)
+  }
+
+  /** DuckDB/ANSI replay of [[sqrtChainPow]] over an expression string —
+    * same bits, same order, same association, so same doubles.
+    */
+  def sqrtChainPowSql(expr: String, alpha: Double): String = {
+    requireDyadic(alpha)
+    val k = (alpha * 64).toInt
+    (6 to 0 by -1).filter(j => (k & (1 << j)) != 0)
+      .map(j => (0 until (6 - j)).foldLeft(expr)((e, _) => s"sqrt($e)"))
+      .reduce((a, b) => s"($a * $b)")
   }
 
   /** Deterministic WEIGHTED sample without replacement, exactly n rows:

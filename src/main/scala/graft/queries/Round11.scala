@@ -206,8 +206,44 @@ object Round11 {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("canon")).as("n_urls"))
         .orderBy(col("domain"))
-    }, Some(q246Oracle))
+    }, Some(q246Oracle)),
+
+    // Temperature mixture at alpha = 0.3125 (20/64 — the dyadic neighbor
+    // of XLM-R's 0.3): per-LANGUAGE reweighting, the multilingual
+    // up-sampling recipe (low-resource languages gain mass as alpha
+    // drops). T^alpha computes as an exact sqrt chain — bit 4 of 20 ->
+    // sqrt^2, bit 2 -> sqrt^4, multiplied largest-first — and the oracle
+    // replays the IDENTICAL chain from the same bit decomposition
+    // (Sampling.sqrtChainPowSql), so both engines produce the same
+    // doubles before the round(6); weight rounds BEFORE target/epochs
+    // derive from it, in both engines.
+    Q("q247_lang_temperature", (s, d) =>
+      graft.operators.Sampling.temperatureMixture(
+          t(s, d, "documents"), "doc_id", "text", "lang",
+          alpha = 0.3125, totalTokens = 1000000L)
+        .select(col("source").as("lang"), col("n_docs"), col("tokens"),
+          col("weight"), col("target_tokens"), col("epochs"))
+        .orderBy(col("lang")),
+      Some(q247Oracle))
   ) ++ pii
+
+  private def q247Oracle: String = {
+    val p = graft.operators.Sampling
+      .sqrtChainPowSql("CAST(tokens AS DOUBLE)", 0.3125)
+    """
+        WITH per_lang AS (
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+          FROM documents GROUP BY lang),
+        z AS (SELECT SUM(""" + p + """) AS z FROM per_lang),
+        w AS (SELECT lang, n_docs, tokens,
+                round(""" + p + """ / z, 6) AS weight
+              FROM per_lang, z)
+        SELECT lang, n_docs, tokens, weight,
+          round(weight * 1000000, 2) AS target_tokens,
+          round(weight * 1000000 / tokens, 6) AS epochs
+        FROM w ORDER BY lang"""
+  }
 
   private def q246Oracle: String = {
     val track = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="

@@ -1788,6 +1788,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._1 - (3 * pba + 2 * pab) / 5) < 1e-9)
   }
 
+  test("temperatureMixture: dyadic alpha flattens toward uniform; non-dyadic rejected") {
+    val df = Seq.tabulate(90)(i => (i.toLong, "w " * (if (i < 80) 20 else 1)))
+      .map { case (id, t) => (id, t.trim, if (id < 80) "big" else "small") }
+      .toDF("doc_id", "text", "source")
+    def weights(alpha: Double) =
+      graft.operators.Sampling.temperatureMixture(
+        df, "doc_id", "text", "source", alpha, totalTokens = 1000L)
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Double]("weight")).toMap
+    // natural proportions at alpha=1: big has 1600 of 1610 tokens
+    val w1 = weights(1.0)
+    assert(math.abs(w1("big") - 1600.0 / 1610) < 1e-6)
+    // alpha < 1 shifts mass toward the small source, monotonically
+    val wSmall = Seq(1.0, 0.75, 0.5, 0.3125, 0.25)
+      .map(a => weights(a)("small"))
+    assert(wSmall == wSmall.sorted.reverse || wSmall == wSmall.sorted,
+      s"flattening must be monotone in alpha: $wSmall")
+    assert(wSmall.head < wSmall.last,
+      "lower alpha must give the small source MORE mass")
+    // the sqrt chain agrees with libm pow to float noise
+    val chainW = weights(0.3125)("big")
+    val z = math.pow(1600.0, 0.3125) + math.pow(10.0, 0.3125)
+    assert(math.abs(chainW - math.pow(1600.0, 0.3125) / z) < 1e-6)
+    // non-dyadic alpha is rejected loudly (libm pow is not correctly
+    // rounded, so it can't honor the cross-engine determinism contract)
+    val e = intercept[IllegalArgumentException](weights(0.3))
+    assert(e.getMessage.contains("dyadic"))
+    // SQL twin derives from the same bit decomposition
+    assert(graft.operators.Sampling.sqrtChainPowSql("x", 0.5) == "sqrt(x)")
+    assert(graft.operators.Sampling.sqrtChainPowSql("x", 0.75) ==
+      "(sqrt(x) * sqrt(sqrt(x)))")
+  }
+
   test("knBigramPerplexity: P_KN(.|w1) normalizes to 1; continuation beats raw frequency") {
     val df = Seq(
       (1L, "a b a c a b"),     // history 'a': continuations b (x2), c (x1)
