@@ -1380,6 +1380,51 @@ final class Registry(spark: SparkSession) {
         graft.functions.Bpe.tokenIdsBytes(merges, vocab)(
           col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
     },
+    "graft.bpe_byte_ids_lossless" -> { a =>
+      // lossless whole-text byte ids: whitespace bytes are symbols too,
+      // nothing is discarded — these id arrays are byte-exactly
+      // invertible by graft.bpe_detokenize (the per-word bpe_byte_ids
+      // follow the reference pretokenizer and drop whitespace)
+      val df = asDf(a.require("df", 0), "df")
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      val vocab = graft.functions.Bpe.vocabOfBytes(merges)
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("token_ids"), "out"),
+        graft.functions.Bpe.tokenIdsBytesLossless(merges, vocab)(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text"))))
+    },
+    "graft.bpe_detokenize" -> { a =>
+      // decode lossless byte ids back to text (eval-set reconstruction,
+      // contamination audits): vocab hex lookup + un-hex + UTF-8 decode,
+      // byte-exact inverse of bpe_byte_ids_lossless
+      val df = asDf(a.require("df", 0), "df")
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      val vocab = graft.functions.Bpe.vocabOfBytes(merges)
+      df.withColumn(
+        asStr(a.get("out", -1).getOrElse("text"), "out"),
+        graft.functions.Bpe.detokenizeBytes(vocab)(
+          col(asStr(a.get("ids", -1).getOrElse("token_ids"), "ids"))))
+    },
+    "graft.trigram_perplexity" -> { a =>
+      // Jelinek-Mercer interpolated trigram LM perplexity (the CCNet
+      // filter idiom), fitted on this frame; weights must sum to 1
+      graft.operators.Scoring.trigramPerplexity(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        l3 = a.get("l3", -1).map(_.toString.toDouble).getOrElse(0.7),
+        l2 = a.get("l2", -1).map(_.toString.toDouble).getOrElse(0.2),
+        l1 = a.get("l1", -1).map(_.toString.toDouble).getOrElse(0.1))
+    },
+    "graft.kn_perplexity" -> { a =>
+      // interpolated Kneser-Ney bigram perplexity (absolute discount +
+      // continuation back-off — the KenLM smoothing)
+      graft.operators.Scoring.knBigramPerplexity(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
+    },
     "graft.cluster_balanced_sample" -> { a =>
       // topic-balancing mixture: in-pipeline coarse-quantizer fit (seeded
       // KMeans over a bounded sample), nearest-centroid assignment, then

@@ -186,6 +186,38 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.decodeBytesRef(decoded.toSeq) == "\u4F60\u597Dworld")
   }
 
+  test("YAML surface: byte_train -> byte_ids_lossless -> detokenize round-trips; LM perplexity ops") {
+    val reg = new graft.ops.Registry(spark)
+    val df = Seq(
+      (1L, "the quick  brown fox"),
+      (2L, "pack my\tbox with\nliquor jugs "),
+      (3L, "café 你好")
+    ).toDF("doc_id", "text")
+    val mergesDf = reg.callFunction("graft.bpe_byte_train", graft.expr.Args(
+      pos = List(df), kw = List("num_merges" -> 10L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val ids = reg.callFunction("graft.bpe_byte_ids_lossless",
+      graft.expr.Args(pos = List(df, mergesDf)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val back = reg.callFunction("graft.bpe_detokenize", graft.expr.Args(
+      pos = List(ids, mergesDf), kw = List("out" -> "decoded")))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    back.collect().foreach { r =>
+      assert(r.getAs[String]("decoded") == r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")} did not round-trip")
+    }
+    // LM surfaces: smoke the shapes (full math is oracle-gated q242/q245)
+    val lm = Seq((1L, "a b a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val tri = reg.callFunction("graft.trigram_perplexity", graft.expr.Args(
+      pos = List(lm))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(tri.columns.toSeq == Seq("id", "trigram_lp", "ppl", "n_trigrams"))
+    assert(tri.count() == 2)
+    val kn = reg.callFunction("graft.kn_perplexity", graft.expr.Args(
+      pos = List(lm))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(kn.columns.toSeq == Seq("id", "kn_lp", "ppl", "n_bigrams"))
+    assert(kn.count() == 2)
+  }
+
   test("lossless byte BPE: in-plan detokenize round-trips byte-exactly") {
     val trainWords = Seq(("the", 50L), ("then", 20L), ("aaaa", 8L),
       ("café", 5L))
