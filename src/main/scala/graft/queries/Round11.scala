@@ -334,10 +334,21 @@ object Round11 {
           lit(". Decoys: 4111111111111112, then 1234-5678-9012-3456;" +
             " also 000-12-3456 and 666-12-3456 and 123-00-4567 and" +
             " 987-65-4320 and 219-09-0000 end."))
-        t(s, d, "documents").select(
-          col("doc_id"),
-          Text.redactPiiFinancial(spiked).as("redacted"),
-          Text.piiCountFinancial(spiked).as("n_pii"))
+        // the redaction chain (5 base regexes + 2 Luhn folds + 2 SSN
+        // passes) binds ONCE as a named column and n_pii derives from
+        // it — piiCountFinancial(spiked) would re-run the whole chain
+        // (no CSE across HOF trees, the collapseDupLines lesson), and
+        // CollapseProject keeps the split because `redacted` is
+        // non-cheap and referenced twice. Together with the ccPass /
+        // luhnOk letArr bindings: 26.1s -> 7.1s at sf0.1
+        val marks = lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>")
+        t(s, d, "documents")
+          .select(col("doc_id"), spiked.as("sp"))
+          .select(col("doc_id"), col("sp"),
+            Text.redactPiiFinancial(col("sp")).as("redacted"))
+          .select(col("doc_id"), col("redacted"),
+            (regexp_count(col("redacted"), marks) -
+              regexp_count(col("sp"), marks)).as("n_pii"))
           .orderBy(col("doc_id"))
       },
       Some(q243Oracle))

@@ -285,6 +285,37 @@ class ExamplesSpec extends AnyFunSuite {
     assert(kept2 == keptIds, "resumed-weights scoring must equal run 1's gate")
   }
 
+  test("examples/tokenizer_ship.yaml: two-run E2E — run 2 resumes the merges; decode audit empty") {
+    val out = freshDir("ex_tok")
+    val p1 = new Pipeline(spark, "examples/tokenizer_ship.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p1.run()
+    assert(p1.resumedSteps.isEmpty, "run 1 trains fresh")
+
+    val merges = spark.read.parquet(s"$out/bpe_merges.parquet")
+    assert(merges.count() == 40)
+    assert(Seq("rank", "first", "second").forall(merges.columns.contains))
+
+    // the production invariant: every doc round-trips byte-exactly
+    assert(spark.read.parquet(s"$out/roundtrip_violations.parquet").count() == 0,
+      "lossless ids must decode back to the exact input text")
+    val ids = spark.read.parquet(s"$out/token_ids.parquet")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(ids.count() == nDocs)
+    assert(ids.filter(size(col("token_ids")) === 0).count() == 0,
+      "non-empty docs tokenize to non-empty id arrays")
+    assert(ids.filter(array_contains(col("token_ids"), -1)).count() == 0,
+      "byte fallback: no unknown ids, ever")
+
+    // ---- run 2: the training step must RESUME from parquet ----
+    val p2 = new Pipeline(spark, "examples/tokenizer_ship.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p2.run()
+    assert(p2.resumedSteps == Set("merges"),
+      s"run 2 must skip exactly the training step, resumed=${p2.resumedSteps}")
+    assert(spark.read.parquet(s"$out/roundtrip_violations.parquet").count() == 0)
+  }
+
   test("examples/train_prep.yaml runs green: decontaminated, deduped, split, sampled") {
     val out = freshDir("ex_train")
     new Pipeline(spark, "examples/train_prep.yaml",
