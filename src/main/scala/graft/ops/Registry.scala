@@ -1405,17 +1405,6 @@ final class Registry(spark: SparkSession) {
         graft.functions.Bpe.detokenizeBytes(vocab)(
           col(asStr(a.get("ids", -1).getOrElse("token_ids"), "ids"))))
     },
-    "graft.trigram_perplexity" -> { a =>
-      // Jelinek-Mercer interpolated trigram LM perplexity (the CCNet
-      // filter idiom), fitted on this frame; weights must sum to 1
-      graft.operators.Scoring.trigramPerplexity(
-        asDf(a.require("df", 0), "df"),
-        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
-        asStr(a.get("text", -1).getOrElse("text"), "text"),
-        l3 = a.get("l3", -1).map(_.toString.toDouble).getOrElse(0.7),
-        l2 = a.get("l2", -1).map(_.toString.toDouble).getOrElse(0.2),
-        l1 = a.get("l1", -1).map(_.toString.toDouble).getOrElse(0.1))
-    },
     "graft.kn_perplexity" -> { a =>
       // interpolated Kneser-Ney bigram perplexity (absolute discount +
       // continuation back-off — the KenLM smoothing)
@@ -1424,6 +1413,17 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
+    },
+    "graft.bpe_byte_vocab" -> { a =>
+      // the shipped vocab artifact: (id, token, is_byte) enumeration —
+      // 256 byte symbols then merge outputs in rank order, first
+      // occurrence wins; bounded driver-side (256 + numMerges rows)
+      val mergesDf = asDf(a.require("merges", 0), "merges")
+      val vocab = graft.functions.Bpe.vocabOfBytes(collectMerges(mergesDf))
+      val sp = mergesDf.sparkSession
+      import sp.implicits._
+      vocab.zipWithIndex.map { case (tok, i) =>
+        (i.toLong, tok, i < 256) }.toDF("id", "token", "is_byte")
     },
     "graft.cluster_balanced_sample" -> { a =>
       // topic-balancing mixture: in-pipeline coarse-quantizer fit (seeded

@@ -224,8 +224,44 @@ object Round11 {
         .select(col("source").as("lang"), col("n_docs"), col("tokens"),
           col("weight"), col("target_tokens"), col("epochs"))
         .orderBy(col("lang")),
-      Some(q247Oracle))
+      Some(q247Oracle)),
+
+    // The shipped VOCAB artifact (the vocab.json twin of the merges
+    // table): id -> token enumeration a byte-level tokenizer publishes —
+    // 256 byte symbols first, then merge outputs in rank order,
+    // first-occurrence-wins. The query RE-LEARNS the merge table from
+    // the fixture corpus in-plan and enumerates its vocab, so the whole
+    // train -> artifact path is the gate; the oracle rebuilds the
+    // enumeration from the frozen merge literals (range(256) alphabet +
+    // rank-ordered concatenations + MIN(ord) dedup), which only matches
+    // if the re-learned table equals the frozen one AND the enumeration
+    // rule is identical.
+    Q("q248_bpe_vocab", (s, d) => {
+      import graft.functions.Bpe
+      val learned = Bpe.learnMergesBytes(t(s, d, "documents"), "text", 40)
+      val vocab = Bpe.vocabOfBytes(learned)
+      import s.implicits._
+      vocab.zipWithIndex.map { case (tok, i) =>
+        (i.toLong, tok, i < 256) }.toDF("id", "token", "is_byte")
+        .orderBy(col("id"))
+    }, Some(q248Oracle))
   ) ++ pii
+
+  private def q248Oracle: String = {
+    val values = ByteMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    """
+        WITH m(rank, a, b) AS (VALUES """ + values + """),
+        alpha AS (SELECT i AS ord, upper(lpad(to_hex(i), 2, '0')) AS tok
+                  FROM range(256) t(i)),
+        cand AS (SELECT 256 + rank AS ord, a || b AS tok FROM m),
+        allt AS (SELECT ord, tok FROM alpha
+                 UNION ALL SELECT ord, tok FROM cand),
+        firsts AS (SELECT tok, MIN(ord) AS ord FROM allt GROUP BY tok)
+        SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT) AS id,
+          tok AS token, ord < 256 AS is_byte
+        FROM firsts ORDER BY id"""
+  }
 
   private def q247Oracle: String = {
     val p = graft.operators.Sampling

@@ -306,6 +306,10 @@ class ExamplesSpec extends AnyFunSuite {
       "non-empty docs tokenize to non-empty id arrays")
     assert(ids.filter(array_contains(col("token_ids"), -1)).count() == 0,
       "byte fallback: no unknown ids, ever")
+    val vocab = spark.read.parquet(s"$out/vocab.parquet")
+    assert(vocab.count() == 256 + 40,
+      "vocab = byte alphabet + one output per merge (no collisions here)")
+    assert(vocab.filter(col("is_byte")).count() == 256)
 
     // ---- run 2: the training step must RESUME from parquet ----
     val p2 = new Pipeline(spark, "examples/tokenizer_ship.yaml",
