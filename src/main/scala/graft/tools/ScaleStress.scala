@@ -217,6 +217,17 @@ object ScaleStress {
         graft.operators.Scoring.gopherRepetition(
           d, "doc_id", "text", topNs = Seq(2), dupNs = Seq(5))
           .filter(col("top2gram_char_frac") > 0).count())
+      // LM scoring: replica vocab is DISJOINT per block, so the count
+      // tables grow ~linearly with the corpus while every position still
+      // joins to exactly its own count rows — expect linear runtime with
+      // no fan-out growth in the per-position joins (the ppl filter
+      // forces the full score compute per row)
+      cell("q245_kn_perplexity", f, nd)(
+        graft.operators.Scoring.knBigramPerplexity(d, "doc_id", "text")
+          .filter(col("ppl") > 0).count())
+      cell("q242_trigram_perplexity", f, nd)(
+        graft.operators.Scoring.trigramPerplexity(d, "doc_id", "text")
+          .filter(col("ppl") > 0).count())
       // bench = the replica-0 slice OF THE SAME frame (suffixing is uniform
       // within a block, so the block-0 overlap structure is preserved at
       // every factor): flagged docs stay constant while the corpus grows —
