@@ -244,6 +244,88 @@ object Text {
       lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>")) -
       regexp_count(text, lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>"))
 
+  // ------------------------------------------------------------------
+  // IBAN (ISO 13616): two-letter country + two check digits + BBAN,
+  // validated by the ISO 7064 mod-97-10 checksum AND the per-country
+  // length — the two gates together kill shape-only decoys the way
+  // Luhn does for PANs. Pure column math (regexp extraction + a
+  // digit-fold), replayable verbatim in DuckDB.
+  // ------------------------------------------------------------------
+
+  // Candidate: the 4-grouped print form (DE89 3704 0044 0532 0130 00)
+  // or the compact electronic form. Spaced branch FIRST so a grouped
+  // IBAN is never half-eaten by the compact branch (which stops at the
+  // first space). Alnum excluded on both sides via consumed-boundary
+  // groups, the panCandRe idiom.
+  private[graft] val ibanCandRe =
+    "(^|[^0-9A-Za-z])([A-Z]{2}[0-9]{2}(?: [0-9A-Z]{4}){3,7}(?: [0-9A-Z]{1,3})?|" +
+      "[A-Z]{2}[0-9]{2}[0-9A-Z]{11,30})([^0-9A-Za-z]|$)"
+
+  // Registry length slice (SWIFT IBAN registry, the high-volume
+  // corridors) — bounded by construction like the PSL slice in Urls.
+  // An unknown country code fails the length gate outright.
+  private[graft] val ibanLengths: Seq[(String, Int)] = Seq(
+    "AT" -> 20, "BE" -> 16, "CH" -> 21, "DE" -> 22, "DK" -> 18,
+    "ES" -> 24, "FI" -> 18, "FR" -> 27, "GB" -> 22, "IE" -> 22,
+    "IT" -> 27, "LU" -> 20, "NL" -> 18, "NO" -> 15, "PL" -> 28,
+    "PT" -> 25, "SE" -> 24)
+
+  /** ISO 7064 mod-97-10 + registry-length validation of one candidate
+    * (spaces ignored): rotate the first four chars to the end, expand
+    * letters to two digits (A=10..Z=35), and fold the digit string as
+    * (acc*10 + d) % 97 — valid iff the remainder is 1 and the compact
+    * length matches the country's registry entry. The compact string
+    * BINDS via letArr (referenced by the length gate, the rotation, and
+    * transitively the fold — unbound it would re-run the space-strip
+    * regex per reference, the luhnOk lesson).
+    */
+  def ibanOk(cand: Column): Column =
+    letArr(regexp_replace(cand, lit(" "), lit("")), s => {
+      val country = substring(s, 1, 2)
+      val lenOk = ibanLengths.foldLeft(lit(false)) { case (acc, (cc, l)) =>
+        when(country === cc, length(s) === l).otherwise(acc)
+      }
+      val rot = concat(substring(s, 5, 34), substring(s, 1, 4))
+      val mapped = array_join(transform(
+        regexp_extract_all(rot, lit("."), lit(0)),
+        ch => when(ch.rlike("[A-Z]"), (ascii(ch) - 55).cast("string"))
+          .otherwise(ch)), "")
+      val rem = aggregate(
+        regexp_extract_all(mapped, lit("[0-9]"), lit(0)),
+        lit(0), (acc, d) => (acc * 10 + d.cast("int")) % 97)
+      lenOk && rem === 1
+    })
+
+  // One IBAN pass, structurally ccPass: extract boundary-delimited
+  // candidates, keep mod-97+length-valid ones, fold each through a
+  // boundary-anchored replace (candidates are [A-Z0-9 ] only — regex-
+  // safe verbatim). Two passes in the public chain for the same
+  // consumed-shared-boundary reason as ccPass.
+  private def ibanPass(c: Column): Column =
+    letArr(c, tx =>
+      aggregate(
+        filter(regexp_extract_all(tx, lit(ibanCandRe), lit(2)), ibanOk(_)),
+        tx,
+        (acc, cand) => regexp_replace(acc,
+          concat(lit("(^|[^0-9A-Za-z])"), cand, lit("([^0-9A-Za-z]|$)")),
+          lit("$1<IBAN>$2"))))
+
+  /** [[redactPiiFinancial]] widened with mod-97-validated IBANs — the
+    * full banking tier. IBAN passes run BEFORE the PAN passes: the tail
+    * of a grouped IBAN ("3704 0044 0532 0130") is shape-identical to a
+    * spaced PAN candidate, so a Luhn-lucky IBAN fragment would otherwise
+    * turn into `<CC>` mid-IBAN. With IBANs consumed first (placeholder
+    * carries no digits) the families never overlap: compact-IBAN digit
+    * runs sit behind the country letters with no left boundary for
+    * panCandRe, and PANs/SSNs contain no letters for ibanCandRe.
+    */
+  def redactPiiBanking(text: Column): Column = {
+    val ssnPass: Column => Column =
+      c => regexp_replace(c, ssnRe, "$1<SSN>$3")
+    ssnPass(ssnPass(ccPass(ccPass(ibanPass(ibanPass(
+      redactPiiExtended(text)))))))
+  }
+
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
     * values flag boilerplate/spam. Pure column math over the shingle array

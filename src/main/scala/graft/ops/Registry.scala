@@ -963,9 +963,12 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       // phones=true adds the NANP phone pass to the email/IPv4 passes;
       // financial=true adds Luhn-validated PANs + rule-validated SSNs
-      // on top of the full extended chain
+      // on top of the full extended chain; banking=true adds
+      // mod-97+length-validated IBANs on top of the financial tier
       val redact =
-        if (a.get("financial", -1).exists(asBool(_, default = false)))
+        if (a.get("banking", -1).exists(asBool(_, default = false)))
+          Text.redactPiiBanking(col(textCol))
+        else if (a.get("financial", -1).exists(asBool(_, default = false)))
           Text.redactPiiFinancial(col(textCol))
         else if (a.get("phones", -1).exists(asBool(_, default = false)))
           Text.redactPiiExtended(col(textCol))

@@ -387,7 +387,39 @@ object Round11 {
               regexp_count(col("sp"), marks)).as("n_pii"))
           .orderBy(col("doc_id"))
       },
-      Some(q243Oracle))
+      Some(q243Oracle)),
+
+    // Mod-97-validated IBAN redaction — the international tier over
+    // q243's Luhn/SSN chain. Both gates (ISO 7064 mod-97-10 checksum AND
+    // the per-country registry length) replay in DuckDB; the spike
+    // plants a doc-varying valid IBAN (compact DE / grouped GB / grouped
+    // NL by doc_id%3) plus a grouped FR, next to a decoy battery
+    // (checksum-bumped DE, unknown-country ZZ, wrong-length DE,
+    // lowercase) that must survive verbatim. The grouped decoys' PAN-
+    // shaped tails also pin the iban-before-cc pass ordering.
+    Q("q249_pii_iban",
+      (s, d) => {
+        import graft.functions.Text
+        val iban = element_at(array(
+          lit("DE89370400440532013000"),
+          lit("GB82 WEST 1234 5698 7654 32"),
+          lit("NL91 ABNA 0417 1643 00")), (col("doc_id") % 3).cast("int") + 1)
+        val spiked = concat(col("text"), lit(" Wire "), iban,
+          lit(" or FR14 2004 1010 0505 0001 3M02 606 plus card" +
+            " 4111111111111111 ssn 219-09-1234." +
+            " Decoys: DE89370400440532013001, ZZ82 WEST 1234 5698 7654 32," +
+            " DE893704004405320130, de89370400440532013000 end."))
+        val marks = lit("<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>|<IBAN>")
+        t(s, d, "documents")
+          .select(col("doc_id"), spiked.as("sp"))
+          .select(col("doc_id"), col("sp"),
+            Text.redactPiiBanking(col("sp")).as("redacted"))
+          .select(col("doc_id"), col("redacted"),
+            (regexp_count(col("redacted"), marks) -
+              regexp_count(col("sp"), marks)).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q249Oracle))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the
@@ -409,6 +441,79 @@ object Round11 {
       e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9-]|$)', 2), " +
       "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
       "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
+  }
+
+  /** One DuckDB IBAN pass over text expression `e`: extract the
+    * boundary-delimited grouped/compact candidates, keep the ones that
+    * pass BOTH the registry-length CASE (same slice as
+    * `Text.ibanLengths`) and the ISO 7064 mod-97-10 fold (rotate 4,
+    * expand letters via ascii()-55, fold (acc*10+d)%97 == 1), then fold
+    * each through the boundary-anchored replace — structurally
+    * identical to Text.ibanPass/ibanOk.
+    */
+  private def ibanPassSql(e: String): String = {
+    val s = "replace(c, ' ', '')"
+    val lenCase = graft.functions.Text.ibanLengths
+      .map { case (cc, l) => s"WHEN '$cc' THEN $l" }.mkString(" ")
+    val lenOk = s"CASE substr($s, 1, 2) $lenCase END = len($s)"
+    val rot = s"substr($s, 5) || substr($s, 1, 4)"
+    val mapped = "list_reduce(list_transform(regexp_extract_all(" + rot +
+      ", '.'), ch -> CASE WHEN ch BETWEEN 'A' AND 'Z' THEN " +
+      "CAST(ascii(ch)-55 AS VARCHAR) ELSE ch END), (ma, mb) -> ma || mb)"
+    val rem = "list_reduce(list_prepend(0, list_transform(" +
+      "regexp_extract_all(" + mapped + ", '[0-9]'), dg -> CAST(dg AS INT)))," +
+      " (acc2, dg2) -> (acc2*10+dg2)%97) = 1"
+    val cand = "[A-Z]{2}[0-9]{2}(?: [0-9A-Z]{4}){3,7}(?: [0-9A-Z]{1,3})?|" +
+      "[A-Z]{2}[0-9]{2}[0-9A-Z]{11,30}"
+    "list_reduce(list_prepend(" + e + ", list_filter(regexp_extract_all(" +
+      e + ", '(^|[^0-9A-Za-z])(" + cand + ")([^0-9A-Za-z]|$)', 2), " +
+      "c -> " + lenOk + " AND " + rem + ")), (acc, c) -> regexp_replace(acc, " +
+      "'(^|[^0-9A-Za-z])' || c || '([^0-9A-Za-z]|$)', '\\1<IBAN>\\2', 'g'))"
+  }
+
+  private def q249Oracle: String = {
+    val ipRe = "(^|[^0-9A-Za-z_.])((?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|" +
+      "[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]))" +
+      "([^0-9A-Za-z_.]|\\.[^0-9]|\\.$|$)"
+    val phoneRe = "(^|[^0-9A-Za-z])((?:\\+?1[-. ])?(?:\\([2-9][0-9]{2}\\)" +
+      "[-. ]?|[2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)"
+    val ssnRe = "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|" +
+      "6[0-5][0-9]|66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|" +
+      "[1-9][0-9])-(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))" +
+      "([^0-9-]|$)"
+    val base = "regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'" + ipRe + "', '\\1<IP>\\3', 'g'), " +
+      "'" + ipRe + "', '\\1<IP>\\3', 'g'), " +
+      "'" + phoneRe + "', '\\1<PHONE>\\3', 'g'), " +
+      "'" + phoneRe + "', '\\1<PHONE>\\3', 'g')"
+    val ssn2 = "regexp_replace(regexp_replace(text, " +
+      "'" + ssnRe + "', '\\1<SSN>\\3', 'g'), " +
+      "'" + ssnRe + "', '\\1<SSN>\\3', 'g')"
+    """
+        WITH spiked AS (
+          SELECT doc_id,
+            text || ' Wire '
+                 || CASE doc_id % 3 WHEN 0 THEN 'DE89370400440532013000'
+                      WHEN 1 THEN 'GB82 WEST 1234 5698 7654 32'
+                      ELSE 'NL91 ABNA 0417 1643 00' END
+                 || ' or FR14 2004 1010 0505 0001 3M02 606 plus card'
+                 || ' 4111111111111111 ssn 219-09-1234.'
+                 || ' Decoys: DE89370400440532013001, ZZ82 WEST 1234 5698 7654 32,'
+                 || ' DE893704004405320130, de89370400440532013000 end.' AS text
+          FROM documents),
+        base AS (SELECT doc_id, """ + base + """ AS text FROM spiked),
+        ib1 AS (SELECT doc_id, """ + ibanPassSql("text") + """ AS text FROM base),
+        ib2 AS (SELECT doc_id, """ + ibanPassSql("text") + """ AS text FROM ib1),
+        cc1 AS (SELECT doc_id, """ + ccPassSql("text") + """ AS text FROM ib2),
+        cc2 AS (SELECT doc_id, """ + ccPassSql("text") + """ AS text FROM cc1),
+        fin AS (SELECT doc_id, """ + ssn2 + """ AS redacted FROM cc2)
+        SELECT f.doc_id, f.redacted,
+          CAST(len(regexp_extract_all(f.redacted, '<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>|<IBAN>'))
+             - len(regexp_extract_all(s.text, '<EMAIL>|<IP>|<PHONE>|<CC>|<SSN>|<IBAN>'))
+            AS INTEGER) AS n_pii
+        FROM fin f JOIN spiked s USING (doc_id) ORDER BY doc_id"""
   }
 
   private def q243Oracle: String = {

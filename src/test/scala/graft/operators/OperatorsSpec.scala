@@ -1539,6 +1539,33 @@ class TextSpec extends AnyFunSuite {
     assert(out(6L) == (("<EMAIL> <IP> <PHONE>", 3)))
   }
 
+  test("redactPiiBanking: mod-97+length-valid IBANs redact; decoys and fragments survive") {
+    val df = Seq(
+      // canonical registry examples: compact DE, grouped GB/NL
+      (1L, "wire DE89370400440532013000 or GB82 WEST 1234 5698 7654 32 ok"),
+      (2L, "acct NL91 ABNA 0417 1643 00 and FR14 2004 1010 0505 0001 3M02 606 end"),
+      // checksum decoy (last digit bumped) and unknown-country decoy stay
+      (3L, "ref DE89370400440532013001 and ZZ82 WEST 1234 5698 7654 32 no"),
+      // wrong length for the country (21 chars for DE) stays
+      (4L, "id DE893704004405320130 short"),
+      // the grouped-IBAN tail is PAN-shaped — must become <IBAN>, not <CC>
+      (5L, "pay GB82 WEST 1234 5698 7654 32 then 4111111111111111 done"),
+      // lowercase never matches; embedded-in-alnum never matches
+      (6L, "de89370400440532013000 xDE89370400440532013000y"),
+      // banking tier keeps the financial + extended chains
+      (7L, "a@b.example.com 10.0.0.1 ssn 219-09-9999 card 5500-0000-0000-0004")
+    ).toDF("id", "text")
+      .select(col("id"), Text.redactPiiBanking(col("text")).as("r"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "wire <IBAN> or <IBAN> ok")
+    assert(out(2L) == "acct <IBAN> and <IBAN> end")
+    assert(out(3L) == "ref DE89370400440532013001 and ZZ82 WEST 1234 5698 7654 32 no")
+    assert(out(4L) == "id DE893704004405320130 short")
+    assert(out(5L) == "pay <IBAN> then <CC> done")
+    assert(out(6L) == "de89370400440532013000 xDE89370400440532013000y")
+    assert(out(7L) == "<EMAIL> <IP> ssn <SSN> card <CC>")
+  }
+
   test("topk rejects wrong id type at analysis time; int ids widen and work") {
     val spark2 = spark
     import spark2.implicits._

@@ -1156,6 +1156,17 @@ class RegistrySpec extends AnyFunSuite {
       "scored logits must separate the planted classes")
   }
 
+  test("graft.redact_pii banking=true reaches the IBAN tier") {
+    val docs = Seq(
+      (1L, "wire DE89370400440532013000 card 4111111111111111 decoy DE89370400440532013001"))
+      .toDF("doc_id", "text")
+    val out = reg.callFunction("graft.redact_pii", Args(
+      pos = List(docs), kw = List("banking" -> true)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect()(0).getString(1)
+    assert(out == "wire <IBAN> card <CC> decoy DE89370400440532013001")
+  }
+
   test("graft.fix_mojibake and graft.dup_spans from the YAML surface") {
     val dirty = Seq((1L, "CafÃ© ok\u0007")).toDF("doc_id", "text")
     val fixed = reg.callFunction("graft.fix_mojibake", Args(pos = List(dirty)))
