@@ -223,6 +223,28 @@ object Scoring {
         col("n_bigrams"))
   }
 
+  /** CCNet perplexity bucketing: score every doc with the interpolated
+    * Kneser-Ney LM, order by perplexity, and split into head/middle/tail
+    * terciles (head = lowest-ppl = cleanest; CCNet trains on head+middle).
+    * The global order runs through [[GlobalWindows.cumcount]] — two-level
+    * prefix sums over the range exchange, never a single-task window — and
+    * bucket edges are integer comparisons (pos*3 < n) against one broadcast
+    * scalar. Sort key is the 6dp-ROUNDED ppl + id tiebreak so the cut is
+    * deterministic across engines/replays even where raw doubles differ in
+    * final ulps. Emits (doc_id, ppl, bucket).
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   d: Double = 0.75): DataFrame = {
+    val ppl = knBigramPerplexity(df, idCol, textCol, d)
+      .select(col("id").as(idCol), round(col("ppl"), 6).as("ppl"))
+    GlobalWindows.cumcount(ppl, Seq("ppl", idCol), "__ccb_pos")
+      .crossJoin(broadcast(ppl.agg(count(lit(1)).as("__ccb_n"))))
+      .select(col(idCol), col("ppl"),
+        when(col("__ccb_pos") * 3 < col("__ccb_n"), "head")
+          .when(col("__ccb_pos") * 3 < col("__ccb_n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-doc BOILERPLATE ratio: the fraction of a doc's sentences that are
     * boilerplate for its source — a sentence counts as boilerplate when it
     * appears in at least `minFrac` of the source's documents (nav menus,

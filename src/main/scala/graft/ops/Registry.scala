@@ -1417,6 +1417,16 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.ccnet_buckets" -> { a =>
+      // head/middle/tail perplexity terciles (CCNet's final step):
+      // KN-score, order by ppl, cut at thirds — distributed order via
+      // GlobalWindows.cumcount, no single-task window
+      graft.operators.Scoring.ccnetBuckets(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
+    },
     "graft.bpe_byte_vocab" -> { a =>
       // the shipped vocab artifact: (id, token, is_byte) enumeration —
       // 256 byte symbols then merge outputs in rank order, first

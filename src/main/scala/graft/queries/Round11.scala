@@ -419,7 +419,52 @@ object Round11 {
               regexp_count(col("sp"), marks)).as("n_pii"))
           .orderBy(col("doc_id"))
       },
-      Some(q249Oracle))
+      Some(q249Oracle)),
+
+    // CCNet perplexity bucketing — the published pipeline's final step:
+    // score every doc with the LM, order by perplexity, and split into
+    // head/middle/tail terciles (head = lowest-ppl = cleanest; CCNet
+    // trains on head+middle and drops or downweights tail). The global
+    // order runs through GlobalWindows.cumcount (two-level prefix sums —
+    // NO single-task window), the bucket edges are pure integer
+    // comparisons (pos*3 < n), and the sort key is the 6dp-ROUNDED ppl
+    // (hash-equal across engines per q245) + doc_id tiebreak, so the
+    // ordering is cross-engine deterministic even where raw doubles
+    // differ in final ulps.
+    Q("q250_ccnet_buckets",
+      (s, d) => graft.operators.Scoring.ccnetBuckets(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        bgl AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2),
+        cbg AS (SELECT w1, w2, COUNT(*) AS cbg FROM bgl GROUP BY 1, 2),
+        hist AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1,
+                   COUNT(*) AS n1f FROM cbg GROUP BY 1),
+        cont AS (SELECT w2, COUNT(*) AS n1b FROM cbg GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS tt FROM cbg),
+        sc AS (
+          SELECT bgl.doc_id,
+            ln((cbg.cbg - 0.75) / hist.cw1
+               + 0.75 * hist.n1f / hist.cw1 * (cont.n1b / tot.tt)) AS lp
+          FROM bgl
+          JOIN cbg USING (w1, w2)
+          JOIN hist USING (w1)
+          JOIN cont USING (w2), tot),
+        ppl AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl
+                FROM sc GROUP BY doc_id),
+        n AS (SELECT COUNT(*) AS n FROM ppl),
+        pos AS (SELECT doc_id, ppl,
+                  row_number() OVER (ORDER BY ppl, doc_id) - 1 AS pos
+                FROM ppl)
+        SELECT doc_id, ppl,
+          CASE WHEN pos * 3 < n.n THEN 'head'
+               WHEN pos * 3 < n.n * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM pos, n ORDER BY doc_id"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

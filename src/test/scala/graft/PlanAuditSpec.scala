@@ -43,6 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "partition aggregate (<= spark.sql.shuffle.partitions rows), never " +
       "the distinct-value frame (r10 rank rework)"),
     "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame",
+    "q250_ccnet_buckets" -> ("tercile cut via GlobalWindows.cumcount: the " +
+      "one global window is the prefix combine over the per-range-" +
+      "partition count frame (<= spark.sql.shuffle.partitions rows), " +
+      "never the scored docs"),
     "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
       "head (TakeOrdered first; the window never sees the vocabulary)"))
 

@@ -1539,6 +1539,25 @@ class TextSpec extends AnyFunSuite {
     assert(out(6L) == (("<EMAIL> <IP> <PHONE>", 3)))
   }
 
+  test("ccnetBuckets: tercile cut respects the ppl order; thirds are exact") {
+    val docs = (1L to 9L).map { i =>
+      // doc i repeats a common phrase i times then adds i unique-bigram
+      // words: higher i -> more unseen-bigram mass -> ordering varies,
+      // but the cut contract (sorted thirds of 9 = 3/3/3) must hold
+      val tail = (1L to i).map(j => s"w${i}_$j").mkString(" ")
+      (i, ("the cat sat here " * 3) + tail)
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Scoring.ccnetBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 9)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.forall(_.length == 3), s"thirds must be exact: $byBucket")
+    assert(byBucket("head").max <= byBucket("middle").min &&
+      byBucket("middle").max <= byBucket("tail").min,
+      "bucket edges must respect the ppl order")
+  }
+
   test("redactPiiBanking: mod-97+length-valid IBANs redact; decoys and fragments survive") {
     val df = Seq(
       // canonical registry examples: compact DE, grouped GB/NL
