@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketch artifacts (Apache DataSketches HLL via
+  * the Spark `hll_sketch_*` surface).
+  *
+  * The 100 TB shape this exists for: corpus statistics that must stay
+  * current as batches land. Recomputing `COUNT(DISTINCT)` over the whole
+  * corpus per batch rescans everything; the mergeable-summary pattern scans
+  * each batch ONCE into a tiny binary sketch row per group, persists the
+  * sketches as an artifact, and answers "distinct so far" by unioning
+  * sketches — batch cost is proportional to the batch, never the corpus,
+  * and the union is associative so shards/batches merge in any order. This
+  * is the same fit-once-reuse contract as the incremental shingle index
+  * (Dedup.dedupAgainstReference) and the saved quality-classifier weights,
+  * for the analytics side.
+  *
+  * Estimates are not exactly replayable in another engine, so oracle gates
+  * follow the q41 pattern: the exact side is verified value-for-value and
+  * booleans gate the sketch within tolerance (HLL at lgK=12 is ~1.6%
+  * standard error; gates use 5%).
+  */
+object Sketches {
+
+  /** One HLL sketch row per group: one scan of `df`, map-side partial
+    * sketches combine in the aggregate, and the output is (by..., sketch:
+    * binary) — a bounded artifact (one row per group) ready for
+    * `to_parquet`. lgK trades size for error (2^lgK registers; 12 → 4 KiB
+    * per group at ~1.6% SE).
+    */
+  def hllSketches(df: DataFrame, by: Seq[String], valueCol: String,
+                  lgk: Int = 12): DataFrame =
+    df.groupBy(by.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgk).as("sketch"))
+
+  /** Union per-batch/per-shard sketch frames by group and estimate:
+    * (by..., sketch, estimate). Input is the unionByName of any number of
+    * [[hllSketches]] outputs (across batches, shards, or saved artifact
+    * files); the union aggregate is a shuffle of sketch rows only — the
+    * raw data is never revisited.
+    */
+  def hllMergeEstimate(sketches: DataFrame, by: Seq[String]): DataFrame =
+    sketches.groupBy(by.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+}

@@ -1417,6 +1417,28 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.hll_sketch" -> { a =>
+      // one mergeable DataSketches HLL row per group — the persistable
+      // distinct-count artifact (scan each batch once, never rescan)
+      graft.operators.Sketches.hllSketches(
+        asDf(a.require("df", 0), "df"),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        asStr(a.require("value", 1), "value"),
+        lgk = a.get("lgk", -1).map(_.toString.toInt).getOrElse(12))
+    },
+    "graft.hll_merge" -> { a =>
+      // union any number of saved/per-batch sketch frames by group and
+      // estimate — frames either positional or a frames: [...] list
+      val frames = a.get("frames", -1) match {
+        case Some(l: List[_]) => l.map(asDf(_, "frames"))
+        case Some(one) => List(asDf(one, "frames"))
+        case None => a.pos.map(asDf(_, "frames"))
+      }
+      require(frames.nonEmpty, "graft.hll_merge: no sketch frames given")
+      graft.operators.Sketches.hllMergeEstimate(
+        frames.reduce(_ unionByName _),
+        a.get("by", -1).map(asStrList).getOrElse(Nil))
+    },
     "graft.ccnet_buckets" -> { a =>
       // head/middle/tail perplexity terciles (CCNet's final step):
       // KN-score, order by ppl, cut at thirds — distributed order via

@@ -464,7 +464,44 @@ object Round11 {
           CASE WHEN pos * 3 < n.n THEN 'head'
                WHEN pos * 3 < n.n * 2 THEN 'middle'
                ELSE 'tail' END AS bucket
-        FROM pos, n ORDER BY doc_id"""))
+        FROM pos, n ORDER BY doc_id""")),
+
+    // Mergeable HLL sketch artifact (DataSketches): per-batch sketches of
+    // distinct customers per priority, unioned WITHOUT revisiting the
+    // data — the incremental corpus-stats contract. Gates follow the q41
+    // pattern: the exact side verifies value-for-value; est_ok pins the
+    // merged estimate within 5% of exact, merge_ok pins union(batch
+    // sketches) against the direct whole-corpus sketch within 3% — the
+    // union is not bit-identical to the direct sketch (the union target
+    // rebuilds registers), but it must stay inside the sketch's own
+    // error envelope (lgK=12 SE ~1.6%; measured divergence ≤1.3%).
+    Q("q251_sketch_artifact",
+      (s, d) => {
+        import graft.operators.Sketches
+        val orders = t(s, d, "orders")
+        val by = Seq("o_orderpriority")
+        val sk = Sketches.hllSketches(
+            orders.filter(col("o_orderkey") % 2 === 0), by, "o_custkey")
+          .unionByName(Sketches.hllSketches(
+            orders.filter(col("o_orderkey") % 2 === 1), by, "o_custkey"))
+        val merged = Sketches.hllMergeEstimate(sk, by)
+        val direct = Sketches.hllMergeEstimate(
+            Sketches.hllSketches(orders, by, "o_custkey"), by)
+          .select(col("o_orderpriority"), col("estimate").as("__direct"))
+        val exact = orders.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        merged.join(exact, by).join(direct, by)
+          .select(col("o_orderpriority"), col("n_exact"),
+            (abs(col("estimate") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).as("est_ok"),
+            (abs(col("estimate") - col("__direct")).cast("double")
+              / col("n_exact") <= 0.03).as("merge_ok"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+          TRUE AS est_ok, TRUE AS merge_ok
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

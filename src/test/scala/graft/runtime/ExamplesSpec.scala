@@ -255,6 +255,44 @@ class ExamplesSpec extends AnyFunSuite {
     assert(novel2 == novelIds, "resumed-index dedup must equal run 1's result")
   }
 
+  test("examples/sketch_stats.yaml: two-run E2E — run 2 resumes the history sketch, no rescan") {
+    val out = freshDir("ex_sketch")
+    val p1 = new Pipeline(spark, "examples/sketch_stats.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p1.run()
+    assert(p1.resumedSteps.isEmpty, "run 1 sketches the history fresh")
+
+    val art = spark.read.parquet(s"$out/history_sketch.parquet")
+    assert(art.columns.toSet == Set("o_orderpriority", "sketch"),
+      "the artifact is (group, binary sketch) rows only")
+    val nGroups = art.count()
+    assert(nGroups > 0 && nGroups <= 5, "one row per priority")
+
+    val rep = spark.read.parquet(s"$out/distinct_customers.parquet")
+    assert(rep.count() == nGroups)
+    // merged estimate within the sketch envelope of the true distinct
+    val exact = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+    val offBy = rep.join(exact, Seq("o_orderpriority"))
+      .filter(abs(col("estimate") - col("exact")).cast("double")
+        / col("exact") > 0.05)
+    assert(offBy.count() == 0, "every estimate within 5% of exact")
+    val est1 = rep.collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
+
+    // ---- run 2: the history sketch must RESUME from parquet (the
+    // corpus is never rescanned) and the merged report must agree ----
+    val p2 = new Pipeline(spark, "examples/sketch_stats.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p2.run()
+    assert(p2.resumedSteps == Set("history_sketch"),
+      s"run 2 must skip exactly the history scan, resumed=${p2.resumedSteps}")
+    val est2 = spark.read.parquet(s"$out/distinct_customers.parquet").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
+    assert(est2 == est1, "resumed-sketch merge must equal run 1's estimates")
+  }
+
   test("examples/quality_lifecycle.yaml: two-run E2E — run 2 resumes the weights, no LBFGS refit") {
     val out = freshDir("ex_qlc")
     val p1 = new Pipeline(spark, "examples/quality_lifecycle.yaml",
