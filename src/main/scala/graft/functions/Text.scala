@@ -326,6 +326,73 @@ object Text {
       redactPiiExtended(text)))))))
   }
 
+  // ------------------------------------------------------------------
+  // SECRET / CREDENTIAL scrubbing: the production scanner idiom
+  // (truffleHog/detect-secrets) is published-format regexes for keys
+  // whose shape is distinctive (AWS access-key ids, GitHub PATs) plus a
+  // Shannon-entropy gate for generic hex material — a 32-char hex run
+  // is a leaked digest/token only when its characters are near-uniform;
+  // legible hex ("deadbeef...") and padding runs score low and are KEPT.
+  // Pure column math end to end, replayable in DuckDB.
+  // ------------------------------------------------------------------
+
+  // AWS access key id: the published AKIA/ASIA + 16 uppercase-alnum
+  // format — distinctive enough to redact on shape alone.
+  private[graft] val awsKeyRe =
+    "(^|[^0-9A-Za-z])(A(?:KIA|SIA)[0-9A-Z]{16})([^0-9A-Za-z]|$)"
+  // GitHub fine/classic PAT: ghp_/gho_/ghs_ + 36 alnum.
+  private[graft] val ghTokenRe =
+    "(^|[^0-9A-Za-z])(gh[pos]_[A-Za-z0-9]{36})([^0-9A-Za-z_]|$)"
+  // Generic lowercase-hex material, 32-64 chars (MD5..SHA-256 width),
+  // candidate only — the entropy gate decides.
+  private[graft] val hexRunRe =
+    "(^|[^0-9A-Za-z])([0-9a-f]{32,64})([^0-9A-Za-z]|$)"
+
+  /** Shannon entropy (bits/char) of a string column: character
+    * histogram via distinct-chars x filter-count (candidates are <= 64
+    * chars, so the k^2 scan is a few thousand comparisons), then
+    * -sum p*log2 p. The char list BINDS via letArr (referenced once per
+    * distinct char by the count filter — unbound, the extraction regex
+    * would re-run per distinct char, the luhnOk lesson).
+    */
+  def shannonEntropy(s: Column): Column =
+    letArr(regexp_extract_all(s, lit("."), lit(0)), cs =>
+      aggregate(array_distinct(cs), lit(0.0d), (acc, c) => {
+        val p = size(filter(cs, x => x === c)).cast("double") /
+          size(cs).cast("double")
+        acc - p * log2(p)
+      }))
+
+  // Entropy-gated hex pass, structurally ccPass: extract candidates,
+  // keep the near-uniform ones (>= 3.5 bits/char; random hex measures
+  // ~3.7-3.95 at these widths, repeated legible words ~2.2), fold each
+  // through a boundary-anchored replace. The 3.5 cut sits far from both
+  // populations, so cross-engine float-association drift (distinct-char
+  // iteration order re-associates the IEEE sum) can never flip the gate.
+  private def hexSecretPass(c: Column): Column =
+    letArr(c, tx =>
+      aggregate(
+        filter(regexp_extract_all(tx, lit(hexRunRe), lit(2)),
+          h => shannonEntropy(h) >= 3.5),
+        tx,
+        (acc, cand) => regexp_replace(acc,
+          concat(lit("(^|[^0-9A-Za-z])"), cand, lit("([^0-9A-Za-z]|$)")),
+          lit("$1<SECRET>$2"))))
+
+  /** Credential scrubbing: AWS key ids and GitHub PATs by published
+    * shape, generic 32-64-char hex by Shannon-entropy gate. Each family
+    * runs two passes (consumed-shared-boundary, the ccPass rule).
+    * Independent of the PII chain — secret scanning is its own stage in
+    * production pipelines; compose as needed.
+    */
+  def redactSecrets(text: Column): Column = {
+    val aws: Column => Column =
+      c => regexp_replace(c, awsKeyRe, "$1<AWSKEY>$3")
+    val gh: Column => Column =
+      c => regexp_replace(c, ghTokenRe, "$1<GHTOKEN>$3")
+    hexSecretPass(hexSecretPass(gh(gh(aws(aws(text))))))
+  }
+
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
     * values flag boilerplate/spam. Pure column math over the shingle array

@@ -1417,6 +1417,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.redact_secrets" -> { a =>
+      // credential scrubbing: AWS key ids / GitHub PATs by published
+      // shape, 32-64-char hex by Shannon-entropy gate (truffleHog idiom)
+      val df = asDf(a.require("df", 0), "df")
+      val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
+      df.withColumn(textCol, Text.redactSecrets(col(textCol)))
+    },
     "graft.hll_sketch" -> { a =>
       // one mergeable DataSketches HLL row per group — the persistable
       // distinct-count artifact (scan each batch once, never rescan)
