@@ -104,6 +104,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministically render a small baseline JPEG (LCG-seeded pixels via
+    * the JDK's own encoder). Same contract as [[syntheticPng]] for the #1
+    * web image format — the decode side goes through the identical
+    * ImageIoDecoder header path (SOF dimensions parse without pixel work).
+    */
+  def syntheticJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var s = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Read a directory of media files as (path, modificationTime, length,
     * content) rows — Spark's binaryFile source; content is BinaryType.
     */

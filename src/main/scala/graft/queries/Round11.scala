@@ -531,7 +531,35 @@ object Round11 {
               regexp_count(col("sp"), marks)).as("n_secrets"))
           .orderBy(col("doc_id"))
       },
-      Some(q252Oracle))
+      Some(q252Oracle)),
+
+    // REAL JPEG codec round trip (the q52 pattern for the #1 web image
+    // format): render a deterministic baseline JPEG per doc via the JDK
+    // encoder, decode dimensions back through the header-only
+    // ImageIoDecoder path, verify against the formulas. Dims rotate on a
+    // different modulus than q52 so the two codecs never share fixtures.
+    Q("q253_jpeg_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val jpgs = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.syntheticJpeg(
+              (9 + id % 13).toInt, (6 + id % 5).toInt, seed = id))
+          })
+          .toDF("doc_id", "content")
+        Multimodal.decodeBatch(jpgs, "doc_id", "content", Multimodal.ImageIoDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(9 + doc_id % 13 AS INTEGER) AS width,
+          CAST(6 + doc_id % 5 AS INTEGER) AS height,
+          3 AS channels, 'image/jpeg' AS format
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

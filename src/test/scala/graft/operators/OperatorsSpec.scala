@@ -1087,12 +1087,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.channels == 3)
     assert(m.format == "image/png")
     assert(m.n_bytes == png.length)
-    // JPEG via the same JDK ImageIO write path
-    val img = new java.awt.image.BufferedImage(
-      16, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    val j = Multimodal.ImageIoDecoder.decode(2L, bos.toByteArray)
+    // JPEG via the same JDK ImageIO write path (q253's fixture renderer)
+    val j = Multimodal.ImageIoDecoder.decode(
+      2L, Multimodal.syntheticJpeg(16, 9, seed = 2L))
     assert(j.width == 16 && j.height == 9)
     assert(j.format == "image/jpeg")
     // corrupt payload degrades gracefully instead of failing the task
