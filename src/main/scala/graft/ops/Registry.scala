@@ -1417,6 +1417,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.read_warc" -> { a =>
+      // WARC/WARC.gz crawl directory -> one record per row (ISO 28500,
+      // the CommonCrawl container); parallelism = files, payload binary
+      graft.sources.Warc.readWarcDir(spark,
+        asStr(a.require("dir", 0), "dir"),
+        glob = asStr(a.get("glob", -1).getOrElse("*"), "glob"))
+    },
     "graft.redact_secrets" -> { a =>
       // credential scrubbing: AWS key ids / GitHub PATs by published
       // shape, 32-64-char hex by Shannon-entropy gate (truffleHog idiom)

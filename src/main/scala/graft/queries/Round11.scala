@@ -559,6 +559,55 @@ object Round11 {
           CAST(9 + doc_id % 13 AS INTEGER) AS width,
           CAST(6 + doc_id % 5 AS INTEGER) AS height,
           3 AS channels, 'image/jpeg' AS format
+        FROM documents ORDER BY doc_id""")),
+
+    // WARC source round trip (ISO 28500 — the container CommonCrawl
+    // ships): serialize every doc as a response record into 8 crawl
+    // files (even buckets gzipped, one gzip member per file half of the
+    // CC layout; WarcSpec covers per-record members), read the directory
+    // back through the binaryFile-based source, verify uri/type/length
+    // against formulas. The file build is bounded by construction: 8
+    // grouped rows collect (the fixture slice itself), then the parse
+    // side is the distributed path under test.
+    Q("q254_warc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.Warc
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_q254_warc_${s.sparkContext.applicationId}")
+        if (dir.exists()) dir.listFiles().foreach(_.delete())
+        dir.mkdirs()
+        val files = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .groupByKey(_._1 % 8)
+          .mapGroups { (b: Long, it: Iterator[(Long, String)]) =>
+            val bytes = it.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+              Warc.writeRecord("response", s"https://example.org/doc/$id",
+                "2026-01-01T00:00:00Z", "text/plain",
+                text.getBytes("UTF-8")).toSeq
+            }.toArray
+            (b, bytes)
+          }.collect()
+        files.foreach { case (b, bytes) =>
+          val gz = b % 2 == 0
+          val f = new java.io.File(dir,
+            if (gz) s"part$b.warc.gz" else s"part$b.warc")
+          val out = new java.io.FileOutputStream(f)
+          val os = if (gz) new java.util.zip.GZIPOutputStream(out) else out
+          os.write(bytes); os.close()
+        }
+        Warc.readWarcDir(s, dir.getAbsolutePath)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            col("content_length").as("n_bytes"),
+            col("warc_type"), col("content_type"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          'response' AS warc_type, 'text/plain' AS content_type
         FROM documents ORDER BY doc_id"""))
   )
 

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) source — the container CommonCrawl ships, i.e. the
+  * actual input format of a web-scale LLM data pipeline.
+  *
+  * Scale design: the unit of parallelism is the FILE, which matches how
+  * crawls are sharded in practice (CC segments are ~1 GB, tens of
+  * thousands per crawl — far more files than executors, so `binaryFile`
+  * parallelism is the right grain and no record-boundary splitting is
+  * needed inside a file). Parsing is strictly Content-Length-driven — the
+  * payload is never scanned for markers, so a page that embeds "WARC/1.0"
+  * text cannot desync the reader — and a malformed record degrades by
+  * skipping to end-of-file rather than failing the task (a corrupt member
+  * in a 100 TB crawl must not kill the stage). Gzip is sniffed by magic;
+  * java.util.zip reads concatenated members transparently, which is
+  * exactly the CC layout (one gzip member per record) — the whole file
+  * still decompresses as one stream.
+  */
+object Warc {
+
+  final case class WarcRecord(file: String, warc_type: String,
+                              target_uri: String, warc_date: String,
+                              content_type: String, content_length: Long,
+                              payload: Array[Byte])
+
+  /** Serialize one record (writer side: fixtures, tests, re-export). */
+  def writeRecord(warcType: String, targetUri: String, warcDate: String,
+                  contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    if (targetUri.nonEmpty) sb.append(s"WARC-Target-URI: $targetUri\r\n")
+    sb.append(s"WARC-Date: $warcDate\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n")
+    sb.append("\r\n")
+    sb.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Parse every record of one WARC file (plain or gzipped). Strictly
+    * Content-Length-driven; on a malformed header the remainder of the
+    * file is skipped (never thrown).
+    */
+  def parseRecords(raw: Array[Byte], file: String): Iterator[WarcRecord] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
+
+    new Iterator[WarcRecord] {
+      private var pos = 0
+      private var nextRec: WarcRecord = advance()
+
+      private def lineEnd(from: Int): Int = {
+        var i = from
+        while (i + 1 < bytes.length &&
+          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+        i
+      }
+
+      private def advance(): WarcRecord = {
+        // seek the version line of the next record
+        while (pos + 5 <= bytes.length &&
+          !(bytes(pos) == 'W' && bytes(pos + 1) == 'A' &&
+            bytes(pos + 2) == 'R' && bytes(pos + 3) == 'C' &&
+            bytes(pos + 4) == '/')) pos += 1
+        if (pos + 5 > bytes.length) return null
+        pos = lineEnd(pos) + 2
+        var wType = ""; var uri = ""; var date = ""; var cType = ""
+        var cLen = -1L
+        var ok = true
+        // header block ends at the first empty line
+        while (ok && pos < bytes.length &&
+          !(bytes(pos) == '\r' && pos + 1 < bytes.length && bytes(pos + 1) == '\n')) {
+          val e = lineEnd(pos)
+          val line = new String(bytes, pos, e - pos, UTF_8)
+          val ci = line.indexOf(':')
+          if (ci < 0) ok = false
+          else {
+            val k = line.substring(0, ci).trim.toLowerCase
+            val v = line.substring(ci + 1).trim
+            k match {
+              case "warc-type" => wType = v
+              case "warc-target-uri" => uri = v
+              case "warc-date" => date = v
+              case "content-type" => cType = v
+              case "content-length" =>
+                cLen = try v.toLong catch { case _: Exception => ok = false; -1L }
+              case _ => ()
+            }
+          }
+          pos = e + 2
+        }
+        pos += 2 // the empty line
+        if (!ok || cLen < 0 || pos + cLen > bytes.length) {
+          pos = bytes.length // malformed: skip the rest of this file
+          return null
+        }
+        val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + cLen.toInt)
+        pos += cLen.toInt + 4 // record separator \r\n\r\n
+        WarcRecord(file, wType, uri, date, cType, cLen, payload)
+      }
+
+      def hasNext: Boolean = nextRec != null
+      def next(): WarcRecord = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+  }
+
+  /** Read a directory of .warc / .warc.gz files as one record per row:
+    * (file, warc_type, target_uri, warc_date, content_type,
+    * content_length, payload). Parallelism = files (the crawl sharding
+    * grain); payload stays binary for downstream decode stages.
+    */
+  def readWarcDir(spark: SparkSession, dir: String,
+                  glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => parseRecords(c, p) }
+      .toDF()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("writeRecord -> parseRecords round-trips; embedded 'WARC/1.0' in a payload cannot desync") {
+    // the payload deliberately contains a fake record header: a scanner
+    // that searched payloads would desync here; Content-Length must rule
+    val p1 = ("hello WARC/1.0 inside\r\nContent-Length: 99\r\n\r\n trap")
+      .getBytes(UTF_8)
+    val r1 = Warc.writeRecord("response", "https://a.example/1",
+      "2026-01-01T00:00:00Z", "text/plain", p1)
+    val r2 = Warc.writeRecord("metadata", "",
+      "2026-01-01T00:00:01Z", "application/json", "{}".getBytes(UTF_8))
+    val recs = Warc.parseRecords(r1 ++ r2, "f").toList
+    assert(recs.map(_.warc_type) == List("response", "metadata"))
+    assert(recs.head.payload.sameElements(p1))
+    assert(recs.head.target_uri == "https://a.example/1")
+    assert(recs(1).target_uri == "" && recs(1).content_length == 2)
+    assert(recs.head.content_type == "text/plain")
+  }
+
+  test("gzip multi-member (one member per record, the CommonCrawl layout) parses as one stream") {
+    val r1 = Warc.writeRecord("response", "https://a.example/1",
+      "2026-01-01T00:00:00Z", "text/plain", "alpha".getBytes(UTF_8))
+    val r2 = Warc.writeRecord("response", "https://a.example/2",
+      "2026-01-01T00:00:01Z", "text/plain", "beta!".getBytes(UTF_8))
+    val recs = Warc.parseRecords(gz(r1) ++ gz(r2), "f.warc.gz").toList
+    assert(recs.map(_.target_uri) ==
+      List("https://a.example/1", "https://a.example/2"))
+    assert(recs.map(r => new String(r.payload, UTF_8)) == List("alpha", "beta!"))
+  }
+
+  test("malformed/truncated records skip gracefully instead of throwing") {
+    val good = Warc.writeRecord("response", "https://a.example/1",
+      "2026-01-01T00:00:00Z", "text/plain", "payload bytes here".getBytes(UTF_8))
+    // truncation cuts into the declared Content-Length: record dropped
+    assert(Warc.parseRecords(good.dropRight(10), "t").toList.isEmpty)
+    // a good record FOLLOWED by garbage still yields the good record
+    val recs = Warc.parseRecords(
+      good ++ "WARC/1.0\r\nbroken header no colon\r\n\r\n".getBytes(UTF_8), "t2")
+      .toList
+    assert(recs.map(_.target_uri) == List("https://a.example/1"))
+    // pure garbage: no records, no throw
+    assert(Warc.parseRecords(Array.fill(64)(0x42.toByte), "t3").toList.isEmpty)
+  }
+}
