@@ -137,4 +137,28 @@ object Warc {
       .flatMap { case (p, c) => parseRecords(c, p) }
       .toDF()
   }
+
+  /** STREAMING ingestion of a crawl directory: new .warc/.warc.gz files
+    * landing in `dir` are parsed incrementally (Structured Streaming file
+    * source — each file is consumed exactly once per checkpoint, so a
+    * continuously-arriving crawl drains batch-by-batch without ever
+    * re-parsing history). Same record schema as [[readWarcDir]]; compose
+    * with the Streams.* dedup/cleanse operators downstream.
+    */
+  def readWarcStream(spark: SparkSession, dir: String,
+                     glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => parseRecords(c, p) }
+      .toDF()
+  }
 }

@@ -40,6 +40,41 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(r => new String(r.payload, UTF_8)) == List("alpha", "beta!"))
   }
 
+  test("streaming ingestion drains new crawl files incrementally, never re-parsing history") {
+    val spark = graft.TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("warc_in")
+    val out = java.nio.file.Files.createTempDirectory("warc_out")
+    def writeFile(name: String, recs: Array[Byte], gzip: Boolean): Unit = {
+      val f = new java.io.File(dir.toFile, name)
+      val fos = new java.io.FileOutputStream(f)
+      val os = if (gzip) new java.util.zip.GZIPOutputStream(fos) else fos
+      os.write(recs); os.close()
+    }
+    writeFile("batch1.warc",
+      Warc.writeRecord("response", "https://a.example/1",
+        "2026-01-01T00:00:00Z", "text/plain", "one".getBytes(UTF_8)) ++
+      Warc.writeRecord("response", "https://a.example/2",
+        "2026-01-01T00:00:01Z", "text/plain", "two".getBytes(UTF_8)),
+      gzip = false)
+    graft.streaming.Streams.runToParquet(
+      Warc.readWarcStream(spark, dir.toString).drop("payload"),
+      s"$out/data", s"$out/ckpt")
+    assert(spark.read.parquet(s"$out/data").count() == 2)
+
+    // a new (gzipped) crawl file lands: only ITS records append
+    writeFile("batch2.warc.gz",
+      Warc.writeRecord("response", "https://a.example/3",
+        "2026-01-01T00:00:02Z", "text/plain", "three".getBytes(UTF_8)),
+      gzip = true)
+    graft.streaming.Streams.runToParquet(
+      Warc.readWarcStream(spark, dir.toString).drop("payload"),
+      s"$out/data", s"$out/ckpt")
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() == 3, "exactly one new record, history not re-parsed")
+    assert(rows.select("target_uri").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("https://a.example/1", "https://a.example/2", "https://a.example/3"))
+  }
+
   test("malformed/truncated records skip gracefully instead of throwing") {
     val good = Warc.writeRecord("response", "https://a.example/1",
       "2026-01-01T00:00:00Z", "text/plain", "payload bytes here".getBytes(UTF_8))
