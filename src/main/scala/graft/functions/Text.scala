@@ -393,6 +393,51 @@ object Text {
     hexSecretPass(hexSecretPass(gh(gh(aws(aws(text))))))
   }
 
+  // ------------------------------------------------------------------
+  // MAIN-CONTENT extraction (the readability/jusText/trafilatura step
+  // that precedes every web-corpus pipeline): split the page into
+  // block-level fragments, score each by visible-text length and LINK
+  // DENSITY (the fraction of a block's visible text that sits inside
+  // <a> tags — navigation, related-links and footers are link-dense,
+  // prose is not), keep the long low-link blocks. Pure regex/HOF column
+  // math, deterministic and replayable in DuckDB.
+  // ------------------------------------------------------------------
+
+  private[graft] val blockSplitRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|section|article|" +
+      "header|footer|nav|br|html|head|body|title)[^>]*>"
+
+  /** Main-content extraction: returns a struct
+    * (content, n_blocks, n_kept) where `content` is the space-joined
+    * visible text of the kept blocks in document order, `n_blocks`
+    * counts blocks with any visible text and `n_kept` the survivors of
+    * the two gates (>= minLen chars; link density <= maxLinkDensity).
+    * One pass, codegen'd; the block array BINDS via letArr (referenced
+    * by content/n_blocks/n_kept — unbound, the split+struct scoring
+    * would re-run per consumer, the luhnOk lesson).
+    */
+  def extractMainContent(html: Column, minLen: Int = 25,
+                         maxLinkDensity: Double = 0.33): Column = {
+    val visible: Column => Column = b => trim(regexp_replace(
+      regexp_replace(b, "<[^>]+>", " "), "\\s+", " "))
+    val scored = transform(split(html, blockSplitRe), b => struct(
+      visible(b).as("txt"),
+      visible(regexp_replace(b, "(?is)<a\\b[^>]*>.*?</a>", " "))
+        .as("nolink")))
+    letArr(scored, bs => {
+      val kept = filter(bs, s => {
+        val tl = length(s.getField("txt"))
+        tl >= minLen &&
+          (tl - length(s.getField("nolink"))).cast("double") <=
+            lit(maxLinkDensity) * tl.cast("double")
+      })
+      struct(
+        array_join(transform(kept, _.getField("txt")), " ").as("content"),
+        size(filter(bs, s => length(s.getField("txt")) > 0)).as("n_blocks"),
+        size(kept).as("n_kept"))
+    })
+  }
+
   /** Within-document repetition: 1 - distinct(word n-grams)/total(word
     * n-grams). The Gopher/C4-style "repetition ratio" quality signal — high
     * values flag boilerplate/spam. Pure column math over the shingle array

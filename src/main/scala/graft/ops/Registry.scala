@@ -1417,6 +1417,21 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.extract_content" -> { a =>
+      // main-content extraction (readability/trafilatura step): block
+      // split + length/link-density gates; replaces the html column
+      // with the prose and appends n_blocks/n_kept audit columns
+      val df = asDf(a.require("df", 0), "df")
+      val htmlCol = asStr(a.get("html", -1).getOrElse("text"), "html")
+      df.withColumn("__mc", Text.extractMainContent(col(htmlCol),
+          minLen = a.get("min_len", -1).map(_.toString.toInt).getOrElse(25),
+          maxLinkDensity = a.get("max_link_density", -1)
+            .map(_.toString.toDouble).getOrElse(0.33)))
+        .withColumn(htmlCol, col("__mc.content"))
+        .withColumn("n_blocks", col("__mc.n_blocks"))
+        .withColumn("n_kept", col("__mc.n_kept"))
+        .drop("__mc")
+    },
     "graft.read_warc" -> { a =>
       // WARC/WARC.gz crawl directory -> one record per row (ISO 28500,
       // the CommonCrawl container); parallelism = files, payload binary

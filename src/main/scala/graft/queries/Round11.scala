@@ -608,7 +608,39 @@ object Round11 {
       Some("""
         SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           'response' AS warc_type, 'text/plain' AS content_type
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Main-content extraction (the readability/trafilatura step): each
+    // doc's text is wrapped in a full page chrome — link-dense nav,
+    // short h1, two prose paragraphs, a related-links list, a footer —
+    // and the extractor must return exactly the prose. The oracle
+    // replays the block split, per-block visible/no-link text, both
+    // gates, and the join, structurally identical to
+    // Text.extractMainContent.
+    Q("q255_main_content",
+      (s, d) => {
+        val page = concat(
+          lit("<html><head><title>T</title></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About this site</a>" +
+            " <a href=\"/c\">Contact page link</a></nav>" +
+            "<h1>Doc "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><p>Closing remarks for document "),
+          col("doc_id").cast("string"),
+          lit(": this paragraph is long enough to keep.</p>" +
+            "<ul><li><a href=\"/r1\">Related article number one</a></li>" +
+            "<li><a href=\"/r2\">Related article number two</a></li></ul>" +
+            "<footer><a href=\"/privacy\">Privacy policy page</a>" +
+            " <a href=\"/terms\">Terms of service page</a></footer>" +
+            "</body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.Text.extractMainContent(page).as("m"))
+          .select(col("doc_id"), col("m.content").as("content"),
+            col("m.n_blocks").as("n_blocks"), col("m.n_kept").as("n_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q255Oracle))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the
@@ -630,6 +662,46 @@ object Round11 {
       e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9-]|$)', 2), " +
       "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
       "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
+  }
+
+  private def q255Oracle: String = {
+    val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|section|" +
+      "article|header|footer|nav|br|html|head|body|title)[^>]*>"
+    val vis = "trim(regexp_replace(regexp_replace(%s, '<[^>]+>', ' ', 'g')," +
+      " '\\s+', ' ', 'g'))"
+    val txt = vis.format("b")
+    val nolink = vis.format(
+      "regexp_replace(b, '(?is)<a\\b[^>]*>.*?</a>', ' ', 'g')")
+    val keep = "len(s.txt) >= 25 AND " +
+      "CAST(len(s.txt) - len(s.nolink) AS DOUBLE) <= 0.33 * len(s.txt)"
+    val keep4 = keep.replace("s.", "s4.")
+    s"""
+        WITH spiked AS (
+          SELECT doc_id,
+            '<html><head><title>T</title></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/about">About this site</a>'
+            || ' <a href="/c">Contact page link</a></nav>'
+            || '<h1>Doc ' || CAST(doc_id AS VARCHAR)
+            || '</h1><p>' || text
+            || '</p><p>Closing remarks for document ' || CAST(doc_id AS VARCHAR)
+            || ': this paragraph is long enough to keep.</p>'
+            || '<ul><li><a href="/r1">Related article number one</a></li>'
+            || '<li><a href="/r2">Related article number two</a></li></ul>'
+            || '<footer><a href="/privacy">Privacy policy page</a>'
+            || ' <a href="/terms">Terms of service page</a></footer>'
+            || '</body></html>' AS html
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+            list_transform(regexp_split_to_array(html, '$blockRe'),
+              b -> struct_pack(txt := $txt, nolink := $nolink)) AS ss
+          FROM spiked)
+        SELECT doc_id,
+          array_to_string(list_transform(
+            list_filter(ss, s -> $keep), s2 -> s2.txt), ' ') AS content,
+          CAST(len(list_filter(ss, s3 -> len(s3.txt) > 0)) AS INTEGER) AS n_blocks,
+          CAST(len(list_filter(ss, s4 -> $keep4)) AS INTEGER) AS n_kept
+        FROM scored ORDER BY doc_id"""
   }
 
   /** One DuckDB entropy-gated hex pass over text expression `e` —
