@@ -265,6 +265,65 @@ object Sampling {
       .drop("__z")
   }
 
+  /** Two-phase ANNEALING schedule — the modern end-of-training idiom
+    * (spend the last slice of the token budget on the best data): the
+    * main phase allocates (1 - annealFrac) of `totalTokens` at
+    * temperature `alphaMain` over every source; the anneal phase
+    * allocates `annealFrac` concentrated on the ABOVE-AVERAGE-quality
+    * sources at temperature `alphaAnneal`. `qualityCol` must be an
+    * INTEGER per-doc rubric (gate counts, not float scores) so the
+    * membership test is exact integer math — qsum_s * n_total >=
+    * q_total * n_s, no float means, no cross-engine drift — and the
+    * weights ride the same exact sqrt-chain determinism as
+    * [[temperatureMixture]]. Emits one row per (phase, source):
+    * (phase, source, n_docs, tokens, anneal_ok, weight, target_tokens).
+    * Aggregate-only plan: two tiny re-aggregates broadcast back over
+    * the per-source frame; nothing scales with the corpus but the one
+    * token-count scan.
+    */
+  def annealSchedule(df: DataFrame, textCol: String, sourceCol: String,
+                     qualityCol: String, totalTokens: Long,
+                     annealFrac: Double = 0.125,
+                     alphaMain: Double = 1.0,
+                     alphaAnneal: Double = 0.5): DataFrame = {
+    requireDyadic(alphaMain); requireDyadic(alphaAnneal)
+    val kf = annealFrac * 64
+    require(kf >= 1 && kf < 64 && kf == kf.floor,
+      s"annealFrac must be dyadic k/64 in (0, 1), got $annealFrac")
+    val toks = size(org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), t => length(t) > 0))
+    val perSource = df.select(col(sourceCol).as("source"),
+        toks.cast(LongType).as("__t"),
+        col(qualityCol).cast(LongType).as("__q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens"),
+        sum(col("__q")).as("__qs"))
+    val glob = perSource.agg(sum(col("n_docs")).as("__nt"),
+      sum(col("__qs")).as("__qt"))
+    val flagged = perSource.crossJoin(broadcast(glob))
+      .withColumn("anneal_ok",
+        col("__qs") * col("__nt") >= col("__qt") * col("n_docs"))
+    val powM = sqrtChainPow(col("tokens").cast(DoubleType), alphaMain)
+    val powA = sqrtChainPow(col("tokens").cast(DoubleType), alphaAnneal)
+    val zm = flagged.agg(sum(powM).as("__zm"))
+    val za = flagged.filter(col("anneal_ok")).agg(sum(powA).as("__za"))
+    // phase budgets computed once in exact dyadic arithmetic
+    val mainBudget = totalTokens * (1 - annealFrac)
+    val annealBudget = totalTokens * annealFrac
+    val mainRows = flagged.crossJoin(broadcast(zm))
+      .select(lit("main").as("phase"), col("source"), col("n_docs"),
+        col("tokens"), col("anneal_ok"),
+        round(powM / col("__zm"), 6).as("weight"))
+      .withColumn("target_tokens", round(col("weight") * mainBudget, 2))
+    val annealRows = flagged.filter(col("anneal_ok"))
+      .crossJoin(broadcast(za))
+      .select(lit("anneal").as("phase"), col("source"), col("n_docs"),
+        col("tokens"), col("anneal_ok"),
+        round(powA / col("__za"), 6).as("weight"))
+      .withColumn("target_tokens", round(col("weight") * annealBudget, 2))
+    mainRows.unionByName(annealRows)
+  }
+
   private def requireDyadic(alpha: Double): Unit = {
     val k = alpha * 64
     require(k >= 1 && k <= 64 && k == k.floor,

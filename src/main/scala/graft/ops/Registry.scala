@@ -1417,6 +1417,23 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.anneal_schedule" -> { a =>
+      // two-phase annealing mixture: main budget over all sources, the
+      // final annealFrac slice over above-average-quality sources only
+      // (quality = integer per-doc rubric column; exact membership math)
+      graft.operators.Sampling.annealSchedule(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("by", -1).getOrElse("source"), "by"),
+        asStr(a.require("quality", 1), "quality"),
+        totalTokens = a.require("total_tokens", 2).toString.toLong,
+        annealFrac = a.get("anneal_frac", -1)
+          .map(_.toString.toDouble).getOrElse(0.125),
+        alphaMain = a.get("alpha_main", -1)
+          .map(_.toString.toDouble).getOrElse(1.0),
+        alphaAnneal = a.get("alpha_anneal", -1)
+          .map(_.toString.toDouble).getOrElse(0.5))
+    },
     "graft.extract_content" -> { a =>
       // main-content extraction (readability/trafilatura step): block
       // split + length/link-density gates; replaces the html column

@@ -640,7 +640,27 @@ object Round11 {
             col("m.n_blocks").as("n_blocks"), col("m.n_kept").as("n_kept"))
           .orderBy(col("doc_id"))
       },
-      Some(q255Oracle))
+      Some(q255Oracle)),
+
+    // Annealing schedule (q256): the end-of-training recipe — 87.5% of
+    // the budget at natural proportions over every source, the final
+    // 12.5% concentrated on the above-average-quality sources at
+    // alpha=0.5. Quality is a 3-gate INTEGER rubric (length / word
+    // count / terminal period), so the anneal membership is exact
+    // integer math in both engines; weights replay through the same
+    // sqrt-chain determinism as q247.
+    Q("q256_anneal_schedule",
+      (s, d) => {
+        val qual = (length(col("text")) >= 200).cast("int") +
+          (size(filter(split(col("text"), "\\s+"),
+            w => length(w) > 0)) >= 40).cast("int") +
+          col("text").endsWith(".").cast("int")
+        graft.operators.Sampling.annealSchedule(
+            t(s, d, "documents").withColumn("__qual", qual),
+            "text", "source", "__qual", totalTokens = 1000000L)
+          .orderBy(col("phase"), col("source"))
+      },
+      Some(q256Oracle))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the
@@ -662,6 +682,41 @@ object Round11 {
       e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9-]|$)', 2), " +
       "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
       "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
+  }
+
+  private def q256Oracle: String = {
+    val powM = graft.operators.Sampling
+      .sqrtChainPowSql("CAST(tokens AS DOUBLE)", 1.0)
+    val powA = graft.operators.Sampling
+      .sqrtChainPowSql("CAST(tokens AS DOUBLE)", 0.5)
+    val mainBudget = 1000000L * (1 - 0.125)
+    val annealBudget = 1000000L * 0.125
+    s"""
+        WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens,
+            CAST(SUM((len(text) >= 200)::INT
+              + (len(regexp_extract_all(text, '\\S+')) >= 40)::INT
+              + (text LIKE '%.')::INT) AS BIGINT) AS qs
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+                   CAST(SUM(qs) AS BIGINT) AS qt FROM per_src),
+        flagged AS (SELECT p.*, (qs * nt >= qt * n_docs) AS anneal_ok
+                    FROM per_src p, tot),
+        zm AS (SELECT SUM($powM) AS zm FROM flagged),
+        za AS (SELECT SUM($powA) AS za FROM flagged WHERE anneal_ok),
+        m AS (SELECT 'main' AS phase, source, n_docs, tokens, anneal_ok,
+                round($powM / zm, 6) AS weight FROM flagged, zm),
+        a AS (SELECT 'anneal' AS phase, source, n_docs, tokens, anneal_ok,
+                round($powA / za, 6) AS weight FROM flagged, za
+              WHERE anneal_ok),
+        u AS (
+          SELECT *, round(weight * $mainBudget, 2) AS target_tokens FROM m
+          UNION ALL
+          SELECT *, round(weight * $annealBudget, 2) AS target_tokens FROM a)
+        SELECT phase, source, n_docs, tokens, anneal_ok, weight,
+          target_tokens
+        FROM u ORDER BY phase, source"""
   }
 
   private def q255Oracle: String = {
