@@ -501,6 +501,32 @@ object Scoring {
       .agg(sum(col("contrib")).as("bm25"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-
+    * retrieval combiner: each input is a TOP-N ranked list (id, rank
+    * 1-based) from one retriever (BM25, dense ANN, ...); the fused score
+    * is sum over lists of 1/(kRrf + rank), insensitive to incomparable
+    * score scales. Emits (id, rrf, n_lists, fused_rank).
+    *
+    * Scale note: the inputs are top-N lists BY CONTRACT, so the fused
+    * frame is <= sum of list lengths — the one partition-less rank
+    * window here runs over that bounded frame, never a corpus. Fused
+    * rank orders by the 6dp-ROUNDED score + id so the ordering is
+    * cross-engine deterministic; genuinely tied rank-sets tie exactly
+    * and break by id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "id",
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings given")
+    import org.apache.spark.sql.expressions.Window
+    rankings.map(_.select(col(idCol).as("id"), col("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(lit(1.0) / (col("rank") + lit(kRrf))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(round(col("rrf"), 6).desc, col("id"))))
+  }
+
   /** Corpus token statistics + Zipf slope: vocabulary size, total tokens,
     * hapax fraction, and the log-log least-squares slope over the `topK`
     * most frequent tokens. Fitting the head is standard practice AND the

@@ -1417,6 +1417,18 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.rrf_fuse" -> { a =>
+      // reciprocal-rank fusion of top-N ranked lists (id, rank) —
+      // frames: [list1, list2, ...]; the hybrid-retrieval combiner
+      val frames = a.get("frames", -1) match {
+        case Some(l: List[_]) => l.map(asDf(_, "frames"))
+        case Some(one) => List(asDf(one, "frames"))
+        case None => a.pos.map(asDf(_, "frames"))
+      }
+      graft.operators.Scoring.rrfFuse(frames,
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        kRrf = a.get("k", -1).map(_.toString.toInt).getOrElse(60))
+    },
     "graft.anneal_schedule" -> { a =>
       // two-phase annealing mixture: main budget over all sources, the
       // final annealFrac slice over above-average-quality sources only

@@ -660,7 +660,36 @@ object Round11 {
             "text", "source", "__qual", totalTokens = 1000000L)
           .orderBy(col("phase"), col("source"))
       },
-      Some(q256Oracle))
+      Some(q256Oracle)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (q257): fuse the BM25
+    // top-20 (sparse) with the exact-cosine top-20 of query vector 7
+    // (dense) by 1/(60+rank) — the standard combiner for incomparable
+    // score scales. Sparse ranks order by ROUNDED bm25 + id (cross-
+    // engine deterministic); dense ranks replay the q37 contract; the
+    // two contributions sum with a single IEEE add, so the oracle
+    // reproduces every fused score and rank exactly.
+    Q("q257_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sparse = graft.operators.Scoring.bm25(
+            t(s, d, "documents"), "doc_id", "text",
+            terms = Seq("vector", "hash", "batch"))
+          .select(col("id"), round(col("bm25"), 6).as("__s"))
+          .orderBy(col("__s").desc, col("id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("__s").desc, col("id"))))
+          .select(col("id"), col("rank"))
+        val emb = t(s, d, "embeddings")
+        val dense = graft.operators.Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 7), emb, k = 20)
+          .select(col("neighbor_id").as("id"), col("rank"))
+        graft.operators.Scoring.rrfFuse(Seq(sparse, dense), "id")
+          .select(col("id").as("doc_id"), round(col("rrf"), 6).as("rrf"),
+            col("n_lists"), col("fused_rank"))
+          .orderBy(col("fused_rank"))
+      },
+      Some(q257Oracle))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the
@@ -683,6 +712,48 @@ object Round11 {
       "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
       "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
   }
+
+  private def q257Oracle: String = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        sc AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+               WHERE w IN ('vector', 'hash', 'batch') GROUP BY 1, 2),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+            ln((sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl)) AS c
+          FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), sc),
+        bm AS (SELECT doc_id AS id, round(sum(c), 6) AS s
+               FROM contrib GROUP BY doc_id
+               ORDER BY s DESC, id LIMIT 20),
+        sparse AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id)
+                     AS INTEGER) AS rank FROM bm),
+        p AS (
+          SELECT c.vec_id AS id,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+              AS cosine
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id = 7),
+        dense AS (SELECT id, rank FROM (
+            SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id)
+              AS INTEGER) AS rank FROM p) x
+          WHERE rank <= 20),
+        u AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+        fused AS (
+          SELECT id, SUM(CAST(1.0 AS DOUBLE) / (rank + 60)) AS rrf,
+            COUNT(*) AS n_lists
+          FROM u GROUP BY id)
+        SELECT id AS doc_id, round(rrf, 6) AS rrf, n_lists,
+          CAST(ROW_NUMBER() OVER (ORDER BY round(rrf, 6) DESC, id)
+            AS INTEGER) AS fused_rank
+        FROM fused ORDER BY fused_rank"""
 
   private def q256Oracle: String = {
     val powM = graft.operators.Sampling

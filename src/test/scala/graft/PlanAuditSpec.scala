@@ -43,6 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "partition aggregate (<= spark.sql.shuffle.partitions rows), never " +
       "the distinct-value frame (r10 rank rework)"),
     "q180_group_ngroup_nth" -> "ngroup id assignment over the distinct group-key frame",
+    "q257_hybrid_rrf" -> ("rank windows over top-N lists only: the sparse " +
+      "rank runs over the LIMIT-20 frame (TakeOrdered feeds it) and the " +
+      "fused rank over <= 40 fused rows — never a corpus (rrfFuse " +
+      "contract)"),
     "q250_ccnet_buckets" -> ("tercile cut via GlobalWindows.cumcount: the " +
       "one global window is the prefix combine over the per-range-" +
       "partition count frame (<= spark.sql.shuffle.partitions rows), " +

@@ -1536,6 +1536,19 @@ class TextSpec extends AnyFunSuite {
     assert(out(6L) == (("<EMAIL> <IP> <PHONE>", 3)))
   }
 
+  test("rrfFuse: overlapping ids sum both contributions and win the fused rank") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val out = graft.operators.Scoring.rrfFuse(Seq(a, b), "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(2L)._2 == 2 && out(1L)._2 == 1, "n_lists counts memberships")
+    assert(math.abs(out(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // id 2 (rank 2 + rank 1) beats id 1 (rank 1 in one list only)
+    assert(out(2L)._3 == 1 && out(1L)._3 == 2)
+    assert(out(4L)._3 > out(1L)._3, "single-list rank-2 trails single-list rank-1")
+  }
+
   test("extractMainContent keeps prose blocks, drops nav/footer/link-lists/short blocks") {
     val html = "<html><head><title>T</title></head><body>" +
       "<nav><a href=\"/\">Home</a> <a href=\"/a\">About us now</a> <a href=\"/c\">Contact page here</a></nav>" +
