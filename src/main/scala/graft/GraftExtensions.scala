@@ -45,7 +45,10 @@ object GraftExtensions {
     "minhash_agg" -> { args =>
       MinhashAgg(args.head, if (args.size > 1) intArg(args(1), "k") else 32)
         .toAggregateExpression()
-    })
+    },
+    "luhn_valid" -> { args => LuhnValid(args.head) },
+    "iban_valid" -> { args => IbanValid(args.head) },
+    "char_entropy" -> { args => CharEntropy(args.head) })
 
   /** Imperative registration on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -1,0 +1,224 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd scalar validators for the PII / secret-scrubbing chains.
+  *
+  * These started life as `functions.aggregate`/`transform` folds
+  * (`Text.luhnOk` / `Text.ibanOk` / `Text.shannonEntropy`). Semantically
+  * that was perfect — the same fold replays verbatim in the DuckDB oracle —
+  * but Catalyst's higher-order functions interpret their lambda per element
+  * (~1us/call, and they sit OUTSIDE whole-stage codegen), so a banking-PII
+  * row with a handful of candidates paid hundreds of interpreted calls:
+  * the q249 chain measured ~1.2 ms/row with validation dominating. Each
+  * validator is now a single codegen'd expression calling a static helper
+  * (one tight Java loop per candidate); the oracle side is untouched — it
+  * replays the same arithmetic in SQL and only the boolean/double RESULT
+  * must agree, which the existing oracle gates (q243/q249/q252) and
+  * OperatorsSpec decoy batteries pin.
+  *
+  * Semantics are copied exactly from the fold versions, including edge
+  * cases (empty input, short strings, the `.`-regex line-terminator skip)
+  * so the rewrite is observationally identical — see each helper's note.
+  */
+private[graft] trait GraftStringPredicate extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+}
+
+/** Luhn checksum over the digits of a candidate (non-digits skipped):
+  * every second digit from the right doubles with a 9-wrap and the total
+  * must be divisible by 10. Zero digits → vacuously true (the fold
+  * version's empty-aggregate seed), matching `aggregate(..., lit(0), ...)`.
+  */
+case class LuhnValid(child: Expression) extends GraftStringPredicate {
+  override def prettyName: String = "graft_luhn_valid"
+  override def nullSafeEval(input: Any): Any =
+    LuhnValid.valid(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LuhnValid.valid($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
+    copy(child = newChild)
+}
+
+object LuhnValid {
+  /** One right-to-left pass over the digit characters; no allocation. */
+  def valid(s: String): Boolean = {
+    var sum = 0
+    var pos = 0 // 1-based index from the RIGHT over digits only
+    var i = s.length - 1
+    while (i >= 0) {
+      val ch = s.charAt(i)
+      if (ch >= '0' && ch <= '9') {
+        pos += 1
+        var v = ch - '0'
+        if (pos % 2 == 0) { v *= 2; if (v > 9) v -= 9 }
+        sum += v
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def apply(cand: Column): Column =
+    ColumnBridge.column(LuhnValid(ColumnBridge.expression(cand)))
+}
+
+/** ISO 7064 mod-97-10 + registry-length validation of one IBAN candidate
+  * (ASCII spaces ignored): rotate the first four chars to the end, expand
+  * uppercase A–Z to two digits (A=10..Z=35), fold the digits as
+  * (acc*10 + d) % 97 — valid iff the remainder is 1 AND the compact length
+  * matches the country's SWIFT-registry entry (unknown country → false).
+  * Mirrors the fold version bound-for-bound: the rotation takes at most 34
+  * chars from position 5 (`substring(s, 5, 34)`) and at most 4 from the
+  * head, characters that are neither A–Z nor digits are dropped by the
+  * digit fold, and a candidate shorter than 5 chars rotates to itself.
+  */
+case class IbanValid(child: Expression) extends GraftStringPredicate {
+  override def prettyName: String = "graft_iban_valid"
+  override def nullSafeEval(input: Any): Any =
+    IbanValid.valid(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.IbanValid.valid($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): IbanValid =
+    copy(child = newChild)
+}
+
+object IbanValid {
+  /** Registry length slice (SWIFT IBAN registry, the high-volume
+    * corridors) — bounded by construction like the PSL slice in Urls.
+    * The single source of truth; `Text.ibanLengths` aliases this and the
+    * q249 oracle builds its CASE arm from the same Seq.
+    */
+  val lengths: Seq[(String, Int)] = Seq(
+    "AT" -> 20, "BE" -> 16, "CH" -> 21, "DE" -> 22, "DK" -> 18,
+    "ES" -> 24, "FI" -> 18, "FR" -> 27, "GB" -> 22, "IE" -> 22,
+    "IT" -> 27, "LU" -> 20, "NL" -> 18, "NO" -> 15, "PL" -> 28,
+    "PT" -> 25, "SE" -> 24)
+
+  private val lengthByCountry: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    lengths.foreach { case (cc, l) => m.put(cc, l) }
+    m
+  }
+
+  def valid(raw: String): Boolean = {
+    // strip ASCII spaces only (the fold stripped regexp " ")
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch != ' ') sb.append(ch)
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < 2) return false
+    val expected = lengthByCountry.get(s.substring(0, 2))
+    if (expected == null || expected.intValue() != s.length) return false
+    // rotation per substring(s,5,34) ++ substring(s,1,4)
+    val tail = if (s.length > 4) s.substring(4, math.min(s.length, 38)) else ""
+    val head = s.substring(0, math.min(s.length, 4))
+    val rot = tail + head
+    var rem = 0
+    i = 0
+    while (i < rot.length) {
+      val ch = rot.charAt(i)
+      if (ch >= 'A' && ch <= 'Z') {
+        val v = ch - 55 // two digits, folded high then low
+        rem = (rem * 10 + v / 10) % 97
+        rem = (rem * 10 + v % 10) % 97
+      } else if (ch >= '0' && ch <= '9') {
+        rem = (rem * 10 + (ch - '0')) % 97
+      } // other chars dropped, matching the [0-9] extraction
+      i += 1
+    }
+    rem == 1
+  }
+
+  def apply(cand: Column): Column =
+    ColumnBridge.column(IbanValid(ColumnBridge.expression(cand)))
+}
+
+/** Shannon entropy (bits per character) of a string column, matching the
+  * fold version's `regexp_extract_all(s, ".")` source exactly: code points
+  * are the unit (a surrogate pair is one symbol) and the five Java-regex
+  * line terminators (\n \r U+0085 U+2028 U+2029) are EXCLUDED, because `.`
+  * without DOTALL never matched them. Summation runs in first-occurrence
+  * order over distinct symbols (the `array_distinct` order) with
+  * p*log2 p = p*ln p/ln 2, so the IEEE association is bit-identical to the
+  * fold it replaces. Empty input → 0.0 (the fold's empty-aggregate seed).
+  * Callers gate at 3.5 bits/char, far from both populations (random hex
+  * ~3.7–3.95, legible/padding hex ≤ ~2.2), so cross-engine float drift in
+  * the ORACLE replay (which re-associates) can never flip a decision.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_entropy"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.entropy(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.CharEntropy.entropy($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  // StrictMath, matching Spark's Log2 codegen (`StrictMath.log(c) /
+  // StrictMath.log(2.0)`) so the replaced fold is reproduced to the ulp
+  private val LN2 = java.lang.StrictMath.log(2.0)
+
+  private def isLineTerminator(cp: Int): Boolean =
+    cp == '\n' || cp == '\r' || cp == 0x0085 || cp == 0x2028 || cp == 0x2029
+
+  def entropy(s: String): Double = {
+    // collect code points minus line terminators, preserving order
+    val cps = new java.util.ArrayList[Integer](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!isLineTerminator(cp)) cps.add(cp)
+      i += Character.charCount(cp)
+    }
+    val n = cps.size
+    if (n == 0) return 0.0
+    // first-occurrence-order distinct scan; candidates are <= 64 chars in
+    // the secret gate so the k*n count is a few thousand comparisons — the
+    // same bound the fold version documented
+    val seen = new java.util.LinkedHashMap[Integer, Integer]()
+    var j = 0
+    while (j < n) {
+      val cp = cps.get(j)
+      val c = seen.get(cp)
+      seen.put(cp, if (c == null) 1 else c + 1)
+      j += 1
+    }
+    var acc = 0.0
+    val it = seen.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().doubleValue() / n.toDouble
+      acc -= p * (java.lang.StrictMath.log(p) / LN2)
+    }
+    acc
+  }
+
+  def apply(s: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
+}

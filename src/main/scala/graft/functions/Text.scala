@@ -183,25 +183,15 @@ object Text {
 
   /** Luhn checksum over the digits of a candidate (separators ignored):
     * every second digit from the right doubles with a 9-wrap, and the
-    * total must be divisible by 10. Pure array math over the extracted
-    * digit list — identical structure in the DuckDB oracle replay.
+    * total must be divisible by 10. A codegen'd expression (one Java loop
+    * per candidate — [[graft.expressions.LuhnValid]]); it replaced an
+    * equivalent `aggregate`/`transform` fold whose interpreted HOF lambdas
+    * cost ~1us per digit position. The DuckDB oracle still replays the
+    * fold arithmetic in SQL — only the boolean must agree, pinned by the
+    * q243/q249 decoy batteries.
     */
   def luhnOk(cand: Column): Column =
-    // the digit list BINDS via letArr: Catalyst evaluates duplicated
-    // subtrees per reference (no CSE inside HOF lambdas), so an unbound
-    // `ds` would re-run the digit extraction regex for every digit
-    // position — ~2 regex scans per digit per candidate
-    letArr(regexp_extract_all(cand, lit("[0-9]"), lit(0)), ds => {
-      val n = size(ds)
-      val s = aggregate(
-        transform(sequence(lit(1), n), i => {
-          val v = element_at(ds, n - i + 1).cast("int")
-          when(i % 2 === 0,
-            when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
-        }),
-        lit(0), (acc, x) => acc + x)
-      s % 10 === 0
-    })
+    graft.expressions.LuhnValid(cand)
 
   // One PAN pass: extract boundary-delimited candidates, keep only the
   // Luhn-valid ones, fold each through a boundary-anchored replace (the
@@ -263,38 +253,24 @@ object Text {
 
   // Registry length slice (SWIFT IBAN registry, the high-volume
   // corridors) — bounded by construction like the PSL slice in Urls.
-  // An unknown country code fails the length gate outright.
-  private[graft] val ibanLengths: Seq[(String, Int)] = Seq(
-    "AT" -> 20, "BE" -> 16, "CH" -> 21, "DE" -> 22, "DK" -> 18,
-    "ES" -> 24, "FI" -> 18, "FR" -> 27, "GB" -> 22, "IE" -> 22,
-    "IT" -> 27, "LU" -> 20, "NL" -> 18, "NO" -> 15, "PL" -> 28,
-    "PT" -> 25, "SE" -> 24)
+  // An unknown country code fails the length gate outright. Authoritative
+  // copy lives beside the codegen validator; the q249 oracle builds its
+  // CASE arm from this same Seq.
+  private[graft] val ibanLengths: Seq[(String, Int)] =
+    graft.expressions.IbanValid.lengths
 
   /** ISO 7064 mod-97-10 + registry-length validation of one candidate
     * (spaces ignored): rotate the first four chars to the end, expand
     * letters to two digits (A=10..Z=35), and fold the digit string as
     * (acc*10 + d) % 97 — valid iff the remainder is 1 and the compact
-    * length matches the country's registry entry. The compact string
-    * BINDS via letArr (referenced by the length gate, the rotation, and
-    * transitively the fold — unbound it would re-run the space-strip
-    * regex per reference, the luhnOk lesson).
+    * length matches the country's registry entry. A codegen'd expression
+    * ([[graft.expressions.IbanValid]], one Java loop per candidate); it
+    * replaced an equivalent per-character `transform` + digit fold whose
+    * interpreted lambdas dominated the q249 chain. The DuckDB oracle
+    * replays the fold in SQL — decision parity pinned by the q249 decoys.
     */
   def ibanOk(cand: Column): Column =
-    letArr(regexp_replace(cand, lit(" "), lit("")), s => {
-      val country = substring(s, 1, 2)
-      val lenOk = ibanLengths.foldLeft(lit(false)) { case (acc, (cc, l)) =>
-        when(country === cc, length(s) === l).otherwise(acc)
-      }
-      val rot = concat(substring(s, 5, 34), substring(s, 1, 4))
-      val mapped = array_join(transform(
-        regexp_extract_all(rot, lit("."), lit(0)),
-        ch => when(ch.rlike("[A-Z]"), (ascii(ch) - 55).cast("string"))
-          .otherwise(ch)), "")
-      val rem = aggregate(
-        regexp_extract_all(mapped, lit("[0-9]"), lit(0)),
-        lit(0), (acc, d) => (acc * 10 + d.cast("int")) % 97)
-      lenOk && rem === 1
-    })
+    graft.expressions.IbanValid(cand)
 
   // One IBAN pass, structurally ccPass: extract boundary-delimited
   // candidates, keep mod-97+length-valid ones, fold each through a
@@ -348,20 +324,15 @@ object Text {
   private[graft] val hexRunRe =
     "(^|[^0-9A-Za-z])([0-9a-f]{32,64})([^0-9A-Za-z]|$)"
 
-  /** Shannon entropy (bits/char) of a string column: character
-    * histogram via distinct-chars x filter-count (candidates are <= 64
-    * chars, so the k^2 scan is a few thousand comparisons), then
-    * -sum p*log2 p. The char list BINDS via letArr (referenced once per
-    * distinct char by the count filter — unbound, the extraction regex
-    * would re-run per distinct char, the luhnOk lesson).
+  /** Shannon entropy (bits/char) of a string column: code-point histogram
+    * then -sum p*log2 p in first-occurrence order, line terminators
+    * excluded (the `.`-regex source of the fold it replaced — see
+    * [[graft.expressions.CharEntropy]] for the ulp-exact parity notes).
+    * Codegen'd single-loop expression; the interpreted distinct×count
+    * fold cost k×n lambda calls per candidate.
     */
   def shannonEntropy(s: Column): Column =
-    letArr(regexp_extract_all(s, lit("."), lit(0)), cs =>
-      aggregate(array_distinct(cs), lit(0.0d), (acc, c) => {
-        val p = size(filter(cs, x => x === c)).cast("double") /
-          size(cs).cast("double")
-        acc - p * log2(p)
-      }))
+    graft.expressions.CharEntropy(s)
 
   // Entropy-gated hex pass, structurally ccPass: extract candidates,
   // keep the near-uniform ones (>= 3.5 bits/char; random hex measures

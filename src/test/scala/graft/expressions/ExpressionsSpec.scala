@@ -287,4 +287,62 @@ class ExpressionsSpec extends AnyFunSuite {
       s"SELECT deflate_ratio('${boiler.take(100)}')").head().getDouble(0)
     assert(viaSql > 0 && viaSql < 1)
   }
+
+  test("LuhnValid: valid PANs pass, checksum bumps fail, separators ignored") {
+    val cases = Seq(
+      "4111111111111111" -> true,   // visa test PAN
+      "4111111111111112" -> false,  // checksum bump
+      "5500-0000-0000-0004" -> true,  // dashes ignored
+      "3782 822463 10005" -> true,    // amex grouping, spaces ignored
+      "1234-5678-9012-3456" -> false,
+      "" -> true,                     // zero digits: vacuous (fold seed 0)
+      "no digits here" -> true)
+    val df = cases.map(_._1).toDF("c")
+      .select(col("c"), LuhnValid(col("c")).as("ok"))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (c, want) => assert(got(c) == want, c) }
+  }
+
+  test("IbanValid: mod-97+registry gates — decoy battery survives") {
+    val cases = Seq(
+      "DE89370400440532013000" -> true,          // compact
+      "GB82 WEST 1234 5698 7654 32" -> true,     // grouped print form
+      "NL91 ABNA 0417 1643 00" -> true,
+      "FR14 2004 1010 0505 0001 3M02 606" -> true,
+      "DE89370400440532013001" -> false,         // checksum bump
+      "ZZ82 WEST 1234 5698 7654 32" -> false,    // unknown country
+      "DE893704004405320130" -> false,           // wrong registry length
+      "de89370400440532013000" -> false,         // lowercase: not a candidate
+      "" -> false,
+      "DE" -> false)
+    val df = cases.map(_._1).toDF("c")
+      .select(col("c"), IbanValid(col("c")).as("ok"))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (c, want) => assert(got(c) == want, c) }
+  }
+
+  test("CharEntropy: uniform hex > 3.5 gate, padding/legible below, edge cases") {
+    val rng = new scala.util.Random(11)
+    val hexChars = "0123456789abcdef"
+    val randomHex = Array.fill(64)(hexChars(rng.nextInt(16))).mkString
+    val df = Seq(
+      ("rand", randomHex),
+      ("pad", "a" * 32),
+      ("legible", "deadbeefdeadbeefdeadbeefdeadbeef"),
+      ("empty", ""),
+      ("nl", "ab\nab"),   // line terminators excluded, matching the
+      ("nonl", "abab"))   // `.`-regex source of the fold this replaced
+      .toDF("k", "c").select(col("k"), CharEntropy(col("c")).as("e"))
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rand") >= 3.5, s"random hex ${got("rand")}")
+    assert(got("pad") == 0.0)
+    assert(got("legible") < 3.5, s"legible ${got("legible")}")
+    assert(got("empty") == 0.0)
+    assert(got("nl") == got("nonl"))
+    // SQL registration (the other two register alongside)
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT luhn_valid('4111111111111111')").head().getBoolean(0))
+    assert(spark.sql("SELECT iban_valid('DE89370400440532013000')").head().getBoolean(0))
+    assert(spark.sql(s"SELECT char_entropy('$randomHex')").head().getDouble(0) >= 3.5)
+  }
 }
