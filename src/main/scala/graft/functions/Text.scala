@@ -210,9 +210,12 @@ object Text {
       aggregate(
         filter(regexp_extract_all(cc, lit(panCandRe), lit(2)), luhnOk(_)),
         cc,
-        (acc, cand) => regexp_replace(acc,
-          concat(lit("(^|[^0-9A-Za-z-])"), cand, lit("([^0-9-]|$)")),
-          lit("$1<CC>$2"))))
+        // literal-candidate boundary replace WITHOUT the regex engine:
+        // the concat-built pattern forced Pattern.compile per candidate
+        // per row (~60-100us each, more than the whole scan) — see
+        // BoundaryReplace for the replaceAll-parity argument
+        (acc, cand) => graft.expressions.BoundaryReplace(
+          acc, cand, "<CC>", "0-9A-Za-z-", "0-9-")))
 
   /** [[redactPiiExtended]] plus Luhn-validated PAN and rule-validated SSN
     * redaction — the decoy-proof financial tier: checksum-failing digit
@@ -282,9 +285,8 @@ object Text {
       aggregate(
         filter(regexp_extract_all(tx, lit(ibanCandRe), lit(2)), ibanOk(_)),
         tx,
-        (acc, cand) => regexp_replace(acc,
-          concat(lit("(^|[^0-9A-Za-z])"), cand, lit("([^0-9A-Za-z]|$)")),
-          lit("$1<IBAN>$2"))))
+        (acc, cand) => graft.expressions.BoundaryReplace(
+          acc, cand, "<IBAN>", "0-9A-Za-z", "0-9A-Za-z")))
 
   /** [[redactPiiFinancial]] widened with mod-97-validated IBANs — the
     * full banking tier. IBAN passes run BEFORE the PAN passes: the tail
@@ -346,9 +348,8 @@ object Text {
         filter(regexp_extract_all(tx, lit(hexRunRe), lit(2)),
           h => shannonEntropy(h) >= 3.5),
         tx,
-        (acc, cand) => regexp_replace(acc,
-          concat(lit("(^|[^0-9A-Za-z])"), cand, lit("([^0-9A-Za-z]|$)")),
-          lit("$1<SECRET>$2"))))
+        (acc, cand) => graft.expressions.BoundaryReplace(
+          acc, cand, "<SECRET>", "0-9A-Za-z", "0-9A-Za-z")))
 
   /** Credential scrubbing: AWS key ids and GitHub PATs by published
     * shape, generic 32-64-char hex by Shannon-entropy gate. Each family

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Parallelism probe for the regex-heavy map chains — the tool that
+  * isolated the host's multi-threaded `java.util.regex` collapse
+  * (COVERAGE.md "host-crippled" section, round 11). Run with a thread
+  * count (`runMain graft.tools.Probe 1` vs `... 32`) and compare:
+  * per-stage cells, a raw-RDD regex control, and a per-task span dump
+  * proving tasks run concurrently yet each is ~45x slower than the
+  * single-thread baseline. Kept as a diagnostic — re-run it whenever a
+  * pure map chain reads suspiciously serial in Bench/ScaleStress before
+  * blaming the operator.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val threads = args.headOption.getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.Text
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val spiked = docs.select(col("doc_id"), concat(col("text"),
+      lit(" Wire DE89370400440532013000 or GB82 WEST 1234 5698 7654 32;" +
+        " decoy DE89370400440532013001. Card 4111111111111111, SSN 219-09-1234."))
+      .as("text")).repartition(32).persist()
+    spiked.count()
+    def cell(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] threads=$threads $name secs=${secs.min}%.2f")
+    }
+    println("[probe] partitions=" + spiked.queryExecution.toRdd.getNumPartitions)
+    locally {
+      val pat = Text.ssnRe
+      val texts = spiked.select("text").collect().map(_.getString(0))
+      val rdd = spark.sparkContext.parallelize(texts.toSeq, 32)
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rdd.map(t => java.util.regex.Pattern.compile(pat).matcher(t)
+          .replaceAll("$1<SSN>$3").length).reduce(_ + _)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] threads=$threads raw_rdd_regex secs=${secs.min}%.2f")
+    }
+    locally {
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("spans")
+      val rdd = spiked.select(Text.redactPiiBanking(col("text")).as("r"))
+        .filter(col("r").contains("<IBAN>")).queryExecution.toRdd
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        val t0 = System.currentTimeMillis
+        val n = it.size
+        acc.add((i, t0, System.currentTimeMillis))
+        Iterator.single(n)
+      }.count()
+      val spans = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq.sortBy(_._2)
+      val base = spans.map(_._2).min
+      println("[probe] spans " + spans.map(s =>
+        f"p${s._1}:${s._2 - base}-${s._3 - base}").mkString(" "))
+    }
+    cell("full_banking")(spiked.select(Text.redactPiiBanking(col("text")).as("r"))
+      .filter(col("r").contains("<IBAN>")))
+    cell("one_regex_replace")(spiked.select(
+      regexp_replace(col("text"), Text.ssnRe, "$1<SSN>$3").as("r"))
+      .filter(length(col("r")) > 0))
+    cell("five_regex_replace")(spiked.select(
+      Text.redactPiiExtended(col("text")).as("r")).filter(length(col("r")) > 0))
+    cell("extract_only")(spiked.select(
+      regexp_extract_all(col("text"), lit(Text.ibanCandRe), lit(2)).as("r"))
+      .filter(size(col("r")) >= 0))
+    cell("extract_filter_luhn")(spiked.select(
+      org.apache.spark.sql.functions.filter(
+        regexp_extract_all(col("text"), lit(Text.panCandRe), lit(2)),
+        c => graft.expressions.LuhnValid(c)).as("r"))
+      .filter(size(col("r")) >= 0))
+    cell("fold_boundary_replace")(spiked.select(
+      aggregate(
+        regexp_extract_all(col("text"), lit(Text.ibanCandRe), lit(2)),
+        col("text"),
+        (acc, cand) => graft.expressions.BoundaryReplace(
+          acc, cand, "<IBAN>", "0-9A-Za-z", "0-9A-Za-z")).as("r"))
+      .filter(length(col("r")) > 0))
+    spark.stop()
+  }
+}

@@ -251,7 +251,10 @@ object ScaleStress {
           col("text"),
           lit("</p><footer><a href=\"/p\">Privacy policy page</a>" +
             "</footer></body></html>"))).as("m"))
-          .filter(col("m.n_kept") > 0).count())
+          // force the assembled content too — a filter on n_kept alone
+          // lets Catalyst prune the array_join branch of the struct
+          .filter(col("m.n_kept") > 0 && length(col("m.content")) > 0)
+          .count())
       // tercile cut: the KN scoring joins + the cumcount range exchange —
       // the per-partition aggregate frame stays 32 rows at every factor
       cell("q250_ccnet_buckets", f, nd)(

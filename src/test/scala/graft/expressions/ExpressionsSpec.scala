@@ -321,6 +321,44 @@ class ExpressionsSpec extends AnyFunSuite {
     cases.foreach { case (c, want) => assert(got(c) == want, c) }
   }
 
+  test("BoundaryReplace: two-pass output equals the regex two-pass chain") {
+    val cand = "4111111111111111"
+    // adversarial shapes: chains sharing boundary chars (the consumed-$2
+    // deferral case where single-pass membership differs but the TWO-pass
+    // result must not), string edges, blocked boundaries, no match,
+    // candidate-substring-of-longer-run
+    val texts = Seq(
+      s"$cand",                      // whole string
+      s"$cand,$cand",                // 2-chain
+      s"$cand,$cand,$cand",          // 3-chain (regex defers the middle)
+      s"$cand $cand $cand $cand",    // 4-chain
+      s"pay $cand now",
+      s"x$cand",                     // left boundary blocked (alnum)
+      s"$cand-",                     // right boundary blocked (dash)
+      s"-$cand",                     // left blocked (dash in PAN class)
+      s"a 9$cand 9",                 // embedded in longer digit run
+      "no candidates here",
+      s"$cand.$cand.$cand.$cand.$cand") // 5-chain via dots
+    val regexPass: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c => regexp_replace(c,
+      concat(lit("(^|[^0-9A-Za-z-])"), lit(cand), lit("([^0-9-]|$)")),
+      lit("$1<CC>$2"))
+    val fastPass: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      BoundaryReplace(c, lit(cand), "<CC>", "0-9A-Za-z-", "0-9-")
+    val df = texts.toDF("t").select(
+      col("t"),
+      regexPass(regexPass(col("t"))).as("regex2"),
+      fastPass(fastPass(col("t"))).as("fast2"))
+    val bad = df.filter(col("regex2") =!= col("fast2"))
+      .collect().map(_.toString)
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // null propagates, empty candidate is identity
+    val edge = Seq((null.asInstanceOf[String], "x")).toDF("t", "c")
+      .select(BoundaryReplace(col("t"), col("c"), "<M>", "0-9", "0-9").as("r"),
+        BoundaryReplace(lit("abc"), lit(""), "<M>", "0-9", "0-9").as("id"))
+      .first()
+    assert(edge.isNullAt(0) && edge.getString(1) == "abc")
+  }
+
   test("CharEntropy: uniform hex > 3.5 gate, padding/legible below, edge cases") {
     val rng = new scala.util.Random(11)
     val hexChars = "0123456789abcdef"
