@@ -442,4 +442,96 @@ class ExamplesSpec extends AnyFunSuite {
     assert(perBin.nonEmpty && perBin.forall(_.getLong(1) >= 10),
       "each value bin keeps its 10 cheapest orders (ties may add rows)")
   }
+
+  test("examples/crawl_pipeline.yaml: WARC -> content -> redaction -> dedup -> terciles -> token shards") {
+    import spark.implicits._
+    import graft.sources.Warc
+
+    // ---- build a crawl drop: HTML pages (chrome + fixture body) with
+    // spiked mojibake, banking PII and a leaked digest, across three
+    // registered domains; every 50th page shares one body (exact dups);
+    // each file also carries a request record the pipeline must drop ----
+    val crawlDir = freshDir("ex_crawl_in")
+    val out = freshDir("ex_crawl_out")
+    val sharedBody = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    val spikes = " Wire DE89 3704 0044 0532 0130 00 and card" +
+      " 4111111111111111 now. Order caf\u00C3\u00A9 menu key" +
+      " 9f86d081884c7d659a2feaa0c55ad015a3bf4f1b2b0b822cd15d6c15b0f00a08 end."
+    def host(id: Long): String = (id % 3) match {
+      case 0 => "https://news.example.co.uk"
+      case 1 => "https://blog.example.com"
+      case _ => "https://docs.sample.org"
+    }
+    def page(body: String): String =
+      "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About this" +
+        " site</a> <a href=\"/c\">Contact page now</a></nav><p>" +
+        body + spikes +
+        "</p><footer><a href=\"/p\">Privacy policy page</a></footer></body></html>"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val files = docs.groupBy(_._1 % 6).toSeq
+    files.foreach { case (b, rows) =>
+      val recs = rows.sortBy(_._1).flatMap { case (id, text) =>
+        val body = if (id % 50 == 1) sharedBody else text
+        val uri = s"${host(id)}/doc/$id?utm_source=feed&q=x"
+        Warc.writeRecord("request", uri, "2026-02-01T00:00:00Z",
+          "application/http; msgtype=request", Array[Byte]()).toSeq ++
+          Warc.writeRecord("response", uri, "2026-02-01T00:00:00Z",
+            "text/html", page(body).getBytes("UTF-8")).toSeq
+      }.toArray
+      val gz = b % 2 == 0
+      val f = new java.io.File(crawlDir,
+        if (gz) s"crawl$b.warc.gz" else s"crawl$b.warc")
+      val os0 = new java.io.FileOutputStream(f)
+      val os = if (gz) new java.util.zip.GZIPOutputStream(os0) else os0
+      os.write(recs); os.close()
+    }
+
+    new Pipeline(spark, "examples/crawl_pipeline.yaml",
+      Map("crawl_dir" -> crawlDir, "out_dir" -> out)).run()
+
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+    val n = shards.count()
+    assert(n > 0 && n < docs.length,
+      s"gates/dedup/terciles must keep some and drop some (kept $n of ${docs.length})")
+    assert(Seq("doc_id", "text", "token_ids", "shard", "domain", "canon_url")
+      .forall(shards.columns.contains), s"got ${shards.columns.mkString(",")}")
+
+    // chrome stripped, redaction applied, mojibake repaired — on EVERY row
+    assert(shards.filter(col("text").contains("Privacy policy")).count() == 0)
+    assert(shards.filter(col("text").contains("4111111111111111")).count() == 0)
+    assert(shards.filter(col("text").contains("DE89")).count() == 0)
+    assert(shards.filter(col("text")
+      .contains("9f86d081884c7d659a2feaa0c55ad015")).count() == 0)
+    assert(shards.filter(!col("text").contains("<CC>")).count() == 0)
+    assert(shards.filter(!col("text").contains("<IBAN>")).count() == 0)
+    assert(shards.filter(!col("text").contains("<SECRET>")).count() == 0)
+    assert(shards.filter(col("text").contains("\u00C3\u00A9")).count() == 0,
+      "mojibake must be repaired")
+    assert(shards.filter(!col("text").contains("caf\u00E9")).count() == 0,
+      "repaired café must survive the whole chain")
+
+    // exact dedup ran: one representative per fingerprint, and the
+    // shared-body pages collapsed to at most one survivor
+    assert(shards.select("fingerprint").distinct().count() == n)
+    assert(shards.filter(col("doc_id") % 50 === 1).count() <= 1)
+
+    // byte-fallback ids are total (never -1) and nonempty
+    assert(shards.filter(array_min(col("token_ids")) < 0).count() == 0)
+    assert(shards.filter(size(col("token_ids")) === 0).count() == 0)
+
+    // deterministic shards in range; tracking params canonicalized away
+    assert(shards.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+    assert(shards.filter(col("canon_url").contains("utm_source")).count() == 0)
+
+    // audit artifacts: per-domain rollup over the PSL-aware registered
+    // domains, and one HLL sketch row per kept language
+    val rollup = spark.read.parquet(s"$out/domain_rollup.parquet")
+    val domains = rollup.select("domain").collect().map(_.getString(0)).toSet
+    assert(domains.nonEmpty && domains.subsetOf(
+      Set("example.co.uk", "example.com", "sample.org")), s"domains=$domains")
+    val sketch = spark.read.parquet(s"$out/domain_sketch.parquet")
+    assert(sketch.count() > 0 && sketch.count() <= 4)
+  }
 }
