@@ -424,4 +424,93 @@ object Sampling {
       .select((strata.map(col) :+
         explode(col("__graft_top.id")).as(idCol)): _*)
   }
+
+  /** One exponentiated-gradient step of DoReMi-style domain reweighting
+    * (Xie et al. 2023, "Doremi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining"): domains whose documents the GLOBAL language model
+    * fits worse than their own IN-DOMAIN model carry information the
+    * current mixture under-serves, so they get upweighted.
+    *
+    * The published method trains proxy/reference neural LMs; the engine
+    * analog keeps the exact update rule but scores with the corpus-fitted
+    * Jelinek-Mercer bigram LM this library already ships (q242 lineage):
+    *
+    *  1. P_scope(w2|w1) = lam·c(w1w2)/c(w1·) + (1−lam)·c(·w2)/T, fitted
+    *     twice — once on the whole corpus (the proxy / current mixture),
+    *     once per domain (the reference: how well a specialist does).
+    *     Every doc's bigrams occur in both scopes' count tables (its own
+    *     counts are included), so both legs are strictly positive.
+    *  2. per-doc losses L = −avg ln P under each scope; per-doc excess =
+    *     max(0, L_global − L_domain), per-domain excess = its average
+    *     (rounded 6dp — the cross-engine stability point, q250 pattern).
+    *  3. w_i ∝ baseline_i · exp(eta · excess_i) over the token-share
+    *     baseline, normalized, then smoothed toward uniform:
+    *     w = (1−smooth)·w + smooth/k (DoReMi's uniform-mixing guard, so no
+    *     domain ever starves).
+    *
+    * Scale shape: two count aggregates (vocab-bounded), equality joins back
+    * to the bigram stream, one per-doc aggregate, and a per-DOMAIN frame of
+    * k rows whose normalization runs through one broadcast sum — nothing
+    * quadratic, nothing driver-side. Emits one row per domain:
+    * (domain, n_docs, baseline, excess, weight), weights summing to 1
+    * within rounding.
+    */
+  def doremiWeights(df: DataFrame, idCol: String, textCol: String,
+                    domainCol: String, lam: Double = 0.8,
+                    eta: Double = 1.0, smooth: Double = 0.1): DataFrame = {
+    require(lam > 0 && lam < 1, s"lam must be in (0,1), got $lam")
+    require(smooth >= 0 && smooth < 1, s"smooth must be in [0,1), got $smooth")
+    val bg = df.select(col(idCol).as("id"), col(domainCol).as("dom"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .drop("bg")
+
+    // global scope: bigram, history and second-position unigram counts
+    val cbgG = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg_g"))
+    val histG = cbgG.groupBy("w1").agg(sum("cbg_g").as("cw1_g"))
+    val uniG = cbgG.groupBy("w2").agg(sum("cbg_g").as("cu2_g"))
+    val totG = cbgG.agg(sum("cbg_g").as("tt_g"))
+
+    // domain scope: the same three tables keyed by domain
+    val cbgD = bg.groupBy("dom", "w1", "w2").agg(count(lit(1)).as("cbg_d"))
+    val histD = cbgD.groupBy("dom", "w1").agg(sum("cbg_d").as("cw1_d"))
+    val uniD = cbgD.groupBy("dom", "w2").agg(sum("cbg_d").as("cu2_d"))
+    val totD = cbgD.groupBy("dom").agg(sum("cbg_d").as("tt_d"))
+
+    def jm(cbg: Column, cw1: Column, cu2: Column, tt: Column): Column =
+      org.apache.spark.sql.functions.log(
+        lit(lam) * cbg / cw1 + lit(1 - lam) * cu2 / tt)
+
+    val perDoc = bg
+      .join(cbgG, Seq("w1", "w2")).join(histG, Seq("w1")).join(uniG, Seq("w2"))
+      .crossJoin(broadcast(totG))
+      .join(cbgD, Seq("dom", "w1", "w2"))
+      .join(histD, Seq("dom", "w1")).join(uniD, Seq("dom", "w2"))
+      .join(totD, Seq("dom"))
+      .withColumn("lp_g", jm(col("cbg_g"), col("cw1_g"), col("cu2_g"), col("tt_g")))
+      .withColumn("lp_d", jm(col("cbg_d"), col("cw1_d"), col("cu2_d"), col("tt_d")))
+      .groupBy("id", "dom")
+      .agg(greatest(lit(0.0), avg(-col("lp_g")) - avg(-col("lp_d")))
+        .as("excess_doc"))
+
+    val perDom = perDoc.groupBy("dom")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("excess_doc")), 6).as("excess"))
+      .join(totD, Seq("dom"))
+      .crossJoin(broadcast(totG))
+      .withColumn("baseline", col("tt_d").cast("double") / col("tt_g"))
+      .withColumn("w_raw", col("baseline") * exp(lit(eta) * col("excess")))
+    perDom
+      .crossJoin(broadcast(perDom.agg(sum("w_raw").as("__w_sum"),
+        count(lit(1)).as("__k"))))
+      .select(col("dom").as(domainCol), col("n_docs"),
+        round(col("baseline"), 6).as("baseline"), col("excess"),
+        // the raw exponentiated-gradient posterior (what DoReMi reports
+        // per step): eg_weight/baseline is strictly monotone in excess
+        round(col("w_raw") / col("__w_sum"), 6).as("eg_weight"),
+        round(lit(1 - smooth) * col("w_raw") / col("__w_sum") +
+          lit(smooth) / col("__k"), 6).as("weight"))
+  }
 }

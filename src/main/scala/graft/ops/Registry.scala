@@ -1446,6 +1446,19 @@ final class Registry(spark: SparkSession) {
         alphaAnneal = a.get("alpha_anneal", -1)
           .map(_.toString.toDouble).getOrElse(0.5))
     },
+    "graft.doremi_weights" -> { a =>
+      // one DoReMi exponentiated-gradient step: per-domain excess loss
+      // (global vs in-domain JM-bigram LM) over a token-share baseline,
+      // smoothed toward uniform — the data-mixture reweighting idiom
+      graft.operators.Sampling.doremiWeights(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("domain", -1).getOrElse("source"), "domain"),
+        lam = a.get("lam", -1).map(_.toString.toDouble).getOrElse(0.8),
+        eta = a.get("eta", -1).map(_.toString.toDouble).getOrElse(1.0),
+        smooth = a.get("smooth", -1).map(_.toString.toDouble).getOrElse(0.1))
+    },
     "graft.extract_content" -> { a =>
       // main-content extraction (readability/trafilatura step): block
       // split + length/link-density gates; replaces the html column

@@ -689,7 +689,71 @@ object Round11 {
             col("n_lists"), col("fused_rank"))
           .orderBy(col("fused_rank"))
       },
-      Some(q257Oracle))
+      Some(q257Oracle)),
+
+    // DoReMi one-step domain reweighting (q258): per-source excess loss
+    // (global JM-bigram LM vs the source's own in-domain LM) drives an
+    // exponentiated-gradient weight update over the token-share baseline,
+    // smoothed toward uniform. The spike appends source-specific jargon
+    // bigrams with per-source multiplicity (idx % 4 + 1 repeats), so
+    // in-domain models fit their own jargon better than the global model
+    // by a KNOWN, source-varying margin — the oracle rebuilds both models
+    // and both update steps from scratch.
+    Q("q258_doremi_weights",
+      (s, d) => {
+        val spiked = concat(col("text"), expr(
+          "repeat(concat(' tag_', source, ' mark_', source)," +
+            " CAST(substr(source, 4) AS INT) % 4 + 1)"))
+        graft.operators.Sampling.doremiWeights(
+            t(s, d, "documents")
+              .select(col("doc_id"), col("source"), spiked.as("text")),
+            "doc_id", "text", "source")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH spiked AS (
+          SELECT doc_id, source AS dom,
+            lower(text || repeat(' tag_' || source || ' mark_' || source,
+                                 CAST(substr(source, 4) AS INT) % 4 + 1)) AS t
+          FROM documents),
+        toks AS (SELECT doc_id, dom, regexp_extract_all(t, '\S+') AS w FROM spiked),
+        bgl AS (SELECT doc_id, dom, w[i] AS w1, w[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+                WHERE len(w) >= 2),
+        cbg_g AS (SELECT w1, w2, COUNT(*) AS cbg_g FROM bgl GROUP BY 1, 2),
+        hist_g AS (SELECT w1, SUM(cbg_g) AS cw1_g FROM cbg_g GROUP BY 1),
+        uni_g AS (SELECT w2, SUM(cbg_g) AS cu2_g FROM cbg_g GROUP BY 1),
+        tot_g AS (SELECT SUM(cbg_g) AS tt_g FROM cbg_g),
+        cbg_d AS (SELECT dom, w1, w2, COUNT(*) AS cbg_d FROM bgl GROUP BY 1, 2, 3),
+        hist_d AS (SELECT dom, w1, SUM(cbg_d) AS cw1_d FROM cbg_d GROUP BY 1, 2),
+        uni_d AS (SELECT dom, w2, SUM(cbg_d) AS cu2_d FROM cbg_d GROUP BY 1, 2),
+        tot_d AS (SELECT dom, SUM(cbg_d) AS tt_d FROM cbg_d GROUP BY 1),
+        sc AS (
+          SELECT bgl.doc_id, bgl.dom,
+            ln(0.8 * cbg_g.cbg_g / hist_g.cw1_g + 0.2 * uni_g.cu2_g / tot_g.tt_g) AS lp_g,
+            ln(0.8 * cbg_d.cbg_d / hist_d.cw1_d + 0.2 * uni_d.cu2_d / tot_d.tt_d) AS lp_d
+          FROM bgl
+          JOIN cbg_g USING (w1, w2) JOIN hist_g USING (w1) JOIN uni_g USING (w2)
+          JOIN cbg_d ON cbg_d.dom = bgl.dom AND cbg_d.w1 = bgl.w1 AND cbg_d.w2 = bgl.w2
+          JOIN hist_d ON hist_d.dom = bgl.dom AND hist_d.w1 = bgl.w1
+          JOIN uni_d ON uni_d.dom = bgl.dom AND uni_d.w2 = bgl.w2
+          JOIN tot_d ON tot_d.dom = bgl.dom
+          CROSS JOIN tot_g),
+        perdoc AS (SELECT doc_id, dom,
+                     greatest(0, avg(-lp_g) - avg(-lp_d)) AS excess_doc
+                   FROM sc GROUP BY 1, 2),
+        perdom AS (SELECT dom, COUNT(*) AS n_docs,
+                     round(avg(excess_doc), 6) AS excess
+                   FROM perdoc GROUP BY 1),
+        wraw AS (SELECT perdom.dom, perdom.n_docs, perdom.excess,
+                   tot_d.tt_d * 1.0 / tot_g.tt_g AS baseline,
+                   (tot_d.tt_d * 1.0 / tot_g.tt_g) * exp(1.0 * excess) AS w_raw
+                 FROM perdom JOIN tot_d USING (dom) CROSS JOIN tot_g),
+        norm AS (SELECT SUM(w_raw) AS ws, COUNT(*) AS k FROM wraw)
+        SELECT dom AS source, n_docs, round(baseline, 6) AS baseline, excess,
+          round(w_raw / norm.ws, 6) AS eg_weight,
+          round(0.9 * w_raw / norm.ws + 0.1 / norm.k, 6) AS weight
+        FROM wraw CROSS JOIN norm ORDER BY source"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

@@ -2123,4 +2123,45 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(again === out.map(t => (t._1, t._2)).sortBy(_._1))
   }
+
+  test("doremiWeights: domains with divergent continuations gain weight share") {
+    // three domains over one shared base text plus a shared HISTORY word
+    // ("go") whose continuation differs per domain -- the case where the
+    // global model must hedge but each in-domain model is sharp. "plain"
+    // adds nothing, so its in-domain model matches the global one and its
+    // excess is ~0; the EG step must then grow heavy/light's weight-to-
+    // baseline ratio past plain's
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val rows = (0 until 12).map { i =>
+      val dom = i % 3 match {
+        case 0 => "heavy"; case 1 => "light"; case _ => "plain" }
+      val jargon = dom match {
+        case "heavy" => " go red go red go red"
+        case "light" => " go blue"
+        case _ => ""
+      }
+      (i.toLong, dom, base + jargon)
+    }
+    val out = Sampling.doremiWeights(
+        rows.toDF("doc_id", "dom", "text"), "doc_id", "text", "dom")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5),
+          r.getDouble(4))).toMap
+    assert(out.keySet == Set("heavy", "light", "plain"))
+    out.values.foreach { case (n, _, _, _, _) => assert(n == 4) }
+    val (_, bH, exH, wH, egH) = out("heavy")
+    val (_, bL, exL, wL, egL) = out("light")
+    val (_, bP, exP, wP, egP) = out("plain")
+    // divergent-continuation domains carry real excess; plain is ~flat
+    assert(exH > exP && exL > exP, s"excess $exH $exL $exP")
+    assert(exP >= 0.0 && exP < 0.01, s"plain excess should be ~0: $exP")
+    // weights sum to 1 within output rounding
+    assert(math.abs(wH + wL + wP - 1.0) < 5e-6, s"sum ${wH + wL + wP}")
+    // the EG posterior moves SHARE toward the under-served domains
+    // (eg_weight/baseline is exp(eta*excess)/Z -- monotone in excess)
+    assert(egH / bH > egP / bP, s"heavy ratio ${egH / bH} vs plain ${egP / bP}")
+    assert(egL / bL > egP / bP, s"light ratio ${egL / bL} vs plain ${egP / bP}")
+    // smoothing floor: no domain starves below smooth/k
+    Seq(wH, wL, wP).foreach(w => assert(w >= 0.1 / 3 - 1e-9))
+  }
 }
