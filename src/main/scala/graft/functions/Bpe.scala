@@ -475,4 +475,42 @@ object Bpe {
     }
     s"string_split(trim($chain), ' ')"
   }
+
+  /** Tokenizer FERTILITY audit per group (language, domain, source): the
+    * standard multilingual-fairness report for a shipped tokenizer —
+    * tokens per word (fertility) and bytes per token, under the byte-
+    * fallback vocabulary. Languages the merge table never saw decompose
+    * to raw byte ids (one token per byte), so their fertility rises and
+    * their bytes/token falls toward 1.0: exactly the signal tokenizer
+    * reports use to detect that a vocabulary taxes some languages with
+    * longer sequences (and therefore more compute) per byte of text.
+    *
+    * Both ratios divide integer sums, and IEEE division is correctly
+    * rounded — the oracle reproduces every double EXACTLY (no ulp drift
+    * to absorb, unlike the ln/exp chains). Byte counts exclude
+    * whitespace, matching the per-word tokenizer's scope.
+    *
+    * Scale shape: one map pass + one aggregate by group; the merge chain
+    * is plan-literal (codegen'd replace chain), nothing driver-side.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String,
+                         merges: Seq[(String, String)],
+                         vocab: Seq[String]): DataFrame = {
+    val ids = tokenIdsBytes(merges, vocab)(col(textCol))
+    df.select(col(groupCol).as("grp"),
+        size(ids).cast("long").as("n_tok"),
+        graft.functions.Text.tokenCountWs(col(textCol)).cast("long")
+          .as("n_words"),
+        octet_length(regexp_replace(col(textCol), "\\s+", ""))
+          .cast("long").as("n_bytes"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tok").as("n_tokens"), sum("n_bytes").as("n_bytes"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_words"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_bytes").cast("double") / col("n_tokens"), 6)
+          .as("bytes_per_token"))
+  }
 }

@@ -1446,6 +1446,16 @@ final class Registry(spark: SparkSession) {
         alphaAnneal = a.get("alpha_anneal", -1)
           .map(_.toString.toDouble).getOrElse(0.5))
     },
+    "graft.tokenizer_fertility" -> { a =>
+      // tokens/word + bytes/token per group under the byte-fallback
+      // vocabulary — the multilingual tokenizer-fairness report
+      val merges = collectMerges(asDf(a.require("merges", 1), "merges"))
+      graft.functions.Bpe.tokenizerFertility(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("group", -1).getOrElse("lang"), "group"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        merges, graft.functions.Bpe.vocabOfBytes(merges))
+    },
     "graft.doremi_weights" -> { a =>
       // one DoReMi exponentiated-gradient step: per-domain excess loss
       // (global vs in-domain JM-bigram LM) over a token-share baseline,

@@ -753,7 +753,34 @@ object Round11 {
         SELECT dom AS source, n_docs, round(baseline, 6) AS baseline, excess,
           round(w_raw / norm.ws, 6) AS eg_weight,
           round(0.9 * w_raw / norm.ws + 0.1 / norm.k, 6) AS weight
-        FROM wraw CROSS JOIN norm ORDER BY source"""))
+        FROM wraw CROSS JOIN norm ORDER BY source""")),
+
+    // Tokenizer fertility audit (q259): tokens/word and bytes/token per
+    // language under the frozen byte-fallback vocabulary — the
+    // multilingual-fairness report a shipped tokenizer owes its users.
+    // The spike appends language-appropriate multibyte words the ASCII
+    // merge table has never seen: they decompose to raw byte ids, so
+    // non-English fertility rises (zh most: 3 tokens per CJK char) and
+    // bytes/token falls toward 1 — a KNOWN, language-varying signal the
+    // oracle reproduces by replaying the merge chain per word. Both
+    // ratios are single IEEE divisions of integer sums: exact parity,
+    // round(6) only normalizes the printed width.
+    Q("q259_tokenizer_fertility",
+      (s, d) => {
+        val spike = when(col("lang") === "de",
+            lit(" gr\u00F6\u00DFe stra\u00DFe"))
+          .when(col("lang") === "es", lit(" ni\u00F1o ma\u00F1ana"))
+          .when(col("lang") === "fr", lit(" caf\u00E9 na\u00EFve"))
+          .when(col("lang") === "zh",
+            lit(" \u4F60\u597D \u8C22\u8C22"))
+          .otherwise(lit(""))
+        graft.functions.Bpe.tokenizerFertility(
+            t(s, d, "documents")
+              .select(col("lang"), concat(col("text"), spike).as("text")),
+            "lang", "text", ByteMerges, ByteVocab)
+          .orderBy(col("lang"))
+      },
+      Some(q259Oracle))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the
@@ -1080,5 +1107,34 @@ object Round11 {
           array_to_string(ids, ',') AS ids_csv,
           NOT list_contains(ids, -1) AS no_unk, TRUE AS relearn_ok
         FROM agg ORDER BY doc_id"""
+  }
+
+  private def q259Oracle: String = {
+    val chainToks = graft.functions.Bpe.duckdbWordTokensBytesSql(ByteMerges)
+    s"""
+        WITH spiked AS (
+          SELECT lang, text || CASE lang
+            WHEN 'de' THEN ' gr' || chr(246) || chr(223) || 'e stra'
+                            || chr(223) || 'e'
+            WHEN 'es' THEN ' ni' || chr(241) || 'o ma' || chr(241) || 'ana'
+            WHEN 'fr' THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+            WHEN 'zh' THEN ' ' || chr(20320) || chr(22909) || ' '
+                           || chr(35874) || chr(35874)
+            ELSE '' END AS t
+          FROM documents),
+        base AS (SELECT lang, regexp_extract_all(t, '\\S+') AS wl FROM spiked),
+        words AS (SELECT lang, wl[i] AS w
+                  FROM base, unnest(generate_series(1, len(wl))) AS u(i)),
+        tok AS (SELECT lang, len($chainToks) AS n_tok, strlen(w) AS nb
+                FROM words),
+        per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                  CAST(SUM(nb) AS BIGINT) AS n_bytes
+                FROM tok GROUP BY 1),
+        nd AS (SELECT lang, COUNT(*) AS n_docs FROM spiked GROUP BY 1)
+        SELECT lang, n_docs, n_words, n_tokens,
+          round(n_tokens * 1.0 / n_words, 6) AS fertility,
+          round(n_bytes * 1.0 / n_tokens, 6) AS bytes_per_token
+        FROM per JOIN nd USING (lang) ORDER BY lang"""
   }
 }

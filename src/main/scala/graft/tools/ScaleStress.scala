@@ -260,6 +260,15 @@ object ScaleStress {
       cell("q250_ccnet_buckets", f, nd)(
         graft.operators.Scoring.ccnetBuckets(d, "doc_id", "text")
           .filter(col("bucket") === "tail").count())
+      // DoReMi reweighting: count tables grow with the (replica-disjoint)
+      // vocab, the per-domain frame stays 20 rows — the join-back to the
+      // bigram stream is the linear part
+      cell("q258_doremi_weights", f, nd)(
+        graft.operators.Sampling.doremiWeights(
+          d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))),
+          "doc_id", "text", "source")
+          .filter(col("weight") > 0).count())
       // bench = the replica-0 slice OF THE SAME frame (suffixing is uniform
       // within a block, so the block-0 overlap structure is preserved at
       // every factor): flagged docs stay constant while the corpus grows —

@@ -272,4 +272,23 @@ class BpeSpec extends AnyFunSuite {
     val n = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
     assert(n === Map(1L -> 4, 2L -> 8, 3L -> 2))
   }
+
+  test("tokenizerFertility: byte-fallback taxes unseen scripts; ratios exact") {
+    // merges cover the ascii word "cat" fully; the CJK word is unseen and
+    // falls back to raw bytes (3 bytes/char -> 6 tokens for 2 chars)
+    val merges = Seq(("63", "61"), ("6361", "74")) // c+a, ca+t
+    val vocab = Bpe.vocabOfBytes(merges)
+    val out = Seq(
+        ("en", "cat cat"),
+        ("zh", "\u4F60\u597D"))
+      .toDF("lang", "text")
+    val got = Bpe.tokenizerFertility(out, "lang", "text", merges, vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // en: 2 words, each 1 merged token -> fertility 1.0, 3 bytes/token
+    assert(got("en") == ((1L, 2L, 2L, 1.0, 3.0)), got("en").toString)
+    // zh: 1 word of 2 CJK chars = 6 bytes -> 6 byte tokens, 1 byte/token
+    assert(got("zh") == ((1L, 1L, 6L, 6.0, 1.0)), got("zh").toString)
+  }
 }
