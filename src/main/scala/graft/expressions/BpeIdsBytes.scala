@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd byte-fallback BPE token ids — the hot encode path of the
+  * shipped tokenizer (`Bpe.tokenIdsBytes` / `tokenIdsBytesLossless`).
+  *
+  * The column-function form builds, PER WORD, a padded spaced-hex string
+  * and a chain of one `replace` per merge — ~40 interpreted expression
+  * nodes per word inside a HOF lambda (no codegen inside higher-order
+  * functions), which measured ~1.2 ms/row on the q244 chain. This
+  * expression does the same computation as two int-array passes:
+  *
+  *  - symbols are vocabulary IDS, not hex strings: the first 256 vocab
+  *    entries are the byte alphabet in order, so a raw byte's id is its
+  *    value, and each merge rule (a, b) compiles to an int triple
+  *    (idOf(a), idOf(b), idOf(a+b)) at construction time;
+  *  - each rule is one left-to-right pass with the CONSUMED-BOUNDARY
+  *    rule of the anchored replace chain it replaces: ` a b ` matches
+  *    share boundary spaces, so of two IMMEDIATELY adjacent occurrences
+  *    the second defers (see the anchoring note in functions/Bpe.scala —
+  *    that deferral is the shipped, oracle-replayed semantics, and a
+  *    classic greedy merge would diverge from it). The scan models it
+  *    with a blocked-boundary flag: after a merge, the pair starting at
+  *    the very next symbol cannot match this rule.
+  *
+  * Per-word mode splits on the exact Java-regex `\s+` class
+  * ([ \t\n\x0B\f\r], hand-inlined — no regex engine on this path) and
+  * drops empty words, mirroring `split(text, "\\s+")` + the length
+  * filter; lossless mode feeds the whole string through (whitespace
+  * bytes are symbols). Ids are total — every byte has an id and every
+  * merge output is in the vocabulary — so -1 is unreachable, same as
+  * the coalesce arm it replaces. Parity with the replace-chain mirror
+  * (`Bpe.encodeBytesRef`) is property-tested in BpeSpec; the q241/q244/
+  * q248 oracle hashes replay the SQL chain unchanged.
+  */
+case class BpeIdsBytes(child: Expression, merges: Seq[(String, String)],
+                       vocab: Seq[String], perWord: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_ids_bytes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+
+  @transient private lazy val table = BpeIdsBytes.compile(merges, vocab)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeIdsBytes.encode(input.asInstanceOf[UTF8String].toString, table, perWord)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("graftBpeTable", table, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.BpeIdsBytes.encode($c.toString(), $tRef, $perWord)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeIdsBytes =
+    copy(child = newChild)
+}
+
+object BpeIdsBytes {
+
+  /** Rules as flat int triples (ia, ib, iab), ids per the vocabulary.
+    * Operands are always in the vocabulary (a merge's inputs are byte
+    * symbols or earlier merge outputs); fail loudly at construction if a
+    * table violates that rather than emitting wrong ids.
+    */
+  private[expressions] def compile(merges: Seq[(String, String)],
+                                   vocab: Seq[String]): Array[Int] = {
+    val idOf = vocab.zipWithIndex.toMap
+    val out = new Array[Int](merges.length * 3)
+    var i = 0
+    merges.foreach { case (a, b) =>
+      out(i) = idOf.getOrElse(a,
+        throw new IllegalArgumentException(s"merge operand $a not in vocab"))
+      out(i + 1) = idOf.getOrElse(b,
+        throw new IllegalArgumentException(s"merge operand $b not in vocab"))
+      out(i + 2) = idOf.getOrElse(a + b,
+        throw new IllegalArgumentException(s"merge output ${a + b} not in vocab"))
+      i += 3
+    }
+    out
+  }
+
+  // the exact Java-regex \s class (NOT Unicode whitespace)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Apply every rule, one consumed-boundary pass each, in place over a
+    * prefix of `syms`; returns the new length.
+    */
+  private def applyRules(syms: Array[Int], n0: Int, rules: Array[Int]): Int = {
+    var n = n0
+    var r = 0
+    while (r < rules.length) {
+      val ia = rules(r); val ib = rules(r + 1); val iab = rules(r + 2)
+      var i = 0      // read cursor
+      var o = 0      // write cursor
+      var blocked = false // boundary before position i consumed by a merge
+      while (i < n) {
+        if (!blocked && i + 1 < n && syms(i) == ia && syms(i + 1) == ib) {
+          syms(o) = iab; o += 1; i += 2; blocked = true
+        } else {
+          syms(o) = syms(i); o += 1; i += 1; blocked = false
+        }
+      }
+      n = o
+      r += 3
+    }
+    n
+  }
+
+  def encode(text: String, rules: Array[Int], perWord: Boolean): UnsafeArrayData = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val buf = new Array[Int](bytes.length)
+    val acc = new scala.collection.mutable.ArrayBuilder.ofInt
+    if (perWord) {
+      // split on the \s+ class over CHARS, then take each word's UTF-8
+      // bytes — identical to split(text, "\\s+") + nonempty filter
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) {
+          val wb = text.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var j = 0
+          while (j < wb.length) { buf(j) = wb(j) & 0xff; j += 1 }
+          val n = applyRules(buf, wb.length, rules)
+          var k = 0
+          while (k < n) { acc += buf(k); k += 1 }
+        }
+      }
+    } else {
+      var j = 0
+      while (j < bytes.length) { buf(j) = bytes(j) & 0xff; j += 1 }
+      val n = applyRules(buf, bytes.length, rules)
+      var k = 0
+      while (k < n) { acc += buf(k); k += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc.result())
+  }
+
+  def apply(text: Column, merges: Seq[(String, String)], vocab: Seq[String],
+            perWord: Boolean): Column =
+    ColumnBridge.column(BpeIdsBytes(
+      ColumnBridge.expression(text), merges, vocab, perWord))
+}

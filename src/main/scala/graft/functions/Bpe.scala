@@ -376,13 +376,12 @@ object Bpe {
     * so the column type stays non-null without an exception path).
     */
   def tokenIdsBytes(merges: Seq[(String, String)],
-                    vocab: Seq[String])(text: Column): Column = {
-    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
-    flatten(transform(
-      filter(split(text, "\\s+"), w => length(w) > 0),
-      w => transform(wordTokensBytes(w, merges),
-        t => coalesce(element_at(idMap, t), lit(-1)))))
-  }
+                    vocab: Seq[String])(text: Column): Column =
+    // codegen'd int-array passes with the same consumed-boundary
+    // semantics as the replace chain (parity property-tested against
+    // [[encodeBytesRef]] in BpeSpec) — the HOF form interpreted ~40
+    // expression nodes per word
+    graft.expressions.BpeIdsBytes(text, merges, vocab, perWord = true)
 
   /** Driver-side mirror of the [[applyMergesBytes]] chain (java
     * String.replace is the same sequential non-overlapping replace-all as
@@ -435,11 +434,8 @@ object Bpe {
     * coalesce arm for a non-null column type.
     */
   def tokenIdsBytesLossless(merges: Seq[(String, String)],
-                            vocab: Seq[String])(text: Column): Column = {
-    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
-    transform(textTokensBytes(text, merges),
-      t => coalesce(element_at(idMap, t), lit(-1)))
-  }
+                            vocab: Seq[String])(text: Column): Column =
+    graft.expressions.BpeIdsBytes(text, merges, vocab, perWord = false)
 
   /** Decode lossless ids back to text: look each id up in the vocab,
     * concatenate the hex symbols, un-hex to bytes, UTF-8 decode.

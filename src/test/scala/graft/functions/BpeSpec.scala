@@ -291,4 +291,42 @@ class BpeSpec extends AnyFunSuite {
     // zh: 1 word of 2 CJK chars = 6 bytes -> 6 byte tokens, 1 byte/token
     assert(got("zh") == ((1L, 1L, 6L, 6.0, 1.0)), got("zh").toString)
   }
+
+  test("BpeIdsBytes == replace-chain mirror on adversarial and random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "20"),
+      ("61", "61"), ("6161", "61"))
+    val vocab = Bpe.vocabOfBytes(merges)
+    val idOf = vocab.zipWithIndex.toMap
+    def refPerWord(t: String): Seq[Int] =
+      t.split("\\s+").toSeq.filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeBytesRef(w, merges)).map(idOf)
+    def refLossless(t: String): Seq[Int] =
+      Bpe.encodeBytesRef(t, merges).map(idOf)
+    def got(t: String, perWord: Boolean): Seq[Int] = {
+      val r = Seq(t).toDF("t")
+        .select(graft.expressions.BpeIdsBytes(col("t"), merges, vocab,
+          perWord).as("ids")).first()
+      r.getSeq[Int](0)
+    }
+    // fixed adversarial shapes: adjacent same-pair runs (the consumed-
+    // boundary deferral), whitespace varieties, multibyte, empty
+    val fixed = Seq("the the theo", "aaa aaaa aaaaa", "  lead", "trail  ",
+      "a\tb\nc\u000Bd\fe\rf", "caf\u00E9 \u4F60\u597D \uD83D\uDE00", "",
+      " ", "th", "thethe", "a  a   a")
+    fixed.foreach { t =>
+      assert(got(t, perWord = true) == refPerWord(t), s"perWord '$t'")
+      assert(got(t, perWord = false) == refLossless(t), s"lossless '$t'")
+    }
+    // property: random strings over a pair-rich alphabet + whitespace
+    val chars = Gen.oneOf('t', 'h', 'e', 'a', ' ', '\t', '\n', '\u00E9')
+    val texts = Gen.listOf(chars).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60),
+      Prop.forAll(texts) { t =>
+        got(t, perWord = true) == refPerWord(t) &&
+          got(t, perWord = false) == refLossless(t)
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
