@@ -45,4 +45,68 @@ object Sketches {
     sketches.groupBy(by.map(col): _*)
       .agg(hll_union_agg(col("sketch")).as("sketch"))
       .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  // ------------------------------------------------------------------
+  // Mergeable QUANTILE sketch: the log-bucketed histogram idiom
+  // (DDSketch / HDR-histogram lineage) at gamma = 2 — each positive
+  // integer value lands in bucket floor(log2(v)) + 1, so a quantile is
+  // answered within a factor-of-2 value bracket from a <= 64-row
+  // histogram. The bucket index is computed as length(bin(v)) — the
+  // binary digit count — which is PURE INTEGER math: unlike log-based
+  // bucketing there is no float boundary to drift across engines, so
+  // the histogram itself is hash-exact (a stronger gate than HLL's
+  // tolerance booleans), and merging batches is plain union + sum.
+  // Resolution is the honest trade: p50/p99 come back as [lo, hi)
+  // power-of-2 brackets, which is what capacity planning over doc
+  // lengths / token counts actually consumes; callers needing exact
+  // values run the exact percentile ONCE and use the sketch for every
+  // incremental refresh.
+  // ------------------------------------------------------------------
+
+  /** One histogram row per (group, bucket): bucket = binary digit count
+    * of the value clamped to >= 1 (so 1 → 1, 2..3 → 2, 4..7 → 3, …).
+    * One scan, map-side combine, bounded output (<= 64 buckets per
+    * group) — a mergeable parquet artifact like [[hllSketches]].
+    */
+  def log2Histogram(df: DataFrame, by: Seq[String],
+                    valueCol: String): DataFrame =
+    df.withColumn("bucket",
+        length(bin(greatest(col(valueCol).cast("long"), lit(1L)))))
+      .groupBy((by.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge any number of per-batch [[log2Histogram]] frames (plain
+    * union + sum — associative, order-free) and answer a quantile as a
+    * value BRACKET per group: the bucket holding the ceil(q·N)-th
+    * smallest value, reported as [q_lo, q_hi] = [2^(b-1), 2^b - 1]
+    * plus N — all integer math, replayable exactly.
+    */
+  def log2Quantile(hists: DataFrame, by: Seq[String],
+                   q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    val merged = hists.groupBy((by.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("n")).as("n"))
+    // rank of the target order statistic, then the first bucket whose
+    // cumulative count reaches it: a per-group sort over <= 64 rows via
+    // max(struct) over the running sum computed with a tiny self-join
+    // (bucket x bucket within group, <= 64x64 rows per group)
+    val cum = merged.as("a")
+      .join(merged.as("b"), by.map(c => col(s"a.$c") === col(s"b.$c"))
+        .foldLeft(col("a.bucket") >= col("b.bucket"))(_ && _))
+      .groupBy((by.map(c => col(s"a.$c").as(c)) :+
+        col("a.bucket").as("bucket") :+ col("a.n").as("n")): _*)
+      .agg(sum(col("b.n")).as("cum"))
+    val tot = merged.groupBy(by.map(col): _*)
+      .agg(sum(col("n")).as("total"))
+    cum.join(tot, by)
+      .withColumn("rank", ceil(lit(q) * col("total")).cast("long"))
+      .filter(col("cum") >= col("rank") &&
+        col("cum") - col("n") < col("rank"))
+      .select((by.map(col) :+ col("total").as("n") :+
+        col("bucket") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)")
+          .as("q_lo") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
+          .as("q_hi")): _*)
+  }
 }

@@ -1507,6 +1507,29 @@ final class Registry(spark: SparkSession) {
         asStr(a.require("value", 1), "value"),
         lgk = a.get("lgk", -1).map(_.toString.toInt).getOrElse(12))
     },
+    "graft.log2_hist" -> { a =>
+      // mergeable quantile-sketch artifact (DDSketch idiom, gamma=2):
+      // one (group, bucket, n) row per power-of-2 value bracket — pure
+      // integer bucketing, merge = union + re-aggregate
+      graft.operators.Sketches.log2Histogram(
+        asDf(a.require("df", 0), "df"),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        asStr(a.require("value", 1), "value"))
+    },
+    "graft.log2_quantile" -> { a =>
+      // answer a quantile from merged log2 histograms as a [lo, hi]
+      // power-of-2 bracket per group (q in (0,1])
+      val frames = a.get("frames", -1) match {
+        case Some(l: List[_]) => l.map(asDf(_, "frames"))
+        case Some(one) => List(asDf(one, "frames"))
+        case None => a.pos.map(asDf(_, "frames"))
+      }
+      require(frames.nonEmpty, "graft.log2_quantile: no histogram frames")
+      graft.operators.Sketches.log2Quantile(
+        frames.reduce(_ unionByName _),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        q = a.require("q", 1).toString.toDouble)
+    },
     "graft.hll_merge" -> { a =>
       // union any number of saved/per-batch sketch frames by group and
       // estimate — frames either positional or a frames: [...] list

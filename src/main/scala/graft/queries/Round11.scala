@@ -758,6 +758,8 @@ object Round11 {
     // Tokenizer fertility audit (q259): tokens/word and bytes/token per
     // language under the frozen byte-fallback vocabulary — the
     // multilingual-fairness report a shipped tokenizer owes its users.
+    // (q196 measures the regex PRE-tokenizer's fragment count; this one
+    // audits the LEARNED vocabulary itself, byte-fallback included.)
     // The spike appends language-appropriate multibyte words the ASCII
     // merge table has never seen: they decompose to raw byte ids, so
     // non-English fertility rises (zh most: 3 tokens per CJK char) and
@@ -780,7 +782,77 @@ object Round11 {
             "lang", "text", ByteMerges, ByteVocab)
           .orderBy(col("lang"))
       },
-      Some(q259Oracle))
+      Some(q259Oracle)),
+
+    // Mergeable quantile-sketch artifact (q260): the DDSketch/HDR idiom
+    // at gamma=2 — per-batch log2 histograms (bucket = binary digit
+    // count, PURE integer math, so the sketch is hash-exact across
+    // engines, a stronger gate than HLL's tolerance booleans) union into
+    // the corpus histogram without revisiting data, and p50/p99 come
+    // back as power-of-2 value brackets. ok50/ok99 report whether the
+    // interpolated exact percentile falls inside its bracket — computed
+    // independently in both engines from their own exact percentile
+    // (the q60-proven cross-engine percentile), so the booleans gate
+    // agreement, not just construction.
+    Q("q260_log2_quantile_sketch",
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = t(s, d, "documents").select(col("lang"), col("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        val batches = (0 to 2).map(b => Sketches.log2Histogram(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), Seq("lang"), "len"))
+        val merged = batches.reduce(_ unionByName _)
+        val p50 = Sketches.log2Quantile(merged, Seq("lang"), 0.5)
+          .select(col("lang"), col("n"), col("bucket").cast("long").as("b50"),
+            col("q_lo").as("lo50"), col("q_hi").as("hi50"))
+        val p99 = Sketches.log2Quantile(merged, Seq("lang"), 0.99)
+          .select(col("lang"), col("bucket").cast("long").as("b99"),
+            col("q_lo").as("lo99"), col("q_hi").as("hi99"))
+        val exact = docs.groupBy("lang").agg(
+          expr("percentile(len, 0.5D)").as("p50x"),
+          expr("percentile(len, 0.99D)").as("p99x"))
+        p50.join(p99, Seq("lang")).join(exact, Seq("lang"))
+          .select(col("lang"), col("n"), col("b50"), col("lo50"), col("hi50"),
+            col("b99"), col("lo99"), col("hi99"),
+            (col("lo50") <= col("p50x") && col("p50x") <= col("hi50"))
+              .as("ok50"),
+            (col("lo99") <= col("p99x") && col("p99x") <= col("hi99"))
+              .as("ok99"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+        hist AS (SELECT lang, length(bin(greatest(len, 1))) AS bucket,
+                   COUNT(*) AS nn
+                 FROM docs GROUP BY 1, 2),
+        cum AS (SELECT a.lang, a.bucket, a.nn, SUM(b.nn) AS cum
+                FROM hist a JOIN hist b
+                  ON b.lang = a.lang AND b.bucket <= a.bucket
+                GROUP BY 1, 2, 3),
+        tot AS (SELECT lang, SUM(nn) AS total FROM hist GROUP BY 1),
+        p50 AS (SELECT c.lang, CAST(c.bucket AS BIGINT) AS b50,
+                  (CAST(1 AS BIGINT) << (CAST(c.bucket AS INT) - 1)) AS lo50,
+                  (CAST(1 AS BIGINT) << CAST(c.bucket AS INT)) - 1 AS hi50
+                FROM cum c JOIN tot USING (lang)
+                WHERE c.cum >= ceil(0.5 * total)
+                  AND c.cum - c.nn < ceil(0.5 * total)),
+        p99 AS (SELECT c.lang, CAST(c.bucket AS BIGINT) AS b99,
+                  (CAST(1 AS BIGINT) << (CAST(c.bucket AS INT) - 1)) AS lo99,
+                  (CAST(1 AS BIGINT) << CAST(c.bucket AS INT)) - 1 AS hi99
+                FROM cum c JOIN tot USING (lang)
+                WHERE c.cum >= ceil(0.99 * total)
+                  AND c.cum - c.nn < ceil(0.99 * total)),
+        exact AS (SELECT lang, quantile_cont(len, 0.5) AS p50x,
+                    quantile_cont(len, 0.99) AS p99x
+                  FROM docs GROUP BY 1)
+        SELECT lang, CAST(total AS BIGINT) AS n, b50, lo50, hi50,
+          b99, lo99, hi99,
+          lo50 <= p50x AND p50x <= hi50 AS ok50,
+          lo99 <= p99x AND p99x <= hi99 AS ok99
+        FROM p50 JOIN p99 USING (lang) JOIN tot USING (lang)
+          JOIN exact USING (lang)
+        ORDER BY lang"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("log2Histogram: integer bucketing, clamp at 1, merge == direct") {
+    val vals = Seq[(String, Long)](
+      ("g", 0L), ("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 7L),
+      ("g", 8L), ("h", 1023L), ("h", 1024L), ("h", -5L))
+    val df = vals.toDF("grp", "v")
+    val hist = Sketches.log2Histogram(df, Seq("grp"), "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 0 and -5 clamp to 1 -> bucket 1; 2..3 -> 2; 4..7 -> 3; 8 -> 4;
+    // 1023 -> 10; 1024 -> 11
+    assert(hist(("g", 1)) == 2L) // values 0 and 1
+    assert(hist(("g", 2)) == 2L) // 2, 3
+    assert(hist(("g", 3)) == 2L) // 4, 7
+    assert(hist(("g", 4)) == 1L) // 8
+    assert(hist(("h", 10)) == 1L && hist(("h", 11)) == 1L)
+    assert(hist(("h", 1)) == 1L) // -5 clamps
+    // merge property: per-batch histograms union+sum to the direct one
+    val batches = (0 to 2).map(b =>
+      Sketches.log2Histogram(df.filter(pmod(col("v"), lit(3)) === b),
+        Seq("grp"), "v"))
+    val merged = batches.reduce(_ unionByName _)
+      .groupBy("grp", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == hist)
+  }
+
+  test("log2Quantile: bracket contains the target order statistic; q=1 hits max bucket") {
+    val vals = (1L to 100L).map(("a", _)) ++ (1L to 50L).map(i => ("b", i * 40L))
+    val df = vals.toDF("grp", "v")
+    val hist = Sketches.log2Histogram(df, Seq("grp"), "v")
+    def brackets(q: Double): Map[String, (Long, Long, Long)] =
+      Sketches.log2Quantile(hist, Seq("grp"), q)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    def orderStat(xs: Seq[Long], q: Double): Long =
+      xs.sorted.apply(math.ceil(q * xs.size).toInt - 1)
+    for (q <- Seq(0.5, 0.9, 0.99, 1.0)) {
+      val bs = brackets(q)
+      val (na, loA, hiA) = bs("a")
+      val (nb, loB, hiB) = bs("b")
+      assert(na == 100 && nb == 50)
+      val ta = orderStat((1L to 100L), q)
+      val tb = orderStat((1L to 50L).map(_ * 40L), q)
+      assert(loA <= ta && ta <= hiA, s"a q=$q: $ta not in [$loA,$hiA]")
+      assert(loB <= tb && tb <= hiB, s"b q=$q: $tb not in [$loB,$hiB]")
+      // power-of-2 resolution: hi = 2*lo - 1
+      assert(hiA == 2 * loA - 1 && hiB == 2 * loB - 1)
+    }
+    // exactly one bracket row per group per quantile
+    assert(Sketches.log2Quantile(hist, Seq("grp"), 0.5).count() == 2)
+  }
+}
