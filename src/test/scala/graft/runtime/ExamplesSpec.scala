@@ -281,16 +281,39 @@ class ExamplesSpec extends AnyFunSuite {
     val est1 = rep.collect()
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
 
-    // ---- run 2: the history sketch must RESUME from parquet (the
-    // corpus is never rescanned) and the merged report must agree ----
+    // quantile twin: the merged p50 bracket contains the true median
+    // order statistic of EVERY priority (brackets are exact integers)
+    val p50 = spark.read.parquet(s"$out/value_p50.parquet").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("q_lo")), r.getLong(r.fieldIndex("q_hi"))))
+      .toMap
+    assert(p50.size == nGroups)
+    val byPrio = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    byPrio.foreach { case (prio, vs) =>
+      val med = vs((math.ceil(vs.size * 0.5) - 1).toInt)
+      val (lo, hi) = p50(prio)
+      assert(lo <= med && med <= hi, s"$prio: median $med not in [$lo,$hi]")
+    }
+
+    // ---- run 2: BOTH history artifacts must RESUME from parquet (the
+    // corpus is never rescanned) and the merged reports must agree ----
     val p2 = new Pipeline(spark, "examples/sketch_stats.yaml",
       Map("sf_dir" -> sfDir, "out_dir" -> out))
     p2.run()
-    assert(p2.resumedSteps == Set("history_sketch"),
-      s"run 2 must skip exactly the history scan, resumed=${p2.resumedSteps}")
+    assert(p2.resumedSteps == Set("history_sketch", "history_hist"),
+      s"run 2 must skip exactly the history scans, resumed=${p2.resumedSteps}")
     val est2 = spark.read.parquet(s"$out/distinct_customers.parquet").collect()
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
     assert(est2 == est1, "resumed-sketch merge must equal run 1's estimates")
+    val p50b = spark.read.parquet(s"$out/value_p50.parquet").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("q_lo")), r.getLong(r.fieldIndex("q_hi"))))
+      .toMap
+    assert(p50b == p50, "resumed-hist quantile brackets must be identical")
   }
 
   test("examples/quality_lifecycle.yaml: two-run E2E — run 2 resumes the weights, no LBFGS refit") {
