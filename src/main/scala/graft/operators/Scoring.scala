@@ -527,6 +527,78 @@ object Scoring {
         Window.orderBy(round(col("rrf"), 6).desc, col("id"))))
   }
 
+  /** Retrieval evaluation metrics — MRR@k, recall@k, nDCG@k per query —
+    * the eval half the BM25/ANN/RRF retrieval family reports against
+    * graded judgments (TREC qrels shape: one (query, doc, rel) row per
+    * judged pair, rel >= 1; unjudged ranked docs count as rel 0).
+    *
+    * Definitions (per query, per cutoff k over `ranked`'s rank column):
+    *  - MRR@k: 1/rank of the first rel>0 result within the top k, 0 if
+    *    none.
+    *  - recall@k: judged-relevant docs in the top k over all
+    *    judged-relevant docs.
+    *  - nDCG@k: DCG@k / IDCG@k with gains (2^rel − 1)/log2(rank+1);
+    *    the ideal ranking orders judgments by rel desc (ties by doc id —
+    *    tie ORDER cannot change the ideal gain sum, so IDCG is
+    *    tiebreak-insensitive). Queries with no positive judgments are
+    *    excluded (all three metrics are undefined there).
+    *
+    * Float discipline (the zipfStats pattern): every DCG term rounds to
+    * 6dp and accumulates as exact DECIMAL(30,15), so the per-query sums
+    * are partition-order- and engine-independent; only the final
+    * divisions run in doubles, rounded 6dp.
+    *
+    * Scale shape: one equality join of rankings to judgments, one
+    * per-(query, k) aggregate, a per-query window over the JUDGMENT list
+    * (bounded by judgments per query, never the corpus). The cutoff list
+    * is a broadcast literal frame.
+    */
+  def retrievalMetrics(ranked: DataFrame, qrels: DataFrame, ks: Seq[Int],
+                       qCol: String = "query_id", docCol: String = "doc_id",
+                       rankCol: String = "rank",
+                       relCol: String = "rel"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad cutoffs $ks")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 15))
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val kDf = ks.toDF("k")
+    val g = qrels.select(col(qCol).as("q"), col(docCol).as("doc"),
+        col(relCol).cast("int").as("rel"))
+      .filter(col("rel") > 0)
+    val nRel = g.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    // gains read the internal "rel" column of both frames below
+    val gainCol = expr("CAST(shiftleft(1, rel) AS DOUBLE)") - lit(1.0)
+    val jr = ranked.select(col(qCol).as("q"), col(docCol).as("doc"),
+        col(rankCol).as("rank"))
+      .join(g, Seq("q", "doc"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = jr.crossJoin(broadcast(kDf)).filter(col("rank") <= col("k"))
+      .groupBy("q", "k")
+      .agg(sum(dec(round(gainCol / log2(col("rank") + 1), 6)))
+        .as("dcg"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum((col("rel") > 0).cast("long")).as("hits"))
+    val ideal = g.withColumn("irank", row_number().over(
+      Window.partitionBy("q").orderBy(col("rel").desc, col("doc"))))
+    val idcg = ideal.crossJoin(broadcast(kDf)).filter(col("irank") <= col("k"))
+      .groupBy("q", "k")
+      .agg(sum(dec(round(gainCol / log2(col("irank") + 1), 6)))
+        .as("idcg"))
+    nRel.crossJoin(broadcast(kDf))
+      .join(dcg, Seq("q", "k"), "left")
+      .join(idcg, Seq("q", "k"), "left")
+      .select(col("q").as(qCol), col("k"), col("n_rel"),
+        when(col("first_rel").isNotNull,
+          round(lit(1.0) / col("first_rel"), 6)).otherwise(lit(0.0))
+          .as("mrr"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel"), 6).as("recall"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0)) /
+          col("idcg").cast("double"), 6).as("ndcg"))
+  }
+
   /** Corpus token statistics + Zipf slope: vocabulary size, total tokens,
     * hapax fraction, and the log-log least-squares slope over the `topK`
     * most frequent tokens. Fitting the head is standard practice AND the

@@ -1417,6 +1417,18 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.retrieval_metrics" -> { a =>
+      // MRR@k / recall@k / nDCG@k per query against graded judgments
+      // (TREC qrels shape) — the eval loop of the retrieval family
+      graft.operators.Scoring.retrievalMetrics(
+        asDf(a.require("ranked", 0), "ranked"),
+        asDf(a.require("qrels", 1), "qrels"),
+        a.get("ks", -1).map(asStrList(_).map(_.toInt)).getOrElse(Seq(10)),
+        qCol = asStr(a.get("query", -1).getOrElse("query_id"), "query"),
+        docCol = asStr(a.get("doc", -1).getOrElse("doc_id"), "doc"),
+        rankCol = asStr(a.get("rank", -1).getOrElse("rank"), "rank"),
+        relCol = asStr(a.get("rel", -1).getOrElse("rel"), "rel"))
+    },
     "graft.rrf_fuse" -> { a =>
       // reciprocal-rank fusion of top-N ranked lists (id, rank) —
       // frames: [list1, list2, ...]; the hybrid-retrieval combiner

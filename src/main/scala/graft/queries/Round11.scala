@@ -852,7 +852,92 @@ object Round11 {
           lo99 <= p99x AND p99x <= hi99 AS ok99
         FROM p50 JOIN p99 USING (lang) JOIN tot USING (lang)
           JOIN exact USING (lang)
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // Retrieval eval metrics (q261): MRR@k / recall@k / nDCG@k of the
+    // q257 BM25 ranking against graded judgments derived from the corpus
+    // itself (rel = how many of the three query terms a doc contains,
+    // token-exact in both engines) — the TREC-style eval loop every
+    // retrieval stack reports. DCG terms round 6dp and accumulate as
+    // exact DECIMAL (the zipfStats float discipline), so the per-cutoff
+    // sums are association-free; IDCG's rel-desc tie order cannot change
+    // its value.
+    Q("q261_retrieval_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val ranked = graft.operators.Scoring.bm25(
+            docs, "doc_id", "text", terms = Seq("vector", "hash", "batch"))
+          .select(col("id"), round(col("bm25"), 6).as("__s"))
+          .orderBy(col("__s").desc, col("id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("__s").desc, col("id"))))
+          .select(lit("q1").as("query_id"), col("id").as("doc_id"),
+            col("rank"))
+        // graded judgments: rel by the doc's 'vector' term frequency
+        // (7+/5+/4+ -> grades 3/2/1; 77 of 500 docs judged at sf0.01) —
+        // BM25 ranks on all three terms, so the ranking and the
+        // judgments disagree enough to make every metric non-trivial
+        val qrels = docs.select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "\\s+"),
+              w => length(w) > 0)).as("w"))
+          .filter(col("w") === "vector")
+          .groupBy("doc_id").agg(count(lit(1)).as("v"))
+          .select(col("doc_id"),
+            when(col("v") >= 7, 3).when(col("v") >= 5, 2)
+              .when(col("v") >= 4, 1).otherwise(0).cast("int").as("rel"))
+          .withColumn("query_id", lit("q1"))
+        graft.operators.Scoring.retrievalMetrics(
+            ranked, qrels, Seq(5, 10, 20))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        sc AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+               WHERE w IN ('vector', 'hash', 'batch') GROUP BY 1, 2),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+            ln((sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl)) AS c
+          FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), sc),
+        bm AS (SELECT doc_id AS id, round(sum(c), 6) AS s
+               FROM contrib GROUP BY doc_id
+               ORDER BY s DESC, id LIMIT 20),
+        ranked AS (SELECT id AS doc, CAST(ROW_NUMBER() OVER
+                     (ORDER BY s DESC, id) AS INTEGER) AS rank FROM bm),
+        vcnt AS (SELECT doc_id AS doc, COUNT(*) AS v
+                 FROM toks WHERE w = 'vector' GROUP BY 1),
+        qrels AS (SELECT doc, CAST(CASE WHEN v >= 7 THEN 3
+                    WHEN v >= 5 THEN 2 WHEN v >= 4 THEN 1
+                    ELSE 0 END AS INT) AS rel
+                  FROM vcnt WHERE v >= 4),
+        ks AS (SELECT * FROM (VALUES (5), (10), (20)) t(k)),
+        jr AS (SELECT r.doc, r.rank, COALESCE(q.rel, 0) AS rel
+               FROM ranked r LEFT JOIN qrels q USING (doc)),
+        dcg AS (SELECT k,
+                  SUM(CAST(round((CAST(1 << rel AS DOUBLE) - 1)
+                    / log2(rank + 1), 6) AS DECIMAL(30, 15))) AS dcg,
+                  MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                  CAST(SUM((rel > 0)::INT) AS BIGINT) AS hits
+                FROM jr, ks WHERE rank <= k GROUP BY k),
+        ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc)
+                    AS irank FROM qrels),
+        idcg AS (SELECT k,
+                   SUM(CAST(round((CAST(1 << rel AS DOUBLE) - 1)
+                     / log2(irank + 1), 6) AS DECIMAL(30, 15))) AS idcg
+                 FROM ideal, ks WHERE irank <= k GROUP BY k),
+        nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels)
+        SELECT 'q1' AS query_id, k, n_rel,
+          COALESCE(round(1.0 / first_rel, 6), 0.0) AS mrr,
+          round(hits * 1.0 / n_rel, 6) AS recall,
+          round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+        FROM dcg JOIN idcg USING (k) CROSS JOIN nrel ORDER BY k"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

@@ -47,6 +47,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "rank runs over the LIMIT-20 frame (TakeOrdered feeds it) and the " +
       "fused rank over <= 40 fused rows — never a corpus (rrfFuse " +
       "contract)"),
+    "q261_retrieval_metrics" -> ("the sparse rank window runs over the " +
+      "LIMIT-20 frame (q257 shape); the ideal-rank window partitions by " +
+      "query_id over the JUDGMENT list (bounded by judgments per query, " +
+      "never the corpus) — it reads as partition-less here only because " +
+      "the demo has a single literal query id, which Catalyst " +
+      "constant-folds out of the partition spec"),
     "q250_ccnet_buckets" -> ("tercile cut via GlobalWindows.cumcount: the " +
       "one global window is the prefix combine over the per-range-" +
       "partition count frame (<= spark.sql.shuffle.partitions rows), " +

@@ -2164,4 +2164,32 @@ class SamplingSpec extends AnyFunSuite {
     // smoothing floor: no domain starves below smooth/k
     Seq(wH, wL, wP).foreach(w => assert(w >= 0.1 / 3 - 1e-9))
   }
+
+  test("retrievalMetrics: hand-computed MRR/recall/nDCG; unjudged queries excluded") {
+    val ranked = Seq(
+      ("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3), ("q1", 4L, 4),
+      ("q2", 7L, 1)) // q2 has no positive judgments -> excluded
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", 2L, 1), ("q1", 3L, 2), ("q1", 9L, 1), // doc 9 never retrieved
+      ("q2", 8L, 0))                               // zero grade = unjudged
+      .toDF("query_id", "doc_id", "rel")
+    val out = Scoring.retrievalMetrics(ranked, qrels, Seq(2, 4))
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(2, 4), "only q1 rows, one per cutoff")
+    def log2(x: Double) = math.log(x) / math.log(2)
+    def rnd(x: Double) = math.rint(x * 1e6) / 1e6
+    val idcg2 = rnd(3.0 / log2(2)) + rnd(1.0 / log2(3))
+    // the ideal ranking uses ALL judged-relevant docs, including the
+    // never-retrieved doc 9 at ideal rank 3
+    val idcg4 = idcg2 + rnd(1.0 / log2(4))
+    val (n2, mrr2, rec2, ndcg2) = out(2)
+    assert(n2 == 3 && mrr2 == 0.5 && rec2 == rnd(1.0 / 3))
+    assert(math.abs(ndcg2 - rnd(rnd(1.0 / log2(3)) / idcg2)) < 2e-6, s"$ndcg2")
+    val (n4, mrr4, rec4, ndcg4) = out(4)
+    assert(n4 == 3 && mrr4 == 0.5 && rec4 == rnd(2.0 / 3))
+    val dcg4 = rnd(1.0 / log2(3)) + rnd(3.0 / log2(4))
+    assert(math.abs(ndcg4 - rnd(dcg4 / idcg4)) < 2e-6, s"$ndcg4")
+  }
 }
