@@ -436,4 +436,34 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming corpus-stats ARTIFACTS: each micro-batch appends its own
+    * mergeable sketch rows — a DataSketches HLL over `distinctCol` and a
+    * log2 value histogram over `histCol`, both per `by` group — to the
+    * artifact directory, checkpointed so a re-drain of the same files
+    * adds nothing. This is the streaming face of the scan-once /
+    * merge-every-batch contract (q251/q260, examples/sketch_stats.yaml):
+    * running distinct counts and quantile brackets come from merging the
+    * artifact rows (`Sketches.hllMergeEstimate` / `log2Quantile`), and
+    * the stream itself is never rescanned — batch cost stays
+    * proportional to the batch at any corpus size.
+    */
+  def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
+                               distinctCol: String, histCol: String,
+                               outDir: String, checkpointDir: String): Unit = {
+    val q: StreamingQuery = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Sketches.hllSketches(batch, by, distinctCol)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$outDir/hll")
+        graft.operators.Sketches.log2Histogram(batch, by, histCol)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$outDir/hist")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

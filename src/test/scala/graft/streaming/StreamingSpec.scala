@@ -435,4 +435,57 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(users == distinctUsers)
   }
+
+  test("streamingSketchArtifacts: per-batch sketches merge to batch truth; re-drain adds nothing") {
+    val out = java.nio.file.Files.createTempDirectory("ssketch").toString
+    val stream = Streams.eventsStream(spark, streamDir)
+      .withColumn("v", col("value").cast("long"))
+    Streams.streamingSketchArtifacts(stream, Seq("event_type"),
+      distinctCol = "user_id", histCol = "v",
+      outDir = out, checkpointDir = s"$out/ckpt")
+
+    val events = Q.t(spark, TestSpark.sfDir, "events")
+      .withColumn("v", col("value").cast("long"))
+
+    // HLL: merged estimate within the sketch envelope of exact distincts
+    val est = graft.operators.Sketches.hllMergeEstimate(
+      spark.read.parquet(s"$out/hll").drop("batch_id"), Seq("event_type"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    assert(est.join(exact, Seq("event_type"))
+      .filter(abs(col("estimate") - col("exact")).cast("double") /
+        col("exact") > 0.05).count() == 0)
+
+    // histogram: merged artifact rows == the direct batch histogram
+    val direct = graft.operators.Sketches.log2Histogram(
+        events, Seq("event_type"), "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = spark.read.parquet(s"$out/hist")
+      .groupBy("event_type", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "union of per-batch histograms == direct")
+
+    // quantile bracket from the artifact contains the true median
+    val p50 = graft.operators.Sketches.log2Quantile(
+        spark.read.parquet(s"$out/hist").drop("batch_id"),
+        Seq("event_type"), 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("q_lo")), r.getLong(r.fieldIndex("q_hi"))))
+      .toMap
+    events.select("event_type", "v").collect()
+      .groupBy(_.getString(0)).foreach { case (et, rows) =>
+        val vs = rows.map(r => math.max(r.getLong(1), 1L)).sorted
+        val med = vs((math.ceil(vs.length * 0.5) - 1).toInt)
+        val (lo, hi) = p50(et)
+        assert(lo <= med && med <= hi, s"$et: $med not in [$lo,$hi]")
+      }
+
+    // checkpointed exactly-once: re-draining the same files is a no-op
+    val nHist = spark.read.parquet(s"$out/hist").count()
+    Streams.streamingSketchArtifacts(
+      Streams.eventsStream(spark, streamDir)
+        .withColumn("v", col("value").cast("long")),
+      Seq("event_type"), "user_id", "v", out, s"$out/ckpt")
+    assert(spark.read.parquet(s"$out/hist").count() == nHist)
+  }
 }
