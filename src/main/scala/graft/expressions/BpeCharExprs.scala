@@ -1,0 +1,188 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd CHAR-level BPE (the reference-semantics chain behind
+  * `Bpe.tokenCount` / `Bpe.tokenIds`, q175/q235 lineage).
+  *
+  * Unlike the byte-level chain, the char chain is UNANCHORED — each merge
+  * is a literal `replace(s, "a b", "ab")` with no boundary spaces, so a
+  * pattern may match across symbol boundaries (documented in
+  * functions/Bpe.scala; it is the shipped, oracle-replayed semantics).
+  * That rules out the int-array pair scan [[BpeIdsBytes]] uses; instead
+  * these expressions run the ACTUAL string replace chain per word in one
+  * static Java method — `String.replace` scans the original left-to-right
+  * non-overlapping exactly like Spark's `replace` (UTF8String.replace),
+  * the equivalence `encodeBytesRef` already leans on. The win is purely
+  * evaluator overhead: the HOF form paid ~(merges) interpreted Catalyst
+  * nodes per word; this is one call.
+  *
+  * Spaced-form parity notes, mirrored from `Bpe.spaced`
+  * (`trim(regexp_replace(word, "(.)", "$1 "))`):
+  *  - `.` matches one CODE POINT (astral chars space as one symbol) and
+  *    never matches the five Java-regex line terminators — an unmatched
+  *    terminator gets no trailing space and glues to the next char,
+  *    reproduced verbatim here;
+  *  - `trim` strips U+0020 only, at both ends.
+  * The `\s+` word split is the hand-inlined Java class, as in
+  * [[BpeIdsBytes]].
+  */
+private[expressions] object BpeChars {
+
+  final case class Table(targets: Array[String], repls: Array[String])
+
+  def compile(merges: Seq[(String, String)]): Table = Table(
+    merges.map { case (a, b) => a + " " + b }.toArray,
+    merges.map { case (a, b) => a + b }.toArray)
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isLineTerm(cp: Int): Boolean =
+    cp == '\n' || cp == '\r' || cp == 0x0085 || cp == 0x2028 || cp == 0x2029
+
+  /** The merged spaced form of one word (chain applied, ends trimmed). */
+  def mergedWord(word: String, t: Table): String = {
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp)
+      if (!isLineTerm(cp)) sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    // trim: U+0020 only, both ends (the Spark trim contract)
+    var s = sb.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi)
+    var r = 0
+    while (r < t.targets.length) {
+      s = s.replace(t.targets(r), t.repls(r))
+      r += 1
+    }
+    s
+  }
+
+  /** Iterate the \s+ words of `text`, calling `f` on each. */
+  def eachWord(text: String)(f: String => Unit): Unit = {
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) f(text.substring(start, i))
+    }
+  }
+
+  def tokenCount(text: String, t: Table): Long = {
+    var n = 0L
+    eachWord(text) { w =>
+      val m = mergedWord(w, t)
+      var spaces = 0
+      var j = 0
+      while (j < m.length) { if (m.charAt(j) == ' ') spaces += 1; j += 1 }
+      n += spaces + 1
+    }
+    n
+  }
+
+  def ids(text: String, t: Table,
+          idOf: java.util.HashMap[String, Integer]): UnsafeArrayData = {
+    val acc = new scala.collection.mutable.ArrayBuilder.ofInt
+    eachWord(text) { w =>
+      val m = mergedWord(w, t)
+      var from = 0
+      while (from <= m.length) {
+        val sp = m.indexOf(' ', from)
+        val end = if (sp < 0) m.length else sp
+        val tok = m.substring(from, end)
+        val id = idOf.get(tok)
+        acc += (if (id == null) -1 else id.intValue())
+        from = end + 1
+        if (sp < 0) from = m.length + 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc.result())
+  }
+}
+
+/** Whole-text char-BPE token count (the `tokenizer=` hook's hot path). */
+case class BpeTokenCountChars(child: Expression,
+                              merges: Seq[(String, String)])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_token_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+  @transient private lazy val table = BpeChars.compile(merges)
+  override def nullSafeEval(input: Any): Any =
+    BpeChars.tokenCount(input.asInstanceOf[UTF8String].toString, table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("graftBpeCharTable", table,
+      classOf[BpeChars.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.BpeChars.tokenCount($c.toString(), $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCountChars = copy(child = newChild)
+}
+
+object BpeTokenCountChars {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenCountChars(
+      ColumnBridge.expression(text), merges))
+}
+
+/** Whole-text char-BPE token ids (unknown symbol → -1, the q235 contract). */
+case class BpeIdsChars(child: Expression, merges: Seq[(String, String)],
+                       vocab: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_ids_chars"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+  @transient private lazy val table = BpeChars.compile(merges)
+  @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (s, i) =>
+      if (!m.containsKey(s)) m.put(s, i)
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    BpeChars.ids(input.asInstanceOf[UTF8String].toString, table, idOf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("graftBpeCharTable", table,
+      classOf[BpeChars.Table].getName)
+    // raw type: Janino, the codegen compiler, does not accept generics
+    val mRef = ctx.addReferenceObj("graftBpeCharIds", idOf,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.BpeChars.ids($c.toString(), $tRef, $mRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeIdsChars = copy(child = newChild)
+}
+
+object BpeIdsChars {
+  def apply(text: Column, merges: Seq[(String, String)],
+            vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeIdsChars(
+      ColumnBridge.expression(text), merges, vocab))
+}

@@ -223,11 +223,10 @@ object Bpe {
     * `tokenizer=` hook for packWindows / mixtureByTokenBudget.
     */
   def tokenCount(merges: Seq[(String, String)])(text: Column): Column =
+    // codegen'd replace-chain-per-word (BpeCharExprs parity notes); the
+    // HOF fold interpreted ~|merges| nodes per word
     coalesce(
-      aggregate(
-        transform(filter(split(text, "\\s+"), w => length(w) > 0),
-          w => size(wordTokens(w, merges)).cast(LongType)),
-        lit(0L), (acc, x) => acc + x),
+      graft.expressions.BpeTokenCountChars(text, merges),
       lit(0L)) // null text counts 0, matching the oracle's COALESCE
 
   /** Deterministic id vocabulary for token-ID emission: alphabet symbols
@@ -261,13 +260,8 @@ object Bpe {
     * one codegen'd-expression map pass, zero shuffle, and the oracle
     * replays the identical chain + a CASE lookup.
     */
-  def tokenIds(merges: Seq[(String, String)], vocab: Seq[String])(text: Column): Column = {
-    val idMap = typedLit(vocab.zipWithIndex.map { case (s, i) => s -> i }.toMap)
-    flatten(transform(
-      filter(split(text, "\\s+"), w => length(w) > 0),
-      w => transform(wordTokens(w, merges),
-        t => coalesce(element_at(idMap, t), lit(-1)))))
-  }
+  def tokenIds(merges: Seq[(String, String)], vocab: Seq[String])(text: Column): Column =
+    graft.expressions.BpeIdsChars(text, merges, vocab)
 
   private def sq(s: String): String = s.replace("'", "''")
 

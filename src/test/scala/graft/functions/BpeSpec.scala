@@ -329,4 +329,52 @@ class BpeSpec extends AnyFunSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("char-level codegen == HOF replace chain on adversarial and random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "a"), ("aa", "a"),
+      ("e", " t")) // an operand containing a space exercises mid-symbol
+                   // matching of the UNANCHORED chain
+    val alphabet = "theab \u00E9\u2028".toSeq.map(_.toString).distinct
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // the OLD higher-order-function forms, verbatim (the semantics spec)
+    def hofCount(c: org.apache.spark.sql.Column) =
+      coalesce(aggregate(
+        transform(org.apache.spark.sql.functions.filter(
+          split(c, "\\s+"), w => length(w) > 0),
+          w => size(Bpe.wordTokens(w, merges)).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L))
+    def hofIds(c: org.apache.spark.sql.Column) = {
+      val idMap = typedLit(vocab.zipWithIndex.map { case (t, i) => t -> i }.toMap)
+      flatten(transform(
+        org.apache.spark.sql.functions.filter(split(c, "\\s+"),
+          w => length(w) > 0),
+        w => transform(Bpe.wordTokens(w, merges),
+          t => coalesce(element_at(idMap, t), lit(-1)))))
+    }
+    def check(t: String): Unit = {
+      val r = Seq(t).toDF("t").select(
+        hofCount(col("t")).as("c0"),
+        Bpe.tokenCount(merges)(col("t")).as("c1"),
+        hofIds(col("t")).as("i0"),
+        Bpe.tokenIds(merges, vocab)(col("t")).as("i1")).first()
+      assert(r.getLong(0) == r.getLong(1), s"count '$t'")
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3), s"ids '$t'")
+    }
+    Seq("the theatre", "aaa aaaa", "  pad  ", "", "x", "caf\u00E9",
+      "a\u2028b", "the\u2028the", "zzz unknown chars", "a\tb\nc")
+      .foreach(check)
+    val chars = Gen.oneOf('t', 'h', 'e', 'a', ' ', '\t', '\u00E9', '\u2028', 'z')
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60),
+      Prop.forAll(Gen.listOf(chars).map(_.mkString)) { t =>
+        val r = Seq(t).toDF("t").select(
+          hofCount(col("t")).as("c0"),
+          Bpe.tokenCount(merges)(col("t")).as("c1"),
+          hofIds(col("t")).as("i0"),
+          Bpe.tokenIds(merges, vocab)(col("t")).as("i1")).first()
+        r.getLong(0) == r.getLong(1) && r.getSeq[Int](2) == r.getSeq[Int](3)
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
