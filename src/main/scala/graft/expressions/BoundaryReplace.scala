@@ -36,6 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a null/empty candidate returns the text unchanged (extraction never
   *    produces one; guarded for totality).
   *
+  * Parity contract: two-pass equivalence holds for candidates whose FIRST
+  * and LAST characters are members of the excluded classes — true of every
+  * extraction family (PAN candidates are digit-edged, IBAN/hex candidates
+  * alnum-edged), and load-bearing: it guarantees a consumed boundary char
+  * can never itself be part of an adjacent occurrence. A degenerate
+  * candidate with non-member edges (e.g. a lone space) can genuinely
+  * diverge from the regex form; no extractor can produce one, and the
+  * ExpressionsSpec property pins the contract over random contract-shaped
+  * candidates (2000 cases) on top of the fixed adversarial battery.
+  *
   * Both boundary classes are ASCII sets given in regex char-class syntax
   * ("0-9A-Za-z-"); any non-member (including every non-ASCII char) is a
   * valid boundary, exactly like the negated class.

@@ -359,6 +359,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(edge.isNullAt(0) && edge.getString(1) == "abc")
   }
 
+  test("property: BoundaryReplace two-pass == regex two-pass on random text/candidates") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // driver-side mirrors of both passes (same semantics as the column
+    // forms, proven by the fixed-case battery above) — the property runs
+    // thousands of cases without a Spark job per case
+    val leftSet = "0-9A-Za-z-"
+    val rightSet = "0-9-"
+    def regexPass(t: String, cand: String): String =
+      java.util.regex.Pattern
+        .compile("(^|[^0-9A-Za-z-])" + java.util.regex.Pattern.quote(cand) +
+          "([^0-9-]|$)")
+        .matcher(t).replaceAll("$1<CC>$2")
+    val lSet = BoundaryReplace.parseClass(leftSet)
+    val rSet = BoundaryReplace.parseClass(rightSet)
+    def fastPass(t: String, cand: String): String =
+      BoundaryReplace.replace(t, cand, "<CC>", lSet, rSet)
+    // candidate shape mirrors the extraction contract: every family's
+    // candidates START and END with class members (digits/letters) —
+    // panCandRe is digit-led/digit-tailed, IBAN/hex alnum-edged. That
+    // edge property is what makes two-pass convergence sound (a
+    // boundary char can never be part of an adjacent occurrence); a
+    // whitespace-only "candidate" has no such edges and genuinely
+    // diverges, and no extractor can produce one.
+    val candGen = for {
+      n <- Gen.chooseNum(0, 4)
+      mid <- Gen.listOfN(n, Gen.oneOf('1', '2', ' ', '-'))
+      a <- Gen.oneOf('1', '2')
+      b <- Gen.oneOf('1', '2')
+    } yield (a +: mid :+ b).mkString
+    val textGen = Gen.listOf(Gen.oneOf('1', '2', ' ', '-', ',', 'x', '.'))
+      .map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(textGen, candGen) { (t, cand) =>
+        regexPass(regexPass(t, cand), cand) == fastPass(fastPass(t, cand), cand)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("CharEntropy: uniform hex > 3.5 gate, padding/legible below, edge cases") {
     val rng = new scala.util.Random(11)
     val hexChars = "0123456789abcdef"
