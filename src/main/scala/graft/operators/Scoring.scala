@@ -527,6 +527,62 @@ object Scoring {
         Window.orderBy(round(col("rrf"), 6).desc, col("id"))))
   }
 
+  /** Profile-based language identification (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization" — the textcat method every
+    * pre-neural langid tool shipped): fit a ranked character-trigram
+    * profile per language from labeled text, build each document's own
+    * top-`m` profile, and classify by rank-order distance — the sum over
+    * the doc's profile trigrams of |doc rank − language rank|, with
+    * out-of-profile trigrams costing the maximum displacement `k`.
+    * Lowest distance wins (ties break to the lexicographically smallest
+    * language). Trigrams come from words padded with '_' on both ends,
+    * the paper's word-boundary marking.
+    *
+    * Everything is INTEGER math (counts, row-number ranks, absolute
+    * differences), so an external oracle replays every distance exactly —
+    * no float tolerance anywhere. Output: (id, pred_lang, dist).
+    *
+    * Scale shape: two count aggregates (lang×trigram is vocabulary-
+    * bounded; doc×trigram is doc-bounded), a per-LANGUAGE window over the
+    * trigram counts (≤ |vocab| rows per language) and a per-DOC window
+    * (≤ doc trigrams), then a doc-profile × languages join against the
+    * tiny (langs × k) profile table — per doc the distance frame is
+    * m × |langs| rows. The per-char trigram HOF runs once per fit+score
+    * pass; for repeated scoring persist the profile table and reuse.
+    */
+  def langIdProfiles(df: DataFrame, idCol: String, textCol: String,
+                     langCol: String, k: Int = 50, m: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && m >= 1, s"profile sizes must be >= 1, got k=$k m=$m")
+    val tri = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(org.apache.spark.sql.functions.filter(
+          split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
+      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
+      .select(col("id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("pw")) - 2),
+          i => substring(col("pw"), i, lit(3)))).as("t"))
+    val langProf = tri.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)))
+      .filter(col("lrank") <= k)
+      .select(col("lang"), col("t"), col("lrank"))
+    val docProf = tri.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("id").orderBy(col("c").desc, col("t").asc)))
+      .filter(col("drank") <= m)
+      .select(col("id"), col("t"), col("drank"))
+    val langs = langProf.select("lang").distinct()
+    val dist = docProf.crossJoin(broadcast(langs))
+      .join(langProf, Seq("lang", "t"), "left")
+      .groupBy("id", "lang")
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(k.toLong)))
+        .as("dist"))
+    dist.groupBy("id")
+      .agg(min(struct(col("dist"), col("lang"))).as("best"))
+      .select(col("id").as(idCol), col("best.lang").as("pred_lang"),
+        col("best.dist").as("dist"))
+  }
+
   /** Retrieval evaluation metrics — MRR@k, recall@k, nDCG@k per query —
     * the eval half the BM25/ANN/RRF retrieval family reports against
     * graded judgments (TREC qrels shape: one (query, doc, rel) row per

@@ -1417,6 +1417,17 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.langid_profiles" -> { a =>
+      // Cavnar-Trenkle textcat: ranked char-trigram profiles per labeled
+      // language, docs classified by integer rank-order distance
+      graft.operators.Scoring.langIdProfiles(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("lang", -1).getOrElse("lang"), "lang"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(50),
+        m = a.get("m", -1).map(asInt(_, "m")).getOrElse(20))
+    },
     "graft.retrieval_metrics" -> { a =>
       // MRR@k / recall@k / nDCG@k per query against graded judgments
       // (TREC qrels shape) — the eval loop of the retrieval family

@@ -937,7 +937,63 @@ object Round11 {
           COALESCE(round(1.0 / first_rel, 6), 0.0) AS mrr,
           round(hits * 1.0 / n_rel, 6) AS recall,
           round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
-        FROM dcg JOIN idcg USING (k) CROSS JOIN nrel ORDER BY k"""))
+        FROM dcg JOIN idcg USING (k) CROSS JOIN nrel ORDER BY k""")),
+
+    // Profile-based language ID (q262): Cavnar-Trenkle rank-order
+    // distance over ranked char-trigram profiles — the published textcat
+    // method, all integer math (counts, ranks, displacements), so every
+    // distance replays EXACTLY. The fixture's text is English-shaped for
+    // all langs (README known-gaps), so the spike plants per-language
+    // marker words whose trigrams separate the profiles; ok reports
+    // pred == label per doc.
+    Q("q262_langid_profiles",
+      (s, d) => {
+        val spiked = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            expr("repeat(concat(' q', lang, 'q'), 6)")).as("text"))
+        graft.operators.Scoring.langIdProfiles(
+            spiked, "doc_id", "text", "lang")
+          .join(spiked.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("pred_lang"), col("dist"),
+            (col("pred_lang") === col("lang")).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH spiked AS (
+          SELECT doc_id, lang,
+            lower(text || repeat(' q' || lang || 'q', 6)) AS t
+          FROM documents),
+        words AS (
+          SELECT doc_id, lang, '_' || w || '_' AS pw
+          FROM (SELECT doc_id, lang, unnest(regexp_extract_all(t, '\S+')) AS w
+                FROM spiked)),
+        tri AS (
+          SELECT doc_id, lang, substr(pw, CAST(i AS INT), 3) AS t3
+          FROM words, unnest(generate_series(1, length(pw) - 2)) AS u(i)),
+        lp AS (
+          SELECT lang, t3,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY COUNT(*) DESC, t3 ASC) AS lrank
+          FROM tri GROUP BY lang, t3 QUALIFY lrank <= 50),
+        dp AS (
+          SELECT doc_id, t3,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY COUNT(*) DESC, t3 ASC) AS drank
+          FROM tri GROUP BY doc_id, t3 QUALIFY drank <= 20),
+        langs AS (SELECT DISTINCT lang FROM lp),
+        dist AS (
+          SELECT dp.doc_id, langs.lang,
+            SUM(COALESCE(abs(dp.drank - lp.lrank), 50)) AS dist
+          FROM dp CROSS JOIN langs
+          LEFT JOIN lp ON lp.lang = langs.lang AND lp.t3 = dp.t3
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang, dist,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+          FROM dist QUALIFY rn = 1)
+        SELECT b.doc_id, b.lang AS pred_lang, CAST(b.dist AS BIGINT) AS dist,
+          b.lang = s.lang AS ok
+        FROM best b JOIN spiked s USING (doc_id) ORDER BY doc_id"""))
   )
 
   /** One DuckDB PAN pass over text expression `e`: extract the

@@ -2192,4 +2192,24 @@ class SamplingSpec extends AnyFunSuite {
     val dcg4 = rnd(1.0 / log2(3)) + rnd(3.0 / log2(4))
     assert(math.abs(ndcg4 - rnd(dcg4 / idcg4)) < 2e-6, s"$ndcg4")
   }
+
+  test("langIdProfiles: disjoint-alphabet languages classify perfectly; self-distance smallest") {
+    val aa = "aba bab abba baab abab"   // language A: {a, b} words
+    val cc = "cdc dcd cddc dccd cdcd"   // language B: {c, d} words
+    val rows = (0 until 6).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa", aa + s" ab$i") else (i.toLong, "cc", cc + s" cd$i")
+    }
+    val out = Scoring.langIdProfiles(
+        rows.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 6)
+    out.foreach { case (id, pred, dist) =>
+      val want = if (id % 2 == 0) "aa" else "cc"
+      assert(pred == want, s"doc $id predicted $pred")
+      assert(dist >= 0, s"doc $id dist $dist")
+    }
+    // digit suffixes differ per doc, so docs are not identical — yet every
+    // doc's own-language profile distance beats the foreign one, which is
+    // what the disjoint alphabets guarantee
+  }
 }
