@@ -1,6 +1,11 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,16 +14,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the unit of parallelism is the FILE, which matches how
   * crawls are sharded in practice (CC segments are ~1 GB, tens of
-  * thousands per crawl — far more files than executors, so `binaryFile`
+  * thousands per crawl — far more files than executors, so file-grain
   * parallelism is the right grain and no record-boundary splitting is
-  * needed inside a file). Parsing is strictly Content-Length-driven — the
-  * payload is never scanned for markers, so a page that embeds "WARC/1.0"
-  * text cannot desync the reader — and a malformed record degrades by
-  * skipping to end-of-file rather than failing the task (a corrupt member
-  * in a 100 TB crawl must not kill the stage). Gzip is sniffed by magic;
-  * java.util.zip reads concatenated members transparently, which is
-  * exactly the CC layout (one gzip member per record) — the whole file
-  * still decompresses as one stream.
+  * needed inside a file). Parsing is STREAMING and Content-Length-driven:
+  * records are pulled one at a time off a bounded-buffer `InputStream`
+  * (gzip members decoded incrementally), so per-task memory is
+  * max(one record payload, 64 KB line/IO buffer) — independent of file
+  * size. A real CC shard (~1 GB gz, 4+ GB raw) therefore parses in
+  * constant memory; nothing ever materializes the whole file, compressed
+  * or not (the compressed file is not even read into a row: the batch and
+  * streaming readers list PATHS via the `binaryFile` source with the
+  * content column pruned away, then open each path with the Hadoop
+  * FileSystem inside the task). The payload is never scanned for markers,
+  * so a page that embeds "WARC/1.0" text cannot desync the reader, and a
+  * malformed record degrades by skipping to end-of-file rather than
+  * failing the task (a corrupt member in a 100 TB crawl must not kill the
+  * stage). Oversized payloads (> `maxPayloadBytes`) are skipped by
+  * streaming past them — they are counted, not buffered.
   */
 object Warc {
 
@@ -26,6 +38,29 @@ object Warc {
                               target_uri: String, warc_date: String,
                               content_type: String, content_length: Long,
                               payload: Array[Byte])
+
+  /** Default cap on a single record payload; larger records are skipped
+    * (streamed past, never allocated). WARC pages are ~100 KB; 64 MB is
+    * far above any legitimate page while still bounding task memory.
+    */
+  val DefaultMaxPayloadBytes: Long = 64L * 1024 * 1024
+
+  // ---- telemetry (measurement for the ScaleStress bounded-memory gate) ----
+  // Single-JVM (local-mode) instrumentation: the stress harness resets,
+  // parses files of growing size, and asserts the peak payload allocation
+  // stays flat at max-record-size rather than growing with the file. On a
+  // real cluster this would be a Spark accumulator; the allocation pattern
+  // it measures is identical.
+  private val peakAlloc = new AtomicLong(0L)
+  private val skippedOversized = new AtomicLong(0L)
+  def resetTelemetry(): Unit = { peakAlloc.set(0L); skippedOversized.set(0L) }
+  /** Largest single byte[] the parser has allocated since the last reset. */
+  def peakAllocBytes: Long = peakAlloc.get()
+  def oversizedSkipped: Long = skippedOversized.get()
+  private def noteAlloc(n: Long): Unit = {
+    var cur = peakAlloc.get()
+    while (n > cur && !peakAlloc.compareAndSet(cur, n)) cur = peakAlloc.get()
+  }
 
   /** Serialize one record (writer side: fixtures, tests, re-export). */
   def writeRecord(warcType: String, targetUri: String, warcDate: String,
@@ -41,59 +76,125 @@ object Warc {
     sb.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
   }
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
-
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
+  /** Makes `available()` EOF-accurate by reading one byte ahead when the
+    * underlying stream reports 0. JDK `GZIPInputStream` decides whether a
+    * concatenated gzip member follows by consulting `in.available()`; on
+    * HDFS/posix file streams that can report 0 mid-file, which would
+    * silently truncate a multi-member (one-member-per-record, the
+    * CommonCrawl convention) file after its first record. The 1-byte
+    * lookahead makes "available == 0" mean true EOF.
+    */
+  private final class EofAware(in: InputStream)
+      extends PushbackInputStream(in, 1) {
+    override def available(): Int = {
+      val a = super.available()
+      if (a > 0) a
+      else {
+        val b = read()
+        if (b < 0) 0 else { unread(b); 1 }
+      }
+    }
   }
 
-  /** Parse every record of one WARC file (plain or gzipped). Strictly
-    * Content-Length-driven; on a malformed header the remainder of the
-    * file is skipped (never thrown).
+  private val LineCap = 64 * 1024 // header lines beyond this are junk
+
+  /** Read one header line (to LF, CR stripped) from the stream. Returns
+    * null at EOF. Lines longer than [[LineCap]] are discarded to the next
+    * newline and returned as "" — bounded memory even on binary junk.
     */
-  def parseRecords(raw: Array[Byte], file: String): Iterator[WarcRecord] = {
-    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    var over = false
+    while (b >= 0 && b != '\n') {
+      if (buf.size < LineCap) buf.write(b) else over = true
+      b = in.read()
+    }
+    if (over) ""
+    else {
+      val arr = buf.toByteArray
+      val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+              else arr.length
+      new String(arr, 0, n, UTF_8)
+    }
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    noteAlloc(n.toLong)
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n - off)
+      if (r < 0) return null // truncated
+      off += r
+    }
+    out
+  }
+
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var left = n
+    val junk = new Array[Byte](64 * 1024)
+    while (left > 0) {
+      val r = in.read(junk, 0, math.min(left, junk.length.toLong).toInt)
+      if (r < 0) return false
+      left -= r
+    }
+    true
+  }
+
+  /** Parse WARC records incrementally off a raw stream (plain or gzipped;
+    * multi-member gzip handled). Never materializes more than one record
+    * payload; malformed input ends the iterator (skip-to-EOF) instead of
+    * throwing. The caller owns closing `raw` (the iterator closes it on
+    * natural exhaustion as a convenience).
+    */
+  def parseStream(raw: InputStream, file: String,
+                  maxPayloadBytes: Long = DefaultMaxPayloadBytes): Iterator[WarcRecord] = {
+    val buffered = new BufferedInputStream(raw, 64 * 1024)
+    buffered.mark(2)
+    val h0 = buffered.read(); val h1 = buffered.read()
+    buffered.reset()
+    val gzipped = h0 == 0x1f && h1 == 0x8b
+    val in: InputStream =
+      if (gzipped) new GZIPInputStream(new EofAware(buffered), 64 * 1024)
+      else buffered
 
     new Iterator[WarcRecord] {
-      private var pos = 0
-      private var nextRec: WarcRecord = advance()
+      private var closed = false
+      private var nextRec: WarcRecord = advanceSafe()
 
-      private def lineEnd(from: Int): Int = {
-        var i = from
-        while (i + 1 < bytes.length &&
-          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-        i
+      private def closeQuietly(): Unit = if (!closed) {
+        closed = true
+        try in.close() catch { case _: Exception => () }
       }
 
+      private def advanceSafe(): WarcRecord =
+        try advance()
+        catch {
+          // corrupt gzip member / IO error: salvage what we have, skip the
+          // rest of this file — a bad shard must not fail the task
+          case _: EOFException | _: java.io.IOException => closeQuietly(); null
+        }
+
+      @annotation.tailrec
       private def advance(): WarcRecord = {
+        if (closed) return null
         // seek the version line of the next record
-        while (pos + 5 <= bytes.length &&
-          !(bytes(pos) == 'W' && bytes(pos + 1) == 'A' &&
-            bytes(pos + 2) == 'R' && bytes(pos + 3) == 'C' &&
-            bytes(pos + 4) == '/')) pos += 1
-        if (pos + 5 > bytes.length) return null
-        pos = lineEnd(pos) + 2
+        var line = readLine(in)
+        while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+        if (line == null) { closeQuietly(); return null }
         var wType = ""; var uri = ""; var date = ""; var cType = ""
         var cLen = -1L
         var ok = true
         // header block ends at the first empty line
-        while (ok && pos < bytes.length &&
-          !(bytes(pos) == '\r' && pos + 1 < bytes.length && bytes(pos + 1) == '\n')) {
-          val e = lineEnd(pos)
-          val line = new String(bytes, pos, e - pos, UTF_8)
-          val ci = line.indexOf(':')
+        var h = readLine(in)
+        while (ok && h != null && h.nonEmpty) {
+          val ci = h.indexOf(':')
           if (ci < 0) ok = false
           else {
-            val k = line.substring(0, ci).trim.toLowerCase
-            val v = line.substring(ci + 1).trim
+            val k = h.substring(0, ci).trim.toLowerCase
+            val v = h.substring(ci + 1).trim
             k match {
               case "warc-type" => wType = v
               case "warc-target-uri" => uri = v
@@ -104,37 +205,82 @@ object Warc {
               case _ => ()
             }
           }
-          pos = e + 2
+          h = readLine(in)
         }
-        pos += 2 // the empty line
-        if (!ok || cLen < 0 || pos + cLen > bytes.length) {
-          pos = bytes.length // malformed: skip the rest of this file
-          return null
+        if (!ok || h == null || cLen < 0) { closeQuietly(); return null }
+        if (cLen > maxPayloadBytes || cLen > Int.MaxValue - 8) {
+          // stream past an oversized payload without allocating it
+          skippedOversized.incrementAndGet()
+          if (!skipFully(in, cLen)) { closeQuietly(); return null }
+          advance()
+        } else {
+          val payload = readFully(in, cLen.toInt)
+          if (payload == null) { closeQuietly(); return null } // truncated
+          WarcRecord(file, wType, uri, date, cType, cLen, payload)
+          // (the \r\n\r\n record separator is consumed by the next seek)
         }
-        val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + cLen.toInt)
-        pos += cLen.toInt + 4 // record separator \r\n\r\n
-        WarcRecord(file, wType, uri, date, cType, cLen, payload)
       }
 
       def hasNext: Boolean = nextRec != null
       def next(): WarcRecord = {
-        val r = nextRec; nextRec = advance(); r
+        val r = nextRec; nextRec = advanceSafe(); r
       }
     }
+  }
+
+  /** Byte-array convenience (tests, fixtures): same streaming parser over
+    * an in-memory stream.
+    */
+  def parseRecords(raw: Array[Byte], file: String): Iterator[WarcRecord] =
+    parseStream(new ByteArrayInputStream(raw), file)
+
+  /** Snapshot of the session Hadoop configuration that can ship to tasks
+    * (the Spark-internal SerializableConfiguration is private[spark]).
+    */
+  private def confSnapshot(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  private def restoreConf(kv: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Open `path` with the Hadoop FileSystem and parse it record-by-record.
+    * Closes the stream when the task completes even if the iterator is
+    * abandoned early (e.g. under a LIMIT).
+    */
+  private def openAndParse(path: String, kv: Array[(String, String)],
+                           maxPayloadBytes: Long): Iterator[WarcRecord] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(restoreConf(kv))
+    val stream = fs.open(p)
+    val tc = TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try stream.close() catch { case _: Exception => () }
+    }
+    parseStream(stream, path, maxPayloadBytes)
   }
 
   /** Read a directory of .warc / .warc.gz files as one record per row:
     * (file, warc_type, target_uri, warc_date, content_type,
     * content_length, payload). Parallelism = files (the crawl sharding
-    * grain); payload stays binary for downstream decode stages.
+    * grain): the `binaryFile` source supplies only the PATH column (its
+    * content column is pruned, so the compressed bytes are never
+    * materialized as a row value) and each task streams its files through
+    * [[parseStream]] in constant memory.
     */
-  def readWarcDir(spark: SparkSession, dir: String,
-                  glob: String = "*"): DataFrame = {
+  def readWarcDir(spark: SparkSession, dir: String, glob: String = "*",
+                  maxPayloadBytes: Long = DefaultMaxPayloadBytes): DataFrame = {
     import spark.implicits._
+    val kv = confSnapshot(spark)
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, c) => parseRecords(c, p) }
+      .select(col("path")).as[String]
+      .flatMap(p => openAndParse(p, kv, maxPayloadBytes))
       .toDF()
   }
 
@@ -142,13 +288,15 @@ object Warc {
     * landing in `dir` are parsed incrementally (Structured Streaming file
     * source — each file is consumed exactly once per checkpoint, so a
     * continuously-arriving crawl drains batch-by-batch without ever
-    * re-parsing history). Same record schema as [[readWarcDir]]; compose
-    * with the Streams.* dedup/cleanse operators downstream.
+    * re-parsing history). Same record schema and constant-memory record
+    * streaming as [[readWarcDir]]; compose with the Streams.* dedup /
+    * cleanse operators downstream.
     */
-  def readWarcStream(spark: SparkSession, dir: String,
-                     glob: String = "*"): DataFrame = {
+  def readWarcStream(spark: SparkSession, dir: String, glob: String = "*",
+                     maxPayloadBytes: Long = DefaultMaxPayloadBytes): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
+    val kv = confSnapshot(spark)
     val schema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", TimestampType),
@@ -156,9 +304,8 @@ object Warc {
       StructField("content", BinaryType)))
     spark.readStream.format("binaryFile").schema(schema)
       .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, c) => parseRecords(c, p) }
+      .select(col("path")).as[String]
+      .flatMap(p => openAndParse(p, kv, maxPayloadBytes))
       .toDF()
   }
 }

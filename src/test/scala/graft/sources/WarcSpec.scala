@@ -75,6 +75,49 @@ class WarcSpec extends AnyFunSuite {
       Seq("https://a.example/1", "https://a.example/2", "https://a.example/3"))
   }
 
+  test("streaming parser: multi-member gz file much larger than the IO buffer parses record-by-record in flat memory") {
+    // 400 records x 2000-byte payloads, one gzip member per record (the
+    // CommonCrawl convention) -> ~800 KB decompressed, 12x the 64 KB
+    // stream buffer. The old reader would materialize all 800 KB in one
+    // byte[]; the streaming parser's largest allocation must be ONE
+    // payload, independent of file size.
+    val f = java.nio.file.Files.createTempFile("big", ".warc.gz")
+    val fos = new java.io.FileOutputStream(f.toFile)
+    (0 until 400).foreach { i =>
+      val payload = (s"doc $i " + ("x" * 2000)).getBytes(UTF_8).take(2000)
+      fos.write(gz(Warc.writeRecord("response", s"https://a.example/$i",
+        "2026-01-01T00:00:00Z", "text/plain", payload)))
+    }
+    fos.close()
+    Warc.resetTelemetry()
+    val in = new java.io.FileInputStream(f.toFile)
+    val it = Warc.parseStream(in, f.toString)
+    // record-iterator behavior: records surface one at a time (the first
+    // is available long before the file is exhausted)
+    val first = it.next()
+    assert(first.target_uri == "https://a.example/0")
+    assert(Warc.peakAllocBytes == 2000,
+      s"first pull should have allocated exactly one payload, got ${Warc.peakAllocBytes}")
+    val rest = it.toList
+    assert(rest.size == 399 && rest.last.target_uri == "https://a.example/399")
+    assert(Warc.peakAllocBytes == 2000,
+      s"peak allocation must stay at one payload for the whole file, got ${Warc.peakAllocBytes}")
+  }
+
+  test("oversized payloads are streamed past (counted, never allocated); later records still parse") {
+    val big = Warc.writeRecord("response", "https://a.example/huge",
+      "2026-01-01T00:00:00Z", "text/plain", Array.fill(50000)('z'.toByte))
+    val small = Warc.writeRecord("response", "https://a.example/ok",
+      "2026-01-01T00:00:01Z", "text/plain", "tiny".getBytes(UTF_8))
+    Warc.resetTelemetry()
+    val recs = Warc.parseStream(
+      new java.io.ByteArrayInputStream(big ++ small), "t",
+      maxPayloadBytes = 4096).toList
+    assert(recs.map(_.target_uri) == List("https://a.example/ok"))
+    assert(Warc.oversizedSkipped == 1)
+    assert(Warc.peakAllocBytes == 4, "the 50 KB payload must never be allocated")
+  }
+
   test("malformed/truncated records skip gracefully instead of throwing") {
     val good = Warc.writeRecord("response", "https://a.example/1",
       "2026-01-01T00:00:00Z", "text/plain", "payload bytes here".getBytes(UTF_8))
