@@ -434,6 +434,46 @@ object ScaleStress {
           tokensPerCluster = 5000L, seed = "stress").count())
       e.unpersist()
       }
+
+      // WARC streaming-parser memory contract: one gz multi-member file
+      // whose RAW size grows linearly with the factor. The gate is not the
+      // wall time but peak_alloc — the largest byte[] the parser allocated
+      // — which must stay flat at ~one payload (3 KB here) while the file
+      // grows 1→8x. The old whole-file-decompress reader would report
+      // peak_alloc == the full raw size (and die at 2 GB); the streaming
+      // reader's footprint is file-size-independent by construction, and
+      // this cell MEASURES that instead of asserting it.
+      if (cellFilter.forall(_.exists("q254_warc_stream".startsWith))) {
+        val dir = new java.io.File(s"/tmp/graft_warc_stress_f$f")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir); dir.mkdirs()
+        val fos = new java.io.FileOutputStream(new java.io.File(dir, "shard.warc.gz"))
+        var raw = 0L
+        (0 until f * 2000).foreach { i =>
+          val payload = (s"doc $i " + ("lorem ipsum " * 256)).getBytes("UTF-8").take(3000)
+          val rec = graft.sources.Warc.writeRecord("response",
+            s"https://stress.example/doc/$i", "2026-01-01T00:00:00Z",
+            "text/html", payload)
+          raw += rec.length
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(rec); g.close()
+          fos.write(bos.toByteArray)
+        }
+        fos.close()
+        val runs = (1 to 3).map { _ =>
+          graft.sources.Warc.resetTelemetry()
+          val t0 = System.nanoTime()
+          val out = graft.sources.Warc.readWarcDir(spark, dir.toString)
+            .agg(count(lit(1)), sum(length(col("payload")))).first().getLong(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          (out, secs, graft.sources.Warc.peakAllocBytes)
+        }
+        val arr = runs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+        println(f"[curve] op=q254_warc_stream factor=$f rows=${f * 2000} " +
+          f"raw_bytes=$raw out=${runs.head._1} peak_alloc=${runs.map(_._3).max} " +
+          f"secs=${runs.map(_._2).min}%.2f runs=$arr")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      }
     }
     spark.stop()
   }
