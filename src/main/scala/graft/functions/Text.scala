@@ -164,13 +164,17 @@ object Text {
   // Luhn (caught by TextSpec). Digit-run bounded on both sides via
   // consumed-boundary groups, the ipv4Re idiom.
   // Dash excluded from both boundary classes (the ssnRe rule) so a
-  // grouped slice of a longer dashed run never matches.
+  // grouped slice of a longer dashed run never matches; letters excluded
+  // SYMMETRICALLY on both sides (r11 advice: the old right class admitted
+  // letters, so "4111...1111x" redacted while "x4111...1111" did not) —
+  // a digit run embedded in an alnum token is an identifier, not a PAN,
+  // whichever side the letter lands on.
   private[graft] val panCandRe =
     "(^|[^0-9A-Za-z-])([0-9]{13,19}|" +
       "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|" +
       "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{1,4}|" +
       "[0-9]{4}-[0-9]{6}-[0-9]{5}|" +
-      "[0-9]{4} [0-9]{6} [0-9]{5})([^0-9-]|$)"
+      "[0-9]{4} [0-9]{6} [0-9]{5})([^0-9A-Za-z-]|$)"
 
   // SSN: AAA-GG-SSSS with the numbering rules baked into alternations
   // (no lookahead in RE2): area not 000/666/9xx, group not 00, serial
@@ -179,7 +183,7 @@ object Text {
   private[graft] val ssnRe =
     "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|6[0-5][0-9]|" +
       "66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|[1-9][0-9])-" +
-      "(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))([^0-9-]|$)"
+      "(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))([^0-9A-Za-z-]|$)"
 
   /** Luhn checksum over the digits of a candidate (separators ignored):
     * every second digit from the right doubles with a 9-wrap, and the
@@ -215,7 +219,7 @@ object Text {
         // per row (~60-100us each, more than the whole scan) — see
         // BoundaryReplace for the replaceAll-parity argument
         (acc, cand) => graft.expressions.BoundaryReplace(
-          acc, cand, "<CC>", "0-9A-Za-z-", "0-9-")))
+          acc, cand, "<CC>", "0-9A-Za-z-", "0-9A-Za-z-")))
 
   /** [[redactPiiExtended]] plus Luhn-validated PAN and rule-validated SSN
     * redaction — the decoy-proof financial tier: checksum-failing digit

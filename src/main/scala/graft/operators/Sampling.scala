@@ -300,9 +300,14 @@ object Sampling {
         sum(col("__q")).as("__qs"))
     val glob = perSource.agg(sum(col("n_docs")).as("__nt"),
       sum(col("__qs")).as("__qt"))
+    // the membership cross-multiply compares products of two Long sums;
+    // at the design point (1e9+ docs x summed integer rubric) a Long*Long
+    // product can overflow and silently flip the flag — compare in
+    // decimal(38,0) instead (max |Long*Long| ~ 8.5e37 always fits)
+    val dec = (c: Column) => c.cast("decimal(20,0)")
     val flagged = perSource.crossJoin(broadcast(glob))
       .withColumn("anneal_ok",
-        col("__qs") * col("__nt") >= col("__qt") * col("n_docs"))
+        dec(col("__qs")) * dec(col("__nt")) >= dec(col("__qt")) * dec(col("n_docs")))
     val powM = sqrtChainPow(col("tokens").cast(DoubleType), alphaMain)
     val powA = sqrtChainPow(col("tokens").cast(DoubleType), alphaAnneal)
     val zm = flagged.agg(sum(powM).as("__zm"))
@@ -495,12 +500,24 @@ object Sampling {
       .agg(greatest(lit(0.0), avg(-col("lp_g")) - avg(-col("lp_d")))
         .as("excess_doc"))
 
-    val perDom = perDoc.groupBy("dom")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("excess_doc")), 6).as("excess"))
-      .join(totD, Seq("dom"))
+    // anchor on the DISTINCT DOMAIN LIST of the input, not the bigram
+    // stream: a domain whose docs all have < 2 words contributes no
+    // bigrams (absent from totD/perDoc) and would otherwise vanish from
+    // the output entirely — outside the smooth/k uniform-mixing guard
+    // that exists precisely so no domain starves. Such a domain surfaces
+    // with baseline 0, excess 0, eg_weight 0 and weight = smooth/k; its
+    // zero w_raw keeps every other domain's weight unchanged.
+    val allDoms = df.select(col(domainCol).as("dom")).distinct()
+    val perDom = allDoms
+      .join(perDoc.groupBy("dom")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("excess_doc")), 6).as("excess")), Seq("dom"), "left")
+      .join(totD, Seq("dom"), "left")
       .crossJoin(broadcast(totG))
-      .withColumn("baseline", col("tt_d").cast("double") / col("tt_g"))
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("excess", coalesce(col("excess"), lit(0.0)))
+      .withColumn("baseline",
+        coalesce(col("tt_d").cast("double") / col("tt_g"), lit(0.0)))
       .withColumn("w_raw", col("baseline") * exp(lit(eta) * col("excess")))
     perDom
       .crossJoin(broadcast(perDom.agg(sum("w_raw").as("__w_sum"),

@@ -1012,9 +1012,9 @@ object Round11 {
       "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{1,4}|[0-9]{4}-[0-9]{6}-[0-9]{5}|" +
       "[0-9]{4} [0-9]{6} [0-9]{5}"
     "list_reduce(list_prepend(" + e + ", list_filter(regexp_extract_all(" +
-      e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9-]|$)', 2), " +
+      e + ", '(^|[^0-9A-Za-z-])(" + cand + ")([^0-9A-Za-z-]|$)', 2), " +
       "c -> " + luhn + ")), (acc, c) -> regexp_replace(acc, " +
-      "'(^|[^0-9A-Za-z-])' || c || '([^0-9-]|$)', '\\1<CC>\\2', 'g'))"
+      "'(^|[^0-9A-Za-z-])' || c || '([^0-9A-Za-z-]|$)', '\\1<CC>\\2', 'g'))"
   }
 
   private def q257Oracle: String = """
@@ -1218,7 +1218,7 @@ object Round11 {
     val ssnRe = "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|" +
       "6[0-5][0-9]|66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|" +
       "[1-9][0-9])-(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))" +
-      "([^0-9-]|$)"
+      "([^0-9A-Za-z-]|$)"
     val base = "regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(regexp_replace(text, " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
@@ -1263,7 +1263,7 @@ object Round11 {
     val ssnRe = "(^|[^0-9A-Za-z-])((?:00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|" +
       "6[0-5][0-9]|66[0-57-9]|6[7-9][0-9]|[7-8][0-9]{2})-(?:0[1-9]|" +
       "[1-9][0-9])-(?:000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))" +
-      "([^0-9-]|$)"
+      "([^0-9A-Za-z-]|$)"
     val base = "regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(regexp_replace(text, " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +

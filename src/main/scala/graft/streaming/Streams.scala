@@ -441,25 +441,38 @@ object Streams {
     * mergeable sketch rows — a DataSketches HLL over `distinctCol` and a
     * log2 value histogram over `histCol`, both per `by` group — to the
     * artifact directory, checkpointed so a re-drain of the same files
-    * adds nothing. This is the streaming face of the scan-once /
+    * adds nothing, and written per-batch-id-partition so an at-least-once
+    * foreachBatch RETRY replaces its own rows instead of duplicating them
+    * (see [[writeSketchBatch]]). This is the streaming face of the scan-once /
     * merge-every-batch contract (q251/q260, examples/sketch_stats.yaml):
     * running distinct counts and quantile brackets come from merging the
     * artifact rows (`Sketches.hllMergeEstimate` / `log2Quantile`), and
     * the stream itself is never rescanned — batch cost stays
     * proportional to the batch at any corpus size.
     */
+  /** One batch's sketch rows, written IDEMPOTENTLY: each batch owns the
+    * deterministic partition directory `batch_id=<id>` and OVERWRITES it.
+    * foreachBatch is at-least-once — a batch retried after a partial or
+    * complete write must replace its own rows, not append beside them
+    * (HLL union would shrug off duplicates, but log2-histogram counts are
+    * summed, so an appended duplicate would inflate quantile brackets).
+    * Readers see `batch_id` as a partition column of `outDir/hll` and
+    * `outDir/hist`.
+    */
+  def writeSketchBatch(batch: DataFrame, by: Seq[String], distinctCol: String,
+                       histCol: String, outDir: String, id: Long): Unit = {
+    graft.operators.Sketches.hllSketches(batch, by, distinctCol)
+      .write.mode("overwrite").parquet(s"$outDir/hll/batch_id=$id")
+    graft.operators.Sketches.log2Histogram(batch, by, histCol)
+      .write.mode("overwrite").parquet(s"$outDir/hist/batch_id=$id")
+  }
+
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,
                                outDir: String, checkpointDir: String): Unit = {
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Sketches.hllSketches(batch, by, distinctCol)
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(s"$outDir/hll")
-        graft.operators.Sketches.log2Histogram(batch, by, histCol)
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(s"$outDir/hist")
-        ()
+        writeSketchBatch(batch, by, distinctCol, histCol, outDir, id)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -334,16 +334,17 @@ class ExpressionsSpec extends AnyFunSuite {
       s"$cand $cand $cand $cand",    // 4-chain
       s"pay $cand now",
       s"x$cand",                     // left boundary blocked (alnum)
+      s"${cand}x",                   // right boundary blocked (alnum, symmetric)
       s"$cand-",                     // right boundary blocked (dash)
       s"-$cand",                     // left blocked (dash in PAN class)
       s"a 9$cand 9",                 // embedded in longer digit run
       "no candidates here",
       s"$cand.$cand.$cand.$cand.$cand") // 5-chain via dots
     val regexPass: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c => regexp_replace(c,
-      concat(lit("(^|[^0-9A-Za-z-])"), lit(cand), lit("([^0-9-]|$)")),
+      concat(lit("(^|[^0-9A-Za-z-])"), lit(cand), lit("([^0-9A-Za-z-]|$)")),
       lit("$1<CC>$2"))
     val fastPass: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
-      BoundaryReplace(c, lit(cand), "<CC>", "0-9A-Za-z-", "0-9-")
+      BoundaryReplace(c, lit(cand), "<CC>", "0-9A-Za-z-", "0-9A-Za-z-")
     val df = texts.toDF("t").select(
       col("t"),
       regexPass(regexPass(col("t"))).as("regex2"),
@@ -365,11 +366,11 @@ class ExpressionsSpec extends AnyFunSuite {
     // forms, proven by the fixed-case battery above) — the property runs
     // thousands of cases without a Spark job per case
     val leftSet = "0-9A-Za-z-"
-    val rightSet = "0-9-"
+    val rightSet = "0-9A-Za-z-"
     def regexPass(t: String, cand: String): String =
       java.util.regex.Pattern
         .compile("(^|[^0-9A-Za-z-])" + java.util.regex.Pattern.quote(cand) +
-          "([^0-9-]|$)")
+          "([^0-9A-Za-z-]|$)")
         .matcher(t).replaceAll("$1<CC>$2")
     val lSet = BoundaryReplace.parseClass(leftSet)
     val rSet = BoundaryReplace.parseClass(rightSet)

@@ -2165,6 +2165,32 @@ class SamplingSpec extends AnyFunSuite {
     Seq(wH, wL, wP).foreach(w => assert(w >= 0.1 / 3 - 1e-9))
   }
 
+  test("doremiWeights: a domain whose docs have no bigrams still surfaces at the smooth/k floor") {
+    // "tiny" docs are single words -> zero bigrams -> absent from every
+    // count table; the r11 advice finding was that such a domain vanished
+    // from the output entirely, outside the uniform-mixing guard that
+    // exists so no domain starves. It must now appear with baseline 0,
+    // excess 0, eg_weight 0 and weight == smooth/k, and the OTHER
+    // domains' weights must still sum with it to 1.
+    val base = "the quick brown fox jumps over the lazy dog"
+    val rows = Seq(
+      (0L, "rich", base + " go red"), (1L, "rich", base + " go red"),
+      (2L, "rich2", base + " go blue"), (3L, "rich2", base),
+      (4L, "tiny", "hello"), (5L, "tiny", "ok"))
+    val out = Sampling.doremiWeights(
+        rows.toDF("doc_id", "dom", "text"), "doc_id", "text", "dom",
+        smooth = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet == Set("rich", "rich2", "tiny"))
+    val (nT, bT, exT, egT, wT) = out("tiny")
+    assert(nT == 0 && bT == 0.0 && exT == 0.0 && egT == 0.0)
+    assert(math.abs(wT - 0.1 / 3) < 1e-6, s"tiny weight $wT != smooth/k")
+    val sum = out.values.map(_._5).sum
+    assert(math.abs(sum - 1.0) < 5e-6, s"weights sum $sum")
+  }
+
   test("retrievalMetrics: hand-computed MRR/recall/nDCG; unjudged queries excluded") {
     val ranked = Seq(
       ("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3), ("q1", 4L, 4),

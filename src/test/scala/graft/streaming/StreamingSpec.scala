@@ -487,5 +487,22 @@ class StreamingSpec extends AnyFunSuite {
         .withColumn("v", col("value").cast("long")),
       Seq("event_type"), "user_id", "v", out, s"$out/ckpt")
     assert(spark.read.parquet(s"$out/hist").count() == nHist)
+
+    // at-least-once retry idempotency: foreachBatch may re-offer a batch
+    // whose artifact rows already committed; the rewrite must REPLACE the
+    // batch's batch_id partition, not append beside it (histogram counts
+    // are summed downstream, so an appended duplicate shifts quantile
+    // brackets). Write batch 0 once, snapshot the merged totals, then
+    // write the identical batch again — totals must be unchanged.
+    def totals() = spark.read.parquet(s"$out/hist")
+      .groupBy("event_type", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Streams.writeSketchBatch(events, Seq("event_type"), "user_id", "v", out, 0L)
+    val afterOnce = totals()
+    Streams.writeSketchBatch(events, Seq("event_type"), "user_id", "v", out, 0L)
+    assert(totals() == afterOnce, "retried batch must overwrite, not append")
+    val hllOnce = spark.read.parquet(s"$out/hll").count()
+    Streams.writeSketchBatch(events, Seq("event_type"), "user_id", "v", out, 0L)
+    assert(spark.read.parquet(s"$out/hll").count() == hllOnce)
   }
 }
