@@ -1,0 +1,821 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-rolled scanners for the PII/credential candidate grammars —
+  * the `regexp_extract_all` / `regexp_replace` passes of the redaction
+  * family re-expressed as codegen'd single-pass loops.
+  *
+  * Why: the candidate grammars (PAN digit groupings, SSN shape, IBAN
+  * print/electronic forms, hex runs, AWS/GitHub key shapes) are regular
+  * but TINY — each is a handful of fixed-width digit/alnum runs with
+  * one or two bounded greedy tails. `java.util.regex` matches them fine
+  * but at interpreter cost (and on this host multithreaded regex
+  * collapses to single-core throughput — COVERAGE.md round-11 table),
+  * while a hand scanner is a few table lookups per character and stays
+  * inside whole-stage codegen.
+  *
+  * PARITY IS THE CONTRACT: every scanner reproduces
+  * `Matcher.find`/`replaceAll` semantics over the exact pattern it
+  * replaces (the patterns still live in `functions/Text.scala` and the
+  * DuckDB oracles still execute them verbatim — q243/q249/q252):
+  *
+  *  - attempt positions advance one char on failure (leftmost match);
+  *  - `(^|[^L])` consumes nothing at position 0, else exactly one
+  *    non-member char — at a failed position-0 attempt the `[^L]`
+  *    alternative is retried at the same position, like the regex;
+  *  - body alternatives are tried IN PATTERN ORDER, each with greedy
+  *    bounded quantifiers that backtrack against the right boundary
+  *    (`([^R]|$)`) — including the IBAN case where giving up a spaced
+  *    group re-offers its prefix to the optional tail;
+  *  - the scan resumes AFTER the consumed right-boundary char, so of
+  *    two adjacent occurrences the second defers to the next pass
+  *    (why every family runs two passes — do not "fix" this here);
+  *  - replacement emits `$1<MARK>$3` — kept left boundary, marker,
+  *    kept right boundary.
+  *
+  * PiiScanSpec pins each scanner against a driver-side run of the
+  * verbatim pattern: a fixed adversarial battery plus ScalaCheck soups
+  * (thousands of random texts per family).
+  */
+object PiiScan {
+
+  // ---- character classes (ASCII tables, the BoundaryReplace idiom) ----
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAlnum(c: Char): Boolean =
+    isDigit(c) || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isUpperAlnum(c: Char): Boolean =
+    isDigit(c) || (c >= 'A' && c <= 'Z')
+  private def isHexLower(c: Char): Boolean =
+    isDigit(c) || (c >= 'a' && c <= 'f')
+  // PAN/SSN boundary class: [0-9A-Za-z-] on BOTH sides (symmetric)
+  private def inPanClass(c: Char): Boolean = isAlnum(c) || c == '-'
+
+  private val EmptyArr = new GenericArrayData(new Array[Any](0))
+
+  private def toArr(buf: java.util.ArrayList[Any]): ArrayData =
+    if (buf.isEmpty) EmptyArr else new GenericArrayData(buf.toArray)
+
+  // =====================================================================
+  // PAN candidates — parity with
+  //   regexp_extract_all(text, panCandRe, 2)
+  //   panCandRe = (^|[^0-9A-Za-z-])(13-19 digits | 4-4-4-{1,4} dashed |
+  //               4-4-4-{1,4} spaced | 4-6-5 dashed | 4-6-5 spaced)
+  //               ([^0-9A-Za-z-]|$)
+  // =====================================================================
+
+  /** Contiguous digit count from `i`, capped (cap only needs to exceed
+    * the longest quantifier by one to preserve semantics).
+    */
+  private def digitRun(t: String, i: Int, cap: Int): Int = {
+    var k = 0
+    while (k < cap && i + k < t.length && isDigit(t.charAt(i + k))) k += 1
+    k
+  }
+
+  private def boundaryOkPan(t: String, j: Int): Boolean =
+    j == t.length || !inPanClass(t.charAt(j))
+
+  private def digits4(t: String, i: Int): Boolean =
+    i + 4 <= t.length && isDigit(t.charAt(i)) && isDigit(t.charAt(i + 1)) &&
+      isDigit(t.charAt(i + 2)) && isDigit(t.charAt(i + 3))
+
+  private def digitsN(t: String, i: Int, n: Int): Boolean = {
+    if (i + n > t.length) return false
+    var k = 0
+    while (k < n) { if (!isDigit(t.charAt(i + k))) return false; k += 1 }
+    true
+  }
+
+  /** Body match at `i` (all alternatives + right boundary); returns the
+    * body end (exclusive) or -1. Alternative order and greedy
+    * backtracking mirror the pattern exactly.
+    */
+  private def panBodyEnd(t: String, i: Int): Int = {
+    // alt 1: [0-9]{13,19} — greedy, backtracks against the boundary
+    val d = digitRun(t, i, 20)
+    if (d >= 13) {
+      var k = math.min(19, d)
+      while (k >= 13) {
+        if (boundaryOkPan(t, i + k)) return i + k
+        k -= 1
+      }
+    }
+    // alts 2+3: [0-9]{4}S[0-9]{4}S[0-9]{4}S[0-9]{1,4}, S = '-' then ' '
+    var s = 0
+    while (s < 2) {
+      val sep = if (s == 0) '-' else ' '
+      if (digits4(t, i) && i + 4 < t.length && t.charAt(i + 4) == sep &&
+          digits4(t, i + 5) && i + 9 < t.length && t.charAt(i + 9) == sep &&
+          digits4(t, i + 10) && i + 14 < t.length && t.charAt(i + 14) == sep) {
+        val m = digitRun(t, i + 15, 5)
+        var k = math.min(4, m)
+        while (k >= 1) {
+          if (boundaryOkPan(t, i + 15 + k)) return i + 15 + k
+          k -= 1
+        }
+      }
+      s += 1
+    }
+    // alts 4+5: [0-9]{4}S[0-9]{6}S[0-9]{5}
+    s = 0
+    while (s < 2) {
+      val sep = if (s == 0) '-' else ' '
+      if (digits4(t, i) && i + 4 < t.length && t.charAt(i + 4) == sep &&
+          digitsN(t, i + 5, 6) && i + 11 < t.length && t.charAt(i + 11) == sep &&
+          digitsN(t, i + 12, 5) && boundaryOkPan(t, i + 17)) return i + 17
+      s += 1
+    }
+    -1
+  }
+
+  def panCandidates(t: String): ArrayData = {
+    val out = new java.util.ArrayList[Any](2)
+    val n = t.length
+    var p = 0
+    while (p < n) {
+      var resume = -1
+      // `^` alternative (zero-width, position 0 only), then `[^L]`
+      if (p == 0) {
+        val e = panBodyEnd(t, 0)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(0, e)))
+          resume = if (e < n && !inPanClass(t.charAt(e))) e + 1 else e
+        }
+      }
+      if (resume < 0 && !inPanClass(t.charAt(p))) {
+        val e = panBodyEnd(t, p + 1)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(p + 1, e)))
+          resume = if (e < n && !inPanClass(t.charAt(e))) e + 1 else e
+        }
+      }
+      p = if (resume >= 0) resume else p + 1
+    }
+    toArr(out)
+  }
+
+  // =====================================================================
+  // SSN redaction — parity with
+  //   regexp_replace(text, ssnRe, "$1<SSN>$3")
+  //   area 001-899 excluding 666, group 01-99, serial 0001-9999,
+  //   boundary [^0-9A-Za-z-] both sides.
+  // =====================================================================
+
+  /** Valid-SSN body at `i` (fixed width 11) + right boundary. */
+  private def ssnBodyEnd(t: String, i: Int): Int = {
+    if (i + 11 > t.length) return -1
+    if (!digitsN(t, i, 3) || t.charAt(i + 3) != '-' ||
+        !digitsN(t, i + 4, 2) || t.charAt(i + 6) != '-' ||
+        !digitsN(t, i + 7, 4)) return -1
+    val area = (t.charAt(i) - '0') * 100 + (t.charAt(i + 1) - '0') * 10 +
+      (t.charAt(i + 2) - '0')
+    if (area < 1 || area > 899 || area == 666) return -1
+    if (t.charAt(i + 4) == '0' && t.charAt(i + 5) == '0') return -1
+    if (t.charAt(i + 7) == '0' && t.charAt(i + 8) == '0' &&
+        t.charAt(i + 9) == '0' && t.charAt(i + 10) == '0') return -1
+    if (!boundaryOkPan(t, i + 11)) return -1
+    i + 11
+  }
+
+  def ssnRedact(t: String): UTF8String = {
+    val n = t.length
+    var p = 0
+    var out: java.lang.StringBuilder = null
+    var pos = 0
+    while (p < n) {
+      var bodyStart = -1; var bodyEnd = -1
+      if (p == 0) {
+        val e = ssnBodyEnd(t, 0)
+        if (e >= 0) { bodyStart = 0; bodyEnd = e }
+      }
+      if (bodyEnd < 0 && !inPanClass(t.charAt(p))) {
+        val e = ssnBodyEnd(t, p + 1)
+        if (e >= 0) { bodyStart = p + 1; bodyEnd = e }
+      }
+      if (bodyEnd >= 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(t, pos, bodyStart) // includes the kept left boundary ($1)
+        out.append("<SSN>")
+        if (bodyEnd < n) { out.append(t.charAt(bodyEnd)); pos = bodyEnd + 1 }
+        else pos = bodyEnd
+        p = pos
+      } else p += 1
+    }
+    if (out == null) UTF8String.fromString(t)
+    else { out.append(t, pos, n); UTF8String.fromString(out.toString) }
+  }
+
+  // =====================================================================
+  // IBAN candidates — parity with
+  //   regexp_extract_all(text, ibanCandRe, 2)
+  //   ibanCandRe = (^|[^0-9A-Za-z])([A-Z]{2}[0-9]{2}(?: [0-9A-Z]{4}){3,7}
+  //                (?: [0-9A-Z]{1,3})? | [A-Z]{2}[0-9]{2}[0-9A-Z]{11,30})
+  //                ([^0-9A-Za-z]|$)
+  // =====================================================================
+
+  private def boundaryOkAlnum(t: String, j: Int): Boolean =
+    j == t.length || !isAlnum(t.charAt(j))
+
+  private def upperAlnumRun(t: String, i: Int, cap: Int): Int = {
+    var k = 0
+    while (k < cap && i + k < t.length && isUpperAlnum(t.charAt(i + k))) k += 1
+    k
+  }
+
+  private def ibanBodyEnd(t: String, i: Int): Int = {
+    val n = t.length
+    if (i + 4 > n) return -1
+    val c0 = t.charAt(i); val c1 = t.charAt(i + 1)
+    if (c0 < 'A' || c0 > 'Z' || c1 < 'A' || c1 > 'Z' ||
+        !isDigit(t.charAt(i + 2)) || !isDigit(t.charAt(i + 3))) return -1
+    // spaced alternative first: (?: [0-9A-Z]{4}){3,7} greedy, then the
+    // optional (?: [0-9A-Z]{1,3})? tail, both backtracking against the
+    // boundary — INCLUDING re-offering a given-up group's prefix to the
+    // tail (the regex genuinely does this: "CC00 1111 2222 3333 4444x"
+    // matches with 3 groups and no tail, boundary on the space).
+    var g = 0
+    while (g < 7 && {
+      val pos = i + 4 + 5 * g
+      pos + 5 <= n && t.charAt(pos) == ' ' &&
+        isUpperAlnum(t.charAt(pos + 1)) && isUpperAlnum(t.charAt(pos + 2)) &&
+        isUpperAlnum(t.charAt(pos + 3)) && isUpperAlnum(t.charAt(pos + 4))
+    }) g += 1
+    var gp = g
+    while (gp >= 3) {
+      val base = i + 4 + 5 * gp
+      if (base < n && t.charAt(base) == ' ') {
+        var tl = math.min(3, upperAlnumRun(t, base + 1, 4))
+        while (tl >= 1) {
+          if (boundaryOkAlnum(t, base + 1 + tl)) return base + 1 + tl
+          tl -= 1
+        }
+      }
+      if (boundaryOkAlnum(t, base)) return base
+      gp -= 1
+    }
+    // compact alternative: [0-9A-Z]{11,30} greedy
+    val m = upperAlnumRun(t, i + 4, 31)
+    var k = math.min(30, m)
+    while (k >= 11) {
+      if (boundaryOkAlnum(t, i + 4 + k)) return i + 4 + k
+      k -= 1
+    }
+    -1
+  }
+
+  def ibanCandidates(t: String): ArrayData = {
+    val out = new java.util.ArrayList[Any](2)
+    val n = t.length
+    var p = 0
+    while (p < n) {
+      var resume = -1
+      if (p == 0) {
+        val e = ibanBodyEnd(t, 0)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(0, e)))
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+        }
+      }
+      if (resume < 0 && !isAlnum(t.charAt(p))) {
+        val e = ibanBodyEnd(t, p + 1)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(p + 1, e)))
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+        }
+      }
+      p = if (resume >= 0) resume else p + 1
+    }
+    toArr(out)
+  }
+
+  // =====================================================================
+  // Lowercase-hex candidates — parity with
+  //   regexp_extract_all(text, hexRunRe, 2)
+  //   hexRunRe = (^|[^0-9A-Za-z])([0-9a-f]{32,64})([^0-9A-Za-z]|$)
+  // =====================================================================
+
+  private def hexBodyEnd(t: String, i: Int): Int = {
+    var m = 0
+    while (m < 65 && i + m < t.length && isHexLower(t.charAt(i + m))) m += 1
+    if (m < 32) return -1
+    // greedy k = min(64, m)..32; any k < m is followed by a hex char
+    // (alnum → boundary fails), so only the full run can succeed
+    var k = math.min(64, m)
+    while (k >= 32) {
+      if (boundaryOkAlnum(t, i + k)) return i + k
+      k -= 1
+    }
+    -1
+  }
+
+  def hexCandidates(t: String): ArrayData = {
+    val out = new java.util.ArrayList[Any](2)
+    val n = t.length
+    var p = 0
+    while (p < n) {
+      var resume = -1
+      if (p == 0) {
+        val e = hexBodyEnd(t, 0)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(0, e)))
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+        }
+      }
+      if (resume < 0 && !isAlnum(t.charAt(p))) {
+        val e = hexBodyEnd(t, p + 1)
+        if (e >= 0) {
+          out.add(UTF8String.fromString(t.substring(p + 1, e)))
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+        }
+      }
+      p = if (resume >= 0) resume else p + 1
+    }
+    toArr(out)
+  }
+
+  // =====================================================================
+  // AWS access-key-id / GitHub-PAT redaction — parity with
+  //   regexp_replace(text, awsKeyRe, "$1<AWSKEY>$3")
+  //   awsKeyRe = (^|[^0-9A-Za-z])(A(?:KIA|SIA)[0-9A-Z]{16})([^0-9A-Za-z]|$)
+  //   regexp_replace(text, ghTokenRe, "$1<GHTOKEN>$3")
+  //   ghTokenRe = (^|[^0-9A-Za-z])(gh[pos]_[A-Za-z0-9]{36})([^0-9A-Za-z_]|$)
+  // =====================================================================
+
+  private def awsBodyEnd(t: String, i: Int): Int = {
+    if (i + 20 > t.length || t.charAt(i) != 'A') return -1
+    val c1 = t.charAt(i + 1)
+    if (!((c1 == 'K' || c1 == 'S') && t.charAt(i + 2) == 'I' &&
+          t.charAt(i + 3) == 'A')) return -1
+    var k = 4
+    while (k < 20) {
+      if (!isUpperAlnum(t.charAt(i + k))) return -1
+      k += 1
+    }
+    if (!boundaryOkAlnum(t, i + 20)) return -1
+    i + 20
+  }
+
+  private def ghBoundaryOk(t: String, j: Int): Boolean =
+    j == t.length || (!isAlnum(t.charAt(j)) && t.charAt(j) != '_')
+
+  private def ghBodyEnd(t: String, i: Int): Int = {
+    if (i + 40 > t.length || t.charAt(i) != 'g' || t.charAt(i + 1) != 'h')
+      return -1
+    val c2 = t.charAt(i + 2)
+    if (!(c2 == 'p' || c2 == 'o' || c2 == 's') || t.charAt(i + 3) != '_')
+      return -1
+    var k = 4
+    while (k < 40) {
+      if (!isAlnum(t.charAt(i + k))) return -1
+      k += 1
+    }
+    if (!ghBoundaryOk(t, i + 40)) return -1
+    i + 40
+  }
+
+  /** Shared replaceAll loop for the fixed-shape credential bodies. */
+  private def redactShape(t: String, mark: String,
+                          bodyEnd: (String, Int) => Int,
+                          rightConsumes: (String, Int) => Boolean): UTF8String = {
+    val n = t.length
+    var p = 0
+    var out: java.lang.StringBuilder = null
+    var pos = 0
+    while (p < n) {
+      var bodyStart = -1; var e = -1
+      if (p == 0) {
+        val e0 = bodyEnd(t, 0)
+        if (e0 >= 0) { bodyStart = 0; e = e0 }
+      }
+      if (e < 0 && !isAlnum(t.charAt(p))) {
+        val e1 = bodyEnd(t, p + 1)
+        if (e1 >= 0) { bodyStart = p + 1; e = e1 }
+      }
+      if (e >= 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(t, pos, bodyStart)
+        out.append(mark)
+        if (e < n && rightConsumes(t, e)) { out.append(t.charAt(e)); pos = e + 1 }
+        else pos = e
+        p = pos
+      } else p += 1
+    }
+    if (out == null) UTF8String.fromString(t)
+    else { out.append(t, pos, n); UTF8String.fromString(out.toString) }
+  }
+
+  def awsRedact(t: String): UTF8String =
+    redactShape(t, "<AWSKEY>", awsBodyEnd, (s, j) => !isAlnum(s.charAt(j)))
+
+  def ghRedact(t: String): UTF8String =
+    redactShape(t, "<GHTOKEN>", ghBodyEnd,
+      (s, j) => !isAlnum(s.charAt(j)) && s.charAt(j) != '_')
+
+  // =====================================================================
+  // Email redaction — parity with
+  //   regexp_replace(text, emailRe, "<EMAIL>")
+  //   emailRe = [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+  // No boundary groups: the pattern is unanchored, so the scan start IS
+  // the match start (the local-part class excludes '@', so a failed run
+  // can be skipped wholesale — same outcome as the regex's one-char
+  // advance, in one step).
+  // =====================================================================
+
+  private def isLocalChar(c: Char): Boolean =
+    isAlnum(c) || c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  private def isDomainChar(c: Char): Boolean =
+    isAlnum(c) || c == '.' || c == '-'
+  private def isLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+
+  /** Match end of `@domain.tld` starting at the '@' position `a`, or -1.
+    * Domain+ is greedy then backtracks against `\.[A-Za-z]{2,}`: the
+    * WINNER is the largest split point q with t(q)=='.' followed by >= 2
+    * letters; the TLD then extends greedily over letters only.
+    */
+  private def emailTailEnd(t: String, a: Int): Int = {
+    val n = t.length
+    var e = a + 1
+    while (e < n && isDomainChar(t.charAt(e))) e += 1
+    if (e == a + 1) return -1 // empty domain
+    var q = e - 1
+    while (q > a + 1) {
+      if (t.charAt(q) == '.') {
+        var l = q + 1
+        while (l < n && isLetter(t.charAt(l))) l += 1
+        if (l - q - 1 >= 2) return l
+      }
+      q -= 1
+    }
+    -1
+  }
+
+  def emailRedact(t: String): UTF8String = {
+    val n = t.length
+    var p = 0
+    var out: java.lang.StringBuilder = null
+    var pos = 0
+    while (p < n) {
+      if (isLocalChar(t.charAt(p))) {
+        var a = p
+        while (a < n && isLocalChar(t.charAt(a))) a += 1
+        var advanced = false
+        if (a < n && t.charAt(a) == '@') {
+          val e = emailTailEnd(t, a)
+          if (e >= 0) {
+            if (out == null) out = new java.lang.StringBuilder(n)
+            out.append(t, pos, p)
+            out.append("<EMAIL>")
+            pos = e
+            p = e
+            advanced = true
+          }
+        }
+        // a failed local run can be skipped whole: every later start
+        // inside it sees the same run end and the same failure
+        if (!advanced) p = math.max(a, p + 1)
+      } else p += 1
+    }
+    if (out == null) UTF8String.fromString(t)
+    else { out.append(t, pos, n); UTF8String.fromString(out.toString) }
+  }
+
+  // =====================================================================
+  // IPv4 redaction — parity with
+  //   regexp_replace(text, ipv4Re, "$1<IP>$3")
+  //   ipv4Re = (^|[^0-9A-Za-z_.])((?:octet\.){3}octet)
+  //            ([^0-9A-Za-z_.]|\.[^0-9]|\.$|$)
+  //   octet  = 25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9]
+  // The right "boundary" can consume TWO chars (the `\.[^0-9]` arm) and
+  // is re-emitted by $3; octet alternations backtrack (rightmost first)
+  // against the dots and the final boundary.
+  // =====================================================================
+
+  private def inIpClass(c: Char): Boolean = isAlnum(c) || c == '_' || c == '.'
+
+  /** Octet lengths to try at `i`, in the pattern's alternation order:
+    * one 3-char arm at most (mutually exclusive), then 2, then 1. Packed
+    * into a small int: bit 2 = len 3, bit 1 = len 2, bit 0 = len 1.
+    */
+  private def octetLens(t: String, i: Int): Int = {
+    val n = t.length
+    if (i >= n || !isDigit(t.charAt(i))) return 0
+    val c0 = t.charAt(i)
+    var mask = 1 // [0-9] always
+    if (i + 1 < n && isDigit(t.charAt(i + 1))) {
+      if (c0 >= '1') mask |= 2 // [1-9][0-9]
+      if (i + 2 < n && isDigit(t.charAt(i + 2))) {
+        val c1 = t.charAt(i + 1); val c2 = t.charAt(i + 2)
+        val three =
+          (c0 == '2' && c1 == '5' && c2 <= '5') ||
+          (c0 == '2' && c1 <= '4') ||
+          (c0 == '1')
+        if (three) mask |= 4
+      }
+    }
+    mask
+  }
+
+  /** Body+boundary at `i`: packs (bodyEnd, consumed) as bodyEnd*4+consumed
+    * or -1. Backtracks the four octets depth-first, each trying lengths
+    * 3,2,1 in alternation order.
+    */
+  private def ipBodyEnd(t: String, i: Int): Int = {
+    val n = t.length
+    def boundary(j: Int): Int = { // consumed char count or -1
+      if (j == n) return 0
+      val c = t.charAt(j)
+      if (!inIpClass(c)) return 1
+      if (c == '.') {
+        if (j + 1 < n) { if (!isDigit(t.charAt(j + 1))) return 2 else return -1 }
+        else return 1 // \.$
+      }
+      -1
+    }
+    def rec(pos: Int, k: Int): Int = {
+      val mask = octetLens(t, pos)
+      var b = 4
+      while (b >= 1) {
+        if ((mask & b) != 0) {
+          val len = if (b == 4) 3 else if (b == 2) 2 else 1
+          val e = pos + len
+          if (k == 3) {
+            val c = boundary(e)
+            if (c >= 0) return e * 4 + c
+          } else if (e < n && t.charAt(e) == '.') {
+            val r = rec(e + 1, k + 1)
+            if (r >= 0) return r
+          }
+        }
+        b >>= 1
+      }
+      -1
+    }
+    rec(i, 0)
+  }
+
+  def ipRedact(t: String): UTF8String = {
+    val n = t.length
+    var p = 0
+    var out: java.lang.StringBuilder = null
+    var pos = 0
+    while (p < n) {
+      var bodyStart = -1; var packed = -1
+      if (p == 0) {
+        val r = ipBodyEnd(t, 0)
+        if (r >= 0) { bodyStart = 0; packed = r }
+      }
+      if (packed < 0 && !inIpClass(t.charAt(p))) {
+        val r = ipBodyEnd(t, p + 1)
+        if (r >= 0) { bodyStart = p + 1; packed = r }
+      }
+      if (packed >= 0) {
+        val e = packed / 4; val consumed = packed % 4
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(t, pos, bodyStart)
+        out.append("<IP>")
+        out.append(t, e, e + consumed) // $3, 0-2 chars
+        pos = e + consumed
+        p = pos
+      } else p += 1
+    }
+    if (out == null) UTF8String.fromString(t)
+    else { out.append(t, pos, n); UTF8String.fromString(out.toString) }
+  }
+
+  // =====================================================================
+  // NANP phone redaction — parity with
+  //   regexp_replace(text, phoneRe, "$1<PHONE>$3")
+  //   phoneRe = (^|[^0-9A-Za-z])((?:\+?1[-. ])?(?:\([2-9][0-9]{2}\)[-. ]?|
+  //             [2-9][0-9]{2}[-. ])[2-9][0-9]{2}[-. ][0-9]{4})([^0-9]|$)
+  // Prefix and paren-separator options backtrack in greedy order.
+  // =====================================================================
+
+  private def isSep(c: Char): Boolean = c == '-' || c == '.' || c == ' '
+  private def is29(c: Char): Boolean = c >= '2' && c <= '9'
+
+  private def phoneBodyEnd(t: String, i: Int): Int = {
+    val n = t.length
+    // suffix after the prefix/area parts: [2-9][0-9]{2}[-. ][0-9]{4}
+    def suffix(pos: Int): Int = {
+      if (pos + 8 > n) return -1
+      if (!is29(t.charAt(pos)) || !isDigit(t.charAt(pos + 1)) ||
+          !isDigit(t.charAt(pos + 2)) || !isSep(t.charAt(pos + 3))) return -1
+      var k = 4
+      while (k < 8) { if (!isDigit(t.charAt(pos + k))) return -1; k += 1 }
+      val j = pos + 8
+      if (j == n || !isDigit(t.charAt(j))) j else -1
+    }
+    // area-code part: \([2-9][0-9]{2}\)[-. ]? (sep greedy) | [2-9][0-9]{2}[-. ]
+    def area(pos: Int): Int = {
+      if (pos + 5 <= n && t.charAt(pos) == '(' && is29(t.charAt(pos + 1)) &&
+          isDigit(t.charAt(pos + 2)) && isDigit(t.charAt(pos + 3)) &&
+          t.charAt(pos + 4) == ')') {
+        if (pos + 5 < n && isSep(t.charAt(pos + 5))) {
+          val r = suffix(pos + 6)
+          if (r >= 0) return r
+        }
+        val r = suffix(pos + 5)
+        if (r >= 0) return r
+      }
+      if (pos + 4 <= n && is29(t.charAt(pos)) && isDigit(t.charAt(pos + 1)) &&
+          isDigit(t.charAt(pos + 2)) && isSep(t.charAt(pos + 3))) {
+        val r = suffix(pos + 4)
+        if (r >= 0) return r
+      }
+      -1
+    }
+    // optional prefix, greedy: "+1<sep>" then "1<sep>" then none
+    if (i + 3 <= n && t.charAt(i) == '+' && t.charAt(i + 1) == '1' &&
+        isSep(t.charAt(i + 2))) {
+      val r = area(i + 3)
+      if (r >= 0) return r
+    }
+    if (i + 2 <= n && t.charAt(i) == '1' && isSep(t.charAt(i + 1))) {
+      val r = area(i + 2)
+      if (r >= 0) return r
+    }
+    area(i)
+  }
+
+  def phoneRedact(t: String): UTF8String = {
+    val n = t.length
+    var p = 0
+    var out: java.lang.StringBuilder = null
+    var pos = 0
+    while (p < n) {
+      var bodyStart = -1; var e = -1
+      if (p == 0) {
+        val r = phoneBodyEnd(t, 0)
+        if (r >= 0) { bodyStart = 0; e = r }
+      }
+      if (e < 0 && !isAlnum(t.charAt(p))) {
+        val r = phoneBodyEnd(t, p + 1)
+        if (r >= 0) { bodyStart = p + 1; e = r }
+      }
+      if (e >= 0) {
+        if (out == null) out = new java.lang.StringBuilder(n)
+        out.append(t, pos, bodyStart)
+        out.append("<PHONE>")
+        if (e < n && !isDigit(t.charAt(e))) { out.append(t.charAt(e)); pos = e + 1 }
+        else pos = e
+        p = pos
+      } else p += 1
+    }
+    if (out == null) UTF8String.fromString(t)
+    else { out.append(t, pos, n); UTF8String.fromString(out.toString) }
+  }
+}
+
+/** Base for the string→array candidate scanners. */
+sealed abstract class PiiCandidatesBase extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+  protected def staticName: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PiiScan.$staticName($c.toString())")
+}
+
+/** Base for the string→string shape redactors. */
+sealed abstract class PiiRedactBase extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+  protected def staticName: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PiiScan.$staticName($c.toString())")
+}
+
+case class PanCandidates(child: Expression) extends PiiCandidatesBase {
+  override def prettyName: String = "graft_pan_candidates"
+  override protected def staticName: String = "panCandidates"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.panCandidates(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): PanCandidates =
+    copy(child = newChild)
+}
+object PanCandidates {
+  def apply(c: Column): Column =
+    ColumnBridge.column(PanCandidates(ColumnBridge.expression(c)))
+}
+
+case class IbanCandidates(child: Expression) extends PiiCandidatesBase {
+  override def prettyName: String = "graft_iban_candidates"
+  override protected def staticName: String = "ibanCandidates"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.ibanCandidates(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): IbanCandidates =
+    copy(child = newChild)
+}
+object IbanCandidates {
+  def apply(c: Column): Column =
+    ColumnBridge.column(IbanCandidates(ColumnBridge.expression(c)))
+}
+
+case class HexCandidates(child: Expression) extends PiiCandidatesBase {
+  override def prettyName: String = "graft_hex_candidates"
+  override protected def staticName: String = "hexCandidates"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.hexCandidates(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): HexCandidates =
+    copy(child = newChild)
+}
+object HexCandidates {
+  def apply(c: Column): Column =
+    ColumnBridge.column(HexCandidates(ColumnBridge.expression(c)))
+}
+
+case class SsnRedact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_ssn_redact"
+  override protected def staticName: String = "ssnRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.ssnRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): SsnRedact =
+    copy(child = newChild)
+}
+object SsnRedact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(SsnRedact(ColumnBridge.expression(c)))
+}
+
+case class AwsKeyRedact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_aws_key_redact"
+  override protected def staticName: String = "awsRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.awsRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): AwsKeyRedact =
+    copy(child = newChild)
+}
+object AwsKeyRedact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(AwsKeyRedact(ColumnBridge.expression(c)))
+}
+
+case class GhTokenRedact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_gh_token_redact"
+  override protected def staticName: String = "ghRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.ghRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): GhTokenRedact =
+    copy(child = newChild)
+}
+object GhTokenRedact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(GhTokenRedact(ColumnBridge.expression(c)))
+}
+
+case class EmailRedact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_email_redact"
+  override protected def staticName: String = "emailRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.emailRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): EmailRedact =
+    copy(child = newChild)
+}
+object EmailRedact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(EmailRedact(ColumnBridge.expression(c)))
+}
+
+case class Ipv4Redact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_ipv4_redact"
+  override protected def staticName: String = "ipRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.ipRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): Ipv4Redact =
+    copy(child = newChild)
+}
+object Ipv4Redact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Ipv4Redact(ColumnBridge.expression(c)))
+}
+
+case class PhoneRedact(child: Expression) extends PiiRedactBase {
+  override def prettyName: String = "graft_phone_redact"
+  override protected def staticName: String = "phoneRedact"
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.phoneRedact(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): PhoneRedact =
+    copy(child = newChild)
+}
+object PhoneRedact {
+  def apply(c: Column): Column =
+    ColumnBridge.column(PhoneRedact(ColumnBridge.expression(c)))
+}

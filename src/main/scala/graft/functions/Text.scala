@@ -88,7 +88,7 @@ object Text {
 
   // PII patterns chosen for cross-engine regex portability (Java regex and
   // RE2 both support these constructs; no lookbehind, no script classes).
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // IPv4: octets constrained to 0-255, anchored against adjacent
   // letters/digits/dots so version-like runs ("1.2.3.4.5") and out-of-range
   // fakes ("999.1.1.1") stay untouched. RE2 has no lookaround (and the
@@ -96,7 +96,7 @@ object Text {
   // groups re-inserted by the replacement; a trailing dot is a boundary
   // only when NOT followed by a digit (sentence-final IPs redact, dotted
   // runs don't).
-  private val octetRe = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  private[graft] val octetRe = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
   private[graft] val ipv4Re =
     s"(^|[^0-9A-Za-z_.])((?:$octetRe\\.){3}$octetRe)([^0-9A-Za-z_.]|\\.[^0-9]|\\.$$|$$)"
 
@@ -107,8 +107,8 @@ object Text {
     * pass sees the re-inserted boundary.
     */
   def redactPii(text: Column): Column = {
-    val ipPass: Column => Column = c => regexp_replace(c, ipv4Re, "$1<IP>$3")
-    ipPass(ipPass(regexp_replace(text, emailRe, "<EMAIL>")))
+    val ipPass: Column => Column = c => graft.expressions.Ipv4Redact(c)
+    ipPass(ipPass(graft.expressions.EmailRedact(text)))
   }
 
   /** Number of placeholders [[redactPii]] inserts (audit metric): counted on
@@ -135,7 +135,7 @@ object Text {
     * tokens contain no digits, so the passes commute with the phone pass).
     */
   def redactPiiExtended(text: Column): Column = {
-    val phonePass: Column => Column = c => regexp_replace(c, phoneRe, "$1<PHONE>$3")
+    val phonePass: Column => Column = c => graft.expressions.PhoneRedact(c)
     phonePass(phonePass(redactPii(text)))
   }
 
@@ -212,7 +212,7 @@ object Text {
   private def ccPass(c: Column): Column =
     letArr(c, cc =>
       aggregate(
-        filter(regexp_extract_all(cc, lit(panCandRe), lit(2)), luhnOk(_)),
+        filter(graft.expressions.PanCandidates(cc), luhnOk(_)),
         cc,
         // literal-candidate boundary replace WITHOUT the regex engine:
         // the concat-built pattern forced Pattern.compile per candidate
@@ -230,8 +230,7 @@ object Text {
     * families never overlap.
     */
   def redactPiiFinancial(text: Column): Column = {
-    val ssnPass: Column => Column =
-      c => regexp_replace(c, ssnRe, "$1<SSN>$3")
+    val ssnPass: Column => Column = c => graft.expressions.SsnRedact(c)
     ssnPass(ssnPass(ccPass(ccPass(redactPiiExtended(text)))))
   }
 
@@ -287,7 +286,7 @@ object Text {
   private def ibanPass(c: Column): Column =
     letArr(c, tx =>
       aggregate(
-        filter(regexp_extract_all(tx, lit(ibanCandRe), lit(2)), ibanOk(_)),
+        filter(graft.expressions.IbanCandidates(tx), ibanOk(_)),
         tx,
         (acc, cand) => graft.expressions.BoundaryReplace(
           acc, cand, "<IBAN>", "0-9A-Za-z", "0-9A-Za-z")))
@@ -302,8 +301,7 @@ object Text {
     * panCandRe, and PANs/SSNs contain no letters for ibanCandRe.
     */
   def redactPiiBanking(text: Column): Column = {
-    val ssnPass: Column => Column =
-      c => regexp_replace(c, ssnRe, "$1<SSN>$3")
+    val ssnPass: Column => Column = c => graft.expressions.SsnRedact(c)
     ssnPass(ssnPass(ccPass(ccPass(ibanPass(ibanPass(
       redactPiiExtended(text)))))))
   }
@@ -349,7 +347,7 @@ object Text {
   private def hexSecretPass(c: Column): Column =
     letArr(c, tx =>
       aggregate(
-        filter(regexp_extract_all(tx, lit(hexRunRe), lit(2)),
+        filter(graft.expressions.HexCandidates(tx),
           h => shannonEntropy(h) >= 3.5),
         tx,
         (acc, cand) => graft.expressions.BoundaryReplace(
@@ -362,10 +360,8 @@ object Text {
     * production pipelines; compose as needed.
     */
   def redactSecrets(text: Column): Column = {
-    val aws: Column => Column =
-      c => regexp_replace(c, awsKeyRe, "$1<AWSKEY>$3")
-    val gh: Column => Column =
-      c => regexp_replace(c, ghTokenRe, "$1<GHTOKEN>$3")
+    val aws: Column => Column = c => graft.expressions.AwsKeyRedact(c)
+    val gh: Column => Column = c => graft.expressions.GhTokenRedact(c)
     hexSecretPass(hexSecretPass(gh(gh(aws(aws(text))))))
   }
 
