@@ -1,0 +1,49 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 3490 ToASCII over a hostname (`java.net.IDN`, per-label): raw
+  * unicode labels become their punycode `xn--` A-labels, ASCII labels
+  * pass through byte-identical, and anything ToASCII rejects (empty
+  * labels, oversized labels) falls back to the input lowercased — a
+  * canonicalization key must be total on crawl garbage. Lowercasing
+  * matches `Urls.host` (IDN case-folds the unicode path already; the
+  * fallback mirrors it for the ASCII path).
+  */
+case class IdnAsciiHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_idn_ascii_host"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    IdnAsciiHost.toAscii(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.IdnAsciiHost.toAscii($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnAsciiHost =
+    copy(child = newChild)
+}
+
+object IdnAsciiHost {
+  def toAscii(host: String): UTF8String = {
+    val out =
+      try java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT)
+      catch { case _: Exception => host.toLowerCase(java.util.Locale.ROOT) }
+    UTF8String.fromString(out)
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(IdnAsciiHost(ColumnBridge.expression(c)))
+}

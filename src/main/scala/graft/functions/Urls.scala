@@ -53,16 +53,70 @@ object Urls {
     "com.br", "com.mx", "co.in", "co.nz",
     "com.cn", "com.sg", "co.za", "com.tr", "com.ar")
 
-  /** Registered domain: one label + public suffix, with the embedded
-    * two-level suffixes tried first, then the generic `sld.tld` tail;
-    * suffix-less hosts (`localhost`) pass through unchanged.
+  /** PSL `*.parent` wildcard rules (the public suffix is ONE label under
+    * the parent, so the registered domain is two): the stable wildcard
+    * ccTLDs plus the Japanese geographic prefectures-city set and the UK
+    * schools zone — the entries real crawl data actually hits. Snapshot
+    * of the published list (publicsuffix.org), curated like
+    * [[TwoLevelSuffixes]]: literal alternation for the head, broadcast
+    * table for the tail if the full list is ever embedded.
     */
-  def registeredDomain(url: Column): Column = {
-    val h = host(url)
-    val two = TwoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
-    val r3 = regexp_extract(h, s"([^.]+\\.(?:$two))$$", 1)
+  val WildcardParents: Seq[String] = Seq(
+    "ck", "bd", "er", "jm", "kh", "mm", "np", "pg",
+    "sch.uk",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** PSL `!exception` rules: these names are NOT public suffixes despite
+    * a covering wildcard — they are themselves registered domains (the
+    * published list's canonical examples: `www.ck` under `*.ck`, the
+    * `city.<city>.jp` municipal sites under the JP city wildcards).
+    */
+  val PslExceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Registered domain = public suffix + one label, per the
+    * publicsuffix.org algorithm over the embedded rule slice, evaluated
+    * in precedence order: exception rules first (the exception IS the
+    * registered domain for itself and every subdomain), then wildcard
+    * rules (two labels under the parent), then the two-level list, then
+    * the implicit default rule (`sld.tld`). Pure regex column math so
+    * the DuckDB oracle replays it verbatim. Graceful totality where the
+    * spec says "no registered domain": a host that IS a public suffix
+    * (e.g. `co.uk` itself) or has no dot (`localhost`) passes through
+    * unchanged rather than going null — a dedup/rollup key must be
+    * total. IDN hosts: labels are matched as-is, so punycode (`xn--`)
+    * hosts work verbatim; for raw-unicode hosts use
+    * [[registeredDomainIdn]], which A-labels the host first.
+    */
+  def registeredDomain(url: Column): Column =
+    registeredDomainOfHost(host(url))
+
+  /** [[registeredDomain]] with the host punycoded (RFC 3490 ToASCII, the
+    * `xn--` form) before rule matching, so raw-unicode and punycode
+    * spellings of the same IDN host land on the SAME registered domain.
+    * ASCII hosts pass through byte-identical (gated by UrlsSpec), so
+    * this is a drop-in for mixed corpora; the plain form stays the
+    * oracle-replayable default.
+    */
+  def registeredDomainIdn(url: Column): Column =
+    registeredDomainOfHost(graft.expressions.IdnAsciiHost(host(url)))
+
+  private[graft] def registeredDomainOfHost(h: Column): Column = {
+    def alt(xs: Seq[String]) = xs.map(_.replace(".", "\\.")).mkString("|")
+    val rExc = regexp_extract(h, s"(?:^|\\.)((?:${alt(PslExceptions)}))$$", 1)
+    val rWc = regexp_extract(h,
+      s"([^.]+\\.[^.]+\\.(?:${alt(WildcardParents)}))$$", 1)
+    val r3 = regexp_extract(h, s"([^.]+\\.(?:${alt(TwoLevelSuffixes)}))$$", 1)
     val r2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
-    when(length(r3) > 0, r3).when(length(r2) > 0, r2).otherwise(h)
+    when(length(rExc) > 0, rExc)
+      .when(length(rWc) > 0, rWc)
+      .when(length(r3) > 0, r3)
+      .when(length(r2) > 0, r2)
+      .otherwise(h)
   }
 
   /** Number of tracking params the canonicalization strips (audit metric). */

@@ -187,17 +187,32 @@ object Round11 {
     Q("q246_domain_rollup", (s, d) => {
       import graft.functions.Urls
       val id = col("doc_id").cast("string")
-      val url = when(col("doc_id") % 5 === 0,
+      val url = when(col("doc_id") % 10 === 0,
           concat(lit("https://Shop.Example.CO.UK/p/"), id,
             lit("?utm_source=x")))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 10 === 1,
           concat(lit("http://WWW.Example.COM/a/"), id, lit("/")))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 10 === 2,
           concat(lit("https://blog.example.com/a/"), id))
-        .when(col("doc_id") % 5 === 3,
+        .when(col("doc_id") % 10 === 3,
           concat(lit("http://sub.domain.com.au/page?id="), id,
             lit("&utm_campaign=z")))
-        .otherwise(concat(lit("HTTPS://API.Service.IO/v1/"), id))
+        .when(col("doc_id") % 10 === 4,
+          concat(lit("HTTPS://API.Service.IO/v1/"), id))
+        // PSL wildcard/exception coverage (r12): *.sch.uk and *.ck
+        // wildcards (registered domain = TWO labels under the parent),
+        // the !www.ck exception (www.ck IS the registered domain), a JP
+        // geographic wildcard (*.nagoya.jp) and its !city.nagoya.jp
+        // exception — the publicsuffix.org canonical cases
+        .when(col("doc_id") % 10 === 5,
+          concat(lit("http://Portal.GreenSchool.SCH.UK/x/"), id))
+        .when(col("doc_id") % 10 === 6,
+          concat(lit("https://Deep.Shop.Stuff.CK/p/"), id))
+        .when(col("doc_id") % 10 === 7,
+          concat(lit("https://Go.WWW.CK/s/"), id))
+        .when(col("doc_id") % 10 === 8,
+          concat(lit("http://A.Town.Nagoya.JP/b/"), id))
+        .otherwise(concat(lit("http://EN.City.Nagoya.JP/page/"), id))
       t(s, d, "documents")
         .select(col("doc_id"), url.as("url"))
         .select(Urls.canonicalize(col("url")).as("canon"),
@@ -285,17 +300,26 @@ object Round11 {
     val track = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
     val two = graft.functions.Urls.TwoLevelSuffixes
       .map(_.replace(".", "\\.")).mkString("|")
+    val wc = graft.functions.Urls.WildcardParents
+      .map(_.replace(".", "\\.")).mkString("|")
+    val exc = graft.functions.Urls.PslExceptions
+      .map(_.replace(".", "\\.")).mkString("|")
     """
         WITH u AS (
           SELECT doc_id,
-            CASE doc_id % 5
+            CASE doc_id % 10
               WHEN 0 THEN 'https://Shop.Example.CO.UK/p/' || doc_id
                           || '?utm_source=x'
               WHEN 1 THEN 'http://WWW.Example.COM/a/' || doc_id || '/'
               WHEN 2 THEN 'https://blog.example.com/a/' || doc_id
               WHEN 3 THEN 'http://sub.domain.com.au/page?id=' || doc_id
                           || '&utm_campaign=z'
-              ELSE 'HTTPS://API.Service.IO/v1/' || doc_id
+              WHEN 4 THEN 'HTTPS://API.Service.IO/v1/' || doc_id
+              WHEN 5 THEN 'http://Portal.GreenSchool.SCH.UK/x/' || doc_id
+              WHEN 6 THEN 'https://Deep.Shop.Stuff.CK/p/' || doc_id
+              WHEN 7 THEN 'https://Go.WWW.CK/s/' || doc_id
+              WHEN 8 THEN 'http://A.Town.Nagoya.JP/b/' || doc_id
+              ELSE 'http://EN.City.Nagoya.JP/page/' || doc_id
             END AS url
           FROM documents),
         p AS (
@@ -320,6 +344,14 @@ object Round11 {
                  THEN '?' || list_aggr(kept, 'string_agg', '&')
                  ELSE '' END AS canon,
             CASE WHEN regexp_extract(host,
+                   '(?:^|\.)((?:""" + exc + """))$', 1) <> ''
+                   THEN regexp_extract(host,
+                     '(?:^|\.)((?:""" + exc + """))$', 1)
+                 WHEN regexp_extract(host,
+                   '([^.]+\.[^.]+\.(?:""" + wc + """))$', 1) <> ''
+                   THEN regexp_extract(host,
+                     '([^.]+\.[^.]+\.(?:""" + wc + """))$', 1)
+                 WHEN regexp_extract(host,
                    '([^.]+\.(?:""" + two + """))$', 1) <> ''
                    THEN regexp_extract(host,
                      '([^.]+\.(?:""" + two + """))$', 1)

@@ -265,6 +265,54 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L)._2 == "localhost")
   }
 
+  test("urls: PSL wildcard and exception rules (publicsuffix.org algorithm over the embedded slice)") {
+    val u = Seq(
+      (1L, "https://deep.shop.stuff.ck/p"),    // *.ck: suffix stuff.ck
+      (2L, "https://shop.stuff.ck/p"),          // registered domain itself
+      (3L, "https://go.www.ck/s"),              // !www.ck exception subdomain
+      (4L, "http://a.town.nagoya.jp/b"),        // *.nagoya.jp wildcard
+      (5L, "http://en.city.nagoya.jp/x"),       // !city.nagoya.jp exception
+      (6L, "http://city.nagoya.jp/x"),          // the exception itself
+      (7L, "http://portal.greenschool.sch.uk/x"), // *.sch.uk wildcard
+      (8L, "https://shop.example.co.uk/p"),     // two-level list unchanged
+      (9L, "https://x.news.bd/a")               // *.bd wildcard
+    ).toDF("id", "url")
+      .select(col("id"), graft.functions.Urls.registeredDomain(col("url")).as("d"))
+    val out = u.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "shop.stuff.ck")
+    assert(out(2L) == "shop.stuff.ck")
+    assert(out(3L) == "www.ck")
+    assert(out(4L) == "a.town.nagoya.jp")
+    assert(out(5L) == "city.nagoya.jp")
+    assert(out(6L) == "city.nagoya.jp")
+    assert(out(7L) == "portal.greenschool.sch.uk")
+    assert(out(8L) == "example.co.uk")
+    assert(out(9L) == "x.news.bd")
+  }
+
+  test("urls: registeredDomainIdn maps unicode and punycode spellings of one IDN host to the same domain") {
+    val uni = "https://caf\u00e9.example.com/x" // café.example.com
+    val puny = "https://xn--caf-dma.example.com/x"
+    val u = Seq((1L, uni), (2L, puny), (3L, "https://Plain.Example.COM/y"))
+      .toDF("id", "url")
+      .select(col("id"),
+        graft.functions.Urls.registeredDomainIdn(col("url")).as("d"),
+        graft.functions.Urls.registeredDomain(col("url")).as("plain"))
+    val out = u.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2)))).toMap
+    // both spellings: same registered domain (here the generic sld.tld)
+    assert(out(1L)._1 == "example.com" && out(2L)._1 == "example.com")
+    // ASCII hosts: the IDN path is byte-identical to the plain path
+    assert(out(3L)._1 == out(3L)._2 && out(3L)._1 == "example.com")
+    // an IDN REGISTERED domain punycodes consistently too
+    val v = Seq((1L, "https://sub.m\u00fcnchen.de/x"),
+        (2L, "https://sub.xn--mnchen-3ya.de/x"))
+      .toDF("id", "url")
+      .select(col("id"), graft.functions.Urls.registeredDomainIdn(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) == "xn--mnchen-3ya.de" && v(2L) == "xn--mnchen-3ya.de")
+  }
+
   test("unigram log-prob: common-word docs score lower than rare-word docs") {
     // corpus: 'common' appears 6x, each rare word once -> 10 tokens total
     val sdocs = Seq(
