@@ -223,6 +223,123 @@ object Scoring {
         col("n_bigrams"))
   }
 
+  /** Interpolated MODIFIED Kneser-Ney trigram perplexity — the KenLM
+    * default (Chen & Goodman 1998's "modified" variant: three
+    * count-dependent discounts per level instead of one). Per level the
+    * discounts derive from the count-of-count statistics n1..n4 (types
+    * seen exactly 1..4 times):
+    *
+    *   Y  = n1 / (n1 + 2 n2)
+    *   D1 = 1 - 2 Y n2 / n1,  D2 = 2 - 3 Y n3 / n2,  D3+ = 3 - 4 Y n4 / n3
+    *
+    * (D1 is provably in (0,1); D2/D3+ are clamped into [0,k] — identically
+    * in the oracle — so degenerate count distributions stay total).
+    * Trigram level discounts RAW counts; the bigram back-off level is the
+    * Kneser-Ney CONTINUATION model — its "counts" are distinct-left-
+    * context counts N1+(. w2 w3), with its own modified discounts fitted
+    * to THAT distribution — and the lowest level is the continuation
+    * unigram N1+(. w3)/N1+(. .):
+    *
+    *   P3(w3|w1 w2) = (c(w1w2w3) - D(c)) / c(w1w2 .) + g3(w1 w2) P2(w3|w2)
+    *   g3 = (D1 N1(w1w2 .) + D2 N2(w1w2 .) + D3+ N3+(w1w2 .)) / c(w1w2 .)
+    *   P2, g2: same shape over continuation counts; P1(w3) = N1+(. w3)/N1+(. .)
+    *
+    * Every scored trigram joins to its own count rows, so all
+    * denominators and the c-D numerators are strictly positive. Output
+    * per doc: mean ln P3 (`kn3_lp`), `ppl`, `n_trigrams`; docs under 3
+    * words contribute no rows.
+    *
+    * Scale shape (the [[knBigramPerplexity]] contract, one order up): one
+    * row-local shingle pass; the model is one trigram count aggregate,
+    * its distinct-triple projection, and four tiny re-aggregates (history
+    * stats x2, discount stats x2 — the discount frames are SIX NUMBERS
+    * broadcast); scoring joins each doc trigram to its stat rows by key.
+    * No self-joins, no windows, no driver math.
+    */
+  def knTrigramPerplexity(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val log = org.apache.spark.sql.functions.log(_: org.apache.spark.sql.Column)
+    val tg = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), 3)).as("tg"))
+      .withColumn("ws", split(col("tg"), " "))
+      .filter(size(col("ws")) === 3)
+      .select(col("id"),
+        element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"),
+        element_at(col("ws"), 3).as("w3"))
+    val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    // trigram-level history stats: total and per-count type tallies
+    val hist12 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"),
+        sum(when(col("c3") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("c3") === 2, 1L).otherwise(0L)).as("h2"),
+        sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("h3"))
+    // modified discounts for a count table: count-of-counts -> (d1,d2,d3).
+    // Denominators guard via greatest(.,1): when n_k is zero the discount
+    // D_k applies to NO type at that level (or, for D3+ with n3=0 but
+    // n4+>0, to types whose count strictly exceeds the clamp ceiling), so
+    // any deterministic in-range value keeps the model proper — what
+    // matters is that both engines compute the SAME one instead of
+    // dividing by zero (Spark ANSI throws; the oracle uses the identical
+    // guarded form, and on non-degenerate corpora the guard is identity).
+    def discounts(cnts: DataFrame, ccol: String): DataFrame = {
+      val agg = cnts.agg(
+        sum(when(col(ccol) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(ccol) === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(ccol) === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col(ccol) === 4, 1L).otherwise(0L)).as("n4"))
+      agg.select(
+          (col("n1") / greatest(col("n1") + lit(2) * col("n2"), lit(1L)))
+            .as("y"),
+          col("n1"), col("n2"), col("n3"), col("n4"))
+        .select(
+          greatest(least(lit(1) - lit(2) * col("y") * col("n2") /
+            greatest(col("n1"), lit(1L)), lit(1.0)), lit(0.0)).as("d1"),
+          greatest(least(lit(2) - lit(3) * col("y") * col("n3") /
+            greatest(col("n2"), lit(1L)), lit(2.0)), lit(0.0)).as("d2"),
+          greatest(least(lit(3) - lit(4) * col("y") * col("n4") /
+            greatest(col("n3"), lit(1L)), lit(3.0)), lit(0.0)).as("d3"))
+    }
+    val disc3 = discounts(c3, "c3")
+    // bigram CONTINUATION level: distinct-left-context counts
+    val cc23 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("cc"))
+    val hist2 = cc23.groupBy(col("w2"))
+      .agg(sum(col("cc")).as("s2"),
+        sum(when(col("cc") === 1, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("cc") === 2, 1L).otherwise(0L)).as("m2"),
+        sum(when(col("cc") >= 3, 1L).otherwise(0L)).as("m3"))
+    val disc2 = discounts(cc23, "cc")
+      .select(col("d1").as("e1"), col("d2").as("e2"), col("d3").as("e3"))
+    // unigram continuation: distinct (w2, w3) pair types
+    val cont3 = cc23.groupBy(col("w3")).agg(count(lit(1)).as("u3"))
+    val totPairs = cc23.agg(count(lit(1)).as("tt"))
+    tg.join(c3, Seq("w1", "w2", "w3"))
+      .join(hist12, Seq("w1", "w2"))
+      .join(cc23, Seq("w2", "w3"))
+      .join(hist2, Seq("w2"))
+      .join(cont3, Seq("w3"))
+      .crossJoin(broadcast(disc3))
+      .crossJoin(broadcast(disc2))
+      .crossJoin(broadcast(totPairs))
+      .withColumn("p1", col("u3") / col("tt"))
+      .withColumn("p2",
+        (col("cc") - when(col("cc") === 1, col("e1"))
+          .when(col("cc") === 2, col("e2")).otherwise(col("e3"))) / col("s2") +
+          (col("e1") * col("m1") + col("e2") * col("m2") +
+            col("e3") * col("m3")) / col("s2") * col("p1"))
+      .withColumn("p3",
+        (col("c3") - when(col("c3") === 1, col("d1"))
+          .when(col("c3") === 2, col("d2")).otherwise(col("d3"))) / col("c12") +
+          (col("d1") * col("h1") + col("d2") * col("h2") +
+            col("d3") * col("h3")) / col("c12") * col("p2"))
+      .withColumn("lp", log(col("p3")))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("kn3_lp"), count(lit(1)).as("n_trigrams"))
+      .select(col("id"), col("kn3_lp"), exp(-col("kn3_lp")).as("ppl"),
+        col("n_trigrams"))
+  }
+
   /** CCNet perplexity bucketing: score every doc with the interpolated
     * Kneser-Ney LM, order by perplexity, and split into head/middle/tail
     * terciles (head = lowest-ppl = cleanest; CCNet trains on head+middle).
@@ -232,10 +349,21 @@ object Scoring {
     * scalar. Sort key is the 6dp-ROUNDED ppl + id tiebreak so the cut is
     * deterministic across engines/replays even where raw doubles differ in
     * final ulps. Emits (doc_id, ppl, bucket).
+    *
+    * `lm` picks the scoring model: "kn2" (interpolated KN bigram, the
+    * default and the q250 lineage) or "kn3" (modified-KN trigram,
+    * [[knTrigramPerplexity]] — the KenLM-default order-3 form; `d` is
+    * ignored there, the discounts are fitted). Docs the model cannot
+    * score (under the order's word minimum) are absent either way.
     */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
-                   d: Double = 0.75): DataFrame = {
-    val ppl = knBigramPerplexity(df, idCol, textCol, d)
+                   d: Double = 0.75, lm: String = "kn2"): DataFrame = {
+    require(lm == "kn2" || lm == "kn3",
+      s"ccnetBuckets: lm must be kn2 or kn3, got '$lm'")
+    val scored =
+      if (lm == "kn3") knTrigramPerplexity(df, idCol, textCol)
+      else knBigramPerplexity(df, idCol, textCol, d)
+    val ppl = scored
       .select(col("id").as(idCol), round(col("ppl"), 6).as("ppl"))
     GlobalWindows.cumcount(ppl, Seq("ppl", idCol), "__ccb_pos")
       .crossJoin(broadcast(ppl.agg(count(lit(1)).as("__ccb_n"))))

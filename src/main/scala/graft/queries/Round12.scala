@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-12 queries: modified-Kneser-Ney trigram perplexity (the KenLM
+  * default order-3 smoothing) and the CCNet bucketing built on it.
+  * Every query is oracle-gated; LM oracles rebuild the ENTIRE model in
+  * SQL (counts, count-of-count discount fits, continuation tables) and
+  * replay the formula in the same association order, so the re-learn
+  * gate is inherent.
+  */
+object Round12 {
+
+  /** The full modified-KN trigram model as DuckDB CTEs, shared by q263
+    * and q264 (identical text, so the two oracles can never drift
+    * apart). Mirrors `Scoring.knTrigramPerplexity` term for term:
+    * trigram-level modified discounts d1..d3 fitted on raw trigram
+    * counts, bigram CONTINUATION level with its own discounts e1..e3
+    * fitted on distinct-left-context counts, continuation unigram at the
+    * bottom; D1 is in (0,1) by construction, D2/D3 clamped into [0,k]
+    * exactly as the Spark side does.
+    */
+  private val kn3ModelSql = """
+        toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        tgl AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+                FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgl GROUP BY 1, 2, 3),
+        h12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+                  CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                  CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+                FROM c3 GROUP BY 1, 2),
+        cn3 AS (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c3),
+        d AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d1,
+                greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d2,
+                greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d3
+              FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn3)),
+        cc AS (SELECT w2, w3, COUNT(*) AS cc FROM c3 GROUP BY 1, 2),
+        h2t AS (SELECT w2, CAST(SUM(cc) AS BIGINT) AS s2,
+                  CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                  CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                  CAST(SUM(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3
+                FROM cc GROUP BY 1),
+        cn2 AS (SELECT CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN cc = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN cc = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM cc),
+        e AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS e1,
+                greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS e2,
+                greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS e3
+              FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn2)),
+        u AS (SELECT w3, COUNT(*) AS u3 FROM cc GROUP BY 1),
+        tp AS (SELECT COUNT(*) AS tt FROM cc),
+        sc AS (
+          SELECT tgl.doc_id,
+            ln((c3.c3 - CASE WHEN c3.c3 = 1 THEN d1
+                             WHEN c3.c3 = 2 THEN d2 ELSE d3 END) / h12.c12
+               + (d1 * h12.h1 + d2 * h12.h2 + d3 * h12.h3) / h12.c12 *
+                 ((cc.cc - CASE WHEN cc.cc = 1 THEN e1
+                                WHEN cc.cc = 2 THEN e2 ELSE e3 END) / h2t.s2
+                  + (e1 * h2t.m1 + e2 * h2t.m2 + e3 * h2t.m3) / h2t.s2 *
+                    (u.u3 / tp.tt))) AS lp
+          FROM tgl
+          JOIN c3 USING (w1, w2, w3)
+          JOIN h12 USING (w1, w2)
+          JOIN cc USING (w2, w3)
+          JOIN h2t USING (w2)
+          JOIN u USING (w3), d, e, tp)"""
+
+  def all: Seq[Q] = Seq(
+
+    // Modified-Kneser-Ney TRIGRAM perplexity — the KenLM-default order-3
+    // smoothing (Chen & Goodman's modified variant: three count-dependent
+    // discounts per level, fitted from the count-of-count statistics,
+    // with the back-off level scored on CONTINUATION counts). Completes
+    // the LM ladder: JM trigram (q242) -> KN bigram (q245) -> mKN trigram.
+    // The oracle refits the discounts from its own count tables, so a
+    // single drifted count anywhere in the model flips d1..d3/e1..e3 and
+    // every score with them.
+    Q("q263_kn3_perplexity",
+      (s, d) => graft.operators.Scoring.knTrigramPerplexity(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          round(col("kn3_lp"), 6).as("kn3_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_trigrams"))
+        .orderBy(col("doc_id")),
+      Some("WITH" + kn3ModelSql + """
+        SELECT doc_id, round(avg(lp), 6) AS kn3_lp,
+          round(exp(-avg(lp)), 6) AS ppl,
+          COUNT(*) AS n_trigrams
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet bucketing on the mKN trigram scorer (ccnet_buckets lm=kn3):
+    // same tercile machinery as q250 (two-level prefix sums, integer
+    // edges, 6dp-rounded sort key) over the order-3 model — the
+    // configuration CCNet's published pipeline actually runs (a KenLM
+    // 5-gram; order 3 is this corpus's honest depth).
+    Q("q264_ccnet_kn3",
+      (s, d) => graft.operators.Scoring.ccnetBuckets(
+          t(s, d, "documents"), "doc_id", "text", lm = "kn3")
+        .orderBy(col("doc_id")),
+      Some("WITH" + kn3ModelSql + """,
+        ppl AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl
+                FROM sc GROUP BY doc_id),
+        n AS (SELECT COUNT(*) AS n FROM ppl),
+        pos AS (SELECT doc_id, ppl,
+                  row_number() OVER (ORDER BY ppl, doc_id) - 1 AS pos
+                FROM ppl)
+        SELECT doc_id, ppl,
+          CASE WHEN pos * 3 < n.n THEN 'head'
+               WHEN pos * 3 < n.n * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM pos, n ORDER BY doc_id"""))
+  )
+}

@@ -2010,6 +2010,74 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L)._2 < out(2L)._2)
   }
 
+  test("knTrigramPerplexity: modified-KN P3(.|history) normalizes to 1; discounts fit count-of-counts") {
+    // counts 1..3 all present so every discount is exercised:
+    // "a b c" x3, "b c a"/"c a b" x2, the rest singletons
+    val texts = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "the cat sat on the mat"),
+      (3L, "x y"))                       // sub-trigram: no rows
+    val df = texts.toDF("doc_id", "text")
+    val out = Scoring.knTrigramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(!out.contains(3L) && out(1L)._3 == 7 && out(2L)._3 == 4)
+    assert(out.values.forall(_._2 > 0))
+    // (no cross-doc ppl ordering asserted: on a corpus this small the
+    // count-of-count fit degenerates — n4=0 clamps D3+ to 3, fully
+    // discounting the count-3 trigrams — which is faithful modified-KN
+    // behavior, just not intuition about "repeated text scores lower".
+    // The normalization identity below is the real invariant.)
+
+    // driver-side mirror of the full model; the defining property of a
+    // correctly-normalized back-off: for any history, discounted observed
+    // mass + gamma * (lower-order mass over the FULL vocab) == 1 exactly
+    val toks = texts.take(2).map(_._2.split(" ").toSeq)
+    val tris = toks.flatMap(w => w.sliding(3).filter(_.size == 3)
+      .map(x => (x(0), x(1), x(2))))
+    val c3 = tris.groupBy(identity).view.mapValues(_.size).toMap
+    def fit(cs: Iterable[Int]): (Double, Double, Double) = {
+      val Seq(n1, n2, n3, n4) = (1 to 4).map(k => cs.count(_ == k).toDouble)
+      val y = n1 / math.max(n1 + 2 * n2, 1.0)
+      (math.max(math.min(1 - 2 * y * n2 / math.max(n1, 1.0), 1.0), 0.0),
+        math.max(math.min(2 - 3 * y * n3 / math.max(n2, 1.0), 2.0), 0.0),
+        math.max(math.min(3 - 4 * y * n4 / math.max(n3, 1.0), 3.0), 0.0))
+    }
+    val (d1, d2, d3) = fit(c3.values)
+    val cc = c3.keys.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val (e1, e2, e3) = fit(cc.values)
+    val u3 = cc.keys.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val tt = cc.size.toDouble
+    def dOf(c: Int, ds: (Double, Double, Double)): Double =
+      if (c == 1) ds._1 else if (c == 2) ds._2 else ds._3
+    val vocab = tris.map(_._3).toSet ++ cc.keys.map(_._2)
+    def p2(w2: String, w3: String): Double = {
+      val s2 = cc.collect { case ((a, _), n) if a == w2 => n }.sum.toDouble
+      val (m1, m2, m3) = (cc.count { case ((a, _), n) => a == w2 && n == 1 },
+        cc.count { case ((a, _), n) => a == w2 && n == 2 },
+        cc.count { case ((a, _), n) => a == w2 && n >= 3 })
+      val g2 = (e1 * m1 + e2 * m2 + e3 * m3) / s2
+      val obs = cc.get((w2, w3))
+        .map(c => (c - dOf(c, (e1, e2, e3))) / s2).getOrElse(0.0)
+      obs + g2 * (u3.getOrElse(w3, 0.0) / tt)
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val hist = c3.collect { case ((a, b, _), n) if a == w1 && b == w2 => n }
+      val c12 = hist.sum.toDouble
+      val (h1, h2, h3) = (hist.count(_ == 1), hist.count(_ == 2),
+        hist.count(_ >= 3))
+      val g3 = (d1 * h1 + d2 * h2 + d3 * h3) / c12
+      val obs = c3.get((w1, w2, w3))
+        .map(c => (c - dOf(c, (d1, d2, d3))) / c12).getOrElse(0.0)
+      obs + g3 * p2(w2, w3)
+    }
+    Seq(("a", "b"), ("the", "cat"), ("b", "c")).foreach { case (w1, w2) =>
+      val total = vocab.toSeq.map(w3 => p3(w1, w2, w3)).sum
+      assert(math.abs(total - 1.0) < 1e-12,
+        s"P3(.|'$w1 $w2') must be proper, got $total")
+    }
+  }
+
   test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
