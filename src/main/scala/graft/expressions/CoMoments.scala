@@ -35,15 +35,28 @@ case class CoMomentsAgg(
     x: Expression,
     y: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    raw: Boolean = false)
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(x, y)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", DoubleType), StructField("sx", DoubleType),
-    StructField("sy", DoubleType), StructField("sxy", DoubleType),
-    StructField("sxx", DoubleType), StructField("syy", DoubleType)))
+  // raw = the MERGEABLE-ARTIFACT face: the exact scaled-integer sums
+  // surface as decimals (n long, linear sums at scale 6, product sums at
+  // scale 12) instead of nearest-doubles, so per-batch artifact rows
+  // merge by plain decimal addition into EXACTLY the sums a direct
+  // whole-corpus pass produces -- the q260 hash-exact contract, where the
+  // double face could drift in final ulps across batch splits.
+  override def dataType: DataType =
+    if (raw) StructType(Seq(
+      StructField("n", LongType),
+      StructField("sx", DecimalType(38, 6)), StructField("sy", DecimalType(38, 6)),
+      StructField("sxy", DecimalType(38, 12)), StructField("sxx", DecimalType(38, 12)),
+      StructField("syy", DecimalType(38, 12))))
+    else StructType(Seq(
+      StructField("n", DoubleType), StructField("sx", DoubleType),
+      StructField("sy", DoubleType), StructField("sxy", DoubleType),
+      StructField("sxx", DoubleType), StructField("syy", DoubleType)))
 
   // buffer layout: [n, sxHi, sxLo, syHi, syLo, sxyHi, sxyLo,
   //                 sxxHi, sxxLo, syyHi, syyLo]
@@ -117,12 +130,29 @@ case class CoMomentsAgg(
     new java.math.BigDecimal(new java.math.BigInteger(bytes), scale).doubleValue()
   }
 
+  /** int128 (hi, lo) at decimal `scale` -> exact Spark Decimal(38, scale);
+    * loud failure if the exact value needs more than 38 digits. */
+  private def toDecimal(hi: Long, lo: Long, scale: Int): Decimal = {
+    val bytes = ByteBuffer.allocate(16).putLong(hi).putLong(lo).array()
+    val d = Decimal(new java.math.BigDecimal(new java.math.BigInteger(bytes), scale))
+    if (!d.changePrecision(38, scale)) throw new ArithmeticException(
+      "co-moments: exact sum exceeds decimal(38) (scale the inputs down)")
+    d
+  }
+
   override def eval(buf: Array[Long]): Any = {
-    org.apache.spark.sql.catalyst.InternalRow(
-      buf(0).toDouble,
-      toDouble(buf(1), buf(2), 6), toDouble(buf(3), buf(4), 6),
-      toDouble(buf(5), buf(6), 12), toDouble(buf(7), buf(8), 12),
-      toDouble(buf(9), buf(10), 12))
+    if (raw)
+      org.apache.spark.sql.catalyst.InternalRow(
+        buf(0),
+        toDecimal(buf(1), buf(2), 6), toDecimal(buf(3), buf(4), 6),
+        toDecimal(buf(5), buf(6), 12), toDecimal(buf(7), buf(8), 12),
+        toDecimal(buf(9), buf(10), 12))
+    else
+      org.apache.spark.sql.catalyst.InternalRow(
+        buf(0).toDouble,
+        toDouble(buf(1), buf(2), 6), toDouble(buf(3), buf(4), 6),
+        toDouble(buf(5), buf(6), 12), toDouble(buf(7), buf(8), 12),
+        toDouble(buf(9), buf(10), 12))
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
@@ -152,4 +182,13 @@ object CoMoments {
     ColumnBridge.column(
       CoMomentsAgg(ColumnBridge.expression(x), ColumnBridge.expression(y))
         .toAggregateExpression())
+
+  /** The artifact face: same sums as EXACT decimals (n long, sx/sy at
+    * scale 6, sxy/sxx/syy at scale 12) — per-batch rows merge by decimal
+    * addition into exactly the direct whole-data sums.
+    */
+  def sketch(x: Column, y: Column): Column =
+    ColumnBridge.column(
+      CoMomentsAgg(ColumnBridge.expression(x), ColumnBridge.expression(y),
+        raw = true).toAggregateExpression())
 }

@@ -109,4 +109,60 @@ object Sketches {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
           .as("q_hi")): _*)
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable CO-MOMENT sketch: count/sum/sum-of-products rows — the
+  // sufficient statistics for mean/variance/covariance/correlation —
+  // as EXACT scaled decimals (CoMomentsAgg's int128 accumulation
+  // surfaced at scale 6/12 instead of nearest-double). Exactness is
+  // what makes this the q260 hash-exact pattern rather than an
+  // HLL-style tolerance gate: per-batch rows merge by plain decimal
+  // ADDITION into bit-identical sums to a direct whole-corpus pass, so
+  // running mean/var/corr stay current batch-over-batch with one scan
+  // per batch and zero drift, in any merge order.
+  // ------------------------------------------------------------------
+
+  /** One co-moment row per group: (by..., n, sx, sy, sxy, sxx, syy) with
+    * the sums exact (scale-6 linear, scale-12 products). One scan,
+    * map-side combine, bounded output — a mergeable parquet artifact
+    * like [[hllSketches]]/[[log2Histogram]]. Inputs are cast to double
+    * first; |value| must stay under 1e12 (the CoMomentsAgg fast-path
+    * bound; violations fail loudly).
+    */
+  def coMomentSketch(df: DataFrame, by: Seq[String], xCol: String,
+                     yCol: String): DataFrame =
+    df.groupBy(by.map(col): _*)
+      .agg(graft.expressions.CoMoments.sketch(
+        col(xCol).cast("double"), col(yCol).cast("double")).as("cm"))
+      .select((by.map(col) :+ col("cm.n").as("n") :+
+        col("cm.sx").as("sx") :+ col("cm.sy").as("sy") :+
+        col("cm.sxy").as("sxy") :+ col("cm.sxx").as("sxx") :+
+        col("cm.syy").as("syy")): _*)
+
+  /** Merge any number of per-batch [[coMomentSketch]] frames (decimal
+    * addition — exact, associative, order-free): the merged sufficient
+    * statistics plus the derived stats, mean/var/cov (sample, ddof=1)
+    * and Pearson correlation, computed in doubles FROM the exact sums.
+    */
+  def coMomentMergeStats(sketches: DataFrame, by: Seq[String]): DataFrame = {
+    val merged = sketches.groupBy(by.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    merged
+      .withColumn("mean_x", d("sx") / nD)
+      .withColumn("mean_y", d("sy") / nD)
+      .withColumn("var_x",
+        (d("sxx") - d("sx") * d("sx") / nD) / (nD - lit(1.0)))
+      .withColumn("var_y",
+        (d("syy") - d("sy") * d("sy") / nD) / (nD - lit(1.0)))
+      .withColumn("cov",
+        (d("sxy") - d("sx") * d("sy") / nD) / (nD - lit(1.0)))
+      .withColumn("corr",
+        (nD * d("sxy") - d("sx") * d("sy")) /
+          sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+            (nD * d("syy") - d("sy") * d("sy"))))
+  }
 }

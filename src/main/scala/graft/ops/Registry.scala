@@ -1566,15 +1566,40 @@ final class Registry(spark: SparkSession) {
         frames.reduce(_ unionByName _),
         a.get("by", -1).map(asStrList).getOrElse(Nil))
     },
+    "graft.comoment_sketch" -> { a =>
+      // mergeable co-moment artifact: exact decimal n/sx/sy/sxy/sxx/syy
+      // per group — the sufficient statistics for mean/var/cov/corr,
+      // merged by plain decimal addition (bit-identical to a direct scan)
+      graft.operators.Sketches.coMomentSketch(
+        asDf(a.require("df", 0), "df"),
+        a.get("by", -1).map(asStrList).getOrElse(Nil),
+        asStr(a.require("x", 1), "x"),
+        asStr(a.require("y", 2), "y"))
+    },
+    "graft.comoment_merge" -> { a =>
+      // merge saved/per-batch co-moment frames and derive the running
+      // mean/var/cov (ddof=1) and Pearson corr from the exact sums
+      val frames = a.get("frames", -1) match {
+        case Some(l: List[_]) => l.map(asDf(_, "frames"))
+        case Some(one) => List(asDf(one, "frames"))
+        case None => a.pos.map(asDf(_, "frames"))
+      }
+      require(frames.nonEmpty, "graft.comoment_merge: no sketch frames")
+      graft.operators.Sketches.coMomentMergeStats(
+        frames.reduce(_ unionByName _),
+        a.get("by", -1).map(asStrList).getOrElse(Nil))
+    },
     "graft.ccnet_buckets" -> { a =>
       // head/middle/tail perplexity terciles (CCNet's final step):
-      // KN-score, order by ppl, cut at thirds — distributed order via
+      // KN-score (lm: kn2 bigram default, kn3 = modified-KN trigram),
+      // order by ppl, cut at thirds — distributed order via
       // GlobalWindows.cumcount, no single-task window
       graft.operators.Scoring.ccnetBuckets(
         asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
-        d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
+        d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
+        lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
     },
     "graft.bpe_byte_vocab" -> { a =>
       // the shipped vocab artifact: (id, token, is_byte) enumeration —

@@ -118,6 +118,73 @@ object Round12 {
           CASE WHEN pos * 3 < n.n THEN 'head'
                WHEN pos * 3 < n.n * 2 THEN 'middle'
                ELSE 'tail' END AS bucket
-        FROM pos, n ORDER BY doc_id"""))
+        FROM pos, n ORDER BY doc_id""")),
+
+    // Mergeable CO-MOMENT sketch artifact — completes the incremental-
+    // stats family (q251 HLL distinct, q260 log2 quantiles) with the
+    // sufficient statistics for mean/var/cov/corr. The query splits
+    // lineitem into four "batches" (l_orderkey % 4), sketches each
+    // independently, merges by decimal ADDITION, and pins merge_ok: the
+    // merged exact sums must equal a direct whole-scan sketch
+    // BIT-FOR-BIT (int128 scaled-integer accumulation surfaced as
+    // decimals — the q260 hash-exact pattern, no tolerance envelope).
+    // Derived stats compute in doubles from the exact sums; the oracle
+    // rebuilds the same sums as exact decimal aggregates and replays the
+    // same double expressions.
+    Q("q265_comoment_sketch", (s, d) => {
+      import graft.operators.Sketches
+      val li = t(s, d, "lineitem")
+      val by = Seq("l_returnflag")
+      val parts = (0 to 3).map(k => Sketches.coMomentSketch(
+        li.filter(pmod(col("l_orderkey"), lit(4)) === k),
+        by, "l_quantity", "l_extendedprice"))
+      val merged = Sketches.coMomentMergeStats(
+        parts.reduce(_ unionByName _), by)
+      val direct = Sketches.coMomentSketch(
+          li, by, "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n").as("dn"), col("sx").as("dsx"),
+          col("sy").as("dsy"), col("sxy").as("dsxy"),
+          col("sxx").as("dsxx"), col("syy").as("dsyy"))
+      merged.join(direct, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean_x"), 6).as("mean_qty"),
+          round(col("mean_y"), 6).as("mean_price"),
+          round(col("var_x"), 6).as("var_qty"),
+          round(col("var_y"), 6).as("var_price"),
+          round(col("corr"), 6).as("corr_qty_price"),
+          (col("n") === col("dn") && col("sx") === col("dsx") &&
+            col("sy") === col("dsy") && col("sxy") === col("dsxy") &&
+            col("sxx") === col("dsxx") && col("syy") === col("dsyy"))
+            .as("merge_ok"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+        WITH s AS (
+          SELECT l_returnflag,
+            COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+            SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+            SUM(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+            SUM(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+            SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+              * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+          round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price,
+          round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS var_qty,
+          round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS var_price,
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            AS corr_qty_price,
+          TRUE AS merge_ok
+        FROM s ORDER BY l_returnflag"""))
   )
 }

@@ -299,12 +299,33 @@ class ExamplesSpec extends AnyFunSuite {
       assert(lo <= med && med <= hi, s"$prio: median $med not in [$lo,$hi]")
     }
 
-    // ---- run 2: BOTH history artifacts must RESUME from parquet (the
+    // co-moment twin: merged running stats must equal a direct
+    // whole-corpus computation EXACTLY (the decimal sums are int128-
+    // exact, so the derived doubles are bit-identical — no envelope)
+    val cm = spark.read.parquet(s"$out/price_stats.parquet")
+    assert(cm.count() == nGroups)
+    val direct = graft.operators.Sketches.coMomentMergeStats(
+      graft.operators.Sketches.coMomentSketch(
+        spark.read.parquet(s"$sfDir/orders.parquet"),
+        Seq("o_orderpriority"), "o_totalprice", "o_custkey"),
+      Seq("o_orderpriority"))
+    val cmMap = cm.collect().map(r => r.getString(0) ->
+      (r.getDouble(r.fieldIndex("mean_x")), r.getDouble(r.fieldIndex("var_x")),
+        r.getDouble(r.fieldIndex("corr")))).toMap
+    direct.collect().foreach { r =>
+      val (mx, vx, c) = cmMap(r.getString(0))
+      assert(r.getDouble(r.fieldIndex("mean_x")) == mx &&
+        r.getDouble(r.fieldIndex("var_x")) == vx &&
+        r.getDouble(r.fieldIndex("corr")) == c,
+        s"merged co-moment stats must equal direct exactly for ${r.getString(0)}")
+    }
+
+    // ---- run 2: ALL history artifacts must RESUME from parquet (the
     // corpus is never rescanned) and the merged reports must agree ----
     val p2 = new Pipeline(spark, "examples/sketch_stats.yaml",
       Map("sf_dir" -> sfDir, "out_dir" -> out))
     p2.run()
-    assert(p2.resumedSteps == Set("history_sketch", "history_hist"),
+    assert(p2.resumedSteps == Set("history_sketch", "history_hist", "history_cm"),
       s"run 2 must skip exactly the history scans, resumed=${p2.resumedSteps}")
     val est2 = spark.read.parquet(s"$out/distinct_customers.parquet").collect()
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
@@ -314,6 +335,14 @@ class ExamplesSpec extends AnyFunSuite {
         (r.getLong(r.fieldIndex("q_lo")), r.getLong(r.fieldIndex("q_hi"))))
       .toMap
     assert(p50b == p50, "resumed-hist quantile brackets must be identical")
+    val cm2 = spark.read.parquet(s"$out/price_stats.parquet").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("mean_x")), r.getDouble(r.fieldIndex("corr"))))
+      .toMap
+    cm2.foreach { case (prio, (mx, c)) =>
+      assert(cmMap(prio)._1 == mx && cmMap(prio)._3 == c,
+        "resumed co-moment merge must be bit-identical")
+    }
   }
 
   test("examples/quality_lifecycle.yaml: two-run E2E — run 2 resumes the weights, no LBFGS refit") {
