@@ -185,6 +185,85 @@ object Round12 {
                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             AS corr_qty_price,
           TRUE AS merge_ok
-        FROM s ORDER BY l_returnflag"""))
+        FROM s ORDER BY l_returnflag""")),
+
+    // Language ID on a STRUCTURED multilingual fixture (q262 follow-
+    // through): the fixture's text is English-shaped for every lang
+    // label, so q262's honest accuracy is 72%; this query synthesizes
+    // six genuinely distinct languages from the same corpus — each doc's
+    // text passes through a per-language Caesar alphabet (translate()
+    // over a-z, rotations 0/4/8/12/16/20), so the six trigram profiles
+    // are structurally parallel but character-disjoint, the
+    // disjoint-alphabet battery at corpus scale. The classifier must now
+    // be near-perfect: acc_ok pins accuracy >= 95% by integer
+    // cross-multiply, and every per-doc prediction + distance is
+    // hash-gated (all-integer rank math, the q262 contract).
+    Q("q266_langid_multilingual", (s, d) => {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rot(k: Int) = alpha.drop(k) + alpha.take(k)
+      val synth = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("l"), (col("doc_id") % 6).cast("string")).as("slang"),
+        (0 until 6).foldLeft(lit(null).cast("string")) { (acc, k) =>
+          when(col("doc_id") % 6 === k,
+            translate(lower(col("text")), alpha, rot(4 * k))).otherwise(acc)
+        }.as("text"))
+      val res = graft.operators.Scoring.langIdProfiles(
+          synth, "doc_id", "text", "slang")
+        .join(synth.select(col("doc_id"), col("slang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("dist"),
+          (col("pred_lang") === col("slang")).as("ok"))
+      val acc = res.agg(
+        (sum(when(col("ok"), 1L).otherwise(0L)) * 100 >=
+          count(lit(1)) * 95).as("acc_ok"))
+      res.crossJoin(broadcast(acc)).orderBy(col("doc_id"))
+    }, Some {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rot(k: Int) = alpha.drop(k) + alpha.take(k)
+      val arms = (0 until 6).map(k =>
+        s"WHEN $k THEN translate(lower(text), '$alpha', '${rot(4 * k)}')")
+        .mkString("\n              ")
+      s"""
+        WITH synth AS (
+          SELECT doc_id, 'l' || CAST(doc_id % 6 AS VARCHAR) AS slang,
+            CASE CAST(doc_id % 6 AS INT)
+              $arms
+            END AS t
+          FROM documents),
+        words AS (
+          SELECT doc_id, slang, '_' || w || '_' AS pw
+          FROM (SELECT doc_id, slang, unnest(regexp_extract_all(t, '\\S+')) AS w
+                FROM synth)),
+        tri AS (
+          SELECT doc_id, slang, substr(pw, CAST(i AS INT), 3) AS t3
+          FROM words, unnest(generate_series(1, length(pw) - 2)) AS u(i)),
+        lp AS (
+          SELECT slang, t3,
+            ROW_NUMBER() OVER (PARTITION BY slang
+              ORDER BY COUNT(*) DESC, t3 ASC) AS lrank
+          FROM tri GROUP BY slang, t3 QUALIFY lrank <= 50),
+        dp AS (
+          SELECT doc_id, t3,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY COUNT(*) DESC, t3 ASC) AS drank
+          FROM tri GROUP BY doc_id, t3 QUALIFY drank <= 20),
+        langs AS (SELECT DISTINCT slang FROM lp),
+        dist AS (
+          SELECT dp.doc_id, langs.slang,
+            SUM(COALESCE(abs(dp.drank - lp.lrank), 50)) AS dist
+          FROM dp CROSS JOIN langs
+          LEFT JOIN lp ON lp.slang = langs.slang AND lp.t3 = dp.t3
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, slang, dist,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, slang) AS rn
+          FROM dist QUALIFY rn = 1),
+        res AS (
+          SELECT b.doc_id, b.slang AS pred_lang, CAST(b.dist AS BIGINT) AS dist,
+            b.slang = s.slang AS ok
+          FROM best b JOIN synth s USING (doc_id)),
+        acc AS (SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 100
+                  >= COUNT(*) * 95 AS acc_ok FROM res)
+        SELECT res.*, acc.acc_ok FROM res, acc ORDER BY doc_id"""
+    })
   )
 }
