@@ -467,6 +467,86 @@ object Streams {
       .write.mode("overwrite").parquet(s"$outDir/hist/batch_id=$id")
   }
 
+  // ------------------------------------------------------------------
+  // STREAMING crawl curation: the crawl_pipeline.yaml stage chain
+  // (response filter -> decode -> canonical URL + registered domain ->
+  // main-content extraction -> mojibake repair -> banking-tier PII +
+  // credential scrubbing -> quality/language gates -> exact dedup ->
+  // byte-BPE token ids) composed over readWarcStream, so an ARRIVING
+  // crawl drains incrementally into curated shards — each drop is
+  // parsed and curated once, checkpointed, never re-read.
+  //
+  // Every curation stage is a pure column map/filter (streamable as-is;
+  // the same chain serves batch). The one stateful stage is the exact
+  // dedup: streaming dropDuplicates keeps one row per fingerprint
+  // ACROSS drops (first arrival wins; state is one 64-bit hash per
+  // unique doc — at crawl scale, bound it with the bloom/reference
+  // variants, dedupAgainstReference/noveltyAgainstReference). The BPE
+  // merge table is an input (fitted offline, the shipped-tokenizer
+  // contract) — a stream cannot refit its own tokenizer.
+  // ------------------------------------------------------------------
+
+  /** The shared stage chain over a WARC record frame (streaming or
+    * batch — identical code path, which is what makes the stream==batch
+    * shard contract testable).
+    */
+  private[graft] def curateCrawl(records: DataFrame,
+                                 merges: Seq[(String, String)],
+                                 minQuality: Double,
+                                 langs: Seq[String]): DataFrame = {
+    import graft.functions.{Bpe, Text, Urls}
+    val vocab = Bpe.vocabOfBytes(merges)
+    records
+      .filter(col("warc_type") === "response" &&
+        col("content_type") === "text/html")
+      .select(
+        expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)', 1) AS BIGINT)")
+          .as("doc_id"),
+        col("target_uri"),
+        Urls.canonicalize(col("target_uri")).as("canon_url"),
+        Urls.registeredDomain(col("target_uri")).as("domain"),
+        col("payload").cast("string").as("html"))
+      .withColumn("__mc", Text.extractMainContent(col("html")))
+      .filter(col("__mc.n_kept") > 0)
+      .withColumn("text", Text.fixMojibake(col("__mc.content")))
+      .drop("__mc", "html")
+      .withColumn("text", Text.redactSecrets(
+        Text.redactPiiBanking(col("text"))))
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("lang_guess", Text.langGuess(col("text")))
+      .withColumn("fingerprint", Text.fingerprint(col("text")))
+      .filter(col("quality") >= minQuality &&
+        col("lang_guess").isInCollection(langs))
+      .dropDuplicates("fingerprint")
+      .withColumn("token_ids", Bpe.tokenIdsBytes(merges, vocab)(col("text")))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Streaming face: new .warc/.warc.gz files landing in `crawlDir`
+    * curate incrementally (drive with [[runToParquet]] for checkpointed
+    * shard output, or compose further). Columns: doc_id, target_uri,
+    * canon_url, domain, text, quality, lang_guess, fingerprint,
+    * token_ids, n_tokens.
+    */
+  def crawlCurationStream(spark: SparkSession, crawlDir: String,
+                          merges: Seq[(String, String)],
+                          minQuality: Double = 0.35,
+                          langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+    curateCrawl(graft.sources.Warc.readWarcStream(spark, crawlDir),
+      merges, minQuality, langs)
+
+  /** Batch twin over the same directory — the equivalence oracle for the
+    * streaming face (same chain, same dedup grain; only the surviving
+    * representative of a duplicate group may differ, so compare at
+    * fingerprint grain).
+    */
+  def crawlCurationBatch(spark: SparkSession, crawlDir: String,
+                         merges: Seq[(String, String)],
+                         minQuality: Double = 0.35,
+                         langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+    curateCrawl(graft.sources.Warc.readWarcDir(spark, crawlDir),
+      merges, minQuality, langs)
+
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,
                                outDir: String, checkpointDir: String): Unit = {

@@ -505,4 +505,100 @@ class StreamingSpec extends AnyFunSuite {
     Streams.writeSketchBatch(events, Seq("event_type"), "user_id", "v", out, 0L)
     assert(spark.read.parquet(s"$out/hll").count() == hllOnce)
   }
+
+  test("crawl curation stream: two-drop WARC directory drains incrementally; shard contract == batch twin; artifacts merge") {
+    import spark.implicits._
+    import graft.sources.Warc
+    import graft.functions.Bpe
+
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_stream_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_stream_out")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(20)
+      .as[(Long, String)].collect()
+    val merges = Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val sharedBody = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    def page(body: String): String =
+      "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About this" +
+        " site</a></nav><p>" + body +
+        " Wire DE89 3704 0044 0532 0130 00 and card 4111111111111111 now." +
+        "</p><footer><a href=\"/p\">Privacy policy page</a></footer></body></html>"
+    def writeDrop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val recs = rows.flatMap { case (id, text) =>
+        Warc.writeRecord("response", s"https://crawl.example.com/doc/$id",
+          "2026-02-01T00:00:00Z", "text/html",
+          page(text).getBytes("UTF-8")).toSeq
+      }.toArray
+      val os = new java.io.FileOutputStream(new java.io.File(crawlDir.toFile, name))
+      os.write(recs); os.close()
+    }
+
+    // drop 1: docs 0-9, with doc 3's body replaced by the shared body
+    val d1 = docs.take(10).map { case (id, t) =>
+      (id, if (id == 3L) sharedBody else t) }
+    writeDrop("drop1.warc", d1.toSeq)
+    def drain(): Unit = Streams.runToParquet(
+      Streams.crawlCurationStream(spark, crawlDir.toString, merges),
+      s"$out/shards", s"$out/ckpt")
+    drain()
+    val after1 = spark.read.parquet(s"$out/shards")
+    val n1 = after1.count()
+    assert(n1 > 0 && n1 <= 10)
+    assert(after1.filter(col("text").contains("4111111111111111")).count() == 0,
+      "PII redaction runs inside the stream")
+    assert(after1.filter(col("text").contains("Privacy policy")).count() == 0,
+      "chrome stripped inside the stream")
+
+    // drop 2: docs 10-19, doc 17's body is a DUPLICATE of drop 1's shared
+    // body -> the streaming dedup state must suppress it across drops
+    val d2 = docs.drop(10).map { case (id, t) =>
+      (id, if (id == 17L) sharedBody else t) }
+    writeDrop("drop2.warc", d2.toSeq)
+    drain()
+    val after2 = spark.read.parquet(s"$out/shards")
+    assert(after2.count() > n1, "drop 2 adds its novel docs")
+    val sharedRows = after2.join(
+      after1.filter(col("doc_id") === 3L).select(col("fingerprint")),
+      Seq("fingerprint"))
+    assert(sharedRows.count() == 1 &&
+      sharedRows.select("doc_id").first().getLong(0) == 3L,
+      "the cross-drop duplicate must not re-emit (first arrival wins)")
+
+    // shard CONTRACT equivalence vs the batch twin over the full dir:
+    // same fingerprint set, same curated text and token count per
+    // fingerprint (only the surviving doc_id of a dup group may differ)
+    val batch = Streams.crawlCurationBatch(spark, crawlDir.toString, merges)
+    val sKey = after2.select("fingerprint", "text", "n_tokens").collect()
+      .map(r => r.get(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val bKey = batch.select("fingerprint", "text", "n_tokens").collect()
+      .map(r => r.get(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(sKey == bKey, "stream and batch shard contracts must agree")
+
+    // re-drain with nothing new: checkpoint makes it a no-op
+    drain()
+    assert(spark.read.parquet(s"$out/shards").count() == after2.count())
+
+    // corpus-stats artifacts over the same curated stream (fresh
+    // checkpoint -> re-reads both drops once): per-batch HLL +
+    // histogram rows whose merge equals the batch truth
+    Streams.streamingSketchArtifacts(
+      Streams.crawlCurationStream(spark, crawlDir.toString, merges)
+        .select(col("domain"), col("fingerprint"), col("n_tokens")),
+      Seq("domain"), distinctCol = "fingerprint", histCol = "n_tokens",
+      outDir = s"$out/art", checkpointDir = s"$out/art_ckpt")
+    val est = graft.operators.Sketches.hllMergeEstimate(
+      spark.read.parquet(s"$out/art/hll").drop("batch_id"), Seq("domain"))
+      .select("domain", "estimate").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = batch.groupBy("domain")
+      .agg(countDistinct(col("fingerprint")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (dom, n) =>
+      assert(math.abs(est(dom) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$dom: estimate ${est(dom)} vs exact $n") }
+  }
 }
