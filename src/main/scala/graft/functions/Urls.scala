@@ -103,7 +103,16 @@ object Urls {
     * oracle-replayable default.
     */
   def registeredDomainIdn(url: Column): Column =
-    registeredDomainOfHost(graft.expressions.IdnAsciiHost(host(url)))
+    registeredDomainOfHost(graft.expressions.IdnAsciiHost(hostLoose(url)))
+
+  /** Host extraction that survives raw-unicode authorities: `parse_url`
+    * rejects non-ASCII URLs outright (java.net.URI), so the IDN path
+    * extracts the authority with the same regex the oracles use and
+    * falls back to parse_url's answer when both produce one.
+    */
+  private def hostLoose(url: Column): Column =
+    regexp_replace(lower(coalesce(parse_url(url, lit("HOST")),
+      regexp_extract(url, "://([^/:?#]+)", 1))), "^www\\.", "")
 
   private[graft] def registeredDomainOfHost(h: Column): Column = {
     def alt(xs: Seq[String]) = xs.map(_.replace(".", "\\.")).mkString("|")
