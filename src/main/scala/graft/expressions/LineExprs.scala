@@ -1,0 +1,117 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Duplicate-line collapse as a single hash-set pass — the codegen
+  * replacement for the `letArr(split(text,"\n"), filter(array_position
+  * == i+1))` HOF chain (Dolma/RefinedWeb within-document repetition
+  * removal, `Text.collapseDupLines`).
+  *
+  * Why: Catalyst interprets HOF lambdas (~1us/node/element) and
+  * `array_position` inside the filter makes the chain O(lines²) per
+  * row — q110 measured 3.7s at sf0.1 with the whole subtree outside
+  * whole-stage codegen. This pass is O(total chars) with one HashSet
+  * probe per line, inside codegen.
+  *
+  * Parity contract (the HOF form remains the spec and is what the q110
+  * oracle replays in DuckDB):
+  *  - lines split on every '\n' with trailing empties KEPT (Spark
+  *    `split` uses limit -1), so "a\n\n" is ["a", "", ""];
+  *  - the FIRST occurrence of each exact line survives, order
+  *    preserved; later duplicates (including duplicate empty lines)
+  *    drop;
+  *  - survivors re-join with '\n'.
+  * ExpressionsSpec pins scanner == HOF on a fixed battery plus random
+  * line soups.
+  */
+case class CollapseDupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_collapse_dup_lines"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    CollapseDupLines.collapse(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.CollapseDupLines.collapse($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseDupLines =
+    copy(child = newChild)
+}
+
+object CollapseDupLines {
+
+  /** Iterate lines (split on '\n', trailing empties kept) into `f`. */
+  private def eachLine(t: String)(f: String => Unit): Unit = {
+    var start = 0
+    var i = t.indexOf('\n')
+    while (i >= 0) {
+      f(t.substring(start, i))
+      start = i + 1
+      i = t.indexOf('\n', start)
+    }
+    f(t.substring(start))
+  }
+
+  def collapse(t: String): UTF8String = {
+    val seen = new java.util.HashSet[String]()
+    val out = new java.lang.StringBuilder(t.length)
+    var first = true
+    eachLine(t) { line =>
+      if (seen.add(line)) {
+        if (!first) out.append('\n')
+        out.append(line)
+        first = false
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def dupCount(t: String): Int = {
+    val seen = new java.util.HashSet[String]()
+    var dropped = 0
+    eachLine(t) { line => if (!seen.add(line)) dropped += 1 }
+    dropped
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(CollapseDupLines(ColumnBridge.expression(c)))
+}
+
+/** Lines [[CollapseDupLines]] drops (the audit metric), same pass;
+  * IntegerType to match the size()-difference HOF form it replaces. */
+case class DupLineCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dup_line_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    CollapseDupLines.dupCount(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.CollapseDupLines.dupCount($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): DupLineCount =
+    copy(child = newChild)
+}
+
+object DupLineCount {
+  def apply(c: Column): Column =
+    ColumnBridge.column(DupLineCount(ColumnBridge.expression(c)))
+}

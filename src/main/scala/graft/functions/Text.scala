@@ -514,6 +514,12 @@ object Text {
     * perfectly at 100 TB.
     */
   def collapseDupLines(text: Column): Column =
+    graft.expressions.CollapseDupLines(text)
+
+  /** The HOF spec form (what the q110 oracle replays) — kept as the
+    * parity mirror for the codegen scanner above.
+    */
+  private[graft] def collapseDupLinesHof(text: Column): Column =
     letArr(split(text, "\n"), lines => array_join(
       filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n"))
 
@@ -566,6 +572,10 @@ object Text {
 
   /** Lines dropped by [[collapseDupLines]] (audit metric). */
   def dupLineCount(text: Column): Column =
+    graft.expressions.DupLineCount(text)
+
+  /** HOF spec form of [[dupLineCount]] (parity mirror). */
+  private[graft] def dupLineCountHof(text: Column): Column =
     letArr(split(text, "\n"), lines =>
       size(lines) -
         size(filter(lines, (l, i) => array_position(lines, l) === i + 1)))

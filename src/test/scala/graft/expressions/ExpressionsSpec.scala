@@ -423,4 +423,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT iban_valid('DE89370400440532013000')").head().getBoolean(0))
     assert(spark.sql(s"SELECT char_entropy('$randomHex')").head().getDouble(0) >= 3.5)
   }
+
+  test("CollapseDupLines/DupLineCount: codegen hash-set pass == the HOF spec form") {
+    import spark.implicits._
+    val fixed = Seq(
+      "", "\n", "a", "a\na", "a\nb\na\nc\nb", "a\n\nb\n\n",
+      "\n\n\n", "x\nx\nx\nx", "trail\n", "\nlead",
+      "same line\nsame line\nother", "a b\na  b\na b")
+    val rnd = new scala.util.Random(12012)
+    val lines = Seq("alpha", "beta", "", "gamma d", " ")
+    val soups = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => lines(rnd.nextInt(lines.size)))
+        .mkString("\n")
+    }
+    val df = (fixed ++ soups).toDF("t").select(
+      col("t"),
+      graft.functions.Text.collapseDupLines(col("t")).as("fastC"),
+      graft.functions.Text.collapseDupLinesHof(col("t")).as("hofC"),
+      graft.functions.Text.dupLineCount(col("t")).as("fastN"),
+      graft.functions.Text.dupLineCountHof(col("t")).as("hofN"))
+    val bad = df.filter(col("fastC") =!= col("hofC") ||
+      col("fastN") =!= col("hofN")).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    assert(df.schema("fastN").dataType ==
+      org.apache.spark.sql.types.IntegerType, "audit dtype unchanged")
+  }
 }
