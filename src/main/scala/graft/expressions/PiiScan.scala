@@ -58,6 +58,17 @@ object PiiScan {
   // PAN/SSN boundary class: [0-9A-Za-z-] on BOTH sides (symmetric)
   private def inPanClass(c: Char): Boolean = isAlnum(c) || c == '-'
 
+  /** Chars consumed by a one-code-point boundary match at `j`: a
+    * supplementary code point is ONE char to the regex engine but TWO
+    * Java chars, and `Matcher` resumes after the full pair — the scanner
+    * must too, or an occurrence starting right after the pair would
+    * match one pass earlier than the regex (caught by the PiiScanSpec
+    * surrogate battery).
+    */
+  private def cpLen(t: String, j: Int): Int =
+    if (Character.isHighSurrogate(t.charAt(j)) && j + 1 < t.length &&
+        Character.isLowSurrogate(t.charAt(j + 1))) 2 else 1
+
   private val EmptyArr = new GenericArrayData(new Array[Any](0))
 
   private def toArr(buf: java.util.ArrayList[Any]): ArrayData =
@@ -147,14 +158,14 @@ object PiiScan {
         val e = panBodyEnd(t, 0)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(0, e)))
-          resume = if (e < n && !inPanClass(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !inPanClass(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       if (resume < 0 && !inPanClass(t.charAt(p))) {
         val e = panBodyEnd(t, p + 1)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(p + 1, e)))
-          resume = if (e < n && !inPanClass(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !inPanClass(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       p = if (resume >= 0) resume else p + 1
@@ -204,8 +215,10 @@ object PiiScan {
         if (out == null) out = new java.lang.StringBuilder(n)
         out.append(t, pos, bodyStart) // includes the kept left boundary ($1)
         out.append("<SSN>")
-        if (bodyEnd < n) { out.append(t.charAt(bodyEnd)); pos = bodyEnd + 1 }
-        else pos = bodyEnd
+        if (bodyEnd < n) {
+          val k = cpLen(t, bodyEnd)
+          out.append(t, bodyEnd, bodyEnd + k); pos = bodyEnd + k
+        } else pos = bodyEnd
         p = pos
       } else p += 1
     }
@@ -281,14 +294,14 @@ object PiiScan {
         val e = ibanBodyEnd(t, 0)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(0, e)))
-          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       if (resume < 0 && !isAlnum(t.charAt(p))) {
         val e = ibanBodyEnd(t, p + 1)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(p + 1, e)))
-          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       p = if (resume >= 0) resume else p + 1
@@ -326,14 +339,14 @@ object PiiScan {
         val e = hexBodyEnd(t, 0)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(0, e)))
-          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       if (resume < 0 && !isAlnum(t.charAt(p))) {
         val e = hexBodyEnd(t, p + 1)
         if (e >= 0) {
           out.add(UTF8String.fromString(t.substring(p + 1, e)))
-          resume = if (e < n && !isAlnum(t.charAt(e))) e + 1 else e
+          resume = if (e < n && !isAlnum(t.charAt(e))) e + cpLen(t, e) else e
         }
       }
       p = if (resume >= 0) resume else p + 1
@@ -403,8 +416,10 @@ object PiiScan {
         if (out == null) out = new java.lang.StringBuilder(n)
         out.append(t, pos, bodyStart)
         out.append(mark)
-        if (e < n && rightConsumes(t, e)) { out.append(t.charAt(e)); pos = e + 1 }
-        else pos = e
+        if (e < n && rightConsumes(t, e)) {
+          val k = cpLen(t, e)
+          out.append(t, e, e + k); pos = e + k
+        } else pos = e
         p = pos
       } else p += 1
     }
@@ -533,10 +548,12 @@ object PiiScan {
     def boundary(j: Int): Int = { // consumed char count or -1
       if (j == n) return 0
       val c = t.charAt(j)
-      if (!inIpClass(c)) return 1
+      if (!inIpClass(c)) return cpLen(t, j)
       if (c == '.') {
-        if (j + 1 < n) { if (!isDigit(t.charAt(j + 1))) return 2 else return -1 }
-        else return 1 // \.$
+        if (j + 1 < n) {
+          if (!isDigit(t.charAt(j + 1))) return 1 + cpLen(t, j + 1)
+          else return -1
+        } else return 1 // \.$
       }
       -1
     }
@@ -665,8 +682,10 @@ object PiiScan {
         if (out == null) out = new java.lang.StringBuilder(n)
         out.append(t, pos, bodyStart)
         out.append("<PHONE>")
-        if (e < n && !isDigit(t.charAt(e))) { out.append(t.charAt(e)); pos = e + 1 }
-        else pos = e
+        if (e < n && !isDigit(t.charAt(e))) {
+          val k = cpLen(t, e)
+          out.append(t, e, e + k); pos = e + k
+        } else pos = e
         p = pos
       } else p += 1
     }

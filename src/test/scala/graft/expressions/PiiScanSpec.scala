@@ -75,6 +75,32 @@ class PiiScanSpec extends AnyFunSuite {
     })
   }
 
+  test("non-ASCII boundaries: scanners == regex around BMP letters and surrogate pairs") {
+    // the boundary classes are ASCII sets, so every non-ASCII code point
+    // is a valid boundary in the regex; a supplementary char is ONE code
+    // point to the regex but TWO chars to the scanner — replaceAll output
+    // and group-2 extraction must still agree (the scanner copies
+    // everything before the body verbatim, so the consumed-pair
+    // difference cannot surface)
+    val cand = "4111111111111111"
+    val ssn = "219-09-9999"
+    val emoji = new String(Character.toChars(0x1F600)) // surrogate pair
+    val cases = Seq(
+      s"caf\u00e9$cand", s"${cand}\u00e9caf", s"\u00e9$cand\u00e9",
+      s"$emoji$cand", s"$cand$emoji", s"$emoji$cand$emoji$cand$emoji",
+      s"\u4f60$ssn\u597d", s"$emoji$ssn",
+      s"caf\u00e9@x.com", s"\u00e9mail a@b.co done", s"$emoji a@b.co",
+      s"\u00e9 1.2.3.4 $emoji", s"$emoji(234) 555-0199\u00e9")
+    cases.foreach { t =>
+      assert(arrToList(PiiScan.panCandidates(t)) == regexExtract(panRe, t), s"pan on: '$t'")
+      assert(PiiScan.ssnRedact(t).toString == regexReplace(graft.functions.Text.ssnRe, t, "<SSN>"), s"ssn on: '$t'")
+      assert(PiiScan.emailRedact(t).toString ==
+        Pattern.compile(graft.functions.Text.emailRe).matcher(t).replaceAll("<EMAIL>"), s"email on: '$t'")
+      assert(PiiScan.ipRedact(t).toString == regexReplace(graft.functions.Text.ipv4Re, t, "<IP>"), s"ip on: '$t'")
+      assert(PiiScan.phoneRedact(t).toString == regexReplace(graft.functions.Text.phoneRe, t, "<PHONE>"), s"phone on: '$t'")
+    }
+  }
+
   // ---------------- SSN ----------------
 
   test("ssnRedact: fixed battery == regexp_replace(ssnRe, $1<SSN>$3)") {
