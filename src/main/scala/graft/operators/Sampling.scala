@@ -530,4 +530,55 @@ object Sampling {
         round(lit(1 - smooth) * col("w_raw") / col("__w_sum") +
           lit(smooth) / col("__k"), 6).as("weight"))
   }
+
+  /** Per-domain document cap — the crawl-curation staple (C4/RefinedWeb
+    * keep at most k pages per registered domain so no site dominates the
+    * corpus): the best-`scoreCol` k rows survive per domain, ties broken
+    * by id ascending.
+    *
+    * Scale shape: NOT `row_number().over(partitionBy(domain))` — a
+    * mega-domain (the exact case the cap exists for) would sort its
+    * millions of pages in ONE task. [[TopKAgg]] keeps a k-bounded heap
+    * per (task, domain) with map-side partial aggregation, so the
+    * shuffle carries one k-length buffer per partition per domain
+    * regardless of how hot the domain is; survivors semi-join back by
+    * id. The score rounds to 6dp before the heap (the weightedSampleN
+    * determinism contract) so an oracle replays the selection exactly.
+    */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"domainCap: k must be positive, got $k")
+    val idType = df.schema(idCol).dataType
+    require(Seq(LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType).contains(idType),
+      s"domainCap: id column '$idCol' must be integral, got $idType")
+    val score = round(col(scoreCol).cast(DoubleType), 6)
+    val picked = df.groupBy(col(domainCol))
+      .agg(TopKAgg.topK(score, col(idCol).cast(LongType), k).as("__top"))
+      .select(explode(col("__top.id")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
+  /** Domain block/allow filtering against a reference frame (the
+    * blocklist the per-site policy pipeline maintains): `block = true`
+    * drops rows whose domain appears in `ref` (anti join), `false` keeps
+    * only those (semi join). The reference is broadcast — blocklists are
+    * dimension-sized; the corpus never reshuffles.
+    */
+  def domainFilterRef(df: DataFrame, domainCol: String, ref: DataFrame,
+                      block: Boolean = true): DataFrame = {
+    val refDoms = ref.select(ref.columns.head).toDF(domainCol).distinct()
+    df.join(broadcast(refDoms), Seq(domainCol),
+      if (block) "left_anti" else "left_semi")
+  }
+
+  /** Literal-list convenience of [[domainFilterRef]] (plan-literal IN
+    * filter — no join at all for the common small-list case).
+    */
+  def domainFilter(df: DataFrame, domainCol: String, domains: Seq[String],
+                   block: Boolean = true): DataFrame = {
+    require(domains.nonEmpty, "domainFilter: empty domain list")
+    val in = col(domainCol).isInCollection(domains)
+    df.filter(if (block) !in else in)
+  }
 }

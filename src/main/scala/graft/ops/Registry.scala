@@ -1566,6 +1566,31 @@ final class Registry(spark: SparkSession) {
         frames.reduce(_ unionByName _),
         a.get("by", -1).map(asStrList).getOrElse(Nil))
     },
+    "graft.domain_cap" -> { a =>
+      // at most k best-score docs per domain (TopKAgg heap per domain —
+      // a mega-domain never sorts in one task)
+      graft.operators.Sampling.domainCap(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.require("score", 1), "score"),
+        k = asInt(a.require("k", 2), "k"))
+    },
+    "graft.domain_filter" -> { a =>
+      // block (default) or allow rows by domain membership: a literal
+      // list filters in-plan; a frame reference broadcast-joins
+      val df = asDf(a.require("df", 0), "df")
+      val domainCol = asStr(a.get("domain", -1).getOrElse("domain"), "domain")
+      val block = a.get("block", -1).forall(_.toString.toBoolean)
+      a.require("domains", 1) match {
+        case l: List[_] =>
+          graft.operators.Sampling.domainFilter(
+            df, domainCol, l.map(_.toString), block)
+        case ref =>
+          graft.operators.Sampling.domainFilterRef(
+            df, domainCol, asDf(ref, "domains"), block)
+      }
+    },
     "graft.comoment_sketch" -> { a =>
       // mergeable co-moment artifact: exact decimal n/sx/sy/sxy/sxx/syy
       // per group — the sufficient statistics for mean/var/cov/corr,

@@ -264,6 +264,58 @@ object Round12 {
         acc AS (SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 100
                   >= COUNT(*) * 95 AS acc_ok FROM res)
         SELECT res.*, acc.acc_ok FROM res, acc ORDER BY doc_id"""
-    })
+    }),
+
+    // Per-domain cap + blocklist — the per-site policy pass of crawl
+    // curation (C4/RefinedWeb cap pages per registered domain so no site
+    // dominates; blocklists drop known-bad sites wholesale). Domains
+    // synthesize from doc_id%4 hosts; blocked.net drops entirely, then
+    // each surviving domain keeps its 20 best-quality docs (6dp-rounded
+    // score, id tiebreak — the TopKAgg heap selection the oracle replays
+    // as a rank). Scale shape under test: heap-per-domain aggregation,
+    // never a row_number window that would serialize a mega-domain.
+    Q("q267_domain_cap", (s, d) => {
+      import graft.operators.Sampling
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("domain",
+          when(col("doc_id") % 4 === 0, "a.example.com")
+            .when(col("doc_id") % 4 === 1, "b.sample.org")
+            .when(col("doc_id") % 4 === 2, "c.blocked.net")
+            .otherwise("d.docs.io"))
+        .withColumn("q",
+          round(graft.functions.Text.qualityScore(col("text")), 6))
+      val unblocked = Sampling.domainFilter(
+        docs, "domain", Seq("c.blocked.net"))
+      Sampling.domainCap(unblocked, "domain", "doc_id", "q", 20)
+        .select(col("doc_id"), col("domain"), col("q"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH s AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|was|for)\b')) AS INTEGER) AS n_stop
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'a.example.com'
+              WHEN 1 THEN 'b.sample.org'
+              WHEN 2 THEN 'c.blocked.net'
+              ELSE 'd.docs.io' END AS domain,
+            round(
+              (CASE WHEN length(text) >= 100 THEN 1.0
+                    ELSE CAST(length(text) AS DOUBLE) / 100.0 END) * 0.4
+              + least((CAST(n_stop AS DOUBLE) / greatest(n_ws, 1)) * 5.0, 1.0) * 0.4
+              + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+              6) AS q
+          FROM s),
+        ranked AS (
+          SELECT doc_id, domain, q,
+            ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY q DESC, doc_id ASC) AS rn
+          FROM d WHERE domain <> 'c.blocked.net')
+        SELECT doc_id, domain, q FROM ranked
+        WHERE rn <= 20 ORDER BY doc_id"""))
   )
 }

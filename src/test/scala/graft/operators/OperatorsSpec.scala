@@ -2010,6 +2010,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L)._2 < out(2L)._2)
   }
 
+  test("domainCap: best-k per domain with id tiebreak, heap == rank semantics; small domains keep all") {
+    val rows = Seq(
+      (1L, "a.com", 0.9), (2L, "a.com", 0.9), (3L, "a.com", 0.5),
+      (4L, "a.com", 0.7),
+      (5L, "b.org", 0.1),
+      (6L, "c.net", 0.3), (7L, "c.net", 0.2))
+    val out = Sampling.domainCap(
+        rows.toDF("doc_id", "domain", "q"), "domain", "doc_id", "q", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a.com: 0.9-tie broken by id -> 1,2 (doc 4's 0.7 drops); b/c keep all
+    assert(out == Set(1L, 2L, 5L, 6L, 7L))
+    // k larger than any domain: everything survives
+    assert(Sampling.domainCap(rows.toDF("doc_id", "domain", "q"),
+      "domain", "doc_id", "q", 10).count() == 7)
+    // non-integral id rejected at planning time
+    assertThrows[IllegalArgumentException] {
+      Sampling.domainCap(rows.toDF("doc_id", "domain", "q")
+        .withColumn("doc_id", col("doc_id").cast("string")),
+        "domain", "doc_id", "q", 2)
+    }
+  }
+
+  test("domainFilter/domainFilterRef: block and allow, literal list and broadcast frame") {
+    val rows = Seq((1L, "a.com"), (2L, "bad.net"), (3L, "c.org"), (4L, "bad.net"))
+      .toDF("doc_id", "domain")
+    assert(Sampling.domainFilter(rows, "domain", Seq("bad.net"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Sampling.domainFilter(rows, "domain", Seq("bad.net"), block = false)
+      .count() == 2)
+    val ref = Seq("bad.net", "absent.io").toDF("d")
+    assert(Sampling.domainFilterRef(rows, "domain", ref)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Sampling.domainFilterRef(rows, "domain", ref, block = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
   test("knTrigramPerplexity: modified-KN P3(.|history) normalizes to 1; discounts fit count-of-counts") {
     // counts 1..3 all present so every discount is exercised:
     // "a b c" x3, "b c a"/"c a b" x2, the rest singletons
