@@ -1417,6 +1417,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75))
     },
+    "graft.kn3_perplexity" -> { a =>
+      // modified-Kneser-Ney TRIGRAM perplexity (the KenLM default order-3
+      // smoothing; discounts fitted from count-of-counts per level)
+      graft.operators.Scoring.knTrigramPerplexity(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.langid_profiles" -> { a =>
       // Cavnar-Trenkle textcat: ranked char-trigram profiles per labeled
       // language, docs classified by integer rank-order distance

@@ -460,11 +460,20 @@ object Streams {
     * `outDir/hist`.
     */
   def writeSketchBatch(batch: DataFrame, by: Seq[String], distinctCol: String,
-                       histCol: String, outDir: String, id: Long): Unit = {
+                       histCol: String, outDir: String, id: Long,
+                       comoment: Option[(String, String)] = None): Unit = {
     graft.operators.Sketches.hllSketches(batch, by, distinctCol)
       .write.mode("overwrite").parquet(s"$outDir/hll/batch_id=$id")
     graft.operators.Sketches.log2Histogram(batch, by, histCol)
       .write.mode("overwrite").parquet(s"$outDir/hist/batch_id=$id")
+    // optional exact co-moment face (mean/var/corr sufficient stats):
+    // merge is decimal addition, so running stats over the artifact are
+    // BIT-IDENTICAL to a direct scan — and the per-batch_id overwrite
+    // makes retry idempotence exact too, not just estimate-stable
+    comoment.foreach { case (x, y) =>
+      graft.operators.Sketches.coMomentSketch(batch, by, x, y)
+        .write.mode("overwrite").parquet(s"$outDir/cm/batch_id=$id")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -549,10 +558,11 @@ object Streams {
 
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,
-                               outDir: String, checkpointDir: String): Unit = {
+                               outDir: String, checkpointDir: String,
+                               comoment: Option[(String, String)] = None): Unit = {
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        writeSketchBatch(batch, by, distinctCol, histCol, outDir, id)
+        writeSketchBatch(batch, by, distinctCol, histCol, outDir, id, comoment)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

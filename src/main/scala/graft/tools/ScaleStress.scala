@@ -228,6 +228,26 @@ object ScaleStress {
       cell("q242_trigram_perplexity", f, nd)(
         graft.operators.Scoring.trigramPerplexity(d, "doc_id", "text")
           .filter(col("ppl") > 0).count())
+      // modified-KN trigram: the heaviest model fit (trigram counts,
+      // continuation tables, count-of-count discount fits) — expect
+      // linear-ish; the suffixed replicas GROW the trigram vocabulary
+      // with the corpus (each replica's trigrams are distinct), so count
+      // tables scale with input, which is the honest worst case
+      cell("q263_kn3_perplexity", f, nd)(
+        graft.operators.Scoring.knTrigramPerplexity(d, "doc_id", "text")
+          .filter(col("ppl") > 0).count())
+      // per-domain cap: heap-per-domain aggregation on a deliberately
+      // SKEWED domain layout (domain 0 holds half the corpus — the
+      // mega-domain a row_number window would serialize); expect linear,
+      // and survivors stay capped at 50/domain regardless of factor
+      cell("q267_domain_cap", f, nd)(
+        graft.operators.Sampling.domainCap(
+          d.withColumn("domain",
+            when(pmod(col("doc_id"), lit(2)) === 0, "mega.example.com")
+              .otherwise(concat(lit("site"),
+                pmod(col("doc_id"), lit(97)).cast("string"), lit(".org"))))
+            .withColumn("q", length(col("text")).cast("double")),
+          "domain", "doc_id", "q", 50).count())
       // pure-map text chains (banking PII, secrets, content extraction):
       // expect flat-linear; the filters reference computed output so the
       // full chain runs per row (the q110 count-pruning lesson)

@@ -504,6 +504,31 @@ class StreamingSpec extends AnyFunSuite {
     val hllOnce = spark.read.parquet(s"$out/hll").count()
     Streams.writeSketchBatch(events, Seq("event_type"), "user_id", "v", out, 0L)
     assert(spark.read.parquet(s"$out/hll").count() == hllOnce)
+
+    // co-moment face: two batch writes merge to EXACTLY the direct scan
+    // (decimal addition of int128-exact sums — no estimate envelope)
+    val cmOut = java.nio.file.Files.createTempDirectory("sscm").toString
+    Streams.writeSketchBatch(events.filter(col("user_id") % 2 === 0),
+      Seq("event_type"), "user_id", "v", cmOut, 0L,
+      comoment = Some(("v", "user_id")))
+    Streams.writeSketchBatch(events.filter(col("user_id") % 2 =!= 0),
+      Seq("event_type"), "user_id", "v", cmOut, 1L,
+      comoment = Some(("v", "user_id")))
+    val mergedCm = graft.operators.Sketches.coMomentMergeStats(
+        spark.read.parquet(s"$cmOut/cm").drop("batch_id"), Seq("event_type"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("mean_x")), r.getDouble(r.fieldIndex("var_x")),
+          r.getDouble(r.fieldIndex("corr")))).toMap
+    graft.operators.Sketches.coMomentMergeStats(
+        graft.operators.Sketches.coMomentSketch(
+          events, Seq("event_type"), "v", "user_id"), Seq("event_type"))
+      .collect().foreach { r =>
+        val (mx, vx, c) = mergedCm(r.getString(0))
+        assert(r.getDouble(r.fieldIndex("mean_x")) == mx &&
+          r.getDouble(r.fieldIndex("var_x")) == vx &&
+          r.getDouble(r.fieldIndex("corr")) == c,
+          s"co-moment artifact merge must equal direct for ${r.getString(0)}")
+      }
   }
 
   test("crawl curation stream: two-drop WARC directory drains incrementally; shard contract == batch twin; artifacts merge") {
