@@ -134,6 +134,127 @@ object Multimodal {
   def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (dHash, the published difference-hash):
+  // grayscale -> 9x8 block means -> 64 adjacent-horizontal comparisons.
+  // Two images with different pixel NOISE but the same coarse structure
+  // land on the same 64-bit hash — the image near-dup grain (exact-byte
+  // dedup misses re-encoded/noised copies; this catches them). The hash
+  // ships as two 32-bit halves in BIGINTs so cross-engine replays never
+  // touch the sign bit.
+  // ------------------------------------------------------------------
+
+  final case class ImageDHash(id: Long, width: Int, height: Int,
+                              dhash_hi: Long, dhash_lo: Long, ok: Boolean)
+
+  /** dHash of one decoded image: integer luma (299r+587g+114b)/1000,
+    * block SUMS over a 9x8 grid of floor(W/9) x floor(H/8) pixel blocks
+    * anchored top-left (sums, not means — same comparisons, no rounding),
+    * bit (gy*8+gx) set when block (gx,gy) < block (gx+1,gy). Images
+    * smaller than 9x2 px decode ok=false rather than throwing.
+    */
+  private def dhashOf(id: Long, bytes: Array[Byte]): ImageDHash = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8)
+        return ImageDHash(id, if (img == null) 0 else img.getWidth,
+          if (img == null) 0 else img.getHeight, 0L, 0L, ok = false)
+      val w = img.getWidth; val h = img.getHeight
+      val bw = w / 9; val bh = h / 8
+      val sums = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          var s = 0L
+          var y = gy * bh
+          while (y < (gy + 1) * bh) {
+            var x = gx * bw
+            while (x < (gx + 1) * bw) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              s += (299 * r + 587 * g + 114 * b) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          sums(gy)(gx) = s
+          gx += 1
+        }
+        gy += 1
+      }
+      var hi = 0L; var lo = 0L
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (sums(gy)(gx) < sums(gy)(gx + 1)) {
+            val bit = gy * 8 + gx
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      ImageDHash(id, w, h, hi, lo, ok = true)
+    } catch {
+      case _: Exception => ImageDHash(id, 0, 0, 0L, 0L, ok = false)
+    }
+  }
+
+  /** Distributed dHash over (id, imageBytes) rows: decode + hash per
+    * partition (the decodeBatch shape), emit (id, width, height,
+    * dhash_hi, dhash_lo, ok). Group equal (hi, lo) pairs downstream for
+    * near-dup clusters; Hamming-distance banding composes via the
+    * simhash machinery if fuzzy clusters are wanted.
+    */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): Dataset[ImageDHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => dhashOf(id, bytes) })
+  }
+
+  /** Render the deterministic 18x16 "scene" PNG the q268 gate uses: the
+    * 9x8 block grid follows a per-scene bit pattern (Weyl-style integer
+    * hash, replayable in SQL), each block's level = (bit ? 140 : 40) +
+    * gx*12 — the gx gradient makes every adjacent comparison strictly
+    * decided — plus per-DOC pixel noise in [-4, 4]. Docs sharing a scene
+    * get genuinely different pixel bytes but provably identical dHashes
+    * (max block-sum noise delta 32 < the minimum structural gap 48), so
+    * the near-dup clustering is exercised for real, and the expected
+    * hash is pure integer math an oracle can rebuild.
+    */
+  def sceneImage(docId: Long, scene: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val gx = x / 2; val gy = y / 2
+        val bit = sceneBit(scene, gy, gx)
+        val base = (if (bit) 140 else 40) + gx * 12
+        val noise = ((docId * 31 + x * 17 + y * 7) % 9).toInt - 4
+        val v = base + noise
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The scene bit formula, shared with the q268 oracle:
+    * ((scene*73 + gy*9 + gx) * 2654435761) mod 2^32 >= 2^31.
+    */
+  def sceneBit(scene: Long, gy: Int, gx: Int): Boolean =
+    ((scene * 73 + gy * 9 + gx) * 2654435761L) % 4294967296L >= 2147483648L
+
   /** Batch decode: one decoder instance per partition (mirrors the
     * mapInPandas batch shape — amortizes codec init), executed distributed,
     * never on the driver. Input must have (id: Long, content: Binary).

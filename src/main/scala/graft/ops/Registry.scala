@@ -857,6 +857,14 @@ final class Registry(spark: SparkSession) {
         .withColumn("lang_guess", Text.langGuess(text))
         .withColumn("fingerprint", Text.fingerprint(text))
     },
+    "graft.image_dhash" -> { a =>
+      // perceptual difference-hash over decoded pixels: (id, width,
+      // height, dhash_hi, dhash_lo, ok) — group equal halves for image
+      // near-dup clusters (re-encoded/noised copies exact dedup misses)
+      Multimodal.imageDHash(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
+    },
     "graft.decode_media" -> { a =>
       Multimodal.decodeBatch(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("id"), "id"),

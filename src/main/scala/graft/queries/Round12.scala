@@ -316,6 +316,66 @@ object Round12 {
               ORDER BY q DESC, doc_id ASC) AS rn
           FROM d WHERE domain <> 'c.blocked.net')
         SELECT doc_id, domain, q FROM ranked
-        WHERE rn <= 20 ORDER BY doc_id"""))
+        WHERE rn <= 20 ORDER BY doc_id""")),
+
+    // Image NEAR-dup clustering via dHash (the published difference
+    // hash) over a REAL codec round trip: every doc renders an 18x16
+    // PNG whose 9x8 block structure follows its scene's bit pattern
+    // (scene = doc_id % 37) with per-DOC pixel noise — docs sharing a
+    // scene have genuinely different bytes (exact dedup misses them)
+    // but provably identical dHashes (noise bounded under the
+    // structural gap). The pipeline ImageIO-decodes the PNG and
+    // computes the hash from PIXELS; the oracle rebuilds the expected
+    // hash from the scene formula in pure integer SQL — decode, luma,
+    // block sums and all 64 comparisons must land exactly for the hash
+    // (split into two 32-bit halves; bit 63 never touches a BIGINT
+    // sign) and the cluster rollup to match.
+    Q("q268_image_dhash", (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val pngs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.sceneImage(id, id % 37))))
+        .toDF("doc_id", "content")
+      val hashed = Multimodal.imageDHash(pngs, "doc_id", "content").toDF()
+      val clusters = hashed.groupBy(col("dhash_hi"), col("dhash_lo"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+      hashed.select(col("id").as("doc_id"), col("width"), col("height"),
+          col("dhash_hi"), col("dhash_lo"), col("ok"))
+        .join(clusters, Seq("dhash_hi", "dhash_lo"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("dhash_hi"), col("dhash_lo"), col("ok"),
+          col("rep_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH g AS (
+          SELECT a.gy, b.gx
+          FROM generate_series(0, 7) a(gy), generate_series(0, 7) b(gx)),
+        bits AS (
+          SELECT d.doc_id, g.gy, g.gx,
+            CASE WHEN NOT (
+                (((d.scene * 73 + g.gy * 9 + g.gx) * 2654435761)
+                  % 4294967296 >= 2147483648)
+                AND NOT (((d.scene * 73 + g.gy * 9 + g.gx + 1) * 2654435761)
+                  % 4294967296 >= 2147483648))
+              THEN 1 ELSE 0 END AS bit
+          FROM (SELECT doc_id, doc_id % 37 AS scene FROM documents) d
+          CROSS JOIN g),
+        h AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN gy >= 4
+              THEN bit * (1::BIGINT << ((gy - 4) * 8 + gx)) ELSE 0 END)
+              AS BIGINT) AS dhash_hi,
+            CAST(SUM(CASE WHEN gy < 4
+              THEN bit * (1::BIGINT << (gy * 8 + gx)) ELSE 0 END)
+              AS BIGINT) AS dhash_lo
+          FROM bits GROUP BY doc_id),
+        cl AS (
+          SELECT dhash_hi, dhash_lo, MIN(doc_id) AS rep_id,
+            COUNT(*) AS cluster_size
+          FROM h GROUP BY 1, 2)
+        SELECT h.doc_id, 18 AS width, 16 AS height,
+          h.dhash_hi, h.dhash_lo, TRUE AS ok, cl.rep_id, cl.cluster_size
+        FROM h JOIN cl USING (dhash_hi, dhash_lo)
+        ORDER BY h.doc_id"""))
   )
 }

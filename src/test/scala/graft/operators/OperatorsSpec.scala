@@ -1068,6 +1068,50 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("imageDHash: same scene + different noise -> different bytes, identical hash; junk -> ok=false") {
+    // four docs in scene 5, three in scene 9: per-doc noise makes every
+    // PNG byte-distinct (exact dedup finds nothing) while the dHash
+    // clusters exactly by scene structure
+    val rows = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L,
+      10L -> 9L, 11L -> 9L, 12L -> 9L)
+    val pngs = rows.map { case (id, sc) =>
+      (id, sc, Multimodal.sceneImage(id, sc)) }
+    assert(pngs.map(_._3.toSeq).distinct.size == 7, "all bytes distinct")
+    val df = pngs.map(p => (p._1, p._3)).toDF("id", "content")
+    val out = Multimodal.imageDHash(df, "id", "content").collect()
+      .map(h => h.id -> h).toMap
+    assert(out.values.forall(h => h.ok && h.width == 18 && h.height == 16))
+    val scene5 = Seq(1L, 2L, 3L, 4L).map(i => (out(i).dhash_hi, out(i).dhash_lo))
+    val scene9 = Seq(10L, 11L, 12L).map(i => (out(i).dhash_hi, out(i).dhash_lo))
+    assert(scene5.distinct.size == 1, "scene 5 docs share one hash")
+    assert(scene9.distinct.size == 1, "scene 9 docs share one hash")
+    assert(scene5.head != scene9.head, "scenes 5 and 9 differ")
+    // the hash equals the pure-formula prediction (what the q268 oracle
+    // computes) — decode/luma/block-sum round trip is exact
+    def predicted(scene: Long): (Long, Long) = {
+      var hi = 0L; var lo = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        val cmp = !(Multimodal.sceneBit(scene, gy, gx) &&
+          !Multimodal.sceneBit(scene, gy, gx + 1))
+        if (cmp) {
+          val bit = gy * 8 + gx
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      }
+      (hi, lo)
+    }
+    assert(scene5.head == predicted(5L) && scene9.head == predicted(9L))
+    // junk bytes and sub-grid images fail soft
+    val bad = Multimodal.imageDHash(
+      Seq((99L, Array.fill(32)(0x42.toByte))).toDF("id", "content"),
+      "id", "content").collect().head
+    assert(!bad.ok && bad.dhash_hi == 0L && bad.dhash_lo == 0L)
+    val tiny = Multimodal.imageDHash(
+      Seq((98L, Multimodal.syntheticPng(4, 4, seed = 7L))).toDF("id", "content"),
+      "id", "content").collect().head
+    assert(!tiny.ok, "sub-9x8 images cannot hash")
+  }
+
   test("decodeBatch: typed metadata from binary, distributed, deterministic") {
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "s")
       .select(col("id"), encode(col("s"), "UTF-8").as("content"))
