@@ -379,6 +379,130 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Audio NEAR-dup fingerprinting: the energy-envelope hash — the audio
+  // twin of [[imageDHash]] (Shazam-lineage fingerprints compare
+  // time-local energy structure; re-encoded or lightly-noised copies of
+  // one recording keep the envelope while exact bytes differ). 65 equal
+  // windows over the decoded PCM, 64 adjacent |sample|-sum comparisons,
+  // packed as two 32-bit BIGINT halves like the image hash.
+  // ------------------------------------------------------------------
+
+  final case class AudioHash(id: Long, sample_rate: Int, n_frames: Long,
+                             ahash_hi: Long, ahash_lo: Long, ok: Boolean)
+
+  /** Envelope hash of one audio payload: REAL decode via javax.sound
+    * (PCM16 enforced), channels folded by integer average, frames split
+    * into 65 windows of floor(n/65) frames anchored at the start, bit
+    * (w) set when abs-sum(window w) < abs-sum(window w+1). Payloads the
+    * JDK cannot decode, non-16-bit PCM, or clips under 65 frames yield
+    * ok=false. Frames read are capped (default 1<<20) so a huge clip
+    * bounds task memory like the WARC payload cap.
+    */
+  private def audioHashOf(id: Long, bytes: Array[Byte],
+                          maxFrames: Int): AudioHash = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
+        val ch = f.getChannels
+        val big = f.isBigEndian
+        val totalFrames = math.min(in.getFrameLength, maxFrames.toLong).toInt
+        if (totalFrames < 65)
+          return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
+        val frameBytes = ch * 2
+        val pcm = in.readNBytes(totalFrames * frameBytes)
+        val nFrames = pcm.length / frameBytes
+        if (nFrames < 65)
+          return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
+        val perW = nFrames / 65
+        val sums = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          var s = 0L
+          var fr = w * perW
+          while (fr < (w + 1) * perW) {
+            // fold channels: integer mean of the frame's samples
+            var c = 0
+            var acc = 0L
+            while (c < ch) {
+              val o = fr * frameBytes + c * 2
+              val v =
+                if (big) ((pcm(o) << 8) | (pcm(o + 1) & 0xff)).toShort
+                else ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort
+              acc += v
+              c += 1
+            }
+            s += math.abs(acc / ch)
+            fr += 1
+          }
+          sums(w) = s
+          w += 1
+        }
+        var hi = 0L; var lo = 0L
+        w = 0
+        while (w < 64) {
+          if (sums(w) < sums(w + 1)) {
+            if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, hi, lo, ok = true)
+      } finally in.close()
+    } catch {
+      case _: Exception => AudioHash(id, 0, 0L, 0L, 0L, ok = false)
+    }
+  }
+
+  /** Distributed envelope hash over (id, audioBytes) rows — the
+    * decodeAudioBatch shape; group equal (hi, lo) halves for near-dup
+    * clusters.
+    */
+  def audioEnvelopeHash(df: DataFrame, idCol: String, binCol: String,
+                        maxFrames: Int = 1 << 20): Dataset[AudioHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => audioHashOf(id, bytes, maxFrames) })
+  }
+
+  /** Deterministic 2080-frame (65 windows x 32 frames) PCM16 mono WAV
+    * for the q269 gate — the [[sceneImage]] trick in one dimension: each
+    * window's base amplitude = (sceneBit(scene, 0, w) ? 9000 : 3000) +
+    * w*50 (the gradient decides every adjacent comparison strictly),
+    * samples alternate sign with per-DOC noise in [-20, 20], so docs
+    * sharing a scene differ in every sample byte yet provably share the
+    * envelope hash (window noise delta <= 1280 < the 1600 minimum
+    * structural gap); the expected hash is integer math an oracle
+    * rebuilds.
+    */
+  def sceneWav(docId: Long, scene: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val n = 65 * 32
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / 32
+      val base = (if (sceneBit(scene, 0, w)) 9000 else 3000) + w * 50
+      val noise = ((docId * 31 + i * 13) % 41).toInt - 20
+      val v = (base + noise) * (if (i % 2 == 0) 1 else -1)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Feature-extraction result: an embedding per media item. */
   final case class MediaEmbedding(id: Long, embedding: Array[Float])
 

@@ -865,6 +865,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
     },
+    "graft.audio_envelope_hash" -> { a =>
+      // energy-envelope audio fingerprint from DECODED samples: the
+      // near-dup grain for re-encoded/noised copies of one recording
+      Multimodal.audioEnvelopeHash(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
+    },
     "graft.decode_media" -> { a =>
       Multimodal.decodeBatch(asDf(a.require("df", 0), "df"),
         asStr(a.get("id", -1).getOrElse("id"), "id"),

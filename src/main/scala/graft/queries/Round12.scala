@@ -376,6 +376,60 @@ object Round12 {
         SELECT h.doc_id, 18 AS width, 16 AS height,
           h.dhash_hi, h.dhash_lo, TRUE AS ok, cl.rep_id, cl.cluster_size
         FROM h JOIN cl USING (dhash_hi, dhash_lo)
+        ORDER BY h.doc_id""")),
+
+    // Audio NEAR-dup fingerprinting via the energy-envelope hash — the
+    // q268 contract in one dimension over a REAL javax.sound WAV round
+    // trip: per doc a 2080-frame PCM16 clip whose 65 window amplitudes
+    // follow the scene formula (scene = doc_id % 29) with per-doc sample
+    // noise bounded under the structural gap; the pipeline decodes the
+    // WAV and hashes DECODED samples, the oracle rebuilds every expected
+    // hash from integer math, and same-scene docs (different bytes)
+    // must share clusters.
+    Q("q269_audio_envelope", (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val wavs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.sceneWav(id, id % 29))))
+        .toDF("doc_id", "content")
+      val hashed = Multimodal.audioEnvelopeHash(wavs, "doc_id", "content").toDF()
+      val clusters = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+      hashed.select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_frames"), col("ahash_hi"), col("ahash_lo"), col("ok"))
+        .join(clusters, Seq("ahash_hi", "ahash_lo"))
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+          col("ahash_hi"), col("ahash_lo"), col("ok"),
+          col("rep_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH w AS (SELECT i AS w FROM generate_series(0, 63) t(i)),
+        bits AS (
+          SELECT d.doc_id, w.w,
+            CASE WHEN NOT (
+                (((d.scene * 73 + w.w) * 2654435761)
+                  % 4294967296 >= 2147483648)
+                AND NOT (((d.scene * 73 + w.w + 1) * 2654435761)
+                  % 4294967296 >= 2147483648))
+              THEN 1 ELSE 0 END AS bit
+          FROM (SELECT doc_id, doc_id % 29 AS scene FROM documents) d
+          CROSS JOIN w),
+        h AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN w >= 32
+              THEN bit * (1::BIGINT << (w - 32)) ELSE 0 END)
+              AS BIGINT) AS ahash_hi,
+            CAST(SUM(CASE WHEN w < 32
+              THEN bit * (1::BIGINT << w) ELSE 0 END)
+              AS BIGINT) AS ahash_lo
+          FROM bits GROUP BY doc_id),
+        cl AS (
+          SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep_id,
+            COUNT(*) AS cluster_size
+          FROM h GROUP BY 1, 2)
+        SELECT h.doc_id, 8000 AS sample_rate, CAST(2080 AS BIGINT) AS n_frames,
+          h.ahash_hi, h.ahash_lo, TRUE AS ok, cl.rep_id, cl.cluster_size
+        FROM h JOIN cl USING (ahash_hi, ahash_lo)
         ORDER BY h.doc_id"""))
   )
 }

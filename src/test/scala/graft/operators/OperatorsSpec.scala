@@ -1112,6 +1112,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!tiny.ok, "sub-9x8 images cannot hash")
   }
 
+  test("audioEnvelopeHash: same scene + different noise -> different bytes, identical hash; junk/short -> ok=false") {
+    val pcms = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L, 10L -> 6L, 11L -> 6L)
+      .map { case (id, sc) => (id, sc, Multimodal.sceneWav(id, sc)) }
+    assert(pcms.map(_._3.toSeq).distinct.size == 5, "all bytes distinct")
+    val out = Multimodal.audioEnvelopeHash(
+        pcms.map(p => (p._1, p._3)).toDF("id", "content"), "id", "content")
+      .collect().map(h => h.id -> h).toMap
+    assert(out.values.forall(h => h.ok && h.sample_rate == 8000 && h.n_frames == 2080))
+    val s4 = Seq(1L, 2L, 3L).map(i => (out(i).ahash_hi, out(i).ahash_lo))
+    val s6 = Seq(10L, 11L).map(i => (out(i).ahash_hi, out(i).ahash_lo))
+    assert(s4.distinct.size == 1 && s6.distinct.size == 1 && s4.head != s6.head)
+    // formula prediction (the q269 oracle math) == decoded-sample hash
+    def predicted(scene: Long): (Long, Long) = {
+      var hi = 0L; var lo = 0L
+      for (w <- 0 until 64) {
+        val cmp = !(Multimodal.sceneBit(scene, 0, w) &&
+          !Multimodal.sceneBit(scene, 0, w + 1))
+        if (cmp) { if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32) }
+      }
+      (hi, lo)
+    }
+    assert(s4.head == predicted(4L) && s6.head == predicted(6L))
+    val bad = Multimodal.audioEnvelopeHash(
+      Seq((99L, Array.fill(64)(0x13.toByte))).toDF("id", "content"),
+      "id", "content").collect().head
+    assert(!bad.ok)
+    val short = Multimodal.audioEnvelopeHash(
+      Seq((98L, Multimodal.syntheticWav(8000, 1, nFrames = 40, seed = 3L)))
+        .toDF("id", "content"), "id", "content").collect().head
+    assert(!short.ok, "clips under 65 frames cannot hash")
+  }
+
   test("decodeBatch: typed metadata from binary, distributed, deterministic") {
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "s")
       .select(col("id"), encode(col("s"), "UTF-8").as("content"))
