@@ -503,6 +503,29 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic frame-sampling PLAN over decoded video metadata: one
+    * row per planned sample at t = 0, everyMs, 2·everyMs … < duration,
+    * capped at `maxSamples` per video — the schedule a frame-extraction
+    * stage (the part that needs a codec the JDK lacks — see
+    * [[frameSampleStub]]'s SPI) executes. Pure column math over the
+    * metadata frame: sequence + slice + posexplode, zero shuffle, so the
+    * plan is free at 100 TB scan time and replayable in SQL.
+    */
+  def videoFrameSamplePlan(meta: DataFrame, everyMs: Long,
+                           maxSamples: Int = 64): DataFrame = {
+    require(everyMs > 0 && maxSamples > 0,
+      s"videoFrameSamplePlan: everyMs/maxSamples must be positive")
+    meta
+      .withColumn("__plan", slice(
+        sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs)), 1, maxSamples))
+      .withColumn("n_samples", size(col("__plan")))
+      .select(col("id"), col("duration_ms"), col("n_samples"),
+        posexplode(col("__plan")))
+      .withColumnRenamed("pos", "sample_idx")
+      .withColumnRenamed("col", "sample_ms")
+  }
+
   /** Feature-extraction result: an embedding per media item. */
   final case class MediaEmbedding(id: Long, embedding: Array[Float])
 

@@ -865,6 +865,15 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
     },
+    "graft.video_sample_plan" -> { a =>
+      // deterministic frame-sampling schedule over decoded video
+      // metadata (sequence+slice+posexplode — zero shuffle)
+      graft.operators.Multimodal.videoFrameSamplePlan(
+        asDf(a.require("df", 0), "df"),
+        everyMs = a.require("every_ms", 1).toString.toLong,
+        maxSamples = a.get("max_samples", -1).map(asInt(_, "max_samples"))
+          .getOrElse(64))
+    },
     "graft.audio_envelope_hash" -> { a =>
       // energy-envelope audio fingerprint from DECODED samples: the
       // near-dup grain for re-encoded/noised copies of one recording

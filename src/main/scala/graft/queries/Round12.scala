@@ -430,6 +430,43 @@ object Round12 {
         SELECT h.doc_id, 8000 AS sample_rate, CAST(2080 AS BIGINT) AS n_frames,
           h.ahash_hi, h.ahash_lo, TRUE AS ok, cl.rep_id, cl.cluster_size
         FROM h JOIN cl USING (ahash_hi, ahash_lo)
-        ORDER BY h.doc_id"""))
+        ORDER BY h.doc_id""")),
+
+    // Video frame-sampling PLAN over the real ISO-BMFF container walk
+    // (q77 lineage): synthesize an MP4 per doc, box-walk the REAL
+    // duration back out, and emit the deterministic sample schedule
+    // (every 700 ms, at most 6 frames) a codec-backed extractor would
+    // execute — the Spark-side plumbing of video sampling, with the
+    // decode step honestly behind its SPI. The oracle rebuilds the plan
+    // from the synthesis formula.
+    Q("q270_video_sample_plan", (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val vids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticMp4(
+            durationMs = 1000L + id % 5000,
+            nTracks = 1, width = 320, height = 240))
+        })
+        .toDF("doc_id", "content")
+      Multimodal.videoFrameSamplePlan(
+          Multimodal.decodeVideoBatch(vids, "doc_id", "content").toDF(),
+          everyMs = 700L, maxSamples = 6)
+        .select(col("id").as("doc_id"), col("duration_ms"),
+          col("n_samples"), col("sample_idx"), col("sample_ms"))
+        .orderBy(col("doc_id"), col("sample_idx"))
+    }, Some("""
+        WITH v AS (
+          SELECT doc_id, CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms
+          FROM documents),
+        s AS (
+          SELECT doc_id, duration_ms,
+            least(CAST(ceil(duration_ms / 700.0) AS INTEGER), 6) AS n_samples
+          FROM v)
+        SELECT doc_id, duration_ms, n_samples,
+          CAST(i AS INTEGER) AS sample_idx,
+          CAST(i * 700 AS BIGINT) AS sample_ms
+        FROM s, unnest(generate_series(0, n_samples - 1)) AS u(i)
+        ORDER BY doc_id, sample_idx"""))
   )
 }
