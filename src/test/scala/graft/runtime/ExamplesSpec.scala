@@ -459,6 +459,14 @@ class ExamplesSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(binDir, "img_999.png"),
       "definitely not a png".getBytes("UTF-8"))
+    // three NOISED copies of one scene: different bytes, same dHash —
+    // the near-dup audit must cluster them (they fail min_w for the
+    // catalog, which is fine: the dup report runs pre-gate)
+    Seq(100, 101, 102).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(binDir, s"img_$i.png"),
+        Multimodal.sceneImage(docId = i.toLong, scene = 7L))
+    }
     val out = freshDir("ex_media_out")
     new Pipeline(spark, "examples/media_catalog.yaml",
       Map("bin_dir" -> binDir, "out_dir" -> out)).run()
@@ -475,6 +483,13 @@ class ExamplesSpec extends AnyFunSuite {
 
     val stats = spark.read.parquet(s"$out/format_stats.parquet")
     assert(stats.count() == 1, "one surviving format: image/png")
+
+    // near-dup audit: the three noised scene copies share one hash row
+    val dup = spark.read.parquet(s"$out/dup_report.parquet")
+    // agg {id: count} keeps the pandas column name: 'id' holds the size
+    assert(dup.agg(max(col("id"))).collect().head.get(0).toString == "3",
+      "the noised scene copies must cluster as one near-dup group")
+    assert(dup.filter(col("id") === 3).count() == 1)
   }
 
   test("examples/tpch_report.yaml runs green and writes the three reports") {
