@@ -147,6 +147,13 @@ object PiiScan {
     -1
   }
 
+  // NB: panCandidates/ibanCandidates/hexCandidates share one scan-resume
+  // loop shape (position-0 dual attempt, [^L] left boundary, cpLen
+  // resume) kept INLINE per family — the loop is the hot path the
+  // expressions exist for, and a shared higher-order helper would put a
+  // trimorphic call in it. Any change to the resume/boundary contract
+  // must land in all three; the PiiScanSpec parity batteries pin each
+  // family against its verbatim regex, so drift fails loudly.
   def panCandidates(t: String): ArrayData = {
     val out = new java.util.ArrayList[Any](2)
     val n = t.length

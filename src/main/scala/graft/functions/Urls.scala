@@ -72,6 +72,11 @@ object Urls {
     * published list's canonical examples: `www.ck` under `*.ck`, the
     * `city.<city>.jp` municipal sites under the JP city wildcards).
     */
+  /* NB: the engine's canonical host space strips a leading `www.`
+   * (Urls.host), so the `!www.ck` exception fires for subdomains
+   * (`go.www.ck` -> `www.ck`) but the APEX `www.ck` itself canonicalizes
+   * to `ck` first — by design, the same key every www-stripped apex
+   * gets. */
   val PslExceptions: Seq[String] = Seq(
     "www.ck",
     "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
@@ -112,17 +117,26 @@ object Urls {
     */
   private def hostLoose(url: Column): Column =
     regexp_replace(lower(coalesce(parse_url(url, lit("HOST")),
-      regexp_extract(url, "://([^/:?#]+)", 1))), "^www\\.", "")
+      // skip optional userinfo: '://user@host' must key on the host
+      regexp_extract(url, "://(?:[^/?#@]*@)?([^/:?#]+)", 1))), "^www\\.", "")
 
   private[graft] def registeredDomainOfHost(h: Column): Column = {
     def alt(xs: Seq[String]) = xs.map(_.replace(".", "\\.")).mkString("|")
     val rExc = regexp_extract(h, s"(?:^|\\.)((?:${alt(PslExceptions)}))$$", 1)
     val rWc = regexp_extract(h,
       s"([^.]+\\.[^.]+\\.(?:${alt(WildcardParents)}))$$", 1)
+    // a host that IS a wildcard public suffix (exactly one label under a
+    // wildcard parent, e.g. `greenschool.sch.uk` under `*.sch.uk`): the
+    // two-labels-under rule above just missed, so a single-label-under
+    // match here can only be the WHOLE host — pass it through (the
+    // r2 fallthrough would otherwise return the bare parent, merging
+    // every zone under the wildcard into one rollup/dedup key)
+    val rPs = regexp_extract(h, s"(?:^|\\.)([^.]+\\.(?:${alt(WildcardParents)}))$$", 1)
     val r3 = regexp_extract(h, s"([^.]+\\.(?:${alt(TwoLevelSuffixes)}))$$", 1)
     val r2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     when(length(rExc) > 0, rExc)
       .when(length(rWc) > 0, rWc)
+      .when(length(rPs) > 0, h)
       .when(length(r3) > 0, r3)
       .when(length(r2) > 0, r2)
       .otherwise(h)

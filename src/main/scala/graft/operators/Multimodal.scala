@@ -85,7 +85,11 @@ object Multimodal {
     * pixels, TYPE_3BYTE_BGR). Exercises the REAL encode->decode codec path in
     * tests and the correctness gate without shipping media fixtures.
     */
-  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] =
+    syntheticImage(width, height, seed, "png")
+
+  private def syntheticImage(width: Int, height: Int, seed: Long,
+                             format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var s = seed
@@ -100,7 +104,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
@@ -109,24 +113,8 @@ object Multimodal {
     * web image format — the decode side goes through the identical
     * ImageIoDecoder header path (SOF dimensions parse without pixel work).
     */
-  def syntheticJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var s = seed
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  def syntheticJpeg(width: Int, height: Int, seed: Long): Array[Byte] =
+    syntheticImage(width, height, seed, "jpg")
 
   /** Read a directory of media files as (path, modificationTime, length,
     * content) rows — Spark's binaryFile source; content is BinaryType.
@@ -516,9 +504,12 @@ object Multimodal {
     require(everyMs > 0 && maxSamples > 0,
       s"videoFrameSamplePlan: everyMs/maxSamples must be positive")
     meta
-      .withColumn("__plan", slice(
-        sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
-          lit(everyMs)), 1, maxSamples))
+      // a zero/unknown duration (what corrupt payloads decode to) plans
+      // NO samples — sequence(0,0) would otherwise emit a phantom frame
+      // at t=0 and diverge from the ceil(duration/step) oracle formula
+      .withColumn("__plan", when(col("duration_ms") > 0, slice(
+        sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)),
+        1, maxSamples)).otherwise(array().cast("array<bigint>")))
       .withColumn("n_samples", size(col("__plan")))
       .select(col("id"), col("duration_ms"), col("n_samples"),
         posexplode(col("__plan")))

@@ -352,6 +352,9 @@ object Round11 {
                    THEN regexp_extract(host,
                      '([^.]+\.[^.]+\.(?:""" + wc + """))$', 1)
                  WHEN regexp_extract(host,
+                   '(?:^|\.)([^.]+\.(?:""" + wc + """))$', 1) <> ''
+                   THEN host
+                 WHEN regexp_extract(host,
                    '([^.]+\.(?:""" + two + """))$', 1) <> ''
                    THEN regexp_extract(host,
                      '([^.]+\.(?:""" + two + """))$', 1)

@@ -462,18 +462,24 @@ object Streams {
   def writeSketchBatch(batch: DataFrame, by: Seq[String], distinctCol: String,
                        histCol: String, outDir: String, id: Long,
                        comoment: Option[(String, String)] = None): Unit = {
-    graft.operators.Sketches.hllSketches(batch, by, distinctCol)
-      .write.mode("overwrite").parquet(s"$outDir/hll/batch_id=$id")
-    graft.operators.Sketches.log2Histogram(batch, by, histCol)
-      .write.mode("overwrite").parquet(s"$outDir/hist/batch_id=$id")
+    // two-to-three artifact writes read the SAME batch: persist once so
+    // an expensive upstream (e.g. the full crawl curation chain under
+    // streamingSketchArtifacts) scans per trigger, not per artifact
+    batch.persist()
+    try {
+      graft.operators.Sketches.hllSketches(batch, by, distinctCol)
+        .write.mode("overwrite").parquet(s"$outDir/hll/batch_id=$id")
+      graft.operators.Sketches.log2Histogram(batch, by, histCol)
+        .write.mode("overwrite").parquet(s"$outDir/hist/batch_id=$id")
     // optional exact co-moment face (mean/var/corr sufficient stats):
     // merge is decimal addition, so running stats over the artifact are
     // BIT-IDENTICAL to a direct scan — and the per-batch_id overwrite
     // makes retry idempotence exact too, not just estimate-stable
-    comoment.foreach { case (x, y) =>
-      graft.operators.Sketches.coMomentSketch(batch, by, x, y)
-        .write.mode("overwrite").parquet(s"$outDir/cm/batch_id=$id")
-    }
+      comoment.foreach { case (x, y) =>
+        graft.operators.Sketches.coMomentSketch(batch, by, x, y)
+          .write.mode("overwrite").parquet(s"$outDir/cm/batch_id=$id")
+      }
+    } finally batch.unpersist()
   }
 
   // ------------------------------------------------------------------

@@ -288,6 +288,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L) == "portal.greenschool.sch.uk")
     assert(out(8L) == "example.co.uk")
     assert(out(9L) == "x.news.bd")
+    // a host that IS a wildcard public suffix (one label under a
+    // multi-label parent) passes through whole instead of collapsing to
+    // the bare parent (which would merge every zone under the wildcard)
+    val ps = Seq((1L, "http://greenschool.sch.uk/x"),
+        (2L, "http://foo.kawasaki.jp/y"))
+      .toDF("id", "url")
+      .select(col("id"), graft.functions.Urls.registeredDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ps(1L) == "greenschool.sch.uk" && ps(2L) == "foo.kawasaki.jp")
   }
 
   test("urls: registeredDomainIdn maps unicode and punycode spellings of one IDN host to the same domain") {
@@ -311,6 +320,12 @@ class DedupSpec extends AnyFunSuite {
       .select(col("id"), graft.functions.Urls.registeredDomainIdn(col("url")).as("d"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v(1L) == "xn--mnchen-3ya.de" && v(2L) == "xn--mnchen-3ya.de")
+    // userinfo must not leak into the key on the non-ASCII fallback path
+    val w = Seq((1L, "https://user@sub.m\u00fcnchen.de/x"))
+      .toDF("id", "url")
+      .select(graft.functions.Urls.registeredDomainIdn(col("url")).as("d"))
+      .first().getString(0)
+    assert(w == "xn--mnchen-3ya.de", s"got $w")
   }
 
   test("unigram log-prob: common-word docs score lower than rare-word docs") {
