@@ -557,7 +557,9 @@ class StreamingSpec extends AnyFunSuite {
           "2026-02-01T00:00:00Z", "text/html",
           page(text).getBytes("UTF-8")).toSeq
       }.toArray
-      val os = new java.io.FileOutputStream(new java.io.File(crawlDir.toFile, name))
+      val fos = new java.io.FileOutputStream(new java.io.File(crawlDir.toFile, name))
+      val os = if (name.endsWith(".gz"))
+        new java.util.zip.GZIPOutputStream(fos) else fos
       os.write(recs); os.close()
     }
 
@@ -581,7 +583,7 @@ class StreamingSpec extends AnyFunSuite {
     // body -> the streaming dedup state must suppress it across drops
     val d2 = docs.drop(10).map { case (id, t) =>
       (id, if (id == 17L) sharedBody else t) }
-    writeDrop("drop2.warc", d2.toSeq)
+    writeDrop("drop2.warc.gz", d2.toSeq) // second drop arrives gzipped
     drain()
     val after2 = spark.read.parquet(s"$out/shards")
     assert(after2.count() > n1, "drop 2 adds its novel docs")
