@@ -363,8 +363,13 @@ object Scoring {
     val scored =
       if (lm == "kn3") knTrigramPerplexity(df, idCol, textCol)
       else knBigramPerplexity(df, idCol, textCol, d)
-    val ppl = scored
-      .select(col("id").as(idCol), round(col("ppl"), 6).as("ppl"))
+    // the scored frame is consumed three times downstream (cumcount's
+    // range partitioner + offset frame, plus the tercile-count
+    // broadcast) — persist the tiny (id, ppl) projection so the LM does
+    // not refit per consumer (same-session A/B at sf0.1: q250
+    // 2.96->2.06s, q264 3.74->3.36s; released via Caches.release)
+    val ppl = Caches.persistTracked(scored
+      .select(col("id").as(idCol), round(col("ppl"), 6).as("ppl")))
     GlobalWindows.cumcount(ppl, Seq("ppl", idCol), "__ccb_pos")
       .crossJoin(broadcast(ppl.agg(count(lit(1)).as("__ccb_n"))))
       .select(col(idCol), col("ppl"),
