@@ -467,6 +467,73 @@ object Round12 {
           CAST(i AS INTEGER) AS sample_idx,
           CAST(i * 700 AS BIGINT) AS sample_ms
         FROM s, unnest(generate_series(0, n_samples - 1)) AS u(i)
-        ORDER BY doc_id, sample_idx"""))
+        ORDER BY doc_id, sample_idx""")),
+
+    // Curation FUNNEL report — the per-stage attrition table every
+    // pipeline run prints beside its shards: how many docs survive each
+    // gate in sequence (all docs -> quality floor -> language allowlist
+    // -> exact dedup at fingerprint grain). One scan computes every
+    // per-doc flag; the four stage counts are conditional aggregates of
+    // that scan (the dedup stage counts DISTINCT fingerprints among the
+    // gate survivors), unioned into four ordered rows with retention vs
+    // the PREVIOUS stage. Integer counts; retention rounds at 6dp from
+    // the same integer pair in both engines.
+    Q("q271_curation_funnel", (s, d) => {
+      val flags = t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"),
+        (round(graft.functions.Text.qualityScore(col("text")), 6) >= 0.35)
+          .as("q_ok"))
+        .withColumn("l_ok",
+          col("q_ok") && col("lang").isInCollection(Seq("en", "es", "de", "fr")))
+      val agg = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_ok"), 1L).otherwise(0L)).as("n2"),
+        countDistinct(when(col("l_ok"), col("fp"))).as("n3"))
+      agg.select(explode(array(
+          struct(lit(0).as("stage"), lit("all_docs").as("gate"),
+            col("n0").as("n_docs"), col("n0").as("prev")),
+          struct(lit(1).as("stage"), lit("quality").as("gate"),
+            col("n1").as("n_docs"), col("n0").as("prev")),
+          struct(lit(2).as("stage"), lit("language").as("gate"),
+            col("n2").as("n_docs"), col("n1").as("prev")),
+          struct(lit(3).as("stage"), lit("exact_dedup").as("gate"),
+            col("n3").as("n_docs"), col("n2").as("prev")))).as("r"))
+        .select(col("r.stage"), col("r.gate"), col("r.n_docs"),
+          round(col("r.n_docs") / col("r.prev").cast("double"), 6)
+            .as("retention"))
+        .orderBy(col("stage"))
+    }, Some("""
+        WITH f AS (
+          SELECT doc_id, lang,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+            round(
+              (CASE WHEN length(text) >= 100 THEN 1.0
+                    ELSE CAST(length(text) AS DOUBLE) / 100.0 END) * 0.4
+              + least((CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|of|to|in|is|was|for)\b')) AS DOUBLE)
+                / greatest(CAST(len(regexp_extract_all(text, '\S+'))
+                  AS INTEGER), 1)) * 5.0, 1.0) * 0.4
+              + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                  AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+              6) >= 0.35 AS q_ok
+          FROM documents),
+        g AS (SELECT *, q_ok AND lang IN ('en','es','de','fr') AS l_ok FROM f),
+        a AS (
+          SELECT COUNT(*) AS n0,
+            CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(COUNT(DISTINCT CASE WHEN l_ok THEN fp END) AS BIGINT) AS n3
+          FROM g)
+        SELECT s.stage, s.gate, s.n_docs,
+          round(CAST(s.n_docs AS DOUBLE) / CAST(s.prev AS DOUBLE), 6)
+            AS retention
+        FROM a, LATERAL (VALUES
+          (0, 'all_docs', a.n0, a.n0),
+          (1, 'quality', a.n1, a.n0),
+          (2, 'language', a.n2, a.n1),
+          (3, 'exact_dedup', a.n3, a.n2)) AS s(stage, gate, n_docs, prev)
+        ORDER BY s.stage"""))
   )
 }
