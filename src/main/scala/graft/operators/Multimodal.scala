@@ -139,7 +139,7 @@ object Multimodal {
     * block SUMS over a 9x8 grid of floor(W/9) x floor(H/8) pixel blocks
     * anchored top-left (sums, not means — same comparisons, no rounding),
     * bit (gy*8+gx) set when block (gx,gy) < block (gx+1,gy). Images
-    * smaller than 9x2 px decode ok=false rather than throwing.
+    * smaller than 9x8 px decode ok=false rather than throwing.
     */
   private def dhashOf(id: Long, bytes: Array[Byte]): ImageDHash = {
     try {
@@ -399,14 +399,19 @@ object Multimodal {
           return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
         val ch = f.getChannels
         val big = f.isBigEndian
-        val totalFrames = math.min(in.getFrameLength, maxFrames.toLong).toInt
-        if (totalFrames < 65)
-          return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
         val frameBytes = ch * 2
+        // getFrameLength may be AudioSystem.NOT_SPECIFIED (-1) for
+        // decodable streams of unknown length: read up to the cap and
+        // derive the frame count from the bytes actually decoded instead
+        // of min(-1, cap) poisoning the count negative
+        val fl = in.getFrameLength
+        val totalFrames =
+          if (fl < 0) maxFrames else math.min(fl, maxFrames.toLong).toInt
         val pcm = in.readNBytes(totalFrames * frameBytes)
         val nFrames = pcm.length / frameBytes
         if (nFrames < 65)
-          return AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, 0L, 0L, ok = false)
+          return AudioHash(id, f.getSampleRate.toInt,
+            if (fl >= 0) fl else nFrames.toLong, 0L, 0L, ok = false)
         val perW = nFrames / 65
         val sums = new Array[Long](65)
         var w = 0
@@ -439,7 +444,11 @@ object Multimodal {
           }
           w += 1
         }
-        AudioHash(id, f.getSampleRate.toInt, in.getFrameLength, hi, lo, ok = true)
+        // report the container's frame count when it declares one (the
+        // decoded count may be capped by maxFrames); fall back to the
+        // frames actually decoded for unknown-length streams
+        AudioHash(id, f.getSampleRate.toInt,
+          if (fl >= 0) fl else nFrames.toLong, hi, lo, ok = true)
       } finally in.close()
     } catch {
       case _: Exception => AudioHash(id, 0, 0L, 0L, 0L, ok = false)

@@ -302,8 +302,10 @@ object Sampling {
       sum(col("__qs")).as("__qt"))
     // the membership cross-multiply compares products of two Long sums;
     // at the design point (1e9+ docs x summed integer rubric) a Long*Long
-    // product can overflow and silently flip the flag — compare in
-    // decimal(38,0) instead (max |Long*Long| ~ 8.5e37 always fits)
+    // product can overflow and silently flip the flag — so the operands
+    // cast to decimal(20,0) (any Long fits) and Spark's decimal multiply
+    // widens the product type to decimal(38,0) (min(20+20+1, 38)), where
+    // max |Long*Long| ~ 8.5e37 always fits exactly
     val dec = (c: Column) => c.cast("decimal(20,0)")
     val flagged = perSource.crossJoin(broadcast(glob))
       .withColumn("anneal_ok",

@@ -493,34 +493,126 @@ object Streams {
   //
   // Every curation stage is a pure column map/filter (streamable as-is;
   // the same chain serves batch). The one stateful stage is the exact
-  // dedup: streaming dropDuplicates keeps one row per fingerprint
-  // ACROSS drops (first arrival wins; state is one 64-bit hash per
-  // unique doc — at crawl scale, bound it with the bloom/reference
-  // variants, dedupAgainstReference/noveltyAgainstReference). The BPE
-  // merge table is an input (fitted offline, the shipped-tokenizer
-  // contract) — a stream cannot refit its own tokenizer.
+  // dedup, and its state policy is PLUGGABLE ([[CrawlDedup]]) with a
+  // BOUNDED default: at the 100 TB crawl design point (1e10-1e11 docs)
+  // an unbounded one-hash-per-unique-doc state store is the component
+  // that cannot run, so unbounded exact dedup is an explicit OPT-IN,
+  // not the default. The BPE merge table is an input (fitted offline,
+  // the shipped-tokenizer contract) — a stream cannot refit its own
+  // tokenizer.
   // ------------------------------------------------------------------
+
+  /** Cross-drop exact-dedup policy for the crawl curation chain. Every
+    * variant dedups at fingerprint grain (normalized-text hash); they
+    * differ ONLY in how much state a long-running stream retains:
+    *
+    *  - [[CrawlDedup.WithinWatermark]] (the default): streaming
+    *    `dropDuplicatesWithinWatermark` keyed on the fingerprint over
+    *    the record's WARC-Date event time. State holds one entry per
+    *    unique fingerprint seen within the watermark horizon and is
+    *    EVICTED once the watermark passes it — state size is bounded by
+    *    the dedup window (delay x arrival rate), not by corpus size. A
+    *    re-crawl of a page older than the horizon re-emits (by design:
+    *    that is the window/state trade); compose with
+    *    [[CrawlDedup.AgainstIndex]] when full-history suppression is
+    *    required.
+    *  - [[CrawlDedup.AgainstIndex]]: a broadcast Bloom probe against a
+    *    SAVED fingerprint index (one bloom build per query start — the
+    *    drain-per-drop shape re-resolves it each drain; compact the
+    *    index from the accepted shards between drains with
+    *    [[compactFingerprintIndex]]). Bloom has no false negatives, so
+    *    no indexed duplicate survives; false positives drop novel docs
+    *    at rate <= fpp. Intra-horizon duplicates the index hasn't
+    *    absorbed yet are caught by the same within-watermark stage as
+    *    the default. Stream state stays watermark-bounded; FULL history
+    *    lives in the index as parquet+bits, not in the state store.
+    *  - [[CrawlDedup.ExactUnbounded]]: streaming `dropDuplicates` — one
+    *    state entry per unique doc FOREVER. Exact first-arrival-wins
+    *    across all history, at unbounded state cost: opt-in only, for
+    *    bounded corpora or short-lived checkpoints.
+    */
+  sealed trait CrawlDedup
+  object CrawlDedup {
+    final case class WithinWatermark(delay: String = "7 days") extends CrawlDedup
+    final case class AgainstIndex(indexDir: String, fpp: Double = 0.001,
+                                  delay: String = "7 days") extends CrawlDedup
+    case object ExactUnbounded extends CrawlDedup
+  }
+
+  /** Build (or absent-if-empty) a broadcast Bloom over a saved
+    * fingerprint index directory — parquet rows with a `fingerprint`
+    * column, the artifact [[compactFingerprintIndex]] maintains. A
+    * missing or empty index (the first drop) probes nothing.
+    */
+  private def fingerprintBloom(spark: SparkSession, indexDir: String,
+                               fpp: Double): Option[
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = {
+    val ok = scala.util.Try(spark.read.parquet(indexDir).schema
+      .fieldNames.contains("fingerprint")).getOrElse(false)
+    if (!ok) None else {
+      val hashes = spark.read.parquet(indexDir)
+        .select(xxhash64(col("fingerprint")).as("h")).distinct()
+      val n = hashes.count()
+      if (n == 0) None
+      else Some(spark.sparkContext.broadcast(
+        hashes.stat.bloomFilter("h", n, fpp)))
+    }
+  }
+
+  /** Compact the saved fingerprint index from the accepted shards: the
+    * index is exactly the distinct fingerprints accepted so far, written
+    * atomically (tmp dir + rename) so a concurrent drain never reads a
+    * half-written index. Run between drains in the drain-per-drop shape;
+    * the NEXT drain's bloom absorbs everything accepted before it.
+    */
+  def compactFingerprintIndex(spark: SparkSession, shardsDir: String,
+                              indexDir: String): Unit = {
+    val tmp = indexDir + ".tmp"
+    spark.read.parquet(shardsDir).select("fingerprint").distinct()
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 
   /** The shared stage chain over a WARC record frame (streaming or
     * batch — identical code path, which is what makes the stream==batch
-    * shard contract testable).
+    * shard contract testable). `doc_id` derives from the `/doc/<n>`
+    * URI convention where the URI matches it (the fixture/test-corpus
+    * convention) and falls back to a 64-bit hash of the canonical URL
+    * otherwise, so real crawl URLs get a stable non-null id.
+    *
+    * Batch semantics per dedup policy: watermarks are meaningless in
+    * batch, so [[CrawlDedup.WithinWatermark]] and
+    * [[CrawlDedup.ExactUnbounded]] both reduce to a global
+    * `dropDuplicates` (the batch twin of either), and
+    * [[CrawlDedup.AgainstIndex]] applies the same bloom probe before it.
     */
   private[graft] def curateCrawl(records: DataFrame,
                                  merges: Seq[(String, String)],
                                  minQuality: Double,
-                                 langs: Seq[String]): DataFrame = {
+                                 langs: Seq[String],
+                                 dedup: CrawlDedup =
+                                   CrawlDedup.WithinWatermark()): DataFrame = {
     import graft.functions.{Bpe, Text, Urls}
     val vocab = Bpe.vocabOfBytes(merges)
-    records
+    val idFromUri = regexp_extract(col("target_uri"), "/doc/([0-9]+)", 1)
+    val gated = records
       .filter(col("warc_type") === "response" &&
         col("content_type") === "text/html")
       .select(
-        expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)', 1) AS BIGINT)")
-          .as("doc_id"),
         col("target_uri"),
+        // event time for the watermark-bounded dedup: the record's
+        // WARC-Date (every conformant record carries one)
+        to_timestamp(col("warc_date")).as("__event_ts"),
         Urls.canonicalize(col("target_uri")).as("canon_url"),
         Urls.registeredDomain(col("target_uri")).as("domain"),
         col("payload").cast("string").as("html"))
+      .withColumn("doc_id",
+        when(length(idFromUri) > 0, idFromUri.cast("long"))
+          .otherwise(xxhash64(col("canon_url"))))
       .withColumn("__mc", Text.extractMainContent(col("html")))
       .filter(col("__mc.n_kept") > 0)
       .withColumn("text", Text.fixMojibake(col("__mc.content")))
@@ -532,7 +624,31 @@ object Streams {
       .withColumn("fingerprint", Text.fingerprint(col("text")))
       .filter(col("quality") >= minQuality &&
         col("lang_guess").isInCollection(langs))
-      .dropDuplicates("fingerprint")
+    val probed = dedup match {
+      case CrawlDedup.AgainstIndex(dir, fpp, _) =>
+        fingerprintBloom(records.sparkSession, dir, fpp) match {
+          case Some(b) => gated.filter(
+            !graft.expressions.BloomProbeLong(xxhash64(col("fingerprint")), b))
+          case None => gated
+        }
+      case _ => gated
+    }
+    val deduped =
+      if (!records.isStreaming) probed.dropDuplicates("fingerprint")
+      else dedup match {
+        case CrawlDedup.ExactUnbounded => probed.dropDuplicates("fingerprint")
+        case CrawlDedup.WithinWatermark(delay) =>
+          probed.withWatermark("__event_ts", delay)
+            .dropDuplicatesWithinWatermark("fingerprint")
+        case CrawlDedup.AgainstIndex(_, _, delay) =>
+          probed.withWatermark("__event_ts", delay)
+            .dropDuplicatesWithinWatermark("fingerprint")
+      }
+    deduped
+      .drop("__event_ts")
+      .select(col("doc_id"), col("target_uri"), col("canon_url"),
+        col("domain"), col("text"), col("quality"), col("lang_guess"),
+        col("fingerprint"))
       .withColumn("token_ids", Bpe.tokenIdsBytes(merges, vocab)(col("text")))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
@@ -541,14 +657,17 @@ object Streams {
     * curate incrementally (drive with [[runToParquet]] for checkpointed
     * shard output, or compose further). Columns: doc_id, target_uri,
     * canon_url, domain, text, quality, lang_guess, fingerprint,
-    * token_ids, n_tokens.
+    * token_ids, n_tokens. Cross-drop dedup state is BOUNDED by default
+    * ([[CrawlDedup.WithinWatermark]]); see [[CrawlDedup]] for the
+    * policy ladder.
     */
   def crawlCurationStream(spark: SparkSession, crawlDir: String,
                           merges: Seq[(String, String)],
                           minQuality: Double = 0.35,
-                          langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+                          langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                          dedup: CrawlDedup = CrawlDedup.WithinWatermark()): DataFrame =
     curateCrawl(graft.sources.Warc.readWarcStream(spark, crawlDir),
-      merges, minQuality, langs)
+      merges, minQuality, langs, dedup)
 
   /** Batch twin over the same directory — the equivalence oracle for the
     * streaming face (same chain, same dedup grain; only the surviving
@@ -558,9 +677,10 @@ object Streams {
   def crawlCurationBatch(spark: SparkSession, crawlDir: String,
                          merges: Seq[(String, String)],
                          minQuality: Double = 0.35,
-                         langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+                         langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                         dedup: CrawlDedup = CrawlDedup.WithinWatermark()): DataFrame =
     curateCrawl(graft.sources.Warc.readWarcDir(spark, crawlDir),
-      merges, minQuality, langs)
+      merges, minQuality, langs, dedup)
 
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,

@@ -531,6 +531,187 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  // ---- CrawlDedup policy tests -------------------------------------
+  // Shared fixture plumbing: WARC drops with a controllable WARC-Date so
+  // event-time watermarks (and hence dedup-state eviction) are driven by
+  // the DATA. Each body embeds a PAN so the PII stage stays exercised.
+  private def crawlPage(body: String): String =
+    "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About this" +
+      " site</a></nav><p>" + body +
+      " Wire DE89 3704 0044 0532 0130 00 and card 4111111111111111 now." +
+      "</p><footer><a href=\"/p\">Privacy policy page</a></footer></body></html>"
+
+  private def writeCrawlDrop(dir: java.nio.file.Path, name: String,
+                             date: String, rows: Seq[(Long, String)]): Unit = {
+    val recs = rows.flatMap { case (id, text) =>
+      graft.sources.Warc.writeRecord("response",
+        s"https://crawl.example.com/doc/$id", date, "text/html",
+        crawlPage(text).getBytes("UTF-8")).toSeq
+    }.toArray
+    val fos = new java.io.FileOutputStream(new java.io.File(dir.toFile, name))
+    val os = if (name.endsWith(".gz"))
+      new java.util.zip.GZIPOutputStream(fos) else fos
+    os.write(recs); os.close()
+  }
+
+  /** Drain a streaming frame to parquet and return the final dedup-state
+    * row count from the query's progress (-1 when the plan is stateless).
+    */
+  private def drainWithStateRows(df: org.apache.spark.sql.DataFrame,
+                                 outDir: String, ckpt: String): Long = {
+    val q = df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .lastOption.getOrElse(-1L)
+  }
+
+  test("bounded crawl dedup default: state evicts past the watermark horizon (state size follows the window, not the corpus)") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_wm_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_wm_out")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(12)
+      .as[(Long, String)].collect()
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val shared = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    val dedup = Streams.CrawlDedup.WithinWatermark("1 hour")
+    def drain(): Long = drainWithStateRows(
+      Streams.crawlCurationStream(spark, crawlDir.toString, merges,
+        dedup = dedup),
+      s"$out/shards", s"$out/ckpt")
+
+    // drop A at 10:00 — doc 0 carries the shared body
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z",
+      docs.take(4).map { case (id, t) => (id, if (id == 0L) shared else t) }.toSeq)
+    drain()
+    val afterA = spark.read.parquet(s"$out/shards")
+    val nA = afterA.count()
+    assert(nA > 0)
+    val sharedFp = afterA.filter(col("doc_id") === 0L)
+      .select("fingerprint").first().getString(0)
+
+    // drop B at 20:00 (watermark at drain start is still 09:00, so drop
+    // A's state is live): doc 10 duplicates the shared body -> suppressed
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-01T20:00:00Z",
+      docs.slice(4, 7).map { case (id, t) => (id, if (id == 6L) shared else t) }.toSeq)
+    drain()
+    val afterB = spark.read.parquet(s"$out/shards")
+    assert(afterB.filter(col("fingerprint") === sharedFp).count() == 1,
+      "a cross-drop duplicate INSIDE the watermark horizon is suppressed")
+
+    // drop C at 20:30 — by now the watermark (19:00, from drop B) has
+    // passed drop A's expiry (11:00): A's state is EVICTED, so a dup of
+    // the shared body re-emits (the documented window/state trade) and
+    // the state store holds only horizon-recent fingerprints
+    writeCrawlDrop(crawlDir, "c.warc", "2026-03-01T20:30:00Z",
+      docs.slice(7, 10).map { case (id, t) => (id, if (id == 9L) shared else t) }.toSeq)
+    val stateRows = drain()
+    val afterC = spark.read.parquet(s"$out/shards")
+    assert(afterC.filter(col("fingerprint") === sharedFp).count() == 2,
+      "a duplicate arriving past the horizon re-emits by design")
+    val totalUnique = afterC.select("fingerprint").distinct().count()
+    // state holds at most drops B+C's fingerprints (A evicted): bounded
+    // by the horizon's arrival volume, strictly below the corpus total
+    val horizonMax = afterB.count() - nA + /* drop C rows */ 3
+    assert(stateRows >= 0 && stateRows <= horizonMax && stateRows < totalUnique,
+      s"state rows $stateRows must be horizon-bounded (<= $horizonMax) " +
+        s"and below the corpus's $totalUnique uniques")
+  }
+
+  test("crawl dedup AgainstIndex: saved-index bloom suppresses duplicates PAST the watermark horizon; state stays bounded") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_ix_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_ix_out")
+    val indexDir = s"$out/fp_index"
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(8)
+      .as[(Long, String)].collect()
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val shared = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    def drain(): Long = drainWithStateRows(
+      Streams.crawlCurationStream(spark, crawlDir.toString, merges,
+        dedup = Streams.CrawlDedup.AgainstIndex(indexDir, delay = "1 hour")),
+      s"$out/shards", s"$out/ckpt")
+
+    // drop A at 10:00 (no index yet -> probe is a no-op); doc 0 shared
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z",
+      docs.take(4).map { case (id, t) => (id, if (id == 0L) shared else t) }.toSeq)
+    drain()
+    val afterA = spark.read.parquet(s"$out/shards")
+    val nA = afterA.count()
+    assert(nA > 0, "first drop accepts with a missing index")
+    val sharedFp = afterA.filter(col("doc_id") === 0L)
+      .select("fingerprint").first().getString(0)
+    // compact the index from the accepted shards between drains
+    Streams.compactFingerprintIndex(spark, s"$out/shards", indexDir)
+    assert(spark.read.parquet(indexDir).count() == nA)
+
+    // drop B lands at 21:00 — far PAST the 1h horizon (WithinWatermark
+    // alone would re-emit, as the previous test pins) — yet the saved
+    // index catches the duplicate; novel docs pass the bloom (fpp 1e-3)
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-01T21:00:00Z",
+      docs.slice(4, 8).map { case (id, t) => (id, if (id == 6L) shared else t) }.toSeq)
+    val stateRows = drain()
+    val afterB = spark.read.parquet(s"$out/shards")
+    assert(afterB.filter(col("fingerprint") === sharedFp).count() == 1,
+      "the index probe must suppress a duplicate the watermark horizon forgot")
+    assert(afterB.count() > nA, "novel docs must survive the bloom probe")
+    assert(stateRows >= 0 && stateRows <= afterB.count() - nA,
+      s"state rows $stateRows bounded by the horizon's arrivals, " +
+        "full history lives in the index")
+
+    // stream==batch at fingerprint grain (batch twin deduped globally)
+    val batchFps = Streams.crawlCurationBatch(spark, crawlDir.toString, merges)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    val streamFps = afterB.select("fingerprint").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(streamFps == batchFps,
+      "index-probed stream and globally-deduped batch agree at fingerprint grain")
+  }
+
+  test("crawl dedup ExactUnbounded opt-in: suppression survives any horizon (at unbounded state cost)") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_ex_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_ex_out")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(6)
+      .as[(Long, String)].collect()
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val shared = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    def drain(): Long = drainWithStateRows(
+      Streams.crawlCurationStream(spark, crawlDir.toString, merges,
+        dedup = Streams.CrawlDedup.ExactUnbounded),
+      s"$out/shards", s"$out/ckpt")
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z",
+      docs.take(3).map { case (id, t) => (id, if (id == 0L) shared else t) }.toSeq)
+    drain()
+    val nA = spark.read.parquet(s"$out/shards").count()
+    // ten days later — any watermark horizon has long passed
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-11T10:00:00Z",
+      docs.slice(3, 6).map { case (id, t) => (id, if (id == 4L) shared else t) }.toSeq)
+    val stateRows = drain()
+    val all = spark.read.parquet(s"$out/shards")
+    val sharedFp = all.filter(col("doc_id") === 0L)
+      .select("fingerprint").first().getString(0)
+    assert(all.filter(col("fingerprint") === sharedFp).count() == 1,
+      "unbounded exact dedup suppresses across any gap")
+    // the cost that makes this opt-in: state == every unique ever seen
+    assert(stateRows == all.select("fingerprint").distinct().count(),
+      s"unbounded state carries one row per unique doc (got $stateRows)")
+    assert(nA > 0 && all.count() > nA)
+  }
+
   test("crawl curation stream: two-drop WARC directory drains incrementally; shard contract == batch twin; artifacts merge") {
     import spark.implicits._
     import graft.sources.Warc
