@@ -227,7 +227,12 @@ object Bench {
     // "ambient slowdown vs code regression" is a recorded field (r8's 1.59x
     // common-surface drift took a manual cross-artifact analysis to
     // attribute; the ratio of untouched queries is the attribution).
-    val canaryNames = Seq("q01_pricing_summary", "q03_join_broadcast", "q10_topk")
+    // q29 joined the set in r13: its r12 artifact read 4.3x over r11 with a
+    // byte-identical plan; rerun on r13 code it reads 0.35s warm (min of 4)
+    // / 0.70s cold — drift, not regression. As a canary the artifact itself
+    // now carries the drift-vs-regression evidence for it.
+    val canaryNames = Seq("q01_pricing_summary", "q03_join_broadcast",
+      "q10_topk", "q29_dedup_exact")
     val benchFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")).getAbsoluteFile
     val prevCanary: Map[String, Double] =

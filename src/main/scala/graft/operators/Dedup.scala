@@ -661,6 +661,73 @@ object Dedup {
         (col("hamming") <= maxHamming).as("hamming_ok"))
   }
 
+  /** Banded simhash INDEX of a corpus — the saved artifact the cross-drop
+    * near-dup probe equality-joins against: one row per (doc, band) with
+    * the band value and the full signature, (band, bval, sig, id).
+    * Persisted as parquet, this is the saved-index idiom of the
+    * incremental exact dedup family applied to NEAR-dup: history lives on
+    * disk as a joinable table (compacting per drop), never in a streaming
+    * state store.
+    */
+  def simhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    simhashSigs(df, idCol, textCol).select(
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+              .as("bval"))): _*)).as("bb"),
+        col("sig"), col("id"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
+        col("sig"), col("id"))
+  }
+
+  /** NEAR-dup matches of `df` against a SAVED band index
+    * ([[simhashBandIndex]] rows): band the new docs' signatures, equality-
+    * join the index on (band, bval) — the banding recall contract, >= 1
+    * agreeing band — then verify candidates by exact Hamming distance
+    * (popcount of xor) <= `maxHamming` INSIDE the join, so only verified
+    * matches reach the distinct. Emits one row per (id, ref_id) match
+    * with its hamming. Scale shape: the index side never broadcasts by
+    * construction assumptions — it is an equality shuffle join on the
+    * band key (Catalyst may still broadcast a small index), and hot index
+    * buckets are capped at `maxBucket` like every banded join here.
+    */
+  def nearDupMatchesAgainstIndex(df: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxHamming: Int, bands: Int = 8,
+                                 maxBucket: Int = 10000): DataFrame = {
+    val probe = simhashBandIndex(df, idCol, textCol, bands)
+    val cappedIx = capBuckets(
+      index.select(col("band"), col("bval"), col("sig"), col("id")),
+      Seq("band", "bval"), maxBucket)
+    val hamming = bit_count(col("p.sig").bitwiseXOR(col("x.sig")))
+    probe.as("p").join(cappedIx.as("x"),
+        col("p.band") === col("x.band") && col("p.bval") === col("x.bval")
+          && hamming <= maxHamming)
+      .select(col("p.id").as("id"), col("x.id").as("ref_id"),
+        hamming.as("hamming"))
+      .distinct()
+  }
+
+  /** Drop rows of `df` that near-duplicate a saved band index (the
+    * cross-drop suppression face of [[nearDupMatchesAgainstIndex]]):
+    * verified matches anti-join away, everything else passes untouched.
+    * An exact self-copy matches at hamming 0, so this subsumes exact
+    * cross-drop dedup wherever an index row exists.
+    */
+  def dropNearDupsAgainstIndex(df: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String,
+                               maxHamming: Int, bands: Int = 8,
+                               maxBucket: Int = 10000): DataFrame =
+    df.join(
+      nearDupMatchesAgainstIndex(df, index, idCol, textCol, maxHamming,
+          bands, maxBucket)
+        .select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Per-doc 128-bit simhash signatures (two 64-bit words; word 0 ==
     * the 64-bit [[simhashSigs]] signature by construction — seed 42, same
     * tokenizer — word 1 an independent seed-43 hash). Same embarrassingly

@@ -559,22 +559,192 @@ object Streams {
     }
   }
 
-  /** Compact the saved fingerprint index from the accepted shards: the
-    * index is exactly the distinct fingerprints accepted so far, written
-    * atomically (tmp dir + rename) so a concurrent drain never reads a
-    * half-written index. Run between drains in the drain-per-drop shape;
-    * the NEXT drain's bloom absorbs everything accepted before it.
+  /** Write `df` to `dir` atomically (tmp dir + delete + rename) so a
+    * concurrent drain never reads a half-written artifact.
     */
-  def compactFingerprintIndex(spark: SparkSession, shardsDir: String,
-                              indexDir: String): Unit = {
-    val tmp = indexDir + ".tmp"
-    spark.read.parquet(shardsDir).select("fingerprint").distinct()
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
+  private def atomicOverwrite(df: DataFrame, dir: String): Unit = {
+    val tmp = dir + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(conf)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Compact the saved fingerprint index from the accepted shards: the
+    * index is exactly the distinct fingerprints accepted so far, written
+    * atomically. Run between drains in the drain-per-drop shape; the
+    * NEXT drain's bloom absorbs everything accepted before it.
+    */
+  def compactFingerprintIndex(spark: SparkSession, shardsDir: String,
+                              indexDir: String): Unit =
+    atomicOverwrite(
+      spark.read.parquet(shardsDir).select("fingerprint").distinct(),
+      indexDir)
+
+  /** Compact the saved SIMHASH BAND index from the accepted shards — the
+    * near-dup twin of [[compactFingerprintIndex]]: one (band, bval, sig,
+    * id) row per accepted doc per band ([[graft.operators.Dedup.simhashBandIndex]]),
+    * written atomically. The per-drop incremental path
+    * ([[curateDropWrite]]) appends batch partitions instead; this
+    * compactor squashes them (or bootstraps an index from an existing
+    * batch corpus).
+    */
+  def compactSimhashIndex(spark: SparkSession, shardsDir: String,
+                          indexDir: String, bands: Int = 8): Unit =
+    atomicOverwrite(
+      graft.operators.Dedup.simhashBandIndex(
+        spark.read.parquet(shardsDir).select("doc_id", "text"),
+        "doc_id", "text", bands),
+      indexDir)
+
+  /** STREAMING per-domain document cap — admission control across drops
+    * (the incremental face of [[graft.operators.Sampling.domainCap]]): at
+    * most `k` rows ever pass per domain, state = ONE counter per domain
+    * (bounded by |domains|, not corpus size — strictly tighter than the
+    * domains x k bound a heap would need). Admission order is the
+    * streaming contract: earlier micro-batches admit first (an already-
+    * admitted doc cannot be retroactively evicted by a later, better one
+    * — that is what the batch heap cap is for), and WITHIN a batch the
+    * `orderCol`-smallest rows win, selected through a k-bounded heap so a
+    * mega-domain batch never buffers beyond its remaining budget.
+    * `orderCol` must be an integral admission priority, unique per row
+    * (doc ids qualify); lower admits first. Batch equivalence: equals
+    * `domainCap(union, score = -orderCol)` whenever earlier drops'
+    * priorities precede later drops' (the crawl-frontier shape).
+    */
+  def streamingDomainCap(stream: DataFrame, domainCol: String,
+                         orderCol: String, k: Int): DataFrame = {
+    require(k > 0, s"streamingDomainCap: k must be positive, got $k")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = stream.schema
+    val dIdx = schema.fieldIndex(domainCol)
+    val oIdx = schema.fieldIndex(orderCol)
+    require(Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType).contains(schema(oIdx).dataType),
+      s"streamingDomainCap: orderCol '$orderCol' must be integral")
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    stream.groupByKey(r => Option(r.getString(dIdx)).getOrElse(""))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val budget = (k - admitted).toInt
+          if (budget <= 0) Iterator.empty
+          else {
+            def keyOf(r: Row): Long = r.getAs[Number](oIdx).longValue()
+            // k-bounded max-heap: keeps the `budget` smallest priorities
+            // seen this batch without buffering the batch
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[(Long, Row)](Ordering.by(_._1))
+            rows.foreach { r =>
+              heap += ((keyOf(r), r))
+              if (heap.size > budget) heap.dequeue()
+            }
+            val sel = heap.toSeq.sortBy(_._1).map(_._2)
+            state.update(admitted + sel.size)
+            sel.iterator
+          }
+      }
+  }
+
+  /** The SHARED per-drop finishing stage of the indexed crawl pipeline —
+    * the foreachBatch body of [[curateCrawlToShards]] AND the batch
+    * twin's per-drop call (one function, two drivers, which is what makes
+    * the stream==batch contract testable): suppress docs that NEAR-
+    * duplicate the saved simhash band index (bands collide AND hamming <=
+    * `maxHamming` — a re-syndicated page with one edited line, which
+    * exact fingerprint dedup cannot see), then write the accepted shard
+    * and the batch's own index rows, each under the deterministic
+    * `batch_id=<id>` partition so an at-least-once RETRY overwrites its
+    * own output instead of duplicating it. The probe reads the index
+    * EXCLUDING the current batch's partition — a retry must not dedup the
+    * batch against its own failed attempt. Cross-drop history lives
+    * entirely in the parquet index (compacting, joinable); stream state
+    * stays whatever the upstream dedup policy bounds it to.
+    */
+  def curateDropWrite(batch: DataFrame, id: Long, shardsDir: String,
+                      simhashIndexDir: String, maxHamming: Int = 3,
+                      bands: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val priorIndex = scala.util.Try(spark.read.parquet(simhashIndexDir))
+        .toOption.filter(_.columns.contains("bval"))
+        .map(_.filter(col("batch_id") =!= id)
+          .select("band", "bval", "sig", "id"))
+      val kept = priorIndex match {
+        case Some(ix) => graft.operators.Dedup.dropNearDupsAgainstIndex(
+          batch, ix, "doc_id", "text", maxHamming, bands)
+        case None => batch
+      }
+      kept.persist()
+      try {
+        kept.write.mode("overwrite").parquet(s"$shardsDir/batch_id=$id")
+        graft.operators.Dedup.simhashBandIndex(kept, "doc_id", "text", bands)
+          .write.mode("overwrite").parquet(s"$simhashIndexDir/batch_id=$id")
+      } finally kept.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** Drive the full indexed crawl pipeline incrementally: curation chain
+    * (bounded-state dedup per `dedup`) -> per-drop cross-drop NEAR-dup
+    * suppression against the growing simhash index -> idempotent
+    * per-batch shard + index writes ([[curateDropWrite]]). Each
+    * foreachBatch re-reads the index directory, so batch N+1 probes
+    * everything batch N accepted — within one drain and across drains.
+    * Readers see `batch_id` as a partition column of `shardsDir`.
+    */
+  def curateCrawlToShards(spark: SparkSession, crawlDir: String,
+                          merges: Seq[(String, String)],
+                          shardsDir: String, checkpointDir: String,
+                          simhashIndexDir: String,
+                          maxHamming: Int = 3, bands: Int = 8,
+                          minQuality: Double = 0.35,
+                          langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                          dedup: CrawlDedup = CrawlDedup.WithinWatermark()): Unit = {
+    val stream = crawlCurationStream(spark, crawlDir, merges, minQuality,
+      langs, dedup)
+    val q: StreamingQuery = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** RETRIEVAL-PREP streaming face: ANN-tag each arriving drop's vectors
+    * with their nearest accepted-corpus neighbors from a PERSISTED IVF-PQ
+    * index ([[graft.operators.Similarity.ivfPqWriteIndex]]) — the
+    * semantic-dedup / hard-negative signal — without ever refitting:
+    * every micro-batch runs probe + ADC + exact rerank against the saved
+    * code/centroid/codebook tables and the static corpus vectors, and
+    * writes its tags under its own `batch_id=<id>` partition (idempotent
+    * under foreachBatch retry, the [[writeSketchBatch]] contract).
+    * Output rows: (query_id, neighbor_id, cosine).
+    */
+  def annTagStream(stream: DataFrame, corpus: DataFrame, indexDir: String,
+                   outDir: String, checkpointDir: String, k: Int,
+                   nprobe: Int = 4, rerankFactor: Int = 8,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.operators.Similarity.ivfPqTopKIndexed(
+            b, corpus, indexDir, k, nprobe, rerankFactor, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The shared stage chain over a WARC record frame (streaming or

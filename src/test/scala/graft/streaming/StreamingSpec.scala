@@ -712,6 +712,160 @@ class StreamingSpec extends AnyFunSuite {
     assert(nA > 0 && all.count() > nA)
   }
 
+  test("streaming per-domain cap: admission across drops == batch heap cap on the union; state is one counter per domain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dcap_stream").toString
+    val out = java.nio.file.Files.createTempDirectory("dcap_out").toString
+    def push(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, if (i % 2 == 0) "a.example.com" else "b.docs.io",
+          s"doc body $i"))
+        .toDF("doc_id", "domain", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    // write both drop FILES into one source dir but drain after each, so
+    // admission is genuinely cross-batch
+    push("d1", 0 until 10) // 5 docs per domain
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, domain STRING, text STRING")
+    def drain(): Long = drainWithStateRows(
+      Streams.streamingDomainCap(
+        spark.readStream.schema(schema).parquet(s"$dir/d*/"),
+        "domain", "doc_id", k = 7),
+      s"$out/kept", s"$out/ckpt")
+    drain()
+    val after1 = spark.read.parquet(s"$out/kept")
+    assert(after1.count() == 10, "under-budget drop admits everything")
+    // drop 2 pushes both domains past k=7: only 2 more per domain admit,
+    // chosen by lowest doc_id (the admission priority)
+    push("d2", 10 until 20)
+    val stateRows = drain()
+    val admitted = spark.read.parquet(s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val union = (0 until 20).map(i =>
+        (i.toLong, if (i % 2 == 0) "a.example.com" else "b.docs.io",
+          s"doc body $i"))
+      .toDF("doc_id", "domain", "text")
+    val batchCap = graft.operators.Sampling.domainCap(
+        union.withColumn("__prio", -col("doc_id").cast("double")),
+        "domain", "doc_id", "__prio", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == batchCap,
+      s"stream admissions $admitted != batch cap $batchCap")
+    assert(admitted.size == 14)
+    assert(stateRows == 2, s"state = one counter per domain, got $stateRows")
+  }
+
+  test("cross-drop NEAR-dup: simhash index probe suppresses a re-syndicated page with one edited line; stream == batch on the shared per-drop chain; retry idempotent") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_nd_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_nd_out")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(8)
+      .as[(Long, String)].collect()
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val shared = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    // the re-syndication: same page, one edited word — bytes AND exact
+    // fingerprint differ, simhash stays within a few bits
+    val variant = shared.replace("old mill", "new mill")
+    val bands = 8; val maxHamming = 12
+    // precondition battery (deterministic — fixed strings): the pair must
+    // be invisible to exact dedup, band-collide, and verify under the
+    // hamming budget, or the test would pass vacuously
+    locally {
+      val two = Seq((1L, shared), (2L, variant)).toDF("id", "t")
+      val fps = two.select(graft.functions.Text.fingerprint(col("t")))
+        .collect().map(_.getString(0))
+      assert(fps(0) != fps(1), "edited page must beat exact dedup")
+      val sigs = graft.operators.Dedup.simhashSigs(two, "id", "t")
+        .orderBy("id").collect().map(_.getLong(1))
+      assert(sigs(0) != sigs(1), "signatures must differ (near, not exact)")
+      val h = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+      assert(h >= 1 && h <= maxHamming, s"fixture hamming $h out of budget")
+      val width = 64 / bands
+      val collide = (0 until bands).exists(b =>
+        ((sigs(0) >>> (b * width)) & 0xffL) == ((sigs(1) >>> (b * width)) & 0xffL))
+      assert(collide, "at least one band must agree for the probe to see it")
+    }
+    def drain(): Unit = Streams.curateCrawlToShards(spark, crawlDir.toString,
+      merges, s"$out/shards", s"$out/ckpt", s"$out/simhash_ix",
+      maxHamming = maxHamming, bands = bands)
+
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z",
+      docs.take(4).map { case (id, t) => (id, if (id == 0L) shared else t) }.toSeq)
+    drain()
+    val after1 = spark.read.parquet(s"$out/shards")
+    val n1 = after1.count()
+    assert(n1 > 0 && after1.filter(col("doc_id") === 0L).count() == 1)
+
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-01T10:30:00Z",
+      docs.slice(4, 8).map { case (id, t) => (id, if (id == 6L) variant else t) }.toSeq)
+    drain()
+    val after2 = spark.read.parquet(s"$out/shards")
+    assert(after2.filter(col("doc_id") === 6L).count() == 0,
+      "the cross-drop near-duplicate must be suppressed by the index probe")
+    assert(after2.count() > n1, "novel docs in drop 2 must survive")
+
+    // batch twin: the SAME per-drop function over batch-read drops
+    val bOut = java.nio.file.Files.createTempDirectory("crawl_nd_batch")
+    Seq(("a.warc", 0L), ("b.warc", 1L)).foreach { case (f, id) =>
+      val recs = graft.sources.Warc.readWarcDir(spark, crawlDir.toString, f)
+      Streams.curateDropWrite(
+        Streams.curateCrawl(recs, merges, 0.35, Seq("en", "es", "de", "fr")),
+        id, s"$bOut/shards", s"$bOut/simhash_ix",
+        maxHamming = maxHamming, bands = bands)
+    }
+    def contract(dir: String) = spark.read.parquet(dir)
+      .select("fingerprint", "text", "n_tokens").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(contract(s"$out/shards") == contract(s"$bOut/shards"),
+      "streaming and batch per-drop chains must produce the same shards")
+
+    // at-least-once retry: re-running batch 1's write must NOT dedup the
+    // batch against its own prior attempt's index rows (the batch_id
+    // exclusion) — shards unchanged
+    val recs2 = graft.sources.Warc.readWarcDir(spark, crawlDir.toString, "b.warc")
+    Streams.curateDropWrite(
+      Streams.curateCrawl(recs2, merges, 0.35, Seq("en", "es", "de", "fr")),
+      1L, s"$bOut/shards", s"$bOut/simhash_ix",
+      maxHamming = maxHamming, bands = bands)
+    assert(contract(s"$bOut/shards") == contract(s"$out/shards"),
+      "a retried batch must overwrite itself, not self-suppress")
+  }
+
+  test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") >= 300 && col("vec_id") < 340)
+    val ixDir = java.nio.file.Files.createTempDirectory("ann_ix").toString
+    val out = java.nio.file.Files.createTempDirectory("ann_out").toString + "/tags"
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+    val qDir = java.nio.file.Files.createTempDirectory("ann_q").toString
+    graft.operators.Similarity.ivfPqWriteIndex(corpus, ixDir,
+      ncells = 8, m = 4, ksub = 16)
+    // two drops, drained separately (incremental arrival)
+    queries.filter(col("vec_id") < 320)
+      .coalesce(1).write.parquet(s"$qDir/d1")
+    def drain(): Unit = Streams.annTagStream(
+      spark.readStream.schema(queries.schema).parquet(s"$qDir/d*/"),
+      corpus, ixDir, out, ckpt, k = 3)
+    drain()
+    queries.filter(col("vec_id") >= 320)
+      .coalesce(1).write.parquet(s"$qDir/d2")
+    drain()
+    def tags(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = tags(spark.read.parquet(out))
+    val batch = tags(graft.operators.Similarity.ivfPqTopKIndexed(
+      queries, corpus, ixDir, k = 3))
+    assert(streamed == batch,
+      s"stream ${streamed.size} tags != batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("crawl curation stream: two-drop WARC directory drains incrementally; shard contract == batch twin; artifacts merge") {
     import spark.implicits._
     import graft.sources.Warc
