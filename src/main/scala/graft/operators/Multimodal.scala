@@ -243,6 +243,122 @@ object Multimodal {
   def sceneBit(scene: Long, gy: Int, gx: Int): Boolean =
     ((scene * 73 + gy * 9 + gx) * 2654435761L) % 4294967296L >= 2147483648L
 
+  /** The 64-bit dHash the scene formula predicts (bit gy*8+gx set unless
+    * sceneBit(gy,gx) && !sceneBit(gy,gx+1) — the q268 oracle's CASE, in
+    * Scala), packed as one long (bit 63 = hi bit 31).
+    */
+  def sceneDHashBits(scene: Long): Long = {
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (!(sceneBit(scene, gy, gx) && !sceneBit(scene, gy, gx + 1)))
+          bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Render an 18x16 PNG whose decoded dHash equals `bits` EXACTLY — the
+    * [[sceneImage]] trick generalized from "reproduce a scene's hash" to
+    * "reproduce an arbitrary target hash", which is what lets a fixture
+    * plant near-duplicates at a CONTROLLED Hamming distance (flip 1-3
+    * target bits -> pixels and hash both differ by construction, yet the
+    * pair sits inside the radius): each 9-block row walks levels
+    * left-to-right, stepping +12 when the row's next dHash bit is set and
+    * -12 when clear (range 130 +/- 96 stays in byte range), plus the same
+    * per-DOC pixel noise (block-sum delta <= 32 < the 48 step gap, so the
+    * decoded comparisons land on `bits` provably).
+    */
+  def dhashPatternImage(docId: Long, bits: Long): Array[Byte] = {
+    val levels = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      levels(gy)(0) = 130
+      var gx = 0
+      while (gx < 8) {
+        val set = (bits >>> (gy * 8 + gx) & 1L) == 1L
+        levels(gy)(gx + 1) = levels(gy)(gx) + (if (set) 12 else -12)
+        gx += 1
+      }
+      gy += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val noise = ((docId * 31 + x * 17 + y * 7) % 9).toInt - 4
+        val v = levels(y / 2)(x / 2) + noise
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** HAMMING-RADIUS near-dup clustering over 64-bit perceptual hashes
+    * shipped as two 32-bit halves (the [[imageDHash]] /
+    * [[audioEnvelopeHash]] contract) — the upgrade from exact-equality
+    * grouping to the actual perceptual-dedup contract: two variants whose
+    * hashes differ by a few bits must land in one cluster. Pairs come
+    * from the simhash banding machinery (band the packed signature into
+    * `bands` slices, equality-join on (band, bval), verify candidates by
+    * exact popcount-of-xor INSIDE the join), then connected components
+    * assign each id its cluster's min id.
+    *
+    * `bands` must exceed `maxHamming` so recall is the PIGEONHOLE
+    * GUARANTEE, not a probability: <= maxHamming flipped bits can touch
+    * at most maxHamming bands, leaving an agreeing one. Perceptual-hash
+    * corpora band into structured buckets (a bucket IS a near-dup
+    * neighborhood), so unlike the text simhash path there is no hot-
+    * bucket cap here — capping would break the guarantee; bound the
+    * input upstream instead (it is the MEDIA corpus, already heavily
+    * reduced). Output: (id, hash_hi, hash_lo, rep_id, cluster_size).
+    */
+  def hashClustersHamming(hashed: DataFrame, idCol: String,
+                          hiCol: String, loCol: String,
+                          maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for the pigeonhole guarantee")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = hashed.select(col(idCol).cast(LongType).as("id"),
+      col(hiCol).cast(LongType).as("hash_hi"),
+      col(loCol).cast(LongType).as("hash_lo"),
+      (shiftleft(col(hiCol).cast(LongType), 32)
+        .bitwiseOR(col(loCol).cast(LongType))).as("__sig"))
+    val banded = base.select(col("id"), col("__sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))
+              .as("bval"))): _*)).as("bb"))
+      .select(col("id"), col("__sig"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    val hamming = bit_count(col("a.__sig").bitwiseXOR(col("b.__sig")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id") && hamming <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val cl = graft.operators.Dedup.clusters(pairs, Some(base.select("id")))
+    val sizes = cl.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    base.select(col("id"), col("hash_hi"), col("hash_lo"))
+      .join(cl, Seq("id"))
+      .join(sizes, Seq("cluster_rep"))
+      .select(col("id"), col("hash_hi"), col("hash_lo"),
+        col("cluster_rep").as("rep_id"), col("cluster_size"))
+  }
+
   /** Batch decode: one decoder instance per partition (mirrors the
     * mapInPandas batch shape — amortizes codec init), executed distributed,
     * never on the driver. Input must have (id: Long, content: Binary).

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-13 queries: Hamming-radius media near-dup clustering (q272 —
+  * the perceptual-dedup contract q268/q269's exact-equality grouping
+  * lacked) and the order-5 Kneser-Ney ladder rung. Oracles replay the
+  * full machinery (hash synthesis formulas, pairwise distances,
+  * connected components via recursive label propagation, whole-model LM
+  * refits) so the re-learn gate is inherent.
+  */
+object Round13 {
+
+  def all: Seq[Q] = Seq(
+
+    // HAMMING-RADIUS image near-dup clustering — the q268 fixture
+    // upgraded from "same scene -> identical hash" to "planted variants
+    // flip 1-3 STRUCTURAL bits" (pixels AND hashes differ), which the
+    // exact-equality rollup cannot cluster and a radius-3 clusterer
+    // must. Every doc renders a real PNG whose decoded dHash equals a
+    // formula-predicted target (dhashPatternImage: level-walk encoding,
+    // noise bounded under the step gap); docs with doc_id%5==0 xor 1-3
+    // distinct bit positions into their scene's base hash. The operator
+    // bands the 64-bit hash (bands=8 > t=3, so recall is the pigeonhole
+    // GUARANTEE, not a probability), verifies candidates by exact
+    // popcount-of-xor inside the join, and clusters via connected
+    // components. The oracle rebuilds every hash from the integer
+    // formula, replays the distance verify (band agreement is implied
+    // by hamming <= 3 under 8 bands — pigeonhole again), and runs CC as
+    // recursive min-label propagation — all integer SQL.
+    Q("q272_media_hamming_cluster", (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val pngs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = Multimodal.sceneDHashBits(id % 37)
+          val p1 = ((id * 7) % 64).toInt
+          val p2 = (p1 + 21) % 64
+          val p3 = (p1 + 43) % 64
+          val n = 1 + (id % 3).toInt
+          val bits =
+            if (id % 5 == 0) {
+              var b = base ^ (1L << p1)
+              if (n >= 2) b ^= (1L << p2)
+              if (n >= 3) b ^= (1L << p3)
+              b
+            } else base
+          (id, Multimodal.dhashPatternImage(id, bits))
+        }).toDF("doc_id", "content")
+      val hashed = Multimodal.imageDHash(pngs, "doc_id", "content").toDF()
+      Multimodal.hashClustersHamming(hashed.filter(col("ok")),
+          "id", "dhash_hi", "dhash_lo", maxHamming = 3, bands = 8)
+        .select(col("id").as("doc_id"), col("hash_hi"), col("hash_lo"),
+          col("rep_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH RECURSIVE
+        g AS (
+          SELECT a.gy, b.gx
+          FROM generate_series(0, 7) a(gy), generate_series(0, 7) b(gx)),
+        base AS (
+          SELECT d.doc_id, (g.gy * 8 + g.gx) AS k,
+            CASE WHEN NOT (
+                (((d.scene * 73 + g.gy * 9 + g.gx) * 2654435761)
+                  % 4294967296 >= 2147483648)
+                AND NOT (((d.scene * 73 + g.gy * 9 + g.gx + 1) * 2654435761)
+                  % 4294967296 >= 2147483648))
+              THEN 1 ELSE 0 END AS bit
+          FROM (SELECT doc_id, doc_id % 37 AS scene FROM documents) d
+          CROSS JOIN g),
+        f AS (
+          SELECT doc_id,
+            CAST((doc_id * 7) % 64 AS INT) AS p1,
+            CAST(((doc_id * 7) % 64 + 21) % 64 AS INT) AS p2,
+            CAST(((doc_id * 7) % 64 + 43) % 64 AS INT) AS p3,
+            CAST(1 + doc_id % 3 AS INT) AS n,
+            doc_id % 5 = 0 AS isv
+          FROM documents),
+        bits AS (
+          SELECT base.doc_id, base.k,
+            CASE WHEN f.isv AND (base.k = f.p1
+                OR (f.n >= 2 AND base.k = f.p2)
+                OR (f.n >= 3 AND base.k = f.p3))
+              THEN 1 - base.bit ELSE base.bit END AS bit
+          FROM base JOIN f USING (doc_id)),
+        h AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN k >= 32
+              THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hash_hi,
+            CAST(SUM(CASE WHEN k < 32
+              THEN bit * (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS hash_lo
+          FROM bits GROUP BY doc_id),
+        e AS (
+          SELECT a.doc_id AS x, b.doc_id AS y
+          FROM h a JOIN h b ON a.doc_id <> b.doc_id
+            AND bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        r(x, lbl) AS (
+          SELECT doc_id, doc_id FROM h
+          UNION
+          SELECT e.y, r.lbl FROM r JOIN e ON e.x = r.x WHERE r.lbl < e.y),
+        cc AS (SELECT x AS doc_id, MIN(lbl) AS rep_id FROM r GROUP BY x),
+        cs AS (SELECT rep_id, COUNT(*) AS cluster_size FROM cc GROUP BY rep_id)
+        SELECT h.doc_id, h.hash_hi, h.hash_lo, cc.rep_id, cs.cluster_size
+        FROM h JOIN cc USING (doc_id) JOIN cs USING (rep_id)
+        ORDER BY h.doc_id"""))
+  )
+}

@@ -1159,6 +1159,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!short.ok, "clips under 65 frames cannot hash")
   }
 
+  test("dhashPatternImage: decoded dHash reproduces arbitrary target bits exactly (edge bits included)") {
+    // patterns hitting the half boundaries and sign-adjacent bits: 0, 31,
+    // 32, 63, all-ones, all-zeros, and a pseudorandom mix
+    val targets = Seq(0L, 1L, 1L << 31, 1L << 32, 1L << 63, -1L,
+      0x5a5aa5a5deadbeefL, Multimodal.sceneDHashBits(11L) ^ (1L << 63))
+    val df = targets.zipWithIndex
+      .map { case (bits, i) => (i.toLong, Multimodal.dhashPatternImage(i, bits)) }
+      .toDF("id", "content")
+    val out = Multimodal.imageDHash(df, "id", "content").collect()
+      .map(h => h.id -> h).toMap
+    targets.zipWithIndex.foreach { case (bits, i) =>
+      val h = out(i.toLong)
+      assert(h.ok, s"pattern $i must decode")
+      val got = (h.dhash_hi << 32) | h.dhash_lo
+      assert(got == bits,
+        f"pattern $i: decoded $got%016x != target $bits%016x")
+    }
+    // per-doc noise still yields byte-distinct payloads for equal targets
+    val a = Multimodal.dhashPatternImage(100L, 0x1234L)
+    val b = Multimodal.dhashPatternImage(101L, 0x1234L)
+    assert(!a.sameElements(b))
+  }
+
+  test("hashClustersHamming: radius-3 variants cluster with their base; distant hashes stay apart; audio hashes compose") {
+    // base hash A with 1/2/3-bit variants, base B far away with one
+    // 2-bit variant; pigeonhole (8 bands > 3) makes recall exact
+    val hA = Multimodal.sceneDHashBits(5L)
+    val hB = Multimodal.sceneDHashBits(9L)
+    assert(java.lang.Long.bitCount(hA ^ hB) > 6, "fixture scenes too close")
+    def halves(h: Long): (Long, Long) = (h >>> 32, h & 0xffffffffL)
+    val rows = Seq(
+      1L -> hA, 2L -> (hA ^ 1L), 3L -> (hA ^ (1L << 63) ^ (1L << 31)),
+      4L -> (hA ^ 7L),
+      10L -> hB, 11L -> (hB ^ (3L << 40)))
+      .map { case (id, h) => val (hi, lo) = halves(h); (id, hi, lo) }
+      .toDF("id", "hash_hi", "hash_lo")
+    val out = Multimodal.hashClustersHamming(rows, "id", "hash_hi", "hash_lo",
+        maxHamming = 3, bands = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(out(i) == (1L, 4L),
+      s"doc $i must join base A's cluster"))
+    Seq(10L, 11L).foreach(i => assert(out(i) == (10L, 2L),
+      s"doc $i must join base B's cluster"))
+    // the same operator clusters audio envelope hashes (the shared
+    // (hi, lo) contract): scene WAVs hash exactly, so same-scene clips
+    // cluster at radius 0 distance and cross-scene stay apart
+    val wavs = Seq(1L -> 4L, 2L -> 4L, 10L -> 6L)
+      .map { case (id, sc) => (id, Multimodal.sceneWav(id, sc)) }
+      .toDF("id", "content")
+    val ah = Multimodal.audioEnvelopeHash(wavs, "id", "content").toDF()
+    val acl = Multimodal.hashClustersHamming(ah, "id", "ahash_hi", "ahash_lo",
+        maxHamming = 3, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(acl(1L) == 1L && acl(2L) == 1L && acl(10L) == 10L)
+  }
+
   test("decodeBatch: typed metadata from binary, distributed, deterministic") {
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "s")
       .select(col("id"), encode(col("s"), "UTF-8").as("content"))
