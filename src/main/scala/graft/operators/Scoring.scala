@@ -256,6 +256,35 @@ object Scoring {
     * broadcast); scoring joins each doc trigram to its stat rows by key.
     * No self-joins, no windows, no driver math.
     */
+  /** Modified discounts for a count table: count-of-counts -> one
+    * (d1,d2,d3) row (Chen & Goodman's Y/D1/D2/D3+ fit). Denominators
+    * guard via greatest(.,1): when n_k is zero the discount D_k applies
+    * to NO type at that level (or, for D3+ with n3=0 but n4+>0, to types
+    * whose count strictly exceeds the clamp ceiling), so any
+    * deterministic in-range value keeps the model proper — what matters
+    * is that both engines compute the SAME one instead of dividing by
+    * zero (Spark ANSI throws; the oracles use the identical guarded
+    * form, and on non-degenerate corpora the guard is identity).
+    */
+  private def modifiedDiscounts(cnts: DataFrame, ccol: String): DataFrame = {
+    val agg = cnts.agg(
+      sum(when(col(ccol) === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(ccol) === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col(ccol) === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col(ccol) === 4, 1L).otherwise(0L)).as("n4"))
+    agg.select(
+        (col("n1") / greatest(col("n1") + lit(2) * col("n2"), lit(1L)))
+          .as("y"),
+        col("n1"), col("n2"), col("n3"), col("n4"))
+      .select(
+        greatest(least(lit(1) - lit(2) * col("y") * col("n2") /
+          greatest(col("n1"), lit(1L)), lit(1.0)), lit(0.0)).as("d1"),
+        greatest(least(lit(2) - lit(3) * col("y") * col("n3") /
+          greatest(col("n2"), lit(1L)), lit(2.0)), lit(0.0)).as("d2"),
+        greatest(least(lit(3) - lit(4) * col("y") * col("n4") /
+          greatest(col("n3"), lit(1L)), lit(3.0)), lit(0.0)).as("d3"))
+  }
+
   def knTrigramPerplexity(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     val log = org.apache.spark.sql.functions.log(_: org.apache.spark.sql.Column)
@@ -275,33 +304,7 @@ object Scoring {
         sum(when(col("c3") === 1, 1L).otherwise(0L)).as("h1"),
         sum(when(col("c3") === 2, 1L).otherwise(0L)).as("h2"),
         sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("h3"))
-    // modified discounts for a count table: count-of-counts -> (d1,d2,d3).
-    // Denominators guard via greatest(.,1): when n_k is zero the discount
-    // D_k applies to NO type at that level (or, for D3+ with n3=0 but
-    // n4+>0, to types whose count strictly exceeds the clamp ceiling), so
-    // any deterministic in-range value keeps the model proper — what
-    // matters is that both engines compute the SAME one instead of
-    // dividing by zero (Spark ANSI throws; the oracle uses the identical
-    // guarded form, and on non-degenerate corpora the guard is identity).
-    def discounts(cnts: DataFrame, ccol: String): DataFrame = {
-      val agg = cnts.agg(
-        sum(when(col(ccol) === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col(ccol) === 2, 1L).otherwise(0L)).as("n2"),
-        sum(when(col(ccol) === 3, 1L).otherwise(0L)).as("n3"),
-        sum(when(col(ccol) === 4, 1L).otherwise(0L)).as("n4"))
-      agg.select(
-          (col("n1") / greatest(col("n1") + lit(2) * col("n2"), lit(1L)))
-            .as("y"),
-          col("n1"), col("n2"), col("n3"), col("n4"))
-        .select(
-          greatest(least(lit(1) - lit(2) * col("y") * col("n2") /
-            greatest(col("n1"), lit(1L)), lit(1.0)), lit(0.0)).as("d1"),
-          greatest(least(lit(2) - lit(3) * col("y") * col("n3") /
-            greatest(col("n2"), lit(1L)), lit(2.0)), lit(0.0)).as("d2"),
-          greatest(least(lit(3) - lit(4) * col("y") * col("n4") /
-            greatest(col("n3"), lit(1L)), lit(3.0)), lit(0.0)).as("d3"))
-    }
-    val disc3 = discounts(c3, "c3")
+    val disc3 = modifiedDiscounts(c3, "c3")
     // bigram CONTINUATION level: distinct-left-context counts
     val cc23 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("cc"))
     val hist2 = cc23.groupBy(col("w2"))
@@ -309,7 +312,7 @@ object Scoring {
         sum(when(col("cc") === 1, 1L).otherwise(0L)).as("m1"),
         sum(when(col("cc") === 2, 1L).otherwise(0L)).as("m2"),
         sum(when(col("cc") >= 3, 1L).otherwise(0L)).as("m3"))
-    val disc2 = discounts(cc23, "cc")
+    val disc2 = modifiedDiscounts(cc23, "cc")
       .select(col("d1").as("e1"), col("d2").as("e2"), col("d3").as("e3"))
     // unigram continuation: distinct (w2, w3) pair types
     val cont3 = cc23.groupBy(col("w3")).agg(count(lit(1)).as("u3"))
@@ -340,6 +343,91 @@ object Scoring {
         col("n_trigrams"))
   }
 
+  /** Interpolated MODIFIED Kneser-Ney perplexity at ARBITRARY order —
+    * [[knTrigramPerplexity]] generalized level by level, which is how
+    * the ladder reaches order 5, the configuration CCNet's published
+    * pipeline actually scores with (a KenLM 5-gram). The top level
+    * discounts RAW order-n counts; every back-off level k < n is the
+    * Kneser-Ney CONTINUATION model — its "counts" are the distinct
+    * single-word left extensions of the k-suffix in level k+1's count
+    * table — each with its OWN modified discounts (Y/D1/D2/D3+) fitted
+    * to THAT distribution; the bottom is the continuation unigram
+    * N1+(. w) / N1+(. .). Per level k,
+    *
+    *   P_k = (c_k - D_k(c_k)) / s_k + g_k P_{k-1},
+    *   g_k = (D_k1 m_k1 + D_k2 m_k2 + D_k3 m_k3) / s_k
+    *
+    * with s_k / m_k* the history's total and per-discount type tallies.
+    * Output per doc: mean ln P (`kn_lp`), `ppl` = exp(-mean), `n_grams`;
+    * docs under `order` words contribute no rows. `order` 3 reproduces
+    * [[knTrigramPerplexity]] exactly (spec-pinned), kept separate only
+    * because q263's lineage names its columns kn3_lp/n_trigrams.
+    *
+    * Scale shape (the [[knBigramPerplexity]] contract at any order): one
+    * row-local shingle pass; the model is ONE raw count aggregate, a
+    * suffix-projection chain of n-1 re-aggregates of it, and per level a
+    * history re-aggregate plus a SIX-NUMBER broadcast discount fit;
+    * scoring joins each doc n-gram to its stat rows by key. All shuffles
+    * are count-table-sized; no self-joins, no windows, no driver math.
+    */
+  def knNgramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                        order: Int = 5): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val log = org.apache.spark.sql.functions.log(_: org.apache.spark.sql.Column)
+    val ws = (1 to order).map(i => s"w$i")
+    val grams = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+          .as("g"))
+      .withColumn("__ws", split(col("g"), " "))
+      .filter(size(col("__ws")) === order)
+      .select((col("id") +: ws.zipWithIndex.map { case (w, i) =>
+        element_at(col("__ws"), i + 1).as(w) }): _*)
+    // count-table chain: level `order` = raw counts; level k < order =
+    // continuation counts (one row per distinct k-suffix of level k+1,
+    // counting its distinct one-word left extensions)
+    val tables = scala.collection.mutable.Map[Int, DataFrame]()
+    tables(order) = grams.groupBy(ws.map(col): _*)
+      .agg(count(lit(1)).as(s"c$order"))
+    for (k <- order - 1 to 1 by -1)
+      tables(k) = tables(k + 1).groupBy(ws.takeRight(k).map(col): _*)
+        .agg(count(lit(1)).as(s"c$k"))
+    def histOf(k: Int): DataFrame =
+      tables(k).groupBy(ws.takeRight(k).dropRight(1).map(col): _*)
+        .agg(sum(col(s"c$k")).as(s"s$k"),
+          sum(when(col(s"c$k") === 1, 1L).otherwise(0L)).as(s"m${k}_1"),
+          sum(when(col(s"c$k") === 2, 1L).otherwise(0L)).as(s"m${k}_2"),
+          sum(when(col(s"c$k") >= 3, 1L).otherwise(0L)).as(s"m${k}_3"))
+    def discOf(k: Int): DataFrame =
+      modifiedDiscounts(tables(k), s"c$k")
+        .select(col("d1").as(s"d${k}_1"), col("d2").as(s"d${k}_2"),
+          col("d3").as(s"d${k}_3"))
+    val totPairs = tables(2).agg(count(lit(1)).as("tt"))
+    var scored = grams
+    for (k <- order to 2 by -1)
+      scored = scored.join(tables(k), ws.takeRight(k))
+        .join(histOf(k), ws.takeRight(k).dropRight(1))
+        .crossJoin(broadcast(discOf(k)))
+    scored = scored.join(tables(1), ws.takeRight(1))
+      .crossJoin(broadcast(totPairs))
+    // fold the interpolation bottom-up with the exact association order
+    // the trigram form (and every oracle) uses:
+    //   (c - D)/s + (d1*m1 + d2*m2 + d3*m3)/s * P_prev
+    var p: org.apache.spark.sql.Column = col("c1") / col("tt")
+    for (k <- 2 to order) {
+      val c = col(s"c$k")
+      p = (c - when(c === 1, col(s"d${k}_1"))
+            .when(c === 2, col(s"d${k}_2")).otherwise(col(s"d${k}_3"))) /
+          col(s"s$k") +
+        (col(s"d${k}_1") * col(s"m${k}_1") + col(s"d${k}_2") * col(s"m${k}_2") +
+          col(s"d${k}_3") * col(s"m${k}_3")) / col(s"s$k") * p
+    }
+    scored.withColumn("lp", log(p))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("kn_lp"), count(lit(1)).as("n_grams"))
+      .select(col("id"), col("kn_lp"), exp(-col("kn_lp")).as("ppl"),
+        col("n_grams"))
+  }
+
   /** CCNet perplexity bucketing: score every doc with the interpolated
     * Kneser-Ney LM, order by perplexity, and split into head/middle/tail
     * terciles (head = lowest-ppl = cleanest; CCNet trains on head+middle).
@@ -351,18 +439,23 @@ object Scoring {
     * final ulps. Emits (doc_id, ppl, bucket).
     *
     * `lm` picks the scoring model: "kn2" (interpolated KN bigram, the
-    * default and the q250 lineage) or "kn3" (modified-KN trigram,
+    * default and the q250 lineage), "kn3" (modified-KN trigram,
     * [[knTrigramPerplexity]] — the KenLM-default order-3 form; `d` is
-    * ignored there, the discounts are fitted). Docs the model cannot
-    * score (under the order's word minimum) are absent either way.
+    * ignored there, the discounts are fitted), or "kn<n>" for any order
+    * [[knNgramPerplexity]] supports — "kn5" is CCNet's published
+    * configuration. Docs the model cannot score (under the order's word
+    * minimum) are absent either way.
     */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
                    d: Double = 0.75, lm: String = "kn2"): DataFrame = {
-    require(lm == "kn2" || lm == "kn3",
-      s"ccnetBuckets: lm must be kn2 or kn3, got '$lm'")
-    val scored =
-      if (lm == "kn3") knTrigramPerplexity(df, idCol, textCol)
-      else knBigramPerplexity(df, idCol, textCol, d)
+    val knN = "^kn([2-8])$".r
+    val scored = lm match {
+      case "kn2" => knBigramPerplexity(df, idCol, textCol, d)
+      case "kn3" => knTrigramPerplexity(df, idCol, textCol)
+      case knN(n) => knNgramPerplexity(df, idCol, textCol, n.toInt)
+      case other => throw new IllegalArgumentException(
+        s"ccnetBuckets: lm must be kn2..kn8, got '$other'")
+    }
     // the scored frame is consumed three times downstream (cumcount's
     // range partitioner + offset frame, plus the tercile-count
     // broadcast) — persist the tiny (id, ppl) projection so the LM does

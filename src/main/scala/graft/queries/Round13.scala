@@ -12,7 +12,155 @@ import Q._
   */
 object Round13 {
 
+  /** The full modified-KN 5-gram model as DuckDB CTEs, shared by q273
+    * and q274 (identical text, so the two oracles can never drift
+    * apart). Mirrors `Scoring.knNgramPerplexity(order=5)` term for term:
+    * raw 5-gram counts with fitted discounts at the top, three
+    * CONTINUATION levels (each level's counts = distinct one-word left
+    * extensions of the suffix at the level above, with its OWN fitted
+    * discounts), continuation unigram at the bottom; every level's
+    * history stats (total + per-discount type tallies) are re-aggregates
+    * of its count table, and the interpolation nests with the exact
+    * association order the Spark fold uses. A single drifted count
+    * anywhere re-fits four discount triples and every score with them.
+    */
+  private val kn5ModelSql = """
+        toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        ngl AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+                  w[i+3] AS w4, w[i+4] AS w5
+                FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE len(w) >= 5),
+        c5t AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+                FROM ngl GROUP BY 1, 2, 3, 4, 5),
+        h5 AS (SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS s5,
+                 CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m5_1,
+                 CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m5_2,
+                 CAST(SUM(CASE WHEN c5 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m5_3
+               FROM c5t GROUP BY 1, 2, 3, 4),
+        cn5 AS (SELECT CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c5t),
+        d5 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d5_1,
+                 greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d5_2,
+                 greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d5_3
+               FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn5)),
+        c4t AS (SELECT w2, w3, w4, w5, COUNT(*) AS c4 FROM c5t GROUP BY 1, 2, 3, 4),
+        h4 AS (SELECT w2, w3, w4, CAST(SUM(c4) AS BIGINT) AS s4,
+                 CAST(SUM(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m4_1,
+                 CAST(SUM(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m4_2,
+                 CAST(SUM(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m4_3
+               FROM c4t GROUP BY 1, 2, 3),
+        cn4 AS (SELECT CAST(SUM(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c4 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c4t),
+        d4 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d4_1,
+                 greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d4_2,
+                 greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d4_3
+               FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn4)),
+        c3t AS (SELECT w3, w4, w5, COUNT(*) AS c3 FROM c4t GROUP BY 1, 2, 3),
+        h3 AS (SELECT w3, w4, CAST(SUM(c3) AS BIGINT) AS s3,
+                 CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m3_1,
+                 CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m3_2,
+                 CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3_3
+               FROM c3t GROUP BY 1, 2),
+        cn3 AS (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c3t),
+        d3 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d3_1,
+                 greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d3_2,
+                 greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d3_3
+               FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn3)),
+        c2t AS (SELECT w4, w5, COUNT(*) AS c2 FROM c3t GROUP BY 1, 2),
+        h2 AS (SELECT w4, CAST(SUM(c2) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_1,
+                 CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2_2,
+                 CAST(SUM(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m2_3
+               FROM c2t GROUP BY 1),
+        cn2 AS (SELECT CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c2t),
+        d2 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d2_1,
+                 greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d2_2,
+                 greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d2_3
+               FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn2)),
+        c1t AS (SELECT w5, COUNT(*) AS c1 FROM c2t GROUP BY 1),
+        tp AS (SELECT COUNT(*) AS tt FROM c2t),
+        sc AS (
+          SELECT ngl.doc_id,
+            ln(
+              (c5t.c5 - CASE WHEN c5t.c5 = 1 THEN d5_1
+                             WHEN c5t.c5 = 2 THEN d5_2 ELSE d5_3 END) / h5.s5
+              + (d5_1 * h5.m5_1 + d5_2 * h5.m5_2 + d5_3 * h5.m5_3) / h5.s5 *
+                ((c4t.c4 - CASE WHEN c4t.c4 = 1 THEN d4_1
+                                WHEN c4t.c4 = 2 THEN d4_2 ELSE d4_3 END) / h4.s4
+                 + (d4_1 * h4.m4_1 + d4_2 * h4.m4_2 + d4_3 * h4.m4_3) / h4.s4 *
+                   ((c3t.c3 - CASE WHEN c3t.c3 = 1 THEN d3_1
+                                   WHEN c3t.c3 = 2 THEN d3_2 ELSE d3_3 END) / h3.s3
+                    + (d3_1 * h3.m3_1 + d3_2 * h3.m3_2 + d3_3 * h3.m3_3) / h3.s3 *
+                      ((c2t.c2 - CASE WHEN c2t.c2 = 1 THEN d2_1
+                                      WHEN c2t.c2 = 2 THEN d2_2 ELSE d2_3 END) / h2.s2
+                       + (d2_1 * h2.m2_1 + d2_2 * h2.m2_2 + d2_3 * h2.m2_3) / h2.s2 *
+                         (c1t.c1 / tp.tt))))) AS lp
+          FROM ngl
+          JOIN c5t USING (w1, w2, w3, w4, w5)
+          JOIN h5 USING (w1, w2, w3, w4)
+          JOIN c4t USING (w2, w3, w4, w5)
+          JOIN h4 USING (w2, w3, w4)
+          JOIN c3t USING (w3, w4, w5)
+          JOIN h3 USING (w3, w4)
+          JOIN c2t USING (w4, w5)
+          JOIN h2 USING (w4)
+          JOIN c1t USING (w5), d5, d4, d3, d2, tp)"""
+
   def all: Seq[Q] = Seq(
+
+    // Modified-Kneser-Ney 5-GRAM perplexity — the order CCNet's
+    // published pipeline actually scores with (a KenLM 5-gram),
+    // completing the ladder: JM trigram (q242) -> KN bigram (q245) ->
+    // mKN trigram (q263) -> mKN 5-gram. Four fitted discount triples
+    // (raw level + three continuation levels), all refit by the oracle
+    // from its own count tables.
+    Q("q273_kn5_perplexity",
+      (s, d) => graft.operators.Scoring.knNgramPerplexity(
+          t(s, d, "documents"), "doc_id", "text", order = 5)
+        .select(col("id").as("doc_id"),
+          round(col("kn_lp"), 6).as("kn5_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_grams"))
+        .orderBy(col("doc_id")),
+      Some("WITH" + kn5ModelSql + """
+        SELECT doc_id, round(avg(lp), 6) AS kn5_lp,
+          round(exp(-avg(lp)), 6) AS ppl,
+          COUNT(*) AS n_grams
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet bucketing on the mKN 5-gram scorer (ccnet_buckets lm=kn5):
+    // the q250/q264 tercile machinery (two-level prefix sums, integer
+    // edges, 6dp-rounded sort key) over the published configuration.
+    Q("q274_ccnet_kn5",
+      (s, d) => graft.operators.Scoring.ccnetBuckets(
+          t(s, d, "documents"), "doc_id", "text", lm = "kn5")
+        .orderBy(col("doc_id")),
+      Some("WITH" + kn5ModelSql + """,
+        ppl AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl
+                FROM sc GROUP BY doc_id),
+        n AS (SELECT COUNT(*) AS n FROM ppl),
+        pos AS (SELECT doc_id, ppl,
+                  row_number() OVER (ORDER BY ppl, doc_id) - 1 AS pos
+                FROM ppl)
+        SELECT doc_id, ppl,
+          CASE WHEN pos * 3 < n.n THEN 'head'
+               WHEN pos * 3 < n.n * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM pos, n ORDER BY doc_id""")),
 
     // HAMMING-RADIUS image near-dup clustering — the q268 fixture
     // upgraded from "same scene -> identical hash" to "planted variants

@@ -236,6 +236,12 @@ object ScaleStress {
       cell("q263_kn3_perplexity", f, nd)(
         graft.operators.Scoring.knTrigramPerplexity(d, "doc_id", "text")
           .filter(col("ppl") > 0).count())
+      // order-5 modified KN: four fitted discount levels, a 9-join score
+      // plan; same disjoint-replica-vocab contract as kn3 (count tables
+      // grow with the corpus — the honest worst case), expect linear-ish
+      cell("q273_kn5_perplexity", f, nd)(
+        graft.operators.Scoring.knNgramPerplexity(d, "doc_id", "text", 5)
+          .filter(col("ppl") > 0).count())
       // per-domain cap: heap-per-domain aggregation on a deliberately
       // SKEWED domain layout (domain 0 holds half the corpus — the
       // mega-domain a row_number window would serialize); expect linear,

@@ -60,6 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q264_ccnet_kn3" -> ("same tercile machinery as q250 over the kn3 " +
       "scorer: the global window is the cumcount prefix combine over " +
       "the per-range-partition count frame, never the scored docs"),
+    "q274_ccnet_kn5" -> ("same tercile machinery as q250 over the kn5 " +
+      "scorer: the global window is the cumcount prefix combine over " +
+      "the per-range-partition count frame, never the scored docs"),
     "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
       "head (TakeOrdered first; the window never sees the vocabulary)"))
 

@@ -2261,6 +2261,75 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("knNgramPerplexity: order 3 reproduces knTrigramPerplexity; order-5 P5(.|history) normalizes to 1") {
+    // the generalized fold must reproduce the q263-gated trigram model
+    // (same count tables, same discount fits, same association order) —
+    // only float accumulation order may differ across the two plans
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(80)
+    val tri = Scoring.knTrigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+    val gen = Scoring.knNgramPerplexity(docs, "doc_id", "text", order = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+    assert(tri.keySet == gen.keySet)
+    tri.foreach { case (id, (lp, n)) =>
+      assert(gen(id)._2 == n, s"doc $id n_grams")
+      assert(math.abs(gen(id)._1 - lp) < 1e-12, s"doc $id lp $lp vs ${gen(id)._1}")
+    }
+
+    // order-5 on a tiny corpus with repeated and singleton 5-grams; the
+    // defining invariant of a proper back-off chain: for any observed
+    // 4-word history, discounted observed mass + gamma * (full-vocab
+    // lower-order mass) == 1 exactly — mirrored driver-side generically
+    val texts = Seq(
+      (1L, "a b c d e a b c d e a b c d e"),
+      (2L, "the cat sat on the mat and the dog ran off home"),
+      (3L, "x y z w")) // sub-5-gram: no rows
+    import spark.implicits._
+    val out = Scoring.knNgramPerplexity(
+        texts.toDF("doc_id", "text"), "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(!out.contains(3L) && out(1L)._3 == 11 && out(2L)._3 == 8)
+    assert(out.values.forall(_._2 > 0))
+
+    val toks = texts.take(2).map(_._2.split(" ").toList)
+    val tables = scala.collection.mutable.Map[Int, Map[List[String], Int]]()
+    tables(5) = toks.flatMap(_.sliding(5).filter(_.size == 5))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for (k <- 4 to 1 by -1)
+      tables(k) = tables(k + 1).keys.toSeq.map(_.takeRight(k))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    def fit(cs: Iterable[Int]): (Double, Double, Double) = {
+      val Seq(n1, n2, n3, n4) = (1 to 4).map(k => cs.count(_ == k).toDouble)
+      val y = n1 / math.max(n1 + 2 * n2, 1.0)
+      (math.max(math.min(1 - 2 * y * n2 / math.max(n1, 1.0), 1.0), 0.0),
+        math.max(math.min(2 - 3 * y * n3 / math.max(n2, 1.0), 2.0), 0.0),
+        math.max(math.min(3 - 4 * y * n4 / math.max(n3, 1.0), 3.0), 0.0))
+    }
+    val disc = (2 to 5).map(k => k -> fit(tables(k).values)).toMap
+    def dOf(c: Int, ds: (Double, Double, Double)): Double =
+      if (c == 1) ds._1 else if (c == 2) ds._2 else ds._3
+    def pk(k: Int, key: List[String]): Double =
+      if (k == 1) tables(1).getOrElse(key, 0).toDouble / tables(2).size
+      else {
+        val hist = key.dropRight(1)
+        val hc = tables(k).collect { case (kk, n) if kk.dropRight(1) == hist => n }
+        val s = hc.sum.toDouble
+        val ds = disc(k)
+        val g = (ds._1 * hc.count(_ == 1) + ds._2 * hc.count(_ == 2) +
+          ds._3 * hc.count(_ >= 3)) / s
+        val obs = tables(k).get(key).map(c => (c - dOf(c, ds)) / s).getOrElse(0.0)
+        obs + g * pk(k - 1, key.tail)
+      }
+    val vocab = toks.flatten.toSet
+    tables(5).keys.map(_.dropRight(1)).toSeq.distinct.foreach { hist =>
+      val total = vocab.toSeq.map(w => pk(5, hist :+ w)).sum
+      assert(math.abs(total - 1.0) < 1e-12,
+        s"P5(.|${hist.mkString(" ")}) must be proper, got $total")
+    }
+  }
+
   test("winsorize clips to exact group quantiles; zscore standardizes (ddof=1), zero-var -> null") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
