@@ -142,6 +142,28 @@ object Urls {
       .otherwise(h)
   }
 
+  /** Registered domain against the FULL embedded publicsuffix.org
+    * snapshot (~9.5k rules incl. the PRIVATE section — `github.io`,
+    * `s3.amazonaws.com`-style registries) via
+    * [[graft.expressions.PslRegisteredDomain]]: same precedence
+    * algorithm as [[registeredDomain]], production-depth rule table,
+    * one static-hash lookup per row (plan-literal — no per-row regex
+    * alternation, nothing serialized into the plan). The regex SLICE
+    * path stays the oracle-replayable default; reach for this one on
+    * real crawl data.
+    */
+  def registeredDomainPsl(url: Column): Column =
+    graft.expressions.PslRegisteredDomain(host(url))
+
+  /** [[registeredDomainPsl]] with the host A-labeled first (the
+    * [[registeredDomainIdn]] composition): raw-unicode and punycode
+    * spellings of one IDN host land on the same registered domain,
+    * matched against the snapshot's (A-labeled) unicode rules.
+    */
+  def registeredDomainPslIdn(url: Column): Column =
+    graft.expressions.PslRegisteredDomain(
+      graft.expressions.IdnAsciiHost(hostLoose(url)))
+
   /** Number of tracking params the canonicalization strips (audit metric). */
   def trackingParamCount(url: Column): Column =
     size(filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),

@@ -162,6 +162,63 @@ object Round13 {
                ELSE 'tail' END AS bucket
         FROM pos, n ORDER BY doc_id""")),
 
+    // Registered domain against the FULL publicsuffix.org snapshot
+    // (q246's algorithm, production-depth rule table — the embedded
+    // ~9.5k-rule list the OS publicsuffix package ships): synthesized
+    // hosts hit suffix shapes OUTSIDE the regex slice — a private-
+    // section registry (github.io), a 4-label ICANN rule
+    // (pvt.k12.ma.us), private multi-level (us-east-1.amazonaws.com), a
+    // multi-label wildcard (*.compute.amazonaws.com), the canonical
+    // *.ck / !www.ck pair, the two-level list, and the implicit default
+    // — and the oracle replays the expected mapping per suffix class
+    // from the same synthesis formula (the lookup itself is a static
+    // hash table, deliberately NOT re-expressed as per-row SQL regex
+    // over 9k rules; the class mapping is what the fixture pins).
+    Q("q275_psl_full_snapshot", (s, d) => {
+      import graft.functions.Urls
+      val host = concat(
+        when(col("doc_id") % 8 === 0, concat(lit("a.d"), col("doc_id"), lit(".github.io")))
+          .when(col("doc_id") % 8 === 1, concat(lit("a.d"), col("doc_id"), lit(".pvt.k12.ma.us")))
+          .when(col("doc_id") % 8 === 2, concat(lit("a.d"), col("doc_id"), lit(".us-east-1.amazonaws.com")))
+          .when(col("doc_id") % 8 === 3, concat(lit("x.a.d"), col("doc_id"), lit(".compute.amazonaws.com")))
+          .when(col("doc_id") % 8 === 4, concat(lit("x.a.d"), col("doc_id"), lit(".ck")))
+          .when(col("doc_id") % 8 === 5, concat(lit("d"), col("doc_id"), lit(".www.ck")))
+          .when(col("doc_id") % 8 === 6, concat(lit("a.d"), col("doc_id"), lit(".co.uk")))
+          .otherwise(concat(lit("a.d"), col("doc_id"), lit(".notatld"))))
+      t(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", concat(lit("https://"), host, lit("/p")))
+        .select(col("doc_id"), col("url"),
+          Urls.registeredDomainPsl(col("url")).as("regdom"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH s AS (
+          SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS d,
+            CAST(doc_id % 8 AS INT) AS k
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            CASE k
+              WHEN 0 THEN 'a.' || d || '.github.io'
+              WHEN 1 THEN 'a.' || d || '.pvt.k12.ma.us'
+              WHEN 2 THEN 'a.' || d || '.us-east-1.amazonaws.com'
+              WHEN 3 THEN 'x.a.' || d || '.compute.amazonaws.com'
+              WHEN 4 THEN 'x.a.' || d || '.ck'
+              WHEN 5 THEN d || '.www.ck'
+              WHEN 6 THEN 'a.' || d || '.co.uk'
+              ELSE 'a.' || d || '.notatld' END AS host,
+            CASE k
+              WHEN 0 THEN d || '.github.io'
+              WHEN 1 THEN d || '.pvt.k12.ma.us'
+              WHEN 2 THEN d || '.us-east-1.amazonaws.com'
+              WHEN 3 THEN 'a.' || d || '.compute.amazonaws.com'
+              WHEN 4 THEN 'a.' || d || '.ck'
+              WHEN 5 THEN 'www.ck'
+              WHEN 6 THEN d || '.co.uk'
+              ELSE d || '.notatld' END AS regdom
+          FROM s)
+        SELECT doc_id, 'https://' || host || '/p' AS url, regdom
+        FROM h ORDER BY doc_id""")),
+
     // HAMMING-RADIUS image near-dup clustering — the q268 fixture
     // upgraded from "same scene -> identical hash" to "planted variants
     // flip 1-3 STRUCTURAL bits" (pixels AND hashes differ), which the

@@ -328,6 +328,63 @@ class DedupSpec extends AnyFunSuite {
     assert(w == "xn--mnchen-3ya.de", s"got $w")
   }
 
+  test("urls: registeredDomainPsl — FULL snapshot: private-section rules, 3-level ICANN, wildcards/exceptions, IDN rules, slice parity") {
+    import graft.functions.Urls
+    val u = Seq(
+      (1L, "https://a.myblog.github.io/p"),            // PRIVATE section rule
+      (2L, "https://myblog.github.io/p"),              // one label + suffix
+      (3L, "https://github.io/p"),                     // host IS a suffix -> total passthrough
+      (4L, "https://x.site.pvt.k12.ma.us/p"),          // 4-label ICANN rule
+      (5L, "https://b.app.us-east-1.amazonaws.com/p"), // private multi-level
+      (6L, "https://x.a.vm.compute.amazonaws.com/p"),  // *.compute.amazonaws.com
+      (7L, "https://deep.shop.stuff.ck/p"),            // *.ck (slice parity)
+      (8L, "https://go.www.ck/p"),                     // !www.ck (slice parity)
+      (9L, "https://shop.example.co.uk/p"),            // two-level (slice parity)
+      (10L, "https://sub.dom.site.co/p"),              // bare-TLD rule
+      (11L, "http://localhost/p")                      // no dot -> passthrough
+    ).toDF("id", "url")
+      .select(col("id"), Urls.registeredDomainPsl(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(u(1L) == "myblog.github.io")
+    assert(u(2L) == "myblog.github.io")
+    assert(u(3L) == "github.io")
+    assert(u(4L) == "site.pvt.k12.ma.us")
+    assert(u(5L) == "app.us-east-1.amazonaws.com")
+    assert(u(6L) == "a.vm.compute.amazonaws.com")
+    assert(u(7L) == "shop.stuff.ck")
+    assert(u(8L) == "www.ck")
+    assert(u(9L) == "example.co.uk")
+    assert(u(10L) == "site.co")
+    assert(u(11L) == "localhost")
+    // IDN rules ship A-labeled: the snapshot's unicode TLDs match both
+    // punycode spellings (plain path) and raw unicode (PslIdn path)
+    val v = Seq(
+      (1L, "https://sub.example.xn--fiqs8s/x"),
+      (2L, "https://sub.example.中国/x"))
+      .toDF("id", "url")
+      .select(col("id"),
+        when(col("id") === 1, Urls.registeredDomainPsl(col("url")))
+          .otherwise(Urls.registeredDomainPslIdn(col("url"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) == "example.xn--fiqs8s" && v(2L) == "example.xn--fiqs8s")
+    // the snapshot agrees with the regex slice wherever the slice has
+    // coverage (same precedence algorithm over a superset rule table)
+    val sliceRows = Seq(
+      "https://deep.shop.stuff.ck/p", "https://shop.stuff.ck/p",
+      "https://go.www.ck/s", "http://a.town.nagoya.jp/b",
+      "http://en.city.nagoya.jp/x", "http://city.nagoya.jp/x",
+      "http://portal.greenschool.sch.uk/x", "https://shop.example.co.uk/p",
+      "https://x.news.bd/a", "https://sub.dom.site.co/x",
+      "http://deep.sub.domain.com.au/q", "http://localhost/x")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val both = sliceRows.toDF("id", "url")
+      .select(Urls.registeredDomain(col("url")).as("slice"),
+        Urls.registeredDomainPsl(col("url")).as("full"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"slice ${r.getString(0)} != full ${r.getString(1)}"))
+  }
+
   test("unigram log-prob: common-word docs score lower than rare-word docs") {
     // corpus: 'common' appears 6x, each rare word once -> 10 tokens total
     val sdocs = Seq(
