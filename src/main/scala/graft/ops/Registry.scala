@@ -1256,11 +1256,17 @@ final class Registry(spark: SparkSession) {
     },
     "graft.canonicalize_urls" -> { a =>
       // canonical dedup key + registered domain + stripped-tracker audit
-      // count from a URL column (columnar, zero shuffle)
+      // count from a URL column (columnar, zero shuffle). psl=true swaps
+      // the domain rule table for the FULL embedded publicsuffix.org
+      // snapshot (private section included — github.io-style registries)
       val df = asDf(a.require("df", 0), "df")
       val urlCol = asStr(a.get("url", -1).getOrElse("url"), "url")
+      val psl = a.get("psl", -1).exists(_.toString.toBoolean)
+      val dom =
+        if (psl) graft.functions.Urls.registeredDomainPsl(col(urlCol))
+        else graft.functions.Urls.registeredDomain(col(urlCol))
       df.withColumn("canon_url", graft.functions.Urls.canonicalize(col(urlCol)))
-        .withColumn("domain", graft.functions.Urls.registeredDomain(col(urlCol)))
+        .withColumn("domain", dom)
         .withColumn("n_tracking", graft.functions.Urls.trackingParamCount(col(urlCol)))
     },
     "graft.semantic_dedup" -> { a =>
@@ -1648,8 +1654,9 @@ final class Registry(spark: SparkSession) {
     },
     "graft.ccnet_buckets" -> { a =>
       // head/middle/tail perplexity terciles (CCNet's final step):
-      // KN-score (lm: kn2 bigram default, kn3 = modified-KN trigram),
-      // order by ppl, cut at thirds — distributed order via
+      // KN-score (lm: kn2 bigram default, kn3 = modified-KN trigram,
+      // kn5 = modified-KN 5-gram — CCNet's published configuration; any
+      // kn2..kn8), order by ppl, cut at thirds — distributed order via
       // GlobalWindows.cumcount, no single-task window
       graft.operators.Scoring.ccnetBuckets(
         asDf(a.require("df", 0), "df"),
@@ -1657,6 +1664,54 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
         lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
+    },
+    "graft.kn_ngram_perplexity" -> { a =>
+      // modified-KN perplexity at arbitrary order (order=5 is the KenLM/
+      // CCNet production shape): raw counts + fitted discounts at the
+      // top, per-level continuation models below — all count-table-
+      // bounded aggregates
+      graft.operators.Scoring.knNgramPerplexity(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+    },
+    "graft.hash_clusters_hamming" -> { a =>
+      // Hamming-radius clustering over 64-bit perceptual hashes shipped
+      // as two 32-bit halves (image dHash / audio envelope contract):
+      // banded candidates (pigeonhole-exact recall when bands > radius),
+      // popcount verify inside the join, connected components
+      graft.operators.Multimodal.hashClustersHamming(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("hi", -1).getOrElse("dhash_hi"), "hi"),
+        asStr(a.get("lo", -1).getOrElse("dhash_lo"), "lo"),
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming"))
+          .getOrElse(3),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8))
+    },
+    "graft.simhash_band_index" -> { a =>
+      // the saved near-dup artifact: (band, bval, sig, id) rows per doc —
+      // persist it and probe later drops with graft.neardup_against_index
+      graft.operators.Dedup.simhashBandIndex(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8))
+    },
+    "graft.neardup_against_index" -> { a =>
+      // cross-drop NEAR-dup suppression: drop rows whose simhash bands
+      // collide with a saved index row at hamming <= max_hamming (a
+      // re-syndicated page with one edited line, invisible to exact
+      // fingerprint dedup)
+      graft.operators.Dedup.dropNearDupsAgainstIndex(
+        asDf(a.require("df", 0), "df"),
+        asDf(a.require("index", 1), "index"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        maxHamming = a.get("max_hamming", -1).map(asInt(_, "max_hamming"))
+          .getOrElse(3),
+        bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8))
     },
     "graft.bpe_byte_vocab" -> { a =>
       // the shipped vocab artifact: (id, token, is_byte) enumeration —

@@ -1156,6 +1156,59 @@ class RegistrySpec extends AnyFunSuite {
       "scored logits must separate the planted classes")
   }
 
+  test("graft.kn_ngram_perplexity / hash_clusters_hamming / neardup_against_index / psl from the YAML surface") {
+    // kn_ngram_perplexity order=5 == the operator call
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+    val viaReg = reg.callFunction("graft.kn_ngram_perplexity", Args(
+      pos = List(docs), kw = List("order" -> 5L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val direct = graft.operators.Scoring.knNgramPerplexity(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaReg == direct && viaReg.nonEmpty)
+
+    // hash_clusters_hamming groups a 2-bit variant with its base
+    val hashes = Seq((1L, 5L, 9L), (2L, 5L, 10L), (10L, 900L, 7L))
+      .toDF("id", "dhash_hi", "dhash_lo")
+    val cl = reg.callFunction("graft.hash_clusters_hamming", Args(
+      pos = List(hashes), kw = List("max_hamming" -> 3L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(10L) == 10L)
+
+    // simhash_band_index -> neardup_against_index suppress the near-copy
+    // the crawl-test fixture pair: bands collide, hamming <= 12 (gated
+    // as a precondition in StreamingSpec's near-dup test)
+    val shared = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    val ref = Seq((1L, shared)).toDF("doc_id", "text")
+    val ix = reg.callFunction("graft.simhash_band_index", Args(pos = List(ref)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val fresh = Seq(
+      (10L, shared.replace("old mill", "new mill")),
+      (11L, "completely different words about gardening and tea kettles"))
+      .toDF("doc_id", "text")
+    val kept = reg.callFunction("graft.neardup_against_index", Args(
+      pos = List(fresh, ix), kw = List("max_hamming" -> 12L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"got $kept")
+
+    // canonicalize_urls psl=true reaches the full snapshot
+    val urls = Seq((1L, "https://a.blog.github.io/x?utm_source=1"))
+      .toDF("doc_id", "url")
+    val c = reg.callFunction("graft.canonicalize_urls", Args(
+      pos = List(urls), kw = List("psl" -> true)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].head()
+    assert(c.getString(c.fieldIndex("domain")) == "blog.github.io")
+    val cSlice = reg.callFunction("graft.canonicalize_urls", Args(
+      pos = List(urls)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].head()
+    assert(cSlice.getString(cSlice.fieldIndex("domain")) == "github.io",
+      "the slice default is unchanged (github.io not in the slice)")
+  }
+
   test("graft.redact_pii banking=true reaches the IBAN tier") {
     val docs = Seq(
       (1L, "wire DE89370400440532013000 card 4111111111111111 decoy DE89370400440532013001"))

@@ -255,6 +255,46 @@ class ExamplesSpec extends AnyFunSuite {
     assert(novel2 == novelIds, "resumed-index dedup must equal run 1's result")
   }
 
+  test("examples/site_policy.yaml: two-run E2E — run 2 resumes the band index; PSL domains; cap holds") {
+    val out = freshDir("ex_policy")
+    val p1 = new Pipeline(spark, "examples/site_policy.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p1.run()
+    assert(p1.resumedSteps.isEmpty, "run 1 builds the index fresh")
+
+    val incoming = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 1)
+    val accepted = spark.read.parquet(s"$out/accepted_batch.parquet")
+    assert(accepted.count() > 0, "the policy pass must keep docs")
+    assert(accepted.count() <= incoming.count())
+    assert(accepted.select("doc_id").collect().forall(_.getLong(0) % 2 == 1),
+      "only incoming (odd-id) docs can survive")
+    // full-PSL domain key: '<source>-<k>.github.io' (private-section
+    // suffix — the slice would collapse every host to 'github.io')
+    val doms = accepted.select("domain").distinct()
+      .collect().map(_.getString(0))
+    assert(doms.nonEmpty && doms.forall(d =>
+      d.endsWith(".github.io") && d.count(_ == '.') == 2), s"got ${doms.toSeq}")
+    // tracker stripped by canonicalization, counted in the audit column
+    assert(accepted.select("canon_url").collect()
+      .forall(!_.getString(0).contains("utm_source")))
+    // per-domain cap holds
+    assert(accepted.groupBy("domain").count()
+      .collect().forall(_.getLong(1) <= 20), "cap k=20 per domain")
+
+    // run 2: exactly the band index resumes; the per-batch steps
+    // recompute and agree
+    val ids1 = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val p2 = new Pipeline(spark, "examples/site_policy.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out))
+    p2.run()
+    assert(p2.resumedSteps == Set("band_index"),
+      s"run 2 must skip exactly the index build, resumed=${p2.resumedSteps}")
+    val ids2 = spark.read.parquet(s"$out/accepted_batch.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1, "resumed-index policy pass must equal run 1")
+  }
+
   test("examples/sketch_stats.yaml: two-run E2E — run 2 resumes the history sketch, no rescan") {
     val out = freshDir("ex_sketch")
     val p1 = new Pipeline(spark, "examples/sketch_stats.yaml",
