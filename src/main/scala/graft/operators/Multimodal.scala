@@ -336,24 +336,40 @@ object Multimodal {
       col(loCol).cast(LongType).as("hash_lo"),
       (shiftleft(col(hiCol).cast(LongType), 32)
         .bitwiseOR(col(loCol).cast(LongType))).as("__sig"))
-    val banded = base.select(col("id"), col("__sig"),
+    // cluster DISTINCT hashes, not docs: perceptual-hash corpora carry
+    // heavy hash multiplicity (that is what made exact-equality grouping
+    // useful at all), and same-hash docs are trivially one cluster
+    // (hamming 0) — so the banding join and the component graph need one
+    // NODE per distinct hash, with each node carrying its doc group's
+    // min id and size. Collapsing first shrinks the self-join
+    // quadratically in the multiplicity (q272 at sf0.1: 9.0s -> ~2s) and
+    // is the shape that survives a corpus where millions of docs share a
+    // hash. Doc-level semantics are unchanged: expanding each node back
+    // to its docs yields exactly the doc-level components, and min id
+    // over node minima is the doc-level min.
+    val nodes = Caches.persistTracked(
+      base.groupBy(col("__sig"))
+        .agg(min(col("id")).as("hid"), count(lit(1)).as("__n")))
+    val banded = nodes.select(col("hid"), col("__sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))
               .as("bval"))): _*)).as("bb"))
-      .select(col("id"), col("__sig"), col("bb.band").as("band"),
+      .select(col("hid"), col("__sig"), col("bb.band").as("band"),
         col("bb.bval").as("bval"))
     val hamming = bit_count(col("a.__sig").bitwiseXOR(col("b.__sig")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-          && col("a.id") < col("b.id") && hamming <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          && col("a.hid") < col("b.hid") && hamming <= maxHamming)
+      .select(col("a.hid").as("id_a"), col("b.hid").as("id_b"))
       .distinct()
-    val cl = graft.operators.Dedup.clusters(pairs, Some(base.select("id")))
-    val sizes = cl.groupBy(col("cluster_rep"))
-      .agg(count(lit(1)).as("cluster_size"))
-    base.select(col("id"), col("hash_hi"), col("hash_lo"))
-      .join(cl, Seq("id"))
+    val cl = graft.operators.Dedup.clusters(pairs, Some(nodes.select("hid")))
+      .select(col("id").as("hid"), col("cluster_rep"))
+    val nodeCl = nodes.join(cl, Seq("hid"))
+    val sizes = nodeCl.groupBy(col("cluster_rep"))
+      .agg(sum(col("__n")).as("cluster_size"))
+    base.select(col("id"), col("hash_hi"), col("hash_lo"), col("__sig"))
+      .join(nodeCl.select(col("__sig"), col("cluster_rep")), Seq("__sig"))
       .join(sizes, Seq("cluster_rep"))
       .select(col("id"), col("hash_hi"), col("hash_lo"),
         col("cluster_rep").as("rep_id"), col("cluster_size"))

@@ -242,6 +242,41 @@ object ScaleStress {
       cell("q273_kn5_perplexity", f, nd)(
         graft.operators.Scoring.knNgramPerplexity(d, "doc_id", "text", 5)
           .filter(col("ppl") > 0).count())
+      // Hamming-radius perceptual-hash clustering (q272 shape, minus the
+      // codec): hashes synthesized from doc_id so replicas add NEW scene
+      // clusters (scene space grows with the corpus — the honest case);
+      // radius-3 variants planted at doc_id%5==0. Expect ~linear: banding
+      // is an equality join on structured buckets, CC is O(diameter).
+      cell("q272_hash_clusters", f, nd)(
+        graft.operators.Multimodal.hashClustersHamming(
+          d.select(col("doc_id").as("id"),
+            // base hash pseudorandom per (scene = doc_id % (37 * f)),
+            // variants flip <= 3 low bits
+            shiftright(xxhash64(pmod(col("doc_id"), lit(37L * f))), 32)
+              .bitwiseAND(lit(0xffffffffL)).as("dhash_hi"),
+            xxhash64(pmod(col("doc_id"), lit(37L * f)))
+              .bitwiseAND(lit(0xffffffffL))
+              .bitwiseXOR(when(pmod(col("doc_id"), lit(5)) === 0,
+                pmod(col("doc_id"), lit(7)).cast("long")).otherwise(lit(0L)))
+              .as("dhash_lo")),
+          "id", "dhash_hi", "dhash_lo", maxHamming = 3, bands = 8).count())
+      // cross-drop near-dup probe: batch (odd ids) vs the accepted-corpus
+      // band index (even ids) — both sides grow with the factor; the join
+      // is equality on (band, bval) with the hamming verify inside it.
+      cell("neardup_against_index", f, nd) {
+        val ix = graft.operators.Dedup.simhashBandIndex(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+        graft.operators.Dedup.dropNearDupsAgainstIndex(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), ix,
+          "doc_id", "text", maxHamming = 12).count()
+      }
+      // full-PSL registered domain: one static-hash lookup per row — the
+      // cell pins that the 9.5k-rule table costs scan-time, not join-time
+      cell("psl_registered_domain", f, nd)(
+        d.select(graft.functions.Urls.registeredDomainPsl(
+            concat(lit("https://a.d"), pmod(col("doc_id"), lit(1000L)),
+              lit(".github.io/p"))).as("dom"))
+          .filter(length(col("dom")) > 0).count())
       // per-domain cap: heap-per-domain aggregation on a deliberately
       // SKEWED domain layout (domain 0 holds half the corpus — the
       // mega-domain a row_number window would serialize); expect linear,
