@@ -375,19 +375,30 @@ object Scoring {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     val log = org.apache.spark.sql.functions.log(_: org.apache.spark.sql.Column)
     val ws = (1 to order).map(i => s"w$i")
+    // the TOKEN stream stays (id, shingle-string): it pays one count
+    // aggregate (to build the raw type table) and one single-key join
+    // (to pick up each type's log-prob) and never splits, while all the
+    // per-level machinery below runs at TYPE grain — at corpus scale
+    // tokens outnumber types by orders of magnitude, so this is the
+    // split that survives (the first cut joined the token stream to its
+    // stat rows level by level: 9 token-stream shuffles)
     val grams = df.select(col(idCol).as("id"),
-        explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
-          .as("g"))
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g"))
+    // raw n-gram types with corpus counts; the split to word columns
+    // happens HERE, once per type. WordShingles emits one short shingle
+    // for sub-order docs — the width filter drops those types, and the
+    // final INNER join drops their token rows with them.
+    val typed = grams.groupBy(col("g")).agg(count(lit(1)).as(s"c$order"))
       .withColumn("__ws", split(col("g"), " "))
       .filter(size(col("__ws")) === order)
-      .select((col("id") +: ws.zipWithIndex.map { case (w, i) =>
-        element_at(col("__ws"), i + 1).as(w) }): _*)
+      .select((col("g") +: col(s"c$order") +: ws.zipWithIndex.map {
+        case (w, i) => element_at(col("__ws"), i + 1).as(w) }): _*)
     // count-table chain: level `order` = raw counts; level k < order =
     // continuation counts (one row per distinct k-suffix of level k+1,
     // counting its distinct one-word left extensions)
     val tables = scala.collection.mutable.Map[Int, DataFrame]()
-    tables(order) = grams.groupBy(ws.map(col): _*)
-      .agg(count(lit(1)).as(s"c$order"))
+    tables(order) = typed
     for (k <- order - 1 to 1 by -1)
       tables(k) = tables(k + 1).groupBy(ws.takeRight(k).map(col): _*)
         .agg(count(lit(1)).as(s"c$k"))
@@ -402,12 +413,19 @@ object Scoring {
         .select(col("d1").as(s"d${k}_1"), col("d2").as(s"d${k}_2"),
           col("d3").as(s"d${k}_3"))
     val totPairs = tables(2).agg(count(lit(1)).as("tt"))
-    var scored = grams
-    for (k <- order to 2 by -1)
-      scored = scored.join(tables(k), ws.takeRight(k))
-        .join(histOf(k), ws.takeRight(k).dropRight(1))
+    // assemble the model at the DISTINCT-n-gram grain (the raw count
+    // table IS the distinct key set), so the stat joins touch one row
+    // per n-gram TYPE and the doc stream pays ONE final join — at corpus
+    // scale docs vastly outnumber n-gram types, so this is the shape
+    // where the model stays vocab-bounded and the token stream shuffles
+    // once, not once per level
+    var model = tables(order)
+    for (k <- order to 2 by -1) {
+      if (k < order) model = model.join(tables(k), ws.takeRight(k))
+      model = model.join(histOf(k), ws.takeRight(k).dropRight(1))
         .crossJoin(broadcast(discOf(k)))
-    scored = scored.join(tables(1), ws.takeRight(1))
+    }
+    model = model.join(tables(1), ws.takeRight(1))
       .crossJoin(broadcast(totPairs))
     // fold the interpolation bottom-up with the exact association order
     // the trigram form (and every oracle) uses:
@@ -421,7 +439,8 @@ object Scoring {
         (col(s"d${k}_1") * col(s"m${k}_1") + col(s"d${k}_2") * col(s"m${k}_2") +
           col(s"d${k}_3") * col(s"m${k}_3")) / col(s"s$k") * p
     }
-    scored.withColumn("lp", log(p))
+    val lpTable = model.select(col("g"), log(p).as("lp"))
+    grams.join(lpTable, Seq("g"))
       .groupBy(col("id"))
       .agg(avg(col("lp")).as("kn_lp"), count(lit(1)).as("n_grams"))
       .select(col("id"), col("kn_lp"), exp(-col("kn_lp")).as("ppl"),
