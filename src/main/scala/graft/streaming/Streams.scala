@@ -669,7 +669,8 @@ object Streams {
     */
   def curateDropWrite(batch: DataFrame, id: Long, shardsDir: String,
                       simhashIndexDir: String, maxHamming: Int = 3,
-                      bands: Int = 8): Unit = {
+                      bands: Int = 8,
+                      domainCapK: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     batch.persist()
     try {
@@ -677,18 +678,65 @@ object Streams {
         .toOption.filter(_.columns.contains("bval"))
         .map(_.filter(col("batch_id") =!= id)
           .select("band", "bval", "sig", "id"))
-      val kept = priorIndex match {
+      val deduped = priorIndex match {
         case Some(ix) => graft.operators.Dedup.dropNearDupsAgainstIndex(
           batch, ix, "doc_id", "text", maxHamming, bands)
         case None => batch
+      }
+      val kept = domainCapK match {
+        case Some(k) => capDomainsAgainstCounts(deduped, id, shardsDir, k)
+        case None => deduped
       }
       kept.persist()
       try {
         kept.write.mode("overwrite").parquet(s"$shardsDir/batch_id=$id")
         graft.operators.Dedup.simhashBandIndex(kept, "doc_id", "text", bands)
           .write.mode("overwrite").parquet(s"$simhashIndexDir/batch_id=$id")
+        domainCapK.foreach { _ =>
+          kept.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$shardsDir/_domain_counts/batch_id=$id")
+        }
       } finally kept.unpersist()
     } finally batch.unpersist()
+  }
+
+  /** Cross-drop per-domain cap for the indexed crawl pipeline — the
+    * zero-state-store variant of [[streamingDomainCap]]: the per-domain
+    * admitted tally lives in a tiny parquet artifact under
+    * `shardsDir/_domain_counts/batch_id=<id>` (the leading underscore
+    * hides it from shard readers, like `_spark_metadata`), one (domain,
+    * n) row per batch per domain touched, written idempotently and read
+    * EXCLUDING the current batch so a retry never double-counts itself.
+    * Within a drop the k-per-domain selection is the batch heap cap
+    * (TopKAgg on 6dp-rounded quality, id-ascending ties — a mega-domain
+    * drop never sorts in one task); across drops it is admission control
+    * (earlier drops' survivors are already shipped). State at 100 TB:
+    * none — the counts artifact compacts with the shards.
+    */
+  private def capDomainsAgainstCounts(batch: DataFrame, id: Long,
+                                      shardsDir: String, k: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val admitted = scala.util.Try(
+        spark.read.parquet(s"$shardsDir/_domain_counts")).toOption
+      .filter(_.columns.contains("n"))
+      .map(_.filter(col("batch_id") =!= id)
+        .groupBy(col("domain")).agg(sum(col("n")).as("__admitted")))
+    val ranked = batch.groupBy(col("domain"))
+      .agg(graft.expressions.TopKAgg.topK(
+        round(col("quality").cast("double"), 6),
+        col("doc_id").cast("long"), k).as("__top"))
+      .select(col("domain"),
+        posexplode(col("__top")).as(Seq("__rank", "__t")))
+      .select(col("domain"), col("__rank"), col("__t.id").as("doc_id"))
+    val withBudget = admitted match {
+      case Some(adm) => ranked.join(broadcast(adm), Seq("domain"), "left")
+        .withColumn("__budget",
+          lit(k) - coalesce(col("__admitted"), lit(0L)))
+      case None => ranked.withColumn("__budget", lit(k.toLong))
+    }
+    batch.join(withBudget.filter(col("__rank") < col("__budget"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
   /** Drive the full indexed crawl pipeline incrementally: curation chain
@@ -706,12 +754,14 @@ object Streams {
                           maxHamming: Int = 3, bands: Int = 8,
                           minQuality: Double = 0.35,
                           langs: Seq[String] = Seq("en", "es", "de", "fr"),
-                          dedup: CrawlDedup = CrawlDedup.WithinWatermark()): Unit = {
+                          dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
+                          domainCapK: Option[Int] = None): Unit = {
     val stream = crawlCurationStream(spark, crawlDir, merges, minQuality,
       langs, dedup)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands)
+        curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands,
+          domainCapK)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

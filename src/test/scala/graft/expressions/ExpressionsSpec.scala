@@ -399,6 +399,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("PslRules: the WHOLE 9.5k-rule snapshot drives the lookup — plain, wildcard, exception invariants per rule") {
+    val t = PslRules.table
+    import scala.jdk.CollectionConverters._
+    assert(t.plain.size > 8000, s"snapshot too small: ${t.plain.size}")
+    assert(t.wildcards.size > 20 && t.exceptions.size > 2)
+    // A-labeling at load: nothing non-ASCII survives parsing
+    (t.plain.asScala ++ t.wildcards.asScala ++ t.exceptions.asScala)
+      .foreach(r => assert(r.forall(_ < 128), s"non-ASCII rule survived: $r"))
+    // plain rules: an unregistrable-looking label under ANY plain rule
+    // keys to label.rule — directly (rule is the suffix) or as a
+    // passthrough when a covering wildcard makes the host itself a
+    // suffix; either way the invariant is the same string
+    val probe = "qq0graftqq"
+    t.plain.asScala.foreach { r =>
+      val got = PslRules.registeredDomain(s"$probe.$r")
+      assert(got == s"$probe.$r", s"plain rule $r: got $got")
+    }
+    // wildcard parents: two labels under the parent is the registered
+    // domain for any deeper host
+    t.wildcards.asScala.foreach { p =>
+      val got = PslRules.registeredDomain(s"zz.aa0graft.bb1graft.$p")
+      assert(got == s"aa0graft.bb1graft.$p", s"wildcard *.$p: got $got")
+    }
+    // exception rules: the exception IS the registered domain for itself
+    // and every subdomain (the non-trivial precedence arm)
+    t.exceptions.asScala.foreach { e =>
+      val got = PslRules.registeredDomain(s"zz0graft.$e")
+      assert(got == e, s"exception !$e: got $got")
+      assert(PslRules.registeredDomain(e) == e, s"apex !$e")
+    }
+  }
+
   test("CharEntropy: uniform hex > 3.5 gate, padding/legible below, edge cases") {
     val rng = new scala.util.Random(11)
     val hexChars = "0123456789abcdef"

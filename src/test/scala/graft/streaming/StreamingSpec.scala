@@ -834,6 +834,73 @@ class StreamingSpec extends AnyFunSuite {
       "a retried batch must overwrite itself, not self-suppress")
   }
 
+  test("cross-drop domain cap via the counts artifact: admission across drops, zero state store, retry idempotent") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_dc_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_dc_out")
+    val twin = java.nio.file.Files.createTempDirectory("crawl_dc_twin")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(12)
+      .as[(Long, String)].collect()
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val k = 6
+    // every fixture URL lives under crawl.example.com -> ONE domain, so
+    // the cap can only bind ACROSS drops
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z", docs.take(5).toSeq)
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-01T10:30:00Z", docs.drop(5).toSeq)
+
+    // uncapped batch twin per drop -> the per-drop acceptance sets the
+    // capped expectations derive from
+    def curatedDrop(glob: String) = Streams.curateCrawl(
+      graft.sources.Warc.readWarcDir(spark, crawlDir.toString, glob),
+      merges, 0.35, Seq("en", "es", "de", "fr"))
+    Seq(("a.warc", 0L), ("b.warc", 1L)).foreach { case (g, id) =>
+      Streams.curateDropWrite(curatedDrop(g), id, s"$twin/shards",
+        s"$twin/ix", maxHamming = 3)
+    }
+    val unc = spark.read.parquet(s"$twin/shards")
+    val a1 = unc.filter(col("batch_id") === 0).count()
+    val drop2 = unc.filter(col("batch_id") === 1)
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    assert(a1 > 0 && a1 < k && drop2.length > k - a1,
+      s"fixture must make the cap bind only across drops (a1=$a1, d2=${drop2.length})")
+
+    // capped streaming pipeline over the same two drops (one drain sees
+    // both files as separate? no — AvailableNow takes both in one batch,
+    // so stage the files drop by drop)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$crawlDir/b.warc"))
+    def drain(): Unit = Streams.curateCrawlToShards(spark, crawlDir.toString,
+      merges, s"$out/shards", s"$out/ckpt", s"$out/ix",
+      maxHamming = 3, domainCapK = Some(k))
+    drain()
+    assert(spark.read.parquet(s"$out/shards").count() == a1)
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-01T10:30:00Z", docs.drop(5).toSeq)
+    drain()
+    val capped = spark.read.parquet(s"$out/shards")
+    assert(capped.count() == k, s"cap must bind at $k, got ${capped.count()}")
+    // drop 2 admitted exactly its best-(k - a1) by (quality desc, id asc)
+    val expected2 = drop2.sortBy { case (id, q) => (-q, id) }
+      .take(k - a1.toInt).map(_._1).toSet
+    val got2 = capped.filter(col("doc_id") >= 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == expected2, s"got $got2 expected $expected2")
+    // the counts artifact is invisible to shard readers (underscore dir)
+    assert(!capped.columns.contains("n"))
+    // retry idempotency: re-running drop 2's write must not re-count
+    // itself (counts exclude the batch's own partition)
+    Streams.curateDropWrite(curatedDrop("b.warc"), 1L, s"$out/shards",
+      s"$out/ix", maxHamming = 3, domainCapK = Some(k))
+    val after = spark.read.parquet(s"$out/shards")
+    assert(after.count() == k &&
+      after.filter(col("doc_id") >= 5L).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == expected2,
+      "a retried capped batch must overwrite itself identically")
+  }
+
   test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
       .select("vec_id", "embedding")
