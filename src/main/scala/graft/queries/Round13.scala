@@ -219,6 +219,37 @@ object Round13 {
         SELECT doc_id, 'https://' || host || '/p' AS url, regdom
         FROM h ORDER BY doc_id""")),
 
+    // IDN x full-PSL composition, oracle-gated: raw-unicode and
+    // punycode spellings of one IDN host must key to the SAME registered
+    // domain, matched against the snapshot's (A-labeled) unicode rules —
+    // here the 中国 TLD (xn--fiqs8s, a unicode PSL rule), a unicode SLD
+    // under an ASCII two-level suffix, and an ASCII control. The oracle
+    // replays the expected A-label mapping per class with the canonical
+    // RFC 3492 punycode forms as literals.
+    Q("q276_psl_idn", (s, d) => {
+      import graft.functions.Urls
+      val host =
+        when(col("doc_id") % 4 === 0,
+          concat(lit("d"), col("doc_id"), lit(".bücher.中国")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("d"), col("doc_id"), lit(".xn--bcher-kva.xn--fiqs8s")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("d"), col("doc_id"), lit(".münchen.co.uk")))
+        .otherwise(concat(lit("d"), col("doc_id"), lit(".plain.example.org")))
+      t(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", concat(lit("https://"), host, lit("/p")))
+        .select(col("doc_id"),
+          Urls.registeredDomainPslIdn(col("url")).as("regdom"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'xn--bcher-kva.xn--fiqs8s'
+            WHEN 1 THEN 'xn--bcher-kva.xn--fiqs8s'
+            WHEN 2 THEN 'xn--mnchen-3ya.co.uk'
+            ELSE 'example.org' END AS regdom
+        FROM documents ORDER BY doc_id""")),
+
     // HAMMING-RADIUS image near-dup clustering — the q268 fixture
     // upgraded from "same scene -> identical hash" to "planted variants
     // flip 1-3 STRUCTURAL bits" (pixels AND hashes differ), which the
