@@ -681,7 +681,12 @@ object Dedup {
               .as("bval"))): _*)).as("bb"),
         col("sig"), col("id"))
       .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
-        col("sig"), col("id"))
+        col("sig"), col("id"),
+        // banding geometry stamped into the artifact (RLE'd to nothing in
+        // parquet): a probe with a DIFFERENT bands value would join
+        // incompatibly-masked band values and return silent garbage —
+        // [[nearDupMatchesAgainstIndex]] validates it when present
+        lit(bands).as("bands"))
   }
 
   /** NEAR-dup matches of `df` against a SAVED band index
@@ -699,6 +704,18 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  maxHamming: Int, bands: Int = 8,
                                  maxBucket: Int = 10000): DataFrame = {
+    // geometry check: an index stamped with a different bands value would
+    // equality-join incompatibly-masked band values — silent garbage, so
+    // fail fast (one metadata-cheap head over the index; legacy unstamped
+    // indexes pass unchecked). Recall contract, same as every banding
+    // operator here: >= 1 agreeing band is GUARANTEED (pigeonhole) only
+    // for hamming <= bands-1; a larger radius is probabilistic, the
+    // standard LSH trade.
+    if (index.columns.contains("bands"))
+      index.select(col("bands")).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == bands,
+          s"nearDupMatchesAgainstIndex: index was built with bands=${r.getInt(0)}, probed with bands=$bands")
+      }
     val probe = simhashBandIndex(df, idCol, textCol, bands)
     val cappedIx = capBuckets(
       index.select(col("band"), col("bval"), col("sig"), col("id")),

@@ -331,11 +331,16 @@ object Multimodal {
       s"bands ($bands) must exceed maxHamming ($maxHamming) for the pigeonhole guarantee")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val base = hashed.select(col(idCol).cast(LongType).as("id"),
-      col(hiCol).cast(LongType).as("hash_hi"),
-      col(loCol).cast(LongType).as("hash_lo"),
-      (shiftleft(col(hiCol).cast(LongType), 32)
-        .bitwiseOR(col(loCol).cast(LongType))).as("__sig"))
+    // rows with a null hash half are EXCLUDED up front (decode failures —
+    // compose with .filter(col("ok")) upstream): explicit, instead of the
+    // null key silently falling out of the final equality join
+    val base = hashed
+      .filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        col(hiCol).cast(LongType).as("hash_hi"),
+        col(loCol).cast(LongType).as("hash_lo"),
+        (shiftleft(col(hiCol).cast(LongType), 32)
+          .bitwiseOR(col(loCol).cast(LongType))).as("__sig"))
     // cluster DISTINCT hashes, not docs: perceptual-hash corpora carry
     // heavy hash multiplicity (that is what made exact-equality grouping
     // useful at all), and same-hash docs are trivially one cluster

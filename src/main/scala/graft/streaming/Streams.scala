@@ -550,17 +550,28 @@ object Streams {
     val ok = scala.util.Try(spark.read.parquet(indexDir).schema
       .fieldNames.contains("fingerprint")).getOrElse(false)
     if (!ok) None else {
+      // persist the distinct hashes: count() sizes the bloom and
+      // bloomFilter folds it — without the persist the index would pay
+      // two full distinct aggregations per query start
       val hashes = spark.read.parquet(indexDir)
-        .select(xxhash64(col("fingerprint")).as("h")).distinct()
-      val n = hashes.count()
-      if (n == 0) None
-      else Some(spark.sparkContext.broadcast(
-        hashes.stat.bloomFilter("h", n, fpp)))
+        .select(xxhash64(col("fingerprint")).as("h")).distinct().persist()
+      try {
+        val n = hashes.count()
+        if (n == 0) None
+        else Some(spark.sparkContext.broadcast(
+          hashes.stat.bloomFilter("h", n, fpp)))
+      } finally hashes.unpersist()
     }
   }
 
-  /** Write `df` to `dir` atomically (tmp dir + delete + rename) so a
-    * concurrent drain never reads a half-written artifact.
+  /** Write `df` to `dir` as tmp dir + delete + rename, erroring loudly if
+    * the rename is refused (cross-filesystem tmp, missing parent) rather
+    * than leaving the artifact silently absent. NOTE the delete->rename
+    * window is not atomic on generic filesystems (rename-over-existing is
+    * not portable): run compaction BETWEEN drains — the drain-per-drop
+    * orchestration this module documents — not concurrently with one. A
+    * reader that does race it degrades to the explicit missing-index
+    * semantics (first-drop behavior), never to a partial read.
     */
   private def atomicOverwrite(df: DataFrame, dir: String): Unit = {
     val tmp = dir + ".tmp"
@@ -569,7 +580,9 @@ object Streams {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(conf)
     if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"atomicOverwrite: rename $tmp -> $dir refused by the filesystem " +
+        "(the prior artifact was deleted; re-run the compaction)")
   }
 
   /** Compact the saved fingerprint index from the accepted shards: the
@@ -622,10 +635,16 @@ object Streams {
     val schema = stream.schema
     val dIdx = schema.fieldIndex(domainCol)
     val oIdx = schema.fieldIndex(orderCol)
+    require(schema(dIdx).dataType == org.apache.spark.sql.types.StringType,
+      s"streamingDomainCap: domainCol '$domainCol' must be a string, " +
+        s"got ${schema(dIdx).dataType}")
     require(Seq(org.apache.spark.sql.types.LongType,
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType).contains(schema(oIdx).dataType),
       s"streamingDomainCap: orderCol '$orderCol' must be integral")
+    // null domains key as "" — deliberately ONE shared budget for the
+    // domain-less rows (a crawl row without a registered domain is its
+    // own policy class; give it a real domain upstream to cap it apart)
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     stream.groupByKey(r => Option(r.getString(dIdx)).getOrElse(""))(Encoders.STRING)
@@ -676,8 +695,12 @@ object Streams {
     try {
       val priorIndex = scala.util.Try(spark.read.parquet(simhashIndexDir))
         .toOption.filter(_.columns.contains("bval"))
-        .map(_.filter(col("batch_id") =!= id)
-          .select("band", "bval", "sig", "id"))
+        .map { ix =>
+          // carry the geometry stamp through so the probe validates it
+          val cols = Seq("band", "bval", "sig", "id") ++
+            (if (ix.columns.contains("bands")) Seq("bands") else Nil)
+          ix.filter(col("batch_id") =!= id).select(cols.map(col): _*)
+        }
       val deduped = priorIndex match {
         case Some(ix) => graft.operators.Dedup.dropNearDupsAgainstIndex(
           batch, ix, "doc_id", "text", maxHamming, bands)
@@ -818,21 +841,30 @@ object Streams {
                                    CrawlDedup.WithinWatermark()): DataFrame = {
     import graft.functions.{Bpe, Text, Urls}
     val vocab = Bpe.vocabOfBytes(merges)
-    val idFromUri = regexp_extract(col("target_uri"), "/doc/([0-9]+)", 1)
+    // anchored at the path end so '/doc/123-title' or a '/doc/N' segment
+    // buried mid-path on a real crawl URL does NOT alias another page's
+    // id; an id too large for a long casts to null and falls through to
+    // the hash like any non-matching URI
+    val idFromUri = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
     val gated = records
       .filter(col("warc_type") === "response" &&
         col("content_type") === "text/html")
       .select(
         col("target_uri"),
         // event time for the watermark-bounded dedup: the record's
-        // WARC-Date (every conformant record carries one)
-        to_timestamp(col("warc_date")).as("__event_ts"),
+        // WARC-Date (every conformant record carries one). A record with
+        // a missing/unparseable date adopts the micro-batch timestamp
+        // (current_timestamp is the batch time under streaming), so it
+        // stays live in the dedup horizon instead of being silently
+        // dropped as infinitely late.
+        coalesce(to_timestamp(col("warc_date")), current_timestamp())
+          .as("__event_ts"),
         Urls.canonicalize(col("target_uri")).as("canon_url"),
         Urls.registeredDomain(col("target_uri")).as("domain"),
         col("payload").cast("string").as("html"))
       .withColumn("doc_id",
-        when(length(idFromUri) > 0, idFromUri.cast("long"))
-          .otherwise(xxhash64(col("canon_url"))))
+        coalesce(when(length(idFromUri) > 0, idFromUri.cast("long")),
+          xxhash64(col("canon_url"))))
       .withColumn("__mc", Text.extractMainContent(col("html")))
       .filter(col("__mc.n_kept") > 0)
       .withColumn("text", Text.fixMojibake(col("__mc.content")))

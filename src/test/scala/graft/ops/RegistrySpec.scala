@@ -1194,6 +1194,12 @@ class RegistrySpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.DataFrame]
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L), s"got $kept")
+    // geometry stamp: probing an 8-band index with bands=4 fails fast
+    // instead of joining incompatibly-masked band values
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dropNearDupsAgainstIndex(
+        fresh, ix, "doc_id", "text", maxHamming = 12, bands = 4)
+    }
 
     // canonicalize_urls psl=true reaches the full snapshot
     val urls = Seq((1L, "https://a.blog.github.io/x?utm_source=1"))
