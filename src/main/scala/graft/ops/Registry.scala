@@ -1552,6 +1552,22 @@ final class Registry(spark: SparkSession) {
         asStr(a.require("dir", 0), "dir"),
         glob = asStr(a.get("glob", -1).getOrElse("*"), "glob"))
     },
+    "graft.crawl_curate" -> { a =>
+      // the full batch curation chain over a WARC record frame (the
+      // streaming crawl pipeline's batch twin — one shared code path):
+      // response filter -> canonical URL + registered domain -> main
+      // content -> mojibake repair -> PII/secret scrubbing -> quality +
+      // language gates -> exact dedup at fingerprint grain -> byte-BPE
+      // token ids. merges = a graft.bpe_byte_train output frame (byte-
+      // fallback table; the tokenizer is an input, fitted offline).
+      graft.streaming.Streams.curateCrawl(
+        asDf(a.require("df", 0), "df"),
+        collectMerges(asDf(a.require("merges", 1), "merges")),
+        minQuality = a.get("min_quality", -1).map(_.toString.toDouble)
+          .getOrElse(0.35),
+        langs = a.get("langs", -1).map(asStrList)
+          .getOrElse(Seq("en", "es", "de", "fr")))
+    },
     "graft.redact_secrets" -> { a =>
       // credential scrubbing: AWS key ids / GitHub PATs by published
       // shape, 32-64-char hex by Shannon-entropy gate (truffleHog idiom)

@@ -1215,6 +1215,47 @@ class RegistrySpec extends AnyFunSuite {
       "the slice default is unchanged (github.io not in the slice)")
   }
 
+  test("graft.read_warc -> graft.crawl_curate: the batch crawl pipeline from the YAML surface") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_crawl")
+    val body = "the quick brown fox jumps over the lazy dog and the cat " +
+      "sat on the mat for a while in the sun near the old mill"
+    val recs = (0 until 3).flatMap { i =>
+      graft.sources.Warc.writeRecord("response",
+        s"https://crawl.example.com/doc/$i", "2026-02-01T00:00:00Z",
+        "text/html",
+        ("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About this" +
+          " site</a></nav><p>" + body + s" page $i" +
+          " Wire DE89 3704 0044 0532 0130 00 and card 4111111111111111 now." +
+          "</p><footer><a href=\"/p\">Privacy policy page</a></footer></body></html>")
+          .getBytes("UTF-8")).toSeq
+    }.toArray
+    val fos = new java.io.FileOutputStream(new java.io.File(dir.toFile, "a.warc"))
+    fos.write(recs); fos.close()
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val mergesDf = reg.callFunction("graft.bpe_byte_train", Args(
+      pos = List(docs, 16L))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val records = reg.callFunction("graft.read_warc", Args(
+      pos = List(dir.toString))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val curated = reg.callFunction("graft.crawl_curate", Args(
+      pos = List(records, mergesDf)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val rows = curated.orderBy("doc_id").collect()
+    assert(rows.length == 3, s"got ${rows.length}")
+    val text = rows.head.getString(rows.head.fieldIndex("text"))
+    assert(!text.contains("4111111111111111") && !text.contains("Privacy policy"),
+      "PII redaction + chrome strip run inside the chain")
+    assert(rows.head.getString(rows.head.fieldIndex("domain")) == "example.com")
+    assert(rows.head.getLong(rows.head.fieldIndex("n_tokens")) > 0)
+    // one shared chain: the registry path == the library batch twin
+    val merges = graft.functions.Bpe.learnMergesBytes(docs, "text", 16)
+    val twin = graft.streaming.Streams.crawlCurationBatch(
+        spark, dir.toString, merges)
+      .select("fingerprint", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getString(r.fieldIndex("fingerprint")),
+      r.getLong(r.fieldIndex("n_tokens")))).toSet == twin)
+  }
+
   test("graft.redact_pii banking=true reaches the IBAN tier") {
     val docs = Seq(
       (1L, "wire DE89370400440532013000 card 4111111111111111 decoy DE89370400440532013001"))
