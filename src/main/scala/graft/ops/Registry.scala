@@ -961,6 +961,16 @@ final class Registry(spark: SparkSession) {
         bands = a.get("bands", -1).map(asInt(_, "bands")).getOrElse(8),
         maxBucket = a.get("max_bucket", -1).map(asInt(_, "max_bucket")).getOrElse(10000))
     },
+    "graft.stream_domain_cap" -> { a =>
+      // streaming per-domain admission control: at most k rows ever pass
+      // per domain (one counter per domain — state bounded by |domains|);
+      // orderCol = integral admission priority, lower admits first
+      graft.streaming.Streams.streamingDomainCap(
+        asDf(a.require("stream", 0), "stream"),
+        asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        asStr(a.get("order", -1).getOrElse("doc_id"), "order"),
+        k = asInt(a.require("k", 1), "k"))
+    },
     "graft.stream_novelty_reference" -> { a =>
       // streaming per-doc n-gram novelty vs a static reference (bloom
       // probe in-row; stateless, no shuffle; novelty is a lower bound

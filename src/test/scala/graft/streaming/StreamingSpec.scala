@@ -752,6 +752,13 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admissions $admitted != batch cap $batchCap")
     assert(admitted.size == 14)
     assert(stateRows == 2, s"state = one counter per domain, got $stateRows")
+    // the YAML-surface entry builds the same streaming plan
+    val viaReg = new graft.ops.Registry(spark).callFunction(
+      "graft.stream_domain_cap", graft.expr.Args(
+        pos = List(spark.readStream.schema(schema).parquet(s"$dir/d*/")),
+        kw = List("k" -> 7L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(viaReg.isStreaming && viaReg.schema == schema)
   }
 
   test("cross-drop NEAR-dup: simhash index probe suppresses a re-syndicated page with one edited line; stream == batch on the shared per-drop chain; retry idempotent") {
