@@ -908,6 +908,94 @@ class StreamingSpec extends AnyFunSuite {
       "a retried capped batch must overwrite itself identically")
   }
 
+  test("everything-on indexed crawl pipeline: bloom exact-dedup past the horizon + near-dup index + domain cap compose") {
+    import spark.implicits._
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_all_in")
+    val out = java.nio.file.Files.createTempDirectory("crawl_all_out")
+    val fpIx = s"$out/fp_index"
+    val merges = graft.functions.Bpe.learnMergesBytes(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(200),
+      "text", 24)
+    val sharedExact = "the quick brown fox jumps over the lazy dog and " +
+      "the cat sat on the mat for a while in the sun near the old mill"
+    val nearBase = "pack my box with five dozen liquor jugs while the " +
+      "wizard quickly jinxed the gnome before they vaporized on the hill"
+    val nearEdit = nearBase.replace("the hill", "the dune")
+    val tA2 = "a gentle river was winding through the quiet valley and " +
+      "the farmers carried baskets of apples to the market in the town"
+    val tA3 = "the astronomers watched a comet crossing the winter sky " +
+      "and they wrote careful notes about its长 tail in the observatory logs"
+        .replace("长", "long")
+    val tB12 = "an old librarian sorted the dusty atlases onto a high " +
+      "shelf while the rain was drumming on the copper roof of the archive"
+    val tB13 = "the bakers kneaded the dough before dawn and the smell " +
+      "of fresh bread drifted across the square to the fishermen at the pier"
+    val k = 5
+    // precondition battery (fixed strings -> deterministic): the planted
+    // near pair must band-collide within the radius, everything else
+    // must sit far outside it, and every text must clear the gates
+    locally {
+      import graft.functions.Text
+      // measure what the PIPELINE hashes: the curated text = body + the
+      // redacted wrapper sentence (shared across every page, so it pulls
+      // signatures closer — bare-body distances would overstate the gap)
+      val all = Seq(sharedExact, nearBase, nearEdit, tA2, tA3, tB12, tB13)
+        .zipWithIndex.map { case (t, i) =>
+          (i.toLong, t + " Wire <IBAN> and card <CC> now.") }
+      val m = all.toDF("id", "t")
+      val sigs = graft.operators.Dedup.simhashSigs(m, "id", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def ham(i: Long, j: Long) = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      // radius 7: recall is the pigeonhole GUARANTEE at 8 bands, the near
+      // pair sits at hamming 7, and every cross pair measures >= 10
+      assert(ham(1, 2) >= 1 && ham(1, 2) <= 7, s"near pair hamming ${ham(1, 2)}")
+      for (i <- Seq(0L, 1L, 3L, 4L); j <- Seq(5L, 6L))
+        assert(ham(i, j) > 7, s"texts $i,$j too close: ${ham(i, j)}")
+      val gates = m.select(Text.qualityScore(col("t")).as("q"),
+        Text.langGuess(col("t")).as("l")).collect()
+      gates.foreach(r => assert(r.getDouble(0) >= 0.35 && r.getString(1) == "en",
+        s"fixture text fails gates: $r"))
+    }
+    def drain(): Unit = Streams.curateCrawlToShards(spark, crawlDir.toString,
+      merges, s"$out/shards", s"$out/ckpt", s"$out/simhash_ix",
+      maxHamming = 7, dedup = Streams.CrawlDedup.AgainstIndex(
+        fpIx, delay = "1 hour"),
+      domainCapK = Some(k))
+
+    // drop A at 10:00: the exact-dup source, the near-dup base, 2 novels
+    writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z", Seq(
+      0L -> sharedExact, 1L -> nearBase, 2L -> tA2, 3L -> tA3))
+    drain()
+    val a = spark.read.parquet(s"$out/shards")
+    val nA = a.count()
+    assert(nA == 4, s"drop A accepts all four planted docs, got $nA")
+    // compact the exact-dedup index between drains (the AgainstIndex
+    // contract); the simhash index maintains itself per batch
+    Streams.compactFingerprintIndex(spark, s"$out/shards", fpIx)
+
+    // drop B lands TWO DAYS later — far past the 1h watermark horizon, so
+    // only the artifacts can remember drop A: doc 10 is an exact copy
+    // (bloom catches it), doc 11 a one-word edit (fingerprint differs ->
+    // bloom passes; the band index catches it), 12-13 novel — and the cap
+    // admits only k - nA of the novels, best quality first
+    writeCrawlDrop(crawlDir, "b.warc", "2026-03-03T10:00:00Z", Seq(
+      10L -> sharedExact, 11L -> nearEdit, 12L -> tB12, 13L -> tB13))
+    drain()
+    val b = spark.read.parquet(s"$out/shards")
+    assert(b.filter(col("doc_id") === 10L).count() == 0,
+      "an exact duplicate past the horizon must be suppressed by the " +
+        "saved artifacts (the bloom catches it; the band index would too at hamming 0)")
+    assert(b.filter(col("doc_id") === 11L).count() == 0,
+      "a one-word near-dup (fingerprint differs, so the bloom passes it) " +
+        "must fall to the simhash band index")
+    val admittedB = b.filter(col("doc_id") >= 12L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b.count() == math.min(k.toLong, nA + 2) &&
+      admittedB.size == (math.min(k.toLong, nA + 2) - nA).toInt,
+      s"cap must bind at $k (nA=$nA, admittedB=$admittedB)")
+    assert(admittedB.subsetOf(Set(12L, 13L)))
+  }
+
   test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
       .select("vec_id", "embedding")
