@@ -706,16 +706,19 @@ object Dedup {
                                  maxBucket: Int = 10000): DataFrame = {
     // geometry check: an index stamped with a different bands value would
     // equality-join incompatibly-masked band values — silent garbage, so
-    // fail fast (one metadata-cheap head over the index; legacy unstamped
-    // indexes pass unchecked). Recall contract, same as every banding
-    // operator here: >= 1 agreeing band is GUARANTEED (pigeonhole) only
-    // for hamming <= bands-1; a larger radius is probabilistic, the
-    // standard LSH trade.
+    // fail fast on the first stamped row (scan stops at the first
+    // non-null hit; legacy unstamped rows/indexes pass unchecked, and an
+    // index MIXING geometries violates the writer contract —
+    // simhashBandIndex always stamps uniformly). Recall contract, same
+    // as every banding operator here: >= 1 agreeing band is GUARANTEED
+    // (pigeonhole) only for hamming <= bands-1; a larger radius is
+    // probabilistic, the standard LSH trade.
     if (index.columns.contains("bands"))
-      index.select(col("bands")).limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == bands,
-          s"nearDupMatchesAgainstIndex: index was built with bands=${r.getInt(0)}, probed with bands=$bands")
-      }
+      index.select(col("bands")).filter(col("bands").isNotNull)
+        .limit(1).collect().headOption.foreach { r =>
+          require(r.getInt(0) == bands,
+            s"nearDupMatchesAgainstIndex: index was built with bands=${r.getInt(0)}, probed with bands=$bands")
+        }
     val probe = simhashBandIndex(df, idCol, textCol, bands)
     val cappedIx = capBuckets(
       index.select(col("band"), col("bval"), col("sig"), col("id")),

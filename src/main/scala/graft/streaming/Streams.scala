@@ -600,17 +600,30 @@ object Streams {
     * near-dup twin of [[compactFingerprintIndex]]: one (band, bval, sig,
     * id) row per accepted doc per band ([[graft.operators.Dedup.simhashBandIndex]]),
     * written atomically. The per-drop incremental path
-    * ([[curateDropWrite]]) appends batch partitions instead; this
-    * compactor squashes them (or bootstraps an index from an existing
-    * batch corpus).
+    * ([[curateDropWrite]]) appends batch partitions; this compactor
+    * squashes them (or bootstraps an index from an existing batch
+    * corpus) INTO the same partitioned layout — the squashed rows land
+    * under the reserved `batch_id=-1` partition, so the next
+    * [[curateDropWrite]] can keep appending real batch partitions beside
+    * it (a flat file layout next to batch_id subdirs would make parquet
+    * partition discovery refuse the whole directory).
     */
   def compactSimhashIndex(spark: SparkSession, shardsDir: String,
-                          indexDir: String, bands: Int = 8): Unit =
-    atomicOverwrite(
-      graft.operators.Dedup.simhashBandIndex(
-        spark.read.parquet(shardsDir).select("doc_id", "text"),
-        "doc_id", "text", bands),
-      indexDir)
+                          indexDir: String, bands: Int = 8): Unit = {
+    val squashed = graft.operators.Dedup.simhashBandIndex(
+      spark.read.parquet(shardsDir).select("doc_id", "text"),
+      "doc_id", "text", bands)
+    val tmp = indexDir + ".tmp"
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp))) fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    squashed.write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compactSimhashIndex: rename $tmp -> $indexDir refused by the " +
+        "filesystem (the prior index was deleted; re-run the compaction)")
+  }
 
   /** STREAMING per-domain document cap — admission control across drops
     * (the incremental face of [[graft.operators.Sampling.domainCap]]): at
@@ -685,6 +698,10 @@ object Streams {
     * batch against its own failed attempt. Cross-drop history lives
     * entirely in the parquet index (compacting, joinable); stream state
     * stays whatever the upstream dedup policy bounds it to.
+    * `simhashIndexDir` must be absent, empty, or batch_id-partitioned
+    * (what this function and [[compactSimhashIndex]] write) — a flat
+    * index there would conflict with the partition layout the next batch
+    * writes beside it.
     */
   def curateDropWrite(batch: DataFrame, id: Long, shardsDir: String,
                       simhashIndexDir: String, maxHamming: Int = 3,
@@ -699,7 +716,14 @@ object Streams {
           // carry the geometry stamp through so the probe validates it
           val cols = Seq("band", "bval", "sig", "id") ++
             (if (ix.columns.contains("bands")) Seq("bands") else Nil)
-          ix.filter(col("batch_id") =!= id).select(cols.map(col): _*)
+          // a compactSimhashIndex-squashed (or bootstrapped) index is
+          // FLAT — no batch_id partition to exclude; the retry guard
+          // only applies to the per-batch partitioned layout
+          val prior =
+            if (ix.columns.contains("batch_id"))
+              ix.filter(col("batch_id") =!= id)
+            else ix
+          prior.select(cols.map(col): _*)
         }
       val deduped = priorIndex match {
         case Some(ix) => graft.operators.Dedup.dropNearDupsAgainstIndex(
@@ -852,13 +876,14 @@ object Streams {
       .select(
         col("target_uri"),
         // event time for the watermark-bounded dedup: the record's
-        // WARC-Date (every conformant record carries one). A record with
-        // a missing/unparseable date adopts the micro-batch timestamp
-        // (current_timestamp is the batch time under streaming), so it
-        // stays live in the dedup horizon instead of being silently
-        // dropped as infinitely late.
-        coalesce(to_timestamp(col("warc_date")), current_timestamp())
-          .as("__event_ts"),
+        // WARC-Date (MANDATORY per ISO 28500). No wall-clock fallback: a
+        // dateless record stamped with processing time would LEAD the
+        // watermark past every correctly-dated record in a backfill
+        // (archival crawls process long after their WARC-Dates), silently
+        // late-dropping the whole replay — worse than losing the
+        // nonconformant record. The watermark policies below instead GATE
+        // on a parseable date, identically in stream and batch.
+        to_timestamp(col("warc_date")).as("__event_ts"),
         Urls.canonicalize(col("target_uri")).as("canon_url"),
         Urls.registeredDomain(col("target_uri")).as("domain"),
         col("payload").cast("string").as("html"))
@@ -876,14 +901,23 @@ object Streams {
       .withColumn("fingerprint", Text.fingerprint(col("text")))
       .filter(col("quality") >= minQuality &&
         col("lang_guess").isInCollection(langs))
+    // the watermark-using policies REQUIRE a parseable WARC-Date: records
+    // without one are dropped by the same explicit gate in BOTH faces
+    // (stream==batch parity) — nonconformant records are a curation
+    // reject under the bounded policies; ExactUnbounded keeps them (its
+    // dedup carries no event-time semantics to poison)
+    val dated = dedup match {
+      case CrawlDedup.ExactUnbounded => gated
+      case _ => gated.filter(col("__event_ts").isNotNull)
+    }
     val probed = dedup match {
       case CrawlDedup.AgainstIndex(dir, fpp, _) =>
         fingerprintBloom(records.sparkSession, dir, fpp) match {
-          case Some(b) => gated.filter(
+          case Some(b) => dated.filter(
             !graft.expressions.BloomProbeLong(xxhash64(col("fingerprint")), b))
-          case None => gated
+          case None => dated
         }
-      case _ => gated
+      case _ => dated
     }
     val deduped =
       if (!records.isStreaming) probed.dropDuplicates("fingerprint")

@@ -839,6 +839,28 @@ class StreamingSpec extends AnyFunSuite {
       maxHamming = maxHamming, bands = bands)
     assert(contract(s"$bOut/shards") == contract(s"$out/shards"),
       "a retried batch must overwrite itself, not self-suppress")
+
+    // compact-then-continue: squash the per-batch index partitions into
+    // the reserved batch_id=-1 partition, then a LATER drop must still
+    // write cleanly beside it and get suppressed against the squashed
+    // history (the layout stays partitioned, so nothing conflicts)
+    Streams.compactSimhashIndex(spark, s"$bOut/shards", s"$bOut/simhash_ix",
+      bands = bands)
+    assert(spark.read.parquet(s"$bOut/simhash_ix")
+      .select("batch_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(-1))
+    val drop3 = Seq((20L, shared), (21L, "fresh words about winter " +
+      "gardens and the careful art of pruning apple trees in the cold"))
+    writeCrawlDrop(crawlDir, "c.warc", "2026-03-01T11:00:00Z", drop3)
+    val recs3 = graft.sources.Warc.readWarcDir(spark, crawlDir.toString, "c.warc")
+    Streams.curateDropWrite(
+      Streams.curateCrawl(recs3, merges, 0.35, Seq("en", "es", "de", "fr")),
+      2L, s"$bOut/shards", s"$bOut/simhash_ix",
+      maxHamming = maxHamming, bands = bands)
+    val afterC = spark.read.parquet(s"$bOut/shards")
+    assert(afterC.filter(col("doc_id") === 20L).count() == 0,
+      "the squashed index must still suppress an exact near-copy")
+    assert(afterC.filter(col("doc_id") === 21L).count() == 1,
+      "novel docs still land beside the compacted index")
   }
 
   test("cross-drop domain cap via the counts artifact: admission across drops, zero state store, retry idempotent") {
