@@ -103,7 +103,13 @@ object PslRules {
     * keep suffix + one label. Right-to-left walk: each step extends the
     * candidate suffix by one label and costs three hash probes.
     */
-  def registeredDomain(host: String): String = {
+  def registeredDomain(hostAsGiven: String): String = {
+    // the rule table is lowercase; lowercase the host here so the
+    // PUBLIC expression is safe for any caller (a mixed-case host would
+    // otherwise match no rule and silently fall to the implicit *
+    // default). JDK toLowerCase returns `this` when nothing changes, so
+    // the already-lowered fast path allocates nothing.
+    val host = hostAsGiven.toLowerCase(java.util.Locale.ROOT)
     if (host.isEmpty || host.indexOf('.') < 0) return host
     val labels = host.split('.')
     if (labels.length <= 1) return host

@@ -116,9 +116,20 @@ object Urls {
     * falls back to parse_url's answer when both produce one.
     */
   private def hostLoose(url: Column): Column =
-    regexp_replace(lower(coalesce(parse_url(url, lit("HOST")),
+    regexp_replace(hostLooseNoStrip(url), "^www\\.", "")
+
+  /** [[hostLoose]] WITHOUT the `www.` strip — the PSL-snapshot paths
+    * feed this one, because a registered domain can literally BE
+    * `www.<suffix>` (the PSL `!www.ck` exception: host `www.ck` must
+    * return `www.ck`, and stripping first would reduce it to the bare
+    * TLD). For every other host the strip is a no-op on the registered
+    * domain anyway (suffix + 1 label drops the `www` label), so only
+    * the canonical URL key keeps the cosmetic strip.
+    */
+  private def hostLooseNoStrip(url: Column): Column =
+    lower(coalesce(parse_url(url, lit("HOST")),
       // skip optional userinfo: '://user@host' must key on the host
-      regexp_extract(url, "://(?:[^/?#@]*@)?([^/:?#]+)", 1))), "^www\\.", "")
+      regexp_extract(url, "://(?:[^/?#@]*@)?([^/:?#]+)", 1)))
 
   private[graft] def registeredDomainOfHost(h: Column): Column = {
     def alt(xs: Seq[String]) = xs.map(_.replace(".", "\\.")).mkString("|")
@@ -150,10 +161,15 @@ object Urls {
     * one static-hash lookup per row (plan-literal — no per-row regex
     * alternation, nothing serialized into the plan). The regex SLICE
     * path stays the oracle-replayable default; reach for this one on
-    * real crawl data.
+    * real crawl data. Unlike the slice path, the host is NOT
+    * `www.`-stripped first: the snapshot makes `!www.ck`-style
+    * exception rules reachable, where the registered domain literally
+    * is `www.<suffix>` (for any other host the strip never changes the
+    * registered domain, so the outputs differ only on that class).
     */
   def registeredDomainPsl(url: Column): Column =
-    graft.expressions.PslRegisteredDomain(host(url))
+    graft.expressions.PslRegisteredDomain(
+      lower(parse_url(url, lit("HOST"))))
 
   /** [[registeredDomainPsl]] with the host A-labeled first (the
     * [[registeredDomainIdn]] composition): raw-unicode and punycode
@@ -162,7 +178,7 @@ object Urls {
     */
   def registeredDomainPslIdn(url: Column): Column =
     graft.expressions.PslRegisteredDomain(
-      graft.expressions.IdnAsciiHost(hostLoose(url)))
+      graft.expressions.IdnAsciiHost(hostLooseNoStrip(url)))
 
   /** Number of tracking params the canonicalization strips (audit metric). */
   def trackingParamCount(url: Column): Column =

@@ -713,11 +713,19 @@ object Dedup {
     // as every banding operator here: >= 1 agreeing band is GUARANTEED
     // (pigeonhole) only for hamming <= bands-1; a larger radius is
     // probabilistic, the standard LSH trade.
+    // read the stamp numerically, not as getInt: a hand-built index whose
+    // bands column is LongType must hit the mismatch message below, not a
+    // ClassCastException. Cost: one single-column limit(1) job per probe
+    // call (once per micro-batch in curateDropWrite) — a one-row-group
+    // column read, cheap next to the banded join it guards; NOT cached
+    // because an index rebuilt in place with new geometry mid-stream is
+    // exactly the case the check exists to catch.
     if (index.columns.contains("bands"))
       index.select(col("bands")).filter(col("bands").isNotNull)
         .limit(1).collect().headOption.foreach { r =>
-          require(r.getInt(0) == bands,
-            s"nearDupMatchesAgainstIndex: index was built with bands=${r.getInt(0)}, probed with bands=$bands")
+          val stamped = r.getAs[Number](0).intValue()
+          require(stamped == bands,
+            s"nearDupMatchesAgainstIndex: index was built with bands=$stamped, probed with bands=$bands")
         }
     val probe = simhashBandIndex(df, idCol, textCol, bands)
     val cappedIx = capBuckets(

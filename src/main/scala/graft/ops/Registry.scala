@@ -1576,7 +1576,31 @@ final class Registry(spark: SparkSession) {
         minQuality = a.get("min_quality", -1).map(_.toString.toDouble)
           .getOrElse(0.35),
         langs = a.get("langs", -1).map(asStrList)
-          .getOrElse(Seq("en", "es", "de", "fr")))
+          .getOrElse(Seq("en", "es", "de", "fr")),
+        // dedup policy knob. The default (within_watermark) GATES on a
+        // parseable WARC-Date — records with a missing/unparseable date
+        // are rejected (a wall-clock fallback would poison a backfill's
+        // watermark); batch users curating nonconformant WARCs opt out
+        // with dedup: exact_unbounded, which keeps dateless records.
+        dedup = a.get("dedup", -1).map(_.toString).getOrElse(
+            "within_watermark") match {
+          case "within_watermark" =>
+            graft.streaming.Streams.CrawlDedup.WithinWatermark(
+              a.get("watermark_delay", -1).map(_.toString)
+                .getOrElse("7 days"))
+          case "against_index" =>
+            graft.streaming.Streams.CrawlDedup.AgainstIndex(
+              asStr(a.require("index_dir", -1), "index_dir"),
+              fpp = a.get("fpp", -1).map(_.toString.toDouble)
+                .getOrElse(0.001),
+              delay = a.get("watermark_delay", -1).map(_.toString)
+                .getOrElse("7 days"))
+          case "exact_unbounded" =>
+            graft.streaming.Streams.CrawlDedup.ExactUnbounded
+          case other => throw new IllegalArgumentException(
+            s"graft.crawl_curate: unknown dedup policy '$other' " +
+              "(within_watermark | against_index | exact_unbounded)")
+        })
     },
     "graft.redact_secrets" -> { a =>
       // credential scrubbing: AWS key ids / GitHub PATs by published

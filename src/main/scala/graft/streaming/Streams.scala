@@ -573,15 +573,33 @@ object Streams {
     * reader that does race it degrades to the explicit missing-index
     * semantics (first-drop behavior), never to a partial read.
     */
-  private def atomicOverwrite(df: DataFrame, dir: String): Unit = {
+  private def atomicOverwrite(df: DataFrame, dir: String): Unit =
+    tmpSwap(df.sparkSession, dir) { tmp =>
+      df.write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The shared tmp-write/swap: `write` populates `<dir>.tmp` (stale tmp
+    * pre-deleted), then delete + rename swaps it in. One helper so every
+    * compactor shares the same failure contract: rename refusal errors
+    * loudly; the documented non-atomic delete->rename window means
+    * compactions run BETWEEN drains, and a crash inside the window
+    * degrades readers to explicit missing-index (first-drop) semantics
+    * until the compaction is re-run — never a partial read. If a
+    * compaction ever needs to be crash-SAFE, switch this helper to
+    * rename-to-versioned-dir plus a pointer file; every caller inherits.
+    */
+  private def tmpSwap(spark: SparkSession, dir: String)
+                     (write: String => Unit): Unit = {
     val tmp = dir + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val conf = spark.sessionState.newHadoopConf()
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(conf)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    write(tmp)
     if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"atomicOverwrite: rename $tmp -> $dir refused by the filesystem " +
+    require(fs.rename(tmpPath, dst),
+      s"tmpSwap: rename $tmp -> $dir refused by the filesystem " +
         "(the prior artifact was deleted; re-run the compaction)")
   }
 
@@ -613,16 +631,9 @@ object Streams {
     val squashed = graft.operators.Dedup.simhashBandIndex(
       spark.read.parquet(shardsDir).select("doc_id", "text"),
       "doc_id", "text", bands)
-    val tmp = indexDir + ".tmp"
-    val conf = spark.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dst.getFileSystem(conf)
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp))) fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    squashed.write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
-    if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compactSimhashIndex: rename $tmp -> $indexDir refused by the " +
-        "filesystem (the prior index was deleted; re-run the compaction)")
+    tmpSwap(spark, indexDir) { tmp =>
+      squashed.write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+    }
   }
 
   /** STREAMING per-domain document cap — admission control across drops
@@ -883,7 +894,10 @@ object Streams {
         // late-dropping the whole replay — worse than losing the
         // nonconformant record. The watermark policies below instead GATE
         // on a parseable date, identically in stream and batch.
-        to_timestamp(col("warc_date")).as("__event_ts"),
+        // try_to_timestamp, not to_timestamp: under ANSI (the Spark 4
+        // default) a plain cast THROWS on one malformed date and aborts
+        // the whole drop — the gate needs null, not an exception.
+        try_to_timestamp(col("warc_date")).as("__event_ts"),
         Urls.canonicalize(col("target_uri")).as("canon_url"),
         Urls.registeredDomain(col("target_uri")).as("domain"),
         col("payload").cast("string").as("html"))

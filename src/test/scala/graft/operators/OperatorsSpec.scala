@@ -383,6 +383,21 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getString(0) == r.getString(1),
       s"slice ${r.getString(0)} != full ${r.getString(1)}"))
+    // the PSL path takes the host UNSTRIPPED: a host that literally IS
+    // the !www.ck exception's registered domain must survive (the slice
+    // path's cosmetic www-strip would reduce it to the bare TLD — the
+    // one class where the two paths deliberately diverge)
+    val wck = Seq(Tuple1("https://www.ck/p")).toDF("url")
+      .select(Urls.registeredDomainPsl(col("url")).as("d"))
+      .first().getString(0)
+    assert(wck == "www.ck", s"got $wck")
+    // PslRegisteredDomain is a public expression: a mixed-case host must
+    // match the (lowercased) rule table, not fall to the implicit *
+    // default
+    val mixed = Seq(Tuple1("ShOp.Example.CO.UK")).toDF("h")
+      .select(graft.expressions.PslRegisteredDomain(col("h")).as("d"))
+      .first().getString(0)
+    assert(mixed == "example.co.uk", s"got $mixed")
   }
 
   test("unigram log-prob: common-word docs score lower than rare-word docs") {

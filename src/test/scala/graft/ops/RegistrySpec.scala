@@ -1256,6 +1256,38 @@ class RegistrySpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("n_tokens")))).toSet == twin)
   }
 
+  test("graft.crawl_curate dedup knob: exact_unbounded keeps dateless records the watermark default rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_crawl_knob")
+    val body = "the quick brown fox jumps over the lazy dog and the cat " +
+      "sat on the mat for a while in the sun near the old mill"
+    def rec(i: Int, date: String) = graft.sources.Warc.writeRecord(
+      "response", s"https://crawl.example.com/doc/$i", date, "text/html",
+      (s"<html><body><p>$body page $i</p></body></html>").getBytes("UTF-8"))
+    // doc 0 carries a conformant WARC-Date; doc 1's is unparseable
+    val recs = (rec(0, "2026-02-01T00:00:00Z") ++ rec(1, "not-a-date")).toArray
+    val fos = new java.io.FileOutputStream(new java.io.File(dir.toFile, "a.warc"))
+    fos.write(recs); fos.close()
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val mergesDf = reg.callFunction("graft.bpe_byte_train", Args(
+      pos = List(docs, 16L))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val records = reg.callFunction("graft.read_warc", Args(
+      pos = List(dir.toString))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    def ids(dedup: String) = reg.callFunction("graft.crawl_curate", Args(
+        pos = List(records, mergesDf), kw = List("dedup" -> dedup)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the watermark default GATES on a parseable event time (a dateless
+    // record would otherwise poison a backfill's watermark)...
+    assert(ids("within_watermark") == Set(0L))
+    // ...and exact_unbounded is the documented opt-out that keeps them
+    assert(ids("exact_unbounded") == Set(0L, 1L))
+    val err = intercept[IllegalArgumentException] {
+      reg.callFunction("graft.crawl_curate", Args(
+        pos = List(records, mergesDf), kw = List("dedup" -> "bogus")))
+    }
+    assert(err.getMessage.contains("unknown dedup policy"))
+  }
+
   test("graft.redact_pii banking=true reaches the IBAN tier") {
     val docs = Seq(
       (1L, "wire DE89370400440532013000 card 4111111111111111 decoy DE89370400440532013001"))
