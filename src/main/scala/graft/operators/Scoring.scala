@@ -266,7 +266,7 @@ object Scoring {
     * zero (Spark ANSI throws; the oracles use the identical guarded
     * form, and on non-degenerate corpora the guard is identity).
     */
-  private def modifiedDiscounts(cnts: DataFrame, ccol: String): DataFrame = {
+  private[graft] def modifiedDiscounts(cnts: DataFrame, ccol: String): DataFrame = {
     val agg = cnts.agg(
       sum(when(col(ccol) === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col(ccol) === 2, 1L).otherwise(0L)).as("n2"),

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level timing for the modified-KN order-5 pipeline (q273/q274,
+  * the two slowest bench cells as of r13) — where the wall goes and the
+  * record of what did NOT help.
+  *
+  * Findings at sf0.1 (5,000 docs, 250,704 grams, 237,849 5-gram types —
+  * at order 5 nearly every gram is a type, so type grain ~= token grain
+  * on this fixture; at corpus scale they diverge by orders of
+  * magnitude):
+  *  - full kn5: ~5.3s cold / ~3.5s warm. The cost is DAG depth — ~25
+  *    exchanges of ~200k-row frames (the 5-level count ladder, 4 hist +
+  *    4 discount aggregates, ~8 model-assembly joins, final token join)
+  *    — each stage overhead-bound at this scale. The shape is the right
+  *    one at 100 TB: every frame is count-table-bounded and AQE
+  *    broadcast-converts the stat joins.
+  *  - persisting the ladder level by level: ~8.1s — WORSE. Exchange
+  *    reuse already dedupes the shared lineage; persist blocks
+  *    whole-stage pipelining and materializes wide string frames.
+  *  - single suffix-string join keys (substring_index-derived instead
+  *    of 5 word columns): ~11.6s — WORSE. Expression join keys defeat
+  *    the output-partitioning reuse the word-column groupBys provide,
+  *    so every join re-exchanges BOTH sides.
+  * Conclusion: keep the production shape; the bench cell pays cold
+  * planning over an inherently ~15-deep sequential DAG, which amortizes
+  * with data size rather than growing.
+  */
+object Kn5Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[$label] ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println("docs: " + docs.count)
+
+    val grams = docs.select(col("doc_id").as("id"),
+      explode(graft.operators.Dedup.shingles(lower(col("text")), 5)).as("g"))
+    time("grams_count")(println("  grams: " + grams.count))
+    val typed = grams.groupBy(col("g")).agg(count(lit(1)).as("c5"))
+    time("typed_count")(println("  5-gram types: " + typed.count))
+
+    val full = graft.operators.Scoring.knNgramPerplexity(
+      docs, "doc_id", "text", 5)
+    time("kn5_cold")(println("  rows: " + full.count))
+    time("kn5_warm")(println("  rows: " + full.count))
+    val cc = graft.operators.Scoring.ccnetBuckets(
+      docs, "doc_id", "text", lm = "kn5")
+    time("ccnet_kn5")(println("  rows: " + cc.count))
+    spark.stop()
+  }
+}
