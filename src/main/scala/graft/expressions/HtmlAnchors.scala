@@ -1,0 +1,174 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `<a href>` extraction from raw HTML as one tight single-pass scan —
+  * the link-graph feeder for crawl prioritization (PageRank over the
+  * domain graph, anchor-text aggregation). Emits one `(href, anchor)`
+  * struct per anchor tag, in document order:
+  *
+  *  - tag match is ASCII-case-insensitive (`<a`/`<A` followed by a
+  *    whitespace/`>`/`/` delimiter, so `<abbr>` never matches);
+  *  - `href` may be double-quoted, single-quoted, or unquoted
+  *    (terminated by whitespace or `>`), anywhere among the attributes;
+  *    an anchor without an href is skipped;
+  *  - anchor text runs to the matching `</a>` (case-insensitive) with
+  *    nested tags stripped and whitespace collapsed — `Go <b>now</b>`
+  *    yields `Go now`; an unclosed anchor yields an empty text.
+  *
+  * A regex formulation (`regexp_extract_all` with two groups) would be
+  * the one-liner, but HTML-sized subjects on the JDK regex engine are
+  * exactly the hot-path shape this repo already moved off (the PII
+  * scanner program): one manual scan per row is embarrassingly parallel
+  * and allocation-light. CodegenFallback for the same reason as
+  * [[WordShingles]]: the win is the scan, not codegen of the loop —
+  * one virtual call per ROW is noise.
+  *
+  * (Reference scope: the pandas layer ships no HTML ops; north-star
+  * extension for the 100 TB crawl pipeline.)
+  */
+case class HtmlAnchors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_html_anchors"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val open = HtmlAnchors.indexOfAnchorOpen(s, i)
+      if (open < 0) { i = n }
+      else {
+        val tagEnd = s.indexOf('>', open + 2)
+        if (tagEnd < 0) { i = n }
+        else {
+          val href = HtmlAnchors.hrefOf(s, open + 2, tagEnd)
+          val close = HtmlAnchors.indexOfAnchorClose(s, tagEnd + 1)
+          val rawText =
+            if (close < 0) "" else s.substring(tagEnd + 1, close)
+          if (href != null)
+            out += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(href),
+              UTF8String.fromString(HtmlAnchors.cleanText(rawText))))
+          // resume after the close tag when found, else after this tag —
+          // an unclosed anchor must not swallow the rest of the document
+          i = if (close < 0) tagEnd + 1 else close + 4
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
+    copy(child = newChild)
+}
+
+object HtmlAnchors {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(html: Column): Column =
+    ColumnBridge.column(HtmlAnchors(ColumnBridge.expression(html)))
+
+  @inline private def lc(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Index of the next `<a` whose following char delimits the tag name
+    * (ASCII ci; `<abbr>` must not match). -1 when absent.
+    */
+  private[expressions] def indexOfAnchorOpen(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = s.length
+    while (i < n - 1) {
+      if (s.charAt(i) == '<' && lc(s.charAt(i + 1)) == 'a') {
+        if (i + 2 >= n) return -1
+        val d = s.charAt(i + 2)
+        if (d == '>' || d == '/' || Character.isWhitespace(d)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the next `</a` (ci) followed by optional whitespace + `>`. */
+  private[expressions] def indexOfAnchorClose(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = s.length
+    while (i < n - 2) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' &&
+          lc(s.charAt(i + 2)) == 'a') {
+        var j = i + 3
+        while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == '>') return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** The href attribute value inside `s[from, until)` (the attribute
+    * region of one tag), or null: `href` at a non-word boundary, `=`,
+    * then a quoted or whitespace/`>`-terminated value.
+    */
+  private[expressions] def hrefOf(s: String, from: Int, until: Int): String = {
+    var i = from
+    while (i < until - 4) {
+      if (lc(s.charAt(i)) == 'h' && lc(s.charAt(i + 1)) == 'r' &&
+          lc(s.charAt(i + 2)) == 'e' && lc(s.charAt(i + 3)) == 'f' &&
+          (i == from || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j < until && s.charAt(j) == '=') {
+          j += 1
+          while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j >= until) return null
+          val q = s.charAt(j)
+          if (q == '"' || q == '\'') {
+            val end = s.indexOf(q, j + 1)
+            if (end < 0 || end > until) return null
+            return s.substring(j + 1, end)
+          } else {
+            var end = j
+            while (end < until && !Character.isWhitespace(s.charAt(end)))
+              end += 1
+            return s.substring(j, end)
+          }
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Strip nested tags, collapse whitespace runs to one space, trim. */
+  private[expressions] def cleanText(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    var inTag = false
+    var pendingSpace = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') inTag = true
+      else if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1555,6 +1555,45 @@ final class Registry(spark: SparkSession) {
         .withColumn("n_kept", col("__mc.n_kept"))
         .drop("__mc")
     },
+    "graft.extract_links" -> { a =>
+      // <a href> anchors out of raw HTML (single-pass scan, no regex),
+      // hrefs resolved against the page URL; one row per resolved link
+      graft.operators.LinkGraph.extractLinks(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asStr(a.get("html", -1).getOrElse("html"), "html"))
+    },
+    "graft.domain_graph" -> { a =>
+      // registered-domain edge list with per-edge link counts (the
+      // CommonCrawl-style web-graph artifact); self-loops dropped unless
+      // drop_self: false
+      graft.operators.LinkGraph.domainGraph(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asStr(a.get("html", -1).getOrElse("html"), "html"),
+        dropSelf = a.get("drop_self", -1).forall(_.toString.toBoolean))
+    },
+    "graft.pagerank" -> { a =>
+      // fixed-iteration weighted PageRank over an edge frame — the
+      // crawl-prioritization rank; dangling mass redistributed uniformly
+      graft.operators.LinkGraph.pageRank(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("src", -1).getOrElse("src_domain"), "src"),
+        asStr(a.get("dst", -1).getOrElse("dst_domain"), "dst"),
+        weightCol = a.get("weight", -1).map(_.toString),
+        damping = a.get("damping", -1).map(_.toString.toDouble)
+          .getOrElse(0.85),
+        iters = a.get("iters", -1).map(_.toString.toInt).getOrElse(10))
+    },
+    "graft.anchor_topk" -> { a =>
+      // top-k normalized anchor texts per destination registered domain
+      // (what the web calls each site) over an extract_links frame
+      graft.operators.LinkGraph.anchorTopK(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("href", -1).getOrElse("href"), "href"),
+        asStr(a.get("anchor", -1).getOrElse("anchor"), "anchor"),
+        k = a.get("k", -1).map(_.toString.toInt).getOrElse(10))
+    },
     "graft.read_warc" -> { a =>
       // WARC/WARC.gz crawl directory -> one record per row (ISO 28500,
       // the CommonCrawl container); parallelism = files, payload binary

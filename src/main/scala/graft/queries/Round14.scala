@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-14 queries: the link-graph layer — anchor extraction + href
+  * resolution out of raw HTML, the registered-domain edge list,
+  * fixed-iteration PageRank (the CommonCrawl crawl-prioritization
+  * artifact), and per-domain anchor-text aggregation. The HTML fixture
+  * is synthesized from doc_id formulas (the q275 pattern), so the
+  * oracles replay the expected link set per class while the Spark side
+  * genuinely parses the HTML — a missed or mis-resolved anchor anywhere
+  * shifts edges, counts, and every rank with them.
+  */
+object Round14 {
+
+  /** The shared link fixture:every doc gets a URL on one of 20 registered
+    * domains and an HTML body whose anchors follow its class:
+    * class 0 = two absolute links (mixed quote/case, a nested tag in
+    * the second anchor text), 1 = one root-relative link (resolves to
+    * the doc's own domain — a self-loop at domain grain), 2 = one
+    * protocol-relative link, 3 = javascript/mailto/fragment skips then
+    * one absolute link at anchor position 3.
+    */
+  private def linkFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val t1 = (col("doc_id") * 7 + 3) % 1000
+    val t2 = (col("doc_id") * 13 + 5) % 1000
+    val sd = col("doc_id") % 20
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    def absA(t: org.apache.spark.sql.Column, label: String) = concat(
+      lit("<a href=\"https://d"), str(t % 20), lit(".com/doc/"), str(t),
+      lit("\">" + label + " "), str(t % 7), lit("</a>"))
+    val html = when(col("doc_id") % 4 === 0, concat(
+        absA(t1, "go"),
+        lit("\n<A HREF='https://d"), str(t2 % 20), lit(".com/doc/"), str(t2),
+        lit("'>Go <b>now</b>  "), str(t2 % 7), lit("</A>")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("<a href=\"/doc/"), str(t1), lit("\">rel "), str(t1 % 7),
+        lit("</a>")))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("<a href=\"//d"), str(t2 % 20), lit(".com/doc/"), str(t2),
+        lit("\">proto "), str(t2 % 7), lit("</a>")))
+      .otherwise(concat(
+        lit("<a href=\"javascript:void(0)\">menu</a>" +
+          "<a href=\"mailto:x@y.z\">mail</a>" +
+          "<a href=\"#top\">top</a>"),
+        absA(t1, "keep")))
+    t(s, d, "documents").select(col("doc_id"))
+      .withColumn("url", concat(lit("https://d"), str(sd), lit(".com/doc/"),
+        str(col("doc_id"))))
+      .withColumn("html", concat(lit("<html><body>"), html,
+        lit("</body></html>")))
+  }
+
+  /** The fixture's expected links as a DuckDB CTE block ending in
+    * `l(doc_id, link_pos, href, anchor)` — shared by all four oracles.
+    */
+  private val linkSql = """
+        s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+                (doc_id*7+3) % 1000 AS t1, (doc_id*13+5) % 1000 AS t2,
+                doc_id % 20 AS sd
+              FROM documents),
+        l AS (
+          SELECT doc_id, 0 AS link_pos,
+            'https://d' || (t1%20) || '.com/doc/' || t1 AS href,
+            'go ' || (t1%7) AS anchor FROM s WHERE c = 0
+          UNION ALL
+          SELECT doc_id, 1,
+            'https://d' || (t2%20) || '.com/doc/' || t2,
+            'Go now ' || (t2%7) FROM s WHERE c = 0
+          UNION ALL
+          SELECT doc_id, 0,
+            'https://d' || sd || '.com/doc/' || t1,
+            'rel ' || (t1%7) FROM s WHERE c = 1
+          UNION ALL
+          SELECT doc_id, 0,
+            'https://d' || (t2%20) || '.com/doc/' || t2,
+            'proto ' || (t2%7) FROM s WHERE c = 2
+          UNION ALL
+          SELECT doc_id, 3,
+            'https://d' || (t1%20) || '.com/doc/' || t1,
+            'keep ' || (t1%7) FROM s WHERE c = 3),
+        se AS (
+          SELECT 'd' || sd || '.com' AS src_domain,
+            'd' || (t1%20) || '.com' AS dst_domain FROM s WHERE c IN (0, 3)
+          UNION ALL
+          SELECT 'd' || sd || '.com', 'd' || (t2%20) || '.com'
+          FROM s WHERE c IN (0, 2)
+          UNION ALL
+          SELECT 'd' || sd || '.com', 'd' || sd || '.com' FROM s WHERE c = 1),
+        edges AS MATERIALIZED (
+          SELECT src_domain, dst_domain, COUNT(*) AS n_links
+          FROM se WHERE src_domain <> dst_domain GROUP BY 1, 2)"""
+
+  /** The unrolled PageRank power iteration as DuckDB CTEs: pr0 seeds
+    * 1/N; each prK replays one Spark iteration term for term (weighted
+    * contributions over out-weight, dangling mass redistributed
+    * uniformly). Constants are interpolated at full double precision so
+    * both engines iterate with bit-identical coefficients; the final
+    * 6dp round absorbs the summation-order ulps.
+    */
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val head = s"""
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src_domain AS node FROM edges
+          UNION ALL SELECT dst_domain FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src_domain AS src, CAST(SUM(n_links) AS DOUBLE) AS tot
+                 FROM edges GROUP BY 1),
+        pr0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    val its = (1 to iters).map { k => s"""
+        c$k AS (SELECT e.dst_domain AS node,
+                  SUM(p.rank * CAST(e.n_links AS DOUBLE) / o.tot) AS contrib
+                FROM pr${k - 1} p
+                JOIN edges e ON e.src_domain = p.node
+                JOIN outw o ON o.src = e.src_domain
+                GROUP BY 1),
+        g$k AS (SELECT COALESCE(SUM(p.rank), 0) AS mass
+                FROM pr${k - 1} p LEFT JOIN outw o ON o.src = p.node
+                WHERE o.src IS NULL),
+        pr$k AS MATERIALIZED (SELECT n.node,
+                  CAST(${(1.0 - damping)} AS DOUBLE) / nn.n
+                    + CAST($damping AS DOUBLE)
+                      * (COALESCE(c.contrib, 0) + g$k.mass / nn.n) AS rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN g$k
+                 LEFT JOIN c$k c ON c.node = n.node)"""
+    }.mkString(",")
+    head + "," + its
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Anchor extraction + href resolution: one row per resolved link,
+    // with the anchor's pre-resolution position (class 3's survivor
+    // sits at position 3, after the javascript/mailto/fragment skips).
+    Q("q277_link_extract", (s, d) =>
+      graft.operators.LinkGraph.extractLinks(linkFixture(s, d), "url", "html")
+        .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
+        .orderBy(col("doc_id"), col("link_pos")),
+      Some("WITH" + linkSql + """
+        SELECT doc_id, link_pos, href, anchor FROM l
+        ORDER BY doc_id, link_pos""")),
+
+    // Registered-domain edge list: subdomain collapse, self-loop drop,
+    // per-edge link counts.
+    Q("q278_domain_graph", (s, d) =>
+      graft.operators.LinkGraph.domainGraph(linkFixture(s, d), "url", "html")
+        .orderBy(col("src_domain"), col("dst_domain")),
+      Some("WITH" + linkSql + """
+        SELECT src_domain, dst_domain, n_links FROM edges
+        ORDER BY src_domain, dst_domain""")),
+
+    // Fixed-iteration weighted PageRank over the domain graph — the
+    // oracle unrolls all ten power iterations (contributions, dangling
+    // redistribution, damping) in SQL; a single wrong edge weight or a
+    // leaked dangling node shifts every rank.
+    Q("q279_pagerank", (s, d) => {
+      val edges = graft.operators.LinkGraph.domainGraph(
+        linkFixture(s, d), "url", "html")
+      graft.operators.LinkGraph.pageRank(
+          edges, "src_domain", "dst_domain", Some("n_links"),
+          damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }, Some("WITH" + linkSql + "," + pageRankSql(10, 0.85) + """
+        SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node""")),
+
+    // Per-domain anchor-text top-k: what the web calls each site —
+    // normalized anchors, count-desc / text-asc ranking, k = 2.
+    Q("q280_anchor_topk", (s, d) =>
+      graft.operators.LinkGraph.anchorTopK(
+          graft.operators.LinkGraph.extractLinks(
+            linkFixture(s, d), "url", "html"),
+          "href", "anchor", k = 2)
+        .orderBy(col("dst_domain"), col("rank")),
+      Some("WITH" + linkSql + """,
+        na AS (SELECT split_part(href, '/', 3) AS dst_domain,
+                trim(regexp_replace(lower(anchor), '\s+', ' ', 'g')) AS anchor
+              FROM l),
+        cnt AS (SELECT dst_domain, anchor, COUNT(*) AS n FROM na
+                WHERE length(anchor) > 0 GROUP BY 1, 2),
+        rk AS (SELECT dst_domain, anchor, n,
+                 CAST(row_number() OVER (PARTITION BY dst_domain
+                   ORDER BY n DESC, anchor ASC) AS INT) AS rank
+               FROM cnt)
+        SELECT dst_domain, anchor, n, rank FROM rk WHERE rank <= 2
+        ORDER BY dst_domain, rank"""))
+  )
+}

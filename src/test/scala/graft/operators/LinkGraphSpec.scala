@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.expressions.HtmlAnchors
+
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HtmlAnchors: quote styles, case, nested tags, unclosed, no-href, boundary tags") {
+    val html =
+      """<html><body>
+        |<a href="https://a.com/x">First link</a>
+        |<A HREF='https://b.com/y'>Go <b>now</b>  here</A>
+        |<a class=big href=https://c.com/z>unquoted</a>
+        |<a name="anchor-only">no href</a>
+        |<abbr title="x">not a link</abbr>
+        |<a href="https://d.com/u">unclosed
+        |</body></html>""".stripMargin
+    val rows = Seq(Tuple1(html)).toDF("h")
+      .select(explode(HtmlAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      ("https://a.com/x", "First link"),
+      ("https://b.com/y", "Go now here"),
+      ("https://c.com/z", "unquoted"),
+      ("https://d.com/u", "")))
+  }
+
+  test("HtmlAnchors: empty/whitespace html, html without anchors") {
+    val out = Seq(Tuple1(""), Tuple1("  "), Tuple1("<p>plain</p>"))
+      .toDF("h").select(size(HtmlAnchors(col("h"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0, 0))
+  }
+
+  test("resolveHref: absolute, scheme-skips, protocol-relative, root-relative, relative, fragment") {
+    val base = "https://www.site.co.uk/dir/page.html"
+    val cases = Seq(
+      "https://other.com/p" -> "https://other.com/p",
+      "HTTP://up.com/q" -> "HTTP://up.com/q",
+      "javascript:void(0)" -> null,
+      "mailto:a@b.c" -> null,
+      "tel:+123" -> null,
+      "#frag" -> null,
+      "//cdn.com/lib.js" -> "https://cdn.com/lib.js",
+      "/root/doc" -> "https://www.site.co.uk/root/doc",
+      "sub/page2.html" -> "https://www.site.co.uk/dir/sub/page2.html",
+      "" -> null)
+    val out = cases.map(_._1).zipWithIndex
+      .map { case (h, i) => (i.toLong, base, h) }
+      .toDF("i", "base", "href")
+      .select(col("i"), LinkGraph.resolveHref(col("base"), col("href")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(out(i.toLong) == want, s"href '$h': got ${out(i.toLong)}, want $want")
+    }
+  }
+
+  test("extractLinks keeps link_pos over skipped anchors; domainGraph counts registered-domain edges, drops self-loops") {
+    val df = Seq(
+      (1L, "https://blog.alpha.com/post/1",
+        """<a href="javascript:void(0)">menu</a>
+          |<a href="https://beta.com/a">Beta A</a>
+          |<a href="/post/2">self nav</a>
+          |<a href="https://www.beta.com/b">Beta B</a>
+          |<a href="https://gamma.com/c">Gamma</a>""".stripMargin),
+      (2L, "https://beta.com/home",
+        """<a href="https://alpha.com/x">Alpha</a>
+          |<a href="https://alpha.com/y">Alpha again</a>""".stripMargin)
+    ).toDF("doc_id", "url", "html")
+    val links = LinkGraph.extractLinks(df, "url", "html")
+    val got = links.select("doc_id", "link_pos", "href").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1, "https://beta.com/a"),
+      (1L, 2, "https://blog.alpha.com/post/2"),
+      (1L, 3, "https://www.beta.com/b"),
+      (1L, 4, "https://gamma.com/c"),
+      (2L, 0, "https://alpha.com/x"),
+      (2L, 1, "https://alpha.com/y")))
+    val edges = LinkGraph.domainGraph(df, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // blog.alpha.com and www.beta.com collapse to their registered
+    // domains; the /post/2 self nav is a self-loop and must vanish
+    assert(edges == Set(
+      ("alpha.com", "beta.com", 2L),
+      ("alpha.com", "gamma.com", 1L),
+      ("beta.com", "alpha.com", 2L)))
+  }
+
+  test("pageRank: ranks sum to 1 every run, dangling mass redistributes, known 3-node answer") {
+    // A -> B, B -> A, C -> A; C has in-degree 0, A two in-edges
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val pr = LinkGraph.pageRank(edges, "src", "dst", Some("w"), 0.85, 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"sum ${pr.values.sum}")
+    assert(pr("A") > pr("B") && pr("B") > pr("C"),
+      s"expected A > B > C, got $pr")
+    // C never receives: rank = (1-d)/N exactly (no dangling nodes here)
+    assert(math.abs(pr("C") - 0.05) < 1e-12, s"C ${pr("C")}")
+
+    // dangling: B has no out-edges; its mass must come back uniformly
+    // (ranks still sum to 1) rather than leak
+    val dang = LinkGraph.pageRank(
+      Seq(("A", "B", 1L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), 0.85, 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(dang.values.sum - 1.0) < 1e-9, s"sum ${dang.values.sum}")
+    assert(dang("B") > dang("A"))
+  }
+
+  test("pageRank: weighted edges shift rank toward the heavy target") {
+    // A splits 3:1 between B and C; B and C both return to A
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L),
+      ("B", "A", 1L), ("C", "A", 1L)).toDF("src", "dst", "w")
+    val pr = LinkGraph.pageRank(edges, "src", "dst", Some("w"), 0.85, 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("B") > pr("C"), s"got $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  test("anchorTopK: per-domain counts, normalization, count-desc anchor-asc order") {
+    val links = Seq(
+      ("https://a.com/1", "Read  More"),
+      ("https://a.com/2", "read more"),
+      ("https://www.a.com/3", "Docs"),
+      ("https://a.com/4", "api"),
+      ("https://b.com/1", "Home"),
+      ("https://b.com/2", "  ")
+    ).toDF("href", "anchor")
+    val top = LinkGraph.anchorTopK(links, "href", "anchor", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(top == Set(
+      ("a.com", "read more", 2L, 1),
+      ("a.com", "api", 1L, 2),
+      ("b.com", "home", 1L, 1)))
+  }
+}
