@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** EXIF metadata over JPEG binary columns — decode and privacy scrub —
+  * in pure JDK bytes (no codec dependency: EXIF is a TIFF directory
+  * embedded in a JPEG APP1 segment, ISO/TC42 + TIFF 6.0, both public):
+  *
+  *  - [[decodeExifBatch]]: orientation / make / model / original
+  *    timestamp / GPS latitude+longitude per image — the metadata a
+  *    multimodal curation pipeline keys on (dedup by camera+time,
+  *    orientation-normalized hashing);
+  *  - [[stripExifBatch]]: the GEOTAG SCRUB — drops Exif APP1 segments
+  *    byte-exactly and leaves every other byte (including the image
+  *    stream) untouched, so pixel-level dedup keys survive the scrub.
+  *    Publishing crawled images without stripping EXIF GPS is a
+  *    privacy incident; this is the remediation operator.
+  *
+  * Scale shape: both are per-row byte walks over the segment table
+  * (a few hundred header bytes per image; the entropy-coded stream is
+  * never touched on decode and only memcopied on strip) — map-side,
+  * embarrassingly parallel, no shuffle. mapPartitions like the other
+  * Multimodal decoders: no Catalyst expression can walk a TIFF IFD.
+  */
+object Exif {
+
+  /** Decoded EXIF surface. `orientation` -1 when absent; strings null
+    * when absent; GPS doubles null unless both rationals + refs parse.
+    */
+  case class ExifMeta(id: Long, has_exif: Boolean, orientation: Int,
+                      make: String, model: String, taken_at: String,
+                      has_gps: Boolean, lat: Option[Double],
+                      lon: Option[Double])
+
+  // ---- byte helpers ------------------------------------------------
+
+  @inline private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+  @inline private def u16be(b: Array[Byte], o: Int): Int =
+    (u8(b, o) << 8) | u8(b, o + 1)
+
+  /** u16 / u32 with the TIFF block's own byte order. */
+  @inline private def u16(b: Array[Byte], o: Int, le: Boolean): Int =
+    if (le) u8(b, o) | (u8(b, o + 1) << 8) else (u8(b, o) << 8) | u8(b, o + 1)
+  @inline private def u32(b: Array[Byte], o: Int, le: Boolean): Long =
+    if (le) u8(b, o).toLong | (u8(b, o + 1).toLong << 8) |
+      (u8(b, o + 2).toLong << 16) | (u8(b, o + 3).toLong << 24)
+    else (u8(b, o).toLong << 24) | (u8(b, o + 1).toLong << 16) |
+      (u8(b, o + 2).toLong << 8) | u8(b, o + 3).toLong
+
+  /** Offsets of every JPEG segment: (marker, segStart, segLen incl the
+    * 2 marker bytes). Stops at SOS (the entropy-coded stream follows —
+    * EXIF never lives past it).
+    */
+  private def segments(b: Array[Byte]): Seq[(Int, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    var i = 2
+    while (i + 4 <= b.length && u8(b, i) == 0xff) {
+      val marker = u8(b, i + 1)
+      if (marker == 0xd9 || marker == 0xda) return out.toSeq // EOI / SOS
+      val len = u16be(b, i + 2)
+      if (len < 2 || i + 2 + len > b.length) return out.toSeq
+      out += ((marker, i, 2 + len))
+      i += 2 + len
+    }
+    out.toSeq
+  }
+
+  private val ExifHeader = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+
+  private def isExifApp1(b: Array[Byte], segStart: Int, segLen: Int): Boolean =
+    segLen >= 4 + ExifHeader.length && {
+      var k = 0
+      var ok = true
+      while (ok && k < ExifHeader.length) {
+        ok = b(segStart + 4 + k) == ExifHeader(k); k += 1
+      }
+      ok
+    }
+
+  /** One IFD entry's VALUE region offset (inline when it fits 4 bytes,
+    * else indirect via the offset word), relative to the TIFF base.
+    */
+  @inline private def valueOff(b: Array[Byte], t: Int, entry: Int,
+                               byteSize: Long, le: Boolean): Long =
+    if (byteSize <= 4) (entry + 8).toLong - t else u32(b, entry + 8, le)
+
+  private def typeSize(tpe: Int): Int = tpe match {
+    case 1 | 2 | 6 | 7 => 1 // BYTE / ASCII / SBYTE / UNDEFINED
+    case 3 | 8 => 2         // SHORT / SSHORT
+    case 4 | 9 | 11 => 4    // LONG / SLONG / FLOAT
+    case 5 | 10 | 12 => 8   // RATIONAL / SRATIONAL / DOUBLE
+    case _ => 0
+  }
+
+  /** Parse one IFD into tag -> (type, count, absolute value offset). */
+  private def ifdEntries(b: Array[Byte], t: Int, ifdOff: Long, le: Boolean)
+      : Map[Int, (Int, Long, Long)] = {
+    val start = t + ifdOff.toInt
+    if (ifdOff <= 0 || start + 2 > b.length) return Map.empty
+    val n = u16(b, start, le)
+    (0 until n).flatMap { k =>
+      val e = start + 2 + 12 * k
+      if (e + 12 > b.length) None
+      else {
+        val tag = u16(b, e, le)
+        val tpe = u16(b, e + 2, le)
+        val cnt = u32(b, e + 4, le)
+        val sz = typeSize(tpe).toLong * cnt
+        if (sz <= 0) None
+        else {
+          val off = t + valueOff(b, t, e, sz, le)
+          if (off + sz > b.length) None
+          else Some(tag -> ((tpe, cnt, off)))
+        }
+      }
+    }.toMap
+  }
+
+  private def asciiAt(b: Array[Byte], off: Long, cnt: Long): String = {
+    var end = off + cnt
+    // ASCII count includes the NUL; be lenient about its absence
+    while (end > off && (b((end - 1).toInt) == 0 ||
+        b((end - 1).toInt) == ' ')) end -= 1
+    new String(b, off.toInt, (end - off).toInt, "ISO-8859-1")
+  }
+
+  private def rationalAt(b: Array[Byte], off: Long, le: Boolean): Double = {
+    val num = u32(b, off.toInt, le)
+    val den = u32(b, off.toInt + 4, le)
+    if (den == 0) 0.0 else num.toDouble / den.toDouble
+  }
+
+  /** Degrees from the EXIF (deg, min, sec) rational triple + the
+    * hemisphere ref ('S'/'W' negate).
+    */
+  private def dmsAt(b: Array[Byte], off: Long, le: Boolean,
+                    ref: String): Option[Double] = {
+    val d = rationalAt(b, off, le)
+    val m = rationalAt(b, off + 8, le)
+    val s = rationalAt(b, off + 16, le)
+    val v = d + m / 60.0 + s / 3600.0
+    val sign = ref match {
+      case "S" | "W" => -1.0
+      case "N" | "E" => 1.0
+      case _ => return None
+    }
+    Some(sign * v)
+  }
+
+  /** Pure decode of one JPEG byte array. Total: anything unparseable
+    * (not a JPEG, no APP1, truncated IFD) degrades to the
+    * has_exif=false row, never a throw — a curation scan cannot abort
+    * on one corrupt image.
+    */
+  def exifOf(id: Long, bytes: Array[Byte]): ExifMeta = {
+    val none = ExifMeta(id, has_exif = false, orientation = -1, make = null,
+      model = null, taken_at = null, has_gps = false, None, None)
+    try {
+      val seg = segments(bytes).find { case (m, s, l) =>
+        m == 0xe1 && isExifApp1(bytes, s, l) }
+      seg match {
+        case None => none
+        case Some((_, s, _)) =>
+          val t = s + 4 + ExifHeader.length // TIFF base
+          if (t + 8 > bytes.length) return none
+          val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+          val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
+          if (!le && !be) return none
+          if (u16(bytes, t + 2, le) != 42) return none
+          val ifd0 = ifdEntries(bytes, t, u32(bytes, t + 4, le), le)
+          def ascii(m: Map[Int, (Int, Long, Long)], tag: Int): String =
+            m.get(tag).collect { case (2, c, o) => asciiAt(bytes, o, c) }
+              .orNull
+          val orientation = ifd0.get(0x0112)
+            .collect { case (3, _, o) => u16(bytes, o.toInt, le) }
+            .getOrElse(-1)
+          val exifIfd = ifd0.get(0x8769)
+            .collect { case (4, _, o) => ifdEntries(bytes, t, u32(bytes, o.toInt, le), le) }
+            .getOrElse(Map.empty)
+          val gpsIfd = ifd0.get(0x8825)
+            .collect { case (4, _, o) => ifdEntries(bytes, t, u32(bytes, o.toInt, le), le) }
+            .getOrElse(Map.empty)
+          val takenAt = Option(ascii(exifIfd, 0x9003))
+            .getOrElse(ascii(ifd0, 0x0132))
+          val lat = for {
+            (_, _, ro) <- gpsIfd.get(0x0001)
+            (5, c, vo) <- gpsIfd.get(0x0002) if c >= 3
+            v <- dmsAt(bytes, vo, le, asciiAt(bytes, ro, 2))
+          } yield v
+          val lon = for {
+            (_, _, ro) <- gpsIfd.get(0x0003)
+            (5, c, vo) <- gpsIfd.get(0x0004) if c >= 3
+            v <- dmsAt(bytes, vo, le, asciiAt(bytes, ro, 2))
+          } yield v
+          ExifMeta(id, has_exif = true, orientation,
+            ascii(ifd0, 0x010f), ascii(ifd0, 0x0110), takenAt,
+            has_gps = lat.isDefined && lon.isDefined, lat, lon)
+      }
+    } catch { case _: Exception => none }
+  }
+
+  /** JPEG bytes with every Exif APP1 segment removed; every other byte
+    * (all other segments AND the entropy-coded stream) is copied
+    * verbatim, so the image decodes identically and content hashes over
+    * the pixel data are unchanged. Non-JPEG / Exif-less inputs return
+    * the input array unchanged (reference-equal — no copy).
+    */
+  def stripExif(bytes: Array[Byte]): Array[Byte] = {
+    val drops = segments(bytes).filter { case (m, s, l) =>
+      m == 0xe1 && isExifApp1(bytes, s, l) }
+    if (drops.isEmpty) return bytes
+    val removed = drops.map(_._3).sum
+    val out = new Array[Byte](bytes.length - removed)
+    var src = 0
+    var dst = 0
+    drops.foreach { case (_, s, l) =>
+      System.arraycopy(bytes, src, out, dst, s - src)
+      dst += s - src
+      src = s + l
+    }
+    System.arraycopy(bytes, src, out, dst, bytes.length - src)
+    out
+  }
+
+  /** One [[ExifMeta]] row per image. */
+  def decodeExifBatch(df: DataFrame, idCol: String,
+                      binCol: String): Dataset[ExifMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => exifOf(id, b) })
+  }
+
+  /** The scrub: binCol replaced with the Exif-stripped bytes, plus an
+    * audit column `exif_bytes_removed`. Idempotent (a second pass
+    * removes 0 bytes).
+    */
+  def stripExifBatch(df: DataFrame, idCol: String,
+                     binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stripped = df.select(col(idCol).cast("long").as("__id"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val s = stripExif(b)
+        (id, s, b.length - s.length)
+      })
+      .toDF("__id", binCol, "exif_bytes_removed")
+    df.drop(binCol).join(stripped,
+      col(idCol).cast("long") === col("__id")).drop("__id")
+  }
+
+  // ---- fixture synthesis -------------------------------------------
+
+  /** A real JPEG (via [[Multimodal.syntheticJpeg]]) with a synthesized
+    * Exif APP1 spliced in after SOI: little-endian TIFF, IFD0 with
+    * Make / Model / Orientation / DateTime + Exif IFD (DateTimeOriginal)
+    * + optional GPS IFD (refs + (deg, min, sec=0) rationals). The
+    * decoders above walk exactly the structures real cameras emit; this
+    * builder emits them from formulas so oracles can replay the values.
+    */
+  def syntheticJpegExif(width: Int, height: Int, seed: Long,
+                        orientation: Int, make: String, model: String,
+                        takenAt: String, gps: Option[(Double, Double)])
+      : Array[Byte] = {
+    val base = Multimodal.syntheticJpeg(width, height, seed)
+    val tiff = buildTiff(orientation, make, model, takenAt, gps)
+    val payload = ExifHeader ++ tiff
+    val segLen = payload.length + 2
+    require(segLen <= 0xffff, "exif fixture: segment too large")
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ payload
+    // splice after the 2-byte SOI
+    val out = new Array[Byte](base.length + seg.length)
+    out(0) = base(0); out(1) = base(1)
+    System.arraycopy(seg, 0, out, 2, seg.length)
+    System.arraycopy(base, 2, out, 2 + seg.length, base.length - 2)
+    out
+  }
+
+  /** Little-endian TIFF block with the IFD layout described above. */
+  private def buildTiff(orientation: Int, make: String, model: String,
+                        takenAt: String,
+                        gps: Option[(Double, Double)]): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def w16(v: Int): Unit = { buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    // header
+    buf += 'I'; buf += 'I'; w16(42); w32(8) // IFD0 at offset 8
+    // IFD0: Make, Model, Orientation, DateTime, ExifIFD, GPSIFD(optional)
+    val makeB = (make + " ").getBytes("ISO-8859-1")
+    val modelB = (model + " ").getBytes("ISO-8859-1")
+    val dtB = (takenAt + " ").getBytes("ISO-8859-1")
+    val nIfd0 = if (gps.isDefined) 6 else 5
+    val ifd0Start = 8
+    val ifd0Size = 2 + 12 * nIfd0 + 4
+    var heap = ifd0Start + ifd0Size // indirect-value heap grows from here
+    val entries = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Either[Long, Array[Byte]])]()
+    def asciiEntry(tag: Int, v: Array[Byte]): Unit = {
+      if (v.length <= 4) entries += ((tag, 2, v.length.toLong, Right(v)))
+      else { entries += ((tag, 2, v.length.toLong, Left(heap.toLong))); heap += v.length }
+    }
+    asciiEntry(0x010f, makeB)
+    asciiEntry(0x0110, modelB)
+    entries += ((0x0112, 3, 1L, Right(Array((orientation & 0xff).toByte,
+      ((orientation >> 8) & 0xff).toByte, 0, 0))))
+    asciiEntry(0x0132, dtB)
+    // Exif sub-IFD: 1 entry (DateTimeOriginal) + next-IFD word + value
+    val exifIfdOff = heap
+    val exifIfdSize = 2 + 12 + 4
+    heap += exifIfdSize
+    val dtoOff = heap
+    heap += dtB.length
+    entries += ((0x8769, 4, 1L, Left(exifIfdOff.toLong)))
+    // GPS sub-IFD: 4 entries + next word; rationals after
+    val gpsData = gps.map { case (lat, lon) =>
+      val gpsIfdOff = heap
+      heap += 2 + 12 * 4 + 4
+      val latOff = heap; heap += 24
+      val lonOff = heap; heap += 24
+      entries += ((0x8825, 4, 1L, Left(gpsIfdOff.toLong)))
+      (gpsIfdOff, latOff, lonOff, lat, lon)
+    }
+    // ---- write IFD0
+    // sort IFD entries by tag (the TIFF contract readers may rely on)
+    val sorted = entries.sortBy(_._1)
+    w16(sorted.length)
+    sorted.foreach { case (tag, tpe, cnt, v) =>
+      w16(tag); w16(tpe); w32(cnt)
+      v match {
+        case Left(off) => w32(off)
+        case Right(b4) =>
+          var i = 0
+          while (i < 4) { buf += (if (i < b4.length) b4(i) else 0); i += 1 }
+      }
+    }
+    w32(0) // next IFD
+    // ---- heap: indirect ASCII values in the order allocated above
+    def putAsciiHeap(v: Array[Byte]): Unit = if (v.length > 4) buf ++= v
+    putAsciiHeap(makeB)
+    putAsciiHeap(modelB)
+    putAsciiHeap(dtB)
+    // ---- Exif sub-IFD + DateTimeOriginal value
+    w16(1)
+    w16(0x9003); w16(2); w32(dtB.length.toLong); w32(dtoOff.toLong)
+    w32(0)
+    buf ++= dtB
+    // ---- GPS sub-IFD + rationals
+    gpsData.foreach { case (_, latOff, lonOff, lat, lon) =>
+      val latRef = if (lat >= 0) "N" else "S"
+      val lonRef = if (lon >= 0) "E" else "W"
+      def refBytes(r: String) =
+        Array[Byte](r.charAt(0).toByte, 0, 0, 0)
+      w16(4)
+      w16(0x0001); w16(2); w32(2L)
+      refBytes(latRef).foreach(buf += _)
+      w16(0x0002); w16(5); w32(3L); w32(latOff.toLong)
+      w16(0x0003); w16(2); w32(2L)
+      refBytes(lonRef).foreach(buf += _)
+      w16(0x0004); w16(5); w32(3L); w32(lonOff.toLong)
+      w32(0)
+      // (deg, min, 0) rationals: deg/1, min/1, 0/1 — exact by design so
+      // the oracle's deg + min/60 replay is bit-identical
+      def dms(v: Double): Unit = {
+        val a = math.abs(v)
+        val deg = a.toLong
+        val min = math.round((a - deg) * 60.0)
+        w32(deg); w32(1); w32(min); w32(1); w32(0); w32(1)
+      }
+      dms(lat); dms(lon)
+    }
+    buf.toArray
+  }
+}

@@ -1555,6 +1555,24 @@ final class Registry(spark: SparkSession) {
         .withColumn("n_kept", col("__mc.n_kept"))
         .drop("__mc")
     },
+    "graft.exif_decode" -> { a =>
+      // EXIF over JPEG binaries in pure bytes (APP1/TIFF IFD walk):
+      // orientation/make/model/timestamp/GPS per image; corrupt or
+      // untagged inputs degrade to has_exif=false, never a throw
+      graft.operators.Exif.decodeExifBatch(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("data", -1).getOrElse("data"), "data")).toDF()
+    },
+    "graft.exif_strip" -> { a =>
+      // the geotag scrub: drop Exif APP1 segments byte-exactly (image
+      // stream untouched — pixel dedup keys survive); appends the
+      // exif_bytes_removed audit column; idempotent
+      graft.operators.Exif.stripExifBatch(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("id"), "id"),
+        asStr(a.get("data", -1).getOrElse("data"), "data"))
+    },
     "graft.extract_links" -> { a =>
       // <a href> anchors out of raw HTML (single-pass scan, no regex),
       // hrefs resolved against the page URL; one row per resolved link

@@ -185,6 +185,101 @@ object Round14 {
                    ORDER BY n DESC, anchor ASC) AS INT) AS rank
                FROM cnt)
         SELECT dst_domain, anchor, n, rank FROM rk WHERE rank <= 2
-        ORDER BY dst_domain, rank"""))
+        ORDER BY dst_domain, rank""")),
+
+    // EXIF decode over REAL JPEG bytes: every doc renders a real
+    // baseline JPEG; classes 0/1 splice a synthesized Exif APP1 (class
+    // 0 with a GPS IFD), class 2 stays untagged. The Spark side walks
+    // the actual TIFF directories (endian-aware IFD chains, inline vs
+    // indirect values, DMS rationals, hemisphere refs); the oracle
+    // replays the synthesis formulas — GPS doubles are deg + min/60
+    // with sec=0 by construction, so both engines compute identical
+    // IEEE values with no rounding slack.
+    Q("q281_exif_decode", (s, d) => {
+      import s.implicits._
+      graft.operators.Exif.decodeExifBatch(
+          exifFixture(s, d).toDF("doc_id", "data"), "doc_id", "data")
+        .toDF()
+        .select(col("id").as("doc_id"), col("has_exif"), col("orientation"),
+          col("make"), col("model"), col("taken_at"), col("has_gps"),
+          col("lat"), col("lon"))
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + exifSql + """
+        SELECT doc_id, g < 2 AS has_exif,
+          CASE WHEN g < 2 THEN ori ELSE -1 END AS orientation,
+          CASE WHEN g < 2 THEN make END AS make,
+          CASE WHEN g < 2 THEN model END AS model,
+          CASE WHEN g < 2 THEN dt END AS taken_at,
+          g = 0 AS has_gps,
+          CASE WHEN g = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN alat ELSE -alat END END AS lat,
+          CASE WHEN g = 0 THEN
+            CASE WHEN doc_id % 4 < 2 THEN alon ELSE -alon END END AS lon
+        FROM s ORDER BY doc_id""")),
+
+    // The geotag scrub, gated through real byte surgery: stripExif on
+    // the tagged classes must (a) remove a positive number of bytes,
+    // (b) leave NO decodable EXIF behind, (c) reproduce the pre-splice
+    // JPEG byte-for-byte (pixel hashes survive the scrub), and (d)
+    // leave the image decodable at its original dimensions via the real
+    // ImageIO reader. The oracle pins each gate per class.
+    Q("q282_exif_strip", (s, d) => {
+      import s.implicits._
+      exifFixture(s, d).map { case (id, tagged) =>
+        val original = graft.operators.Multimodal.syntheticJpeg(
+          16, 12, id * 31 + 5)
+        val stripped = graft.operators.Exif.stripExif(tagged)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(stripped))
+        (id, tagged.length - stripped.length > 0,
+          graft.operators.Exif.exifOf(id, stripped).has_exif,
+          java.util.Arrays.equals(stripped, original),
+          img != null && img.getWidth == 16 && img.getHeight == 12)
+      }.toDF("doc_id", "was_tagged", "exif_after", "byte_exact", "dims_ok")
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + exifSql + """
+        SELECT doc_id, g < 2 AS was_tagged, FALSE AS exif_after,
+          TRUE AS byte_exact, TRUE AS dims_ok
+        FROM s ORDER BY doc_id"""))
   )
+
+  /** The EXIF fixture: (doc_id, jpeg bytes) with class g = doc_id % 3 —
+    * 0: EXIF + GPS, 1: EXIF only, 2: untagged. Values are pure doc_id
+    * formulas (mirrored in [[exifSql]]); the JPEGs are real baseline
+    * encodes, so decode walks actual camera-shaped structures.
+    */
+  private def exifFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = (id % 3).toInt
+      val bytes =
+        if (g == 2) graft.operators.Multimodal.syntheticJpeg(16, 12, id * 31 + 5)
+        else {
+          val alat = (id % 90).toDouble + (id % 60).toDouble / 60.0
+          val alon = (id % 180).toDouble + ((id * 3) % 60).toDouble / 60.0
+          val lat = if (id % 2 == 0) alat else -alat
+          val lon = if (id % 4 < 2) alon else -alon
+          graft.operators.Exif.syntheticJpegExif(16, 12, id * 31 + 5,
+            orientation = (1 + id % 8).toInt,
+            make = "Cam" + (id % 5), model = "MX-" + (id % 11),
+            takenAt = "2024:0" + (1 + id % 9) + ":15 08:30:00",
+            gps = if (g == 0) Some((lat, lon)) else None)
+        }
+      (id, bytes)
+    }
+  }
+
+  /** The fixture formulas as a DuckDB CTE (`s`). */
+  private def exifSql: String = """
+        s AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS g,
+                CAST(1 + doc_id % 8 AS INT) AS ori,
+                'Cam' || (doc_id % 5) AS make,
+                'MX-' || (doc_id % 11) AS model,
+                '2024:0' || (1 + doc_id % 9) || ':15 08:30:00' AS dt,
+                CAST(doc_id % 90 AS DOUBLE)
+                  + CAST(doc_id % 60 AS DOUBLE) / 60.0 AS alat,
+                CAST(doc_id % 180 AS DOUBLE)
+                  + CAST((doc_id * 3) % 60 AS DOUBLE) / 60.0 AS alon
+              FROM documents)"""
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ExifSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def jpegWith(gps: Option[(Double, Double)], seed: Long = 7L,
+                       orientation: Int = 6) =
+    Exif.syntheticJpegExif(8, 6, seed, orientation, "TestCam",
+      "Model X100", "2024:06:01 12:34:56", gps)
+
+  test("exifOf decodes orientation/make/model/timestamp and GPS DMS with hemisphere signs") {
+    val lat = 48.0 + 51.0 / 60.0
+    val lon = 2.0 + 21.0 / 60.0
+    val m = Exif.exifOf(1L, jpegWith(Some((lat, lon))))
+    assert(m.has_exif && m.has_gps)
+    assert(m.orientation == 6)
+    assert(m.make == "TestCam" && m.model == "Model X100")
+    assert(m.taken_at == "2024:06:01 12:34:56")
+    assert(m.lat.contains(lat) && m.lon.contains(lon), s"got $m")
+    // southern/western hemisphere: refs flip the sign
+    val s = Exif.exifOf(2L, jpegWith(Some((-33.0 - 52.0 / 60.0, -151.0 - 12.0 / 60.0))))
+    assert(s.lat.exists(_ < 0) && s.lon.exists(_ < 0), s"got $s")
+    assert(s.lat.contains(-(33.0 + 52.0 / 60.0)))
+  }
+
+  test("exifOf without GPS; non-JPEG and EXIF-less JPEG degrade to has_exif=false") {
+    val m = Exif.exifOf(1L, jpegWith(None))
+    assert(m.has_exif && !m.has_gps && m.lat.isEmpty)
+    assert(m.orientation == 6 && m.make == "TestCam")
+    val plain = Exif.exifOf(2L, Multimodal.syntheticJpeg(8, 6, 1L))
+    assert(!plain.has_exif && plain.orientation == -1 && plain.make == null)
+    val junk = Exif.exifOf(3L, Array[Byte](1, 2, 3, 4, 5))
+    assert(!junk.has_exif)
+    val png = Exif.exifOf(4L, Multimodal.syntheticPng(8, 6, 1L))
+    assert(!png.has_exif)
+  }
+
+  test("stripExif removes exactly the Exif segment: re-decode finds nothing, image pixels and dims survive") {
+    val withExif = jpegWith(Some((10.5, -20.25)))
+    val stripped = Exif.stripExif(withExif)
+    assert(stripped.length < withExif.length)
+    assert(!Exif.exifOf(1L, stripped).has_exif)
+    // the image stream is untouched: ImageIO still decodes, same dims
+    // AND same pixels as the never-tagged original
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stripped))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    val original = Multimodal.syntheticJpeg(8, 6, 7L)
+    assert(java.util.Arrays.equals(stripped, original),
+      "strip must reproduce the pre-splice JPEG byte-for-byte")
+    // idempotent + no-op paths return the same array reference
+    assert(Exif.stripExif(stripped) eq stripped)
+    val junk = Array[Byte](1, 2, 3)
+    assert(Exif.stripExif(junk) eq junk)
+  }
+
+  test("decodeExifBatch and stripExifBatch over a frame") {
+    val rows = Seq(
+      (1L, jpegWith(Some((48.85, 2.35)))),
+      (2L, jpegWith(None, seed = 9L)),
+      (3L, Multimodal.syntheticJpeg(8, 6, 2L)))
+      .toDF("id", "data")
+    val metas = Exif.decodeExifBatch(rows, "id", "data")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).has_gps && metas(2L).has_exif && !metas(2L).has_gps)
+    assert(!metas(3L).has_exif)
+    val scrubbed = Exif.stripExifBatch(rows, "id", "data")
+    val audit = scrubbed.select(col("id"), col("exif_bytes_removed"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(audit(1L) > 0 && audit(2L) > 0 && audit(3L) == 0)
+    // scrubbed frame re-decodes with zero EXIF everywhere
+    val after = Exif.decodeExifBatch(scrubbed, "id", "data").collect()
+    assert(after.forall(!_.has_exif))
+  }
+}
