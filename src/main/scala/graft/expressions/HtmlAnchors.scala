@@ -33,6 +33,60 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Reference scope: the pandas layer ships no HTML ops; north-star
   * extension for the 100 TB crawl pipeline.)
   */
+/** `<link rel=... href=...>` tags out of raw HTML — the header-metadata
+  * sibling of [[HtmlAnchors]] (same manual single-pass scan, same
+  * no-regex rationale). One `(rel, href)` struct per `<link>` tag that
+  * carries BOTH attributes, in document order, `rel` lowercased — the
+  * `rel=canonical` row is THE crawl dedup hint (the page names its own
+  * canonical URL), and alternate/hreflang rows feed language clustering.
+  */
+case class HtmlLinkTags(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("rel", StringType, nullable = false),
+      StructField("href", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_html_link_tags"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val open = HtmlAnchors.indexOfLinkOpen(s, i)
+      if (open < 0) { i = n }
+      else {
+        val tagEnd = s.indexOf('>', open + 5)
+        if (tagEnd < 0) { i = n }
+        else {
+          val rel = HtmlAnchors.attrOf(s, open + 5, tagEnd, "rel")
+          val href = HtmlAnchors.attrOf(s, open + 5, tagEnd, "href")
+          if (rel != null && href != null)
+            out += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(
+                rel.trim.toLowerCase(java.util.Locale.ROOT)),
+              UTF8String.fromString(href)))
+          i = tagEnd + 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinkTags =
+    copy(child = newChild)
+}
+
+object HtmlLinkTags {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(html: Column): Column =
+    ColumnBridge.column(HtmlLinkTags(ColumnBridge.expression(html)))
+}
+
 case class HtmlAnchors(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -119,16 +173,25 @@ object HtmlAnchors {
   }
 
   /** The href attribute value inside `s[from, until)` (the attribute
-    * region of one tag), or null: `href` at a non-word boundary, `=`,
+    * region of one tag), or null.
+    */
+  private[expressions] def hrefOf(s: String, from: Int, until: Int): String =
+    attrOf(s, from, until, "href")
+
+  /** The value of attribute `name` (ASCII-ci, lowercase) inside
+    * `s[from, until)`, or null: the name at a non-word boundary, `=`,
     * then a quoted or whitespace/`>`-terminated value.
     */
-  private[expressions] def hrefOf(s: String, from: Int, until: Int): String = {
+  private[expressions] def attrOf(s: String, from: Int, until: Int,
+                                  name: String): String = {
+    val n = name.length
     var i = from
-    while (i < until - 4) {
-      if (lc(s.charAt(i)) == 'h' && lc(s.charAt(i + 1)) == 'r' &&
-          lc(s.charAt(i + 2)) == 'e' && lc(s.charAt(i + 3)) == 'f' &&
-          (i == from || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
-        var j = i + 4
+    while (i < until - n) {
+      var k = 0
+      var hit = true
+      while (hit && k < n) { hit = lc(s.charAt(i + k)) == name.charAt(k); k += 1 }
+      if (hit && (i == from || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        var j = i + n
         while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
         if (j < until && s.charAt(j) == '=') {
           j += 1
@@ -150,6 +213,23 @@ object HtmlAnchors {
       i += 1
     }
     null
+  }
+
+  /** Index of the next `<link` (ASCII ci) with a proper delimiter. */
+  private[expressions] def indexOfLinkOpen(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = s.length
+    while (i < n - 5) {
+      if (s.charAt(i) == '<' && lc(s.charAt(i + 1)) == 'l' &&
+          lc(s.charAt(i + 2)) == 'i' && lc(s.charAt(i + 3)) == 'n' &&
+          lc(s.charAt(i + 4)) == 'k') {
+        if (i + 5 >= n) return -1
+        val d = s.charAt(i + 5)
+        if (d == '>' || d == '/' || Character.isWhitespace(d)) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Strip nested tags, collapse whitespace runs to one space, trim. */

@@ -74,6 +74,27 @@ object LinkGraph {
       .otherwise(concat(scheme, lit("://"), host, baseDir, h))
   }
 
+  /** The page's self-declared canonical URL — the FIRST
+    * `<link rel=canonical>` href resolved against the page URL, as a
+    * nullable `canonical_url` column (null when the page declares
+    * none). THE crawl dedup hint: recrawls, tracking-parameter
+    * variants, and mobile mirrors of one page all declare the same
+    * canonical, so `coalesce(canonical_url, canonicalized url)` is the
+    * strongest exact-dedup key a crawl pipeline has. Pure per-row
+    * projection, no shuffle.
+    */
+  def canonicalHint(df: DataFrame, urlCol: String,
+                    htmlCol: String): DataFrame = {
+    val canonicals = filter(
+      graft.expressions.HtmlLinkTags(col(htmlCol)),
+      t => t.getField("rel") === "canonical")
+    // get(), not element_at(): under ANSI an empty array must yield
+    // null, not an index error
+    val raw = get(canonicals, lit(0)).getField("href")
+    df.withColumn("canonical_url",
+      when(raw.isNotNull, resolveHref(col(urlCol), raw)))
+  }
+
   /** Registered-domain edge list: (src_domain, dst_domain, n_links),
     * built from raw pages in one pass — extract + resolve + domain
     * projection, then ONE count aggregate at edge grain. Self-loops

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) over a crawled corpus — the
+  * compliance gate every crawl pipeline runs before fetching or
+  * publishing:
+  *
+  *  - [[parseRobots]]: one rule row per (domain, allow, pattern) from
+  *    the group applicable to the crawler's product token;
+  *  - [[robotsGate]]: URL admission against the rule table with the
+  *    RFC's precedence — longest matching pattern wins, allow wins
+  *    ties, no match means allowed.
+  *
+  * Semantics implemented (all from the public RFC):
+  *  - groups = consecutive `User-agent:` lines sharing the following
+  *    allow/disallow rules; the crawler uses the group whose agent
+  *    token matches its own CASE-INSENSITIVELY, else the `*` group;
+  *    when several groups name the same agent their rules merge;
+  *  - patterns match the URL PATH from its first octet, `*` matching
+  *    any span and a trailing `$` anchoring the end;
+  *  - empty `Disallow:` carries no rule (the classic allow-all idiom);
+  *  - specificity = pattern length in octets.
+  *
+  * Scale shape: parsing is a per-row scan of a (domain-bounded) robots
+  * corpus; the gate joins URLs to rules on registered domain — rules
+  * per domain are tiny, so Catalyst broadcast-joins the rule table —
+  * and reduces per URL with one max-of-struct aggregate. No windows,
+  * no per-row regex.
+  */
+object Robots {
+
+  /** Parse one robots.txt body for `agent`: the merged rules of every
+    * group naming the agent (ci), falling back to the `*` groups when
+    * none does. Returns (allow, pattern) in file order. Lines are
+    * `field: value` with `#` comments stripped; unknown fields
+    * (crawl-delay, sitemap, ...) are skipped — they are not admission
+    * rules.
+    */
+  def rulesOf(body: String, agent: String): Seq[(Boolean, String)] = {
+    if (body == null) return Nil
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // first pass: group id -> (agents, rules)
+    val exact = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    val star = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    var groupAgents = List.empty[String]
+    var inAgentRun = false // consecutive User-agent lines extend one group
+    var groupHasExact = false
+    var groupHasStar = false
+    body.split("\r?\n").foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgentRun) { groupAgents = Nil; groupHasExact = false; groupHasStar = false }
+            inAgentRun = true
+            val tok = value.toLowerCase(java.util.Locale.ROOT)
+            groupAgents ::= tok
+            if (tok == agentLc) groupHasExact = true
+            if (tok == "*") groupHasStar = true
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            // empty Disallow (or Allow) carries no rule
+            if (value.nonEmpty && groupAgents.nonEmpty) {
+              val rule = (field == "allow", value)
+              if (groupHasExact) exact += rule
+              else if (groupHasStar) star += rule
+            }
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    if (exact.nonEmpty) exact.toSeq else star.toSeq
+  }
+
+  /** RFC 9309 pattern match against a path: the pattern matches from
+    * the path's first octet, `*` spans anything, trailing `$` anchors
+    * the end. Returns the pattern's length (the RFC's specificity) on
+    * match, -1 otherwise. Iterative glob with star backtracking — no
+    * regex compilation per pair.
+    */
+  def matchLen(path: String, pattern: String): Int = {
+    if (path == null || pattern == null || pattern.isEmpty) return -1
+    val anchored = pattern.endsWith("$")
+    val pat0 = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    // un-anchored semantics = prefix match = glob full-match of pat + '*'
+    val pat = if (anchored) pat0 else pat0 + "*"
+    var p = 0; var t = 0
+    var starP = -1; var starT = -1
+    val np = pat.length; val nt = path.length
+    while (t < nt) {
+      if (p < np && (pat.charAt(p) == path.charAt(t))) { p += 1; t += 1 }
+      else if (p < np && pat.charAt(p) == '*') { starP = p; starT = t; p += 1 }
+      else if (starP >= 0) { starT += 1; t = starT; p = starP + 1 }
+      else return -1
+    }
+    while (p < np && pat.charAt(p) == '*') p += 1
+    if (p == np) pattern.length else -1
+  }
+
+  /** One rule row per (domain, rule_idx, allow, pattern) for `agent`,
+    * from a robots corpus frame (one body per domain). Implemented as a
+    * flatMap over the bodies — the robots corpus is domain-bounded, one
+    * small text per site.
+    */
+  def parseRobots(robots: DataFrame, domainCol: String, bodyCol: String,
+                  agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(domainCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (dom, body) =>
+        rulesOf(body, agent).zipWithIndex.map { case ((allow, pat), i) =>
+          (dom, i, allow, pat)
+        }
+      }
+      .toDF(domainCol, "rule_idx", "allow", "pattern")
+  }
+
+  /** Admission decisions: `urls` gains an `allowed` column per the
+    * rule table ([[parseRobots]] output, joined on `domainCol`). The
+    * reduction is one max-of-struct aggregate per URL row — a
+    * (specificity, allow) lexicographic max IS the RFC precedence
+    * (longest match wins; at equal length the allow=true struct is
+    * larger, so allow wins ties). URLs on domains with no rules, or
+    * matching no rule, are allowed. Matching runs on the URL's path
+    * ('/' when absent). Row identity is a synthetic id, so duplicate
+    * URL rows keep their multiplicity.
+    */
+  def robotsGate(urls: DataFrame, urlCol: String, rules: DataFrame,
+                 domainCol: String = "domain"): DataFrame = {
+    import graft.functions.Urls
+    val withDom = urls
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__dom", Urls.registeredDomain(col(urlCol)))
+      .withColumn("__path",
+        coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")))
+    val r = rules.select(col(domainCol).as("__dom"),
+      col("allow"), col("pattern"))
+    val scored = withDom.join(r, Seq("__dom"), "left")
+      .withColumn("__len",
+        when(col("pattern").isNotNull,
+          RobotsMatchLen(col("__path"), col("pattern"))).otherwise(lit(-1)))
+      .withColumn("__verdict",
+        when(col("__len") >= 0,
+          struct(col("__len"), col("allow").cast("int").as("a"))))
+    val urlCols = urls.columns
+    val aggs = urlCols.map(c => first(col(c)).as(c)) :+
+      max(col("__verdict")).as("__best")
+    scored.groupBy(col("__rid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("allowed",
+        col("__best").isNull || col("__best.a") === 1)
+      .select((urlCols.map(col) :+ col("allowed")): _*)
+  }
+}
+
+/** [[Robots.matchLen]] as a Catalyst expression — one static call per
+  * (path, rule) pair, no regex compilation, no UDF serialization
+  * (CodegenFallback per the [[graft.expressions.WordShingles]]
+  * rationale: the win is the scan, one virtual call per row is noise).
+  */
+case class RobotsMatchLen(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_robots_match_len"
+  override def nullSafeEval(p: Any, pat: Any): Any =
+    Robots.matchLen(p.toString, pat.toString)
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): RobotsMatchLen =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsMatchLen {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(path: Column, pattern: Column): Column =
+    ColumnBridge.column(RobotsMatchLen(
+      ColumnBridge.expression(path), ColumnBridge.expression(pattern)))
+}

@@ -1573,6 +1573,34 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("data", -1).getOrElse("data"), "data"))
     },
+    "graft.canonical_hint" -> { a =>
+      // the page's self-declared <link rel=canonical> URL, resolved
+      // against the page URL (nullable canonical_url column) — the
+      // strongest exact-dedup key a crawl pipeline has
+      graft.operators.LinkGraph.canonicalHint(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asStr(a.get("html", -1).getOrElse("html"), "html"))
+    },
+    "graft.robots_rules" -> { a =>
+      // RFC 9309 parse: one (domain, rule_idx, allow, pattern) row per
+      // rule in the group applicable to `agent` (exact ci match, else *)
+      graft.operators.Robots.parseRobots(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        asStr(a.get("body", -1).getOrElse("body"), "body"),
+        asStr(a.require("agent", 1), "agent"))
+    },
+    "graft.robots_gate" -> { a =>
+      // RFC 9309 admission: urls gain `allowed` per the rule table —
+      // longest match wins, allow wins ties, no match = allowed
+      graft.operators.Robots.robotsGate(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asDf(a.require("rules", 1), "rules"),
+        domainCol = asStr(a.get("rules_domain", -1).getOrElse("domain"),
+          "rules_domain"))
+    },
     "graft.extract_links" -> { a =>
       // <a href> anchors out of raw HTML (single-pass scan, no regex),
       // hrefs resolved against the page URL; one row per resolved link

@@ -240,8 +240,148 @@ object Round14 {
     }, Some("WITH" + exifSql + """
         SELECT doc_id, g < 2 AS was_tagged, FALSE AS exif_after,
           TRUE AS byte_exact, TRUE AS dims_ok
+        FROM s ORDER BY doc_id""")),
+
+    // RFC 9309 parsing: the applicable group for agent 'graftbot' per
+    // domain — even domains carry an exact graftbot group (which must
+    // shadow BOTH the OtherBot catch-all above it and the * group below
+    // it), odd domains only a * group. A mis-selected group flips every
+    // rule row.
+    Q("q283_robots_rules", (s, d) =>
+      graft.operators.Robots.parseRobots(
+          robotsFixture(s, d), "domain", "body", "graftbot")
+        .orderBy(col("domain"), col("rule_idx")),
+      Some("WITH" + robotsSql + """
+        SELECT domain, rule_idx, allow, pattern FROM rules
+        ORDER BY domain, rule_idx""")),
+
+    // The admission gate end to end: longest-match precedence (class 4:
+    // '/*.pdf$' at 7 octets beats the 6-octet '/pubK/' allow), anchored
+    // rules, the * fallback on odd domains, and allow-by-default where
+    // nothing matches.
+    Q("q284_robots_gate", (s, d) => {
+      val urls = robotsUrls(s, d)
+      graft.operators.Robots.robotsGate(urls, "url",
+          graft.operators.Robots.parseRobots(
+            robotsFixture(s, d), "domain", "body", "graftbot"))
+        .select(col("doc_id"), col("url"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + robotsSql + """,
+        u AS (SELECT doc_id, k, p, even,
+                'https://d' || k || '.com' ||
+                CASE WHEN even THEN
+                  CASE p WHEN 0 THEN '/pub' || k || '/a' || doc_id
+                         WHEN 1 THEN '/pub' || k || '/tmp/b' || doc_id
+                         WHEN 2 THEN '/x' || doc_id || '.pdf'
+                         WHEN 3 THEN '/misc/' || doc_id
+                         ELSE '/pub' || k || '/c' || doc_id || '.pdf' END
+                ELSE
+                  CASE p WHEN 0 THEN '/blocked' || k || '/x' || doc_id
+                         ELSE '/open/' || doc_id END
+                END AS url
+              FROM su)
+        SELECT doc_id, url,
+          CASE WHEN even THEN p IN (0, 3)
+               ELSE p <> 0 END AS allowed
+        FROM u ORDER BY doc_id""")),
+
+    // rel=canonical extraction + resolution — the crawl dedup hint:
+    // absolute and root-relative declarations resolve, pages declaring
+    // none (or only non-canonical link tags) yield null.
+    Q("q285_canonical_hint", (s, d) => {
+      val t1 = (col("doc_id") * 7 + 3) % 1000
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val html = when(col("doc_id") % 4 === 0, concat(
+          lit("<head><LINK REL=\"Canonical\" HREF=\"https://canon"),
+          str(col("doc_id") % 5), lit(".com/doc/"), str(t1),
+          lit("\"/></head><body>x</body>")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("<head><link rel='canonical' href='/canon/"), str(t1),
+          lit("'></head>")))
+        .when(col("doc_id") % 4 === 2,
+          lit("<head><link rel=\"stylesheet\" href=\"/s.css\"></head>"))
+        .otherwise(lit("<body>no head</body>"))
+      val df = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", concat(lit("https://d"),
+          str(col("doc_id") % 20), lit(".com/doc/"), str(col("doc_id"))))
+        .withColumn("html", html)
+      graft.operators.LinkGraph.canonicalHint(df, "url", "html")
+        .select(col("doc_id"), col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+          (doc_id*7+3) % 1000 AS t1 FROM documents)
+        SELECT doc_id,
+          CASE c WHEN 0 THEN 'https://canon' || (doc_id % 5) || '.com/doc/' || t1
+                 WHEN 1 THEN 'https://d' || (doc_id % 20) || '.com/canon/' || t1
+                 END AS canonical_url
         FROM s ORDER BY doc_id"""))
   )
+
+  /** Robots fixture: one robots.txt body per domain d0..d9.com — even
+    * domains carry an OtherBot catch-all, an exact graftbot group, and
+    * a * group (the gate must pick the middle one); odd domains only a
+    * * group.
+    */
+  private def robotsFixture(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val k = col("k")
+    t(s, d, "documents").select((col("doc_id") % 10).as("k")).distinct()
+      .withColumn("domain", concat(lit("d"), str(k), lit(".com")))
+      .withColumn("body",
+        when(k % 2 === 0, concat(
+          lit("User-agent: OtherBot\nDisallow: /\n\n" +
+            "User-agent: graftbot\nAllow: /pub"), str(k),
+          lit("/\nDisallow: /pub"), str(k),
+          lit("/tmp/\nDisallow: /*.pdf$\n\nUser-agent: *\nDisallow: /\n")))
+        .otherwise(concat(
+          lit("User-agent: *\nDisallow: /blocked"), str(k),
+          lit("/\nCrawl-delay: 2\n"))))
+      .select(col("domain"), col("body"))
+  }
+
+  /** URL frame for [[robotsFixture]]: per doc, a path class on its
+    * domain (mirrored in [[robotsSql]]'s `u`).
+    */
+  private def robotsUrls(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val k = col("doc_id") % 10
+    val p = col("doc_id") % 5
+    val path = when(k % 2 === 0,
+        when(p === 0, concat(lit("/pub"), str(k), lit("/a"), str(col("doc_id"))))
+          .when(p === 1, concat(lit("/pub"), str(k), lit("/tmp/b"), str(col("doc_id"))))
+          .when(p === 2, concat(lit("/x"), str(col("doc_id")), lit(".pdf")))
+          .when(p === 3, concat(lit("/misc/"), str(col("doc_id"))))
+          .otherwise(concat(lit("/pub"), str(k), lit("/c"), str(col("doc_id")), lit(".pdf"))))
+      .otherwise(
+        when(p === 0, concat(lit("/blocked"), str(k), lit("/x"), str(col("doc_id"))))
+          .otherwise(concat(lit("/open/"), str(col("doc_id")))))
+    t(s, d, "documents").select(col("doc_id"))
+      .withColumn("url", concat(lit("https://d"), str(k), lit(".com"), path))
+  }
+
+  /** The robots fixture's expected rule table as DuckDB CTEs: `su` (the
+    * per-doc class frame) and `rules` (the graftbot-applicable rules
+    * per domain).
+    */
+  private def robotsSql: String = """
+        su AS (SELECT doc_id, doc_id % 10 AS k, CAST(doc_id % 5 AS INT) AS p,
+                 (doc_id % 10) % 2 = 0 AS even
+               FROM documents),
+        ks AS (SELECT DISTINCT k, even FROM su),
+        rules AS (
+          SELECT 'd' || k || '.com' AS domain, 0 AS rule_idx, TRUE AS allow,
+            '/pub' || k || '/' AS pattern FROM ks WHERE even
+          UNION ALL
+          SELECT 'd' || k || '.com', 1, FALSE, '/pub' || k || '/tmp/'
+          FROM ks WHERE even
+          UNION ALL
+          SELECT 'd' || k || '.com', 2, FALSE, '/*.pdf$' FROM ks WHERE even
+          UNION ALL
+          SELECT 'd' || k || '.com', 0, FALSE, '/blocked' || k || '/'
+          FROM ks WHERE NOT even)"""
 
   /** The EXIF fixture: (doc_id, jpeg bytes) with class g = doc_id % 3 —
     * 0: EXIF + GPS, 1: EXIF only, 2: untagged. Values are pure doc_id

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val body =
+    """# robots for spec
+      |User-agent: OtherBot
+      |Disallow: /
+      |
+      |User-agent: GraftBot
+      |User-agent: SecondBot
+      |Allow: /public/
+      |Disallow: /public/tmp/
+      |Disallow: /private/
+      |Allow: /private/docs/$
+      |Disallow: /*.pdf$
+      |Disallow:
+      |Crawl-delay: 2
+      |
+      |User-agent: *
+      |Disallow: /blocked/
+      |""".stripMargin
+
+  test("rulesOf: group selection (exact ci over *), consecutive agents, comments, empty disallow") {
+    val r = Robots.rulesOf(body, "graftbot")
+    assert(r == Seq(
+      (true, "/public/"), (false, "/public/tmp/"), (false, "/private/"),
+      (true, "/private/docs/$"), (false, "/*.pdf$")))
+    // the second agent of the same group sees the same rules
+    assert(Robots.rulesOf(body, "SECONDBOT") == r)
+    // unknown agent falls to the * group
+    assert(Robots.rulesOf(body, "somebot") == Seq((false, "/blocked/")))
+    // empty / null bodies
+    assert(Robots.rulesOf("", "x").isEmpty)
+    assert(Robots.rulesOf(null, "x").isEmpty)
+  }
+
+  test("rulesOf merges multiple groups naming the same agent") {
+    val b = "User-agent: a\nDisallow: /x/\n\nUser-agent: a\nAllow: /x/y/\n"
+    assert(Robots.rulesOf(b, "a") == Seq((false, "/x/"), (true, "/x/y/")))
+  }
+
+  test("matchLen: prefix, wildcard, end anchor, specificity") {
+    assert(Robots.matchLen("/public/p.html", "/public/") == 8)
+    assert(Robots.matchLen("/public/p.html", "/private/") == -1)
+    assert(Robots.matchLen("/a/b/doc.pdf", "/*.pdf$") == 7)
+    assert(Robots.matchLen("/a/b/doc.pdfx", "/*.pdf$") == -1)
+    assert(Robots.matchLen("/a/b/doc.pdf", "/*.pdf") == 6)
+    assert(Robots.matchLen("/a/b/doc.pdfx", "/*.pdf") == 6)
+    assert(Robots.matchLen("/private/docs/", "/private/docs/$") == 15)
+    assert(Robots.matchLen("/private/docs/x", "/private/docs/$") == -1)
+    assert(Robots.matchLen("/ab/cd/ab/", "/*/cd/") == 6)
+    assert(Robots.matchLen("/x", "") == -1)
+    assert(Robots.matchLen(null, "/x") == -1)
+  }
+
+  test("robotsGate: longest match wins, allow wins ties, no-rule and no-domain rows pass, multiplicity kept") {
+    val robots = Seq(("site.com", body)).toDF("domain", "body")
+    val rules = Robots.parseRobots(robots, "domain", "body", "GraftBot")
+    assert(rules.count() == 5)
+    val urls = Seq(
+      (1L, "https://www.site.com/public/page.html"),   // allow /public/
+      (2L, "https://site.com/public/tmp/x"),           // longer disallow
+      (3L, "https://site.com/private/secret"),         // disallow
+      (4L, "https://site.com/private/docs/"),          // $-anchored allow beats /private/
+      (5L, "https://site.com/files/doc.pdf"),          // /*.pdf$ disallow
+      (6L, "https://site.com/other/x"),                // no rule matches
+      (7L, "https://elsewhere.org/anything"),          // no rules for domain
+      (7L, "https://elsewhere.org/anything")           // duplicate row survives
+    ).toDF("id", "url")
+    val out = Robots.robotsGate(urls, "url", rules)
+    assert(out.count() == 8, "duplicate rows keep their multiplicity")
+    val dec = out.select("id", "allowed").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val byId = dec.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byId(1L) == Seq(true))
+    assert(byId(2L) == Seq(false))
+    assert(byId(3L) == Seq(false))
+    assert(byId(4L) == Seq(true))
+    assert(byId(5L) == Seq(false))
+    assert(byId(6L) == Seq(true))
+    assert(byId(7L) == Seq(true, true))
+  }
+
+  test("HtmlLinkTags + canonical hint: rel casing, self-closing, missing attrs, resolution") {
+    val html =
+      """<head>
+        |<LINK REL="Canonical" HREF="/canonical/page"/>
+        |<link rel="alternate" hreflang="en" href="https://en.site.com/p">
+        |<link rel="stylesheet" href="/s.css">
+        |<link rel="preload">
+        |</head>""".stripMargin
+    val tags = Seq(Tuple1(html)).toDF("h")
+      .select(explode(graft.expressions.HtmlLinkTags(col("h"))).as("t"))
+      .select(col("t.rel"), col("t.href"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tags == Seq(
+      ("canonical", "/canonical/page"),
+      ("alternate", "https://en.site.com/p"),
+      ("stylesheet", "/s.css")))
+    val df = Seq((1L, "https://www.site.com/dir/page", html),
+      (2L, "https://www.site.com/x", "<p>no links</p>")).toDF("doc_id", "url", "html")
+    val hint = LinkGraph.canonicalHint(df, "url", "html")
+      .select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(hint(1L) == "https://www.site.com/canonical/page")
+    assert(hint(2L) == null)
+  }
+}
