@@ -641,4 +641,93 @@ class ExamplesSpec extends AnyFunSuite {
     val sketch = spark.read.parquet(s"$out/domain_sketch.parquet")
     assert(sketch.count() > 0 && sketch.count() <= 4)
   }
+
+  test("examples/link_rank.yaml: robots gate -> canonical hints -> domain graph -> PageRank -> anchors") {
+    import graft.sources.Warc
+
+    // ---- crawl drop: three domains; alpha serves a robots.txt whose
+    // graftbot group disallows /private/; beta pages declare canonical
+    // URLs; links form alpha <-> beta/gamma cycles ----
+    val crawlDir = freshDir("ex_linkrank_in")
+    val out = freshDir("ex_linkrank_out")
+    val robotsBody = "User-agent: graftbot\nDisallow: /private/\n\n" +
+      "User-agent: *\nAllow: /\n"
+    def page(links: Seq[(String, String)], canonical: Option[String]): String =
+      "<html><head>" +
+        canonical.map(c => s"""<link rel="canonical" href="$c">""").getOrElse("") +
+        "</head><body>" +
+        links.map { case (h, a) => s"""<a href="$h">$a</a>""" }.mkString(" ") +
+        "</body></html>"
+    val recs = scala.collection.mutable.ArrayBuffer[Byte]()
+    def add(uri: String, ct: String, body: String): Unit =
+      recs ++= Warc.writeRecord("response", uri, "2026-03-01T00:00:00Z",
+        ct, body.getBytes("UTF-8"))
+    add("https://alpha.com/robots.txt", "text/plain", robotsBody)
+    (0 until 6).foreach { i =>
+      add(s"https://alpha.com/doc/$i", "text/html", page(Seq(
+        (s"https://beta.com/doc/$i", "Beta Site"),
+        (s"https://gamma.com/doc/$i", "Gamma Docs")), None))
+    }
+    // blocked by alpha's robots: must vanish from every downstream table
+    (0 until 3).foreach { i =>
+      add(s"https://alpha.com/private/$i", "text/html", page(Seq(
+        (s"https://beta.com/secret/$i", "Hidden")), None))
+    }
+    (0 until 4).foreach { i =>
+      add(s"https://beta.com/doc/$i?utm_source=feed", "text/html", page(Seq(
+        (s"https://alpha.com/doc/$i", "Alpha Home")),
+        Some(s"https://beta.com/doc/$i")))
+    }
+    (0 until 2).foreach { i =>
+      add(s"https://gamma.com/doc/$i", "text/html", page(Seq(
+        (s"https://alpha.com/doc/$i", "Alpha Home")), None))
+    }
+    val fos = new java.io.FileOutputStream(
+      new java.io.File(crawlDir, "drop.warc"))
+    fos.write(recs.toArray); fos.close()
+
+    new Pipeline(spark, "examples/link_rank.yaml",
+      Map("crawl_dir" -> crawlDir, "out_dir" -> out)).run()
+
+    val rules = spark.read.parquet(s"$out/robots_rules.parquet")
+    assert(rules.collect().map(r => (r.getAs[String]("domain"),
+      r.getAs[Boolean]("allow"), r.getAs[String]("pattern"))).toSet ==
+      Set(("alpha.com", false, "/private/")))
+
+    val audit = spark.read.parquet(s"$out/admission_audit.parquet")
+    val blocked = audit.filter(!col("allowed"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(blocked == (0 until 3)
+      .map(i => s"https://alpha.com/private/$i").toSet, s"blocked=$blocked")
+
+    // the blocked pages' outlinks never reach the graph: no edge to the
+    // 'secret' target, and the edge counts replay the fixture
+    val edges = spark.read.parquet(s"$out/domain_graph.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("alpha.com", "beta.com", 6L), ("alpha.com", "gamma.com", 6L),
+      ("beta.com", "alpha.com", 4L), ("gamma.com", "alpha.com", 2L)),
+      s"edges=$edges")
+
+    val pr = spark.read.parquet(s"$out/pagerank.parquet")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // alpha receives from BOTH other domains; it splits its own mass
+    // 6:6 evenly, so beta and gamma tie exactly
+    assert(pr("alpha.com") > pr("beta.com") &&
+      pr("beta.com") == pr("gamma.com"), s"pr=$pr")
+
+    // beta's canonical declaration strips the tracking param from the key
+    val keys = spark.read.parquet(s"$out/canonical_keys.parquet")
+    val betaKeys = keys.filter(col("url").contains("beta.com"))
+      .select("dedup_key").collect().map(_.getString(0)).toSet
+    assert(betaKeys == (0 until 4).map(i => s"https://beta.com/doc/$i").toSet,
+      s"betaKeys=$betaKeys")
+
+    val anchors = spark.read.parquet(s"$out/anchor_topk.parquet")
+      .filter(col("dst_domain") === "alpha.com")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("anchor"), r.getAs[Long]("n")))
+    assert(anchors.head == ("alpha home", 6L), s"anchors=${anchors.toSeq}")
+  }
 }
