@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP envelope handling for real crawl archives: CommonCrawl-style
+  * WARC `response` records carry the FULL HTTP message (status line +
+  * headers + body) as the payload, not bare HTML — a pipeline that
+  * casts the payload to string gets `HTTP/1.1 200 OK...` prepended to
+  * every document. [[splitHttp]] parses the envelope in one byte walk:
+  *
+  *  - `http_status`: the status-line code (-1 when the payload carries
+  *    no envelope — fixtures and non-HTTP records pass through with the
+  *    whole payload as body);
+  *  - `http_content_type`: the Content-Type header's media type,
+  *    lowercased, parameters stripped;
+  *  - `http_charset`: the charset parameter (lowercased) when present;
+  *  - `body`: the bytes after the blank line, VERBATIM;
+  *  - `text`: the body decoded with the declared charset when the JVM
+  *    knows it, else UTF-8 (the replacement-char-lossy decode every
+  *    downstream text stage expects) — this is where a windows-1252
+  *    page stops becoming mojibake.
+  *
+  * Scale shape: a per-row scan of the HEADER region only (the body is
+  * sliced, never walked), map-side, no shuffle.
+  */
+object Http {
+
+  /** (status, contentType, charset, headerEnd) from one payload; status
+    * -1 when there is no HTTP envelope.
+    */
+  private[operators] def parseEnvelope(b: Array[Byte])
+      : (Int, String, String, Int) = {
+    val none = (-1, null, null, 0)
+    if (b.length < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' ||
+        b(3) != 'P' || b(4) != '/') return none
+    // header/body split: CRLFCRLF (tolerate bare LFLF)
+    var split = -1
+    var splitLen = 0
+    var i = 0
+    while (split < 0 && i < b.length - 1) {
+      if (b(i) == '\r' && i + 3 < b.length && b(i + 1) == '\n' &&
+          b(i + 2) == '\r' && b(i + 3) == '\n') { split = i; splitLen = 4 }
+      else if (b(i) == '\n' && b(i + 1) == '\n') { split = i; splitLen = 2 }
+      i += 1
+    }
+    val headEnd = if (split < 0) b.length else split
+    val head = new String(b, 0, headEnd, "ISO-8859-1")
+    val lines = head.split("\r?\n")
+    val statusParts = lines.head.split(" ")
+    val status =
+      if (statusParts.length >= 2 && statusParts(1).forall(_.isDigit) &&
+          statusParts(1).nonEmpty)
+        statusParts(1).toInt
+      else return none
+    var ct: String = null
+    var charset: String = null
+    lines.tail.foreach { l =>
+      val c = l.indexOf(':')
+      if (c > 0 &&
+          l.substring(0, c).trim.equalsIgnoreCase("content-type")) {
+        val v = l.substring(c + 1).trim
+        val semi = v.indexOf(';')
+        ct = (if (semi >= 0) v.substring(0, semi) else v)
+          .trim.toLowerCase(java.util.Locale.ROOT)
+        if (semi >= 0) {
+          // charset parameter, optionally quoted
+          val params = v.substring(semi + 1)
+          val m = params.split(";").map(_.trim)
+            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("charset="))
+          charset = m.map(_.substring("charset=".length).trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .toLowerCase(java.util.Locale.ROOT))
+            .filter(_.nonEmpty).orNull
+        }
+      }
+    }
+    val bodyStart = if (split < 0) b.length else split + splitLen
+    (status, ct, charset, bodyStart)
+  }
+
+  private[operators] def decodeBody(body: Array[Byte],
+                                    charset: String): String = {
+    val cs =
+      try {
+        if (charset != null && java.nio.charset.Charset.isSupported(charset))
+          java.nio.charset.Charset.forName(charset)
+        else java.nio.charset.StandardCharsets.UTF_8
+      } catch {
+        case _: Exception => java.nio.charset.StandardCharsets.UTF_8
+      }
+    new String(body, cs)
+  }
+
+  /** Append the parsed envelope columns to a frame with a binary
+    * payload column: http_status, http_content_type, http_charset,
+    * body (binary), text (charset-decoded).
+    */
+  def splitHttp(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("__env", HttpEnvelope(col(payloadCol)))
+      .withColumn("http_status", col("__env.status"))
+      .withColumn("http_content_type", col("__env.content_type"))
+      .withColumn("http_charset", col("__env.charset"))
+      .withColumn("body", col("__env.body"))
+      .withColumn("text", col("__env.text"))
+      .drop("__env")
+
+  /** Build an HTTP response payload (fixture/test synthesis). */
+  def buildResponse(status: Int, contentType: String,
+                    body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    head.getBytes("ISO-8859-1") ++ body
+  }
+}
+
+/** The envelope parse as a Catalyst expression: binary payload ->
+  * struct(status, content_type, charset, body, text). CodegenFallback
+  * per the [[graft.expressions.WordShingles]] rationale.
+  */
+case class HttpEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_http_envelope"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val (status, ct, charset, bodyStart) = Http.parseEnvelope(b)
+    val body = if (bodyStart == 0) b else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+    new GenericInternalRow(Array[Any](
+      status,
+      if (ct == null) null else UTF8String.fromString(ct),
+      if (charset == null) null else UTF8String.fromString(charset),
+      body,
+      UTF8String.fromString(Http.decodeBody(body, charset))))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HttpEnvelope =
+    copy(child = newChild)
+}
+
+object HttpEnvelope {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(payload: Column): Column =
+    ColumnBridge.column(HttpEnvelope(ColumnBridge.expression(payload)))
+}

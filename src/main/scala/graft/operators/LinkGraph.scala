@@ -198,6 +198,107 @@ object LinkGraph {
     out
   }
 
+  /** EXACT harmonic centrality up to `maxDepth`: for each node v,
+    * `sum over u with 0 < d(u,v) <= maxDepth of 1/d(u,v)` — the
+    * centrality CommonCrawl actually ranks hosts by (computed there
+    * with HyperBall; [[harmonicCentrality]] is that scale path). This
+    * exact face propagates in-neighborhood BALLS as distinct node
+    * arrays — per-node state grows with the ball, so it is the
+    * ORACLE/bounded-graph face; on a 100 TB crawl graph use the sketch.
+    * Output: (node, ball_size (incl. self, radius maxDepth), harmonic).
+    * Iteration shape mirrors [[pageRank]]: persisted edge frame, lazy
+    * checkpoint per radius, one materializing job at the end.
+    */
+  def harmonicCentralityExact(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"harmonicCentralityExact: maxDepth must be in [1,16], got $maxDepth")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var cur = nodes.select(col("node"), array(col("node")).as("ball"),
+        lit(1).as("cnt"), lit(0.0).as("harmonic"))
+      .localCheckpoint(false)
+    var r = 1
+    while (r <= maxDepth) {
+      val nb = e.as("e")
+        .join(cur.as("c"), col("e.src") === col("c.node"))
+        .groupBy(col("e.dst").as("node"))
+        .agg(array_distinct(flatten(collect_list(col("c.ball"))))
+          .as("nbball"))
+      cur = cur.join(nb, Seq("node"), "left")
+        .select(col("node"),
+          when(col("nbball").isNotNull,
+            array_distinct(concat(col("ball"), col("nbball"))))
+            .otherwise(col("ball")).as("ball"),
+          col("cnt"), col("harmonic"))
+        .withColumn("__n", size(col("ball")))
+        .select(col("node"), col("ball"), col("__n").as("cnt"),
+          (col("harmonic") +
+            (col("__n") - col("cnt")).cast("double") / r).as("harmonic"))
+        .localCheckpoint(false)
+      r += 1
+    }
+    val out = cur.select(col("node"), col("cnt").as("ball_size"),
+      col("harmonic")).localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
+  /** HyperBall harmonic centrality (Boldi & Vigna): the same radius
+    * iteration with each node's in-ball held as a MERGEABLE HLL sketch
+    * instead of a node set — per-node state is a fixed 2^lgK registers
+    * regardless of ball size, and the radius-r ball is the HLL union of
+    * the node's own ball with its in-neighbors' radius-(r-1) balls.
+    * `harmonic += (|ball_r| - |ball_{r-1}|) / r` on the estimates. This
+    * is the 100 TB face of [[harmonicCentralityExact]] and the exact
+    * algorithm CommonCrawl's host ranking publishes. At fixture
+    * cardinalities the DataSketches HLL is still in exact (sparse)
+    * mode, so the spec pins sketch == exact there; at scale the
+    * estimate error is the standard ~1.6% at lgK=12.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxDepth: Int = 3, lgk: Int = 12): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"harmonicCentrality: maxDepth must be in [1,16], got $maxDepth")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var cur = nodes.groupBy(col("node"))
+      .agg(hll_sketch_agg(col("node"), lit(lgk)).as("sk"))
+      .withColumn("cnt", hll_sketch_estimate(col("sk")))
+      .withColumn("harmonic", lit(0.0))
+      .localCheckpoint(false)
+    var r = 1
+    while (r <= maxDepth) {
+      val nb = e.as("e")
+        .join(cur.as("c"), col("e.src") === col("c.node"))
+        .groupBy(col("e.dst").as("node"))
+        .agg(hll_union_agg(col("c.sk"), lit(false)).as("nbsk"))
+      cur = cur.join(nb, Seq("node"), "left")
+        .select(col("node"),
+          when(col("nbsk").isNotNull, hll_union(col("sk"), col("nbsk")))
+            .otherwise(col("sk")).as("sk"),
+          col("cnt"), col("harmonic"))
+        .withColumn("__n", hll_sketch_estimate(col("sk")))
+        .select(col("node"), col("sk"), col("__n").as("cnt"),
+          (col("harmonic") +
+            (col("__n") - col("cnt")).cast("double") / r).as("harmonic"))
+        .localCheckpoint(false)
+      r += 1
+    }
+    val out = cur.select(col("node"), col("cnt").as("ball_size"),
+      col("harmonic")).localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Top-k anchor texts per destination registered domain: what the web
     * calls each site. Anchors are lowercased/whitespace-normalized;
     * empties dropped. Rank by count desc with anchor-text tiebreak, over

@@ -1573,6 +1573,28 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("data", -1).getOrElse("data"), "data"))
     },
+    "graft.http_split" -> { a =>
+      // HTTP envelope out of a binary payload column (CommonCrawl WARC
+      // responses carry status+headers+body): http_status/content_type/
+      // charset + verbatim body + charset-AWARE text decode
+      graft.operators.Http.splitHttp(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("payload", -1).getOrElse("payload"), "payload"))
+    },
+    "graft.harmonic_centrality" -> { a =>
+      // harmonic centrality over an edge frame (CommonCrawl's host
+      // rank): exact ball propagation by default (oracle face), or the
+      // HyperBall HLL-sketch face (sketch: true) for unbounded graphs
+      val df = asDf(a.require("df", 0), "df")
+      val src = asStr(a.get("src", -1).getOrElse("src_domain"), "src")
+      val dst = asStr(a.get("dst", -1).getOrElse("dst_domain"), "dst")
+      val depth = a.get("max_depth", -1).map(_.toString.toInt).getOrElse(3)
+      if (a.get("sketch", -1).exists(_.toString.toBoolean))
+        graft.operators.LinkGraph.harmonicCentrality(df, src, dst, depth,
+          lgk = a.get("lgk", -1).map(_.toString.toInt).getOrElse(12))
+      else
+        graft.operators.LinkGraph.harmonicCentralityExact(df, src, dst, depth)
+    },
     "graft.canonical_hint" -> { a =>
       // the page's self-declared <link rel=canonical> URL, resolved
       // against the page URL (nullable canonical_url column) — the

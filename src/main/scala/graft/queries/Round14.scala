@@ -242,6 +242,82 @@ object Round14 {
           TRUE AS byte_exact, TRUE AS dims_ok
         FROM s ORDER BY doc_id""")),
 
+    // HTTP envelope split over real crawl-shaped payloads: status line,
+    // content-type + charset parameter parsing (case/quoting variants),
+    // charset-AWARE body decode (the windows-1252 class must decode é
+    // from byte 0xE9, not mojibake), and envelope-less passthrough.
+    Q("q286_http_envelope", (s, d) => {
+      import s.implicits._
+      val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val t1 = (id * 7 + 3) % 1000
+          val bytes = (id % 4) match {
+            case 0 => graft.operators.Http.buildResponse(200,
+              "text/html; charset=windows-1252",
+              s"café page $t1".getBytes("windows-1252"))
+            case 1 => graft.operators.Http.buildResponse(301,
+              "TEXT/HTML; Charset=\"UTF-8\"",
+              s"moved $t1".getBytes("UTF-8"))
+            case 2 => graft.operators.Http.buildResponse(404,
+              "application/json", "{}".getBytes("UTF-8"))
+            case _ => s"<p>bare $t1</p>".getBytes("UTF-8")
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.operators.Http.splitHttp(payloads, "payload")
+        .select(col("doc_id"), col("http_status"), col("http_content_type"),
+          col("http_charset"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS h,
+          (doc_id*7+3) % 1000 AS t1 FROM documents)
+        SELECT doc_id,
+          CASE h WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+                 ELSE -1 END AS http_status,
+          CASE h WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+                 WHEN 2 THEN 'application/json' END AS http_content_type,
+          CASE h WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'utf-8'
+                 END AS http_charset,
+          CASE h WHEN 0 THEN 'café page ' || t1
+                 WHEN 1 THEN 'moved ' || t1
+                 WHEN 2 THEN '{}'
+                 ELSE '<p>bare ' || t1 || '</p>' END AS text
+        FROM s ORDER BY doc_id""")),
+
+    // Exact harmonic centrality (depth 3) over the link fixture's
+    // domain graph — the centrality CommonCrawl ranks hosts by. The
+    // oracle recomputes every pairwise min-distance <= 3 with a
+    // recursive CTE and re-derives both the ball size and the
+    // 1/d-weighted score; one wrong edge or a leaked self-path shifts
+    // every row.
+    Q("q287_harmonic", (s, d) => {
+      val edges = graft.operators.LinkGraph.domainGraph(
+        linkFixture(s, d), "url", "html")
+      graft.operators.LinkGraph.harmonicCentralityExact(
+          edges, "src_domain", "dst_domain", maxDepth = 3)
+        .select(col("node"), col("ball_size"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy(col("node"))
+    }, Some("WITH RECURSIVE" + linkSql + """,
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src_domain AS node FROM edges
+          UNION ALL SELECT dst_domain FROM edges)),
+        r AS (
+          SELECT src_domain AS u, dst_domain AS v, 1 AS d FROM edges
+          UNION
+          SELECT r.u, e.dst_domain, r.d + 1
+          FROM r JOIN edges e ON e.src_domain = r.v WHERE r.d < 3),
+        m AS (SELECT u, v, MIN(d) AS md FROM r WHERE u <> v GROUP BY u, v),
+        agg AS (SELECT v, md, COUNT(*) AS cnt FROM m GROUP BY v, md),
+        sc AS (SELECT v, SUM(cnt) AS reach,
+                 SUM(CAST(cnt AS DOUBLE) / md) AS h
+               FROM agg GROUP BY v)
+        SELECT n.node,
+          CAST(COALESCE(sc.reach, 0) + 1 AS INT) AS ball_size,
+          round(COALESCE(sc.h, 0.0), 6) AS harmonic
+        FROM nodes n LEFT JOIN sc ON sc.v = n.node
+        ORDER BY n.node""")),
+
     // RFC 9309 parsing: the applicable group for agent 'graftbot' per
     // domain — even domains carry an exact graftbot group (which must
     // shadow BOTH the OtherBot catch-all above it and the * group below

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class HttpCentralitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splitHttp: status/content-type/charset parse, charset-aware decode, envelope-less passthrough") {
+    val cafeCp1252 = Array[Byte]('c', 'a', 'f', 0xE9.toByte) // 'café' in windows-1252
+    val rows = Seq(
+      (1L, Http.buildResponse(200, "text/html; charset=windows-1252", cafeCp1252)),
+      (2L, Http.buildResponse(301, "TEXT/HTML; Charset=\"UTF-8\"", "moved".getBytes("UTF-8"))),
+      (3L, Http.buildResponse(404, "application/json", "{}".getBytes("UTF-8"))),
+      (4L, "<html>bare</html>".getBytes("UTF-8")),   // no envelope
+      (5L, Http.buildResponse(200, "text/plain; charset=bogus-cs-77", "ok".getBytes("UTF-8")))
+    ).toDF("id", "payload")
+    val out = Http.splitHttp(rows, "payload")
+      .select("id", "http_status", "http_content_type", "http_charset", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(out(1L) == ((200, "text/html", "windows-1252", "café")))
+    assert(out(2L) == ((301, "text/html", "utf-8", "moved")))
+    assert(out(3L) == ((404, "application/json", null, "{}")))
+    assert(out(4L) == ((-1, null, null, "<html>bare</html>")))
+    // unknown charset falls back to UTF-8, never throws
+    assert(out(5L) == ((200, "text/plain", "bogus-cs-77", "ok")))
+    // body bytes are verbatim (the windows-1252 byte survives undecoded)
+    val body1 = Http.splitHttp(rows.filter(col("id") === 1), "payload")
+      .select("body").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(body1, cafeCp1252))
+  }
+
+  test("splitHttp: LF-only header separator and truncated/junk payloads degrade, never throw") {
+    val lfOnly = ("HTTP/1.0 200 OK\nContent-Type: text/plain\n\nhi")
+      .getBytes("ISO-8859-1")
+    val rows = Seq(
+      (1L, lfOnly),
+      (2L, "HTTP/1.1 ".getBytes("ISO-8859-1")),  // truncated status
+      (3L, Array[Byte](1, 2, 3))
+    ).toDF("id", "payload")
+    val out = Http.splitHttp(rows, "payload")
+      .select("id", "http_status", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L) == ((200, "hi")))
+    assert(out(2L)._1 == -1)
+    assert(out(3L)._1 == -1)
+  }
+
+  test("harmonicCentralityExact: hand-checked line graph + star; isolated sources score 0") {
+    // line A -> B -> C -> D, plus E -> D
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("E", "D"))
+      .toDF("src", "dst")
+    val out = LinkGraph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 3)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // D: in-ball at depth 3 = {C@1, E@1, B@2, A@3}: 1 + 1 + 1/2 + 1/3
+    assert(math.abs(out("D")._2 - (2.0 + 0.5 + 1.0 / 3.0)) < 1e-12)
+    assert(out("D")._1 == 5) // ball includes self
+    // C: {B@1, A@2} -> 1.5 ; B: {A@1} -> 1 ; A and E unreachable -> 0
+    assert(math.abs(out("C")._2 - 1.5) < 1e-12)
+    assert(out("B")._2 == 1.0 && out("A")._2 == 0.0 && out("E")._2 == 0.0)
+    // depth cap honored: at maxDepth=1 D only sees its direct in-edges
+    val d1 = LinkGraph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d1("D") == 2.0)
+  }
+
+  test("harmonicCentrality (HyperBall): sketch face == exact face at fixture cardinality") {
+    // a denser graph: ring of 12 + chords
+    val edges = (0 until 12).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % 12}"), (s"n$i", s"n${(i + 5) % 12}"))
+    }.toDF("src", "dst")
+    val exact = LinkGraph.harmonicCentralityExact(edges, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val sketch = LinkGraph.harmonicCentrality(edges, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sketch.keySet == exact.keySet)
+    // DataSketches HLL is exact (sparse mode) at these cardinalities:
+    // the sketch face must reproduce the exact ball sizes and scores
+    exact.foreach { case (n, (bs, h)) =>
+      assert(sketch(n)._1 == bs.toLong, s"node $n ball ${sketch(n)._1} != $bs")
+      assert(math.abs(sketch(n)._2 - h) < 1e-9, s"node $n h ${sketch(n)._2} != $h")
+    }
+  }
+}
