@@ -1,0 +1,141 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-phrase blocklist scan as ONE Aho-Corasick pass per row — the
+  * C4-style banned-wordlist gate (a page is dropped when ANY listed
+  * phrase appears at word boundaries) without per-phrase regex
+  * alternation: the automaton visits each character once no matter how
+  * many thousand phrases the list holds, where a regex union re-scans
+  * per alternative and puts page-sized subjects on the JDK regex engine
+  * (this repo's documented pathology).
+  *
+  * Semantics:
+  *  - matching is case-insensitive (per-char `Character.toLowerCase`,
+  *    phrases lowercased at build);
+  *  - `boundary = true` (the wordlist contract) counts a hit only when
+  *    the char before the match start and after the match end are not
+  *    letters/digits — so "ass" never fires inside "class", while the
+  *    multiword phrase "bad words" matches across its internal space;
+  *  - returns the DISTINCT matched phrases, sorted (empty array = clean
+  *    row); `size(...) > 0` is the gate, the array is the audit.
+  *
+  * The automaton builds once per expression instance per executor
+  * (@transient lazy) — nothing per row, nothing serialized into the
+  * plan but the phrase list itself.
+  */
+case class PhraseHits(child: Expression, phrases: Seq[String],
+                      boundary: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  require(phrases.nonEmpty, "PhraseHits: empty phrase list")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_phrase_hits"
+
+  // ---- Aho-Corasick over lowercased phrases ----
+  @transient private lazy val ac: PhraseHits.Automaton =
+    PhraseHits.build(phrases)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val hits = ac.scan(s, boundary)
+    if (hits.isEmpty) PhraseHits.EmptyArray
+    else new GenericArrayData(
+      hits.toArray.sorted.map(p => UTF8String.fromString(p): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseHits =
+    copy(child = newChild)
+}
+
+object PhraseHits {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(text: Column, phrases: Seq[String], boundary: Boolean): Column =
+    ColumnBridge.column(PhraseHits(
+      ColumnBridge.expression(text), phrases, boundary))
+
+  private val EmptyArray = new GenericArrayData(Array.empty[Any])
+
+  @inline private def isWord(c: Char): Boolean =
+    Character.isLetterOrDigit(c)
+
+  /** goto/fail/output automaton; nodes in arrays, edges in per-node
+    * HashMaps (wordlists are small; the scan path is one map probe per
+    * char).
+    */
+  final class Automaton(gotoMaps: Array[java.util.HashMap[Character, Integer]],
+                        fail: Array[Int],
+                        out: Array[List[String]]) {
+    def scan(s: String, boundary: Boolean): Set[String] = {
+      var hits = Set.empty[String]
+      var state = 0
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = Character.toLowerCase(s.charAt(i))
+        var st = state
+        var next = gotoMaps(st).get(c)
+        while (next == null && st != 0) {
+          st = fail(st)
+          next = gotoMaps(st).get(c)
+        }
+        state = if (next == null) 0 else next.intValue()
+        if (out(state).nonEmpty) {
+          out(state).foreach { p =>
+            val start = i - p.length + 1
+            val okL = !boundary || start == 0 || !isWord(s.charAt(start - 1))
+            val okR = !boundary || i == n - 1 || !isWord(s.charAt(i + 1))
+            if (okL && okR) hits += p
+          }
+        }
+        i += 1
+      }
+      hits
+    }
+  }
+
+  def build(phrases: Seq[String]): Automaton = {
+    val lc = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[String])
+    lc.foreach { p =>
+      var st = 0
+      p.foreach { c =>
+        val next = gotoMaps(st).get(c)
+        if (next != null) st = next.intValue()
+        else {
+          gotoMaps += new java.util.HashMap[Character, Integer]()
+          out += Nil
+          gotoMaps(st).put(c, gotoMaps.length - 1)
+          st = gotoMaps.length - 1
+        }
+      }
+      out(st) = p :: out(st)
+    }
+    val fail = new Array[Int](gotoMaps.length)
+    val queue = scala.collection.mutable.Queue[Int]()
+    gotoMaps(0).forEach((_, v) => { fail(v) = 0; queue += v.intValue() })
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      gotoMaps(u).forEach { (c, v) =>
+        queue += v.intValue()
+        var f = fail(u)
+        while (f != 0 && gotoMaps(f).get(c) == null) f = fail(f)
+        val fnext = gotoMaps(f).get(c)
+        fail(v) = if (fnext != null && fnext.intValue() != v.intValue())
+          fnext.intValue() else 0
+        out(v) = out(v) ::: out(fail(v))
+      }
+    }
+    new Automaton(gotoMaps.toArray, fail, out.toArray)
+  }
+}

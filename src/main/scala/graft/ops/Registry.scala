@@ -1573,6 +1573,26 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("data", -1).getOrElse("data"), "data"))
     },
+    "graft.blocklist_flags" -> { a =>
+      // C4-style banned-wordlist audit: ONE Aho-Corasick pass per row
+      // over the whole phrase list (no per-phrase regex); appends
+      // blocklist_hits (distinct matched phrases, sorted — empty =
+      // clean). boundary: false matches inside words too.
+      val df = asDf(a.require("df", 0), "df")
+      df.withColumn("blocklist_hits",
+        graft.expressions.PhraseHits(
+          col(asStr(a.get("text", -1).getOrElse("text"), "text")),
+          asStrList(a.require("phrases", 1)),
+          boundary = a.get("boundary", -1).forall(_.toString.toBoolean)))
+    },
+    "graft.blocklist_gate" -> { a =>
+      // the gate face: keep only rows matching NO listed phrase
+      val df = asDf(a.require("df", 0), "df")
+      df.filter(size(graft.expressions.PhraseHits(
+        col(asStr(a.get("text", -1).getOrElse("text"), "text")),
+        asStrList(a.require("phrases", 1)),
+        boundary = a.get("boundary", -1).forall(_.toString.toBoolean))) === 0)
+    },
     "graft.http_split" -> { a =>
       // HTTP envelope out of a binary payload column (CommonCrawl WARC
       // responses carry status+headers+body): http_status/content_type/

@@ -318,6 +318,38 @@ object Round14 {
         FROM nodes n LEFT JOIN sc ON sc.v = n.node
         ORDER BY n.node""")),
 
+    // Aho-Corasick blocklist scan (the C4 banned-wordlist gate): one
+    // automaton pass per row; classes pin case-insensitive boundary
+    // hits, embedded-in-word NON-hits, multiword phrases firing
+    // together with their word-grain substrings, and clean rows.
+    Q("q288_blocklist", (s, d) => {
+      val t1 = (col("doc_id") * 7 + 3) % 1000
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val text = when(col("doc_id") % 4 === 0,
+          concat(lit("the quick BadWord1 fox "), str(t1)))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("the xbadword1y embedded fox "), str(t1)))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("a very bad phrase indeed "), str(t1)))
+        .otherwise(concat(lit("a clean document "), str(t1)))
+      val df = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("text", text)
+      df.withColumn("blocklist_hits", graft.expressions.PhraseHits(
+          col("text"), Seq("badword1", "very bad phrase", "bad"),
+          boundary = true))
+        .withColumn("clean", size(col("blocklist_hits")) === 0)
+        .select(col("doc_id"), col("blocklist_hits"), col("clean"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c
+                   FROM documents)
+        SELECT doc_id,
+          CASE c WHEN 0 THEN ['badword1']
+                 WHEN 2 THEN ['bad', 'very bad phrase']
+                 ELSE CAST([] AS VARCHAR[]) END AS blocklist_hits,
+          c IN (1, 3) AS clean
+        FROM s ORDER BY doc_id""")),
+
     // RFC 9309 parsing: the applicable group for agent 'graftbot' per
     // domain — even domains carry an exact graftbot group (which must
     // shadow BOTH the OtherBot catch-all above it and the * group below

@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PhraseScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scan(text: String, phrases: Seq[String],
+                   boundary: Boolean): Seq[String] =
+    PhraseHits.build(phrases).scan(text, boundary).toSeq.sorted
+
+  /** Naive reference: for each phrase, every indexOf occurrence in the
+    * lowercased text, boundary-checked — O(text x phrases), the
+    * semantics the automaton must reproduce.
+    */
+  private def naive(text: String, phrases: Seq[String],
+                    boundary: Boolean): Seq[String] = {
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    phrases.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      .distinct.filter { p =>
+        var i = lc.indexOf(p)
+        var hit = false
+        while (!hit && i >= 0) {
+          val okL = !boundary || i == 0 ||
+            !Character.isLetterOrDigit(lc.charAt(i - 1))
+          val okR = !boundary || i + p.length == lc.length ||
+            !Character.isLetterOrDigit(lc.charAt(i + p.length))
+          hit = okL && okR
+          i = lc.indexOf(p, i + 1)
+        }
+        hit
+      }.sorted
+  }
+
+  test("fail-link suffix outputs: a match ending inside a longer phrase's prefix still fires") {
+    // classic AC case: scanning 'ushers' must find she, he, hers
+    val hits = scan("ushers", Seq("he", "she", "his", "hers"), boundary = false)
+    assert(hits == Seq("he", "hers", "she"))
+    // with boundaries none fire (all are mid-word)
+    assert(scan("ushers", Seq("he", "she", "his", "hers"), boundary = true).isEmpty)
+  }
+
+  test("boundaries at string edges, punctuation, multiword phrases, case") {
+    assert(scan("Bad word!", Seq("bad"), boundary = true) == Seq("bad"))
+    assert(scan("bad", Seq("bad"), boundary = true) == Seq("bad"))
+    assert(scan("abad bada", Seq("bad"), boundary = true).isEmpty)
+    assert(scan("say BAD WORDS now", Seq("bad words"), boundary = true)
+      == Seq("bad words"))
+    assert(scan("badwords", Seq("bad words"), boundary = true).isEmpty)
+  }
+
+  test("property: automaton == naive indexOf reference, both boundary modes") {
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val phraseGen = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val textGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.oneOf('a', 'b', 'c')), (3, Gen.const(' ')),
+        (1, Gen.oneOf('A', 'B', 'C')), (1, Gen.oneOf('.', '!', '1'))))
+        .map(_.mkString))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000),
+      Prop.forAll(textGen, Gen.nonEmptyListOf(phraseGen),
+          Gen.oneOf(true, false)) {
+        (text: String, phrases: List[String], boundary: Boolean) =>
+          scan(text, phrases, boundary) == naive(text, phrases, boundary)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("expression face over a frame") {
+    val out = Seq((1L, "a Bad seed"), (2L, "clean"))
+      .toDF("id", "text")
+      .select(col("id"),
+        PhraseHits(col("text"), Seq("bad", "worse"), boundary = true)
+          .as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("bad") && out(2L).isEmpty)
+  }
+}
