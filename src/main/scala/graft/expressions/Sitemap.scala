@@ -1,0 +1,147 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sitemap XML extraction (sitemaps.org protocol — the crawl-frontier
+  * seed every polite crawler reads next to robots.txt): one scan per
+  * row over `<url>`/`<sitemap>` blocks, emitting a struct per entry —
+  *
+  *   (loc, lastmod, changefreq, priority, is_index)
+  *
+  * `is_index = true` rows come from `<sitemapindex><sitemap>` blocks
+  * (their locs are MORE sitemaps to fetch, not pages). Same manual-scan
+  * rationale as [[HtmlAnchors]]: sitemap files are megabytes of
+  * machine-generated XML, exactly the subject size the JDK regex engine
+  * degrades on. Tags match ASCII-case-insensitively; entries without a
+  * `<loc>` are skipped; whitespace around element text is trimmed
+  * (sitemap generators pretty-print).
+  */
+case class SitemapEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("loc", StringType, nullable = false),
+      StructField("lastmod", StringType, nullable = true),
+      StructField("changefreq", StringType, nullable = true),
+      StructField("priority", StringType, nullable = true),
+      StructField("is_index", BooleanType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sitemap_entries"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < s.length) {
+      val (blockStart, isIndex) = {
+        val u = SitemapEntries.indexOfTag(s, i, "url")
+        val m = SitemapEntries.indexOfTag(s, i, "sitemap")
+        if (u < 0 && m < 0) (-1, false)
+        else if (m < 0 || (u >= 0 && u < m)) (u, false)
+        else (m, true)
+      }
+      if (blockStart < 0) { i = s.length }
+      else {
+        val closeTag = if (isIndex) "sitemap" else "url"
+        val blockEnd = SitemapEntries.indexOfClose(s, blockStart, closeTag)
+        val end = if (blockEnd < 0) s.length else blockEnd
+        val loc = SitemapEntries.elementText(s, blockStart, end, "loc")
+        if (loc != null)
+          out += new GenericInternalRow(Array[Any](
+            UTF8String.fromString(loc),
+            SitemapEntries.u8OrNull(
+              SitemapEntries.elementText(s, blockStart, end, "lastmod")),
+            SitemapEntries.u8OrNull(
+              SitemapEntries.elementText(s, blockStart, end, "changefreq")),
+            SitemapEntries.u8OrNull(
+              SitemapEntries.elementText(s, blockStart, end, "priority")),
+            isIndex))
+        i = if (blockEnd < 0) s.length else blockEnd + 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
+object SitemapEntries {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(xml: Column): Column =
+    ColumnBridge.column(SitemapEntries(ColumnBridge.expression(xml)))
+
+  private def u8OrNull(s: String): Any =
+    if (s == null) null else UTF8String.fromString(s)
+
+  @inline private def lc(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Index of the next `<name` (ci) whose following char delimits the
+    * tag name — `<url` must not match `<urlset`. -1 when absent.
+    */
+  private[expressions] def indexOfTag(s: String, from: Int,
+                                      name: String): Int = {
+    val n = name.length
+    var i = math.max(from, 0)
+    while (i < s.length - n) {
+      if (s.charAt(i) == '<') {
+        var k = 0
+        var hit = true
+        while (hit && k < n) { hit = lc(s.charAt(i + 1 + k)) == name.charAt(k); k += 1 }
+        if (hit && i + 1 + n < s.length) {
+          val d = s.charAt(i + 1 + n)
+          if (d == '>' || d == '/' || Character.isWhitespace(d)) return i
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of `</name>` (ci, optional internal whitespace). */
+  private[expressions] def indexOfClose(s: String, from: Int,
+                                        name: String): Int = {
+    var i = math.max(from, 0)
+    while (i >= 0 && i < s.length) {
+      i = s.indexOf('<', i)
+      if (i < 0 || i + 2 + name.length > s.length) return -1
+      if (s.charAt(i + 1) == '/') {
+        var k = 0
+        var hit = true
+        while (hit && k < name.length) {
+          hit = lc(s.charAt(i + 2 + k)) == name.charAt(k); k += 1
+        }
+        if (hit) {
+          var j = i + 2 + name.length
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j < s.length && s.charAt(j) == '>') return i
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Trimmed text of the first `<name>...</name>` inside [from, until),
+    * or null.
+    */
+  private[expressions] def elementText(s: String, from: Int, until: Int,
+                                       name: String): String = {
+    val open = indexOfTag(s, from, name)
+    if (open < 0 || open >= until) return null
+    val gt = s.indexOf('>', open)
+    if (gt < 0 || gt >= until) return null
+    val close = indexOfClose(s, gt + 1, name)
+    if (close < 0 || close > until) return null
+    val t = s.substring(gt + 1, close).trim
+    if (t.isEmpty) null else t
+  }
+}

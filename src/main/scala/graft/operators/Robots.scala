@@ -102,6 +102,108 @@ object Robots {
     if (p == np) pattern.length else -1
   }
 
+  /** The applicable group's Crawl-delay for `agent` (seconds), if any —
+    * same group-selection contract as [[rulesOf]] (exact ci match
+    * shadows `*`; when several matching groups declare one, the last
+    * wins, mirroring merged-rule order). Not part of RFC 9309 but
+    * honored by most crawlers and required for politeness scheduling.
+    */
+  def crawlDelayOf(body: String, agent: String): Option[Double] = {
+    if (body == null) return None
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    var exact: Option[Double] = None
+    var star: Option[Double] = None
+    var inAgentRun = false
+    var groupHasExact = false
+    var groupHasStar = false
+    body.split("\r?\n").foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgentRun) { groupHasExact = false; groupHasStar = false }
+            inAgentRun = true
+            val tok = value.toLowerCase(java.util.Locale.ROOT)
+            if (tok == agentLc) groupHasExact = true
+            if (tok == "*") groupHasStar = true
+          case "crawl-delay" =>
+            inAgentRun = false
+            val d = try Some(value.toDouble).filter(_ >= 0)
+            catch { case _: NumberFormatException => None }
+            if (d.isDefined) {
+              if (groupHasExact) exact = d
+              else if (groupHasStar) star = d
+            }
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    exact.orElse(star)
+  }
+
+  /** One (domain, crawl_delay) row per domain whose robots declares one
+    * for `agent` — the politeness input to [[frontierPlan]].
+    */
+  def crawlDelays(robots: DataFrame, domainCol: String, bodyCol: String,
+                  agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(domainCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (dom, body) =>
+        crawlDelayOf(body, agent).map(d => (dom, d))
+      }
+      .toDF(domainCol, "crawl_delay")
+  }
+
+  /** Politeness-aware fetch schedule: each URL gets its position in its
+    * domain's queue (deterministic `urlCol` order), a fetch time
+    * `pos * crawl_delay` (domains without a declared delay use
+    * `defaultDelay`), and a wave number `floor(fetch_at_s / waveS)` —
+    * the batch a frontier executor runs together. Join ranks (e.g.
+    * [[LinkGraph.pageRank]] output as (node, rank)) to order WITHIN a
+    * wave; the rank column rides along when provided.
+    *
+    * Scale shape: delays and ranks are domain-bounded (broadcast
+    * joins); the per-domain position is a window over the domain's own
+    * URLs — the frontier of one site is inherently a sequential queue,
+    * and the wave arithmetic that follows is per-row. A mega-domain's
+    * queue sorts in one task; its schedule is also years long at any
+    * polite delay, so cap domains upstream ([[Sampling.domainCap]])
+    * before planning.
+    */
+  def frontierPlan(urls: DataFrame, urlCol: String, delays: DataFrame,
+                   ranks: Option[DataFrame] = None,
+                   defaultDelay: Double = 1.0,
+                   waveS: Double = 10.0): DataFrame = {
+    require(defaultDelay >= 0 && waveS > 0,
+      s"frontierPlan: bad defaultDelay=$defaultDelay / waveS=$waveS")
+    import graft.functions.Urls
+    import org.apache.spark.sql.expressions.Window
+    val withDom = urls.withColumn("domain",
+      Urls.registeredDomain(col(urlCol)))
+    val d = delays.select(col(delays.columns.head).as("domain"),
+      col("crawl_delay"))
+    val w = Window.partitionBy(col("domain")).orderBy(col(urlCol).asc)
+    val planned = withDom
+      .join(broadcast(d), Seq("domain"), "left")
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_s",
+        col("pos") * coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .withColumn("wave", floor(col("fetch_at_s") / waveS).cast("long"))
+    ranks match {
+      case None => planned
+      case Some(r) =>
+        planned.join(
+          broadcast(r.select(col(r.columns.head).as("domain"),
+            col(r.columns(1)).as("rank"))),
+          Seq("domain"), "left")
+    }
+  }
+
   /** One rule row per (domain, rule_idx, allow, pattern) for `agent`,
     * from a robots corpus frame (one body per domain). Implemented as a
     * flatMap over the bodies — the robots corpus is domain-bounded, one

@@ -1624,6 +1624,42 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("url", -1).getOrElse("url"), "url"),
         asStr(a.get("html", -1).getOrElse("html"), "html"))
     },
+    "graft.sitemap_entries" -> { a =>
+      // sitemaps.org extraction: one row per <url>/<sitemap> block with
+      // a <loc> (is_index=true rows point at MORE sitemaps); one manual
+      // scan per row
+      val df = asDf(a.require("df", 0), "df")
+      val xmlCol = asStr(a.get("xml", -1).getOrElse("body"), "xml")
+      df.withColumn("__e",
+          explode(graft.expressions.SitemapEntries(col(xmlCol))))
+        .select((df.columns.filter(_ != xmlCol).map(col) :+
+          col("__e.loc").as("loc") :+ col("__e.lastmod").as("lastmod") :+
+          col("__e.changefreq").as("changefreq") :+
+          col("__e.priority").as("priority") :+
+          col("__e.is_index").as("is_index")): _*)
+    },
+    "graft.crawl_delays" -> { a =>
+      // the applicable group's Crawl-delay per domain (politeness input
+      // to graft.frontier_plan)
+      graft.operators.Robots.crawlDelays(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        asStr(a.get("body", -1).getOrElse("body"), "body"),
+        asStr(a.require("agent", 1), "agent"))
+    },
+    "graft.frontier_plan" -> { a =>
+      // politeness-aware fetch schedule: per-domain queue position,
+      // fetch_at_s = pos * crawl_delay (default_delay where undeclared),
+      // wave = floor(fetch_at_s / wave_s); ranks (node, rank) ride along
+      graft.operators.Robots.frontierPlan(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asDf(a.require("delays", 1), "delays"),
+        ranks = a.get("ranks", -1).map(asDf(_, "ranks")),
+        defaultDelay = a.get("default_delay", -1)
+          .map(_.toString.toDouble).getOrElse(1.0),
+        waveS = a.get("wave_s", -1).map(_.toString.toDouble).getOrElse(10.0))
+    },
     "graft.robots_rules" -> { a =>
       // RFC 9309 parse: one (domain, rule_idx, allow, pattern) row per
       // rule in the group applicable to `agent` (exact ci match, else *)

@@ -350,6 +350,98 @@ object Round14 {
           c IN (1, 3) AS clean
         FROM s ORDER BY doc_id""")),
 
+    // Sitemap XML extraction (sitemaps.org): per-class fixtures pin
+    // page entries with/without optional elements, pretty-printed
+    // whitespace, a <sitemapindex> block (is_index rows point at MORE
+    // sitemaps), ci tags, and loc-less entries skipped.
+    Q("q289_sitemap", (s, d) => {
+      val t1 = (col("doc_id") * 7 + 3) % 1000
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val xml = when(col("doc_id") % 4 === 0, concat(
+          lit("<urlset><url><loc>https://a.com/p"), str(t1),
+          lit("</loc><lastmod>2026-01-0"), str(col("doc_id") % 9 + 1),
+          lit("</lastmod><priority>0.8</priority></url>" +
+            "<url><loc> https://a.com/q"), str(t1),
+          lit(" </loc></url></urlset>")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("<URLSET>\n  <URL>\n    <LOC>https://b.com/x"), str(t1),
+          lit("</LOC>\n    <changefreq>daily</changefreq>\n  </URL>\n</URLSET>")))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("<sitemapindex><sitemap><loc>https://c.com/maps/m"), str(t1),
+          lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap></sitemapindex>")))
+        .otherwise(lit("<urlset><url><lastmod>2026-03-01</lastmod></url></urlset>"))
+      t(s, d, "documents").select(col("doc_id"))
+        // inner explode: the loc-less class-3 docs vanish entirely —
+        // row-count parity pins the skip (a null-struct row would also
+        // trip check.py's nullable-boolean None-vs-nan dtype gap)
+        .withColumn("e",
+          explode(graft.expressions.SitemapEntries(xml)))
+        .select(col("doc_id"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"),
+          col("e.is_index").as("is_index"))
+        .orderBy(col("doc_id"), col("loc"))
+    }, Some("""
+        WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+          (doc_id*7+3) % 1000 AS t1, doc_id % 9 + 1 AS dd FROM documents),
+        e AS (
+          SELECT doc_id, 'https://a.com/p' || t1 AS loc,
+            '2026-01-0' || dd AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+            '0.8' AS priority, FALSE AS is_index FROM s WHERE c = 0
+          UNION ALL
+          SELECT doc_id, 'https://a.com/q' || t1, NULL, NULL, NULL, FALSE
+          FROM s WHERE c = 0
+          UNION ALL
+          SELECT doc_id, 'https://b.com/x' || t1, NULL, 'daily', NULL, FALSE
+          FROM s WHERE c = 1
+          UNION ALL
+          SELECT doc_id, 'https://c.com/maps/m' || t1 || '.xml',
+            '2026-02-01', NULL, NULL, TRUE FROM s WHERE c = 2
+          )
+        SELECT doc_id, loc, lastmod, changefreq, priority, is_index
+        FROM e ORDER BY doc_id, loc""")),
+
+    // Politeness-aware frontier plan: per-domain queue positions,
+    // crawl-delay fetch times (declared delay on even domains via the
+    // robots fixture, default 1s elsewhere), wave assignment, and the
+    // PageRank join riding along. Oracle replays the whole schedule
+    // with a window over the same deterministic order.
+    Q("q290_frontier", (s, d) => {
+      val urls = robotsUrls(s, d)
+      val delays = graft.operators.Robots.crawlDelays(
+        robotsFixture(s, d), "domain", "body", "graftbot")
+      graft.operators.Robots.frontierPlan(urls, "url", delays,
+          defaultDelay = 1.0, waveS = 10.0)
+        .select(col("doc_id"), col("domain"), col("pos"),
+          round(col("fetch_at_s"), 6).as("fetch_at_s"), col("wave"))
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + robotsSql + """,
+        u AS (SELECT doc_id, k, 'd' || k || '.com' AS domain, even,
+                'https://d' || k || '.com' ||
+                CASE WHEN even THEN
+                  CASE p WHEN 0 THEN '/pub' || k || '/a' || doc_id
+                         WHEN 1 THEN '/pub' || k || '/tmp/b' || doc_id
+                         WHEN 2 THEN '/x' || doc_id || '.pdf'
+                         WHEN 3 THEN '/misc/' || doc_id
+                         ELSE '/pub' || k || '/c' || doc_id || '.pdf' END
+                ELSE
+                  CASE p WHEN 0 THEN '/blocked' || k || '/x' || doc_id
+                         ELSE '/open/' || doc_id END
+                END AS url
+              FROM su),
+        pl AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain ORDER BY url ASC)
+                   - 1 AS pos,
+                 -- the fixture's ODD domains declare Crawl-delay: 2 in
+                 -- their * group; even domains declare none -> default 1
+                 CASE WHEN even THEN 1.0 ELSE 2.0 END AS delay
+               FROM u)
+        SELECT doc_id, domain, pos,
+          round(pos * delay, 6) AS fetch_at_s,
+          CAST(floor(pos * delay / 10.0) AS BIGINT) AS wave
+        FROM pl ORDER BY doc_id""")),
+
     // RFC 9309 parsing: the applicable group for agent 'graftbot' per
     // domain — even domains carry an exact graftbot group (which must
     // shadow BOTH the OtherBot catch-all above it and the * group below

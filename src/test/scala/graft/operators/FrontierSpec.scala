@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.expressions.SitemapEntries
+
+class FrontierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SitemapEntries: page entries, optional elements, index blocks, ci tags, loc-less skipped") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset>
+        |  <url><loc>https://a.com/1</loc><lastmod>2026-01-02</lastmod>
+        |       <changefreq>daily</changefreq><priority>0.5</priority></url>
+        |  <URL><LOC>  https://a.com/2  </LOC></URL>
+        |  <url><lastmod>2026-01-03</lastmod></url>
+        |</urlset>""".stripMargin
+    val rows = Seq(Tuple1(xml)).toDF("x")
+      .select(explode(SitemapEntries(col("x"))).as("e"))
+      .select("e.loc", "e.lastmod", "e.changefreq", "e.priority", "e.is_index")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSeq
+    assert(rows == Seq(
+      ("https://a.com/1", "2026-01-02", "daily", "0.5", false),
+      ("https://a.com/2", null, null, null, false)))
+    val idx =
+      "<sitemapindex><sitemap><loc>https://a.com/m1.xml</loc></sitemap>" +
+        "<sitemap><loc>https://a.com/m2.xml</loc></sitemap></sitemapindex>"
+    val irows = Seq(Tuple1(idx)).toDF("x")
+      .select(explode(SitemapEntries(col("x"))).as("e"))
+      .select("e.loc", "e.is_index")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(irows == Seq(("https://a.com/m1.xml", true),
+      ("https://a.com/m2.xml", true)))
+    assert(Seq(Tuple1("<p>not xml</p>")).toDF("x")
+      .select(size(SitemapEntries(col("x")))).head().getInt(0) == 0)
+  }
+
+  test("crawlDelayOf: group selection, last-wins within a group, non-numeric skipped") {
+    val b = "User-agent: a\nCrawl-delay: 5\n\nUser-agent: *\nCrawl-delay: 2\n"
+    assert(Robots.crawlDelayOf(b, "A").contains(5.0))
+    assert(Robots.crawlDelayOf(b, "other").contains(2.0))
+    assert(Robots.crawlDelayOf("User-agent: *\nDisallow: /x\n", "a").isEmpty)
+    assert(Robots.crawlDelayOf("User-agent: *\nCrawl-delay: soon\n", "a").isEmpty)
+    assert(Robots.crawlDelayOf(null, "a").isEmpty)
+  }
+
+  test("frontierPlan: per-domain positions, declared vs default delay, waves, rank join") {
+    val urls = Seq(
+      "https://slow.com/a", "https://slow.com/b", "https://slow.com/c",
+      "https://fast.com/a", "https://fast.com/b")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val delays = Seq(("slow.com", 7.0)).toDF("domain", "crawl_delay")
+    val ranks = Seq(("slow.com", 0.6), ("fast.com", 0.4)).toDF("node", "rank")
+    val out = Robots.frontierPlan(urls, "url", delays, Some(ranks),
+        defaultDelay = 1.0, waveS = 10.0)
+      .select("url", "pos", "fetch_at_s", "wave", "rank")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("https://slow.com/a") == ((0L, 0.0, 0L, 0.6)))
+    assert(out("https://slow.com/b") == ((1L, 7.0, 0L, 0.6)))
+    assert(out("https://slow.com/c") == ((2L, 14.0, 1L, 0.6)))
+    assert(out("https://fast.com/a") == ((0L, 0.0, 0L, 0.4)))
+    assert(out("https://fast.com/b") == ((1L, 1.0, 0L, 0.4)))
+  }
+}
