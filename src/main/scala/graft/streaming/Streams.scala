@@ -900,7 +900,21 @@ object Streams {
         try_to_timestamp(col("warc_date")).as("__event_ts"),
         Urls.canonicalize(col("target_uri")).as("canon_url"),
         Urls.registeredDomain(col("target_uri")).as("domain"),
-        col("payload").cast("string").as("html"))
+        // real CommonCrawl responses carry the FULL HTTP message as the
+        // payload — without the envelope split every document would
+        // start with 'HTTP/1.1 200 OK...'. HttpEnvelope: envelope-less
+        // payloads (fixtures, pre-stripped corpora) pass through with
+        // status -1 and the whole payload as the charset-decoded body.
+        graft.operators.HttpEnvelope(col("payload")).as("__http"))
+      .withColumn("__status", col("__http.status"))
+      // keep successful responses only (an envelope-less payload IS the
+      // page); a 404/301 body is boilerplate, not a document
+      .filter(col("__status") === -1 || col("__status") === 200)
+      // charset-AWARE decode: a windows-1252 page decodes through its
+      // declared charset here instead of arriving as mojibake (the
+      // fixMojibake stage below still repairs double-encoded UTF-8)
+      .withColumn("html", col("__http.text"))
+      .drop("__http", "__status")
       .withColumn("doc_id",
         coalesce(when(length(idFromUri) > 0, idFromUri.cast("long")),
           xxhash64(col("canon_url"))))

@@ -1256,6 +1256,44 @@ class RegistrySpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("n_tokens")))).toSet == twin)
   }
 
+  test("graft.crawl_curate over HTTP-envelope'd payloads: 200s decode charset-aware, non-200s drop, bare payloads unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_crawl_http")
+    val body = "the quick brown fox jumps over the lazy dog and the cat " +
+      "sat on the mat for a while in the sun near the old mill"
+    def html(extra: String) =
+      s"<html><body><p>$body $extra</p></body></html>"
+    def rec(i: Int, payload: Array[Byte]) = graft.sources.Warc.writeRecord(
+      "response", s"https://crawl.example.com/doc/$i",
+      "2026-02-01T00:00:00Z", "text/html", payload)
+    val recs = (
+      // doc 0: enveloped 200 in windows-1252 — é must decode, not mojibake
+      rec(0, graft.operators.Http.buildResponse(200,
+        "text/html; charset=windows-1252",
+        html("café page zero").getBytes("windows-1252"))) ++
+      // doc 1: enveloped 404 — boilerplate, must drop
+      rec(1, graft.operators.Http.buildResponse(404, "text/html",
+        html("not found page").getBytes("UTF-8"))) ++
+      // doc 2: bare payload (no envelope) — passes through as before
+      rec(2, html("bare page two").getBytes("UTF-8"))).toArray
+    val fos = new java.io.FileOutputStream(new java.io.File(dir.toFile, "a.warc"))
+    fos.write(recs); fos.close()
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val mergesDf = reg.callFunction("graft.bpe_byte_train", Args(
+      pos = List(docs, 16L))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val records = reg.callFunction("graft.read_warc", Args(
+      pos = List(dir.toString))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val curated = reg.callFunction("graft.crawl_curate", Args(
+        pos = List(records, mergesDf)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curated.keySet == Set(0L, 2L), s"got ${curated.keySet}")
+    assert(curated(0L).contains("café page zero"),
+      s"charset-aware decode failed: ${curated(0L)}")
+    assert(!curated(0L).contains("HTTP/1.1"), "envelope leaked into text")
+    assert(curated(2L).contains("bare page two"))
+  }
+
   test("graft.crawl_curate dedup knob: exact_unbounded keeps dateless records the watermark default rejects") {
     val dir = java.nio.file.Files.createTempDirectory("reg_crawl_knob")
     val body = "the quick brown fox jumps over the lazy dog and the cat " +
