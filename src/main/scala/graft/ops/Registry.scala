@@ -1740,6 +1740,10 @@ final class Registry(spark: SparkSession) {
           .getOrElse(0.35),
         langs = a.get("langs", -1).map(asStrList)
           .getOrElse(Seq("en", "es", "de", "fr")),
+        // optional C4 banned-wordlist gate (word-boundary, ci): one
+        // Aho-Corasick pass per surviving row
+        blockPhrases = a.get("block_phrases", -1).map(asStrList)
+          .getOrElse(Nil),
         // dedup policy knob. The default (within_watermark) GATES on a
         // parseable WARC-Date — records with a missing/unparseable date
         // are rejected (a wall-clock fallback would poison a backfill's

@@ -873,7 +873,8 @@ object Streams {
                                  minQuality: Double,
                                  langs: Seq[String],
                                  dedup: CrawlDedup =
-                                   CrawlDedup.WithinWatermark()): DataFrame = {
+                                   CrawlDedup.WithinWatermark(),
+                                 blockPhrases: Seq[String] = Nil): DataFrame = {
     import graft.functions.{Bpe, Text, Urls}
     val vocab = Bpe.vocabOfBytes(merges)
     // anchored at the path end so '/doc/123-title' or a '/doc/N' segment
@@ -929,14 +930,21 @@ object Streams {
       .withColumn("fingerprint", Text.fingerprint(col("text")))
       .filter(col("quality") >= minQuality &&
         col("lang_guess").isInCollection(langs))
+    // optional banned-wordlist gate (the C4 stage): one Aho-Corasick
+    // pass per surviving row, word-boundary, case-insensitive — a pure
+    // stateless filter, so the stream==batch contract is untouched
+    val phrased =
+      if (blockPhrases.isEmpty) gated
+      else gated.filter(size(graft.expressions.PhraseHits(
+        col("text"), blockPhrases, boundary = true)) === 0)
     // the watermark-using policies REQUIRE a parseable WARC-Date: records
     // without one are dropped by the same explicit gate in BOTH faces
     // (stream==batch parity) — nonconformant records are a curation
     // reject under the bounded policies; ExactUnbounded keeps them (its
     // dedup carries no event-time semantics to poison)
     val dated = dedup match {
-      case CrawlDedup.ExactUnbounded => gated
-      case _ => gated.filter(col("__event_ts").isNotNull)
+      case CrawlDedup.ExactUnbounded => phrased
+      case _ => phrased.filter(col("__event_ts").isNotNull)
     }
     val probed = dedup match {
       case CrawlDedup.AgainstIndex(dir, fpp, _) =>
@@ -979,9 +987,10 @@ object Streams {
                           merges: Seq[(String, String)],
                           minQuality: Double = 0.35,
                           langs: Seq[String] = Seq("en", "es", "de", "fr"),
-                          dedup: CrawlDedup = CrawlDedup.WithinWatermark()): DataFrame =
+                          dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
+                          blockPhrases: Seq[String] = Nil): DataFrame =
     curateCrawl(graft.sources.Warc.readWarcStream(spark, crawlDir),
-      merges, minQuality, langs, dedup)
+      merges, minQuality, langs, dedup, blockPhrases)
 
   /** Batch twin over the same directory — the equivalence oracle for the
     * streaming face (same chain, same dedup grain; only the surviving
@@ -992,9 +1001,10 @@ object Streams {
                          merges: Seq[(String, String)],
                          minQuality: Double = 0.35,
                          langs: Seq[String] = Seq("en", "es", "de", "fr"),
-                         dedup: CrawlDedup = CrawlDedup.WithinWatermark()): DataFrame =
+                         dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
+                         blockPhrases: Seq[String] = Nil): DataFrame =
     curateCrawl(graft.sources.Warc.readWarcDir(spark, crawlDir),
-      merges, minQuality, langs, dedup)
+      merges, minQuality, langs, dedup, blockPhrases)
 
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,

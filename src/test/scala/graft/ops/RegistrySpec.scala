@@ -1294,6 +1294,32 @@ class RegistrySpec extends AnyFunSuite {
     assert(curated(2L).contains("bare page two"))
   }
 
+  test("graft.crawl_curate block_phrases: the C4 wordlist stage drops matching docs, embedded words survive") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_crawl_block")
+    val body = "the quick brown fox jumps over the lazy dog and the cat " +
+      "sat on the mat for a while in the sun near the old mill"
+    def rec(i: Int, extra: String) = graft.sources.Warc.writeRecord(
+      "response", s"https://crawl.example.com/doc/$i",
+      "2026-02-01T00:00:00Z", "text/html",
+      s"<html><body><p>$body $extra</p></body></html>".getBytes("UTF-8"))
+    val recs = (rec(0, "clean page zero") ++
+      rec(1, "has BadWord here") ++
+      rec(2, "xbadwordy embedded only")).toArray
+    val fos = new java.io.FileOutputStream(new java.io.File(dir.toFile, "a.warc"))
+    fos.write(recs); fos.close()
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val mergesDf = reg.callFunction("graft.bpe_byte_train", Args(
+      pos = List(docs, 16L))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val records = reg.callFunction("graft.read_warc", Args(
+      pos = List(dir.toString))).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val kept = reg.callFunction("graft.crawl_curate", Args(
+        pos = List(records, mergesDf),
+        kw = List("block_phrases" -> List("badword"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), s"got $kept")
+  }
+
   test("graft.crawl_curate dedup knob: exact_unbounded keeps dateless records the watermark default rejects") {
     val dir = java.nio.file.Files.createTempDirectory("reg_crawl_knob")
     val body = "the quick brown fox jumps over the lazy dog and the cat " +
