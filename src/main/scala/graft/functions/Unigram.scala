@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (the SentencePiece unigram model,
+  * Kudo 2018) — the other tokenizer family next to byte-BPE, trained
+  * here with the deterministic HARD-EM (Viterbi-EM) variant so every
+  * step is exactly replayable by an oracle:
+  *
+  *  1. candidates: all substrings of corpus words up to `maxPieceLen`,
+  *     scored by occurrence count x word frequency; the top `vocabSize`
+  *     by (count desc, piece asc) plus ALL single characters (totality
+  *     — any word segments into single chars if nothing else fits);
+  *  2. init: logp = round(ln(count / total), 6) — the 6dp round is the
+  *     determinism contract (the same one weightedSampleN uses): both
+  *     engines' libm ln() may differ in the last ulp, and an unrounded
+  *     score could flip a Viterbi argmax;
+  *  3. E-step: Viterbi-segment each word TYPE under the current scores
+  *     (left-to-right DP, ties prefer the LONGER last piece), counting
+  *     each chosen piece x word frequency;
+  *  4. M-step: pieces used at least once survive (single chars always
+  *     survive), counts Laplace-smoothed by +1, re-normalized, logp
+  *     re-rounded; repeat `iters` times.
+  *
+  * Differences from the SentencePiece reference, documented: hard EM
+  * instead of the forward-backward soft EM, +1 smoothing instead of
+  * iterative vocabulary pruning to a target size, and whitespace
+  * pretokenization (pieces never cross word boundaries). The PRODUCTION
+  * encode face is identical in shape: Viterbi under a fixed score
+  * table.
+  *
+  * Scale: the corpus is touched once per EM round at word-TYPE grain
+  * (one distributed word-count aggregate up front; Viterbi runs per
+  * distinct word with the score table BROADCAST); the score table is
+  * vocab-bounded (vocabSize + alphabet), so the driver-side collects
+  * are model-artifact-sized — the BPE-fit contract.
+  */
+object Unigram {
+
+  /** One trained piece: (piece, logp, count at the final M-step). */
+  final case class Piece(piece: String, logp: Double, count: Long)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Viterbi segmentation of `word` under `scores` (piece -> logp).
+    * Single characters are assumed present (the totality contract —
+    * [[learnUnigram]] guarantees it); a char missing from the table
+    * (encode-time unseen alphabet) scores `unkLogp`, so encode is total
+    * on any input. DP is left-to-right, candidate pieces tried LONGEST
+    * first so an exact score tie keeps the longer last piece.
+    */
+  def viterbi(word: String,
+              scores: java.util.HashMap[String, java.lang.Double],
+              maxPieceLen: Int, unkLogp: Double = -100.0): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val best = new Array[Double](n + 1)
+    val from = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      // j ascending = longest piece first; strict > keeps the first
+      // (longest) winner on ties
+      while (j < i) {
+        val piece = word.substring(j, i)
+        // java.lang.Double, NOT scala Double: a scala-typed get would
+        // silently UNBOX an absent key's null to 0.0 — a score better
+        // than every real piece
+        val v: java.lang.Double = scores.get(piece)
+        val lp: Double =
+          if (v != null) v.doubleValue()
+          else if (piece.length == 1) unkLogp
+          else Double.NegativeInfinity
+        if (lp != Double.NegativeInfinity && best(j) != Double.NegativeInfinity) {
+          val cand = best(j) + lp
+          if (cand > best(i)) { best(i) = cand; from(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val j = from(pos)
+      out = word.substring(j, pos) :: out
+      pos = j
+    }
+    out
+  }
+
+  /** Distributed word-type counts: (word, freq), whitespace-pretokenized
+    * lowercased words.
+    */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Train the model; returns the bounded (piece, logp, count) table as
+    * a driver-side list in deterministic (piece asc) order.
+    */
+  def learnUnigram(df: DataFrame, textCol: String, vocabSize: Int = 1000,
+                   maxPieceLen: Int = 8, iters: Int = 2): Seq[Piece] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 1,
+      "learnUnigram: bad params")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordCounts(df, textCol).as[(String, Long)].persist()
+    // candidate substrings with corpus counts (occurrences x freq)
+    val candCounts = words.flatMap { case (w, f) =>
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          out += ((w.substring(i, i + l), f))
+          l += 1
+        }
+        i += 1
+      }
+      out
+    }.groupBy("_1").agg(sum("_2").as("cnt"))
+      .toDF("piece", "cnt")
+    // top-K multichar candidates + ALL single chars (totality)
+    val multi = candCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(math.max(0, vocabSize)).as[(String, Long)].collect()
+    val chars = candCounts.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    var counts: Map[String, Long] = (multi ++ chars).toMap
+    var scores: Map[String, Double] = Map.empty
+    def mStep(): Unit = {
+      // survivors: used pieces + every single char; +1 smoothing
+      val total = counts.values.map(_ + 1L).sum.toDouble
+      scores = counts.map { case (p, c) =>
+        p -> round6(math.log((c + 1L) / total)) }
+    }
+    mStep()
+    var it = 0
+    while (it < iters) {
+      val table = new java.util.HashMap[String, java.lang.Double](scores.size * 2)
+      scores.foreach { case (p, lp) => table.put(p, java.lang.Double.valueOf(lp)) }
+      val bc = spark.sparkContext.broadcast(table)
+      val mpl = maxPieceLen
+      val used = words.flatMap { case (w, f) =>
+        viterbi(w, bc.value, mpl).map(p => (p, f))
+      }.groupBy("_1").agg(sum("_2").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      bc.destroy()
+      // pieces never chosen drop out; single chars always survive
+      counts = counts.keys.flatMap { p =>
+        val c = used.getOrElse(p, 0L)
+        if (c > 0 || p.length == 1) Some(p -> c) else None
+      }.toMap
+      mStep()
+      it += 1
+    }
+    words.unpersist(false)
+    counts.keys.toSeq.sorted.map(p => Piece(p, scores(p), counts(p)))
+  }
+
+  /** The trained table as a DataFrame artifact: (piece_id, piece, logp,
+    * count) with ids ranked by (count desc, piece asc) — checkpoint it,
+    * ship it, feed it back to [[unigramPieces]]/[[unigramIds]].
+    */
+  def unigramVocab(df: DataFrame, textCol: String, vocabSize: Int = 1000,
+                   maxPieceLen: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = learnUnigram(df, textCol, vocabSize, maxPieceLen, iters)
+    val ranked = pieces.sortBy(p => (-p.count, p.piece)).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.piece, p.logp, p.count) }
+    ranked.toDF("piece_id", "piece", "logp", "count")
+  }
+
+  /** Viterbi-encode: per-doc piece arrays at word-TYPE grain (each
+    * distinct word segments ONCE; docs re-assemble by joining their
+    * word stream — the kn5 type-grain idiom, so the corpus shuffles
+    * once, not once per position). `model` is a [[unigramVocab]] frame.
+    */
+  def unigramPieces(df: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, maxPieceLen: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = new java.util.HashMap[String, java.lang.Double]()
+    model.select(col("piece").cast("string"), col("logp").cast("double"))
+      .collect().foreach(r =>
+        table.put(r.getString(0), java.lang.Double.valueOf(r.getDouble(1))))
+    val bc = spark.sparkContext.broadcast(table)
+    val mpl = maxPieceLen
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("word"))
+    val types = toks.select("word").distinct().as[String]
+      .map(w => (w, Unigram.viterbi(w, bc.value, mpl)))
+      .toDF("word", "pieces")
+    toks.join(types, Seq("word"))
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+        col("pieces")))).getField("pieces")).as("pieces"))
+  }
+}

@@ -1573,6 +1573,30 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("data", -1).getOrElse("data"), "data"))
     },
+    "graft.unigram_train" -> { a =>
+      // SentencePiece unigram-LM tokenizer fit (deterministic hard-EM):
+      // (piece_id, piece, logp, count) vocab artifact — train once,
+      // checkpoint, feed to graft.unigram_encode
+      graft.functions.Unigram.unigramVocab(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        vocabSize = a.get("vocab_size", -1).map(_.toString.toInt)
+          .getOrElse(1000),
+        maxPieceLen = a.get("max_piece_len", -1).map(_.toString.toInt)
+          .getOrElse(8),
+        iters = a.get("iters", -1).map(_.toString.toInt).getOrElse(2))
+    },
+    "graft.unigram_encode" -> { a =>
+      // Viterbi encode under a trained unigram vocab: per-doc piece
+      // arrays, segmented once per word TYPE (the kn5 type-grain idiom)
+      graft.functions.Unigram.unigramPieces(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asDf(a.require("model", 1), "model"),
+        maxPieceLen = a.get("max_piece_len", -1).map(_.toString.toInt)
+          .getOrElse(8))
+    },
     "graft.blocklist_flags" -> { a =>
       // C4-style banned-wordlist audit: ONE Aho-Corasick pass per row
       // over the whole phrase list (no per-phrase regex); appends

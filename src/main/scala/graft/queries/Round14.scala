@@ -515,8 +515,170 @@ object Round14 {
           CASE c WHEN 0 THEN 'https://canon' || (doc_id % 5) || '.com/doc/' || t1
                  WHEN 1 THEN 'https://d' || (doc_id % 20) || '.com/canon/' || t1
                  END AS canonical_url
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // Unigram-LM tokenizer TRAINING (SentencePiece hard-EM): the oracle
+    // refits the WHOLE model — candidate substrings, the top-K cap, two
+    // full EM rounds each with a 5-level unrolled Viterbi DP +
+    // backtrace, survivor pruning, +1-smoothed 6dp-rounded
+    // renormalization — so one flipped argmax or a drifted count
+    // anywhere re-derives every piece id, score, and count.
+    Q("q291_unigram_train", (s, d) =>
+      graft.functions.Unigram.unigramVocab(unigramFixture(s, d), "text",
+          vocabSize = 10, maxPieceLen = 4, iters = 2)
+        .orderBy(col("piece_id")),
+      Some("WITH" + unigramTrainSql(10) + """
+        SELECT CAST(row_number() OVER (ORDER BY s.cnt DESC, s.piece ASC)
+            - 1 AS BIGINT) AS piece_id,
+          s.piece, l.lp AS logp, s.cnt AS count
+        FROM surv2 s JOIN lp2 l ON l.piece = s.piece
+        ORDER BY piece_id""")),
+
+    // The encode face: every doc's word stream Viterbi-segmented under
+    // the TRAINED table (a third DP pass in the oracle, under lp2) and
+    // re-assembled in word order — the production tokenizer contract.
+    Q("q292_unigram_encode", (s, d) => {
+      val fixture = unigramFixture(s, d)
+      val vocab = graft.functions.Unigram.unigramVocab(fixture, "text",
+        vocabSize = 10, maxPieceLen = 4, iters = 2)
+      graft.functions.Unigram.unigramPieces(fixture, "doc_id", "text",
+          vocab, maxPieceLen = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + unigramTrainSql(10) + "," + vitSql("f", "lp2") + """,
+        wseg AS (SELECT word, list(piece ORDER BY step DESC) AS pieces
+                 FROM gusef GROUP BY word)
+        SELECT d.doc_id,
+          s1.pieces || s2.pieces || s3.pieces AS pieces
+        FROM docs d
+        JOIN wseg s1 ON s1.word = d.w1
+        JOIN wseg s2 ON s2.word = d.w2
+        JOIN wseg s3 ON s3.word = d.w3
+        ORDER BY d.doc_id"""))
   )
+
+  /** Unigram-LM fixture: three words per doc from a 7-word pool over
+    * {a,b,c} (max length 5, so the oracle's Viterbi unrolls 5 DP
+    * levels), indexed by doc_id formulas.
+    */
+  private def unigramPool: Seq[String] =
+    Seq("aba", "bab", "abab", "babab", "abc", "cab", "bc")
+
+  private def unigramFixture(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val pool = array(unigramPool.map(lit): _*)
+    def pick(m: Int, a: Int) =
+      element_at(pool, ((col("doc_id") * m + a) % 7 + 1).cast("int"))
+    t(s, d, "documents").select(col("doc_id"))
+      .withColumn("text", concat_ws(" ",
+        pick(3, 1), pick(5, 2), pick(7, 3)))
+  }
+
+  /** The hard-EM training replay as DuckDB CTEs (two rounds, the exact
+    * [[graft.functions.Unigram.learnUnigram]] algorithm): candidate
+    * substrings + top-K cap + the full alphabet, then per round one
+    * 5-level unrolled Viterbi DP (left-to-right, ties prefer the longer
+    * last piece = smaller predecessor), a 5-step backtrace, hard counts
+    * x word frequency, survivor pruning, +1-smoothed re-normalization
+    * with the same 6dp log round. Levels are MATERIALIZED — each level
+    * is referenced twice (next level + backtrace), and default CTE
+    * inlining would go exponential. Ends with lp2 (piece, lp) and cnt2f
+    * (piece, cnt).
+    */
+  private def unigramTrainSql(vocabSize: Int): String = {
+    val poolSql = unigramPool.map(w => s"'$w'").mkString("[", ", ", "]")
+    val head = s"""
+        docs AS (SELECT doc_id,
+            ($poolSql)[CAST((doc_id*3+1) % 7 + 1 AS INT)] AS w1,
+            ($poolSql)[CAST((doc_id*5+2) % 7 + 1 AS INT)] AS w2,
+            ($poolSql)[CAST((doc_id*7+3) % 7 + 1 AS INT)] AS w3
+          FROM documents),
+        wt AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT w1 AS word FROM docs UNION ALL
+            SELECT w2 FROM docs UNION ALL SELECT w3 FROM docs)
+          GROUP BY word),
+        subs AS (
+          SELECT substring(word, i, l) AS piece, SUM(freq) AS cnt
+          FROM wt, generate_series(1, 5) AS gi(i), generate_series(1, 4) AS gl(l)
+          WHERE i + l - 1 <= length(word)
+          GROUP BY 1),
+        cand0 AS MATERIALIZED (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt, row_number() OVER (
+              ORDER BY cnt DESC, piece ASC) AS rn
+            FROM subs WHERE length(piece) > 1) WHERE rn <= $vocabSize
+          UNION ALL
+          SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+        lp0 AS MATERIALIZED (
+          SELECT piece, round(ln((cnt + 1) / t.tot), 6) AS lp
+          FROM cand0, (SELECT CAST(SUM(cnt + 1) AS DOUBLE) AS tot
+                       FROM cand0) t)"""
+    val rounds = (1 to 2).map { r =>
+      val prevVocab = if (r == 1) "cand0" else s"surv${r - 1}"
+      s"""${vitSql(r.toString, s"lp${r - 1}")},
+        cnt$r AS (
+          SELECT g.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+          FROM guse$r g JOIN wt w ON w.word = g.word GROUP BY 1),
+        surv$r AS MATERIALIZED (
+          SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+          FROM $prevVocab v LEFT JOIN cnt$r c ON c.piece = v.piece
+          WHERE COALESCE(c.cnt, 0) > 0 OR length(v.piece) = 1),
+        lp$r AS MATERIALIZED (
+          SELECT piece, round(ln((cnt + 1) / t.tot), 6) AS lp
+          FROM surv$r, (SELECT CAST(SUM(cnt + 1) AS DOUBLE) AS tot
+                        FROM surv$r) t)"""
+    }.mkString(",")
+    head + "," + rounds
+  }
+
+  /** One unrolled Viterbi pass over `wt` under score table `lpTable`:
+    * 5 DP levels (`a$tag_k`, the cumulative best-state table) + 5
+    * backtrace steps, ending with `guse$tag(word, piece, step)` — step 1
+    * is the word's LAST piece (backtrace order), so in-word piece order
+    * is `step DESC`.
+    */
+  private def vitSql(tag: String, lpTable: String): String = {
+    val dp = (1 to 5).map { k =>
+      s"""
+        b${tag}_$k AS (
+          SELECT word, len, pos, score, frm FROM (
+            SELECT a.word, a.len, $k AS pos, a.score + l.lp AS score,
+              a.pos AS frm,
+              row_number() OVER (PARTITION BY a.word
+                ORDER BY a.score + l.lp DESC, a.pos ASC) AS rn
+            FROM a${tag}_${k - 1} a
+            JOIN $lpTable l
+              ON l.piece = substring(a.word, a.pos + 1, $k - a.pos)
+            WHERE a.len >= $k AND a.pos >= $k - 4 AND a.pos < $k)
+          WHERE rn = 1),
+        a${tag}_$k AS MATERIALIZED (
+          SELECT * FROM a${tag}_${k - 1} UNION ALL SELECT * FROM b${tag}_$k)"""
+    }.mkString(",")
+    val bt = (1 to 5).map { i =>
+      s"""
+        g${tag}_$i AS (
+          SELECT e.word, substring(e.word, a.frm + 1, e.pos - a.frm) AS piece,
+            $i AS step
+          FROM e${tag}_${i - 1} e JOIN a${tag}_5 a
+            ON a.word = e.word AND a.pos = e.pos
+          WHERE e.pos > 0),
+        e${tag}_$i AS MATERIALIZED (
+          SELECT e.word, a.frm AS pos FROM e${tag}_${i - 1} e JOIN a${tag}_5 a
+            ON a.word = e.word AND a.pos = e.pos
+          WHERE e.pos > 0)"""
+    }.mkString(",")
+    s"""
+        a${tag}_0 AS MATERIALIZED (
+          SELECT word, length(word) AS len, 0 AS pos,
+            CAST(0 AS DOUBLE) AS score, 0 AS frm FROM wt),$dp,
+        e${tag}_0 AS MATERIALIZED (
+          SELECT word, length(word) AS pos FROM wt),$bt,
+        guse$tag AS MATERIALIZED (
+          SELECT * FROM g${tag}_1 UNION ALL SELECT * FROM g${tag}_2
+          UNION ALL SELECT * FROM g${tag}_3 UNION ALL SELECT * FROM g${tag}_4
+          UNION ALL SELECT * FROM g${tag}_5)"""
+  }
 
   /** Robots fixture: one robots.txt body per domain d0..d9.com — even
     * domains carry an OtherBot catch-all, an exact graftbot group, and

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def table(kv: (String, Double)*)
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    kv.foreach { case (k, v) => m.put(k, java.lang.Double.valueOf(v)) }
+    m
+  }
+
+  test("viterbi: longest-first tie-break, unknown chars, empty word") {
+    val t = table("a" -> -2.0, "b" -> -2.0, "ab" -> -1.0, "abab" -> -1.5)
+    assert(Unigram.viterbi("abab", t, 4) == List("abab")) // -1.5 beats ab+ab=-2
+    assert(Unigram.viterbi("aba", t, 4) == List("ab", "a"))
+    // exact tie: 'ab'+'ab' = -2.0 == hypothetical... craft one: xy at -2
+    val tie = table("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    // ab (-2.0) ties a+b (-2.0): the longer last piece must win
+    assert(Unigram.viterbi("ab", tie, 4) == List("ab"))
+    // unknown single char scores unkLogp, keeps encode total
+    assert(Unigram.viterbi("aqb", t, 4) == List("a", "q", "b"))
+    assert(Unigram.viterbi("", t, 4) == Nil)
+  }
+
+  test("hard-EM on the hand-checked corpus: candidates, two rounds, smoothing, drops") {
+    // 'ab' x3 + 'abab' x2: round 1 picks [ab] and [abab]; aba/ba/bab
+    // are never used and drop; chars survive at count 0
+    val docs = Seq((1L, "ab ab ab"), (2L, "abab abab")).toDF("id", "text")
+    val pieces = Unigram.learnUnigram(docs, "text",
+      vocabSize = 10, maxPieceLen = 4, iters = 2)
+    val byPiece = pieces.map(p => p.piece -> p).toMap
+    assert(byPiece.keySet == Set("a", "b", "ab", "abab"))
+    assert(byPiece("ab").count == 3 && byPiece("abab").count == 2)
+    assert(byPiece("a").count == 0 && byPiece("b").count == 0)
+    // final M-step: +1 smoothing over total 9
+    assert(byPiece("ab").logp == BigDecimal(math.log(4.0 / 9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byPiece("abab").logp == BigDecimal(math.log(3.0 / 9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byPiece("a").logp == byPiece("b").logp)
+  }
+
+  test("unigramVocab + unigramPieces: ids ranked, docs re-assemble in word order, encode total") {
+    val docs = Seq((1L, "ab ab ab"), (2L, "abab abab")).toDF("id", "text")
+    val vocab = Unigram.unigramVocab(docs, "text", 10, 4, 2)
+    val rows = vocab.orderBy("piece_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // rank by (count desc, piece asc): ab(3), abab(2), a(0), b(0)
+    assert(rows.map(_._2).toSeq == Seq("ab", "abab", "a", "b"))
+    val enc = Unigram.unigramPieces(
+        Seq((7L, "abab ab zq"), (8L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // unseen chars segment as single-char unknowns — encode stays total
+    assert(enc(7L) == Seq("abab", "ab", "z", "q"))
+    assert(enc(8L) == Seq("ab"))
+  }
+
+  test("property: viterbi segmentation always concatenates back to the word") {
+    val wordGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val t = table("a" -> -2.1, "b" -> -2.3, "c" -> -2.2, "d" -> -2.4,
+      "ab" -> -1.9, "bc" -> -1.8, "abc" -> -1.7, "cd" -> -2.0)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(wordGen) { w =>
+        Unigram.viterbi(w, t, 3).mkString == w
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
