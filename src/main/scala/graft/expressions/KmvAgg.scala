@@ -1,0 +1,116 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values, a.k.a. bottom-k / theta) sketch aggregate: keep
+  * the k smallest DISTINCT hash values seen. The classical
+  * Bar-Yossef et al. distinct-count sketch, and — unlike HLL registers —
+  * a sketch that supports SET ALGEBRA: the k smallest values of A ∪ B are
+  * computable from the two sketches alone (any of the k smallest of the
+  * union is among the k smallest of its own side), and membership of a
+  * union-sketch value in each side is likewise exact, which yields an
+  * unbiased Jaccard / intersection estimator. That is the corpus-overlap
+  * question ("how much of crawl B is already in corpus A?") answered
+  * without joining two 100 TB key sets.
+  *
+  * TypedImperativeAggregate, so map-side partial aggregation applies: each
+  * partition reduces to one k-bounded ordered buffer and the shuffle moves
+  * ≤ k longs per (partition, group). The buffer is a TreeSet — insert /
+  * evict-largest are O(log k) and distinctness is structural (KMV is
+  * defined over distinct hash values; duplicates must not evict anything).
+  *
+  * Result: array<bigint> of the ≤ k smallest distinct values, ascending.
+  * The estimator lives in [[graft.operators.Sketches]] as plain column
+  * math so the DuckDB oracle can replay every step.
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, s"kmv_agg: k must be >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_agg input must be BIGINT (hash the key first), got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  @inline private def insert(buf: java.util.TreeSet[java.lang.Long],
+                             v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvAgg =
+    copy(child = c.head)
+  override def prettyName: String = "kmv_agg"
+}
+
+object KmvAgg {
+  /** Bottom-k distinct-values aggregate over a pre-hashed BIGINT column. */
+  def kmv(hashed: Column, k: Int): Column =
+    ColumnBridge.column(KmvAgg(ColumnBridge.expression(hashed), k)
+      .toAggregateExpression())
+}

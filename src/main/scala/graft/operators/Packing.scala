@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GPT-style sequence packing: concatenate every document's token stream
+  * (plus a fixed number of EOS delimiter tokens per document) into ONE
+  * logical stream in deterministic id order, then chunk the stream into
+  * fixed-size training blocks. This is the pretraining data-prep contract
+  * ("concat-and-chunk") GPT-2/3-family pipelines publish: no padding, every
+  * block exactly `blockSize` tokens (the last may be partial), documents
+  * crossing block boundaries.
+  *
+  * The whole plan is declarative column math over ONE distributed global
+  * cumsum ([[GlobalWindows.running]]): the only cross-partition step is the
+  * range exchange + per-partition-offset broadcast that machinery already
+  * bounds, so the plan survives a 100 TB corpus — there is no single-task
+  * sort, no driver loop, and the per-doc → per-block explode factor is
+  * `n_tokens / blockSize + 1`, i.e. linear in the input token count.
+  *
+  * Offsets are exact longs end to end (integral cumsum, `div` integer
+  * division) — no double arithmetic that could mis-bucket past 2^53 tokens
+  * (a 100 TB corpus is ~2.5e13 tokens; headroom matters).
+  */
+object Packing {
+
+  /** Per-document packing spans. Each document occupies the half-open
+    * stream interval `[start_off, end_off)` where the span length is
+    * `n_tokens + eosTokens` (the delimiter is part of the stream, exactly
+    * as it is in training). Emits, per input row:
+    * `idCol, n_tokens, start_off, end_off, first_block, last_block,
+    * n_blocks` — `first_block`/`last_block` the 0-based ids of the fixed
+    * `blockSize`-token blocks the span touches.
+    *
+    * Order is total by `idCol` (ties would make offsets ambiguous — the
+    * caller owns uniqueness, as with any packing manifest).
+    */
+  def packPlan(df: DataFrame, idCol: String, nTokensCol: String,
+               blockSize: Long, eosTokens: Int = 1): DataFrame = {
+    require(blockSize >= 1, s"packPlan: blockSize must be >= 1, got $blockSize")
+    require(eosTokens >= 0, s"packPlan: eosTokens must be >= 0, got $eosTokens")
+    val spanned = df
+      .select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"))
+      .withColumn("__pk_len", col("n_tokens") + lit(eosTokens.toLong))
+    // distributed global running sum over id order — the one shuffle
+    val cum = GlobalWindows.running(spanned, Seq(idCol), Seq("__pk_len"),
+      "cumsum")
+    cum
+      .withColumn("end_off", col("__pk_len"))
+      .withColumn("start_off",
+        col("end_off") - col("n_tokens") - lit(eosTokens.toLong))
+      .withColumn("first_block", expr(s"start_off div ${blockSize}L"))
+      .withColumn("last_block", expr(s"(end_off - 1) div ${blockSize}L"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .select(col(idCol), col("n_tokens"), col("start_off"), col("end_off"),
+        col("first_block"), col("last_block"), col("n_blocks"))
+  }
+
+  /** Per-block packing report over a [[packPlan]] manifest: for every
+    * training block, how many documents touch it (`n_docs`), how many
+    * begin (`n_starts`) and end (`n_ends`) inside it, and `fill` — the
+    * number of stream positions the block actually holds (`blockSize`
+    * everywhere except a partial final block; the stream is gapless, so
+    * fill is the sum of per-doc overlaps). A block with `n_docs == 1` and
+    * `n_starts == 0` is pure document interior — the "no boundary in this
+    * window" case attention-masking strategies care about.
+    */
+  def blockStats(plan: DataFrame, blockSize: Long): DataFrame = {
+    require(blockSize >= 1,
+      s"blockStats: blockSize must be >= 1, got $blockSize")
+    val b = plan
+      .select(col("start_off"), col("end_off"), col("first_block"),
+        col("last_block"),
+        explode(sequence(col("first_block"), col("last_block"))).as("block"))
+    val bStart = col("block") * lit(blockSize)
+    val bEnd = bStart + lit(blockSize)
+    b.groupBy(col("block"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("first_block") === col("block"), 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(when(col("last_block") === col("block"), 1L).otherwise(0L))
+          .as("n_ends"),
+        sum(least(col("end_off"), bEnd) - greatest(col("start_off"), bStart))
+          .as("fill"))
+  }
+}

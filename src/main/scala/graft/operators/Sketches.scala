@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketch artifacts (Apache DataSketches HLL via
@@ -165,4 +165,63 @@ object Sketches {
           sqrt((nD * d("sxx") - d("sx") * d("sx")) *
             (nD * d("syy") - d("sy") * d("sy"))))
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k theta) sketches — distinct counts
+  // WITH set algebra (union, Jaccard, intersection), the corpus-overlap
+  // estimator. Unlike HLL the whole pipeline is deterministic integer /
+  // rational math over a replayable hash, so the oracle re-derives every
+  // sketch value and estimate EXACTLY — no tolerance gate needed.
+  // --------------------------------------------------------------------
+
+  /** KMV hash range: values land in [0, KmvMod). */
+  val KmvMod: Long = 2147483647L // 2^31 - 1
+
+  /** Replayable multiplicative hash for integral keys: Knuth's 2654435761
+    * times the key, plus an odd offset, mod 2^31-1. Deliberately SQL-simple
+    * (one multiply, one add, one mod — exact in any engine's BIGINT) so
+    * oracles can replay it; exact for |key| ≤ ~3.4e9 (the 64-bit product
+    * must not wrap — true for every fixture/business key here; hash wider
+    * domains down to that range first).
+    */
+  def kmvHash(key: Column): Column =
+    (key.cast("long") * lit(2654435761L) + lit(1013904223L)) % lit(KmvMod)
+
+  /** Per-group bottom-k sketch of distinct hashed keys: `by... , kmv`
+    * (array<bigint>, ascending, ≤ k values). One k-bounded buffer per
+    * (partition, group) crosses the shuffle.
+    */
+  def kmvSketches(df: DataFrame, by: Seq[String], keyCol: String,
+                  k: Int): DataFrame =
+    df.groupBy(by.map(col): _*)
+      .agg(graft.expressions.KmvAgg.kmv(kmvHash(col(keyCol)), k).as("kmv"))
+
+  /** Union of two KMV sketches — the k smallest of A ∪ B are always among
+    * sketch(A) ∪ sketch(B), so the union sketch is exact column math.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Distinct-count estimate from a sketch: exact size when the sketch
+    * holds fewer than k values (it IS the distinct hash set), else the
+    * classical (k-1) / U_(k) with U normalized by the hash range.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvMod.toDouble) /
+        element_at(sk, k).cast("double"))
+
+  /** Jaccard estimate from a union sketch: the fraction of union-sketch
+    * values present in BOTH sides. Membership against the side SKETCHES is
+    * exact for union-sketch values (a union-sketch value in A is among A's
+    * k smallest), so this equals membership against the full key sets.
+    */
+  def kmvJaccard(unionSk: Column, a: Column, b: Column): Column =
+    size(filter(unionSk, x => array_contains(a, x) && array_contains(b, x)))
+      .cast("double") / size(unionSk).cast("double")
+
+  /** Intersection-size estimate: Jaccard × union estimate. */
+  def kmvIntersectEstimate(unionSk: Column, a: Column, b: Column,
+                           k: Int): Column =
+    kmvJaccard(unionSk, a, b) * kmvEstimate(unionSk, k)
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-14 second wave: GPT-style sequence packing (the concat-and-chunk
+  * pretraining data-prep contract) and KMV bottom-k sketches (distinct
+  * counts with SET ALGEBRA — the corpus-overlap estimator HLL registers
+  * cannot express). Every step of both families is deterministic integer /
+  * rational math, so the oracles replay the full computation — offsets,
+  * block ids, sketch values, estimates — with no tolerance gates.
+  */
+object Round14b {
+
+  private val BlockC = 128L
+
+  /** Shared packing-manifest CTE block ending in
+    * `sp(doc_id, n_tokens, start_off, end_off, first_block, last_block)`.
+    * DuckDB's windowed SUM over BIGINT widens to HUGEINT; every offset is
+    * cast back so the schema matches Spark's long arithmetic.
+    */
+  private val packSql = s"""
+        tc AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+               FROM documents),
+        off AS (SELECT doc_id, n_tokens,
+                  CAST(SUM(n_tokens + 1) OVER (ORDER BY doc_id) AS BIGINT)
+                    AS end_off
+                FROM tc),
+        sp AS (SELECT doc_id, n_tokens,
+                 end_off - n_tokens - 1 AS start_off, end_off,
+                 (end_off - n_tokens - 1) // $BlockC AS first_block,
+                 (end_off - 1) // $BlockC AS last_block
+               FROM off)"""
+
+  def all: Seq[Q] = Seq(
+
+    // Per-document packing spans: the concat-and-chunk manifest. One
+    // distributed global cumsum (range exchange + per-partition offset
+    // broadcast — no single-task window) assigns every doc its half-open
+    // stream interval [start_off, end_off) including its EOS delimiter;
+    // block ids are exact integer division. A one-token drift anywhere in
+    // the cumsum shifts every downstream offset and block id, so the
+    // whole distributed prefix-sum machinery is hash-gated row for row.
+    Q("q293_pack_spans", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
+          blockSize = BlockC)
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + packSql + """
+        SELECT doc_id, n_tokens, start_off, end_off, first_block, last_block,
+          last_block - first_block + 1 AS n_blocks
+        FROM sp ORDER BY doc_id""")),
+
+    // Per-block packing report: docs touching / starting / ending in each
+    // fixed 128-token training block, and the block's fill (128 everywhere
+    // except the partial tail — the stream is gapless, so fill is the sum
+    // of per-doc overlaps). The doc→block explode is bounded by
+    // n_tokens/blockSize + 1 per doc — linear in corpus token count.
+    Q("q294_pack_blocks", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val plan = graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
+        blockSize = BlockC)
+      graft.operators.Packing.blockStats(plan, blockSize = BlockC)
+        .orderBy(col("block"))
+    }, Some("WITH" + packSql + s""",
+        ex AS (SELECT start_off, end_off, first_block, last_block,
+                 unnest(generate_series(first_block, last_block)) AS block
+               FROM sp)
+        SELECT block, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN first_block = block THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starts,
+          CAST(SUM(CASE WHEN last_block = block THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ends,
+          CAST(SUM(least(end_off, (block + 1) * $BlockC)
+            - greatest(start_off, block * $BlockC)) AS BIGINT) AS fill
+        FROM ex GROUP BY block ORDER BY block""")),
+
+    // KMV corpus overlap: per order priority, sketch the distinct customer
+    // sets of two corpus halves (even/odd order keys) with bottom-64
+    // sketches, then estimate |A|, |B|, |A∪B|, Jaccard and |A∩B| from the
+    // SKETCHES ALONE — the "how much of crawl B is already in corpus A"
+    // question answered without joining the key sets. The oracle replays
+    // the multiplicative hash, the per-side bottom-64, the union bottom-64
+    // and both-side membership EXACTLY (KMV set algebra is deterministic
+    // given the hash), so every estimate is hash-gated, not
+    // tolerance-gated. merge_ok additionally pins, in-plan, that unioning
+    // two per-batch sketches of side A equals the direct whole-side sketch
+    // value for value — the mergeability contract a persisted sketch
+    // artifact lives on.
+    Q("q295_kmv_overlap", (s, d) => {
+      import graft.operators.Sketches
+      val k = 64
+      val orders = t(s, d, "orders")
+      val by = Seq("o_orderpriority")
+      val evens = orders.filter(col("o_orderkey") % 2 === 0)
+      val skA = Sketches.kmvSketches(evens, by, "o_custkey", k)
+        .withColumnRenamed("kmv", "ka")
+      val skB = Sketches.kmvSketches(
+          orders.filter(col("o_orderkey") % 2 === 1), by, "o_custkey", k)
+        .withColumnRenamed("kmv", "kb")
+      // mergeability: two disjoint batches of side A, unioned as sketches,
+      // must reproduce the direct side-A sketch exactly
+      val skA1 = Sketches.kmvSketches(
+          evens.filter(col("o_orderkey") % 4 === 0), by, "o_custkey", k)
+        .withColumnRenamed("kmv", "ka1")
+      val skA2 = Sketches.kmvSketches(
+          evens.filter(col("o_orderkey") % 4 === 2), by, "o_custkey", k)
+        .withColumnRenamed("kmv", "ka2")
+      val u = Sketches.kmvUnion(col("ka"), col("kb"), k)
+      skA.join(skB, by).join(skA1, by).join(skA2, by)
+        .select(col("o_orderpriority"),
+          round(Sketches.kmvEstimate(col("ka"), k), 6).as("est_a"),
+          round(Sketches.kmvEstimate(col("kb"), k), 6).as("est_b"),
+          round(Sketches.kmvEstimate(u, k), 6).as("est_union"),
+          round(Sketches.kmvJaccard(u, col("ka"), col("kb")), 6)
+            .as("jaccard"),
+          round(Sketches.kmvIntersectEstimate(u, col("ka"), col("kb"), k), 6)
+            .as("est_intersect"),
+          (Sketches.kmvUnion(col("ka1"), col("ka2"), k) === col("ka"))
+            .as("merge_ok"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+        WITH h AS (SELECT DISTINCT o_orderpriority AS p,
+                     o_orderkey % 2 = 0 AS a,
+                     (o_custkey * 2654435761 + 1013904223) % 2147483647 AS h
+                   FROM orders),
+        ra AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h)
+                 AS rn FROM h WHERE a),
+        rb AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h)
+                 AS rn FROM h WHERE NOT a),
+        ska AS (SELECT p, list(h ORDER BY h) AS sk, COUNT(*) AS n
+                FROM ra WHERE rn <= 64 GROUP BY p),
+        skb AS (SELECT p, list(h ORDER BY h) AS sk, COUNT(*) AS n
+                FROM rb WHERE rn <= 64 GROUP BY p),
+        -- union sketch: bottom-64 of the DISTINCT hash union (equal to the
+        -- bottom-64 of the sketch union — the KMV algebra the Spark side
+        -- exercises)
+        hu AS (SELECT DISTINCT p, h FROM h),
+        ru AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h)
+                 AS rn FROM hu),
+        sku AS (SELECT p, list(h ORDER BY h) AS sk, COUNT(*) AS n
+                FROM ru WHERE rn <= 64 GROUP BY p),
+        uex AS (SELECT p, unnest(sk) AS h FROM sku),
+        mem AS (SELECT uex.p, COUNT(*) AS nu,
+                  SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                    THEN 1 ELSE 0 END) AS nboth
+                FROM uex
+                LEFT JOIN (SELECT p, h FROM h WHERE a) ia
+                  ON ia.p = uex.p AND ia.h = uex.h
+                LEFT JOIN (SELECT p, h FROM h WHERE NOT a) ib
+                  ON ib.p = uex.p AND ib.h = uex.h
+                GROUP BY uex.p)
+        SELECT ska.p AS o_orderpriority,
+          round(CASE WHEN ska.n < 64 THEN ska.n
+            ELSE 63.0 * 2147483647 / ska.sk[64] END, 6) AS est_a,
+          round(CASE WHEN skb.n < 64 THEN skb.n
+            ELSE 63.0 * 2147483647 / skb.sk[64] END, 6) AS est_b,
+          round(CASE WHEN sku.n < 64 THEN sku.n
+            ELSE 63.0 * 2147483647 / sku.sk[64] END, 6) AS est_union,
+          round(nboth * 1.0 / nu, 6) AS jaccard,
+          round((nboth * 1.0 / nu) * (CASE WHEN sku.n < 64 THEN sku.n
+            ELSE 63.0 * 2147483647 / sku.sk[64] END), 6) AS est_intersect,
+          TRUE AS merge_ok
+        FROM ska JOIN skb ON skb.p = ska.p JOIN sku ON sku.p = ska.p
+        JOIN mem ON mem.p = ska.p
+        ORDER BY o_orderpriority"""))
+  )
+}

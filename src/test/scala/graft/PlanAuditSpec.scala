@@ -64,7 +64,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "scorer: the global window is the cumcount prefix combine over " +
       "the per-range-partition count frame, never the scored docs"),
     "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
-      "head (TakeOrdered first; the window never sees the vocabulary)"))
+      "head (TakeOrdered first; the window never sees the vocabulary)"),
+    "q293_pack_spans" -> ("packing offsets via GlobalWindows.running: the " +
+      "one global window is the prefix combine over the per-range-" +
+      "partition sum frame (<= spark.sql.shuffle.partitions rows), never " +
+      "the document stream (Packing.packPlan)"),
+    "q294_pack_blocks" -> ("same packPlan machinery as q293 feeding the " +
+      "block explode: the global window runs over the per-range-partition " +
+      "sum frame only"))
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.

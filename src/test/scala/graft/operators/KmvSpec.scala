@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class KmvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refHash(v: Long): Long =
+    (v * 2654435761L + 1013904223L) % 2147483647L
+
+  private def bottomK(keys: Seq[Long], k: Int): Seq[Long] =
+    keys.map(refHash).distinct.sorted.take(k)
+
+  private def sketchOf(keys: Seq[Long], k: Int): Seq[Long] = {
+    val df = keys.map(("g", _)).toDF("g", "key").repartition(5)
+    Sketches.kmvSketches(df, Seq("g"), "key", k)
+      .collect().head.getSeq[Long](1)
+  }
+
+  test("kmvSketches: k smallest DISTINCT hashes, ascending, across partitions") {
+    val keys = (1L to 500L) ++ (1L to 500L) // duplicates must not evict
+    assert(sketchOf(keys, 32) == bottomK(keys, 32))
+  }
+
+  test("kmvSketches: under-full sketch is the whole distinct hash set") {
+    val keys = Seq(5L, 9L, 5L, 13L)
+    assert(sketchOf(keys, 64) == bottomK(keys, 64))
+    assert(sketchOf(keys, 64).size == 3)
+  }
+
+  test("kmvUnion(sk(A), sk(B)) == sk(A ∪ B) — the KMV set algebra") {
+    val a = (1L to 400L).map(_ * 3)
+    val b = (1L to 400L).map(_ * 5)
+    val k = 48
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("side", "key")
+    val sks = Sketches.kmvSketches(df, Seq("side"), "key", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val unioned = df.groupBy()
+      .agg(graft.expressions.KmvAgg.kmv(Sketches.kmvHash(col("key")), k)
+        .as("kmv"))
+      .select(col("kmv")).collect().head.getSeq[Long](0)
+    val viaAlgebra = spark.range(1)
+      .select(Sketches.kmvUnion(
+        typedLit(sks("a")), typedLit(sks("b")), k).as("u"))
+      .collect().head.getSeq[Long](0)
+    assert(viaAlgebra == unioned)
+    assert(viaAlgebra == bottomK(a ++ b, k))
+  }
+
+  test("estimator: exact below k; within 3 standard errors above") {
+    val k = 64
+    val n = 20000L
+    val keys = (1L to n).map(_ * 7 % 3000000)
+    val distinct = keys.distinct.size
+    val df = keys.map(("g", _)).toDF("g", "key")
+    val est = Sketches.kmvEstimate(col("kmv"), k)
+    val got = Sketches.kmvSketches(df, Seq("g"), "key", k)
+      .select(est).collect().head.getDouble(0)
+    val se = distinct.toDouble / math.sqrt(k - 2.0)
+    assert(math.abs(got - distinct) <= 3 * se,
+      s"est $got vs exact $distinct (3se = ${3 * se})")
+    // under-full: exact by construction
+    val small = Seq(1L, 2L, 3L).map(("g", _)).toDF("g", "key")
+    val gotSmall = Sketches.kmvSketches(small, Seq("g"), "key", k)
+      .select(est).collect().head.getDouble(0)
+    assert(gotSmall == 3.0)
+  }
+
+  test("jaccard membership from sketches == membership against full sets") {
+    val a = (1L to 300L).map(_ * 2)       // evens
+    val b = (1L to 300L).map(_ * 3)       // multiples of 3; overlap = mult of 6
+    val k = 40
+    val skA = bottomK(a, k)
+    val skB = bottomK(b, k)
+    val u = bottomK(a ++ b, k)
+    val aH = a.map(refHash).toSet
+    val bH = b.map(refHash).toSet
+    val expected = u.count(h => aH(h) && bH(h)).toDouble / u.size
+    val got = spark.range(1)
+      .select(Sketches.kmvJaccard(
+        typedLit(u), typedLit(skA), typedLit(skB)).as("j"))
+      .collect().head.getDouble(0)
+    assert(got == expected)
+  }
+}

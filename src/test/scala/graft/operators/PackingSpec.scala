@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(lens: Seq[Long], c: Long, eos: Int = 1) =
+    Packing.packPlan(
+      lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("id", "n_tokens"),
+      "id", "n_tokens", blockSize = c, eosTokens = eos)
+      .orderBy("id")
+
+  test("packPlan: sequential offsets, EOS included, exact block spans") {
+    // lens+1: 4, 1, 9, 3 -> offsets [0,4) [4,5) [5,14) [14,17); C=4
+    val rows = plan(Seq(3L, 0L, 8L, 2L), c = 4L)
+      .select("id", "start_off", "end_off", "first_block", "last_block",
+        "n_blocks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 4L, 0L, 0L, 1L),   // exactly fills block 0
+      (1L, 4L, 5L, 1L, 1L, 1L),   // empty doc = just its EOS
+      (2L, 5L, 14L, 1L, 3L, 3L),  // spans blocks 1..3
+      (3L, 14L, 17L, 3L, 4L, 2L)))
+  }
+
+  test("packPlan: eosTokens=0 packs raw token counts") {
+    val rows = plan(Seq(4L, 4L), c = 4L, eos = 0)
+      .select("start_off", "end_off").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((0L, 4L), (4L, 8L)))
+  }
+
+  test("blockStats: gapless fill, boundary counts, partial tail") {
+    val p = plan(Seq(3L, 0L, 8L, 2L), c = 4L) // stream length 17, blocks 0..4
+    val st = Packing.blockStats(p, 4L).orderBy("block")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // block -> (n_docs, n_starts, n_ends, fill)
+    assert(st.toSeq == Seq(
+      (0L, 1L, 1L, 1L, 4L),
+      (1L, 2L, 2L, 1L, 4L), // doc1 starts AND ends here, doc2 starts here
+      (2L, 1L, 0L, 0L, 4L), // pure doc-2 interior
+      (3L, 2L, 1L, 1L, 4L),
+      (4L, 1L, 0L, 1L, 1L))) // partial tail: 17 mod 4 = 1
+    // fill sums to the stream length regardless of chunking
+    assert(st.map(_._5).sum == 17L)
+  }
+
+  test("packPlan is partitioning-insensitive (distributed cumsum == sequential)") {
+    val lens = (0 until 200).map(i => (i.toLong, (i * 7 % 13).toLong))
+    val df = lens.toDF("id", "n_tokens").repartition(7)
+    val got = Packing.packPlan(df, "id", "n_tokens", blockSize = 16L)
+      .orderBy("id").select("start_off", "end_off")
+      .as[(Long, Long)].collect()
+    var off = 0L
+    lens.zip(got).foreach { case ((_, l), (s, e)) =>
+      assert(s == off && e == off + l + 1)
+      off = e
+    }
+  }
+}
