@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece subword tokenizer (Schuster & Nakajima 2012; the BERT
+  * tokenizer family) — the third tokenizer model next to byte-BPE and
+  * unigram-LM, completing the triad every published LLM pipeline picks
+  * from. Two faces, both deterministic and exactly replayable by an
+  * oracle:
+  *
+  * TRAIN — BPE-style merge loop with the WordPiece SCORE: each round
+  * merges the adjacent symbol pair maximizing
+  * `count(pair) / (count(first) * count(second))` (the likelihood-gain
+  * ratio HuggingFace `tokenizers` documents), not the raw pair count BPE
+  * uses — a pair of rare-but-always-together symbols beats a pair of
+  * ubiquitous ones. Word-initial symbols are bare, continuations carry
+  * the `##` prefix, and a merge output strips the second side's `##`
+  * (`a + ##b -> ab`, `##a + ##b -> ##ab`). Determinism contract:
+  *  - the score is the correctly-rounded DOUBLE quotient
+  *    `pc / (c1 * c2)` with all three counts exact longs — IEEE division
+  *    is correctly rounded, so both engines compute the identical double;
+  *  - ties break by (first asc, second asc);
+  *  - merge application is the same consumed-boundary space-anchored
+  *    replace chain as [[Bpe.applyMergesBytes]] (one literal replace per
+  *    merge on the spaced symbol string), so train, encode and the DuckDB
+  *    replay share one semantics by construction.
+  *
+  * ENCODE — the canonical WordPiece greedy longest-match-first: walk the
+  * word left to right, at each position take the LONGEST vocab entry
+  * (word-initial bare, else `##`-prefixed); if no entry matches at some
+  * position the WHOLE word becomes `[UNK]` (the BERT contract — no
+  * partial fallback).
+  *
+  * Scale: the fit collects one (word-type, freq) table capped at
+  * `maxVocab` rows (the [[Bpe.learnMergesBytes]] contract — a bounded
+  * model-artifact collect, documented at the call site); encode runs at
+  * word-TYPE grain with the vocab BROADCAST (each distinct word encodes
+  * once; docs reassemble by joining their word stream — the kn5
+  * type-grain idiom, one corpus shuffle total).
+  */
+object WordPiece {
+
+  /** The UNK piece (BERT's literal). */
+  val Unk = "[UNK]"
+
+  /** Word-initial symbol list: first char bare, continuations `##c`. */
+  def symsOf(word: String): Array[String] = {
+    val out = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      out(i) = if (i == 0) word.substring(0, 1) else "##" + word.substring(i, i + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Merge output: second side's `##` marker is consumed. */
+  def mergedSym(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  /** Driver-side spaced-symbol merge replay — java String.replace is the
+    * same sequential non-overlapping replace-all as Spark's and DuckDB's
+    * `replace`, so this is the shared semantics all three faces use.
+    */
+  def applyMergesRef(word: String, merges: Seq[(String, String)]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var s = symsOf(word).mkString(" ", " ", " ")
+    merges.foreach { case (a, b) =>
+      s = s.replace(" " + a + " " + b + " ", " " + mergedSym(a, b) + " ")
+    }
+    s.trim.split(" ")
+  }
+
+  /** One trained merge: rank order, the pair, its merged symbol, and the
+    * (exact-count-derived) score at selection time.
+    */
+  final case class Merge(first: String, second: String, merged: String,
+                         score: Double)
+
+  /** Fit `numMerges` WordPiece merges over the corpus word types.
+    * The (word, freq) table is capped at `maxVocab` rows by
+    * (freq desc, word asc) — a bounded model-artifact collect.
+    */
+  def learnWordPiece(df: DataFrame, textCol: String, numMerges: Int,
+                     maxVocab: Int = 65536): Seq[Merge] = {
+    require(numMerges >= 1, s"learnWordPiece: numMerges >= 1, got $numMerges")
+    val types = df
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    while (round < numMerges) {
+      // recompute segmentations under the merges chosen so far — the
+      // replace-chain semantics, so training sees exactly what encode-by-
+      // merge-replay and the SQL oracle see
+      val segs = types.map { case (w, f) => (applyMergesRef(w, merges.toSeq), f) }
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      segs.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length) {
+          symCnt(syms(j)) = symCnt.getOrElse(syms(j), 0L) + f
+          if (j < syms.length - 1) {
+            val p = (syms(j), syms(j + 1))
+            pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+          }
+          j += 1
+        }
+      }
+      if (pairCnt.isEmpty) return out.toSeq
+      // best by (double score desc, pair asc) — the oracle's exact order
+      var best: ((String, String), Double) = null
+      pairCnt.foreach { case (p, pc) =>
+        val s = pc.toDouble / (symCnt(p._1).toDouble * symCnt(p._2).toDouble)
+        if (best == null || s > best._2 ||
+            (s == best._2 && Ordering[(String, String)].lt(p, best._1)))
+          best = (p, s)
+      }
+      merges += best._1
+      out += Merge(best._1._1, best._1._2,
+        mergedSym(best._1._1, best._1._2), best._2)
+      round += 1
+    }
+    out.toSeq
+  }
+
+  /** The trained merge table as a DataFrame artifact:
+    * (rank, first, second, merged, score) — checkpoint it, ship it.
+    */
+  def wordPieceMerges(df: DataFrame, textCol: String, numMerges: Int,
+                      maxVocab: Int = 65536): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    learnWordPiece(df, textCol, numMerges, maxVocab).zipWithIndex
+      .map { case (m, i) => (i.toLong, m.first, m.second, m.merged, m.score) }
+      .toDF("rank", "first", "second", "merged", "score")
+  }
+
+  /** Encode vocabulary from a merge list: every single-char symbol of the
+    * training alphabet plus each merge output. (Callers pass the alphabet
+    * explicitly so encode-time vocab is a pure function of the artifact.)
+    */
+  def vocabOf(alphabet: Seq[String], merges: Seq[Merge]): Set[String] =
+    alphabet.toSet ++ merges.map(_.merged)
+
+  /** Greedy longest-match-first WordPiece encode of one word. Returns
+    * `[UNK]` alone if any position has no matching vocab entry.
+    */
+  def encodeGreedy(word: String, vocab: Set[String],
+                   maxPieceLen: Int): List[String] = {
+    if (word.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var l = math.min(maxPieceLen, word.length - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val raw = word.substring(pos, pos + l)
+        val cand = if (pos == 0) raw else "##" + raw
+        if (vocab.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return List(Unk)
+      out += hit
+      pos += hit.length - (if (pos == 0) 0 else 2)
+    }
+    out.toList
+  }
+
+  /** Per-doc greedy WordPiece pieces at word-TYPE grain: each distinct
+    * word encodes once under the broadcast vocab; docs reassemble in
+    * word order. `alphabet` + the merge artifact define the vocab.
+    */
+  def wordPiecePieces(df: DataFrame, idCol: String, textCol: String,
+                      merges: DataFrame, alphabet: Seq[String],
+                      maxPieceLen: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Set[String] = alphabet.toSet ++
+      merges.select(col("merged").cast("string")).as[String].collect()
+    val bc = spark.sparkContext.broadcast(vocab)
+    val mpl = maxPieceLen
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("word"))
+    val typesDf = toks.select("word").distinct().as[String]
+      .map(w => (w, encodeGreedy(w, bc.value, mpl)))
+      .toDF("word", "pieces")
+    toks.join(typesDf, Seq("word"))
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+        col("pieces")))).getField("pieces")).as("pieces"))
+  }
+}

@@ -167,6 +167,170 @@ object Round14b {
           TRUE AS merge_ok
         FROM ska JOIN skb ON skb.p = ska.p JOIN sku ON sku.p = ska.p
         JOIN mem ON mem.p = ska.p
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // WordPiece TRAINING (the BERT tokenizer family — likelihood-ratio
+    // merge scoring, ## continuations): the oracle refits the WHOLE model
+    // — six unrolled merge rounds, each re-deriving pair counts, symbol
+    // counts, the correctly-rounded double score pc/(c1*c2) and the
+    // (score desc, pair asc) argmax from the previous round's
+    // segmentations, applied with the same consumed-boundary replace
+    // chain — so one drifted count or flipped argmax anywhere re-derives
+    // every later merge and score. Scores compare EXACTLY (IEEE division
+    // of exact longs), no rounding gate.
+    Q("q296_wordpiece_train", (s, d) =>
+      graft.functions.WordPiece.wordPieceMerges(wpFixture(s, d), "text",
+          numMerges = 6)
+        .orderBy(col("rank")),
+      Some("WITH" + wpTrainSql(6) + """
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS rank, a AS "first", b AS "second",
+            m AS merged, sc AS score FROM best1
+          UNION ALL SELECT 1, a, b, m, sc FROM best2
+          UNION ALL SELECT 2, a, b, m, sc FROM best3
+          UNION ALL SELECT 3, a, b, m, sc FROM best4
+          UNION ALL SELECT 4, a, b, m, sc FROM best5
+          UNION ALL SELECT 5, a, b, m, sc FROM best6)
+        ORDER BY rank""")),
+
+    // The encode face: canonical greedy longest-match-first WordPiece
+    // under the TRAINED vocab, word-type grain, with the BERT [UNK]
+    // contract exercised — every doc's stream ends in the spike word
+    // 'bad', whose 'd' no vocab entry covers, so the whole word must
+    // collapse to [UNK] (not a partial fallback). The oracle replays the
+    // greedy walk as five unrolled longest-prefix steps over the refit
+    // vocabulary.
+    Q("q297_wordpiece_encode", (s, d) => {
+      val clean = wpFixture(s, d)
+      val merges = graft.functions.WordPiece.wordPieceMerges(clean, "text",
+        numMerges = 6)
+      val spiked = clean.withColumn("text",
+        concat_ws(" ", col("text"), lit("bad")))
+      graft.functions.WordPiece.wordPiecePieces(spiked, "doc_id", "text",
+          merges, alphabet = wpAlphabet)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + wpTrainSql(6) + "," + wpGreedySql + """
+        SELECT d.doc_id,
+          s1.pieces || s2.pieces || s3.pieces || s4.pieces AS pieces
+        FROM wpd d
+        JOIN gfin s1 ON s1.w = d.w1
+        JOIN gfin s2 ON s2.w = d.w2
+        JOIN gfin s3 ON s3.w = d.w3
+        JOIN gfin s4 ON s4.w = 'bad'
+        ORDER BY d.doc_id"""))
   )
+
+  /** WordPiece fixture: three words per doc from a 7-word pool over
+    * {a,b,c} (max length 5 — the greedy oracle unrolls 5 steps),
+    * indexed by doc_id formulas (the unigram-fixture pattern).
+    */
+  private def wpPool: Seq[String] =
+    Seq("abab", "aabb", "bab", "abc", "cab", "bc", "babab")
+
+  private def wpAlphabet: Seq[String] =
+    Seq("a", "b", "c", "##a", "##b", "##c")
+
+  private def wpFixture(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val pool = array(wpPool.map(lit): _*)
+    def pick(m: Int, a: Int) =
+      element_at(pool, ((col("doc_id") * m + a) % 7 + 1).cast("int"))
+    t(s, d, "documents").select(col("doc_id"))
+      .withColumn("text", concat_ws(" ",
+        pick(3, 1), pick(5, 2), pick(7, 3)))
+  }
+
+  /** The WordPiece training replay as DuckDB CTEs: word-type counts from
+    * the fixture formulas, initial ##-marked segmentations, then per
+    * round — pair counts, symbol counts, the double-score argmax and the
+    * consumed-boundary replace — exactly
+    * [[graft.functions.WordPiece.learnWordPiece]]. Ends with `bestK`
+    * CTEs (one per round) and `seg<rounds>` (the final segmentations).
+    */
+  private def wpTrainSql(rounds: Int): String = {
+    val poolSql = wpPool.map(w => s"'$w'").mkString("[", ", ", "]")
+    def pickSql(m: Int, a: Int) = s"($poolSql)[(doc_id*$m+$a) % 7 + 1]"
+    val head = s"""
+        wpd AS MATERIALIZED (SELECT doc_id, ${pickSql(3, 1)} AS w1,
+                  ${pickSql(5, 2)} AS w2, ${pickSql(7, 3)} AS w3
+                FROM documents),
+        wpw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                  SELECT w1 AS w FROM wpd
+                  UNION ALL SELECT w2 FROM wpd
+                  UNION ALL SELECT w3 FROM wpd) GROUP BY 1),
+        seg0 AS MATERIALIZED (SELECT w, freq,
+                   ' ' || substr(w, 1, 1) ||
+                   regexp_replace(substr(w, 2), '(.)', ' ##\\1', 'g') || ' '
+                     AS seg
+                 FROM wpw)"""
+    val its = (1 to rounds).map { k => s"""
+        sy$k AS MATERIALIZED (SELECT w, freq, string_split(trim(seg), ' ') AS sy
+                 FROM seg${k - 1}),
+        pr$k AS MATERIALIZED (SELECT sy[i] AS a, sy[i + 1] AS b, SUM(freq) AS pc
+                 FROM sy$k,
+                   unnest(generate_series(1, len(sy) - 1)) AS t(i)
+                 GROUP BY 1, 2),
+        sc$k AS MATERIALIZED (SELECT s, SUM(freq) AS c FROM (
+                   SELECT unnest(sy) AS s, freq FROM sy$k) GROUP BY 1),
+        best$k AS MATERIALIZED (SELECT a, b,
+                     a || CASE WHEN b LIKE '##%' THEN substr(b, 3)
+                          ELSE b END AS m,
+                     pc * 1.0 / (ca.c * cb.c) AS sc
+                   FROM pr$k
+                   JOIN sc$k ca ON ca.s = pr$k.a
+                   JOIN sc$k cb ON cb.s = pr$k.b
+                   ORDER BY pc * 1.0 / (ca.c * cb.c) DESC, a ASC, b ASC
+                   LIMIT 1),
+        seg$k AS MATERIALIZED (SELECT w, freq,
+                    replace(seg, ' ' || best$k.a || ' ' || best$k.b || ' ',
+                      ' ' || best$k.m || ' ') AS seg
+                  FROM seg${k - 1}, best$k)"""
+    }.mkString(",")
+    head + "," + its
+  }
+
+  /** Greedy longest-match replay over the trained vocab (5 unrolled
+    * steps — fixture words are ≤ 5 chars): ends in
+    * `gfin(w, pieces)` covering every fixture word plus the [UNK] spike
+    * word 'bad'.
+    */
+  private def wpGreedySql: String = {
+    val alpha = wpAlphabet.map(a => s"'$a'").mkString("[", ", ", "]")
+    val head = s"""
+        vlist AS MATERIALIZED (SELECT list(p) AS lp FROM (
+          SELECT m AS p FROM best1 UNION ALL SELECT m FROM best2
+          UNION ALL SELECT m FROM best3 UNION ALL SELECT m FROM best4
+          UNION ALL SELECT m FROM best5 UNION ALL SELECT m FROM best6
+          UNION ALL SELECT unnest($alpha))),
+        wds AS MATERIALIZED (SELECT DISTINCT w FROM (
+          SELECT w1 AS w FROM wpd UNION ALL SELECT w2 FROM wpd
+          UNION ALL SELECT w3 FROM wpd UNION ALL SELECT 'bad')),
+        g0 AS MATERIALIZED (SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+                 FALSE AS dead, lp
+               FROM wds, vlist)"""
+    val steps = (1 to 5).map { k => s"""
+        g$k AS MATERIALIZED (
+          SELECT w, lp,
+            CASE WHEN done OR bl IS NULL THEN pos ELSE pos + bl END AS pos,
+            CASE WHEN done OR bl IS NULL THEN pieces
+                 ELSE list_append(pieces,
+                   CASE WHEN pos = 1 THEN substr(w, pos, bl)
+                        ELSE '##' || substr(w, pos, bl) END) END AS pieces,
+            dead OR (NOT done AND bl IS NULL) AS dead
+          FROM (
+            SELECT *, pos > strlen(w) OR dead AS done,
+              (list_filter([5, 4, 3, 2, 1], l ->
+                l <= strlen(w) - pos + 1 AND
+                list_contains(lp,
+                  CASE WHEN pos = 1 THEN substr(w, pos, l)
+                       ELSE '##' || substr(w, pos, l) END)))[1] AS bl
+            FROM g${k - 1}) t)"""
+    }.mkString(",")
+    val fin = """
+        gfin AS MATERIALIZED (SELECT w,
+                   CASE WHEN dead THEN ['[UNK]'] ELSE pieces END AS pieces
+                 FROM g5)"""
+    head + "," + steps + "," + fin
+  }
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class WordPieceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symsOf / mergedSym: ## marking and consumption") {
+    assert(WordPiece.symsOf("abc").toSeq == Seq("a", "##b", "##c"))
+    assert(WordPiece.symsOf("a").toSeq == Seq("a"))
+    assert(WordPiece.mergedSym("a", "##b") == "ab")
+    assert(WordPiece.mergedSym("##a", "##b") == "##ab")
+  }
+
+  test("learnWordPiece: score ratio beats raw count") {
+    // 'xy' appears 3x (x only ever before y), 'aa' pairs appear 10x but
+    // a is ubiquitous: WordPiece must merge (x,##y) first even though
+    // BPE (raw pair count) would pick (a,##a).
+    val docs = (Seq.fill(10)("aaa") ++ Seq.fill(3)("xy")).toDF("text")
+    val merges = WordPiece.learnWordPiece(docs, "text", numMerges = 1)
+    assert(merges.head.first == "x" && merges.head.second == "##y")
+    // score = 3 / (3 * 3)
+    assert(merges.head.score == 3.0 / 9.0)
+  }
+
+  test("training merges apply with consumed-boundary semantics") {
+    // merging (a, ##a) on 'aaaa' = ' a ##a ##a ##a ': the first match
+    // consumes its trailing space, so the remaining ##a ##a pair merges
+    // on the NEXT round, not this one — the Bpe.applyMergesBytes contract
+    val seg = WordPiece.applyMergesRef("aaaa", Seq(("a", "##a")))
+    assert(seg.toSeq == Seq("aa", "##a", "##a"))
+  }
+
+  test("encodeGreedy: longest-match-first, [UNK] on any uncovered position") {
+    val vocab = Set("a", "##a", "b", "##b", "ab", "##ab")
+    assert(WordPiece.encodeGreedy("abab", vocab, 16) == List("ab", "##ab"))
+    assert(WordPiece.encodeGreedy("aba", vocab, 16) == List("ab", "##a"))
+    // 'd' uncovered -> whole word UNK, not a partial fallback
+    assert(WordPiece.encodeGreedy("abd", vocab, 16) == List(WordPiece.Unk))
+    assert(WordPiece.encodeGreedy("", vocab, 16) == Nil)
+  }
+
+  test("wordPiecePieces: word-type grain reassembles doc order; UNK flows through") {
+    val docs = Seq((1L, "abab xq abab"), (2L, "aba")).toDF("id", "text")
+    val train = Seq("abab abab aba").toDF("text")
+    val merges = WordPiece.wordPieceMerges(train, "text", numMerges = 2)
+    val got = WordPiece.wordPiecePieces(docs, "id", "text", merges,
+        alphabet = Seq("a", "b", "##a", "##b"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    // 'xq' has no alphabet coverage -> [UNK]; doc order preserved
+    assert(got(0)._2.count(_ == WordPiece.Unk) == 1)
+    val enc = got(0)._2
+    val n = enc.length
+    assert(enc((n - 1) / 2) == WordPiece.Unk || enc.contains(WordPiece.Unk))
+    assert(got(1)._2.nonEmpty && !got(1)._2.contains(WordPiece.Unk))
+    // both 'abab' occurrences encode identically (type grain)
+    val parts = enc.splitAt(enc.indexOf(WordPiece.Unk))
+    assert(parts._1 == parts._2.drop(1))
+  }
+}
