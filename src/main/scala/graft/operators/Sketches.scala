@@ -224,4 +224,24 @@ object Sketches {
   def kmvIntersectEstimate(unionSk: Column, a: Column, b: Column,
                            k: Int): Column =
     kmvJaccard(unionSk, a, b) * kmvEstimate(unionSk, k)
+
+  /** Overlap report between two [[kmvSketches]] frames sharing the same
+    * `by` keys and sketch parameter k: per group,
+    * `est_a / est_b / est_union / jaccard / est_intersect` — the whole
+    * corpus-overlap question from two sketch artifacts, no key-set join.
+    */
+  def kmvOverlapReport(a: DataFrame, b: DataFrame, by: Seq[String],
+                       k: Int): DataFrame = {
+    val left = a.withColumnRenamed("kmv", "__kmv_a")
+    val right = b.withColumnRenamed("kmv", "__kmv_b")
+    val u = kmvUnion(col("__kmv_a"), col("__kmv_b"), k)
+    left.join(right, by)
+      .select(by.map(col) ++ Seq(
+        kmvEstimate(col("__kmv_a"), k).as("est_a"),
+        kmvEstimate(col("__kmv_b"), k).as("est_b"),
+        kmvEstimate(u, k).as("est_union"),
+        kmvJaccard(u, col("__kmv_a"), col("__kmv_b")).as("jaccard"),
+        kmvIntersectEstimate(u, col("__kmv_a"), col("__kmv_b"), k)
+          .as("est_intersect")): _*)
+  }
 }

@@ -1597,6 +1597,74 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1).map(_.toString.toInt)
           .getOrElse(8))
     },
+    "graft.wordpiece_train" -> { a =>
+      // WordPiece merge fit (BERT family): likelihood-ratio pair scoring
+      // over a capped word-type table; (rank, first, second, merged,
+      // score) artifact — train once, checkpoint, feed to
+      // graft.wordpiece_encode
+      graft.functions.WordPiece.wordPieceMerges(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        numMerges = a.get("num_merges", -1).map(asInt(_, "num_merges"))
+          .getOrElse(1000),
+        maxVocab = a.get("max_vocab", -1).map(asInt(_, "max_vocab"))
+          .getOrElse(65536))
+    },
+    "graft.wordpiece_encode" -> { a =>
+      // greedy longest-match WordPiece encode under a trained merge
+      // artifact (word-TYPE grain, broadcast vocab, [UNK] whole-word
+      // contract); alphabet = the single-char symbols of the training
+      // corpus (bare + ##-marked)
+      graft.functions.WordPiece.wordPiecePieces(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asDf(a.require("model", 1), "model"),
+        alphabet = asStrList(a.require("alphabet", -1)),
+        maxPieceLen = a.get("max_piece_len", -1)
+          .map(asInt(_, "max_piece_len")).getOrElse(16))
+    },
+    "graft.pack_plan" -> { a =>
+      // GPT-style concat-and-chunk packing manifest: per-doc stream spans
+      // and training-block ids over ONE distributed global cumsum
+      graft.operators.Packing.packPlan(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("n_tokens", -1).getOrElse("n_tokens"), "n_tokens"),
+        blockSize = a.get("block_size", -1).map(asInt(_, "block_size"))
+          .getOrElse(2048).toLong,
+        eosTokens = a.get("eos_tokens", -1).map(asInt(_, "eos_tokens"))
+          .getOrElse(1))
+    },
+    "graft.pack_block_stats" -> { a =>
+      // per-block packing report over a pack_plan manifest: docs touching
+      // / starting / ending per block + fill (the attention-masking and
+      // padding-efficiency audit)
+      graft.operators.Packing.blockStats(
+        asDf(a.require("df", 0), "df"),
+        blockSize = a.get("block_size", -1).map(asInt(_, "block_size"))
+          .getOrElse(2048).toLong)
+    },
+    "graft.kmv_sketch" -> { a =>
+      // bottom-k distinct-value sketch per group over a numeric key —
+      // the mergeable corpus-overlap artifact (union/Jaccard/intersection
+      // live in graft.kmv_overlap)
+      graft.operators.Sketches.kmvSketches(
+        asDf(a.require("df", 0), "df"),
+        by = asStrList(a.require("by", -1)),
+        keyCol = asStr(a.get("key", -1).getOrElse("key"), "key"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(256))
+    },
+    "graft.kmv_overlap" -> { a =>
+      // overlap report from two kmv_sketch artifacts (same by keys, same
+      // k): est_a/est_b/est_union/jaccard/est_intersect per group —
+      // "how much of corpus B is already in corpus A" without a key join
+      graft.operators.Sketches.kmvOverlapReport(
+        asDf(a.require("a", 0), "a"),
+        asDf(a.require("b", 1), "b"),
+        by = asStrList(a.require("by", -1)),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(256))
+    },
     "graft.blocklist_flags" -> { a =>
       // C4-style banned-wordlist audit: ONE Aho-Corasick pass per row
       // over the whole phrase list (no per-phrase regex); appends

@@ -308,6 +308,32 @@ object ScaleStress {
                 pmod(col("doc_id"), lit(7)).cast("long")).otherwise(lit(0L)))
               .as("dhash_lo")),
           "id", "dhash_hi", "dhash_lo", maxHamming = 3, bands = 8).count())
+      // concat-and-chunk packing: ONE global cumsum (range exchange +
+      // broadcast offsets) then a bounded doc->block explode — expect
+      // linear wall, no knee (the single-task-window trap this machinery
+      // exists to avoid would show up as a super-linear tail here)
+      cell("q293_pack_plan", f, nd) {
+        val plan = graft.operators.Packing.packPlan(
+          d.select(col("doc_id"),
+            (pmod(col("doc_id"), lit(977L)) + 1L).as("n_tokens")),
+          "doc_id", "n_tokens", blockSize = 2048L)
+        graft.operators.Packing.blockStats(plan, 2048L)
+          .queryExecution.toRdd.count()
+      }
+      // KMV corpus-overlap: two bottom-256 sketches + the overlap report.
+      // The aggregate moves <=256 longs per (partition, group); wall should
+      // track the scan, never the distinct-key count.
+      cell("q295_kmv_overlap", f, nd) {
+        val keyed = d.select(pmod(col("doc_id"), lit(16L)).as("g"),
+          pmod(col("doc_id") * 2654435761L % lit(100000007L),
+            lit(1000000L)).as("key"))
+        graft.operators.Sketches.kmvOverlapReport(
+          graft.operators.Sketches.kmvSketches(
+            keyed.filter(col("key") % 2 === 0), Seq("g"), "key", 256),
+          graft.operators.Sketches.kmvSketches(
+            keyed.filter(col("key") % 3 === 0), Seq("g"), "key", 256),
+          Seq("g"), 256).count()
+      }
       // cross-drop near-dup probe: batch (odd ids) vs the accepted-corpus
       // band index (even ids) — both sides grow with the factor; the join
       // is equality on (band, bval) with the hamming verify inside it.

@@ -2302,6 +2302,66 @@ class RegistrySpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
     }
   }
+
+  test("graft.pack_plan / pack_block_stats / kmv_sketch / kmv_overlap / wordpiece from the YAML surface") {
+    // packing: spans match the PackingSpec reference, fill sums to the
+    // stream length
+    val docs = Seq((0L, 3L), (1L, 0L), (2L, 8L), (3L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val plan = reg.callFunction("graft.pack_plan", Args(
+      pos = List(docs), kw = List("block_size" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val spans = plan.orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(spans == Seq((0L, 4L), (4L, 5L), (5L, 14L), (14L, 17L)))
+    val fillSum = reg.callFunction("graft.pack_block_stats", Args(
+      pos = List(plan), kw = List("block_size" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .agg(sum("fill")).head().getLong(0)
+    assert(fillSum == 17L)
+
+    // kmv: registry sketches + overlap report == the operator path
+    val a = (1 to 300).map(i => ("g", (i * 2).toLong)).toDF("g", "key")
+    val b = (1 to 300).map(i => ("g", (i * 3).toLong)).toDF("g", "key")
+    val ska = reg.callFunction("graft.kmv_sketch", Args(
+      pos = List(a), kw = List("by" -> List("g"), "k" -> 48L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val skb = reg.callFunction("graft.kmv_sketch", Args(
+      pos = List(b), kw = List("by" -> List("g"), "k" -> 48L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val rep = reg.callFunction("graft.kmv_overlap", Args(
+      pos = List(ska, skb), kw = List("by" -> List("g"), "k" -> 48L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].head()
+    val direct = graft.operators.Sketches.kmvOverlapReport(
+      graft.operators.Sketches.kmvSketches(a, Seq("g"), "key", 48),
+      graft.operators.Sketches.kmvSketches(b, Seq("g"), "key", 48), Seq("g"), 48).head()
+    assert(rep.getDouble(rep.fieldIndex("jaccard")) ==
+      direct.getDouble(direct.fieldIndex("jaccard")))
+    assert(rep.getDouble(rep.fieldIndex("est_union")) ==
+      direct.getDouble(direct.fieldIndex("est_union")))
+
+    // wordpiece: train + encode through the registry == the direct call
+    val corpus = Seq("abab abab aba", "abab bab").toDF("text")
+    val merges = reg.callFunction("graft.wordpiece_train", Args(
+      pos = List(corpus), kw = List("num_merges" -> 2L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val directM = graft.functions.WordPiece
+      .learnWordPiece(corpus, "text", numMerges = 2)
+    assert(merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq ==
+      directM.map(m => (m.first, m.second)))
+    val toEnc = Seq((1L, "abab zq")).toDF("doc_id", "text")
+    val pieces = reg.callFunction("graft.wordpiece_encode", Args(
+      pos = List(toEnc, merges),
+      kw = List("alphabet" -> List("a", "b", "##a", "##b"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .head().getSeq[String](1)
+    assert(pieces.last == graft.functions.WordPiece.Unk)
+    assert(pieces.init ==
+      graft.functions.WordPiece.encodeGreedy("abab",
+        graft.functions.WordPiece.vocabOf(
+          Seq("a", "b", "##a", "##b"), directM), 16))
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
@@ -2327,4 +2387,5 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == exact)
   }
+
 }
