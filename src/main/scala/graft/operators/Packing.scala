@@ -36,9 +36,11 @@ object Packing {
     * caller owns uniqueness, as with any packing manifest).
     */
   def packPlan(df: DataFrame, idCol: String, nTokensCol: String,
-               blockSize: Long, eosTokens: Int = 1): DataFrame = {
+               blockSize: Long, eosTokens: Int = 1,
+               baseOffset: Long = 0L): DataFrame = {
     require(blockSize >= 1, s"packPlan: blockSize must be >= 1, got $blockSize")
     require(eosTokens >= 0, s"packPlan: eosTokens must be >= 0, got $eosTokens")
+    require(baseOffset >= 0, s"packPlan: baseOffset must be >= 0, got $baseOffset")
     val spanned = df
       .select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("__pk_len", col("n_tokens") + lit(eosTokens.toLong))
@@ -46,7 +48,7 @@ object Packing {
     val cum = GlobalWindows.running(spanned, Seq(idCol), Seq("__pk_len"),
       "cumsum")
     cum
-      .withColumn("end_off", col("__pk_len"))
+      .withColumn("end_off", col("__pk_len") + lit(baseOffset))
       .withColumn("start_off",
         col("end_off") - col("n_tokens") - lit(eosTokens.toLong))
       .withColumn("first_block", expr(s"start_off div ${blockSize}L"))
@@ -83,5 +85,46 @@ object Packing {
           .as("n_ends"),
         sum(least(col("end_off"), bEnd) - greatest(col("start_off"), bStart))
           .as("fill"))
+  }
+
+  /** INCREMENTAL packing across arriving drops (the streaming face —
+    * call from `foreachBatch` or the per-drop crawl loop): each drop's
+    * docs are appended to the SINGLE logical training stream, continuing
+    * from the running token total of every earlier drop, and the drop's
+    * manifest is written to `outDir/manifest/batch_id=<id>`. Stream
+    * order is arrival-major (drop, then id within the drop) — a training
+    * pipeline packs what arrives; history is never re-offset.
+    *
+    * Retry-idempotent under at-least-once foreachBatch, the
+    * [[graft.streaming.Streams]] per-batch_id-partition contract: the
+    * base offset sums the totals of batches with id STRICTLY BELOW this
+    * one (a retry sees the same base even if its own partial totals row
+    * survived), and both the manifest and the totals row OVERWRITE their
+    * own `batch_id=` partition.
+    */
+  def packDropWrite(batch: DataFrame, idCol: String, nTokensCol: String,
+                    blockSize: Long, outDir: String, batchId: Long,
+                    eosTokens: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    val totalsDir = s"$outDir/totals"
+    val base: Long = {
+      val prior = scala.util.Try(spark.read.parquet(totalsDir)
+        .filter(col("batch_id") < batchId)
+        .agg(coalesce(sum(col("stream_len")), lit(0L))).head().getLong(0))
+      prior.getOrElse(0L)
+    }
+    val plan = packPlan(batch, idCol, nTokensCol, blockSize, eosTokens, base)
+    plan.write.mode("overwrite")
+      .parquet(s"$outDir/manifest/batch_id=$batchId")
+    // the drop's own stream length, base-independent (so a retried batch
+    // rewrites the identical row): re-read the just-written manifest
+    // instead of re-running the plan
+    val written = spark.read.parquet(s"$outDir/manifest/batch_id=$batchId")
+    val len = written
+      .agg(coalesce(sum(col("n_tokens") + lit(eosTokens.toLong)), lit(0L)))
+      .head().getLong(0)
+    import spark.implicits._
+    Seq(len).toDF("stream_len").write.mode("overwrite")
+      .parquet(s"$totalsDir/batch_id=$batchId")
   }
 }

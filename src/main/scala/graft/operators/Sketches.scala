@@ -225,6 +225,19 @@ object Sketches {
                            k: Int): Column =
     kmvJaccard(unionSk, a, b) * kmvEstimate(unionSk, k)
 
+  /** Merge any number of per-batch [[kmvSketches]] rows back to one
+    * sketch per group: sketch values ARE hashes, so the merge is the
+    * same bottom-k aggregate over the exploded values — and, unlike HLL
+    * register union, the result is BIT-IDENTICAL to the sketch a direct
+    * whole-corpus scan would produce (KMV's defining property: the k
+    * smallest of a union are among each side's k smallest).
+    */
+  def kmvMerge(sketches: DataFrame, by: Seq[String], k: Int): DataFrame =
+    sketches
+      .select(by.map(col) :+ explode(col("kmv")).as("__kmv_v"): _*)
+      .groupBy(by.map(col): _*)
+      .agg(graft.expressions.KmvAgg.kmv(col("__kmv_v"), k).as("kmv"))
+
   /** Overlap report between two [[kmvSketches]] frames sharing the same
     * `by` keys and sketch parameter k: per group,
     * `est_a / est_b / est_union / jaccard / est_intersect` — the whole

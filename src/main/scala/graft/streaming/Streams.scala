@@ -461,8 +461,9 @@ object Streams {
     */
   def writeSketchBatch(batch: DataFrame, by: Seq[String], distinctCol: String,
                        histCol: String, outDir: String, id: Long,
-                       comoment: Option[(String, String)] = None): Unit = {
-    // two-to-three artifact writes read the SAME batch: persist once so
+                       comoment: Option[(String, String)] = None,
+                       kmv: Option[(String, Int)] = None): Unit = {
+    // two-to-four artifact writes read the SAME batch: persist once so
     // an expensive upstream (e.g. the full crawl curation chain under
     // streamingSketchArtifacts) scans per trigger, not per artifact
     batch.persist()
@@ -478,6 +479,14 @@ object Streams {
       comoment.foreach { case (x, y) =>
         graft.operators.Sketches.coMomentSketch(batch, by, x, y)
           .write.mode("overwrite").parquet(s"$outDir/cm/batch_id=$id")
+      }
+      // optional KMV face (bottom-k distinct sketch with set algebra):
+      // kmvMerge over the artifact is BIT-IDENTICAL to a direct scan
+      // (KMV union exactness), so the running-overlap reader gets the
+      // same hash-gated numbers the batch path does
+      kmv.foreach { case (keyCol, k) =>
+        graft.operators.Sketches.kmvSketches(batch, by, keyCol, k)
+          .write.mode("overwrite").parquet(s"$outDir/kmv/batch_id=$id")
       }
     } finally batch.unpersist()
   }
@@ -1009,10 +1018,12 @@ object Streams {
   def streamingSketchArtifacts(stream: DataFrame, by: Seq[String],
                                distinctCol: String, histCol: String,
                                outDir: String, checkpointDir: String,
-                               comoment: Option[(String, String)] = None): Unit = {
+                               comoment: Option[(String, String)] = None,
+                               kmv: Option[(String, Int)] = None): Unit = {
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        writeSketchBatch(batch, by, distinctCol, histCol, outDir, id, comoment)
+        writeSketchBatch(batch, by, distinctCol, histCol, outDir, id,
+          comoment, kmv)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

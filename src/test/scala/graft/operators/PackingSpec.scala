@@ -51,6 +51,34 @@ class PackingSpec extends AnyFunSuite {
     assert(st.map(_._5).sum == 17L)
   }
 
+  test("packDropWrite: two drops continue one stream == batch plan on the union; retry idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("pack").toString
+    val drop1 = (0L to 9L).map(i => (i, i % 5 + 1)).toDF("id", "n_tokens")
+    val drop2 = (10L to 19L).map(i => (i, i % 7 + 2)).toDF("id", "n_tokens")
+    Packing.packDropWrite(drop1, "id", "n_tokens", blockSize = 8L,
+      outDir = out, batchId = 0L)
+    Packing.packDropWrite(drop2, "id", "n_tokens", blockSize = 8L,
+      outDir = out, batchId = 1L)
+    def manifest() = spark.read.parquet(s"$out/manifest")
+      .drop("batch_id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val streamed = manifest()
+    // ids are drop-major here, so the batch plan over the union is the
+    // same stream order the incremental writer produced
+    val batch = Packing.packPlan(drop1.unionByName(drop2), "id", "n_tokens",
+        blockSize = 8L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(streamed == batch)
+    // at-least-once retry: rewriting drop 2 must reproduce the identical
+    // manifest (same base offset, own partitions overwritten)
+    Packing.packDropWrite(drop2, "id", "n_tokens", blockSize = 8L,
+      outDir = out, batchId = 1L)
+    assert(manifest() == batch)
+  }
+
   test("packPlan is partitioning-insensitive (distributed cumsum == sequential)") {
     val lens = (0 until 200).map(i => (i.toLong, (i * 7 % 13).toLong))
     val df = lens.toDF("id", "n_tokens").repartition(7)

@@ -529,6 +529,32 @@ class StreamingSpec extends AnyFunSuite {
           r.getDouble(r.fieldIndex("corr")) == c,
           s"co-moment artifact merge must equal direct for ${r.getString(0)}")
       }
+
+    // KMV face: two batch writes merge to EXACTLY the direct whole-corpus
+    // sketch (KMV union exactness — array equality, no estimate
+    // envelope), and a retried batch overwrites its own partition
+    val kmvOut = java.nio.file.Files.createTempDirectory("sskmv").toString
+    Streams.writeSketchBatch(events.filter(col("user_id") % 2 === 0),
+      Seq("event_type"), "user_id", "v", kmvOut, 0L,
+      kmv = Some(("user_id", 32)))
+    Streams.writeSketchBatch(events.filter(col("user_id") % 2 =!= 0),
+      Seq("event_type"), "user_id", "v", kmvOut, 1L,
+      kmv = Some(("user_id", 32)))
+    def kmvMergedMap() = graft.operators.Sketches.kmvMerge(
+        spark.read.parquet(s"$kmvOut/kmv").drop("batch_id"),
+        Seq("event_type"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val kmvMerged = kmvMergedMap()
+    val kmvDirect = graft.operators.Sketches.kmvSketches(
+        events, Seq("event_type"), "user_id", 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kmvMerged == kmvDirect,
+      "merged per-batch KMV sketches must equal the direct scan exactly")
+    Streams.writeSketchBatch(events.filter(col("user_id") % 2 === 0),
+      Seq("event_type"), "user_id", "v", kmvOut, 0L,
+      kmv = Some(("user_id", 32)))
+    assert(kmvMergedMap() == kmvDirect,
+      "retried KMV batch must overwrite, not append")
   }
 
   // ---- CrawlDedup policy tests -------------------------------------
