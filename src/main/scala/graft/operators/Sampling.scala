@@ -583,4 +583,53 @@ object Sampling {
     val in = col(domainCol).isInCollection(domains)
     df.filter(if (block) !in else in)
   }
+
+  /** UniMax language-sampling plan (Chung et al. 2023): allocate a token
+    * `budget` across languages as UNIFORMLY as possible subject to a
+    * per-language repeat cap of `maxEpochs` — the published alternative
+    * to temperature sampling that neither starves tail languages nor
+    * over-epochs them. Water-filling, smallest language first: each step
+    * offers the remaining budget split evenly over the remaining
+    * languages; a language whose whole corpus × maxEpochs cannot absorb
+    * that share is capped there and its unused share flows to the rest.
+    *
+    * Determinism contract: languages process in (tokens asc, lang asc)
+    * order; every step is one IEEE double division + min + subtraction,
+    * correctly rounded, so an oracle unrolling the same steps reproduces
+    * every allocation bit for bit. If all languages cap, the plan
+    * under-allocates (the corpus itself cannot fill the budget) —
+    * reported via `alloc` summing below the budget, not an error.
+    *
+    * Scale: ONE distributed token-count aggregate; the water-fill runs
+    * on the |languages|-row collect (a bounded model-artifact fit, the
+    * temperatureMixture/doremi contract). Emits per language:
+    * (lang, n_docs, tokens, alloc, epochs, p).
+    */
+  def unimaxPlan(df: DataFrame, textCol: String, langCol: String,
+                 budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 1, s"unimaxPlan: budget must be >= 1, got $budget")
+    require(maxEpochs >= 1,
+      s"unimaxPlan: maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(langCol).as("lang"), wsTokenCount(col(textCol)).as("__t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (l, _, t) => (t, l) }
+    var rem = budget.toDouble
+    var left = counts.length
+    val rows = counts.map { case (lang, nDocs, toks) =>
+      val share = rem / left.toDouble
+      val alloc = math.min((toks * maxEpochs.toLong).toDouble, share)
+      rem -= alloc
+      left -= 1
+      (lang, nDocs, toks, alloc, alloc / toks.toDouble,
+        alloc / budget.toDouble)
+    }
+    rows.toSeq
+      .toDF("lang", "n_docs", "tokens", "alloc", "epochs", "p")
+  }
 }

@@ -1624,6 +1624,26 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1)
           .map(asInt(_, "max_piece_len")).getOrElse(16))
     },
+    "graft.unimax_plan" -> { a =>
+      // UniMax budget allocation across languages (water-filling with a
+      // per-language epoch cap — the published alternative to temperature
+      // sampling); one token-count aggregate + a |languages|-row fit
+      graft.operators.Sampling.unimaxPlan(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.get("lang", -1).getOrElse("lang"), "lang"),
+        // budgets are token counts — trillions at production scale, so a
+        // 32-bit coercion (asInt truncates Longs) would silently wrap
+        budget = a.require("budget", -1) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: String if s.trim.matches("-?\\d+") => s.trim.toLong
+          case other =>
+            throw PipelineError(s"budget expects an integer, got ${tn(other)}")
+        },
+        maxEpochs = a.get("max_epochs", -1).map(asInt(_, "max_epochs"))
+          .getOrElse(4))
+    },
     "graft.pack_plan" -> { a =>
       // GPT-style concat-and-chunk packing manifest: per-doc stream spans
       // and training-block ids over ONE distributed global cumsum

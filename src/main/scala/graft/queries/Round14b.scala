@@ -218,8 +218,71 @@ object Round14b {
         JOIN gfin s2 ON s2.w = d.w2
         JOIN gfin s3 ON s3.w = d.w3
         JOIN gfin s4 ON s4.w = 'bad'
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // UniMax language-sampling plan (Chung et al. 2023): water-filling
+    // budget allocation, smallest language first, per-language repeat
+    // cap. The skewed lang fixture (≈ 8:4:2:1:½:½) makes the small
+    // languages CAP at 3 epochs while the large ones absorb the flowed-
+    // back budget — both branches live. The oracle unrolls all six
+    // water-fill steps with the identical IEEE double arithmetic
+    // (division, min, running subtraction), so every alloc/epochs/p is
+    // exact-compared, no tolerance.
+    Q("q298_unimax", (s, d) => {
+      val m = col("doc_id") % 16
+      val lang = when(m < 8, "en").when(m < 12, "fr").when(m < 14, "de")
+        .when(m === 14, "zh")
+        .otherwise(when(expr("(doc_id div 16) % 2") === 0, "hi")
+          .otherwise("sw"))
+      val df = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("lang", lang)
+      graft.operators.Sampling.unimaxPlan(df, "text", "lang",
+          budget = 60000L, maxEpochs = 3)
+        .orderBy(col("lang"))
+    }, Some(unimaxSql(60000L, 3)))
   )
+
+  /** The UniMax water-fill replay: per-language token counts from the
+    * skew fixture, ranked (tokens asc, lang asc), then six unrolled
+    * steps each computing share = rem/left, alloc = min(cap, share) and
+    * the running remainder — the exact op order of
+    * [[graft.operators.Sampling.unimaxPlan]].
+    */
+  private def unimaxSql(budget: Long, maxEpochs: Int): String = {
+    val head = s"""
+        WITH dl AS (SELECT doc_id, text,
+          CASE WHEN doc_id % 16 < 8 THEN 'en'
+               WHEN doc_id % 16 < 12 THEN 'fr'
+               WHEN doc_id % 16 < 14 THEN 'de'
+               WHEN doc_id % 16 = 14 THEN 'zh'
+               WHEN (doc_id // 16) % 2 = 0 THEN 'hi'
+               ELSE 'sw' END AS lang
+          FROM documents),
+        lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS tokens
+               FROM dl GROUP BY 1),
+        rk AS (SELECT *, row_number() OVER (ORDER BY tokens, lang) AS rk
+               FROM lc),
+        r0 AS (SELECT CAST($budget AS DOUBLE) AS rem)"""
+    val steps = (1 to 6).map { k => s"""
+        s$k AS (SELECT r.lang, r.n_docs, r.tokens,
+                  least(CAST(r.tokens * $maxEpochs AS DOUBLE),
+                    r${k - 1}.rem / ${7 - k}) AS alloc
+                FROM rk r, r${k - 1} WHERE r.rk = $k),
+        r$k AS (SELECT r${k - 1}.rem - s$k.alloc AS rem
+                FROM r${k - 1}, s$k)"""
+    }.mkString(",")
+    val fin = s"""
+        SELECT lang, n_docs, tokens, alloc,
+          alloc / CAST(tokens AS DOUBLE) AS epochs,
+          alloc / CAST($budget AS DOUBLE) AS p
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+          UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6)
+        ORDER BY lang"""
+    head + "," + steps + fin
+  }
 
   /** WordPiece fixture: three words per doc from a 7-word pool over
     * {a,b,c} (max length 5 — the greedy oracle unrolls 5 steps),

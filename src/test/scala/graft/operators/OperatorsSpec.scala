@@ -2158,6 +2158,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._1 - (3 * pba + 2 * pab) / 5) < 1e-9)
   }
 
+  test("unimaxPlan: epoch caps bind smallest-first, flowed-back budget splits evenly, conservation") {
+    // sizes 10/100/1000 tokens; budget 600, maxEpochs 3:
+    //   tiny (cap 30)  : share 200 -> capped at 30
+    //   mid  (cap 300) : share (600-30)/2 = 285 -> UNDER cap, takes share
+    //   big  (cap 3000): share 285 -> takes the rest exactly
+    val df = (Seq.tabulate(10)(i => (i.toLong, "w", "tiny")) ++
+      Seq.tabulate(10)(i => (100L + i, ("w " * 10).trim, "mid")) ++
+      Seq.tabulate(10)(i => (200L + i, ("w " * 100).trim, "big")))
+      .toDF("doc_id", "text", "lang")
+    val plan = graft.operators.Sampling.unimaxPlan(df, "text", "lang",
+        budget = 600L, maxEpochs = 3)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("alloc"),
+          r.getAs[Double]("epochs"))).toMap
+    assert(plan("tiny") == ((10L, 30.0, 3.0)))     // capped at 3 epochs
+    assert(plan("mid") == ((100L, 285.0, 2.85)))   // even share, under cap
+    assert(plan("big")._2 == 285.0)                // remaining budget
+    assert(plan.values.map(_._2).sum == 600.0, "budget fully allocated")
+    // epoch cap is NEVER exceeded, even with an absurd budget
+    val capped = graft.operators.Sampling.unimaxPlan(df, "text", "lang",
+        budget = 1000000L, maxEpochs = 2)
+      .collect().map(r => r.getAs[Double]("epochs"))
+    assert(capped.forall(_ <= 2.0 + 1e-12))
+    // registry passthrough
+    val reg = new graft.ops.Registry(spark)
+    val viaReg = reg.callFunction("graft.unimax_plan", graft.expr.Args(
+      pos = List(df), kw = List("budget" -> 600L, "max_epochs" -> 3L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Double]("alloc")).toMap
+    assert(viaReg == plan.map { case (l, v) => l -> v._2 })
+  }
+
   test("temperatureMixture: dyadic alpha flattens toward uniform; non-dyadic rejected") {
     val df = Seq.tabulate(90)(i => (i.toLong, "w " * (if (i < 80) 20 else 1)))
       .map { case (id, t) => (id, t.trim, if (id < 80) "big" else "small") }
