@@ -730,4 +730,51 @@ class ExamplesSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("anchor"), r.getAs[Long]("n")))
     assert(anchors.head == ("alpha home", 6L), s"anchors=${anchors.toSeq}")
   }
+
+  test("examples/pretrain_pack.yaml: unimax plan -> pack manifest/blocks -> KMV overlap") {
+    val out = freshDir("ex_pp_out")
+    new Pipeline(spark, "examples/pretrain_pack.yaml",
+      Map("sf_dir" -> graft.TestSpark.sfDir, "out_dir" -> out)).run()
+
+    // UniMax: four languages, budget fully allocated (en is large enough
+    // to absorb the flow-back), nothing over the 3-epoch cap
+    val um = spark.read.parquet(s"$out/unimax_plan.parquet")
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("alloc"), r.getAs[Double]("epochs"))).toMap
+    assert(um.size == 4)
+    assert(math.abs(um.values.map(_._1).sum - 60000.0) < 1e-6,
+      s"budget conservation: $um")
+    assert(um.values.forall(_._2 <= 3.0 + 1e-12), s"epoch cap: $um")
+    assert(um("zh")._2 == 3.0 && um("de")._2 == 3.0,
+      s"small languages must cap: $um")
+
+    // packing manifest: a gapless chain in doc_id order whose total
+    // length is sum(n_tokens + 1)
+    val spans = spark.read.parquet(s"$out/pack_manifest.parquet")
+      .orderBy("doc_id")
+      .select("n_tokens", "start_off", "end_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var off = 0L
+    spans.foreach { case (n, s, e) =>
+      assert(s == off && e == s + n + 1, s"gapless chain broken at $s")
+      off = e
+    }
+    // block report: fills sum to the stream length; every block but the
+    // tail holds exactly block_size positions
+    val fills = spark.read.parquet(s"$out/pack_blocks.parquet")
+      .orderBy("block").select("fill").collect().map(_.getLong(0))
+    assert(fills.sum == off)
+    assert(fills.init.forall(_ == 256L) && fills.last <= 256L)
+
+    // KMV overlap of two DISJOINT halves: the intersection estimate is
+    // EXACTLY zero (membership is exact for union-sketch values)
+    val ov = spark.read.parquet(s"$out/overlap_report.parquet").collect()
+    assert(ov.nonEmpty)
+    ov.foreach { r =>
+      assert(r.getAs[Double]("jaccard") == 0.0 &&
+        r.getAs[Double]("est_intersect") == 0.0,
+        s"disjoint halves must show zero overlap: $r")
+      assert(r.getAs[Double]("est_union") > 0.0)
+    }
+  }
 }
