@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) data layout — the lakehouse clustering trick
+  * (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders) re-expressed as
+  * plain Spark: interleave the bits of two filter columns into one
+  * z-value, range-partition + sort the write on it, and every output
+  * file covers a small rectangle of (a, b) space instead of a stripe of
+  * one column. Parquet's per-file/row-group min-max stats on BOTH
+  * columns then prune multi-dimensional point/range queries — the
+  * "filter on either column touches few files" property a single-column
+  * sort cannot give at 100 TB.
+  *
+  * Everything is plan-literal bit arithmetic (shift/and/or — codegen'd,
+  * no UDF), and the identical operator chain runs in any SQL engine, so
+  * the z-value itself is oracle-replayable bit for bit.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so consecutive input bits land two
+    * apart (the classic Morton mask ladder): 0babcd -> 0b0a0b0c0d.
+    */
+  def mortonSpread16(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit values: bits of `a` on even
+    * positions, bits of `b` on odd. Callers quantize wider domains to 16
+    * bits first (rank/bucket them) — locality, not exact order, is the
+    * contract.
+    */
+  def zValue(a: Column, b: Column): Column =
+    mortonSpread16(a).bitwiseOR(shiftleft(mortonSpread16(b), 1))
+
+  /** Write `df` z-ordered on (`colA`, `colB`) into `nFiles` range
+    * partitions at `path`. Each output file covers a contiguous z-range
+    * (disjoint across files up to boundary ties), hence a bounded
+    * rectangle of (a, b) — the property [[fileStats]] audits and parquet
+    * stats exploit.
+    */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, path: String,
+                  nFiles: Int): Unit = {
+    require(nFiles >= 1, s"zOrderWrite: nFiles must be >= 1, got $nFiles")
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max envelope of two columns over a written directory —
+    * the pruning audit: for a z-ordered layout the envelopes are small
+    * rectangles; for an unclustered layout every file spans ~the whole
+    * domain. `filesTouched` below is exactly the file count a min-max-
+    * stats reader (parquet row-group pruning) would scan for a range
+    * predicate.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                colA: String, colB: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"))
+
+  /** How many files a (lo, hi) range predicate on `minCol`/`maxCol`
+    * envelopes intersects.
+    */
+  def filesTouched(stats: DataFrame, minCol: String, maxCol: String,
+                   lo: Long, hi: Long): Long =
+    stats.filter(col(maxCol) >= lo && col(minCol) <= hi).count()
+}

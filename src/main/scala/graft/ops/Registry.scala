@@ -1624,6 +1624,19 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1)
           .map(asInt(_, "max_piece_len")).getOrElse(16))
     },
+    "graft.zorder_write" -> { a =>
+      // Z-order (Morton) clustered write: bit-interleave two filter
+      // columns, range-partition + sort the files on the z-value so
+      // min-max stats prune range predicates on EITHER column; returns
+      // the per-file (a, b) envelope audit frame
+      val df = asDf(a.require("df", 0), "df")
+      val ca = asStr(a.require("a", -1), "a")
+      val cb = asStr(a.require("b", -1), "b")
+      val path = asStr(a.require("path", -1), "path")
+      graft.operators.Layout.zOrderWrite(df, ca, cb, path,
+        nFiles = a.get("n_files", -1).map(asInt(_, "n_files")).getOrElse(64))
+      graft.operators.Layout.fileStats(df.sparkSession, path, ca, cb)
+    },
     "graft.unimax_plan" -> { a =>
       // UniMax budget allocation across languages (water-filling with a
       // per-language epoch cap — the published alternative to temperature

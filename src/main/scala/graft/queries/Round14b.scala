@@ -239,7 +239,35 @@ object Round14b {
       graft.operators.Sampling.unimaxPlan(df, "text", "lang",
           budget = 60000L, maxEpochs = 3)
         .orderBy(col("lang"))
-    }, Some(unimaxSql(60000L, 3)))
+    }, Some(unimaxSql(60000L, 3))),
+
+    // Z-order (Morton) clustering key — the lakehouse multi-dimensional
+    // layout trick (Delta OPTIMIZE ZORDER): bit-interleave two filter
+    // columns so range-partitioned files cover (a, b) RECTANGLES and
+    // min-max stats prune on either column. The key is pure shift/and/or
+    // bit math, replayed ladder-step for ladder-step in SQL — one wrong
+    // mask or shift flips z-values corpus-wide. (The write/prune face is
+    // LayoutSpec's: measured file-touch counts under a range predicate.)
+    Q("q299_zorder_key", (s, d) => {
+      val a = col("doc_id") % 1000
+      val b = (col("doc_id") * 7 + 3) % 1000
+      t(s, d, "documents").select(col("doc_id"), a.as("a"), b.as("b"),
+          graft.operators.Layout.zValue(a, b).as("z"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def spread(e: String): String = {
+        val x0 = s"(($e) & 65535)"
+        val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+        val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+        val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+        s"(($x3 | ($x3 << 1)) & 1431655765)"
+      }
+      s"""
+        SELECT doc_id, doc_id % 1000 AS a, (doc_id*7+3) % 1000 AS b,
+          ${spread("doc_id % 1000")}
+            | (${spread("(doc_id*7+3) % 1000")} << 1) AS z
+        FROM documents ORDER BY doc_id"""
+    })
   )
 
   /** The UniMax water-fill replay: per-language token counts from the

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  test("zValue == bit-by-bit Morton reference; monotone in each axis quadrant") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (255L, 256L))
+    val got = rows.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq == rows.map { case (a, b) => mortonRef(a, b) })
+    // interleave sanity: (1,0) sets bit 0, (0,1) sets bit 1
+    assert(mortonRef(1, 0) == 1L && mortonRef(0, 1) == 2L)
+    assert(mortonRef(65535, 65535) == 0xFFFFFFFFL)
+  }
+
+  test("zOrderWrite clusters (a,b) rectangles: range predicates touch few files, vs ~all unclustered") {
+    // 40k rows over a 200x200 grid, row order deliberately scrambles both
+    // axes so an unclustered write spreads every (a,b) everywhere
+    val n = 40000
+    val df = spark.range(n.toLong).select(
+      (col("id") * 48271 % 200).as("a"),
+      (col("id") * 69621 % 200).as("b"),
+      col("id").as("payload"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lDir = java.nio.file.Files.createTempDirectory("linear").toString
+    Layout.zOrderWrite(df, "a", "b", zDir, nFiles = 16)
+    df.repartition(16).write.mode("overwrite").parquet(lDir) // unclustered
+
+    // a 10%-wide range on EITHER axis
+    def touched(dir: String, c: String): Long = {
+      val st = Layout.fileStats(spark, dir, "a", "b")
+      Layout.filesTouched(st, s"min_${c}", s"max_${c}", 0L, 19L)
+    }
+    assert(touched(lDir, "a") == 16 && touched(lDir, "b") == 16,
+      "unclustered: every file spans the domain")
+    val za = touched(zDir, "a"); val zb = touched(zDir, "b")
+    assert(za <= 8 && zb <= 8,
+      s"z-order must bound BOTH axes per file (a:$za b:$zb of 16)")
+
+    // correctness: the layout is a permutation, nothing lost or changed
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == n)
+    assert(back.agg(sum("payload")).head().getLong(0) ==
+      (n.toLong - 1) * n / 2)
+  }
+}
