@@ -87,6 +87,37 @@ object Packing {
           .as("fill"))
   }
 
+  /** Deterministic per-EPOCH block shuffle — the training data-loader
+    * face of the manifest: blocks are read in the rank order of a
+    * replayable multiplicative hash over (block, epoch), so every epoch
+    * visits all blocks in a different but reproducible permutation (the
+    * "shuffle blocks, not documents" loader contract; intra-block token
+    * order is the packed stream and never changes). The rank is a
+    * distributed global cumcount ([[GlobalWindows]] machinery — a 100 TB
+    * corpus has ~1e10 blocks, so no single-task sort and LONG ranks, not
+    * int). Appends `read_order` to the input.
+    */
+  def blockOrder(blocks: DataFrame, epoch: Int): DataFrame = {
+    require(epoch >= 0, s"blockOrder: epoch must be >= 0, got $epoch")
+    // the epoch must change the MULTIPLIER substantially: adding a
+    // constant mod M is a rotation (reorders almost nothing), and a
+    // slightly-perturbed multiplier shifts each hash by at most
+    // block x delta — still order-preserving for small corpora. Scaling
+    // the Knuth constant by (epoch+1) mod M gives unrelated multipliers
+    // per epoch. Both factors are folded below 2^31 BEFORE the multiply
+    // so the 64-bit product never wraps (1e10 blocks x the constant
+    // would): wrap-free math keeps the hash replayable in
+    // overflow-checking engines.
+    val mult = (2654435761L * (epoch.toLong + 1L)) % 2147483647L
+    val h = ((col("block") % lit(2147483647L)) * lit(mult) +
+      lit(1013904223L)) % lit(2147483647L)
+    val keyed = blocks.withColumn("__shuf", h).withColumn("__one", lit(1L))
+    GlobalWindows.running(keyed, Seq("__shuf", "block"), Seq("__one"),
+        "cumsum")
+      .withColumn("read_order", col("__one") - 1L)
+      .select(blocks.columns.map(col) :+ col("read_order"): _*)
+  }
+
   /** INCREMENTAL packing across arriving drops (the streaming face —
     * call from `foreachBatch` or the per-drop crawl loop): each drop's
     * docs are appended to the SINGLE logical training stream, continuing

@@ -320,6 +320,32 @@ object Prep {
     * Zero-variance groups yield NULL (pandas emits NaN/inf; the engine's
     * NaN-maps-to-null convention applies). Empty `by` = global.
     */
+  /** Corpus snapshot DIFF — the dataset-versioning audit between two
+    * releases: classify every id as `added` (new only), `removed` (old
+    * only), `changed` (both, fingerprints differ) or `unchanged`. Run it
+    * on (id, fingerprint) frames ([[graft.functions.Text.fingerprint]] —
+    * 16-byte md5 keys), so the one full outer join ships digests, never
+    * documents; at matched release sizes the join co-partitions on the
+    * id hash and nothing else scales with text size. `keepUnchanged =
+    * false` (default) drops the usually-dominant unchanged class so the
+    * diff artifact is delta-sized.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   fpCol: String, keepUnchanged: Boolean = false): DataFrame = {
+    val o = oldSnap.select(col(idCol), col(fpCol).as("__fp_old"))
+    val n = newSnap.select(col(idCol), col(fpCol).as("__fp_new"))
+    val joined = o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed"))
+    (if (keepUnchanged) joined
+     else joined.filter(col("status") =!= "unchanged"))
+      .select(col(idCol), col("status"),
+        col("__fp_old").as("fp_old"), col("__fp_new").as("fp_new"))
+  }
+
   def zscore(df: DataFrame, valueCols: Seq[String], by: Seq[String] = Nil,
              ddof: Int = 1): DataFrame = {
     require(valueCols.nonEmpty, "zscore: valueCols must be non-empty")

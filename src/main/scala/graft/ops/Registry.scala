@@ -1624,6 +1624,25 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1)
           .map(asInt(_, "max_piece_len")).getOrElse(16))
     },
+    "graft.snapshot_diff" -> { a =>
+      // dataset-versioning audit between two releases at fingerprint
+      // grain: added/removed/changed per id (unchanged dropped unless
+      // keep_unchanged)
+      graft.operators.Prep.snapshotDiff(
+        asDf(a.require("old", 0), "old"),
+        asDf(a.require("new", 1), "new"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("fp", -1).getOrElse("fingerprint"), "fp"),
+        keepUnchanged = a.get("keep_unchanged", -1)
+          .exists(_.toString.toBoolean))
+    },
+    "graft.block_order" -> { a =>
+      // per-epoch data-loader permutation over a pack_block_stats frame:
+      // distributed rank of a replayable hash over (block, epoch)
+      graft.operators.Packing.blockOrder(
+        asDf(a.require("df", 0), "df"),
+        epoch = a.get("epoch", -1).map(asInt(_, "epoch")).getOrElse(0))
+    },
     "graft.zorder_write" -> { a =>
       // Z-order (Morton) clustered write: bit-interleave two filter
       // columns, range-partition + sort the files on the z-value so

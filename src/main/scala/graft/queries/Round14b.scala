@@ -267,7 +267,75 @@ object Round14b {
           ${spread("doc_id % 1000")}
             | (${spread("(doc_id*7+3) % 1000")} << 1) AS z
         FROM documents ORDER BY doc_id"""
-    })
+    }),
+
+    // Corpus snapshot diff — the dataset-versioning audit: old = the
+    // fixture, new = old minus every 7th doc (removed), with every
+    // remaining 5th doc's text edited (changed), plus re-keyed clones of
+    // every 11th doc (added). Joined at fingerprint grain (16-byte md5
+    // keys through the one full outer join — never documents). The
+    // oracle rebuilds both snapshots and every md5.
+    Q("q300_corpus_diff", (s, d) => {
+      import graft.functions.Text
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val oldSnap = docs.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))
+      val kept = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newSnap = kept.unionByName(added)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      graft.operators.Prep.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH fp AS (SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+            md5(regexp_replace(lower(trim(text || ' v2')), '\s+', ' ', 'g'))
+              AS fp2
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN 'removed' ELSE 'changed' END
+            AS status,
+          fp AS fp_old,
+          CASE WHEN doc_id % 7 = 0 THEN NULL ELSE fp2 END AS fp_new
+        FROM fp WHERE doc_id % 7 = 0 OR doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'added', NULL, fp
+        FROM fp WHERE doc_id % 11 = 0
+        ORDER BY doc_id""")),
+
+    // Per-epoch block shuffle — the data-loader permutation over the
+    // packing manifest: rank of a replayable multiplicative hash over
+    // (block, epoch), distributed cumcount (no single-task sort). Two
+    // epochs side by side: same block set, different reproducible
+    // orders; the oracle replays hash and rank for both.
+    Q("q301_block_shuffle", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val blocks = graft.operators.Packing.blockStats(
+        graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
+          blockSize = BlockC), blockSize = BlockC)
+      val e0 = graft.operators.Packing.blockOrder(blocks, epoch = 0)
+        .select(col("block"), lit(0).as("epoch"), col("read_order"))
+      val e1 = graft.operators.Packing.blockOrder(blocks, epoch = 1)
+        .select(col("block"), lit(1).as("epoch"), col("read_order"))
+      e0.unionByName(e1).orderBy(col("epoch"), col("block"))
+    }, Some("WITH" + packSql + s""",
+        bl AS (SELECT DISTINCT
+                 unnest(generate_series(first_block, last_block)) AS block
+               FROM sp),
+        eo AS (SELECT block, e.epoch,
+                 row_number() OVER (PARTITION BY e.epoch ORDER BY
+                   ((block % 2147483647)
+                     * ((2654435761 * (e.epoch + 1)) % 2147483647)
+                     + 1013904223) % 2147483647,
+                   block) - 1 AS read_order
+               FROM bl, (SELECT unnest([0, 1]) AS epoch) e)
+        SELECT block, CAST(epoch AS INT) AS epoch,
+          CAST(read_order AS BIGINT) AS read_order
+        FROM eo ORDER BY epoch, block"""))
   )
 
   /** The UniMax water-fill replay: per-language token counts from the

@@ -71,7 +71,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "the document stream (Packing.packPlan)"),
     "q294_pack_blocks" -> ("same packPlan machinery as q293 feeding the " +
       "block explode: the global window runs over the per-range-partition " +
-      "sum frame only"))
+      "sum frame only"),
+    "q301_block_shuffle" -> ("packPlan + blockOrder: every global window " +
+      "is a GlobalWindows prefix combine over per-range-partition " +
+      "aggregates (<= spark.sql.shuffle.partitions rows) — the block " +
+      "rank itself is the distributed cumsum, never a single-task sort"))
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.

@@ -79,6 +79,33 @@ class PackingSpec extends AnyFunSuite {
     assert(manifest() == batch)
   }
 
+  test("blockOrder: per-epoch permutations — complete, distinct across epochs, reproducible") {
+    val blocks = (0L until 200L).toDF("block")
+    def order(e: Int) = Packing.blockOrder(blocks, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = order(0); val e1 = order(1)
+    // a permutation: every block once, ranks exactly 0..n-1
+    assert(e0.values.toSeq.sorted == (0L until 200L))
+    assert(e1.values.toSeq.sorted == (0L until 200L))
+    // epochs genuinely reshuffle (identical permutations would mean the
+    // epoch term is dead)
+    assert(e0 != e1)
+    // deterministic: same epoch twice is bit-identical
+    assert(order(0) == e0)
+  }
+
+  test("snapshotDiff classifies added/removed/changed; unchanged dropped by default") {
+    import graft.operators.Prep
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val newS = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "fp")
+    val got = Prep.snapshotDiff(oldS, newS, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val all = Prep.snapshotDiff(oldS, newS, "id", "fp", keepUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(2L) == "unchanged" && all.size == 4)
+  }
+
   test("packPlan is partitioning-insensitive (distributed cumsum == sequential)") {
     val lens = (0 until 200).map(i => (i.toLong, (i * 7 % 13).toLong))
     val df = lens.toDF("id", "n_tokens").repartition(7)
