@@ -192,9 +192,18 @@ object Sketches {
     * (partition, group) crosses the shuffle.
     */
   def kmvSketches(df: DataFrame, by: Seq[String], keyCol: String,
-                  k: Int): DataFrame =
+                  k: Int): DataFrame = {
+    // fail at plan time, not with silently-empty sketches: a non-numeric
+    // key would cast to null under kmvHash and every group would sketch
+    // as empty (string keys: hash to a bounded integer first — at the
+    // cost of the oracle-replayable-hash property)
+    val dt = df.schema(keyCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+      s"kmvSketches: key column '$keyCol' must be integral " +
+        s"(got ${dt.simpleString}); hash wider domains to a long first")
     df.groupBy(by.map(col): _*)
       .agg(graft.expressions.KmvAgg.kmv(kmvHash(col(keyCol)), k).as("kmv"))
+  }
 
   /** Union of two KMV sketches — the k smallest of A ∪ B are always among
     * sketch(A) ∪ sketch(B), so the union sketch is exact column math.

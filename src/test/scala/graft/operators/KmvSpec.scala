@@ -25,6 +25,14 @@ class KmvSpec extends AnyFunSuite {
     assert(sketchOf(keys, 32) == bottomK(keys, 32))
   }
 
+  test("kmvSketches: non-integral key rejected at plan time") {
+    val df = Seq(("g", "not-a-number")).toDF("g", "key")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvSketches(df, Seq("g"), "key", 8)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("kmvSketches: under-full sketch is the whole distinct hash set") {
     val keys = Seq(5L, 9L, 5L, 13L)
     assert(sketchOf(keys, 64) == bottomK(keys, 64))
