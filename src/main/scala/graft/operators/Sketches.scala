@@ -197,8 +197,10 @@ object Sketches {
     // key would cast to null under kmvHash and every group would sketch
     // as empty (string keys: hash to a bounded integer first — at the
     // cost of the oracle-replayable-hash property)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(keyCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"kmvSketches: key column '$keyCol' must be integral " +
         s"(got ${dt.simpleString}); hash wider domains to a long first")
     df.groupBy(by.map(col): _*)
