@@ -320,6 +320,72 @@ object Prep {
     * Zero-variance groups yield NULL (pandas emits NaN/inf; the engine's
     * NaN-maps-to-null convention applies). Empty `by` = global.
     */
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020) — construct the
+    * seq2seq denoising training pair from a token stream: mask spans of
+    * tokens, replace each masked RUN with one sentinel `<extra_id_k>` in
+    * the inputs, and emit the masked content as
+    * `sentinel_k tokens... <extra_id_K>` targets (K = span count, the
+    * closing sentinel).
+    *
+    * Where the paper samples spans randomly, this is the DETERMINISTIC
+    * variant a reproducible data pipeline needs: positions are masked in
+    * fixed `groupLen`-token groups selected by a replayable wrap-free
+    * multiplicative hash over (doc, group) at rate `maskNum/maskDen`
+    * (defaults ≈ the paper's 15% noise at mean span 3; adjacent selected
+    * groups merge into longer runs, exactly the consecutive-token
+    * collapse T5 applies). Same examples on every run, every
+    * partitioning, every engine — an oracle replays the whole
+    * construction with window functions.
+    *
+    * Scale: one explode + per-DOC windows (partitioned — bounded by
+    * document length, never corpus-wide) + one sorted collect per doc.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  groupLen: Int = 3, maskNum: Int = 3,
+                  maskDen: Int = 20): DataFrame = {
+    require(groupLen >= 1 && maskNum >= 0 && maskDen >= 1 &&
+      maskNum <= maskDen, "spanCorrupt: need 1<=groupLen, 0<=maskNum<=maskDen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val grp = expr(s"pos div $groupLen")
+    val h = ((col("id") % lit(1048576L)) * lit(2654435761L) +
+      grp * lit(97L) + lit(1013904223L)) % lit(2147483647L)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val t2 = toks
+      .withColumn("m", (h % lit(maskDen.toLong)) < lit(maskNum.toLong))
+      .withColumn("rf",
+        col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k", sum(col("rf").cast("long")).over(w) - 1L)
+    def sentinel(k: Column) =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val inputs = t2.filter(!col("m") || col("rf"))
+      .select(col("id"), col("pos"),
+        when(col("rf"), sentinel(col("k"))).otherwise(col("tok")).as("t"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("t"))))
+        .getField("t").as("inputs"))
+    val spans = t2.groupBy("id")
+      .agg((coalesce(max(col("k")), lit(-1L)) + 1L).as("n_spans"))
+    val tgtRows = t2.filter(col("rf"))
+      .select(col("id"), col("pos"), lit(0).as("s"),
+        sentinel(col("k")).as("t"))
+      .unionByName(t2.filter(col("m"))
+        .select(col("id"), col("pos"), lit(1).as("s"), col("tok").as("t")))
+      .unionByName(spans.select(col("id"),
+        lit(Int.MaxValue).as("pos"), lit(0).as("s"),
+        sentinel(col("n_spans")).as("t")))
+    val targets = tgtRows.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("t"))))
+        .getField("t").as("targets"))
+    spans.join(inputs, Seq("id")).join(targets, Seq("id"))
+      .select(col("id").as(idCol), col("n_spans"), col("inputs"),
+        col("targets"))
+  }
+
   /** Corpus snapshot DIFF — the dataset-versioning audit between two
     * releases: classify every id as `added` (new only), `removed` (old
     * only), `changed` (both, fingerprints differ) or `unchanged`. Run it

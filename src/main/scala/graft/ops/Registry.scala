@@ -1624,6 +1624,20 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1)
           .map(asInt(_, "max_piece_len")).getOrElse(16))
     },
+    "graft.span_corrupt" -> { a =>
+      // T5 denoising-objective constructor: deterministic span masking,
+      // sentinel-collapsed inputs + sentinel-keyed targets per doc
+      graft.operators.Prep.spanCorrupt(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        groupLen = a.get("group_len", -1).map(asInt(_, "group_len"))
+          .getOrElse(3),
+        maskNum = a.get("mask_num", -1).map(asInt(_, "mask_num"))
+          .getOrElse(3),
+        maskDen = a.get("mask_den", -1).map(asInt(_, "mask_den"))
+          .getOrElse(20))
+    },
     "graft.snapshot_diff" -> { a =>
       // dataset-versioning audit between two releases at fingerprint
       // grain: added/removed/changed per id (unchanged dropped unless

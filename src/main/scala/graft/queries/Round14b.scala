@@ -335,7 +335,55 @@ object Round14b {
                FROM bl, (SELECT unnest([0, 1]) AS epoch) e)
         SELECT block, CAST(epoch AS INT) AS epoch,
           CAST(read_order AS BIGINT) AS read_order
-        FROM eo ORDER BY epoch, block"""))
+        FROM eo ORDER BY epoch, block""")),
+
+    // T5 span corruption — the seq2seq denoising pair: masked runs
+    // collapse to one sentinel in the inputs, targets interleave each
+    // run's sentinel with its masked tokens and close with the final
+    // sentinel. The oracle rebuilds the whole construction (group hash,
+    // run detection via lag, run indices via running sum, both sorted
+    // assemblies) with window functions — one flipped mask bit or a
+    // mis-numbered sentinel anywhere shifts whole arrays.
+    Q("q302_span_corrupt", (s, d) =>
+      graft.operators.Prep.spanCorrupt(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                FROM documents),
+            unnest(generate_series(1, len(w))) AS t(i)),
+        t2 AS (SELECT doc_id, pos, tok,
+                 ((doc_id % 1048576) * 2654435761 + (pos // 3) * 97
+                   + 1013904223) % 2147483647 % 20 < 3 AS m
+               FROM toks),
+        t3 AS (SELECT *, m AND NOT coalesce(
+                 lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                 AS rf
+               FROM t2),
+        t4 AS MATERIALIZED (SELECT *,
+                 SUM(CASE WHEN rf THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+               FROM t3),
+        inp AS (SELECT doc_id,
+                  list(CASE WHEN rf THEN '<extra_id_' || k || '>'
+                       ELSE tok END ORDER BY pos) AS inputs
+                FROM t4 WHERE NOT m OR rf GROUP BY doc_id),
+        ns AS (SELECT doc_id, coalesce(max(k), -1) + 1 AS n_spans
+               FROM t4 GROUP BY doc_id),
+        tr AS (SELECT doc_id, pos, 0 AS s, '<extra_id_' || k || '>' AS t
+               FROM t4 WHERE rf
+               UNION ALL SELECT doc_id, pos, 1, tok FROM t4 WHERE m
+               UNION ALL SELECT doc_id, 2147483647, 0,
+                 '<extra_id_' || n_spans || '>' FROM ns),
+        tg AS (SELECT doc_id, list(t ORDER BY pos, s) AS targets
+               FROM tr GROUP BY doc_id)
+        SELECT ns.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+          inputs, targets
+        FROM ns JOIN inp USING (doc_id) JOIN tg USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** The UniMax water-fill replay: per-language token counts from the

@@ -94,6 +94,44 @@ class PackingSpec extends AnyFunSuite {
     assert(order(0) == e0)
   }
 
+  test("spanCorrupt: T5 round-trip — splicing targets into inputs rebuilds every document") {
+    import graft.operators.Prep
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to (i % 17 + 4).toInt).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Prep.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).toList, r.getSeq[String](3).toList)).toSeq
+    assert(out.size == 60)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def isSent(t: String) = t.startsWith("<extra_id_")
+    out.foreach { case (id, nSpans, inputs, targets) =>
+      // targets close with the final sentinel; sentinels are contiguous 0..K
+      assert(targets.last == s"<extra_id_$nSpans>")
+      val sentsIn = inputs.filter(isSent)
+      assert(sentsIn == (0L until nSpans).map(k => s"<extra_id_$k>").toList)
+      // parse targets into run-k -> tokens
+      val runs = scala.collection.mutable.Map[String, List[String]]()
+      var cur: String = null
+      targets.init.foreach { t =>
+        if (isSent(t)) { cur = t; runs(cur) = Nil }
+        else runs(cur) = runs(cur) :+ t
+      }
+      // every masked run is non-empty (a sentinel stands for >= 1 token)
+      assert(runs.values.forall(_.nonEmpty), s"empty run in doc $id")
+      // splice: replacing each sentinel with its run rebuilds the doc
+      val rebuilt = inputs.flatMap(t => if (isSent(t)) runs(t) else List(t))
+      assert(rebuilt.mkString(" ") == texts(id), s"round-trip failed for $id")
+    }
+    // the default rate actually masks ~15%: aggregate across the corpus
+    val masked = out.map { case (_, _, inputs, targets) =>
+      targets.count(!isSent(_)) }.sum.toDouble
+    val total = out.map { case (id, _, _, _) =>
+      texts(id).split(" ").length }.sum.toDouble
+    assert(masked / total > 0.05 && masked / total < 0.30,
+      s"mask rate ${masked / total} out of band")
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged dropped by default") {
     import graft.operators.Prep
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
