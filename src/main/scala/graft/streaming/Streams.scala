@@ -726,7 +726,8 @@ object Streams {
   def curateDropWrite(batch: DataFrame, id: Long, shardsDir: String,
                       simhashIndexDir: String, maxHamming: Int = 3,
                       bands: Int = 8,
-                      domainCapK: Option[Int] = None): Unit = {
+                      domainCapK: Option[Int] = None,
+                      packBlockSize: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     batch.persist()
     try {
@@ -763,6 +764,15 @@ object Streams {
           kept.groupBy(col("domain")).agg(count(lit(1)).as("n"))
             .write.mode("overwrite")
             .parquet(s"$shardsDir/_domain_counts/batch_id=$id")
+        }
+        // optional crawl->training-stream tail: the accepted shard also
+        // joins the ONE logical packed token stream (concat-and-chunk,
+        // arrival-major), continuing from every earlier drop's totals —
+        // manifest under shardsDir/_pack, retry-idempotent by
+        // packDropWrite's own strictly-below-base contract
+        packBlockSize.foreach { c =>
+          graft.operators.Packing.packDropWrite(
+            kept, "doc_id", "n_tokens", c, s"$shardsDir/_pack", id)
         }
       } finally kept.unpersist()
     } finally batch.unpersist()
@@ -822,13 +832,14 @@ object Streams {
                           minQuality: Double = 0.35,
                           langs: Seq[String] = Seq("en", "es", "de", "fr"),
                           dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
-                          domainCapK: Option[Int] = None): Unit = {
+                          domainCapK: Option[Int] = None,
+                          packBlockSize: Option[Long] = None): Unit = {
     val stream = crawlCurationStream(spark, crawlDir, merges, minQuality,
       langs, dedup)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands,
-          domainCapK)
+          domainCapK, packBlockSize)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

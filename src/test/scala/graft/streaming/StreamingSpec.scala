@@ -1008,7 +1008,7 @@ class StreamingSpec extends AnyFunSuite {
       merges, s"$out/shards", s"$out/ckpt", s"$out/simhash_ix",
       maxHamming = 7, dedup = Streams.CrawlDedup.AgainstIndex(
         fpIx, delay = "1 hour"),
-      domainCapK = Some(k))
+      domainCapK = Some(k), packBlockSize = Some(16L))
 
     // drop A at 10:00: the exact-dup source, the near-dup base, 2 novels
     writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z", Seq(
@@ -1042,6 +1042,28 @@ class StreamingSpec extends AnyFunSuite {
       admittedB.size == (math.min(k.toLong, nA + 2) - nA).toInt,
       s"cap must bind at $k (nA=$nA, admittedB=$admittedB)")
     assert(admittedB.subsetOf(Set(12L, 13L)))
+
+    // packing tail: the accepted shards ALSO joined the one logical
+    // training stream — manifests across both drops chain gaplessly
+    // from offset 0 (arrival-major), cover exactly the accepted docs,
+    // and each doc's span length is its curated n_tokens + 1
+    val shardTok = b.select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifest = spark.read.parquet(s"$out/shards/_pack/manifest")
+      .select("batch_id", "doc_id", "n_tokens", "start_off", "end_off")
+      .collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue(), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(manifest.map(_._2).toSet == shardTok.keySet,
+      "pack manifest must cover exactly the accepted docs")
+    var off = 0L
+    manifest.foreach { case (_, id, n, s0, e0) =>
+      assert(s0 == off && e0 == s0 + n + 1,
+        s"packed stream must chain gaplessly (doc $id at $s0, expected $off)")
+      assert(n == shardTok(id), s"doc $id span length != curated n_tokens")
+      off = e0
+    }
   }
 
   test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
