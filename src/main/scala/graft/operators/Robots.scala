@@ -159,6 +159,24 @@ object Robots {
       .toDF(domainCol, "crawl_delay")
   }
 
+  /** `Sitemap:` directives out of robots bodies — the sitemap DISCOVERY
+    * hook (sitemaps.org: the directive lives in robots.txt, outside any
+    * agent group, case-insensitive key, absolute URL value). One line
+    * split + one anchored extract per line, all codegen'd column ops;
+    * feeds [[graft.expressions.Sitemap]]'s extractor with the URLs to
+    * fetch. Emits (domainCol, sitemap_url), one row per directive, in
+    * body order preserved only within distinct URLs (duplicates kept —
+    * a crawler dedups at fetch grain).
+    */
+  def sitemapDirectives(robots: DataFrame, domainCol: String,
+                        bodyCol: String): DataFrame =
+    robots
+      .select(col(domainCol), explode(split(col(bodyCol), "\r?\n")).as("__l"))
+      .withColumn("sitemap_url",
+        trim(regexp_extract(col("__l"), "(?i)^\\s*sitemap\\s*:\\s*(\\S+)", 1)))
+      .filter(length(col("sitemap_url")) > 0)
+      .select(col(domainCol), col("sitemap_url"))
+
   /** Politeness-aware fetch schedule: each URL gets its position in its
     * domain's queue (deterministic `urlCol` order), a fetch time
     * `pos * crawl_delay` (domains without a declared delay use

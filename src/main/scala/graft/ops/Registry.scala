@@ -1624,6 +1624,14 @@ final class Registry(spark: SparkSession) {
         maxPieceLen = a.get("max_piece_len", -1)
           .map(asInt(_, "max_piece_len")).getOrElse(16))
     },
+    "graft.sitemap_directives" -> { a =>
+      // Sitemap: discovery out of robots bodies (sitemaps.org) — the
+      // URLs to feed graft.sitemap_entries
+      graft.operators.Robots.sitemapDirectives(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        asStr(a.get("body", -1).getOrElse("body"), "body"))
+    },
     "graft.span_corrupt" -> { a =>
       // T5 denoising-objective constructor: deterministic span masking,
       // sentinel-collapsed inputs + sentinel-keyed targets per doc

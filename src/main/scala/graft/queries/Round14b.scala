@@ -383,7 +383,48 @@ object Round14b {
         SELECT ns.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
           inputs, targets
         FROM ns JOIN inp USING (doc_id) JOIN tg USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // robots.txt `Sitemap:` directive discovery (sitemaps.org: outside
+    // any agent group, case-insensitive key): classes pin the plain
+    // form, SHOUTING key + extra whitespace, a body with NO directive
+    // (must vanish), and two directives in one body (both emitted).
+    Q("q303_sitemap_directives", (s, d) => {
+      val t1 = (col("doc_id") * 7 + 3) % 1000
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val dom = concat(lit("d"), str(col("doc_id") % 20), lit(".com"))
+      val body = when(col("doc_id") % 4 === 0, concat(
+          lit("User-agent: *\nDisallow: /x\nSitemap: https://"), dom,
+          lit("/sitemap.xml")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("SITEMAP:   https://"), dom, lit("/maps/m"), str(t1),
+          lit(".xml\r\nUser-agent: a\nAllow: /")))
+        .when(col("doc_id") % 4 === 2,
+          lit("User-agent: *\nDisallow: /private/"))
+        .otherwise(concat(
+          lit("Sitemap: https://"), dom, lit("/a.xml\n"),
+          lit("User-agent: *\nAllow: /\n"),
+          lit("sitemap: https://"), dom, lit("/b"), str(t1), lit(".xml")))
+      val df = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("domain", dom).withColumn("body", body)
+      graft.operators.Robots.sitemapDirectives(df, "domain", "body")
+        .orderBy(col("domain"), col("sitemap_url"))
+    }, Some("""
+        WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+          (doc_id*7+3) % 1000 AS t1, 'd' || (doc_id % 20) || '.com' AS dom
+          FROM documents)
+        SELECT dom AS domain, u AS sitemap_url FROM (
+          SELECT dom, 'https://' || dom || '/sitemap.xml' AS u
+          FROM s WHERE c = 0
+          UNION ALL
+          SELECT dom, 'https://' || dom || '/maps/m' || t1 || '.xml'
+          FROM s WHERE c = 1
+          UNION ALL
+          SELECT dom, 'https://' || dom || '/a.xml' FROM s WHERE c = 3
+          UNION ALL
+          SELECT dom, 'https://' || dom || '/b' || t1 || '.xml'
+          FROM s WHERE c = 3)
+        ORDER BY domain, sitemap_url"""))
   )
 
   /** The UniMax water-fill replay: per-language token counts from the

@@ -112,4 +112,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(hint(1L) == "https://www.site.com/canonical/page")
     assert(hint(2L) == null)
   }
+
+  test("sitemapDirectives: case-insensitive key, CRLF, multiples; non-directive lines ignored") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.com", "User-agent: *\nSitemap: https://a.com/s.xml\nDisallow: /"),
+      ("b.com", "SITEMAP:\thttps://b.com/1.xml\r\nsitemap: https://b.com/2.xml"),
+      ("c.com", "User-agent: *\nDisallow: /\n# Sitemap mentioned in a comment? no:\nNotSitemap: https://c.com/x.xml"),
+      ("d.com", "")).toDF("domain", "body")
+    val got = Robots.sitemapDirectives(df, "domain", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a.com", "https://a.com/s.xml"),
+      ("b.com", "https://b.com/1.xml"),
+      ("b.com", "https://b.com/2.xml")))
+  }
 }
