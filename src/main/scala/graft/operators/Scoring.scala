@@ -447,6 +447,194 @@ object Scoring {
         col("n_grams"))
   }
 
+  /** Fit the modified-Kneser-Ney model ONCE and return it as a frozen,
+    * parquet-writable artifact — the ARPA shape every published n-gram LM
+    * toolchain (KenLM/SRILM) ships: one row per seen k-gram with
+    *
+    *   - `level`  : k (word count of `gram`),
+    *   - `gram`   : the space-joined k words,
+    *   - `lp`     : ln P_k(w_k | w_1..w_{k-1}) — the INTERPOLATED
+    *                probability, a pure function of the k-gram because every
+    *                back-off level is determined by its suffixes; null for
+    *                rows that only ever occur as a history (doc-initial
+    *                prefixes that are no 5-gram's suffix),
+    *   - `bow`    : ln g_{k+1}(gram) when the k words are a seen level-(k+1)
+    *                history — the back-off weight scoring multiplies in when
+    *                the (k+1)-gram is unseen; null otherwise,
+    *
+    * plus one `level = 0, gram = ''` row whose `lp` = ln(1/N1+(..)) — the
+    * continuation-unigram floor an out-of-vocabulary word scores at (the
+    * <unk>-as-singleton-continuation convention). This is the train half of
+    * the fit-once / score-many lifecycle the quality classifier
+    * (fitHashedTfLR) and the IVF-PQ index already have; CCNet's production
+    * contract is exactly this shape (score with a PRE-TRAINED KenLM, never
+    * refit per corpus).
+    *
+    * Numerics: the per-level interpolation is built bottom-up with the same
+    * expressions [[knNgramPerplexity]] folds, and every model input is an
+    * exact long count, so each stored `lp`/`bow` double is plan-order
+    * INDEPENDENT — the artifact is bit-reproducible. Scoring training text
+    * against it reproduces the inline refit to the oracle's 6dp convention
+    * (only the per-doc avg is float-order-sensitive; spec-pinned in
+    * KnModelSpec).
+    *
+    * Scale shape: the count-table chain, history stats, and six-number
+    * discount fits are [[knNgramPerplexity]]'s; each level then pays ONE
+    * extra suffix-equality join to pick up the level below's probability
+    * (type-grain, count-table-bounded) — never a token-stream shuffle. The
+    * artifact is |n-gram types| rows: the thing you write to parquet and
+    * broadcast-join at scoring time.
+    */
+  /** ln(1e-100) — the stand-in for ln(0) in a stored model (SRILM writes
+    * "-99" log10 for the same states): a fitted discount of 0 at some level
+    * makes that history's back-off mass — or a singleton gram's whole
+    * probability — exactly 0, and the artifact must stay finite (Spark's
+    * log() would silently null, DuckDB's ln() errors). A decimal literal so
+    * both engines parse the identical double. */
+  val LnFloor: Double = -230.2585092994046
+
+  def knTrain(df: DataFrame, idCol: String, textCol: String,
+              order: Int = 5): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    // ln with the zero-probability floor (see LnFloor)
+    val log = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, org.apache.spark.sql.functions.log(c)).otherwise(lit(LnFloor))
+    val ws = (1 to order).map(i => s"w$i")
+    val grams = df.select(
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g"))
+    val typed = grams.groupBy(col("g")).agg(count(lit(1)).as(s"c$order"))
+      .withColumn("__ws", split(col("g"), " "))
+      .filter(size(col("__ws")) === order)
+      .select((col(s"c$order") +: ws.zipWithIndex.map {
+        case (w, i) => element_at(col("__ws"), i + 1).as(w) }): _*)
+    val tables = scala.collection.mutable.Map[Int, DataFrame]()
+    tables(order) = typed
+    for (k <- order - 1 to 1 by -1)
+      tables(k) = tables(k + 1).groupBy(ws.takeRight(k).map(col): _*)
+        .agg(count(lit(1)).as(s"c$k"))
+    def histOf(k: Int): DataFrame =
+      tables(k).groupBy(ws.takeRight(k).dropRight(1).map(col): _*)
+        .agg(sum(col(s"c$k")).as(s"s$k"),
+          sum(when(col(s"c$k") === 1, 1L).otherwise(0L)).as(s"m${k}_1"),
+          sum(when(col(s"c$k") === 2, 1L).otherwise(0L)).as(s"m${k}_2"),
+          sum(when(col(s"c$k") >= 3, 1L).otherwise(0L)).as(s"m${k}_3"))
+    def discOf(k: Int): DataFrame =
+      modifiedDiscounts(tables(k), s"c$k")
+        .select(col("d1").as(s"d${k}_1"), col("d2").as(s"d${k}_2"),
+          col("d3").as(s"d${k}_3"))
+    val totPairs = tables(2).agg(count(lit(1)).as("tt"))
+    // per-level interpolated probability, built bottom-up: level k joins the
+    // level-(k-1) frame by the (k-1)-word suffix to pick up p_{k-1}, then
+    // applies ITS fitted discounts — the exact expression the inline fold
+    // nests, so the stored doubles match the refit bit for bit
+    val pFrames = scala.collection.mutable.Map[Int, DataFrame]()
+    pFrames(1) = tables(1).crossJoin(broadcast(totPairs))
+      .select(col(ws.last), (col("c1") / col("tt")).as("p1"))
+    for (k <- 2 to order) {
+      val kws = ws.takeRight(k)
+      val c = col(s"c$k")
+      val pPrev = col(s"p${k - 1}")
+      pFrames(k) = tables(k)
+        .join(pFrames(k - 1), kws.drop(1))
+        .join(histOf(k), kws.dropRight(1))
+        .crossJoin(broadcast(discOf(k)))
+        .select((kws.map(col) :+ (
+          (c - when(c === 1, col(s"d${k}_1"))
+            .when(c === 2, col(s"d${k}_2")).otherwise(col(s"d${k}_3"))) /
+            col(s"s$k") +
+          (col(s"d${k}_1") * col(s"m${k}_1") + col(s"d${k}_2") * col(s"m${k}_2") +
+            col(s"d${k}_3") * col(s"m${k}_3")) / col(s"s$k") * pPrev
+          ).as(s"p$k")): _*)
+    }
+    // back-off weights: g_k over level-k HISTORIES ((k-1)-word rows). A
+    // history need not be a level-(k-1) count-table key (doc-initial
+    // prefixes), hence the full outer merge below.
+    def bowOf(k: Int): DataFrame =
+      histOf(k).crossJoin(broadcast(discOf(k)))
+        .select((ws.takeRight(k).dropRight(1).map(col) :+ (
+          (col(s"d${k}_1") * col(s"m${k}_1") + col(s"d${k}_2") * col(s"m${k}_2") +
+            col(s"d${k}_3") * col(s"m${k}_3")) / col(s"s$k")).as("__g")): _*)
+    val levels = (1 to order).map { k =>
+      val kws = ws.takeRight(k)
+      val lpF = pFrames(k).select(concat_ws(" ", kws.map(col): _*).as("gram"),
+        log(col(s"p$k")).as("lp"))
+      val merged =
+        if (k == order) lpF.select(col("gram"), col("lp"),
+          lit(null).cast("double").as("bow"))
+        else lpF.join(
+          bowOf(k + 1).select(
+            concat_ws(" ", ws.takeRight(k + 1).dropRight(1).map(col): _*)
+              .as("gram"),
+            log(col("__g")).as("bow")),
+          Seq("gram"), "full_outer")
+      merged.select(lit(k).as("level"), col("gram"), col("lp"), col("bow"))
+    }
+    val floor = totPairs.select(lit(0).as("level"), lit("").as("gram"),
+      log(lit(1.0) / col("tt")).as("lp"), lit(null).cast("double").as("bow"))
+    levels.reduce(_.unionByName(_)).unionByName(floor)
+  }
+
+  /** Score documents against a FROZEN [[knTrain]] artifact — the KenLM
+    * longest-match + back-off walk, no refit anywhere in the plan: each doc
+    * n-gram takes the deepest level whose gram the model saw and adds the
+    * back-off weights of every skipped seen history on the way down
+    * (unseen history = ln 1 = 0; a word the model never saw bottoms out at
+    * the level-0 floor). For text the model was trained on, every n-gram
+    * hits the top level directly and the result equals
+    * [[knNgramPerplexity]] exactly. Output matches the inline face:
+    * (id, kn_lp, ppl, n_grams).
+    *
+    * Scale shape: the token stream is deduplicated to n-gram TYPES before
+    * any model join, the 2·order-1 lookup joins run at type grain against
+    * count-table-bounded model slices (broadcast when they fit, shuffled
+    * hash otherwise — AQE decides), and the token stream itself pays ONE
+    * equality join to pick up its type's score. No window, no self-join,
+    * nothing quadratic.
+    */
+  def knScore(df: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, order: Int = 5): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val ws = (1 to order).map(i => s"w$i")
+    val grams = df.select(col(idCol).as("id"),
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g"))
+    val types = grams.select(col("g")).distinct()
+      .withColumn("__ws", split(col("g"), " "))
+      .filter(size(col("__ws")) === order)
+      .select((col("g") +: ws.zipWithIndex.map {
+        case (w, i) => element_at(col("__ws"), i + 1).as(w) }): _*)
+    def gramCol(k: Int): org.apache.spark.sql.Column =
+      concat_ws(" ", ws.takeRight(k).map(col): _*)
+    def histCol(k: Int): org.apache.spark.sql.Column =
+      concat_ws(" ", ws.takeRight(k).dropRight(1).map(col): _*)
+    var joined = types
+    for (k <- order to 1 by -1)
+      joined = joined.join(
+        model.filter(col("level") === k && col("lp").isNotNull)
+          .select(col("gram").as(s"__lpg$k"), col("lp").as(s"__lp$k")),
+        gramCol(k) === col(s"__lpg$k"), "left")
+    for (k <- order to 2 by -1)
+      joined = joined.join(
+        model.filter(col("level") === k - 1 && col("bow").isNotNull)
+          .select(col("gram").as(s"__bowg$k"), col("bow").as(s"__bow$k")),
+        histCol(k) === col(s"__bowg$k"), "left")
+    val floor = model.filter(col("level") === 0)
+      .select(col("lp").as("__lp0"))
+    var lp: org.apache.spark.sql.Column =
+      coalesce(col("__lp1"), col("__lp0"))
+    for (k <- 2 to order)
+      lp = when(col(s"__lp$k").isNotNull, col(s"__lp$k"))
+        .otherwise(coalesce(col(s"__bow$k"), lit(0.0)) + lp)
+    val typeScores = joined.crossJoin(broadcast(floor))
+      .select(col("g"), lp.as("lp"))
+    grams.join(typeScores, Seq("g"))
+      .groupBy(col("id"))
+      .agg(avg(col("lp")).as("kn_lp"), count(lit(1)).as("n_grams"))
+      .select(col("id"), col("kn_lp"), exp(-col("kn_lp")).as("ppl"),
+        col("n_grams"))
+  }
+
   /** CCNet perplexity bucketing: score every doc with the interpolated
     * Kneser-Ney LM, order by perplexity, and split into head/middle/tail
     * terciles (head = lowest-ppl = cleanest; CCNet trains on head+middle).

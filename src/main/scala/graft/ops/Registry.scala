@@ -1465,6 +1465,39 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.kn_train" -> { a =>
+      // fit the modified-KN n-gram LM ONCE and emit the frozen ARPA-shaped
+      // model frame (level, gram, lp, bow) — parquet-writable, the
+      // train-once / score-everywhere asset graft.kn_score consumes (the
+      // quality_fit / ann_index_write lifecycle; CCNet's production
+      // contract is scoring with a pre-trained KenLM, never a refit)
+      val df = asDf(a.require("df", 0), "df")
+      val model = graft.operators.Scoring.knTrain(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+      a.get("dir", -1).map(asStr(_, "dir")).foreach { dir =>
+        model.write.mode("overwrite").parquet(dir)
+      }
+      a.get("dir", -1).map(asStr(_, "dir"))
+        .map(df.sparkSession.read.parquet(_)).getOrElse(model)
+    },
+    "graft.kn_score" -> { a =>
+      // score docs against a FROZEN kn_train model (frame or saved dir) —
+      // the KenLM longest-match back-off walk, no refit in the plan
+      val df = asDf(a.require("df", 0), "df")
+      val model = a.get("model", 1) match {
+        case Some(s: String) => df.sparkSession.read.parquet(s)
+        case Some(other) => asDf(other, "model")
+        case None => throw PipelineError(
+          "kn_score: needs `model` (a kn_train frame or a saved model dir)")
+      }
+      graft.operators.Scoring.knScore(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        model,
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+    },
     "graft.langid_profiles" -> { a =>
       // Cavnar-Trenkle textcat: ranked char-trigram profiles per labeled
       // language, docs classified by integer rank-order distance

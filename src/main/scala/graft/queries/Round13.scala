@@ -25,76 +25,76 @@ object Round13 {
     * anywhere re-fits four discount triples and every score with them.
     */
   private val kn5ModelSql = """
-        toks AS (
+        toks AS MATERIALIZED (
           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
-        ngl AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+        ngl AS MATERIALIZED (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
                   w[i+3] AS w4, w[i+4] AS w5
                 FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
                 WHERE len(w) >= 5),
-        c5t AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+        c5t AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
                 FROM ngl GROUP BY 1, 2, 3, 4, 5),
-        h5 AS (SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS s5,
+        h5 AS MATERIALIZED (SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS s5,
                  CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m5_1,
                  CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m5_2,
                  CAST(SUM(CASE WHEN c5 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m5_3
                FROM c5t GROUP BY 1, 2, 3, 4),
-        cn5 AS (SELECT CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        cn5 AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                   CAST(SUM(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                   CAST(SUM(CASE WHEN c5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
                   CAST(SUM(CASE WHEN c5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
                 FROM c5t),
-        d5 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d5_1,
+        d5 AS MATERIALIZED (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d5_1,
                  greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d5_2,
                  greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d5_3
                FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn5)),
-        c4t AS (SELECT w2, w3, w4, w5, COUNT(*) AS c4 FROM c5t GROUP BY 1, 2, 3, 4),
-        h4 AS (SELECT w2, w3, w4, CAST(SUM(c4) AS BIGINT) AS s4,
+        c4t AS MATERIALIZED (SELECT w2, w3, w4, w5, COUNT(*) AS c4 FROM c5t GROUP BY 1, 2, 3, 4),
+        h4 AS MATERIALIZED (SELECT w2, w3, w4, CAST(SUM(c4) AS BIGINT) AS s4,
                  CAST(SUM(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m4_1,
                  CAST(SUM(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m4_2,
                  CAST(SUM(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m4_3
                FROM c4t GROUP BY 1, 2, 3),
-        cn4 AS (SELECT CAST(SUM(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        cn4 AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                   CAST(SUM(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                   CAST(SUM(CASE WHEN c4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
                   CAST(SUM(CASE WHEN c4 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
                 FROM c4t),
-        d4 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d4_1,
+        d4 AS MATERIALIZED (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d4_1,
                  greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d4_2,
                  greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d4_3
                FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn4)),
-        c3t AS (SELECT w3, w4, w5, COUNT(*) AS c3 FROM c4t GROUP BY 1, 2, 3),
-        h3 AS (SELECT w3, w4, CAST(SUM(c3) AS BIGINT) AS s3,
+        c3t AS MATERIALIZED (SELECT w3, w4, w5, COUNT(*) AS c3 FROM c4t GROUP BY 1, 2, 3),
+        h3 AS MATERIALIZED (SELECT w3, w4, CAST(SUM(c3) AS BIGINT) AS s3,
                  CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m3_1,
                  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m3_2,
                  CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3_3
                FROM c3t GROUP BY 1, 2),
-        cn3 AS (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        cn3 AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                   CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                   CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
                   CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
                 FROM c3t),
-        d3 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d3_1,
+        d3 AS MATERIALIZED (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d3_1,
                  greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d3_2,
                  greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d3_3
                FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn3)),
-        c2t AS (SELECT w4, w5, COUNT(*) AS c2 FROM c3t GROUP BY 1, 2),
-        h2 AS (SELECT w4, CAST(SUM(c2) AS BIGINT) AS s2,
+        c2t AS MATERIALIZED (SELECT w4, w5, COUNT(*) AS c2 FROM c3t GROUP BY 1, 2),
+        h2 AS MATERIALIZED (SELECT w4, CAST(SUM(c2) AS BIGINT) AS s2,
                  CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_1,
                  CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2_2,
                  CAST(SUM(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m2_3
                FROM c2t GROUP BY 1),
-        cn2 AS (SELECT CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        cn2 AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                   CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                   CAST(SUM(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
                   CAST(SUM(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
                 FROM c2t),
-        d2 AS (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d2_1,
+        d2 AS MATERIALIZED (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d2_1,
                  greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d2_2,
                  greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d2_3
                FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn2)),
-        c1t AS (SELECT w5, COUNT(*) AS c1 FROM c2t GROUP BY 1),
-        tp AS (SELECT COUNT(*) AS tt FROM c2t),
-        sc AS (
+        c1t AS MATERIALIZED (SELECT w5, COUNT(*) AS c1 FROM c2t GROUP BY 1),
+        tp AS MATERIALIZED (SELECT COUNT(*) AS tt FROM c2t),
+        sc AS MATERIALIZED (
           SELECT ngl.doc_id,
             ln(
               (c5t.c5 - CASE WHEN c5t.c5 = 1 THEN d5_1

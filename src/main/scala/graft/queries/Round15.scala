@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-15 queries: the KN saved-model lifecycle (the fit-once /
+  * score-many contract CCNet's published pipeline actually has — train a
+  * 5-gram LM once, persist it, score every corpus against the frozen
+  * artifact). Three gates: the artifact CONTENT against a full DuckDB
+  * refit (q304), frozen-artifact scoring where the oracle replays ONLY the
+  * back-off walk against the parquet the Spark run wrote (q305 — the cheap
+  * oracle that keeps the driver's correctness gate replayable), and
+  * held-out scoring where both engines independently fit on half the
+  * corpus and walk the other half (q306 — the cross-engine back-off gate).
+  */
+object Round15 {
+
+  /** Deterministic per-fixture artifact directory for the saved KN model —
+    * keyed by the sf dir's basename so sf0.01 (Verify) and sf0.1 (Bench)
+    * never clobber each other's artifacts mid-round.
+    */
+  def knDir(sfDir: String): String =
+    s"/tmp/graft_artifacts/kn5_${new java.io.File(sfDir).getName}"
+
+  /** Train-and-persist once per JVM per fixture: the first caller in a
+    * session always refits and rewrites (so a leftover artifact from an
+    * older code version can never leak into this run's scores — knTrain is
+    * bit-deterministic, so within one session rewrite == reuse), and every
+    * later run reads the parquet straight — a bench's repeated runs pay
+    * pure scoring, the lifecycle's whole point.
+    */
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Always refit + rewrite (q304's contract), and mark the artifact fresh
+    * for this session so [[ensureKnModel]] reuses it. */
+  def trainKnModel(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = knDir(d)
+    graft.operators.Scoring.knTrain(t(s, d, "documents"), "doc_id", "text", order = 5)
+      .write.mode("overwrite").parquet(dir)
+    ensured.add(dir)
+    s.read.parquet(dir)
+  }
+
+  def ensureKnModel(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    if (ensured.contains(knDir(d))) s.read.parquet(knDir(d))
+    else trainKnModel(s, d)
+
+  /** DuckDB CTE chain fitting the modified-KN 5-gram model and emitting it
+    * in [[graft.operators.Scoring.knTrain]]'s ARPA shape as a CTE named
+    * `arpa(level, gram, lp, bow)`. Same count/discount arithmetic as
+    * Round13.kn5ModelSql (whose 6dp parity with the Spark fold is
+    * oracle-proven by q273/q274), extended per level with the interpolated
+    * probability tables and back-off weights. Every CTE is MATERIALIZED —
+    * DuckDB otherwise inlines the five-level chain exponentially.
+    * `docFilter` scopes the training corpus (e.g. "WHERE doc_id % 2 = 0").
+    */
+  private def knArpaSql(docFilter: String): String = {
+    // count tables + history stats + fitted discounts, bottom of Round13's
+    // kn5ModelSql verbatim in shape
+    val counts = s"""
+        toks AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents $docFilter),
+        ngl0 AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+                  w[i+3] AS w4, w[i+4] AS w5
+                FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE len(w) >= 5),
+        c5t AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+                FROM ngl0 GROUP BY 1, 2, 3, 4, 5),
+        c4t AS MATERIALIZED (SELECT w2, w3, w4, w5, COUNT(*) AS c4 FROM c5t GROUP BY 1, 2, 3, 4),
+        c3t AS MATERIALIZED (SELECT w3, w4, w5, COUNT(*) AS c3 FROM c4t GROUP BY 1, 2, 3),
+        c2t AS MATERIALIZED (SELECT w4, w5, COUNT(*) AS c2 FROM c3t GROUP BY 1, 2),
+        c1t AS MATERIALIZED (SELECT w5, COUNT(*) AS c1 FROM c2t GROUP BY 1),
+        tp AS MATERIALIZED (SELECT COUNT(*) AS tt FROM c2t)"""
+    val perLevel = (2 to 5).map { k =>
+      val kw = (6 - k to 5).map(i => s"w$i")             // this level's words
+      val hist = kw.dropRight(1)
+      s"""
+        h$k AS MATERIALIZED (SELECT ${hist.mkString(", ")}, CAST(SUM(c$k) AS BIGINT) AS s$k,
+                 CAST(SUM(CASE WHEN c$k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m${k}_1,
+                 CAST(SUM(CASE WHEN c$k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m${k}_2,
+                 CAST(SUM(CASE WHEN c$k >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m${k}_3
+               FROM c${k}t GROUP BY ${hist.indices.map(_ + 1).mkString(", ")}),
+        cn$k AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c$k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN c$k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(SUM(CASE WHEN c$k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                  CAST(SUM(CASE WHEN c$k = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM c${k}t),
+        d$k AS MATERIALIZED (SELECT greatest(least(1 - 2 * y * n2 / greatest(n1, 1), 1.0), 0.0) AS d${k}_1,
+                 greatest(least(2 - 3 * y * n3 / greatest(n2, 1), 2.0), 0.0) AS d${k}_2,
+                 greatest(least(3 - 4 * y * n4 / greatest(n3, 1), 3.0), 0.0) AS d${k}_3
+               FROM (SELECT n1 / greatest(n1 + 2 * n2, 1) AS y, n1, n2, n3, n4 FROM cn$k)),
+        bw$k AS MATERIALIZED (SELECT ${hist.mkString(", ")},
+                 (d${k}_1 * m${k}_1 + d${k}_2 * m${k}_2 + d${k}_3 * m${k}_3) / s$k AS g$k
+               FROM h$k, d$k)"""
+    }.mkString(",")
+    // interpolated probability per level, built bottom-up like knTrain
+    val probs = "," + """
+        pl1 AS MATERIALIZED (SELECT w5, c1 / tt AS p1 FROM c1t, tp)""" +
+      (2 to 5).map { k =>
+        val kw = (6 - k to 5).map(i => s"w$i")
+        val hist = kw.dropRight(1)
+        s""",
+        pl$k AS MATERIALIZED (SELECT ${kw.map("c" + k + "t." + _).mkString(", ")},
+                 (c$k - CASE WHEN c$k = 1 THEN d${k}_1
+                             WHEN c$k = 2 THEN d${k}_2 ELSE d${k}_3 END) / s$k
+                 + (d${k}_1 * m${k}_1 + d${k}_2 * m${k}_2 + d${k}_3 * m${k}_3) / s$k * p${k - 1} AS p$k
+               FROM c${k}t
+               JOIN pl${k - 1} USING (${kw.drop(1).mkString(", ")})
+               JOIN h$k USING (${hist.mkString(", ")}), d$k)"""
+      }.mkString
+    // ARPA rows: level k carries ln p_k, plus ln g_{k+1} when the gram is a
+    // seen level-(k+1) history (full outer merge — doc-initial prefixes are
+    // bow-only rows)
+    val gramOf = (ws: Seq[String]) => ws.map(w => s"$w").mkString(" || ' ' || ")
+    val arpaLevels = (1 to 4).map { k =>
+      val kw = (6 - k to 5).map(i => s"w$i")       // lp side: level-k words
+      val hw = (5 - k to 4).map(i => s"w$i")       // bow side: level-(k+1) history
+      s""",
+        a$k AS MATERIALIZED (
+          SELECT $k AS level, COALESCE(l.gram, b.gram) AS gram, l.lp, b.bow FROM
+            (SELECT ${gramOf(kw)} AS gram, CASE WHEN p$k > 0 THEN ln(p$k) ELSE -230.2585092994046 END AS lp FROM pl$k) l
+          FULL OUTER JOIN
+            (SELECT ${gramOf(hw)} AS gram, CASE WHEN g${k + 1} > 0 THEN ln(g${k + 1}) ELSE -230.2585092994046 END AS bow FROM bw${k + 1}) b
+          ON l.gram = b.gram)"""
+    }.mkString
+    val arpaTop = s""",
+        a5 AS MATERIALIZED (SELECT 5 AS level, ${gramOf((1 to 5).map(i => s"w$i"))} AS gram,
+               CASE WHEN p5 > 0 THEN ln(p5) ELSE -230.2585092994046 END AS lp,
+               CAST(NULL AS DOUBLE) AS bow FROM pl5),
+        a0 AS MATERIALIZED (SELECT 0 AS level, '' AS gram, ln(1.0 / tt) AS lp,
+               CAST(NULL AS DOUBLE) AS bow FROM tp),
+        arpa AS MATERIALIZED (
+          SELECT * FROM a5 UNION ALL SELECT * FROM a4 UNION ALL
+          SELECT * FROM a3 UNION ALL SELECT * FROM a2 UNION ALL
+          SELECT * FROM a1 UNION ALL SELECT * FROM a0)"""
+    counts + "," + perLevel + probs + arpaLevels + arpaTop
+  }
+
+  /** The ARPA back-off walk over a model CTE/relation named `m(level, gram,
+    * lp, bow)`, scoring 5-gram windows of the docs selected by `docFilter`:
+    * deepest seen level wins, every skipped seen history adds its bow,
+    * unseen last word bottoms at the level-0 floor — the exact when/
+    * otherwise fold [[graft.operators.Scoring.knScore]] assembles.
+    * Emits `sc(doc_id, lp)`.
+    */
+  private def knWalkSql(docFilter: String): String = {
+    val g = (lo: Int, hi: Int) => (lo to hi).map(i => s"sg.w$i").mkString(" || ' ' || ")
+    s""",
+        stoks AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+          FROM documents $docFilter),
+        sg AS MATERIALIZED (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+                  w[i+3] AS w4, w[i+4] AS w5
+                FROM stoks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE len(w) >= 5),
+        ml5 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 5 AND lp IS NOT NULL),
+        ml4 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 4 AND lp IS NOT NULL),
+        ml3 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 3 AND lp IS NOT NULL),
+        ml2 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 2 AND lp IS NOT NULL),
+        ml1 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 1 AND lp IS NOT NULL),
+        mb5 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 4 AND bow IS NOT NULL),
+        mb4 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 3 AND bow IS NOT NULL),
+        mb3 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 2 AND bow IS NOT NULL),
+        mb2 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 1 AND bow IS NOT NULL),
+        mf AS MATERIALIZED (SELECT lp AS flp FROM m WHERE level = 0),
+        sc AS MATERIALIZED (
+          SELECT sg.doc_id,
+            CASE WHEN ml5.lp IS NOT NULL THEN ml5.lp
+                 ELSE COALESCE(mb5.bow, 0) +
+              CASE WHEN ml4.lp IS NOT NULL THEN ml4.lp
+                   ELSE COALESCE(mb4.bow, 0) +
+                CASE WHEN ml3.lp IS NOT NULL THEN ml3.lp
+                     ELSE COALESCE(mb3.bow, 0) +
+                  CASE WHEN ml2.lp IS NOT NULL THEN ml2.lp
+                       ELSE COALESCE(mb2.bow, 0) +
+                    COALESCE(ml1.lp, mf.flp)
+                  END
+                END
+              END
+            END AS lp
+          FROM sg
+          LEFT JOIN ml5 ON ml5.gram = ${g(1, 5)}
+          LEFT JOIN mb5 ON mb5.gram = ${g(1, 4)}
+          LEFT JOIN ml4 ON ml4.gram = ${g(2, 5)}
+          LEFT JOIN mb4 ON mb4.gram = ${g(2, 4)}
+          LEFT JOIN ml3 ON ml3.gram = ${g(3, 5)}
+          LEFT JOIN mb3 ON mb3.gram = ${g(3, 4)}
+          LEFT JOIN ml2 ON ml2.gram = ${g(4, 5)}
+          LEFT JOIN mb2 ON mb2.gram = sg.w4
+          LEFT JOIN ml1 ON ml1.gram = sg.w5, mf)"""
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // The saved-model artifact itself, gated row by row against a full
+    // independent DuckDB refit — counts, fitted discounts, per-level
+    // interpolated probabilities AND back-off weights (the inline q273
+    // gate never sees bows; this one pins them). q304 always refits and
+    // rewrites the artifact, so the q305 scoring gate below always reads
+    // content this gate just certified.
+    Q("q304_kn_train", (s, d) =>
+      trainKnModel(s, d)
+        .select(col("level"), col("gram"), round(col("lp"), 6).as("lp"),
+          round(col("bow"), 6).as("bow"))
+        .orderBy(col("level"), col("gram")),
+      Some("WITH" + knArpaSql("") + """
+        SELECT level, gram, round(lp, 6) AS lp, round(bow, 6) AS bow
+        FROM arpa ORDER BY level, gram""")),
+
+    // Frozen-artifact scoring — the production face: Spark scores the
+    // corpus against the PERSISTED parquet model (training only if the
+    // artifact is absent), and the oracle replays ONLY the back-off walk
+    // against the very same parquet files. No refit on either side: this
+    // is the cheap oracle that keeps the whole battery inside the
+    // driver's replay budget. The artifact path is pinned to the sf0.01
+    // fixture the driver verifies at.
+    Q("q305_kn_score_frozen", (s, d) => {
+      val model = ensureKnModel(s, d)
+      graft.operators.Scoring.knScore(t(s, d, "documents"), "doc_id", "text",
+          model, order = 5)
+        .select(col("id").as("doc_id"),
+          round(col("kn_lp"), 6).as("kn5_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_grams"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH m AS MATERIALIZED (
+          SELECT * FROM read_parquet('/tmp/graft_artifacts/kn5_sf0.01/*.parquet'))""" +
+      knWalkSql("") + """
+        SELECT doc_id, round(avg(lp), 6) AS kn5_lp,
+          round(exp(-avg(lp)), 6) AS ppl, COUNT(*) AS n_grams
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Held-out scoring — train on the even half, score the odd half, both
+    // engines independently end to end: DuckDB refits its own model AND
+    // walks its own back-off chain, so every bow, every longest-match
+    // branch, and the OOV floor are cross-engine-gated on text the model
+    // has never seen (the branch training-text scoring can never reach).
+    Q("q306_kn_heldout_backoff", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Scoring.knTrain(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", order = 5)
+      graft.operators.Scoring.knScore(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model, order = 5)
+        .select(col("id").as("doc_id"),
+          round(col("kn_lp"), 6).as("kn5_lp"),
+          round(col("ppl"), 6).as("ppl"), col("n_grams"))
+        .orderBy(col("doc_id"))
+    }, Some("WITH" + knArpaSql("WHERE doc_id % 2 = 0") + """,
+        m AS MATERIALIZED (SELECT * FROM arpa)""" +
+      knWalkSql("WHERE doc_id % 2 = 1") + """
+        SELECT doc_id, round(avg(lp), 6) AS kn5_lp,
+          round(exp(-avg(lp)), 6) AS ppl, COUNT(*) AS n_grams
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The KN saved-model lifecycle (knTrain -> frozen artifact -> knScore):
+  * bit-exact parity with the inline refit on training text, the ARPA
+  * back-off walk on held-out text (checked against a driver-side reference
+  * walk over the collected model — trivially correct by inspection, so it
+  * pins the distributed join plumbing), parquet round-trip, and the OOV
+  * floor.
+  */
+class KnModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("knScore against knTrain artifact == knNgramPerplexity on training text (6dp, the oracle convention)") {
+    val model = Scoring.knTrain(docs, "doc_id", "text", order = 5)
+    val frozen = Scoring.knScore(docs, "doc_id", "text", model, order = 5)
+      .select(col("id"), round(col("kn_lp"), 6).as("lp"), col("n_grams"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val inline = Scoring.knNgramPerplexity(docs, "doc_id", "text", order = 5)
+      .select(col("id"), round(col("kn_lp"), 6).as("lp"), col("n_grams"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(frozen.keySet == inline.keySet)
+    assert(frozen.nonEmpty)
+    // per-gram log-probs are bit-deterministic (all model inputs are exact
+    // long counts); only the per-doc avg is float-order-sensitive, which
+    // round(6) absorbs — the same convention every KN oracle uses
+    for ((id, (lp, n)) <- inline) {
+      assert(frozen(id)._1 == lp, s"doc $id kn_lp")
+      assert(frozen(id)._2 == n, s"doc $id n_grams")
+    }
+  }
+
+  test("parquet round-trip preserves the model rows bit for bit and scoring at 6dp") {
+    val dir = java.nio.file.Files.createTempDirectory("kn_model_").toString
+    val model = Scoring.knTrain(docs, "doc_id", "text", order = 4)
+    model.write.mode("overwrite").parquet(dir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val before = model.collect().map(key).toSet
+    val after = spark.read.parquet(dir)
+      .select("level", "gram", "lp", "bow").collect().map(key).toSet
+    assert(before == after) // doubles survive parquet exactly
+    val a = Scoring.knScore(docs, "doc_id", "text", model, order = 4)
+      .select(col("id"), round(col("kn_lp"), 6)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Scoring.knScore(docs, "doc_id", "text",
+        spark.read.parquet(dir), order = 4)
+      .select(col("id"), round(col("kn_lp"), 6)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  /** Reference ARPA walk over the collected model: deepest seen level wins;
+    * each skipped level adds its history's bow when that history is seen;
+    * an unseen last word bottoms out at the level-0 floor. */
+  private def referenceWalk(model: Array[(Int, String, Option[Double], Option[Double])],
+                            words: Seq[String], order: Int): Double = {
+    val lp = model.collect { case (l, g, Some(v), _) => (l, g) -> v }.toMap
+    val bow = model.collect { case (l, g, _, Some(v)) => (l, g) -> v }.toMap
+    val floor = lp((0, ""))
+    def walk(k: Int): Double =
+      if (k == 0) floor
+      else lp.get((k, words.takeRight(k).mkString(" "))) match {
+        case Some(v) => v
+        case None =>
+          bow.getOrElse((k - 1, words.takeRight(k).dropRight(1).mkString(" ")), 0.0) + walk(k - 1)
+      }
+    walk(order)
+  }
+
+  test("held-out text scores through the back-off walk (distributed == reference walk)") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a rug"),
+      (3L, "a dog sat on the mat today"),
+      (4L, "the cat ran on the mat")
+    ).toDF("doc_id", "text")
+    val order = 4
+    val model = Scoring.knTrain(train, "doc_id", "text", order)
+    val rows = model.collect().map(r => (
+      r.getInt(0), r.getString(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // held-out: seen histories with unseen continuations, unseen histories,
+    // and a fully OOV word — every branch of the walk
+    val heldOut = Seq(
+      (10L, "the cat sat on the rug"),   // mixes doc1/doc2 grams
+      (11L, "a dog sat on a rug today"), // unseen 4-grams, seen suffixes
+      (12L, "the cat sat on zebra mat")  // OOV word mid-stream
+    ).toDF("doc_id", "text")
+    val got = Scoring.knScore(heldOut, "doc_id", "text", model, order)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+    // expected: mean over the doc's 4-gram windows of the reference walk
+    val texts = Map(
+      10L -> "the cat sat on the rug",
+      11L -> "a dog sat on a rug today",
+      12L -> "the cat sat on zebra mat")
+    for ((id, text) <- texts) {
+      val ws = text.split(" ").toSeq
+      val grams = ws.sliding(order).toSeq
+      val exp = grams.map(g => referenceWalk(rows, g, order)).sum / grams.size
+      val (lp, n) = got(id)
+      assert(n == grams.size, s"doc $id n_grams")
+      assert(math.abs(lp - exp) < 1e-12, s"doc $id: got $lp expected $exp")
+    }
+  }
+
+  test("OOV-only and sub-order docs: floor applies; short docs are absent") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val model = Scoring.knTrain(train, "doc_id", "text", order = 5)
+    val floor = model.filter(col("level") === 0).select("lp").as[Double].head()
+    assert(floor < 0.0)
+    val out = Scoring.knScore(
+      Seq((7L, "qq ww ee rr tt"), (8L, "too short")).toDF("doc_id", "text"),
+      "doc_id", "text", model, order = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(8L)) // under 5 words -> no grams -> absent
+    // all-OOV 5-gram: lp = bow-less walk to the floor
+    assert(out(7L) == floor)
+  }
+
+  test("model artifact invariants: unique (level, gram); top level lp-only; floor row present") {
+    val model = Scoring.knTrain(docs, "doc_id", "text", order = 3)
+    val n = model.count()
+    assert(model.select("level", "gram").distinct().count() == n)
+    assert(model.filter(col("level") === 3 && col("bow").isNotNull).count() == 0)
+    assert(model.filter(col("level") === 0).count() == 1)
+    // every level-k lp row's gram has exactly k words
+    val badWidth = model.filter(col("level") >= 1)
+      .filter(size(split(col("gram"), " ")) =!= col("level")).count()
+    assert(badWidth == 0)
+  }
+}

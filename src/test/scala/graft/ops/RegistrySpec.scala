@@ -2362,6 +2362,32 @@ class RegistrySpec extends AnyFunSuite {
         graft.functions.WordPiece.vocabOf(
           Seq("a", "b", "##a", "##b"), directM), 16))
   }
+
+  test("graft.kn_train -> kn_score: frozen model via frame AND via saved dir") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+    val dir = java.nio.file.Files.createTempDirectory("kn_reg_").toString
+    val model = reg.callFunction("graft.kn_train", Args(
+      pos = List(docs), kw = List("order" -> 4L, "dir" -> dir)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(model.filter(col("level") === 0).count() == 1)
+    val viaFrame = reg.callFunction("graft.kn_score", Args(
+      pos = List(docs), kw = List("model" -> (model: Any), "order" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select(col("id"), round(col("kn_lp"), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDir = reg.callFunction("graft.kn_score", Args(
+      pos = List(docs), kw = List("model" -> dir, "order" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select(col("id"), round(col("kn_lp"), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaFrame == viaDir && viaFrame.nonEmpty)
+    // scoring training text against the frozen model == the inline refit (6dp)
+    val inline = graft.operators.Scoring.knNgramPerplexity(docs, "doc_id", "text", 4)
+      .select(col("id"), round(col("kn_lp"), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaFrame == inline)
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
