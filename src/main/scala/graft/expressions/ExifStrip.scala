@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Exif scrub as a binary->struct PROJECTION: `(bytes, removed)` where
+  * `bytes` is the image with every APP1/Exif segment byte-exactly spliced
+  * out ([[graft.operators.Exif.stripExif]] — pixel stream untouched) and
+  * `removed` the byte count dropped. One expression per row means the
+  * scrub rides the scan like any other column — the earlier operator shape
+  * (mapPartitions over (id, bytes) + join back on id) pushed EVERY image
+  * through a shuffle just to reattach the untouched columns, which is
+  * exactly what hurts at 100 TB of JPEGs. CodegenFallback for the
+  * [[HtmlAnchors]] reason: the work is the byte splice, one virtual call
+  * per row is noise.
+  */
+case class ExifStrip(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("removed", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_exif_strip"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val s = graft.operators.Exif.stripExif(b)
+    new GenericInternalRow(Array[Any](s, b.length - s.length))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExifStrip =
+    copy(child = newChild)
+}
+
+object ExifStrip {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(bin: Column): Column =
+    ColumnBridge.column(ExifStrip(ColumnBridge.expression(bin)))
+}

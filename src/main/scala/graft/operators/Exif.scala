@@ -240,17 +240,15 @@ object Exif {
     */
   def stripExifBatch(df: DataFrame, idCol: String,
                      binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val stripped = df.select(col(idCol).cast("long").as("__id"), col(binCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) =>
-        val s = stripExif(b)
-        (id, s, b.length - s.length)
-      })
-      .toDF("__id", binCol, "exif_bytes_removed")
-    df.drop(binCol).join(stripped,
-      col(idCol).cast("long") === col("__id")).drop("__id")
+    // one struct-valued projection (graft.expressions.ExifStrip) — every
+    // untouched column rides along in place, so no shuffle ever carries
+    // image bytes (the first cut joined a mapPartitions result back on id,
+    // paying a binary-payload exchange just to reattach columns)
+    val s = graft.expressions.ExifStrip(col(binCol)).as("__strip")
+    df.withColumn("__strip", s)
+      .withColumn(binCol, col("__strip.bytes"))
+      .withColumn("exif_bytes_removed", col("__strip.removed"))
+      .drop("__strip")
   }
 
   // ---- fixture synthesis -------------------------------------------

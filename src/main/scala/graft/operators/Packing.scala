@@ -71,6 +71,11 @@ object Packing {
     require(blockSize >= 1,
       s"blockStats: blockSize must be >= 1, got $blockSize")
     val b = plan
+      // a zero-length span (n_tokens = 0 with eosTokens = 0, which
+      // packPlan permits) has first_block > last_block; sequence() would
+      // generate a DESCENDING range and inject spurious block rows — the
+      // span holds no stream positions, so it belongs in no block
+      .filter(col("end_off") > col("start_off"))
       .select(col("start_off"), col("end_off"), col("first_block"),
         col("last_block"),
         explode(sequence(col("first_block"), col("last_block"))).as("block"))
@@ -139,10 +144,16 @@ object Packing {
     val spark = batch.sparkSession
     val totalsDir = s"$outDir/totals"
     val base: Long = {
-      val prior = scala.util.Try(spark.read.parquet(totalsDir)
+      // only the missing-dir FIRST-batch case maps to 0; a genuine read
+      // failure (transient storage error, corrupt file) must propagate —
+      // swallowing it would silently re-base the manifest chain at 0 and
+      // corrupt every offset after it
+      val path = new org.apache.hadoop.fs.Path(totalsDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) 0L
+      else spark.read.parquet(totalsDir)
         .filter(col("batch_id") < batchId)
-        .agg(coalesce(sum(col("stream_len")), lit(0L))).head().getLong(0))
-      prior.getOrElse(0L)
+        .agg(coalesce(sum(col("stream_len")), lit(0L))).head().getLong(0)
     }
     val plan = packPlan(batch, idCol, nTokensCol, blockSize, eosTokens, base)
     plan.write.mode("overwrite")

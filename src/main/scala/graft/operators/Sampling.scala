@@ -626,7 +626,10 @@ object Sampling {
       val alloc = math.min((toks * maxEpochs.toLong).toDouble, share)
       rem -= alloc
       left -= 1
-      (lang, nDocs, toks, alloc, alloc / toks.toDouble,
+      // a zero-token language allocates nothing; 0.0/0.0 would stamp NaN
+      // epochs into the persisted plan artifact unannounced
+      (lang, nDocs, toks, alloc,
+        if (toks == 0L) 0.0 else alloc / toks.toDouble,
         alloc / budget.toDouble)
     }
     rows.toSeq

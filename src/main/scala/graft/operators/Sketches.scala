@@ -179,13 +179,17 @@ object Sketches {
 
   /** Replayable multiplicative hash for integral keys: Knuth's 2654435761
     * times the key, plus an odd offset, mod 2^31-1. Deliberately SQL-simple
-    * (one multiply, one add, one mod — exact in any engine's BIGINT) so
-    * oracles can replay it; exact for |key| ≤ ~3.4e9 (the 64-bit product
-    * must not wrap — true for every fixture/business key here; hash wider
-    * domains down to that range first).
+    * so oracles can replay it. The key is folded into [0, 2^31-1) BEFORE
+    * the multiply — without the fold, any |key| > ~3.4e9 (e.g. a 64-bit
+    * doc hash) wraps the 64-bit product and yields negative garbage
+    * hashes; with it the product tops out near 5.7e18, inside long range
+    * for every possible input. For keys already in range the fold is the
+    * identity, so existing oracles replay unchanged; an oracle replaying
+    * wide keys mirrors it as `((key % m) + m) % m` first.
     */
   def kmvHash(key: Column): Column =
-    (key.cast("long") * lit(2654435761L) + lit(1013904223L)) % lit(KmvMod)
+    pmod(pmod(key.cast("long"), lit(KmvMod)) * lit(2654435761L) +
+      lit(1013904223L), lit(KmvMod))
 
   /** Per-group bottom-k sketch of distinct hashed keys: `by... , kmv`
     * (array<bigint>, ascending, ≤ k values). One k-bounded buffer per

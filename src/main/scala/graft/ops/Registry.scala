@@ -1897,8 +1897,11 @@ final class Registry(spark: SparkSession) {
         dropSelf = a.get("drop_self", -1).forall(_.toString.toBoolean))
     },
     "graft.pagerank" -> { a =>
-      // fixed-iteration weighted PageRank over an edge frame — the
-      // crawl-prioritization rank; dangling mass redistributed uniformly
+      // weighted PageRank over an edge frame — the crawl-prioritization
+      // rank; dangling mass redistributed uniformly. With tol set, iters
+      // becomes a cap: the power iteration early-exits once the L1 rank
+      // delta is at or under tol (output gains n_iters/l1_delta audit
+      // columns)
       graft.operators.LinkGraph.pageRank(
         asDf(a.require("df", 0), "df"),
         asStr(a.get("src", -1).getOrElse("src_domain"), "src"),
@@ -1906,7 +1909,10 @@ final class Registry(spark: SparkSession) {
         weightCol = a.get("weight", -1).map(_.toString),
         damping = a.get("damping", -1).map(_.toString.toDouble)
           .getOrElse(0.85),
-        iters = a.get("iters", -1).map(_.toString.toInt).getOrElse(10))
+        iters = a.get("iters", -1).map(_.toString.toInt).getOrElse(10),
+        tol = a.get("tol", -1).map(_.toString.toDouble).getOrElse(0.0),
+        checkEvery = a.get("check_every", -1).map(_.toString.toInt)
+          .getOrElse(2))
     },
     "graft.anchor_topk" -> { a =>
       // top-k normalized anchor texts per destination registered domain

@@ -45,7 +45,7 @@ object Round14b {
     // whole distributed prefix-sum machinery is hash-gated row for row.
     Q("q293_pack_spans", (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        graft.operators.Sampling.wsTokenCount(col("text")).as("n_tokens"))
       graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
           blockSize = BlockC)
         .orderBy(col("doc_id"))
@@ -61,7 +61,7 @@ object Round14b {
     // n_tokens/blockSize + 1 per doc — linear in corpus token count.
     Q("q294_pack_blocks", (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        graft.operators.Sampling.wsTokenCount(col("text")).as("n_tokens"))
       val plan = graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
         blockSize = BlockC)
       graft.operators.Packing.blockStats(plan, blockSize = BlockC)
@@ -313,7 +313,7 @@ object Round14b {
     // orders; the oracle replays hash and rank for both.
     Q("q301_block_shuffle", (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        graft.operators.Sampling.wsTokenCount(col("text")).as("n_tokens"))
       val blocks = graft.operators.Packing.blockStats(
         graft.operators.Packing.packPlan(docs, "doc_id", "n_tokens",
           blockSize = BlockC), blockSize = BlockC)

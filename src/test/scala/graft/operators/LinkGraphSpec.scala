@@ -115,6 +115,32 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(dang("B") > dang("A"))
   }
 
+  test("pageRank: tol turns iters into a cap — star graph converges early, ranks match the full run") {
+    // 8 leaves -> center: rank flow stabilizes geometrically, so a loose
+    // tolerance must exit well before the 100-iteration cap
+    val edges = (1 to 8).map(i => (s"leaf$i", "center", 1L))
+      .toDF("src", "dst", "w")
+    val early = LinkGraph.pageRank(edges, "src", "dst", Some("w"),
+        damping = 0.85, iters = 100, tol = 1e-9, checkEvery = 2)
+    assert(early.columns.toSeq ==
+      Seq("node", "rank", "n_iters", "l1_delta"))
+    val rows = early.collect()
+    val nIters = rows.head.getInt(2)
+    val delta = rows.head.getDouble(3)
+    assert(nIters < 100, s"expected early exit, ran $nIters")
+    assert(delta <= 1e-9, s"reported delta $delta above tol")
+    // converged ranks equal the fixed-iteration run at the same depth
+    val fixed = LinkGraph.pageRank(edges, "src", "dst", Some("w"),
+        damping = 0.85, iters = nIters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == fixed)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // tol = 0 keeps the legacy two-column schema (q279's contract)
+    assert(LinkGraph.pageRank(edges, "src", "dst", Some("w"), 0.85, 3)
+      .columns.toSeq == Seq("node", "rank"))
+  }
+
   test("pageRank: weighted edges shift rank toward the heavy target") {
     // A splits 3:1 between B and C; B and C both return to A
     val edges = Seq(("A", "B", 3L), ("A", "C", 1L),
