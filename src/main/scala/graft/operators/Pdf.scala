@@ -1,0 +1,517 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Minimal PDF text extraction from the PUBLIC file-format spec (ISO
+  * 32000 / the classic Adobe PDF Reference structures): crawl-scale
+  * corpora are heavily PDF (books, papers), and a curation pipeline
+  * needs the text column long before any rendering fidelity. Scope —
+  * the structures our own writer and the vast majority of text PDFs
+  * use:
+  *
+  *   - trailing `startxref` -> CLASSIC xref table walk (20-byte
+  *     entries, `/Prev` chains, later tables win) -> trailer `/Root`;
+  *   - indirect-object parser (dicts, arrays, names, numbers, strings,
+  *     `R` refs, streams; `/Length` may itself be indirect);
+  *   - page tree walk (`/Pages` -> `/Kids` -> `/Page`), `/Contents` as
+  *     one stream or an array of streams;
+  *   - stream decode: plain or `/FlateDecode`
+  *     (`java.util.zip.Inflater` — zero new dependencies);
+  *   - text assembly from content operators: shows (`Tj`, `TJ`, `'`,
+  *     `"`) concatenate; line moves (`Td`, `TD`, `T*`) and new text
+  *     objects (`BT`) start a new line; literal-string escapes
+  *     (`\n \r \t \b \f \( \) \\`, octal) and hex strings decode per
+  *     spec; pages join with a blank line.
+  *
+  * TOTAL on corrupt input, the [[Exif]] contract: any structural
+  * failure yields `has_text = false` with empty text — never an
+  * exception out of the operator.
+  *
+  * Out of scope (returns has_text=false or skips the stream): xref
+  * STREAMS / object streams (PDF 1.5 compaction), encryption, CID/Type0
+  * font re-mapping (bytes are taken as Latin-1, exact for the standard
+  * fonts our fixtures and most western text PDFs use).
+  *
+  * Scale shape: one `mapPartitions` codec pass per row, like every
+  * multimodal decoder here — no page-sized regex, no driver involvement.
+  *
+  * (Reference scope: the pandas layer ships no PDF ops; north-star
+  * extension for the 100 TB crawl pipeline.)
+  */
+object Pdf {
+
+  final case class PdfText(id: Long, has_text: Boolean, n_pages: Int,
+                           n_chars: Int, text: String)
+
+  // ---------------------------------------------------------------- model
+
+  private sealed trait Obj
+  private case class PNum(v: Double) extends Obj
+  private case class PStr(v: String) extends Obj
+  private case class PName(v: String) extends Obj
+  private case class PBool(v: Boolean) extends Obj
+  private case object PNull extends Obj
+  private case class PArr(v: Vector[Obj]) extends Obj
+  private case class PDict(v: Map[String, Obj]) extends Obj
+  private case class PRef(num: Int, gen: Int) extends Obj
+  private case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  // ---------------------------------------------------------------- lexer
+
+  /** Single-purpose recursive-descent reader over the byte array; all
+    * offsets are byte offsets (PDF is a byte format — only string
+    * CONTENT is text). */
+  private final class Reader(val b: Array[Byte]) {
+    var p = 0
+    def atEnd: Boolean = p >= b.length
+    def peek: Int = if (atEnd) -1 else b(p) & 0xff
+    private def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' ||
+      c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int) = c == '(' || c == ')' || c == '<' ||
+      c == '>' || c == '[' || c == ']' || c == '{' || c == '}' ||
+      c == '/' || c == '%'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !atEnd) {
+        val c = peek
+        if (isWs(c)) p += 1
+        else if (c == '%') { while (!atEnd && peek != '\n' && peek != '\r') p += 1 }
+        else go = false
+      }
+    }
+    def token(): String = { // bare token: number, keyword, operator
+      skipWs()
+      val s = p
+      while (!atEnd && !isWs(peek) && !isDelim(peek)) p += 1
+      new String(b, s, p - s, "ISO-8859-1")
+    }
+    def expect(kw: String): Unit = {
+      val t = token()
+      if (t != kw) throw new IllegalArgumentException(s"expected $kw got $t")
+    }
+    def name(): String = { // '/' already peeked
+      p += 1
+      val sb = new StringBuilder
+      while (!atEnd && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && p + 2 < b.length) {
+          sb += Integer.parseInt(
+            new String(b, p + 1, 2, "ISO-8859-1"), 16).toChar
+          p += 3
+        } else { sb += c.toChar; p += 1 }
+      }
+      sb.toString
+    }
+    def literalString(): String = { // at '('
+      p += 1
+      val sb = new StringBuilder
+      var depth = 1
+      while (!atEnd && depth > 0) {
+        val c = peek; p += 1
+        c match {
+          case '(' => depth += 1; sb += '('
+          case ')' => depth -= 1; if (depth > 0) sb += ')'
+          case '\\' if !atEnd =>
+            val e = peek; p += 1
+            e match {
+              case 'n' => sb += '\n'
+              case 'r' => sb += '\r'
+              case 't' => sb += '\t'
+              case 'b' => sb += '\b'
+              case 'f' => sb += '\f'
+              case '(' => sb += '('
+              case ')' => sb += ')'
+              case '\\' => sb += '\\'
+              case '\r' => if (peek == '\n') p += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); p += 1; k += 1
+                }
+                sb += v.toChar
+              case other => sb += other.toChar
+            }
+          case c => sb += c.toChar
+        }
+      }
+      sb.toString
+    }
+    def hexString(): String = { // at '<', not '<<'
+      p += 1
+      val sb = new StringBuilder
+      val hex = new StringBuilder
+      while (!atEnd && peek != '>') {
+        val c = peek
+        if (Character.digit(c, 16) >= 0) hex += c.toChar
+        p += 1
+      }
+      p += 1 // '>'
+      if (hex.length % 2 == 1) hex += '0'
+      var i = 0
+      while (i < hex.length) {
+        sb += Integer.parseInt(hex.substring(i, i + 2), 16).toChar
+        i += 2
+      }
+      sb.toString
+    }
+
+    /** One object; `resolveLen` supplies indirect /Length resolution for
+      * streams (null outside the document-object context). */
+    def obj(resolveLen: PRef => Option[Obj]): Obj = {
+      skipWs()
+      peek match {
+        case '/' => PName(name())
+        case '(' => PStr(literalString())
+        case '[' =>
+          p += 1
+          val items = Vector.newBuilder[Obj]
+          skipWs()
+          while (!atEnd && peek != ']') { items += obj(resolveLen); skipWs() }
+          p += 1
+          PArr(items.result())
+        case '<' =>
+          if (p + 1 < b.length && (b(p + 1) & 0xff) == '<') {
+            p += 2
+            val m = Map.newBuilder[String, Obj]
+            skipWs()
+            while (!atEnd && peek == '/') {
+              val k = name()
+              m += k -> obj(resolveLen)
+              skipWs()
+            }
+            if (p + 1 < b.length) p += 2 // '>>'
+            val d = PDict(m.result())
+            // stream payload?
+            val save = p
+            skipWs()
+            val kw = token()
+            if (kw == "stream") {
+              if (peek == '\r') p += 1
+              if (peek == '\n') p += 1
+              val len = (d.v.get("Length") match {
+                case Some(PNum(n)) => Some(n)
+                case Some(r: PRef) => resolveLen(r) match {
+                  case Some(PNum(n)) => Some(n)
+                  case _ => None
+                }
+                case _ => None
+              }).getOrElse(throw new IllegalArgumentException("stream without Length"))
+              val l = len.toInt
+              if (p + l > b.length)
+                throw new IllegalArgumentException("stream overruns file")
+              val raw = java.util.Arrays.copyOfRange(b, p, p + l)
+              p += l
+              skipWs(); expect("endstream")
+              PStream(d, raw)
+            } else { p = save; d }
+          } else PStr(hexString())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val save = p
+          val t = token()
+          // try "num gen R"
+          if (t.forall(ch => ch >= '0' && ch <= '9')) {
+            val save2 = p
+            skipWs()
+            val t2p = p
+            val t2 = token()
+            if (t2.nonEmpty && t2.forall(ch => ch >= '0' && ch <= '9')) {
+              skipWs()
+              if (peek == 'R') {
+                val save3 = p
+                val t3 = token()
+                if (t3 == "R") return PRef(t.toInt, t2.toInt)
+                p = save3
+              }
+              p = t2p
+            } else p = save2
+          }
+          p = save + t.length
+          PNum(java.lang.Double.parseDouble(t))
+        case _ =>
+          token() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case other =>
+              throw new IllegalArgumentException(s"unexpected token $other")
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- document
+
+  private final class Doc(bytes: Array[Byte]) {
+    private val xref: Map[Int, Long] = {
+      val tail = new String(bytes,
+        math.max(0, bytes.length - 256), math.min(256, bytes.length),
+        "ISO-8859-1")
+      val sx = tail.lastIndexOf("startxref")
+      require(sx >= 0, "no startxref")
+      val after = tail.substring(sx + "startxref".length).trim
+      val off = after.takeWhile(_.isDigit)
+      require(off.nonEmpty, "bad startxref offset")
+      val seen = scala.collection.mutable.Map[Int, Long]()
+      var next = off.toLong
+      var guard = 0
+      while (next >= 0 && guard < 64) {
+        guard += 1
+        val r = new Reader(bytes); r.p = next.toInt
+        r.expect("xref")
+        r.skipWs()
+        // subsections until "trailer"
+        var go = true
+        while (go) {
+          val save = r.p
+          val t = r.token()
+          if (t == "trailer") { go = false; r.p = save }
+          else {
+            val start = t.toInt
+            val count = r.token().toInt
+            r.skipWs()
+            for (i <- 0 until count) {
+              // 20-byte entries: 10-digit offset, 5-digit gen, f/n
+              val entry = new String(bytes, r.p, 20, "ISO-8859-1")
+              if (entry.charAt(17) == 'n' && !seen.contains(start + i))
+                seen(start + i) = entry.substring(0, 10).toLong
+              r.p += 20
+            }
+          }
+        }
+        r.expect("trailer")
+        val tr = r.obj(_ => None).asInstanceOf[PDict]
+        if (!seen.contains(-1)) tr.v.get("Root").foreach {
+          case PRef(n, _) => seen(-1) = n.toLong // stash root obj num
+          case _ => ()
+        }
+        next = tr.v.get("Prev") match {
+          case Some(PNum(v)) => v.toLong
+          case _ => -1L
+        }
+      }
+      seen.toMap
+    }
+
+    private val cache = scala.collection.mutable.Map[Int, Obj]()
+
+    def objAt(num: Int): Obj = cache.getOrElseUpdate(num, {
+      val off = xref.getOrElse(num,
+        throw new IllegalArgumentException(s"missing object $num"))
+      val r = new Reader(bytes); r.p = off.toInt
+      r.token(); r.token() // "num gen"
+      r.expect("obj")
+      r.obj {
+        case PRef(n, _) => Some(resolve(objAt(n)))
+      }
+    })
+
+    def resolve(o: Obj): Obj = o match {
+      case PRef(n, _) => resolve(objAt(n))
+      case other => other
+    }
+
+    def root: PDict = resolve(objAt(xref(-1).toInt)).asInstanceOf[PDict]
+
+    /** Page objects in tree order. */
+    def pages: Vector[PDict] = {
+      def walk(node: PDict, depth: Int): Vector[PDict] = {
+        require(depth < 64, "page tree too deep")
+        resolve(node.v.getOrElse(PName("Type").v, PNull)) match {
+          case PName("Page") => Vector(node)
+          case _ => resolve(node.v.getOrElse("Kids", PArr(Vector()))) match {
+            case PArr(kids) => kids.flatMap(k => resolve(k) match {
+              case d: PDict => walk(d, depth + 1)
+              case _ => Vector()
+            })
+            case _ => Vector()
+          }
+        }
+      }
+      resolve(root.v("Pages")) match {
+        case d: PDict => walk(d, 0)
+        case _ => Vector()
+      }
+    }
+
+    /** Decoded content bytes of a page (streams concatenated). */
+    def contentOf(page: PDict): Array[Byte] = {
+      val streams = resolve(page.v.getOrElse("Contents", PNull)) match {
+        case s: PStream => Vector(s)
+        case PArr(items) => items.flatMap(i => resolve(i) match {
+          case s: PStream => Some(s); case _ => None
+        })
+        case _ => Vector()
+      }
+      streams.iterator.map(decode).reduceOption(_ ++ _)
+        .getOrElse(Array.emptyByteArray)
+    }
+
+    private def decode(s: PStream): Array[Byte] =
+      resolve(s.dict.v.getOrElse("Filter", PNull)) match {
+        case PNull => s.raw
+        case PName("FlateDecode") => inflate(s.raw)
+        case PArr(Vector(PName("FlateDecode"))) => inflate(s.raw)
+        case _ => Array.emptyByteArray // unsupported filter: skip stream
+      }
+  }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return out.toByteArray // stuck
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------- content-stream text
+
+  /** Text assembly from one decoded content stream: shows concatenate on
+    * the current line; Td/TD/T* and each new BT start a new line. */
+  private def textOfContent(content: Array[Byte]): Vector[String] = {
+    val r = new Reader(content)
+    val lines = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit =
+      if (cur.nonEmpty) { lines += cur.toString; cur.clear() }
+    val operands = scala.collection.mutable.ArrayBuffer[Obj]()
+    while (!r.atEnd) {
+      r.skipWs()
+      if (!r.atEnd) {
+        val c = r.peek
+        if (c == '/' || c == '(' || c == '[' || c == '<' ||
+            c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          operands += r.obj(_ => None)
+        } else {
+          val op = r.token()
+          op match {
+            case "Tj" => operands.lastOption.foreach {
+              case PStr(s) => cur ++= s; case _ => ()
+            }
+            case "TJ" => operands.lastOption.foreach {
+              case PArr(items) => items.foreach {
+                case PStr(s) => cur ++= s
+                case _ => () // kern adjustments: no word-gap inference
+              }
+              case _ => ()
+            }
+            case "'" =>
+              flush()
+              operands.lastOption.foreach {
+                case PStr(s) => cur ++= s; case _ => ()
+              }
+            case "\"" =>
+              flush()
+              operands.lastOption.foreach {
+                case PStr(s) => cur ++= s; case _ => ()
+              }
+            case "Td" | "TD" | "T*" | "BT" => flush()
+            case "" => r.p += 1 // defensive: skip a stray delimiter byte
+            case _ => () // every other operator: graphics state etc.
+          }
+          if (op == "Tj" || op == "TJ" || op == "'" || op == "\"" ||
+              op == "Td" || op == "TD" || op == "T*" || op == "BT" ||
+              op.nonEmpty) operands.clear()
+        }
+      }
+    }
+    flush()
+    lines.result()
+  }
+
+  /** TOTAL extraction: never throws. */
+  def extractText(id: Long, bytes: Array[Byte]): PdfText =
+    try {
+      val doc = new Doc(bytes)
+      val pages = doc.pages
+      val pageTexts = pages.map(p =>
+        textOfContent(doc.contentOf(p)).mkString("\n"))
+      val text = pageTexts.mkString("\n\n")
+      PdfText(id, text.nonEmpty, pages.size, text.length, text)
+    } catch {
+      case _: Throwable => PdfText(id, has_text = false, 0, 0, "")
+    }
+
+  /** Batch face: one decode pass per row ([[Exif.decodeExifBatch]]'s
+    * shape). Output: (id, has_text, n_pages, n_chars, text). */
+  def extractTextBatch(df: DataFrame, idCol: String,
+                       binCol: String): Dataset[PdfText] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => extractText(id, b) })
+  }
+
+  // ---------------------------------------------------------- fixture writer
+
+  /** A REAL single-font PDF through a real writer — classic xref table,
+    * per-page content streams (optionally Flate-compressed), escaped
+    * literal strings — so the extractor is exercised on exactly the
+    * structures external text PDFs carry, while oracles replay the page
+    * text from the synthesis formula (the [[Exif.syntheticJpegExif]]
+    * fixture pattern). Each page's lines render as one `Td`-advanced
+    * text object, so extraction yields `lines.mkString("\n")` per page.
+    */
+  def buildPdf(pages: Seq[Seq[String]], compress: Boolean): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def beginObj(num: Int): Unit = { offsets += out.size().toLong; w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n")
+    val nPages = pages.size
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    // (4+2i) page, (5+2i) content
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Count $nPages /Kids [" +
+      (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ") +
+      "] >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      beginObj(4 + 2 * i)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${5 + 2 * i} 0 R >>\nendobj\n")
+      val content = ("BT /F1 12 Tf 72 720 Td " +
+        lines.map(l => s"(${esc(l)}) Tj").mkString(" 0 -14 Td ") +
+        " ET").getBytes("ISO-8859-1")
+      val payload =
+        if (compress) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content); d.finish()
+          val buf = new Array[Byte](content.length * 2 + 64)
+          val n = d.deflate(buf); d.end()
+          java.util.Arrays.copyOf(buf, n)
+        } else content
+      beginObj(5 + 2 * i)
+      w(s"<< /Length ${payload.length}" +
+        (if (compress) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefOff = out.size()
+    val n = offsets.size + 1
+    w(s"xref\n0 $n\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binary training-shard writer — the last meter between the packing
+  * manifest ([[Packing.packPlan]]) and an artifact a pretraining loader
+  * can mmap: fixed-size token blocks serialized as LITTLE-ENDIAN int32
+  * into `.bin` files plus a parquet index (the Megatron/GPT-NeoX
+  * `.bin`+`.idx` shape, re-expressed with the index as a queryable
+  * frame).
+  *
+  * Layout under `outDir`:
+  *   - `<tag>-f<k>.bin`   — `blocksPerFile` consecutive blocks per file,
+  *                          4 bytes per token, no header or padding;
+  *   - `_index/`          — one row per file: `(file, block_size,
+  *                          first_block, n_blocks, n_tokens, n_bytes)`
+  *                          (the stream-final block may be partial;
+  *                          every other block holds exactly
+  *                          `block_size` tokens);
+  *   - `_totals/`, `_carry/` — incremental-face bookkeeping (below).
+  *
+  * Scale shape: block assembly is the manifest's bounded doc→block
+  * explode plus ONE block-grain aggregate (segments concatenated in
+  * offset order — nothing ever holds more than one block of tokens);
+  * file writing is `mapPartitions` after a hash repartition on file id,
+  * so every task streams its files sequentially and N files write with
+  * full cluster parallelism. No driver-side token ever materializes.
+  *
+  * (Reference scope: the pandas layer ships no token-shard sink; north-
+  * star extension for the 100 TB training-data pipeline.)
+  */
+object Shards {
+
+  /** One `_index` row per written `.bin` file. */
+  final case class ShardFile(file: String, block_size: Long,
+                             first_block: Long, n_blocks: Long,
+                             n_tokens: Long, n_bytes: Long)
+
+  /** Per-block token arrays for a doc frame: the packed stream
+    * `[start_off, end_off)` intervals of [[Packing.packPlan]] realized
+    * as `(block, ids)` rows — each doc contributes its overlapping slice
+    * to every block it touches (`eosId` fills the `eosTokens` delimiter
+    * positions), and a block-grain aggregate stitches the slices in
+    * offset order. Exposed for tests; the writers below consume it.
+    */
+  def blockTokens(docs: DataFrame, idCol: String, idsCol: String,
+                  blockSize: Long, eosId: Int = 0, eosTokens: Int = 1,
+                  baseOffset: Long = 0L): DataFrame = {
+    val plan = Packing.packPlan(
+      docs.select(col(idCol), col(idsCol).as("__ids"))
+        .withColumn("__n", size(col("__ids")).cast("long")),
+      idCol, "__n", blockSize, eosTokens, baseOffset)
+    val withIds = plan.join(
+      docs.select(col(idCol), col(idsCol).as("__ids")), Seq(idCol))
+    val segs = withIds
+      .filter(col("end_off") > col("start_off")) // zero-length spans: no block
+      .select(col("start_off"), col("n_tokens"), col("__ids"),
+        explode(sequence(col("first_block"), col("last_block"))).as("block"),
+        col("end_off"))
+    val segStart = greatest(col("start_off"), col("block") * lit(blockSize))
+    val segEnd = least(col("end_off"), (col("block") + 1) * lit(blockSize))
+    val segIds = transform(sequence(segStart, segEnd - 1), p =>
+      when(p - col("start_off") < col("n_tokens"),
+        element_at(col("__ids"), (p - col("start_off") + 1).cast("int")))
+        .otherwise(lit(eosId)))
+    segs
+      .select(col("block"), struct(segStart.as("s"), segIds.as("ids")).as("__seg"))
+      .groupBy(col("block"))
+      // segments are disjoint, so sorting the (offset, ids) structs by
+      // offset is a total order; flatten stitches the block
+      .agg(flatten(transform(array_sort(collect_list(col("__seg"))),
+        s => s.getField("ids"))).as("ids"))
+  }
+
+  /** Write `(block, ids)` rows as `.bin` files + `_index/<indexPart>`.
+    * File id is `(block - fileBase) div blocksPerFile` — a deterministic
+    * pure function of the block id, so a retry overwrites the same file
+    * names with the same bytes. Returns the index rows written.
+    */
+  private def writeBlockFiles(blocks: DataFrame, outDir: String, tag: String,
+                              blockSize: Long, blocksPerFile: Int,
+                              fileBase: Long, indexPart: String): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    val staged = blocks
+      .withColumn("__fid", expr(s"(block - ${fileBase}L) div ${blocksPerFile.toLong}L"))
+      .repartition(col("__fid"))
+      .sortWithinPartitions(col("__fid"), col("block"))
+      .select(col("__fid"), col("block"), col("ids"))
+    val index = staged.as[(Long, Long, Seq[Int])].mapPartitions { rows =>
+      val out = scala.collection.mutable.ArrayBuffer[ShardFile]()
+      var fid = Long.MinValue
+      var os: java.io.BufferedOutputStream = null
+      var first = 0L; var nBlocks = 0L; var nToks = 0L
+      def close(): Unit = if (os != null) {
+        os.close()
+        out += ShardFile(s"$tag-f$fid.bin", blockSize, first, nBlocks,
+          nToks, nToks * 4L)
+        os = null
+      }
+      rows.foreach { case (f, block, ids) =>
+        if (f != fid) {
+          close(); fid = f; first = block; nBlocks = 0L; nToks = 0L
+          os = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$outDir/$tag-f$fid.bin"), 1 << 16)
+        }
+        val bb = java.nio.ByteBuffer.allocate(ids.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ids.foreach(bb.putInt)
+        os.write(bb.array())
+        nBlocks += 1L; nToks += ids.length
+      }
+      close()
+      out.iterator
+    }.toDF()
+    index.write.mode("overwrite").parquet(s"$outDir/_index/$indexPart")
+    spark.read.parquet(s"$outDir/_index/$indexPart")
+  }
+
+  /** BATCH face: pack `docs` (id order) into the one logical stream and
+    * ship every block — including the partial stream-final one — as
+    * int32-LE `.bin` shards under `outDir`. Returns the index frame.
+    */
+  def packWriteShards(docs: DataFrame, idCol: String, idsCol: String,
+                      blockSize: Long, outDir: String, eosId: Int = 0,
+                      eosTokens: Int = 1,
+                      blocksPerFile: Int = 64): DataFrame = {
+    require(blockSize >= 1 && blockSize * 4 <= Int.MaxValue,
+      s"packWriteShards: blockSize out of range: $blockSize")
+    require(blocksPerFile >= 1,
+      s"packWriteShards: blocksPerFile must be >= 1, got $blocksPerFile")
+    val blocks = blockTokens(docs, idCol, idsCol, blockSize, eosId, eosTokens)
+    writeBlockFiles(blocks, outDir, "shard", blockSize, blocksPerFile,
+      fileBase = 0L, indexPart = "part=full")
+  }
+
+  /** INCREMENTAL face (the foreachBatch / per-drop twin, the
+    * [[Packing.packDropWrite]] contract extended to real bytes): the
+    * drop's docs continue the single logical stream from every earlier
+    * drop's token total; only blocks this drop COMPLETES are written
+    * (tagged `b<batchId>`, so names never collide across drops), and the
+    * partial stream-tail block is carried as tokens in
+    * `_carry/batch_id=<id>` for the next drop to finish. Retry-safe the
+    * usual way: the base sums totals of batches STRICTLY below this id,
+    * the carry read is the nearest batch strictly below, and every
+    * artifact overwrites its own `batch_id=` partition.
+    */
+  def packWriteShardsDrop(batch: DataFrame, idCol: String, idsCol: String,
+                          blockSize: Long, outDir: String, batchId: Long,
+                          eosId: Int = 0, eosTokens: Int = 1,
+                          blocksPerFile: Int = 64): Unit = {
+    require(blockSize >= 1 && blockSize * 4 <= Int.MaxValue,
+      s"packWriteShardsDrop: blockSize out of range: $blockSize")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = (p: String) => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stream base: totals strictly below this batch (missing dir = first
+    // batch; real read errors propagate — see packDropWrite)
+    val base: Long =
+      if (!fs(s"$outDir/_totals").exists(
+        new org.apache.hadoop.fs.Path(s"$outDir/_totals"))) 0L
+      else spark.read.parquet(s"$outDir/_totals")
+        .filter(col("batch_id") < batchId)
+        .agg(coalesce(sum(col("stream_len")), lit(0L))).head().getLong(0)
+    // the unfinished tail block of the NEAREST drop strictly below this
+    // one (its partition is written even when empty, so the lookup can
+    // never skip back to a stale tail two drops old)
+    val carryDir = s"$outDir/_carry"
+    val carry: Option[(Long, Seq[Int])] =
+      carryPartitionBelow(spark, carryDir, batchId).flatMap { dir =>
+        val rows = spark.read.parquet(dir).select(col("block"), col("ids"))
+          .collect()
+        require(rows.length <= 1,
+          s"packWriteShardsDrop: carry at $dir holds ${rows.length} blocks")
+        rows.headOption.map(r => (r.getLong(0), r.getSeq[Int](1)))
+      }
+    val fresh = Shards.blockTokens(batch, idCol, idsCol, blockSize, eosId,
+      eosTokens, baseOffset = base)
+    val all = carry match {
+      case Some((cb, ids)) =>
+        // sanity: the carry must sit exactly at the stream base
+        require(cb == base / blockSize && (base % blockSize) == ids.length,
+          s"packWriteShardsDrop: carry (block $cb, ${ids.length} tokens) " +
+            s"inconsistent with stream base $base")
+        val cdf = Seq((cb, ids)).toDF("block", "__cids")
+        fresh.join(cdf, Seq("block"), "full_outer")
+          .select(col("block"),
+            concat(coalesce(col("__cids"), array()),
+              coalesce(col("ids"), array())).as("ids"))
+      case None =>
+        // no carry rows: the stream base must be block-aligned, or the
+        // positions between the boundary and the base are lost
+        require(base % blockSize == 0L,
+          s"packWriteShardsDrop: no carry but stream base $base is not " +
+            s"block-aligned (blockSize $blockSize)")
+        fresh
+    }
+    val newLen = batch
+      .select(coalesce(sum(size(col(idsCol)).cast("long") +
+        lit(eosTokens.toLong)), lit(0L)).as("n")).head().getLong(0)
+    val streamEnd = base + newLen
+    val lastFull = streamEnd / blockSize - 1 // block ids 0-based; block b full iff (b+1)*bs <= end
+    val full = all.filter(col("block") <= lastFull)
+    val firstBlock = carry.map(_._1).getOrElse(base / blockSize)
+    writeBlockFiles(full, outDir, s"b$batchId", blockSize, blocksPerFile,
+      fileBase = firstBlock, indexPart = s"batch_id=$batchId")
+    // new carry: the (single) partial tail block. The partition is
+    // written even when EMPTY (an aligned stream end) so the next drop's
+    // nearest-below lookup stops here instead of skipping back to a
+    // stale tail two drops old.
+    all.filter(col("block") > lastFull)
+      .write.mode("overwrite").parquet(s"$carryDir/batch_id=$batchId")
+    Seq(newLen).toDF("stream_len").write.mode("overwrite")
+      .parquet(s"$outDir/_totals/batch_id=$batchId")
+  }
+
+  /** `_carry/batch_id=K` directory with the greatest K strictly below
+    * `batchId`, if any. */
+  private def carryPartitionBelow(spark: SparkSession, carryDir: String,
+                                  batchId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(carryDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) None
+    else fsys.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=")) scala.util.Try(
+          n.stripPrefix("batch_id=").toLong).toOption else None
+      }
+      .filter(_ < batchId)
+      .reduceOption(_ max _)
+      .map(k => s"$carryDir/batch_id=$k")
+  }
+
+  /** Flush the incremental stream's partial tail block (if any) as a
+    * final `.bin` — call once after the last drop to make the artifact
+    * complete and byte-equal to the batch face.
+    */
+  def packFinalizeShards(spark: SparkSession, outDir: String,
+                         blockSize: Long): Unit =
+    carryPartitionBelow(spark, s"$outDir/_carry", Long.MaxValue)
+      .foreach { dir =>
+        val tail = spark.read.parquet(dir).select(col("block"), col("ids"))
+        if (!tail.isEmpty) {
+          val first = tail.agg(min(col("block"))).head().getLong(0)
+          writeBlockFiles(tail, outDir, "final", blockSize,
+            blocksPerFile = 1, fileBase = first, indexPart = "batch_id=final")
+        }
+      }
+
+  /** Distributed reader — the round-trip gate's other half and the
+    * loader-shaped access path: parse every indexed `.bin` back to
+    * `(block, ids)` rows. Each index row is one task-local sequential
+    * file read; blocks are `block_size` tokens except a file's final
+    * block when `n_tokens` says otherwise.
+    */
+  def readShardBlocks(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$outDir/_index")
+      .select(col("file"), col("block_size"), col("first_block"),
+        col("n_blocks"), col("n_tokens"))
+      .as[(String, Long, Long, Long, Long)]
+      .flatMap { case (file, bs, first, nBlocks, nToks) =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$outDir/$file"))
+        require(bytes.length == nToks * 4,
+          s"shard $file: ${bytes.length} bytes, index says ${nToks * 4}")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0L until nBlocks).map { i =>
+          val len = math.min(bs, nToks - i * bs).toInt
+          (first + i, Array.fill(len)(bb.getInt()).toSeq)
+        }
+      }
+      .toDF("block", "ids")
+  }
+}

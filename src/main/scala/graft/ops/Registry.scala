@@ -886,6 +886,37 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
     },
+    "graft.pdf_text" -> { a =>
+      // minimal public-spec PDF text extraction (classic xref walk,
+      // FlateDecode, BT/ET text ops) — total on corrupt input
+      // (has_text=false), one codec pass per row
+      graft.operators.Pdf.extractTextBatch(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("bin", -1).getOrElse("data"), "bin")).toDF()
+    },
+    "graft.pack_write_shards" -> { a =>
+      // packed stream -> int32-LE .bin training shards + parquet index
+      // (the mmap-ready artifact behind the q293 manifest); returns the
+      // index frame
+      graft.operators.Shards.packWriteShards(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("ids", -1).getOrElse("token_ids"), "ids"),
+        blockSize = asInt(a.require("block_size", 2), "block_size").toLong,
+        outDir = asStr(a.require("dir", 1), "dir"),
+        eosId = a.get("eos_id", -1).map(asInt(_, "eos_id")).getOrElse(0),
+        eosTokens = a.get("eos_tokens", -1).map(asInt(_, "eos_tokens"))
+          .getOrElse(1),
+        blocksPerFile = a.get("blocks_per_file", -1)
+          .map(asInt(_, "blocks_per_file")).getOrElse(64))
+    },
+    "graft.read_shard_blocks" -> { a =>
+      // parse indexed .bin shards back to (block, ids) — the loader-shaped
+      // read path and the round-trip gate's other half
+      graft.operators.Shards.readShardBlocks(spark,
+        asStr(a.require("dir", 0), "dir"))
+    },
     "graft.read_binary_dir" -> { a =>
       Multimodal.readBinaryDir(spark, asStr(a.require("dir", 0), "dir"),
         asStr(a.get("glob", -1).getOrElse("*"), "glob"))

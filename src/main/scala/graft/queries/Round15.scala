@@ -251,6 +251,79 @@ object Round15 {
       knWalkSql("WHERE doc_id % 2 = 1") + """
         SELECT doc_id, round(avg(lp), 6) AS kn5_lp,
           round(exp(-avg(lp)), 6) AS ppl, COUNT(*) AS n_grams
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Binary training shards, gated at the BYTE level through the real
+    // artifact: formula token ids -> packWriteShards (int32-LE .bin files
+    // + index) -> readShardBlocks parses the actual bytes back — and the
+    // oracle independently replays every block's token list from the
+    // same synthesis formula over the packed-stream positions. Any drift
+    // in offsets, file splitting, endianness, or the EOS fill shows up
+    // as a csv mismatch.
+    Q("q307_bin_shards", (s, d) => {
+      val dir = s"/tmp/graft_artifacts/bin_${new java.io.File(d).getName}"
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        transform(sequence(lit(0L), (col("doc_id") % 13) + 1),
+          j => ((col("doc_id") * 31 + j * 7) % 97).cast("int")).as("ids"))
+      graft.operators.Shards.packWriteShards(docs, "doc_id", "ids", 32L,
+        dir, eosId = 0, blocksPerFile = 8)
+      graft.operators.Shards.readShardBlocks(s, dir)
+        .select(col("block"), size(col("ids")).cast("long").as("n_tokens"),
+          concat_ws(",", transform(col("ids"), x => x.cast("string")))
+            .as("ids_csv"))
+        .orderBy(col("block"))
+    }, Some("""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id, (doc_id % 13) + 2 AS n FROM documents),
+        sp AS MATERIALIZED (SELECT doc_id, n,
+               CAST(SUM(n + 1) OVER (ORDER BY doc_id) AS BIGINT) AS end_off
+             FROM docs),
+        tok AS MATERIALIZED (
+          SELECT end_off - n - 1 + j AS p,
+            CASE WHEN j < n THEN (doc_id * 31 + j * 7) % 97 ELSE 0 END AS t
+          FROM sp, unnest(generate_series(0, CAST(n AS BIGINT))) AS u(j))
+        SELECT p // 32 AS block, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          string_agg(CAST(t AS VARCHAR), ',' ORDER BY p) AS ids_csv
+        FROM tok GROUP BY 1 ORDER BY block""")),
+
+    // PDF text extraction through REAL files: formula page text goes
+    // through the real writer (classic xref, Flate-compressed streams on
+    // even ids, escaped literals), the extractor walks
+    // startxref/xref/trailer/page-tree/content and reassembles the text,
+    // and the oracle replays the expected text from the same formula.
+    // Every id % 7 == 0 row is truncated to 40 bytes — the totality
+    // contract (has_text=false, never an exception) is part of the gate.
+    Q("q308_pdf_text", (s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val pages = (0 until (1 + (id % 2)).toInt).map(p =>
+            (0 until 2).map(l => s"d$id p$p l$l (esc\\) ok"))
+          val pdf = graft.operators.Pdf.buildPdf(pages, compress = id % 2 == 0)
+          (id, if (id % 7 == 0) pdf.take(40) else pdf)
+        }.toDF("doc_id", "data")
+      graft.operators.Pdf.extractTextBatch(rows, "doc_id", "data").toDF()
+        .select(col("id").as("doc_id"), col("has_text"), col("n_pages"),
+          col("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH pages AS MATERIALIZED (
+          SELECT doc_id, p,
+            'd' || doc_id || ' p' || p || ' l0 (esc' || chr(92) || ') ok'
+              || chr(10) ||
+            'd' || doc_id || ' p' || p || ' l1 (esc' || chr(92) || ') ok'
+              AS ptext
+          FROM documents, unnest(generate_series(0, doc_id % 2)) AS u(p)),
+        agg AS MATERIALIZED (
+          SELECT doc_id,
+            string_agg(ptext, chr(10) || chr(10) ORDER BY p) AS text,
+            COUNT(*) AS n_pages
+          FROM pages GROUP BY doc_id)
+        SELECT doc_id,
+          doc_id % 7 <> 0 AS has_text,
+          CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(n_pages AS INT) END AS n_pages,
+          CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(len(text) AS INT) END AS n_chars,
+          CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
+        FROM agg ORDER BY doc_id"""))
   )
 }

@@ -727,7 +727,10 @@ object Streams {
                       simhashIndexDir: String, maxHamming: Int = 3,
                       bands: Int = 8,
                       domainCapK: Option[Int] = None,
-                      packBlockSize: Option[Long] = None): Unit = {
+                      packBlockSize: Option[Long] = None,
+                      packBin: Boolean = false): Unit = {
+    require(!packBin || packBlockSize.isDefined,
+      "curateDropWrite: packBin needs packBlockSize")
     val spark = batch.sparkSession
     batch.persist()
     try {
@@ -773,6 +776,11 @@ object Streams {
         packBlockSize.foreach { c =>
           graft.operators.Packing.packDropWrite(
             kept, "doc_id", "n_tokens", c, s"$shardsDir/_pack", id)
+          // the REAL bytes behind that manifest: int32-LE block shards
+          // continuing the same logical stream (same id order, same
+          // one-EOS-per-doc span length), mmap-ready under _bin
+          if (packBin) graft.operators.Shards.packWriteShardsDrop(
+            kept, "doc_id", "token_ids", c, s"$shardsDir/_bin", id)
         }
       } finally kept.unpersist()
     } finally batch.unpersist()
@@ -833,13 +841,14 @@ object Streams {
                           langs: Seq[String] = Seq("en", "es", "de", "fr"),
                           dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
                           domainCapK: Option[Int] = None,
-                          packBlockSize: Option[Long] = None): Unit = {
+                          packBlockSize: Option[Long] = None,
+                          packBin: Boolean = false): Unit = {
     val stream = crawlCurationStream(spark, crawlDir, merges, minQuality,
       langs, dedup)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands,
-          domainCapK, packBlockSize)
+          domainCapK, packBlockSize, packBin)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** PDF extraction gates: round-trip through the real writer (compressed
+  * and plain), string-escape decoding, multi-page assembly, content-array
+  * pages, xref /Prev chains, and totality on corrupt bytes.
+  */
+class PdfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("round-trip: buildPdf -> extractText, plain and FlateDecode") {
+    val pages = Seq(
+      Seq("hello world", "second line"),
+      Seq("page two (with parens)", "and a back\\slash"))
+    for (compress <- Seq(false, true)) {
+      val pdf = Pdf.buildPdf(pages, compress)
+      assert(new String(pdf.take(8), "ISO-8859-1").startsWith("%PDF-1.4"))
+      val t = Pdf.extractText(1L, pdf)
+      assert(t.has_text && t.n_pages == 2, s"compress=$compress: $t")
+      assert(t.text ==
+        "hello world\nsecond line\n\npage two (with parens)\nand a back\\slash",
+        s"compress=$compress")
+    }
+  }
+
+  test("string escapes: octal, specials, nested parens") {
+    // hand-built content stream via the writer's escaper plus raw octal
+    val pdf = Pdf.buildPdf(Seq(Seq("a(b)c", "d\\e")), compress = false)
+    val t = Pdf.extractText(1L, pdf)
+    assert(t.text == "a(b)c\nd\\e")
+  }
+
+  test("total on corrupt input: truncation, garbage, empty") {
+    val good = Pdf.buildPdf(Seq(Seq("x")), compress = true)
+    for (bad <- Seq(good.take(40), good.take(good.length - 9),
+        "not a pdf at all".getBytes, Array.emptyByteArray))
+      assert(!Pdf.extractText(9L, bad.toArray).has_text)
+  }
+
+  test("extractTextBatch over a frame") {
+    val rows = (1L to 6L).map { i =>
+      val pages = (0 until (1 + (i % 2)).toInt).map(p =>
+        Seq(s"doc $i page $p"))
+      (i, Pdf.buildPdf(pages, compress = i % 2 == 0))
+    }.toDF("id", "data")
+    val out = Pdf.extractTextBatch(rows, "id", "data")
+      .collect().map(t => t.id -> t).toMap
+    (1L to 6L).foreach { i =>
+      assert(out(i).has_text && out(i).n_pages == (1 + i % 2).toInt)
+      assert(out(i).text.startsWith(s"doc $i page 0"))
+    }
+  }
+
+  test("content array and /Prev xref chain both resolve") {
+    // splice a second xref section that Prev-chains to the first: the
+    // walk must take the LATEST table's entries and still find the root
+    val base = Pdf.buildPdf(Seq(Seq("chained")), compress = false)
+    val baseStr = new String(base, "ISO-8859-1")
+    val firstXref = baseStr.lastIndexOf("xref")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val newXref = out.size()
+    out.write((s"xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 1 /Root 1 0 R /Prev ${baseStr.substring(baseStr.lastIndexOf("startxref") + 9).trim.takeWhile(_.isDigit)} >>\n" +
+      s"startxref\n$newXref\n%%EOF\n").getBytes("ISO-8859-1"))
+    val t = Pdf.extractText(1L, out.toByteArray)
+    assert(t.has_text && t.text == "chained", s"$t (firstXref at $firstXref)")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Binary shard writer gates: byte-level round-trip (the reference stream
+  * rebuilt token by token in plain Scala), raw little-endian byte check,
+  * incremental two-drop == batch equality with a retry, and the
+  * block-aligned carry edge.
+  */
+class ShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eosId = 7
+  private def idsOf(id: Long, n: Int): Seq[Int] =
+    (0 until n).map(j => ((id * 31 + j * 7) % 50021).toInt)
+
+  /** Reference packed stream: docs in id order, ids then one EOS each. */
+  private def refStream(docs: Seq[(Long, Seq[Int])]): Seq[Int] =
+    docs.sortBy(_._1).flatMap { case (_, ids) => ids :+ eosId }
+
+  private def refBlocks(stream: Seq[Int], bs: Int): Map[Long, Seq[Int]] =
+    stream.grouped(bs).zipWithIndex.map { case (b, i) => (i.toLong, b) }.toMap
+
+  test("batch round-trip: written .bin blocks == reference stream, little-endian on disk") {
+    val docs = (1L to 9L).map(i => (i, idsOf(i, (i % 5).toInt * 3 + 2)))
+    val df = docs.toDF("doc_id", "ids")
+    val dir = java.nio.file.Files.createTempDirectory("shards_").toString
+    val bs = 16L
+    val index = Shards.packWriteShards(df, "doc_id", "ids", bs, dir,
+      eosId = eosId, blocksPerFile = 2)
+    val expect = refBlocks(refStream(docs), bs.toInt)
+    val got = Shards.readShardBlocks(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expect, s"blocks differ: got ${got.keySet} want ${expect.keySet}")
+    // index accounting: token totals match the stream, sizes are 4B/token
+    val idx = index.collect()
+    assert(idx.map(_.getAs[Long]("n_tokens")).sum == refStream(docs).size)
+    assert(idx.forall(r => r.getAs[Long]("n_bytes") == r.getAs[Long]("n_tokens") * 4))
+    // raw bytes of the first file: int32 little-endian, exactly the
+    // first blocks of the stream
+    val first = idx.minBy(_.getAs[Long]("first_block"))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${first.getAs[String]("file")}"))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val streamHead = refStream(docs).take(bytes.length / 4)
+    assert(streamHead.forall(_ == bb.getInt()))
+  }
+
+  test("incremental two drops + finalize == batch face; retry rewrites identical bytes") {
+    val bs = 16L
+    val drop1 = (1L to 5L).map(i => (i, idsOf(i, 7)))   // 5*(7+1)=40 tokens: block 2 partial
+    val drop2 = (6L to 11L).map(i => (i, idsOf(i, 5)))  // +36 -> 76 tokens
+    val dirI = java.nio.file.Files.createTempDirectory("shards_inc_").toString
+    Shards.packWriteShardsDrop(drop1.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dirI, batchId = 0, eosId = eosId, blocksPerFile = 2)
+    Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dirI, batchId = 1, eosId = eosId, blocksPerFile = 2)
+    Shards.packFinalizeShards(spark, dirI, bs)
+    val expect = refBlocks(refStream(drop1 ++ drop2), bs.toInt)
+    val got = Shards.readShardBlocks(spark, dirI)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expect)
+    // at-least-once retry of drop 2: same base, same carry read, same
+    // file names -> byte-identical artifact
+    val before = Shards.readShardBlocks(spark, dirI).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dirI, batchId = 1, eosId = eosId, blocksPerFile = 2)
+    Shards.packFinalizeShards(spark, dirI, bs)
+    val after = Shards.readShardBlocks(spark, dirI).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(after == before)
+  }
+
+  test("block-aligned drop boundary: empty carry partition, next drop proceeds") {
+    val bs = 8L
+    val drop1 = Seq((1L, idsOf(1, 7)), (2L, idsOf(2, 7)))  // 16 tokens: aligned
+    val drop2 = Seq((3L, idsOf(3, 4)))                      // +5
+    val dir = java.nio.file.Files.createTempDirectory("shards_al_").toString
+    Shards.packWriteShardsDrop(drop1.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dir, batchId = 0, eosId = eosId)
+    Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dir, batchId = 1, eosId = eosId)
+    Shards.packFinalizeShards(spark, dir, bs)
+    val expect = refBlocks(refStream(drop1 ++ drop2), bs.toInt)
+    val got = Shards.readShardBlocks(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expect)
+  }
+
+  test("blockTokens drops zero-length spans and fills EOS positions") {
+    val df = Seq((1L, Seq.empty[Int]), (2L, Seq(9, 9, 9))).toDF("doc_id", "ids")
+    // eosTokens = 0: doc 1 spans nothing and must contribute no block rows
+    val blocks = Shards.blockTokens(df, "doc_id", "ids", 4L,
+      eosId = eosId, eosTokens = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(blocks == Map(0L -> Seq(9, 9, 9)))
+    // eosTokens = 2: delimiter positions carry eosId
+    val withEos = Shards.blockTokens(df, "doc_id", "ids", 4L,
+      eosId = eosId, eosTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(withEos == Map(0L -> Seq(eosId, eosId, 9, 9), 1L -> Seq(9, eosId, eosId)))
+  }
+}

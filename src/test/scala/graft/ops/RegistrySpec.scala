@@ -2363,6 +2363,18 @@ class RegistrySpec extends AnyFunSuite {
           Seq("a", "b", "##a", "##b"), directM), 16))
   }
 
+  test("graft.pdf_text from the YAML surface: extraction + totality") {
+    val rows = Seq(
+      (1L, graft.operators.Pdf.buildPdf(Seq(Seq("alpha", "beta")), compress = true)),
+      (2L, "junk".getBytes)
+    ).toDF("doc_id", "data")
+    val out = reg.callFunction("graft.pdf_text", Args(pos = List(rows)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(4)))).toMap
+    assert(out(1L) == ((true, "alpha\nbeta")))
+    assert(out(2L)._1 == false)
+  }
+
   test("graft.kn_train -> kn_score: frozen model via frame AND via saved dir") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
       .select("doc_id", "text").orderBy("doc_id").limit(40)

@@ -776,5 +776,30 @@ class ExamplesSpec extends AnyFunSuite {
         s"disjoint halves must show zero overlap: $r")
       assert(r.getAs[Double]("est_union") > 0.0)
     }
+
+    // binary shard tail: real .bin files exist, the index accounts for
+    // every stream position (4 bytes/token), and the loader-shaped
+    // re-read reproduces the packed stream the manifest describes
+    val bins = new java.io.File(s"$out/bin").listFiles()
+      .filter(_.getName.endsWith(".bin"))
+    assert(bins.nonEmpty, "no .bin shard files written")
+    val idx = spark.read.parquet(s"$out/shard_index.parquet").collect()
+    assert(idx.map(_.getAs[Long]("n_tokens")).sum == off,
+      "index token total != packed stream length")
+    assert(bins.map(_.length).sum == off * 4,
+      "shard bytes != 4 x stream positions")
+    val blocks = spark.read.parquet(s"$out/shard_blocks.parquet")
+      .orderBy("block").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(blocks.map(_._2.size.toLong).sum == off)
+    assert(blocks.init.forall(_._2.size == 256) && blocks.last._2.size <= 256)
+    // spot-check content: the stream must start with doc 0's hashed ids
+    val firstDoc = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+      .orderBy("doc_id").limit(1)
+      .select(expr("transform(filter(split(text, '\\\\s+'), t -> length(t) > 0), " +
+        "t -> cast(pmod(hash(t), 50000) as int))"))
+      .head().getSeq[Int](0)
+    assert(blocks.head._2.take(firstDoc.size) == firstDoc,
+      "stream head != first doc's token ids")
   }
 }

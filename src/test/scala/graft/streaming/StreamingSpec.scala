@@ -1008,7 +1008,7 @@ class StreamingSpec extends AnyFunSuite {
       merges, s"$out/shards", s"$out/ckpt", s"$out/simhash_ix",
       maxHamming = 7, dedup = Streams.CrawlDedup.AgainstIndex(
         fpIx, delay = "1 hour"),
-      domainCapK = Some(k), packBlockSize = Some(16L))
+      domainCapK = Some(k), packBlockSize = Some(16L), packBin = true)
 
     // drop A at 10:00: the exact-dup source, the near-dup base, 2 novels
     writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z", Seq(
@@ -1064,6 +1064,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == shardTok(id), s"doc $id span length != curated n_tokens")
       off = e0
     }
+
+    // binary tail: the _bin shards hold the SAME logical stream as real
+    // int32-LE bytes — flush the carry, read every block back through
+    // the index, and the flattened stream must equal the accepted docs'
+    // token_ids in arrival-major order with one EOS(0) per doc
+    graft.operators.Shards.packFinalizeShards(spark, s"$out/shards/_bin", 16L)
+    val expected = b
+      .select(col("batch_id").cast("long"), col("doc_id"), col("token_ids"))
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(r => r.getSeq[Int](2) :+ 0)
+      .toSeq
+    val stream = graft.operators.Shards.readShardBlocks(spark, s"$out/shards/_bin")
+      .collect().sortBy(_.getLong(0)).flatMap(_.getSeq[Int](1)).toSeq
+    assert(stream == expected,
+      s"binary stream (${stream.size} tokens) != packed reference (${expected.size})")
   }
 
   test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
