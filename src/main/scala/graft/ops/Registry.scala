@@ -886,6 +886,28 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("id"), "id"),
         asStr(a.get("bin", -1).getOrElse("content"), "bin")).toDF()
     },
+    "graft.robots_policy_write" -> { a =>
+      // per-drop robots policy update (latest-fetch-wins artifact):
+      // parse the drop's robots bodies into rules/delays/fetched under
+      // batch_id=<id>; returns the live rule view for inspection
+      val df = asDf(a.require("df", 0), "df")
+      val dir = asStr(a.require("dir", 1), "dir")
+      graft.streaming.Streams.robotsPolicyDropWrite(df,
+        a.get("batch_id", -1).map(asInt(_, "batch_id")).getOrElse(0).toLong,
+        dir,
+        agent = a.get("agent", -1).map(asStr(_, "agent")).getOrElse("*"),
+        domainCol = asStr(a.get("domain", -1).getOrElse("domain"), "domain"),
+        bodyCol = asStr(a.get("body", -1).getOrElse("body"), "body"))
+      graft.streaming.Streams.currentRobotsPolicy(df.sparkSession, dir)._1
+    },
+    "graft.robots_gate_live" -> { a =>
+      // gate URLs against the LIVE policy artifact (RFC 9309 precedence
+      // + the domain's current crawl_delay)
+      graft.streaming.Streams.robotsGateDrop(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("url", -1).getOrElse("url"), "url"),
+        asStr(a.require("dir", 1), "dir"))
+    },
     "graft.pdf_text" -> { a =>
       // minimal public-spec PDF text extraction (classic xref walk,
       // FlateDecode, BT/ET text ops) — total on corrupt input

@@ -22,7 +22,7 @@ object Round14 {
     * protocol-relative link, 3 = javascript/mailto/fragment skips then
     * one absolute link at anchor position 3.
     */
-  private def linkFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def linkFixture(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {
     val t1 = (col("doc_id") * 7 + 3) % 1000
     val t2 = (col("doc_id") * 13 + 5) % 1000
@@ -56,7 +56,7 @@ object Round14 {
   /** The fixture's expected links as a DuckDB CTE block ending in
     * `l(doc_id, link_pos, href, anchor)` — shared by all four oracles.
     */
-  private val linkSql = """
+  private[queries] val linkSql = """
         s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
                 (doc_id*7+3) % 1000 AS t1, (doc_id*13+5) % 1000 AS t2,
                 doc_id % 20 AS sd

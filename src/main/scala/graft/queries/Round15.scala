@@ -324,6 +324,45 @@ object Round15 {
           CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(n_pages AS INT) END AS n_pages,
           CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(len(text) AS INT) END AS n_chars,
           CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    // HyperBall harmonic centrality — the 100 TB face (Boldi & Vigna:
+    // per-node in-balls as mergeable HLL sketches, fixed registers
+    // regardless of ball size) — oracle-gated at fixture scale, where
+    // the DataSketches HLL is still in exact sparse mode: the oracle
+    // recomputes exact balls via the recursive CTE (q287's SQL) and the
+    // gate pins sketch == exact per node, plus the ball-size
+    // monotonicity invariant (ball_size >= 1 everywhere, and never
+    // below the radius-0 self ball).
+    Q("q309_hyperball", (s, d) => {
+      val edges = graft.operators.LinkGraph.domainGraph(
+        Round14.linkFixture(s, d), "url", "html")
+      graft.operators.LinkGraph.harmonicCentrality(
+          edges, "src_domain", "dst_domain", maxDepth = 3, lgk = 12)
+        .select(col("node"),
+          round(col("ball_size")).cast("int").as("ball_size"),
+          round(col("harmonic"), 6).as("harmonic"),
+          (col("ball_size") >= 1.0).as("ball_ok"))
+        .orderBy(col("node"))
+    }, Some("WITH RECURSIVE" + Round14.linkSql + """,
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src_domain AS node FROM edges
+          UNION ALL SELECT dst_domain FROM edges)),
+        r AS (
+          SELECT src_domain AS u, dst_domain AS v, 1 AS d FROM edges
+          UNION
+          SELECT r.u, e.dst_domain, r.d + 1
+          FROM r JOIN edges e ON e.src_domain = r.v WHERE r.d < 3),
+        m AS (SELECT u, v, MIN(d) AS md FROM r WHERE u <> v GROUP BY u, v),
+        agg AS (SELECT v, md, COUNT(*) AS cnt FROM m GROUP BY v, md),
+        sc AS (SELECT v, SUM(cnt) AS reach,
+                 SUM(CAST(cnt AS DOUBLE) / md) AS h
+               FROM agg GROUP BY v)
+        SELECT n.node,
+          CAST(COALESCE(sc.reach, 0) + 1 AS INT) AS ball_size,
+          round(COALESCE(sc.h, 0.0), 6) AS harmonic,
+          TRUE AS ball_ok
+        FROM nodes n LEFT JOIN sc ON sc.v = n.node
+        ORDER BY n.node"""))
   )
 }

@@ -884,6 +884,82 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Per-drop robots-policy update — the politeness half of the crawl
+    * loop made INCREMENTAL (the site_policy compacting-parquet idiom):
+    * each drop of freshly fetched robots.txt bodies `(domain, body)`
+    * parses into the rule + crawl-delay artifact under its own
+    * `batch_id=` partition, and a `fetched/` table records WHICH domains
+    * this drop re-fetched — so a refetch that now yields zero rules (a
+    * site that dropped its disallows) still supersedes the old rules.
+    * Latest fetch wins per domain at read time ([[currentRobotsPolicy]]).
+    * Retry-idempotent per the usual partition-overwrite contract.
+    */
+  def robotsPolicyDropWrite(batch: DataFrame, id: Long, policyDir: String,
+                            agent: String = "*",
+                            domainCol: String = "domain",
+                            bodyCol: String = "body"): Unit = {
+    graft.operators.Robots.parseRobots(batch, domainCol, bodyCol, agent)
+      .write.mode("overwrite").parquet(s"$policyDir/rules/batch_id=$id")
+    graft.operators.Robots.crawlDelays(batch, domainCol, bodyCol, agent)
+      .write.mode("overwrite").parquet(s"$policyDir/delays/batch_id=$id")
+    batch.select(col(domainCol).as("domain")).distinct()
+      .write.mode("overwrite").parquet(s"$policyDir/fetched/batch_id=$id")
+  }
+
+  /** Latest-fetch-wins view over a [[robotsPolicyDropWrite]] artifact:
+    * `(rules, delays)` where each domain carries exactly the rule set
+    * and delay of its most recent robots fetch. Domain-bounded frames
+    * (one row per rule of the LIVE policy), broadcastable into
+    * [[graft.operators.Robots.robotsGate]] / `frontierPlan`.
+    */
+  def currentRobotsPolicy(spark: SparkSession,
+                          policyDir: String): (DataFrame, DataFrame) = {
+    val latest = spark.read.parquet(s"$policyDir/fetched")
+      .groupBy(col("domain")).agg(max(col("batch_id")).as("batch_id"))
+    val rules = spark.read.parquet(s"$policyDir/rules")
+      .join(latest, Seq("domain", "batch_id"))
+      .drop("batch_id")
+    val delays = spark.read.parquet(s"$policyDir/delays")
+      .join(latest, Seq("domain", "batch_id"))
+      .drop("batch_id")
+    (rules, delays)
+  }
+
+  /** One URL drop gated against the LIVE robots policy: `allowed` per
+    * RFC 9309 longest-match precedence, plus the domain's current
+    * `crawl_delay` (null when undeclared) for the frontier scheduler.
+    * The shared per-drop body of [[robotsGateStream]] and its batch
+    * twin — identical code path, so stream == batch is testable.
+    */
+  def robotsGateDrop(urls: DataFrame, urlCol: String,
+                     policyDir: String): DataFrame = {
+    val (rules, delays) = currentRobotsPolicy(urls.sparkSession, policyDir)
+    graft.operators.Robots.robotsGate(urls, urlCol, rules)
+      .withColumn("domain",
+        graft.functions.Urls.registeredDomain(col(urlCol)))
+      .join(broadcast(delays), Seq("domain"), "left")
+  }
+
+  /** Streaming face: URL drops arriving in `urlStream` gate against
+    * whatever robots policy is live WHEN THE DROP ARRIVES (arriving
+    * robots fetches update the policy between drops via
+    * [[robotsPolicyDropWrite]]); gated drops land under
+    * `outDir/batch_id=<id>`, idempotently.
+    */
+  def robotsGateStream(urlStream: DataFrame, urlCol: String,
+                       policyDir: String, outDir: String,
+                       checkpointDir: String): Unit = {
+    val q: StreamingQuery = urlStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        robotsGateDrop(b, urlCol, policyDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The shared stage chain over a WARC record frame (streaming or
     * batch — identical code path, which is what makes the stream==batch
     * shard contract testable). `doc_id` derives from the `/doc/<n>`

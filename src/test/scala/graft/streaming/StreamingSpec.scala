@@ -1082,6 +1082,81 @@ class StreamingSpec extends AnyFunSuite {
       s"binary stream (${stream.size} tokens) != packed reference (${expected.size})")
   }
 
+  test("streaming robots policy: drop-2 refetch re-gates subsequent URLs; stream == batch on the union") {
+    import spark.implicits._
+    val policy = java.nio.file.Files.createTempDirectory("rob_policy").toString
+    val urlDir = java.nio.file.Files.createTempDirectory("rob_urls").toString
+    val out = java.nio.file.Files.createTempDirectory("rob_out").toString + "/gated"
+    val ckpt = java.nio.file.Files.createTempDirectory("rob_ckpt").toString
+
+    // robots drop 1: a.com blocks /private, declares a delay; b.com blocks all
+    Streams.robotsPolicyDropWrite(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("domain", "body"), 0L, policy)
+
+    val urls1 = Seq(
+      (1L, "https://a.com/public/x"), (2L, "https://a.com/private/y"),
+      (3L, "https://b.com/anything"), (4L, "https://c.com/no-robots"))
+      .toDF("url_id", "url")
+    val urls2 = Seq(
+      (11L, "https://a.com/private/z"),   // a.com POLICY CHANGED below
+      (12L, "https://a.com/docs/now-blocked"),
+      (13L, "https://b.com/reopened"))
+      .toDF("url_id", "url")
+    val schema = urls1.schema
+
+    urls1.coalesce(1).write.parquet(s"$urlDir/d1")
+    def drain(): Unit = Streams.robotsGateStream(
+      spark.readStream.schema(schema).parquet(s"$urlDir/d*/"),
+      "url", policy, out, ckpt)
+    drain()
+
+    // robots drop 2: a.com SWAPS its disallow (/private opens, /docs
+    // closes) and drops the delay; b.com's refetch yields NO rules — the
+    // fetched-table contract must supersede, not keep, its old block
+    Streams.robotsPolicyDropWrite(Seq(
+      ("a.com", "User-agent: *\nDisallow: /docs\n"),
+      ("b.com", "User-agent: *\n")
+    ).toDF("domain", "body"), 1L, policy)
+    urls2.coalesce(1).write.parquet(s"$urlDir/d2")
+    drain()
+
+    val gated = spark.read.parquet(out)
+      .select(col("url_id"), col("allowed"), col("crawl_delay"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)).map(_.toString.toDouble)))).toMap
+    // drop 1 gated under policy@0
+    assert(gated(1L) == ((true, Some(2.0))), s"got ${gated(1L)}")
+    assert(gated(2L)._1 == false, "a.com/private blocked under policy@0")
+    assert(gated(3L)._1 == false, "b.com blocked under policy@0")
+    assert(gated(4L) == ((true, None)), "no robots -> allowed, no delay")
+    // drop 2 re-gated under the CHANGED policy
+    assert(gated(11L)._1 == true, "/private reopened by the refetch")
+    assert(gated(12L)._1 == false, "/docs newly blocked by the refetch")
+    assert(gated(11L)._2.isEmpty, "delay dropped by the refetch")
+    assert(gated(13L)._1 == true, "b.com's empty refetch must supersede the old block")
+
+    // stream == batch: the per-drop batch twin over the same policy
+    // sequence produces the identical union
+    val batch1 = {
+      // rebuild policy@0 view by gating BEFORE drop 2 existed — replay
+      // against a fresh policy dir holding only drop 0
+      val p0 = java.nio.file.Files.createTempDirectory("rob_p0").toString
+      Streams.robotsPolicyDropWrite(Seq(
+        ("a.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        ("b.com", "User-agent: *\nDisallow: /\n")
+      ).toDF("domain", "body"), 0L, p0)
+      Streams.robotsGateDrop(urls1, "url", p0)
+    }
+    val batch2 = Streams.robotsGateDrop(urls2, "url", policy)
+    val batchMap = batch1.unionByName(batch2)
+      .select(col("url_id"), col("allowed"), col("crawl_delay"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)).map(_.toString.toDouble)))).toMap
+    assert(batchMap == gated, "stream and batch twins must agree on the union")
+  }
+
   test("ANN-tag streaming face: per-drop IVF-PQ probe against the persisted index == one batch pass, no refit") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
       .select("vec_id", "embedding")
