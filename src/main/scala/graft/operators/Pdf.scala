@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   * failure yields `has_text = false` with empty text — never an
   * exception out of the operator.
   *
-  * Out of scope (returns has_text=false or skips the stream): xref
-  * STREAMS / object streams (PDF 1.5 compaction), encryption, CID/Type0
-  * font re-mapping (bytes are taken as Latin-1, exact for the standard
-  * fonts our fixtures and most western text PDFs use).
+  *   - PDF 1.5 compaction: xref STREAMS (/W field rows, /Index
+  *     subsections, the PNG Up/Sub/Average/Paeth predictors
+  *     /DecodeParms declares) and OBJECT streams (/ObjStm header pairs,
+  *     type-2 entries) — the layout most PDFs written this century use.
+  *
+  * Out of scope (returns has_text=false or skips the stream):
+  * encryption, CID/Type0 font re-mapping (bytes are taken as Latin-1,
+  * exact for the standard fonts our fixtures and most western text
+  * PDFs use).
   *
   * Scale shape: one `mapPartitions` codec pass per row, like every
   * multimodal decoder here — no page-sized regex, no driver involvement.
@@ -244,8 +249,16 @@ object Pdf {
 
   // ------------------------------------------------------------- document
 
+  /** Cross-reference entry: a byte offset, or a slot in an object
+    * stream (PDF 1.5 compressed objects). */
+  private sealed trait XEntry
+  private final case class Direct(off: Long) extends XEntry
+  private final case class InStream(objstm: Int, idx: Int) extends XEntry
+
   private final class Doc(bytes: Array[Byte]) {
-    private val xref: Map[Int, Long] = {
+    private var rootNum: Int = -1
+
+    private val xref: Map[Int, XEntry] = {
       val tail = new String(bytes,
         math.max(0, bytes.length - 256), math.min(256, bytes.length),
         "ISO-8859-1")
@@ -254,66 +267,169 @@ object Pdf {
       val after = tail.substring(sx + "startxref".length).trim
       val off = after.takeWhile(_.isDigit)
       require(off.nonEmpty, "bad startxref offset")
-      val seen = scala.collection.mutable.Map[Int, Long]()
+      val seen = scala.collection.mutable.Map[Int, XEntry]()
       var next = off.toLong
       var guard = 0
       while (next >= 0 && guard < 64) {
         guard += 1
         val r = new Reader(bytes); r.p = next.toInt
-        r.expect("xref")
         r.skipWs()
-        // subsections until "trailer"
-        var go = true
-        while (go) {
-          val save = r.p
-          val t = r.token()
-          if (t == "trailer") { go = false; r.p = save }
-          else {
-            val start = t.toInt
-            val count = r.token().toInt
-            r.skipWs()
-            for (i <- 0 until count) {
-              // 20-byte entries: 10-digit offset, 5-digit gen, f/n
-              val entry = new String(bytes, r.p, 20, "ISO-8859-1")
-              if (entry.charAt(17) == 'n' && !seen.contains(start + i))
-                seen(start + i) = entry.substring(0, 10).toLong
-              r.p += 20
+        val save = r.p
+        val first = r.token()
+        if (first == "xref") {
+          // CLASSIC table: subsections until "trailer"
+          r.skipWs()
+          var go = true
+          while (go) {
+            val s2 = r.p
+            val t = r.token()
+            if (t == "trailer") { go = false; r.p = s2 }
+            else {
+              val start = t.toInt
+              val count = r.token().toInt
+              r.skipWs()
+              for (i <- 0 until count) {
+                // 20-byte entries: 10-digit offset, 5-digit gen, f/n
+                val entry = new String(bytes, r.p, 20, "ISO-8859-1")
+                if (entry.charAt(17) == 'n' && !seen.contains(start + i))
+                  seen(start + i) = Direct(entry.substring(0, 10).toLong)
+                r.p += 20
+              }
             }
           }
-        }
-        r.expect("trailer")
-        val tr = r.obj(_ => None).asInstanceOf[PDict]
-        if (!seen.contains(-1)) tr.v.get("Root").foreach {
-          case PRef(n, _) => seen(-1) = n.toLong // stash root obj num
-          case _ => ()
-        }
-        next = tr.v.get("Prev") match {
-          case Some(PNum(v)) => v.toLong
-          case _ => -1L
+          r.expect("trailer")
+          val tr = r.obj(_ => None).asInstanceOf[PDict]
+          if (rootNum < 0) tr.v.get("Root").foreach {
+            case PRef(n, _) => rootNum = n
+            case _ => ()
+          }
+          next = tr.v.get("Prev") match {
+            case Some(PNum(v)) => v.toLong
+            case _ => -1L
+          }
+        } else {
+          // XREF STREAM (PDF 1.5): "num gen obj << /Type /XRef ... >> stream"
+          r.p = save
+          r.token(); r.token(); r.expect("obj")
+          val st = r.obj(_ => None) match {
+            case s: PStream => s
+            case other => throw new IllegalArgumentException(
+              s"xref stream expected, got ${other.getClass.getSimpleName}")
+          }
+          val d = st.dict.v
+          val data = decodeStream(st)
+          val w = d("W") match {
+            case PArr(ws) => ws.map { case PNum(x) => x.toInt
+              case _ => throw new IllegalArgumentException("bad /W") }
+            case _ => throw new IllegalArgumentException("bad /W")
+          }
+          require(w.size == 3, s"xref stream /W must have 3 fields")
+          val size = d("Size") match { case PNum(x) => x.toInt
+            case _ => throw new IllegalArgumentException("bad /Size") }
+          val index: Seq[(Int, Int)] = d.get("Index") match {
+            case Some(PArr(it)) => it.grouped(2).map {
+              case Vector(PNum(a), PNum(b)) => (a.toInt, b.toInt)
+              case _ => throw new IllegalArgumentException("bad /Index")
+            }.toSeq
+            case _ => Seq((0, size))
+          }
+          val rowLen = w.sum
+          var pos = 0
+          def field(at: Int, width: Int, default: Long): Long = {
+            if (width == 0) return default
+            var v = 0L
+            var i = 0
+            while (i < width) { v = (v << 8) | (data(at + i) & 0xffL); i += 1 }
+            v
+          }
+          for ((start, count) <- index; i <- 0 until count) {
+            require(pos + rowLen <= data.length, "xref stream truncated")
+            val f1 = field(pos, w(0), 1L) // type defaults to 1 when w1=0
+            val f2 = field(pos + w(0), w(1), 0L)
+            val f3 = field(pos + w(0) + w(1), w(2), 0L)
+            val objNum = start + i
+            if (!seen.contains(objNum)) f1 match {
+              case 1L => seen(objNum) = Direct(f2)
+              case 2L => seen(objNum) = InStream(f2.toInt, f3.toInt)
+              case _ => () // 0 = free
+            }
+            pos += rowLen
+          }
+          if (rootNum < 0) d.get("Root").foreach {
+            case PRef(n, _) => rootNum = n
+            case _ => ()
+          }
+          next = d.get("Prev") match {
+            case Some(PNum(v)) => v.toLong
+            case _ => -1L
+          }
         }
       }
       seen.toMap
     }
 
     private val cache = scala.collection.mutable.Map[Int, Obj]()
+    private val objStms = scala.collection.mutable.Map[Int, Map[Int, Obj]]()
 
-    def objAt(num: Int): Obj = cache.getOrElseUpdate(num, {
-      val off = xref.getOrElse(num,
-        throw new IllegalArgumentException(s"missing object $num"))
-      val r = new Reader(bytes); r.p = off.toInt
-      r.token(); r.token() // "num gen"
-      r.expect("obj")
-      r.obj {
-        case PRef(n, _) => Some(resolve(objAt(n)))
+    def objAt(num: Int): Obj = cache.get(num) match {
+      case Some(o) => o
+      case None =>
+        val o = xref.get(num) match {
+          case Some(Direct(off)) =>
+            val r = new Reader(bytes); r.p = off.toInt
+            r.token(); r.token() // "num gen"
+            r.expect("obj")
+            r.obj {
+              case PRef(n, _) => Some(resolve(objAt(n)))
+            }
+          case Some(InStream(sn, idx)) =>
+            objStmObjects(sn).getOrElse(num,
+              throw new IllegalArgumentException(
+                s"object $num not in object stream $sn (slot $idx)"))
+          case None =>
+            throw new IllegalArgumentException(s"missing object $num")
+        }
+        cache(num) = o
+        o
+    }
+
+    /** Parse an object stream once: decoded payload = N (objnum, offset)
+      * header pairs, then the objects themselves at /First + offset. */
+    private def objStmObjects(stmNum: Int): Map[Int, Obj] =
+      objStms.get(stmNum) match {
+        case Some(m) => m
+        case None =>
+          val st = resolve(objAt(stmNum)) match {
+            case s: PStream => s
+            case other => throw new IllegalArgumentException(
+              s"object stream $stmNum is ${other.getClass.getSimpleName}")
+          }
+          val data = decodeStream(st)
+          val n = st.dict.v("N") match { case PNum(x) => x.toInt
+            case _ => throw new IllegalArgumentException("ObjStm without /N") }
+          val firstOff = st.dict.v("First") match { case PNum(x) => x.toInt
+            case _ => throw new IllegalArgumentException("ObjStm without /First") }
+          val hr = new Reader(data)
+          val pairs = (0 until n).map { _ =>
+            (hr.token().toInt, hr.token().toInt)
+          }
+          val m = pairs.map { case (objNum, off) =>
+            val or = new Reader(data); or.p = firstOff + off
+            objNum -> or.obj(_ => None)
+          }.toMap
+          objStms(stmNum) = m
+          m
       }
-    })
 
     def resolve(o: Obj): Obj = o match {
       case PRef(n, _) => resolve(objAt(n))
       case other => other
     }
 
-    def root: PDict = resolve(objAt(xref(-1).toInt)).asInstanceOf[PDict]
+    def root: PDict = {
+      require(rootNum >= 0, "no /Root in any trailer")
+      resolve(objAt(rootNum)).asInstanceOf[PDict]
+    }
 
     /** Page objects in tree order. */
     def pages: Vector[PDict] = {
@@ -345,17 +461,90 @@ object Pdf {
         })
         case _ => Vector()
       }
-      streams.iterator.map(decode).reduceOption(_ ++ _)
+      streams.iterator.map(decodeStream).reduceOption(_ ++ _)
         .getOrElse(Array.emptyByteArray)
     }
 
-    private def decode(s: PStream): Array[Byte] =
-      resolve(s.dict.v.getOrElse("Filter", PNull)) match {
-        case PNull => s.raw
-        case PName("FlateDecode") => inflate(s.raw)
-        case PArr(Vector(PName("FlateDecode"))) => inflate(s.raw)
-        case _ => Array.emptyByteArray // unsupported filter: skip stream
+  }
+
+  /** Stream decode: plain or FlateDecode, then the /DecodeParms PNG
+    * predictor when declared (xref streams ship with Predictor 12 "Up"
+    * almost universally; the unfilter below handles all five PNG row
+    * filters at any bpp). Filter/DecodeParms are matched as DIRECT
+    * values — the spec requires direct entries for xref streams, and
+    * indirection there is vanishingly rare elsewhere; an unsupported
+    * shape yields an empty payload (the stream is skipped, the document
+    * walk stays total). */
+  private def decodeStream(s: PStream): Array[Byte] = {
+    val raw = s.dict.v.getOrElse("Filter", PNull) match {
+      case PNull => s.raw
+      case PName("FlateDecode") => inflate(s.raw)
+      case PArr(Vector(PName("FlateDecode"))) => inflate(s.raw)
+      case _ => Array.emptyByteArray // unsupported filter: skip stream
+    }
+    s.dict.v.get("DecodeParms").orElse(s.dict.v.get("DP")) match {
+      case Some(PDict(p)) => applyPredictor(raw, p)
+      case _ => raw
+    }
+  }
+
+  /** PNG row-filter inversion (predictors 10-15; RFC 2083 filters
+    * None/Sub/Up/Average/Paeth), the form /DecodeParms declares. */
+  private def applyPredictor(data: Array[Byte],
+                             parms: Map[String, Obj]): Array[Byte] = {
+    val pred = parms.get("Predictor") match {
+      case Some(PNum(x)) => x.toInt; case _ => 1
+    }
+    if (pred < 2) return data
+    require(pred >= 10 && pred <= 15, s"unsupported predictor $pred")
+    val columns = parms.get("Columns") match {
+      case Some(PNum(x)) => x.toInt; case _ => 1
+    }
+    val colors = parms.get("Colors") match {
+      case Some(PNum(x)) => x.toInt; case _ => 1
+    }
+    val bpc = parms.get("BitsPerComponent") match {
+      case Some(PNum(x)) => x.toInt; case _ => 8
+    }
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    require(rowLen >= 1, "bad predictor columns")
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    val prior = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val rawB = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            rawB + (if (pa <= pb && pa <= pc) left
+                    else if (pb <= pc) up else ul)
+          case other =>
+            throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
       }
+      System.arraycopy(out, dst, prior, 0, rowLen)
+      r += 1
+    }
+    out
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
@@ -441,6 +630,37 @@ object Pdf {
       case _: Throwable => PdfText(id, has_text = false, 0, 0, "")
     }
 
+  /** [[extractText]] as a binary->struct Catalyst expression, so the
+    * crawl curation chain can branch on content type in ONE projection
+    * (the [[graft.expressions.ExifStrip]] shape — CodegenFallback, the
+    * work is the parse). */
+  case class PdfTextExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = StructType(Seq(
+      StructField("has_text", BooleanType, nullable = false),
+      StructField("n_pages", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_pdf_text"
+    override def nullSafeEval(input: Any): Any = {
+      val t = extractText(0L, input.asInstanceOf[Array[Byte]])
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t.has_text, t.n_pages,
+          org.apache.spark.unsafe.types.UTF8String.fromString(t.text)))
+    }
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): PdfTextExpr =
+      copy(child = newChild)
+  }
+
+  object PdfTextExpr {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def apply(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(PdfTextExpr(ColumnBridge.expression(bin)))
+  }
+
   /** Batch face: one decode pass per row ([[Exif.decodeExifBatch]]'s
     * shape). Output: (id, has_text, n_pages, n_chars, text). */
   def extractTextBatch(df: DataFrame, idCol: String,
@@ -512,6 +732,118 @@ object Pdf {
     w(s"xref\n0 $n\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The PDF 1.5 twin of [[buildPdf]]: every dictionary object (catalog,
+    * pages, font, page dicts) lives COMPRESSED inside one object stream,
+    * and the cross-reference ships as an xref STREAM with type-2 entries
+    * and the PNG Up predictor — the modern compact layout, written here
+    * so the extractor's 1.5 path is exercised by real structures, not
+    * hand-mocked ones. Same text contract as [[buildPdf]].
+    */
+  def buildPdf15(pages: Seq[Seq[String]], compress: Boolean): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val nPages = pages.size
+    // numbering: 1 catalog, 2 pages, 3 font, 4+2i page, 5+2i content,
+    // S = objstm, X = xref stream
+    val sNum = 4 + 2 * nPages
+    val xNum = sNum + 1
+    val direct = scala.collection.mutable.Map[Int, Long]() // obj -> offset
+    w("%PDF-1.5\n")
+    // content streams stay direct objects (streams cannot live in an
+    // ObjStm per spec)
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val content = ("BT /F1 12 Tf 72 720 Td " +
+        lines.map(l => s"(${esc(l)}) Tj").mkString(" 0 -14 Td ") +
+        " ET").getBytes("ISO-8859-1")
+      val payload = if (compress) deflate(content) else content
+      direct(5 + 2 * i) = out.size().toLong
+      w(s"${5 + 2 * i} 0 obj\n<< /Length ${payload.length}" +
+        (if (compress) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    // object stream holding every dict
+    val dictOf: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Count $nPages /Kids [" +
+          (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ") +
+          "] >>"),
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until nPages).map(i => (4 + 2 * i) ->
+        (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents ${5 + 2 * i} 0 R >>"))
+    val body = new StringBuilder
+    val slots = dictOf.zipWithIndex.map { case ((num, d), slot) =>
+      val off = body.length
+      body.append(d).append(' ')
+      (num, slot, off)
+    }
+    val header = slots.map { case (num, _, off) => s"$num $off" }
+      .mkString("", " ", " ")
+    val stmPayload = deflate(
+      (header + body.toString).getBytes("ISO-8859-1"))
+    direct(sNum) = out.size().toLong
+    w(s"$sNum 0 obj\n<< /Type /ObjStm /N ${dictOf.size} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${stmPayload.length} >>\nstream\n")
+    out.write(stmPayload)
+    w("\nendstream\nendobj\n")
+    // xref stream: W [1 2 2], rows for objects 0..xNum, PNG Up predictor
+    val size = xNum + 1
+    val rowLen = 5
+    val raw = new Array[Byte](size * rowLen)
+    def putRow(obj: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = obj * rowLen
+      raw(o) = t.toByte
+      raw(o + 1) = ((f2 >> 8) & 0xff).toByte
+      raw(o + 2) = (f2 & 0xff).toByte
+      raw(o + 3) = ((f3 >> 8) & 0xff).toByte
+      raw(o + 4) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff)
+    slots.foreach { case (num, slot, _) => putRow(num, 2, sNum.toLong, slot) }
+    val xOff = out.size().toLong
+    direct(xNum) = xOff
+    direct.foreach { case (num, off) =>
+      require(off <= 0xffff,
+        s"buildPdf15 fixture writer: offset $off exceeds the 2-byte /W field")
+      if (num != 0) putRow(num, 1, off, 0)
+    }
+    // PNG Up filter (predictor 12): each row stores raw - prior
+    val filtered = new Array[Byte](size * (rowLen + 1))
+    for (r <- 0 until size) {
+      filtered(r * (rowLen + 1)) = 2 // Up
+      for (i <- 0 until rowLen) {
+        val cur = raw(r * rowLen + i) & 0xff
+        val up = if (r > 0) raw((r - 1) * rowLen + i) & 0xff else 0
+        filtered(r * (rowLen + 1) + 1 + i) = ((cur - up) & 0xff).toByte
+      }
+    }
+    val xPayload = deflate(filtered)
+    w(s"$xNum 0 obj\n<< /Type /XRef /Size $size /W [1 2 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xPayload.length} >>\nstream\n")
+    out.write(xPayload)
+    w(s"\nendstream\nendobj\nstartxref\n$xOff\n%%EOF\n")
     out.toByteArray
   }
 }

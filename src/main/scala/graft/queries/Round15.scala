@@ -299,7 +299,13 @@ object Round15 {
         .map { id =>
           val pages = (0 until (1 + (id % 2)).toInt).map(p =>
             (0 until 2).map(l => s"d$id p$p l$l (esc\\) ok"))
-          val pdf = graft.operators.Pdf.buildPdf(pages, compress = id % 2 == 0)
+          // id % 3 == 1 rows ship the PDF 1.5 compact layout (xref
+          // stream + object stream) — same text contract, so ONE
+          // formula oracle gates both file generations
+          val pdf =
+            if (id % 3 == 1)
+              graft.operators.Pdf.buildPdf15(pages, compress = id % 2 == 0)
+            else graft.operators.Pdf.buildPdf(pages, compress = id % 2 == 0)
           (id, if (id % 7 == 0) pdf.take(40) else pdf)
         }.toDF("doc_id", "data")
       graft.operators.Pdf.extractTextBatch(rows, "doc_id", "data").toDF()

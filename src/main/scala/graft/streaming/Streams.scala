@@ -989,9 +989,11 @@ object Streams {
     val idFromUri = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
     val gated = records
       .filter(col("warc_type") === "response" &&
-        col("content_type") === "text/html")
+        (col("content_type") === "text/html" ||
+          col("content_type") === "application/pdf"))
       .select(
         col("target_uri"),
+        (col("content_type") === "application/pdf").as("__is_pdf"),
         // event time for the watermark-bounded dedup: the record's
         // WARC-Date (MANDATORY per ISO 28500). No wall-clock fallback: a
         // dateless record stamped with processing time would LEAD the
@@ -1019,15 +1021,26 @@ object Streams {
       // charset-AWARE decode: a windows-1252 page decodes through its
       // declared charset here instead of arriving as mojibake (the
       // fixMojibake stage below still repairs double-encoded UTF-8)
-      .withColumn("html", col("__http.text"))
+      // PDF responses take the public-spec extractor over the VERBATIM
+      // body bytes (charset decode would corrupt them); HTML takes the
+      // charset-decoded text into boilerplate removal + mojibake repair.
+      // Both land in the same `text` column, so every later stage
+      // (redaction, quality, langid, dedup, packing) is format-blind —
+      // PDF as a curation SOURCE stage, not a separate pipeline.
+      .withColumn("__pdf", when(col("__is_pdf"),
+        graft.operators.Pdf.PdfTextExpr(col("__http.body"))))
+      .withColumn("html", when(!col("__is_pdf"), col("__http.text")))
       .drop("__http", "__status")
       .withColumn("doc_id",
         coalesce(when(length(idFromUri) > 0, idFromUri.cast("long")),
           xxhash64(col("canon_url"))))
-      .withColumn("__mc", Text.extractMainContent(col("html")))
-      .filter(col("__mc.n_kept") > 0)
-      .withColumn("text", Text.fixMojibake(col("__mc.content")))
-      .drop("__mc", "html")
+      .withColumn("__mc", when(!col("__is_pdf"),
+        Text.extractMainContent(col("html"))))
+      .filter(when(col("__is_pdf"), col("__pdf.has_text"))
+        .otherwise(col("__mc.n_kept") > 0))
+      .withColumn("text", when(col("__is_pdf"), col("__pdf.text"))
+        .otherwise(Text.fixMojibake(col("__mc.content"))))
+      .drop("__mc", "html", "__pdf", "__is_pdf")
       .withColumn("text", Text.redactSecrets(
         Text.redactPiiBanking(col("text"))))
       .withColumn("quality", Text.qualityScore(col("text")))

@@ -75,5 +75,11 @@ class ExifSpec extends AnyFunSuite {
     // scrubbed frame re-decodes with zero EXIF everywhere
     val after = Exif.decodeExifBatch(scrubbed, "id", "data").collect()
     assert(after.forall(!_.has_exif))
+    // scale contract: the scrub is ONE projection — no join, no shuffle
+    // ever carries the image bytes (the first cut joined a mapPartitions
+    // result back on id)
+    val plan = scrubbed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.toLowerCase.contains("join"),
+      s"stripExifBatch must stay shuffle/join-free:\n$plan")
   }
 }

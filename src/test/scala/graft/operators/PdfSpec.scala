@@ -55,6 +55,24 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF 1.5: xref stream (PNG Up predictor) + object stream == the classic layout") {
+    val pages = Seq(
+      Seq("compact layout line one", "line two (parens)"),
+      Seq("second page back\\slash"))
+    for (compress <- Seq(false, true)) {
+      val classic = Pdf.extractText(1L, Pdf.buildPdf(pages, compress))
+      val modern = Pdf.extractText(1L, Pdf.buildPdf15(pages, compress))
+      assert(new String(Pdf.buildPdf15(pages, compress).take(8), "ISO-8859-1")
+        .startsWith("%PDF-1.5"))
+      assert(modern.has_text && modern.n_pages == 2)
+      assert(modern.text == classic.text, s"compress=$compress")
+    }
+    // corrupt 1.5 files stay total too
+    val good = Pdf.buildPdf15(pages, compress = true)
+    for (bad <- Seq(good.take(60), good.take(good.length - 9)))
+      assert(!Pdf.extractText(9L, bad.toArray).has_text)
+  }
+
   test("content array and /Prev xref chain both resolve") {
     // splice a second xref section that Prev-chains to the first: the
     // walk must take the LATEST table's entries and still find the root

@@ -1082,6 +1082,48 @@ class StreamingSpec extends AnyFunSuite {
       s"binary stream (${stream.size} tokens) != packed reference (${expected.size})")
   }
 
+  test("PDF responses flow through the curation chain as a source stage") {
+    val crawlDir = java.nio.file.Files.createTempDirectory("crawl_pdf")
+    val pdfLines = Seq(
+      "This report describes the quarterly crawling infrastructure in",
+      "plain readable English prose with enough ordinary words that the",
+      "quality and language gates accept the document without question.")
+    val pdfBytes = graft.operators.Pdf.buildPdf(Seq(pdfLines), compress = true)
+    val badPdf = pdfBytes.take(60) // corrupt: must drop, not throw
+    val recs = (
+      graft.sources.Warc.writeRecord("response",
+        "https://crawl.example.com/doc/1", "2026-03-01T10:00:00Z",
+        "text/html", crawlPage("An ordinary web page with regular text")
+          .getBytes("UTF-8")) ++
+      graft.sources.Warc.writeRecord("response",
+        "https://crawl.example.com/doc/2", "2026-03-01T10:00:00Z",
+        "application/pdf", pdfBytes) ++
+      graft.sources.Warc.writeRecord("response",
+        "https://crawl.example.com/doc/3", "2026-03-01T10:00:00Z",
+        "application/pdf", badPdf) ++
+      graft.sources.Warc.writeRecord("response",
+        "https://crawl.example.com/doc/4", "2026-03-01T10:00:00Z",
+        "image/png", Array[Byte](1, 2, 3))) // non-text type: filtered
+    val f = new java.io.FileOutputStream(
+      new java.io.File(crawlDir.toFile, "p.warc"))
+    f.write(recs); f.close()
+    val merges = {
+      import spark.implicits._
+      graft.functions.Bpe.learnMergesBytes(
+        Seq("the quality and language gates accept ordinary text")
+          .toDF("text"), "text", 8)
+    }
+    val curated = Streams.curateCrawl(
+      graft.sources.Warc.readWarcDir(spark, crawlDir.toString),
+      merges, 0.35, Seq("en"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curated.keySet == Set(1L, 2L),
+      s"html + good pdf pass; corrupt pdf and binary types drop: ${curated.keySet}")
+    assert(curated(2L) == pdfLines.mkString("\n"),
+      "the PDF body must be the extracted text, not mojibake or envelope bytes")
+  }
+
   test("streaming robots policy: drop-2 refetch re-gates subsequent URLs; stream == batch on the union") {
     import spark.implicits._
     val policy = java.nio.file.Files.createTempDirectory("rob_policy").toString
