@@ -663,6 +663,21 @@ object Scoring {
       case other => throw new IllegalArgumentException(
         s"ccnetBuckets: lm must be kn2..kn8, got '$other'")
     }
+    ccnetTerciles(scored, idCol)
+  }
+
+  /** [[ccnetBuckets]] against a FROZEN [[knTrain]] model — the published
+    * CCNet pipeline verbatim: bucket every shard of a crawl with ONE
+    * pre-trained KenLM, never refitting per corpus. Same tercile
+    * machinery, [[knScore]] as the scorer. */
+  def ccnetBucketsFrozen(df: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, order: Int = 5): DataFrame =
+    ccnetTerciles(knScore(df, idCol, textCol, model, order), idCol)
+
+  /** The tercile cut shared by the refit and frozen-model faces: global
+    * order via distributed prefix sums, integer edges against one
+    * broadcast scalar, 6dp-rounded sort key + id tiebreak. */
+  private def ccnetTerciles(scored: DataFrame, idCol: String): DataFrame = {
     // the scored frame is consumed three times downstream (cumcount's
     // range partitioner + offset frame, plus the tercile-count
     // broadcast) — persist the tiny (id, ppl) projection so the LM does

@@ -252,6 +252,18 @@ object Shards {
         }
       }
 
+  /** Loader-shaped epoch iteration over a shard artifact: every indexed
+    * block in the epoch's deterministic shuffled order
+    * ([[Packing.blockOrder]]'s replayable permutation — different every
+    * epoch, identical on every replay of the same epoch). The last meter
+    * of the loader contract: read_order drives the fetch sequence, the
+    * ids are the mmap-equivalent payload.
+    */
+  def epochBlocks(spark: SparkSession, outDir: String,
+                  epoch: Int): DataFrame =
+    Packing.blockOrder(readShardBlocks(spark, outDir), epoch)
+      .select(col("read_order"), col("block"), col("ids"))
+
   /** Distributed reader — the round-trip gate's other half and the
     * loader-shaped access path: parse every indexed `.bin` back to
     * `(block, ids)` rows. Each index row is one task-local sequential

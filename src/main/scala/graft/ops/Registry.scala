@@ -2140,6 +2140,30 @@ final class Registry(spark: SparkSession) {
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
         lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
     },
+    "graft.ccnet_frozen" -> { a =>
+      // CCNet bucketing against a FROZEN kn_train model (frame or saved
+      // dir) — the published pipeline verbatim: score every shard with
+      // ONE pre-trained LM, never refit per corpus
+      val df = asDf(a.require("df", 0), "df")
+      val model = a.get("model", 1) match {
+        case Some(s: String) => df.sparkSession.read.parquet(s)
+        case Some(other) => asDf(other, "model")
+        case None => throw PipelineError(
+          "ccnet_frozen: needs `model` (a kn_train frame or a saved dir)")
+      }
+      graft.operators.Scoring.ccnetBucketsFrozen(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        model,
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+    },
+    "graft.epoch_blocks" -> { a =>
+      // loader-shaped epoch iteration: indexed .bin blocks in the
+      // epoch's deterministic shuffled order (read_order, block, ids)
+      graft.operators.Shards.epochBlocks(spark,
+        asStr(a.require("dir", 0), "dir"),
+        asInt(a.require("epoch", 1), "epoch"))
+    },
     "graft.kn_ngram_perplexity" -> { a =>
       // modified-KN perplexity at arbitrary order (order=5 is the KenLM/
       // CCNet production shape): raw counts + fitted discounts at the

@@ -369,6 +369,33 @@ object Round15 {
           round(COALESCE(sc.h, 0.0), 6) AS harmonic,
           TRUE AS ball_ok
         FROM nodes n LEFT JOIN sc ON sc.v = n.node
-        ORDER BY n.node"""))
+        ORDER BY n.node""")),
+
+    // CCNet bucketing against the FROZEN artifact — the published
+    // pipeline verbatim (bucket every crawl shard with ONE pre-trained
+    // KenLM): knScore's back-off walk + the q274 tercile machinery, and
+    // the oracle replays BOTH against the same parquet the Spark run
+    // wrote — still no refit anywhere.
+    Q("q310_ccnet_frozen", (s, d) => {
+      val model = ensureKnModel(s, d)
+      graft.operators.Scoring.ccnetBucketsFrozen(
+          t(s, d, "documents"), "doc_id", "text", model, order = 5)
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH m AS MATERIALIZED (
+          SELECT * FROM read_parquet('/tmp/graft_artifacts/kn5_sf0.01/*.parquet'))""" +
+      knWalkSql("") + """,
+        ppl AS MATERIALIZED (
+          SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl
+          FROM sc GROUP BY doc_id),
+        n AS (SELECT COUNT(*) AS n FROM ppl),
+        pos AS (SELECT doc_id, ppl,
+                  row_number() OVER (ORDER BY ppl, doc_id) - 1 AS pos
+                FROM ppl)
+        SELECT doc_id, ppl,
+          CASE WHEN pos * 3 < n.n THEN 'head'
+               WHEN pos * 3 < n.n * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM pos, n ORDER BY doc_id"""))
   )
 }

@@ -126,6 +126,15 @@ class KnModelSpec extends AnyFunSuite {
     assert(out(7L) == floor)
   }
 
+  test("ccnetBucketsFrozen on training text == the refit ccnetBuckets") {
+    val model = Scoring.knTrain(docs, "doc_id", "text", order = 5)
+    val frozen = Scoring.ccnetBucketsFrozen(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val refit = Scoring.ccnetBuckets(docs, "doc_id", "text", lm = "kn5")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(frozen == refit && frozen.nonEmpty)
+  }
+
   test("model artifact invariants: unique (level, gram); top level lp-only; floor row present") {
     val model = Scoring.knTrain(docs, "doc_id", "text", order = 3)
     val n = model.count()

@@ -91,6 +91,23 @@ class ShardsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("epochBlocks: reproducible per-epoch permutations, content untouched") {
+    val docs = (1L to 12L).map(i => (i, idsOf(i, 9)))
+    val dir = java.nio.file.Files.createTempDirectory("shards_ep_").toString
+    Shards.packWriteShards(docs.toDF("doc_id", "ids"), "doc_id", "ids",
+      16L, dir, eosId = eosId, blocksPerFile = 3)
+    def epoch(e: Int) = Shards.epochBlocks(spark, dir, e)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getSeq[Int](2)))
+    val e0 = epoch(0); val e1 = epoch(1)
+    assert(e0.toMap == e1.toMap, "payloads must be identical across epochs")
+    assert(e0.map(_._1).toSeq != e1.map(_._1).toSeq,
+      "different epochs must visit blocks in different orders")
+    assert(epoch(0).map(_._1).toSeq == e0.map(_._1).toSeq,
+      "replaying an epoch must reproduce its exact order")
+    assert(e0.map(_._1).sorted.toSeq == e0.map(_._1).toSeq.sorted)
+  }
+
   test("blockTokens drops zero-length spans and fills EOS positions") {
     val df = Seq((1L, Seq.empty[Int]), (2L, Seq(9, 9, 9))).toDF("doc_id", "ids")
     // eosTokens = 0: doc 1 spans nothing and must contribute no block rows
