@@ -635,6 +635,78 @@ object Scoring {
         col("n_grams"))
   }
 
+  /** Export a [[knTrain]] artifact as ARPA text — the interchange format
+    * every published n-gram toolchain (KenLM, SRILM) reads, so a model
+    * fitted here ships to external scorers: `\data\` counts, per-level
+    * `\k-grams:` sections of `log10prob<TAB>gram[<TAB>log10bow]`, `\end\`.
+    * Conventions: the level-0 OOV floor exports as the `<unk>` unigram
+    * (the standard carrier); bow-only rows (doc-initial prefixes with no
+    * probability of their own) export with SRILM's `-99` placeholder
+    * prob. Lines are written ONE file (`coalesce(1)` text) — ARPA is a
+    * single-file format; the model is count-table-bounded, and a model
+    * too big for one file is one you'd ship binary anyway.
+    */
+  def knExportArpa(model: DataFrame, dir: String): Unit = {
+    val ln10 = math.log(10.0)
+    val counts = model.filter(col("level") >= 1)
+      .groupBy(col("level")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxLevel = counts.keys.max
+    // the <unk> row joins the 1-gram section
+    val n1 = counts.getOrElse(1, 0L) + 1L
+    val spark = model.sparkSession
+    import spark.implicits._
+    val header =
+      Seq((0, 0, "", "\\data\\")) ++
+        (1 to maxLevel).map(k =>
+          (0, k, "", s"ngram $k=${if (k == 1) n1 else counts.getOrElse(k, 0L)}")) ++
+        (1 to maxLevel).map(k => (k, 0, "", s"\\$k-grams:")) :+
+        ((maxLevel + 1, 0, "", "\\end\\"))
+    val fixed = header.toDF("__lvl", "__sub", "__gram", "line")
+    val p10 = when(col("lp").isNotNull, col("lp") / ln10).otherwise(lit(-99.0))
+    val body = model
+      .select(
+        when(col("level") === 0, 1).otherwise(col("level")).as("__lvl"),
+        lit(1).as("__sub"),
+        when(col("level") === 0, "<unk>").otherwise(col("gram")).as("__gram"),
+        concat(
+          p10.cast("string"), lit("\t"),
+          when(col("level") === 0, "<unk>").otherwise(col("gram")),
+          when(col("bow").isNotNull,
+            concat(lit("\t"), (col("bow") / ln10).cast("string")))
+            .otherwise(lit(""))).as("line"))
+    fixed.unionByName(body)
+      .orderBy(col("__lvl"), col("__sub"), col("__gram"))
+      .select(col("line"))
+      .coalesce(1)
+      .write.mode("overwrite").text(dir)
+  }
+
+  /** Parse ARPA text back to the [[knTrain]] frame shape (level, gram,
+    * lp, bow): the inverse of [[knExportArpa]] — `<unk>` returns to the
+    * level-0 floor row, `-99` placeholder probs to null lp, log10 back
+    * to ln. Parallel by construction: every data line carries its level
+    * as its gram's word count, so no section state is needed.
+    */
+  def knImportArpa(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val ln10 = math.log(10.0)
+    val lines = spark.read.text(dir)
+      .filter(col("value").contains("\t"))
+      .select(split(col("value"), "\t").as("f"))
+      .select(element_at(col("f"), 1).cast("double").as("__p10"),
+        element_at(col("f"), 2).as("__gram"),
+        when(size(col("f")) >= 3, element_at(col("f"), 3).cast("double"))
+          .otherwise(lit(null).cast("double")).as("__b10"))
+    lines.select(
+      when(col("__gram") === "<unk>", 0)
+        .otherwise(size(split(col("__gram"), " "))).as("level"),
+      when(col("__gram") === "<unk>", "").otherwise(col("__gram")).as("gram"),
+      when(col("__p10") === -99.0, lit(null).cast("double"))
+        .otherwise(col("__p10") * ln10).as("lp"),
+      (col("__b10") * ln10).as("bow"))
+  }
+
   /** CCNet perplexity bucketing: score every doc with the interpolated
     * Kneser-Ney LM, order by perplexity, and split into head/middle/tail
     * terciles (head = lowest-ppl = cleanest; CCNet trains on head+middle).

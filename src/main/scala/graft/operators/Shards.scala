@@ -73,6 +73,26 @@ object Shards {
         s => s.getField("ids"))).as("ids"))
   }
 
+  /** The session's Hadoop configuration as a broadcastable property list
+    * (SerializableConfiguration is spark-private; the entry array is the
+    * public-API equivalent) — so executor tasks open `outDir` through the
+    * SAME filesystem the driver resolves: local paths in local mode,
+    * hdfs:///object-store URIs on a real cluster. A java.io writer would
+    * scatter shards across executor-local disks at scale.
+    */
+  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  private def fsOf(uri: String, entries: Array[(String, String)])
+      : org.apache.hadoop.fs.FileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    new org.apache.hadoop.fs.Path(uri).getFileSystem(conf)
+  }
+
   /** Write `(block, ids)` rows as `.bin` files + `_index/<indexPart>`.
     * File id is `(block - fileBase) div blocksPerFile` — a deterministic
     * pure function of the block id, so a retry overwrites the same file
@@ -83,16 +103,18 @@ object Shards {
                               fileBase: Long, indexPart: String): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    val confEntries = hadoopConfEntries(spark)
+    fsOf(outDir, confEntries).mkdirs(new org.apache.hadoop.fs.Path(outDir))
     val staged = blocks
       .withColumn("__fid", expr(s"(block - ${fileBase}L) div ${blocksPerFile.toLong}L"))
       .repartition(col("__fid"))
       .sortWithinPartitions(col("__fid"), col("block"))
       .select(col("__fid"), col("block"), col("ids"))
     val index = staged.as[(Long, Long, Seq[Int])].mapPartitions { rows =>
+      val fsys = fsOf(outDir, confEntries)
       val out = scala.collection.mutable.ArrayBuffer[ShardFile]()
       var fid = Long.MinValue
-      var os: java.io.BufferedOutputStream = null
+      var os: java.io.OutputStream = null
       var first = 0L; var nBlocks = 0L; var nToks = 0L
       def close(): Unit = if (os != null) {
         os.close()
@@ -103,8 +125,9 @@ object Shards {
       rows.foreach { case (f, block, ids) =>
         if (f != fid) {
           close(); fid = f; first = block; nBlocks = 0L; nToks = 0L
-          os = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(s"$outDir/$tag-f$fid.bin"), 1 << 16)
+          os = new java.io.BufferedOutputStream(fsys.create(
+            new org.apache.hadoop.fs.Path(s"$outDir/$tag-f$fid.bin"), true),
+            1 << 16)
         }
         val bb = java.nio.ByteBuffer.allocate(ids.length * 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -272,20 +295,25 @@ object Shards {
     */
   def readShardBlocks(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
     spark.read.parquet(s"$outDir/_index")
       .select(col("file"), col("block_size"), col("first_block"),
         col("n_blocks"), col("n_tokens"))
       .as[(String, Long, Long, Long, Long)]
       .flatMap { case (file, bs, first, nBlocks, nToks) =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$outDir/$file"))
-        require(bytes.length == nToks * 4,
-          s"shard $file: ${bytes.length} bytes, index says ${nToks * 4}")
+        val fsys = fsOf(outDir, confEntries)
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$file")
+        val len = fsys.getFileStatus(p).getLen
+        require(len == nToks * 4,
+          s"shard $file: $len bytes, index says ${nToks * 4}")
+        val bytes = new Array[Byte](len.toInt)
+        val in = fsys.open(p)
+        try in.readFully(0L, bytes) finally in.close()
         val bb = java.nio.ByteBuffer.wrap(bytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         (0L until nBlocks).map { i =>
-          val len = math.min(bs, nToks - i * bs).toInt
-          (first + i, Array.fill(len)(bb.getInt()).toSeq)
+          val blen = math.min(bs, nToks - i * bs).toInt
+          (first + i, Array.fill(blen)(bb.getInt()).toSeq)
         }
       }
       .toDF("block", "ids")

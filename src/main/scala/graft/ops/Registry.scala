@@ -2140,6 +2140,19 @@ final class Registry(spark: SparkSession) {
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
         lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
     },
+    "graft.kn_export_arpa" -> { a =>
+      // ship a kn_train model as ARPA text (the KenLM/SRILM interchange
+      // format); returns the re-imported frame for inspection
+      val model = asDf(a.require("model", 0), "model")
+      val dir = asStr(a.require("dir", 1), "dir")
+      graft.operators.Scoring.knExportArpa(model, dir)
+      graft.operators.Scoring.knImportArpa(model.sparkSession, dir)
+    },
+    "graft.kn_import_arpa" -> { a =>
+      // load an ARPA text model back into the kn_score frame shape
+      graft.operators.Scoring.knImportArpa(spark,
+        asStr(a.require("dir", 0), "dir"))
+    },
     "graft.ccnet_frozen" -> { a =>
       // CCNet bucketing against a FROZEN kn_train model (frame or saved
       // dir) — the published pipeline verbatim: score every shard with

@@ -609,6 +609,23 @@ object ScaleStress {
           f"secs=${runs.map(_._2).min}%.2f runs=$arr")
         org.apache.commons.io.FileUtils.deleteQuietly(dir)
       }
+
+      // binary shard writer: token volume grows linearly with the factor;
+      // the gate is linear secs growth — block assembly is the manifest's
+      // bounded explode plus ONE block-grain stitch, and file writing is
+      // partition-parallel, so nothing here should bend super-linear
+      cell("q307_bin_shards", f, nd) {
+        val dir = s"/tmp/graft_shards_stress_f$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val toks = d.select(col("doc_id"),
+          expr("transform(filter(split(text, '\\\\s+'), t -> length(t) > 0), " +
+            "t -> cast(pmod(hash(t), 50000) as int))").as("ids"))
+        val idx = graft.operators.Shards.packWriteShards(
+          toks, "doc_id", "ids", 2048L, dir, blocksPerFile = 64)
+        val out = idx.agg(sum(col("n_tokens"))).first().getLong(0)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        out
+      }
     }
     spark.stop()
   }

@@ -135,6 +135,37 @@ class KnModelSpec extends AnyFunSuite {
     assert(frozen == refit && frozen.nonEmpty)
   }
 
+  test("ARPA export/import round-trips the model and its scores") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a rug"),
+      (3L, "a dog sat on the mat today")
+    ).toDF("doc_id", "text")
+    val model = Scoring.knTrain(train, "doc_id", "text", order = 4)
+    val dir = java.nio.file.Files.createTempDirectory("kn_arpa_").toString
+    Scoring.knExportArpa(model, dir)
+    // the file is real ARPA: one part, \data\ counts, sections, \end\
+    val txt = {
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".txt")).head
+      new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    }
+    assert(txt.startsWith("\\data\\"))
+    assert(txt.contains("\\1-grams:") && txt.contains("\\4-grams:"))
+    assert(txt.trim.endsWith("\\end\\"))
+    assert(txt.contains("<unk>"))
+    val back = Scoring.knImportArpa(spark, dir)
+    assert(back.count() == model.count())
+    // scoring held-out text through the imported model matches the
+    // original to the log10 round-trip tolerance
+    val heldOut = Seq((9L, "the dog sat on a mat")).toDF("doc_id", "text")
+    val a = Scoring.knScore(heldOut, "doc_id", "text", model, order = 4)
+      .select("kn_lp").as[Double].head()
+    val b = Scoring.knScore(heldOut, "doc_id", "text", back, order = 4)
+      .select("kn_lp").as[Double].head()
+    assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+  }
+
   test("model artifact invariants: unique (level, gram); top level lp-only; floor row present") {
     val model = Scoring.knTrain(docs, "doc_id", "text", order = 3)
     val n = model.count()
