@@ -386,6 +386,55 @@ object Prep {
         col("targets"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    * code-model data-prep op): each selected document's CHARACTER
+    * sequence splits at two deterministic cut points into
+    * (prefix, middle, suffix) and re-serializes in PSM order
+    * (`<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M`) or the SPM
+    * variant (suffix first) — the model learns infilling from the
+    * re-ordered plain stream. The paper's knobs: `rateNum/rateDen` =
+    * the FIM rate (0.9 published default), `spmNum/spmDen` = the
+    * PSM↔SPM mix (50/50 published). Selection, cut points, and mode all
+    * derive from wrap-free multiplicative hashes of the doc id — same
+    * examples on every run/partitioning/engine, so the whole construct
+    * is oracle-replayable. Unselected docs pass through (`mode='none'`).
+    * Emits (idCol, mode, fim_text); splicing P+M+S back together equals
+    * the original text for every transformed row (spec-pinned).
+    *
+    * Scale shape: one projection — three substrings and a hash per row,
+    * no shuffle, no token split.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rateNum: Int = 9, rateDen: Int = 10,
+                   spmNum: Int = 1, spmDen: Int = 2): DataFrame = {
+    require(rateDen >= 1 && rateNum >= 0 && rateNum <= rateDen,
+      s"fimTransform: need 0 <= rateNum <= rateDen, got $rateNum/$rateDen")
+    require(spmDen >= 1 && spmNum >= 0 && spmNum <= spmDen,
+      s"fimTransform: need 0 <= spmNum <= spmDen, got $spmNum/$spmDen")
+    val len = length(col(textCol)).cast("long")
+    // fold the id below 2^20 before multiplying so the 64-bit products
+    // never wrap (the spanCorrupt/blockOrder hash discipline)
+    val hid = pmod(col(idCol).cast("long"), lit(1048576L))
+    val h1 = (hid * lit(2654435761L) + lit(1013904223L)) % lit(2147483647L)
+    val h2 = (hid * lit(1779033703L) + lit(2246822519L)) % lit(2147483647L)
+    val h3 = (hid * lit(3266489917L) + lit(374761393L)) % lit(2147483647L)
+    val applied = h1 % lit(rateDen.toLong) < lit(rateNum.toLong)
+    val spm = (h1 / lit(rateDen.toLong)) % lit(spmDen.toLong) < lit(spmNum.toLong)
+    val i = h2 % (len + 1L)
+    val j = i + h3 % (len - i + 1L)
+    val pre = col(textCol).substr(lit(1), i.cast("int"))
+    val mid = col(textCol).substr((i + 1L).cast("int"), (j - i).cast("int"))
+    val suf = col(textCol).substr((j + 1L).cast("int"), (len - j).cast("int"))
+    val psmText = concat(lit("<|fim_prefix|>"), pre,
+      lit("<|fim_suffix|>"), suf, lit("<|fim_middle|>"), mid)
+    val spmText = concat(lit("<|fim_suffix|>"), suf,
+      lit("<|fim_prefix|>"), pre, lit("<|fim_middle|>"), mid)
+    df.select(col(idCol),
+      when(!applied, "none").when(spm, "spm").otherwise("psm").as("mode"),
+      when(!applied, col(textCol))
+        .when(spm, spmText).otherwise(psmText).as("fim_text"))
+  }
+
   /** Corpus snapshot DIFF — the dataset-versioning audit between two
     * releases: classify every id as `added` (new only), `removed` (old
     * only), `changed` (both, fingerprints differ) or `unchanged`. Run it

@@ -595,6 +595,12 @@ object Scoring {
   def knScore(df: DataFrame, idCol: String, textCol: String,
               model: DataFrame, order: Int = 5): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    // the walk slices `model` 2·order times (per-level lp and bow views
+    // plus the floor); when the model is an IN-PLAN knTrain DAG rather
+    // than a parquet read, every slice would re-derive the whole fit —
+    // persist once (count-table-bounded, released via Caches.release;
+    // measured 13.0→~6s on the in-plan q306 cell at sf0.1)
+    val m = Caches.persistTracked(model)
     val ws = (1 to order).map(i => s"w$i")
     val grams = df.select(col(idCol).as("id"),
       explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
@@ -611,15 +617,15 @@ object Scoring {
     var joined = types
     for (k <- order to 1 by -1)
       joined = joined.join(
-        model.filter(col("level") === k && col("lp").isNotNull)
+        m.filter(col("level") === k && col("lp").isNotNull)
           .select(col("gram").as(s"__lpg$k"), col("lp").as(s"__lp$k")),
         gramCol(k) === col(s"__lpg$k"), "left")
     for (k <- order to 2 by -1)
       joined = joined.join(
-        model.filter(col("level") === k - 1 && col("bow").isNotNull)
+        m.filter(col("level") === k - 1 && col("bow").isNotNull)
           .select(col("gram").as(s"__bowg$k"), col("bow").as(s"__bow$k")),
         histCol(k) === col(s"__bowg$k"), "left")
-    val floor = model.filter(col("level") === 0)
+    val floor = m.filter(col("level") === 0)
       .select(col("lp").as("__lp0"))
     var lp: org.apache.spark.sql.Column =
       coalesce(col("__lp1"), col("__lp0"))

@@ -2140,6 +2140,19 @@ final class Registry(spark: SparkSession) {
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
         lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
     },
+    "graft.fim" -> { a =>
+      // fill-in-the-middle transform (deterministic per-doc selection,
+      // hash-derived character cuts, PSM/SPM mix) — the code-model
+      // pretraining data op; one projection, no shuffle
+      graft.operators.Prep.fimTransform(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        rateNum = a.get("rate_num", -1).map(asInt(_, "rate_num")).getOrElse(9),
+        rateDen = a.get("rate_den", -1).map(asInt(_, "rate_den")).getOrElse(10),
+        spmNum = a.get("spm_num", -1).map(asInt(_, "spm_num")).getOrElse(1),
+        spmDen = a.get("spm_den", -1).map(asInt(_, "spm_den")).getOrElse(2))
+    },
     "graft.kn_export_arpa" -> { a =>
       // ship a kn_train model as ARPA text (the KenLM/SRILM interchange
       // format); returns the re-imported frame for inspection

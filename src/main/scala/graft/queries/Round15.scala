@@ -401,6 +401,49 @@ object Round15 {
           CASE WHEN pos * 3 < n.n THEN 'head'
                WHEN pos * 3 < n.n * 2 THEN 'middle'
                ELSE 'tail' END AS bucket
-        FROM pos, n ORDER BY doc_id"""))
+        FROM pos, n ORDER BY doc_id""")),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022, the code-model
+    // data-prep op): deterministic per-doc selection at the published
+    // 0.9 rate, two hash-derived character cut points, PSM/SPM 50/50 —
+    // the oracle replays selection, cuts, mode, and the re-serialized
+    // text character for character over the REAL fixture documents.
+    Q("q311_fim", (s, d) =>
+      graft.operators.Prep.fimTransform(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH h AS MATERIALIZED (
+          SELECT doc_id, text, len(text) AS n,
+            ((doc_id % 1048576) * 2654435761 + 1013904223) % 2147483647 AS h1,
+            ((doc_id % 1048576) * 1779033703 + 2246822519) % 2147483647 AS h2,
+            ((doc_id % 1048576) * 3266489917 + 374761393) % 2147483647 AS h3
+          FROM documents),
+        c AS MATERIALIZED (
+          SELECT doc_id, text, n,
+            h1 % 10 < 9 AS applied,
+            (h1 // 10) % 2 < 1 AS spm,
+            h2 % (n + 1) AS i, h3 AS h3
+          FROM h),
+        c2 AS MATERIALIZED (
+          SELECT doc_id, text, n, applied, spm, i,
+            i + h3 % (n - i + 1) AS j
+          FROM c),
+        parts AS MATERIALIZED (
+          SELECT doc_id, text, applied, spm,
+            substr(text, 1, CAST(i AS INT)) AS pre,
+            substr(text, CAST(i + 1 AS INT), CAST(j - i AS INT)) AS mid,
+            substr(text, CAST(j + 1 AS INT), CAST(n - j AS INT)) AS suf
+          FROM c2)
+        SELECT doc_id,
+          CASE WHEN NOT applied THEN 'none'
+               WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+          CASE WHEN NOT applied THEN text
+               WHEN spm THEN '<|fim_suffix|>' || suf || '<|fim_prefix|>'
+                 || pre || '<|fim_middle|>' || mid
+               ELSE '<|fim_prefix|>' || pre || '<|fim_suffix|>' || suf
+                 || '<|fim_middle|>' || mid END AS fim_text
+        FROM parts ORDER BY doc_id"""))
   )
 }

@@ -156,4 +156,43 @@ class PackingSpec extends AnyFunSuite {
       off = e
     }
   }
+
+  test("fimTransform: splice-back property, mode mix, determinism, rate 0") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i body ${"x" * (i % 17).toInt} tail"))
+      .toDF("doc_id", "text")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Prep.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // splice-back: reassembling P+M+S from the serialized form rebuilds
+    // the original text exactly, both orders
+    out.foreach { case (id, mode, t) =>
+      mode match {
+        case "none" => assert(t == orig(id))
+        case "psm" =>
+          val Array(_, rest) = t.split("\\Q<|fim_prefix|>\\E", 2)
+          val Array(pre, rest2) = rest.split("\\Q<|fim_suffix|>\\E", 2)
+          val Array(suf, mid) = rest2.split("\\Q<|fim_middle|>\\E", 2)
+          assert(pre + mid + suf == orig(id), s"doc $id psm")
+        case "spm" =>
+          val Array(_, rest) = t.split("\\Q<|fim_suffix|>\\E", 2)
+          val Array(suf, rest2) = rest.split("\\Q<|fim_prefix|>\\E", 2)
+          val Array(pre, mid) = rest2.split("\\Q<|fim_middle|>\\E", 2)
+          assert(pre + mid + suf == orig(id), s"doc $id spm")
+      }
+    }
+    // published knobs: ~90% transformed, PSM/SPM roughly even
+    val modes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(modes.getOrElse("none", 0) > 0 &&
+      modes.getOrElse("none", 0) < 40, s"rate off: $modes")
+    assert(modes("psm") > 40 && modes("spm") > 40, s"mix off: $modes")
+    // deterministic across replays
+    val again = Prep.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // rate 0: identity
+    assert(Prep.fimTransform(docs, "doc_id", "text", rateNum = 0)
+      .collect().forall(r => r.getString(1) == "none" &&
+        r.getString(2) == orig(r.getLong(0))))
+  }
 }
