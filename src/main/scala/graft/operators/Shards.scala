@@ -275,6 +275,165 @@ object Shards {
         }
       }
 
+  // ------------------------------------------------- WebDataset tar face
+
+  /** One `_tar_index` row per written `.tar` shard. */
+  final case class TarShard(file: String, first_idx: Long, n_samples: Long,
+                            n_bytes: Long)
+
+  /** POSIX ustar header for one entry — fixed mode/uid/gid/mtime so a
+    * retried write produces byte-identical archives. */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.length <= 100, s"tar entry name too long: $name")
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes("ISO-8859-1")
+      require(b.length <= len, s"tar field overflow at $off")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(name, 0, 100)
+    put("0000644 ", 100, 8)             // mode
+    put("0000000 ", 108, 8)             // uid
+    put("0000000 ", 116, 8)             // gid
+    put(f"$size%011o ", 124, 12)             // size, octal
+    put(f"${0}%011o ", 136, 12)              // mtime 0: deterministic
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+    h(156) = '0'                              // typeflag: regular file
+    put("ustar ", 257, 6)
+    put("00", 263, 2)
+    val sum = h.map(_ & 0xff).sum
+    put(f"$sum%06o  ", 148, 8)
+    h
+  }
+
+  /** Ship (id, payload...) rows as WebDataset-style tar shards: each
+    * sample's columns become same-basename entries (`<key>.<ext>`), tars
+    * hold `samplesPerShard` consecutive samples in deterministic id
+    * order, and an index parquet records the file→sample mapping — the
+    * multimodal twin of [[packWriteShards]] (pretraining loaders stream
+    * tars sequentially; the format is plain POSIX ustar, so any tar tool
+    * opens a shard). `payloads` maps column name → entry extension;
+    * binary columns write verbatim, strings as UTF-8. Deterministic file
+    * names + fixed header metadata → a retry rewrites identical bytes.
+    *
+    * Scale shape: one global cumcount assigns sample indices (the
+    * packPlan exchange), then tar assembly streams per partition after a
+    * shard-id repartition — nothing holds more than one sample.
+    */
+  def writeTarShards(df: DataFrame, idCol: String,
+                     payloads: Seq[(String, String)], outDir: String,
+                     samplesPerShard: Int = 256,
+                     tag: String = "wds"): DataFrame = {
+    require(payloads.nonEmpty, "writeTarShards: no payload columns")
+    require(samplesPerShard >= 1,
+      s"writeTarShards: samplesPerShard must be >= 1, got $samplesPerShard")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
+    fsOf(outDir, confEntries).mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    // binary-normalize every payload column (strings -> UTF-8 bytes)
+    val binCols = payloads.map { case (c, ext) =>
+      (df.schema(c).dataType match {
+        case org.apache.spark.sql.types.BinaryType => col(c)
+        case _ => encode(col(c).cast("string"), "UTF-8")
+      }).as(s"__p_$ext")
+    }
+    val keyed = df.select(col(idCol).cast("long").as("__id") +: binCols: _*)
+      .withColumn("__one", lit(1L))
+    val idx = GlobalWindows.running(keyed, Seq("__id"), Seq("__one"), "cumsum")
+      .withColumn("__idx", col("__one") - 1L)
+      .drop("__one")
+      .withColumn("__shard", expr(s"__idx div ${samplesPerShard.toLong}L"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__idx"))
+    val exts = payloads.map(_._2)
+    val index = idx
+      .select(col("__shard"), col("__idx"), col("__id"),
+        array(exts.map(e => col(s"__p_$e")): _*).as("__pays"))
+      .as[(Long, Long, Long, Seq[Array[Byte]])]
+      .mapPartitions { rows =>
+        val fsys = fsOf(outDir, confEntries)
+        val out = scala.collection.mutable.ArrayBuffer[TarShard]()
+        var shard = Long.MinValue
+        var os: java.io.OutputStream = null
+        var first = 0L; var n = 0L; var bytes = 0L
+        def close(): Unit = if (os != null) {
+          os.write(new Array[Byte](1024)) // two zero blocks: end of archive
+          os.close()
+          out += TarShard(s"$tag-$shard.tar", first, n, bytes + 1024L)
+          os = null
+        }
+        rows.foreach { case (sh, i, id, pays) =>
+          if (sh != shard) {
+            close(); shard = sh; first = i; n = 0L; bytes = 0L
+            os = new java.io.BufferedOutputStream(fsys.create(
+              new org.apache.hadoop.fs.Path(s"$outDir/$tag-$sh.tar"), true),
+              1 << 16)
+          }
+          exts.zip(pays).foreach { case (ext, p) =>
+            val name = f"$id%012d.$ext"
+            os.write(tarHeader(name, p.length))
+            os.write(p)
+            val pad = (512 - (p.length % 512)) % 512
+            if (pad > 0) os.write(new Array[Byte](pad))
+            bytes += 512L + p.length + pad
+          }
+          n += 1L
+        }
+        close()
+        out.iterator
+      }.toDF()
+    index.write.mode("overwrite").parquet(s"$outDir/_tar_index")
+    spark.read.parquet(s"$outDir/_tar_index")
+  }
+
+  /** Parse indexed tar shards back to (key, ext, bytes) — the loader's
+    * view and the round-trip gate: strict ustar headers (magic checked,
+    * checksum verified), 512-byte block walk. */
+  def readTarShards(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
+    spark.read.parquet(s"$outDir/_tar_index")
+      .select(col("file")).as[String]
+      .flatMap { file =>
+        val fsys = fsOf(outDir, confEntries)
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$file")
+        val len = fsys.getFileStatus(p).getLen
+        val buf = new Array[Byte](len.toInt)
+        val in = fsys.open(p)
+        try in.readFully(0L, buf) finally in.close()
+        val out = scala.collection.mutable.ArrayBuffer[(String, String, Array[Byte])]()
+        var off = 0
+        var done = false
+        while (!done && off + 512 <= buf.length) {
+          if (buf(off) == 0) { done = true } // zero block: end
+          else {
+            val magic = new String(buf, off + 257, 5, "ISO-8859-1")
+            require(magic == "ustar", s"$file: bad tar magic at $off")
+            val stored = Integer.parseInt(
+              new String(buf, off + 148, 6, "ISO-8859-1").trim, 8)
+            val check = {
+              val c = buf.slice(off, off + 512)
+              java.util.Arrays.fill(c, 148, 156, ' '.toByte)
+              c.map(_ & 0xff).sum
+            }
+            require(stored == check, s"$file: tar checksum mismatch at $off")
+            val name = new String(buf, off, 100, "ISO-8859-1")
+              .takeWhile(_ != 0)
+            val size = java.lang.Long.parseLong(
+              new String(buf, off + 124, 11, "ISO-8859-1").trim, 8)
+            val data = java.util.Arrays.copyOfRange(
+              buf, off + 512, off + 512 + size.toInt)
+            val dot = name.lastIndexOf('.')
+            out += ((name.substring(0, dot), name.substring(dot + 1), data))
+            off += 512 + ((size.toInt + 511) / 512) * 512
+          }
+        }
+        out
+      }
+      .toDF("key", "ext", "bytes")
+  }
+
   /** Loader-shaped epoch iteration over a shard artifact: every indexed
     * block in the epoch's deterministic shuffled order
     * ([[Packing.blockOrder]]'s replayable permutation — different every

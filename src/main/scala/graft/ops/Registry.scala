@@ -933,6 +933,29 @@ final class Registry(spark: SparkSession) {
         blocksPerFile = a.get("blocks_per_file", -1)
           .map(asInt(_, "blocks_per_file")).getOrElse(64))
     },
+    "graft.write_tar_shards" -> { a =>
+      // WebDataset-style tar shards: each sample's columns become
+      // same-basename entries; strict POSIX ustar (any tar tool opens a
+      // shard); returns the index frame. payloads: {col: ext, ...}
+      val df = asDf(a.require("df", 0), "df")
+      val pays = a.require("payloads", 2) match {
+        case m: Map[_, _] => m.toSeq.map { case (k, v) =>
+          (k.toString, v.toString) }
+        case other => throw PipelineError(
+          s"write_tar_shards: payloads expects a map of col->ext, got ${tn(other)}")
+      }
+      graft.operators.Shards.writeTarShards(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        pays,
+        outDir = asStr(a.require("dir", 1), "dir"),
+        samplesPerShard = a.get("samples_per_shard", -1)
+          .map(asInt(_, "samples_per_shard")).getOrElse(256))
+    },
+    "graft.read_tar_shards" -> { a =>
+      // parse indexed tar shards back to (key, ext, bytes)
+      graft.operators.Shards.readTarShards(spark,
+        asStr(a.require("dir", 0), "dir"))
+    },
     "graft.read_shard_blocks" -> { a =>
       // parse indexed .bin shards back to (block, ids) — the loader-shaped
       // read path and the round-trip gate's other half

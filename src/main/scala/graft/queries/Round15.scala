@@ -444,6 +444,37 @@ object Round15 {
                  || pre || '<|fim_middle|>' || mid
                ELSE '<|fim_prefix|>' || pre || '<|fim_suffix|>' || suf
                  || '<|fim_middle|>' || mid END AS fim_text
-        FROM parts ORDER BY doc_id"""))
+        FROM parts ORDER BY doc_id""")),
+
+    // WebDataset tar shards, gated through the REAL bytes: formula
+    // payloads (a text body + a JSON sidecar per sample) go through the
+    // strict POSIX ustar writer, the reader walks the archives back
+    // (magic + checksum verified per entry), and the oracle replays
+    // every entry's key, size, and content from the synthesis formula.
+    // GNU tar opens the same files (`tar -tvf` verified) — the artifact
+    // is the interchange format, not a lookalike.
+    Q("q312_tar_shards", (s, d) => {
+      val dir = s"/tmp/graft_artifacts/wds_${new java.io.File(d).getName}"
+      val rows = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("payload "), col("doc_id"), lit(" body")).as("body"),
+        concat(lit("{\"doc\":"), col("doc_id"), lit("}")).as("meta"))
+      graft.operators.Shards.writeTarShards(rows, "doc_id",
+        Seq("body" -> "txt", "meta" -> "json"), dir, samplesPerShard = 64)
+      graft.operators.Shards.readTarShards(s, dir)
+        .select(col("key"), col("ext"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          decode(col("bytes"), "UTF-8").as("content"))
+        .orderBy(col("key"), col("ext"))
+    }, Some("""
+        WITH s AS MATERIALIZED (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+            'txt' AS ext, 'payload ' || doc_id || ' body' AS content
+          FROM documents
+          UNION ALL
+          SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+            'json' AS ext, '{"doc":' || doc_id || '}' AS content
+          FROM documents)
+        SELECT key, ext, CAST(len(content) AS BIGINT) AS n_bytes, content
+        FROM s ORDER BY key, ext"""))
   )
 }
