@@ -63,6 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q274_ccnet_kn5" -> ("same tercile machinery as q250 over the kn5 " +
       "scorer: the global window is the cumcount prefix combine over " +
       "the per-range-partition count frame, never the scored docs"),
+    "q310_ccnet_frozen" -> ("same tercile machinery as q250 over the " +
+      "FROZEN-model scorer (knScore walk): the global window is the " +
+      "cumcount prefix combine over the per-range-partition count " +
+      "frame (<= spark.sql.shuffle.partitions rows), never the scored " +
+      "docs"),
     "q215_vocab_coverage" -> ("rank window over the bounded top-max(ks) " +
       "head (TakeOrdered first; the window never sees the vocabulary)"),
     "q293_pack_spans" -> ("packing offsets via GlobalWindows.running: the " +
