@@ -292,17 +292,17 @@ object Shards {
       System.arraycopy(b, 0, h, off, b.length)
     }
     put(name, 0, 100)
-    put("0000644 ", 100, 8)             // mode
-    put("0000000 ", 108, 8)             // uid
-    put("0000000 ", 116, 8)             // gid
+    put("0000644\u0000", 100, 8)             // mode
+    put("0000000\u0000", 108, 8)             // uid
+    put("0000000\u0000", 116, 8)             // gid
     put(f"$size%011o ", 124, 12)             // size, octal
     put(f"${0}%011o ", 136, 12)              // mtime 0: deterministic
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
     h(156) = '0'                              // typeflag: regular file
-    put("ustar ", 257, 6)
+    put("ustar\u0000", 257, 6)
     put("00", 263, 2)
     val sum = h.map(_ & 0xff).sum
-    put(f"$sum%06o  ", 148, 8)
+    put(f"$sum%06o\u0000 ", 148, 8)
     h
   }
 
