@@ -92,6 +92,33 @@ object Packing {
           .as("fill"))
   }
 
+  /** Per-block DOCUMENT map over a [[packPlan]] manifest — the
+    * attention-masking input a loader pairs with each training block:
+    * for every block, the ordered spans `(start, len, doc)` of the
+    * documents occupying its positions (`start` relative to the block,
+    * spans gapless and covering `fill` by construction; the EOS
+    * delimiter belongs to its document's span, as in training). A
+    * block-diagonal attention mask is exactly "attend within your
+    * span"; `blockStats` gives the counts, this gives the geometry.
+    * Same bounded doc→block explode + one block-grain aggregate.
+    */
+  def blockDocMap(plan: DataFrame, idCol: String,
+                  blockSize: Long): DataFrame = {
+    require(blockSize >= 1,
+      s"blockDocMap: blockSize must be >= 1, got $blockSize")
+    val b = plan
+      .filter(col("end_off") > col("start_off"))
+      .select(col(idCol), col("start_off"), col("end_off"),
+        explode(sequence(col("first_block"), col("last_block"))).as("block"))
+    val segStart = greatest(col("start_off"), col("block") * lit(blockSize))
+    val segEnd = least(col("end_off"), (col("block") + 1) * lit(blockSize))
+    b.select(col("block"),
+        struct((segStart - col("block") * lit(blockSize)).as("start"),
+          (segEnd - segStart).as("len"), col(idCol).as("doc")).as("__s"))
+      .groupBy(col("block"))
+      .agg(array_sort(collect_list(col("__s"))).as("spans"))
+  }
+
   /** Deterministic per-EPOCH block shuffle — the training data-loader
     * face of the manifest: blocks are read in the rank order of a
     * replayable multiplicative hash over (block, epoch), so every epoch

@@ -2163,6 +2163,15 @@ final class Registry(spark: SparkSession) {
         d = a.get("discount", -1).map(_.toString.toDouble).getOrElse(0.75),
         lm = asStr(a.get("lm", -1).getOrElse("kn2"), "lm"))
     },
+    "graft.block_doc_map" -> { a =>
+      // per-block (start, len, doc) spans over a pack_plan manifest —
+      // the attention-mask geometry (block-diagonal masking = attend
+      // within your span)
+      graft.operators.Packing.blockDocMap(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asInt(a.require("block_size", 1), "block_size").toLong)
+    },
     "graft.fim" -> { a =>
       // fill-in-the-middle transform (deterministic per-doc selection,
       // hash-derived character cuts, PSM/SPM mix) — the code-model

@@ -475,6 +475,51 @@ object Round15 {
             'json' AS ext, '{"doc":' || doc_id || '}' AS content
           FROM documents)
         SELECT key, ext, CAST(len(content) AS BIGINT) AS n_bytes, content
-        FROM s ORDER BY key, ext"""))
+        FROM s ORDER BY key, ext""")),
+
+    // Per-block document map — the attention-mask geometry a loader
+    // pairs with each training block (block-diagonal masking = "attend
+    // within your span"): ordered (start, len, doc) spans per block,
+    // gapless and fill-covering by construction. Same formula corpus as
+    // q307, so the two artifacts describe the SAME stream; the oracle
+    // replays every span from the packed-position arithmetic.
+    Q("q313_block_doc_map", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        ((col("doc_id") % 13) + 2).as("n_tokens"))
+      val plan = graft.operators.Packing.packPlan(
+        docs, "doc_id", "n_tokens", blockSize = 32L)
+      graft.operators.Packing.blockDocMap(plan, "doc_id", 32L)
+        .select(col("block"),
+          size(col("spans")).cast("long").as("n_docs"),
+          concat_ws(",", transform(col("spans"), sp =>
+            concat(sp.getField("doc"), lit(":"),
+              sp.getField("start"), lit(":"), sp.getField("len"))))
+            .as("spans_csv"))
+        .orderBy(col("block"))
+    }, Some("""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id, (doc_id % 13) + 2 AS n FROM documents),
+        sp AS MATERIALIZED (SELECT doc_id, n,
+               CAST(SUM(n + 1) OVER (ORDER BY doc_id) AS BIGINT) AS end_off
+             FROM docs),
+        spans AS MATERIALIZED (
+          SELECT doc_id, end_off - n - 1 AS start_off, end_off FROM sp),
+        segs AS MATERIALIZED (
+          SELECT doc_id, start_off, end_off,
+            (start_off // 32) + b AS block
+          FROM spans,
+            unnest(generate_series(0,
+              (end_off - 1) // 32 - start_off // 32)) AS u(b)),
+        g AS MATERIALIZED (
+          SELECT block,
+            greatest(start_off, block * 32) - block * 32 AS s,
+            least(end_off, (block + 1) * 32)
+              - greatest(start_off, block * 32) AS l,
+            doc_id
+          FROM segs)
+        SELECT block, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          string_agg(doc_id || ':' || s || ':' || l, ',' ORDER BY s)
+            AS spans_csv
+        FROM g GROUP BY block ORDER BY block"""))
   )
 }

@@ -157,6 +157,31 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("blockDocMap: spans are gapless, fill-covering, and agree with blockStats") {
+    val docs = (1L to 30L).map(i => (i, (i % 9) + 1)).toDF("id", "n_tokens")
+    val plan = Packing.packPlan(docs, "id", "n_tokens", blockSize = 16L)
+    val spans = Packing.blockDocMap(plan, "id", 16L)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))).toMap
+    val stats = Packing.blockStats(plan, 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap // (n_docs, fill)
+    assert(spans.keySet == stats.keySet)
+    spans.foreach { case (block, sp) =>
+      val (nDocs, fill) = stats(block)
+      assert(sp.size == nDocs, s"block $block n_docs")
+      assert(sp.map(_._2).sum == fill, s"block $block fill")
+      // gapless: each span starts where the previous ended
+      sp.foldLeft(sp.head._1) { case (expected, (start, len, _)) =>
+        assert(start == expected, s"block $block gap at $start"); start + len
+      }
+      // the stream is gapless from offset 0, so every block's first
+      // span sits at relative position 0
+      assert(sp.head._1 == 0, s"block $block must start at 0")
+    }
+  }
+
   test("fimTransform: splice-back property, mode mix, determinism, rate 0") {
     val docs = (0L until 200L)
       .map(i => (i, s"doc $i body ${"x" * (i % 17).toInt} tail"))
