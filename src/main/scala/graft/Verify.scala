@@ -51,8 +51,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {SF} placeholder: artifact-reading oracles (q305/q310 read the
+    // frozen KN model the Spark run just wrote) key their parquet path
+    // by the fixture basename, same formula as queries.Round15.knDir —
+    // substituting at dump time keeps the replayed oracle pointed at
+    // THIS run's artifact for any sf dir, not a pinned sf0.01.
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

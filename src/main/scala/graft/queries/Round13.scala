@@ -23,10 +23,19 @@ object Round13 {
     * of its count table, and the interpolation nests with the exact
     * association order the Spark fold uses. A single drifted count
     * anywhere re-fits four discount triples and every score with them.
+    *
+    * Quarter-corpus gate (round 16): the inline faces were superseded as
+    * the PRODUCTION path by the saved-model lifecycle (q304-q306/q310),
+    * so their remaining value is branch coverage of the
+    * `knNgramPerplexity(order=5)` in-plan fold — which a deterministic
+    * quarter of the corpus exercises identically at ~1/4 the fit volume
+    * (the q306 quarters argument). doc_id % 4 = 2 is disjoint from
+    * q306's train/score quarters.
     */
   private val kn5ModelSql = """
         toks AS MATERIALIZED (
-          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+          FROM documents WHERE doc_id % 4 = 2),
         ngl AS MATERIALIZED (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
                   w[i+3] AS w4, w[i+4] AS w5
                 FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
@@ -131,7 +140,8 @@ object Round13 {
     // from its own count tables.
     Q("q273_kn5_perplexity",
       (s, d) => graft.operators.Scoring.knNgramPerplexity(
-          t(s, d, "documents"), "doc_id", "text", order = 5)
+          t(s, d, "documents").filter(col("doc_id") % 4 === 2),
+          "doc_id", "text", order = 5)
         .select(col("id").as("doc_id"),
           round(col("kn_lp"), 6).as("kn5_lp"),
           round(col("ppl"), 6).as("ppl"), col("n_grams"))
@@ -147,7 +157,8 @@ object Round13 {
     // edges, 6dp-rounded sort key) over the published configuration.
     Q("q274_ccnet_kn5",
       (s, d) => graft.operators.Scoring.ccnetBuckets(
-          t(s, d, "documents"), "doc_id", "text", lm = "kn5")
+          t(s, d, "documents").filter(col("doc_id") % 4 === 2),
+          "doc_id", "text", lm = "kn5")
         .orderBy(col("doc_id")),
       Some("WITH" + kn5ModelSql + """,
         ppl AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl

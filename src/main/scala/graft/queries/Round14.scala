@@ -338,15 +338,21 @@ object Round14 {
           col("text"), Seq("badword1", "very bad phrase", "bad"),
           boundary = true))
         .withColumn("clean", size(col("blocklist_hits")) === 0)
-        .select(col("doc_id"), col("blocklist_hits"), col("clean"))
+        // Scalar CSV projection of the hit list: the driver's comparator
+        // sorts rows column-wise and can't hash array cells, so the
+        // gate's contract column is the '|'-joined string (phrases
+        // contain spaces, never '|').
+        .select(col("doc_id"),
+          concat_ws("|", col("blocklist_hits")).as("hits_csv"),
+          col("clean"))
         .orderBy(col("doc_id"))
     }, Some("""
         WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS c
                    FROM documents)
         SELECT doc_id,
-          CASE c WHEN 0 THEN ['badword1']
-                 WHEN 2 THEN ['bad', 'very bad phrase']
-                 ELSE CAST([] AS VARCHAR[]) END AS blocklist_hits,
+          CASE c WHEN 0 THEN 'badword1'
+                 WHEN 2 THEN 'bad|very bad phrase'
+                 ELSE '' END AS hits_csv,
           c IN (1, 3) AS clean
         FROM s ORDER BY doc_id""")),
 
@@ -544,12 +550,18 @@ object Round14 {
       graft.functions.Unigram.unigramPieces(fixture, "doc_id", "text",
           vocab, maxPieceLen = 4)
         .withColumnRenamed("id", "doc_id")
+        // Driver-comparator contract: arrays hash as unsortable numpy
+        // cells, so the gate column is the space-joined piece stream
+        // (pieces are \S+ substrings — space never appears).
+        .select(col("doc_id"),
+          concat_ws(" ", col("pieces")).as("pieces_csv"))
         .orderBy(col("doc_id"))
     }, Some("WITH" + unigramTrainSql(10) + "," + vitSql("f", "lp2") + """,
         wseg AS (SELECT word, list(piece ORDER BY step DESC) AS pieces
                  FROM gusef GROUP BY word)
         SELECT d.doc_id,
-          s1.pieces || s2.pieces || s3.pieces AS pieces
+          array_to_string(s1.pieces || s2.pieces || s3.pieces, ' ')
+            AS pieces_csv
         FROM docs d
         JOIN wseg s1 ON s1.word = d.w1
         JOIN wseg s2 ON s2.word = d.w2

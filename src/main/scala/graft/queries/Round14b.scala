@@ -209,10 +209,17 @@ object Round14b {
       graft.functions.WordPiece.wordPiecePieces(spiked, "doc_id", "text",
           merges, alphabet = wpAlphabet)
         .withColumnRenamed("id", "doc_id")
+        // Driver-comparator contract: space-joined piece stream instead
+        // of the raw array (pieces like '##ab'/'[UNK]' never contain a
+        // space).
+        .select(col("doc_id"),
+          concat_ws(" ", col("pieces")).as("pieces_csv"))
         .orderBy(col("doc_id"))
     }, Some("WITH" + wpTrainSql(6) + "," + wpGreedySql + """
         SELECT d.doc_id,
-          s1.pieces || s2.pieces || s3.pieces || s4.pieces AS pieces
+          array_to_string(
+            s1.pieces || s2.pieces || s3.pieces || s4.pieces, ' ')
+            AS pieces_csv
         FROM wpd d
         JOIN gfin s1 ON s1.w = d.w1
         JOIN gfin s2 ON s2.w = d.w2
@@ -348,6 +355,12 @@ object Round14b {
       graft.operators.Prep.spanCorrupt(
           t(s, d, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text")
+        // Driver-comparator contract: space-joined token streams (tokens
+        // are \S+ and sentinels contain no spaces, so the join is
+        // lossless).
+        .select(col("doc_id"), col("n_spans"),
+          concat_ws(" ", col("inputs")).as("inputs_csv"),
+          concat_ws(" ", col("targets")).as("targets_csv"))
         .orderBy(col("doc_id")),
       Some("""
         WITH toks AS (
@@ -381,7 +394,8 @@ object Round14b {
         tg AS (SELECT doc_id, list(t ORDER BY pos, s) AS targets
                FROM tr GROUP BY doc_id)
         SELECT ns.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
-          inputs, targets
+          array_to_string(inputs, ' ') AS inputs_csv,
+          array_to_string(targets, ' ') AS targets_csv
         FROM ns JOIN inp USING (doc_id) JOIN tg USING (doc_id)
         ORDER BY doc_id""")),
 

@@ -80,7 +80,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q301_block_shuffle" -> ("packPlan + blockOrder: every global window " +
       "is a GlobalWindows prefix combine over per-range-partition " +
       "aggregates (<= spark.sql.shuffle.partitions rows) — the block " +
-      "rank itself is the distributed cumsum, never a single-task sort"))
+      "rank itself is the distributed cumsum, never a single-task sort"),
+    "q313_block_doc_map" -> ("same packPlan machinery as q293/q301 " +
+      "feeding the per-block doc-map aggregate: the one global window " +
+      "is the GlobalWindows prefix combine over the per-range-partition " +
+      "sum frame (<= spark.sql.shuffle.partitions rows), never the " +
+      "document stream"))
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.
