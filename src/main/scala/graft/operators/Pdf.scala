@@ -431,10 +431,18 @@ object Pdf {
       resolve(objAt(rootNum)).asInstanceOf[PDict]
     }
 
-    /** Page objects in tree order. */
+    /** Page objects in tree order. The walk is depth-capped AND
+      * node-count-capped: a crafted tree whose /Kids repeatedly
+      * reference one shared subtree is exponential under a depth cap
+      * alone (each level doubles the traversal), so a total-visits
+      * counter bounds CPU per document regardless of sharing.
+      */
     def pages: Vector[PDict] = {
+      var visited = 0
       def walk(node: PDict, depth: Int): Vector[PDict] = {
         require(depth < 64, "page tree too deep")
+        visited += 1
+        require(visited <= 65536, "page tree too large")
         resolve(node.v.getOrElse(PName("Type").v, PNull)) match {
           case PName("Page") => Vector(node)
           case _ => resolve(node.v.getOrElse("Kids", PArr(Vector()))) match {
@@ -547,15 +555,28 @@ object Pdf {
     out
   }
 
+  /** Decompression bomb guard: PDFs arrive from the crawl (untrusted
+    * bytes), and a few KB of Flate can expand to GBs. Anything past this
+    * cap throws, which [[extractText]]'s totality catch turns into
+    * has_text=false — the executor never allocates the bomb.
+    */
+  private val MaxInflatedBytes: Int = 64 << 20 // 64 MiB per stream
+
   private def inflate(raw: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(raw)
-      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          if (out.size().toLong + n > MaxInflatedBytes)
+            throw new IllegalArgumentException(
+              s"inflated stream exceeds $MaxInflatedBytes bytes")
+          out.write(buf, 0, n)
+        }
         else if (n == 0 && !inf.finished()) return out.toByteArray // stuck
       }
       out.toByteArray
@@ -627,7 +648,11 @@ object Pdf {
       val text = pageTexts.mkString("\n\n")
       PdfText(id, text.nonEmpty, pages.size, text.length, text)
     } catch {
-      case _: Throwable => PdfText(id, has_text = false, 0, 0, "")
+      // NonFatal only: corrupt/hostile bytes degrade to has_text=false,
+      // but genuine JVM errors (OOM, stack overflow) must surface — a
+      // swallowed OutOfMemoryError leaves the executor half-dead.
+      case scala.util.control.NonFatal(_) =>
+        PdfText(id, has_text = false, 0, 0, "")
     }
 
   /** [[extractText]] as a binary->struct Catalyst expression, so the
