@@ -180,6 +180,14 @@ object Shards {
     import spark.implicits._
     val fs = (p: String) => new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A finalized stream is closed: packFinalizeShards already shipped
+    // the partial tail as a final-*.bin, so a later drop re-completing
+    // that same tail would leave two conflicting index entries for one
+    // block id. Fail loudly instead.
+    val finMark = new org.apache.hadoop.fs.Path(s"$outDir/_FINALIZED")
+    require(!fs(outDir).exists(finMark),
+      s"packWriteShardsDrop: $outDir is finalized (found _FINALIZED); " +
+        "no further drops may extend the stream")
     // stream base: totals strictly below this batch (missing dir = first
     // batch; real read errors propagate — see packDropWrite)
     val base: Long =
@@ -264,7 +272,7 @@ object Shards {
     * complete and byte-equal to the batch face.
     */
   def packFinalizeShards(spark: SparkSession, outDir: String,
-                         blockSize: Long): Unit =
+                         blockSize: Long): Unit = {
     carryPartitionBelow(spark, s"$outDir/_carry", Long.MaxValue)
       .foreach { dir =>
         val tail = spark.read.parquet(dir).select(col("block"), col("ids"))
@@ -274,6 +282,14 @@ object Shards {
             blocksPerFile = 1, fileBase = first, indexPart = "batch_id=final")
         }
       }
+    // Close the stream: a marker packWriteShardsDrop rejects, so a
+    // post-finalize drop fails loudly instead of re-completing the tail
+    // block the final-*.bin already shipped (duplicate index entries).
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_FINALIZED")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(p, true)
+    out.close()
+  }
 
   // ------------------------------------------------- WebDataset tar face
 
@@ -328,28 +344,49 @@ object Shards {
     require(samplesPerShard >= 1,
       s"writeTarShards: samplesPerShard must be >= 1, got $samplesPerShard")
     val spark = df.sparkSession
-    import spark.implicits._
     val confEntries = hadoopConfEntries(spark)
     fsOf(outDir, confEntries).mkdirs(new org.apache.hadoop.fs.Path(outDir))
-    // binary-normalize every payload column (strings -> UTF-8 bytes)
+    val exts = payloads.map(_._2)
+    val keyed = tarKeyed(df, idCol, payloads).withColumn("__one", lit(1L))
+    val idx = GlobalWindows.running(keyed, Seq("__id"), Seq("__one"), "cumsum")
+      .withColumn("__idx", col("__one") - 1L)
+      .drop("__one")
+      .withColumn("__shard", expr(s"__idx div ${samplesPerShard.toLong}L"))
+      .select(col("__shard"), col("__idx"), col("__id"),
+        array(exts.map(e => col(s"__p_$e")): _*).as("__pays"))
+    val index = tarFiles(idx, outDir, tag, exts, confEntries)
+    index.write.mode("overwrite").parquet(s"$outDir/_tar_index")
+    spark.read.parquet(s"$outDir/_tar_index")
+  }
+
+  /** Binary-normalize payload columns: `(__id, __p_<ext>...)` (strings
+    * become UTF-8 bytes, binary passes verbatim). */
+  private def tarKeyed(df: DataFrame, idCol: String,
+                       payloads: Seq[(String, String)]): DataFrame = {
     val binCols = payloads.map { case (c, ext) =>
       (df.schema(c).dataType match {
         case org.apache.spark.sql.types.BinaryType => col(c)
         case _ => encode(col(c).cast("string"), "UTF-8")
       }).as(s"__p_$ext")
     }
-    val keyed = df.select(col(idCol).cast("long").as("__id") +: binCols: _*)
-      .withColumn("__one", lit(1L))
-    val idx = GlobalWindows.running(keyed, Seq("__id"), Seq("__one"), "cumsum")
-      .withColumn("__idx", col("__one") - 1L)
-      .drop("__one")
-      .withColumn("__shard", expr(s"__idx div ${samplesPerShard.toLong}L"))
+    df.select(col(idCol).cast("long").as("__id") +: binCols: _*)
+  }
+
+  /** Assemble-and-write the `.tar` files for an indexed sample frame
+    * `(__shard, __idx, __id, __pays)` and return the index rows —
+    * shared by the batch face, the incremental face, and finalize.
+    * Repartitions on shard id so every task streams its own archives
+    * sequentially; nothing holds more than one sample in memory.
+    */
+  private def tarFiles(samples: DataFrame, outDir: String, tag: String,
+                       exts: Seq[String],
+                       confEntries: Array[(String, String)]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
       .repartition(col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__idx"))
-    val exts = payloads.map(_._2)
-    val index = idx
-      .select(col("__shard"), col("__idx"), col("__id"),
-        array(exts.map(e => col(s"__p_$e")): _*).as("__pays"))
+      .select(col("__shard"), col("__idx"), col("__id"), col("__pays"))
       .as[(Long, Long, Long, Seq[Array[Byte]])]
       .mapPartitions { rows =>
         val fsys = fsOf(outDir, confEntries)
@@ -383,8 +420,127 @@ object Shards {
         close()
         out.iterator
       }.toDF()
-    index.write.mode("overwrite").parquet(s"$outDir/_tar_index")
-    spark.read.parquet(s"$outDir/_tar_index")
+  }
+
+  /** INCREMENTAL tar face — [[packWriteShardsDrop]]'s WebDataset twin:
+    * each drop's samples continue the one logical sample stream (id
+    * order within the drop, drops in batch-id order); only archives this
+    * drop COMPLETES are written (named by GLOBAL shard id, so names
+    * never collide and a retry rewrites identical bytes), and the
+    * partial tail shard's samples are carried as parquet rows in
+    * `_tar_carry/batch_id=<id>` for the next drop to finish. Shard
+    * geometry (`exts`, `samplesPerShard`, `tag`) is stamped in
+    * `_tar_meta` by the first drop and enforced on every later one —
+    * a drifted payload list would silently interleave entries.
+    * Retry-safe the `.bin` way: base = totals strictly below this id,
+    * carry = nearest partition strictly below, every artifact overwrites
+    * its own `batch_id=` partition.
+    */
+  def writeTarShardsDrop(batch: DataFrame, idCol: String,
+                         payloads: Seq[(String, String)], outDir: String,
+                         batchId: Long, samplesPerShard: Int = 256,
+                         tag: String = "wds"): Unit = {
+    require(payloads.nonEmpty, "writeTarShardsDrop: no payload columns")
+    require(samplesPerShard >= 1,
+      s"writeTarShardsDrop: samplesPerShard must be >= 1, got $samplesPerShard")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
+    val fsys = fsOf(outDir, confEntries)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    require(!fsys.exists(new org.apache.hadoop.fs.Path(s"$outDir/_FINALIZED")),
+      s"writeTarShardsDrop: $outDir is finalized (found _FINALIZED); " +
+        "no further drops may extend the stream")
+    val exts = payloads.map(_._2)
+    // geometry stamp: first drop writes it, later drops must match
+    val metaPath = s"$outDir/_tar_meta"
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(metaPath)))
+      Seq((exts, samplesPerShard, tag))
+        .toDF("exts", "samples_per_shard", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    else {
+      val m = spark.read.parquet(metaPath).head()
+      require(m.getSeq[String](m.fieldIndex("exts")) == exts &&
+          m.getInt(m.fieldIndex("samples_per_shard")) == samplesPerShard &&
+          m.getString(m.fieldIndex("tag")) == tag,
+        s"writeTarShardsDrop: geometry drift vs $metaPath " +
+          s"(got exts=$exts sps=$samplesPerShard tag=$tag)")
+    }
+    // stream base: sample totals of batches STRICTLY below this id
+    val totalsPath = s"$outDir/_tar_totals"
+    val base: Long =
+      if (!fsys.exists(new org.apache.hadoop.fs.Path(totalsPath))) 0L
+      else spark.read.parquet(totalsPath)
+        .filter(col("batch_id") < batchId)
+        .agg(coalesce(sum(col("n_samples")), lit(0L))).head().getLong(0)
+    // partial-tail samples of the NEAREST drop strictly below this one
+    val carryDir = s"$outDir/_tar_carry"
+    val carry: Option[DataFrame] =
+      carryPartitionBelow(spark, carryDir, batchId).map { dir =>
+        spark.read.parquet(dir)
+          .select(col("__idx"), col("__id"), col("__pays"))
+      }
+    carry match {
+      case Some(c) =>
+        val cn = c.count()
+        require(cn == base % samplesPerShard,
+          s"writeTarShardsDrop: carry holds $cn samples but stream base " +
+            s"$base implies ${base % samplesPerShard}")
+      case None =>
+        require(base % samplesPerShard == 0L,
+          s"writeTarShardsDrop: no carry but stream base $base is not " +
+            s"shard-aligned (samplesPerShard $samplesPerShard)")
+    }
+    val keyed = tarKeyed(batch, idCol, payloads).withColumn("__one", lit(1L))
+    val fresh = GlobalWindows.running(keyed, Seq("__id"), Seq("__one"), "cumsum")
+      .withColumn("__idx", col("__one") - 1L + base)
+      .drop("__one")
+      .select(col("__idx"), col("__id"),
+        array(exts.map(e => col(s"__p_$e")): _*).as("__pays"))
+    val all = carry.map(_.unionByName(fresh)).getOrElse(fresh)
+      .withColumn("__shard", expr(s"__idx div ${samplesPerShard.toLong}L"))
+    val newN = batch.count()
+    val streamEnd = base + newN
+    val lastFull = streamEnd / samplesPerShard - 1 // shard s full iff (s+1)*sps <= end
+    tarFiles(all.filter(col("__shard") <= lastFull), outDir, tag, exts,
+        confEntries)
+      .write.mode("overwrite").parquet(s"$outDir/_tar_index/batch_id=$batchId")
+    // new carry: the (single) partial tail shard's samples — written even
+    // when EMPTY so the next drop's nearest-below lookup stops here
+    all.filter(col("__shard") > lastFull)
+      .select(col("__idx"), col("__id"), col("__pays"))
+      .write.mode("overwrite").parquet(s"$carryDir/batch_id=$batchId")
+    Seq(newN).toDF("n_samples").write.mode("overwrite")
+      .parquet(s"$totalsPath/batch_id=$batchId")
+  }
+
+  /** Flush the incremental tar stream's partial tail shard (if any) and
+    * CLOSE the stream — call once after the last drop to make the
+    * artifact complete; any later [[writeTarShardsDrop]] fails loudly on
+    * the `_FINALIZED` marker. Idempotent (deterministic tail shard name,
+    * overwritten index partition).
+    */
+  def finalizeTarShards(spark: SparkSession, outDir: String): Unit = {
+    val confEntries = hadoopConfEntries(spark)
+    carryPartitionBelow(spark, s"$outDir/_tar_carry", Long.MaxValue)
+      .foreach { dir =>
+        val tail = spark.read.parquet(dir)
+          .select(col("__idx"), col("__id"), col("__pays"))
+        if (!tail.isEmpty) {
+          val m = spark.read.parquet(s"$outDir/_tar_meta").head()
+          val exts = m.getSeq[String](m.fieldIndex("exts"))
+          val sps = m.getInt(m.fieldIndex("samples_per_shard"))
+          val tag = m.getString(m.fieldIndex("tag"))
+          tarFiles(tail.withColumn("__shard",
+              expr(s"__idx div ${sps.toLong}L")), outDir, tag, exts,
+              confEntries)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/_tar_index/batch_id=final")
+        }
+      }
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_FINALIZED")
+    val out = fsOf(outDir, confEntries).create(p, true)
+    out.close()
   }
 
   /** Parse indexed tar shards back to (key, ext, bytes) — the loader's

@@ -728,7 +728,9 @@ object Streams {
                       bands: Int = 8,
                       domainCapK: Option[Int] = None,
                       packBlockSize: Option[Long] = None,
-                      packBin: Boolean = false): Unit = {
+                      packBin: Boolean = false,
+                      tarPayloads: Option[Seq[(String, String)]] = None,
+                      tarSamplesPerShard: Int = 256): Unit = {
     require(!packBin || packBlockSize.isDefined,
       "curateDropWrite: packBin needs packBlockSize")
     val spark = batch.sparkSession
@@ -781,6 +783,16 @@ object Streams {
           // one-EOS-per-doc span length), mmap-ready under _bin
           if (packBin) graft.operators.Shards.packWriteShardsDrop(
             kept, "doc_id", "token_ids", c, s"$shardsDir/_bin", id)
+        }
+        // optional multimodal shipping tail: the accepted shard also
+        // joins the ONE logical WebDataset sample stream — complete
+        // .tar archives per drop under _wds, partial tail carried,
+        // retry-idempotent by writeTarShardsDrop's strictly-below-base
+        // contract (finalizeTarShards closes the stream)
+        tarPayloads.foreach { pays =>
+          graft.operators.Shards.writeTarShardsDrop(
+            kept, "doc_id", pays, s"$shardsDir/_wds", id,
+            samplesPerShard = tarSamplesPerShard)
         }
       } finally kept.unpersist()
     } finally batch.unpersist()
@@ -842,13 +854,16 @@ object Streams {
                           dedup: CrawlDedup = CrawlDedup.WithinWatermark(),
                           domainCapK: Option[Int] = None,
                           packBlockSize: Option[Long] = None,
-                          packBin: Boolean = false): Unit = {
+                          packBin: Boolean = false,
+                          tarPayloads: Option[Seq[(String, String)]] = None,
+                          tarSamplesPerShard: Int = 256): Unit = {
     val stream = crawlCurationStream(spark, crawlDir, merges, minQuality,
       langs, dedup)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         curateDropWrite(b, id, shardsDir, simhashIndexDir, maxHamming, bands,
-          domainCapK, packBlockSize, packBin)
+          domainCapK, packBlockSize, packBin, tarPayloads,
+          tarSamplesPerShard)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

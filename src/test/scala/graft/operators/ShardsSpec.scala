@@ -58,21 +58,31 @@ class ShardsSpec extends AnyFunSuite {
       bs, dirI, batchId = 0, eosId = eosId, blocksPerFile = 2)
     Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
       bs, dirI, batchId = 1, eosId = eosId, blocksPerFile = 2)
+    // at-least-once retry of drop 2 (retries happen BEFORE finalize —
+    // the streaming engine re-runs a batch, then the query shuts down):
+    // same base, same carry read, same file names -> identical artifact
+    val preFinal = Shards.readShardBlocks(spark, dirI).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
+      bs, dirI, batchId = 1, eosId = eosId, blocksPerFile = 2)
+    assert(Shards.readShardBlocks(spark, dirI).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == preFinal)
     Shards.packFinalizeShards(spark, dirI, bs)
     val expect = refBlocks(refStream(drop1 ++ drop2), bs.toInt)
     val got = Shards.readShardBlocks(spark, dirI)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(got == expect)
-    // at-least-once retry of drop 2: same base, same carry read, same
-    // file names -> byte-identical artifact
-    val before = Shards.readShardBlocks(spark, dirI).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    Shards.packWriteShardsDrop(drop2.toDF("doc_id", "ids"), "doc_id", "ids",
-      bs, dirI, batchId = 1, eosId = eosId, blocksPerFile = 2)
+    // finalize is idempotent (the driver-side call may itself retry)
     Shards.packFinalizeShards(spark, dirI, bs)
-    val after = Shards.readShardBlocks(spark, dirI).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(after == before)
+    assert(Shards.readShardBlocks(spark, dirI).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == expect)
+    // the stream is CLOSED: a post-finalize drop would re-complete the
+    // tail block the final-*.bin already shipped -> must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Shards.packWriteShardsDrop(Seq((12L, idsOf(12, 5))).toDF("doc_id", "ids"),
+        "doc_id", "ids", bs, dirI, batchId = 2, eosId = eosId)
+    }
+    assert(ex.getMessage.contains("_FINALIZED"))
   }
 
   test("block-aligned drop boundary: empty carry partition, next drop proceeds") {
@@ -141,6 +151,59 @@ class ShardsSpec extends AnyFunSuite {
     val after = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".tar")).map(f => f.getName -> digest(f)).toMap
     assert(before == after, "retried tar write must be byte-identical")
+  }
+
+  test("incremental tar drops + finalize == batch face; retry identical; post-finalize drop rejected") {
+    def sample(i: Long) = (i, Multimodal.syntheticJpeg(8, 6, i * 3 + 1),
+      s"""{"id":$i,"w":8,"h":6}""")
+    val pays = Seq("img" -> "jpg", "meta" -> "json")
+    val all = (1L to 10L).map(sample)
+    // batch reference artifact
+    val dirB = java.nio.file.Files.createTempDirectory("wds_b_").toString
+    Shards.writeTarShards(all.toDF("doc_id", "img", "meta"), "doc_id",
+      pays, dirB, samplesPerShard = 4)
+    def entries(dir: String) = Shards.readTarShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Array[Byte]](2).toSeq).toMap
+    val expect = entries(dirB)
+    // incremental: drop 0 = 6 samples (shard 1 partial), drop 1 = 4
+    val dirI = java.nio.file.Files.createTempDirectory("wds_i_").toString
+    val drop1 = all.take(6).toDF("doc_id", "img", "meta")
+    val drop2 = all.drop(6).toDF("doc_id", "img", "meta")
+    Shards.writeTarShardsDrop(drop1, "doc_id", pays, dirI, batchId = 0,
+      samplesPerShard = 4)
+    // at-least-once retry of drop 0 BEFORE the next drop: same base
+    // (no totals below 0), same shard names -> identical artifact
+    Shards.writeTarShardsDrop(drop1, "doc_id", pays, dirI, batchId = 0,
+      samplesPerShard = 4)
+    Shards.writeTarShardsDrop(drop2, "doc_id", pays, dirI, batchId = 1,
+      samplesPerShard = 4)
+    Shards.finalizeTarShards(spark, dirI)
+    assert(entries(dirI) == expect, "incremental == batch, entry-exact")
+    // the tar FILES are byte-identical to the batch face's too (same
+    // global shard ids, same deterministic headers)
+    def digests(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName -> java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    assert(digests(dirI) == digests(dirB))
+    // finalize is idempotent; the stream is then CLOSED
+    Shards.finalizeTarShards(spark, dirI)
+    assert(entries(dirI) == expect)
+    val ex = intercept[IllegalArgumentException] {
+      Shards.writeTarShardsDrop(Seq(sample(11L)).toDF("doc_id", "img", "meta"),
+        "doc_id", pays, dirI, batchId = 2, samplesPerShard = 4)
+    }
+    assert(ex.getMessage.contains("_FINALIZED"))
+    // geometry drift (different payload list) is rejected mid-stream
+    val dirG = java.nio.file.Files.createTempDirectory("wds_g_").toString
+    Shards.writeTarShardsDrop(drop1, "doc_id", pays, dirG, batchId = 0,
+      samplesPerShard = 4)
+    val gx = intercept[IllegalArgumentException] {
+      Shards.writeTarShardsDrop(drop2, "doc_id", Seq("img" -> "jpg"), dirG,
+        batchId = 1, samplesPerShard = 4)
+    }
+    assert(gx.getMessage.contains("geometry drift"))
   }
 
   test("blockTokens drops zero-length spans and fills EOS positions") {
