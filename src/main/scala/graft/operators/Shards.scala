@@ -543,9 +543,72 @@ object Shards {
     out.close()
   }
 
+  /** TOTAL ustar walk — never throws: parse as many entries as the
+    * bytes support and return `(entries, err)` where a non-empty `err`
+    * names the first structural defect (truncated header, bad magic,
+    * checksum mismatch, unparseable or oversized size field). Entries
+    * before the defect are salvaged; non-regular entries (directories,
+    * links, GNU extensions) are skipped but advanced over. The crawl
+    * ingests foreign archives through this walk ([[parseTarBatch]]);
+    * the self-written artifact reader ([[readTarShards]]) demands
+    * `err.isEmpty` on top of it.
+    */
+  private[operators] def tarWalk(buf: Array[Byte])
+      : (Vector[(String, Array[Byte])], String) = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var err = ""
+    var done = false
+    def str(from: Int, len: Int) = new String(buf, from, len, "ISO-8859-1")
+    while (!done && err.isEmpty) {
+      if (off + 512 > buf.length) {
+        // a conformant archive ends with two zero blocks BEFORE the
+        // bytes run out; running off the end is truncation
+        err = s"truncated header at offset $off"
+      } else if (buf(off) == 0) {
+        done = true // zero block: end of archive
+      } else if (str(off + 257, 5) != "ustar") {
+        err = s"bad tar magic at offset $off"
+      } else {
+        val stored = scala.util.Try(
+          Integer.parseInt(str(off + 148, 6).trim, 8)).getOrElse(-1)
+        val check = {
+          val c = java.util.Arrays.copyOfRange(buf, off, off + 512)
+          java.util.Arrays.fill(c, 148, 156, ' '.toByte)
+          c.map(_ & 0xff).sum
+        }
+        val size = scala.util.Try(
+          java.lang.Long.parseLong(str(off + 124, 11).trim, 8)).getOrElse(-1L)
+        if (stored != check) err = s"tar checksum mismatch at offset $off"
+        else if (size < 0) err = s"unparseable size field at offset $off"
+        else if (off + 512L + size > buf.length)
+          err = s"entry size $size exceeds archive at offset $off"
+        else {
+          val name = str(off, 100).takeWhile(_ != 0)
+          val flag = buf(off + 156)
+          // regular files only ('0' or NUL per POSIX); skip the rest
+          if ((flag == '0' || flag == 0) && name.nonEmpty)
+            out += ((name, java.util.Arrays.copyOfRange(
+              buf, off + 512, off + 512 + size.toInt)))
+          off += 512 + (((size + 511L) / 512L) * 512L).toInt
+        }
+      }
+    }
+    (out.result(), err)
+  }
+
+  /** Split a tar entry name into (key, ext) — extension-less names get
+    * an empty ext instead of crashing the walk. */
+  private def keyExt(name: String): (String, String) = {
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+  }
+
   /** Parse indexed tar shards back to (key, ext, bytes) — the loader's
     * view and the round-trip gate: strict ustar headers (magic checked,
-    * checksum verified), 512-byte block walk. */
+    * checksum verified), 512-byte block walk. Self-written artifacts
+    * only: any structural defect fails loudly (the crawl's foreign-tar
+    * path is [[parseTarBatch]], which flags instead). */
   def readTarShards(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val confEntries = hadoopConfEntries(spark)
@@ -558,36 +621,48 @@ object Shards {
         val buf = new Array[Byte](len.toInt)
         val in = fsys.open(p)
         try in.readFully(0L, buf) finally in.close()
-        val out = scala.collection.mutable.ArrayBuffer[(String, String, Array[Byte])]()
-        var off = 0
-        var done = false
-        while (!done && off + 512 <= buf.length) {
-          if (buf(off) == 0) { done = true } // zero block: end
-          else {
-            val magic = new String(buf, off + 257, 5, "ISO-8859-1")
-            require(magic == "ustar", s"$file: bad tar magic at $off")
-            val stored = Integer.parseInt(
-              new String(buf, off + 148, 6, "ISO-8859-1").trim, 8)
-            val check = {
-              val c = buf.slice(off, off + 512)
-              java.util.Arrays.fill(c, 148, 156, ' '.toByte)
-              c.map(_ & 0xff).sum
-            }
-            require(stored == check, s"$file: tar checksum mismatch at $off")
-            val name = new String(buf, off, 100, "ISO-8859-1")
-              .takeWhile(_ != 0)
-            val size = java.lang.Long.parseLong(
-              new String(buf, off + 124, 11, "ISO-8859-1").trim, 8)
-            val data = java.util.Arrays.copyOfRange(
-              buf, off + 512, off + 512 + size.toInt)
-            val dot = name.lastIndexOf('.')
-            out += ((name.substring(0, dot), name.substring(dot + 1), data))
-            off += 512 + ((size.toInt + 511) / 512) * 512
-          }
+        val (entries, err) = tarWalk(buf)
+        require(err.isEmpty, s"$file: $err")
+        entries.map { case (name, data) =>
+          val (key, ext) = keyExt(name)
+          (key, ext, data)
         }
-        out
       }
       .toDF("key", "ext", "bytes")
+  }
+
+  /** One [[parseTarBatch]] output row. */
+  final case class TarEntry(id: Long, key: String, ext: String,
+                            bytes: Array[Byte], n_entries: Int,
+                            ok: Boolean, err: String)
+
+  /** TOTAL per-row tar ingestion for FOREIGN archives (a crawl fetches
+    * tars it didn't write): each row's `bytesCol` is walked with
+    * [[tarWalk]] — healthy archives explode to one ok=true row per
+    * regular entry; a structurally corrupt archive still yields its
+    * salvageable prefix entries, every row flagged ok=false with the
+    * defect named in `err` (and a single entry-less marker row when
+    * nothing was salvageable), NEVER an exception. The PDF/EXIF
+    * totality contract, for tar.
+    */
+  def parseTarBatch(df: DataFrame, idCol: String,
+                    bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (entries, err) = tarWalk(
+          if (bytes == null) Array.emptyByteArray else bytes)
+        val ok = err.isEmpty
+        if (entries.isEmpty)
+          Seq(TarEntry(id, null, null, null, 0, ok, err))
+        else entries.map { case (name, data) =>
+          val (key, ext) = keyExt(name)
+          TarEntry(id, key, ext, data, entries.size, ok, err)
+        }
+      }
+      .toDF()
   }
 
   /** Loader-shaped epoch iteration over a shard artifact: every indexed

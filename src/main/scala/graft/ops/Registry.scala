@@ -956,6 +956,15 @@ final class Registry(spark: SparkSession) {
       graft.operators.Shards.readTarShards(spark,
         asStr(a.require("dir", 0), "dir"))
     },
+    "graft.parse_tar" -> { a =>
+      // TOTAL foreign-tar ingestion: explode a binary column of fetched
+      // archives to per-entry rows; corrupt archives flag ok=false with
+      // the defect named, never throw (the PDF/EXIF totality contract)
+      graft.operators.Shards.parseTarBatch(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("bytes", -1).getOrElse("bytes"), "bytes"))
+    },
     "graft.read_shard_blocks" -> { a =>
       // parse indexed .bin shards back to (block, ids) — the loader-shaped
       // read path and the round-trip gate's other half

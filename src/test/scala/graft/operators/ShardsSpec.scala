@@ -206,6 +206,92 @@ class ShardsSpec extends AnyFunSuite {
     assert(gx.getMessage.contains("geometry drift"))
   }
 
+  test("parseTarBatch corrupt-totality battery: salvage + flag, never throw") {
+    // build one healthy archive through the real writer
+    val dir = java.nio.file.Files.createTempDirectory("wds_t_").toString
+    Shards.writeTarShards(
+      Seq((1L, "alpha", "{}"), (2L, "beta", "{}"))
+        .toDF("doc_id", "txt", "meta"),
+      "doc_id", Seq("txt" -> "txt", "meta" -> "json"), dir,
+      samplesPerShard = 16)
+    val healthy = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+        .head.toPath)
+
+    def parse(id: Long, bytes: Array[Byte]) =
+      Shards.parseTarBatch(Seq((id, bytes)).toDF("doc_id", "bytes"),
+          "doc_id", "bytes")
+        .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("ext"),
+          r.getAs[Boolean]("ok"), r.getAs[String]("err")))
+
+    // healthy: 4 entries, all ok
+    val good = parse(1, healthy)
+    assert(good.length == 4 && good.forall(e => e._3 && e._4.isEmpty))
+    assert(good.map(e => (e._1, e._2)).toSet ==
+      Set(("000000000001", "txt"), ("000000000001", "json"),
+        ("000000000002", "txt"), ("000000000002", "json")))
+
+    // truncated mid-entry: salvage the complete prefix, flag the rest
+    val truncated = parse(2, healthy.take(512 * 3 + 7))
+    assert(truncated.forall(e => !e._3 && e._4.contains("truncated")))
+    assert(truncated.count(_._1 != null) >= 1, "prefix entries salvaged")
+
+    // flipped checksum byte in the SECOND header: first entry salvaged
+    val badSum = healthy.clone(); badSum(1024 + 148) = '9'
+    val bs = parse(3, badSum)
+    assert(bs.forall(e => !e._3 && e._4.contains("checksum")))
+    assert(bs.count(_._1 != null) == 1)
+
+    // oversized size field: claims more bytes than the archive holds
+    val overSize = healthy.clone()
+    "77777777777".getBytes("ISO-8859-1").copyToArray(overSize, 124)
+    // re-stamp the checksum so the SIZE check is what trips
+    val hdr = java.util.Arrays.copyOfRange(overSize, 0, 512)
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    f"${hdr.map(_ & 0xff).sum}%06o  ".getBytes("ISO-8859-1")
+      .copyToArray(overSize, 148)
+    val os = parse(4, overSize)
+    assert(os.length == 1 && os.head._1 == null &&
+      !os.head._3 && os.head._4.contains("exceeds archive"))
+
+    // bad magic (not a tar at all) and null/empty inputs
+    assert(parse(5, "clearly not a tar archive at all padding padding"
+      .getBytes("UTF-8").padTo(1024, 0.toByte)) // >=512 so header parses
+      .forall(e => !e._3 && e._4.contains("magic")))
+    assert(parse(6, Array.emptyByteArray)
+      .forall(e => !e._3 && e._4.contains("truncated")))
+    assert(parse(7, null).forall(e => !e._3))
+
+    // extension-less entry name + directory entry: key whole-name/'' ext,
+    // directories skipped — foreign-tar shapes the strict reader never
+    // writes (GNU tar interop)
+    val bos = new java.io.ByteArrayOutputStream()
+    def rawEntry(name: String, flag: Byte, data: Array[Byte]): Unit = {
+      val h = new Array[Byte](512)
+      name.getBytes("ISO-8859-1").copyToArray(h, 0)
+      "0000644 ".getBytes("ISO-8859-1").copyToArray(h, 100)
+      "0000000 ".getBytes("ISO-8859-1").copyToArray(h, 108)
+      "0000000 ".getBytes("ISO-8859-1").copyToArray(h, 116)
+      f"${data.length}%011o ".getBytes("ISO-8859-1").copyToArray(h, 124)
+      f"${0}%011o ".getBytes("ISO-8859-1").copyToArray(h, 136)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = flag
+      "ustar ".getBytes("ISO-8859-1").copyToArray(h, 257)
+      "00".getBytes("ISO-8859-1").copyToArray(h, 263)
+      f"${h.map(_ & 0xff).sum}%06o  ".getBytes("ISO-8859-1")
+        .copyToArray(h, 148)
+      bos.write(h); bos.write(data)
+      val pad = (512 - (data.length % 512)) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    rawEntry("subdir/", '5', Array.emptyByteArray)
+    rawEntry("README", '0', "hello".getBytes("UTF-8"))
+    bos.write(new Array[Byte](1024))
+    val foreign = parse(8, bos.toByteArray)
+    assert(foreign.length == 1 && foreign.head._3 &&
+      foreign.head._1 == "README" && foreign.head._2 == "")
+  }
+
   test("blockTokens drops zero-length spans and fills EOS positions") {
     val df = Seq((1L, Seq.empty[Int]), (2L, Seq(9, 9, 9))).toDF("doc_id", "ids")
     // eosTokens = 0: doc 1 spans nothing and must contribute no block rows

@@ -731,7 +731,7 @@ class ExamplesSpec extends AnyFunSuite {
     assert(anchors.head == ("alpha home", 6L), s"anchors=${anchors.toSeq}")
   }
 
-  test("examples/pretrain_pack.yaml: unimax plan -> pack manifest/blocks -> KMV overlap") {
+  test("examples/pretrain_pack.yaml: unimax -> pack manifest/blocks/doc-map -> .bin + FIM tars -> KMV overlap") {
     val out = freshDir("ex_pp_out")
     new Pipeline(spark, "examples/pretrain_pack.yaml",
       Map("sf_dir" -> graft.TestSpark.sfDir, "out_dir" -> out)).run()
@@ -801,5 +801,43 @@ class ExamplesSpec extends AnyFunSuite {
       .head().getSeq[Int](0)
     assert(blocks.head._2.take(firstDoc.size) == firstDoc,
       "stream head != first doc's token ids")
+
+    // per-block document map: every block's spans are gapless, start at
+    // 0, and cover exactly its fill from the block report
+    val dm = spark.read.parquet(s"$out/block_doc_map.parquet")
+      .orderBy("block").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+    assert(dm.map(_._1).toSeq == fills.indices.map(_.toLong))
+    dm.foreach { case (b, spans) =>
+      var pos = 0L
+      spans.foreach { s =>
+        assert(s.getLong(0) == pos, s"block $b: span gap at $pos")
+        pos += s.getLong(1)
+      }
+      assert(pos == fills(b.toInt), s"block $b: spans cover $pos != fill")
+    }
+
+    // FIM artifact: ~90% of docs transformed, both PSM and SPM present,
+    // untouched rows keep their text verbatim
+    val fim = spark.read.parquet(s"$out/fim.parquet")
+    val modes = fim.groupBy("mode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = modes.values.sum
+    assert(modes.keySet == Set("psm", "spm", "none"), s"modes: $modes")
+    assert(modes("none") < total / 5, s"rate ~0.9 expected: $modes")
+    // tar shipping: entries round-trip through the strict ustar parser,
+    // one .txt + one .json per doc, and each .txt byte-equals fim_text
+    val entries = spark.read.parquet(s"$out/tar_entries.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(entries.size == 2 * total, s"2 entries per doc: ${entries.size}")
+    val fimTexts = fim.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fim_text")).toMap
+    fimTexts.foreach { case (id, txt) =>
+      assert(entries((f"$id%012d", "txt")) == txt, s"doc $id tar txt drift")
+      assert(entries((f"$id%012d", "json")).contains(s""""id":$id"""))
+    }
+    val tarIdx = spark.read.parquet(s"$out/tar_index.parquet").collect()
+    assert(tarIdx.map(_.getAs[Long]("n_samples")).sum == total)
   }
 }

@@ -1008,7 +1008,9 @@ class StreamingSpec extends AnyFunSuite {
       merges, s"$out/shards", s"$out/ckpt", s"$out/simhash_ix",
       maxHamming = 7, dedup = Streams.CrawlDedup.AgainstIndex(
         fpIx, delay = "1 hour"),
-      domainCapK = Some(k), packBlockSize = Some(16L), packBin = true)
+      domainCapK = Some(k), packBlockSize = Some(16L), packBin = true,
+      tarPayloads = Some(Seq("text" -> "txt", "canon_url" -> "url")),
+      tarSamplesPerShard = 3)
 
     // drop A at 10:00: the exact-dup source, the near-dup base, 2 novels
     writeCrawlDrop(crawlDir, "a.warc", "2026-03-01T10:00:00Z", Seq(
@@ -1080,6 +1082,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sortBy(_.getLong(0)).flatMap(_.getSeq[Int](1)).toSeq
     assert(stream == expected,
       s"binary stream (${stream.size} tokens) != packed reference (${expected.size})")
+
+    // WebDataset tail: the accepted docs also shipped as tar shards
+    // across the SAME drops (complete archives per drop, carried tail) —
+    // finalize, read back through the strict ustar parser, and every
+    // sample's .txt/.url entries must byte-match the curated columns
+    graft.operators.Shards.finalizeTarShards(spark, s"$out/shards/_wds")
+    val tarBack = graft.operators.Shards.readTarShards(spark, s"$out/shards/_wds")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    val curated = b.select(col("doc_id"), col("text"), col("canon_url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(tarBack.size == 2 * curated.length,
+      s"one .txt + one .url per accepted doc: ${tarBack.size}")
+    curated.foreach { case (id, text, url) =>
+      assert(tarBack((f"$id%012d", "txt")) == text, s"doc $id tar text drift")
+      assert(tarBack((f"$id%012d", "url")) == url, s"doc $id tar url drift")
+    }
   }
 
   test("PDF responses flow through the curation chain as a source stage") {
