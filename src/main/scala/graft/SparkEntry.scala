@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core, Corpus, Extra, Funcs, NorthStar, Prep, Q, Round10, Round11, Round12, Round13, Round14, Round14b, Round15, Window2}
+import graft.queries.{Core, Corpus, Extra, Funcs, NorthStar, Prep, Q, Round10, Round11, Round12, Round13, Round14, Round14b, Round15, Round16, Window2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.{Core,Funcs,NorthStar}; each carries its
@@ -11,7 +11,8 @@ object SparkEntry {
   private def allQ: Seq[Q] =
     Core.all ++ Funcs.all ++ Window2.all ++ Extra.all ++ NorthStar.all ++
       Prep.all ++ Corpus.all ++ Round10.all ++ Round11.all ++ Round12.all ++
-      Round13.all ++ Round14.all ++ Round14b.all ++ Round15.all
+      Round13.all ++ Round14.all ++ Round14b.all ++ Round15.all ++
+      Round16.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -461,6 +461,108 @@ object Prep {
         col("__fp_old").as("fp_old"), col("__fp_new").as("fp_new"))
   }
 
+  /** C4-style CORPUS-level line dedup (Raffel et al. 2020 §2.2 dedups
+    * three-sentence spans corpus-wide; the line-grain variant is what
+    * the released C4 scripts apply): each distinct line survives only
+    * at its FIRST occurrence — smallest (doc, position) — and every
+    * other copy anywhere in the corpus is dropped; docs reassemble in
+    * original line order (possibly to an empty string). This is the
+    * cross-doc face of the within-doc `collapse_dup_lines` gate.
+    *
+    * Scale shape: one line-grain aggregate whose two measures (count
+    * isn't even needed — min(struct(doc, pos)) alone decides) combine
+    * map-side, so a billion-copy boilerplate line reaches its reducer
+    * as one row per map partition; one join back at line grain (AQE
+    * splits the skewed boilerplate keys); one doc-grain reassembly.
+    * Nothing ever holds more than one document's lines.
+    */
+  def corpusLineDedup(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val first = lines.groupBy(col("__line"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = lines.join(first, Seq("__line"))
+      .filter(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s("__line")), "\n").as("__kept_text"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__kept_text"), lit("")).as("text"),
+        col("__n_lines").as("n_lines"),
+        (col("__n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** Boilerplate-LINE ratio — the RefinedWeb/quality-filter signal the
+    * corpus-level dedup decision reads: the fraction of a doc's lines
+    * that occur in at least `minDocs` DISTINCT documents (navigation,
+    * cookie banners, footers). Complements the per-SOURCE sentence-grain
+    * [[Scoring.boilerplateRatio]] (q217): this face is corpus-wide, at
+    * line grain, thresholded by absolute distinct-doc count — the knob
+    * C4-style line dedup reads. Same line-grain aggregate shape as
+    * [[corpusLineDedup]]; the per-line doc set never materializes
+    * (count_distinct partial-aggregates).
+    */
+  def boilerplateLineRatio(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2,
+      s"boilerplateLineRatio: minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val freq = lines.groupBy(col("__line"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+    lines.join(freq, Seq("__line"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_lines"), 6)
+          .as("boiler_frac"))
+  }
+
+  /** Encoding-quality scan — the mojibake/ftfy-class gate a crawled
+    * corpus needs before any text op trusts the bytes: counts of
+    * U+FFFD replacement characters (decoder already gave up), C1
+    * control characters U+0080–U+009F (the windows-1252-as-latin-1
+    * misdecode fingerprint), and UTF-8-double-decode digraphs (Ã/Â/â
+    * followed by a continuation-range char — 'café' read as latin-1
+    * and re-encoded becomes 'cafÃ©'). Pure codegen'd column math
+    * (regexp counts + one score projection), zero shuffles.
+    */
+  def encodingQuality(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    // patterns built from code points (literal chars inside a class,
+    // no escape-dialect drift), so the same pattern TEXT reaches any
+    // regex engine an oracle replays this with
+    val c1 = s"[${0x80.toChar}-${0x9f.toChar}]"
+    val moji = s"[${0xc3.toChar}${0xc2.toChar}${0xe2.toChar}]" +
+      s"[${0x80.toChar}-${0xbf.toChar}]"
+    val nRepl = regexp_count(t, lit(0xfffd.toChar.toString))
+    val nC1 = regexp_count(t, lit(c1))
+    val nMoji = regexp_count(t, lit(moji))
+    df.select(col(idCol),
+      nRepl.cast("long").as("n_replacement"),
+      nC1.cast("long").as("n_c1"),
+      nMoji.cast("long").as("n_mojibake"),
+      round(lit(1.0) - least(lit(1.0),
+        (nRepl * 3 + nC1 * 2 + nMoji * 2).cast("double") /
+          greatest(len, lit(1.0))), 6).as("enc_score"),
+      (nRepl + nC1 + nMoji === 0).as("enc_ok"))
+  }
+
   def zscore(df: DataFrame, valueCols: Seq[String], by: Seq[String] = Nil,
              ddof: Int = 1): DataFrame = {
     require(valueCols.nonEmpty, "zscore: valueCols must be non-empty")

@@ -752,6 +752,35 @@ object Scoring {
                          model: DataFrame, order: Int = 5): DataFrame =
     ccnetTerciles(knScore(df, idCol, textCol, model, order), idCol)
 
+  /** TWO-model contrast scoring — the importance signal data selection
+    * actually ranks by (Xie et al. 2023 DSIR's log-ratio; CCNet's
+    * "target-domain LM" idea; Moore-Lewis 2010 cross-entropy
+    * difference): each doc scored under an IN-domain and an OUT-domain
+    * frozen [[knTrain]] model, contrast = per-token mean log-prob
+    * difference (positive = closer to the target distribution),
+    * exp(contrast) the importance weight a resampler would use. Two
+    * [[knScore]] passes (each dedups the token stream to n-gram TYPES
+    * before any model join) and one doc-grain join — the scoring is
+    * all model-side lookups, nothing refits.
+    */
+  def knContrast(df: DataFrame, idCol: String, textCol: String,
+                 modelIn: DataFrame, modelOut: DataFrame,
+                 order: Int = 5): DataFrame = {
+    val a = knScore(df, idCol, textCol, modelIn, order)
+      .select(col("id"), col("kn_lp").as("__lp_in"), col("n_grams"))
+    val b = knScore(df, idCol, textCol, modelOut, order)
+      .select(col("id"), col("kn_lp").as("__lp_out"))
+    a.join(b, Seq("id"))
+      .select(col("id"),
+        round(col("__lp_in"), 6).as("lp_in"),
+        round(col("__lp_out"), 6).as("lp_out"),
+        round(col("__lp_in") - col("__lp_out"), 6).as("contrast"),
+        // 6dp-rounded comparison: the flag must be reproducible across
+        // engines whose window-sum association differs in the last ulp
+        (round(col("__lp_in") - col("__lp_out"), 6) > 0).as("in_domain"),
+        col("n_grams"))
+  }
+
   /** The tercile cut shared by the refit and frozen-model faces: global
     * order via distributed prefix sums, integer edges against one
     * broadcast scalar, 6dp-rounded sort key + id tiebreak. */

@@ -1325,6 +1325,30 @@ final class Registry(spark: SparkSession) {
       val textCol = asStr(a.get("text", -1).getOrElse("text"), "text")
       df.withColumn(textCol, Text.collapseDupLines(col(textCol)))
     },
+    "graft.corpus_line_dedup" -> { a =>
+      // CORPUS-level line dedup (C4): each distinct line survives only
+      // at its first (doc, pos) occurrence anywhere; docs reassemble in
+      // line order. The cross-doc face of collapse_dup_lines.
+      graft.operators.Prep.corpusLineDedup(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
+    "graft.boilerplate_lines" -> { a =>
+      // fraction of a doc's lines occurring in >= min_docs distinct docs
+      // corpus-wide (line-grain twin of the per-source sentence-grain
+      // graft.boilerplate_ratio)
+      graft.operators.Prep.boilerplateLineRatio(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        minDocs = a.get("min_docs", -1).map(asInt(_, "min_docs")).getOrElse(2))
+    },
+    "graft.encoding_quality" -> { a =>
+      // mojibake/ftfy-class scan: replacement chars, C1 controls,
+      // double-decode digraphs -> per-doc counts + score; zero shuffle
+      graft.operators.Prep.encodingQuality(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"))
+    },
     "graft.dup_spans" -> { a =>
       // per-doc count of word n-grams shared with >= 1 other doc (exact
       // substring dedup signal)
@@ -1581,6 +1605,23 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         model,
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+    },
+    "graft.kn_contrast" -> { a =>
+      // two-model contrast scoring (DSIR/Moore-Lewis): per-doc mean
+      // log-prob difference under in-domain vs out-domain frozen models
+      // (frames or saved dirs); exp(contrast) is the importance weight
+      val df = asDf(a.require("df", 0), "df")
+      def modelOf(key: String) = a.get(key, -1) match {
+        case Some(s: String) => df.sparkSession.read.parquet(s)
+        case Some(other) => asDf(other, key)
+        case None => throw PipelineError(
+          s"kn_contrast: needs `$key` (a kn_train frame or a saved model dir)")
+      }
+      graft.operators.Scoring.knContrast(df,
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        modelOf("model_in"), modelOf("model_out"),
         order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
     },
     "graft.langid_profiles" -> { a =>

@@ -65,7 +65,7 @@ object Round15 {
     * DuckDB otherwise inlines the five-level chain exponentially.
     * `docFilter` scopes the training corpus (e.g. "WHERE doc_id % 2 = 0").
     */
-  private def knArpaSql(docFilter: String): String = {
+  private[queries] def knArpaSql(docFilter: String): String = {
     // count tables + history stats + fitted discounts, bottom of Round13's
     // kn5ModelSql verbatim in shape
     val counts = s"""
@@ -155,51 +155,52 @@ object Round15 {
     * otherwise fold [[graft.operators.Scoring.knScore]] assembles.
     * Emits `sc(doc_id, lp)`.
     */
-  private def knWalkSql(docFilter: String): String = {
-    val g = (lo: Int, hi: Int) => (lo to hi).map(i => s"sg.w$i").mkString(" || ' ' || ")
+  private[queries] def knWalkSql(docFilter: String, p: String = "",
+                                 model: String = "m"): String = {
+    val g = (lo: Int, hi: Int) => (lo to hi).map(i => s"${p}sg.w$i").mkString(" || ' ' || ")
     s""",
-        stoks AS MATERIALIZED (
+        ${p}stoks AS MATERIALIZED (
           SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
           FROM documents $docFilter),
-        sg AS MATERIALIZED (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+        ${p}sg AS MATERIALIZED (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
                   w[i+3] AS w4, w[i+4] AS w5
-                FROM stoks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+                FROM ${p}stoks, unnest(generate_series(1, len(w) - 4)) AS t(i)
                 WHERE len(w) >= 5),
-        ml5 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 5 AND lp IS NOT NULL),
-        ml4 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 4 AND lp IS NOT NULL),
-        ml3 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 3 AND lp IS NOT NULL),
-        ml2 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 2 AND lp IS NOT NULL),
-        ml1 AS MATERIALIZED (SELECT gram, lp FROM m WHERE level = 1 AND lp IS NOT NULL),
-        mb5 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 4 AND bow IS NOT NULL),
-        mb4 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 3 AND bow IS NOT NULL),
-        mb3 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 2 AND bow IS NOT NULL),
-        mb2 AS MATERIALIZED (SELECT gram, bow FROM m WHERE level = 1 AND bow IS NOT NULL),
-        mf AS MATERIALIZED (SELECT lp AS flp FROM m WHERE level = 0),
-        sc AS MATERIALIZED (
-          SELECT sg.doc_id,
-            CASE WHEN ml5.lp IS NOT NULL THEN ml5.lp
-                 ELSE COALESCE(mb5.bow, 0) +
-              CASE WHEN ml4.lp IS NOT NULL THEN ml4.lp
-                   ELSE COALESCE(mb4.bow, 0) +
-                CASE WHEN ml3.lp IS NOT NULL THEN ml3.lp
-                     ELSE COALESCE(mb3.bow, 0) +
-                  CASE WHEN ml2.lp IS NOT NULL THEN ml2.lp
-                       ELSE COALESCE(mb2.bow, 0) +
-                    COALESCE(ml1.lp, mf.flp)
+        ${p}ml5 AS MATERIALIZED (SELECT gram, lp FROM $model WHERE level = 5 AND lp IS NOT NULL),
+        ${p}ml4 AS MATERIALIZED (SELECT gram, lp FROM $model WHERE level = 4 AND lp IS NOT NULL),
+        ${p}ml3 AS MATERIALIZED (SELECT gram, lp FROM $model WHERE level = 3 AND lp IS NOT NULL),
+        ${p}ml2 AS MATERIALIZED (SELECT gram, lp FROM $model WHERE level = 2 AND lp IS NOT NULL),
+        ${p}ml1 AS MATERIALIZED (SELECT gram, lp FROM $model WHERE level = 1 AND lp IS NOT NULL),
+        ${p}mb5 AS MATERIALIZED (SELECT gram, bow FROM $model WHERE level = 4 AND bow IS NOT NULL),
+        ${p}mb4 AS MATERIALIZED (SELECT gram, bow FROM $model WHERE level = 3 AND bow IS NOT NULL),
+        ${p}mb3 AS MATERIALIZED (SELECT gram, bow FROM $model WHERE level = 2 AND bow IS NOT NULL),
+        ${p}mb2 AS MATERIALIZED (SELECT gram, bow FROM $model WHERE level = 1 AND bow IS NOT NULL),
+        ${p}mf AS MATERIALIZED (SELECT lp AS flp FROM $model WHERE level = 0),
+        ${p}sc AS MATERIALIZED (
+          SELECT ${p}sg.doc_id,
+            CASE WHEN ${p}ml5.lp IS NOT NULL THEN ${p}ml5.lp
+                 ELSE COALESCE(${p}mb5.bow, 0) +
+              CASE WHEN ${p}ml4.lp IS NOT NULL THEN ${p}ml4.lp
+                   ELSE COALESCE(${p}mb4.bow, 0) +
+                CASE WHEN ${p}ml3.lp IS NOT NULL THEN ${p}ml3.lp
+                     ELSE COALESCE(${p}mb3.bow, 0) +
+                  CASE WHEN ${p}ml2.lp IS NOT NULL THEN ${p}ml2.lp
+                       ELSE COALESCE(${p}mb2.bow, 0) +
+                    COALESCE(${p}ml1.lp, ${p}mf.flp)
                   END
                 END
               END
             END AS lp
-          FROM sg
-          LEFT JOIN ml5 ON ml5.gram = ${g(1, 5)}
-          LEFT JOIN mb5 ON mb5.gram = ${g(1, 4)}
-          LEFT JOIN ml4 ON ml4.gram = ${g(2, 5)}
-          LEFT JOIN mb4 ON mb4.gram = ${g(2, 4)}
-          LEFT JOIN ml3 ON ml3.gram = ${g(3, 5)}
-          LEFT JOIN mb3 ON mb3.gram = ${g(3, 4)}
-          LEFT JOIN ml2 ON ml2.gram = ${g(4, 5)}
-          LEFT JOIN mb2 ON mb2.gram = sg.w4
-          LEFT JOIN ml1 ON ml1.gram = sg.w5, mf)"""
+          FROM ${p}sg
+          LEFT JOIN ${p}ml5 ON ${p}ml5.gram = ${g(1, 5)}
+          LEFT JOIN ${p}mb5 ON ${p}mb5.gram = ${g(1, 4)}
+          LEFT JOIN ${p}ml4 ON ${p}ml4.gram = ${g(2, 5)}
+          LEFT JOIN ${p}mb4 ON ${p}mb4.gram = ${g(2, 4)}
+          LEFT JOIN ${p}ml3 ON ${p}ml3.gram = ${g(3, 5)}
+          LEFT JOIN ${p}mb3 ON ${p}mb3.gram = ${g(3, 4)}
+          LEFT JOIN ${p}ml2 ON ${p}ml2.gram = ${g(4, 5)}
+          LEFT JOIN ${p}mb2 ON ${p}mb2.gram = ${p}sg.w4
+          LEFT JOIN ${p}ml1 ON ${p}ml1.gram = ${p}sg.w5, ${p}mf)"""
   }
 
   def all: Seq[Q] = Seq(

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-16 queries: corpus-LEVEL line dedup (C4's cross-document line
+  * suppression — the within-doc collapse gate q110 can't see), the
+  * boilerplate-line ratio quality signal, the encoding-quality
+  * (mojibake/ftfy-class) scan, and two-model LM contrast scoring (the
+  * DSIR / Moore-Lewis importance signal over frozen KN artifacts).
+  * Every oracle rebuilds the whole computation in DuckDB — line
+  * frequency tables, first-occurrence argmins, regex tallies, a second
+  * full KN refit plus two prefixed back-off walks.
+  */
+object Round16 {
+
+  /** Line-grain spiked fixture shared by q314/q315: the flat documents
+    * text becomes a multi-line doc — a boilerplate header (one of 7
+    * variants, so each appears in ~1/7 of docs), the doc's own 8-word
+    * chunk lines, and the SAME boilerplate line again as a footer (a
+    * within-doc duplicate every doc has). Natural cross-doc chunk
+    * collisions stay in play — the oracle replays whatever happens.
+    */
+  private def lineFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    val boiler = concat(lit("subscribe to box "), (col("doc_id") % 7).cast("string"))
+    t(s, d, "documents").select(col("doc_id"),
+      array_join(concat(array(boiler), chunks, array(boiler)), "\n")
+        .as("text"))
+  }
+
+  private val lineFixtureSql = """
+        w AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+          FROM documents),
+        ch AS MATERIALIZED (SELECT doc_id,
+            list_transform(
+              generate_series(0, CAST(ceil(len(words) / 8.0) AS INT) - 1),
+              i -> array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS chunks
+          FROM w),
+        docs AS MATERIALIZED (SELECT doc_id,
+            list_concat(list_concat(
+              ['subscribe to box ' || CAST(doc_id % 7 AS VARCHAR)],
+              chunks),
+              ['subscribe to box ' || CAST(doc_id % 7 AS VARCHAR)]) AS lines
+          FROM ch),
+        ln AS MATERIALIZED (
+          SELECT doc_id, i - 1 AS pos, lines[i] AS line
+          FROM docs, unnest(generate_series(1, len(lines))) AS t(i))"""
+
+  /** Encoding-defect spikes, built from code points in ONE place and
+    * interpolated into both engines' literals so the byte streams can
+    * never drift. Class 1: UTF-8-as-latin-1 double decode ('café' ->
+    * 'cafÃ©', a RIGHT SINGLE QUOTE -> 'â' + two C1 chars). Class 2:
+    * U+FFFD replacement chars. Class 3: bare C1 controls (NEL + 0x92).
+    */
+  private val mojiSpike = " caf" + 0xc3.toChar + 0xa9.toChar +
+    " na" + 0xc3.toChar + 0xaf.toChar + "ve" +
+    " it" + 0xe2.toChar + 0x80.toChar + 0x99.toChar + "s"
+  private val replSpike = " bad" + 0xfffd.toChar + "byte" + 0xfffd.toChar
+  private val c1Spike = " ctrl" + 0x85.toChar + 0x92.toChar + "chars"
+
+  def all: Seq[Q] = Seq(
+
+    // CORPUS-level line dedup — C4's cross-document suppression (Raffel
+    // et al. 2020 §2.2): each distinct line survives only at its first
+    // (doc, position) occurrence anywhere in the corpus. The fixture
+    // plants a 7-variant boilerplate line as header AND footer of every
+    // doc, so three branches are pinned per variant: the one doc that
+    // keeps it (min doc_id of its class), the same doc's footer copy
+    // dropped (within-doc), and every other doc's both copies dropped
+    // (cross-doc). Chunk lines are (mostly) unique and must survive.
+    Q("q314_corpus_line_dedup", (s, d) =>
+      graft.operators.Prep.corpusLineDedup(lineFixture(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("WITH" + lineFixtureSql + """,
+        rk AS MATERIALIZED (SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line
+                 ORDER BY doc_id, pos) AS rn
+             FROM ln),
+        kept AS (SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   COUNT(*) AS n_kept
+                 FROM rk WHERE rn = 1 GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines
+                FROM docs)
+        SELECT tot.doc_id, COALESCE(kept.text, '') AS text, tot.n_lines,
+          tot.n_lines - COALESCE(kept.n_kept, 0) AS n_dropped
+        FROM tot LEFT JOIN kept USING (doc_id)
+        ORDER BY tot.doc_id""")),
+
+    // Boilerplate-line ratio — the quality-filter face of the same
+    // line-frequency table: fraction of a doc's lines occurring in >= 3
+    // DISTINCT docs. The planted boilerplate appears in ~1/7 of docs
+    // (always common); chunk lines are essentially always private — so
+    // the expected ratio is ~2/n_lines, and any natural chunk collision
+    // crossing 3 docs moves BOTH engines identically.
+    Q("q315_boilerplate_lines", (s, d) =>
+      graft.operators.Prep.boilerplateLineRatio(lineFixture(s, d), "doc_id",
+          "text", minDocs = 3)
+        .orderBy(col("doc_id")),
+      Some("WITH" + lineFixtureSql + """,
+        fq AS MATERIALIZED (SELECT line,
+               COUNT(DISTINCT doc_id) AS docs FROM ln GROUP BY line)
+        SELECT ln.doc_id, COUNT(*) AS n_lines,
+          CAST(SUM(CASE WHEN fq.docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_common,
+          round(SUM(CASE WHEN fq.docs >= 3 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+        FROM ln JOIN fq USING (line)
+        GROUP BY ln.doc_id ORDER BY ln.doc_id""")),
+
+    // Encoding-quality scan — the mojibake/ftfy-class gate: replacement
+    // chars, C1 controls, and UTF-8-double-decode digraphs counted with
+    // the SAME pattern text in both engines (patterns and spikes are
+    // built from code points in one place). Four fixture classes pin
+    // the clean path and each defect family; the â€™ spike exercises
+    // the digraph AND C1 counters on the same chars.
+    Q("q316_encoding_quality", (s, d) => {
+      val spiked = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1, lit(mojiSpike))
+            .when(col("doc_id") % 4 === 2, lit(replSpike))
+            .when(col("doc_id") % 4 === 3, lit(c1Spike))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Prep.encodingQuality(spiked, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some {
+      val c1 = s"[${0x80.toChar}-${0x9f.toChar}]"
+      val moji = s"[${0xc3.toChar}${0xc2.toChar}${0xe2.toChar}]" +
+        s"[${0x80.toChar}-${0xbf.toChar}]"
+      val repl = 0xfffd.toChar.toString
+      s"""
+        WITH s AS MATERIALIZED (
+          SELECT doc_id, text ||
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 1 THEN '$mojiSpike'
+              WHEN 2 THEN '$replSpike'
+              WHEN 3 THEN '$c1Spike'
+              ELSE '' END AS text
+          FROM documents),
+        c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$repl')) AS BIGINT) AS n_replacement,
+            CAST(len(regexp_extract_all(text, '$c1')) AS BIGINT) AS n_c1,
+            CAST(len(regexp_extract_all(text, '$moji')) AS BIGINT) AS n_mojibake,
+            CAST(len(text) AS DOUBLE) AS l
+          FROM s)
+        SELECT doc_id, n_replacement, n_c1, n_mojibake,
+          round(1.0 - least(1.0,
+            (3 * n_replacement + 2 * n_c1 + 2 * n_mojibake) / greatest(l, 1.0)),
+            6) AS enc_score,
+          (n_replacement + n_c1 + n_mojibake) = 0 AS enc_ok
+        FROM c ORDER BY doc_id"""
+    }),
+
+    // Two-model LM contrast — the DSIR / Moore-Lewis importance signal:
+    // score a held-out eighth of the corpus under the FROZEN in-domain
+    // artifact (q304's model, read from parquet by both engines) and an
+    // out-domain model fit on a disjoint eighth; contrast = per-token
+    // mean log-prob difference. The oracle refits the out-model from
+    // scratch (the full knArpaSql chain) and replays BOTH back-off
+    // walks with prefixed CTEs — every bow, every longest-match branch,
+    // on text neither model trained on.
+    Q("q317_kn_contrast", (s, d) => {
+      val docs = t(s, d, "documents")
+      val modelIn = Round15.ensureKnModel(s, d)
+      val modelOut = graft.operators.Scoring.knTrain(
+        docs.filter(col("doc_id") % 8 === 1), "doc_id", "text", order = 5)
+      graft.operators.Scoring.knContrast(
+          docs.filter(col("doc_id") % 8 === 5), "doc_id", "text",
+          modelIn, modelOut, order = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH m_in AS MATERIALIZED (
+          SELECT * FROM read_parquet('/tmp/graft_artifacts/kn5_{SF}/*.parquet'))""" +
+      "," + Round15.knArpaSql("WHERE doc_id % 8 = 1") + """,
+        m_out AS MATERIALIZED (SELECT * FROM arpa)""" +
+      Round15.knWalkSql("WHERE doc_id % 8 = 5", "i_", "m_in") +
+      Round15.knWalkSql("WHERE doc_id % 8 = 5", "o_", "m_out") + """,
+        ai AS (SELECT doc_id, avg(lp) AS lp_i, COUNT(*) AS n_grams
+               FROM i_sc GROUP BY doc_id),
+        ao AS (SELECT doc_id, avg(lp) AS lp_o FROM o_sc GROUP BY doc_id)
+        SELECT doc_id, round(lp_i, 6) AS lp_in, round(lp_o, 6) AS lp_out,
+          round(lp_i - lp_o, 6) AS contrast,
+          round(lp_i - lp_o, 6) > 0 AS in_domain, n_grams
+        FROM ai JOIN ao USING (doc_id)
+        ORDER BY doc_id"""))
+  )
+}

@@ -2400,6 +2400,52 @@ class RegistrySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaFrame == inline)
   }
+
+  test("graft.corpus_line_dedup / boilerplate_lines / encoding_quality / kn_contrast from the YAML surface") {
+    // three docs, one shared boilerplate line; doc 1 holds the first
+    // occurrence, docs 2-3 lose both their copy and the footer repeat
+    val docs = Seq(
+      (1L, "only in one\nSHARED LINE\nunique a"),
+      (2L, "SHARED LINE\nunique b\nSHARED LINE"),
+      (3L, "unique c\nSHARED LINE")).toDF("doc_id", "text")
+    val dedup = reg.callFunction("graft.corpus_line_dedup",
+        Args(pos = List(docs)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(dedup(1L) == ("only in one\nSHARED LINE\nunique a", 0L))
+    assert(dedup(2L) == ("unique b", 2L))
+    assert(dedup(3L) == ("unique c", 1L))
+    val boiler = reg.callFunction("graft.boilerplate_lines",
+        Args(pos = List(docs), kw = List("min_docs" -> 3L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(boiler(1L) == math.round(1.0 / 3 * 1e6) / 1e6 &&
+      boiler(3L) == 0.5)
+    val enc = reg.callFunction("graft.encoding_quality", Args(pos = List(
+        Seq((1L, "clean text"), (2L, "caf" + 0xc3.toChar + 0xa9.toChar))
+          .toDF("doc_id", "text"))))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(enc(1L) == (0L, true) && enc(2L) == (1L, false))
+    // contrast: in-model trained ON the scored text, out-model on a
+    // disjoint same-corpus slice (comparable vocab, so the OOV floor
+    // doesn't dominate) -> positive contrast, in_domain = true
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0).orderBy("doc_id").limit(60)
+    val outSlice = all.filter(col("doc_id") % 2 === 1).orderBy("doc_id").limit(60)
+    val dirIn = java.nio.file.Files.createTempDirectory("knc_in_").toString
+    graft.operators.Scoring.knTrain(corpus, "doc_id", "text", 4)
+      .write.mode("overwrite").parquet(dirIn)
+    val outModel = graft.operators.Scoring.knTrain(outSlice, "doc_id", "text", 4)
+    val contrast = reg.callFunction("graft.kn_contrast", Args(
+        pos = List(corpus.limit(5)),
+        kw = List("model_in" -> dirIn, "model_out" -> (outModel: Any),
+          "order" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(contrast.nonEmpty && contrast.forall(r =>
+      r.getAs[Double]("contrast") > 0 && r.getAs[Boolean]("in_domain")))
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
