@@ -677,6 +677,24 @@ object Shards {
     Packing.blockOrder(readShardBlocks(spark, outDir), epoch)
       .select(col("read_order"), col("block"), col("ids"))
 
+  /** Loader-shaped epoch iteration over a TAR-shard artifact: WebDataset
+    * loaders shuffle at SHARD grain per epoch (each archive then streams
+    * sequentially — that's the format's whole point), so this is
+    * [[epochBlocks]]' permutation machinery applied to the `_tar_index`:
+    * a replayable multiplicative hash over (shard, epoch) ranks the
+    * shards — different every epoch, identical on every replay of the
+    * same epoch. `read_order` drives the fetch sequence.
+    */
+  def epochTarShards(spark: SparkSession, outDir: String,
+                     epoch: Int): DataFrame =
+    Packing.blockOrder(
+        spark.read.parquet(s"$outDir/_tar_index")
+          .select(col("file"), col("first_idx"), col("n_samples"),
+            col("n_bytes"))
+          .withColumn("block", col("first_idx")), epoch)
+      .select(col("read_order"), col("file"), col("first_idx"),
+        col("n_samples"), col("n_bytes"))
+
   /** Distributed reader — the round-trip gate's other half and the
     * loader-shaped access path: parse every indexed `.bin` back to
     * `(block, ids)` rows. Each index row is one task-local sequential

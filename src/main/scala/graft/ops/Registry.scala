@@ -2272,6 +2272,13 @@ final class Registry(spark: SparkSession) {
         asStr(a.require("dir", 0), "dir"),
         asInt(a.require("epoch", 1), "epoch"))
     },
+    "graft.epoch_tar_shards" -> { a =>
+      // WebDataset epoch plan: tar shards in the epoch's deterministic
+      // shuffled order (read_order, file, first_idx, n_samples, n_bytes)
+      graft.operators.Shards.epochTarShards(spark,
+        asStr(a.require("dir", 0), "dir"),
+        asInt(a.require("epoch", 1), "epoch"))
+    },
     "graft.kn_ngram_perplexity" -> { a =>
       // modified-KN perplexity at arbitrary order (order=5 is the KenLM/
       // CCNet production shape): raw counts + fitted discounts at the

@@ -206,6 +206,25 @@ class ShardsSpec extends AnyFunSuite {
     assert(gx.getMessage.contains("geometry drift"))
   }
 
+  test("epochTarShards: reproducible per-epoch shard permutations, index content untouched") {
+    // 20 shards: epoch-0/epoch-1 hash ORDERS provably differ (with a
+    // handful of shards two epochs' permutations can coincide — 5 did)
+    val dir = java.nio.file.Files.createTempDirectory("wds_e_").toString
+    Shards.writeTarShards(
+      (1L to 40L).map(i => (i, s"payload $i")).toDF("doc_id", "txt"),
+      "doc_id", Seq("txt" -> "txt"), dir, samplesPerShard = 2)
+    def epoch(e: Int) = Shards.epochTarShards(spark, dir, e)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getLong(3)))
+    val e0 = epoch(0); val e1 = epoch(1)
+    assert(e0.toSet == e1.toSet, "same shards every epoch")
+    assert(e0.map(_._1).toSeq != e1.map(_._1).toSeq,
+      "different epochs must visit shards in different orders")
+    assert(epoch(0).map(_._1).toSeq == e0.map(_._1).toSeq,
+      "replaying an epoch must reproduce its exact order")
+    assert(e0.map(_._2).sum == 40L)
+  }
+
   test("parseTarBatch corrupt-totality battery: salvage + flag, never throw") {
     // build one healthy archive through the real writer
     val dir = java.nio.file.Files.createTempDirectory("wds_t_").toString
