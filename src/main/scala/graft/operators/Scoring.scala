@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics document scoring (north star; the CCNet-style quality
@@ -494,20 +494,41 @@ object Scoring {
   val LnFloor: Double = -230.2585092994046
 
   def knTrain(df: DataFrame, idCol: String, textCol: String,
-              order: Int = 5): DataFrame = {
+              order: Int = 5): DataFrame =
+    knFitFromCounts(knGramCounts(df, textCol, order), order)
+
+  /** The top-order gram COUNT TABLE `(c<order>, w1..w<order>)` everything
+    * in [[knTrain]] derives from. Exposed because it is the model's one
+    * ADDITIVE statistic: counts of a corpus union are the per-slice sums,
+    * so drops can ship count tables and the fit runs once over the merged
+    * frame ([[knCountsDrop]] / [[knFitIncremental]]) — bit-identical to a
+    * full retrain, with no corpus rescan.
+    */
+  def knGramCounts(df: DataFrame, textCol: String,
+                   order: Int = 5): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val ws = (1 to order).map(i => s"w$i")
+    val grams = df.select(
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g"))
+    grams.groupBy(col("g")).agg(count(lit(1)).as(s"c$order"))
+      .withColumn("__ws", split(col("g"), " "))
+      .filter(size(col("__ws")) === order)
+      .select((col(s"c$order") +: ws.zipWithIndex.map {
+        case (w, i) => element_at(col("__ws"), i + 1).as(w) }): _*)
+  }
+
+  /** Fit the modified-KN model from a (possibly merged) top-order count
+    * table — [[knTrain]]'s whole body after counting. Deterministic in
+    * the counts, so any way of PRODUCING the same counts (one scan,
+    * merged drops) yields the identical artifact.
+    */
+  def knFitFromCounts(typed: DataFrame, order: Int = 5): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     // ln with the zero-probability floor (see LnFloor)
     val log = (c: org.apache.spark.sql.Column) =>
       when(c > 0, org.apache.spark.sql.functions.log(c)).otherwise(lit(LnFloor))
     val ws = (1 to order).map(i => s"w$i")
-    val grams = df.select(
-      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
-        .as("g"))
-    val typed = grams.groupBy(col("g")).agg(count(lit(1)).as(s"c$order"))
-      .withColumn("__ws", split(col("g"), " "))
-      .filter(size(col("__ws")) === order)
-      .select((col(s"c$order") +: ws.zipWithIndex.map {
-        case (w, i) => element_at(col("__ws"), i + 1).as(w) }): _*)
     val tables = scala.collection.mutable.Map[Int, DataFrame]()
     tables(order) = typed
     for (k <- order - 1 to 1 by -1)
@@ -779,6 +800,36 @@ object Scoring {
         // engines whose window-sum association differs in the last ulp
         (round(col("__lp_in") - col("__lp_out"), 6) > 0).as("in_domain"),
         col("n_grams"))
+  }
+
+  /** INCREMENTAL LM-counts face, drop side: write the batch's top-order
+    * gram count table under `outDir/batch_id=<id>` — the one additive
+    * statistic a Kneser-Ney refit needs, so the corpus is never
+    * rescanned. Retry-idempotent the usual way: each attempt overwrites
+    * its own `batch_id=` partition.
+    */
+  def knCountsDrop(batch: DataFrame, textCol: String, outDir: String,
+                   batchId: Long, order: Int = 5): Unit =
+    knGramCounts(batch, textCol, order)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** INCREMENTAL LM fit: merge every drop's count partitions (one
+    * additive gram-grain aggregate — counts of the union corpus ARE the
+    * per-slice sums) and run the standard fit. Bit-identical to
+    * [[knTrain]] over the union corpus: the fit is deterministic in the
+    * counts, and the merged counts are exactly the one-scan counts.
+    * At 100 TB this is the model-update path — a new drop ships its
+    * (count-table-bounded) gram counts, and the refit touches only type
+    * tables, never documents.
+    */
+  def knFitIncremental(spark: SparkSession, countsDir: String,
+                       order: Int = 5): DataFrame = {
+    val ws = (1 to order).map(i => s"w$i")
+    val merged = spark.read.parquet(countsDir)
+      .groupBy(ws.map(col): _*)
+      .agg(sum(col(s"c$order")).as(s"c$order"))
+      .select((col(s"c$order") +: ws.map(col)): _*)
+    knFitFromCounts(merged, order)
   }
 
   /** The tercile cut shared by the refit and frozen-model faces: global

@@ -1607,6 +1607,24 @@ final class Registry(spark: SparkSession) {
         model,
         order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
     },
+    "graft.kn_counts_drop" -> { a =>
+      // incremental LM counts, drop side: the batch's top-order gram
+      // count table under dir/batch_id=<id> (retry overwrites itself)
+      val df = asDf(a.require("df", 0), "df")
+      graft.operators.Scoring.knCountsDrop(df,
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.require("dir", 1), "dir"),
+        asInt(a.require("batch_id", 2), "batch_id").toLong,
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+      df
+    },
+    "graft.kn_fit_incremental" -> { a =>
+      // merge every drop's count partitions and run the standard mKN
+      // fit — bit-identical to kn_train on the union, no corpus rescan
+      graft.operators.Scoring.knFitIncremental(spark,
+        asStr(a.require("dir", 0), "dir"),
+        order = a.get("order", -1).map(asInt(_, "order")).getOrElse(5))
+    },
     "graft.kn_contrast" -> { a =>
       // two-model contrast scoring (DSIR/Moore-Lewis): per-doc mean
       // log-prob difference under in-domain vs out-domain frozen models

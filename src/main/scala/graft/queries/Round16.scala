@@ -168,20 +168,24 @@ object Round16 {
     Q("q317_kn_contrast", (s, d) => {
       val docs = t(s, d, "documents")
       val modelIn = Round15.ensureKnModel(s, d)
+      // sixteenth slices: the gate's value is the two-walk contrast
+      // arithmetic and the frozen-vs-inline model plumbing, which a
+      // sixteenth exercises identically (the q306 quarters argument) —
+      // this is an in-plan double-model cell the bench pays twice
       val modelOut = graft.operators.Scoring.knTrain(
-        docs.filter(col("doc_id") % 8 === 1), "doc_id", "text", order = 5)
+        docs.filter(col("doc_id") % 16 === 1), "doc_id", "text", order = 5)
       graft.operators.Scoring.knContrast(
-          docs.filter(col("doc_id") % 8 === 5), "doc_id", "text",
+          docs.filter(col("doc_id") % 16 === 5), "doc_id", "text",
           modelIn, modelOut, order = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }, Some("""
         WITH m_in AS MATERIALIZED (
           SELECT * FROM read_parquet('/tmp/graft_artifacts/kn5_{SF}/*.parquet'))""" +
-      "," + Round15.knArpaSql("WHERE doc_id % 8 = 1") + """,
+      "," + Round15.knArpaSql("WHERE doc_id % 16 = 1") + """,
         m_out AS MATERIALIZED (SELECT * FROM arpa)""" +
-      Round15.knWalkSql("WHERE doc_id % 8 = 5", "i_", "m_in") +
-      Round15.knWalkSql("WHERE doc_id % 8 = 5", "o_", "m_out") + """,
+      Round15.knWalkSql("WHERE doc_id % 16 = 5", "i_", "m_in") +
+      Round15.knWalkSql("WHERE doc_id % 16 = 5", "o_", "m_out") + """,
         ai AS (SELECT doc_id, avg(lp) AS lp_i, COUNT(*) AS n_grams
                FROM i_sc GROUP BY doc_id),
         ao AS (SELECT doc_id, avg(lp) AS lp_o FROM o_sc GROUP BY doc_id)
@@ -189,6 +193,41 @@ object Round16 {
           round(lp_i - lp_o, 6) AS contrast,
           round(lp_i - lp_o, 6) > 0 AS in_domain, n_grams
         FROM ai JOIN ao USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // INCREMENTAL KN refit — the model-update path a 100 TB pipeline
+    // needs: two quarter-corpus drops each ship only their top-order
+    // gram COUNT table (the model's one additive statistic), and the
+    // fit runs over the merged counts — no corpus rescan. The oracle is
+    // a full independent refit of the UNION corpus (q304's machinery),
+    // so count merging, every discount triple, every probability level
+    // and back-off weight are gated end to end through the incremental
+    // path.
+    Q("q318_kn_fit_incremental", (s, d) => {
+      val dir = s"/tmp/graft_artifacts/kncounts_${new java.io.File(d).getName}"
+      // fresh artifact per run: stale batch partitions from an earlier
+      // code version would merge extra counts
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = t(s, d, "documents")
+      graft.operators.Scoring.knCountsDrop(
+        docs.filter(col("doc_id") % 4 === 0), "text", dir, batchId = 0)
+      graft.operators.Scoring.knCountsDrop(
+        docs.filter(col("doc_id") % 4 === 2), "text", dir, batchId = 1)
+      // fit-once artifact shape (q304's contract): the fit executes
+      // eagerly into parquet and the gated plan is the artifact read —
+      // the in-plan fit DAG would otherwise recompute each count table
+      // per consuming join
+      val modelDir = s"$dir/_model"
+      graft.operators.Scoring.knFitIncremental(s, dir)
+        .write.mode("overwrite").parquet(modelDir)
+      s.read.parquet(modelDir)
+        .select(col("level"), col("gram"), round(col("lp"), 6).as("lp"),
+          round(col("bow"), 6).as("bow"))
+        .orderBy(col("level"), col("gram"))
+    }, Some("WITH" + Round15.knArpaSql("WHERE doc_id % 2 = 0") + """
+        SELECT level, gram, round(lp, 6) AS lp, round(bow, 6) AS bow
+        FROM arpa ORDER BY level, gram"""))
   )
 }

@@ -37,6 +37,27 @@ class KnModelSpec extends AnyFunSuite {
     }
   }
 
+  test("knFitIncremental: two count drops + merge == knTrain on the union, bit for bit; retry idempotent") {
+    val union = docs.filter(col("doc_id") % 2 === 0).limit(120)
+    val dropA = union.filter(col("doc_id") % 4 === 0)
+    val dropB = union.filter(col("doc_id") % 4 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("kn_counts_").toString
+    Scoring.knCountsDrop(dropA, "text", dir, batchId = 0, order = 4)
+    Scoring.knCountsDrop(dropB, "text", dir, batchId = 1, order = 4)
+    def rows(m: org.apache.spark.sql.DataFrame) = m
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val incremental = rows(Scoring.knFitIncremental(spark, dir, order = 4))
+    val batch = rows(Scoring.knTrain(union, "doc_id", "text", order = 4))
+    // bit-identical artifact: the fit is deterministic in the counts and
+    // the merged counts ARE the one-scan counts (addition is exact)
+    assert(incremental == batch && incremental.nonEmpty)
+    // at-least-once retry of drop B overwrites its own partition
+    Scoring.knCountsDrop(dropB, "text", dir, batchId = 1, order = 4)
+    assert(rows(Scoring.knFitIncremental(spark, dir, order = 4)) == batch)
+  }
+
   test("parquet round-trip preserves the model rows bit for bit and scoring at 6dp") {
     val dir = java.nio.file.Files.createTempDirectory("kn_model_").toString
     val model = Scoring.knTrain(docs, "doc_id", "text", order = 4)
