@@ -502,6 +502,61 @@ object Prep {
           .as("n_dropped"))
   }
 
+  /** INCREMENTAL corpus-level line dedup — [[corpusLineDedup]]'s
+    * per-drop face (first ARRIVAL wins, the only order a stream has):
+    * each drop keeps a line occurrence only if its line was never seen
+    * in any earlier drop (the saved hash index) nor earlier within this
+    * drop, reassembles docs in original line order, writes the deduped
+    * docs under `outDir/batch_id=<id>` and the drop's NEW line hashes
+    * under `outDir/_line_index/batch_id=<id>`. Equals the batch face on
+    * the union when arrival order is doc order. Retry-safe the standard
+    * way: the index probe EXCLUDES the current batch's partition and
+    * both writes overwrite their own partitions. The index holds 64-bit
+    * line hashes only (first-keep and cross-drop probe never move line
+    * text; collision odds ~n²/2⁶⁴, the shingle-hash discipline) and
+    * compacts like the fingerprint index.
+    */
+  def corpusLineDedupDrop(batch: DataFrame, idCol: String, textCol: String,
+                          outDir: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val lines = batch
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val prior = scala.util.Try(
+        spark.read.parquet(s"$outDir/_line_index")).toOption
+      .filter(_.columns.contains("h"))
+      .map(_.filter(col("batch_id") =!= batchId)
+        .select(col("h").as("__h")).distinct())
+    val fresh = prior match {
+      case Some(ix) => lines.join(ix, Seq("__h"), "left_anti")
+      case None => lines
+    }
+    val first = fresh.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = fresh.join(first, Seq("__h"))
+      .filter(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s("__line")), "\n").as("__kept_text"),
+        count(lit(1)).as("__n_kept"))
+    val out = batch.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__kept_text"), lit("")).as("text"),
+        col("__n_lines").as("n_lines"),
+        (col("__n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+    out.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    first.select(col("__h").as("h"))
+      .write.mode("overwrite").parquet(s"$outDir/_line_index/batch_id=$batchId")
+    spark.read.parquet(s"$outDir/batch_id=$batchId")
+  }
+
   /** Boilerplate-LINE ratio — the RefinedWeb/quality-filter signal the
     * corpus-level dedup decision reads: the fraction of a doc's lines
     * that occur in at least `minDocs` DISTINCT documents (navigation,

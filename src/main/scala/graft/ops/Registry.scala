@@ -1333,6 +1333,15 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
         asStr(a.get("text", -1).getOrElse("text"), "text"))
     },
+    "graft.corpus_line_dedup_drop" -> { a =>
+      // per-drop corpus line dedup against the saved line-hash index
+      // (first arrival wins; batch_id-partitioned, retry-idempotent)
+      graft.operators.Prep.corpusLineDedupDrop(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asStr(a.require("dir", 1), "dir"),
+        asInt(a.require("batch_id", 2), "batch_id").toLong)
+    },
     "graft.boilerplate_lines" -> { a =>
       // fraction of a doc's lines occurring in >= min_docs distinct docs
       // corpus-wide (line-grain twin of the per-source sentence-grain

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Corpus-level line dedup: batch face invariants + the incremental
+  * drop face (two drops == batch on the union in arrival order,
+  * cross-drop suppression through the saved hash index, retry
+  * idempotence).
+  */
+class LineDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("batch face: first (doc, pos) occurrence survives; empty-doc rows kept") {
+    val out = Prep.corpusLineDedup(docsOf(
+        1L -> "b\na\nb",     // within-doc dup of b
+        2L -> "a\nc",        // a already seen in doc 1
+        3L -> "b\na"),       // everything seen -> empty
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("b\na", 3L, 1L)))
+    assert(out(2L) == (("c", 2L, 1L)))
+    assert(out(3L) == (("", 2L, 2L)))
+  }
+
+  test("incremental drops == batch on the union; index suppresses cross-drop; retry idempotent") {
+    val d1 = Seq(1L -> "boiler\nalpha one", 2L -> "beta two\nboiler")
+    val d2 = Seq(3L -> "boiler\ngamma three", 4L -> "alpha one\ndelta four")
+    val dir = java.nio.file.Files.createTempDirectory("line_dd_").toString
+    Prep.corpusLineDedupDrop(docsOf(d1: _*), "doc_id", "text", dir, batchId = 0)
+    Prep.corpusLineDedupDrop(docsOf(d2: _*), "doc_id", "text", dir, batchId = 1)
+    def read() = spark.read.parquet(dir)
+      .select("doc_id", "text", "n_lines", "n_dropped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val inc = read()
+    val batch = Prep.corpusLineDedup(docsOf((d1 ++ d2): _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc == batch, "incremental == batch face on the union")
+    // the planted cross-drop dups actually exercised the index: doc 3
+    // lost 'boiler' (seen in drop 0), doc 4 lost 'alpha one'
+    assert(inc(3L) == (("gamma three", 2L, 1L)))
+    assert(inc(4L) == (("delta four", 2L, 1L)))
+    // at-least-once retry of drop 1: the probe excludes the batch's own
+    // index partition, both writes overwrite -> identical artifacts
+    Prep.corpusLineDedupDrop(docsOf(d2: _*), "doc_id", "text", dir, batchId = 1)
+    assert(read() == batch)
+    // index partitions hold only NEW hashes per drop (no text columns)
+    val ix = spark.read.parquet(s"$dir/_line_index")
+    assert(ix.columns.toSet == Set("h", "batch_id"))
+    assert(ix.count() == ix.select("h").distinct().count(),
+      "each line hash appears in exactly one batch partition")
+  }
+}
