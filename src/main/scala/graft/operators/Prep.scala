@@ -557,6 +557,28 @@ object Prep {
     spark.read.parquet(s"$outDir/batch_id=$batchId")
   }
 
+  /** Compact the saved line-hash index: squash every `batch_id=`
+    * partition into the reserved `batch_id=-1` partition (distinct
+    * hashes only — dropping a batch grain nothing reads back). After
+    * thousands of drops the per-batch partitions are thousands of small
+    * files the probe re-lists every drop; compaction makes the index one
+    * partition again while keeping the partitioned layout the next
+    * [[corpusLineDedupDrop]] appends beside. Swap is
+    * write-tmp-then-rename, so a reader never sees a half-written index.
+    */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): Unit = {
+    val ix = s"$outDir/_line_index"
+    val tmp = s"$outDir/_line_index_tmp"
+    spark.read.parquet(ix).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+    val p = new org.apache.hadoop.fs.Path(ix)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true)
+    require(fsys.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compactLineIndex: rename $tmp -> $ix failed")
+  }
+
   /** Boilerplate-LINE ratio — the RefinedWeb/quality-filter signal the
     * corpus-level dedup decision reads: the fraction of a doc's lines
     * that occur in at least `minDocs` DISTINCT documents (navigation,
@@ -584,6 +606,46 @@ object Prep {
       .select(col("__id").as(idCol), col("n_lines"), col("n_common"),
         round(col("n_common").cast("double") / col("n_lines"), 6)
           .as("boiler_frac"))
+  }
+
+  /** Length-BUCKET batch plan — the dynamic-padding planner (bucketed
+    * batching: group sequences into power-of-two length buckets, pad
+    * each sequence only to ITS bucket's length): per bucket, document
+    * and token counts, loader batch count at `batchSize`, padded token
+    * volume and fill ratio. Complements [[packingEfficiency]] (which
+    * plans concat-and-chunk); this plans the pad-don't-pack loader.
+    * Buckets are an integer comparison LADDER, not `2^ceil(log2 n)` —
+    * float log2 of exact powers of two is engine-dependent in the last
+    * ulp, and a bucket boundary may not wobble. Docs longer than the
+    * largest bucket clamp into it (they'd be truncated at load time).
+    * ONE aggregate over |buckets| groups, map-side combinable.
+    */
+  def lengthBucketPlan(df: DataFrame, textCol: String, batchSize: Int,
+                       minBucket: Int = 16,
+                       maxBucket: Int = 2048): DataFrame = {
+    require(batchSize >= 1, s"lengthBucketPlan: batchSize >= 1, got $batchSize")
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1 &&
+        Integer.bitCount(maxBucket) == 1 && maxBucket >= minBucket,
+      s"lengthBucketPlan: buckets must be powers of two, " +
+        s"got [$minBucket, $maxBucket]")
+    val buckets = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val n = graft.functions.Text.tokenCountWs(col(textCol)).cast("long")
+    val bucket = buckets.init.reverse.foldLeft(
+        lit(buckets.last.toLong)) { (acc, b) =>
+      when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    df.select(n.as("__n"), bucket.as("bucket_len"))
+      .filter(col("__n") > 0)
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("__n"), col("bucket_len"))).as("n_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("n_tokens"),
+        ceil(col("n_docs").cast("double") / batchSize).cast("long")
+          .as("n_batches"),
+        (col("n_docs") * col("bucket_len")).as("padded_tokens"),
+        round(col("n_tokens").cast("double") /
+          (col("n_docs") * col("bucket_len")), 6).as("fill_ratio"))
   }
 
   /** Encoding-quality scan — the mojibake/ftfy-class gate a crawled

@@ -1351,6 +1351,17 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         minDocs = a.get("min_docs", -1).map(asInt(_, "min_docs")).getOrElse(2))
     },
+    "graft.length_buckets" -> { a =>
+      // dynamic-padding planner: power-of-two length buckets, per-bucket
+      // batch counts / padded volume / fill ratio
+      graft.operators.Prep.lengthBucketPlan(asDf(a.require("df", 0), "df"),
+        asStr(a.get("text", -1).getOrElse("text"), "text"),
+        asInt(a.require("batch_size", 1), "batch_size"),
+        minBucket = a.get("min_bucket", -1).map(asInt(_, "min_bucket"))
+          .getOrElse(16),
+        maxBucket = a.get("max_bucket", -1).map(asInt(_, "max_bucket"))
+          .getOrElse(2048))
+    },
     "graft.encoding_quality" -> { a =>
       // mojibake/ftfy-class scan: replacement chars, C1 controls,
       // double-decode digraphs -> per-doc counts + score; zero shuffle

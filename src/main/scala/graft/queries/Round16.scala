@@ -228,6 +228,32 @@ object Round16 {
         .orderBy(col("level"), col("gram"))
     }, Some("WITH" + Round15.knArpaSql("WHERE doc_id % 2 = 0") + """
         SELECT level, gram, round(lp, 6) AS lp, round(bow, 6) AS bow
-        FROM arpa ORDER BY level, gram"""))
+        FROM arpa ORDER BY level, gram""")),
+
+    // Length-bucket batch plan — the dynamic-padding loader planner:
+    // power-of-two buckets as an integer comparison ladder (float log2
+    // is engine-dependent at exact powers), per-bucket batch counts and
+    // fill ratios; maxBucket=64 keeps the CLAMP branch live (the
+    // fixture's longer docs truncate into the top bucket).
+    Q("q319_length_buckets", (s, d) =>
+      graft.operators.Prep.lengthBucketPlan(
+          t(s, d, "documents").select(col("text")), "text",
+          batchSize = 32, minBucket = 16, maxBucket = 64)
+        .orderBy(col("bucket_len")),
+      Some("""
+        WITH n AS (SELECT len(regexp_extract_all(text, '\S+')) AS n
+                   FROM documents),
+        b AS (SELECT n, CASE WHEN n <= 16 THEN 16
+                             WHEN n <= 32 THEN 32
+                             ELSE 64 END AS bucket_len
+              FROM n WHERE n > 0)
+        SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+          COUNT(*) AS n_docs,
+          CAST(SUM(LEAST(n, bucket_len)) AS BIGINT) AS n_tokens,
+          CAST(ceil(COUNT(*) / 32.0) AS BIGINT) AS n_batches,
+          CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+          round(SUM(LEAST(n, bucket_len))
+            / CAST(COUNT(*) * bucket_len AS DOUBLE), 6) AS fill_ratio
+        FROM b GROUP BY bucket_len ORDER BY bucket_len"""))
   )
 }

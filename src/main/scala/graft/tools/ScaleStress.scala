@@ -626,6 +626,21 @@ object ScaleStress {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         out
       }
+
+      // corpus-level line dedup on a DELIBERATELY skewed line layout:
+      // every doc carries one mega-duplicated boilerplate line (corpus-
+      // sized group) plus ~6 private chunk lines. The line-grain
+      // aggregate partial-combines the mega-key map-side (one row per
+      // map partition reaches its reducer), so the gate is linear wall —
+      // a per-line window would serialize the boilerplate key here.
+      cell("q314_line_dedup", f, nd) {
+        val lined = d.select(col("doc_id"), concat_ws("\n",
+          lit("subscribe to our newsletter today"),
+          regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+          .as("text"))
+        graft.operators.Prep.corpusLineDedup(lined, "doc_id", "text")
+          .agg(sum(col("n_dropped"))).first().getLong(0)
+      }
     }
     spark.stop()
   }

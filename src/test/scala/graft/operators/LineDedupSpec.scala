@@ -55,5 +55,20 @@ class LineDedupSpec extends AnyFunSuite {
     assert(ix.columns.toSet == Set("h", "batch_id"))
     assert(ix.count() == ix.select("h").distinct().count(),
       "each line hash appears in exactly one batch partition")
+    // compaction squashes the batch partitions into batch_id=-1; a later
+    // drop still dedups against everything compacted
+    val nHashes = ix.count()
+    Prep.compactLineIndex(spark, dir)
+    val ix2 = spark.read.parquet(s"$dir/_line_index")
+    assert(ix2.count() == nHashes &&
+      ix2.select("batch_id").distinct().collect()
+        .map(_.getAs[Number]("batch_id").intValue()).toSeq == Seq(-1))
+    Prep.corpusLineDedupDrop(
+      docsOf(5L -> "boiler\ndelta four\nepsilon five"), "doc_id", "text",
+      dir, batchId = 2)
+    val d3 = spark.read.parquet(dir).filter(col("doc_id") === 5L)
+      .select("text", "n_dropped").head()
+    assert(d3.getString(0) == "epsilon five" && d3.getLong(1) == 2L,
+      s"post-compaction drop must dedup against compacted hashes: $d3")
   }
 }
