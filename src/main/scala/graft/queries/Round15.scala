@@ -225,8 +225,8 @@ object Round15 {
     // artifact is absent), and the oracle replays ONLY the back-off walk
     // against the very same parquet files. No refit on either side: this
     // is the cheap oracle that keeps the whole battery inside the
-    // driver's replay budget. The artifact path is pinned to the sf0.01
-    // fixture the driver verifies at.
+    // driver's replay budget. The artifact path is keyed by the fixture
+    // basename via the {SF} placeholder Verify substitutes at dump time.
     Q("q305_kn_score_frozen", (s, d) => {
       val model = ensureKnModel(s, d)
       graft.operators.Scoring.knScore(t(s, d, "documents"), "doc_id", "text",

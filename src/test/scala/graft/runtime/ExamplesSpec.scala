@@ -485,7 +485,7 @@ class ExamplesSpec extends AnyFunSuite {
     assert(streamedN == batchN, s"stream drained $streamedN of $batchN events")
   }
 
-  test("examples/media_catalog.yaml decodes a binary dir and writes the catalog") {
+  test("examples/media_catalog.yaml decodes a binary dir, writes the catalog, ships scrubbed tars") {
     import graft.operators.Multimodal
     val binDir = freshDir("ex_media_in")
     // 30 real PNGs (16..74 px wide: 8 fall under the min_w=32 gate) plus
@@ -499,6 +499,15 @@ class ExamplesSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(binDir, "img_999.png"),
       "definitely not a png".getBytes("UTF-8"))
+    // four GPS-tagged JPEGs wide enough to pass the gate: the shipping
+    // tail must scrub their Exif before the bytes leave the pipeline
+    (200 to 203).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(binDir, s"img_$i.jpg"),
+        graft.operators.Exif.syntheticJpegExif(48, 24, i.toLong,
+          orientation = 1, make = "Cam", model = "M",
+          takenAt = "2024:01:15 08:30:00", gps = Some((12.5, -33.25))))
+    }
     // three NOISED copies of one scene: different bytes, same dHash —
     // the near-dup audit must cluster them (they fail min_w for the
     // catalog, which is fine: the dup report runs pre-gate)
@@ -512,17 +521,17 @@ class ExamplesSpec extends AnyFunSuite {
       Map("bin_dir" -> binDir, "out_dir" -> out)).run()
 
     val catalog = spark.read.parquet(s"$out/image_catalog.parquet")
-    assert(catalog.count() == 22, // widths 32..74 pass; corrupt + small drop
+    assert(catalog.count() == 26, // 22 wide-enough PNGs + 4 JPEGs
       s"got ${catalog.count()} rows")
     assert(Seq("id", "width", "height", "channels", "format")
       .forall(catalog.columns.contains), s"got ${catalog.columns.mkString(",")}")
-    assert(catalog.filter(col("format") =!= "image/png").count() == 0)
+    assert(catalog.filter(col("format") === "image/jpeg").count() == 4)
     assert(catalog.filter(col("width") < 32).count() == 0)
     // ids came from the filenames, not row order
     assert(catalog.agg(min(col("id"))).collect().head.getLong(0) == 8L)
 
     val stats = spark.read.parquet(s"$out/format_stats.parquet")
-    assert(stats.count() == 1, "one surviving format: image/png")
+    assert(stats.count() == 2, "two surviving formats: png + jpeg")
 
     // near-dup audit: the three noised scene copies share one hash row
     val dup = spark.read.parquet(s"$out/dup_report.parquet")
@@ -530,6 +539,31 @@ class ExamplesSpec extends AnyFunSuite {
     assert(dup.agg(max(col("id"))).collect().head.get(0).toString == "3",
       "the noised scene copies must cluster as one near-dup group")
     assert(dup.filter(col("id") === 3).count() == 1)
+
+    // shipping tail: every catalog-gated image left as a scrubbed tar
+    // entry + its metadata json
+    val entries = spark.read.parquet(s"$out/tar_entries.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    assert(entries.size == 2 * 26, s"2 entries per shipped image: ${entries.size}")
+    // the GPS-tagged JPEGs shipped WITHOUT their Exif (and still decode)
+    (200 to 203).foreach { i =>
+      val shipped = entries((f"$i%012d", "img"))
+      val exif = graft.operators.Exif.exifOf(i.toLong, shipped)
+      assert(!exif.has_exif && !exif.has_gps, s"img $i shipped with Exif")
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(shipped))
+      assert(dec != null && dec.getWidth == 48, s"img $i corrupted by scrub")
+      assert(new String(entries((f"$i%012d", "json")), "UTF-8")
+        .contains(s""""id":$i"""))
+    }
+    // untagged PNGs ship byte-identical to the source files
+    val png8 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(binDir, "img_008.png"))
+    assert(java.util.Arrays.equals(entries((f"${8}%012d", "img")), png8),
+      "no-op scrub must ship source bytes verbatim")
+    val tarIdx = spark.read.parquet(s"$out/tar_index.parquet")
+    assert(tarIdx.agg(sum(col("n_samples"))).head().getLong(0) == 26L)
   }
 
   test("examples/tpch_report.yaml runs green and writes the three reports") {
