@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning (SFT) data prep: render multi-turn conversations
+  * into one training text per conversation with per-token LOSS-MASK
+  * geometry, pack the rendered streams into fixed-size training blocks
+  * carrying that mask, and audit preference (DPO-style) pairs.
+  *
+  * The reference engine has no SFT surface (its data plane is generic
+  * pandas, /root/reference/pandas_etl/etl.py:541-557); these are the
+  * post-pretraining siblings of the concat-and-chunk contract in
+  * [[Packing]]: the same exact-long stream arithmetic, with a second
+  * interval family (the mask spans) threaded through it.
+  *
+  * Token grain is whitespace words plus template control tokens, the
+  * same engine-portable grain as [[Sampling.wsTokenCount]] — a caller
+  * budgeting in subword tokens runs the tokenizer first and feeds the
+  * rendered text back through. All arithmetic is integral longs (no
+  * doubles near offsets), and the only cross-partition steps are
+  * hash-partitioned window/group-bys on the conversation id plus the
+  * one bounded range-exchange inside [[Packing.packPlan]].
+  */
+object Sft {
+
+  /** One whitespace-delimited control token per role header: whitespace
+    * inside a role name would change the template's token count, so it
+    * is folded to '-' before rendering.
+    */
+  private def roleHeader(role: Column): Column =
+    concat(lit("<|"), regexp_replace(role, "\\s+", "-"), lit("|>"))
+
+  /** Assemble turn-grain conversations into one rendered training text
+    * per conversation, with loss-mask spans over template token
+    * positions.
+    *
+    * Input grain: one row per turn — `(convCol, turnCol, roleCol,
+    * contentCol)`, `turnCol` totally ordering turns within a
+    * conversation. Template per turn: one `<|role|>` header token, the
+    * content's whitespace tokens, one `<|end|>` trailer token — so a
+    * turn with `w` content words occupies `w + 2` stream positions, and
+    * the rendered text's whitespace tokens are exactly the template
+    * stream (content whitespace is normalized to single spaces by the
+    * rendering join).
+    *
+    * The mask follows the standard SFT contract: loss on assistant
+    * CONTENT tokens plus the assistant turn's `<|end|>` (the model must
+    * learn to stop) — never on headers, never on system/user turns. An
+    * empty assistant turn still owns its `<|end|>` (span length 1).
+    *
+    * Output per conversation: `convCol, text, n_turns, n_tokens, n_loss,
+    * loss_frac, mask_spans` — `mask_spans` an ordered
+    * `array<struct<start,len>>` over 0-based template token positions
+    * (one span per assistant turn; feed to [[sftPackMask]]). Scalarize
+    * with `concat_ws` before gating ("start:len" csv).
+    *
+    * Scale shape: one hash-partitioned window + one group-by, both on
+    * the conversation id (a conversation is KB-sized by construction;
+    * the partition key is the id, so 100 TB of conversations spread by
+    * hash — no global ordering is needed until packing).
+    */
+  def chatAssemble(df: DataFrame, convCol: String, turnCol: String,
+                   roleCol: String, contentCol: String,
+                   assistantRole: String = "assistant"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol)).orderBy(col(turnCol))
+    val words = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
+    val turns = df.select(col(convCol), col(turnCol),
+        col(roleCol).as("__role"), words.as("__w"))
+      .withColumn("__nw", size(col("__w")).cast("long"))
+      .withColumn("__len", col("__nw") + 2L)
+      .withColumn("__rendered", array_join(
+        concat(array(roleHeader(col("__role"))), col("__w"),
+          array(lit("<|end|>"))), " "))
+      .withColumn("__cum", sum(col("__len")).over(w))
+      .withColumn("__off", col("__cum") - col("__len"))
+      .withColumn("__is_a", col("__role") === lit(assistantRole))
+    turns.groupBy(col(convCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(turnCol).as("t"),
+            col("__rendered").as("r")))), s => s.getField("r")), " ")
+          .as("text"),
+        count(lit(1)).as("n_turns"),
+        sum(col("__len")).as("n_tokens"),
+        sum(when(col("__is_a"), col("__nw") + 1L).otherwise(0L))
+          .as("n_loss"),
+        // collect_list drops the null the non-assistant branch produces,
+        // so the array holds exactly the assistant spans
+        array_sort(collect_list(when(col("__is_a"),
+          struct((col("__off") + 1L).as("start"),
+            (col("__nw") + 1L).as("len"))))).as("mask_spans"))
+      .withColumn("loss_frac",
+        round(col("n_loss") / col("n_tokens").cast("double"), 6))
+      .select(col(convCol), col("text"), col("n_turns"), col("n_tokens"),
+        col("n_loss"), col("loss_frac"), col("mask_spans"))
+  }
+
+  /** Pack assembled conversations ([[chatAssemble]] output) into fixed
+    * `blockSize`-token training blocks, carrying the loss mask through
+    * to block-relative geometry — the artifact a loader pairs with each
+    * SFT block: which positions take loss. The packed stream is
+    * [[Packing.packPlan]]'s (id-ordered concat, `eosTokens` delimiter
+    * per conversation, delimiter and header tokens mask-0).
+    *
+    * Emits one row per block: `block, n_spans, n_loss, loss_spans` —
+    * `loss_spans` the ordered `array<struct<start,len,conv>>` of
+    * mask-1 intervals in block-relative positions (disjoint by
+    * construction; spans from different conversations never touch the
+    * same position). Blocks holding no assistant token emit no row —
+    * left-join against [[Packing.blockStats]] for the dense view.
+    *
+    * Scale shape: the span→block explode factor is `span_len/blockSize
+    * + 1` (linear in loss tokens); the conv-id equi-join that attaches
+    * `start_off` to the spans and the block-grain aggregate are plain
+    * hash shuffles.
+    */
+  def sftPackMask(assembled: DataFrame, idCol: String, blockSize: Long,
+                  eosTokens: Int = 1): DataFrame = {
+    require(blockSize >= 1,
+      s"sftPackMask: blockSize must be >= 1, got $blockSize")
+    val plan = Packing.packPlan(assembled, idCol, "n_tokens", blockSize,
+      eosTokens)
+    val spans = plan.select(col(idCol), col("start_off"))
+      .join(assembled.select(col(idCol), col("mask_spans")), Seq(idCol))
+      .select(col(idCol),
+        explode(col("mask_spans")).as("__sp"), col("start_off"))
+      .select(col(idCol),
+        (col("start_off") + col("__sp.start")).as("__s"),
+        (col("start_off") + col("__sp.start") + col("__sp.len")).as("__e"))
+      .filter(col("__e") > col("__s"))
+      .withColumn("__fb", expr(s"__s div ${blockSize}L"))
+      .withColumn("__lb", expr(s"(__e - 1) div ${blockSize}L"))
+      .select(col(idCol), col("__s"), col("__e"),
+        explode(sequence(col("__fb"), col("__lb"))).as("block"))
+    val segStart = greatest(col("__s"), col("block") * lit(blockSize))
+    val segEnd = least(col("__e"), (col("block") + 1) * lit(blockSize))
+    spans
+      .select(col("block"),
+        struct((segStart - col("block") * lit(blockSize)).as("start"),
+          (segEnd - segStart).as("len"), col(idCol).as("conv")).as("__g"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__g.len")).as("n_loss"),
+        array_sort(collect_list(col("__g"))).as("loss_spans"))
+  }
+
+  /** Preference-pair (DPO-style) data audit: per pair, token counts for
+    * prompt/chosen/rejected, the chosen:rejected length ratio (longer
+    * over shorter — length bias is symmetric), a whitespace-normalized
+    * identity flag, the pair's prompt multiplicity across the dataset
+    * (duplicate prompts leak preference signal across splits), and the
+    * composite `keep` gate: both responses non-empty, not identical,
+    * ratio within `maxRatio`.
+    *
+    * Scale shape: one hash window on the normalized prompt (the only
+    * shuffle); everything else is per-row column math.
+    */
+  def preferencePairs(df: DataFrame, pidCol: String, promptCol: String,
+                      chosenCol: String, rejectedCol: String,
+                      maxRatio: Double = 4.0): DataFrame = {
+    require(maxRatio >= 1.0,
+      s"preferencePairs: maxRatio must be >= 1, got $maxRatio")
+    def norm(c: Column) =
+      array_join(filter(split(c, "\\s+"), t => length(t) > 0), " ")
+    val nc = Sampling.wsTokenCount(col(chosenCol))
+    val nr = Sampling.wsTokenCount(col(rejectedCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(norm(col(promptCol)))
+    val audited = df.select(col(pidCol),
+        Sampling.wsTokenCount(col(promptCol)).as("n_prompt"),
+        nc.as("n_chosen"), nr.as("n_rejected"),
+        (norm(col(chosenCol)) === norm(col(rejectedCol))).as("identical"),
+        count(lit(1)).over(w).as("prompt_dups"))
+      .withColumn("len_ratio", round(
+        greatest(col("n_chosen"), col("n_rejected")).cast("double") /
+          greatest(least(col("n_chosen"), col("n_rejected")), lit(1L)), 6))
+    audited.withColumn("keep",
+      col("n_chosen") > 0 && col("n_rejected") > 0 && !col("identical") &&
+        col("len_ratio") <= lit(maxRatio))
+  }
+}

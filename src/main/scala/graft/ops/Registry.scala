@@ -1351,6 +1351,38 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         minDocs = a.get("min_docs", -1).map(asInt(_, "min_docs")).getOrElse(2))
     },
+    "graft.chat_assemble" -> { a =>
+      // SFT chat-template assembly: turn-grain conversations -> one
+      // rendered text each + per-token loss-mask spans (loss on
+      // assistant content + its <|end|> only)
+      graft.operators.Sft.chatAssemble(asDf(a.require("df", 0), "df"),
+        asStr(a.get("conv", -1).getOrElse("conv_id"), "conv"),
+        asStr(a.get("turn", -1).getOrElse("turn"), "turn"),
+        asStr(a.get("role", -1).getOrElse("role"), "role"),
+        asStr(a.get("content", -1).getOrElse("content"), "content"),
+        assistantRole = a.get("assistant_role", -1)
+          .map(asStr(_, "assistant_role")).getOrElse("assistant"))
+    },
+    "graft.sft_pack_mask" -> { a =>
+      // pack assembled conversations into fixed training blocks carrying
+      // the loss mask as block-relative (conv,start,len) geometry
+      graft.operators.Sft.sftPackMask(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("conv_id"), "id"),
+        asInt(a.require("block_size", 1), "block_size").toLong,
+        eosTokens = a.get("eos_tokens", -1).map(asInt(_, "eos_tokens"))
+          .getOrElse(1))
+    },
+    "graft.preference_pairs" -> { a =>
+      // DPO-pair audit: token counts, symmetric length ratio, normalized
+      // identity, prompt multiplicity, composite keep gate
+      graft.operators.Sft.preferencePairs(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("pair_id"), "id"),
+        asStr(a.get("prompt", -1).getOrElse("prompt"), "prompt"),
+        asStr(a.get("chosen", -1).getOrElse("chosen"), "chosen"),
+        asStr(a.get("rejected", -1).getOrElse("rejected"), "rejected"),
+        maxRatio = a.get("max_ratio", -1).map(_.toString.toDouble)
+          .getOrElse(4.0))
+    },
     "graft.length_buckets" -> { a =>
       // dynamic-padding planner: power-of-two length buckets, per-bucket
       // batch counts / padded volume / fill ratio

@@ -64,6 +64,60 @@ object Round16 {
   private val replSpike = " bad" + 0xfffd.toChar + "byte" + 0xfffd.toChar
   private val c1Spike = " ctrl" + 0x85.toChar + 0x92.toChar + "chars"
 
+  /** Turn-grain conversation fixture shared by q320/q321: each doc's
+    * words become 10-word turns — turn 0 'system', then alternating
+    * 'user'/'assistant' — so short docs pin the no-assistant branches
+    * (1 turn: system only; 2: system+user) and long docs carry several
+    * mask spans. Both engines derive turns from the same word slices.
+    */
+  private def convFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val nTurns = ceil(size(words) / lit(10.0)).cast("int")
+    t(s, d, "documents")
+      .select(col("doc_id"), words.as("__w"), nTurns.as("__nt"))
+      .filter(col("__nt") > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("__nt") - 1),
+        i => array_join(slice(col("__w"), i * 10 + 1, lit(10)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("turn"),
+        when(col("pos") === 0, "system")
+          .when(col("pos") % 2 === 1, "user")
+          .otherwise("assistant").as("role"),
+        col("col").as("content"))
+  }
+
+  /** DuckDB twin of [[convFixture]] plus the per-turn template
+    * arithmetic chatAssemble applies: rendered text, token length
+    * (`nw + 2` for header/trailer), within-conversation cumulative
+    * offset. Ends at CTE `c` — q320 aggregates it to conversations,
+    * q321 packs it into blocks.
+    */
+  private val convFixtureSql = """
+        w AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+          FROM documents),
+        tr AS MATERIALIZED (SELECT doc_id, i AS turn,
+            CASE WHEN i = 0 THEN 'system'
+                 WHEN i % 2 = 1 THEN 'user'
+                 ELSE 'assistant' END AS role,
+            array_to_string(words[(i*10+1):(i*10+10)], ' ') AS content,
+            CAST(len(words[(i*10+1):(i*10+10)]) AS BIGINT) AS nw
+          FROM w,
+            unnest(generate_series(0,
+              CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS u(i)
+          WHERE len(words) > 0),
+        a AS MATERIALIZED (SELECT doc_id, turn, role, nw,
+            nw + 2 AS tlen,
+            '<|' || role || '|>' ||
+              CASE WHEN nw > 0 THEN ' ' || content ELSE '' END ||
+              ' <|end|>' AS rendered
+          FROM tr),
+        c AS MATERIALIZED (SELECT doc_id, turn, role, nw, tlen, rendered,
+            CAST(SUM(tlen) OVER (PARTITION BY doc_id ORDER BY turn)
+              AS BIGINT) AS cum
+          FROM a)"""
+
   def all: Seq[Q] = Seq(
 
     // CORPUS-level line dedup — C4's cross-document suppression (Raffel
@@ -254,6 +308,137 @@ object Round16 {
           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
           round(SUM(LEAST(n, bucket_len))
             / CAST(COUNT(*) * bucket_len AS DOUBLE), 6) AS fill_ratio
-        FROM b GROUP BY bucket_len ORDER BY bucket_len"""))
+        FROM b GROUP BY bucket_len ORDER BY bucket_len""")),
+
+    // SFT chat-template assembly — render turn-grain conversations into
+    // one training text each with per-token LOSS-MASK spans (loss on
+    // assistant content + its <|end|>; never on headers or other
+    // roles). The oracle rebuilds the template stream per turn and
+    // replays every offset from a within-conversation cumsum; the
+    // fixture's 1- and 2-turn docs pin the empty-mask branch.
+    Q("q320_chat_assemble", (s, d) =>
+      graft.operators.Sft.chatAssemble(convFixture(s, d), "doc_id",
+          "turn", "role", "content")
+        .select(col("doc_id"), col("text"), col("n_turns"),
+          col("n_tokens"), col("n_loss"), col("loss_frac"),
+          concat_ws(",", transform(col("mask_spans"), sp =>
+            concat(sp.getField("start"), lit(":"), sp.getField("len"))))
+            .as("spans_csv"))
+        .orderBy(col("doc_id")),
+      Some("WITH" + convFixtureSql + """,
+        g AS (SELECT doc_id,
+            string_agg(rendered, ' ' ORDER BY turn) AS text,
+            COUNT(*) AS n_turns,
+            CAST(SUM(tlen) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN role = 'assistant' THEN nw + 1 ELSE 0 END)
+              AS BIGINT) AS n_loss,
+            string_agg(CASE WHEN role = 'assistant'
+                THEN (cum - tlen + 1) || ':' || (nw + 1) END,
+              ',' ORDER BY turn) AS spans_csv
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, text, n_turns, n_tokens, n_loss,
+          round(n_loss / CAST(n_tokens AS DOUBLE), 6) AS loss_frac,
+          COALESCE(spans_csv, '') AS spans_csv
+        FROM g ORDER BY doc_id""")),
+
+    // SFT mask-carrying packing — the assembled conversations packed
+    // into fixed 48-token blocks (concat-and-chunk, 1 EOS per conv)
+    // with the loss mask pushed through to block-relative geometry:
+    // per block, the ordered disjoint (conv, start, len) intervals that
+    // take loss. The oracle replays the whole chain: template lengths,
+    // conversation stream offsets, span absolutization, block
+    // intersection — the q313 packed-position idiom over a SECOND
+    // interval family.
+    Q("q321_sft_pack_mask", (s, d) => {
+      val assembled = graft.operators.Sft.chatAssemble(convFixture(s, d),
+        "doc_id", "turn", "role", "content")
+      graft.operators.Sft.sftPackMask(assembled, "doc_id", blockSize = 48L)
+        .select(col("block"), col("n_spans"), col("n_loss"),
+          concat_ws(",", transform(col("loss_spans"), g =>
+            concat(g.getField("conv"), lit(":"), g.getField("start"),
+              lit(":"), g.getField("len")))).as("loss_csv"))
+        .orderBy(col("block"))
+    }, Some("WITH" + convFixtureSql + """,
+        g2 AS MATERIALIZED (SELECT doc_id,
+            CAST(SUM(tlen) AS BIGINT) AS n_tokens
+          FROM a GROUP BY doc_id),
+        offs AS MATERIALIZED (SELECT doc_id,
+            CAST(SUM(n_tokens + 1) OVER (ORDER BY doc_id) AS BIGINT)
+              - n_tokens - 1 AS start_off
+          FROM g2),
+        sp AS MATERIALIZED (
+          SELECT c.doc_id,
+            offs.start_off + (cum - tlen + 1) AS s,
+            offs.start_off + (cum - tlen + 1) + (nw + 1) AS e
+          FROM c JOIN offs ON c.doc_id = offs.doc_id
+          WHERE role = 'assistant'),
+        segs AS MATERIALIZED (
+          SELECT doc_id, s, e, (s // 48) + b AS block
+          FROM sp,
+            unnest(generate_series(0, (e - 1) // 48 - s // 48)) AS u(b)),
+        geo AS (SELECT block,
+            greatest(s, block * 48) - block * 48 AS bs,
+            least(e, (block + 1) * 48) - greatest(s, block * 48) AS bl,
+            doc_id
+          FROM segs)
+        SELECT block, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(bl) AS BIGINT) AS n_loss,
+          string_agg(doc_id || ':' || bs || ':' || bl, ',' ORDER BY bs)
+            AS loss_csv
+        FROM geo GROUP BY block ORDER BY block""")),
+
+    // Preference-pair (DPO) audit — token counts, symmetric length
+    // ratio, normalized chosen==rejected identity, cross-dataset prompt
+    // multiplicity, composite keep gate. The fixture forces every
+    // branch: %5==0 identical pairs, %5==1 a 10x length-ratio breach,
+    // short docs empty responses, and a 97-class prompt key so
+    // prompt_dups > 1 everywhere.
+    Q("q322_preference_stats", (s, d) => {
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val pairs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("prompt "), (col("doc_id") % 97).cast("string"))
+          .as("prompt"),
+        array_join(slice(words, 13, 20), " ").as("chosen"),
+        when(col("doc_id") % 5 === 0, array_join(slice(words, 13, 20), " "))
+          .when(col("doc_id") % 5 === 1, array_join(slice(words, 13, 2), " "))
+          .otherwise(array_join(slice(words, 33, 20), " ")).as("rejected"))
+      graft.operators.Sft.preferencePairs(pairs, "doc_id", "prompt",
+          "chosen", "rejected")
+        .orderBy(col("doc_id"))
+    }, Some("""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+          FROM documents),
+        p AS MATERIALIZED (SELECT doc_id,
+            'prompt ' || CAST(doc_id % 97 AS VARCHAR) AS prompt,
+            -- array_to_string of an EMPTY slice is NULL in DuckDB, but
+            -- Spark's array_join is ''; coalesce to keep short docs equal
+            COALESCE(array_to_string(words[13:32], ' '), '') AS chosen,
+            CASE CAST(doc_id % 5 AS INT)
+              WHEN 0 THEN COALESCE(array_to_string(words[13:32], ' '), '')
+              WHEN 1 THEN COALESCE(array_to_string(words[13:14], ' '), '')
+              ELSE COALESCE(array_to_string(words[33:52], ' '), '')
+            END AS rejected
+          FROM w),
+        c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(prompt, '\S+')) AS BIGINT)
+              AS n_prompt,
+            CAST(len(regexp_extract_all(chosen, '\S+')) AS BIGINT)
+              AS n_chosen,
+            CAST(len(regexp_extract_all(rejected, '\S+')) AS BIGINT)
+              AS n_rejected,
+            chosen = rejected AS identical,
+            COUNT(*) OVER (PARTITION BY prompt) AS prompt_dups
+          FROM p)
+        SELECT doc_id, n_prompt, n_chosen, n_rejected, identical,
+          prompt_dups,
+          round(greatest(n_chosen, n_rejected)
+            / CAST(greatest(least(n_chosen, n_rejected), 1) AS DOUBLE), 6)
+            AS len_ratio,
+          n_chosen > 0 AND n_rejected > 0 AND NOT identical
+            AND round(greatest(n_chosen, n_rejected)
+              / CAST(greatest(least(n_chosen, n_rejected), 1) AS DOUBLE), 6)
+              <= 4.0 AS keep
+        FROM c ORDER BY doc_id"""))
   )
 }

@@ -85,7 +85,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "feeding the per-block doc-map aggregate: the one global window " +
       "is the GlobalWindows prefix combine over the per-range-partition " +
       "sum frame (<= spark.sql.shuffle.partitions rows), never the " +
-      "document stream"))
+      "document stream"),
+    "q321_sft_pack_mask" -> ("same packPlan machinery as q293/q313 " +
+      "feeding the mask-span block intersection: the one global window " +
+      "is the GlobalWindows prefix combine over the per-range-partition " +
+      "sum frame (<= spark.sql.shuffle.partitions rows) — conversation " +
+      "assembly and span geometry are hash-partitioned by conv id"))
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.

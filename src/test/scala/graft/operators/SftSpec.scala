@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** SFT data prep: template token arithmetic and mask spans in
+  * [[Sft.chatAssemble]] (hand-computed positions, empty assistant turn,
+  * whitespace-role folding, no-assistant conversations), mask geometry
+  * through [[Sft.sftPackMask]] (block-crossing spans, EOS mask-0,
+  * conservation of loss tokens), and the [[Sft.preferencePairs]] gate
+  * branches.
+  */
+class SftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def turns(rows: (Long, Long, String, String)*) =
+    rows.toDF("conv_id", "turn", "role", "content")
+
+  test("chatAssemble: hand-computed offsets, rendering, mask spans") {
+    // conv 1: system(2w) user(1w) assistant(3w) -> template stream:
+    //   [<|system|> s1 s2 <|end|>]       positions 0..3   (4 tokens)
+    //   [<|user|> u1 <|end|>]            positions 4..6   (3 tokens)
+    //   [<|assistant|> a1 a2 a3 <|end|>] positions 7..11  (5 tokens)
+    // 12 total; assistant span = content+end = start 8, len 4
+    val out = Sft.chatAssemble(turns(
+        (1L, 0L, "system", "s1  s2"), // double space normalizes away
+        (1L, 1L, "user", "u1"),
+        (1L, 2L, "assistant", "a1 a2 a3")),
+      "conv_id", "turn", "role", "content").collect()(0)
+    assert(out.getAs[String]("text") ==
+      "<|system|> s1 s2 <|end|> <|user|> u1 <|end|> " +
+        "<|assistant|> a1 a2 a3 <|end|>")
+    assert(out.getAs[Long]("n_turns") == 3L)
+    assert(out.getAs[Long]("n_tokens") == 12L)
+    assert(out.getAs[Long]("n_loss") == 4L)
+    val spans = out.getSeq[org.apache.spark.sql.Row](
+      out.fieldIndex("mask_spans"))
+    assert(spans.map(r => (r.getLong(0), r.getLong(1))) == Seq((8L, 4L)))
+  }
+
+  test("chatAssemble: empty assistant turn keeps its <|end|>; " +
+      "no-assistant conv has empty mask; whitespace role folds") {
+    val df = Sft.chatAssemble(turns(
+        (1L, 0L, "user", "q"),
+        (1L, 1L, "assistant", ""),      // 0 words -> span len 1
+        (2L, 0L, "my bot", "hello")),   // role folds to my-bot
+      "conv_id", "turn", "role", "content")
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    val c1spans = byId(1L).getSeq[org.apache.spark.sql.Row](
+      byId(1L).fieldIndex("mask_spans"))
+    // conv 1: [<|user|> q <|end|>][<|assistant|> <|end|>] -> span [4,1)
+    assert(c1spans.map(r => (r.getLong(0), r.getLong(1))) == Seq((4L, 1L)))
+    assert(byId(1L).getAs[Long]("n_loss") == 1L)
+    assert(byId(2L).getAs[String]("text") == "<|my-bot|> hello <|end|>")
+    assert(byId(2L).getAs[Long]("n_loss") == 0L)
+    assert(byId(2L).getSeq[Any](byId(2L).fieldIndex("mask_spans")).isEmpty)
+  }
+
+  test("sftPackMask: spans cross block boundaries; loss conserved; EOS mask-0") {
+    val assembled = Sft.chatAssemble(turns(
+        (1L, 0L, "system", "s1 s2"),
+        (1L, 1L, "user", "u1"),
+        (1L, 2L, "assistant", "a1 a2 a3"),
+        (2L, 0L, "user", "u1 u2"),
+        (2L, 1L, "assistant", "b1 b2 b3 b4 b5 b6")),
+      "conv_id", "turn", "role", "content")
+    // conv 1: 12 tokens, span rel (8,4); conv 2: 12 tokens, span rel (5,7)
+    // stream (+1 EOS each): conv1 [0,12) eos at 12; conv2 [13,25) eos 25
+    // abs spans: [8,12) and [18,25); blocks of 8:
+    //   [8,12)  -> block 1 [8,16):  (0,4)
+    //   [18,25) -> block 2 [16,24): (2,6); block 3 [24,32): (0,1)
+    // EOS positions 12 and 25 fall inside blocks but in no span (mask-0)
+    val out = Sft.sftPackMask(assembled, "conv_id", blockSize = 8L)
+      .orderBy("block").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getSeq[org.apache.spark.sql.Row](3)
+        .map(g => (g.getLong(0), g.getLong(1), g.getLong(2)))))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 4L, Seq((0L, 4L, 1L))),
+      (2L, 1L, 6L, Seq((2L, 6L, 2L))),
+      (3L, 1L, 1L, Seq((0L, 1L, 2L)))))
+    // conservation: block-level loss == conversation-level loss
+    val totalBlock = out.map(_.getLong(2)).sum
+    val totalConv = assembled.agg(sum("n_loss")).head().getLong(0)
+    assert(totalBlock == totalConv)
+  }
+
+  test("preferencePairs: identity, ratio breach, empties, prompt dups, keep") {
+    val pairs = Seq(
+      (1L, "p same", "good answer here", "good  answer here"), // identical
+      (2L, "p same", "one two three four five six seven eight", "one"),
+      (3L, "p other", "fine pair left", "fine pair right ok"),
+      (4L, "p other", "", "nonempty")
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val out = Sft.preferencePairs(pairs, "pair_id", "prompt", "chosen",
+        "rejected").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("identical"))
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("len_ratio") == 8.0)
+    assert(!out(2L).getAs[Boolean]("keep")) // ratio breach
+    assert(out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("prompt_dups") == 2L)
+    assert(out(4L).getAs[Long]("n_chosen") == 0L)
+    assert(!out(4L).getAs[Boolean]("keep")) // empty chosen
+  }
+}

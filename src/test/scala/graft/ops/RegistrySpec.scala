@@ -2446,6 +2446,34 @@ class RegistrySpec extends AnyFunSuite {
     assert(contrast.nonEmpty && contrast.forall(r =>
       r.getAs[Double]("contrast") > 0 && r.getAs[Boolean]("in_domain")))
   }
+
+  test("graft.chat_assemble -> sft_pack_mask and preference_pairs from the YAML surface") {
+    val convs = Seq(
+      (1L, 0L, "user", "hello there"),
+      (1L, 1L, "assistant", "hi"),
+      (2L, 0L, "user", "bye")).toDF("conv_id", "turn", "role", "content")
+    val assembled = reg.callFunction("graft.chat_assemble",
+        Args(pos = List(convs)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val byId = assembled.collect().map(r => r.getLong(0) -> r).toMap
+    // conv 1: [<|user|> hello there <|end|>][<|assistant|> hi <|end|>]
+    assert(byId(1L).getAs[Long]("n_tokens") == 7L &&
+      byId(1L).getAs[Long]("n_loss") == 2L)
+    assert(byId(2L).getAs[Long]("n_loss") == 0L)
+    val packed = reg.callFunction("graft.sft_pack_mask", Args(
+        pos = List(assembled), kw = List("block_size" -> 4L)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    // conv 1 span abs [5,7) -> block 1 [4,8): (1,2); conv 2 no span
+    assert(packed.length == 1 && packed(0).getLong(0) == 1L &&
+      packed(0).getLong(2) == 2L)
+    val prefs = reg.callFunction("graft.preference_pairs", Args(
+        pos = List(Seq((1L, "p", "a b", "a b"), (2L, "p", "a b", "c"))
+          .toDF("pair_id", "prompt", "chosen", "rejected")),
+        kw = List("max_ratio" -> 2.0)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!prefs(1L) && prefs(2L)) // identical dropped; ratio 2.0 kept
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
