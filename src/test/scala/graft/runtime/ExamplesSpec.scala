@@ -874,4 +874,34 @@ class ExamplesSpec extends AnyFunSuite {
     val tarIdx = spark.read.parquet(s"$out/tar_index.parquet").collect()
     assert(tarIdx.map(_.getAs[Long]("n_samples")).sum == total)
   }
+
+  test("examples/sft_prep.yaml: chat masks, mask-carrying blocks, DPO kept set") {
+    val out = freshDir("ex_sft")
+    new Pipeline(spark, "examples/sft_prep.yaml",
+      Map("sf_dir" -> sfDir, "out_dir" -> out)).run()
+
+    val convs = spark.read.parquet(s"$out/sft_conversations.parquet")
+    assert(convs.count() > 0)
+    // the mask is never the whole stream (headers/user turns are mask-0)
+    // and conversations with >= 3 turns always carry loss
+    assert(convs.filter(col("n_loss") >= col("n_tokens")).count() == 0)
+    assert(convs.filter(col("n_turns") >= 3 && col("n_loss") === 0)
+      .count() == 0)
+    // block-level loss conserves conversation-level loss (EOS mask-0)
+    val convLoss = convs.agg(sum("n_loss")).head().getLong(0)
+    val blocks = spark.read.parquet(s"$out/loss_mask_blocks.parquet")
+    assert(blocks.agg(sum("n_loss")).head().getLong(0) == convLoss)
+    // spans stay inside their 128-token block
+    assert(blocks.filter(exists(col("loss_spans"), g =>
+      g.getField("start") < 0 ||
+        g.getField("start") + g.getField("len") > 128)).count() == 0)
+    // DPO branch: audit covers all pairs; kept set is a strict, nonempty
+    // subset (the %5 fixture forces identical + ratio-breach drops)
+    val audit = spark.read.parquet(s"$out/preference_audit.parquet")
+    val kept = spark.read.parquet(s"$out/preference_kept.parquet")
+    assert(audit.count() == convs.count())
+    assert(kept.count() > 0 && kept.count() < audit.count())
+    assert(kept.filter(col("identical") || col("len_ratio") > 4.0)
+      .count() == 0)
+  }
 }
