@@ -530,10 +530,17 @@ object Scoring {
       when(c > 0, org.apache.spark.sql.functions.log(c)).otherwise(lit(LnFloor))
     val ws = (1 to order).map(i => s"w$i")
     val tables = scala.collection.mutable.Map[Int, DataFrame]()
-    tables(order) = typed
+    // every level table fans out into 3-4 consumer subtrees (the level
+    // below, histOf, discOf, pFrames) that AQE submits CONCURRENTLY —
+    // unpersisted, the top-order count scan recomputes once per racing
+    // subtree per level (the Caches.persistTracked eager note; measured
+    // 27.7s -> see BENCH: the fit is the battery's slowest family).
+    // Count-table-bounded frames, so the cache residency is |type| rows.
+    tables(order) = Caches.persistTracked(typed, eager = true)
     for (k <- order - 1 to 1 by -1)
-      tables(k) = tables(k + 1).groupBy(ws.takeRight(k).map(col): _*)
-        .agg(count(lit(1)).as(s"c$k"))
+      tables(k) = Caches.persistTracked(
+        tables(k + 1).groupBy(ws.takeRight(k).map(col): _*)
+          .agg(count(lit(1)).as(s"c$k")))
     def histOf(k: Int): DataFrame =
       tables(k).groupBy(ws.takeRight(k).dropRight(1).map(col): _*)
         .agg(sum(col(s"c$k")).as(s"s$k"),
