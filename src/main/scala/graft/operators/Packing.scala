@@ -37,15 +37,41 @@ object Packing {
     */
   def packPlan(df: DataFrame, idCol: String, nTokensCol: String,
                blockSize: Long, eosTokens: Int = 1,
-               baseOffset: Long = 0L): DataFrame = {
+               baseOffset: Long = 0L): DataFrame =
+    planOrdered(df, Seq(idCol), idCol, nTokensCol, blockSize, eosTokens,
+      baseOffset, keep = Nil)
+
+  /** [[packPlan]] with the stream in AFFINITY-major order — in-context
+    * pretraining's data layout (Shi et al. 2023, "In-Context Pretraining:
+    * Language Modeling Beyond Document Boundaries"): related documents
+    * (same domain / cluster / topic) become stream NEIGHBORS, so the
+    * fixed-size training blocks mostly hold same-affinity text and the
+    * model conditions across related documents instead of random ones.
+    * Identical exact-long arithmetic; the only change is the range
+    * exchange's key, `(affinityCol, idCol)` — same one-shuffle shape, and
+    * same-affinity runs land in contiguous stream positions by
+    * construction. Output adds `affinityCol` to the manifest columns.
+    */
+  def affinityPackPlan(df: DataFrame, idCol: String, nTokensCol: String,
+                       affinityCol: String, blockSize: Long,
+                       eosTokens: Int = 1, baseOffset: Long = 0L): DataFrame =
+    planOrdered(df, Seq(affinityCol, idCol), idCol, nTokensCol, blockSize,
+      eosTokens, baseOffset, keep = Seq(affinityCol))
+
+  private def planOrdered(df: DataFrame, orderCols: Seq[String],
+                          idCol: String, nTokensCol: String, blockSize: Long,
+                          eosTokens: Int, baseOffset: Long,
+                          keep: Seq[String]): DataFrame = {
     require(blockSize >= 1, s"packPlan: blockSize must be >= 1, got $blockSize")
     require(eosTokens >= 0, s"packPlan: eosTokens must be >= 0, got $eosTokens")
     require(baseOffset >= 0, s"packPlan: baseOffset must be >= 0, got $baseOffset")
+    val cols0 = (orderCols :+ idCol).distinct
     val spanned = df
-      .select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"))
+      .select(cols0.map(col) :+
+        col(nTokensCol).cast("long").as("n_tokens"): _*)
       .withColumn("__pk_len", col("n_tokens") + lit(eosTokens.toLong))
-    // distributed global running sum over id order — the one shuffle
-    val cum = GlobalWindows.running(spanned, Seq(idCol), Seq("__pk_len"),
+    // distributed global running sum over stream order — the one shuffle
+    val cum = GlobalWindows.running(spanned, orderCols, Seq("__pk_len"),
       "cumsum")
     cum
       .withColumn("end_off", col("__pk_len") + lit(baseOffset))
@@ -54,8 +80,34 @@ object Packing {
       .withColumn("first_block", expr(s"start_off div ${blockSize}L"))
       .withColumn("last_block", expr(s"(end_off - 1) div ${blockSize}L"))
       .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
-      .select(col(idCol), col("n_tokens"), col("start_off"), col("end_off"),
-        col("first_block"), col("last_block"), col("n_blocks"))
+      .select(col(idCol) +: keep.map(col) :+ col("n_tokens") :+
+        col("start_off") :+ col("end_off") :+ col("first_block") :+
+        col("last_block") :+ col("n_blocks"): _*)
+  }
+
+  /** Per-block AFFINITY report over an [[affinityPackPlan]] manifest: how
+    * many documents and distinct affinities touch each block, its fill,
+    * and `pure` — whether every position comes from ONE affinity (the
+    * in-context-pretraining win condition; compare against the same
+    * report over a plain [[packPlan]] to measure the layout's effect).
+    */
+  def blockAffinityStats(plan: DataFrame, affinityCol: String,
+                         blockSize: Long): DataFrame = {
+    require(blockSize >= 1,
+      s"blockAffinityStats: blockSize must be >= 1, got $blockSize")
+    val b = plan
+      .filter(col("end_off") > col("start_off"))
+      .select(col(affinityCol), col("start_off"), col("end_off"),
+        explode(sequence(col("first_block"), col("last_block"))).as("block"))
+    val bStart = col("block") * lit(blockSize)
+    val bEnd = bStart + lit(blockSize)
+    b.groupBy(col("block"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(affinityCol)).as("n_affinities"),
+        sum(least(col("end_off"), bEnd) - greatest(col("start_off"), bStart))
+          .as("fill"))
+      .withColumn("pure", col("n_affinities") === 1L)
   }
 
   /** Per-block packing report over a [[packPlan]] manifest: for every

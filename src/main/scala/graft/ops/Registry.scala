@@ -1351,6 +1351,25 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         minDocs = a.get("min_docs", -1).map(asInt(_, "min_docs")).getOrElse(2))
     },
+    "graft.affinity_pack_plan" -> { a =>
+      // in-context-pretraining layout: packing manifest with the stream
+      // in (affinity, id) order so related docs share training blocks
+      graft.operators.Packing.affinityPackPlan(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("doc_id"), "id"),
+        asStr(a.get("n_tokens", -1).getOrElse("n_tokens"), "n_tokens"),
+        asStr(a.require("affinity", 1), "affinity"),
+        asInt(a.require("block_size", 2), "block_size").toLong,
+        eosTokens = a.get("eos_tokens", -1).map(asInt(_, "eos_tokens"))
+          .getOrElse(1))
+    },
+    "graft.block_affinity_stats" -> { a =>
+      // per-block distinct-affinity counts + purity over an
+      // affinity_pack_plan manifest
+      graft.operators.Packing.blockAffinityStats(
+        asDf(a.require("df", 0), "df"),
+        asStr(a.get("affinity", -1).getOrElse("domain"), "affinity"),
+        asInt(a.require("block_size", 1), "block_size").toLong)
+    },
     "graft.chat_assemble" -> { a =>
       // SFT chat-template assembly: turn-grain conversations -> one
       // rendered text each + per-token loss-mask spans (loss on

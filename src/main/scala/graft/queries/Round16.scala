@@ -439,6 +439,43 @@ object Round16 {
             AND round(greatest(n_chosen, n_rejected)
               / CAST(greatest(least(n_chosen, n_rejected), 1) AS DOUBLE), 6)
               <= 4.0 AS keep
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // Affinity-major packing — in-context pretraining's layout (pack
+    // related docs into the same training blocks): the stream orders by
+    // (domain, doc_id) instead of doc_id, so blocks are mostly
+    // single-domain; the gate replays the full geometry (offsets under
+    // the affinity order, block intersection, per-block distinct-domain
+    // counts and purity). Same q313 formula corpus, 7 domain classes.
+    Q("q323_affinity_pack", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("dom"), (col("doc_id") % 7).cast("string")).as("domain"),
+        ((col("doc_id") % 13) + 2).as("n_tokens"))
+      val plan = graft.operators.Packing.affinityPackPlan(
+        docs, "doc_id", "n_tokens", "domain", blockSize = 32L)
+      graft.operators.Packing.blockAffinityStats(plan, "domain", 32L)
+        .orderBy(col("block"))
+    }, Some("""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id, 'dom' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+                 (doc_id % 13) + 2 AS n
+          FROM documents),
+        sp AS MATERIALIZED (SELECT doc_id, domain, n,
+               CAST(SUM(n + 1) OVER (ORDER BY domain, doc_id) AS BIGINT)
+                 AS end_off
+             FROM docs),
+        spans AS MATERIALIZED (
+          SELECT domain, end_off - n - 1 AS start_off, end_off FROM sp),
+        segs AS MATERIALIZED (
+          SELECT domain, start_off, end_off, (start_off // 32) + b AS block
+          FROM spans,
+            unnest(generate_series(0,
+              (end_off - 1) // 32 - start_off // 32)) AS u(b))
+        SELECT block, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_affinities,
+          CAST(SUM(least(end_off, (block + 1) * 32)
+            - greatest(start_off, block * 32)) AS BIGINT) AS fill,
+          COUNT(DISTINCT domain) = 1 AS pure
+        FROM segs GROUP BY block ORDER BY block"""))
   )
 }

@@ -86,6 +86,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "is the GlobalWindows prefix combine over the per-range-partition " +
       "sum frame (<= spark.sql.shuffle.partitions rows), never the " +
       "document stream"),
+    "q323_affinity_pack" -> ("same packPlan machinery as q293/q313 under " +
+      "the (affinity, id) range order: the one global window is the " +
+      "GlobalWindows prefix combine over the per-range-partition sum " +
+      "frame (<= spark.sql.shuffle.partitions rows), never the document " +
+      "stream"),
     "q321_sft_pack_mask" -> ("same packPlan machinery as q293/q313 " +
       "feeding the mask-span block intersection: the one global window " +
       "is the GlobalWindows prefix combine over the per-range-partition " +

@@ -220,4 +220,33 @@ class PackingSpec extends AnyFunSuite {
       .collect().forall(r => r.getString(1) == "none" &&
         r.getString(2) == orig(r.getLong(0))))
   }
+
+  test("affinityPackPlan: affinity-major stream order; purity beats id-order packing") {
+    // ids interleave domains; affinity order groups a-docs before b-docs
+    val docs = Seq(
+      (1L, "b", 3L), (2L, "a", 3L), (3L, "b", 3L), (4L, "a", 3L))
+      .toDF("id", "domain", "n_tokens")
+    val p = Packing.affinityPackPlan(docs, "id", "n_tokens", "domain",
+        blockSize = 8L).orderBy("start_off").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("domain"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("end_off")))
+    // stream: a2 [0,4) a4 [4,8) b1 [8,12) b3 [12,16) — contiguous runs
+    assert(p.toSeq == Seq(
+      (2L, "a", 0L, 4L), (4L, "a", 4L, 8L),
+      (1L, "b", 8L, 12L), (3L, "b", 12L, 16L)))
+    val stats = Packing.blockAffinityStats(
+        Packing.affinityPackPlan(docs, "id", "n_tokens", "domain", 8L),
+        "domain", 8L)
+      .orderBy("block").collect()
+      .map(r => (r.getAs[Long]("block"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_affinities"), r.getAs[Boolean]("pure")))
+    // both 8-token blocks are single-domain under the affinity layout
+    assert(stats.toSeq == Seq((0L, 2L, 1L, true), (1L, 2L, 1L, true)))
+    // the id-order layout mixes domains in every block
+    val mixed = Packing.blockAffinityStats(
+        Packing.packPlan(docs, "id", "n_tokens", 8L)
+          .join(docs.select("id", "domain"), Seq("id")),
+        "domain", 8L).collect()
+    assert(mixed.forall(!_.getAs[Boolean]("pure")))
+  }
 }
