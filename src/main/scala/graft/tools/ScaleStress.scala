@@ -320,6 +320,29 @@ object ScaleStress {
         graft.operators.Packing.blockStats(plan, 2048L)
           .queryExecution.toRdd.count()
       }
+      // SFT mask packing: the q293 cumsum plus one conv-id equi-join and
+      // a span->block explode bounded by span_len/blockSize + 1 — expect
+      // the same linear wall as q293_pack_plan
+      cell("q321_sft_mask", f, nd) {
+        val nt = pmod(col("doc_id"), lit(977L)) + 4L
+        val assembled = d.select(col("doc_id"), nt.as("n_tokens"),
+          array(struct(lit(1L).as("start"),
+            (nt / 2L).cast("long").as("len"))).as("mask_spans"))
+        graft.operators.Sft.sftPackMask(assembled, "doc_id", 2048L)
+          .queryExecution.toRdd.count()
+      }
+      // affinity-major packing: q293's shape with a (domain, id) range
+      // key and a per-block distinct-affinity aggregate — the range
+      // exchange keys change, the shuffle volume must not
+      cell("q323_affinity_pack", f, nd) {
+        val plan = graft.operators.Packing.affinityPackPlan(
+          d.select(col("doc_id"),
+            concat(lit("dom"), pmod(col("doc_id"), lit(31L))).as("domain"),
+            (pmod(col("doc_id"), lit(977L)) + 1L).as("n_tokens")),
+          "doc_id", "n_tokens", "domain", blockSize = 2048L)
+        graft.operators.Packing.blockAffinityStats(plan, "domain", 2048L)
+          .queryExecution.toRdd.count()
+      }
       // KMV corpus-overlap: two bottom-256 sketches + the overlap report.
       // The aggregate moves <=256 longs per (partition, group); wall should
       // track the scan, never the distinct-key count.
