@@ -726,4 +726,70 @@ object Shards {
       }
       .toDF("block", "ids")
   }
+
+  /** SFT training shards: the [[packWriteShards]] byte contract for
+    * instruction-tuning data — token ids as int32-LE `shard-f*.bin`
+    * under `outDir` PLUS a bit-packed LOSS-MASK sidecar stream under
+    * `outDir/mask` with the same block geometry: `blockSize / 32`
+    * little-endian int32 words per block, LSB-first (bit b of word w
+    * covers block-relative position `w * 32 + b`; bit 1 = the position
+    * takes loss). Mask bits come from `assembled`'s `mask_spans`
+    * ([[graft.operators.Sft.chatAssemble]]); headers, non-assistant
+    * turns, and EOS fill are 0 by construction, so a trainer multiplies
+    * the unpacked bits straight into its loss. The sidecar is a normal
+    * shard stream — [[readShardBlocks]] over `outDir/mask` returns the
+    * words — and both streams inherit the writer's deterministic
+    * names/bytes, so retries rewrite identical files. Returns the two
+    * index frames unioned under a `stream` column (`ids` / `mask`).
+    *
+    * Scale shape: the ids stream is [[blockTokens]]'s (one global cumsum
+    * + bounded doc→block explode); the mask adds the
+    * [[graft.operators.Sft.sftPackMask]] span geometry (span-bounded
+    * explode) and a per-block word fold over ≤ a handful of disjoint
+    * spans — no new shuffle family, and the mask bytes are blockSize/8
+    * per block (32× lighter than the ids they gate).
+    */
+  def sftWriteShards(assembled: DataFrame, idCol: String, idsCol: String,
+                     blockSize: Long, outDir: String, eosId: Int = 0,
+                     eosTokens: Int = 1, blocksPerFile: Int = 64): DataFrame = {
+    require(blockSize >= 32 && blockSize % 32 == 0,
+      s"sftWriteShards: blockSize must be a positive multiple of 32 " +
+        s"(bit-packed mask words), got $blockSize")
+    require(blocksPerFile >= 1,
+      s"sftWriteShards: blocksPerFile must be >= 1, got $blocksPerFile")
+    // consumed by the ids write AND the mask fill geometry
+    val ids = Caches.persistTracked(
+      blockTokens(assembled, idCol, idsCol, blockSize, eosId, eosTokens))
+    val idx = writeBlockFiles(ids, outDir, "shard", blockSize, blocksPerFile,
+      fileBase = 0L, indexPart = "part=full")
+    val spans = graft.operators.Sft
+      .sftPackMask(assembled, idCol, blockSize, eosTokens)
+      .select(col("block"), transform(col("loss_spans"), sp =>
+        struct(sp.getField("start").cast("long").as("start"),
+          sp.getField("len").cast("long").as("len"))).as("__spans"))
+    val words = ids.select(col("block"), size(col("ids")).as("__fill"))
+      .join(spans, Seq("block"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<start:bigint,len:bigint>>")))
+      .select(col("block"), expr("""
+        transform(sequence(0, cast(ceil(__fill / 32.0) as int) - 1),
+          w -> cast(
+            aggregate(__spans, 0L, (acc, sp) ->
+              acc + if(sp.start + sp.len <= w * 32 or sp.start >= w * 32 + 32,
+                0L,
+                shiftleft(
+                  shiftleft(1L,
+                    cast(least(sp.start + sp.len, w * 32 + 32)
+                      - greatest(sp.start, w * 32) as int)) - 1L,
+                  cast(greatest(sp.start, w * 32) - w * 32 as int))),
+              -- two's-complement fold: a word with bit 31 set is > 2^31-1
+              -- as a long, which an ANSI int cast rejects — re-center to
+              -- the signed range with the same low-32 bit pattern
+              word -> (word & 2147483647L) - (word & 2147483648L))
+            as int))""").as("ids"))
+    val maskIdx = writeBlockFiles(words, s"$outDir/mask", "mask",
+      blockSize / 32, blocksPerFile, fileBase = 0L, indexPart = "part=full")
+    idx.withColumn("stream", lit("ids"))
+      .unionByName(maskIdx.withColumn("stream", lit("mask")))
+  }
 }

@@ -1351,6 +1351,20 @@ final class Registry(spark: SparkSession) {
         asStr(a.get("text", -1).getOrElse("text"), "text"),
         minDocs = a.get("min_docs", -1).map(asInt(_, "min_docs")).getOrElse(2))
     },
+    "graft.sft_write_shards" -> { a =>
+      // SFT training bytes: int32-LE id shards + bit-packed loss-mask
+      // sidecar stream (outDir/mask), same block geometry both streams
+      graft.operators.Shards.sftWriteShards(asDf(a.require("df", 0), "df"),
+        asStr(a.get("id", -1).getOrElse("conv_id"), "id"),
+        asStr(a.get("ids", -1).getOrElse("ids"), "ids"),
+        asInt(a.require("block_size", 1), "block_size").toLong,
+        asStr(a.require("dir", 2), "dir"),
+        eosId = a.get("eos_id", -1).map(asInt(_, "eos_id")).getOrElse(0),
+        eosTokens = a.get("eos_tokens", -1).map(asInt(_, "eos_tokens"))
+          .getOrElse(1),
+        blocksPerFile = a.get("blocks_per_file", -1)
+          .map(asInt(_, "blocks_per_file")).getOrElse(64))
+    },
     "graft.affinity_pack_plan" -> { a =>
       // in-context-pretraining layout: packing manifest with the stream
       // in (affinity, id) order so related docs share training blocks

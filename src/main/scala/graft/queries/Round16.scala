@@ -476,6 +476,75 @@ object Round16 {
           CAST(SUM(least(end_off, (block + 1) * 32)
             - greatest(start_off, block * 32)) AS BIGINT) AS fill,
           COUNT(DISTINCT domain) = 1 AS pure
-        FROM segs GROUP BY block ORDER BY block"""))
+        FROM segs GROUP BY block ORDER BY block""")),
+
+    // SFT shard artifact — the REAL bytes an instruction-tuning run
+    // consumes: token ids as int32-LE .bin blocks plus the bit-packed
+    // loss-mask sidecar stream (32 positions per little-endian word,
+    // LSB-first). The gate goes through disk both ways (write, then the
+    // loader-shaped readers) and the oracle replays every id (position
+    // formula + EOS fill) and every mask WORD (span geometry folded to
+    // bits) from the conversation arithmetic — bit-grain cross-engine
+    // equality on the artifact content.
+    Q("q324_sft_shards", (s, d) => {
+      val dir = s"/tmp/graft_artifacts/sft_${new java.io.File(d).getName}"
+      val assembled = graft.operators.Sft.chatAssemble(convFixture(s, d),
+          "doc_id", "turn", "role", "content")
+        .withColumn("ids", expr("transform(sequence(0, n_tokens - 1), " +
+          "j -> cast((doc_id * 31 + j * 7) % 97 as int))"))
+      graft.operators.Shards.sftWriteShards(assembled, "doc_id", "ids",
+        64L, dir, eosId = 0, blocksPerFile = 8)
+      val ids = graft.operators.Shards.readShardBlocks(s, dir)
+      val mask = graft.operators.Shards.readShardBlocks(s, s"$dir/mask")
+        .select(col("block"), col("ids").as("__w"))
+      ids.join(mask, Seq("block"))
+        .select(col("block"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          expr("aggregate(transform(__w, " +
+            "w -> bit_count(w & 4294967295L)), 0, (a, b) -> a + b)")
+            .cast("long").as("n_loss"),
+          concat_ws(",", expr("transform(ids, x -> cast(x as string))"))
+            .as("ids_csv"),
+          concat_ws(",", expr("transform(__w, " +
+            "w -> cast(w & 4294967295L as string))")).as("mask_csv"))
+        .orderBy(col("block"))
+    }, Some("WITH" + convFixtureSql + """,
+        g2 AS MATERIALIZED (SELECT doc_id,
+            CAST(SUM(tlen) AS BIGINT) AS n_tokens
+          FROM a GROUP BY doc_id),
+        offs AS MATERIALIZED (SELECT doc_id, n_tokens,
+            CAST(SUM(n_tokens + 1) OVER (ORDER BY doc_id) AS BIGINT)
+              - n_tokens - 1 AS start_off
+          FROM g2),
+        tok AS MATERIALIZED (
+          SELECT offs.doc_id, start_off + j AS p, j,
+            CASE WHEN j < n_tokens THEN (offs.doc_id * 31 + j * 7) % 97
+                 ELSE 0 END AS t
+          FROM offs, unnest(generate_series(0, n_tokens)) AS u(j)),
+        spn AS MATERIALIZED (
+          SELECT doc_id, (cum - tlen + 1) AS s,
+            (cum - tlen + 1) + (nw + 1) AS e
+          FROM c WHERE role = 'assistant'),
+        mk AS MATERIALIZED (
+          SELECT tok.p, tok.t,
+            CASE WHEN spn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m
+          FROM tok LEFT JOIN spn
+            ON tok.doc_id = spn.doc_id AND tok.j >= spn.s AND tok.j < spn.e),
+        w2 AS MATERIALIZED (
+          SELECT p // 64 AS block, (p % 64) // 32 AS wi,
+            CAST(SUM(CASE WHEN m = 1
+              THEN CAST(1 AS BIGINT) << CAST(p % 32 AS INT)
+              ELSE 0 END) AS BIGINT) AS word
+          FROM mk GROUP BY 1, 2),
+        wcsv AS (SELECT block,
+            string_agg(CAST(word AS VARCHAR), ',' ORDER BY wi) AS mask_csv
+          FROM w2 GROUP BY block)
+        SELECT mk.p // 64 AS block,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(mk.m) AS BIGINT) AS n_loss,
+          string_agg(CAST(mk.t AS VARCHAR), ',' ORDER BY mk.p) AS ids_csv,
+          any_value(wcsv.mask_csv) AS mask_csv
+        FROM mk JOIN wcsv ON mk.p // 64 = wcsv.block
+        GROUP BY 1 ORDER BY block"""))
   )
 }

@@ -91,6 +91,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "GlobalWindows prefix combine over the per-range-partition sum " +
       "frame (<= spark.sql.shuffle.partitions rows), never the document " +
       "stream"),
+    "q324_sft_shards" -> ("shard write is eager (the gated plan reads " +
+      "the artifact back); the in-construction global windows are the " +
+      "packPlan prefix combines over per-range-partition sum frames, " +
+      "as q293/q313 — never the conversation stream"),
     "q321_sft_pack_mask" -> ("same packPlan machinery as q293/q313 " +
       "feeding the mask-span block intersection: the one global window " +
       "is the GlobalWindows prefix combine over the per-range-partition " +

@@ -324,4 +324,59 @@ class ShardsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(withEos == Map(0L -> Seq(eosId, eosId, 9, 9), 1L -> Seq(9, eosId, eosId)))
   }
+
+  test("sftWriteShards: mask sidecar bits == span geometry; EOS 0; retry identical") {
+    // real assembler output so spans/ids geometry is by construction:
+    // conv 1 = user(2w)+assistant(3w) -> 9 tokens, span rel (5,4);
+    // conv 2 = user(1w)+assistant(9w) -> 14 tokens, span rel (4,10)
+    val turns = Seq(
+      (1L, 0L, "user", "u1 u2"), (1L, 1L, "assistant", "a1 a2 a3"),
+      (2L, 0L, "user", "v1"), (2L, 1L, "assistant", "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("conv_id", "turn", "role", "content")
+    val assembled = Sft.chatAssemble(turns, "conv_id", "turn", "role",
+        "content")
+      .withColumn("ids", expr(
+        "transform(sequence(0, n_tokens - 1), " +
+          "j -> cast((conv_id * 31 + j * 7) % 97 as int))"))
+    val dir = java.nio.file.Files.createTempDirectory("sft_shards_").toString
+    val idx = Shards.sftWriteShards(assembled, "conv_id", "ids", 32L, dir,
+      eosId = eosId, blocksPerFile = 2)
+    assert(idx.select("stream").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ids", "mask"))
+    val ids = Shards.readShardBlocks(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val mask = Shards.readShardBlocks(spark, s"$dir/mask").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(ids.keySet == mask.keySet)
+    // unpack bits and compare per position against the span geometry:
+    // stream = conv1 [0,9) eos 9, conv2 [10,24) eos 24 -> 25 positions;
+    // abs loss = [5,9) and [14,24)
+    val lossPos = ((5L until 9L) ++ (14L until 24L)).toSet
+    val got = mask.toSeq.flatMap { case (b, ws) =>
+      ws.zipWithIndex.flatMap { case (w, wi) =>
+        (0 until 32).collect { case bit if ((w >> bit) & 1) == 1 =>
+          b * 32L + wi * 32L + bit }
+      }
+    }.toSet
+    assert(got == lossPos, s"mask bits $got != $lossPos")
+    // mask word count tracks the partial final ids block: 25 positions
+    // -> block 0 full (32 ids, 1 word), none beyond
+    assert(ids(0L).length == 25 && mask(0L).length == 1)
+    // EOS positions 9 and 24 are 0 (in lossPos complement by
+    // construction); ids round-trip the formula with EOS fill
+    assert(ids(0L)(9) == eosId && ids(0L)(24) == eosId)
+    // retry writes byte-identical files (both streams)
+    def bytesOf(): Map[String, Seq[Byte]] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".bin"))
+        .map(f => f.getPath ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val before = bytesOf()
+    Shards.sftWriteShards(assembled, "conv_id", "ids", 32L, dir,
+      eosId = eosId, blocksPerFile = 2)
+    assert(bytesOf() == before, "retry must rewrite identical bytes")
+  }
 }

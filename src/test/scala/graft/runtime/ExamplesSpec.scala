@@ -895,6 +895,18 @@ class ExamplesSpec extends AnyFunSuite {
     assert(blocks.filter(exists(col("loss_spans"), g =>
       g.getField("start") < 0 ||
         g.getField("start") + g.getField("len") > 128)).count() == 0)
+    // shard tail: the mask sidecar's popcount over every written word
+    // equals the conversation-level loss total, and ids blocks cover the
+    // whole stream (sum of block sizes == n_tokens + one EOS per conv)
+    val idsBlocks = spark.read.parquet(s"$out/sft_blocks.parquet")
+    val maskWords = spark.read.parquet(s"$out/sft_mask_words.parquet")
+    val streamLen = convs.agg(sum(col("n_tokens") + lit(1L))).head().getLong(0)
+    assert(idsBlocks.select(explode(col("ids"))).count() == streamLen)
+    val popcnt = maskWords.select(expr(
+      "aggregate(transform(ids, w -> bit_count(w & 4294967295L)), 0, " +
+        "(a, b) -> a + b)").cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(popcnt == convLoss, s"mask popcount $popcnt != conv loss $convLoss")
     // DPO branch: audit covers all pairs; kept set is a strict, nonempty
     // subset (the %5 fixture forces identical + ratio-breach drops)
     val audit = spark.read.parquet(s"$out/preference_audit.parquet")
