@@ -2541,6 +2541,21 @@ final class Registry(spark: SparkSession) {
         idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
         vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"))
     },
+    "graft.margin_mine" -> { a =>
+      // margin-based bitext mining (CCMatrix/NLLB): best tgt per src by
+      // cosine / mean-local-density ratio; ncells>0 switches the
+      // candidate passes from brute force to IVF
+      graft.operators.Similarity.marginMine(
+        asDf(a.require("src", 0), "src"),
+        asDf(a.require("tgt", 1), "tgt"),
+        k = a.get("k", -1).map(asInt(_, "k")).getOrElse(4),
+        threshold = a.get("threshold", -1).map(_.toString.toDouble)
+          .getOrElse(1.05),
+        idCol = asStr(a.get("id", -1).getOrElse("vec_id"), "id"),
+        vecCol = asStr(a.get("vec", -1).getOrElse("embedding"), "vec"),
+        ncells = a.get("ncells", -1).map(asInt(_, "ncells")).getOrElse(0),
+        nprobe = a.get("nprobe", -1).map(asInt(_, "nprobe")).getOrElse(4))
+    },
     "graft.quality_fit" -> { a =>
       // fit the hashed-TF LR quality classifier against a label
       // expression; returns a (pos, weight) frame with the intercept at

@@ -545,6 +545,62 @@ object Round16 {
           string_agg(CAST(mk.t AS VARCHAR), ',' ORDER BY mk.p) AS ids_csv,
           any_value(wcsv.mask_csv) AS mask_csv
         FROM mk JOIN wcsv ON mk.p // 64 = wcsv.block
-        GROUP BY 1 ORDER BY block"""))
+        GROUP BY 1 ORDER BY block""")),
+
+    // Margin-based bitext mining (Artetxe & Schwenk; CCMatrix/NLLB):
+    // even vec_ids are the "source language", odd the "target"; every
+    // src picks its best tgt by cosine / mean-local-density ratio. The
+    // oracle replays both top-k directions, both degree tables (exact
+    // decimal sums of 6dp cosines — the operator's determinism
+    // contract), the margin division chain, and the max-strategy cut.
+    Q("q325_margin_mine", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.02)
+        .orderBy(col("src_id"))
+    }, Some("""
+        WITH s AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 2 = 0),
+        tg AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 2 = 1),
+        fw AS MATERIALIZED (
+          SELECT s.vec_id AS q, tg.vec_id AS n,
+            list_dot_product(s.e, tg.e)
+              / (sqrt(list_dot_product(s.e, s.e))
+                 * sqrt(list_dot_product(tg.e, tg.e))) AS cos
+          FROM s, tg),
+        fwtop AS MATERIALIZED (
+          SELECT q, n, round(cos, 6) AS c6 FROM (
+            SELECT q, n, cos, ROW_NUMBER() OVER (PARTITION BY q
+              ORDER BY cos DESC, n) AS rk FROM fw) x
+          WHERE rk <= 4),
+        bwtop AS MATERIALIZED (
+          SELECT n AS q, round(cos, 6) AS c6 FROM (
+            SELECT q, n, cos, ROW_NUMBER() OVER (PARTITION BY n
+              ORDER BY cos DESC, q) AS rk FROM fw) x
+          WHERE rk <= 4),
+        degs AS MATERIALIZED (SELECT q,
+            CAST(SUM(CAST(c6 AS DECIMAL(20,6))) AS DOUBLE) AS sum_s,
+            COUNT(*) AS n_s
+          FROM fwtop GROUP BY q),
+        degt AS MATERIALIZED (SELECT q,
+            CAST(SUM(CAST(c6 AS DECIMAL(20,6))) AS DOUBLE) AS sum_t,
+            COUNT(*) AS n_t
+          FROM bwtop GROUP BY q),
+        cand AS (SELECT fwtop.q, fwtop.n, fwtop.c6,
+            fwtop.c6 / ((degs.sum_s / degs.n_s
+              + degt.sum_t / degt.n_t) / 2) AS margin
+          FROM fwtop JOIN degs USING (q)
+          JOIN degt ON fwtop.n = degt.q),
+        best AS (SELECT q, n, c6, margin,
+            ROW_NUMBER() OVER (PARTITION BY q
+              ORDER BY margin DESC, n) AS rk
+          FROM cand)
+        SELECT q AS src_id, n AS tgt_id, c6 AS cosine,
+          round(margin, 6) AS margin, round(margin, 6) > 1.02 AS accept
+        FROM best WHERE rk = 1 ORDER BY src_id"""))
   )
 }

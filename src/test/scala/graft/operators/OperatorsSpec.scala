@@ -962,6 +962,23 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == expect, s"query $qid: $got != $expect")
     }
   }
+
+  test("marginMine: hand-computed margins, max strategy, threshold gate") {
+    import spark.implicits._
+    // 2D geometry: cos(s0,t1)=1, cos(s0,t3)=.6, cos(s0,t5)=0;
+    //              cos(s2,t1)=0, cos(s2,t3)=.8, cos(s2,t5)=1
+    val src = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1f, 0f)), (3L, Seq(0.6f, 0.8f)),
+      (5L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    // k=2: degS(s0)=.8, degS(s2)=.9; degT(t1)=.5, degT(t3)=.7, degT(t5)=.5
+    // margins: s0->t1 = 1/.65 = 1.538462; s2->t5 = 1/.7 = 1.428571
+    val out = Similarity.marginMine(src, tgt, k = 2, threshold = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((1L, 1.538462, true)))
+    assert(out(2L) == ((5L, 1.428571, false))) // below the 1.5 threshold
+  }
 }
 
 class AlignSpec extends AnyFunSuite {
