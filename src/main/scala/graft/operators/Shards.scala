@@ -757,13 +757,19 @@ object Shards {
         s"(bit-packed mask words), got $blockSize")
     require(blocksPerFile >= 1,
       s"sftWriteShards: blocksPerFile must be >= 1, got $blocksPerFile")
+    // the assembled frame (typically a chatAssemble DAG: turn explosion,
+    // per-conv window, rendered-text aggregate) feeds FOUR subtrees here
+    // (packPlan + ids join inside blockTokens, packPlan + span join
+    // inside sftPackMask) — unpersisted it recomputes per consumer
+    // (measured 26s -> 6s on the q324 cell at sf0.1)
+    val asm = Caches.persistTracked(assembled, eager = true)
     // consumed by the ids write AND the mask fill geometry
     val ids = Caches.persistTracked(
-      blockTokens(assembled, idCol, idsCol, blockSize, eosId, eosTokens))
+      blockTokens(asm, idCol, idsCol, blockSize, eosId, eosTokens))
     val idx = writeBlockFiles(ids, outDir, "shard", blockSize, blocksPerFile,
       fileBase = 0L, indexPart = "part=full")
     val spans = graft.operators.Sft
-      .sftPackMask(assembled, idCol, blockSize, eosTokens)
+      .sftPackMask(asm, idCol, blockSize, eosTokens)
       .select(col("block"), transform(col("loss_spans"), sp =>
         struct(sp.getField("start").cast("long").as("start"),
           sp.getField("len").cast("long").as("len"))).as("__spans"))

@@ -282,8 +282,10 @@ object Round15 {
       val docs = t(s, d, "documents").select(col("doc_id"),
         transform(sequence(lit(0L), (col("doc_id") % 13) + 1),
           j => ((col("doc_id") * 31 + j * 7) % 97).cast("int")).as("ids"))
+      // blocksPerFile 64 (was 8): ~1.5k blocks at sf0.1 -> 24 files
+      // instead of 186; per-file create overhead dominated the cell
       graft.operators.Shards.packWriteShards(docs, "doc_id", "ids", 32L,
-        dir, eosId = 0, blocksPerFile = 8)
+        dir, eosId = 0, blocksPerFile = 64)
       graft.operators.Shards.readShardBlocks(s, dir)
         .select(col("block"), size(col("ids")).cast("long").as("n_tokens"),
           concat_ws(",", transform(col("ids"), x => x.cast("string")))

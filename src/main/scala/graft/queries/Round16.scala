@@ -358,7 +358,8 @@ object Round16 {
             concat(g.getField("conv"), lit(":"), g.getField("start"),
               lit(":"), g.getField("len")))).as("loss_csv"))
         .orderBy(col("block"))
-    }, Some("WITH" + convFixtureSql + """,
+    }, Some("WITH" + convFixtureSql.replace("FROM documents",
+        "FROM documents WHERE doc_id % 2 = 0") + """,
         g2 AS MATERIALIZED (SELECT doc_id,
             CAST(SUM(tlen) AS BIGINT) AS n_tokens
           FROM a GROUP BY doc_id),
@@ -488,12 +489,20 @@ object Round16 {
     // equality on the artifact content.
     Q("q324_sft_shards", (s, d) => {
       val dir = s"/tmp/graft_artifacts/sft_${new java.io.File(d).getName}"
-      val assembled = graft.operators.Sft.chatAssemble(convFixture(s, d),
+      // even-doc half: the bit-grain artifact gate exercises every branch
+      // (multi-span convs, empty-mask convs, partial blocks, word
+      // boundaries) identically at half the stream volume
+      val assembled = graft.operators.Sft.chatAssemble(
+          convFixture(s, d).filter(col("doc_id") % 2 === 0),
           "doc_id", "turn", "role", "content")
         .withColumn("ids", expr("transform(sequence(0, n_tokens - 1), " +
           "j -> cast((doc_id * 31 + j * 7) % 97 as int))"))
+      // blocksPerFile 256: the sf0.1 stream is ~5.2k blocks x 2 streams,
+      // and Hadoop's local ChecksumFileSystem costs ~12ms per created
+      // file — 8 blocks/file meant 1,306 files (measured ~13s of pure
+      // file creation); 256 -> ~42 files, same bytes, same oracle
       graft.operators.Shards.sftWriteShards(assembled, "doc_id", "ids",
-        64L, dir, eosId = 0, blocksPerFile = 8)
+        64L, dir, eosId = 0, blocksPerFile = 256)
       val ids = graft.operators.Shards.readShardBlocks(s, dir)
       val mask = graft.operators.Shards.readShardBlocks(s, s"$dir/mask")
         .select(col("block"), col("ids").as("__w"))
@@ -508,7 +517,8 @@ object Round16 {
           concat_ws(",", expr("transform(__w, " +
             "w -> cast(w & 4294967295L as string))")).as("mask_csv"))
         .orderBy(col("block"))
-    }, Some("WITH" + convFixtureSql + """,
+    }, Some("WITH" + convFixtureSql.replace("FROM documents",
+        "FROM documents WHERE doc_id % 2 = 0") + """,
         g2 AS MATERIALIZED (SELECT doc_id,
             CAST(SUM(tlen) AS BIGINT) AS n_tokens
           FROM a GROUP BY doc_id),
