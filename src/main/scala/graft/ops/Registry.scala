@@ -1342,6 +1342,14 @@ final class Registry(spark: SparkSession) {
         asStr(a.require("dir", 1), "dir"),
         asInt(a.require("batch_id", 2), "batch_id").toLong)
     },
+    "graft.compact_line_index" -> { a =>
+      // squash the per-batch line-hash index partitions into the
+      // reserved batch_id=-1 partition (write-tmp-then-rename); returns
+      // the compacted index for inspection
+      val dir = asStr(a.require("dir", 0), "dir")
+      graft.operators.Prep.compactLineIndex(spark, dir)
+      spark.read.parquet(s"$dir/_line_index")
+    },
     "graft.boilerplate_lines" -> { a =>
       // fraction of a doc's lines occurring in >= min_docs distinct docs
       // corpus-wide (line-grain twin of the per-source sentence-grain

@@ -2447,6 +2447,21 @@ class RegistrySpec extends AnyFunSuite {
       r.getAs[Double]("contrast") > 0 && r.getAs[Boolean]("in_domain")))
   }
 
+  test("graft.corpus_line_dedup_drop -> compact_line_index from the YAML surface") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_lix_").toString
+    reg.callFunction("graft.corpus_line_dedup_drop", Args(
+      pos = List(Seq((1L, "aa\nbb")).toDF("doc_id", "text"), dir, 0L)))
+    reg.callFunction("graft.corpus_line_dedup_drop", Args(
+      pos = List(Seq((2L, "bb\ncc")).toDF("doc_id", "text"), dir, 1L)))
+    val ix = reg.callFunction("graft.compact_line_index",
+        Args(pos = List(dir)))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // 3 distinct line hashes squashed into the batch_id=-1 partition
+    assert(ix.select("h").distinct().count() == 3)
+    assert(ix.select("batch_id").distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq("-1"))
+  }
+
   test("graft.chat_assemble -> sft_pack_mask and preference_pairs from the YAML surface") {
     val convs = Seq(
       (1L, 0L, "user", "hello there"),
