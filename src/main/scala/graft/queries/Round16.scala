@@ -350,7 +350,11 @@ object Round16 {
     // intersection — the q313 packed-position idiom over a SECOND
     // interval family.
     Q("q321_sft_pack_mask", (s, d) => {
-      val assembled = graft.operators.Sft.chatAssemble(convFixture(s, d),
+      // even-doc half, mirroring the oracle's WHERE doc_id % 2 = 0 (the
+      // q324 volume argument: every branch — multi-span convs, empty-mask
+      // convs, partial blocks — is live at half the stream volume)
+      val assembled = graft.operators.Sft.chatAssemble(
+        convFixture(s, d).filter(col("doc_id") % 2 === 0),
         "doc_id", "turn", "role", "content")
       graft.operators.Sft.sftPackMask(assembled, "doc_id", blockSize = 48L)
         .select(col("block"), col("n_spans"), col("n_loss"),

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dump `.explain("formatted")` for SparkEntry queries to files — the
+  * round-16 optimization evidence trail (plans/r16/<query>_{before,after}.txt).
+  *
+  * Usage: runMain graft.tools.ExplainDump <outDir> <suffix> [query ...]
+  *   outDir  e.g. plans/r16     suffix  e.g. before | after
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1 — plan shapes, AQE thresholds and
+  * broadcast decisions are taken at the bench fixture scale).
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ExplainDump <outDir> <suffix> [query ...]")
+    val outDir = new java.io.File(args(0)); outDir.mkdirs()
+    val suffix = args(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // mirror Bench's session config: the dumped plan must be the plan the
+    // bench executes (same broadcast threshold, same shuffle partitions)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names) {
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val txt = df.queryExecution.explainString(FormattedMode)
+      java.nio.file.Files.writeString(
+        new java.io.File(outDir, s"${n}_$suffix.txt").toPath, txt)
+      graft.operators.Caches.release()
+      spark.catalog.clearCache()
+      println(s"[explain] $n -> ${n}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

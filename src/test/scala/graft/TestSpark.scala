@@ -10,6 +10,15 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE formats the FULL plan string on every plan update
+      // (explainString in onUpdatePlan) even with the UI off; the KN
+      // in-plan double-model tests build plans whose formatted string
+      // costs hundreds of MB, and late in a full-suite run (one shared
+      // forked JVM, heap already carrying earlier suites' session state)
+      // that single StringBuilder allocation OOM'd the 8g heap
+      // (KnModelSpec ABORTED; passes in isolation). Cap the string — a
+      // truncated explain is diagnostic-only here, never correctness.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
