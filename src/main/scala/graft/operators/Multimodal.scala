@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a FILE-backed stream cache: every
+  // ImageIO.read/write over an in-memory byte[] creates and deletes a temp
+  // file on local disk — per image, per row. All media here is in-memory
+  // BinaryType cells, so the memory cache is strictly better (same decoded
+  // bytes, no disk churn). JVM-global, set once when any codec path loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed decode result — what a real image decoder would yield. */
   final case class MediaMeta(
       id: Long, n_bytes: Int, width: Int, height: Int, channels: Int,

@@ -478,9 +478,12 @@ object Prep {
     */
   def corpusLineDedup(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val lines = df
+    // consumed by the first-occurrence aggregate AND the join-back (two
+    // racing subtrees under AQE): persist so the split/explode runs once
+    val lines = Caches.persistTracked(df
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line"))),
+      eager = true)
     val first = lines.groupBy(col("__line"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
     val kept = lines.join(first, Seq("__line"))
@@ -492,8 +495,11 @@ object Prep {
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s("__line")), "\n").as("__kept_text"),
         count(lit(1)).as("__n_kept"))
-    df.select(col(idCol).as("__id"),
-        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+    // total line count per doc from the SAME persisted stream (posexplode
+    // emits exactly size(split(text)) rows, one per line incl. empties) —
+    // not a third split pass over the text
+    lines.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n_lines"))
       .join(kept, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__kept_text"), lit("")).as("text"),
@@ -593,9 +599,11 @@ object Prep {
                            minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2,
       s"boilerplateLineRatio: minDocs must be >= 2, got $minDocs")
-    val lines = df
+    // two consumers (frequency table + join-back): persist, one explode
+    val lines = Caches.persistTracked(df
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line"))),
+      eager = true)
     val freq = lines.groupBy(col("__line"))
       .agg(countDistinct(col("__id")).as("__docs"))
     lines.join(freq, Seq("__line"))

@@ -474,33 +474,47 @@ object Sampling {
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
       .drop("bg")
 
-    // global scope: bigram, history and second-position unigram counts
-    val cbgG = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg_g"))
-    val histG = cbgG.groupBy("w1").agg(sum("cbg_g").as("cw1_g"))
-    val uniG = cbgG.groupBy("w2").agg(sum("cbg_g").as("cu2_g"))
-    val totG = cbgG.agg(sum("cbg_g").as("tt_g"))
+    // Per-(doc, bigram-TYPE) multiplicities: the per-doc scoring join runs
+    // at this grain against a consolidated per-type score table — ONE join
+    // of the stream instead of seven (the naive shape joined the raw
+    // stream against every count table; the per-doc averages come back as
+    // multiplicity-weighted sums, the same addends grouped by type —
+    // identical within double rounding; outputs round at 6dp)
+    val perDocType = bg.groupBy("id", "dom", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
 
-    // domain scope: the same three tables keyed by domain
+    // domain scope: bigram, history and second-position unigram counts
     val cbgD = bg.groupBy("dom", "w1", "w2").agg(count(lit(1)).as("cbg_d"))
     val histD = cbgD.groupBy("dom", "w1").agg(sum("cbg_d").as("cw1_d"))
     val uniD = cbgD.groupBy("dom", "w2").agg(sum("cbg_d").as("cu2_d"))
     val totD = cbgD.groupBy("dom").agg(sum("cbg_d").as("tt_d"))
 
+    // global scope: the same three tables summed over domains
+    val cbgG = cbgD.groupBy("w1", "w2").agg(sum("cbg_d").as("cbg_g"))
+    val histG = cbgG.groupBy("w1").agg(sum("cbg_g").as("cw1_g"))
+    val uniG = cbgG.groupBy("w2").agg(sum("cbg_g").as("cu2_g"))
+    val totG = cbgG.agg(sum("cbg_g").as("tt_g"))
+
     def jm(cbg: Column, cw1: Column, cu2: Column, tt: Column): Column =
       org.apache.spark.sql.functions.log(
         lit(lam) * cbg / cw1 + lit(1 - lam) * cu2 / tt)
 
-    val perDoc = bg
+    // score each (dom, w1, w2) TYPE once, then attach to docs with one join
+    val typeScores = cbgD
       .join(cbgG, Seq("w1", "w2")).join(histG, Seq("w1")).join(uniG, Seq("w2"))
       .crossJoin(broadcast(totG))
-      .join(cbgD, Seq("dom", "w1", "w2"))
       .join(histD, Seq("dom", "w1")).join(uniD, Seq("dom", "w2"))
       .join(totD, Seq("dom"))
-      .withColumn("lp_g", jm(col("cbg_g"), col("cw1_g"), col("cu2_g"), col("tt_g")))
-      .withColumn("lp_d", jm(col("cbg_d"), col("cw1_d"), col("cu2_d"), col("tt_d")))
+      .select(col("dom"), col("w1"), col("w2"),
+        jm(col("cbg_g"), col("cw1_g"), col("cu2_g"), col("tt_g")).as("lp_g"),
+        jm(col("cbg_d"), col("cw1_d"), col("cu2_d"), col("tt_d")).as("lp_d"))
+
+    val perDoc = perDocType
+      .join(typeScores, Seq("dom", "w1", "w2"))
       .groupBy("id", "dom")
-      .agg(greatest(lit(0.0), avg(-col("lp_g")) - avg(-col("lp_d")))
-        .as("excess_doc"))
+      .agg(greatest(lit(0.0),
+        sum(col("m") * -col("lp_g")) / sum(col("m"))
+          - sum(col("m") * -col("lp_d")) / sum(col("m"))).as("excess_doc"))
 
     // anchor on the DISTINCT DOMAIN LIST of the input, not the bigram
     // stream: a domain whose docs all have < 2 words contributes no

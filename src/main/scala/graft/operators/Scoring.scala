@@ -623,16 +623,33 @@ object Scoring {
   def knScore(df: DataFrame, idCol: String, textCol: String,
               model: DataFrame, order: Int = 5): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    knScoreGrams(df.select(col(idCol).as("id"),
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g")), model, order)
+  }
+
+  /** [[knScore]]'s walk over a pre-built `(id, g)` gram stream — exposed so
+    * two-model scorers ([[knContrast]]) explode and persist the stream ONCE
+    * and walk each model over the same frame instead of re-deriving the
+    * tokenization per model.
+    */
+  private[graft] def knScoreGrams(gramStream: DataFrame, model: DataFrame,
+                                  order: Int): DataFrame = {
     // the walk slices `model` 2·order times (per-level lp and bow views
     // plus the floor); when the model is an IN-PLAN knTrain DAG rather
     // than a parquet read, every slice would re-derive the whole fit —
     // persist once (count-table-bounded, released via Caches.release;
-    // measured 13.0→~6s on the in-plan q306 cell at sf0.1)
+    // measured 13.0→~6s on the in-plan q306 cell at sf0.1). Lazy on
+    // purpose: an eager count() serializes fit-then-walk, and the A/B at
+    // sf0.1 read q306 10.5s lazy vs 12.4s eager — the racing-slice
+    // recompute this would avoid is cheaper than the lost overlap.
     val m = Caches.persistTracked(model)
     val ws = (1 to order).map(i => s"w$i")
-    val grams = df.select(col(idCol).as("id"),
-      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
-        .as("g"))
+    // NOT persisted: the stream is consumed twice (type dedup + per-doc
+    // attach), but the explode is cheap codegen over a parquet scan and
+    // re-runs faster than a cache write+read of the widened gram strings
+    // (A/B at sf0.1: q305 1.5s recompute vs 3.0s persisted)
+    val grams = gramStream
     val types = grams.select(col("g")).distinct()
       .withColumn("__ws", split(col("g"), " "))
       .filter(size(col("__ws")) === order)
@@ -794,9 +811,15 @@ object Scoring {
   def knContrast(df: DataFrame, idCol: String, textCol: String,
                  modelIn: DataFrame, modelOut: DataFrame,
                  order: Int = 5): DataFrame = {
-    val a = knScore(df, idCol, textCol, modelIn, order)
+    // ONE gram stream for both walks: the explode/tokenize of the scored
+    // corpus is model-independent, so sharing it halves the text passes
+    // (each knScoreGrams persists it; the second persist reuses the entry)
+    val grams = df.select(col(idCol).as("id"),
+      explode(graft.operators.Dedup.shingles(lower(col(textCol)), order))
+        .as("g"))
+    val a = knScoreGrams(grams, modelIn, order)
       .select(col("id"), col("kn_lp").as("__lp_in"), col("n_grams"))
-    val b = knScore(df, idCol, textCol, modelOut, order)
+    val b = knScoreGrams(grams, modelOut, order)
       .select(col("id"), col("kn_lp").as("__lp_out"))
     a.join(b, Seq("id"))
       .select(col("id"),

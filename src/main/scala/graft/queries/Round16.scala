@@ -265,10 +265,21 @@ object Round16 {
       val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fsys.exists(p)) fsys.delete(p, true)
       val docs = t(s, d, "documents")
-      graft.operators.Scoring.knCountsDrop(
-        docs.filter(col("doc_id") % 4 === 0), "text", dir, batchId = 0)
-      graft.operators.Scoring.knCountsDrop(
-        docs.filter(col("doc_id") % 4 === 2), "text", dir, batchId = 1)
+      // the two drops are independent jobs writing disjoint batch_id
+      // partitions — submit them concurrently so the second drop's scan
+      // back-fills the first one's reduce tail (guide §2.6); results are
+      // unchanged (each drop's counts are its own deterministic aggregate)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val drops = Seq(0L -> 0, 1L -> 2).map { case (batch, residue) =>
+        scala.concurrent.Future(graft.operators.Scoring.knCountsDrop(
+          docs.filter(col("doc_id") % 4 === residue), "text", dir, batch))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(drops),
+        scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
       // fit-once artifact shape (q304's contract): the fit executes
       // eagerly into parquet and the gated plan is the artifact read —
       // the in-plan fit DAG would otherwise recompute each count table

@@ -25,7 +25,10 @@ object QTime {
         sys.error(s"unknown query $name"))
       val times = (1 to runsN).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // same materialization as Bench: every output column of every row
+        // (a DataFrame .count() lets the optimizer prune columns/subtrees,
+        // so it under-times map-heavy queries)
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
         val secs = (System.nanoTime() - t0) / 1e9
         graft.operators.Caches.release()
         spark.catalog.clearCache()
