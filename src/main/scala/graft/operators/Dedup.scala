@@ -443,8 +443,21 @@ object Dedup {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    // materialize the (tiny, (long,long)) pair list once and size the
+    // Pregel's partitioning from the REAL edge count: near-dup pair lists
+    // are orders of magnitude smaller than the corpus, and inheriting the
+    // corpus-side shuffle fan-out means every CC round schedules dozens of
+    // near-empty tasks per iteration (pure scheduler overhead at bench
+    // scale). ~2M edges per partition, never more partitions than the
+    // input had — at real scale the coalesce is a no-op. CC's min-label
+    // result is partitioning-independent, so output is unchanged.
+    val edgeDf = Caches.persistTracked(
+      pairs.select(col(idA).cast("long"), col(idB).cast("long")))
+    val nEdges = edgeDf.count()
+    val rdd0 = edgeDf.as[(Long, Long)].rdd
+    val parts = math.max(1,
+      math.min(rdd0.getNumPartitions, (nEdges / 2000000L + 1L).toInt))
+    val edges = rdd0.coalesce(parts).map { case (a, b) => Edge(a, b, ()) }
     val graph = Graph.fromEdges(edges, ())
     val cc = graph.connectedComponents().vertices // (id, min id in component)
     val inPairs = cc.toDF("id", "cluster_rep")
@@ -1081,9 +1094,11 @@ object Dedup {
         sequence(lit(0), size(col("w")) - n),
         i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
         .as(Seq("pos", "h")))
+    // the duplicated-hash SET only — a hash aggregate, not a sort + window
+    // + distinct over the per-doc gram index (same rows out, one sort less)
     val shared = grams.select(col("id"), col("h")).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") >= 2).select(col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
     val covered = grams.join(shared, "h")
       .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
       .distinct()
@@ -1180,9 +1195,10 @@ object Dedup {
         sequence(lit(0), size(col("w")) - n),
         i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
         .as(Seq("pos", "h")))
+    // duplicated-hash SET via hash aggregate (see removeDupSpans)
     val shared = grams.select(col("id"), col("h")).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") >= 2).select(col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
     val covered = grams.join(shared, "h")
       .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
       .distinct()

@@ -33,17 +33,20 @@ object Prep {
     // exact percentile buffers every group value in the agg buffer — the
     // skewed-group memory hotspot at scale; exact=false swaps in the
     // bounded-memory approx_percentile sketch (clip bounds move by at
-    // most the sketch's rank error)
-    def pct(c: String, p: Double) =
-      if (exact) expr(s"percentile(`$c`, $p)")
-      else expr(s"approx_percentile(`$c`, CAST($p AS DOUBLE), 10000)").cast("double")
-    val aggs = valueCols.flatMap(c => Seq(
-      pct(c, lo).as(s"__lo_$c"), pct(c, hi).as(s"__hi_$c")))
+    // most the sketch's rank error). BOTH bounds come from ONE
+    // array-percentile aggregate per column (the q60 fix): two separate
+    // percentile calls would each buffer the group's counts-map.
+    def pctPair(c: String) =
+      if (exact) expr(s"percentile(`$c`, array(CAST($lo AS DOUBLE), CAST($hi AS DOUBLE)))")
+      else expr(s"approx_percentile(`$c`, array(CAST($lo AS DOUBLE), CAST($hi AS DOUBLE)), 10000)")
+        .cast("array<double>")
+    val aggs = valueCols.map(c => pctPair(c).as(s"__b_$c"))
     val bounds = df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val clipped = valueCols.foldLeft(joinStats(df, bounds, by))((d, c) =>
       d.withColumn(c,
-        least(greatest(col(c).cast("double"), col(s"__lo_$c")), col(s"__hi_$c"))))
-    clipped.drop(valueCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+        least(greatest(col(c).cast("double"), element_at(col(s"__b_$c"), 1)),
+          element_at(col(s"__b_$c"), 2))))
+    clipped.drop(valueCols.map(c => s"__b_$c"): _*)
   }
 
   /** PACKING-EFFICIENCY report: for each candidate sequence length, how

@@ -150,10 +150,16 @@ object Corpus {
           lit("subscribe to our newsletter"),
           lit("subscribe to our newsletter"),
           element_at(chunks, 1))), "\n")
-        t(s, d, "documents").select(
-          col("doc_id"),
-          Text.collapseDupLines(spiked).as("text"),
-          Text.dupLineCount(spiked).as("n_dropped"))
+        // bind the chunk-built fixture text ONCE: both scanners consume it,
+        // and inlined it would be chunk-built twice per row (CollapseProject
+        // keeps the two-step projection because the bound column is
+        // non-cheap and referenced twice)
+        t(s, d, "documents")
+          .select(col("doc_id"), spiked.as("__spiked"))
+          .select(
+            col("doc_id"),
+            Text.collapseDupLines(col("__spiked")).as("text"),
+            Text.dupLineCount(col("__spiked")).as("n_dropped"))
           .orderBy(col("doc_id"))
       },
       Some("""
