@@ -182,6 +182,18 @@ object Bench {
       // near-empty tasks per stage across ~30 stages, pure scheduler
       // overhead (q36 measured 3x slower at 32 threads than 8 due to it)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Floor for AQE's coalesced shuffle-partition size. With the default
+      // parallelism-first sizing, a shuffle totalling S bytes is split into
+      // max(S/cores, minPartitionSize) chunks — on local[32] a 50 MB count
+      // table becomes 32 ~1.5 MB tasks, and a DAG of ~25 such exchanges
+      // (the KN fit ladder) is pure scheduler overhead; the r16 scaling
+      // block measured q274 running 2.1x FASTER on 8 cores than 32. Raising
+      // the floor only affects shuffles under cores x floor total bytes
+      // (at 100 TB every real exchange exceeds that), so it is the
+      // scale-adaptive version of "fewer, larger partitions" (guide §2.2).
+      // Env-parameterised; local default chosen by matched A/B (r17 log).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

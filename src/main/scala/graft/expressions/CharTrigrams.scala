@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Padded-word character trigrams (Cavnar-Trenkle profiles) as ONE
+  * single-pass expression.
+  *
+  * Replaces the langid two-explode shape — explode(filter(split(text,
+  * "\\s+"), nonempty)) to word rows, then explode(transform(sequence(1,
+  * length(pw)-2), i => substring(pw, i, 3))) per word — whose intermediate
+  * word rows and per-element lambda dispatch dominated the map side (the
+  * WordShingles lesson applied to character grain). Semantics are pinned to
+  * the composed form exactly:
+  *
+  *   - words are maximal runs of non-`\s` chars, where `\s` is Java regex
+  *     ASCII whitespace [ \t\n\x0B\f\r] (what split("\\s+") matches);
+  *     leading-separator empty tokens vanish just like the length filter,
+  *   - each word pads to `_word_` and emits every 3-CODEPOINT window —
+  *     substring()/length() count code points, so the scan walks code
+  *     points, not UTF-16 units (astral chars stay one character),
+  *   - a 1-char word emits exactly `_x_`; an empty/whitespace-only text
+  *     emits an empty array (explode then drops the row, as before).
+  *
+  * (CodegenFallback for the same reason as WordShingles: the win is
+  * escaping per-element HOF dispatch, not codegen of the loop.)
+  */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B.toChar ||
+      c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = new java.util.ArrayList[Any](math.max(8, n))
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        // the padded word as code points: '_' + word + '_'
+        val cps = new Array[Int](i - start + 2)
+        cps(0) = '_'
+        var k = 1
+        var j = start
+        while (j < i) {
+          val cp = s.codePointAt(j)
+          cps(k) = cp
+          k += 1
+          j += Character.charCount(cp)
+        }
+        cps(k) = '_'
+        k += 1
+        var t = 0
+        while (t + 3 <= k) {
+          out.add(UTF8String.fromString(new String(cps, t, 3)))
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_trigrams"
+}
+
+object CharTrigrams {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(text: Column): Column =
+    ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
+}

@@ -482,10 +482,15 @@ object Prep {
   def corpusLineDedup(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     // consumed by the first-occurrence aggregate AND the join-back (two
-    // racing subtrees under AQE): persist so the split/explode runs once
+    // racing subtrees under AQE): persist so the split/explode runs once.
+    // NULL text coalesces to "" BEFORE the split: posexplode(split(null))
+    // emits zero rows and the doc would vanish from the output entirely,
+    // whereas a null-text doc must surface like an empty one (one empty
+    // line, n_lines = 1) — the r16 verdict's null-text edge.
     val lines = Caches.persistTracked(df
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line"))),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line"))),
       eager = true)
     val first = lines.groupBy(col("__line"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
@@ -602,10 +607,12 @@ object Prep {
                            minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2,
       s"boilerplateLineRatio: minDocs must be >= 2, got $minDocs")
-    // two consumers (frequency table + join-back): persist, one explode
+    // two consumers (frequency table + join-back): persist, one explode.
+    // coalesce(null, "") so a null-text doc surfaces (corpusLineDedup note)
     val lines = Caches.persistTracked(df
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line"))),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line"))),
       eager = true)
     val freq = lines.groupBy(col("__line"))
       .agg(countDistinct(col("__id")).as("__docs"))

@@ -1190,13 +1190,11 @@ object Scoring {
                      langCol: String, k: Int = 50, m: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && m >= 1, s"profile sizes must be >= 1, got k=$k m=$m")
+    // ONE single-pass trigram expression + ONE explode — the two-explode
+    // word-row intermediate and its per-element lambda dispatch removed
+    // (CharTrigrams is semantics-pinned to the old composed form)
     val tri = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-        explode(org.apache.spark.sql.functions.filter(
-          split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
-      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
-      .select(col("id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("pw")) - 2),
-          i => substring(col("pw"), i, lit(3)))).as("t"))
+      explode(graft.expressions.CharTrigrams(lower(col(textCol)))).as("t"))
     val langProf = tri.groupBy("lang", "t").agg(count(lit(1)).as("c"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("t").asc)))

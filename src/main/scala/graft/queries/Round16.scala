@@ -31,6 +31,11 @@ object Round16 {
     t(s, d, "documents").select(col("doc_id"),
       array_join(concat(array(boiler), chunks, array(boiler)), "\n")
         .as("text"))
+      // one NULL-text doc pins the operators' null edge (r16 verdict #5):
+      // coalesce(null, "") -> a single empty line, so the doc surfaces
+      // with n_lines = 1 instead of vanishing from the posexplode stream
+      .unionByName(s.sql(
+        "SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text"))
   }
 
   private val lineFixtureSql = """
@@ -47,7 +52,9 @@ object Round16 {
               ['subscribe to box ' || CAST(doc_id % 7 AS VARCHAR)],
               chunks),
               ['subscribe to box ' || CAST(doc_id % 7 AS VARCHAR)]) AS lines
-          FROM ch),
+          FROM ch
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT) AS doc_id, [''] AS lines),
         ln AS MATERIALIZED (
           SELECT doc_id, i - 1 AS pos, lines[i] AS line
           FROM docs, unnest(generate_series(1, len(lines))) AS t(i))"""

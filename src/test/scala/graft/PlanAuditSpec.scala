@@ -103,23 +103,39 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Queries whose CONSTRUCTION runs eager bounded actions (fits, distincts,
   // file round-trips) are still audited — the actions run at sf0.001.
+  //
+  // ONE planning pass feeds both tests below: building every query's
+  // executedPlan (construction actions included) dominates this suite's
+  // wall time, and the two audits used to re-plan all 325 queries each —
+  // the single shared pass halves the suite (the r17 test-budget work;
+  // the assertions are unchanged).
+  private case class Audit(name: String, planError: Option[String],
+                           cartesian: Int, globalWindows: Int, shuffles: Int)
+  private lazy val audits: Seq[Audit] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val plan: SparkPlan =
+          fn(spark, TestSpark.sfDir).queryExecution.executedPlan
+        Audit(name, None,
+          plan.collect { case c: CartesianProductExec => c }.size,
+          plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w }.size,
+          graft.tools.PlanLedger.shapeOf(plan).shuffles)
+      } catch { case e: Throwable => auditError(name, e) }
+      finally graft.operators.Caches.release() // construction persists don't accumulate across 325 audits
+    }
+  private def auditError(name: String, e: Throwable): Audit =
+    Audit(name, Some(e.getMessage.take(120)), 0, 0, -1)
+
   test("no CartesianProductExec; global windows only over small-by-construction frames") {
     val violations = scala.collection.mutable.ListBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan: SparkPlan =
-        try fn(spark, TestSpark.sfDir).queryExecution.executedPlan
-        catch { case e: Throwable =>
-          violations += s"$name: failed to plan: ${e.getMessage.take(120)}"
-          null
-        }
-      if (plan != null) {
-        val cartesian = plan.collect { case c: CartesianProductExec => c }
-        if (cartesian.nonEmpty)
-          violations += s"$name: CartesianProductExec in plan"
-        val globals = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w }
-        if (globals.nonEmpty && !globalWindowSmallFrame.contains(name))
-          violations += s"$name: ${globals.size} single-partition WindowExec " +
+    for (a <- audits) {
+      a.planError.foreach(m => violations += s"${a.name}: failed to plan: $m")
+      if (a.planError.isEmpty) {
+        if (a.cartesian > 0)
+          violations += s"${a.name}: CartesianProductExec in plan"
+        if (a.globalWindows > 0 && !globalWindowSmallFrame.contains(a.name))
+          violations += s"${a.name}: ${a.globalWindows} single-partition WindowExec " +
             "(whitelist it with a small-frame justification or fix the plan)"
       }
     }
@@ -141,17 +157,13 @@ class PlanAuditSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
     assert(ledger.nonEmpty, "PLAN_LEDGER.json missing or empty")
     val violations = scala.collection.mutable.ListBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      ledger.get(name) match {
+    for (a <- audits if a.planError.isEmpty) {
+      ledger.get(a.name) match {
         case None =>
-          violations += s"$name: not in PLAN_LEDGER.json — regenerate the ledger"
+          violations += s"${a.name}: not in PLAN_LEDGER.json — regenerate the ledger"
         case Some(budget) =>
-          val got =
-            try graft.tools.PlanLedger.shapeOf(
-              fn(spark, TestSpark.sfDir).queryExecution.executedPlan).shuffles
-            catch { case _: Throwable => -1 } // planning failures caught above
-          if (got > budget)
-            violations += s"$name: $got shuffles > ledger $budget " +
+          if (a.shuffles > budget)
+            violations += s"${a.name}: ${a.shuffles} shuffles > ledger $budget " +
               "(fix the plan, or regenerate PLAN_LEDGER.json deliberately)"
       }
     }

@@ -481,3 +481,55 @@ class ExpressionsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.IntegerType, "audit dtype unchanged")
   }
 }
+
+/** CharTrigrams is semantics-pinned to the composed two-explode form it
+  * replaced in langIdProfiles: filter(split(text, "\\s+"), nonempty), pad
+  * each word to _word_, emit every 3-codepoint substring window.
+  */
+class CharTrigramsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val cases = Seq(
+    "hello world",
+    "a",                              // 1-char word -> exactly _a_
+    "ab cd ef",
+    "  leading and   multiple   spaces\tand\ttabs\nnewlines\r\n",
+    "",
+    " \t\r\n ",                       // whitespace-only -> no trigrams
+    "café naïve",           // accented BMP chars
+    "你好 世界é", // CJK words
+    "x 😀y z😁😂", // astral (surrogate pairs) = 1 char each
+    "_already_padded_ mid_under",
+    "word nbsp")                 // U+00A0 is NOT java-regex \s: stays in-word
+
+  test("equals filter/split/substring composition on every edge case") {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val composed = df.select(col("id"),
+        explode(filter(split(col("t"), "\\s+"), w => length(w) > 0)).as("w"))
+      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
+      .select(col("id"),
+        explode(transform(sequence(lit(1), length(col("pw")) - 2),
+          i => substring(col("pw"), i, lit(3)))).as("t3"))
+      .groupBy("id", "t3").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val single = df.select(col("id"),
+        explode(CharTrigrams(col("t"))).as("t3"))
+      .groupBy("id", "t3").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(single == composed)
+  }
+
+  test("null text yields no rows after explode, like the composed form") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("ok fine"))).toDF("id", "t")
+    val n = df.select(col("id"), explode(CharTrigrams(col("t")))).count()
+    assert(n == 6L) // _ok_ -> 2 trigrams, _fine_ -> 4; null row contributes 0
+    val composed = df.select(col("id"),
+        explode(filter(split(col("t"), "\\s+"), w => length(w) > 0)).as("w"))
+      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
+      .select(explode(transform(sequence(lit(1), length(col("pw")) - 2),
+        i => substring(col("pw"), i, lit(3))))).count()
+    assert(n == composed)
+  }
+}

@@ -27,6 +27,22 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out(3L) == (("", 2L, 2L)))
   }
 
+  test("null text surfaces as one empty line (never vanishes from the output)") {
+    // posexplode(split(null)) emits zero rows — without the coalesce the
+    // null-text doc would disappear entirely (the r16 verdict's edge)
+    val out = Prep.corpusLineDedup(docsOf(
+        1L -> "x\ny", 2L -> null.asInstanceOf[String]), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L), "null-text doc must stay in the output")
+    assert(out(2L) == (("", 1L, 0L)), s"null text == empty text: ${out(2L)}")
+    val br = Prep.boilerplateLineRatio(docsOf(
+        1L -> "x\ny", 2L -> null.asInstanceOf[String], 3L -> "x\nz"),
+        "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(br.keySet == Set(1L, 2L, 3L) && br(2L) == 1L)
+  }
+
   test("incremental drops == batch on the union; index suppresses cross-drop; retry idempotent") {
     val d1 = Seq(1L -> "boiler\nalpha one", 2L -> "beta two\nboiler")
     val d2 = Seq(3L -> "boiler\ngamma three", 4L -> "alpha one\ndelta four")

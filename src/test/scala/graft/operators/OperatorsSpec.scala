@@ -1102,6 +1102,20 @@ class ClusterSpec extends AnyFunSuite {
     assert(cl(99L) == 99L) // untouched doc represents itself
   }
 
+  test("clusters: long chain converges to the min id (multi-round propagation + doubling)") {
+    // a 33-node path graph forces several label-propagation rounds; with
+    // pointer doubling the loop must still reach the exact fixpoint, and
+    // reversed/duplicated edges must not matter
+    val edges = (0 until 32).map(i => (i + 1).toLong -> i.toLong) ++
+      Seq(5L -> 4L, 40L -> 41L)
+    val pairs = edges.toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 to 32).foreach(i => assert(cl(i.toLong) == 0L, s"node $i -> ${cl(i.toLong)}"))
+    assert(cl(40L) == 40L && cl(41L) == 40L)
+    assert(graft.operators.Caches.trackedCount >= 0) // loop released its per-round frames
+  }
+
   test("dedupByMinhash keeps one representative per near-dup cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -5,8 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.queries.Q
 
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+
+  // Every test drains its AvailableNow query to termination, but a stray
+  // active StreamingQuery (e.g. a test failing between start() and
+  // awaitTermination()) would still be running tasks when the JVM's
+  // shutdown hook stops the SparkContext — the TaskResultGetter
+  // RejectedExecutionException teardown race the r16 driver recorded.
+  // Stop anything still active before the suite hands the session back.
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    spark.streams.resetTerminated()
+    super.afterAll()
+  }
 
   // FileStreamSource wants a directory of part files: stage the fixture.
   private lazy val streamDir: String = {
