@@ -840,7 +840,14 @@ object Scoring {
     */
   def knCountsDrop(batch: DataFrame, textCol: String, outDir: String,
                    batchId: Long, order: Int = 5): Unit =
+    // REBALANCE before the write (guide §6 output sizing): the count
+    // aggregate inherits the session's full reduce fan-out, so each drop
+    // landed as dozens of tiny parquet files that the incremental refit
+    // then re-opened one by one. AQE sizes rebalanced partitions to
+    // advisoryPartitionSizeInBytes — one file per ~64 MB of counts at any
+    // scale (a bench drop becomes 1 file; a 100 TB drop stays parallel).
     knGramCounts(batch, textCol, order)
+      .hint("rebalance")
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   /** INCREMENTAL LM fit: merge every drop's count partitions (one
